@@ -1,0 +1,117 @@
+"""Minimal stdlib-zlib PNG codec for 8-bit and 16-bit grayscale.
+
+A from-scratch implementation of the public PNG spec (RFC 2083): IHDR /
+IDAT(zlib) / IEND chunks, scanline filters. Encoding uses filter 0 (None)
+per scanline; decoding supports all five standard filters. Stands in for
+the reference's rendered JPEG/PNG outputs (raster.py:1791-1865) — the
+lossless compressed `fmt='png'` path of FIXTURES.md §1.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode(arr: np.ndarray) -> bytes:
+    """Grayscale uint8 or uint16 (rows, cols) -> PNG bytes."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError(f"PNG codec takes 2D grayscale arrays, got shape {arr.shape}")
+    if arr.dtype == np.uint8:
+        depth = 8
+        raw = arr
+    elif arr.dtype == np.uint16:
+        depth = 16
+        raw = arr.astype(">u2")
+    else:
+        raise ValueError(f"PNG codec supports uint8/uint16, got {arr.dtype}")
+    h, w = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)  # color type 0 = gray
+    body = raw.tobytes()
+    stride = w * (depth // 8)
+    scanlines = bytearray()
+    for r in range(h):
+        scanlines.append(0)  # filter type None
+        scanlines += body[r * stride : (r + 1) * stride]
+    idat = zlib.compress(bytes(scanlines), 6)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode(data: bytes) -> np.ndarray:
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = depth = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if color != 0 or interlace != 0:
+                raise ValueError("only non-interlaced grayscale PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = depth // 8
+    stride = width * bpp
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for r in range(height):
+        ftype = raw[p]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
+        p += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {ftype}")
+        out[r] = line
+        prev = line
+    if depth == 8:
+        return out[:, :width].copy()
+    if depth == 16:
+        return out.reshape(height, width, 2).astype(np.uint16)[:, :, 0] * 256 + out.reshape(
+            height, width, 2
+        )[:, :, 1]
+    raise ValueError(f"unsupported depth {depth}")

@@ -1,0 +1,156 @@
+"""Hierarchical global cell keys — the engine's H3/S2-style tile key.
+
+The north rule calls for "a vectorized H3/S2 cell encoder (compact covering
+cells as the tile key)". Neither h3 nor s2 bindings exist in this
+environment, so this is a from-scratch hierarchical quadtree over the
+geographic world box [-180, 180] x [-90, 90]:
+
+- level L splits the world into 2^L x 2^L cells (x width 360/2^L deg,
+  y height 180/2^L deg);
+- a cell id is one int64: ``(level << 56) | (iy << 28) | ix`` (level <= 26);
+- parent/child moves are bit shifts, so coverings can be compacted
+  hierarchically exactly like S2 cell unions.
+
+Everything is vectorized numpy; ids are stable across processes/nodes and
+usable directly as Ray Data groupby/partition keys.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+MAX_LEVEL = 26
+_LEVEL_SHIFT = 56
+_Y_SHIFT = 28
+_XY_MASK = (1 << 28) - 1
+
+WORLD = (-180.0, -90.0, 180.0, 90.0)
+
+
+def cell_ids(level: int, x, y) -> np.ndarray:
+    """Vectorized point -> cell id at a level. Points outside the world box
+    are clamped (matching the reference's coordinate clipping,
+    raster_geolocation.py:60-66). NaN -> id -1."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level out of range: {level}")
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = 1 << level
+    bad = ~(np.isfinite(x) & np.isfinite(y))
+    xs = np.where(bad, 0.0, x)
+    ys = np.where(bad, 0.0, y)
+    ix = np.floor((xs + 180.0) / 360.0 * n).astype(np.int64)
+    iy = np.floor((90.0 - ys) / 180.0 * n).astype(np.int64)
+    ix = np.clip(ix, 0, n - 1)
+    iy = np.clip(iy, 0, n - 1)
+    cid = (np.int64(level) << _LEVEL_SHIFT) | (iy << _Y_SHIFT) | ix
+    return np.where(bad, np.int64(-1), cid)
+
+
+def cell_id(level: int, x: float, y: float) -> int:
+    return int(cell_ids(level, [x], [y])[0])
+
+
+def decode(cid) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """cell id(s) -> (level, ix, iy)."""
+    cid = np.asarray(cid, dtype=np.int64)
+    level = (cid >> _LEVEL_SHIFT).astype(np.int64)
+    iy = (cid >> _Y_SHIFT) & _XY_MASK
+    ix = cid & _XY_MASK
+    return level, ix, iy
+
+
+def cell_bounds(cid) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """cell id(s) -> (xmin, ymin, xmax, ymax)."""
+    level, ix, iy = decode(cid)
+    n = (np.int64(1) << level).astype(np.float64)
+    w = 360.0 / n
+    h = 180.0 / n
+    xmin = -180.0 + ix * w
+    ymax = 90.0 - iy * h
+    return xmin, ymax - h, xmin + w, ymax
+
+
+def parent(cid, levels_up: int = 1) -> np.ndarray:
+    level, ix, iy = decode(cid)
+    new_level = level - levels_up
+    if np.any(new_level < 0):
+        raise ValueError("cannot go above level 0")
+    return (new_level << _LEVEL_SHIFT) | ((iy >> levels_up) << _Y_SHIFT) | (ix >> levels_up)
+
+
+def covering_cells(
+    level: int, bbox: Tuple[float, float, float, float]
+) -> np.ndarray:
+    """All cell ids at ``level`` intersecting the bbox (xmin, ymin, xmax, ymax).
+
+    Handles antimeridian-crossing boxes (xmin > xmax) by splitting into two
+    ranges (the sign-split of raster_geometry.py:512-521)."""
+    xmin, ymin, xmax, ymax = bbox
+    if xmin > xmax:  # crosses the antimeridian
+        left = covering_cells(level, (xmin, ymin, 180.0, ymax))
+        right = covering_cells(level, (-180.0, ymin, xmax, ymax))
+        return np.unique(np.concatenate([left, right]))
+    n = 1 << level
+    w = 360.0 / n
+    h = 180.0 / n
+    ix0 = max(0, int(np.floor((xmin + 180.0) / w)))
+    ix1 = min(n - 1, int(np.floor((xmax + 180.0) / w - 1e-12)))
+    ix1 = max(ix1, ix0)
+    iy0 = max(0, int(np.floor((90.0 - ymax) / h)))
+    iy1 = min(n - 1, int(np.floor((90.0 - ymin) / h - 1e-12)))
+    iy1 = max(iy1, iy0)
+    ixs = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    iys = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(ixs, iys)
+    return (
+        (np.int64(level) << _LEVEL_SHIFT) | (gy.ravel() << _Y_SHIFT) | gx.ravel()
+    )
+
+
+def compact_covering(
+    bbox: Tuple[float, float, float, float],
+    max_cells: int = 16,
+    max_level: int = MAX_LEVEL,
+) -> Tuple[int, np.ndarray]:
+    """Finest single-level covering of the bbox with <= max_cells cells —
+    the compact covering set the north rule's tile assignment uses.
+    Returns (level, ids). Single-level keys keep the shuffle key space flat;
+    hierarchical compaction is available via parent() when mixed levels are
+    wanted."""
+    best_level, best = 0, covering_cells(0, bbox)
+    for level in range(1, max_level + 1):
+        cells = covering_cells(level, bbox)
+        if len(cells) > max_cells:
+            break
+        best_level, best = level, cells
+    return best_level, best
+
+
+def token(cid: int) -> str:
+    """Stable filesystem-safe token for a cell id (partition dir names)."""
+    level, ix, iy = decode(int(cid))
+    return f"L{int(level):02d}_{int(ix):08x}_{int(iy):08x}"
+
+
+def level_for_cell_size(cell_deg: float) -> int:
+    """Coarsest level whose cell height <= cell_deg (for picking a tile
+    level matched to image footprints)."""
+    for level in range(MAX_LEVEL + 1):
+        if 180.0 / (1 << level) <= cell_deg:
+            return level
+    return MAX_LEVEL
+
+
+def cells_to_ranges(ids: np.ndarray) -> List[Tuple[int, int]]:
+    """Sorted ids -> contiguous [lo, hi] ranges (for pruning parquet reads
+    by tile-key predicates)."""
+    ids = np.sort(np.asarray(ids, dtype=np.int64))
+    if ids.size == 0:
+        return []
+    breaks = np.where(np.diff(ids) != 1)[0]
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [ids.size - 1]])
+    return [(int(ids[s]), int(ids[e])) for s, e in zip(starts, ends)]

@@ -1,0 +1,122 @@
+"""CRS parsing and derivation — replaces pyproj for the CRS family the
+reference semantics actually exercise (EPSG:4326 / UTM 326xx,327xx /
++proj=utm / +proj=aeqd / +proj=longlat).
+
+Mirrored reference behaviors:
+
+- default CRS is EPSG:4326 / WGS84 (rasters/CRS.py:10-34, CRS.py:179);
+- equality by normalized form (EPSG-code equality, CRS.py:55-71);
+- ``local_UTM_proj4``: zone = floor((lon+180)/6) clamped [1, 60], '+south'
+  if lat < 0, ValueError for lon outside [-180, 180]
+  (rasters/local_UTM_proj4.py:31-43). NOTE: the proj4 variant does NOT add
+  +1 to the zone — the EPSG variant does (raster_geometry.py:232-238); the
+  reference's own tests pin this quirk and we preserve it;
+- ``center_aeqd``: '+proj=aeqd +lat_0=<lat> +lon_0=<lon>'
+  (rasters/center_aeqd.py:4-14).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+WGS84 = "EPSG:4326"
+
+
+@dataclass(frozen=True)
+class CRSInfo:
+    kind: str  # 'geographic' | 'utm' | 'aeqd'
+    zone: Optional[int] = None  # utm
+    south: bool = False  # utm
+    lat_0: float = 0.0  # aeqd
+    lon_0: float = 0.0  # aeqd
+
+    @property
+    def is_geographic(self) -> bool:
+        return self.kind == "geographic"
+
+    def canonical(self) -> str:
+        if self.kind == "geographic":
+            return "EPSG:4326"
+        if self.kind == "utm":
+            return f"EPSG:{(32700 if self.south else 32600) + self.zone}"
+        return f"+proj=aeqd +lat_0={self.lat_0} +lon_0={self.lon_0}"
+
+
+_EPSG_RE = re.compile(r"^EPSG:(\d+)$", re.I)
+
+
+def parse_crs(crs: str) -> CRSInfo:
+    """Parse a CRS string into the engine's CRSInfo. Raises ValueError for
+    unsupported CRSs (the supported family is all the reference semantics
+    require — SURVEY.md §7.0)."""
+    s = str(crs).strip()
+    m = _EPSG_RE.match(s)
+    if m:
+        code = int(m.group(1))
+        if code == 4326:
+            return CRSInfo("geographic")
+        if 32601 <= code <= 32660:
+            return CRSInfo("utm", zone=code - 32600, south=False)
+        if 32701 <= code <= 32760:
+            return CRSInfo("utm", zone=code - 32700, south=True)
+        raise ValueError(f"unsupported EPSG code: {code}")
+    low = s.lower()
+    if "+proj=longlat" in low or low in ("wgs84", "epsg:4326"):
+        return CRSInfo("geographic")
+    if "+proj=utm" in low:
+        zm = re.search(r"\+zone=(\d+)", low)
+        if not zm:
+            raise ValueError(f"UTM proj4 without +zone: {s}")
+        return CRSInfo("utm", zone=int(zm.group(1)), south="+south" in low)
+    if "+proj=aeqd" in low:
+        lat = re.search(r"\+lat_0=(-?[\d.]+)", low)
+        lon = re.search(r"\+lon_0=(-?[\d.]+)", low)
+        return CRSInfo(
+            "aeqd",
+            lat_0=float(lat.group(1)) if lat else 0.0,
+            lon_0=float(lon.group(1)) if lon else 0.0,
+        )
+    raise ValueError(f"unsupported CRS: {s}")
+
+
+def is_geographic(crs: str) -> bool:
+    try:
+        return parse_crs(crs).is_geographic
+    except ValueError:
+        return False
+
+
+def crs_equal(a: str, b: str) -> bool:
+    try:
+        return parse_crs(a) == parse_crs(b)
+    except ValueError:
+        return str(a).strip() == str(b).strip()
+
+
+def local_UTM_proj4(lat: float, lon: float) -> str:
+    """Reference quirk preserved: zone WITHOUT the +1 (local_UTM_proj4.py:31-43).
+    lon=-120 -> '+zone=10' per tests/test_local_UTM_proj4.py."""
+    if not (-180 <= lon <= 180):
+        raise ValueError("Longitude must be between -180 and 180 degrees")
+    zone = int(math.floor((lon + 180) / 6))
+    zone = max(1, min(60, zone))
+    south = "+south " if lat < 0 else ""
+    return f"+proj=utm +zone={zone} {south}+ellps=WGS84 +datum=WGS84 +units=m +no_defs"
+
+
+def local_UTM_EPSG(lat: float, lon: float) -> str:
+    """EPSG form 326xx/327xx — this variant DOES add +1
+    (raster_geometry.py:232-238)."""
+    if not (-180 <= lon <= 180):
+        raise ValueError("Longitude must be between -180 and 180 degrees")
+    zone = int(math.floor((lon + 180) / 6)) + 1
+    zone = max(1, min(60, zone))
+    return f"EPSG:{(32700 if lat < 0 else 32600) + zone}"
+
+
+def center_aeqd(lat: float, lon: float) -> str:
+    """AEQD CRS centered on a point (center_aeqd.py:4-14)."""
+    return f"+proj=aeqd +lat_0={lat} +lon_0={lon}"

@@ -1,0 +1,72 @@
+"""``transform_xy`` — vectorized CRS transform with the reference's exact
+NaN semantics (rasters/transform_xy.py:4-54):
+
+- always (x, y) axis order (the reference passes always_xy=True everywhere:
+  transform_xy.py:46, multi_point.py:416-420, vector_geometry.py:71);
+- when the TARGET CRS is geographic, outputs outside [-180, 180] x [-90, 90]
+  are set to NaN (transform_xy.py:50-52) — including for the identity
+  geographic->geographic transform (pinned by tests/test_transform_xy.py).
+
+Routing: any supported CRS pair is bridged through WGS84 geographic
+coordinates (utm->utm = inverse then forward, etc.).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from . import aeqd as _aeqd
+from . import transverse_mercator as _tm
+from .crs import CRSInfo, parse_crs
+
+
+def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndarray, np.ndarray]:
+    if info.kind == "geographic":
+        return x, y
+    if info.kind == "utm":
+        return _tm.utm_to_geographic(x, y, info.zone, info.south)
+    if info.kind == "aeqd":
+        return _aeqd.aeqd_to_geographic(x, y, info.lon_0, info.lat_0)
+    raise ValueError(f"unsupported CRS kind: {info.kind}")
+
+
+def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[np.ndarray, np.ndarray]:
+    if info.kind == "geographic":
+        return lon, lat
+    if info.kind == "utm":
+        return _tm.geographic_to_utm(lon, lat, info.zone, info.south)
+    if info.kind == "aeqd":
+        return _aeqd.geographic_to_aeqd(lon, lat, info.lon_0, info.lat_0)
+    raise ValueError(f"unsupported CRS kind: {info.kind}")
+
+
+def transform_xy(x, y, source_crs: str, target_crs: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Transform coordinate arrays between CRSs; scalar or ndarray in,
+    float64 ndarray out (shape preserved)."""
+    src = parse_crs(source_crs)
+    dst = parse_crs(target_crs)
+
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+
+    if src == dst:
+        xt, yt = x.copy(), y.copy()
+    else:
+        lon, lat = _to_geographic(x, y, src)
+        xt, yt = _from_geographic(lon, lat, dst)
+        xt = np.asarray(xt, dtype=np.float64)
+        yt = np.asarray(yt, dtype=np.float64)
+
+    if dst.is_geographic:
+        # clip to valid geographic bounds -> NaN (transform_xy.py:50-52)
+        xt = np.where((xt < -180.0) | (xt > 180.0), np.nan, xt)
+        yt = np.where((yt < -90.0) | (yt > 90.0), np.nan, yt)
+
+    return xt, yt
+
+
+def transform_point(x: float, y: float, source_crs: str, target_crs: str) -> Tuple[float, float]:
+    xt, yt = transform_xy([x], [y], source_crs, target_crs)
+    return float(xt[0]), float(yt[0])

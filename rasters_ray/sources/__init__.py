@@ -1,0 +1,37 @@
+from .images import (
+    GRID_STRUCT,
+    IMAGES_SCHEMA,
+    average_hash,
+    images_dataset,
+    make_fixture_images,
+    make_oracle_images,
+    oracle_grid_origin,
+    oracle_pixels,
+)
+from .vectors import (
+    POINTS_SCHEMA,
+    POLYGONS_SCHEMA,
+    RING_TYPE,
+    fixture_points,
+    fixture_polygons,
+    oracle_points_from_keys,
+    rings_to_numpy,
+)
+
+__all__ = [
+    "GRID_STRUCT",
+    "IMAGES_SCHEMA",
+    "average_hash",
+    "images_dataset",
+    "make_fixture_images",
+    "make_oracle_images",
+    "oracle_grid_origin",
+    "oracle_pixels",
+    "POINTS_SCHEMA",
+    "POLYGONS_SCHEMA",
+    "RING_TYPE",
+    "fixture_points",
+    "fixture_polygons",
+    "oracle_points_from_keys",
+    "rings_to_numpy",
+]

@@ -1,0 +1,67 @@
+"""Hierarchical cell key encoder: encode/decode, covering, compaction."""
+
+import numpy as np
+
+from rasters_ray.grids import cellkey
+
+
+def test_encode_decode_round_trip():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-180, 180, 1000)
+    y = rng.uniform(-90, 90, 1000)
+    for level in (0, 5, 12, 26):
+        ids = cellkey.cell_ids(level, x, y)
+        lv, ix, iy = cellkey.decode(ids)
+        assert np.all(lv == level)
+        xmin, ymin, xmax, ymax = cellkey.cell_bounds(ids)
+        assert np.all((x >= xmin) & (x <= xmax))
+        assert np.all((y >= ymin) & (y <= ymax))
+
+
+def test_parent_contains_child():
+    cid = cellkey.cell_id(10, -119.3, 39.7)
+    p = int(cellkey.parent(cid))
+    xmin, ymin, xmax, ymax = cellkey.cell_bounds(p)
+    cx0, cy0, cx1, cy1 = cellkey.cell_bounds(cid)
+    assert xmin <= cx0 and xmax >= cx1 and ymin <= cy0 and ymax >= cy1
+
+
+def test_covering_contains_all_inside_points():
+    box = (-120.0, 39.0, -119.0, 40.0)
+    ids = set(cellkey.covering_cells(9, box).tolist())
+    rng = np.random.default_rng(1)
+    x = rng.uniform(*box[::2], 500)
+    y = rng.uniform(box[1], box[3], 500)
+    pts = cellkey.cell_ids(9, x, y)
+    assert set(pts.tolist()) <= ids
+
+
+def test_covering_antimeridian():
+    ids = cellkey.covering_cells(8, (179.5, 10.0, -179.5, 11.0))
+    assert len(ids) >= 2
+    a = cellkey.cell_id(8, 179.9, 10.5)
+    b = cellkey.cell_id(8, -179.9, 10.5)
+    assert a in ids and b in ids
+
+
+def test_compact_covering_cell_budget():
+    level, ids = cellkey.compact_covering((-120.0, 39.0, -119.0, 40.0), max_cells=16)
+    assert 1 <= len(ids) <= 16
+    finer = cellkey.covering_cells(level + 1, (-120.0, 39.0, -119.0, 40.0))
+    assert len(finer) > 16  # the chosen level is the finest within budget
+
+
+def test_nan_is_minus_one():
+    ids = cellkey.cell_ids(8, [np.nan], [1.0])
+    assert ids[0] == -1
+
+
+def test_token_stable():
+    cid = cellkey.cell_id(8, -119.3, 39.7)
+    assert cellkey.token(cid) == cellkey.token(cid)
+    assert cellkey.token(cid).startswith("L08_")
+
+
+def test_cells_to_ranges():
+    ids = np.array([5, 6, 7, 10, 11, 20])
+    assert cellkey.cells_to_ranges(ids) == [(5, 7), (10, 11), (20, 20)]
