@@ -1,16 +1,21 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship spatial-join + tiling pipeline at sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent over the same parquet views where SQL can express it.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Parity rules shared by both sides (documented in SURVEY.md §1.3/7.5):
+- point->cell:  col = round_half_even((x - x0)/cw - 0.5)   (np.rint == DuckDB round_even)
+- window:       index UL/LR corners, end += 1, filter disjoint, clamp
+- cell key:     (level << 56) | (iy << 28) | ix over the world box
+- composites:   integer (sum, count) / packed-min so results are exact and
+                independent of parallel execution order
+- synthetic inputs derive from the driver's own tables (customer keys,
+  orders keys, documents doc_id) so the SQL oracle can re-derive them.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +23,722 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored literally inside the SQL strings below)
+# ---------------------------------------------------------------------------
+
+QX0, QY0, QCELL, QN = -124.0, 44.0, 0.01, 800  # the broadcast query grid
+SW_STEP, SW_N = 0.02, 50  # the query swath (meshgrid)
+N_IMG_TILE = 128  # images for tile_assign
+N_IMG_MERGE = 32  # images for merge/mosaic
+TILE_LEVEL = 8
+KEY_LEVEL = 12
+
+PIP_BOXES = [
+    ("B0", -123.0, 41.0, -121.0, 43.0),
+    ("B1", -122.0, 38.0, -118.0, 42.0),
+    ("B2", -120.5, 39.5, -119.5, 40.5),
+    ("B3", -75.0, 38.0, -65.0, 45.0),  # catches the +50-shifted OOB points
+]
+
+
+def _grid():
+    from rasters_ray.grids import GridSpec
+
+    return GridSpec("EPSG:4326", QX0, QY0, QCELL, -QCELL, QN, QN)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _points_ds(sf_dir: str):
+    """Points derived from customer keys (SQL-recomputable)."""
+    from rasters_ray.sources.vectors import oracle_points_from_keys
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: oracle_points_from_keys(t.column("c_custkey").to_numpy()),
+        batch_format="pyarrow",
+    )
+
+
+def _images_ds(sf_dir: str, n: int):
+    """Oracle-profile images keyed by documents.doc_id < n."""
+    import pyarrow.compute as pc
+
+    from rasters_ray.sources.images import make_oracle_images
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return docs.map_batches(
+        lambda t: make_oracle_images(
+            t.column("doc_id").to_numpy()[t.column("doc_id").to_numpy() < n]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_point_index(sf_dir: str):
+    grid = _grid()
+
+    def f(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy()
+        y = t.column("y").to_numpy()
+        irow, icol = grid.index_points(x, y)
+        inside = grid.contains_rowcol(irow, icol)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "irow": pa.array(irow, pa.int64()),
+                "icol": pa.array(icol, pa.int64()),
+                "inside": pa.array(inside, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_point_cell_key(sf_dir: str):
+    from rasters_ray.grids import cellkey
+
+    def f(t: pa.Table) -> pa.Table:
+        cid = cellkey.cell_ids(KEY_LEVEL, t.column("x").to_numpy(), t.column("y").to_numpy())
+        return pa.table({"point_id": t.column("point_id"), "cell_key": pa.array(cid, pa.int64())})
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_window_subset(sf_dir: str):
+    grid = _grid()
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy().astype(np.int64)
+        dx = (k % 600).astype(np.float64) * 0.01
+        dy = ((k // 11) % 600).astype(np.float64) * 0.01
+        w = 0.05 + (k % 13).astype(np.float64) * 0.01
+        h = 0.05 + (k % 17).astype(np.float64) * 0.01
+        dx = np.where(k % 89 == 0, dx + 50.0, dx)  # disjoint boxes -> filtered
+        xmin = QX0 + dx
+        ymax = QY0 - dy
+        xmax = xmin + w
+        ymin = ymax - h
+        ro, co, hh, ww, valid = grid.windows_for_bboxes(xmin, ymin, xmax, ymax)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k[valid], pa.int64()),
+                "row_off": pa.array(ro[valid], pa.int64()),
+                "col_off": pa.array(co[valid], pa.int64()),
+                "height": pa.array(hh[valid], pa.int64()),
+                "width": pa.array(ww[valid], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_tile_assign(sf_dir: str):
+    from rasters_ray.stages import make_tiles
+
+    tiles = _images_ds(sf_dir, N_IMG_TILE).map_batches(
+        lambda t: make_tiles(t, level=TILE_LEVEL, decode_pixels=False),
+        batch_format="pyarrow",
+    )
+    return tiles.map_batches(
+        lambda t: t.select(["image_id", "cell_key"]), batch_format="pyarrow"
+    )
+
+
+def q_tile_windows(sf_dir: str):
+    """Flagship tiling, full window coordinates (oracle recomputes the
+    covering + clip + window math in SQL)."""
+    from rasters_ray.stages import make_tiles
+
+    tiles = _images_ds(sf_dir, N_IMG_TILE).map_batches(
+        lambda t: make_tiles(t, level=TILE_LEVEL, decode_pixels=False),
+        batch_format="pyarrow",
+    )
+    return tiles.map_batches(
+        lambda t: t.select(["image_id", "cell_key", "row_off", "col_off", "th", "tw"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_merge_mean(sf_dir: str):
+    from rasters_ray.stages import merge_mean_lattice
+
+    return merge_mean_lattice(_images_ds(sf_dir, N_IMG_MERGE), cell_size=QCELL)
+
+
+def q_mosaic_first(sf_dir: str):
+    from rasters_ray.stages.composite import mosaic_first_lattice
+
+    imgs = _images_ds(sf_dir, N_IMG_MERGE).map_batches(
+        lambda t: t.append_column(
+            "order",
+            pa.array(
+                [int(s[3:]) for s in t.column("image_id").to_pylist()], pa.int64()
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return mosaic_first_lattice(imgs, cell_size=QCELL, order_col="order")
+
+
+def q_resample_nearest(sf_dir: str):
+    """Warp image d=0 from 0.01 deg to 0.02 deg (nearest) — exercises the
+    grid->grid warp path; oracle recomputes src[2r, 2c] from the formula."""
+    from rasters_ray import codec
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.stages import WarpStage
+
+    # target shifted by half a SOURCE cell so every target center lands
+    # exactly on a source center (nearest pick unambiguous: src[2r+1, 2c+1])
+    target = GridSpec("EPSG:4326", QX0 + 0.005, QY0 - 0.005, 0.02, -0.02, 50, 50)
+    warped = _images_ds(sf_dir, 1).map_batches(
+        WarpStage,
+        fn_constructor_kwargs={
+            "target_dict": {k: v for k, v in target.to_dict().items() if k != "type"},
+            "method": "nearest",
+        },
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(t.num_rows):
+            arr = codec.decode(t.column("bytes")[i].as_py(), t.column("fmt")[i].as_py())
+            r, c = np.meshgrid(np.arange(arr.shape[0]), np.arange(arr.shape[1]), indexing="ij")
+            rows.append(
+                pa.table(
+                    {
+                        "r": pa.array(r.ravel(), pa.int64()),
+                        "c": pa.array(c.ravel(), pa.int64()),
+                        "value": pa.array(np.rint(arr.ravel()).astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+    return warped.map_batches(explode, batch_format="pyarrow")
+
+
+def q_local_utm(sf_dir: str):
+    def f(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy()
+        y = t.column("y").to_numpy()
+        zone = np.clip(np.floor((x + 180.0) / 6.0).astype(np.int64), 1, 60)
+        south = y < 0
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "zone": pa.array(zone, pa.int64()),
+                "south": pa.array(south, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_swath_nearest(sf_dir: str):
+    """kNN nearest-cell lookup against a broadcast swath (GridNNIndex)."""
+    import ray
+
+    from rasters_ray.grids import SwathSpec
+
+    swath = SwathSpec.from_vectors(
+        QX0 + np.arange(SW_N) * SW_STEP, QY0 - np.arange(SW_N) * SW_STEP
+    )
+    swath._index()  # build once on the driver
+    ref = ray.put(swath)
+
+    class Lookup:
+        def __init__(self, sref):
+            self.swath = ray.get(sref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t.column("c_custkey").to_numpy().astype(np.int64)
+            px = QX0 + (k % 50).astype(np.float64) * SW_STEP + 0.003
+            py = QY0 - ((k // 7) % 50).astype(np.float64) * SW_STEP - 0.003
+            sr, sc = self.swath.index_points(px, py)
+            return pa.table(
+                {
+                    "point_id": pa.array([f"pt{int(i):06d}" for i in k], pa.string()),
+                    "srow": pa.array(sr, pa.int64()),
+                    "scol": pa.array(sc, pa.int64()),
+                }
+            )
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        Lookup, fn_constructor_kwargs={"sref": ref}, batch_format="pyarrow", concurrency=2
+    )
+
+
+def q_pip_boxes(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from rasters_ray.sources.vectors import RING_TYPE
+    from rasters_ray.stages import pip_join
+
+    polys = pa.table(
+        {
+            "poly_id": pa.array([b[0] for b in PIP_BOXES], pa.string()),
+            "rings": pa.array(
+                [
+                    [[{"x": x0, "y": y0}, {"x": x1, "y": y0}, {"x": x1, "y": y1},
+                      {"x": x0, "y": y1}, {"x": x0, "y": y0}]]
+                    for _, x0, y0, x1, y1 in PIP_BOXES
+                ],
+                RING_TYPE,
+            ),
+            "crs": pa.array(["EPSG:4326"] * len(PIP_BOXES), pa.string()),
+        }
+    )
+    joined = pip_join(_points_ds(sf_dir), polys, mode="inner")
+    return joined.groupby("poly_id").aggregate(Count(alias_name="n_points"))
+
+
+def q_dedup_exact(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    from rasters_ray.text import add_fingerprints
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add_fingerprints, batch_format="pyarrow"
+    )
+    return docs.groupby("content_key").aggregate(
+        Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_dupes")
+    )
+
+
+def q_token_stats(sf_dir: str):
+    from rasters_ray.text import token_stats
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(token_stats, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["doc_id", "n_tokens", "n_chars", "n_upper", "n_stop"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (count/min/max are exact and
+    order-independent; sums are not, so they stay out of the oracle)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def f(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()  # microseconds
+        win = ts // (3600 * 1_000_000)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": pa.array(win, pa.int64()),
+                "value": t.column("value"),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+    return ev.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from rasters_ray.ann import cosine_topk
+
+    q = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
+        .column("embedding")[0]
+        .as_py()
+    )
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = cosine_topk(emb, np.asarray([q], dtype=np.float32), k=10)
+    return top.select(["rank", "vec_id"])
+
+
+# ---- rows-only (non-SQL-expressible) ---------------------------------------
+
+
+def q_lang_quality(sf_dir: str):
+    from rasters_ray.text import lang_id, quality_score
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(quality_score, batch_format="pyarrow")
+        .map_batches(lang_id, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["doc_id", "lang", "lang_pred", "quality"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from rasters_ray.text import add_fingerprints
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(add_fingerprints, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow")
+    )
+
+
+def q_simhash(sf_dir: str):
+    from rasters_ray.text import add_simhash
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(add_simhash, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow")
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    from rasters_ray.text import minhash_near_dups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_near_dups(docs, threshold=0.5)
+
+
+def q_transform_utm(sf_dir: str):
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        e, n = transform_xy(
+            t.column("x").to_numpy(), t.column("y").to_numpy(), "EPSG:4326", "EPSG:32610"
+        )
+        lon, lat = transform_xy(e, n, "EPSG:32610", "EPSG:4326")
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "easting": pa.array(e, pa.float64()),
+                "northing": pa.array(n, pa.float64()),
+                "roundtrip_ok": pa.array(
+                    (np.abs(lon - t.column("x").to_numpy()) < 1e-8)
+                    | ~np.isfinite(lon),
+                    pa.bool_(),
+                ),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_phash_dups(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from rasters_ray.sources import images_dataset
+
+    imgs = images_dataset(256, profile="fixtures")
+    dup = imgs.groupby("phash").aggregate(Count(alias_name="n"))
+    return dup.filter(lambda r: r["n"] > 1)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship spatial-join + tiling at sf0.001: synthesize the image
+    table, tile it, sample customer-derived points through every image —
+    returns the join-row Dataset."""
+    sf_dir = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    from rasters_ray.stages import sample_points, tile_images
+
+    images = _images_ds(sf_dir, 64)
+    tiles = tile_images(images, level=TILE_LEVEL)
+    n_tiles = tiles.count()  # consume the tiling leg
+    pts = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    from rasters_ray.sources.vectors import oracle_points_from_keys
+
+    points = oracle_points_from_keys(pts.column("c_custkey").to_numpy()[:500])
+    join = sample_points(_images_ds(sf_dir, 64), points, level=TILE_LEVEL)
+    assert n_tiles > 0
+    return join
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "point_index": q_point_index,
+        "point_cell_key": q_point_cell_key,
+        "window_subset": q_window_subset,
+        "tile_assign": q_tile_assign,
+        "tile_windows": q_tile_windows,
+        "merge_mean": q_merge_mean,
+        "mosaic_first": q_mosaic_first,
+        "resample_nearest": q_resample_nearest,
+        "local_utm": q_local_utm,
+        "swath_nearest": q_swath_nearest,
+        "pip_boxes": q_pip_boxes,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "events_window": q_events_window,
+        "ann_topk": q_ann_topk,
+        # rows-only (no SQL equivalent)
+        "lang_quality": q_lang_quality,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "minhash_pairs": q_minhash_pairs,
+        "transform_utm": q_transform_utm,
+        "phash_dups": q_phash_dups,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI-ish SQL over the registered views)
+# ---------------------------------------------------------------------------
+
+_PTS_CTE = """
+pts AS (
+  SELECT printf('pt%06d', c_custkey) AS point_id,
+         CASE WHEN c_custkey % 97 = 0
+              THEN -124.0e0 + (c_custkey % 800) * 0.01e0 + 0.001e0 + 50.0e0
+              ELSE -124.0e0 + (c_custkey % 800) * 0.01e0 + 0.001e0 END AS x,
+         44.0e0 - ((c_custkey // 7) % 800) * 0.01e0 - 0.001e0 AS y
+  FROM customer
+)
+"""
+
+_IMGS_CTE = """
+imgs AS (
+  SELECT doc_id AS d,
+         -124.0e0 + (doc_id % 16) * 0.5e0 AS x0,
+         44.0e0 - ((doc_id // 16) % 16) * 0.5e0 AS y0
+  FROM documents WHERE doc_id < {n}
+)
+"""
+
+# level-8 world cells: 256 x 256, w = 1.40625e0, h = 0.703125e0 (binary-exact)
+_COVER_CTE = """
+cover AS (
+  SELECT d, x0, y0,
+         CAST(floor((x0 + 180.0e0) / 1.40625e0) AS BIGINT) AS ix0,
+         CAST(floor((x0 + 1.0e0 + 180.0e0) / 1.40625e0 - 1e-12) AS BIGINT) AS ix1,
+         CAST(floor((90.0e0 - y0) / 0.703125e0) AS BIGINT) AS iy0,
+         CAST(floor((90.0e0 - (y0 - 1.0e0)) / 0.703125e0 - 1e-12) AS BIGINT) AS iy1
+  FROM imgs
+),
+cells AS (
+  SELECT d, x0, y0,
+         GREATEST(ix0 + ox.o, ix0) AS ix,
+         GREATEST(iy0 + oy.o, iy0) AS iy
+  FROM cover,
+       (SELECT unnest([0, 1, 2]) AS o) ox,
+       (SELECT unnest([0, 1, 2, 3]) AS o) oy
+  WHERE ix0 + ox.o <= ix1 AND iy0 + oy.o <= iy1
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["point_index"] = f"""
+WITH {_PTS_CTE.strip()}
+SELECT point_id,
+       CAST(round_even((y - 44.0e0) / (-0.01e0) - 0.5e0, 0) AS BIGINT) AS irow,
+       CAST(round_even((x - (-124.0e0)) / 0.01e0 - 0.5e0, 0) AS BIGINT) AS icol,
+       (CAST(round_even((y - 44.0e0) / (-0.01e0) - 0.5e0, 0) AS BIGINT) BETWEEN 0 AND 799)
+       AND (CAST(round_even((x - (-124.0e0)) / 0.01e0 - 0.5e0, 0) AS BIGINT) BETWEEN 0 AND 799)
+         AS inside
+FROM pts
+"""
+
+    sql["point_cell_key"] = f"""
+WITH {_PTS_CTE.strip()}
+SELECT point_id,
+       (CAST({KEY_LEVEL} AS BIGINT) << 56)
+       | (LEAST(GREATEST(CAST(floor((90.0e0 - y) / 180.0e0 * 4096) AS BIGINT), 0), 4095) << 28)
+       | LEAST(GREATEST(CAST(floor((x + 180.0e0) / 360.0e0 * 4096) AS BIGINT), 0), 4095)
+         AS cell_key
+FROM pts
+"""
+
+    sql["window_subset"] = """
+WITH boxes AS (
+  SELECT o_orderkey AS k,
+         -124.0e0 + ((o_orderkey % 600) * 0.01e0
+                   + CASE WHEN o_orderkey % 89 = 0 THEN 50.0e0 ELSE 0.0e0 END) AS xmin,
+         44.0e0 - ((o_orderkey // 11) % 600) * 0.01e0 AS ymax,
+         -124.0e0 + ((o_orderkey % 600) * 0.01e0
+                   + CASE WHEN o_orderkey % 89 = 0 THEN 50.0e0 ELSE 0.0e0 END)
+                + (0.05e0 + (o_orderkey % 13) * 0.01e0) AS xmax,
+         44.0e0 - ((o_orderkey // 11) % 600) * 0.01e0 - (0.05e0 + (o_orderkey % 17) * 0.01e0) AS ymin
+  FROM orders
+), win AS (
+  SELECT k,
+         CAST(round_even((ymax - 44.0e0) / (-0.01e0) - 0.5e0, 0) AS BIGINT) AS row_start,
+         CAST(round_even((xmin - (-124.0e0)) / 0.01e0 - 0.5e0, 0) AS BIGINT) AS col_start,
+         CAST(round_even((ymin - 44.0e0) / (-0.01e0) - 0.5e0, 0) AS BIGINT) + 1 AS row_end,
+         CAST(round_even((xmax - (-124.0e0)) / 0.01e0 - 0.5e0, 0) AS BIGINT) + 1 AS col_end
+  FROM boxes
+)
+SELECT k AS o_orderkey,
+       GREATEST(LEAST(row_start, 800), 0) AS row_off,
+       GREATEST(LEAST(col_start, 800), 0) AS col_off,
+       LEAST(row_end, 800) - GREATEST(LEAST(row_start, 800), 0) AS height,
+       LEAST(col_end, 800) - GREATEST(LEAST(col_start, 800), 0) AS width
+FROM win
+WHERE NOT (row_end < 0 OR col_end < 0 OR row_start > 800 OR col_start > 800)
+"""
+
+    sql["tile_assign"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_TILE).strip()},
+{_COVER_CTE.strip()}
+SELECT printf('img%08d', d) AS image_id,
+       (CAST({TILE_LEVEL} AS BIGINT) << 56) | (iy << 28) | ix AS cell_key
+FROM cells
+"""
+
+    sql["tile_windows"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_TILE).strip()},
+{_COVER_CTE.strip()},
+clipped AS (
+  SELECT d, x0, y0, ix, iy,
+         GREATEST(-180.0e0 + ix * 1.40625e0, x0) AS cxmin,
+         LEAST(-180.0e0 + (ix + 1) * 1.40625e0, x0 + 1.0e0) AS cxmax,
+         GREATEST(90.0e0 - (iy + 1) * 0.703125e0, y0 - 1.0e0) AS cymin,
+         LEAST(90.0e0 - iy * 0.703125e0, y0) AS cymax
+  FROM cells
+), win AS (
+  SELECT d, ix, iy,
+         CAST(round_even((cymax - y0) / (-0.01e0) - 0.5e0, 0) AS BIGINT) AS row_start,
+         CAST(round_even((cxmin - x0) / 0.01e0 - 0.5e0, 0) AS BIGINT) AS col_start,
+         CAST(round_even((cymin - y0) / (-0.01e0) - 0.5e0, 0) AS BIGINT) + 1 AS row_end,
+         CAST(round_even((cxmax - x0) / 0.01e0 - 0.5e0, 0) AS BIGINT) + 1 AS col_end
+  FROM clipped
+)
+SELECT printf('img%08d', d) AS image_id,
+       (CAST({TILE_LEVEL} AS BIGINT) << 56) | (iy << 28) | ix AS cell_key,
+       GREATEST(row_start, 0) AS row_off,
+       GREATEST(col_start, 0) AS col_off,
+       LEAST(row_end, 100) - GREATEST(row_start, 0) AS th,
+       LEAST(col_end, 100) - GREATEST(col_start, 0) AS tw
+FROM win
+WHERE NOT (row_end < 0 OR col_end < 0 OR row_start > 100 OR col_start > 100)
+  AND LEAST(row_end, 100) - GREATEST(row_start, 0) > 0
+  AND LEAST(col_end, 100) - GREATEST(col_start, 0) > 0
+"""
+
+    sql["merge_mean"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT 5600 + (d % 16) * 50 + c.range AS gx,
+         4600 + ((d // 16) % 16) * 50 + r.range AS gy,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS value
+  FROM imgs, range(100) r, range(100) c
+)
+SELECT gx, gy, SUM(value) AS sum_value, COUNT(*) AS n_value
+FROM px GROUP BY gx, gy
+"""
+
+    sql["mosaic_first"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT 5600 + (d % 16) * 50 + c.range AS gx,
+         4600 + ((d // 16) % 16) * 50 + r.range AS gy,
+         d * 16777216 + (d * 31 + r.range * 7 + c.range * 13) % 251 AS packed
+  FROM imgs, range(100) r, range(100) c
+)
+SELECT gx, gy, MIN(packed) & 16777215 AS value
+FROM px GROUP BY gx, gy
+"""
+
+    sql["resample_nearest"] = """
+SELECT r.range AS r, c.range AS c,
+       ((2 * r.range + 1) * 7 + (2 * c.range + 1) * 13) % 251 AS value
+FROM range(50) r, range(50) c
+"""
+
+    sql["local_utm"] = f"""
+WITH {_PTS_CTE.strip()}
+SELECT point_id,
+       LEAST(GREATEST(CAST(floor((x + 180.0e0) / 6.0e0) AS BIGINT), 1), 60) AS zone,
+       y < 0 AS south
+FROM pts
+"""
+
+    sql["swath_nearest"] = """
+WITH pts AS (
+  SELECT printf('pt%06d', c_custkey) AS point_id,
+         -124.0e0 + (c_custkey % 50) * 0.02e0 + 0.003e0 AS px,
+         44.0e0 - ((c_custkey // 7) % 50) * 0.02e0 - 0.003e0 AS py
+  FROM customer
+)
+SELECT point_id,
+       LEAST(GREATEST(CAST(round_even((44.0e0 - py) / 0.02e0, 0) AS BIGINT), 0), 49) AS srow,
+       LEAST(GREATEST(CAST(round_even((px - (-124.0e0)) / 0.02e0, 0) AS BIGINT), 0), 49) AS scol
+FROM pts
+"""
+
+    box_selects = " UNION ALL ".join(
+        f"SELECT '{pid}' AS poly_id, CAST({x0} AS DOUBLE) AS xmin, CAST({y0} AS DOUBLE) AS ymin,"
+        f" CAST({x1} AS DOUBLE) AS xmax, CAST({y1} AS DOUBLE) AS ymax"
+        for pid, x0, y0, x1, y1 in PIP_BOXES
+    )
+    sql["pip_boxes"] = f"""
+WITH {_PTS_CTE.strip()},
+boxes AS ({box_selects})
+SELECT b.poly_id AS poly_id, COUNT(*) AS n_points
+FROM pts p, boxes b
+WHERE p.x > b.xmin AND p.x < b.xmax AND p.y > b.ymin AND p.y < b.ymax
+GROUP BY b.poly_id
+"""
+
+    sql["dedup_exact"] = """
+SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+    sql["token_stats"] = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+            w -> list_contains(['the','and','of','a','to','in','is','it','that','for'],
+                               lower(w)))) AS BIGINT) AS n_stop
+FROM documents
+"""
+
+    sql["events_window"] = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window_start,
+       COUNT(*) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+"""
+
+    sql["ann_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id)
+            AS INTEGER) AS rank,
+       e.vec_id AS vec_id
+FROM embeddings e, q
+ORDER BY rank LIMIT 10
+"""
+
+    return sql

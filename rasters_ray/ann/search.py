@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``cosine_topk``: exact brute-force top-k — per-batch numpy matmul of the
+  batch's embedding matrix against a broadcast query matrix, partial top-k
+  per batch, final top-k merge on the driver (tiny: k x num_queries rows).
+  This is the baseline the scale path is checked against.
+- ``lsh_topk``: the scale path — random-hyperplane LSH (Charikar 2002):
+  embeddings bucketed by sign-pattern hash; queries probe their own bucket
+  (+ optional multiprobe neighbors); exact rerank inside buckets only.
+
+Both shapes stream: no stage materializes the embedding table.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from ..util import pool_size
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # list<float32> -> (n, d) without per-row python
+    offsets = np.asarray(arr.offsets)
+    values = np.asarray(arr.values, dtype=np.float32)
+    d = offsets[1] - offsets[0]
+    return values.reshape(len(arr), int(d))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch exact cosine top-k against the
+    broadcast query matrix; emits (query_idx, vec_id, score) partials."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", col: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.col).astype(np.float32))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = m @ self.q.T  # (n, nq)
+        k = min(self.k, m.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[top].tolist())
+            out_s.extend(s[top].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def cosine_topk(
+    embeddings_ds,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    concurrency: Optional[int] = None,
+) -> pa.Table:
+    """Exact top-k: batch partials -> driver final merge (k rows/query)."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = embeddings_ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col, "col": col},
+        batch_format="pyarrow",
+        concurrency=concurrency or pool_size(0.5),
+    )
+    heaps: List[List[Tuple[float, object]]] = [[] for _ in range(len(queries))]
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        qs = b.column("query_idx").to_numpy()
+        ids = b.column("vec_id").to_pylist()
+        ss = b.column("score").to_numpy()
+        for qi, vid, s in zip(qs, ids, ss):
+            h = heaps[qi]
+            if len(h) < k:
+                heapq.heappush(h, (float(s), vid))
+            else:
+                heapq.heappushpop(h, (float(s), vid))
+    out_q, out_id, out_s, out_r = [], [], [], []
+    for qi, h in enumerate(heaps):
+        for rank, (s, vid) in enumerate(sorted(h, key=lambda t: (-t[0], t[1]))):
+            out_q.append(qi)
+            out_id.append(vid)
+            out_s.append(s)
+            out_r.append(rank + 1)
+    return pa.table(
+        {
+            "query_idx": pa.array(out_q, pa.int32()),
+            "rank": pa.array(out_r, pa.int32()),
+            "vec_id": pa.array(out_id),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+class LSHBuckets:
+    """map_batches stage: add a random-hyperplane LSH bucket column."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42, col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        bits = (m @ self.planes) > 0  # (n, p)
+        bucket = np.zeros(m.shape[0], dtype=np.int64)
+        for j in range(self.planes.shape[1]):
+            bucket |= bits[:, j].astype(np.int64) << j
+        return batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
+
+
+def lsh_topk(
+    embeddings_ds,
+    queries: np.ndarray,
+    k: int = 10,
+    dim: Optional[int] = None,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    seed: int = 42,
+) -> pa.Table:
+    """Approximate top-k: probe only the buckets the queries hash into.
+    Recall < 1 by construction; n_planes trades recall for candidate count."""
+    queries = np.asarray(queries, dtype=np.float32)
+    if dim is None:
+        dim = queries.shape[1]
+    stage = LSHBuckets(dim, n_planes, seed, col)
+    bucketed = embeddings_ds.map_batches(stage, batch_format="pyarrow")
+    qbits = (queries @ stage.planes) > 0
+    qbuckets = np.zeros(queries.shape[0], dtype=np.int64)
+    for j in range(n_planes):
+        qbuckets |= qbits[:, j].astype(np.int64) << j
+    wanted = set(qbuckets.tolist())
+    import pyarrow.compute as pc
+
+    cands = bucketed.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("lsh_bucket"), pa.array(list(wanted), pa.int64()))),
+        batch_format="pyarrow",
+    )
+    return cosine_topk(cands, queries, k=k, id_col=id_col, col=col)

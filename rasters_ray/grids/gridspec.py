@@ -191,6 +191,23 @@ class GridSpec:
             height=row_end - row_start,
         )
 
+    def windows_for_bboxes(self, xmin, ymin, xmax, ymax):
+        """Vectorized window rule over bbox arrays.
+
+        Returns (row_off, col_off, height, width, valid) int64/bool arrays;
+        valid=False marks disjoint boxes (the scalar path raises
+        OutOfBoundsError instead, raster_grid.py:757-760)."""
+        row_start, col_start = self.index_points(np.asarray(xmin, float), np.asarray(ymax, float))
+        row_end, col_end = self.index_points(np.asarray(xmax, float), np.asarray(ymin, float))
+        row_end = row_end + 1
+        col_end = col_end + 1
+        valid = ~((row_end < 0) | (col_end < 0) | (row_start > self.rows) | (col_start > self.cols))
+        row_start = np.clip(row_start, 0, self.rows)
+        col_start = np.clip(col_start, 0, self.cols)
+        row_end = np.clip(row_end, 0, self.rows)
+        col_end = np.clip(col_end, 0, self.cols)
+        return row_start, col_start, row_end - row_start, col_end - col_start, valid
+
     def subset(self, window: Window) -> "GridSpec":
         """Window -> new grid with shifted origin (raster_grid.py:817-833)."""
         return GridSpec(

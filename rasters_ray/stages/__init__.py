@@ -1,0 +1,62 @@
+from .composite import (
+    composite_cells,
+    composite_group,
+    merge_mean_lattice,
+    partial_lattice_sums,
+)
+from .point_join import (
+    JOIN_SCHEMA,
+    PointBuckets,
+    PointSampleStage,
+    assign_cells,
+    sample_points,
+    sample_points_batch,
+)
+from .downscale import bias_correct, linear_downscale
+from .elementwise import (
+    apply_fn,
+    clip_values,
+    fill_from,
+    image_stats,
+    mask_nan,
+    minmaxstretch,
+    percentilecut,
+    where_const,
+    zip_apply,
+)
+from .pip import (
+    PIP_SCHEMA,
+    PIPJoinStage,
+    PolygonSet,
+    pip_join,
+    point_in_rings,
+    rasterize_mask,
+)
+from .resample import KNNResampler, KNNResampleStage, WarpStage, warp_array
+from .tiling import TILES_SCHEMA, make_tiles, tile_images
+
+__all__ = [
+    "PIP_SCHEMA",
+    "PIPJoinStage",
+    "PolygonSet",
+    "pip_join",
+    "point_in_rings",
+    "rasterize_mask",
+    "KNNResampler",
+    "KNNResampleStage",
+    "WarpStage",
+    "warp_array",
+    "composite_cells",
+    "composite_group",
+    "merge_mean_lattice",
+    "partial_lattice_sums",
+    "JOIN_SCHEMA",
+    "PointBuckets",
+    "PointSampleStage",
+    "assign_cells",
+    "sample_points",
+    "sample_points_batch",
+    "TILES_SCHEMA",
+    "make_tiles",
+    "tile_images",
+]

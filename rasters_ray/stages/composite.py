@@ -1,0 +1,373 @@
+"""Compositing — merge (mean-of-valid) and mosaic (first-valid-wins).
+
+Reference semantics (SURVEY.md §2.5):
+- float merge: per-cell mean of valid contributions via running
+  (sum, count) composites (raster.py:804-814);
+- int merge: last-valid-wins overlay (raster.py:816-820);
+- mosaic: FIRST-valid-wins in an explicit precedence order
+  (mosaic.py:53-64) — Ray Data execution order is nondeterministic, so
+  precedence is an explicit ``order`` column, never arrival order.
+
+Ray Data shapes:
+- ``partial_lattice_sums`` + ``merge_mean_lattice``: the scalar two-phase
+  aggregation — per-batch partial (sum, count) per global-lattice pixel
+  (combiner), then one small ``groupby().aggregate()`` — the canonical
+  partial+final pattern that keeps the all-to-all exchange to unique keys
+  instead of raw pixels. Sums stay int64-exact so results are
+  order-independent (float summation order varies across parallel runs).
+- ``composite_cells``: raster-out composite: tiles grouped by cell_key,
+  per-group numpy accumulation onto the cell's lattice grid, with optional
+  SALTING for hot cells (two-phase groupby: (cell_key, salt) partial ->
+  cell_key final), per the north rule's skew handling.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codec
+from ..grids import GridSpec, cellkey
+
+LATTICE_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("gx", pa.int64()),
+        ("gy", pa.int64()),
+        ("psum", pa.int64()),
+        ("pcnt", pa.int64()),
+    ]
+)
+
+
+def lattice_indices(grid: GridSpec, cell_size: float) -> tuple:
+    """Integer global-lattice indices of a grid's pixel centers.
+
+    The global lattice has origin (-180, 90) and square cells of
+    ``cell_size`` degrees; gx increases east, gy increases south. For
+    lattice-aligned grids this is exact (origins snap by rint)."""
+    gx0 = int(np.rint((grid.x_origin + 180.0) / cell_size))
+    gy0 = int(np.rint((90.0 - grid.y_origin) / cell_size))
+    gx = gx0 + np.arange(grid.cols, dtype=np.int64)
+    gy = gy0 + np.arange(grid.rows, dtype=np.int64)
+    return gx, gy
+
+
+def partial_lattice_sums(batch: pa.Table, cell_size: float) -> pa.Table:
+    """Per-batch combiner: decode each image, accumulate integer
+    (sum, count) per global-lattice pixel across the whole batch."""
+    acc: Dict[int, np.ndarray] = {}
+    sums: Dict = {}
+    grids = batch.column("grid").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    blobs = batch.column("bytes").to_pylist()
+
+    keys_parts = []
+    vals_parts = []
+    for i in range(batch.num_rows):
+        grid = GridSpec.from_dict(grids[i])
+        arr = codec.decode(blobs[i], fmts[i]).astype(np.float64)
+        gx, gy = lattice_indices(grid, cell_size)
+        gxm, gym = np.meshgrid(gx, gy)
+        valid = np.isfinite(arr)
+        # single int64 key: gy * 2^32 + gx (lattice indices are < 2^26)
+        key = (gym.astype(np.int64) << 32) | gxm.astype(np.int64)
+        keys_parts.append(key[valid].ravel())
+        vals_parts.append(np.rint(arr[valid]).astype(np.int64).ravel())
+    if not keys_parts:
+        return LATTICE_PARTIAL_SCHEMA.empty_table()
+    keys = np.concatenate(keys_parts)
+    vals = np.concatenate(vals_parts)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    psum = np.zeros(uniq.size, dtype=np.int64)
+    pcnt = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(psum, inv, vals)
+    np.add.at(pcnt, inv, 1)
+    return pa.table(
+        {
+            "gx": pa.array(uniq & 0xFFFFFFFF, pa.int64()),
+            "gy": pa.array(uniq >> 32, pa.int64()),
+            "psum": pa.array(psum, pa.int64()),
+            "pcnt": pa.array(pcnt, pa.int64()),
+        }
+    )
+
+
+def merge_mean_lattice(images_ds, cell_size: float, batch_size: int = 32):
+    """Two-phase merge: map_batches partial (combiner) -> groupby final.
+    Returns Dataset[(gx, gy, sum_value, n_value)] with exact int64 sums;
+    mean = sum/n downstream (kept integral for order-independence)."""
+    from ray.data.aggregate import Sum
+
+    partials = images_ds.map_batches(
+        lambda t: partial_lattice_sums(t, cell_size),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return (
+        partials.groupby(["gx", "gy"])
+        .aggregate(Sum("psum", alias_name="sum_value"), Sum("pcnt", alias_name="n_value"))
+    )
+
+
+def partial_lattice_first(batch: pa.Table, cell_size: float, order_col: str = "order") -> pa.Table:
+    """Per-batch combiner for FIRST-valid-wins: per lattice pixel keep the
+    packed int64 ``order << 24 | value`` minimum — min over packed == value
+    of the smallest order (values must fit 24 bits; orders < 2^39).
+    Order-independent and exact, so it re-merges across batches."""
+    grids = batch.column("grid").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    blobs = batch.column("bytes").to_pylist()
+    orders = batch.column(order_col).to_pylist()
+    keys_parts, packed_parts = [], []
+    for i in range(batch.num_rows):
+        grid = GridSpec.from_dict(grids[i])
+        from .. import codec as _codec
+
+        arr = _codec.decode(blobs[i], fmts[i]).astype(np.float64)
+        gx, gy = lattice_indices(grid, cell_size)
+        gxm, gym = np.meshgrid(gx, gy)
+        valid = np.isfinite(arr)
+        key = (gym.astype(np.int64) << 32) | gxm.astype(np.int64)
+        vals = np.rint(arr[valid]).astype(np.int64)
+        if vals.size and (vals.min() < 0 or vals.max() >= (1 << 24)):
+            raise ValueError("first-valid packing needs values in [0, 2^24)")
+        keys_parts.append(key[valid].ravel())
+        packed_parts.append((np.int64(orders[i]) << 24) | vals.ravel())
+    if not keys_parts:
+        return pa.schema(
+            [("gx", pa.int64()), ("gy", pa.int64()), ("packed", pa.int64())]
+        ).empty_table()
+    keys = np.concatenate(keys_parts)
+    packed = np.concatenate(packed_parts)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    best = np.full(uniq.size, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(best, inv, packed)
+    return pa.table(
+        {
+            "gx": pa.array(uniq & 0xFFFFFFFF, pa.int64()),
+            "gy": pa.array(uniq >> 32, pa.int64()),
+            "packed": pa.array(best, pa.int64()),
+        }
+    )
+
+
+def mosaic_first_lattice(images_ds, cell_size: float, order_col: str = "order",
+                         batch_size: int = 32):
+    """Two-phase mosaic: partial packed-min per batch -> groupby Min ->
+    unpack value. Returns Dataset[(gx, gy, value)] (int64)."""
+    from ray.data.aggregate import Min
+
+    partials = images_ds.map_batches(
+        lambda t: partial_lattice_first(t, cell_size, order_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    agg = partials.groupby(["gx", "gy"]).aggregate(Min("packed", alias_name="packed_min"))
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "value",
+            pa.array(
+                np.asarray(t.column("packed_min").to_numpy()) & 0xFFFFFF, pa.int64()
+            ),
+        ).drop_columns(["packed_min"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster-out composites over tiles, grouped by cell key
+# ---------------------------------------------------------------------------
+
+COMPOSITE_SCHEMA = pa.schema(
+    [
+        ("cell_key", pa.int64()),
+        ("bytes", pa.binary()),
+        ("fmt", pa.string()),
+        ("n_images", pa.int32()),
+        ("grid", pa.struct(
+            [
+                ("crs", pa.string()),
+                ("x_origin", pa.float64()),
+                ("y_origin", pa.float64()),
+                ("cell_width", pa.float64()),
+                ("cell_height", pa.float64()),
+                ("rows", pa.int32()),
+                ("cols", pa.int32()),
+            ]
+        )),
+    ]
+)
+
+
+def _cell_lattice_grid(cid: int, cell_size: float) -> GridSpec:
+    """Lattice-aligned grid covering one cell-key footprint."""
+    xmin, ymin, xmax, ymax = cellkey.cell_bounds(int(cid))
+    gx0 = int(np.floor((xmin + 180.0) / cell_size))
+    gy0 = int(np.floor((90.0 - ymax) / cell_size))
+    gx1 = int(np.ceil((xmax + 180.0) / cell_size))
+    gy1 = int(np.ceil((90.0 - ymin) / cell_size))
+    n_px = (gy1 - gy0) * (gx1 - gx0)
+    if n_px > 200_000_000:
+        raise ValueError(
+            f"cell {cid} at cell_size={cell_size} needs {n_px} lattice pixels; "
+            "composite cells must be keyed at a level fine enough to fit memory"
+        )
+    return GridSpec(
+        crs="EPSG:4326",
+        x_origin=-180.0 + gx0 * cell_size,
+        y_origin=90.0 - gy0 * cell_size,
+        cell_width=cell_size,
+        cell_height=-cell_size,
+        rows=gy1 - gy0,
+        cols=gx1 - gx0,
+    )
+
+
+def _accumulate_group(
+    group: pa.Table, cell_size: float, mode: str, order_col: Optional[str]
+) -> tuple:
+    """Shared accumulation: returns (cid, target_grid, sum, cnt, overlay)."""
+    cid = int(group.column("cell_key")[0].as_py())
+    target = _cell_lattice_grid(cid, cell_size)
+    ssum = np.zeros(target.shape, dtype=np.float64)
+    cnt = np.zeros(target.shape, dtype=np.int64)
+    overlay = np.full(target.shape, np.nan)
+
+    idx = np.arange(group.num_rows)
+    if order_col is not None and order_col in group.column_names:
+        order_vals = np.asarray(group.column(order_col).to_pylist())
+        idx = idx[np.argsort(order_vals, kind="stable")]
+
+    grids = group.column("grid").to_pylist()
+    fmts = group.column("fmt").to_pylist()
+    blobs = group.column("bytes").to_pylist()
+    for i in idx:
+        g = GridSpec.from_dict(grids[i])
+        arr = codec.decode(blobs[i], fmts[i]).astype(np.float64)
+        # offsets of this tile on the cell lattice
+        c0 = int(np.rint((g.x_origin - target.x_origin) / cell_size))
+        r0 = int(np.rint((target.y_origin - g.y_origin) / cell_size))
+        r1 = min(r0 + g.rows, target.rows)
+        c1 = min(c0 + g.cols, target.cols)
+        rr0, cc0 = max(r0, 0), max(c0, 0)
+        if rr0 >= r1 or cc0 >= c1:
+            continue
+        sub = arr[rr0 - r0 : r1 - r0, cc0 - c0 : c1 - c0]
+        valid = np.isfinite(sub)
+        tgt = (slice(rr0, r1), slice(cc0, c1))
+        ssum[tgt][valid] += sub[valid]
+        cnt[tgt][valid] += 1
+        if mode == "mosaic_first":
+            hole = np.isnan(overlay[tgt]) & valid
+            overlay[tgt][hole] = sub[hole]
+        elif mode == "merge_last":
+            overlay[tgt][valid] = sub[valid]
+    return cid, target, ssum, cnt, overlay
+
+
+def composite_group(
+    group: pa.Table, cell_size: float, mode: str = "merge_mean", order_col: Optional[str] = None
+) -> pa.Table:
+    """Per-cell composite: mode in {merge_mean, merge_last, mosaic_first}."""
+    cid, target, ssum, cnt, overlay = _accumulate_group(group, cell_size, mode, order_col)
+    if mode == "merge_mean":
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(cnt > 0, ssum / np.maximum(cnt, 1), np.nan)
+    else:
+        out = overlay
+    return pa.Table.from_pydict(
+        {
+            "cell_key": pa.array([cid], pa.int64()),
+            "bytes": pa.array([codec.encode(out.astype(np.float32), "npy")], pa.binary()),
+            "fmt": pa.array(["npy"], pa.string()),
+            "n_images": pa.array([group.num_rows], pa.int32()),
+            "grid": pa.array(
+                [{k: v for k, v in target.to_dict().items() if k != "type"}],
+                COMPOSITE_SCHEMA.field("grid").type,
+            ),
+        }
+    )
+
+
+def composite_cells(
+    tiles_ds,
+    cell_size: float,
+    mode: str = "merge_mean",
+    order_col: Optional[str] = None,
+    salt: int = 0,
+):
+    """groupby(cell_key).map_groups composite; with salt > 0 a two-phase
+    (cell_key, salt) -> cell_key composite for skewed cells.
+
+    Salting note: only valid for modes whose partials merge associatively —
+    merge_mean (sum,count arrays re-merge) and, with a deterministic
+    order_col, mosaic_first (each salted partial keeps its own first-valid
+    overlay + the MIN order per pixel would be needed for exactness, so for
+    mosaic we salt only when order_col is None is disallowed)."""
+    if salt <= 0 or mode != "merge_mean":
+        return tiles_ds.groupby("cell_key").map_groups(
+            lambda g: composite_group(g, cell_size, mode, order_col),
+            batch_format="pyarrow",
+        )
+
+    # phase 1: salted partial composites emit (sum, count) arrays.
+    # salt hash must be deterministic ACROSS worker processes (Python's
+    # str hash is per-process salted) -> crc32.
+    import zlib
+
+    def salted(t: pa.Table) -> pa.Table:
+        hv = np.array(
+            [zlib.crc32(v.encode()) % salt for v in t.column("image_id").to_pylist()],
+            dtype=np.int64,
+        )
+        return t.append_column("salt", pa.array(hv, pa.int64()))
+
+    def partial_group(g: pa.Table) -> pa.Table:
+        cid, target, ssum, cnt, _ = _accumulate_group(g, cell_size, "merge_mean", None)
+        return pa.table(
+            {
+                "cell_key": pa.array([cid], pa.int64()),
+                "psum": pa.array([codec.encode(ssum, "npy")], pa.binary()),
+                "pcnt": pa.array([codec.encode(cnt, "npy")], pa.binary()),
+                "grid": pa.array(
+                    [{k: v for k, v in target.to_dict().items() if k != "type"}],
+                    COMPOSITE_SCHEMA.field("grid").type,
+                ),
+                "n_images": pa.array([g.num_rows], pa.int32()),
+            }
+        )
+
+    def final_group(g: pa.Table) -> pa.Table:
+        cid = int(g.column("cell_key")[0].as_py())
+        target = _cell_lattice_grid(cid, cell_size)
+        ssum = np.zeros(target.shape, dtype=np.float64)
+        cnt = np.zeros(target.shape, dtype=np.int64)
+        n = 0
+        for i in range(g.num_rows):
+            ssum += codec.decode(g.column("psum")[i].as_py(), "npy")
+            cnt += codec.decode(g.column("pcnt")[i].as_py(), "npy")
+            n += int(g.column("n_images")[i].as_py())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(cnt > 0, ssum / np.maximum(cnt, 1), np.nan)
+        return pa.Table.from_pydict(
+            {
+                "cell_key": pa.array([cid], pa.int64()),
+                "bytes": pa.array([codec.encode(out.astype(np.float32), "npy")], pa.binary()),
+                "fmt": pa.array(["npy"], pa.string()),
+                "n_images": pa.array([n], pa.int32()),
+                "grid": pa.array(
+                    [{k: v for k, v in target.to_dict().items() if k != "type"}],
+                    COMPOSITE_SCHEMA.field("grid").type,
+                ),
+            }
+        )
+
+    return (
+        tiles_ds.map_batches(salted, batch_format="pyarrow")
+        .groupby(["cell_key", "salt"])
+        .map_groups(partial_group, batch_format="pyarrow")
+        .groupby("cell_key")
+        .map_groups(final_group, batch_format="pyarrow")
+    )

@@ -1,0 +1,202 @@
+"""Point <-> image joins: cell assignment, point sampling, semi/anti.
+
+Re-expresses the reference's geometry lookups as Ray Data join patterns
+(SURVEY.md §2.4):
+
+- ``assign_cells``: vectorized point -> tile-key assignment (the broadcast
+  join key; RasterGrid.index_point semantics, raster_grid.py:717-735).
+- ``PointSampleStage``: a stateful actor-pool stage holding the broadcast
+  point table bucketed by cell; for each image batch it finds candidate
+  points via covering cells, computes (row, col) via the inverse
+  affine-center rule, decodes pixels once per image and gathers values —
+  the engine's ``Raster.open(geometry=MultiPoint)`` / ``to_point``
+  (raster.py:670-711, raster.py:1295-1322).
+- missed points (no image contains them) become NaN rows via
+  ``unmatched_points`` — the reference's OOB->NaN semantics
+  (raster.py:701-703): a left/anti-join.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codec
+from ..grids import GridSpec, cellkey
+from ..proj import transform_xy
+
+JOIN_SCHEMA = pa.schema(
+    [
+        ("point_id", pa.string()),
+        ("image_id", pa.string()),
+        ("row", pa.int32()),
+        ("col", pa.int32()),
+        ("value", pa.float64()),
+        ("inside", pa.bool_()),
+    ]
+)
+
+
+def assign_cells(batch: pa.Table, level: int, x_col: str = "x", y_col: str = "y") -> pa.Table:
+    """Add a cell_key column to a point batch (reprojecting any non-WGS84
+    rows to the geographic tile space first)."""
+    x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if "crs" in batch.column_names:
+        crs = np.asarray(batch.column("crs").to_pylist())
+        for c in np.unique(crs):
+            if c != "EPSG:4326":
+                sel = crs == c
+                lon, lat = transform_xy(x[sel], y[sel], str(c), "EPSG:4326")
+                x[sel] = lon
+                y[sel] = lat
+    cids = cellkey.cell_ids(level, x, y)
+    out = batch.append_column("cell_key", pa.array(cids, pa.int64()))
+    out = out.append_column("lon", pa.array(x, pa.float64()))
+    out = out.append_column("lat", pa.array(y, pa.float64()))
+    return out
+
+
+class PointBuckets:
+    """Broadcastable point lookup: cell_key -> (point_ids, lon, lat).
+    Built once on the driver from the (small) point table, ``ray.put`` and
+    shared by every sampler actor."""
+
+    def __init__(self, points: pa.Table, level: int):
+        pts = assign_cells(points, level)
+        self.level = level
+        cid = pts.column("cell_key").to_numpy()
+        order = np.argsort(cid, kind="stable")
+        self.cell_sorted = cid[order]
+        self.ids = np.asarray(pts.column("point_id").to_pylist(), dtype=object)[order]
+        self.lon = pts.column("lon").to_numpy()[order]
+        self.lat = pts.column("lat").to_numpy()[order]
+        self.n = len(self.ids)
+
+    def lookup(self, cells: np.ndarray) -> np.ndarray:
+        """Indices of points whose cell_key is in ``cells``."""
+        parts = []
+        for cid in np.asarray(cells, dtype=np.int64):
+            lo = np.searchsorted(self.cell_sorted, cid, side="left")
+            hi = np.searchsorted(self.cell_sorted, cid, side="right")
+            if hi > lo:
+                parts.append(np.arange(lo, hi))
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(parts)
+
+
+class PointSampleStage:
+    """Actor-pool stage: images batch -> join rows.
+
+    __init__ runs once per actor (broadcast fetch); __call__ per batch.
+    Pass to ``map_batches(PointSampleStage, fn_constructor_kwargs=...,
+    concurrency=N, batch_format="pyarrow")``.
+    """
+
+    def __init__(self, buckets_ref, level: int):
+        import ray
+
+        self.buckets: PointBuckets = (
+            ray.get(buckets_ref) if not isinstance(buckets_ref, PointBuckets) else buckets_ref
+        )
+        self.level = level
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return sample_points_batch(batch, self.buckets, self.level)
+
+
+def sample_points_batch(batch: pa.Table, buckets: PointBuckets, level: int) -> pa.Table:
+    out: Dict[str, list] = {name: [] for name in JOIN_SCHEMA.names}
+    grids = batch.column("grid").to_pylist()
+    image_ids = batch.column("image_id").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    blobs = batch.column("bytes").to_pylist()
+
+    for i in range(batch.num_rows):
+        grid = GridSpec.from_dict(grids[i])
+        cells = cellkey.covering_cells(level, grid.bbox)
+        cand = buckets.lookup(cells)
+        if cand.size == 0:
+            continue
+        # native-CRS coordinates of candidate points
+        px, py = buckets.lon[cand], buckets.lat[cand]
+        if grid.crs != "EPSG:4326":
+            px, py = transform_xy(px, py, "EPSG:4326", grid.crs)
+        rows, cols = grid.index_points(px, py)
+        inside = grid.contains_rowcol(rows, cols)
+        if not inside.any():
+            continue
+        arr = codec.decode(blobs[i], fmts[i])
+        sel = np.nonzero(inside)[0]
+        r_in = rows[sel]
+        c_in = cols[sel]
+        vals = arr[r_in, c_in].astype(np.float64)
+        out["point_id"].extend(buckets.ids[cand[sel]].tolist())
+        out["image_id"].extend([image_ids[i]] * sel.size)
+        out["row"].extend(r_in.tolist())
+        out["col"].extend(c_in.tolist())
+        out["value"].extend(vals.tolist())
+        out["inside"].extend([True] * sel.size)
+    if not out["point_id"]:
+        return JOIN_SCHEMA.empty_table()
+    return pa.Table.from_pydict(
+        {name: pa.array(out[name], JOIN_SCHEMA.field(name).type) for name in JOIN_SCHEMA.names}
+    )
+
+
+def sample_points(
+    images_ds,
+    points: pa.Table,
+    level: int = 8,
+    concurrency: Optional[int] = None,
+    include_misses: bool = True,
+    batch_size: int = 16,
+):
+    """Dataset[images] x points table -> Dataset[join rows].
+
+    The point table is the small side: bucketed once on the driver,
+    ``ray.put`` broadcast, read per actor — no shuffle. Misses (points no
+    image contains) are appended as NaN rows (raster.py:701-703 semantics).
+    """
+    import ray
+    import ray.data as rd
+
+    buckets = PointBuckets(points, level)
+    ref = ray.put(buckets)
+
+    if concurrency is None:
+        from ..util import pool_size
+
+        concurrency = pool_size(0.5)
+    matched = images_ds.map_batches(
+        PointSampleStage,
+        fn_constructor_kwargs={"buckets_ref": ref, "level": level},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if not include_misses:
+        return matched
+
+    # anti-join: points with no match -> NaN rows. Materialize the matched
+    # side first so the union below doesn't re-execute the sampling stage.
+    matched = matched.materialize()
+    matched_ids = set()
+    for b in matched.select_columns(["point_id"]).iter_batches(batch_format="pyarrow"):
+        matched_ids.update(b.column("point_id").to_pylist())
+    all_ids = points.column("point_id").to_pylist()
+    miss = [pid for pid in all_ids if pid not in matched_ids]
+    miss_tbl = pa.Table.from_pydict(
+        {
+            "point_id": pa.array(miss, pa.string()),
+            "image_id": pa.array([None] * len(miss), pa.string()),
+            "row": pa.array([None] * len(miss), pa.int32()),
+            "col": pa.array([None] * len(miss), pa.int32()),
+            "value": pa.array([float("nan")] * len(miss), pa.float64()),
+            "inside": pa.array([False] * len(miss), pa.bool_()),
+        }
+    )
+    return matched.union(rd.from_arrow(miss_tbl))

