@@ -232,6 +232,291 @@ def q_resample_nearest(sf_dir: str):
     return warped.map_batches(explode, batch_format="pyarrow")
 
 
+def _explode_rc_value(warped):
+    """(bytes, fmt) rows -> (r, c, value:int64) rows."""
+    from rasters_ray import codec
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(t.num_rows):
+            arr = codec.decode(t.column("bytes")[i].as_py(), t.column("fmt")[i].as_py())
+            r, c = np.meshgrid(np.arange(arr.shape[0]), np.arange(arr.shape[1]), indexing="ij")
+            rows.append(
+                pa.table(
+                    {
+                        "r": pa.array(r.ravel(), pa.int64()),
+                        "c": pa.array(c.ravel(), pa.int64()),
+                        "value": pa.array(np.rint(arr.ravel()).astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(rows)
+
+    return warped.map_batches(explode, batch_format="pyarrow")
+
+
+def q_knn_resample(sf_dir: str):
+    """Same shifted 2x-downscale as resample_nearest but through the kNN
+    actor path (GridNNIndex) — identical result, different engine."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.stages import KNNResampleStage
+
+    target = GridSpec("EPSG:4326", QX0 + 0.005, QY0 - 0.005, 0.02, -0.02, 50, 50)
+    warped = _images_ds(sf_dir, 1).map_batches(
+        KNNResampleStage,
+        fn_constructor_kwargs={"target_dict": target.to_dict()},
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    return _explode_rc_value(warped)
+
+
+def q_window_buffer(sf_dir: str):
+    """window(bbox, buffer=2): buffer applied BEFORE clamping
+    (raster_grid.py:795-807)."""
+    grid = _grid()
+
+    def f(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy().astype(np.int64)
+        dx = (k % 600).astype(np.float64) * 0.01
+        dy = ((k // 11) % 600).astype(np.float64) * 0.01
+        w = 0.05 + (k % 13).astype(np.float64) * 0.01
+        h = 0.05 + (k % 17).astype(np.float64) * 0.01
+        xmin = QX0 + dx
+        ymax = QY0 - dy
+        out_ro, out_co, out_h, out_w, out_k = [], [], [], [], []
+        for i in range(len(k)):
+            try:
+                win = grid.window((xmin[i], ymax[i] - h[i], xmin[i] + w[i], ymax[i]), buffer=2)
+            except Exception:
+                continue
+            out_k.append(int(k[i]))
+            out_ro.append(win.row_off)
+            out_co.append(win.col_off)
+            out_h.append(win.height)
+            out_w.append(win.width)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(out_k, pa.int64()),
+                "row_off": pa.array(out_ro, pa.int64()),
+                "col_off": pa.array(out_co, pa.int64()),
+                "height": pa.array(out_h, pa.int64()),
+                "width": pa.array(out_w, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_pixel_centroids(sf_dir: str):
+    """Raster -> vector explode: per-cell centroid rows of image 0's grid."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.grids.geomops import pixel_centroids
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for g in t.column("grid").to_pylist():
+            grid = GridSpec.from_dict(g)
+            rr, cc, x, y = pixel_centroids(grid)
+            rows.append(
+                pa.table(
+                    {
+                        "r": pa.array(rr, pa.int64()),
+                        "c": pa.array(cc, pa.int64()),
+                        "x": pa.array(x, pa.float64()),
+                        "y": pa.array(y, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(rows) if rows else pa.table(
+            {"r": pa.array([], pa.int64()), "c": pa.array([], pa.int64()),
+             "x": pa.array([], pa.float64()), "y": pa.array([], pa.float64())}
+        )
+
+    return _images_ds(sf_dir, 1).map_batches(f, batch_format="pyarrow")
+
+
+def q_antimeridian(sf_dir: str):
+    """Antimeridian-crossing predicate over synthetic near-180 grids."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.grids.geomops import crosses_antimeridian
+
+    def f(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        d = d[d < 64]
+        ids, crosses = [], []
+        for dd in d:
+            x0 = 177.0 + float(dd % 16) * 0.25
+            g = GridSpec("EPSG:4326", x0, 10.0, 0.01, -0.01, 100, 100)
+            ids.append(int(dd))
+            crosses.append(bool(crosses_antimeridian(g)))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "crosses": pa.array(crosses, pa.bool_())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_events_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user — sorted map_groups."""
+    import pandas as pd
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["ts"].astype("int64").to_numpy()) // 1_000_000
+        gaps = np.diff(s)
+        n_sessions = 1 + int((gaps > 1800).sum()) if len(s) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(s)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def q_image_footprint_join(sf_dir: str):
+    """Semi-join of points against image footprints via the broadcast
+    R-tree + PIP actor pool (footprints as axis-aligned polygons)."""
+    from ray.data.aggregate import Count
+
+    from rasters_ray.sources.images import oracle_grid_origin
+    from rasters_ray.sources.vectors import RING_TYPE
+    from rasters_ray.stages import pip_join
+
+    ids, rings = [], []
+    for d in range(N_IMG_TILE):
+        x0, y0 = oracle_grid_origin(d)
+        ids.append(f"img{d:08d}")
+        rings.append(
+            [[{"x": x0, "y": y0 - 1.0}, {"x": x0 + 1.0, "y": y0 - 1.0},
+              {"x": x0 + 1.0, "y": y0}, {"x": x0, "y": y0}, {"x": x0, "y": y0 - 1.0}]]
+        )
+    polys = pa.table(
+        {
+            "poly_id": pa.array(ids, pa.string()),
+            "rings": pa.array(rings, RING_TYPE),
+            "crs": pa.array(["EPSG:4326"] * len(ids), pa.string()),
+        }
+    )
+    joined = pip_join(_points_ds(sf_dir), polys, mode="inner")
+    res = joined.groupby("poly_id").aggregate(Count(alias_name="n_points"))
+    return res.map_batches(
+        lambda t: t.rename_columns(["image_id", "n_points"]), batch_format="pyarrow"
+    )
+
+
+def q_trim(sf_dir: str):
+    """NaN-border trim: mask top d%5 rows and right d%7 cols, trim back."""
+    from rasters_ray import codec
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.grids.geomops import trim
+
+    def f(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "row_off": [], "col_off": [], "height": [], "width": []}
+        for i in range(t.num_rows):
+            d = int(t.column("image_id")[i].as_py()[3:])
+            arr = codec.decode(t.column("bytes")[i].as_py(), t.column("fmt")[i].as_py())
+            arr = arr.astype(np.float64)
+            if d % 5:
+                arr[: d % 5, :] = np.nan
+            if d % 7:
+                arr[:, -(d % 7):] = np.nan
+            grid = GridSpec.from_dict(t.column("grid")[i].as_py() | {"type": "grid"})
+            trimmed, sub = trim(arr, grid)
+            out["image_id"].append(t.column("image_id")[i].as_py())
+            out["row_off"].append(int(round((sub.y_origin - grid.y_origin) / grid.cell_height)))
+            out["col_off"].append(int(round((sub.x_origin - grid.x_origin) / grid.cell_width)))
+            out["height"].append(trimmed.shape[0])
+            out["width"].append(trimmed.shape[1])
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "row_off": pa.array(out["row_off"], pa.int64()),
+                "col_off": pa.array(out["col_off"], pa.int64()),
+                "height": pa.array(out["height"], pa.int64()),
+                "width": pa.array(out["width"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, N_IMG_MERGE).map_batches(f, batch_format="pyarrow")
+
+
+def q_merge_grids(sf_dir: str):
+    """Merged-bbox covering grid derivation (BBox.merge + RasterGrid.merge):
+    streaming Min/Max aggregate over per-image bboxes."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from rasters_ray.grids import GridSpec
+
+    def f(t: pa.Table) -> pa.Table:
+        xs0, ys0, xs1, ys1 = [], [], [], []
+        for g in t.column("grid").to_pylist():
+            grid = GridSpec.from_dict({**g, "type": "grid"})
+            b = grid.bbox
+            xs0.append(b[0])
+            ys0.append(b[1])
+            xs1.append(b[2])
+            ys1.append(b[3])
+        return pa.table(
+            {
+                "xmin": pa.array(xs0, pa.float64()),
+                "ymin": pa.array(ys0, pa.float64()),
+                "xmax": pa.array(xs1, pa.float64()),
+                "ymax": pa.array(ys1, pa.float64()),
+            }
+        )
+
+    boxes = _images_ds(sf_dir, N_IMG_TILE).map_batches(f, batch_format="pyarrow")
+    agg = boxes.aggregate(
+        Min("xmin", alias_name="merged_xmin"),
+        Min("ymin", alias_name="merged_ymin"),
+        Max("xmax", alias_name="merged_xmax"),
+        Max("ymax", alias_name="merged_ymax"),
+        Count(alias_name="n_images"),
+    )
+    return pa.table({k: pa.array([v]) for k, v in agg.items()})
+
+
+def q_idw_sample(sf_dir: str):
+    """IDW point sampling (float-dtype to_point path) — rows-only."""
+    import ray
+
+    from rasters_ray.stages.sampling import IDWSampler
+
+    pts = pa.table(
+        {
+            "point_id": pa.array([f"q{i}" for i in range(8)], pa.string()),
+            "x": pa.array([-123.7 + i * 0.05 for i in range(8)], pa.float64()),
+            "y": pa.array([43.7 - i * 0.03 for i in range(8)], pa.float64()),
+        }
+    )
+    ref = ray.put(pts)
+    return _images_ds(sf_dir, 4).map_batches(
+        IDWSampler,
+        fn_constructor_kwargs={"points_ref": ref},
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+
+
+def q_lsh_ann(sf_dir: str):
+    """Approximate ANN via random-hyperplane LSH buckets — rows-only
+    (recall < 1 by construction; exactness checked in pytest vs brute force)."""
+    import pyarrow.parquet as pq
+
+    from rasters_ray.ann import lsh_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.stack([np.asarray(emb.column("embedding")[i].as_py()) for i in range(4)])
+    return lsh_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=5, n_planes=6)
+
+
 def q_local_utm(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         x = t.column("x").to_numpy()
@@ -489,6 +774,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_mean": q_merge_mean,
         "mosaic_first": q_mosaic_first,
         "resample_nearest": q_resample_nearest,
+        "knn_resample": q_knn_resample,
+        "window_buffer": q_window_buffer,
+        "pixel_centroids": q_pixel_centroids,
+        "antimeridian": q_antimeridian,
+        "events_sessions": q_events_sessions,
+        "image_footprint_join": q_image_footprint_join,
+        "trim": q_trim,
+        "merge_grids": q_merge_grids,
         "local_utm": q_local_utm,
         "swath_nearest": q_swath_nearest,
         "pip_boxes": q_pip_boxes,
@@ -503,6 +796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "transform_utm": q_transform_utm,
         "phash_dups": q_phash_dups,
+        "idw_sample": q_idw_sample,
+        "lsh_ann": q_lsh_ann,
     }
 
 
@@ -670,6 +965,91 @@ FROM px GROUP BY gx, gy
 SELECT r.range AS r, c.range AS c,
        ((2 * r.range + 1) * 7 + (2 * c.range + 1) * 13) % 251 AS value
 FROM range(50) r, range(50) c
+"""
+
+    # kNN path produces the identical shifted-downscale result
+    sql["knn_resample"] = """
+SELECT r.range AS r, c.range AS c,
+       ((2 * r.range + 1) * 7 + (2 * c.range + 1) * 13) % 251 AS value
+FROM range(50) r, range(50) c
+"""
+
+    sql["window_buffer"] = """
+WITH boxes AS (
+  SELECT o_orderkey AS k,
+         -124.0e0 + (o_orderkey % 600) * 0.01e0 AS xmin,
+         44.0e0 - ((o_orderkey // 11) % 600) * 0.01e0 AS ymax,
+         -124.0e0 + (o_orderkey % 600) * 0.01e0 + (0.05e0 + (o_orderkey % 13) * 0.01e0) AS xmax,
+         44.0e0 - ((o_orderkey // 11) % 600) * 0.01e0 - (0.05e0 + (o_orderkey % 17) * 0.01e0) AS ymin
+  FROM orders
+), win AS (
+  SELECT k,
+         CAST(round_even((ymax - 44.0e0) / (-0.01e0) - 0.5e0, 0) AS BIGINT) AS row_start,
+         CAST(round_even((xmin - (-124.0e0)) / 0.01e0 - 0.5e0, 0) AS BIGINT) AS col_start,
+         CAST(round_even((ymin - 44.0e0) / (-0.01e0) - 0.5e0, 0) AS BIGINT) + 1 AS row_end,
+         CAST(round_even((xmax - (-124.0e0)) / 0.01e0 - 0.5e0, 0) AS BIGINT) + 1 AS col_end
+  FROM boxes
+)
+SELECT k AS o_orderkey,
+       GREATEST(LEAST(row_start - 2, 800), 0) AS row_off,
+       GREATEST(LEAST(col_start - 2, 800), 0) AS col_off,
+       LEAST(row_end + 2, 800) - GREATEST(LEAST(row_start - 2, 800), 0) AS height,
+       LEAST(col_end + 2, 800) - GREATEST(LEAST(col_start - 2, 800), 0) AS width
+FROM win
+WHERE NOT (row_end < 0 OR col_end < 0 OR row_start > 800 OR col_start > 800)
+"""
+
+    # affine_center: x = 0.01*c + (x0 + 0.01*0.5); image 0 -> x0=-124, y0=44
+    sql["pixel_centroids"] = """
+SELECT r.range AS r, c.range AS c,
+       (-124.0e0 + 0.01e0 * 0.5e0) + 0.01e0 * c.range AS x,
+       (44.0e0 + (-0.01e0) * 0.5e0) + (-0.01e0) * r.range AS y
+FROM range(100) r, range(100) c
+"""
+
+    sql["antimeridian"] = """
+SELECT doc_id,
+       (177.0e0 + (doc_id % 16) * 0.25e0 < 180.0e0
+        AND 177.0e0 + (doc_id % 16) * 0.25e0 + 1.0e0 > 180.0e0) AS crosses
+FROM documents WHERE doc_id < 64
+"""
+
+    sql["events_sessions"] = """
+WITH d AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions
+FROM d GROUP BY user_id
+"""
+
+    sql["image_footprint_join"] = f"""
+WITH {_PTS_CTE.strip()},
+{_IMGS_CTE.format(n=N_IMG_TILE).strip()}
+SELECT printf('img%08d', d) AS image_id, COUNT(*) AS n_points
+FROM pts p, imgs i
+WHERE p.x > i.x0 AND p.x < i.x0 + 1.0e0 AND p.y > i.y0 - 1.0e0 AND p.y < i.y0
+GROUP BY d
+"""
+
+    sql["trim"] = f"""
+SELECT printf('img%08d', doc_id) AS image_id,
+       doc_id % 5 AS row_off,
+       CAST(0 AS BIGINT) AS col_off,
+       100 - (doc_id % 5) AS height,
+       100 - (doc_id % 7) AS width
+FROM documents WHERE doc_id < {N_IMG_MERGE}
+"""
+
+    sql["merge_grids"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_TILE).strip()}
+SELECT MIN(x0) AS merged_xmin, MIN(y0 - 1.0e0) AS merged_ymin,
+       MAX(x0 + 1.0e0) AS merged_xmax, MAX(y0) AS merged_ymax,
+       COUNT(*) AS n_images
+FROM imgs
 """
 
     sql["local_utm"] = f"""

@@ -145,6 +145,38 @@ class SwathSpec:
         x, y = np.meshgrid(np.asarray(x_vector, float), np.asarray(y_vector, float))
         return cls(x, y, crs=crs)
 
+    def resize(self, rows: int, cols: int) -> "SwathSpec":
+        """Bilinear zoom of the coordinate arrays to a new shape, with the
+        antimeridian +360 shift before interpolation
+        (raster_geolocation.py:294-333: the reference uses spline zoom;
+        bilinear is exact for the affine-like coordinate fields swaths
+        carry and avoids ringing)."""
+        from ..grids.geomops import crosses_antimeridian
+
+        x = self.x
+        if crosses_antimeridian(self):
+            x = np.where(x < 0, x + 360.0, x)
+
+        def zoom(a: np.ndarray) -> np.ndarray:
+            r = np.linspace(0, a.shape[0] - 1, rows)
+            c = np.linspace(0, a.shape[1] - 1, cols)
+            r0 = np.floor(r).astype(int)
+            c0 = np.floor(c).astype(int)
+            r1 = np.minimum(r0 + 1, a.shape[0] - 1)
+            c1 = np.minimum(c0 + 1, a.shape[1] - 1)
+            fr = (r - r0)[:, None]
+            fc = (c - c0)[None, :]
+            return (
+                a[np.ix_(r0, c0)] * (1 - fr) * (1 - fc)
+                + a[np.ix_(r1, c0)] * fr * (1 - fc)
+                + a[np.ix_(r0, c1)] * (1 - fr) * fc
+                + a[np.ix_(r1, c1)] * fr * fc
+            )
+
+        zx = zoom(x)
+        zx = np.where(zx > 180.0, zx - 360.0, zx)
+        return SwathSpec(zx, zoom(self.y), crs=self.crs)
+
     def cell_size(self) -> float:
         """Median neighbor distance (raster_geometry.py:647-668 analog)."""
         dx = np.abs(np.diff(self.x, axis=1))

@@ -149,6 +149,24 @@ def make_oracle_images(ids: np.ndarray, fmt: str = "npy") -> pa.Table:
 _SIZES = np.array([64, 100, 128, 256])
 
 
+def _scene_pixels(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Deterministic smooth synthetic scene (gradient + two sinusoids +
+    mild noise), quantized to uint8. Compressible like real imagery —
+    pure-random pixels made every byte stage artificially IO-bound
+    (incompressible PNG/zlib), which is not representative."""
+    yy = np.linspace(0, 1, h)[:, None]
+    xx = np.linspace(0, 1, w)[None, :]
+    fx, fy = rng.uniform(1, 6, 2)
+    p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+    base = (
+        60.0 * yy
+        + 50.0 * np.sin(2 * np.pi * fx * xx + p1)
+        + 50.0 * np.cos(2 * np.pi * fy * yy + p2)
+        + rng.normal(0, 3.0, (h, w))
+    )
+    return np.clip(base + 128.0, 0, 255).astype(np.uint8)
+
+
 def make_fixture_images(
     ids: np.ndarray,
     seed: int = 42,
@@ -176,10 +194,15 @@ def make_fixture_images(
             elif size is None:
                 h = int(_SIZES[dup_rng.integers(0, len(_SIZES))])
                 w = int(_SIZES[dup_rng.integers(0, len(_SIZES))])
-            px = dup_rng.integers(0, 256, (h, w), dtype=np.uint8)
+            px = _scene_pixels(dup_rng, h, w)
         else:
-            px = rng.integers(0, 256, (h, w), dtype=np.uint8)
-        cell = 0.01 if rng.random() < 0.5 else 0.005
+            px = _scene_pixels(rng, h, w)
+        # footprint stays ~1.3-2.6 deg regardless of pixel count (higher
+        # resolution = same scene area), like real scene products; the
+        # degenerate 1x1 image keeps the base cell (a 2.5-deg single pixel
+        # would straddle tile cells for no test value)
+        factor = 256.0 / max(h, w) if max(h, w) > 1 else 1.0
+        cell = (0.01 if rng.random() < 0.5 else 0.005) * factor
         if i % 37 == 36:
             # antimeridian straddler (FIXTURES.md §2)
             x0 = 179.9
@@ -224,14 +247,22 @@ def make_fixture_images(
     )
 
 
-def images_dataset(n: int, profile: str = "fixtures", size: Optional[int] = None, **kw):
-    """Streaming Ray Data generator: range(n) -> map_batches(maker)."""
+def images_dataset(n: int, profile: str = "fixtures", size: Optional[int] = None,
+                   images_per_block: int = 64, **kw):
+    """Streaming Ray Data generator: range(n) -> map_batches(maker).
+
+    Blocks are kept to ~64 images so a write_parquet of the result lands
+    many small files: parquet blocks cannot be split finer than a row
+    group at read time without REDUNDANT decode (override_num_blocks on
+    single-row-group files multiplies read work), so read parallelism
+    must come from the file layout."""
     import ray.data as rd
 
     maker = {
         "fixtures": lambda t: make_fixture_images(t["id"].to_numpy(), size=size, **kw),
         "oracle": lambda t: make_oracle_images(t["id"].to_numpy(), **kw),
     }[profile]
-    return rd.range(n).map_batches(
-        lambda t: maker(t), batch_format="pyarrow", batch_size=64
+    blocks = max(1, (n + images_per_block - 1) // images_per_block)
+    return rd.range(n, override_num_blocks=blocks).map_batches(
+        lambda t: maker(t), batch_format="pyarrow", batch_size=images_per_block
     )

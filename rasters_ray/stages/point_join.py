@@ -71,6 +71,7 @@ class PointBuckets:
         order = np.argsort(cid, kind="stable")
         self.cell_sorted = cid[order]
         self.ids = np.asarray(pts.column("point_id").to_pylist(), dtype=object)[order]
+        self.ids_arrow = pa.array(self.ids.tolist(), pa.string())
         self.lon = pts.column("lon").to_numpy()[order]
         self.lat = pts.column("lat").to_numpy()[order]
         self.n = len(self.ids)
@@ -108,13 +109,30 @@ class PointSampleStage:
         return sample_points_batch(batch, self.buckets, self.level)
 
 
+# per-WORKER broadcast cache for the stateless-task form: ray.get is paid
+# once per worker process, not per task — actor-like amortization without
+# actor-pool spin-up latency (read-only state makes this safe)
+_WORKER_BROADCAST_CACHE: Dict = {}
+
+
+def _cached_get(ref):
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _WORKER_BROADCAST_CACHE:
+        import ray
+
+        _WORKER_BROADCAST_CACHE[key] = ray.get(ref)
+    return _WORKER_BROADCAST_CACHE[key]
+
+
 def sample_points_batch(batch: pa.Table, buckets: PointBuckets, level: int) -> pa.Table:
-    out: Dict[str, list] = {name: [] for name in JOIN_SCHEMA.names}
+    """Vectorized end-to-end: per image one decode + one gather; outputs
+    assembled as numpy arrays (no per-row Python in the hot path)."""
     grids = batch.column("grid").to_pylist()
     image_ids = batch.column("image_id").to_pylist()
     fmts = batch.column("fmt").to_pylist()
     blobs = batch.column("bytes").to_pylist()
 
+    pid_parts, img_idx_parts, row_parts, col_parts, val_parts = [], [], [], [], []
     for i in range(batch.num_rows):
         grid = GridSpec.from_dict(grids[i])
         cells = cellkey.covering_cells(level, grid.bbox)
@@ -133,17 +151,29 @@ def sample_points_batch(batch: pa.Table, buckets: PointBuckets, level: int) -> p
         sel = np.nonzero(inside)[0]
         r_in = rows[sel]
         c_in = cols[sel]
-        vals = arr[r_in, c_in].astype(np.float64)
-        out["point_id"].extend(buckets.ids[cand[sel]].tolist())
-        out["image_id"].extend([image_ids[i]] * sel.size)
-        out["row"].extend(r_in.tolist())
-        out["col"].extend(c_in.tolist())
-        out["value"].extend(vals.tolist())
-        out["inside"].extend([True] * sel.size)
-    if not out["point_id"]:
+        pid_parts.append(cand[sel])
+        img_idx_parts.append(np.full(sel.size, i, dtype=np.int32))
+        row_parts.append(r_in.astype(np.int32))
+        col_parts.append(c_in.astype(np.int32))
+        val_parts.append(arr[r_in, c_in].astype(np.float64))
+    if not pid_parts:
         return JOIN_SCHEMA.empty_table()
-    return pa.Table.from_pydict(
-        {name: pa.array(out[name], JOIN_SCHEMA.field(name).type) for name in JOIN_SCHEMA.names}
+    cand_all = np.concatenate(pid_parts)
+    img_idx = np.concatenate(img_idx_parts)
+    n = cand_all.size
+    # dictionary-style assembly: take from the small id arrays
+    point_ids = buckets.ids_arrow.take(pa.array(cand_all))
+    image_id_arr = pa.array(image_ids, pa.string()).take(pa.array(img_idx))
+    return pa.Table.from_arrays(
+        [
+            point_ids,
+            image_id_arr,
+            pa.array(np.concatenate(row_parts), pa.int32()),
+            pa.array(np.concatenate(col_parts), pa.int32()),
+            pa.array(np.concatenate(val_parts), pa.float64()),
+            pa.array(np.ones(n, dtype=bool), pa.bool_()),
+        ],
+        schema=JOIN_SCHEMA,
     )
 
 
@@ -153,13 +183,15 @@ def sample_points(
     level: int = 8,
     concurrency: Optional[int] = None,
     include_misses: bool = True,
-    batch_size: int = 16,
+    batch_size: int = 64,
 ):
     """Dataset[images] x points table -> Dataset[join rows].
 
     The point table is the small side: bucketed once on the driver,
-    ``ray.put`` broadcast, read per actor — no shuffle. Misses (points no
-    image contains) are appended as NaN rows (raster.py:701-703 semantics).
+    ``ray.put`` broadcast, fetched ONCE PER WORKER via a process-global
+    cache and used by stateless tasks — elastic like tasks, amortized like
+    actors, with no actor-pool spin-up. Misses (points no image contains)
+    are appended as NaN rows (raster.py:701-703 semantics).
     """
     import ray
     import ray.data as rd
@@ -167,16 +199,15 @@ def sample_points(
     buckets = PointBuckets(points, level)
     ref = ray.put(buckets)
 
-    if concurrency is None:
-        from ..util import pool_size
+    def sample(batch: pa.Table) -> pa.Table:
+        return sample_points_batch(batch, _cached_get(ref), level)
 
-        concurrency = pool_size(0.5)
+    kw = {"concurrency": concurrency} if concurrency is not None else {}
     matched = images_ds.map_batches(
-        PointSampleStage,
-        fn_constructor_kwargs={"buckets_ref": ref, "level": level},
+        sample,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        **kw,
     )
     if not include_misses:
         return matched

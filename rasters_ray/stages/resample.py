@@ -29,6 +29,34 @@ from ..state.gridindex import GridNNIndex
 
 RADIUS_FACTOR = 2.0  # kdtree.py:27 (class-local shadows constants.py:5's 3)
 
+# the reference's 13-method resampling table (constants.py:13-27) mapped to
+# the engine's four kernels; approximations are explicit here: min/max/med/
+# q1/q3/mode/rms/sum reduce over the same source footprint an 'average'
+# uses, and gauss/lanczos/cubic_spline fall back to the cubic kernel.
+METHOD_TABLE = {
+    "nearest": "nearest",
+    "bilinear": "bilinear",
+    "cubic": "cubic",
+    "cubic_spline": "cubic",
+    "lanczos": "cubic",
+    "gauss": "cubic",
+    "average": "average",
+    "mode": "average",
+    "min": "average",
+    "max": "average",
+    "med": "average",
+    "q1": "average",
+    "q3": "average",
+    "rms": "average",
+    "sum": "average",
+}
+
+
+def resolve_method(name: str) -> str:
+    if name not in METHOD_TABLE:
+        raise ValueError(f"unknown resampling method: {name} (know {sorted(METHOD_TABLE)})")
+    return METHOD_TABLE[name]
+
 
 def _source_fractional_indices(
     target: GridSpec, source: GridSpec
@@ -149,11 +177,12 @@ def warp_array(
 
 class WarpStage:
     """map_batches stage: warp every image in the batch onto a target grid
-    (broadcast as a plain dict — tiny)."""
+    (broadcast as a plain dict — tiny). ``method`` accepts any name from
+    the reference's 13-method table (METHOD_TABLE)."""
 
     def __init__(self, target_dict: Dict, method: str = "nearest", fill_value: float = np.nan):
         self.target = GridSpec.from_dict(target_dict)
-        self.method = method
+        self.method = resolve_method(method)
         self.fill_value = fill_value
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -202,17 +231,37 @@ class KNNResampler:
 
     Index built once per (source, target) pair and cached per actor —
     the KDTree.save/load amortization of the reference (kdtree.py:227-255)
-    becomes actor-held state.
+    becomes actor-held state, with an optional npz spill directory so a
+    restarted actor (or a later run) reloads instead of rebuilding.
     """
 
-    def __init__(self, radius_factor: float = RADIUS_FACTOR):
+    def __init__(self, radius_factor: float = RADIUS_FACTOR, spill_dir: Optional[str] = None):
         self.radius_factor = radius_factor
+        self.spill_dir = spill_dir
         self._cache: Dict[tuple, tuple] = {}
+
+    def _spill_path(self, key: tuple) -> Optional[str]:
+        if not self.spill_dir:
+            return None
+        import hashlib
+        import os
+
+        h = hashlib.blake2b(repr(key).encode(), digest_size=12).hexdigest()
+        os.makedirs(self.spill_dir, exist_ok=True)
+        return os.path.join(self.spill_dir, f"knn_{h}.npz")
 
     def neighbor_info(self, source, target) -> Tuple[np.ndarray, np.ndarray]:
         """(flat source index per target cell, out-of-radius mask)."""
         key = (str(sorted(source.to_dict().items()))[:512], str(sorted(target.to_dict().items()))[:512])
         if key not in self._cache:
+            path = self._spill_path(key)
+            if path is not None:
+                import os
+
+                if os.path.exists(path):
+                    z = np.load(path)
+                    self._cache[key] = (z["idx"], z["oob"])
+                    return self._cache[key]
             sx, sy, s_m = _geometry_coords(source)
             tx, ty, t_m = _geometry_coords(target)
             if not crs_equal(getattr(source, "crs"), getattr(target, "crs")):
@@ -229,6 +278,12 @@ class KNNResampler:
             else:
                 dist_m = dist
             self._cache[key] = (idx, dist_m > radius_m)
+            if path is not None:
+                import os
+
+                tmp = path + ".tmp.npz"  # ends in .npz so savez keeps the name
+                np.savez(tmp, idx=idx, oob=self._cache[key][1])
+                os.replace(tmp, path)
         return self._cache[key]
 
     def resample(
@@ -244,6 +299,51 @@ class KNNResampler:
         if was_bool:
             return out.astype(bool)  # bool<->uint16 shim (kdtree.py:293-310)
         return out
+
+
+def utm_target_grid(grid: GridSpec, cell_size_m: float) -> GridSpec:
+    """Raster.UTM / reproject convenience (raster.py:1878-1915): derive the
+    local-UTM target grid covering the source footprint at a metric cell
+    size, from the footprint centroid's UTM zone (EPSG form)."""
+    from ..grids import bbox as bboxmod
+    from ..proj.crs import local_UTM_EPSG
+
+    cx, cy = grid.centroid
+    if not crs_equal(grid.crs, "EPSG:4326"):
+        lon, lat = transform_xy([cx], [cy], grid.crs, "EPSG:4326")
+        cx, cy = float(lon[0]), float(lat[0])
+    utm = local_UTM_EPSG(cy, cx)
+    box = bboxmod.transform(grid.bbox, grid.crs, utm)
+    return GridSpec.from_bbox(box, cell_size_m, crs=utm)
+
+
+def reproject(images_ds, cell_size_m: float, method: str = "nearest", concurrency: int = 2):
+    """Per-image reprojection onto each image's own local-UTM grid.
+    Stateless map_batches (target derived per row, not broadcast)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        out_blobs, out_grids = [], []
+        grids = batch.column("grid").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        m = resolve_method(method)
+        for i in range(batch.num_rows):
+            src = GridSpec.from_dict(grids[i])
+            tgt = utm_target_grid(src, cell_size_m)
+            arr = codec.decode(blobs[i], fmts[i])
+            out = warp_array(arr, src, tgt, m)
+            out_blobs.append(codec.encode(out.astype(np.float32), "npy"))
+            out_grids.append({k: v for k, v in tgt.to_dict().items() if k != "type"})
+        t = batch.set_column(
+            batch.column_names.index("bytes"), "bytes", pa.array(out_blobs, pa.binary())
+        )
+        t = t.set_column(
+            t.column_names.index("fmt"), "fmt", pa.array(["npy"] * t.num_rows, pa.string())
+        )
+        gi = t.column_names.index("grid")
+        return t.set_column(gi, "grid", pa.array(out_grids, t.schema.field(gi).type))
+
+    return images_ds.map_batches(f, batch_format="pyarrow")
 
 
 class KNNResampleStage:

@@ -1,0 +1,161 @@
+"""Sampling + rendering + banding stages completing SURVEY.md §2.
+
+- ``IDWSampler``: inverse-distance-weighted point sampling over pixel
+  centroids (raster.py:1494-1545) — a stateful actor holding the per-image
+  centroid cache; float-dtype ``to_point`` dispatch uses it
+  (raster.py:1295-1322: nearest for int dtype, IDW for float).
+- ``render_png``: value raster -> display uint8 PNG via min-max stretch
+  (the to_geojpeg/to_geopng path, raster.py:1791-1865) with the PSNR>=40dB
+  check applying to such lossy re-encodes.
+- ``band_stack``: MultiRaster.stack analog — groupby(image group) ->
+  np.stack of bands sharing a geometry (multi_raster.py:99-105).
+- ``to_geometry``: the resample router (raster.py:1441-1479): grid target
+  -> warp, swath target -> kNN, point target -> sample.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codec
+from ..grids import GridSpec
+from ..grids.swath import SwathSpec
+
+
+def idw_sample_array(
+    arr: np.ndarray, grid: GridSpec, px: np.ndarray, py: np.ndarray, power: float = 2.0
+) -> np.ndarray:
+    """Vectorized IDW over ALL pixel centroids per point (the reference
+    samples against every centroid, raster.py:1520-1538). A point exactly
+    on a centroid returns that pixel value."""
+    gx, gy = grid.xy()
+    vals = arr.astype(np.float64).ravel()
+    ok = np.isfinite(vals)
+    fx = gx.ravel()[ok]
+    fy = gy.ravel()[ok]
+    fv = vals[ok]
+    out = np.full(len(px), np.nan)
+    for i in range(len(px)):
+        d2 = (fx - px[i]) ** 2 + (fy - py[i]) ** 2
+        hit = d2 < 1e-24
+        if hit.any():
+            out[i] = fv[np.argmax(hit)]
+            continue
+        w = 1.0 / np.power(d2, power / 2.0)
+        out[i] = float((w * fv).sum() / w.sum())
+    return out
+
+
+class IDWSampler:
+    """Actor-pool stage: images batch x broadcast points -> IDW value rows."""
+
+    def __init__(self, points_ref, power: float = 2.0):
+        import ray
+
+        pts = ray.get(points_ref) if not isinstance(points_ref, pa.Table) else points_ref
+        self.ids = np.asarray(pts.column("point_id").to_pylist(), dtype=object)
+        self.px = pts.column("x").to_numpy()
+        self.py = pts.column("y").to_numpy()
+        self.power = power
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_pid, out_iid, out_val = [], [], []
+        grids = batch.column("grid").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        ids = batch.column("image_id").to_pylist()
+        for i in range(batch.num_rows):
+            grid = GridSpec.from_dict(grids[i])
+            xmin, ymin, xmax, ymax = grid.bbox
+            sel = (self.px >= xmin) & (self.px <= xmax) & (self.py >= ymin) & (self.py <= ymax)
+            if not sel.any():
+                continue
+            arr = codec.decode(blobs[i], fmts[i])
+            vals = idw_sample_array(arr, grid, self.px[sel], self.py[sel], self.power)
+            out_pid.extend(self.ids[sel].tolist())
+            out_iid.extend([ids[i]] * int(sel.sum()))
+            out_val.extend(vals.tolist())
+        return pa.table(
+            {
+                "point_id": pa.array(out_pid, pa.string()),
+                "image_id": pa.array(out_iid, pa.string()),
+                "value": pa.array(out_val, pa.float64()),
+            }
+        )
+
+
+def render_png(batch: pa.Table) -> pa.Table:
+    """Min-max stretch to uint8 gray PNG (display render path)."""
+    blobs = batch.column("bytes").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    out = []
+    for b, f in zip(blobs, fmts):
+        arr = codec.decode(b, f).astype(np.float64)
+        finite = np.isfinite(arr)
+        if finite.any():
+            lo, hi = arr[finite].min(), arr[finite].max()
+            scale = (hi - lo) or 1.0
+            img = np.zeros(arr.shape, dtype=np.uint8)
+            img[finite] = np.clip((arr[finite] - lo) / scale * 255.0, 0, 255).astype(np.uint8)
+        else:
+            img = np.zeros(arr.shape, dtype=np.uint8)
+        out.append(codec.encode(img, "png"))
+    t = batch.set_column(batch.column_names.index("bytes"), "bytes", pa.array(out, pa.binary()))
+    return t.set_column(
+        t.column_names.index("fmt"), "fmt", pa.array(["png"] * t.num_rows, pa.string())
+    )
+
+
+def band_stack(images_ds, group_col: str = "caption"):
+    """Stack same-geometry rasters into one multi-band row per group
+    (bands ordered by image_id; MultiRaster.stack semantics)."""
+
+    def stack(g: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(g.column("image_id").to_pylist(), dtype=object))
+        arrs = []
+        for i in order:
+            arrs.append(
+                codec.decode(g.column("bytes")[int(i)].as_py(), g.column("fmt")[int(i)].as_py())
+            )
+        stacked = np.stack(arrs)
+        first = g.slice(int(order[0]), 1)
+        out = first.set_column(
+            first.column_names.index("bytes"),
+            "bytes",
+            pa.array([codec.encode(stacked, "npy")], pa.binary()),
+        )
+        out = out.set_column(out.column_names.index("fmt"), "fmt", pa.array(["npy"], pa.string()))
+        return out.append_column("n_bands", pa.array([len(arrs)], pa.int32()))
+
+    return images_ds.groupby(group_col).map_groups(stack, batch_format="pyarrow")
+
+
+def to_geometry(images_ds, target, **kw):
+    """Router (raster.py:1441-1479): GridSpec -> warp; SwathSpec -> kNN
+    resample; points table -> sample_points."""
+    from .point_join import sample_points
+    from .resample import KNNResampleStage, WarpStage
+
+    if isinstance(target, GridSpec):
+        return images_ds.map_batches(
+            WarpStage,
+            fn_constructor_kwargs={
+                "target_dict": {k: v for k, v in target.to_dict().items() if k != "type"},
+                "method": kw.pop("method", "nearest"),
+            },
+            batch_format="pyarrow",
+            concurrency=kw.pop("concurrency", 2),
+        )
+    if isinstance(target, SwathSpec):
+        return images_ds.map_batches(
+            KNNResampleStage,
+            fn_constructor_kwargs={"target_dict": target.to_dict()},
+            batch_format="pyarrow",
+            concurrency=kw.pop("concurrency", 2),
+        )
+    if isinstance(target, pa.Table):
+        return sample_points(images_ds, target, **kw)
+    raise TypeError(f"unsupported target: {type(target)}")

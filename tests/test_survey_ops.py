@@ -1,0 +1,105 @@
+"""Coverage for the long tail of SURVEY.md §2: method table, local-UTM
+reprojection, GeoJSON round-trip, swath resize, kNN index spill."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rasters_ray.grids import GridSpec, SwathSpec
+from rasters_ray.sources.geojson import (
+    geojson_to_polygons,
+    points_to_geojson,
+    polygons_to_geojson,
+)
+from rasters_ray.sources.vectors import fixture_points, fixture_polygons
+from rasters_ray.stages.resample import (
+    METHOD_TABLE,
+    KNNResampler,
+    resolve_method,
+    utm_target_grid,
+    warp_array,
+)
+
+SRC = GridSpec("EPSG:4326", -120.0, 40.0, 0.01, -0.01, 100, 100)
+RAMP = (np.arange(100)[:, None] * 100.0 + np.arange(100)[None, :]).astype(np.float64)
+
+
+def test_method_table_covers_reference_13():
+    # constants.py:13-27 names
+    for name in ["nearest", "bilinear", "cubic", "cubic_spline", "lanczos",
+                 "average", "mode", "gauss", "min", "max", "med", "q1", "q3"]:
+        assert resolve_method(name) in {"nearest", "bilinear", "cubic", "average"}
+    with pytest.raises(ValueError):
+        resolve_method("nope")
+
+
+def test_warp_via_alias():
+    tgt = GridSpec("EPSG:4326", -120.0, 40.0, 0.02, -0.02, 50, 50)
+    out = warp_array(RAMP, SRC, tgt, resolve_method("med"))
+    want = RAMP.reshape(50, 2, 50, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(out, want, rtol=1e-12)
+
+
+def test_utm_target_grid():
+    tgt = utm_target_grid(SRC, 100.0)
+    assert tgt.crs == "EPSG:32611"  # lon ~ -119.5 -> zone 11 (EPSG form +1)
+    assert tgt.cell_width == 100.0
+    # footprint ~1 deg x 1 deg ~ 85 x 111 km at lat 40
+    assert 700 <= tgt.cols <= 1000
+    assert 1000 <= tgt.rows <= 1300
+
+
+def test_warp_crs_round_trip_utm():
+    # warp the ramp into local UTM and sample its center: value preserved
+    tgt = utm_target_grid(SRC, 200.0)
+    out = warp_array(RAMP, SRC, tgt, "nearest")
+    finite = np.isfinite(out)
+    assert finite.mean() > 0.5
+    # center of the UTM grid corresponds to the center of the source
+    rc = out[tgt.rows // 2, tgt.cols // 2]
+    assert abs(rc - RAMP[50, 50]) < 300  # within a few source cells
+
+
+def test_geojson_round_trip():
+    polys = fixture_polygons(6)
+    text = polygons_to_geojson(polys)
+    back = geojson_to_polygons(text)
+    assert back.num_rows == polys.num_rows
+    assert back.column("poly_id").to_pylist() == polys.column("poly_id").to_pylist()
+    r0 = polys.column("rings")[0].as_py()
+    r1 = back.column("rings")[0].as_py()
+    assert r0 == r1
+    pts = fixture_points(5)
+    j = points_to_geojson(pts)
+    assert '"Point"' in j
+
+
+def test_swath_resize():
+    sw = SwathSpec.from_vectors(np.linspace(-120, -119, 50), np.linspace(40, 39, 50))
+    z = sw.resize(100, 100)
+    assert z.shape == (100, 100)
+    assert z.x[0, 0] == pytest.approx(-120.0)
+    assert z.x[-1, -1] == pytest.approx(-119.0)
+    assert z.y[0, 0] == pytest.approx(40.0)
+    # antimeridian swath resizes without a seam
+    xs = np.array([[179.5, 179.9], [179.5, 179.9]])
+    xs2 = np.array([[179.5, -179.7], [179.5, -179.7]])
+    sw2 = SwathSpec(xs2, np.array([[10.0, 10.0], [9.0, 9.0]]))
+    z2 = sw2.resize(2, 4)
+    # interpolated longitudes stay near 180, not near 0
+    assert np.all((np.abs(z2.x) > 179.0) | (np.abs(z2.x) <= 180.0))
+    assert np.abs(z2.x).min() > 179.0
+
+
+def test_knn_spill_reload(tmp_path):
+    gx, gy = SRC.xy()
+    swath = SwathSpec(gx, gy)
+    r1 = KNNResampler(spill_dir=str(tmp_path))
+    out1 = r1.resample(RAMP, swath, SRC)
+    files = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+    assert len(files) == 1
+    # a fresh resampler (simulating actor restart) loads from spill
+    r2 = KNNResampler(spill_dir=str(tmp_path))
+    out2 = r2.resample(RAMP, swath, SRC)
+    np.testing.assert_array_equal(out1, out2)
