@@ -274,6 +274,34 @@ def _explode_rc_value(warped):
     return warped.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_resample_reduction(sf_dir: str, method: str):
+    """Exactly-aligned 2x downscale of image d=0 with a footprint reduction
+    kernel — each target cell reduces source block {2r,2r+1}x{2c,2c+1}, so
+    DuckDB can recompute it with GROUP BY sr//2, sc//2."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.stages import WarpStage
+
+    target = GridSpec("EPSG:4326", QX0, QY0, 0.02, -0.02, 50, 50)
+    warped = _images_ds(sf_dir, 1).map_batches(
+        WarpStage,
+        fn_constructor_kwargs={
+            "target_dict": {k: v for k, v in target.to_dict().items() if k != "type"},
+            "method": method,
+        },
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    return _explode_rc_value(warped)
+
+
+def q_resample_sum(sf_dir: str):
+    return _q_resample_reduction(sf_dir, "sum")
+
+
+def q_resample_max(sf_dir: str):
+    return _q_resample_reduction(sf_dir, "max")
+
+
 def q_knn_resample(sf_dir: str):
     """Same shifted 2x-downscale as resample_nearest but through the kNN
     actor path (GridNNIndex) — identical result, different engine."""
@@ -794,6 +822,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_mean": q_merge_mean,
         "mosaic_first": q_mosaic_first,
         "resample_nearest": q_resample_nearest,
+        "resample_sum": q_resample_sum,
+        "resample_max": q_resample_max,
         "knn_resample": q_knn_resample,
         "window_buffer": q_window_buffer,
         "pixel_centroids": q_pixel_centroids,
@@ -985,6 +1015,25 @@ FROM px GROUP BY gx, gy
 SELECT r.range AS r, c.range AS c,
        ((2 * r.range + 1) * 7 + (2 * c.range + 1) * 13) % 251 AS value
 FROM range(50) r, range(50) c
+"""
+
+    # aligned 2x downscale reductions over image 0 ((7r+13c)%251 pixels)
+    sql["resample_sum"] = """
+WITH px AS (
+  SELECT r.range AS sr, c.range AS sc, (r.range * 7 + c.range * 13) % 251 AS value
+  FROM range(100) r, range(100) c
+)
+SELECT sr // 2 AS r, sc // 2 AS c, CAST(SUM(value) AS BIGINT) AS value
+FROM px GROUP BY sr // 2, sc // 2
+"""
+
+    sql["resample_max"] = """
+WITH px AS (
+  SELECT r.range AS sr, c.range AS sc, (r.range * 7 + c.range * 13) % 251 AS value
+  FROM range(100) r, range(100) c
+)
+SELECT sr // 2 AS r, sc // 2 AS c, MAX(value) AS value
+FROM px GROUP BY sr // 2, sc // 2
 """
 
     # kNN path produces the identical shifted-downscale result

@@ -29,27 +29,36 @@ from ..state.gridindex import GridNNIndex
 
 RADIUS_FACTOR = 2.0  # kdtree.py:27 (class-local shadows constants.py:5's 3)
 
-# the reference's 13-method resampling table (constants.py:13-27) mapped to
-# the engine's four kernels; approximations are explicit here: min/max/med/
-# q1/q3/mode/rms/sum reduce over the same source footprint an 'average'
-# uses, and gauss/lanczos/cubic_spline fall back to the cubic kernel.
+# the reference's 13-method resampling table (constants.py:13-27), every
+# method a REAL kernel (raster.py:1325-1428 dispatches to rasterio/GDAL;
+# here each name maps to its own numpy implementation):
+#   point kernels   : nearest
+#   separable interp: bilinear ('linear' in the reference table), cubic
+#                     (Catmull-Rom), cubic_spline (cubic B-spline,
+#                     smoothing, as GDAL), lanczos (a=3), gauss
+#                     (scale-adaptive Gaussian window)
+#   footprint reductions (downscale statistics over the contributing
+#   source pixels): average, sum, min, max, med, q1, q3, mode, rms
 METHOD_TABLE = {
     "nearest": "nearest",
+    "linear": "bilinear",  # reference name for bilinear (constants.py:15)
     "bilinear": "bilinear",
     "cubic": "cubic",
-    "cubic_spline": "cubic",
-    "lanczos": "cubic",
-    "gauss": "cubic",
+    "cubic_spline": "cubic_spline",
+    "lanczos": "lanczos",
+    "gauss": "gauss",
     "average": "average",
-    "mode": "average",
-    "min": "average",
-    "max": "average",
-    "med": "average",
-    "q1": "average",
-    "q3": "average",
-    "rms": "average",
-    "sum": "average",
+    "mode": "mode",
+    "min": "min",
+    "max": "max",
+    "med": "med",
+    "q1": "q1",
+    "q3": "q3",
+    "rms": "rms",
+    "sum": "sum",
 }
+
+REDUCTION_METHODS = {"average", "sum", "min", "max", "med", "q1", "q3", "mode", "rms"}
 
 
 def resolve_method(name: str) -> str:
@@ -70,6 +79,189 @@ def _source_fractional_indices(
     return rowf, colf
 
 
+# --- separable interpolation kernels ---------------------------------------
+
+
+def _k_catmull_rom(t: np.ndarray) -> np.ndarray:
+    at = np.abs(t)
+    return np.where(
+        at <= 1,
+        1.5 * at**3 - 2.5 * at**2 + 1,
+        np.where(at <= 2, -0.5 * at**3 + 2.5 * at**2 - 4 * at + 2, 0.0),
+    )
+
+
+def _k_bspline(t: np.ndarray) -> np.ndarray:
+    # cubic B-spline (GDAL 'cubic_spline': smoothing applied to samples)
+    at = np.abs(t)
+    return np.where(
+        at <= 1,
+        (4 - 6 * at**2 + 3 * at**3) / 6.0,
+        np.where(at <= 2, (2 - at) ** 3 / 6.0, 0.0),
+    )
+
+
+def _k_lanczos(t: np.ndarray) -> np.ndarray:
+    # Lanczos a=3: sinc(t) * sinc(t/3) on |t| < 3 (np.sinc is normalized)
+    return np.where(np.abs(t) < 3, np.sinc(t) * np.sinc(t / 3.0), 0.0)
+
+
+_SEPARABLE = {
+    "bilinear": (lambda t: np.maximum(0.0, 1.0 - np.abs(t)), 1),
+    "cubic": (_k_catmull_rom, 2),
+    "cubic_spline": (_k_bspline, 2),
+    "lanczos": (_k_lanczos, 3),
+}
+
+
+def _warp_nearest(a3, rowf, colf, shape, fill_value):
+    rows, cols = a3.shape[1:]
+    r = np.rint(rowf)
+    c = np.rint(colf)
+    inside = (r >= 0) & (r < rows) & (c >= 0) & (c < cols) & np.isfinite(r) & np.isfinite(c)
+    out = np.full((a3.shape[0],) + shape, fill_value, dtype=np.float64)
+    ri = np.where(inside, r, 0).astype(np.int64)
+    ci = np.where(inside, c, 0).astype(np.int64)
+    vals = a3[:, ri, ci].astype(np.float64)
+    out[:, inside] = vals[:, inside]
+    return out
+
+
+def _warp_separable(a3, rowf, colf, shape, fill_value, kfunc, radius, sy=None, sx=None):
+    """Inverse-mapping separable-kernel warp, vectorized over target cells
+    (the only Python loop is the (2*radius)^2 window-offset loop).
+    ``sy``/``sx`` scale the kernel argument (Gaussian path)."""
+    rows, cols = a3.shape[1:]
+    bad = ~(np.isfinite(rowf) & np.isfinite(colf))
+    r0 = np.floor(np.where(bad, 0, rowf)).astype(np.int64)
+    c0 = np.floor(np.where(bad, 0, colf)).astype(np.int64)
+    b = a3.shape[0]
+    out = np.zeros((b,) + shape, dtype=np.float64)
+    wsum = np.zeros((b,) + shape, dtype=np.float64)
+    for dr in range(-radius + 1, radius + 1):
+        rr = r0 + dr
+        wr = kfunc((rowf - rr) / (sy or 1.0))
+        rok = (rr >= 0) & (rr < rows) & ~bad
+        ri = np.clip(rr, 0, rows - 1)
+        for dc in range(-radius + 1, radius + 1):
+            cc = c0 + dc
+            ok = rok & (cc >= 0) & (cc < cols)
+            ci = np.clip(cc, 0, cols - 1)
+            v = a3[:, ri, ci].astype(np.float64)
+            w = wr * kfunc((colf - cc) / (sx or 1.0))
+            good = ok & np.isfinite(v)
+            out += np.where(good, v * w, 0.0)
+            wsum += np.where(good, w, 0.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(np.abs(wsum) > 1e-12, out / wsum, fill_value)
+
+
+def _scale_factors(rowf, colf) -> Tuple[float, float]:
+    """Median source-pixels-per-target-pixel along each axis (robust to
+    CRS-transformed, non-affine index fields)."""
+    with np.errstate(invalid="ignore"):
+        fy = float(np.nanmedian(np.abs(np.diff(rowf, axis=0)))) if rowf.shape[0] > 1 else 1.0
+        fx = float(np.nanmedian(np.abs(np.diff(colf, axis=1)))) if colf.shape[1] > 1 else 1.0
+    if not np.isfinite(fy) or fy <= 0:
+        fy = 1.0
+    if not np.isfinite(fx) or fx <= 0:
+        fx = 1.0
+    return fy, fx
+
+
+def _grouped_reduce(cid, vv, n_cells: int, method: str) -> np.ndarray:
+    """One reduction over (cell_id, value) pairs -> per-cell statistic
+    (NaN where a cell has no finite contributor). Fully vectorized:
+    bincount for sum-family, sort + reduceat / run-length for order stats."""
+    res = np.full(n_cells, np.nan)
+    if len(cid) == 0:
+        return res
+    if method in ("sum", "average", "rms"):
+        cnt = np.bincount(cid, minlength=n_cells)
+        s = np.bincount(cid, weights=vv * vv if method == "rms" else vv, minlength=n_cells)
+        nz = cnt > 0
+        if method == "sum":
+            res[nz] = s[nz]
+        elif method == "average":
+            res[nz] = s[nz] / cnt[nz]
+        else:
+            res[nz] = np.sqrt(s[nz] / cnt[nz])
+        return res
+    if method in ("min", "max"):
+        order = np.argsort(cid, kind="stable")
+        cs, vs = cid[order], vv[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        red = (np.minimum if method == "min" else np.maximum).reduceat(vs, starts)
+        res[cs[starts]] = red
+        return res
+    if method in ("med", "q1", "q3"):
+        q = {"med": 0.5, "q1": 0.25, "q3": 0.75}[method]
+        order = np.lexsort((vv, cid))
+        cs, vs = cid[order], vv[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        counts = np.diff(np.r_[starts, len(cs)])
+        pos = q * (counts - 1)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.ceil(pos).astype(np.int64)
+        frac = pos - lo
+        res[cs[starts]] = vs[starts + lo] * (1 - frac) + vs[starts + hi] * frac
+        return res
+    if method == "mode":
+        order = np.lexsort((vv, cid))
+        cs, vs = cid[order], vv[order]
+        newrun = np.r_[True, (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1])]
+        rstart = np.flatnonzero(newrun)
+        rlen = np.diff(np.r_[rstart, len(cs)])
+        rcell, rval = cs[rstart], vs[rstart]
+        best = np.zeros(n_cells, dtype=np.int64)
+        np.maximum.at(best, rcell, rlen)
+        is_best = rlen == best[rcell]
+        acc = np.full(n_cells, np.inf)
+        np.minimum.at(acc, rcell[is_best], rval[is_best])  # tie -> smallest value
+        ok = np.isfinite(acc)
+        res[ok] = acc[ok]
+        return res
+    raise ValueError(f"unknown reduction: {method}")
+
+
+def _warp_reduction(a3, source, target, method: str, fill_value, rowf, colf):
+    """Footprint reduction: forward-map every SOURCE pixel center into its
+    containing target cell (floor rule, epsilon-nudged against float noise
+    on exactly aligned grids), then group-reduce per cell. Target cells no
+    source center lands in (sub-pixel footprints / upscale) fall back to
+    the nearest kernel, matching GDAL's behavior of using the single
+    overlapping pixel; cells outside the source stay fill."""
+    th, tw = target.shape
+    b = a3.shape[0]
+    sx, sy = source.xy()
+    if not crs_equal(source.crs, target.crs):
+        sx, sy = transform_xy(sx, sy, source.crs, target.crs)
+    tc = (sx - target.x_origin) / target.cell_width
+    tr = (sy - target.y_origin) / target.cell_height
+    fin = np.isfinite(tc) & np.isfinite(tr)
+    c = np.floor(np.where(fin, tc, -1) + 1e-9).astype(np.int64)
+    r = np.floor(np.where(fin, tr, -1) + 1e-9).astype(np.int64)
+    inside = fin & (r >= 0) & (r < th) & (c >= 0) & (c < tw)
+    cell = (r * tw + c)[inside]
+    n_cells = th * tw
+    touched = np.zeros(n_cells, dtype=bool)
+    touched[cell] = True
+    flat = a3.reshape(b, -1)[:, inside.ravel()].astype(np.float64)
+    out = np.empty((b, n_cells))
+    for bi in range(b):
+        v = flat[bi]
+        fmask = np.isfinite(v)
+        out[bi] = _grouped_reduce(cell[fmask], v[fmask], n_cells, method)
+    out = out.reshape(b, th, tw)
+    untouched = ~touched.reshape(th, tw)
+    if untouched.any():
+        nw = _warp_nearest(a3, rowf, colf, (th, tw), fill_value)
+        out[:, untouched] = nw[:, untouched]
+    if not (isinstance(fill_value, float) and np.isnan(fill_value)):
+        out[~np.isfinite(out)] = fill_value
+    return out
+
+
 def warp_array(
     arr: np.ndarray,
     source: GridSpec,
@@ -77,102 +269,40 @@ def warp_array(
     method: str = "nearest",
     fill_value: float = np.nan,
 ) -> np.ndarray:
-    """Inverse-mapping warp of one 2D array."""
+    """Warp one 2D ``(rows, cols)`` or 3D ``(bands, rows, cols)`` array onto
+    ``target`` with any of the reference's 13 methods (constants.py:13-27).
+    Interpolating kernels are inverse-mapping; reductions are forward-
+    mapping group-reduces (see ``_warp_reduction``). Returns float64 with
+    the input's dimensionality."""
+    method = resolve_method(method)
+    squeeze = arr.ndim == 2
+    a3 = arr[None] if squeeze else arr
+    if a3.ndim != 3:
+        raise ValueError(f"expected 2D or 3D array, got shape {arr.shape}")
     rowf, colf = _source_fractional_indices(target, source)
-    rows, cols = arr.shape
 
     if method == "nearest":
-        r = np.rint(rowf)
-        c = np.rint(colf)
-        inside = (r >= 0) & (r < rows) & (c >= 0) & (c < cols) & np.isfinite(r) & np.isfinite(c)
-        out = np.full(target.shape, fill_value, dtype=np.float64)
-        ri = np.where(inside, r, 0).astype(np.int64)
-        ci = np.where(inside, c, 0).astype(np.int64)
-        vals = arr[ri, ci].astype(np.float64)
-        out[inside] = vals[inside]
-        return out
-
-    if method == "bilinear":
-        r0 = np.floor(rowf)
-        c0 = np.floor(colf)
-        fr = rowf - r0
-        fc = colf - c0
-        out = np.zeros(target.shape, dtype=np.float64)
-        wsum = np.zeros(target.shape, dtype=np.float64)
-        for dr, wr in ((0, 1 - fr), (1, fr)):
-            for dc, wc in ((0, 1 - fc), (1, fc)):
-                rr = r0 + dr
-                cc = c0 + dc
-                ok = (rr >= 0) & (rr < rows) & (cc >= 0) & (cc < cols) & np.isfinite(rr) & np.isfinite(cc)
-                ri = np.where(ok, rr, 0).astype(np.int64)
-                ci = np.where(ok, cc, 0).astype(np.int64)
-                v = arr[ri, ci].astype(np.float64)
-                w = wr * wc
-                good = ok & np.isfinite(v)
-                out += np.where(good, v * w, 0.0)
-                wsum += np.where(good, w, 0.0)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            res = np.where(wsum > 0, out / wsum, fill_value)
-        return res
-
-    if method == "average":
-        # area mean for integer downscale of aligned grids; general case
-        # falls back to bilinear
-        fx = target.cell_width / source.cell_width
-        fy = -target.cell_height / -source.cell_height
-        if abs(fx - round(fx)) < 1e-9 and abs(fy - round(fy)) < 1e-9 and fx >= 1 and fy >= 1:
-            fx, fy = int(round(fx)), int(round(fy))
-            r00, c00 = _source_fractional_indices(target, source)
-            r0 = int(np.rint(r00[0, 0] - (fy - 1) / 2.0))
-            c0 = int(np.rint(c00[0, 0] - (fx - 1) / 2.0))
-            th, tw = target.shape
-            out = np.full(target.shape, fill_value, dtype=np.float64)
-            for rt in range(th):
-                sr = r0 + rt * fy
-                if sr < 0 or sr + fy > rows:
-                    continue
-                block = arr[sr : sr + fy]
-                for ct in range(tw):
-                    sc = c0 + ct * fx
-                    if sc < 0 or sc + fx > cols:
-                        continue
-                    v = block[:, sc : sc + fx].astype(np.float64)
-                    m = np.isfinite(v)
-                    if m.any():
-                        out[rt, ct] = v[m].mean()
-            return out
-        return warp_array(arr, source, target, "bilinear", fill_value)
-
-    if method == "cubic":
-        # Catmull-Rom separable cubic
-        def k(t):
-            at = np.abs(t)
-            return np.where(
-                at <= 1,
-                1.5 * at**3 - 2.5 * at**2 + 1,
-                np.where(at <= 2, -0.5 * at**3 + 2.5 * at**2 - 4 * at + 2, 0.0),
-            )
-
-        r0 = np.floor(rowf).astype(np.int64)
-        c0 = np.floor(colf).astype(np.int64)
-        out = np.zeros(target.shape, dtype=np.float64)
-        wsum = np.zeros(target.shape, dtype=np.float64)
-        for dr in range(-1, 3):
-            for dc in range(-1, 3):
-                rr = r0 + dr
-                cc = c0 + dc
-                ok = (rr >= 0) & (rr < rows) & (cc >= 0) & (cc < cols)
-                ri = np.clip(rr, 0, rows - 1)
-                ci = np.clip(cc, 0, cols - 1)
-                v = arr[ri, ci].astype(np.float64)
-                w = k(rowf - rr) * k(colf - cc)
-                good = ok & np.isfinite(v)
-                out += np.where(good, v * w, 0.0)
-                wsum += np.where(good, w, 0.0)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            return np.where(np.abs(wsum) > 1e-12, out / wsum, fill_value)
-
-    raise ValueError(f"unknown resampling method: {method}")
+        out = _warp_nearest(a3, rowf, colf, target.shape, fill_value)
+    elif method in _SEPARABLE:
+        kfunc, radius = _SEPARABLE[method]
+        out = _warp_separable(a3, rowf, colf, target.shape, fill_value, kfunc, radius)
+    elif method == "gauss":
+        # scale-adaptive Gaussian: sigma ~ half the downscale factor per
+        # axis (>= 0.6 so upscales still smooth over the 4-neighborhood),
+        # truncated at 2 sigma, window radius capped at 4
+        fy, fx = _scale_factors(rowf, colf)
+        sy = max(0.6, fy / 2.0)
+        sx = max(0.6, fx / 2.0)
+        radius = int(min(4, max(1, np.ceil(2.0 * max(sy, sx)))))
+        gk = lambda t: np.exp(-0.5 * t * t)  # noqa: E731
+        out = _warp_separable(
+            a3, rowf, colf, target.shape, fill_value, gk, radius, sy=sy, sx=sx
+        )
+    elif method in REDUCTION_METHODS:
+        out = _warp_reduction(a3, source, target, method, fill_value, rowf, colf)
+    else:  # pragma: no cover - resolve_method already validated
+        raise ValueError(f"unknown resampling method: {method}")
+    return out[0] if squeeze else out
 
 
 class WarpStage:
@@ -289,16 +419,20 @@ class KNNResampler:
     def resample(
         self, arr: np.ndarray, source, target, fill_value: float = np.nan
     ) -> np.ndarray:
+        """Gather-resample a 2D ``(rows, cols)`` or 3D ``(bands, rows,
+        cols)`` array; the band loop of the reference (kdtree.py:257-313)
+        is a single vectorized take over the flattened spatial axis."""
         idx, oob = self.neighbor_info(source, target)
         was_bool = arr.dtype == bool
-        flat = (arr.astype(np.uint16) if was_bool else arr).ravel()
-        out = flat[idx].astype(np.float64)
-        out[oob] = fill_value
-        shape = target.shape
-        out = out.reshape(shape)
+        squeeze = arr.ndim == 2
+        a3 = arr[None] if squeeze else arr
+        flat = (a3.astype(np.uint16) if was_bool else a3).reshape(a3.shape[0], -1)
+        out = flat[:, idx].astype(np.float64)
+        out[:, oob] = fill_value
+        out = out.reshape((a3.shape[0],) + tuple(target.shape))
         if was_bool:
-            return out.astype(bool)  # bool<->uint16 shim (kdtree.py:293-310)
-        return out
+            out = out.astype(bool)  # bool<->uint16 shim (kdtree.py:293-310)
+        return out[0] if squeeze else out
 
 
 def utm_target_grid(grid: GridSpec, cell_size_m: float) -> GridSpec:

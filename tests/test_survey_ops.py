@@ -26,19 +26,103 @@ RAMP = (np.arange(100)[:, None] * 100.0 + np.arange(100)[None, :]).astype(np.flo
 
 
 def test_method_table_covers_reference_13():
-    # constants.py:13-27 names
-    for name in ["nearest", "bilinear", "cubic", "cubic_spline", "lanczos",
+    # constants.py:13-27 names ('linear' is the reference's bilinear), each
+    # a real kernel now (no aliasing)
+    for name in ["nearest", "linear", "cubic", "cubic_spline", "lanczos",
                  "average", "mode", "gauss", "min", "max", "med", "q1", "q3"]:
-        assert resolve_method(name) in {"nearest", "bilinear", "cubic", "average"}
+        assert resolve_method(name) == ("bilinear" if name == "linear" else name)
     with pytest.raises(ValueError):
         resolve_method("nope")
 
 
-def test_warp_via_alias():
+def test_reduction_kernels_2x_downscale():
     tgt = GridSpec("EPSG:4326", -120.0, 40.0, 0.02, -0.02, 50, 50)
-    out = warp_array(RAMP, SRC, tgt, resolve_method("med"))
-    want = RAMP.reshape(50, 2, 50, 2).mean(axis=(1, 3))
-    np.testing.assert_allclose(out, want, rtol=1e-12)
+    blocks = RAMP.reshape(50, 2, 50, 2).transpose(0, 2, 1, 3).reshape(50, 50, 4)
+    expect = {
+        "average": blocks.mean(-1),
+        "sum": blocks.sum(-1),
+        "min": blocks.min(-1),
+        "max": blocks.max(-1),
+        "med": np.median(blocks, -1),
+        "q1": np.quantile(blocks, 0.25, -1),
+        "q3": np.quantile(blocks, 0.75, -1),
+        "rms": np.sqrt((blocks**2).mean(-1)),
+    }
+    for m, want in expect.items():
+        out = warp_array(RAMP, SRC, tgt, m)
+        np.testing.assert_allclose(out, want, rtol=1e-12, err_msg=m)
+
+
+def test_mode_kernel():
+    tgt = GridSpec("EPSG:4326", -120.0, 40.0, 0.02, -0.02, 50, 50)
+    arr = np.zeros((100, 100))
+    arr[::2, :] = 7.0  # each 2x2 block: {7, 7, 0, 0} -> tie -> smallest = 0
+    out = warp_array(arr, SRC, tgt, "mode")
+    assert (out == 0.0).all()
+    arr[1::2, ::2] = 7.0  # blocks now {7,7,7,0} -> 7
+    out = warp_array(arr, SRC, tgt, "mode")
+    assert (out == 7.0).all()
+
+
+def test_reduction_nan_handling():
+    tgt = GridSpec("EPSG:4326", -120.0, 40.0, 0.02, -0.02, 50, 50)
+    arr = RAMP.copy()
+    arr[0, 0] = np.nan  # first block has 3 finite values
+    out = warp_array(arr, SRC, tgt, "min")
+    assert out[0, 0] == RAMP[0, 1]
+    arr[:2, :2] = np.nan  # first block all-NaN -> fill (NaN)
+    out = warp_array(arr, SRC, tgt, "sum")
+    assert np.isnan(out[0, 0])
+    np.testing.assert_allclose(out[0, 1], RAMP.reshape(50, 2, 50, 2).sum(axis=(1, 3))[0, 1])
+
+
+def test_reduction_upscale_falls_back_to_nearest():
+    # upscale 2x: no source center lands in most target cells -> nearest
+    tgt = GridSpec("EPSG:4326", -120.0, 40.0, 0.005, -0.005, 200, 200)
+    out = warp_array(RAMP, SRC, tgt, "average")
+    want = warp_array(RAMP, SRC, tgt, "nearest")
+    np.testing.assert_allclose(out, want)
+
+
+def test_separable_kernels_preserve_constant_and_interpolate():
+    tgt = GridSpec("EPSG:4326", -119.9, 39.9, 0.013, -0.013, 40, 40)
+    const = np.full((100, 100), 3.25)
+    for m in ["bilinear", "cubic", "cubic_spline", "lanczos", "gauss"]:
+        out = warp_array(const, SRC, tgt, m)
+        fin = np.isfinite(out)
+        assert fin.mean() > 0.8, m
+        np.testing.assert_allclose(out[fin], 3.25, atol=1e-9, err_msg=m)
+    # bilinear/cubic reproduce a linear ramp exactly away from the edges;
+    # normalized lanczos only approximately (windowed sinc)
+    rowf = (tgt.y_origin + (np.arange(40) + 0.5) * tgt.cell_height - SRC.y_origin) / SRC.cell_height - 0.5
+    colf = (tgt.x_origin + (np.arange(40) + 0.5) * tgt.cell_width - SRC.x_origin) / SRC.cell_width - 0.5
+    want = rowf[:, None] * 100.0 + colf[None, :]
+    for m, tol in [("bilinear", 1e-6), ("cubic", 1e-6), ("lanczos", None)]:
+        out = warp_array(RAMP, SRC, tgt, m)
+        if tol is None:
+            np.testing.assert_allclose(out[5:-5, 5:-5], want[5:-5, 5:-5], rtol=5e-3, err_msg=m)
+        else:
+            np.testing.assert_allclose(out[5:-5, 5:-5], want[5:-5, 5:-5], atol=tol, err_msg=m)
+
+
+def test_warp_3d_bands():
+    tgt = GridSpec("EPSG:4326", -120.0, 40.0, 0.02, -0.02, 50, 50)
+    stack = np.stack([RAMP, RAMP * 2 + 1, -RAMP])
+    for m in ["nearest", "bilinear", "average", "max"]:
+        out = warp_array(stack, SRC, tgt, m)
+        assert out.shape == (3, 50, 50)
+        for b in range(3):
+            np.testing.assert_allclose(out[b], warp_array(stack[b], SRC, tgt, m), err_msg=m)
+
+
+def test_knn_resample_3d_bands():
+    tgt = GridSpec("EPSG:4326", -120.0, 40.0, 0.02, -0.02, 50, 50)
+    rs = KNNResampler()
+    stack = np.stack([RAMP, RAMP * 3])
+    out = rs.resample(stack, SRC, tgt)
+    assert out.shape == (2, 50, 50)
+    np.testing.assert_allclose(out[0], rs.resample(RAMP, SRC, tgt))
+    np.testing.assert_allclose(out[1], rs.resample(RAMP * 3, SRC, tgt))
 
 
 def test_utm_target_grid():
