@@ -124,3 +124,39 @@ def test_minhash_near_dups_pipeline(ray_session):
     got = {(min(a, b), max(a, b)) for a, b in zip(pairs.a, pairs.b)}
     assert (0, 1) in got
     assert all(2 not in p for p in got)
+
+
+def test_batch_signatures_match_single():
+    from rasters_ray.text.dedup import MinHasher, char_shingles
+
+    h = MinHasher(64)
+    texts = ["alpha beta gamma delta " * 3, "", "one two three four five six " * 2]
+    sets = [char_shingles(t) for t in texts]
+    batch = h.signatures(sets)
+    for i, s in enumerate(sets):
+        np.testing.assert_array_equal(batch[i], h.signature(s))
+
+
+def test_hot_bucket_star_pairs():
+    from rasters_ray.text.dedup import candidate_pairs_from_buckets
+
+    ids = pa.table({"doc_id": pa.array(list(range(10)), pa.int64())})
+    full = candidate_pairs_from_buckets(ids, cap=64)
+    assert full.num_rows == 45  # all pairs
+    star = candidate_pairs_from_buckets(ids, cap=4)
+    assert star.num_rows == 9  # n-1 star pairs to min id
+    assert set(star.column("a").to_pylist()) == {0}
+    assert sorted(star.column("b").to_pylist()) == list(range(1, 10))
+    empty = candidate_pairs_from_buckets(ids.slice(0, 1))
+    assert empty.num_rows == 0
+
+
+def test_simhash_batch_matches_expected_bits():
+    from rasters_ray.text.dedup import simhash_batch
+
+    texts = ["hello world hello", "", "hello world hello"]
+    out = simhash_batch(texts)
+    assert out[0] == out[2]
+    assert out[1] == 0
+    # deterministic across calls (memoized token hashes)
+    np.testing.assert_array_equal(out, simhash_batch(texts))
