@@ -214,10 +214,19 @@ def sample_points(
 
     # anti-join: points with no match -> NaN rows. Materialize the matched
     # side first so the union below doesn't re-execute the sampling stage.
+    # The distinct runs DISTRIBUTED (groupby pre-aggregates point_id inside
+    # each block; only ≤ n_points distinct rows reach the driver — never the
+    # images x points join rows), then the anti set difference happens
+    # against the already-driver-resident small point table.
+    from ray.data.aggregate import Count
+
     matched = matched.materialize()
-    matched_ids = set()
-    for b in matched.select_columns(["point_id"]).iter_batches(batch_format="pyarrow"):
-        matched_ids.update(b.column("point_id").to_pylist())
+    distinct = (
+        matched.select_columns(["point_id"])
+        .groupby("point_id")
+        .aggregate(Count(alias_name="_n"))
+    )
+    matched_ids = set(distinct.to_pandas()["point_id"])
     all_ids = points.column("point_id").to_pylist()
     miss = [pid for pid in all_ids if pid not in matched_ids]
     miss_tbl = pa.Table.from_pydict(
