@@ -161,16 +161,46 @@ def pip_join(points_ds, polygons: pa.Table, mode: str = "inner", concurrency=Non
     )
 
 
+def segment_cells(grid: GridSpec, x1: float, y1: float, x2: float, y2: float):
+    """All (row, col) cells one segment passes through (supercover grid
+    traversal): crossing parameters at every cell boundary between the
+    endpoints split the segment; the cell of each sub-segment midpoint is
+    touched. Vectorized per segment."""
+    c1 = (x1 - grid.x_origin) / grid.cell_width
+    c2 = (x2 - grid.x_origin) / grid.cell_width
+    r1 = (y1 - grid.y_origin) / grid.cell_height
+    r2 = (y2 - grid.y_origin) / grid.cell_height
+    ts = [np.array([0.0, 1.0])]
+    if c2 != c1:
+        lo, hi = (c1, c2) if c1 < c2 else (c2, c1)
+        ks = np.arange(np.ceil(lo), np.floor(hi) + 1)
+        ts.append((ks - c1) / (c2 - c1))
+    if r2 != r1:
+        lo, hi = (r1, r2) if r1 < r2 else (r2, r1)
+        ks = np.arange(np.ceil(lo), np.floor(hi) + 1)
+        ts.append((ks - r1) / (r2 - r1))
+    t = np.unique(np.clip(np.concatenate(ts), 0.0, 1.0))
+    mids = (t[:-1] + t[1:]) / 2.0
+    cc = np.floor(c1 + mids * (c2 - c1)).astype(np.int64)
+    rr = np.floor(r1 + mids * (r2 - r1)).astype(np.int64)
+    ok = (rr >= 0) & (rr < grid.rows) & (cc >= 0) & (cc < grid.cols)
+    return rr[ok], cc[ok]
+
+
 def rasterize_mask(
     grid: GridSpec,
     polygons: pa.Table,
     invert: bool = False,
     all_touched: bool = False,
 ) -> np.ndarray:
-    """Polygon set -> boolean mask of grid cells whose CENTER is inside any
-    polygon (all_touched=False default, raster_grid.py:941; all_touched=True
-    marks any cell whose bbox intersects the polygon bbox — a superset
-    approximation documented as such)."""
+    """Polygon set -> boolean mask of grid cells.
+
+    ``all_touched=False`` (default): cells whose CENTER is inside any
+    polygon (raster_grid.py:941 / rasterio default). ``all_touched=True``:
+    every cell the geometry touches — the center-inside interior UNION the
+    supercover cells of every ring edge (GDAL all_touched semantics,
+    raster_grid.py:936-984; hole boundaries are polygon boundary, so their
+    edge cells count as touched too)."""
     polyset = PolygonSet(polygons)
     mask = np.zeros(grid.shape, dtype=bool)
     for pi, rings in enumerate(polyset.rings):
@@ -183,17 +213,16 @@ def rasterize_mask(
             continue
         sub = grid.subset(win)
         cx, cy = sub.xy()
-        if all_touched:
-            half_w = grid.cell_width / 2.0
-            half_h = -grid.cell_height / 2.0
-            inside = (
-                (cx + half_w >= box[0])
-                & (cx - half_w <= box[2])
-                & (cy + half_h >= box[1])
-                & (cy - half_h <= box[3])
-            ).ravel()
-        else:
-            inside = point_in_rings(cx.ravel(), cy.ravel(), rings)
+        inside = point_in_rings(cx.ravel(), cy.ravel(), rings)
         rs, cs = win.toslices()
         mask[rs, cs] |= inside.reshape(sub.shape)
+        if all_touched:
+            for ring in rings:
+                xs, ys = ring[:, 0], ring[:, 1]
+                if xs[0] != xs[-1] or ys[0] != ys[-1]:
+                    xs = np.append(xs, xs[0])
+                    ys = np.append(ys, ys[0])
+                for k in range(len(xs) - 1):
+                    rr, cc = segment_cells(grid, xs[k], ys[k], xs[k + 1], ys[k + 1])
+                    mask[rr, cc] = True
     return ~mask if invert else mask
