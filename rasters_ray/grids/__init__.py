@@ -2,6 +2,7 @@ from .affine import Affine
 from .gridspec import GridSpec, OutOfBoundsError, Window
 from .swath import SwathSpec
 from . import bbox, cellkey
+from .wrapgeom import buffered_points_to_polygons, point_buffer, wrap_geometry
 
 __all__ = [
     "Affine",
@@ -11,4 +12,7 @@ __all__ = [
     "SwathSpec",
     "bbox",
     "cellkey",
+    "point_buffer",
+    "buffered_points_to_polygons",
+    "wrap_geometry",
 ]

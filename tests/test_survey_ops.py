@@ -187,3 +187,69 @@ def test_knn_spill_reload(tmp_path):
     r2 = KNNResampler(spill_dir=str(tmp_path))
     out2 = r2.resample(RAMP, swath, SRC)
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_point_buffer_circle():
+    from rasters_ray.grids import point_buffer
+
+    ring = point_buffer(10.0, 20.0, 2.0, quadsegs=8)
+    assert len(ring) == 4 * 8 + 1
+    assert ring[0] == ring[-1]
+    pts = np.array([[p["x"], p["y"]] for p in ring[:-1]])
+    np.testing.assert_allclose(np.hypot(pts[:, 0] - 10.0, pts[:, 1] - 20.0), 2.0)
+    with pytest.raises(ValueError):
+        point_buffer(0, 0, -1.0)
+
+
+def test_buffered_points_feed_rasterize():
+    import pyarrow as pa
+
+    from rasters_ray.grids import buffered_points_to_polygons
+    from rasters_ray.stages.pip import rasterize_mask
+
+    pts = pa.table(
+        {
+            "point_id": pa.array(["a"]),
+            "x": pa.array([-119.5]),
+            "y": pa.array([39.5]),
+        }
+    )
+    polys = buffered_points_to_polygons(pts, distance=0.1, quadsegs=16)
+    g = GridSpec("EPSG:4326", -120.0, 40.0, 0.01, -0.01, 100, 100)
+    mask = rasterize_mask(g, polys)
+    # ~pi * (0.1/0.01)^2 = ~314 cells
+    assert 280 <= mask.sum() <= 330
+    rows, cols = np.where(mask)
+    assert abs(rows.mean() - 49.5) < 1 and abs(cols.mean() - 49.5) < 1
+
+
+def test_wrap_geometry_dispatch():
+    import pyarrow as pa
+
+    from rasters_ray.grids import wrap_geometry
+
+    # passthrough
+    assert wrap_geometry(None) is None
+    assert wrap_geometry(SRC) is SRC
+    t = pa.table({"point_id": pa.array(["p"]), "x": pa.array([1.0]), "y": pa.array([2.0])})
+    assert wrap_geometry(t) is t
+    # grid dict
+    g = wrap_geometry({k: v for k, v in SRC.to_dict().items() if k != "type"})
+    assert isinstance(g, GridSpec) and g.x_origin == SRC.x_origin
+    # bbox tuple
+    kind, box = wrap_geometry((-1.0, -2.0, 3.0, 4.0))
+    assert kind == "bbox" and box == (-1.0, -2.0, 3.0, 4.0)
+    # xy pair and pair list
+    p = wrap_geometry((1.5, 2.5))
+    assert p.num_rows == 1 and p.column("x")[0].as_py() == 1.5
+    mp = wrap_geometry([(0.0, 0.0), (1.0, 1.0)])
+    assert mp.num_rows == 2
+    # GeoJSON string: polygon
+    gj = '{"type": "Polygon", "coordinates": [[[0,0],[1,0],[1,1],[0,0]]]}'
+    poly = wrap_geometry(gj)
+    assert poly.column_names == ["poly_id", "rings"] and poly.num_rows == 1
+    # GeoJSON mapping: multipoint
+    mp2 = wrap_geometry({"type": "MultiPoint", "coordinates": [[5, 6], [7, 8]]})
+    assert mp2.num_rows == 2 and mp2.column("y")[1].as_py() == 8.0
+    with pytest.raises(ValueError):
+        wrap_geometry(object())
