@@ -302,6 +302,43 @@ def q_resample_max(sf_dir: str):
     return _q_resample_reduction(sf_dir, "max")
 
 
+def q_warp_bands(sf_dir: str):
+    """3-band stack (band b pixels = (7r+13c+31b) % 251, from image 0) run
+    through the banded warp with the 'sum' reduction (aligned 2x) —
+    per-band block sums, exploded (band, r, c, value)."""
+    from rasters_ray import codec as _codec
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.stages.resample import warp_array
+
+    target = GridSpec("EPSG:4326", QX0, QY0, 0.02, -0.02, 50, 50)
+
+    def f(t: pa.Table) -> pa.Table:
+        out = []
+        for i in range(t.num_rows):
+            arr = _codec.decode(t.column("bytes")[i].as_py(), t.column("fmt")[i].as_py())
+            stack = np.stack([(arr + 31.0 * b) % 251.0 for b in range(3)])
+            src = GridSpec.from_dict(t.column("grid")[i].as_py())
+            warped = warp_array(stack, src, target, "sum")
+            b, r, c = np.meshgrid(
+                np.arange(3), np.arange(50), np.arange(50), indexing="ij"
+            )
+            out.append(
+                pa.table(
+                    {
+                        "band": pa.array(b.ravel(), pa.int64()),
+                        "r": pa.array(r.ravel(), pa.int64()),
+                        "c": pa.array(c.ravel(), pa.int64()),
+                        "value": pa.array(
+                            np.rint(warped.ravel()).astype(np.int64), pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    return _images_ds(sf_dir, 1).map_batches(f, batch_format="pyarrow")
+
+
 def q_knn_resample(sf_dir: str):
     """Same shifted 2x-downscale as resample_nearest but through the kNN
     actor path (GridNNIndex) — identical result, different engine."""
@@ -824,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_nearest": q_resample_nearest,
         "resample_sum": q_resample_sum,
         "resample_max": q_resample_max,
+        "warp_bands": q_warp_bands,
         "knn_resample": q_knn_resample,
         "window_buffer": q_window_buffer,
         "pixel_centroids": q_pixel_centroids,
@@ -1034,6 +1072,16 @@ WITH px AS (
 )
 SELECT sr // 2 AS r, sc // 2 AS c, MAX(value) AS value
 FROM px GROUP BY sr // 2, sc // 2
+"""
+
+    sql["warp_bands"] = """
+WITH px AS (
+  SELECT b.range AS band, r.range AS sr, c.range AS sc,
+         (r.range * 7 + c.range * 13 + b.range * 31) % 251 AS value
+  FROM range(3) b, range(100) r, range(100) c
+)
+SELECT band, sr // 2 AS r, sc // 2 AS c, CAST(SUM(value) AS BIGINT) AS value
+FROM px GROUP BY band, sr // 2, sc // 2
 """
 
     # kNN path produces the identical shifted-downscale result

@@ -68,6 +68,11 @@ def partial_lattice_sums(batch: pa.Table, cell_size: float) -> pa.Table:
     for i in range(batch.num_rows):
         grid = GridSpec.from_dict(grids[i])
         arr = codec.decode(blobs[i], fmts[i]).astype(np.float64)
+        if arr.ndim != 2:
+            raise ValueError(
+                "lattice merge combiners are per-band: route band stacks "
+                "through composite_cells or split bands first"
+            )
         gx, gy = lattice_indices(grid, cell_size)
         gxm, gym = np.meshgrid(gx, gy)
         valid = np.isfinite(arr)
@@ -126,6 +131,11 @@ def partial_lattice_first(batch: pa.Table, cell_size: float, order_col: str = "o
         from .. import codec as _codec
 
         arr = _codec.decode(blobs[i], fmts[i]).astype(np.float64)
+        if arr.ndim != 2:
+            raise ValueError(
+                "lattice mosaic combiner is per-band: route band stacks "
+                "through composite_cells or split bands first"
+            )
         gx, gy = lattice_indices(grid, cell_size)
         gxm, gym = np.meshgrid(gx, gy)
         valid = np.isfinite(arr)
@@ -228,12 +238,15 @@ def _cell_lattice_grid(cid: int, cell_size: float) -> GridSpec:
 def _accumulate_group(
     group: pa.Table, cell_size: float, mode: str, order_col: Optional[str]
 ) -> tuple:
-    """Shared accumulation: returns (cid, target_grid, sum, cnt, overlay)."""
+    """Shared accumulation: returns (cid, target_grid, sum, cnt, overlay,
+    squeeze). Tiles may be 2D ``(rows, cols)`` or 3D ``(bands, rows,
+    cols)`` stacks (multi_raster.py:21-105); band counts must agree within
+    a cell. Accumulators are (bands, rows, cols); ``squeeze`` says the
+    inputs were 2D so the composite should stay 2D."""
     cid = int(group.column("cell_key")[0].as_py())
     target = _cell_lattice_grid(cid, cell_size)
-    ssum = np.zeros(target.shape, dtype=np.float64)
-    cnt = np.zeros(target.shape, dtype=np.int64)
-    overlay = np.full(target.shape, np.nan)
+    ssum = cnt = overlay = None
+    squeeze = True
 
     idx = np.arange(group.num_rows)
     if order_col is not None and order_col in group.column_names:
@@ -246,6 +259,19 @@ def _accumulate_group(
     for i in idx:
         g = GridSpec.from_dict(grids[i])
         arr = codec.decode(blobs[i], fmts[i]).astype(np.float64)
+        if arr.ndim == 2:
+            arr = arr[None]
+        else:
+            squeeze = False
+        if ssum is None:
+            bands = arr.shape[0]
+            ssum = np.zeros((bands,) + tuple(target.shape), dtype=np.float64)
+            cnt = np.zeros((bands,) + tuple(target.shape), dtype=np.int64)
+            overlay = np.full((bands,) + tuple(target.shape), np.nan)
+        elif arr.shape[0] != ssum.shape[0]:
+            raise ValueError(
+                f"band-count mismatch in cell {cid}: {arr.shape[0]} vs {ssum.shape[0]}"
+            )
         # offsets of this tile on the cell lattice
         c0 = int(np.rint((g.x_origin - target.x_origin) / cell_size))
         r0 = int(np.rint((target.y_origin - g.y_origin) / cell_size))
@@ -254,9 +280,9 @@ def _accumulate_group(
         rr0, cc0 = max(r0, 0), max(c0, 0)
         if rr0 >= r1 or cc0 >= c1:
             continue
-        sub = arr[rr0 - r0 : r1 - r0, cc0 - c0 : c1 - c0]
+        sub = arr[:, rr0 - r0 : r1 - r0, cc0 - c0 : c1 - c0]
         valid = np.isfinite(sub)
-        tgt = (slice(rr0, r1), slice(cc0, c1))
+        tgt = (slice(None), slice(rr0, r1), slice(cc0, c1))
         ssum[tgt][valid] += sub[valid]
         cnt[tgt][valid] += 1
         if mode == "mosaic_first":
@@ -264,19 +290,27 @@ def _accumulate_group(
             overlay[tgt][hole] = sub[hole]
         elif mode == "merge_last":
             overlay[tgt][valid] = sub[valid]
-    return cid, target, ssum, cnt, overlay
+    if ssum is None:
+        ssum = np.zeros((1,) + tuple(target.shape), dtype=np.float64)
+        cnt = np.zeros((1,) + tuple(target.shape), dtype=np.int64)
+        overlay = np.full((1,) + tuple(target.shape), np.nan)
+    return cid, target, ssum, cnt, overlay, squeeze
 
 
 def composite_group(
     group: pa.Table, cell_size: float, mode: str = "merge_mean", order_col: Optional[str] = None
 ) -> pa.Table:
     """Per-cell composite: mode in {merge_mean, merge_last, mosaic_first}."""
-    cid, target, ssum, cnt, overlay = _accumulate_group(group, cell_size, mode, order_col)
+    cid, target, ssum, cnt, overlay, squeeze = _accumulate_group(
+        group, cell_size, mode, order_col
+    )
     if mode == "merge_mean":
         with np.errstate(invalid="ignore", divide="ignore"):
             out = np.where(cnt > 0, ssum / np.maximum(cnt, 1), np.nan)
     else:
         out = overlay
+    if squeeze:
+        out = out[0]
     return pa.Table.from_pydict(
         {
             "cell_key": pa.array([cid], pa.int64()),
@@ -379,7 +413,9 @@ def composite_cells(
         return t.append_column("salt", pa.array(hv, pa.int64()))
 
     def partial_group(g: pa.Table) -> pa.Table:
-        cid, target, ssum, cnt, _ = _accumulate_group(g, cell_size, "merge_mean", None)
+        cid, target, ssum, cnt, _, squeeze = _accumulate_group(g, cell_size, "merge_mean", None)
+        if squeeze:
+            ssum, cnt = ssum[0], cnt[0]
         return pa.table(
             {
                 "cell_key": pa.array([cid], pa.int64()),
@@ -396,13 +432,20 @@ def composite_cells(
     def final_group(g: pa.Table) -> pa.Table:
         cid = int(g.column("cell_key")[0].as_py())
         target = _cell_lattice_grid(cid, cell_size)
-        ssum = np.zeros(target.shape, dtype=np.float64)
-        cnt = np.zeros(target.shape, dtype=np.int64)
+        ssum = cnt = None  # shape follows the partials (2D or banded 3D)
         n = 0
         for i in range(g.num_rows):
-            ssum += codec.decode(g.column("psum")[i].as_py(), "npy")
-            cnt += codec.decode(g.column("pcnt")[i].as_py(), "npy")
+            ps = codec.decode(g.column("psum")[i].as_py(), "npy")
+            pc = codec.decode(g.column("pcnt")[i].as_py(), "npy")
+            if ssum is None:
+                ssum = np.zeros_like(ps, dtype=np.float64)
+                cnt = np.zeros_like(pc, dtype=np.int64)
+            ssum += ps
+            cnt += pc
             n += int(g.column("n_images")[i].as_py())
+        if ssum is None:
+            ssum = np.zeros(target.shape, dtype=np.float64)
+            cnt = np.zeros(target.shape, dtype=np.int64)
         with np.errstate(invalid="ignore", divide="ignore"):
             out = np.where(cnt > 0, ssum / np.maximum(cnt, 1), np.nan)
         return pa.Table.from_pydict(

@@ -90,7 +90,7 @@ def make_tiles(batch: pa.Table, level: int, decode_pixels: bool = True) -> pa.Ta
             sub = grid.subset(win)
             if decode_pixels:
                 rs, cs = win.toslices()
-                tile_px = arr[rs, cs]
+                tile_px = arr[..., rs, cs]  # 2D or (bands, rows, cols) stacks
                 blob = codec.encode(tile_px, fmts[i])
             else:
                 blob = b""

@@ -165,3 +165,83 @@ def test_mosaic_first_valid_wins(ray_session):
     arr2 = codec.decode(out2.column("bytes")[0].as_py(), "npy")
     win2 = arr2[r0 : r0 + 10, c0 : c0 + 10]
     assert win2[0, 0] == 2.0
+
+
+def _banded_tiles_ds(ray_session, bands=3, n=4):
+    """Oracle images re-encoded as (bands, rows, cols) stacks: band b adds
+    31*b mod 251 to the base pixels."""
+    import ray.data as rd
+
+    base = make_oracle_images(np.arange(n))
+
+    def bandify(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            arr = codec.decode(t.column("bytes")[i].as_py(), t.column("fmt")[i].as_py())
+            stack = np.stack([(arr + 31.0 * b) % 251.0 for b in range(bands)])
+            blobs.append(codec.encode(stack.astype(np.float32), "npy"))
+        return t.set_column(t.column_names.index("bytes"), "bytes", pa.array(blobs, pa.binary()))
+
+    return rd.from_arrow(bandify(base))
+
+
+def test_composite_cells_banded(ray_session):
+    from rasters_ray.stages import tile_images
+
+    ds = _banded_tiles_ds(ray_session)
+    tiles = tile_images(ds, level=9).materialize()
+    comp = composite_cells(tiles, 0.01, "merge_mean").to_pandas()
+    assert len(comp) >= 1
+    # banded composite equals per-band 2D composite
+    plain2d = {}
+    for b in range(3):
+        dsb = rd_from_band(ray_session, band=b)
+        tb = tile_images(dsb, level=9)
+        cb = composite_cells(tb, 0.01, "merge_mean").to_pandas().set_index("cell_key")
+        plain2d[b] = cb
+    for _, row in comp.iterrows():
+        arr = codec.decode(row["bytes"], "npy")
+        assert arr.ndim == 3 and arr.shape[0] == 3
+        for b in range(3):
+            want = codec.decode(plain2d[b].loc[row["cell_key"], "bytes"], "npy")
+            np.testing.assert_allclose(arr[b], want, equal_nan=True, rtol=1e-6)
+
+
+def rd_from_band(ray_session, band: int, n=4):
+    import ray.data as rd
+
+    base = make_oracle_images(np.arange(n))
+
+    def shift(t: pa.Table) -> pa.Table:
+        blobs = []
+        for i in range(t.num_rows):
+            arr = codec.decode(t.column("bytes")[i].as_py(), t.column("fmt")[i].as_py())
+            blobs.append(codec.encode(((arr + 31.0 * band) % 251.0).astype(np.float32), "npy"))
+        return t.set_column(t.column_names.index("bytes"), "bytes", pa.array(blobs, pa.binary()))
+
+    return rd.from_arrow(shift(base))
+
+
+def test_composite_salted_banded_equals_plain(ray_session):
+    from rasters_ray.stages import tile_images
+
+    ds = _banded_tiles_ds(ray_session)
+    tiles = tile_images(ds, level=9).materialize()
+    plain = composite_cells(tiles, 0.01, "merge_mean").to_pandas()
+    salted = composite_cells(tiles, 0.01, "merge_mean", salt=3).to_pandas()
+    p = plain.sort_values("cell_key").reset_index(drop=True)
+    s = salted.sort_values("cell_key").reset_index(drop=True)
+    assert len(p) == len(s)
+    for i in range(len(p)):
+        np.testing.assert_allclose(
+            codec.decode(p["bytes"][i], "npy"),
+            codec.decode(s["bytes"][i], "npy"),
+            equal_nan=True,
+            rtol=1e-6,
+        )
+
+
+def test_lattice_combiner_rejects_bands(ray_session):
+    ds = _banded_tiles_ds(ray_session, n=2)
+    with pytest.raises(Exception):
+        merge_mean_lattice(ds, 0.01).to_pandas()
