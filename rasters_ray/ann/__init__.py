@@ -1,3 +1,3 @@
-from .search import BruteForceTopK, LSHBuckets, cosine_topk, lsh_topk
+from .search import BruteForceTopK, LSHBuckets, cosine_topk, lsh_topk, recall_at_k
 
-__all__ = ["BruteForceTopK", "LSHBuckets", "cosine_topk", "lsh_topk"]
+__all__ = ["BruteForceTopK", "LSHBuckets", "cosine_topk", "lsh_topk", "recall_at_k"]

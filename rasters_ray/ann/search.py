@@ -120,20 +120,57 @@ def cosine_topk(
 
 
 class LSHBuckets:
-    """map_batches stage: add a random-hyperplane LSH bucket column."""
+    """map_batches stage: add random-hyperplane LSH bucket column(s) —
+    one per hash table (``lsh_bucket``, ``lsh_bucket_1``, ...). Multiple
+    independent tables are the OR-amplification lever: a true neighbor is
+    missed only if it splits from the query in EVERY table."""
 
-    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42, col: str = "embedding"):
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42,
+                 col: str = "embedding", n_tables: int = 1):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.planes = [
+            rng.standard_normal((dim, n_planes)).astype(np.float32)
+            for _ in range(n_tables)
+        ]
         self.col = col
+
+    @staticmethod
+    def table_col(t: int) -> str:
+        return "lsh_bucket" if t == 0 else f"lsh_bucket_{t}"
+
+    def hash_matrix(self, m: np.ndarray, t: int) -> np.ndarray:
+        bits = (m @ self.planes[t]) > 0  # (n, p)
+        bucket = np.zeros(m.shape[0], dtype=np.int64)
+        for j in range(self.planes[t].shape[1]):
+            bucket |= bits[:, j].astype(np.int64) << j
+        return bucket
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, self.col)
-        bits = (m @ self.planes) > 0  # (n, p)
-        bucket = np.zeros(m.shape[0], dtype=np.int64)
-        for j in range(self.planes.shape[1]):
-            bucket |= bits[:, j].astype(np.int64) << j
-        return batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
+        for t in range(len(self.planes)):
+            batch = batch.append_column(
+                self.table_col(t), pa.array(self.hash_matrix(m, t), pa.int64())
+            )
+        return batch
+
+
+def _multiprobe_buckets(buckets: np.ndarray, n_planes: int, hamming: int) -> set:
+    """Union of all buckets within Hamming distance <= ``hamming`` of each
+    query bucket (standard multiprobe LSH: the nearest alternative buckets
+    are the ones with few sign flips)."""
+    from itertools import combinations
+
+    wanted = set(int(b) for b in buckets)
+    if hamming <= 0:
+        return wanted
+    flips: List[int] = []
+    for r in range(1, hamming + 1):
+        for idxs in combinations(range(n_planes), r):
+            m = 0
+            for j in idxs:
+                m |= 1 << j
+            flips.append(m)
+    return {b ^ m for b in list(wanted) for m in flips} | wanted
 
 
 def lsh_topk(
@@ -145,23 +182,55 @@ def lsh_topk(
     id_col: str = "vec_id",
     col: str = "embedding",
     seed: int = 42,
+    multiprobe: int = 1,
+    n_tables: int = 2,
 ) -> pa.Table:
-    """Approximate top-k: probe only the buckets the queries hash into.
-    Recall < 1 by construction; n_planes trades recall for candidate count."""
+    """Approximate top-k with two recall levers on top of single-bucket LSH:
+
+    - ``multiprobe``: probe all buckets within Hamming distance m of the
+      query bucket (sum_{r<=m} C(p, r) buckets per query per table);
+    - ``n_tables``: OR across independent hash tables — a candidate is
+      kept if ANY table co-buckets it with a probed bucket.
+
+    Candidates are exact-reranked by ``cosine_topk``; recall is measured
+    by ``recall_at_k`` (asserted >= 0.9 in tests, reported in bench)."""
     queries = np.asarray(queries, dtype=np.float32)
     if dim is None:
         dim = queries.shape[1]
-    stage = LSHBuckets(dim, n_planes, seed, col)
+    stage = LSHBuckets(dim, n_planes, seed, col, n_tables=n_tables)
     bucketed = embeddings_ds.map_batches(stage, batch_format="pyarrow")
-    qbits = (queries @ stage.planes) > 0
-    qbuckets = np.zeros(queries.shape[0], dtype=np.int64)
-    for j in range(n_planes):
-        qbuckets |= qbits[:, j].astype(np.int64) << j
-    wanted = set(qbuckets.tolist())
+    wanted_per_table = []
+    for t in range(n_tables):
+        qb = stage.hash_matrix(queries, t)
+        wanted_per_table.append(
+            pa.array(list(_multiprobe_buckets(qb, n_planes, multiprobe)), pa.int64())
+        )
     import pyarrow.compute as pc
 
-    cands = bucketed.map_batches(
-        lambda t: t.filter(pc.is_in(t.column("lsh_bucket"), pa.array(list(wanted), pa.int64()))),
-        batch_format="pyarrow",
-    )
+    def filt(tb: pa.Table) -> pa.Table:
+        keep = pc.is_in(tb.column(LSHBuckets.table_col(0)), wanted_per_table[0])
+        for t in range(1, n_tables):
+            keep = pc.or_(keep, pc.is_in(tb.column(LSHBuckets.table_col(t)), wanted_per_table[t]))
+        return tb.filter(keep)
+
+    cands = bucketed.map_batches(filt, batch_format="pyarrow")
     return cosine_topk(cands, queries, k=k, id_col=id_col, col=col)
+
+
+def recall_at_k(exact: pa.Table, approx: pa.Table, k: int) -> float:
+    """Fraction of exact top-k ids the approximate result recovered,
+    averaged over queries (both tables in cosine_topk's output schema)."""
+    import collections
+
+    def groups(t: pa.Table):
+        g = collections.defaultdict(set)
+        for qi, vid in zip(t.column("query_idx").to_pylist(), t.column("vec_id").to_pylist()):
+            g[qi].add(vid)
+        return g
+
+    ge, ga = groups(exact), groups(approx)
+    if not ge:
+        return 1.0
+    inter = sum(len(ge[q] & ga.get(q, set())) for q in ge)
+    total = sum(len(ge[q]) for q in ge)
+    return inter / total if total else 1.0
