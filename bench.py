@@ -107,26 +107,38 @@ def run_bench() -> dict:
     ).count()
     log("warmup done")
 
+    # this sandbox VM shows fluctuating hypervisor steal (BASELINE.md):
+    # single runs of the byte-heavy pipelines swing several-fold, so the
+    # two headline stages are timed as the MINIMUM of BENCH_TRIALS runs
+    # (the least-interfered one) — same policy as --scaling
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+
     # q1: tiling — the flagship op (decode -> covering cells -> slice -> encode)
-    t0 = time.perf_counter()
-    tiles = tile_images(read_images(img_path), level=TILE_LEVEL, batch_size=64)
-    n_tiles = tiles.count()
-    timings["tiling"] = time.perf_counter() - t0
-    log(f"tiling: {n_tiles} tiles in {timings['tiling']:.1f}s")
+    tile_runs = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        tiles = tile_images(read_images(img_path), level=TILE_LEVEL, batch_size=64)
+        n_tiles = tiles.count()
+        tile_runs.append(time.perf_counter() - t0)
+    timings["tiling"] = min(tile_runs)
+    log(f"tiling: {n_tiles} tiles in {timings['tiling']:.1f}s (runs: {[round(s,1) for s in tile_runs]})")
 
     # q2: spatial join — broadcast point sampling through every image
     pts_tbl = pq.read_table(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
     points = oracle_points_from_keys(pts_tbl.column("c_custkey").to_numpy())
-    t0 = time.perf_counter()
-    join = sample_points(
-        read_images(img_path),
-        points,
-        level=TILE_LEVEL,
-        include_misses=False,
-    )
-    n_join = join.count()
-    timings["point_join"] = time.perf_counter() - t0
-    log(f"point_join: {n_join} rows in {timings['point_join']:.1f}s")
+    join_runs = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        join = sample_points(
+            read_images(img_path),
+            points,
+            level=TILE_LEVEL,
+            include_misses=False,
+        )
+        n_join = join.count()
+        join_runs.append(time.perf_counter() - t0)
+    timings["point_join"] = min(join_runs)
+    log(f"point_join: {n_join} rows in {timings['point_join']:.1f}s (runs: {[round(s,1) for s in join_runs]})")
 
     # q3: merge composite at TILE granularity — groupby(cell_key) shuffle of
     # encoded tiles with salting for the 30% skew cluster. Restricted to the

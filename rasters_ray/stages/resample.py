@@ -438,7 +438,15 @@ class KNNResampler:
 def utm_target_grid(grid: GridSpec, cell_size_m: float) -> GridSpec:
     """Raster.UTM / reproject convenience (raster.py:1878-1915): derive the
     local-UTM target grid covering the source footprint at a metric cell
-    size, from the footprint centroid's UTM zone (EPSG form)."""
+    size, from the footprint centroid's UTM zone (EPSG form).
+
+    DELIBERATE divergence from the reference: Raster.UTM builds its proj4
+    with local_UTM_proj4's zone = floor((lon+180)/6) — missing the +1 of
+    the standard UTM zone formula (local_UTM_proj4.py), so the reference
+    reprojects into the zone WEST of the correct one for every input. This
+    engine uses the geodetically correct EPSG zone (local_UTM_EPSG, +1
+    applied); the reference's quirk itself is still reproduced faithfully
+    by ``proj.crs.local_UTM_proj4`` for parity tests of that function."""
     from ..grids import bbox as bboxmod
     from ..proj.crs import local_UTM_EPSG
 

@@ -65,13 +65,14 @@ def make_tiles(batch: pa.Table, level: int, decode_pixels: bool = True) -> pa.Ta
     fmts = batch.column("fmt").to_pylist()
     captions = batch.column("caption").to_pylist()
     phashes = batch.column("phash").to_pylist()
-    blobs = batch.column("bytes").to_pylist() if decode_pixels else [None] * len(grids)
+    blob_col = batch.column("bytes") if decode_pixels else None
 
     for i in range(batch.num_rows):
         grid = GridSpec.from_dict(grids[i])
         bbox = grid.bbox
         cells = cellkey.covering_cells(level, bbox)
-        arr = codec.decode(blobs[i], fmts[i]) if decode_pixels else None
+        arr = None  # decoded lazily: only when some tile is a proper subset
+        raw = None
         for cid in cells:
             cxmin, cymin, cxmax, cymax = cellkey.cell_bounds(int(cid))
             # clip the cell to the image footprint, then window it
@@ -89,9 +90,26 @@ def make_tiles(batch: pa.Table, level: int, decode_pixels: bool = True) -> pa.Ta
                 continue
             sub = grid.subset(win)
             if decode_pixels:
-                rs, cs = win.toslices()
-                tile_px = arr[..., rs, cs]  # 2D or (bands, rows, cols) stacks
-                blob = codec.encode(tile_px, fmts[i])
+                if raw is None:
+                    raw = blob_col[i].as_py()
+                whole = (
+                    win.row_off == 0
+                    and win.col_off == 0
+                    and win.height == grid.rows
+                    and win.width == grid.cols
+                )
+                if whole:
+                    # the tile IS the image: pass the encoded blob through
+                    # unchanged — no decode, no re-encode, no extra
+                    # object-store bytes (the dominant tiling cost for
+                    # single-cell scenes)
+                    blob = raw
+                else:
+                    if arr is None:
+                        arr = codec.decode(raw, fmts[i])
+                    rs, cs = win.toslices()
+                    tile_px = arr[..., rs, cs]  # 2D or (bands, rows, cols)
+                    blob = codec.encode(tile_px, fmts[i])
             else:
                 blob = b""
             out["tile_id"].append(f"{cellkey.token(int(cid))}/{image_ids[i]}")

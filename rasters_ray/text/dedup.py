@@ -272,12 +272,41 @@ def minhash_near_dups(
         id_type = pa.int64()
     uniq_pairs = uniq_pairs.map_batches(
         lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    ).materialize()  # small (candidate pairs); read twice below
+
+    # semi-filter the doc side BEFORE the join shuffle: only ids that occur
+    # in some candidate pair need their text moved. The broadcast is
+    # ids-only (8 B/pair-side member, never text); at a scale where even
+    # the candidate id set outgrows the driver, drop this filter and let
+    # the full union+groupby join shuffle every text once.
+    import ray
+
+    cand_ids: set = set()
+    for b in uniq_pairs.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b.column("a").to_pylist())
+        cand_ids.update(b.column("b").to_pylist())
+    wanted_ref = ray.put(pa.array(sorted(cand_ids), id_type))
+
+    def only_candidates(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        wanted = _ray.get(wanted_ref)
+        return t.filter(pc.is_in(t.column(id_col), wanted))
+
+    # both join inputs are tiny after the semi-filter; squash their block
+    # counts so the union+groupby shuffles move a handful of blocks, not
+    # one near-empty block per upstream read task
+    docs_small = (
+        docs_ds.select_columns([id_col, text_col])
+        .map_batches(only_candidates, batch_format="pyarrow")
+        .repartition(8)
     )
+    uniq_pairs = uniq_pairs.repartition(8)
 
     pair_cols = [("a", id_type), ("b", id_type)]
-    with_a = _join_texts(uniq_pairs, docs_ds, "a", "a", id_col, text_col, pair_cols)
+    with_a = _join_texts(uniq_pairs, docs_small, "a", "a", id_col, text_col, pair_cols)
     with_ab = _join_texts(
-        with_a, docs_ds, "b", "b", id_col, text_col,
+        with_a, docs_small, "b", "b", id_col, text_col,
         pair_cols + [("text_a", pa.string())],
     )
 
