@@ -8,9 +8,13 @@ exactly (allclose is equality), satisfying the per-row invariant
 
 from __future__ import annotations
 
+import ast
 import io
+import struct
 
 import numpy as np
+
+_MAGIC = b"\x93NUMPY"
 
 
 def encode(arr: np.ndarray) -> bytes:
@@ -19,5 +23,26 @@ def encode(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def decode(data: bytes) -> np.ndarray:
-    return np.load(io.BytesIO(data), allow_pickle=False)
+def decode(data) -> np.ndarray:
+    """Zero-copy decode: parse the npy header by hand and return a
+    READ-ONLY ``np.frombuffer`` view over the payload — accepts bytes,
+    memoryview or an Arrow buffer (anything with the buffer protocol), so
+    blobs never round-trip through BytesIO copies. Callers that mutate
+    must copy (numpy raises on write otherwise)."""
+    mv = memoryview(data)
+    if bytes(mv[:6]) != _MAGIC:
+        raise ValueError("not an npy payload")
+    major = mv[6]
+    if major == 1:
+        (hlen,) = struct.unpack("<H", bytes(mv[8:10]))
+        off = 10 + hlen
+        header = bytes(mv[10:off])
+    else:
+        (hlen,) = struct.unpack("<I", bytes(mv[8:12]))
+        off = 12 + hlen
+        header = bytes(mv[12:off])
+    meta = ast.literal_eval(header.decode("latin1"))
+    dtype = np.dtype(meta["descr"])
+    shape = meta["shape"]
+    order = "F" if meta["fortran_order"] else "C"
+    return np.frombuffer(mv[off:], dtype=dtype).reshape(shape, order=order)
