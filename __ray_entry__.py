@@ -420,6 +420,54 @@ def q_pixel_centroids(sf_dir: str):
     return _images_ds(sf_dir, 1).map_batches(f, batch_format="pyarrow")
 
 
+RASTERIZE_BOX = (-119.973, 39.437, -119.211, 39.892)  # no 0.005/0.01 alignments
+
+
+def q_rasterize_box(sf_dir: str):
+    """rasterize_mask over one non-aligned box on the query grid, both
+    modes: center containment and true all_touched. SQL recomputes centers
+    (mode='center') and cell-bbox overlap (mode='touched') — for a convex
+    box, interior ∪ supercover edges == every cell the open box overlaps."""
+    from rasters_ray.stages.pip import rasterize_mask
+
+    grid = _grid()
+    xmin, ymin, xmax, ymax = RASTERIZE_BOX
+    ring = [
+        {"x": xmin, "y": ymax},
+        {"x": xmax, "y": ymax},
+        {"x": xmax, "y": ymin},
+        {"x": xmin, "y": ymin},
+        {"x": xmin, "y": ymax},
+    ]
+
+    def f(t: pa.Table) -> pa.Table:
+        from rasters_ray.sources.vectors import RING_TYPE
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        if 0 not in ids:  # emit ONCE: from the batch holding doc 0
+            return pa.table(
+                {"mode": pa.array([], pa.string()), "r": pa.array([], pa.int64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        polys = pa.table({"poly_id": pa.array(["box"]), "rings": pa.array([[ring]], RING_TYPE)})
+        out_mode, out_r, out_c = [], [], []
+        for mode, touched in (("center", False), ("touched", True)):
+            mask = rasterize_mask(grid, polys, all_touched=touched)
+            rr, cc = np.nonzero(mask)
+            out_mode.extend([mode] * len(rr))
+            out_r.extend(rr.tolist())
+            out_c.extend(cc.tolist())
+        return pa.table(
+            {
+                "mode": pa.array(out_mode, pa.string()),
+                "r": pa.array(out_r, pa.int64()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(f, batch_format="pyarrow")
+
+
 def q_antimeridian(sf_dir: str):
     """Antimeridian-crossing predicate over synthetic near-180 grids."""
     from rasters_ray.grids import GridSpec
@@ -866,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_buffer": q_window_buffer,
         "pixel_centroids": q_pixel_centroids,
         "antimeridian": q_antimeridian,
+        "rasterize_box": q_rasterize_box,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
         "trim": q_trim,
@@ -1122,6 +1171,21 @@ SELECT r.range AS r, c.range AS c,
        (-124.0e0 + 0.01e0 * 0.5e0) + 0.01e0 * c.range AS x,
        (44.0e0 + (-0.01e0) * 0.5e0) + (-0.01e0) * r.range AS y
 FROM range(100) r, range(100) c
+"""
+
+    sql["rasterize_box"] = """
+WITH cells AS (
+  SELECT r.range AS r, c.range AS c,
+         -124.0e0 + (c.range + 0.5e0) * 0.01e0 AS cx,
+         44.0e0 - (r.range + 0.5e0) * 0.01e0 AS cy
+  FROM range(800) r, range(800) c
+)
+SELECT 'center' AS mode, r, c FROM cells
+WHERE cx > -119.973e0 AND cx < -119.211e0 AND cy > 39.437e0 AND cy < 39.892e0
+UNION ALL
+SELECT 'touched' AS mode, r, c FROM cells
+WHERE cx + 0.005e0 > -119.973e0 AND cx - 0.005e0 < -119.211e0
+  AND cy + 0.005e0 > 39.437e0 AND cy - 0.005e0 < 39.892e0
 """
 
     sql["antimeridian"] = """
