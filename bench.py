@@ -183,6 +183,22 @@ def run_bench() -> dict:
     timings["ann_topk"] = time.perf_counter() - t0
     log(f"ann_topk in {timings['ann_topk']:.1f}s")
 
+    # q5b: LSH scale path — timed AND recall-checked against the exact result
+    from rasters_ray.ann import lsh_topk, recall_at_k
+
+    t0 = time.perf_counter()
+    approx = lsh_topk(
+        rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        qm,
+        k=10,
+        n_planes=8,
+        multiprobe=2,
+        n_tables=2,
+    )
+    timings["lsh_ann"] = time.perf_counter() - t0
+    lsh_recall = recall_at_k(top, approx, 10)
+    log(f"lsh_ann in {timings['lsh_ann']:.1f}s, recall@10={lsh_recall:.3f}")
+
     total = sum(timings.values())
     result = {
         "metric": "spatial_join_tiling_bench",
@@ -196,6 +212,7 @@ def run_bench() -> dict:
         "n_join_rows": int(n_join),
         "n_merge_cells": int(n_cells),
         "n_near_dup_pairs": int(n_dups),
+        "lsh_recall_at_10": round(lsh_recall, 3),
         "images_per_sec": round(N_IMAGES / timings["tiling"], 1),
     }
     ray.shutdown()
