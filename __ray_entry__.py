@@ -750,6 +750,41 @@ def q_token_stats(sf_dir: str):
     )
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Pairwise word-3-gram Jaccard over docs 0..15 — distributed
+    explode/groupby shape; DuckDB recomputes the gram sets with
+    string_split_regex + generate_series."""
+    from rasters_ray.text import ngram_jaccard_pairs
+
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 16)), batch_format="pyarrow"
+    )
+    return ngram_jaccard_pairs(docs, n=3)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-20 tokens by count via Misra-Gries sketch + recount."""
+    from rasters_ray.text import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(
+        _read(sf_dir, "documents", ["text"]), k=20, capacity=512
+    )
+
+
+def q_quality(sf_dir: str):
+    """Gopher-style quality score — SQL recomputes the same indicator
+    bands and float arithmetic."""
+    from rasters_ray.text import quality_score
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(quality_score, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["doc_id", "quality"]), batch_format="pyarrow")
+    )
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type (count/min/max are exact and
     order-independent; sums are not, so they stay out of the oracle)."""
@@ -924,6 +959,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_boxes": q_pip_boxes,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "heavy_hitters": q_heavy_hitters,
+        "quality": q_quality,
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
         # rows-only (no SQL equivalent)
@@ -1171,6 +1209,70 @@ SELECT r.range AS r, c.range AS c,
        (-124.0e0 + 0.01e0 * 0.5e0) + 0.01e0 * c.range AS x,
        (44.0e0 + (-0.01e0) * 0.5e0) + (-0.01e0) * r.range AS y
 FROM range(100) r, range(100) c
+"""
+
+    sql["ngram_jaccard"] = r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents WHERE doc_id < 16
+),
+exploded AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM docs
+),
+g AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM exploded
+),
+counts AS (SELECT doc_id, COUNT(*) AS c FROM g GROUP BY doc_id),
+inter AS (
+  SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS i
+  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+  GROUP BY ga.doc_id, gb.doc_id
+)
+SELECT ca.doc_id AS a, cb.doc_id AS b,
+       CAST(COALESCE(i.i, 0) AS DOUBLE)
+         / CAST(ca.c + cb.c - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+FROM counts ca
+JOIN counts cb ON ca.doc_id < cb.doc_id
+LEFT JOIN inter i ON i.a = ca.doc_id AND i.b = cb.doc_id
+"""
+
+    sql["heavy_hitters"] = r"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS n FROM words GROUP BY token
+ORDER BY n DESC, token LIMIT 20
+"""
+
+    sql["quality"] = r"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+              w -> list_contains(['the','and','of','a','to','in','is','it','that','for'],
+                                 lower(w)))) AS BIGINT) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok > 0
+              THEN CAST(n_chars - greatest(n_tok - 1, 0) AS DOUBLE)
+                     / CAST(greatest(n_tok, 1) AS DOUBLE)
+              ELSE 0.0e0 END AS mean_len,
+         CASE WHEN n_tok > 0
+              THEN CAST(n_stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE)
+              ELSE 0.0e0 END AS stop_ratio
+  FROM s
+)
+SELECT doc_id,
+       0.4e0 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0e0 ELSE 0.0e0 END)
+     + 0.3e0 * (CASE WHEN mean_len >= 2.0e0 AND mean_len <= 12.0e0 THEN 1.0e0 ELSE 0.0e0 END)
+     + 0.3e0 * (CASE WHEN stop_ratio >= 0.01e0 THEN 1.0e0 ELSE 0.0e0 END) AS quality
+FROM r
 """
 
     sql["rasterize_box"] = """

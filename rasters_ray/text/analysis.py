@@ -158,3 +158,116 @@ def add_fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     fps = pa.array([fingerprint64(t or "") for t in texts], pa.int64())
     keys = pa.array([content_key_md5(t or "") for t in texts], pa.string())
     return batch.append_column("fingerprint", fps).append_column("content_key", keys)
+
+
+# ---------------------------------------------------------------------------
+# heavy-hitter tokens: Misra-Gries sketch pass + exact recount pass
+# ---------------------------------------------------------------------------
+
+
+def misra_gries(tokens, capacity: int):
+    """One Misra-Gries pass: at most ``capacity`` counters; every token
+    with true frequency > N/(capacity+1) is guaranteed to survive
+    (Misra & Gries 1982 — public algorithm). Returns {token: lower_bound}."""
+    counters: dict = {}
+    decr = 0
+    for w in tokens:
+        if w in counters:
+            counters[w] += 1
+        elif len(counters) < capacity:
+            counters[w] = 1
+        else:
+            decr += 1
+            dead = [k for k, v in counters.items() if v == 1]
+            for k in counters:
+                counters[k] -= 1
+            for k in dead:
+                del counters[k]
+    return counters
+
+
+class MGSketchStage:
+    """map_batches combiner: per-batch Misra-Gries over lowercased \\S+
+    tokens -> (token, weight) candidate rows. Summing retained counts
+    across batches keeps every global heavy hitter a candidate (merged
+    MG bounds are superadditive)."""
+
+    def __init__(self, capacity: int = 512, text_col: str = "text"):
+        self.capacity = capacity
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = []
+        for t in batch.column(self.text_col).to_pylist():
+            toks.extend(w.lower() for w in _TOKEN_RE.findall(t or ""))
+        counters = misra_gries(toks, self.capacity)
+        return pa.table(
+            {
+                "token": pa.array(list(counters.keys()), pa.string()),
+                "weight": pa.array(list(counters.values()), pa.int64()),
+            }
+        )
+
+
+def heavy_hitter_tokens(
+    docs_ds,
+    k: int = 20,
+    capacity: int = 512,
+    text_col: str = "text",
+    concurrency=None,
+):
+    """EXACT top-k tokens by count via the classic two-pass scheme:
+
+    1. sketch pass: per-batch Misra-Gries combiners -> groupby(token) sum
+       of retained weights -> top ``4k`` candidate tokens (small);
+    2. recount pass: broadcast the candidate set, exact per-batch counts
+       of candidates only, groupby(token) sum -> top-k with (count desc,
+       token asc) tie-break.
+
+    Exact as long as every true top-k token survives pass 1 — guaranteed
+    when its frequency exceeds N/(capacity+1); pick ``capacity`` >> k.
+    The shuffle never carries more than candidates x batches rows."""
+    import ray
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from ..util import pool_size
+
+    sketched = docs_ds.map_batches(
+        MGSketchStage,
+        fn_constructor_kwargs={"capacity": capacity, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or pool_size(0.25),
+    )
+    merged = sketched.groupby("token").aggregate(Sum("weight", alias_name="w"))
+    cand_tbl = merged.sort("w", descending=True).limit(4 * k).to_pandas()
+    candidates = set(cand_tbl["token"])
+    cand_ref = ray.put(candidates)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cands = _ray.get(cand_ref)
+        counts: dict = {}
+        for t in batch.column(text_col).to_pylist():
+            for w in _TOKEN_RE.findall(t or ""):
+                w = w.lower()
+                if w in cands:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    exact = docs_ds.map_batches(recount, batch_format="pyarrow").groupby("token").aggregate(
+        Sum("n", alias_name="n")
+    )
+    df = exact.to_pandas().sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "token": pa.array(df["token"].tolist(), pa.string()),
+            "n": pa.array(df["n"].astype("int64").tolist(), pa.int64()),
+        }
+    )

@@ -391,3 +391,69 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# ---------------------------------------------------------------------------
+# pairwise n-gram Jaccard (the verification kernel as a first-class op)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> pa.Table:
+    """All-pairs word-n-gram Jaccard over a (small, pre-filtered) doc set.
+
+    Distributed shape mirrors the LSH pipeline: explode DISTINCT
+    (doc_id, gram_hash) rows per batch -> set sizes via groupby(doc) ->
+    co-occurrence pairs via groupby(gram) (docs per gram bounded by the
+    filtered set) -> pair intersection counts via groupby(a, b). Only the
+    O(pairs) result reaches the driver. jaccard = inter/(|A|+|B|-inter) as
+    one float64 division -> DuckDB-recomputable bit-exactly."""
+    from ray.data.aggregate import Count
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out, gram_out = [], []
+        for did, txt in zip(t.column(id_col).to_pylist(), t.column(text_col).to_pylist()):
+            for g in word_ngrams(txt or "", n):
+                ids_out.append(did)
+                gram_out.append(np.int64(g & 0x7FFFFFFFFFFFFFFF))
+        return pa.table(
+            {"doc_id": pa.array(ids_out), "gram": pa.array(gram_out, pa.int64())}
+        )
+
+    grams = docs_ds.map_batches(explode, batch_format="pyarrow")
+    sizes = grams.groupby("doc_id").aggregate(Count(alias_name="c")).to_pandas()
+
+    def co_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        if len(ids) < 2:
+            e = group.column("doc_id").slice(0, 0)
+            return pa.table({"a": e, "b": e})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        arr = np.asarray(ids)
+        return pa.table({"a": pa.array(arr[ii]), "b": pa.array(arr[jj])})
+
+    inter = (
+        grams.groupby("gram")
+        .map_groups(co_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="i"))
+        .to_pandas()
+    )
+    csize = dict(zip(sizes["doc_id"], sizes["c"]))
+    imap = {(r.a, r.b): r.i for r in inter.itertuples()}
+    ids = sorted(csize)
+    out_a, out_b, out_j = [], [], []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            i = imap.get((a, b), 0)
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(float(i) / (csize[a] + csize[b] - i))
+    return pa.table(
+        {
+            "a": pa.array(out_a),
+            "b": pa.array(out_b),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )

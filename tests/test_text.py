@@ -160,3 +160,65 @@ def test_simhash_batch_matches_expected_bits():
     assert out[1] == 0
     # deterministic across calls (memoized token hashes)
     np.testing.assert_array_equal(out, simhash_batch(texts))
+
+
+def test_misra_gries_guarantee():
+    from rasters_ray.text import misra_gries
+
+    # any token with freq > N/(capacity+1) must survive
+    toks = ["hot"] * 60 + [f"t{i}" for i in range(300)]
+    got = misra_gries(toks, capacity=8)
+    assert "hot" in got
+    assert len(got) <= 8
+    assert got["hot"] <= 60  # lower bound
+
+
+def test_heavy_hitter_tokens_exact(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from rasters_ray.text import heavy_hitter_tokens
+    from rasters_ray.text.analysis import _TOKEN_RE
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    weights = 1.0 / (np.arange(200) + 1.0)  # zipf-ish
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, p=weights, size=80)) for _ in range(50)
+    ]
+    docs = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(4)
+    got = heavy_hitter_tokens(docs, k=10, capacity=64)
+    counter = collections.Counter(
+        w.lower() for t in texts for w in _TOKEN_RE.findall(t)
+    )
+    want = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got.column("token").to_pylist(), got.column("n").to_pylist())) == want
+
+
+def test_ngram_jaccard_pairs(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.text import jaccard, ngram_jaccard_pairs, word_ngrams
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",
+        1: "alpha beta gamma delta epsilon eta",
+        2: "one two three four five six seven",
+    }
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values())),
+            }
+        )
+    )
+    out = ngram_jaccard_pairs(docs, n=3).to_pandas().set_index(["a", "b"])
+    assert len(out) == 3
+    for a in texts:
+        for b in texts:
+            if a < b:
+                want = jaccard(word_ngrams(texts[a]), word_ngrams(texts[b]))
+                assert out.loc[(a, b), "jaccard"] == want
