@@ -785,6 +785,36 @@ def q_quality(sf_dir: str):
     )
 
 
+def q_multimodal_decode(sf_dir: str):
+    """ImageDecodeStage over 8 oracle images: per-image shape + exact
+    float mean (int sum / 10000) — the multimodal decode plumbing with a
+    value oracle instead of pytest-only coverage."""
+    from rasters_ray.multimodal import ImageDecodeStage
+
+    return (
+        _images_ds(sf_dir, 8)
+        .map_batches(ImageDecodeStage, batch_format="pyarrow", concurrency=2)
+        .map_batches(
+            lambda t: t.select(["image_id", "dec_h", "dec_w", "dec_mean"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_multimodal_resize(sf_dir: str):
+    """ImageResizeStage (nearest, index map (r*h)//out) 100 -> 32 over
+    image 0, exploded to (r, c, value) int rows for the SQL oracle."""
+    from rasters_ray.multimodal import ImageResizeStage
+
+    resized = _images_ds(sf_dir, 1).map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"out_h": 32, "out_w": 32},
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    return _explode_rc_value(resized)
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type (count/min/max are exact and
     order-independent; sums are not, so they stay out of the oracle)."""
@@ -962,6 +992,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "heavy_hitters": q_heavy_hitters,
         "quality": q_quality,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
         # rows-only (no SQL equivalent)
@@ -1273,6 +1305,24 @@ SELECT doc_id,
      + 0.3e0 * (CASE WHEN mean_len >= 2.0e0 AND mean_len <= 12.0e0 THEN 1.0e0 ELSE 0.0e0 END)
      + 0.3e0 * (CASE WHEN stop_ratio >= 0.01e0 THEN 1.0e0 ELSE 0.0e0 END) AS quality
 FROM r
+"""
+
+    sql["multimodal_decode"] = f"""
+WITH {_IMGS_CTE.format(n=8).strip()},
+px AS (
+  SELECT d, (d * 31 + r.range * 7 + c.range * 13) % 251 AS value
+  FROM imgs, range(100) r, range(100) c
+)
+SELECT printf('img%08d', d) AS image_id,
+       100 AS dec_h, 100 AS dec_w,
+       CAST(SUM(value) AS DOUBLE) / 10000.0e0 AS dec_mean
+FROM px GROUP BY d
+"""
+
+    sql["multimodal_resize"] = """
+SELECT r.range AS r, c.range AS c,
+       (((r.range * 100) // 32) * 7 + ((c.range * 100) // 32) * 13) % 251 AS value
+FROM range(32) r, range(32) c
 """
 
     sql["rasterize_box"] = """
