@@ -35,11 +35,32 @@ def _stable_u64(s: str) -> int:
     return struct.unpack("<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest())[0]
 
 
-def char_shingles(text: str, k: int = 5) -> Set[int]:
+_SHINGLE_B = np.uint64(1099511628211)  # FNV prime as the window-poly base
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Unique uint64 hashes of the k-byte shingle windows of the
+    normalized text — fully vectorized (k Horner steps over the whole
+    byte array instead of one digest per window). Equal windows hash
+    equal, distinct windows collide with ~2^-64 probability, so Jaccard
+    and minhash over these hashes match the string-set semantics."""
     t = " ".join(_WORD_RE.findall(text.lower()))
-    if len(t) < k:
-        return {_stable_u64(t)} if t else set()
-    return {_stable_u64(t[i : i + k]) for i in range(len(t) - k + 1)}
+    if not t:
+        return np.empty(0, dtype=np.uint64)
+    raw = t.encode("utf-8")
+    b = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+    n = len(b) - k + 1
+    if n < 1:  # shorter than one window: hash the whole string
+        n = 1
+        k = len(b)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = h * _SHINGLE_B + b[j : j + n]
+    return np.unique(h)
+
+
+def char_shingles(text: str, k: int = 5) -> Set[int]:
+    return set(char_shingle_hashes(text, k).tolist())
 
 
 def word_ngrams(text: str, n: int = 3) -> Set[int]:
@@ -66,26 +87,30 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
-    def signature(self, shingles: Set[int]) -> np.ndarray:
-        if not shingles:
+    @staticmethod
+    def _as_array(shingles) -> np.ndarray:
+        if isinstance(shingles, np.ndarray):
+            return shingles
+        return np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+
+    def signature(self, shingles) -> np.ndarray:
+        if len(shingles) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+        x = self._as_array(shingles)
         # one (num_perm, n) broadcast instead of a python loop over perms
         return (self.a[:, None] * x[None, :] + self.b[:, None]).min(axis=1)
 
-    def signatures(self, shingle_sets: List[Set[int]]) -> np.ndarray:
-        """Batch form: (n_docs, num_perm) — shingles of the whole batch are
-        concatenated once and reduced per doc with np.minimum.reduceat, so
-        the only per-doc python work is building the shingle set itself."""
+    def signatures(self, shingle_sets) -> np.ndarray:
+        """Batch form: (n_docs, num_perm) — shingle sets/arrays of the
+        whole batch are concatenated once and reduced per doc with
+        np.minimum.reduceat, so no per-doc python remains in the hash."""
         n = len(shingle_sets)
         out = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
         nz = np.flatnonzero(lens)
         if len(nz) == 0:
             return out
-        x = np.concatenate(
-            [np.fromiter(shingle_sets[i], dtype=np.uint64, count=lens[i]) for i in nz]
-        )
+        x = np.concatenate([self._as_array(shingle_sets[i]) for i in nz])
         starts = np.zeros(len(nz), dtype=np.int64)
         np.cumsum(lens[nz][:-1], out=starts[1:])
         for p in range(self.num_perm):  # num_perm passes, each fully vectorized
@@ -130,7 +155,7 @@ def minhash_band_table(
     hasher = MinHasher(num_perm)
     ids = batch.column(id_col)
     texts = batch.column(text_col).to_pylist()
-    sigs = hasher.signatures([char_shingles(t or "", shingle_k) for t in texts])
+    sigs = hasher.signatures([char_shingle_hashes(t or "", shingle_k) for t in texts])
     bh = band_hashes(sigs, bands)  # (n, bands)
     n = len(texts)
     idx = np.repeat(np.arange(n), bands)
@@ -300,6 +325,8 @@ def minhash_near_dups(
         docs_ds.select_columns([id_col, text_col])
         .map_batches(only_candidates, batch_format="pyarrow")
         .repartition(8)
+        .materialize()  # tiny (candidate texts); read by BOTH join sides —
+        # without this the full doc scan + filter would re-execute per side
     )
     uniq_pairs = uniq_pairs.repartition(8)
 
