@@ -926,6 +926,17 @@ def q_transform_utm(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_phash_near(sf_dir: str):
+    """Hamming-ball pHash near-dup join (multi-index pigeonhole bucketing
+    + vectorized popcount verify) over the seeded fixture images —
+    rows-only (phash is not SQL-derivable)."""
+    from rasters_ray.sources import images_dataset
+    from rasters_ray.text import hamming_near_dups
+
+    imgs = images_dataset(256, profile="fixtures").select_columns(["image_id", "phash"])
+    return hamming_near_dups(imgs, max_dist=6, bands=8)
+
+
 def q_phash_dups(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1003,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "transform_utm": q_transform_utm,
         "phash_dups": q_phash_dups,
+        "phash_near": q_phash_near,
         "idw_sample": q_idw_sample,
         "lsh_ann": q_lsh_ann,
     }

@@ -484,3 +484,106 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
             "jaccard": pa.array(out_j, pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamming-ball near-dup join over 64-bit hashes (pHash / simhash)
+# ---------------------------------------------------------------------------
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of an int64/uint64 array (SWAR, public bit trick)."""
+    v = x.astype(np.uint64)
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + ((v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((v * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def hamming_near_dups(
+    ds,
+    hash_col: str = "phash",
+    id_col: str = "image_id",
+    max_dist: int = 6,
+    bands: int = 8,
+    cap: int = HOT_BUCKET_CAP,
+):
+    """Pairs of rows whose 64-bit hashes are within ``max_dist`` Hamming
+    bits — the image near-dedup analog of MinHash (multi-index hashing /
+    pigeonhole: a pair within distance d < bands must agree EXACTLY on at
+    least one of the ``bands`` bit-slices, so bucketing by each slice
+    finds every such pair). Shape: explode (band, slice_value) rows ->
+    groupby bucket -> capped candidate pairs -> distinct -> vectorized
+    popcount verify. Requires max_dist < bands (raises otherwise)."""
+    if max_dist >= bands:
+        raise ValueError(f"pigeonhole needs max_dist < bands ({max_dist} >= {bands})")
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    from ray.data.aggregate import Count
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = t.column(hash_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col)
+        n = len(h)
+        idx = np.repeat(np.arange(n), bands)
+        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        vals = (h.astype(np.uint64)[:, None] >> (np.arange(bands, dtype=np.uint64) * np.uint64(width)))
+        vals = (vals & np.uint64(mask)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": ids.take(pa.array(idx)),
+                "hash": pa.array(np.repeat(h, bands), pa.int64()),
+                "band_id": pa.array(band_id, pa.int64()),
+                "band_val": pa.array(vals.ravel(), pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        hs = group.column("hash").to_pylist()
+        uniq = sorted(set(zip(ids, hs)))
+        n = len(uniq)
+        if n < 2:
+            e = group.column("doc_id").slice(0, 0)
+            eh = group.column("hash").slice(0, 0)
+            return pa.table({"a": e, "b": e, "ha": eh, "hb": eh})
+        if n > cap:
+            pairs = [(uniq[0], u) for u in uniq[1:]]  # star to smallest
+        else:
+            pairs = [(uniq[i], uniq[j]) for i in range(n) for j in range(i + 1, n)]
+        return pa.table(
+            {
+                "a": pa.array([p[0][0] for p in pairs]),
+                "b": pa.array([p[1][0] for p in pairs]),
+                "ha": pa.array([p[0][1] for p in pairs], pa.int64()),
+                "hb": pa.array([p[1][1] for p in pairs], pa.int64()),
+            }
+        )
+
+    def verify(t: pa.Table) -> pa.Table:
+        ha = t.column("ha").to_numpy(zero_copy_only=False).astype(np.int64)
+        hb = t.column("hb").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = _popcount64(np.bitwise_xor(ha.astype(np.uint64), hb.astype(np.uint64)))
+        keep = d <= max_dist
+        out = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "a": out.column("a"),
+                "b": out.column("b"),
+                "hamming": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Min
+
+    return (
+        exploded.groupby(["band_id", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_batches(verify, batch_format="pyarrow")
+        .groupby(["a", "b"])  # dedup pairs found by several bands
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )

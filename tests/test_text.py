@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from rasters_ray.text import (
     MinHasher,
@@ -222,3 +223,35 @@ def test_ngram_jaccard_pairs(ray_session):
             if a < b:
                 want = jaccard(word_ngrams(texts[a]), word_ngrams(texts[b]))
                 assert out.loc[(a, b), "jaccard"] == want
+
+
+def test_hamming_near_dups(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.text import hamming_near_dups
+
+    base = 0x0123456789ABCDEF
+    rows = {
+        "a0": base,
+        "a1": base ^ 0b111,            # distance 3
+        "a2": base ^ (0xF << 20),      # distance 4
+        "far": base ^ 0x00FF00FF00FF00FF,  # distance 32
+        "dup": base,                   # distance 0
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(list(rows), pa.string()),
+                "phash": pa.array([np.int64(v - (1 << 64) if v >= 1 << 63 else v) for v in rows.values()], pa.int64()),
+            }
+        )
+    )
+    out = hamming_near_dups(ds, max_dist=6).to_pandas()
+    got = {tuple(sorted((r.a, r.b))): r.hamming for r in out.itertuples()}
+    assert got[("a0", "a1")] == 3
+    assert got[("a0", "dup")] == 0
+    assert got[("a1", "dup")] == 3
+    assert got[("a0", "a2")] == 4
+    assert not any("far" in p for p in got)
+    with pytest.raises(ValueError):
+        hamming_near_dups(ds, max_dist=8, bands=8)
