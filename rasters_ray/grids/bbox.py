@@ -74,3 +74,27 @@ def buffer(box: Box, amount: float) -> Box:
 
 def intersects(a: Box, b: Box) -> bool:
     return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+def round_box(box: Box) -> Box:
+    """BBox.round (bbox.py:173-188): banker's-rounded corner coordinates
+    (python round == round-half-even, matching the reference)."""
+    return (
+        float(round(box[0])),
+        float(round(box[1])),
+        float(round(box[2])),
+        float(round(box[3])),
+    )
+
+
+def centroid(box: Box):
+    """BBox.centroid (bbox.py:227-238)."""
+    return ((box[0] + box[2]) / 2.0, (box[1] + box[3]) / 2.0)
+
+
+def width(box: Box) -> float:
+    return box[2] - box[0]
+
+
+def height(box: Box) -> float:
+    return box[3] - box[1]

@@ -295,6 +295,68 @@ class GridSpec:
         xmin, ymin, xmax, ymax = self.bbox
         return GridSpec.from_bbox((xmin, ymin, xmax, ymax), cell_size, self.crs)
 
+    def resolution(self, cell_size) -> "GridSpec":
+        """New (width, height) cell size from the same origin
+        (raster_grid.py:576-600; the reference's scalar branch calls
+        len() on a float and so only ever worked for 1/2-tuples — here a
+        scalar means square cells, which is the documented intent)."""
+        if np.isscalar(cell_size):
+            cw, ch = float(cell_size), -float(cell_size)
+        elif len(cell_size) == 1:
+            cw, ch = float(cell_size[0]), -float(cell_size[0])
+        elif len(cell_size) == 2:
+            cw, ch = float(cell_size[0]), float(cell_size[1])
+        else:
+            raise ValueError(f"invalid cell size: {cell_size}")
+        height = abs(self.cell_height) * self.rows
+        width = self.cell_width * self.cols
+        return GridSpec(
+            crs=self.crs,
+            x_origin=self.x_origin,
+            y_origin=self.y_origin,
+            cell_width=cw,
+            cell_height=ch,
+            rows=int(height / abs(ch)),
+            cols=int(width / cw),
+        )
+
+    def shift_distance(self, distance: float, direction: float) -> "GridSpec":
+        """Shift by a distance along a compass-math direction in degrees
+        (raster_grid.py:851-866: x += d*cos(dir), y += d*sin(dir))."""
+        return self.shift_xy(
+            distance * float(np.cos(np.radians(direction))),
+            distance * float(np.sin(np.radians(direction))),
+        )
+
+    @property
+    def coverage(self) -> Dict:
+        """CoverageJSON-style domain metadata (raster_grid.py:1014-1042):
+        cell-center start/stop per axis + counts."""
+        ymin = self.y_origin + self.cell_height * self.rows
+        return {
+            "type": "Coverage",
+            "domain": {
+                "type": "Domain",
+                "domainType": "Grid",
+                "axes": {
+                    "x": {
+                        "start": self.x_origin + self.cell_width / 2,
+                        "stop": self.x_origin + self.cell_width * self.cols
+                        - self.cell_width / 2,
+                        "num": self.cols,
+                    },
+                    "y": {
+                        # reference expresses y in terms of a positive
+                        # cell_height step from the bottom edge
+                        "start": ymin - self.cell_height / 2,
+                        "stop": self.y_origin + self.cell_height / 2,
+                        "num": self.rows,
+                    },
+                },
+            },
+            "referencing": [{"crs": self.crs}],
+        }
+
     @property
     def cell_size_meters(self) -> float:
         """Geographic CRS heuristic: cell_size / 180 * 40075017.0

@@ -163,3 +163,28 @@ def test_multimodal_stages(ray_session):
     ).to_pandas()
     assert len(fr) >= 2
     assert (fr.frame_idx % 2 == 0).all()
+
+
+def test_pipe_chains_udf_stages(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from rasters_ray import codec
+    from rasters_ray.pipelines import pipe, pixel_udf
+    from rasters_ray.sources.images import make_oracle_images
+
+    ds = rd.from_arrow(make_oracle_images(np.arange(3)))
+
+    class AddOne:
+        def __call__(self, batch):
+            from rasters_ray.stages.elementwise import _map_pixels
+
+            return _map_pixels(batch, lambda a: a + 1.0)
+
+    out = pipe(ds, pixel_udf(lambda a: a * 2.0), AddOne).to_pandas()
+    assert len(out) == 3
+    row = out[out.image_id == "img00000000"].iloc[0]
+    arr = codec.decode(row["bytes"], row["fmt"])
+    from rasters_ray.sources.images import oracle_pixels
+
+    np.testing.assert_allclose(arr, oracle_pixels(0) * 2.0 + 1.0)

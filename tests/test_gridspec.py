@@ -129,3 +129,46 @@ def test_index_points_vectorized_matches_scalar():
 def test_nan_points():
     rows, cols = G1.index_points([np.nan], [39.0])
     assert rows[0] == np.iinfo(np.int64).min
+
+
+def test_resolution_and_shift_distance():
+    import numpy as np
+
+    from rasters_ray.grids import GridSpec
+
+    g = GridSpec("EPSG:4326", -120.0, 40.0, 0.01, -0.01, 100, 100)
+    r = g.resolution(0.02)
+    assert (r.cell_width, r.cell_height) == (0.02, -0.02)
+    assert (r.rows, r.cols) == (50, 50)
+    assert (r.x_origin, r.y_origin) == (g.x_origin, g.y_origin)
+    r2 = g.resolution((0.02, -0.005))
+    assert (r2.rows, r2.cols) == (200, 50)
+    # shift east by 0.5: direction 0 deg
+    s = g.shift_distance(0.5, 0.0)
+    assert abs(s.x_origin - (-119.5)) < 1e-12 and abs(s.y_origin - 40.0) < 1e-12
+    # north: direction 90 deg
+    s = g.shift_distance(0.5, 90.0)
+    assert abs(s.x_origin - (-120.0)) < 1e-12 and abs(s.y_origin - 40.5) < 1e-12
+
+
+def test_coverage_dict():
+    from rasters_ray.grids import GridSpec
+
+    g = GridSpec("EPSG:4326", -120.0, 40.0, 0.01, -0.01, 100, 200)
+    c = g.coverage
+    ax = c["domain"]["axes"]
+    assert ax["x"]["num"] == 200 and ax["y"]["num"] == 100
+    assert ax["x"]["start"] == -120.0 + 0.005
+    assert ax["x"]["stop"] == -120.0 + 0.01 * 200 - 0.005
+    # y start is the bottom-center, stop the top-center (reference form)
+    assert abs(ax["y"]["start"] - (39.0 + 0.005)) < 1e-12
+    assert abs(ax["y"]["stop"] - (40.0 - 0.005)) < 1e-12
+
+
+def test_bbox_round_centroid():
+    from rasters_ray.grids import bbox as bb
+
+    assert bb.round_box((0.5, 1.5, 2.4, 3.6)) == (0.0, 2.0, 2.0, 4.0)
+    assert bb.centroid((0.0, 0.0, 4.0, 2.0)) == (2.0, 1.0)
+    assert bb.width((1.0, 0.0, 4.0, 2.0)) == 3.0
+    assert bb.height((1.0, 0.0, 4.0, 2.0)) == 2.0
