@@ -785,6 +785,17 @@ def q_quality(sf_dir: str):
     )
 
 
+def q_fill_from(sf_dir: str):
+    """mask -> fill pipeline: image 0 with value%7==0 pixels NaN'd, holes
+    filled from a shifted copy via the co-shuffle zip join
+    (raster.py:1917-1924 semantics) — exploded to int rows."""
+    from rasters_ray.stages.elementwise import apply_fn, fill_from, mask_nan
+
+    a = mask_nan(_images_ds(sf_dir, 1), lambda v: v % 7 != 0)
+    b = apply_fn(_images_ds(sf_dir, 1), lambda v: (v + 31) % 251)
+    return _explode_rc_value(fill_from(a, b))
+
+
 def q_multimodal_decode(sf_dir: str):
     """ImageDecodeStage over 8 oracle images: per-image shape + exact
     float mean (int sum / 10000) — the multimodal decode plumbing with a
@@ -1005,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
+        "fill_from": q_fill_from,
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
         # rows-only (no SQL equivalent)
@@ -1317,6 +1329,16 @@ SELECT doc_id,
      + 0.3e0 * (CASE WHEN mean_len >= 2.0e0 AND mean_len <= 12.0e0 THEN 1.0e0 ELSE 0.0e0 END)
      + 0.3e0 * (CASE WHEN stop_ratio >= 0.01e0 THEN 1.0e0 ELSE 0.0e0 END) AS quality
 FROM r
+"""
+
+    sql["fill_from"] = """
+WITH px AS (
+  SELECT r.range AS r, c.range AS c, (r.range * 7 + c.range * 13) % 251 AS base
+  FROM range(100) r, range(100) c
+)
+SELECT r, c,
+       CASE WHEN base % 7 = 0 THEN (base + 31) % 251 ELSE base END AS value
+FROM px
 """
 
     sql["multimodal_decode"] = f"""
