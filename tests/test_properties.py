@@ -1,0 +1,110 @@
+"""Property-based invariants (hypothesis) for the geometry/warp core.
+
+These pin the engine's algebraic contracts independently of the fixture
+values: center round-trips, window containment, supercover endpoints,
+reduction conservation, popcount correctness.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rasters_ray.grids import GridSpec
+
+_grids = st.builds(
+    GridSpec,
+    crs=st.just("EPSG:4326"),
+    x_origin=st.floats(-170, 160),
+    y_origin=st.floats(-70, 80),
+    cell_width=st.floats(0.001, 0.5),
+    cell_height=st.floats(-0.5, -0.001),
+    rows=st.integers(1, 60),
+    cols=st.integers(1, 60),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_grids, st.integers(0, 59), st.integers(0, 59))
+def test_index_point_center_round_trip(g, r, c):
+    r = r % g.rows
+    c = c % g.cols
+    x = g.x_origin + (c + 0.5) * g.cell_width
+    y = g.y_origin + (r + 0.5) * g.cell_height
+    rr, cc = g.index_points(np.array([x]), np.array([y]))
+    assert (int(rr[0]), int(cc[0])) == (r, c)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_grids, st.data())
+def test_window_contains_inbounds_points(g, data):
+    xmin, ymin, xmax, ymax = g.bbox
+    x0 = data.draw(st.floats(xmin, xmax))
+    x1 = data.draw(st.floats(x0, xmax))
+    y0 = data.draw(st.floats(ymin, ymax))
+    y1 = data.draw(st.floats(y0, ymax))
+    from rasters_ray.grids import OutOfBoundsError
+
+    try:
+        win = g.window((x0, y0, x1, y1))
+    except OutOfBoundsError:
+        return
+    # every interior point of the box maps inside the (clamped) window
+    for fx, fy in [(0.25, 0.25), (0.5, 0.5), (0.75, 0.75)]:
+        px = x0 + (x1 - x0) * fx
+        py = y0 + (y1 - y0) * fy
+        r, c = g.index_points(np.array([px]), np.array([py]))
+        if 0 <= r[0] < g.rows and 0 <= c[0] < g.cols:
+            assert win.row_off <= r[0] < win.row_off + win.height
+            assert win.col_off <= c[0] < win.col_off + win.width
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.floats(0.2, 9.8), st.floats(0.2, 9.8), st.floats(0.2, 9.8), st.floats(0.2, 9.8)
+)
+def test_segment_cells_contains_endpoints(x1, y1, x2, y2):
+    from rasters_ray.stages.pip import segment_cells
+
+    g = GridSpec("EPSG:4326", 0.0, 10.0, 1.0, -1.0, 10, 10)
+    rr, cc = segment_cells(g, x1, y1, x2, y2)
+    cells = set(zip(rr.tolist(), cc.tolist()))
+    for x, y in ((x1, y1), (x2, y2)):
+        r = int(np.floor((y - 10.0) / -1.0))
+        c = int(np.floor(x))
+        assert (r, c) in cells
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 5), st.integers(1, 5), st.integers(0, 2**31))
+def test_sum_reduction_conserves_total(fy, fx, seed):
+    from rasters_ray.stages.resample import warp_array
+
+    rng = np.random.default_rng(seed)
+    rows, cols = 12 * fy, 10 * fx
+    src = GridSpec("EPSG:4326", 0.0, 50.0, 0.01, -0.01, rows, cols)
+    tgt = GridSpec("EPSG:4326", 0.0, 50.0, 0.01 * fx, -0.01 * fy, 12, 10)
+    arr = rng.integers(0, 100, (rows, cols)).astype(np.float64)
+    out = warp_array(arr, src, tgt, "sum")
+    np.testing.assert_allclose(np.nansum(out), arr.sum())
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=50))
+def test_popcount_matches_python(vals):
+    from rasters_ray.text.dedup import _popcount64
+
+    got = _popcount64(np.array(vals, dtype=np.uint64))
+    want = [bin(v).count("1") for v in vals]
+    assert got.tolist() == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(max_size=400), st.text(max_size=400))
+def test_shingle_jaccard_symmetric_bounded(a, b):
+    from rasters_ray.text.dedup import char_shingles, jaccard
+
+    ja = jaccard(char_shingles(a), char_shingles(b))
+    jb = jaccard(char_shingles(b), char_shingles(a))
+    assert ja == jb
+    assert 0.0 <= ja <= 1.0
+    assert jaccard(char_shingles(a), char_shingles(a)) == 1.0
