@@ -826,6 +826,43 @@ def q_multimodal_resize(sf_dir: str):
     return _explode_rc_value(resized)
 
 
+def q_cosine_near(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the embeddings table with 20
+    planted perturbed copies (ids 100000+i, seeded noise) — the LSH-bucket
+    + exact-verify dedup shape; rows-only (float cosine)."""
+    import ray.data as rd
+
+    from rasters_ray.ann import cosine_near_dups
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids < 20)
+        if len(sel) == 0:
+            return t.select(["vec_id", "embedding"])
+        emb = t.column("embedding")
+        rows = {"vec_id": [], "embedding": []}
+        for i in sel:
+            v = np.asarray(emb[int(i)].as_py(), dtype=np.float32)
+            rng = np.random.default_rng(int(ids[i]))
+            rows["vec_id"].append(int(100000 + ids[i]))
+            rows["embedding"].append(
+                (v + 0.01 * rng.standard_normal(len(v)).astype(np.float32)).tolist()
+            )
+        planted = pa.table(
+            {
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "embedding": pa.array(rows["embedding"], pa.list_(pa.float32())),
+            }
+        )
+        base = t.select(["vec_id", "embedding"]).cast(planted.schema)
+        return pa.concat_tables([base, planted])
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return cosine_near_dups(ds, threshold=0.95)
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type (count/min/max are exact and
     order-independent; sums are not, so they stay out of the oracle)."""
@@ -1029,6 +1066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_near": q_phash_near,
         "idw_sample": q_idw_sample,
         "lsh_ann": q_lsh_ann,
+        "cosine_near": q_cosine_near,
     }
 
 

@@ -1,3 +1,17 @@
-from .search import BruteForceTopK, LSHBuckets, cosine_topk, lsh_topk, recall_at_k
+from .search import (
+    BruteForceTopK,
+    LSHBuckets,
+    cosine_near_dups,
+    cosine_topk,
+    lsh_topk,
+    recall_at_k,
+)
 
-__all__ = ["BruteForceTopK", "LSHBuckets", "cosine_topk", "lsh_topk", "recall_at_k"]
+__all__ = [
+    "BruteForceTopK",
+    "LSHBuckets",
+    "cosine_near_dups",
+    "cosine_topk",
+    "lsh_topk",
+    "recall_at_k",
+]

@@ -234,3 +234,106 @@ def recall_at_k(exact: pa.Table, approx: pa.Table, k: int) -> float:
     inter = sum(len(ge[q] & ga.get(q, set())) for q in ge)
     total = sum(len(ge[q]) for q in ge)
     return inter / total if total else 1.0
+
+
+def cosine_near_dups(
+    embeddings_ds,
+    threshold: float = 0.95,
+    dim: Optional[int] = None,
+    n_planes: int = 10,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    seed: int = 42,
+    cap: int = 64,
+):
+    """Embedding near-duplicate pairs: (a, b, cosine >= threshold).
+
+    Scale shape (mirrors MinHash-LSH dedup): each vector lands in one
+    sign-pattern bucket per hash table; near-identical vectors share a
+    bucket in SOME table with high probability, so candidates are only
+    within-bucket pairs (all-pairs below ``cap`` rows, star pairs above),
+    verified by exact cosine and deduped across tables by max. Never
+    materializes the embedding table anywhere."""
+    from ray.data.aggregate import Max
+
+    probe_dim = dim
+    stage_holder = {}
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, col)
+        if "stage" not in stage_holder:
+            stage_holder["stage"] = LSHBuckets(
+                probe_dim or m.shape[1], n_planes, seed, col, n_tables=n_tables
+            )
+        stage = stage_holder["stage"]
+        n = m.shape[0]
+        parts = []
+        for tb in range(n_tables):
+            bk = stage.hash_matrix(m, tb)
+            parts.append(
+                pa.table(
+                    {
+                        "table_id": pa.array(np.full(n, tb, dtype=np.int32)),
+                        "bucket": pa.array(bk, pa.int64()),
+                        "vec_id": t.column(id_col),
+                        "embedding": t.column(col),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    exploded = embeddings_ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "a": pa.array([], group.schema.field("vec_id").type),
+                "b": pa.array([], group.schema.field("vec_id").type),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty
+        m = _normalize(_batch_matrix(group, "embedding").astype(np.float64))
+        ids = group.column("vec_id").to_pylist()
+        order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
+        if n > cap:
+            anchor = order[0]
+            others = order[1:]
+            sims = m[others] @ m[anchor]
+            keep = sims >= threshold
+            return pa.table(
+                {
+                    "a": pa.array([ids[anchor]] * int(keep.sum())),
+                    "b": pa.array([ids[int(o)] for o, k in zip(others, keep) if k]),
+                    "cosine": pa.array(sims[keep], pa.float64()),
+                }
+            )
+        sims = m @ m.T
+        ii, jj = np.triu_indices(n, k=1)
+        keep = sims[ii, jj] >= threshold
+        ii, jj = ii[keep], jj[keep]
+        a_out, b_out, c_out = [], [], []
+        for x, y, s in zip(ii, jj, sims[ii, jj] if len(ii) else []):
+            pa_, pb_ = sorted((ids[int(x)], ids[int(y)]))
+            a_out.append(pa_)
+            b_out.append(pb_)
+            c_out.append(float(s))
+        if not a_out:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(a_out),
+                "b": pa.array(b_out),
+                "cosine": pa.array(c_out, pa.float64()),
+            }
+        )
+
+    return (
+        exploded.groupby(["table_id", "bucket"])
+        .map_groups(bucket_verify, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+    )

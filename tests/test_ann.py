@@ -86,3 +86,28 @@ def test_lsh_multiprobe_recall_at_10(ray_session):
         rd.from_arrow(emb), qm, k=10, dim=d, n_planes=8, id_col=id_col, col=col, multiprobe=0
     )
     assert recall_at_k(exact, single, 10) <= r + 1e-9
+
+
+def test_cosine_near_dups_finds_planted_pairs(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.ann import cosine_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 32)).astype(np.float32)
+    # plant near-dups: ids 1000+i are tiny perturbations of ids i (i < 20)
+    pert = base[:20] + 0.01 * rng.standard_normal((20, 32)).astype(np.float32)
+    ids = list(range(60)) + [1000 + i for i in range(20)]
+    m = np.vstack([base, pert])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    out = cosine_near_dups(rd.from_arrow(tbl), threshold=0.95, dim=32).to_pandas()
+    got = {tuple(sorted((int(r.a), int(r.b)))) for r in out.itertuples()}
+    want = {(i, 1000 + i) for i in range(20)}
+    # every planted pair found, nothing else (random 32-d vectors are far)
+    assert got == want
+    assert (out.cosine >= 0.95).all()
