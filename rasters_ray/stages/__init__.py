@@ -34,11 +34,13 @@ from .pip import (
 )
 from .resample import (
     METHOD_TABLE,
+    SKIMAGE_ORDERS,
     KNNResampler,
     KNNResampleStage,
     WarpStage,
     reproject,
     resolve_method,
+    resize_array,
     utm_target_grid,
     warp_array,
 )
@@ -56,6 +58,8 @@ __all__ = [
     "KNNResampleStage",
     "WarpStage",
     "warp_array",
+    "SKIMAGE_ORDERS",
+    "resize_array",
     "composite_cells",
     "composite_group",
     "merge_mean_lattice",

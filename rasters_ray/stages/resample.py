@@ -49,6 +49,9 @@ METHOD_TABLE = {
     "gauss": "gauss",
     "average": "average",
     "mode": "mode",
+    "quadratic": "quadratic",  # skimage order 2 (constants.py:29-36)
+    "quartic": "quartic",  # skimage order 4
+    "quintic": "quintic",  # skimage order 5
     "min": "min",
     "max": "max",
     "med": "med",
@@ -106,11 +109,43 @@ def _k_lanczos(t: np.ndarray) -> np.ndarray:
     return np.where(np.abs(t) < 3, np.sinc(t) * np.sinc(t / 3.0), 0.0)
 
 
+def _bspline_kernel(order: int):
+    """Cardinal B-spline B_n via the Cox-de Boor recursion (B_0 = unit
+    box; support (n+1)/2). Applied directly to samples these are
+    SMOOTHING splines — same convention as the 'cubic_spline' kernel and
+    GDAL, not skimage's prefiltered interpolating splines."""
+
+    def bn(t: np.ndarray, n: int) -> np.ndarray:
+        if n == 0:
+            return ((t >= -0.5) & (t < 0.5)).astype(np.float64)
+        return (
+            (t + (n + 1) / 2.0) * bn(t + 0.5, n - 1)
+            + ((n + 1) / 2.0 - t) * bn(t - 0.5, n - 1)
+        ) / n
+
+    return lambda t: bn(np.asarray(t, dtype=np.float64), order)
+
+
 _SEPARABLE = {
     "bilinear": (lambda t: np.maximum(0.0, 1.0 - np.abs(t)), 1),
+    "quadratic": (_bspline_kernel(2), 2),
     "cubic": (_k_catmull_rom, 2),
     "cubic_spline": (_k_bspline, 2),
+    "quartic": (_bspline_kernel(4), 3),
+    "quintic": (_bspline_kernel(5), 3),
     "lanczos": (_k_lanczos, 3),
+}
+
+# the reference's skimage resize order table (constants.py:29-36): order
+# int -> engine kernel name (orders 2/4/5 use the smoothing B-spline
+# convention, see _bspline_kernel)
+SKIMAGE_ORDERS = {
+    0: "nearest",
+    1: "bilinear",
+    2: "quadratic",
+    3: "cubic_spline",
+    4: "quartic",
+    5: "quintic",
 }
 
 
@@ -303,6 +338,25 @@ def warp_array(
     else:  # pragma: no cover - resolve_method already validated
         raise ValueError(f"unknown resampling method: {method}")
     return out[0] if squeeze else out
+
+
+def resize_array(
+    arr: np.ndarray, source: GridSpec, rows: int, cols: int, order: int = 1
+) -> Tuple[np.ndarray, GridSpec]:
+    """Raster.resize analog (raster.py:1262-1281): same extent, new pixel
+    dimensions, skimage-order kernel table (SKIMAGE_ORDERS)."""
+    if order not in SKIMAGE_ORDERS:
+        raise ValueError(f"resize order must be in {sorted(SKIMAGE_ORDERS)}")
+    target = GridSpec(
+        crs=source.crs,
+        x_origin=source.x_origin,
+        y_origin=source.y_origin,
+        cell_width=source.cell_width * source.cols / cols,
+        cell_height=source.cell_height * source.rows / rows,
+        rows=rows,
+        cols=cols,
+    )
+    return warp_array(arr, source, target, SKIMAGE_ORDERS[order]), target
 
 
 class WarpStage:

@@ -253,3 +253,36 @@ def test_wrap_geometry_dispatch():
     assert mp2.num_rows == 2 and mp2.column("y")[1].as_py() == 8.0
     with pytest.raises(ValueError):
         wrap_geometry(object())
+
+
+def test_bspline_orders_partition_of_unity():
+    from rasters_ray.stages.resample import _bspline_kernel
+
+    for order in (2, 4, 5):
+        k = _bspline_kernel(order)
+        # cardinal B-splines sum to 1 over integer shifts at any phase
+        for phase in (0.0, 0.25, 0.49):
+            total = sum(k(np.array([phase - j]))[0] for j in range(-4, 5))
+            assert abs(total - 1.0) < 1e-12, (order, phase)
+        # symmetric, non-negative, supported on (n+1)/2
+        assert k(np.array([0.3]))[0] == pytest.approx(k(np.array([-0.3]))[0])
+        assert k(np.array([(order + 1) / 2 + 0.01]))[0] == 0.0
+
+
+def test_resize_orders():
+    from rasters_ray.stages.resample import resize_array
+
+    for order in range(6):
+        out, tgt = resize_array(RAMP, SRC, 50, 50, order=order)
+        assert out.shape == (50, 50)
+        assert (tgt.rows, tgt.cols) == (50, 50)
+        assert tgt.cell_width == pytest.approx(0.02)
+        fin = np.isfinite(out)
+        assert fin.mean() > 0.9, order
+    const = np.full((100, 100), 7.5)
+    for order in (2, 4, 5):
+        out, _ = resize_array(const, SRC, 40, 40, order=order)
+        fin = np.isfinite(out)
+        np.testing.assert_allclose(out[fin], 7.5, atol=1e-9)
+    with pytest.raises(ValueError):
+        resize_array(RAMP, SRC, 50, 50, order=7)
