@@ -9,7 +9,6 @@ exactly (allclose is equality), satisfying the per-row invariant
 from __future__ import annotations
 
 import ast
-import io
 import struct
 
 import numpy as np

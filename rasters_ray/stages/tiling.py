@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from .. import codec
-from ..grids import GridSpec, OutOfBoundsError, Window, cellkey
+from ..grids import GridSpec, Window, cellkey
 from ..sources.images import GRID_STRUCT
 
 TILES_SCHEMA = pa.schema(
