@@ -99,20 +99,56 @@ def partial_lattice_sums(batch: pa.Table, cell_size: float) -> pa.Table:
     )
 
 
-def merge_mean_lattice(images_ds, cell_size: float, batch_size: int = 32):
-    """Two-phase merge: map_batches partial (combiner) -> groupby final.
-    Returns Dataset[(gx, gy, sum_value, n_value)] with exact int64 sums;
-    mean = sum/n downstream (kept integral for order-independence)."""
-    from ray.data.aggregate import Sum
+N_LATTICE_PARTS = 64  # hash partitions for the final lattice combine
 
+
+def _add_lattice_part(t: pa.Table, n_parts: int) -> pa.Table:
+    gx = t.column("gx").to_numpy()
+    gy = t.column("gy").to_numpy()
+    part = ((gy << 32) | gx) % n_parts
+    return t.append_column("_part", pa.array(part, pa.int64()))
+
+
+def merge_mean_lattice(images_ds, cell_size: float, batch_size: int = 32,
+                       n_parts: int = N_LATTICE_PARTS):
+    """Two-phase merge: map_batches partial (combiner) -> hash-partitioned
+    vectorized final combine. Returns Dataset[(gx, gy, sum_value,
+    n_value)] with exact int64 sums; mean = sum/n downstream (kept
+    integral for order-independence).
+
+    The final reduce groups by a HASH PARTITION of the key, not the key
+    itself: Ray's groupby().aggregate() walks groups in Python, which at
+    lattice cardinality (one group per pixel) costs ~200 us/group; one
+    np.unique + np.add.at per partition combines the same rows at memory
+    bandwidth."""
     partials = images_ds.map_batches(
         lambda t: partial_lattice_sums(t, cell_size),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+    def combine(group: pa.Table) -> pa.Table:
+        gx = group.column("gx").to_numpy()
+        gy = group.column("gy").to_numpy()
+        key = (gy << 32) | gx
+        uniq, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        c = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(s, inv, group.column("psum").to_numpy())
+        np.add.at(c, inv, group.column("pcnt").to_numpy())
+        return pa.table(
+            {
+                "gx": pa.array(uniq & 0xFFFFFFFF, pa.int64()),
+                "gy": pa.array(uniq >> 32, pa.int64()),
+                "sum_value": pa.array(s, pa.int64()),
+                "n_value": pa.array(c, pa.int64()),
+            }
+        )
+
     return (
-        partials.groupby(["gx", "gy"])
-        .aggregate(Sum("psum", alias_name="sum_value"), Sum("pcnt", alias_name="n_value"))
+        partials.map_batches(lambda t: _add_lattice_part(t, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
@@ -164,25 +200,36 @@ def partial_lattice_first(batch: pa.Table, cell_size: float, order_col: str = "o
 
 
 def mosaic_first_lattice(images_ds, cell_size: float, order_col: str = "order",
-                         batch_size: int = 32):
-    """Two-phase mosaic: partial packed-min per batch -> groupby Min ->
-    unpack value. Returns Dataset[(gx, gy, value)] (int64)."""
-    from ray.data.aggregate import Min
-
+                         batch_size: int = 32, n_parts: int = N_LATTICE_PARTS):
+    """Two-phase mosaic: partial packed-min per batch -> hash-partitioned
+    vectorized min combine -> unpack value. Returns Dataset[(gx, gy,
+    value)] (int64). (Same partition-wise final as merge_mean_lattice —
+    per-pixel groupby().aggregate() is Python-loop bound.)"""
     partials = images_ds.map_batches(
         lambda t: partial_lattice_first(t, cell_size, order_col),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    agg = partials.groupby(["gx", "gy"]).aggregate(Min("packed", alias_name="packed_min"))
-    return agg.map_batches(
-        lambda t: t.append_column(
-            "value",
-            pa.array(
-                np.asarray(t.column("packed_min").to_numpy()) & 0xFFFFFF, pa.int64()
-            ),
-        ).drop_columns(["packed_min"]),
-        batch_format="pyarrow",
+
+    def combine(group: pa.Table) -> pa.Table:
+        gx = group.column("gx").to_numpy()
+        gy = group.column("gy").to_numpy()
+        key = (gy << 32) | gx
+        uniq, inv = np.unique(key, return_inverse=True)
+        best = np.full(uniq.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(best, inv, group.column("packed").to_numpy())
+        return pa.table(
+            {
+                "gx": pa.array(uniq & 0xFFFFFFFF, pa.int64()),
+                "gy": pa.array(uniq >> 32, pa.int64()),
+                "value": pa.array(best & 0xFFFFFF, pa.int64()),
+            }
+        )
+
+    return (
+        partials.map_batches(lambda t: _add_lattice_part(t, n_parts), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(combine, batch_format="pyarrow")
     )
 
 
