@@ -490,25 +490,40 @@ def q_antimeridian(sf_dir: str):
 
 
 def q_events_sessions(sf_dir: str):
-    """Session windows (30-min gap) per user — sorted map_groups."""
-    import pandas as pd
+    """Session windows (30-min gap) per user — hash-partitioned groupby
+    with a fully vectorized multi-user kernel (lexsort + reduceat), not a
+    per-user Python group loop (one group per user does not scale)."""
+    N_PARTS = 32
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        s = np.sort(g["ts"].astype("int64").to_numpy()) // _ts_unit(g["ts"].dtype)
-        gaps = np.diff(s)
-        n_sessions = 1 + int((gaps > 1800).sum()) if len(s) else 0
-        return pd.DataFrame(
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(u % N_PARTS, pa.int64()))
+
+    def sessions(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group.column("ts")
+        s = ts.cast(pa.int64()).to_numpy() // _ts_unit(ts.type)
+        order = np.lexsort((s, u))
+        us, ss = u[order], s[order]
+        new_user = np.r_[True, us[1:] != us[:-1]]
+        gap_break = np.r_[False, np.diff(ss) > 1800]
+        session_start = new_user | gap_break
+        starts = np.flatnonzero(new_user)
+        n_events = np.diff(np.r_[starts, len(us)])
+        n_sessions = np.add.reduceat(session_start.astype(np.int64), starts)
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(s)],
-                "n_sessions": [n_sessions],
+                "user_id": pa.array(us[starts], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
             }
         )
 
     return (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(sessions, batch_format="pyarrow")
     )
 
 
@@ -725,16 +740,11 @@ def q_pip_boxes(sf_dir: str):
 
 
 def q_dedup_exact(sf_dir: str):
-    from ray.data.aggregate import Count, Min
+    """Exact dedup groups via the hash-partitioned vectorized reduce
+    (one group per unique document is too many for a per-key aggregate)."""
+    from rasters_ray.text import exact_dedup_groups
 
-    from rasters_ray.text import add_fingerprints
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        add_fingerprints, batch_format="pyarrow"
-    )
-    return docs.groupby("content_key").aggregate(
-        Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_dupes")
-    )
+    return exact_dedup_groups(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_token_stats(sf_dir: str):

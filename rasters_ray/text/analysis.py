@@ -271,3 +271,41 @@ def heavy_hitter_tokens(
             "n": pa.array(df["n"].astype("int64").tolist(), pa.int64()),
         }
     )
+
+
+def exact_dedup_groups(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                       n_parts: int = 64):
+    """Exact dedup groups (content_key, keeper = min id, n_dupes) via a
+    hash-partitioned vectorized reduce. Cardinality here is one group per
+    UNIQUE DOCUMENT, so a per-key groupby().aggregate() (Python walk over
+    groups) cannot scale; instead keys hash into ``n_parts`` partitions
+    and each partition reduces with one argsort + reduceat pass."""
+    import zlib
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        t = add_fingerprints(t, text_col)
+        keys = t.column("content_key").to_pylist()
+        part = np.array([zlib.crc32(k.encode()) % n_parts for k in keys], dtype=np.int64)
+        return t.append_column("_part", pa.array(part, pa.int64()))
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        keys = np.asarray(group.column("content_key").to_pylist(), dtype=object)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks, si = keys[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        keeper = np.minimum.reduceat(si, starts)
+        n = np.diff(np.r_[starts, len(ks)])
+        return pa.table(
+            {
+                "content_key": pa.array(ks[starts].tolist(), pa.string()),
+                "keeper_doc_id": pa.array(keeper),
+                "n_dupes": pa.array(n, pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
