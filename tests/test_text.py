@@ -255,3 +255,24 @@ def test_hamming_near_dups(ray_session):
     assert not any("far" in p for p in got)
     with pytest.raises(ValueError):
         hamming_near_dups(ds, max_dist=8, bands=8)
+
+
+def test_exact_dedup_groups(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.text import exact_dedup_groups
+
+    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(3)
+    out = exact_dedup_groups(docs, n_parts=4).to_pandas().set_index("keeper_doc_id")
+    assert out.loc[10, "n_dupes"] == 3  # aaa: 10, 12, 15
+    assert out.loc[11, "n_dupes"] == 2  # bbb: 11, 14
+    assert out.loc[13, "n_dupes"] == 1
+    assert len(out) == 3
