@@ -652,6 +652,49 @@ def q_idw_sample(sf_dir: str):
     )
 
 
+def q_idw_exact(sf_dir: str):
+    """IDW with every query point exactly on a pixel centroid of image 0 —
+    the exact-hit shortcut returns that pixel (raster.py:1520-1538
+    centroid sampling), so DuckDB recomputes values from the pixel
+    formula. Centroid coords use the SAME float64 expression as
+    GridSpec.xy() (x0 + (c + 0.5) * cw) for d2 == 0 exactly."""
+    import ray
+
+    from rasters_ray.stages.sampling import IDWSampler
+
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"]).column(
+        "c_custkey"
+    ).to_numpy()
+    keys = np.sort(keys[keys % 7 == 0])  # order-free deterministic subset
+    r = (keys // 7) % 100
+    c = keys % 100
+    pts = pa.table(
+        {
+            "point_id": pa.array([f"k{int(k)}" for k in keys], pa.string()),
+            "x": pa.array(QX0 + (c + 0.5) * QCELL, pa.float64()),
+            "y": pa.array(QY0 - (r + 0.5) * QCELL, pa.float64()),
+        }
+    )
+    ref = ray.put(pts)
+    sampled = _images_ds(sf_dir, 1).map_batches(
+        IDWSampler,
+        fn_constructor_kwargs={"points_ref": ref},
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+
+    def to_int(t: pa.Table) -> pa.Table:
+        v = np.rint(t.column("value").to_numpy(zero_copy_only=False)).astype(np.int64)
+        key = np.asarray([int(p[1:]) for p in t.column("point_id").to_pylist()], np.int64)
+        return pa.table(
+            {"custkey": pa.array(key, pa.int64()), "value": pa.array(v, pa.int64())}
+        )
+
+    return sampled.map_batches(to_int, batch_format="pyarrow")
+
+
 def q_lsh_ann(sf_dir: str):
     """Approximate ANN via random-hyperplane LSH buckets — rows-only
     (recall < 1 by construction; exactness checked in pytest vs brute force)."""
@@ -1075,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_dups": q_phash_dups,
         "phash_near": q_phash_near,
         "idw_sample": q_idw_sample,
+        "idw_exact": q_idw_exact,
         "lsh_ann": q_lsh_ann,
         "cosine_near": q_cosine_near,
     }
@@ -1377,6 +1421,12 @@ SELECT doc_id,
      + 0.3e0 * (CASE WHEN mean_len >= 2.0e0 AND mean_len <= 12.0e0 THEN 1.0e0 ELSE 0.0e0 END)
      + 0.3e0 * (CASE WHEN stop_ratio >= 0.01e0 THEN 1.0e0 ELSE 0.0e0 END) AS quality
 FROM r
+"""
+
+    sql["idw_exact"] = """
+SELECT c_custkey AS custkey,
+       (((c_custkey // 7) % 100) * 7 + (c_custkey % 100) * 13) % 251 AS value
+FROM customer WHERE c_custkey % 7 = 0
 """
 
     sql["fill_from"] = """
