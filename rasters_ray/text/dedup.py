@@ -181,6 +181,44 @@ class MinHashStage:
 
 
 HOT_BUCKET_CAP = 64  # all-pairs only below this; star pairs above
+N_BUCKET_PARTS = 64  # hash partitions for bucket-pair generation
+
+
+def bucket_partition_pairs(group: pa.Table, cap: int = HOT_BUCKET_CAP) -> pa.Table:
+    """Candidate pairs for EVERY (band_id, band_hash) bucket inside one
+    hash partition, in a single vectorized pass: lexsort by bucket,
+    boundary detection, then pair emission only for the (rare) buckets
+    with >= 2 distinct docs. Avoids one Ray-level Python group per bucket
+    — bucket cardinality is ~one per document at scale."""
+    bid = group.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = group.column("band_hash").to_numpy(zero_copy_only=False)
+    did = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, bh, bid))
+    b1, b2, d = bid[order], bh[order], did[order]
+    new_bucket = np.r_[True, (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])]
+    starts = np.flatnonzero(new_bucket)
+    ends = np.r_[starts[1:], len(d)]
+    a_parts, b_parts = [], []
+    for s, e in zip(starts, ends):  # only buckets with >=2 rows do work
+        if e - s < 2:
+            continue
+        ids = np.unique(d[s:e])
+        n = len(ids)
+        if n < 2:
+            continue
+        if n <= cap:
+            ii, jj = np.triu_indices(n, k=1)
+            a_parts.append(ids[ii])
+            b_parts.append(ids[jj])
+        else:  # star pairs to the smallest id (see candidate_pairs_from_buckets)
+            a_parts.append(np.full(n - 1, ids[0]))
+            b_parts.append(ids[1:])
+    if not a_parts:
+        empty = group.column("doc_id").slice(0, 0)
+        return pa.table({"a": empty, "b": empty})
+    return pa.table(
+        {"a": pa.array(np.concatenate(a_parts)), "b": pa.array(np.concatenate(b_parts))}
+    )
 
 
 def candidate_pairs_from_buckets(group: pa.Table, cap: int = HOT_BUCKET_CAP) -> pa.Table:
@@ -280,9 +318,16 @@ def minhash_near_dups(
         batch_format="pyarrow",
         concurrency=concurrency or pool_size(0.25),
     )
+    def tag_part(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_part", pa.array(bh % N_BUCKET_PARTS, pa.int64())
+        )
+
     pairs = (
-        bands_ds.groupby(["band_id", "band_hash"])
-        .map_groups(candidate_pairs_from_buckets, batch_format="pyarrow")
+        bands_ds.map_batches(tag_part, batch_format="pyarrow")
+        .groupby("_part")  # one Ray group per PARTITION, not per bucket
+        .map_groups(bucket_partition_pairs, batch_format="pyarrow")
     )
     # dedup candidate pairs (same pair can collide in several bands) —
     # aggregate is far cheaper than per-group map_groups here
@@ -450,17 +495,39 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
     grams = docs_ds.map_batches(explode, batch_format="pyarrow")
     sizes = grams.groupby("doc_id").aggregate(Count(alias_name="c")).to_pandas()
 
+    def tag_part(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(g % N_BUCKET_PARTS, pa.int64()))
+
     def co_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        if len(ids) < 2:
-            e = group.column("doc_id").slice(0, 0)
-            return pa.table({"a": e, "b": e})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        arr = np.asarray(ids)
-        return pa.table({"a": pa.array(arr[ii]), "b": pa.array(arr[jj])})
+        # all grams of one hash partition in one vectorized boundary scan
+        # (one Ray group per gram would be one per distinct n-gram)
+        g = group.column("gram").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        gs, ds_ = g[order], d[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        ends = np.r_[starts[1:], len(gs)]
+        a_parts, b_parts = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = np.unique(ds_[s:e])
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            a_parts.append(ids[ii])
+            b_parts.append(ids[jj])
+        if not a_parts:
+            e_ = group.column("doc_id").slice(0, 0)
+            return pa.table({"a": e_, "b": e_})
+        return pa.table(
+            {"a": pa.array(np.concatenate(a_parts)), "b": pa.array(np.concatenate(b_parts))}
+        )
 
     inter = (
-        grams.groupby("gram")
+        grams.map_batches(tag_part, batch_format="pyarrow")
+        .groupby("_part")
         .map_groups(co_pairs, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="i"))
@@ -540,27 +607,61 @@ def hamming_near_dups(
             }
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    def tag_part(t: pa.Table) -> pa.Table:
+        bv = t.column("band_val").to_numpy(zero_copy_only=False)
+        bi = t.column("band_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_part", pa.array(((bv * np.int64(31)) ^ bi) % N_BUCKET_PARTS, pa.int64())
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow").map_batches(
+        tag_part, batch_format="pyarrow"
+    )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        hs = group.column("hash").to_pylist()
-        uniq = sorted(set(zip(ids, hs)))
-        n = len(uniq)
-        if n < 2:
-            e = group.column("doc_id").slice(0, 0)
+        """All buckets of one hash partition, vectorized boundary scan —
+        one Ray group per partition, not per bucket (bucket cardinality is
+        ~one per image at scale)."""
+        bi = group.column("band_id").to_numpy(zero_copy_only=False)
+        bv = group.column("band_val").to_numpy(zero_copy_only=False)
+        dids = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
+        hs = group.column("hash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hs, dids, bv, bi))
+        bi, bv, dids, hs = bi[order], bv[order], dids[order], hs[order]
+        new_bucket = np.r_[True, (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])]
+        starts = np.flatnonzero(new_bucket)
+        ends = np.r_[starts[1:], len(dids)]
+        a_out, b_out, ha_out, hb_out = [], [], [], []
+        for s, e in zip(starts, ends):  # only colliding buckets do work
+            if e - s < 2:
+                continue
+            pairs_src = list(dict.fromkeys(zip(dids[s:e], hs[s:e])))  # unique, sorted
+            n = len(pairs_src)
+            if n < 2:
+                continue
+            if n > cap:
+                it = [(pairs_src[0], u) for u in pairs_src[1:]]  # star to smallest
+            else:
+                it = [
+                    (pairs_src[i], pairs_src[j])
+                    for i in range(n)
+                    for j in range(i + 1, n)
+                ]
+            for (ai, ah), (bi_, bh_) in it:
+                a_out.append(ai)
+                b_out.append(bi_)
+                ha_out.append(ah)
+                hb_out.append(bh_)
+        if not a_out:
+            e_ = group.column("doc_id").slice(0, 0)
             eh = group.column("hash").slice(0, 0)
-            return pa.table({"a": e, "b": e, "ha": eh, "hb": eh})
-        if n > cap:
-            pairs = [(uniq[0], u) for u in uniq[1:]]  # star to smallest
-        else:
-            pairs = [(uniq[i], uniq[j]) for i in range(n) for j in range(i + 1, n)]
+            return pa.table({"a": e_, "b": e_, "ha": eh, "hb": eh})
         return pa.table(
             {
-                "a": pa.array([p[0][0] for p in pairs]),
-                "b": pa.array([p[1][0] for p in pairs]),
-                "ha": pa.array([p[0][1] for p in pairs], pa.int64()),
-                "hb": pa.array([p[1][1] for p in pairs], pa.int64()),
+                "a": pa.array(a_out),
+                "b": pa.array(b_out),
+                "ha": pa.array(ha_out, pa.int64()),
+                "hb": pa.array(hb_out, pa.int64()),
             }
         )
 
@@ -581,7 +682,7 @@ def hamming_near_dups(
     from ray.data.aggregate import Min
 
     return (
-        exploded.groupby(["band_id", "band_val"])
+        exploded.groupby("_part")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .map_batches(verify, batch_format="pyarrow")
         .groupby(["a", "b"])  # dedup pairs found by several bands
