@@ -240,7 +240,19 @@ def heavy_hitter_tokens(
         concurrency=concurrency or pool_size(0.25),
     )
     merged = sketched.groupby("token").aggregate(Sum("weight", alias_name="w"))
-    cand_tbl = merged.sort("w", descending=True).limit(4 * k).to_pandas()
+
+    def local_top(t: pa.Table) -> pa.Table:
+        # partial top-(4k) per block: a global candidate must be in some
+        # block's local top once weights are key-merged, so no full sort
+        # of the token table is needed
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        if len(w) > 4 * k:
+            idx = np.argpartition(-w, 4 * k - 1)[: 4 * k]
+            t = t.take(pa.array(np.sort(idx)))
+        return t.select(["token", "w"])
+
+    parts = merged.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    cand_tbl = parts.nlargest(4 * k, "w")
     candidates = set(cand_tbl["token"])
     cand_ref = ray.put(candidates)
 
