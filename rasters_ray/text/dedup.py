@@ -1,16 +1,19 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 Ray Data shapes (the guide's canonical patterns):
-- exact: add content_key (md5) per batch -> groupby(content_key) ->
-  keeper = min(doc_id), n_dupes = count;
+- exact: add content_key (md5) per batch -> hash-partitioned vectorized
+  reduce (analysis.exact_dedup_groups) -> keeper = min(doc_id), n_dupes;
 - MinHash-LSH: shingle -> minhash signature per batch (vectorized numpy)
-  -> explode to (band_id, band_hash, doc_id) rows -> groupby both ->
-  candidate pairs within buckets -> verify exact Jaccard -> pairs;
+  -> explode to (band_id, band_hash, doc_id) rows -> hash-partitioned
+  bucket-pair generation (one Ray group per PARTITION, vectorized
+  boundary scan inside) -> distributed text join -> exact Jaccard verify;
 - SimHash: 64-bit signature per doc; near-dups = equal signatures on
   rotated bands (Charikar 2002 / Manku et al. 2007, public algorithms);
 - n-gram Jaccard: the verification kernel, exposed standalone.
 
-All hashes are crc/blake-based — deterministic across worker processes.
+All hashes are deterministic across worker processes: shingle windows
+use a vectorized FNV-base polynomial, word n-grams use blake2b, band
+buckets use a Fibonacci fold of signature chunks.
 """
 
 from __future__ import annotations
