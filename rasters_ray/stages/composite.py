@@ -372,6 +372,60 @@ def composite_group(
     )
 
 
+
+def _partial_group(g: pa.Table, cell_size: float) -> pa.Table:
+    """(cell_key[, salt]) group -> one (sum, count) partial-array row."""
+    cid, target, ssum, cnt, _, squeeze = _accumulate_group(g, cell_size, "merge_mean", None)
+    if squeeze:
+        ssum, cnt = ssum[0], cnt[0]
+    return pa.table(
+        {
+            "cell_key": pa.array([cid], pa.int64()),
+            "psum": pa.array([codec.encode(ssum, "npy")], pa.binary()),
+            "pcnt": pa.array([codec.encode(cnt, "npy")], pa.binary()),
+            "grid": pa.array(
+                [{k: v for k, v in target.to_dict().items() if k != "type"}],
+                COMPOSITE_SCHEMA.field("grid").type,
+            ),
+            "n_images": pa.array([g.num_rows], pa.int32()),
+        }
+    )
+
+
+def _final_group(g: pa.Table, cell_size: float) -> pa.Table:
+    """Merge a cell's partial (sum, count) arrays -> mean composite row."""
+    cid = int(g.column("cell_key")[0].as_py())
+    target = _cell_lattice_grid(cid, cell_size)
+    ssum = cnt = None  # shape follows the partials (2D or banded 3D)
+    n = 0
+    for i in range(g.num_rows):
+        ps = codec.decode(g.column("psum")[i].as_py(), "npy")
+        pc_ = codec.decode(g.column("pcnt")[i].as_py(), "npy")
+        if ssum is None:
+            ssum = np.zeros_like(ps, dtype=np.float64)
+            cnt = np.zeros_like(pc_, dtype=np.int64)
+        ssum += ps
+        cnt += pc_
+        n += int(g.column("n_images")[i].as_py())
+    if ssum is None:
+        ssum = np.zeros(target.shape, dtype=np.float64)
+        cnt = np.zeros(target.shape, dtype=np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(cnt > 0, ssum / np.maximum(cnt, 1), np.nan)
+    return pa.Table.from_pydict(
+        {
+            "cell_key": pa.array([cid], pa.int64()),
+            "bytes": pa.array([codec.encode(out.astype(np.float32), "npy")], pa.binary()),
+            "fmt": pa.array(["npy"], pa.string()),
+            "n_images": pa.array([n], pa.int32()),
+            "grid": pa.array(
+                [{k: v for k, v in target.to_dict().items() if k != "type"}],
+                COMPOSITE_SCHEMA.field("grid").type,
+            ),
+        }
+    )
+
+
 def composite_cells(
     tiles_ds,
     cell_size: float,
@@ -425,21 +479,32 @@ def composite_cells(
                 lambda g: composite_group(g, cell_size, mode, order_col),
                 batch_format="pyarrow",
             )
-        hot_arr = pa.array(sorted(hot), pa.int64())
-        cold_ds = tiles_ds.map_batches(
-            lambda t: t.filter(pc.invert(pc.is_in(t.column("cell_key"), hot_arr))),
-            batch_format="pyarrow",
+        # single-scan salted pipeline: hot cells get a crc32 salt (16
+        # buckets), cold cells salt 0 — ONE pass over the tile blobs and
+        # two shuffles, instead of separate hot/cold filter scans + union.
+        # Cold cells pay one extra (sum,count) encode hop; hot cells are
+        # redistributed exactly as the explicit salt=16 path would.
+        import zlib
+
+        hot_np = np.array(sorted(hot), dtype=np.int64)
+
+        def tag_salt(t: pa.Table) -> pa.Table:
+            ck = t.column("cell_key").to_numpy()
+            salts = np.zeros(len(ck), dtype=np.int64)
+            hot_rows = np.flatnonzero(np.isin(ck, hot_np))
+            if len(hot_rows):
+                ids = t.column("image_id")
+                for i in hot_rows:
+                    salts[i] = zlib.crc32(ids[int(i)].as_py().encode()) % 16
+            return t.append_column("salt", pa.array(salts, pa.int64()))
+
+        return (
+            tiles_ds.map_batches(tag_salt, batch_format="pyarrow")
+            .groupby(["cell_key", "salt"])
+            .map_groups(lambda g: _partial_group(g, cell_size), batch_format="pyarrow")
+            .groupby("cell_key")
+            .map_groups(lambda g: _final_group(g, cell_size), batch_format="pyarrow")
         )
-        hot_ds = tiles_ds.map_batches(
-            lambda t: t.filter(pc.is_in(t.column("cell_key"), hot_arr)),
-            batch_format="pyarrow",
-        )
-        cold_out = cold_ds.groupby("cell_key").map_groups(
-            lambda g: composite_group(g, cell_size, mode, order_col),
-            batch_format="pyarrow",
-        )
-        hot_out = composite_cells(hot_ds, cell_size, mode, order_col, salt=16)
-        return cold_out.union(hot_out)
 
     if not isinstance(salt, int) or salt <= 0 or mode != "merge_mean":
         return tiles_ds.groupby("cell_key").map_groups(
@@ -459,59 +524,10 @@ def composite_cells(
         )
         return t.append_column("salt", pa.array(hv, pa.int64()))
 
-    def partial_group(g: pa.Table) -> pa.Table:
-        cid, target, ssum, cnt, _, squeeze = _accumulate_group(g, cell_size, "merge_mean", None)
-        if squeeze:
-            ssum, cnt = ssum[0], cnt[0]
-        return pa.table(
-            {
-                "cell_key": pa.array([cid], pa.int64()),
-                "psum": pa.array([codec.encode(ssum, "npy")], pa.binary()),
-                "pcnt": pa.array([codec.encode(cnt, "npy")], pa.binary()),
-                "grid": pa.array(
-                    [{k: v for k, v in target.to_dict().items() if k != "type"}],
-                    COMPOSITE_SCHEMA.field("grid").type,
-                ),
-                "n_images": pa.array([g.num_rows], pa.int32()),
-            }
-        )
-
-    def final_group(g: pa.Table) -> pa.Table:
-        cid = int(g.column("cell_key")[0].as_py())
-        target = _cell_lattice_grid(cid, cell_size)
-        ssum = cnt = None  # shape follows the partials (2D or banded 3D)
-        n = 0
-        for i in range(g.num_rows):
-            ps = codec.decode(g.column("psum")[i].as_py(), "npy")
-            pc = codec.decode(g.column("pcnt")[i].as_py(), "npy")
-            if ssum is None:
-                ssum = np.zeros_like(ps, dtype=np.float64)
-                cnt = np.zeros_like(pc, dtype=np.int64)
-            ssum += ps
-            cnt += pc
-            n += int(g.column("n_images")[i].as_py())
-        if ssum is None:
-            ssum = np.zeros(target.shape, dtype=np.float64)
-            cnt = np.zeros(target.shape, dtype=np.int64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            out = np.where(cnt > 0, ssum / np.maximum(cnt, 1), np.nan)
-        return pa.Table.from_pydict(
-            {
-                "cell_key": pa.array([cid], pa.int64()),
-                "bytes": pa.array([codec.encode(out.astype(np.float32), "npy")], pa.binary()),
-                "fmt": pa.array(["npy"], pa.string()),
-                "n_images": pa.array([n], pa.int32()),
-                "grid": pa.array(
-                    [{k: v for k, v in target.to_dict().items() if k != "type"}],
-                    COMPOSITE_SCHEMA.field("grid").type,
-                ),
-            }
-        )
-
     return (
         tiles_ds.map_batches(salted, batch_format="pyarrow")
         .groupby(["cell_key", "salt"])
-        .map_groups(partial_group, batch_format="pyarrow")
+        .map_groups(lambda g: _partial_group(g, cell_size), batch_format="pyarrow")
         .groupby("cell_key")
-        .map_groups(final_group, batch_format="pyarrow")
+        .map_groups(lambda g: _final_group(g, cell_size), batch_format="pyarrow")
     )

@@ -256,3 +256,26 @@ def test_lattice_combine_partition_invariance(ray_session, oracle_images_ds):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert (a[["gx", "gy", "sum_value", "n_value"]].values == b[["gx", "gy", "sum_value", "n_value"]].values).all()
+
+
+def test_composite_auto_salt_single_pass_equals_plain(ray_session, oracle_images_ds):
+    tiles = tile_images(oracle_images_ds, level=9).materialize()
+    plain = composite_cells(tiles, 0.01, "merge_mean").to_pandas()
+    # hot_threshold=1 forces EVERY cell through the salted single-pass path;
+    # a huge threshold sends every cell through salt-0 partial+final
+    for thr in (1, 10**9):
+        auto = composite_cells(
+            tiles, 0.01, "merge_mean", salt="auto", hot_threshold=thr
+        ).to_pandas()
+        p = plain.sort_values("cell_key").reset_index(drop=True)
+        a = auto.sort_values("cell_key").reset_index(drop=True)
+        assert len(p) == len(a)
+        for i in range(len(p)):
+            np.testing.assert_allclose(
+                codec.decode(p["bytes"][i], "npy"),
+                codec.decode(a["bytes"][i], "npy"),
+                equal_nan=True,
+                rtol=1e-6,
+                err_msg=f"thr={thr}",
+            )
+            assert p["n_images"][i] == a["n_images"][i]
