@@ -918,28 +918,60 @@ def q_cosine_near(sf_dir: str):
 
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windows per event_type (count/min/max are exact and
-    order-independent; sums are not, so they stay out of the oracle)."""
-    from ray.data.aggregate import Count, Max, Min
+    order-independent; sums are not, so they stay out of the oracle).
 
-    def f(t: pa.Table) -> pa.Table:
+    Window-key cardinality grows with the time span, so the reduce is the
+    hash-partitioned vectorized kind: per-batch partial (count, min, max)
+    per (type, window), then one lexsort + reduceat pass per partition."""
+    N_PARTS = 32
+
+    def partial(t: pa.Table) -> pa.Table:
         per_sec = _ts_unit(t.column("ts").type)
         ts = t.column("ts").cast(pa.int64()).to_numpy()
         win = ts // (3600 * per_sec)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((win, et))
+        ets, wins, vals = et[order], win[order], val[order]
+        new = np.r_[True, (ets[1:] != ets[:-1]) | (wins[1:] != wins[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(wins)])
         return pa.table(
             {
-                "event_type": t.column("event_type"),
-                "window_start": pa.array(win, pa.int64()),
-                "value": t.column("value"),
+                "event_type": pa.array(ets[starts].tolist(), pa.string()),
+                "window_start": pa.array(wins[starts], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "vmin": pa.array(np.minimum.reduceat(vals, starts), pa.float64()),
+                "vmax": pa.array(np.maximum.reduceat(vals, starts), pa.float64()),
+                "_part": pa.array(wins[starts] % N_PARTS, pa.int64()),
             }
         )
 
-    ev = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
-        f, batch_format="pyarrow"
-    )
-    return ev.groupby(["event_type", "window_start"]).aggregate(
-        Count(alias_name="n"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"),
+    def final(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        win = group.column("window_start").to_numpy()
+        order = np.lexsort((win, et))
+        ets, wins = et[order], win[order]
+        n = group.column("n").to_numpy()[order]
+        vmin = group.column("vmin").to_numpy()[order]
+        vmax = group.column("vmax").to_numpy()[order]
+        new = np.r_[True, (ets[1:] != ets[:-1]) | (wins[1:] != wins[:-1])]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "event_type": pa.array(ets[starts].tolist(), pa.string()),
+                "window_start": pa.array(wins[starts], pa.int64()),
+                "n": pa.array(np.add.reduceat(n, starts), pa.int64()),
+                "min_value": pa.array(np.minimum.reduceat(vmin, starts), pa.float64()),
+                "max_value": pa.array(np.maximum.reduceat(vmax, starts), pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
