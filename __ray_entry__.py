@@ -926,6 +926,17 @@ def q_events_window(sf_dir: str):
     N_PARTS = 32
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # map_batches can see empty blocks
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                    "_part": pa.array([], pa.int64()),
+                }
+            )
         per_sec = _ts_unit(t.column("ts").type)
         ts = t.column("ts").cast(pa.int64()).to_numpy()
         win = ts // (3600 * per_sec)

@@ -162,13 +162,16 @@ def wrap_geometry(geometry: Any, crs: Union[str, None] = None):
     if isinstance(geometry, (tuple, list, np.ndarray)):
         arr = np.asarray(geometry, dtype=object)
         flat_numeric = all(isinstance(v, (int, float, np.floating, np.integer))
-                           for v in np.ravel(arr)[:1]) and np.asarray(geometry).ndim == 1
+                           for v in np.ravel(arr)) and np.asarray(geometry).ndim == 1
         seq = np.asarray(geometry, dtype=np.float64) if flat_numeric else None
         if seq is not None and seq.shape == (4,):
             return ("bbox", tuple(float(v) for v in seq))
         if seq is not None and seq.shape == (2,):
             return _points_table(seq[None, :], crs)
-        pts = np.asarray(geometry, dtype=np.float64)
+        try:
+            pts = np.asarray(geometry, dtype=np.float64)
+        except (TypeError, ValueError):
+            raise ValueError(f"unsupported geometry input: {type(geometry)}") from None
         if pts.ndim == 2 and pts.shape[1] == 2:
             return _points_table(pts, crs)
     raise ValueError(f"unsupported geometry input: {type(geometry)}")

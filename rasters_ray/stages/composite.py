@@ -49,6 +49,16 @@ def lattice_indices(grid: GridSpec, cell_size: float) -> tuple:
     lattice-aligned grids this is exact (origins snap by rint)."""
     gx0 = int(np.rint((grid.x_origin + 180.0) / cell_size))
     gy0 = int(np.rint((90.0 - grid.y_origin) / cell_size))
+    # downstream packs the key as (gy << 32) | gx, which is only bijective
+    # for non-negative indices < 2^32 — guard grids west of -180 / north
+    # of 90 (e.g. un-normalized antimeridian shifts) instead of silently
+    # corrupting lattice keys
+    if gx0 < 0 or gy0 < 0 or gx0 + grid.cols > (1 << 32) or gy0 + grid.rows > (1 << 32):
+        raise ValueError(
+            f"grid origin ({grid.x_origin}, {grid.y_origin}) falls outside the "
+            f"global lattice at cell_size={cell_size}; normalize the grid "
+            "(wrap longitudes into [-180, 180)) before compositing"
+        )
     gx = gx0 + np.arange(grid.cols, dtype=np.int64)
     gy = gy0 + np.arange(grid.rows, dtype=np.int64)
     return gx, gy

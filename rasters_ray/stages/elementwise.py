@@ -29,6 +29,10 @@ def _map_pixels(batch: pa.Table, fn: Callable[[np.ndarray], np.ndarray]) -> pa.T
     out_fmts = []
     for b, f in zip(blobs, fmts):
         arr = codec.decode(b, f)
+        if not arr.flags.writeable:
+            # zero-copy decode returns READ-ONLY views over Arrow buffers;
+            # user UDFs may mutate in place (a += 1), so hand them a copy
+            arr = arr.copy()
         res = fn(arr)
         if res.dtype == np.float64:
             res = res.astype(np.float32)
