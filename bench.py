@@ -90,8 +90,6 @@ def run_bench() -> dict:
 
     img_path = ensure_images(N_IMAGES)
 
-    timings: dict = {}
-
     # warm-up: spin up the FULL worker pool (worker-process startup costs
     # ~1s each; a 1-block warmup only starts a few) and pre-import the
     # engine in every worker so the first measured pipeline is pure work
@@ -107,97 +105,100 @@ def run_bench() -> dict:
     ).count()
     log("warmup done")
 
-    # this sandbox VM shows fluctuating hypervisor steal (BASELINE.md):
-    # single runs of the byte-heavy pipelines swing several-fold, so the
-    # two headline stages are timed as the MINIMUM of BENCH_TRIALS runs
-    # (the least-interfered one) — same policy as --scaling
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
-
-    # q1: tiling — the flagship op (decode -> covering cells -> slice -> encode)
-    tile_runs = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        tiles = tile_images(read_images(img_path), level=TILE_LEVEL, batch_size=64)
-        n_tiles = tiles.count()
-        tile_runs.append(time.perf_counter() - t0)
-    timings["tiling"] = min(tile_runs)
-    log(f"tiling: {n_tiles} tiles in {timings['tiling']:.1f}s (runs: {[round(s,1) for s in tile_runs]})")
-
-    # q2: spatial join — broadcast point sampling through every image
+    # untimed one-off inputs shared across trials
     pts_tbl = pq.read_table(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
     points = oracle_points_from_keys(pts_tbl.column("c_custkey").to_numpy())
-    join_runs = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qm = np.stack([np.asarray(emb.column("embedding")[i].as_py()) for i in range(16)])
+
+    from rasters_ray.ann import lsh_topk, recall_at_k
+
+    stats: dict = {}
+
+    # q1: tiling — the flagship op (decode -> covering cells -> slice -> encode)
+    def stage_tiling():
+        tiles = tile_images(read_images(img_path), level=TILE_LEVEL, batch_size=64)
+        stats["n_tiles"] = tiles.count()
+
+    # q2: spatial join — broadcast point sampling through every image
+    def stage_point_join():
         join = sample_points(
-            read_images(img_path),
-            points,
-            level=TILE_LEVEL,
-            include_misses=False,
+            read_images(img_path), points, level=TILE_LEVEL, include_misses=False
         )
-        n_join = join.count()
-        join_runs.append(time.perf_counter() - t0)
-    timings["point_join"] = min(join_runs)
-    log(f"point_join: {n_join} rows in {timings['point_join']:.1f}s (runs: {[round(s,1) for s in join_runs]})")
+        stats["n_join_rows"] = join.count()
 
     # q3: merge composite at TILE granularity — groupby(cell_key) shuffle of
     # encoded tiles with salting for the 30% skew cluster. Restricted to the
     # lattice-aligned (0.01-deg) subset: compositing mixed resolutions needs
     # a warp first (the general path), which is not what this measures.
-    t0 = time.perf_counter()
-    aligned = read_images(img_path).map_batches(
-        lambda t: t.filter(
-            pc.equal(pc.struct_field(t.column("grid"), "cell_width"), 0.01)
-        ),
-        batch_format="pyarrow",
-    )
-    merged = composite_cells(
-        tile_images(aligned, level=TILE_LEVEL, batch_size=64),
-        cell_size=0.01,
-        mode="merge_mean",
-        salt="auto",
-    )
-    n_cells = merged.count()
-    timings["merge_composite"] = time.perf_counter() - t0
-    log(f"merge_composite: {n_cells} cells in {timings['merge_composite']:.1f}s")
+    def stage_merge_composite():
+        aligned = read_images(img_path).map_batches(
+            lambda t: t.filter(
+                pc.equal(pc.struct_field(t.column("grid"), "cell_width"), 0.01)
+            ),
+            batch_format="pyarrow",
+        )
+        merged = composite_cells(
+            tile_images(aligned, level=TILE_LEVEL, batch_size=64),
+            cell_size=0.01,
+            mode="merge_mean",
+            salt="auto",
+        )
+        stats["n_merge_cells"] = merged.count()
 
     # q4: minhash near-dup over documents
-    t0 = time.perf_counter()
-    dups = minhash_near_dups(
-        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
-        threshold=0.8,
-    )
-    n_dups = dups.count()
-    timings["minhash_dedup"] = time.perf_counter() - t0
-    log(f"minhash_dedup: {n_dups} pairs in {timings['minhash_dedup']:.1f}s")
+    def stage_minhash():
+        dups = minhash_near_dups(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]),
+            threshold=0.8,
+        )
+        stats["n_near_dup_pairs"] = dups.count()
 
-    # q5: ANN top-k over embeddings (16 queries)
-    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qm = np.stack([np.asarray(emb.column("embedding")[i].as_py()) for i in range(16)])
-    t0 = time.perf_counter()
-    top = cosine_topk(
-        rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
-        qm,
-        k=10,
-    )
-    timings["ann_topk"] = time.perf_counter() - t0
-    log(f"ann_topk in {timings['ann_topk']:.1f}s")
+    # q5: exact ANN top-k over embeddings (16 queries)
+    def stage_ann_topk():
+        stats["ann_top"] = cosine_topk(
+            rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            qm,
+            k=10,
+        )
 
     # q5b: LSH scale path — timed AND recall-checked against the exact result
-    from rasters_ray.ann import lsh_topk, recall_at_k
+    def stage_lsh_ann():
+        approx = lsh_topk(
+            rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            qm,
+            k=10,
+            n_planes=8,
+            multiprobe=2,
+            n_tables=2,
+        )
+        stats["lsh_recall"] = recall_at_k(stats["ann_top"], approx, 10)
 
-    t0 = time.perf_counter()
-    approx = lsh_topk(
-        rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
-        qm,
-        k=10,
-        n_planes=8,
-        multiprobe=2,
-        n_tables=2,
-    )
-    timings["lsh_ann"] = time.perf_counter() - t0
-    lsh_recall = recall_at_k(top, approx, 10)
-    log(f"lsh_ann in {timings['lsh_ann']:.1f}s, recall@10={lsh_recall:.3f}")
+    stages = [
+        ("tiling", stage_tiling),
+        ("point_join", stage_point_join),
+        ("merge_composite", stage_merge_composite),
+        ("minhash_dedup", stage_minhash),
+        ("ann_topk", stage_ann_topk),
+        ("lsh_ann", stage_lsh_ann),
+    ]
+
+    # this sandbox VM shows fluctuating hypervisor steal (BASELINE.md
+    # documents +-40% swings between identical back-to-back runs), so EVERY
+    # stage is timed as the MINIMUM over BENCH_TRIALS interleaved sweeps
+    # (the least-interfered run) — the same discipline --scaling uses. A
+    # full sweep runs all stages before any stage repeats, so one noisy
+    # host window cannot poison both trials of the same stage.
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    all_runs: dict = {name: [] for name, _ in stages}
+    for sweep in range(trials):
+        for name, fn in stages:
+            t0 = time.perf_counter()
+            fn()
+            sec = time.perf_counter() - t0
+            all_runs[name].append(sec)
+            log(f"[sweep {sweep + 1}/{trials}] {name}: {sec:.1f}s")
+    timings = {name: min(runs) for name, runs in all_runs.items()}
 
     total = sum(timings.values())
     result = {
@@ -205,14 +206,18 @@ def run_bench() -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "queries_all_trials": {
+            k: [round(s, 3) for s in v] for k, v in all_runs.items()
+        },
+        "trials": trials,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "num_cpus": NUM_CPUS,
         "n_images": N_IMAGES,
-        "n_tiles": int(n_tiles),
-        "n_join_rows": int(n_join),
-        "n_merge_cells": int(n_cells),
-        "n_near_dup_pairs": int(n_dups),
-        "lsh_recall_at_10": round(lsh_recall, 3),
+        "n_tiles": int(stats["n_tiles"]),
+        "n_join_rows": int(stats["n_join_rows"]),
+        "n_merge_cells": int(stats["n_merge_cells"]),
+        "n_near_dup_pairs": int(stats["n_near_dup_pairs"]),
+        "lsh_recall_at_10": round(stats["lsh_recall"], 3),
         "images_per_sec": round(N_IMAGES / timings["tiling"], 1),
     }
     ray.shutdown()
