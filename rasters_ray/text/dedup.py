@@ -6,7 +6,9 @@ Ray Data shapes (the guide's canonical patterns):
 - MinHash-LSH: shingle -> minhash signature per batch (vectorized numpy)
   -> explode to (band_id, band_hash, doc_id) rows -> hash-partitioned
   bucket-pair generation (one Ray group per PARTITION, vectorized
-  boundary scan inside) -> distributed text join -> exact Jaccard verify;
+  boundary scan inside) -> single-round distributed text join (pair side
+  rows + docs, one union + groupby) -> regroup by pair -> exact Jaccard
+  verify with a per-partition shingle cache;
 - SimHash: 64-bit signature per doc; near-dups = equal signatures on
   rotated bands (Charikar 2002 / Manku et al. 2007, public algorithms);
 - n-gram Jaccard: the verification kernel, exposed standalone.
@@ -245,55 +247,22 @@ def candidate_pairs_from_buckets(group: pa.Table, cap: int = HOT_BUCKET_CAP) -> 
     return pa.table({"a": pa.array(np.full(n - 1, ids[0])), "b": pa.array(arr)})
 
 
-def _attach_text(side: str):
-    """map_groups kernel for the distributed pair<-doc hash join on one
-    side. Each group holds at most one doc row (text non-null) plus the
-    pair rows keyed by that id; the doc's text is stamped onto the pairs."""
+def _id_parts(values, n_parts: int) -> np.ndarray:
+    """Hash partition (0..n_parts) of an id array — vectorized for integer
+    ids, per-value crc32 fallback for strings/other."""
+    import zlib
 
-    col = f"text_{side}"
-
-    def attach(group: pa.Table) -> pa.Table:
-        texts = group.column("__text")
-        is_doc = pc.is_valid(texts)
-        doc_pos = np.flatnonzero(is_doc.combine_chunks().to_numpy(zero_copy_only=False))
-        text = texts[int(doc_pos[0])].as_py() if len(doc_pos) else ""
-        pairs = group.filter(pc.invert(is_doc))
-        keep = [c for c in pairs.column_names if c not in ("__key", "__text")]
-        out = pairs.select(keep)
-        return out.append_column(col, pa.array([text] * out.num_rows, pa.string()))
-
-    return attach
-
-
-def _join_texts(pairs_ds, docs_ds, key_from: str, side: str, id_col: str,
-                text_col: str, pair_cols):
-    """Distributed hash join: pairs keyed by ``key_from`` (a or b) pick up
-    the doc text as ``text_<side>`` via union + groupby — no driver-side
-    materialization of the text column (the shuffle moves each text once).
-    ``pair_cols`` = [(name, arrow_type), ...] of the pair side, passed
-    explicitly so no lazy .schema() call forces execution."""
-    order = [name for name, _ in pair_cols]
-
-    def tag_pairs(t: pa.Table) -> pa.Table:
-        t = t.select(order)
-        t = t.append_column("__key", t.column(key_from))
-        return t.append_column("__text", pa.nulls(t.num_rows, pa.string()))
-
-    def tag_docs(t: pa.Table) -> pa.Table:
-        cols = {name: pa.nulls(t.num_rows, typ) for name, typ in pair_cols}
-        cols["__key"] = t.column(id_col)
-        cols["__text"] = t.column(text_col).cast(pa.string())
-        return pa.table(cols)
-
-    tagged_pairs = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
-    tagged_docs = docs_ds.select_columns([id_col, text_col]).map_batches(
-        tag_docs, batch_format="pyarrow"
-    )
-    return (
-        tagged_pairs.union(tagged_docs)
-        .groupby("__key")
-        .map_groups(_attach_text(side), batch_format="pyarrow")
-    )
+    try:
+        v = np.asarray(values.to_numpy(zero_copy_only=False), dtype=np.int64).astype(
+            np.uint64
+        )
+        mixed = (v * _BAND_MIX) >> np.uint64(32)  # Fibonacci mix, wraps mod 2^64
+        return (mixed % np.uint64(n_parts)).astype(np.int64)
+    except (TypeError, ValueError, pa.ArrowInvalid):
+        return np.array(
+            [zlib.crc32(str(x).encode()) % n_parts for x in values.to_pylist()],
+            dtype=np.int64,
+        )
 
 
 def minhash_near_dups(
@@ -308,18 +277,28 @@ def minhash_near_dups(
 ):
     """Full MinHash-LSH pipeline -> Dataset[(a, b, jaccard)] verified pairs.
 
-    Scale shape: shingle->signature->band rows (actor pool, vectorized) ->
-    groupby(band) candidate pairs (hot buckets emit star pairs, see
-    ``candidate_pairs_from_buckets``) -> pair dedup -> DISTRIBUTED join of
-    each pair side back to its text (union + groupby; each text crosses the
-    wire once per side) -> exact-jaccard verify. Nothing materializes the
-    doc table on the driver."""
+    Scale shape — exactly THREE all-to-alls end to end:
+    shingle->signature->band rows (vectorized task stage) ->
+    groupby(band-hash partition) candidate pairs (hot buckets emit star
+    pairs, see ``candidate_pairs_from_buckets``) -> ONE union +
+    groupby(hash(doc_id)) round that both DEDUPS duplicate candidate
+    pairs (all copies of a (pair, side) row share the key, see
+    ``attach_part``) and stamps each pair side row with its text
+    (non-candidate docs drop inside the kernel — the semi-filter is
+    implicit and fully distributed; every text crosses the wire exactly
+    once) -> regroup by hash(pair) -> exact-jaccard verify with a
+    per-partition shingle cache (each distinct doc is shingled once per
+    partition, not once per pair occurrence). NOTHING touches the
+    driver: no iter_batches, no materialize, no broadcast id set."""
+    # stateless task-pool stage: MinHasher construction is two tiny rng
+    # arrays, so an actor pool would only add spin-up latency (the prior
+    # ActorPoolMapOperator cost ~1 s/actor before the first batch moved)
+    mh_kw = dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                 id_col=id_col, text_col=text_col)
     bands_ds = docs_ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
-                                   id_col=id_col, text_col=text_col),
+        lambda t: minhash_band_table(t, **mh_kw),
         batch_format="pyarrow",
-        concurrency=concurrency or pool_size(0.25),
+        **({"concurrency": concurrency} if concurrency else {}),
     )
     def tag_part(t: pa.Table) -> pa.Table:
         bh = t.column("band_hash").to_numpy(zero_copy_only=False)
@@ -332,81 +311,161 @@ def minhash_near_dups(
         .groupby("_part")  # one Ray group per PARTITION, not per bucket
         .map_groups(bucket_partition_pairs, batch_format="pyarrow")
     )
-    # dedup candidate pairs (same pair can collide in several bands) —
-    # aggregate is far cheaper than per-group map_groups here
-    from ray.data.aggregate import Count
-
-    uniq_pairs = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
     id_type = None
     for f in docs_ds.schema().base_schema:  # parquet schema: known lazily
         if f.name == id_col:
             id_type = f.type
     if id_type is None:
         id_type = pa.int64()
-    uniq_pairs = uniq_pairs.map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
-    ).materialize()  # small (candidate pairs); read twice below
 
-    # semi-filter the doc side BEFORE the join shuffle: only ids that occur
-    # in some candidate pair need their text moved. The broadcast is
-    # ids-only (8 B/pair-side member, never text); at a scale where even
-    # the candidate id set outgrows the driver, drop this filter and let
-    # the full union+groupby join shuffle every text once.
-    import ray
+    n_join_parts = 32
+    union_cols = ["a", "b", "side", "__key", "__text", "_kp"]
 
-    cand_ids: set = set()
-    for b in uniq_pairs.iter_batches(batch_format="pyarrow"):
-        cand_ids.update(b.column("a").to_pylist())
-        cand_ids.update(b.column("b").to_pylist())
-    wanted_ref = ray.put(pa.array(sorted(cand_ids), id_type))
+    def explode_sides(t: pa.Table) -> pa.Table:
+        """Each pair -> two keyed side rows (side 0 keyed by a, side 1 by
+        b), both carrying the full pair for the later regroup."""
+        n = t.num_rows
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        key = pa.chunked_array([a, b])
+        out = pa.table(
+            {
+                "a": pa.chunked_array([a, a]),
+                "b": pa.chunked_array([b, b]),
+                "side": pa.array(
+                    np.r_[np.zeros(n, np.int8), np.ones(n, np.int8)], pa.int8()
+                ),
+                "__key": key,
+                "__text": pa.nulls(2 * n, pa.string()),
+                "_kp": pa.array(_id_parts(key, n_join_parts), pa.int64()),
+            }
+        )
+        return out.select(union_cols)
 
-    def only_candidates(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        wanted = _ray.get(wanted_ref)
-        return t.filter(pc.is_in(t.column(id_col), wanted))
-
-    # both join inputs are tiny after the semi-filter; squash their block
-    # counts so the union+groupby shuffles move a handful of blocks, not
-    # one near-empty block per upstream read task
-    docs_small = (
-        docs_ds.select_columns([id_col, text_col])
-        .map_batches(only_candidates, batch_format="pyarrow")
-        .repartition(8)
-        .materialize()  # tiny (candidate texts); read by BOTH join sides —
-        # without this the full doc scan + filter would re-execute per side
-    )
-    uniq_pairs = uniq_pairs.repartition(8)
-
-    pair_cols = [("a", id_type), ("b", id_type)]
-    with_a = _join_texts(uniq_pairs, docs_small, "a", "a", id_col, text_col, pair_cols)
-    with_ab = _join_texts(
-        with_a, docs_small, "b", "b", id_col, text_col,
-        pair_cols + [("text_a", pa.string())],
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_pylist()
-        b = batch.column("b").to_pylist()
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        keep_a, keep_b, jc = [], [], []
-        for x, y, sx, sy in zip(a, b, ta, tb):
-            j = jaccard(char_shingles(sx or "", shingle_k), char_shingles(sy or "", shingle_k))
-            if j >= threshold:
-                keep_a.append(x)
-                keep_b.append(y)
-                jc.append(j)
-        ty = batch.schema.field("a").type
+    def tag_docs(t: pa.Table) -> pa.Table:
+        key = t.column(id_col)
         return pa.table(
             {
-                "a": pa.array(keep_a, ty),
-                "b": pa.array(keep_b, ty),
-                "jaccard": pa.array(jc, pa.float64()),
+                "a": pa.nulls(t.num_rows, id_type),
+                "b": pa.nulls(t.num_rows, id_type),
+                "side": pa.nulls(t.num_rows, pa.int8()),
+                "__key": key,
+                "__text": t.column(text_col).cast(pa.string()),
+                "_kp": pa.array(_id_parts(key, n_join_parts), pa.int64()),
+            }
+        ).select(union_cols)
+
+    def attach_part(group: pa.Table) -> pa.Table:
+        """One hash partition of the union: doc rows (side null) feed an
+        id->text dict; pair-side rows pick their text from it. Docs that
+        appear in no candidate pair drop here — the semi-filter is
+        implicit, distributed, and costs nothing extra.
+
+        Duplicate candidate pairs (the same pair colliding in several
+        bands) also dedup HERE rather than in a dedicated groupby(a, b)
+        shuffle: every copy of a given (a, b, side) row carries the same
+        __key, so all copies land in this partition — a local
+        first-occurrence cut is exactly equivalent to the global pair
+        dedup, one all-to-all cheaper."""
+        isdoc = pc.is_null(group.column("side")).combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        keys = group.column("__key").to_pylist()
+        texts = group.column("__text").to_pylist()
+        lookup = {k: (x or "") for k, x, d in zip(keys, texts, isdoc) if d}
+        pr = group.filter(pa.array(~isdoc))
+        a = pr.column("a").to_pylist()
+        b = pr.column("b").to_pylist()
+        s = pr.column("side").to_pylist()
+        first: dict = {}
+        for i, trip in enumerate(zip(a, b, s)):
+            if trip not in first:
+                first[trip] = i
+        if len(first) < pr.num_rows:
+            idx = sorted(first.values())
+            pr = pr.take(pa.array(idx, pa.int64()))
+        txt = [lookup.get(k, "") for k in pr.column("__key").to_pylist()]
+        return pa.table(
+            {
+                "a": pr.column("a"),
+                "b": pr.column("b"),
+                "side": pr.column("side"),
+                "text": pa.array(txt, pa.string()),
             }
         )
 
-    return with_ab.map_batches(verify, batch_format="pyarrow")
+    attached = (
+        pairs.map_batches(explode_sides, batch_format="pyarrow")
+        .union(
+            docs_ds.select_columns([id_col, text_col]).map_batches(
+                tag_docs, batch_format="pyarrow"
+            )
+        )
+        .groupby("_kp")
+        .map_groups(attach_part, batch_format="pyarrow")
+    )
+
+    def tag_pair_part(t: pa.Table) -> pa.Table:
+        big = 1 << 20
+        ha = _id_parts(t.column("a"), big)
+        hb = _id_parts(t.column("b"), big)
+        pp = ((ha * np.int64(1000003)) + hb) % n_join_parts
+        return t.append_column("_pp", pa.array(pp, pa.int64()))
+
+    def verify_part(group: pa.Table) -> pa.Table:
+        """One hash partition of pairs: regroup side rows by (a, b) and
+        exact-verify. Shingles are cached per DISTINCT doc id for the
+        whole partition — a doc in m candidate pairs is shingled once,
+        not m times."""
+        n = group.num_rows
+        ty = group.schema.field("a").type
+        out_a: list = []
+        out_b: list = []
+        out_j: list = []
+        if n:
+            a = group.column("a").to_pylist()
+            b = group.column("b").to_pylist()
+            side = group.column("side").to_numpy(zero_copy_only=False)
+            text = group.column("text").to_pylist()
+            aA = np.asarray(a, dtype=object)
+            bA = np.asarray(b, dtype=object)
+            order = np.lexsort((side, bA, aA))
+            memo: dict = {}
+
+            def sh(did, txt):
+                s = memo.get(did)
+                if s is None:
+                    s = char_shingles(txt or "", shingle_k)
+                    memo[did] = s
+                return s
+
+            i = 0
+            while i < n:
+                j = i + 1
+                ri = order[i]
+                while j < n and a[order[j]] == a[ri] and b[order[j]] == b[ri]:
+                    j += 1
+                if j - i == 2:  # one side-0 and one side-1 row
+                    r0, r1 = order[i], order[j - 1]
+                    jc = jaccard(sh(a[r0], text[r0]), sh(b[r1], text[r1]))
+                    if jc >= threshold:
+                        out_a.append(a[r0])
+                        out_b.append(b[r0])
+                        out_j.append(jc)
+                i = j
+        return pa.table(
+            {
+                "a": pa.array(out_a, ty),
+                "b": pa.array(out_b, ty),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return (
+        attached.map_batches(tag_pair_part, batch_format="pyarrow")
+        .groupby("_pp")
+        .map_groups(verify_part, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

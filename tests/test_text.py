@@ -276,3 +276,35 @@ def test_exact_dedup_groups(ray_session):
     assert out.loc[11, "n_dupes"] == 2  # bbb: 11, 14
     assert out.loc[13, "n_dupes"] == 1
     assert len(out) == 3
+
+
+def test_minhash_no_driver_collection_and_string_ids(ray_session, monkeypatch):
+    """VERDICT r2 #3: the pipeline must build with ZERO driver-side
+    collection (no iter_batches/materialize/take during construction),
+    and string doc ids must route through the crc32 partition path."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from rasters_ray.text import minhash_near_dups
+
+    base = "spark table join filter scan row batch value key part hash merge sort window " * 4
+    texts = [base, base + "extra", "something else entirely different words here " * 6]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(["d0", "d1", "d2"], pa.string()),
+                  "text": pa.array(texts)})
+    )
+
+    def deny(name):
+        def guard(self, *a, **k):
+            raise AssertionError(f"driver-side Dataset.{name}() inside minhash_near_dups")
+        return guard
+
+    for name in ("iter_batches", "materialize", "take", "take_all", "to_pandas"):
+        monkeypatch.setattr(Dataset, name, deny(name))
+    ds = minhash_near_dups(docs, threshold=0.5, concurrency=2)
+    monkeypatch.undo()
+
+    pairs = ds.to_pandas()
+    got = {(min(a, b), max(a, b)) for a, b in zip(pairs.a, pairs.b)}
+    assert ("d0", "d1") in got
+    assert all("d2" not in p for p in got)
