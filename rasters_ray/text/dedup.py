@@ -683,47 +683,48 @@ def hamming_near_dups(
     def bucket_pairs(group: pa.Table) -> pa.Table:
         """All buckets of one hash partition, vectorized boundary scan —
         one Ray group per partition, not per bucket (bucket cardinality is
-        ~one per image at scale)."""
+        ~one per image at scale). Ids are factorized to int codes once per
+        partition (codes sort like the ids, np.unique is id-sorted), so
+        bucket pair emission runs on int arrays — the same vectorized form
+        as ``bucket_partition_pairs`` (VERDICT r2 #4 unification)."""
         bi = group.column("band_id").to_numpy(zero_copy_only=False)
         bv = group.column("band_val").to_numpy(zero_copy_only=False)
-        dids = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
+        dids = np.asarray(group.column("doc_id").to_pylist())
         hs = group.column("hash").to_numpy(zero_copy_only=False)
-        order = np.lexsort((hs, dids, bv, bi))
-        bi, bv, dids, hs = bi[order], bv[order], dids[order], hs[order]
-        new_bucket = np.r_[True, (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1])]
+        uid, first_idx, codes = np.unique(dids, return_index=True, return_inverse=True)
+        uhash = hs[first_idx]  # one 64-bit hash per id (functional column)
+        order = np.lexsort((codes, bv, bi))
+        b1, b2, c = bi[order], bv[order], codes[order]
+        new_bucket = np.r_[True, (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1])]
         starts = np.flatnonzero(new_bucket)
-        ends = np.r_[starts[1:], len(dids)]
-        a_out, b_out, ha_out, hb_out = [], [], [], []
+        ends = np.r_[starts[1:], len(c)]
+        a_parts, b_parts = [], []
         for s, e in zip(starts, ends):  # only colliding buckets do work
             if e - s < 2:
                 continue
-            pairs_src = list(dict.fromkeys(zip(dids[s:e], hs[s:e])))  # unique, sorted
-            n = len(pairs_src)
+            ids = np.unique(c[s:e])
+            n = len(ids)
             if n < 2:
                 continue
-            if n > cap:
-                it = [(pairs_src[0], u) for u in pairs_src[1:]]  # star to smallest
-            else:
-                it = [
-                    (pairs_src[i], pairs_src[j])
-                    for i in range(n)
-                    for j in range(i + 1, n)
-                ]
-            for (ai, ah), (bi_, bh_) in it:
-                a_out.append(ai)
-                b_out.append(bi_)
-                ha_out.append(ah)
-                hb_out.append(bh_)
-        if not a_out:
+            if n <= cap:
+                ii, jj = np.triu_indices(n, k=1)
+                a_parts.append(ids[ii])
+                b_parts.append(ids[jj])
+            else:  # star pairs to the smallest id
+                a_parts.append(np.full(n - 1, ids[0]))
+                b_parts.append(ids[1:])
+        if not a_parts:
             e_ = group.column("doc_id").slice(0, 0)
             eh = group.column("hash").slice(0, 0)
             return pa.table({"a": e_, "b": e_, "ha": eh, "hb": eh})
+        ac = np.concatenate(a_parts)
+        bc = np.concatenate(b_parts)
         return pa.table(
             {
-                "a": pa.array(a_out),
-                "b": pa.array(b_out),
-                "ha": pa.array(ha_out, pa.int64()),
-                "hb": pa.array(hb_out, pa.int64()),
+                "a": pa.array(uid[ac]),
+                "b": pa.array(uid[bc]),
+                "ha": pa.array(uhash[ac], pa.int64()),
+                "hb": pa.array(uhash[bc], pa.int64()),
             }
         )
 
