@@ -1070,15 +1070,53 @@ def q_transform_utm(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+PHASH_FIXTURE_N = 256
+
+
+def _phash_fixture_path() -> str:
+    """Deterministic (image_id, phash) table of the fixture images,
+    written once under /tmp so DuckDB can oracle the phash queries
+    (VERDICT r2 #6) — the fixture generator is pure numpy, so the same
+    values are reachable from both the Ray side and the SQL side.
+    Called from the queries AND from oracle_sql() so either side of the
+    driver's comparison can run first."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rasters_ray.sources.images import make_fixture_images
+
+    path = f"/tmp/rasters_ray_oracle/phash_fixture_{PHASH_FIXTURE_N}.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    parts = [
+        make_fixture_images(np.arange(i, min(i + 64, PHASH_FIXTURE_N))).select(
+            ["image_id", "phash"]
+        )
+        for i in range(0, PHASH_FIXTURE_N, 64)
+    ]
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(pa.concat_tables(parts), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def q_phash_near(sf_dir: str):
     """Hamming-ball pHash near-dup join (multi-index pigeonhole bucketing
-    + vectorized popcount verify) over the seeded fixture images —
-    rows-only (phash is not SQL-derivable)."""
+    + vectorized popcount verify) over the seeded fixture images.
+    Oracle: a DuckDB bit_count self-join over the fixture phash parquet.
+    ``cap`` is raised past the fixture size so hot-bucket star capping
+    (a recall/scale trade, tested separately) cannot drop pairs the
+    exact SQL finds."""
     from rasters_ray.sources import images_dataset
     from rasters_ray.text import hamming_near_dups
 
-    imgs = images_dataset(256, profile="fixtures").select_columns(["image_id", "phash"])
-    return hamming_near_dups(imgs, max_dist=6, bands=8)
+    _phash_fixture_path()
+    imgs = images_dataset(PHASH_FIXTURE_N, profile="fixtures").select_columns(
+        ["image_id", "phash"]
+    )
+    return hamming_near_dups(imgs, max_dist=6, bands=8, cap=2 * PHASH_FIXTURE_N)
 
 
 def q_phash_dups(sf_dir: str):
@@ -1086,7 +1124,8 @@ def q_phash_dups(sf_dir: str):
 
     from rasters_ray.sources import images_dataset
 
-    imgs = images_dataset(256, profile="fixtures")
+    _phash_fixture_path()
+    imgs = images_dataset(PHASH_FIXTURE_N, profile="fixtures")
     dup = imgs.groupby("phash").aggregate(Count(alias_name="n"))
     return dup.filter(lambda r: r["n"] > 1)
 
@@ -1627,6 +1666,54 @@ SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(e.embedding, q.qv
        e.vec_id AS vec_id
 FROM embeddings e, q
 ORDER BY rank LIMIT 10
+"""
+
+    # phash oracles read the deterministic fixture parquet (pure-numpy
+    # generator, written by _phash_fixture_path from whichever side runs
+    # first — rasters_ray is importable wherever this module is)
+    phash_path = _phash_fixture_path()
+
+    sql["phash_dups"] = f"""
+SELECT phash, COUNT(*) AS n
+FROM read_parquet('{phash_path}')
+GROUP BY phash HAVING COUNT(*) > 1
+"""
+
+    sql["phash_near"] = f"""
+WITH t AS (SELECT image_id, phash FROM read_parquet('{phash_path}'))
+SELECT x.image_id AS a, y.image_id AS b,
+       CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+FROM t x JOIN t y ON x.image_id < y.image_id
+WHERE bit_count(xor(x.phash, y.phash)) <= 6
+"""
+
+    # Rabin-Karp fingerprint (analysis.fingerprint64): h = sum(byte_i *
+    # 1000003^(n-i)) mod 2^61-1, recomputed with a recursive modpow CTE in
+    # HUGEINT (documents are ASCII, so ord() == utf-8 byte)
+    sql["fingerprint"] = """
+WITH RECURSIVE pows(j, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT j + 1, (p * 1000003) % 2305843009213693951 FROM pows
+  WHERE j < (SELECT MAX(LENGTH(text)) FROM documents)
+),
+expl AS (
+  SELECT doc_id, LENGTH(text) AS n,
+         unnest(generate_series(1, LENGTH(text))) AS i
+  FROM documents
+),
+byt AS (
+  SELECT e.doc_id, ord(substr(d.text, e.i, 1)) AS byte, e.n, e.i
+  FROM expl e JOIN documents d USING (doc_id)
+),
+f AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(byte AS HUGEINT) * p.p) % 2305843009213693951 AS BIGINT) AS fp
+  FROM byt JOIN pows p ON p.j = byt.n - byt.i
+  GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(f.fp, 0) AS fingerprint
+FROM documents d LEFT JOIN f USING (doc_id)
 """
 
     return sql

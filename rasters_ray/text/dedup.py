@@ -533,15 +533,22 @@ def hamming64(a: int, b: int) -> int:
 
 
 def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
-                        text_col: str = "text") -> pa.Table:
+                        text_col: str = "text", max_docs: int = 10_000) -> pa.Table:
     """All-pairs word-n-gram Jaccard over a (small, pre-filtered) doc set.
 
     Distributed shape mirrors the LSH pipeline: explode DISTINCT
     (doc_id, gram_hash) rows per batch -> set sizes via groupby(doc) ->
     co-occurrence pairs via groupby(gram) (docs per gram bounded by the
     filtered set) -> pair intersection counts via groupby(a, b). Only the
-    O(pairs) result reaches the driver. jaccard = inter/(|A|+|B|-inter) as
-    one float64 division -> DuckDB-recomputable bit-exactly."""
+    O(pairs) result reaches the driver; the n^2/2 all-pairs matrix
+    (including zero-intersection pairs — the documented semantics)
+    assembles VECTORIZED via triu indices + a searchsorted scatter.
+    jaccard = inter/(|A|+|B|-inter) as one float64 division -> DuckDB-
+    recomputable bit-exactly.
+
+    This op is intentionally quadratic in the doc count: ``max_docs``
+    (default 10k -> 50M pairs) guard-rails it; above that, use
+    ``minhash_near_dups`` (candidates only) instead of all-pairs."""
     from ray.data.aggregate import Count
 
     def explode(t: pa.Table) -> pa.Table:
@@ -587,6 +594,12 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
             {"a": pa.array(np.concatenate(a_parts)), "b": pa.array(np.concatenate(b_parts))}
         )
 
+    if len(sizes) > max_docs:
+        raise ValueError(
+            f"ngram_jaccard_pairs is all-pairs quadratic: {len(sizes)} docs "
+            f"exceeds max_docs={max_docs} ({len(sizes) * (len(sizes) - 1) // 2} "
+            "pairs); pre-filter the doc set or use minhash_near_dups"
+        )
     inter = (
         grams.map_batches(tag_part, batch_format="pyarrow")
         .groupby("_part")
@@ -595,22 +608,24 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
         .aggregate(Count(alias_name="i"))
         .to_pandas()
     )
-    csize = dict(zip(sizes["doc_id"], sizes["c"]))
-    imap = {(r.a, r.b): r.i for r in inter.itertuples()}
-    ids = sorted(csize)
-    out_a, out_b, out_j = [], [], []
-    for x in range(len(ids)):
-        for y in range(x + 1, len(ids)):
-            a, b = ids[x], ids[y]
-            i = imap.get((a, b), 0)
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(float(i) / (csize[a] + csize[b] - i))
+    ids = np.sort(np.asarray(sizes["doc_id"].to_numpy()))
+    cs = sizes.set_index("doc_id").loc[ids, "c"].to_numpy().astype(np.int64)
+    m = len(ids)
+    ii, jj = np.triu_indices(m, k=1)
+    ivec = np.zeros(len(ii), dtype=np.int64)
+    if len(inter):
+        pos_a = np.searchsorted(ids, np.asarray(inter["a"].to_numpy(), dtype=ids.dtype))
+        pos_b = np.searchsorted(ids, np.asarray(inter["b"].to_numpy(), dtype=ids.dtype))
+        # triu keys (ii*m + jj) are strictly increasing -> scatter by search
+        ivec[np.searchsorted(ii * m + jj, pos_a * m + pos_b)] = (
+            inter["i"].to_numpy().astype(np.int64)
+        )
+    jac = ivec / (cs[ii] + cs[jj] - ivec)
     return pa.table(
         {
-            "a": pa.array(out_a),
-            "b": pa.array(out_b),
-            "jaccard": pa.array(out_j, pa.float64()),
+            "a": pa.array(ids[ii]),
+            "b": pa.array(ids[jj]),
+            "jaccard": pa.array(jac, pa.float64()),
         }
     )
 

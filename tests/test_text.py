@@ -308,3 +308,18 @@ def test_minhash_no_driver_collection_and_string_ids(ray_session, monkeypatch):
     got = {(min(a, b), max(a, b)) for a, b in zip(pairs.a, pairs.b)}
     assert ("d0", "d1") in got
     assert all("d2" not in p for p in got)
+
+
+def test_ngram_jaccard_guard_trips(ray_session):
+    import ray.data as rd
+
+    import pytest as _pytest
+
+    from rasters_ray.text import ngram_jaccard_pairs
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(5)), pa.int64()),
+                  "text": pa.array([f"alpha beta gamma doc {i}" for i in range(5)])})
+    )
+    with _pytest.raises(ValueError, match="max_docs"):
+        ngram_jaccard_pairs(docs, max_docs=3)
