@@ -1716,4 +1716,48 @@ SELECT d.doc_id, COALESCE(f.fp, 0) AS fingerprint
 FROM documents d LEFT JOIN f USING (doc_id)
 """
 
+    # stopword-profile language heuristic (analysis.lang_id): hits per
+    # profile with multiplicity; first profile in (en, es, de, fr) order
+    # wins ties (the engine's strict-> update rule); Han-ratio short
+    # circuit for zh; 'und' when no profile hits
+    sql["lang_quality"] = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_extract_all(text, '\S+'), w -> lower(w)) AS toks,
+         CAST(len(regexp_extract_all(text, '[一-鿿]')) AS BIGINT) AS han,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+), h AS (
+  SELECT doc_id, lang, han, n_chars,
+    CAST(len(toks) AS BIGINT) AS n_tok,
+    len(list_filter(toks, w -> list_contains(['the','and','of','a','to','in','is','it','that','for','with','as','on','this','by'], w))) AS en_h,
+    len(list_filter(toks, w -> list_contains(['el','la','de','que','y','a','en','un','ser','se','no','haber','por','con','su'], w))) AS es_h,
+    len(list_filter(toks, w -> list_contains(['der','die','und','in','den','von','zu','das','mit','sich','des','auf','ist'], w))) AS de_h,
+    len(list_filter(toks, w -> list_contains(['le','la','de','et','les','des','en','un','du','une','que','est','pour','qui'], w))) AS fr_h,
+    len(list_filter(toks, w -> list_contains(['the','and','of','a','to','in','is','it','that','for'], w))) AS n_stop
+  FROM tok
+), r AS (
+  SELECT doc_id,
+         CASE WHEN n_tok > 0
+              THEN CAST(n_chars - greatest(n_tok - 1, 0) AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE)
+              ELSE 0.0e0 END AS mean_len,
+         CASE WHEN n_tok > 0
+              THEN CAST(n_stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE)
+              ELSE 0.0e0 END AS stop_ratio,
+         n_tok
+  FROM h
+)
+SELECT h.doc_id, h.lang,
+  CASE WHEN han > 0 AND han >= 0.05e0 * greatest(n_chars, 1) THEN 'zh'
+       WHEN greatest(en_h, es_h, de_h, fr_h) = 0 THEN 'und'
+       WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h THEN 'en'
+       WHEN es_h >= de_h AND es_h >= fr_h THEN 'es'
+       WHEN de_h >= fr_h THEN 'de'
+       ELSE 'fr' END AS lang_pred,
+  0.4e0 * (CASE WHEN r.n_tok >= 10 AND r.n_tok <= 100000 THEN 1.0e0 ELSE 0.0e0 END)
++ 0.3e0 * (CASE WHEN mean_len >= 2.0e0 AND mean_len <= 12.0e0 THEN 1.0e0 ELSE 0.0e0 END)
++ 0.3e0 * (CASE WHEN stop_ratio >= 0.01e0 THEN 1.0e0 ELSE 0.0e0 END) AS quality
+FROM h JOIN r USING (doc_id)
+"""
+
     return sql

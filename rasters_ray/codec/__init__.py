@@ -20,6 +20,31 @@ from . import npy_codec, png_codec
 _QNT_MAGIC = b"QNT1"
 
 
+class BlobReader:
+    """Zero-copy accessor over an Arrow Binary column: ``reader[i]`` is a
+    memoryview sliced straight out of the Arrow data buffer — no per-blob
+    ``as_py()``/``to_pylist()`` copy of MB payloads into Python bytes.
+    All decoders here accept anything with the buffer protocol."""
+
+    def __init__(self, col):
+        import pyarrow as pa
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bufs = col.buffers()
+        import pyarrow.types as pt
+
+        dt = np.int64 if pt.is_large_binary(col.type) else np.int32
+        self._offs = np.frombuffer(bufs[1], dtype=dt)
+        self._data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        self._base = col.offset
+
+    def __getitem__(self, i: int) -> memoryview:
+        s = self._offs[self._base + i]
+        e = self._offs[self._base + i + 1]
+        return self._data[s:e]
+
+
 def encode(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "npy":
         return npy_codec.encode(arr)
@@ -47,7 +72,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_codec.decode(data)
     if fmt == "qnt":
-        if data[:4] != _QNT_MAGIC:
+        data = memoryview(data)
+        if bytes(data[:4]) != _QNT_MAGIC:
             raise ValueError("bad QNT header")
         vmin, vmax, rows, cols = struct.unpack(">ffII", data[4:20])
         q = np.frombuffer(zlib.decompress(data[20:]), dtype=np.uint16).reshape(rows, cols)

@@ -50,15 +50,18 @@ def encode(arr: np.ndarray) -> bytes:
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def decode(data: bytes) -> np.ndarray:
-    if data[:8] != _SIG:
+def decode(data) -> np.ndarray:
+    """Accepts bytes or anything with the buffer protocol (memoryview /
+    Arrow buffer slice) — no upfront copy of the blob."""
+    data = memoryview(data)
+    if bytes(data[:8]) != _SIG:
         raise ValueError("not a PNG")
     pos = 8
     width = height = depth = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4 : pos + 8]
+        tag = bytes(data[pos + 4 : pos + 8])
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":

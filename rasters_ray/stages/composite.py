@@ -71,7 +71,7 @@ def partial_lattice_sums(batch: pa.Table, cell_size: float) -> pa.Table:
     sums: Dict = {}
     grids = batch.column("grid").to_pylist()
     fmts = batch.column("fmt").to_pylist()
-    blobs = batch.column("bytes").to_pylist()
+    blobs = codec.BlobReader(batch.column("bytes"))  # zero-copy views
 
     keys_parts = []
     vals_parts = []
@@ -169,7 +169,7 @@ def partial_lattice_first(batch: pa.Table, cell_size: float, order_col: str = "o
     Order-independent and exact, so it re-merges across batches."""
     grids = batch.column("grid").to_pylist()
     fmts = batch.column("fmt").to_pylist()
-    blobs = batch.column("bytes").to_pylist()
+    blobs = codec.BlobReader(batch.column("bytes"))  # zero-copy views
     orders = batch.column(order_col).to_pylist()
     keys_parts, packed_parts = [], []
     for i in range(batch.num_rows):
@@ -312,7 +312,7 @@ def _accumulate_group(
 
     grids = group.column("grid").to_pylist()
     fmts = group.column("fmt").to_pylist()
-    blobs = group.column("bytes").to_pylist()
+    blobs = codec.BlobReader(group.column("bytes"))  # zero-copy views
     for i in idx:
         g = GridSpec.from_dict(grids[i])
         arr = codec.decode(blobs[i], fmts[i]).astype(np.float64)

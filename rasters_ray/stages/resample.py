@@ -372,7 +372,7 @@ class WarpStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         grids = batch.column("grid").to_pylist()
         fmts = batch.column("fmt").to_pylist()
-        blobs = batch.column("bytes").to_pylist()
+        blobs = codec.BlobReader(batch.column("bytes"))  # zero-copy views
         out_blobs = []
         tgt_dict = {k: v for k, v in self.target.to_dict().items() if k != "type"}
         for i in range(batch.num_rows):
@@ -521,7 +521,7 @@ def reproject(images_ds, cell_size_m: float, method: str = "nearest", concurrenc
         out_blobs, out_grids = [], []
         grids = batch.column("grid").to_pylist()
         fmts = batch.column("fmt").to_pylist()
-        blobs = batch.column("bytes").to_pylist()
+        blobs = codec.BlobReader(batch.column("bytes"))  # zero-copy views
         m = resolve_method(method)
         for i in range(batch.num_rows):
             src = GridSpec.from_dict(grids[i])
@@ -554,7 +554,7 @@ class KNNResampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         grids = batch.column("grid").to_pylist()
         fmts = batch.column("fmt").to_pylist()
-        blobs = batch.column("bytes").to_pylist()
+        blobs = codec.BlobReader(batch.column("bytes"))  # zero-copy views
         out_blobs = []
         for i in range(batch.num_rows):
             src = _spec_from_dict(dict(grids[i]) | {"type": grids[i].get("type", "grid")})

@@ -159,9 +159,9 @@ def make_tiles(batch: pa.Table, level: int, decode_pixels: bool = True) -> pa.Ta
     sx = x0[img_k] + coc * cw[img_k]
     sy = y0[img_k] + roc * ch[img_k]
 
-    blobs_out: List[bytes] = []
+    blobs_out: List = []
     if decode_pixels:
-        blob_col = batch.column("bytes")
+        blob_col = codec.BlobReader(batch.column("bytes"))  # zero-copy views
         fmts = batch.column("fmt").to_pylist()
         whole = (roc == 0) & (coc == 0) & (hhc == rows[img_k]) & (wwc == cols[img_k])
         cur = -1
@@ -170,7 +170,7 @@ def make_tiles(batch: pa.Table, level: int, decode_pixels: bool = True) -> pa.Ta
         for k in range(n_tiles):  # tiles arrive image-sorted
             i = int(img_k[k])
             if i != cur:
-                cur, raw, arr = i, blob_col[i].as_py(), None
+                cur, raw, arr = i, blob_col[i], None
             if whole[k]:
                 # the tile IS the image: pass the encoded blob through
                 # unchanged — no decode, no re-encode, no extra
