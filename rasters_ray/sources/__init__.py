@@ -8,6 +8,11 @@ from .images import (
     oracle_grid_origin,
     oracle_pixels,
 )
+from .geopackage import (
+    read_geopackage_tiles,
+    write_geopackage,
+    write_geopackage_tiles,
+)
 from .vectors import (
     POINTS_SCHEMA,
     POLYGONS_SCHEMA,
@@ -33,5 +38,8 @@ __all__ = [
     "fixture_points",
     "fixture_polygons",
     "oracle_points_from_keys",
+    "read_geopackage_tiles",
     "rings_to_numpy",
+    "write_geopackage",
+    "write_geopackage_tiles",
 ]

@@ -1,0 +1,106 @@
+"""GeoPackage sink: spec-table layout + pixel round-trips.
+
+Parity target: Raster.to_geopackage (reference raster.py:1715-1739 —
+the GDAL GPKG raster-tiles write), rebuilt on stdlib sqlite3 per the
+public OGC 12-128r18 tile-pyramid layout.
+"""
+
+import sqlite3
+
+import numpy as np
+import pytest
+
+from rasters_ray.grids import GridSpec
+from rasters_ray.sources import (
+    make_fixture_images,
+    read_geopackage_tiles,
+    write_geopackage,
+    write_geopackage_tiles,
+)
+from rasters_ray.stages.tiling import make_tiles
+
+
+def _grid(rows=32, cols=48):
+    return GridSpec(crs="EPSG:4326", x_origin=-120.0, y_origin=40.0,
+                    cell_width=0.01, cell_height=-0.01, rows=rows, cols=cols)
+
+
+def test_single_raster_roundtrip(tmp_path):
+    arr = (np.arange(32 * 48, dtype=np.uint16) % 1000).reshape(32, 48)
+    path = str(tmp_path / "r.gpkg")
+    write_geopackage(arr, _grid(), path, table_name="raster")
+    tiles = read_geopackage_tiles(path, "raster")
+    assert len(tiles) == 1
+    z, c, r, px = tiles[0]
+    assert (z, c, r) == (0, 0, 0)
+    np.testing.assert_array_equal(px, arr)
+
+
+def test_gpkg_spec_tables(tmp_path):
+    path = str(tmp_path / "r.gpkg")
+    write_geopackage(np.zeros((4, 4), np.uint8), _grid(4, 4), path)
+    con = sqlite3.connect(path)
+    try:
+        assert con.execute("PRAGMA application_id").fetchone()[0] == 0x47504B47
+        names = {
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            ).fetchall()
+        }
+        for t in ("gpkg_spatial_ref_sys", "gpkg_contents",
+                  "gpkg_tile_matrix_set", "gpkg_tile_matrix", "raster"):
+            assert t in names, t
+        row = con.execute(
+            "SELECT data_type, srs_id, min_x, max_y FROM gpkg_contents"
+        ).fetchone()
+        assert row[0] == "tiles" and row[1] == 4326
+        assert row[2] == -120.0 and row[3] == 40.0
+        srs = {r[0] for r in con.execute(
+            "SELECT srs_id FROM gpkg_spatial_ref_sys").fetchall()}
+        assert {4326, -1, 0} <= srs
+    finally:
+        con.close()
+
+
+def test_tile_pyramid_from_engine_tiles(tmp_path):
+    # uint8 fixture images -> engine tiles -> gpkg pyramid; uint8 PNGs
+    # pass through the transcode exactly
+    batch = make_fixture_images(np.arange(1, 9), size=64)
+    level = 6
+    tiles = make_tiles(batch, level=level, decode_pixels=True)
+    path = str(tmp_path / "t.gpkg")
+    n = write_geopackage_tiles(tiles, path, level=level, tile_size=128)
+    assert n == tiles.num_rows
+    got = read_geopackage_tiles(path)
+    assert len(got) <= n  # (zoom, col, row) unique; same-cell tiles overwrite
+    for z, c, r, px in got:
+        assert z == level
+        assert px.shape == (128, 128)
+    con = sqlite3.connect(path)
+    try:
+        tm = con.execute(
+            "SELECT matrix_width, matrix_height, tile_width FROM gpkg_tile_matrix"
+        ).fetchone()
+        assert tm == (1 << level, 1 << level, 128)
+    finally:
+        con.close()
+
+
+def test_wrong_level_raises(tmp_path):
+    batch = make_fixture_images(np.arange(1, 3), size=32)
+    tiles = make_tiles(batch, level=5, decode_pixels=True)
+    with pytest.raises(ValueError, match="level"):
+        write_geopackage_tiles(tiles, str(tmp_path / "x.gpkg"), level=7)
+
+
+def test_float_raster_quantizes(tmp_path):
+    arr = np.linspace(0.0, 250.0, 64, dtype=np.float32).reshape(8, 8)
+    arr[0, 0] = np.nan
+    path = str(tmp_path / "f.gpkg")
+    write_geopackage(arr, _grid(8, 8), path)
+    _, _, _, px = read_geopackage_tiles(path, "raster")[0]
+    assert px.dtype == np.uint16
+    # quantized ramp stays monotone where finite
+    flat = px.ravel()[1:]
+    assert (np.diff(flat.astype(np.int64)) >= 0).all()
