@@ -707,6 +707,22 @@ def q_lsh_ann(sf_dir: str):
     return lsh_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=5, n_planes=6)
 
 
+def q_ivf_ann(sf_dir: str):
+    """IVF-Flat ANN: distributed spherical-k-means lists + nprobe probe
+    filter + exact rerank — rows-only (recall < 1 by construction;
+    recall@10 >= 0.9 asserted in tests, reported in bench)."""
+    import pyarrow.parquet as pq
+
+    from rasters_ray.ann import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.stack([np.asarray(emb.column("embedding")[i].as_py()) for i in range(4)])
+    return ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        q, k=5, n_centroids=16, nprobe=6, iters=2,
+    )
+
+
 def q_local_utm(sf_dir: str):
     def f(t: pa.Table) -> pa.Table:
         x = t.column("x").to_numpy()
@@ -1202,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_sample": q_idw_sample,
         "idw_exact": q_idw_exact,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "cosine_near": q_cosine_near,
     }
 

@@ -174,6 +174,20 @@ def run_bench() -> dict:
         )
         stats["lsh_recall"] = recall_at_k(stats["ann_top"], approx, 10)
 
+    # q5c: IVF-Flat scale path — k-means lists + nprobe, recall-checked too
+    from rasters_ray.ann import ivf_topk
+
+    def stage_ivf_ann():
+        approx = ivf_topk(
+            rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            qm,
+            k=10,
+            n_centroids=32,
+            nprobe=8,
+            iters=2,
+        )
+        stats["ivf_recall"] = recall_at_k(stats["ann_top"], approx, 10)
+
     stages = [
         ("tiling", stage_tiling),
         ("point_join", stage_point_join),
@@ -181,6 +195,7 @@ def run_bench() -> dict:
         ("minhash_dedup", stage_minhash),
         ("ann_topk", stage_ann_topk),
         ("lsh_ann", stage_lsh_ann),
+        ("ivf_ann", stage_ivf_ann),
     ]
 
     # this sandbox VM shows fluctuating hypervisor steal (BASELINE.md
@@ -218,6 +233,7 @@ def run_bench() -> dict:
         "n_merge_cells": int(stats["n_merge_cells"]),
         "n_near_dup_pairs": int(stats["n_near_dup_pairs"]),
         "lsh_recall_at_10": round(stats["lsh_recall"], 3),
+        "ivf_recall_at_10": round(stats["ivf_recall"], 3),
         "images_per_sec": round(N_IMAGES / timings["tiling"], 1),
     }
     ray.shutdown()

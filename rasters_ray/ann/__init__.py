@@ -3,6 +3,8 @@ from .search import (
     LSHBuckets,
     cosine_near_dups,
     cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
     lsh_topk,
     recall_at_k,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "LSHBuckets",
     "cosine_near_dups",
     "cosine_topk",
+    "ivf_topk",
+    "kmeans_centroids",
     "lsh_topk",
     "recall_at_k",
 ]

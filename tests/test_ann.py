@@ -111,3 +111,52 @@ def test_cosine_near_dups_finds_planted_pairs(ray_session):
     # every planted pair found, nothing else (random 32-d vectors are far)
     assert got == want
     assert (out.cosine >= 0.95).all()
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF-Flat scale path: spherical-k-means lists + nprobe filter must
+    hit recall@10 >= 0.9 on the embeddings fixture (like the LSH path)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rasters_ray.ann import cosine_topk, ivf_topk, recall_at_k
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    id_col = "vec_id" if "vec_id" in emb.column_names else emb.column_names[0]
+    col = [c for c in emb.column_names if c != id_col][0]
+    qm = np.asarray(emb.column(col).to_pylist()[:8], dtype=np.float32)
+    exact = cosine_topk(rd.from_arrow(emb), qm, k=10, id_col=id_col, col=col)
+    approx = ivf_topk(
+        rd.from_arrow(emb), qm, k=10, n_centroids=16, nprobe=6, iters=2,
+        id_col=id_col, col=col,
+    )
+    r = recall_at_k(exact, approx, 10)
+    assert r >= 0.9, f"recall@10 = {r}"
+
+
+def test_kmeans_centroids_objective_partition_stable(ray_session):
+    """Parallel k-means is NOT bit-identical across block layouts
+    (float summation order can flip boundary assignments), but the
+    OBJECTIVE must be stable: same init, similar quantization quality
+    and unit-norm centroids under any partitioning."""
+    import ray.data as rd
+
+    from rasters_ray.ann import kmeans_centroids
+
+    tbl, m = _emb_table(n=300)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def objective(c):
+        return float(np.mean(np.max(mn @ c.T, axis=1)))  # mean max-cosine
+
+    a = kmeans_centroids(rd.from_arrow(tbl), n_centroids=8, iters=2)
+    b = kmeans_centroids(
+        rd.from_arrow(tbl).repartition(7), n_centroids=8, iters=2
+    )
+    np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(b, axis=1), 1.0, rtol=1e-5)
+    oa, ob = objective(a), objective(b)
+    assert abs(oa - ob) < 0.05, (oa, ob)
+    # and both beat the un-iterated init (first 8 vectors)
+    init = mn[:8]
+    assert min(oa, ob) > objective(init) - 1e-9
