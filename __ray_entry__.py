@@ -468,6 +468,36 @@ def q_rasterize_box(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id"]).map_batches(f, batch_format="pyarrow")
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-zone (n_px, sum) of oracle-image pixels whose
+    CENTERS fall in the zone bbox (rasterize-center ∘ aggregate). Zone
+    bounds sit 0.002 deg off every pixel-center lattice point, so the
+    inclusive comparisons cannot straddle float noise — DuckDB recomputes
+    the join bit-for-bit from the same center/bound expressions."""
+    import pyarrow.parquet as pq
+
+    from rasters_ray.stages import zonal_stats
+
+    keys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).column(
+        "o_orderkey"
+    ).to_numpy()
+    k = np.sort(keys[keys % 41 == 0]).astype(np.int64)
+    zxmin = -124.0 + (k % 700) * 0.01 + 0.003
+    zymax = 44.0 - ((k // 11) % 700) * 0.01 - 0.003
+    zxmax = zxmin + 0.05 + (k % 13) * 0.01
+    zymin = zymax - 0.05 - (k % 17) * 0.01
+    zones = pa.table(
+        {
+            "zone_id": pa.array(k, pa.int64()),
+            "xmin": pa.array(zxmin, pa.float64()),
+            "ymin": pa.array(zymin, pa.float64()),
+            "xmax": pa.array(zxmax, pa.float64()),
+            "ymax": pa.array(zymax, pa.float64()),
+        }
+    )
+    return zonal_stats(_images_ds(sf_dir, N_IMG_MERGE), zones)
+
+
 def q_antimeridian(sf_dir: str):
     """Antimeridian-crossing predicate over synthetic near-180 grids."""
     from rasters_ray.grids import GridSpec
@@ -1190,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pixel_centroids": q_pixel_centroids,
         "antimeridian": q_antimeridian,
         "rasterize_box": q_rasterize_box,
+        "zonal_stats": q_zonal_stats,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
         "trim": q_trim,
@@ -1683,6 +1714,30 @@ SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(e.embedding, q.qv
        e.vec_id AS vec_id
 FROM embeddings e, q
 ORDER BY rank LIMIT 10
+"""
+
+    sql["zonal_stats"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT x0 + (c.range + 0.5e0) * 0.01e0 AS cx,
+         y0 + (r.range + 0.5e0) * (-0.01e0) AS cy,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS value
+  FROM imgs, range(100) r, range(100) c
+),
+zones AS (
+  SELECT o_orderkey AS zone_id,
+         -124.0e0 + (o_orderkey % 700) * 0.01e0 + 0.003e0 AS zxmin,
+         44.0e0 - ((o_orderkey // 11) % 700) * 0.01e0 - 0.003e0 AS zymax,
+         -124.0e0 + (o_orderkey % 700) * 0.01e0 + 0.003e0
+           + 0.05e0 + (o_orderkey % 13) * 0.01e0 AS zxmax,
+         44.0e0 - ((o_orderkey // 11) % 700) * 0.01e0 - 0.003e0
+           - 0.05e0 - (o_orderkey % 17) * 0.01e0 AS zymin
+  FROM orders WHERE o_orderkey % 41 = 0
+)
+SELECT z.zone_id, COUNT(*) AS n_px, CAST(SUM(p.value) AS BIGINT) AS sum_value
+FROM zones z JOIN px p
+  ON p.cx >= z.zxmin AND p.cx <= z.zxmax AND p.cy >= z.zymin AND p.cy <= z.zymax
+GROUP BY z.zone_id
 """
 
     # phash oracles read the deterministic fixture parquet (pure-numpy

@@ -13,6 +13,7 @@ from .point_join import (
     sample_points_batch,
 )
 from .downscale import bias_correct, linear_downscale
+from .zonal import ZONES_SCHEMA, ZonalStage, zonal_stats
 from .elementwise import (
     apply_fn,
     clip_values,
@@ -48,6 +49,9 @@ from .sampling import IDWSampler, band_stack, idw_sample_array, render_png, to_g
 from .tiling import TILES_SCHEMA, make_tiles, tile_images
 
 __all__ = [
+    "ZONES_SCHEMA",
+    "ZonalStage",
+    "zonal_stats",
     "PIP_SCHEMA",
     "PIPJoinStage",
     "PolygonSet",

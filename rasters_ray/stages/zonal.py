@@ -1,0 +1,120 @@
+"""Zonal statistics — per-zone aggregates of pixel values.
+
+The rasterize ∘ aggregate composition (reference: ``Raster.mask`` +
+numpy stats per geometry, raster.py mask/statistics paths) as a
+streaming Ray pipeline: the zone table is TINY (broadcast once via
+``ray.put``), each image batch accumulates integer (sum, count)
+partials per zone with one boolean-mask slice per (image, zone), and a
+low-cardinality ``groupby(zone_id).aggregate(Sum)`` finishes. Zone
+cardinality is the number of polygons/boxes a user asks about — small
+by construction — so the per-key groupby is appropriate here (the
+lattice composites handle per-PIXEL cardinality).
+
+Containment is CENTER containment (``rasterize_mask(all_touched=False)``
+semantics): a pixel belongs to a zone iff its center coordinate lies in
+the zone's bbox, inclusive on both edges. Sums are int64 over rounded
+values so results are exact and order-independent (the DuckDB oracle
+recomputes them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codec
+from ..grids import GridSpec
+
+ZONES_SCHEMA = pa.schema(
+    [
+        ("zone_id", pa.int64()),
+        ("xmin", pa.float64()),
+        ("ymin", pa.float64()),
+        ("xmax", pa.float64()),
+        ("ymax", pa.float64()),
+    ]
+)
+
+
+class ZonalStage:
+    """map_batches combiner: per-batch (zone_id, psum, pcnt) partials.
+    Zones fetched once per worker from the broadcast ref."""
+
+    def __init__(self, zones_ref):
+        import ray
+
+        z = ray.get(zones_ref) if not isinstance(zones_ref, pa.Table) else zones_ref
+        self.zid = z.column("zone_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.xmin = z.column("xmin").to_numpy(zero_copy_only=False)
+        self.ymin = z.column("ymin").to_numpy(zero_copy_only=False)
+        self.xmax = z.column("xmax").to_numpy(zero_copy_only=False)
+        self.ymax = z.column("ymax").to_numpy(zero_copy_only=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grids = batch.column("grid").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        blobs = codec.BlobReader(batch.column("bytes"))
+        acc: dict = {}
+        for i in range(batch.num_rows):
+            grid = GridSpec.from_dict(grids[i])
+            arr = codec.decode(blobs[i], fmts[i])
+            if arr.ndim != 2:
+                raise ValueError("zonal_stats is per-band: split band stacks first")
+            finite = np.isfinite(arr)
+            vals = np.where(finite, np.rint(arr), 0).astype(np.int64)
+            cx = grid.x_origin + (np.arange(grid.cols) + 0.5) * grid.cell_width
+            cy = grid.y_origin + (np.arange(grid.rows) + 0.5) * grid.cell_height
+            gx0, gx1 = cx.min(), cx.max()
+            gy0, gy1 = cy.min(), cy.max()
+            hit = np.flatnonzero(
+                (self.xmin <= gx1) & (self.xmax >= gx0)
+                & (self.ymin <= gy1) & (self.ymax >= gy0)
+            )
+            for z in hit:
+                mx = (cx >= self.xmin[z]) & (cx <= self.xmax[z])
+                my = (cy >= self.ymin[z]) & (cy <= self.ymax[z])
+                if not (mx.any() and my.any()):
+                    continue
+                sub = np.ix_(my, mx)
+                n = int(finite[sub].sum())
+                if n == 0:
+                    continue
+                s = int(vals[sub].sum())
+                zid = int(self.zid[z])
+                if zid in acc:
+                    acc[zid][0] += s
+                    acc[zid][1] += n
+                else:
+                    acc[zid] = [s, n]
+        if not acc:
+            return pa.table(
+                {"zone_id": pa.array([], pa.int64()),
+                 "psum": pa.array([], pa.int64()),
+                 "pcnt": pa.array([], pa.int64())}
+            )
+        zids = sorted(acc)
+        return pa.table(
+            {
+                "zone_id": pa.array(zids, pa.int64()),
+                "psum": pa.array([acc[z][0] for z in zids], pa.int64()),
+                "pcnt": pa.array([acc[z][1] for z in zids], pa.int64()),
+            }
+        )
+
+
+def zonal_stats(images_ds, zones: pa.Table, concurrency=None):
+    """Dataset[(zone_id, n_px, sum_value)] — only zones with >= 1 finite
+    pixel appear (inner-join semantics, matching the SQL oracle)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    zref = ray.put(zones)
+    partials = images_ds.map_batches(
+        ZonalStage,
+        fn_constructor_kwargs={"zones_ref": zref},
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+    )
+    return partials.groupby("zone_id").aggregate(
+        Sum("pcnt", alias_name="n_px"), Sum("psum", alias_name="sum_value")
+    )

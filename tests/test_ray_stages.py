@@ -279,3 +279,39 @@ def test_composite_auto_salt_single_pass_equals_plain(ray_session, oracle_images
                 err_msg=f"thr={thr}",
             )
             assert p["n_images"][i] == a["n_images"][i]
+
+
+def test_zonal_stats_hand_computed(ray_session):
+    """Two zones over one tiny image: center containment, exact int sums."""
+    import ray.data as rd
+
+    from rasters_ray import codec
+    from rasters_ray.sources.images import GRID_STRUCT
+    from rasters_ray.stages import zonal_stats
+
+    arr = np.arange(16, dtype=np.float32).reshape(4, 4)  # rows x cols
+    arr[3, 3] = np.nan
+    grid = {"crs": "EPSG:4326", "x_origin": 0.0, "y_origin": 4.0,
+            "cell_width": 1.0, "cell_height": -1.0, "rows": 4, "cols": 4}
+    img = pa.table({
+        "image_id": pa.array(["i0"]),
+        "bytes": pa.array([codec.encode(arr, "npy")], pa.binary()),
+        "fmt": pa.array(["npy"]),
+        "grid": pa.array([grid], GRID_STRUCT),
+    })
+    # centers: x in {0.5..3.5}, y in {3.5..0.5}
+    zones = pa.table({
+        "zone_id": pa.array([1, 2, 3], pa.int64()),
+        "xmin": pa.array([0.0, 2.2, 10.0], pa.float64()),
+        "ymin": pa.array([2.2, 0.0, 10.0], pa.float64()),
+        "xmax": pa.array([1.8, 3.8, 11.0], pa.float64()),
+        "ymax": pa.array([4.0, 1.8, 11.0], pa.float64()),
+    })
+    out = zonal_stats(rd.from_arrow(img), zones).to_pandas().set_index("zone_id")
+    # zone 1: cols {0.5,1.5}, rows with cy in (2.2, 4.0] -> rows 0,1 -> vals 0,1,4,5
+    assert out.loc[1, "n_px"] == 4 and out.loc[1, "sum_value"] == 10
+    # zone 2: cols {2.5,3.5}, cy in [0,1.8] -> rows 2? cy row2=1.5, row3=0.5 -> rows 2,3
+    # vals 10,11,14,nan -> 3 finite, sum 35
+    assert out.loc[2, "n_px"] == 3 and out.loc[2, "sum_value"] == 35
+    # zone 3: no overlap -> absent (inner-join semantics)
+    assert 3 not in out.index
