@@ -1076,11 +1076,14 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
+    """Charikar simhash with the md5 token-hash family (same quality as
+    the blake2b default; md5 exists in DuckDB, so the oracle recomputes
+    every 64-bit signature exactly)."""
     from rasters_ray.text import add_simhash
 
     return (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(add_simhash, batch_format="pyarrow")
+        .map_batches(lambda t: add_simhash(t, token_hash="md5"), batch_format="pyarrow")
         .map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow")
     )
 
@@ -1786,6 +1789,44 @@ f AS (
 )
 SELECT d.doc_id, COALESCE(f.fp, 0) AS fingerprint
 FROM documents d LEFT JOIN f USING (doc_id)
+"""
+
+    # Charikar simhash, md5 token-hash family: u64 = little-endian first
+    # 8 md5 bytes (rebuilt from hex digits in HUGEINT), per-bit +-1 sums,
+    # sign -> bit, two's-complement fold to BIGINT (generated SQL: 64
+    # mechanical bit terms)
+    _hexv = lambda p: f"(instr('0123456789abcdef', substr(h, {p}, 1)) - 1)"  # noqa: E731
+    _byte = lambda j: f"({_hexv(2 * j + 1)}*16 + {_hexv(2 * j + 2)})"  # noqa: E731
+    _u64 = " + ".join(f"CAST({_byte(j)} AS HUGEINT) * {256 ** j}" for j in range(8))
+    _accs = ",\n    ".join(
+        f"SUM(CASE WHEN (u64 // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS a{b}"
+        for b in range(64)
+    )
+    _sh = " + ".join(
+        f"CASE WHEN a{b} > 0 THEN CAST({2 ** b} AS HUGEINT) ELSE 0 END"
+        for b in range(64)
+    )
+    sql["simhash"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_extract_all(text, '\\S+'), w -> lower(w))) AS w
+  FROM documents
+), th AS (
+  SELECT doc_id, md5(w) AS h FROM tok
+), u AS (
+  SELECT doc_id, {_u64} AS u64 FROM th
+), acc AS (
+  SELECT doc_id,
+    {_accs}
+  FROM u GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, {_sh} AS s FROM acc
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN s.s IS NULL THEN 0
+                 WHEN s.s >= CAST({2 ** 63} AS HUGEINT) THEN s.s - CAST({2 ** 64} AS HUGEINT)
+                 ELSE s.s END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh s USING (doc_id)
 """
 
     # stopword-profile language heuristic (analysis.lang_id): hits per

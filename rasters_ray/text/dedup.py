@@ -473,28 +473,38 @@ def minhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
-_TOKEN_MEMO: dict = {}  # token -> u64; boilerplate tokens repeat heavily
+_TOKEN_MEMO: dict = {}  # (hash_name, token) -> u64; boilerplate tokens repeat
 _TOKEN_MEMO_CAP = 1_000_000
 _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 
 
-def _token_hashes(words: List[str]) -> np.ndarray:
+def _md5_u64(s: str) -> int:
+    """Little-endian u64 of the first 8 md5 bytes — the SQL-recomputable
+    token-hash family (DuckDB has md5(); blake2b it does not)."""
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+
+
+def _token_hashes(words: List[str], token_hash: str = "blake2b") -> np.ndarray:
+    fn = _md5_u64 if token_hash == "md5" else _stable_u64
     out = np.empty(len(words), dtype=np.uint64)
     memo = _TOKEN_MEMO
     for i, w in enumerate(words):
-        h = memo.get(w)
+        key = (token_hash, w)
+        h = memo.get(key)
         if h is None:
-            h = _stable_u64(w)
+            h = fn(w)
             if len(memo) < _TOKEN_MEMO_CAP:
-                memo[w] = h
+                memo[key] = h
         out[i] = h
     return out
 
 
-def simhash_batch(texts: List[str]) -> np.ndarray:
+def simhash_batch(texts: List[str], token_hash: str = "blake2b") -> np.ndarray:
     """Charikar simhash over word unigrams (uniform weights), vectorized:
     one token-hash array per batch + np.add.reduceat over doc boundaries
-    (VERDICT r1: replaces the per-word numpy op loop)."""
+    (VERDICT r1: replaces the per-word numpy op loop). ``token_hash``
+    picks the hash family: blake2b (default) or md5 (identical quality;
+    DuckDB-recomputable for the value oracle)."""
     n = len(texts)
     sh = np.zeros(n, dtype=np.int64)
     words_per_doc = [_WORD_RE.findall((t or "").lower()) for t in texts]
@@ -502,7 +512,7 @@ def simhash_batch(texts: List[str]) -> np.ndarray:
     nz = np.flatnonzero(lens)
     if len(nz) == 0:
         return sh
-    hashes = _token_hashes([w for i in nz for w in words_per_doc[i]])
+    hashes = _token_hashes([w for i in nz for w in words_per_doc[i]], token_hash)
     bits = ((hashes[:, None] >> _BIT_SHIFTS) & np.uint64(1)).astype(np.int64)  # (T, 64)
     signs = 2 * bits - 1
     starts = np.zeros(len(nz), dtype=np.int64)
@@ -518,8 +528,9 @@ def simhash64(text: str) -> int:
     return int(simhash_batch([text])[0])
 
 
-def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    sh = simhash_batch(batch.column(text_col).to_pylist())
+def add_simhash(batch: pa.Table, text_col: str = "text",
+                token_hash: str = "blake2b") -> pa.Table:
+    sh = simhash_batch(batch.column(text_col).to_pylist(), token_hash)
     return batch.append_column("simhash", pa.array(sh, pa.int64()))
 
 
