@@ -8,6 +8,7 @@ from .images import (
     oracle_grid_origin,
     oracle_pixels,
 )
+from .geotiff import read_geotiff, write_cog
 from .geopackage import (
     read_geopackage_tiles,
     write_geopackage,
@@ -39,7 +40,9 @@ __all__ = [
     "fixture_polygons",
     "oracle_points_from_keys",
     "read_geopackage_tiles",
+    "read_geotiff",
     "rings_to_numpy",
+    "write_cog",
     "write_geopackage",
     "write_geopackage_tiles",
 ]
