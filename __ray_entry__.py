@@ -468,6 +468,76 @@ def q_rasterize_box(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id"]).map_batches(f, batch_format="pyarrow")
 
 
+N_AUDIO = 64
+
+
+def _audio_params():
+    """Deterministic WAV fixture parameters (pure arithmetic — reachable
+    from SQL and from the synthesizer alike)."""
+    i = np.arange(N_AUDIO, dtype=np.int64)
+    sr = np.where(i % 2 == 0, 8000, 16000).astype(np.int64)
+    n_samples = 4000 + i * 371
+    return i, sr, n_samples
+
+
+def _audio_fixture_path() -> str:
+    """(audio_id, sr, n_samples) parquet for the DuckDB side."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/rasters_ray_oracle/audio_fixture_{N_AUDIO}.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    i, sr, n_samples = _audio_params()
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(
+        pa.table({"audio_id": pa.array(i), "sr": pa.array(sr),
+                  "n_samples": pa.array(n_samples)}),
+        tmp,
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def q_audio_features(sf_dir: str):
+    """Real WAV -> log-mel featurizer over synthesized PCM16 fixtures;
+    the oracle recomputes the frame math (n_frames, duration_ms) from
+    the fixture parameter table. Feature values are pytest-checked
+    (tone-frequency tracking) — FFT is not SQL territory."""
+    import ray.data as rd
+
+    from rasters_ray.multimodal import AudioFeatureStage, synth_wav
+
+    _audio_fixture_path()
+
+    def make(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        i, sr, n_samples = _audio_params()
+        return pa.table(
+            {
+                "audio_id": pa.array(ids.astype(np.int64)),
+                "bytes": pa.array(
+                    [synth_wav(int(j), int(sr[j]), int(n_samples[j]),
+                               freq=200.0 + 50.0 * int(j)) for j in ids],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    wavs = rd.range(N_AUDIO, override_num_blocks=4).map_batches(
+        make, batch_format="pyarrow", batch_size=16
+    )
+    feats = wavs.map_batches(
+        AudioFeatureStage(n_features=16), batch_format="pyarrow", batch_size=16
+    )
+    return feats.map_batches(
+        lambda t: t.select(["audio_id", "sr", "n_frames", "duration_ms"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics: per-zone (n_px, sum) of oracle-image pixels whose
     CENTERS fall in the zone bbox (rasterize-center ∘ aggregate). Zone
@@ -1224,6 +1294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "antimeridian": q_antimeridian,
         "rasterize_box": q_rasterize_box,
         "zonal_stats": q_zonal_stats,
+        "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
         "trim": q_trim,
@@ -1789,6 +1860,18 @@ f AS (
 )
 SELECT d.doc_id, COALESCE(f.fp, 0) AS fingerprint
 FROM documents d LEFT JOIN f USING (doc_id)
+"""
+
+    # audio frame math (multimodal.audio.n_frames_for + duration rule)
+    # recomputed from the deterministic WAV fixture parameter table
+    audio_path = _audio_fixture_path()
+    sql["audio_features"] = f"""
+SELECT audio_id,
+       CAST(sr AS INTEGER) AS sr,
+       CASE WHEN n_samples >= 512 THEN 1 + (n_samples - 512) // 256
+            ELSE 0 END AS n_frames,
+       (n_samples * 1000) // sr AS duration_ms
+FROM read_parquet('{audio_path}')
 """
 
     # Charikar simhash, md5 token-hash family: u64 = little-endian first

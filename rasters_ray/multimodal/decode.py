@@ -2,13 +2,14 @@
 frame-sample over opaque binary columns.
 
 The Ray-side plumbing (schemas, actor signatures, batch sizing, output
-layout) is REAL and tested; the codec bodies are pluggable because this
-container ships no image/audio libraries (PIL/ffmpeg absent — SURVEY.md
-§7.0). Each stage takes a ``decoder`` callable; the default handles the
-engine's own formats (npy/png/qnt via rasters_ray.codec) and a
-``deterministic_fake`` decoder exists for foreign formats (jpeg/mp3/mp4),
-clearly marked. Passing ``strict=True`` raises NotImplementedError for
-foreign formats instead.
+layout) is REAL and tested, and as of round 3 so are the codec bodies
+for every format parseable without external libraries: npy/png/qnt
+images (rasters_ray.codec), RIFF/WAV audio -> log-mel features
+(``multimodal.audio``, dependency-free DSP), and the NPV frame
+container (``encode_npv``). Foreign compressed formats (jpeg/mp3/mp4 —
+PIL/ffmpeg absent in this container, SURVEY.md §7.0) route to clearly
+marked deterministic fallbacks; ``strict=True`` raises
+NotImplementedError for them instead.
 
 Batch-size guidance: binary payloads are MB-scale — size batches so
 batch_size x payload x concurrency fits the worker heap (the guide's
@@ -96,27 +97,76 @@ class ImageResizeStage:
 
 
 class AudioFeatureStage:
-    """binary audio -> fixed-length feature vector (STUB body: windowed
-    byte-energy; real pipelines plug an actual featurizer)."""
+    """binary audio -> fixed-length feature vector + frame metadata.
 
-    def __init__(self, n_features: int = 16):
+    REAL for RIFF/WAV blobs (PCM 8/16/32 + float32): dependency-free WAV
+    decode + log-mel spectrogram (``multimodal.audio``), features =
+    per-mel-band mean over time, plus ``sr``/``n_frames``/``duration_ms``
+    columns (the frame math carries a DuckDB oracle). Foreign compressed
+    formats (mp3/ogg — no codec libs in this container) fall back to the
+    documented windowed byte-energy stub, with n_frames/-1 markers."""
+
+    def __init__(self, n_features: int = 16, n_fft: int = 512, hop: int = 256):
         self.n = n_features
+        self.n_fft = n_fft
+        self.hop = hop
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        blobs = batch.column("bytes").to_pylist()
-        feats = []
-        for b in blobs:
-            raw = np.frombuffer(b or b"\0", dtype=np.uint8).astype(np.float32)
-            chunks = np.array_split(raw, self.n)
-            feats.append([float(c.mean()) if c.size else 0.0 for c in chunks])
-        return batch.append_column(
-            "features", pa.array(feats, pa.list_(pa.float32()))
-        )
+        from .audio import decode_wav, logmel, n_frames_for
+
+        blobs = codec.BlobReader(batch.column("bytes"))
+        feats, srs, n_frames, dur = [], [], [], []
+        for i in range(batch.num_rows):
+            b = blobs[i]
+            if len(b) >= 12 and bytes(b[:4]) == b"RIFF":
+                sr, sig = decode_wav(b)
+                lm = logmel(sig, sr, self.n_fft, self.hop, self.n)
+                feats.append(
+                    lm.mean(axis=0).tolist() if len(lm) else [0.0] * self.n
+                )
+                srs.append(sr)
+                n_frames.append(n_frames_for(len(sig), self.n_fft, self.hop))
+                dur.append(int(len(sig) * 1000) // sr)
+            else:  # documented fallback for foreign codecs
+                raw = np.frombuffer(b if len(b) else b"\0", dtype=np.uint8).astype(np.float32)
+                chunks = np.array_split(raw, self.n)
+                feats.append([float(c.mean()) if c.size else 0.0 for c in chunks])
+                srs.append(-1)
+                n_frames.append(-1)
+                dur.append(-1)
+        out = batch.append_column("features", pa.array(feats, pa.list_(pa.float32())))
+        out = out.append_column("sr", pa.array(srs, pa.int32()))
+        out = out.append_column("n_frames", pa.array(n_frames, pa.int64()))
+        return out.append_column("duration_ms", pa.array(dur, pa.int64()))
+
+
+_NPV_MAGIC = b"NPV1"
+
+
+def encode_npv(frames) -> bytes:
+    """Engine-native frame container: magic + u32 n_frames + u32
+    frame_bytes + concatenated equal-size frame payloads. A real,
+    parseable format (ffmpeg is absent, so mp4 stays a fallback; this
+    gives frame sampling an actual container to index into)."""
+    import struct
+
+    frames = list(frames)
+    if not frames:
+        return _NPV_MAGIC + struct.pack("<II", 0, 0)
+    fb = len(frames[0])
+    if any(len(f) != fb for f in frames):
+        raise ValueError("NPV frames must be equal-sized")
+    return _NPV_MAGIC + struct.pack("<II", len(frames), fb) + b"".join(frames)
 
 
 class FrameSampleStage:
-    """binary video -> every k-th 'frame' (STUB framing: fixed-size byte
-    windows); output explodes rows (one per sampled frame)."""
+    """binary video -> every k-th frame; output explodes rows (one per
+    sampled frame).
+
+    REAL for the engine's NPV container (indexed equal-size frames,
+    ``encode_npv``): frames slice at their true offsets from the header.
+    Foreign containers (mp4 — no ffmpeg here) use the documented
+    fixed-size byte-window fallback framing."""
 
     def __init__(self, frame_bytes: int = 4096, every_k: int = 10, id_col: str = "image_id"):
         self.frame_bytes = frame_bytes
@@ -124,16 +174,26 @@ class FrameSampleStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import struct
+
         ids = batch.column(self.id_col).to_pylist()
-        blobs = batch.column("bytes").to_pylist()
+        blobs = codec.BlobReader(batch.column("bytes"))
         out_id, out_idx, out_frame = [], [], []
-        for vid, b in zip(ids, blobs):
-            b = b or b""
-            n_frames = max(1, len(b) // self.frame_bytes)
+        for j, vid in enumerate(ids):
+            b = blobs[j]
+            if len(b) >= 12 and bytes(b[:4]) == _NPV_MAGIC:
+                nf, fb = struct.unpack("<II", b[4:12])
+                for fi in range(0, nf, self.every_k):
+                    out_id.append(vid)
+                    out_idx.append(fi)
+                    out_frame.append(bytes(b[12 + fi * fb : 12 + (fi + 1) * fb]))
+                continue
+            raw = bytes(b)
+            n_frames = max(1, len(raw) // self.frame_bytes)
             for fi in range(0, n_frames, self.every_k):
                 out_id.append(vid)
                 out_idx.append(fi)
-                out_frame.append(b[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
+                out_frame.append(raw[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
         return pa.table(
             {
                 self.id_col: pa.array(out_id),
