@@ -9,6 +9,7 @@ from .images import (
     oracle_pixels,
 )
 from .geotiff import read_geotiff, write_cog
+from .netcdf import netcdf_dataset, netcdf_raster, read_netcdf, write_netcdf
 from .geopackage import (
     read_geopackage_tiles,
     write_geopackage,
@@ -31,6 +32,8 @@ __all__ = [
     "images_dataset",
     "make_fixture_images",
     "make_oracle_images",
+    "netcdf_dataset",
+    "netcdf_raster",
     "oracle_grid_origin",
     "oracle_pixels",
     "POINTS_SCHEMA",
@@ -41,8 +44,10 @@ __all__ = [
     "oracle_points_from_keys",
     "read_geopackage_tiles",
     "read_geotiff",
+    "read_netcdf",
     "rings_to_numpy",
     "write_cog",
     "write_geopackage",
     "write_geopackage_tiles",
+    "write_netcdf",
 ]

@@ -1,0 +1,114 @@
+"""NetCDF classic reader/writer (public CDF-1/2 spec, no libs)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from rasters_ray.sources.netcdf import (
+    netcdf_dataset,
+    netcdf_raster,
+    read_netcdf,
+    write_netcdf,
+)
+
+
+def _write_sample(path, rows=40, cols=60):
+    lat = 44.0 - 0.01 * (np.arange(rows) + 0.5)
+    lon = -124.0 + 0.01 * (np.arange(cols) + 0.5)
+    temp = (np.arange(rows * cols) % 251).astype(np.float32).reshape(rows, cols)
+    write_netcdf(
+        str(path),
+        dims={"lat": rows, "lon": cols},
+        variables={
+            "lat": {"data": lat, "dims": ["lat"], "attrs": {"units": "degrees_north"}},
+            "lon": {"data": lon, "dims": ["lon"]},
+            "temp": {"data": temp, "dims": ["lat", "lon"],
+                     "attrs": {"units": "K", "scale": np.float64(1.5)}},
+        },
+        attrs={"title": "engine test", "crs": "EPSG:4326"},
+    )
+    return temp, lat, lon
+
+
+def test_roundtrip_cdf2(tmp_path):
+    p = tmp_path / "a.nc"
+    temp, lat, lon = _write_sample(p)
+    nc = read_netcdf(str(p))
+    assert nc["dims"] == {"lat": 40, "lon": 60}
+    assert nc["attrs"]["title"] == "engine test"
+    np.testing.assert_array_equal(nc["vars"]["temp"]["data"], temp)
+    np.testing.assert_allclose(nc["vars"]["lat"]["data"], lat)
+    assert nc["vars"]["temp"]["attrs"]["units"] == "K"
+    assert float(nc["vars"]["temp"]["attrs"]["scale"][0]) == 1.5
+
+
+def test_cf_grid_extraction(tmp_path):
+    p = tmp_path / "b.nc"
+    temp, lat, lon = _write_sample(p)
+    arr, grid = netcdf_raster(str(p), "temp")
+    np.testing.assert_array_equal(arr, temp)
+    assert grid.rows == 40 and grid.cols == 60
+    assert grid.cell_width == pytest.approx(0.01)
+    assert grid.cell_height == pytest.approx(-0.01)
+    # origin is the cell CORNER (coords are centers)
+    assert grid.x_origin == pytest.approx(-124.0)
+    assert grid.y_origin == pytest.approx(44.0)
+    assert grid.crs == "EPSG:4326"
+
+
+def test_cdf1_and_record_variable():
+    """Hand-encoded CDF-1 blob with one record variable (2 records) —
+    exercises the 32-bit-offset and record-interleave paths."""
+    name = b"t"
+    hdr = b"CDF\x01" + struct.pack(">I", 2)  # numrecs=2
+    hdr += struct.pack(">II", 0x0A, 1)  # 1 dim
+    hdr += struct.pack(">I", 4) + b"time" + struct.pack(">I", 0)  # record dim
+    hdr += struct.pack(">II", 0, 0)  # no gattrs
+    hdr += struct.pack(">II", 0x0B, 1)  # 1 var
+    hdr += struct.pack(">I", 1) + name + b"\x00" * 3  # name 't' padded
+    hdr += struct.pack(">I", 1) + struct.pack(">I", 0)  # 1 dim: time
+    hdr += struct.pack(">II", 0, 0)  # no vattrs
+    begin = len(hdr) + 12  # + type(4) + vsize(4) + begin(4)
+    hdr += struct.pack(">III", 5, 4, begin)  # float, vsize, begin
+    data = hdr + struct.pack(">ff", 1.5, -2.5)
+    nc = read_netcdf(data)
+    assert nc["dims"]["time"] == 2
+    np.testing.assert_allclose(nc["vars"]["t"]["data"], [1.5, -2.5])
+
+
+def test_netcdf4_raises_clearly(tmp_path):
+    p = tmp_path / "h.nc"
+    p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError, match="HDF5"):
+        read_netcdf(str(p))
+
+
+def test_irregular_coords_rejected(tmp_path):
+    p = tmp_path / "c.nc"
+    write_netcdf(
+        str(p),
+        dims={"y": 3, "x": 2},
+        variables={
+            "y": {"data": np.array([0.0, 1.0, 3.0]), "dims": ["y"]},
+            "x": {"data": np.array([0.0, 1.0]), "dims": ["x"]},
+            "v": {"data": np.zeros((3, 2), np.float32), "dims": ["y", "x"]},
+        },
+    )
+    with pytest.raises(ValueError, match="regularly spaced"):
+        netcdf_raster(str(p), "v")
+
+
+def test_netcdf_dataset_tiles(ray_session, tmp_path):
+    """Ingest streams on workers and feeds the tiling stage directly."""
+    from rasters_ray.stages import tile_images
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"scene{i}.nc"
+        _write_sample(p)
+        paths.append(str(p))
+    ds = netcdf_dataset(paths, "temp")
+    tiles = tile_images(ds, level=8).to_pandas()
+    assert len(tiles) >= 3
+    assert set(t.split("/")[1] for t in tiles.tile_id) == {"scene0", "scene1", "scene2"}
