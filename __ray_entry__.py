@@ -1254,6 +1254,172 @@ def q_phash_dups(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: integer-exact (floor-cents)
+    partial sums per batch -> low-cardinality groupby Sum final, so the
+    parallel result is bit-equal to the sequential oracle regardless of
+    block layout (the repo's composite-aggregation pattern applied to
+    relational reporting)."""
+    from rasters_ray.relational import grouped_int_sums
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+    )
+
+    def vals(t: pa.Table) -> dict:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        qd = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        di = t.column("l_discount").to_numpy(zero_copy_only=False)
+        tx = t.column("l_tax").to_numpy(zero_copy_only=False)
+        disc = ep * (1.0 - di)  # float op ORDER mirrors the SQL literally
+        return {
+            "sum_qty": np.floor(qd).astype(np.int64),
+            "sum_base_c": np.floor(ep * 100.0).astype(np.int64),
+            "sum_disc_c": np.floor(disc * 100.0).astype(np.int64),
+            "sum_charge_c": np.floor((disc * (1.0 + tx)) * 100.0).astype(np.int64),
+        }
+
+    return grouped_int_sums(ds, ["l_returnflag", "l_linestatus"], vals, count_col="n")
+
+
+def q_segment_revenue(sf_dir: str):
+    """Large ⋈ large distributed hash join (lineitem ⋈ orders) stacked on
+    a zero-shuffle broadcast join (orders ⋈ customer, small side
+    ray.put once) -> integer-exact revenue per (mktsegment, priority)."""
+    import pyarrow.parquet as pq
+
+    from rasters_ray.relational import broadcast_join, grouped_int_sums, hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
+    seg_orders = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = hash_join(li, seg_orders, on="l_orderkey", right_on="o_orderkey")
+
+    def vals(t: pa.Table) -> dict:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        di = t.column("l_discount").to_numpy(zero_copy_only=False)
+        return {"revenue_c": np.floor((ep * (1.0 - di)) * 100.0).astype(np.int64)}
+
+    return grouped_int_sums(
+        joined, ["c_mktsegment", "o_orderpriority"], vals, count_col="n"
+    )
+
+
+def q_events_asof(sf_dir: str):
+    """Distributed as-of join (DuckDB ASOF LEFT JOIN semantics): every
+    non-purchase event picks up the value of the user's latest purchase
+    at or before it — one union+groupby shuffle, composite-rank
+    searchsorted kernel (rasters_ray/relational/joins.py)."""
+    import pyarrow.compute as pc
+
+    from rasters_ray.relational import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    left = ev.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("event_type"), "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).select(
+            ["user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    res = asof_join(left, right, by="user_id", on="ts", value_cols=["value"])
+    return res.map_batches(
+        lambda t: t.select(["event_id", "user_id", "value"]).rename_columns(
+            ["event_id", "user_id", "last_purchase_value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_interval_events(sf_dir: str):
+    """Broadcast interval (range) join: deterministic per-user weekly
+    windows (SQL-recomputable from range()) matched via one searchsorted
+    per batch, then integer-exact per-interval aggregation."""
+    from rasters_ray.relational import grouped_int_sums, interval_join
+
+    us = np.repeat(np.arange(150, dtype=np.int64), 4)
+    ws = np.tile(np.arange(4, dtype=np.int64), 150)
+    base = np.datetime64("2024-01-01T00:00:00")
+    starts = base + (ws * 7 * 86400 + us * 60).astype("timedelta64[s]")
+    iv = pa.table(
+        {
+            "user_id": pa.array(us, pa.int64()),
+            "start": pa.array(starts),
+            "end": pa.array(starts + np.timedelta64(2 * 86400, "s")),
+            "interval_id": pa.array(us * 4 + ws, pa.int64()),
+        }
+    )
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    joined = interval_join(ev, iv, by="user_id", on="ts")
+
+    def vals(t: pa.Table) -> dict:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return {"value_c": np.floor(v * 100.0).astype(np.int64)}
+
+    out = grouped_int_sums(joined, ["interval_id"], vals, count_col="n_events")
+    return out.map_batches(
+        lambda t: t.select(["interval_id", "n_events", "value_c"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_topk_orders(sf_dir: str):
+    """Top-2 orders by totalprice per customer (high-cardinality group):
+    per-batch partial top-k bounds the shuffle at k rows/group/block,
+    hash-partitioned vectorized final emits ranks."""
+    from rasters_ray.relational import topk_per_group
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return topk_per_group(
+        ds,
+        "o_custkey",
+        "o_totalprice",
+        k=2,
+        carry_cols=["o_orderkey"],
+        tie_col="o_orderkey",
+    ).map_batches(
+        lambda t: t.select(["o_custkey", "o_orderkey", "o_totalprice", "rank"])
+        .rename_columns(["o_custkey", "o_orderkey", "o_totalprice", "sel_rank"]),
+        batch_format="pyarrow",
+    )
+
+
+QUANTILE_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of l_extendedprice without a global
+    sort: histogram-narrowing selection (relational/aggregates.py)."""
+    from rasters_ray.relational import exact_quantiles
+
+    t = exact_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice", QUANTILE_QS
+    )
+    return t.rename_columns(["q", "value", "sel_rank", "n"])
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style word-repetition signals per document (all-int64 so
+    the oracle is bit-exact): n_words / distinct / dup / top word /
+    top bigram."""
+    from rasters_ray.text import word_repetition
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        word_repetition, batch_format="pyarrow"
+    )
+
+
 def entry() -> Any:
     """Flagship spatial-join + tiling at sf0.001: synthesize the image
     table, tile it, sample customer-derived points through every image —
@@ -1312,6 +1478,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_from": q_fill_from,
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "events_asof": q_events_asof,
+        "interval_events": q_interval_events,
+        "topk_orders": q_topk_orders,
+        "quantiles": q_quantiles,
+        "repetition": q_repetition,
         # rows-only (no SQL equivalent)
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
@@ -1954,6 +2127,95 @@ SELECT h.doc_id, h.lang,
 + 0.3e0 * (CASE WHEN mean_len >= 2.0e0 AND mean_len <= 12.0e0 THEN 1.0e0 ELSE 0.0e0 END)
 + 0.3e0 * (CASE WHEN stop_ratio >= 0.01e0 THEN 1.0e0 ELSE 0.0e0 END) AS quality
 FROM h JOIN r USING (doc_id)
+"""
+
+    # relational operators (floor-cents integer sums mirror the engine's
+    # int-exact partials bit-for-bit; float expression ORDER matches the
+    # numpy code literally)
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0e0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+  CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0e0 - l_discount)) * 100.0e0) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+  CAST(SUM(CAST(FLOOR(((l_extendedprice * (1.0e0 - l_discount)) * (1.0e0 + l_tax)) * 100.0e0) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["segment_revenue"] = """
+SELECT c.c_mktsegment, o.o_orderpriority,
+  CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1.0e0 - l.l_discount)) * 100.0e0) AS BIGINT)) AS BIGINT) AS revenue_c,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, o.o_orderpriority
+"""
+
+    sql["events_asof"] = """
+SELECT l.event_id, l.user_id, r.value AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type <> 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+    sql["interval_events"] = """
+WITH iv AS (
+  SELECT CAST(u * 4 + w AS BIGINT) AS interval_id,
+         CAST(u AS BIGINT) AS user_id,
+         TIMESTAMP '2024-01-01' + INTERVAL (w * 7 * 86400 + u * 60) SECOND AS s,
+         TIMESTAMP '2024-01-01' + INTERVAL (w * 7 * 86400 + u * 60 + 172800) SECOND AS e
+  FROM range(150) t(u), range(4) t2(w))
+SELECT iv.interval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(ev.value * 100.0e0) AS BIGINT)) AS BIGINT) AS value_c
+FROM events ev JOIN iv
+  ON ev.user_id = iv.user_id AND ev.ts >= iv.s AND ev.ts < iv.e
+GROUP BY iv.interval_id
+"""
+
+    sql["topk_orders"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
+  FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["quantiles"] = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+v AS (SELECT quantile_disc(l_extendedprice,
+        [0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS vals FROM lineitem),
+q AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0, 0.99e0]) AS q,
+             unnest([1, 2, 3, 4, 5]) AS i)
+SELECT q.q, v.vals[q.i] AS value,
+       CAST(CEIL(q.q * n.n) AS BIGINT) AS sel_rank, n.n AS n
+FROM q, v, n
+"""
+
+    sql["repetition"] = r"""
+WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+w AS (SELECT doc_id, unnest(ws) AS item FROM l),
+b AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || chr(32) || ws[i + 1])) AS item
+      FROM l),
+gw AS (SELECT doc_id, item, COUNT(*) c FROM w GROUP BY doc_id, item),
+gb AS (SELECT doc_id, item, COUNT(*) c FROM b GROUP BY doc_id, item),
+sw AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) n_words,
+              CAST(COUNT(*) AS BIGINT) n_distinct_words,
+              CAST(MAX(c) AS BIGINT) top_word_count
+       FROM gw GROUP BY doc_id),
+sb AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) top_bigram_count FROM gb GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(sw.n_words, 0) AS n_words,
+  COALESCE(sw.n_distinct_words, 0) AS n_distinct_words,
+  COALESCE(sw.n_words - sw.n_distinct_words, 0) AS dup_words,
+  COALESCE(sw.top_word_count, 0) AS top_word_count,
+  COALESCE(sb.top_bigram_count, 0) AS top_bigram_count
+FROM documents d
+LEFT JOIN sw ON d.doc_id = sw.doc_id
+LEFT JOIN sb ON d.doc_id = sb.doc_id
 """
 
     return sql

@@ -1,0 +1,22 @@
+"""Distributed relational operators (joins, ranked/quantile aggregates).
+
+The reference is a single-process raster library; these are the tabular
+operators a data-processing engine needs around it (the driver's tables are
+TPC-H-ish).  Everything here follows the repo-wide scale pattern: hash
+partition the key, ONE union + groupby all-to-all, and a fully vectorized
+(pyarrow.compute / numpy / Acero) kernel inside each partition — never a
+per-row or per-group Python walk at data-scaled cardinality.
+"""
+
+from .joins import asof_join, broadcast_join, hash_join, interval_join
+from .aggregates import exact_quantiles, grouped_int_sums, topk_per_group
+
+__all__ = [
+    "asof_join",
+    "broadcast_join",
+    "hash_join",
+    "interval_join",
+    "exact_quantiles",
+    "grouped_int_sums",
+    "topk_per_group",
+]

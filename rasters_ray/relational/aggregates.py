@@ -1,0 +1,286 @@
+"""Ranked / quantile / integer-exact grouped aggregates.
+
+- ``grouped_int_sums``: the repo's integer-exact partial-aggregation
+  pattern as a reusable operator — per-batch vectorized (lexsort +
+  reduceat) partial sums in int64 over arbitrary derived columns, then a
+  LOW-cardinality ``groupby().aggregate(Sum)`` final.  Integer partials
+  make the parallel result independent of block layout (bit-equal to a
+  sequential oracle), the core trick behind every oracle-exact aggregate
+  in this engine (see ``stages/composite.py``).
+- ``topk_per_group``: top-k rows per (high-cardinality) group.  Per-batch
+  partial top-k cuts each block to <= k rows/group BEFORE the shuffle,
+  then a hash-partitioned final applies the same vectorized kernel —
+  never a per-group Python walk, never a global sort.
+- ``exact_quantiles``: exact order statistics without a global sort:
+  iterative histogram narrowing (count pass per round over a pruned
+  single-column read) until the candidate interval is small, then one
+  filtered collect + local selection.  O(rounds) streaming passes, no
+  all-to-all — the classic distributed-selection shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray.util import hash_parts
+
+
+def _group_codes(t: pa.Table, keys: list[str]):
+    """Dense per-batch codes for a composite key + first-row index per
+    distinct key (to recover key values)."""
+    arrs = [t.column(k).to_numpy(zero_copy_only=False) for k in keys]
+    if len(arrs) == 1:
+        uniq, first, inv = np.unique(arrs[0], return_index=True, return_inverse=True)
+        return inv.astype(np.int64), first
+    codes = []
+    mult = np.int64(1)
+    combo = np.zeros(t.num_rows, np.int64)
+    for a in arrs:
+        _, ci = np.unique(a, return_inverse=True)
+        codes.append(ci.astype(np.int64))
+    for ci in reversed(codes):
+        combo = combo * np.int64(ci.max() + 1 if len(ci) else 1) + ci
+    _, first, inv = np.unique(combo, return_index=True, return_inverse=True)
+    return inv.astype(np.int64), first
+
+
+def grouped_int_sums(
+    ds,
+    keys: list[str],
+    values_fn: Callable[[pa.Table], dict[str, np.ndarray]],
+    count_col: str = "n",
+):
+    """Integer-exact grouped sums -> Dataset[keys + sum cols + count].
+
+    ``values_fn(batch) -> {name: int64 array}`` derives the columns to
+    sum (e.g. floor-cents of a price expression).  Per batch: lexsort by
+    dense key code + ``np.add.reduceat`` partials; the final reduce is a
+    plain Ray ``groupby(keys).aggregate(Sum)`` over the (few) distinct
+    keys — scale-safe as long as key cardinality is small (TPC-H-style
+    reporting groups)."""
+    from ray.data.aggregate import Sum
+
+    val_names: list[str] = []
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return None  # filtered below via zero-row table
+        vals = values_fn(t)
+        inv, first = _group_codes(t, keys)
+        order = np.argsort(inv, kind="stable")
+        starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) > 0])
+        out = {k: t.column(k).take(pa.array(first, pa.int64())) for k in keys}
+        for name, arr in vals.items():
+            a = np.asarray(arr, dtype=np.int64)[order]
+            out[name] = pa.array(np.add.reduceat(a, starts), pa.int64())
+        cnt = np.diff(np.r_[starts, len(order)])
+        out[count_col] = pa.array(cnt, pa.int64())
+        return pa.table(out)
+
+    def partial_safe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            vals = values_fn(t)  # values_fn must handle 0-row input
+            cols = {k: t.column(k) for k in keys}
+            for name in vals:
+                cols[name] = pa.array([], pa.int64())
+            cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        return partial(t)
+
+    parts = ds.map_batches(partial_safe, batch_format="pyarrow")
+    # discover the value-column names lazily from the partial schema
+    sch = parts.schema()
+    base = getattr(sch, "base_schema", sch)
+    sum_cols = [n for n in base.names if n not in keys]
+    agg = parts.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
+    return agg
+
+
+def topk_per_group(
+    ds,
+    group_col: str,
+    value_col: str,
+    k: int,
+    carry_cols: list[str] | None = None,
+    descending: bool = True,
+    tie_col: str | None = None,
+    n_parts: int = 64,
+):
+    """Top-k rows per group -> Dataset[group, carry..., value, rank].
+
+    Rank is 1-based within the group, ordered by ``value_col``
+    (descending by default) with ``tie_col`` as a deterministic
+    tie-break.  Per-batch partial top-k bounds shuffle volume at
+    k x groups-per-block; the hash-partitioned final repeats the same
+    lexsort+rank kernel and emits ranks."""
+    carry_cols = carry_cols or []
+    cols = [group_col, value_col] + [c for c in carry_cols if c != value_col]
+    if tie_col and tie_col not in cols:
+        cols.append(tie_col)
+
+    def cut(t: pa.Table, emit_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            out = t.select(cols)
+            if emit_rank:
+                out = out.append_column("rank", pa.array([], pa.int64()))
+            return out
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        _, ginv = np.unique(g, return_inverse=True)
+        gkey = ginv.astype(np.int64)
+        vkey = -v if descending else v
+        if tie_col is not None:
+            tk = t.column(tie_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((tk, vkey, gkey))
+        else:
+            order = np.lexsort((vkey, gkey))
+        gs = gkey[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(gs) > 0])
+        rank = np.arange(len(gs), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(gs)])
+        )
+        keep = rank < k
+        idx = pa.array(order[keep], pa.int64())
+        out = t.select(cols).take(idx)
+        if emit_rank:
+            out = out.append_column("rank", pa.array(rank[keep] + 1, pa.int64()))
+        return out
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", pa.array(hash_parts(t.column(group_col), n_parts), pa.int64())
+        )
+
+    partial = ds.map_batches(lambda t: cut(t, False), batch_format="pyarrow")
+    return (
+        partial.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(lambda g: cut(g.drop_columns(["_part"]), True),
+                    batch_format="pyarrow")
+    )
+
+
+def exact_quantiles(
+    ds,
+    col: str,
+    qs: list[float],
+    n_bins: int = 2048,
+    collect_limit: int = 1 << 21,
+    max_rounds: int = 8,
+):
+    """EXACT discrete quantiles (``percentile_disc`` semantics: the
+    element at 1-based rank ``ceil(q * n)``) -> pyarrow Table
+    [q, value, rank, n].
+
+    No global sort: (1) one Min/Max/Count aggregate pass; (2) iterative
+    histogram rounds — each round one streaming count pass over the
+    pruned single-column read, narrowing every unresolved quantile to
+    the bin holding its rank — until each target interval holds <=
+    ``collect_limit`` values; (3) one filtered collect of those small
+    intervals + local selection.  At 100 TB with default knobs that is
+    ~3 passes and a <=2M-row collect, vs. an all-to-all sort of the
+    whole column."""
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col), Count())
+    lo = float(stats[f"min({col})"])
+    hi = float(stats[f"max({col})"])
+    n = int(stats["count()"])
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    targets = [(q, max(1, int(np.ceil(q * n)))) for q in qs]
+    # state per quantile: (interval_lo, interval_hi_inclusive, rank_below)
+    # rank_below = count of values strictly below interval_lo
+    state = {q: [lo, hi, 0, n] for q, _ in targets}  # lo, hi, below, in_count
+
+    for _ in range(max_rounds):
+        unresolved = [q for q, st in state.items() if st[3] > collect_limit]
+        if not unresolved:
+            break
+        specs = [(q, state[q][0], state[q][1]) for q in unresolved]
+
+        def hist(t: pa.Table) -> pa.Table:
+            x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            rows_q, rows_b, rows_c = [], [], []
+            for qi, (q, a, b) in enumerate(specs):
+                edges = np.linspace(a, b, n_bins + 1)
+                m = (x >= a) & (x <= b)
+                if m.any():
+                    binned = np.clip(
+                        np.searchsorted(edges, x[m], side="right") - 1, 0, n_bins - 1
+                    )
+                    cnt = np.bincount(binned, minlength=n_bins)
+                    nz = np.flatnonzero(cnt)
+                    rows_q.append(np.full(len(nz), qi, np.int64))
+                    rows_b.append(nz.astype(np.int64))
+                    rows_c.append(cnt[nz].astype(np.int64))
+            if not rows_q:
+                return pa.table({"qi": pa.array([], pa.int64()),
+                                 "bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"qi": pa.array(np.concatenate(rows_q)),
+                             "bin": pa.array(np.concatenate(rows_b)),
+                             "cnt": pa.array(np.concatenate(rows_c))})
+
+        from ray.data.aggregate import Sum
+
+        htab = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .groupby(["qi", "bin"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()  # <= len(specs) * n_bins rows — driver-small
+        )
+        for qi, (q, a, b) in enumerate(specs):
+            sub = htab[htab["qi"] == qi].sort_values("bin")
+            bins = sub["bin"].to_numpy()
+            cnts = sub["cnt"].to_numpy()
+            below0 = state[q][2]
+            rank = dict(targets)[q]
+            cum = np.cumsum(cnts)
+            # first bin where below0 + cum >= rank
+            j = int(np.searchsorted(below0 + cum, rank, side="left"))
+            j = min(j, len(bins) - 1)
+            edges = np.linspace(a, b, n_bins + 1)
+            bidx = int(bins[j])
+            new_below = below0 + (int(cum[j - 1]) if j > 0 else 0)
+            new_lo = edges[bidx]
+            new_hi = edges[bidx + 1] if bidx + 1 < n_bins else b
+            in_cnt = int(cnts[j])
+            if new_lo == new_hi or (new_lo == a and new_hi == b):
+                in_cnt = min(in_cnt, collect_limit)  # cannot narrow further
+            state[q] = [new_lo, new_hi, new_below, in_cnt]
+
+    # final: collect the (small) candidate intervals and select exactly.
+    specs = [(q, state[q][0], state[q][1]) for q, _ in targets]
+
+    def collect(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        qs_out, vals = [], []
+        for qi, (q, a, b) in enumerate(specs):
+            sel = x[(x >= a) & (x <= b)]
+            qs_out.append(np.full(len(sel), qi, np.int64))
+            vals.append(sel)
+        return pa.table({"qi": pa.array(np.concatenate(qs_out) if qs_out else []),
+                         "v": pa.array(np.concatenate(vals) if vals else [])})
+
+    cand = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+    out_q, out_v, out_r = [], [], []
+    for qi, (q, a, b) in enumerate(specs):
+        rank = dict(targets)[q]
+        below = state[q][2]
+        vals = np.sort(cand[cand["qi"] == qi]["v"].to_numpy())
+        local_rank = rank - below - 1  # 0-based inside the interval
+        local_rank = int(np.clip(local_rank, 0, len(vals) - 1))
+        out_q.append(q)
+        out_v.append(float(vals[local_rank]))
+        out_r.append(rank)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "n": pa.array([n] * len(out_q), pa.int64())})

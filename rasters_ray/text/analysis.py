@@ -59,6 +59,62 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def word_repetition(batch: pa.Table, text_col: str = "text",
+                    id_cols: tuple = ("doc_id",)) -> pa.Table:
+    """Gopher-style repetition signals per document, all int64 so the
+    parallel result is bit-exact against a SQL oracle: n_words,
+    n_distinct_words, dup_words (= n_words - n_distinct), top_word_count
+    (occurrences of the most repeated word), top_bigram_count.
+
+    Tokenization matches ``token_stats`` (maximal \\S+ runs, DuckDB
+    ``regexp_extract_all(text, '\\S+')``); bigrams are adjacent word
+    pairs joined by one space.  Counting is batch-global vectorized:
+    one np.unique over (doc, word) codes — no per-doc dict loops."""
+    texts = batch.column(text_col).to_pylist()
+    words: list = []
+    bigrams: list = []
+    doc_w: list = []
+    doc_b: list = []
+    for i, t in enumerate(texts):
+        toks = _TOKEN_RE.findall(t or "")
+        words.extend(toks)
+        doc_w.extend([i] * len(toks))
+        if len(toks) > 1:
+            bg = [toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)]
+            bigrams.extend(bg)
+            doc_b.extend([i] * len(bg))
+    n_docs = len(texts)
+
+    def _per_doc_counts(items, docs):
+        """-> (n_items, n_distinct, top_count) int64 arrays per doc."""
+        n_items = np.bincount(np.asarray(docs, np.int64), minlength=n_docs).astype(
+            np.int64
+        )
+        n_distinct = np.zeros(n_docs, np.int64)
+        top = np.zeros(n_docs, np.int64)
+        if items:
+            _, winv = np.unique(np.asarray(items, dtype=object), return_inverse=True)
+            combo = np.asarray(docs, np.int64) * np.int64(len(_)) + winv
+            pairs, pair_counts = np.unique(combo, return_counts=True)
+            pair_doc = pairs // np.int64(len(_))
+            n_distinct = np.bincount(pair_doc, minlength=n_docs).astype(np.int64)
+            np.maximum.at(top, pair_doc, pair_counts)
+        return n_items, n_distinct, top
+
+    n_words, n_distinct, top_word = _per_doc_counts(words, doc_w)
+    _, _, top_bigram = _per_doc_counts(bigrams, doc_b)
+    out = batch.select(list(id_cols))
+    for name, arr in (
+        ("n_words", n_words),
+        ("n_distinct_words", n_distinct),
+        ("dup_words", n_words - n_distinct),
+        ("top_word_count", top_word),
+        ("top_bigram_count", top_bigram),
+    ):
+        out = out.append_column(name, pa.array(arr, pa.int64()))
+    return out
+
+
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality in [0,1]: length band + stopword presence +
     mean word length band (Gopher-style public heuristics, simplified)."""

@@ -248,21 +248,10 @@ def candidate_pairs_from_buckets(group: pa.Table, cap: int = HOT_BUCKET_CAP) -> 
 
 
 def _id_parts(values, n_parts: int) -> np.ndarray:
-    """Hash partition (0..n_parts) of an id array — vectorized for integer
-    ids, per-value crc32 fallback for strings/other."""
-    import zlib
+    """Hash partition of an id array (shared repo-wide helper)."""
+    from rasters_ray.util import hash_parts
 
-    try:
-        v = np.asarray(values.to_numpy(zero_copy_only=False), dtype=np.int64).astype(
-            np.uint64
-        )
-        mixed = (v * _BAND_MIX) >> np.uint64(32)  # Fibonacci mix, wraps mod 2^64
-        return (mixed % np.uint64(n_parts)).astype(np.int64)
-    except (TypeError, ValueError, pa.ArrowInvalid):
-        return np.array(
-            [zlib.crc32(str(x).encode()) % n_parts for x in values.to_pylist()],
-            dtype=np.int64,
-        )
+    return hash_parts(values, n_parts)
 
 
 def minhash_near_dups(

@@ -2,6 +2,34 @@
 
 from __future__ import annotations
 
+import numpy as np
+
+_FIB_MIX = np.uint64(0x9E3779B97F4A7C15)  # 2^64 / golden ratio
+
+
+def hash_parts(values, n_parts: int) -> np.ndarray:
+    """Hash partition (0..n_parts) of an id array — vectorized Fibonacci
+    mix for integer ids, per-value crc32 fallback for strings/other.
+
+    Shared by every union+groupby shuffle in the repo (dedup joins,
+    relational joins) so co-partitioning keys across stages is guaranteed
+    to agree."""
+    import zlib
+
+    import pyarrow as pa
+
+    try:
+        v = np.asarray(values.to_numpy(zero_copy_only=False), dtype=np.int64).astype(
+            np.uint64
+        )
+        mixed = (v * _FIB_MIX) >> np.uint64(32)  # wraps mod 2^64
+        return (mixed % np.uint64(n_parts)).astype(np.int64)
+    except (TypeError, ValueError, pa.ArrowInvalid):
+        return np.array(
+            [zlib.crc32(str(x).encode()) % n_parts for x in values.to_pylist()],
+            dtype=np.int64,
+        )
+
 
 def pool_size(fraction: float = 0.25, lo: int = 1, hi: int = 8) -> int:
     """Actor-pool size that leaves CPUs free for the surrounding stages.
