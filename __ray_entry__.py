@@ -1409,6 +1409,16 @@ def q_quantiles(sf_dir: str):
     return t.rename_columns(["q", "value", "sel_rank", "n"])
 
 
+def q_salient_terms(sf_dir: str):
+    """tf-idf-style salient terms: distributed document-frequency
+    (combiner before the shuffle, hash-partitioned vectorized reduce)
+    broadcast back for a per-doc top-3 by (tf DESC, df ASC, term ASC) —
+    integer-exact so the oracle hashes bit-equal."""
+    from rasters_ray.text import salient_terms
+
+    return salient_terms(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style word-repetition signals per document (all-int64 so
     the oracle is bit-exact): n_words / distinct / dup / top word /
@@ -1485,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
+        "salient_terms": q_salient_terms,
         # rows-only (no SQL equivalent)
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
@@ -2216,6 +2227,19 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN sw ON d.doc_id = sw.doc_id
 LEFT JOIN sb ON d.doc_id = sb.doc_id
+"""
+
+    sql["salient_terms"] = r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) df FROM w GROUP BY term),
+r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+               AS sel_rank
+      FROM tf JOIN df ON tf.term = df.term)
+SELECT doc_id, term, tf, df, sel_rank FROM r WHERE sel_rank <= 3
 """
 
     return sql

@@ -188,6 +188,34 @@ def run_bench() -> dict:
         )
         stats["ivf_recall"] = recall_at_k(stats["ann_top"], approx, 10)
 
+    # q6: relational hash join — lineitem ⋈ orders (large ⋈ large, one
+    # union+groupby all-to-all with per-partition Acero joins) stacked on a
+    # broadcast join to customer, finished with an integer-exact grouped sum
+    def stage_hash_join():
+        from rasters_ray.relational import broadcast_join, grouped_int_sums, hash_join
+
+        cust = pq.read_table(
+            f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        orders = rd.read_parquet(
+            f"{SF_DIR}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+        )
+        seg = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+        li = rd.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        )
+        joined = hash_join(li, seg, on="l_orderkey", right_on="o_orderkey")
+
+        def vals(t):
+            ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            di = t.column("l_discount").to_numpy(zero_copy_only=False)
+            return {"revenue_c": np.floor((ep * (1.0 - di)) * 100.0).astype(np.int64)}
+
+        out = grouped_int_sums(joined, ["c_mktsegment", "o_orderpriority"], vals)
+        stats["n_join_groups"] = out.count()
+
     stages = [
         ("tiling", stage_tiling),
         ("point_join", stage_point_join),
@@ -196,6 +224,7 @@ def run_bench() -> dict:
         ("ann_topk", stage_ann_topk),
         ("lsh_ann", stage_lsh_ann),
         ("ivf_ann", stage_ivf_ann),
+        ("hash_join", stage_hash_join),
     ]
 
     # this sandbox VM shows fluctuating hypervisor steal (BASELINE.md
@@ -232,6 +261,7 @@ def run_bench() -> dict:
         "n_join_rows": int(stats["n_join_rows"]),
         "n_merge_cells": int(stats["n_merge_cells"]),
         "n_near_dup_pairs": int(stats["n_near_dup_pairs"]),
+        "n_join_groups": int(stats["n_join_groups"]),
         "lsh_recall_at_10": round(stats["lsh_recall"], 3),
         "ivf_recall_at_10": round(stats["ivf_recall"], 3),
         "images_per_sec": round(N_IMAGES / timings["tiling"], 1),

@@ -58,12 +58,12 @@ def grouped_int_sums(
     ``values_fn(batch) -> {name: int64 array}`` derives the columns to
     sum (e.g. floor-cents of a price expression).  Per batch: lexsort by
     dense key code + ``np.add.reduceat`` partials; the final reduce is a
-    plain Ray ``groupby(keys).aggregate(Sum)`` over the (few) distinct
-    keys — scale-safe as long as key cardinality is small (TPC-H-style
-    reporting groups)."""
-    from ray.data.aggregate import Sum
-
-    val_names: list[str] = []
+    ``groupby(keys).map_groups`` sum over the (few) distinct keys —
+    scale-safe as long as key cardinality is small (TPC-H-style
+    reporting groups).  The final discovers the sum columns inside the
+    kernel, NOT via ``Dataset.schema()`` on the driver — schema() on a
+    post-shuffle pipeline would execute the whole upstream (e.g. a
+    distributed join) once just to name the columns."""
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -91,12 +91,17 @@ def grouped_int_sums(
         return partial(t)
 
     parts = ds.map_batches(partial_safe, batch_format="pyarrow")
-    # discover the value-column names lazily from the partial schema
-    sch = parts.schema()
-    base = getattr(sch, "base_schema", sch)
-    sum_cols = [n for n in base.names if n not in keys]
-    agg = parts.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
-    return agg
+
+    def final(group: pa.Table) -> pa.Table:
+        out = {k: group.column(k).slice(0, 1) for k in keys}
+        for name in group.column_names:
+            if name in keys:
+                continue
+            s = int(group.column(name).to_numpy(zero_copy_only=False).sum())
+            out[name] = pa.array([s], pa.int64())
+        return pa.table(out)
+
+    return parts.groupby(keys).map_groups(final, batch_format="pyarrow")
 
 
 def topk_per_group(

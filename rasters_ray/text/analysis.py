@@ -115,6 +115,134 @@ def word_repetition(batch: pa.Table, text_col: str = "text",
     return out
 
 
+def document_frequency(docs_ds, text_col: str = "text", n_parts: int = 32):
+    """Corpus-wide document frequency -> Dataset[(term, df)].
+
+    Per batch: per-doc DISTINCT terms (one np.unique over (doc, term)
+    codes) collapse to (term, partial_df) rows — the combiner runs
+    before the shuffle, so wire volume is vocabulary-sized per block,
+    not token-stream-sized.  Final: hash-partitioned vectorized reduce
+    (term cardinality scales with data; never a per-term Python group)."""
+    from rasters_ray.util import hash_parts
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        terms: list = []
+        docs: list = []
+        for i, txt in enumerate(texts):
+            toks = _TOKEN_RE.findall(txt or "")
+            terms.extend(toks)
+            docs.extend([i] * len(toks))
+        if terms:
+            uterm, tinv = np.unique(np.asarray(terms, dtype=object),
+                                    return_inverse=True)
+            combo = np.asarray(docs, np.int64) * np.int64(len(uterm)) + tinv
+            pairs = np.unique(combo)
+            per_term = np.bincount((pairs % np.int64(len(uterm))).astype(np.int64),
+                                   minlength=len(uterm)).astype(np.int64)
+            keep = per_term > 0
+            out_terms = uterm[keep]
+            out_df = per_term[keep]
+        else:
+            out_terms = np.array([], dtype=object)
+            out_df = np.array([], dtype=np.int64)
+        tok_arr = pa.array(out_terms, pa.string())
+        return pa.table(
+            {
+                "term": tok_arr,
+                "df": pa.array(out_df, pa.int64()),
+                "_part": pa.array(hash_parts(tok_arr, n_parts), pa.int64()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        dfs = group.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        uterm, inv = np.unique(terms, return_inverse=True)
+        sums = np.zeros(len(uterm), np.int64)
+        np.add.at(sums, inv, dfs)
+        return pa.table(
+            {"term": pa.array(uterm, pa.string()), "df": pa.array(sums, pa.int64())}
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def salient_terms(docs_ds, k: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Top-k salient terms per document -> Dataset[doc_id, term, tf, df,
+    sel_rank]: a tf-idf-style two-stage shape (corpus statistic, then
+    per-record enrich) made integer-exact for the oracle — rank by
+    (tf DESC, df ASC, term ASC) instead of a float tf*ln(N/df) score so
+    the result is bit-stable across engines.
+
+    The (term, df) table is broadcast (``ray.put`` once, fetched once
+    per worker) — the standard tf-idf assumption that the vocabulary is
+    model-sized; for an unbounded vocabulary swap the lookup for
+    ``relational.hash_join`` on term."""
+    import ray
+
+    df_tab = document_frequency(docs_ds, text_col=text_col)
+    vocab = df_tab.to_pandas()  # vocabulary-sized (documented broadcast)
+    order = np.argsort(vocab["term"].to_numpy())
+    vterms = vocab["term"].to_numpy()[order]
+    vdf = vocab["df"].to_numpy()[order].astype(np.int64)
+    ref = ray.put((vterms, vdf))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        vt, vd = ray.get(ref)
+        ids = t.column(id_col)
+        texts = t.column(text_col).to_pylist()
+        terms: list = []
+        docs: list = []
+        for i, txt in enumerate(texts):
+            toks = _TOKEN_RE.findall(txt or "")
+            terms.extend(toks)
+            docs.extend([i] * len(toks))
+        if not terms:
+            return pa.table(
+                {
+                    id_col: ids.slice(0, 0),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "sel_rank": pa.array([], pa.int64()),
+                }
+            )
+        uterm, tinv = np.unique(np.asarray(terms, dtype=object), return_inverse=True)
+        combo = np.asarray(docs, np.int64) * np.int64(len(uterm)) + tinv
+        pairs, tf = np.unique(combo, return_counts=True)
+        pdoc = (pairs // np.int64(len(uterm))).astype(np.int64)
+        pterm_idx = (pairs % np.int64(len(uterm))).astype(np.int64)
+        pterms = uterm[pterm_idx]
+        vpos = np.searchsorted(vt, pterms)
+        pdf = vd[np.clip(vpos, 0, len(vd) - 1)]
+        # rank within doc by (tf desc, df asc, term asc)
+        order = np.lexsort((pterms, pdf, -tf, pdoc))
+        sd = pdoc[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(sd) > 0])
+        rank = np.arange(len(sd), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(sd)])
+        )
+        keep = rank < k
+        sel = order[keep]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(pdoc[sel], pa.int64())),
+                "term": pa.array(pterms[sel], pa.string()),
+                "tf": pa.array(tf[sel].astype(np.int64), pa.int64()),
+                "df": pa.array(pdf[sel], pa.int64()),
+                "sel_rank": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(enrich, batch_format="pyarrow")
+
+
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality in [0,1]: length band + stopword presence +
     mean word length band (Gopher-style public heuristics, simplified)."""

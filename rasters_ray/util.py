@@ -25,6 +25,17 @@ def hash_parts(values, n_parts: int) -> np.ndarray:
         mixed = (v * _FIB_MIX) >> np.uint64(32)  # wraps mod 2^64
         return (mixed % np.uint64(n_parts)).astype(np.int64)
     except (TypeError, ValueError, pa.ArrowInvalid):
+        pass
+    try:
+        # strings etc.: pandas hash_array is a vectorized C siphash with a
+        # FIXED default key — deterministic across worker processes (unlike
+        # builtin hash() under per-process PYTHONHASHSEED)
+        import pandas as pd
+
+        obj = np.asarray(values.to_numpy(zero_copy_only=False), dtype=object)
+        h = pd.util.hash_array(obj, categorize=True)
+        return (h % np.uint64(n_parts)).astype(np.int64)
+    except Exception:
         return np.array(
             [zlib.crc32(str(x).encode()) % n_parts for x in values.to_pylist()],
             dtype=np.int64,

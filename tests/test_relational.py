@@ -245,6 +245,53 @@ def test_grouped_int_sums_matches_pandas(ray_session):
     assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
 
 
+def test_hash_join_string_keys(ray_session):
+    left = pa.table(
+        {"k": pa.array(["a", "b", "c", "a", "zz"]), "v": pa.array([1, 2, 3, 4, 5])}
+    )
+    right = pa.table({"k": pa.array(["a", "c", "d"]), "w": pa.array([10, 30, 40])})
+    got = (
+        hash_join(_ds(left, 2), _ds(right, 2), on="k", n_parts=4)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.join(right, keys=["k"], join_type="inner", use_threads=False)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].equals(exp[sorted(exp.columns)])
+
+
+def test_salient_terms_brute(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["cat cat dog bird", "dog dog dog fish", "bird fish cat dog"]
+            ),
+        }
+    )
+    from rasters_ray.text import salient_terms
+
+    got = (
+        salient_terms(_ds(docs, 2), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "sel_rank"])
+        .reset_index(drop=True)
+    )
+    # df: cat=2 docs, dog=3, bird=2, fish=2
+    # doc0: tf cat=2 -> rank1; tf1 ties bird/dog -> df asc: bird(2) < dog(3)
+    assert list(got[got.doc_id == 0]["term"]) == ["cat", "bird"]
+    # doc1: dog tf=3 rank1; fish tf=1 rank2
+    assert list(got[got.doc_id == 1]["term"]) == ["dog", "fish"]
+    # doc2: all tf=1 -> df asc then term asc: bird(2), cat(2), fish(2) -> bird, cat
+    assert list(got[got.doc_id == 2]["term"]) == ["bird", "cat"]
+    assert list(got[got.doc_id == 0]["df"]) == [2, 2]
+
+
 def test_word_repetition_hand_computed():
     from rasters_ray.text import word_repetition
 
