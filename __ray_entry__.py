@@ -1419,6 +1419,121 @@ def q_salient_terms(sf_dir: str):
     return salient_terms(_read(sf_dir, "documents", ["doc_id", "text"]), k=3)
 
 
+N_IMG_FOCAL = 4  # images for the focal-stencil oracle
+
+
+def q_pixel_histogram(sf_dir: str):
+    """Corpus-wide pixel-value histogram (32 bins of width 8 over
+    [0, 256)) — per-BATCH bincount combiner, so the shuffle moves bins,
+    never pixels; final low-cardinality groupby."""
+    from rasters_ray.stages import pixel_histogram
+
+    return pixel_histogram(_images_ds(sf_dir, N_IMG_MERGE), n_bins=32, lo=0.0, hi=256.0)
+
+
+def q_image_moments(sf_dir: str):
+    """Per-image normalization stats (n, sum, sum of squares, min, max) —
+    integer-exact, embarrassingly parallel, one row per image."""
+    from rasters_ray.stages import image_moments
+
+    return image_moments(_images_ds(sf_dir, N_IMG_MERGE))
+
+
+def q_focal_halo(sf_dir: str):
+    """Focal 3x3 sum computed the DISTRIBUTED way: each 32x32 tile ships
+    radius-wide halo strips to its 8 lattice neighbors (one groupby
+    exchange, O(perimeter) payload), then tiles finish independently —
+    the stencil shape a planet-sized mosaic needs.  The oracle recomputes
+    every sampled window from the closed-form pixel formula, so a wrong
+    halo (wrong strip, wrong offset, double-count) is a value mismatch."""
+    from rasters_ray.stages import focal_halo_tiled
+
+    return focal_halo_tiled(_images_ds(sf_dir, N_IMG_FOCAL), radius=1, step=5, tile=32)
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split by md5 bucket of doc_id —
+    stable under repartitioning/appends/reruns; no shuffle, no state."""
+    from rasters_ray.text import hash_split
+
+    return hash_split(_read(sf_dir, "documents", ["doc_id"]))
+
+
+def q_events_sliding(sf_dir: str):
+    """SLIDING 1-hour windows hopping every 15 min (each event lands in
+    exactly 4 windows).  Same partition-wise vectorized partial+final as
+    the tumbling query; the explode factor W/hop is a constant 4, so wire
+    volume stays 4x window-cardinality partials, not 4x events."""
+    N_PARTS = 32
+    W, HOP = 3600, 900
+    K = W // HOP
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                    "_part": pa.array([], pa.int64()),
+                }
+            )
+        per_sec = _ts_unit(t.column("ts").type)
+        s = t.column("ts").cast(pa.int64()).to_numpy() // per_sec
+        base = s // HOP
+        win = ((base[None, :] - np.arange(K)[:, None]) * HOP).ravel()
+        et = np.tile(np.asarray(t.column("event_type").to_pylist(), dtype=object), K)
+        val = np.tile(t.column("value").to_numpy(zero_copy_only=False), K)
+        order = np.lexsort((win, et))
+        ets, wins, vals = et[order], win[order], val[order]
+        new = np.r_[True, (ets[1:] != ets[:-1]) | (wins[1:] != wins[:-1])]
+        starts = np.flatnonzero(new)
+        n = np.diff(np.r_[starts, len(wins)])
+        return pa.table(
+            {
+                "event_type": pa.array(ets[starts].tolist(), pa.string()),
+                "window_start": pa.array(wins[starts], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "vmin": pa.array(np.minimum.reduceat(vals, starts), pa.float64()),
+                "vmax": pa.array(np.maximum.reduceat(vals, starts), pa.float64()),
+                "_part": pa.array(wins[starts] % N_PARTS, pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        win = group.column("window_start").to_numpy()
+        n = group.column("n").to_numpy()
+        vmin = group.column("vmin").to_numpy(zero_copy_only=False)
+        vmax = group.column("vmax").to_numpy(zero_copy_only=False)
+        order = np.lexsort((win, et))
+        ets, wins = et[order], win[order]
+        new = np.r_[True, (ets[1:] != ets[:-1]) | (wins[1:] != wins[:-1])]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "event_type": pa.array(ets[starts].tolist(), pa.string()),
+                "window_start": pa.array(wins[starts], pa.int64()),
+                "n": pa.array(np.add.reduceat(n[order], starts), pa.int64()),
+                "min_value": pa.array(
+                    np.minimum.reduceat(vmin[order], starts), pa.float64()
+                ),
+                "max_value": pa.array(
+                    np.maximum.reduceat(vmax[order], starts), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style word-repetition signals per document (all-int64 so
     the oracle is bit-exact): n_words / distinct / dup / top word /
@@ -1496,6 +1611,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
+        "pixel_histogram": q_pixel_histogram,
+        "image_moments": q_image_moments,
+        "focal_halo": q_focal_halo,
+        "hash_split": q_hash_split,
+        "events_sliding": q_events_sliding,
         # rows-only (no SQL equivalent)
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
@@ -2240,6 +2360,82 @@ r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
                AS sel_rank
       FROM tf JOIN df ON tf.term = df.term)
 SELECT doc_id, term, tf, df, sel_rank FROM r WHERE sel_rank <= 3
+"""
+
+    sql["pixel_histogram"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()}
+SELECT ((d * 31 + r.range * 7 + c.range * 13) % 251) // 8 AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM imgs, range(100) r, range(100) c
+GROUP BY 1
+"""
+
+    sql["image_moments"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT d, (d * 31 + r.range * 7 + c.range * 13) % 251 AS value
+  FROM imgs, range(100) r, range(100) c
+)
+SELECT printf('img%08d', d) AS image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(value) AS BIGINT) AS sum_value,
+       CAST(SUM(value * value) AS BIGINT) AS sum_sq,
+       CAST(MIN(value) AS BIGINT) AS vmin,
+       CAST(MAX(value) AS BIGINT) AS vmax
+FROM px GROUP BY d
+"""
+
+    # focal 3x3 sum at sampled centers, rebuilt from the closed-form
+    # pixel formula (no self-join: neighbors are generated by offset and
+    # bounds-filtered, which IS the edge-clamp rule)
+    sql["focal_halo"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_FOCAL).strip()},
+centers AS (
+  SELECT d, r.range AS r, c.range AS c
+  FROM imgs, range(0, 100, 5) r, range(0, 100, 5) c
+),
+nbr AS (
+  SELECT d, r, c, r + dr.range AS nr, c + dc.range AS nc
+  FROM centers, range(-1, 2) dr, range(-1, 2) dc
+)
+SELECT printf('img%08d', d) AS image_id, r, c,
+       CAST(COUNT(*) AS BIGINT) AS n_nbr,
+       CAST(SUM((d * 31 + nr * 7 + nc * 13) % 251) AS BIGINT) AS fsum
+FROM nbr
+WHERE nr BETWEEN 0 AND 99 AND nc BETWEEN 0 AND 99
+GROUP BY d, r, c
+"""
+
+    # md5 bucket: integer value of the first 8 hex digits of
+    # md5(CAST(doc_id AS VARCHAR)) mod 100 (bit-parity with
+    # int(md5(str(id)).hexdigest()[:8], 16) % 100)
+    _hx = lambda p: (  # noqa: E731
+        f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)"
+    )
+    _bucket = (
+        "(" + " + ".join(f"{_hx(p)} * {16 ** (8 - p)}" for p in range(1, 9)) + ") % 100"
+    )
+    sql["hash_split"] = f"""
+SELECT doc_id,
+       CAST({_bucket} AS BIGINT) AS bucket,
+       CASE WHEN {_bucket} < 80 THEN 'train'
+            WHEN {_bucket} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+    sql["events_sliding"] = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 900) AS BIGINT) AS base, value
+  FROM events
+)
+SELECT event_type,
+       (base - j.range) * 900 AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM e, range(4) j
+GROUP BY event_type, (base - j.range) * 900
 """
 
     return sql

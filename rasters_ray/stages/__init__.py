@@ -13,6 +13,13 @@ from .point_join import (
     sample_points_batch,
 )
 from .downscale import bias_correct, linear_downscale
+from .focal import (
+    box_filter_sum,
+    focal_halo_tiled,
+    focal_stats,
+    image_moments,
+    pixel_histogram,
+)
 from .zonal import ZONES_SCHEMA, ZonalStage, zonal_stats
 from .elementwise import (
     apply_fn,
@@ -74,6 +81,11 @@ __all__ = [
     "assign_cells",
     "sample_points",
     "sample_points_batch",
+    "box_filter_sum",
+    "focal_halo_tiled",
+    "focal_stats",
+    "image_moments",
+    "pixel_histogram",
     "TILES_SCHEMA",
     "make_tiles",
     "tile_images",

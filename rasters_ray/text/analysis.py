@@ -337,6 +337,48 @@ def content_key_md5(text: str) -> str:
     return hashlib.md5(text.encode("utf-8")).hexdigest()
 
 
+def hash_bucket(value) -> int:
+    """Deterministic bucket in [0, 100): integer value of the first 8 md5
+    hex digits of ``str(value)`` mod 100 — reproducible across processes,
+    languages and engines (unlike builtin ``hash()`` under per-process
+    PYTHONHASHSEED), and rebuildable in SQL from ``md5(CAST(x AS
+    VARCHAR))``."""
+    return int(hashlib.md5(str(value).encode("utf-8")).hexdigest()[:8], 16) % 100
+
+
+def hash_split(docs_ds, id_col: str = "doc_id", train_pct: int = 80,
+               val_pct: int = 10):
+    """Deterministic train/val/test assignment by content-stable hash ->
+    Dataset[(id, bucket, split)].
+
+    The split a large-scale training pipeline needs: membership depends
+    only on the record id, so it is stable under re-partitioning,
+    re-ordering, incremental appends and reruns — no global sample, no
+    shuffle, no state.  Embarrassingly parallel map_batches."""
+    if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError("percentages must satisfy 0 < train, train+val <= 100")
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        buckets = np.fromiter(
+            (hash_bucket(i) for i in ids), dtype=np.int64, count=len(ids)
+        )
+        split = np.where(
+            buckets < train_pct,
+            "train",
+            np.where(buckets < train_pct + val_pct, "val", "test"),
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def add_fingerprints(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     fps = pa.array([fingerprint64(t or "") for t in texts], pa.int64())

@@ -1,0 +1,120 @@
+"""Focal statistics, pixel histogram, image moments, hash split.
+
+The halo-exchange tiled focal path is asserted BIT-EQUAL to the
+single-task whole-image path (the property the distributed stencil must
+hold); everything else is checked against independent numpy brute force.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rasters_ray.sources.images import make_oracle_images, oracle_pixels
+from rasters_ray.stages.focal import (
+    box_filter_sum,
+    focal_halo_tiled,
+    focal_stats,
+    image_moments,
+    pixel_histogram,
+)
+
+
+def _ds(table: pa.Table, blocks: int = 4):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(blocks)
+
+
+def _imgs(n=6):
+    return make_oracle_images(np.arange(n, dtype=np.int64))
+
+
+def test_box_filter_sum_brute_force():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 251, (23, 31)).astype(np.float64)
+    a[rng.random(a.shape) < 0.15] = np.nan
+    for R in (1, 3):
+        fs, nn = box_filter_sum(a, R)
+        for i, j in [(0, 0), (0, 30), (22, 0), (11, 15), (22, 30)]:
+            w = a[max(i - R, 0) : i + R + 1, max(j - R, 0) : j + R + 1]
+            v = w[np.isfinite(w)]
+            assert nn[i, j] == v.size
+            assert fs[i, j] == pytest.approx(v.sum())
+
+
+def test_focal_halo_equals_whole_image(ray_session):
+    imgs = _imgs(5)
+    whole = (
+        focal_stats(_ds(imgs, 3), radius=2, step=7)
+        .to_pandas()
+        .sort_values(["image_id", "r", "c"])
+        .reset_index(drop=True)
+    )
+    # tile=16 with 100x100 images -> ragged edge tiles + plenty of halo
+    tiled = (
+        focal_halo_tiled(_ds(imgs, 3), radius=2, step=7, tile=16)
+        .to_pandas()
+        .sort_values(["image_id", "r", "c"])
+        .reset_index(drop=True)
+    )
+    assert len(whole) == len(tiled) == 5 * 15 * 15
+    assert whole.equals(tiled)
+
+
+def test_focal_halo_radius_guard():
+    with pytest.raises(ValueError):
+        focal_halo_tiled(None, radius=16, tile=16)
+
+
+def test_pixel_histogram_vs_numpy(ray_session):
+    imgs = _imgs(6)
+    got = pixel_histogram(_ds(imgs, 3), n_bins=32, lo=0.0, hi=256.0).to_pandas()
+    got = got.sort_values("bin").reset_index(drop=True)
+    all_px = np.concatenate([oracle_pixels(d).ravel() for d in range(6)])
+    exp = np.bincount((all_px // 8).astype(np.int64), minlength=32)
+    keep = np.flatnonzero(exp)
+    assert got["bin"].to_numpy().tolist() == keep.tolist()
+    assert got["n_px"].to_numpy().tolist() == exp[keep].tolist()
+
+
+def test_image_moments_vs_numpy(ray_session):
+    imgs = _imgs(4)
+    got = (
+        image_moments(_ds(imgs, 2))
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    for d in range(4):
+        px = oracle_pixels(d).astype(np.int64)
+        row = got.iloc[d]
+        assert row["image_id"] == f"img{d:08d}"
+        assert row["n_px"] == px.size
+        assert row["sum_value"] == px.sum()
+        assert row["sum_sq"] == (px * px).sum()
+        assert row["vmin"] == px.min()
+        assert row["vmax"] == px.max()
+
+
+def test_hash_split_deterministic_and_partition_invariant(ray_session):
+    from rasters_ray.text import hash_bucket, hash_split
+
+    docs = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64))})
+    a = hash_split(_ds(docs, 2)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = hash_split(_ds(docs, 7)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # block layout cannot change membership
+    assert set(a["split"]) == {"train", "val", "test"}
+    for _, row in a.iloc[:20].iterrows():
+        assert row["bucket"] == hash_bucket(int(row["doc_id"]))
+        exp = "train" if row["bucket"] < 80 else ("val" if row["bucket"] < 90 else "test")
+        assert row["split"] == exp
+    # ratios roughly honored (md5 is uniform)
+    frac_train = (a["split"] == "train").mean()
+    assert 0.7 < frac_train < 0.9
+
+
+def test_hash_split_bad_ratio_guard():
+    from rasters_ray.text import hash_split
+
+    with pytest.raises(ValueError):
+        hash_split(None, train_pct=95, val_pct=10)
