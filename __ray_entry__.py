@@ -1534,6 +1534,29 @@ def q_events_sliding(sf_dir: str):
     )
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — distinct pairs reduced
+    per batch BEFORE the shuffle, hash-partitioned by user so local
+    distinct is global distinct, then a second tiny partitioned sum."""
+    from rasters_ray.relational import distinct_count
+
+    return distinct_count(
+        _read(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id"
+    )
+
+
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog per event type (m=4096, ~1.6% expected error) — the
+    sketch path when even pair cardinality is too much wire.  Approximate
+    by construction, so rows-only here; the error bound is pytest-asserted
+    against the exact path."""
+    from rasters_ray.relational import approx_distinct
+
+    return approx_distinct(
+        _read(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id"
+    )
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style word-repetition signals per document (all-int64 so
     the oracle is bit-exact): n_words / distinct / dup / top word /
@@ -1616,7 +1639,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_halo": q_focal_halo,
         "hash_split": q_hash_split,
         "events_sliding": q_events_sliding,
+        "distinct_users": q_distinct_users,
         # rows-only (no SQL equivalent)
+        "approx_distinct": q_approx_distinct,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -2422,6 +2447,11 @@ SELECT doc_id,
             WHEN {_bucket} < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+"""
+
+    sql["distinct_users"] = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
 """
 
     sql["events_sliding"] = """

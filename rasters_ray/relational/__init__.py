@@ -10,6 +10,7 @@ per-row or per-group Python walk at data-scaled cardinality.
 
 from .joins import asof_join, broadcast_join, hash_join, interval_join
 from .aggregates import exact_quantiles, grouped_int_sums, topk_per_group
+from .distinct import approx_distinct, distinct_count, hll_count, hll_register_table
 
 __all__ = [
     "asof_join",
@@ -19,4 +20,8 @@ __all__ = [
     "exact_quantiles",
     "grouped_int_sums",
     "topk_per_group",
+    "approx_distinct",
+    "distinct_count",
+    "hll_count",
+    "hll_register_table",
 ]
