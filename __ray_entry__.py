@@ -1291,7 +1291,12 @@ def q_segment_revenue(sf_dir: str):
     ray.put once) -> integer-exact revenue per (mktsegment, priority)."""
     import pyarrow.parquet as pq
 
-    from rasters_ray.relational import broadcast_join, grouped_int_sums, hash_join
+    from rasters_ray.relational import (
+        broadcast_join,
+        grouped_int_sums,
+        hash_join,
+        int_sum_partial,
+    )
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -1299,16 +1304,24 @@ def q_segment_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
     seg_orders = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = hash_join(li, seg_orders, on="l_orderkey", right_on="o_orderkey")
 
     def vals(t: pa.Table) -> dict:
         ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
         di = t.column("l_discount").to_numpy(zero_copy_only=False)
         return {"revenue_c": np.floor((ep * (1.0 - di)) * 100.0).astype(np.int64)}
 
-    return grouped_int_sums(
-        joined, ["c_mktsegment", "o_orderpriority"], vals, count_col="n"
+    keys = ["c_mktsegment", "o_orderpriority"]
+    # the reduction FUSES into the join task (post=): each partition's
+    # join output collapses to a few partial rows before it ever hits
+    # the object store — no second pass over 10x-join-output rows
+    joined = hash_join(
+        li,
+        seg_orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        post=lambda t: int_sum_partial(t, keys, vals),
     )
+    return grouped_int_sums(joined, keys, None, partials_ready=True)
 
 
 def q_events_asof(sf_dir: str):
@@ -1534,6 +1547,45 @@ def q_events_sliding(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: the 20 events per type with the
+    smallest md5-derived sample key — a reproducible, repartition-stable
+    per-group sample (composition of the hash_split keying idea with
+    topk_per_group's bounded-shuffle partial top-k; no random state)."""
+    import hashlib
+
+    from rasters_ray.relational import topk_per_group
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_pylist()
+        keys = np.fromiter(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return t.append_column("sample_key", pa.array(keys, pa.int64()))
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id"]).map_batches(
+        add_key, batch_format="pyarrow"
+    )
+    return topk_per_group(
+        ds,
+        "event_type",
+        "sample_key",
+        k=20,
+        carry_cols=["event_id"],
+        descending=False,
+        tie_col="event_id",
+    ).map_batches(
+        lambda t: t.select(["event_type", "event_id", "sample_key", "rank"])
+        .rename_columns(["event_type", "event_id", "sample_key", "sel_rank"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — distinct pairs reduced
     per batch BEFORE the shuffle, hash-partitioned by user so local
@@ -1640,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "events_sliding": q_events_sliding,
         "distinct_users": q_distinct_users,
+        "stratified_sample": q_stratified_sample,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "lang_quality": q_lang_quality,
@@ -2447,6 +2500,26 @@ SELECT doc_id,
             WHEN {_bucket} < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
+"""
+
+    # md5-derived sample key (same hex-digit rebuild as hash_split, on
+    # event_id), then a plain row_number window — deterministic sample
+    _ehx = lambda p: (  # noqa: E731
+        f"(instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), {p}, 1)) - 1)"
+    )
+    _skey = "(" + " + ".join(f"{_ehx(p)} * {16 ** (8 - p)}" for p in range(1, 9)) + ")"
+    sql["stratified_sample"] = f"""
+WITH s AS (
+  SELECT event_type, event_id, CAST({_skey} AS BIGINT) AS sample_key
+  FROM events
+),
+r AS (
+  SELECT event_type, event_id, sample_key,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY sample_key ASC, event_id ASC) AS sel_rank
+  FROM s
+)
+SELECT event_type, event_id, sample_key, sel_rank FROM r WHERE sel_rank <= 20
 """
 
     sql["distinct_users"] = """

@@ -192,7 +192,12 @@ def run_bench() -> dict:
     # union+groupby all-to-all with per-partition Acero joins) stacked on a
     # broadcast join to customer, finished with an integer-exact grouped sum
     def stage_hash_join():
-        from rasters_ray.relational import broadcast_join, grouped_int_sums, hash_join
+        from rasters_ray.relational import (
+            broadcast_join,
+            grouped_int_sums,
+            hash_join,
+            int_sum_partial,
+        )
 
         cust = pq.read_table(
             f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -206,14 +211,20 @@ def run_bench() -> dict:
             f"{SF_DIR}/lineitem.parquet",
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
         )
-        joined = hash_join(li, seg, on="l_orderkey", right_on="o_orderkey")
 
         def vals(t):
             ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
             di = t.column("l_discount").to_numpy(zero_copy_only=False)
             return {"revenue_c": np.floor((ep * (1.0 - di)) * 100.0).astype(np.int64)}
 
-        out = grouped_int_sums(joined, ["c_mktsegment", "o_orderpriority"], vals)
+        keys = ["c_mktsegment", "o_orderpriority"]
+        # reduction fused into the join task: each partition's join output
+        # collapses to partial-sum rows before hitting the object store
+        joined = hash_join(
+            li, seg, on="l_orderkey", right_on="o_orderkey",
+            post=lambda t: int_sum_partial(t, keys, vals),
+        )
+        out = grouped_int_sums(joined, keys, None, partials_ready=True)
         stats["n_join_groups"] = out.count()
 
     stages = [

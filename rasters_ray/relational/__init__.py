@@ -9,7 +9,12 @@ per-row or per-group Python walk at data-scaled cardinality.
 """
 
 from .joins import asof_join, broadcast_join, hash_join, interval_join
-from .aggregates import exact_quantiles, grouped_int_sums, topk_per_group
+from .aggregates import (
+    exact_quantiles,
+    grouped_int_sums,
+    int_sum_partial,
+    topk_per_group,
+)
 from .distinct import approx_distinct, distinct_count, hll_count, hll_register_table
 
 __all__ = [
@@ -19,6 +24,7 @@ __all__ = [
     "interval_join",
     "exact_quantiles",
     "grouped_int_sums",
+    "int_sum_partial",
     "topk_per_group",
     "approx_distinct",
     "distinct_count",

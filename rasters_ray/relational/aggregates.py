@@ -47,11 +47,42 @@ def _group_codes(t: pa.Table, keys: list[str]):
     return inv.astype(np.int64), first
 
 
-def grouped_int_sums(
-    ds,
+def int_sum_partial(
+    t: pa.Table,
     keys: list[str],
     values_fn: Callable[[pa.Table], dict[str, np.ndarray]],
     count_col: str = "n",
+) -> pa.Table:
+    """One-block partial of :func:`grouped_int_sums` — public so a join
+    kernel can FUSE the reduction into its own task (the per-partition
+    join result collapses to a few rows before it ever hits the object
+    store, instead of shipping the full join output to a second pass)."""
+    if t.num_rows == 0:
+        vals = values_fn(t)  # values_fn must handle 0-row input
+        cols = {k: t.column(k) for k in keys}
+        for name in vals:
+            cols[name] = pa.array([], pa.int64())
+        cols[count_col] = pa.array([], pa.int64())
+        return pa.table(cols)
+    vals = values_fn(t)
+    inv, first = _group_codes(t, keys)
+    order = np.argsort(inv, kind="stable")
+    starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) > 0])
+    out = {k: t.column(k).take(pa.array(first, pa.int64())) for k in keys}
+    for name, arr in vals.items():
+        a = np.asarray(arr, dtype=np.int64)[order]
+        out[name] = pa.array(np.add.reduceat(a, starts), pa.int64())
+    cnt = np.diff(np.r_[starts, len(order)])
+    out[count_col] = pa.array(cnt, pa.int64())
+    return pa.table(out)
+
+
+def grouped_int_sums(
+    ds,
+    keys: list[str],
+    values_fn: Callable[[pa.Table], dict[str, np.ndarray]] | None,
+    count_col: str = "n",
+    partials_ready: bool = False,
 ):
     """Integer-exact grouped sums -> Dataset[keys + sum cols + count].
 
@@ -63,34 +94,19 @@ def grouped_int_sums(
     reporting groups).  The final discovers the sum columns inside the
     kernel, NOT via ``Dataset.schema()`` on the driver — schema() on a
     post-shuffle pipeline would execute the whole upstream (e.g. a
-    distributed join) once just to name the columns."""
+    distributed join) once just to name the columns.
 
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return None  # filtered below via zero-row table
-        vals = values_fn(t)
-        inv, first = _group_codes(t, keys)
-        order = np.argsort(inv, kind="stable")
-        starts = np.flatnonzero(np.r_[True, np.diff(inv[order]) > 0])
-        out = {k: t.column(k).take(pa.array(first, pa.int64())) for k in keys}
-        for name, arr in vals.items():
-            a = np.asarray(arr, dtype=np.int64)[order]
-            out[name] = pa.array(np.add.reduceat(a, starts), pa.int64())
-        cnt = np.diff(np.r_[starts, len(order)])
-        out[count_col] = pa.array(cnt, pa.int64())
-        return pa.table(out)
+    ``partials_ready=True`` skips the partial pass: ``ds`` rows are
+    already (keys + int64 sum cols + count) partials, e.g. emitted by
+    :func:`int_sum_partial` fused into an upstream join kernel."""
 
-    def partial_safe(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            vals = values_fn(t)  # values_fn must handle 0-row input
-            cols = {k: t.column(k) for k in keys}
-            for name in vals:
-                cols[name] = pa.array([], pa.int64())
-            cols[count_col] = pa.array([], pa.int64())
-            return pa.table(cols)
-        return partial(t)
-
-    parts = ds.map_batches(partial_safe, batch_format="pyarrow")
+    if partials_ready:
+        parts = ds
+    else:
+        parts = ds.map_batches(
+            lambda t: int_sum_partial(t, keys, values_fn, count_col),
+            batch_format="pyarrow",
+        )
 
     def final(group: pa.Table) -> pa.Table:
         out = {k: group.column(k).slice(0, 1) for k in keys}

@@ -121,6 +121,7 @@ def hash_join(
     how: str = "inner",
     n_parts: int = 64,
     right_suffix: str = "_r",
+    post=None,
 ):
     """Distributed hash equi-join -> Dataset with Acero's column layout
     (left columns, then right non-key columns; colliding right names get
@@ -128,13 +129,18 @@ def hash_join(
 
     ``how``: any Acero join type — "inner", "left outer", "right outer",
     "full outer", "left semi", "left anti", ...
-    """
+
+    ``post(joined: pa.Table) -> pa.Table``, when given, runs INSIDE the
+    per-partition join task — fuse a reduction (e.g.
+    :func:`rasters_ray.relational.int_sum_partial`) here so the join
+    output collapses before it ever hits the object store, instead of
+    shipping the full join result to a second pass."""
     right_on = right_on or on
     union, lnames, rnames = _union_side_tables(left_ds, right_ds, on, right_on, n_parts)
 
     def join_part(group: pa.Table) -> pa.Table:
         left_t, right_t = _split_sides(group, lnames, rnames)
-        return left_t.join(
+        joined = left_t.join(
             right_t,
             keys=[on],
             right_keys=[right_on],
@@ -142,6 +148,7 @@ def hash_join(
             right_suffix=right_suffix,
             use_threads=False,  # one Ray CPU per task; Ray owns parallelism
         )
+        return post(joined) if post is not None else joined
 
     return union.groupby("_jp").map_groups(join_part, batch_format="pyarrow")
 
