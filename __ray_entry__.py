@@ -1586,6 +1586,20 @@ def q_stratified_sample(sf_dir: str):
     )
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Exact percentile_disc per event type (q1/median/q3/p95): groups
+    hash-partitioned so each group resolves in one vectorized lexsort —
+    the per-group analog of the global histogram-narrowing quantiles."""
+    from rasters_ray.relational import grouped_quantiles
+
+    return grouped_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        "value",
+        qs=[0.25, 0.5, 0.75, 0.95],
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — distinct pairs reduced
     per batch BEFORE the shuffle, hash-partitioned by user so local
@@ -1693,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q_events_sliding,
         "distinct_users": q_distinct_users,
         "stratified_sample": q_stratified_sample,
+        "grouped_quantiles": q_grouped_quantiles,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "lang_quality": q_lang_quality,
@@ -2520,6 +2535,21 @@ r AS (
   FROM s
 )
 SELECT event_type, event_id, sample_key, sel_rank FROM r WHERE sel_rank <= 20
+"""
+
+    sql["grouped_quantiles"] = """
+WITH g AS (
+  SELECT event_type,
+         quantile_disc(value, [0.25e0, 0.5e0, 0.75e0, 0.95e0]) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       unnest([0.25e0, 0.5e0, 0.75e0, 0.95e0]) AS q,
+       unnest(vals) AS value,
+       CAST(ceil(unnest([0.25e0, 0.5e0, 0.75e0, 0.95e0]) * n) AS BIGINT) AS sel_rank,
+       n
+FROM g
 """
 
     sql["distinct_users"] = """

@@ -12,6 +12,7 @@ from .joins import asof_join, broadcast_join, hash_join, interval_join
 from .aggregates import (
     exact_quantiles,
     grouped_int_sums,
+    grouped_quantiles,
     int_sum_partial,
     topk_per_group,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "interval_join",
     "exact_quantiles",
     "grouped_int_sums",
+    "grouped_quantiles",
     "int_sum_partial",
     "topk_per_group",
     "approx_distinct",

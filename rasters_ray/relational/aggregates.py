@@ -184,6 +184,66 @@ def topk_per_group(
     )
 
 
+def grouped_quantiles(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    n_parts: int = 32,
+):
+    """Exact ``percentile_disc`` per group -> Dataset[group, q, value,
+    sel_rank, n] (1-based rank ``ceil(q * n_group)``).
+
+    Groups are hash-partitioned so every value of a group lands in ONE
+    partition, then a single vectorized lexsort + rank-gather per
+    partition resolves all of its groups at once.  Scale assumption
+    (documented): group COUNT may scale with data, but each single
+    group's values must fit a partition — the per-group analog of
+    :func:`exact_quantiles`' collect limit.  For a handful of global
+    quantiles over an unbounded column use :func:`exact_quantiles`
+    (histogram narrowing, no partition-sized groups needed)."""
+    from rasters_ray.util import hash_parts
+
+    qarr = np.asarray(sorted(qs), dtype=np.float64)
+    if len(qarr) == 0 or qarr[0] <= 0.0 or qarr[-1] > 1.0:
+        raise ValueError("quantiles must lie in (0, 1]")
+
+    def tag(t: pa.Table) -> pa.Table:
+        sel = t.select([group_col, value_col])
+        return sel.append_column(
+            "_part", pa.array(hash_parts(sel.column(group_col), n_parts), pa.int64())
+        )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        g = np.asarray(part.column(group_col).to_pylist(), dtype=object)
+        v = part.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ug, ginv = np.unique(g, return_inverse=True)
+        order = np.lexsort((v, ginv))
+        gs = ginv[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(gs) > 0])
+        ns = np.diff(np.r_[starts, len(gs)])
+        # ranks: ceil(q * n) per (group, q) — vectorized gather
+        ranks = np.ceil(qarr[None, :] * ns[:, None]).astype(np.int64)  # (G, Q)
+        idx = starts[:, None] + ranks - 1
+        vals = v[order][idx]
+        G, Q = ranks.shape
+        return pa.table(
+            {
+                group_col: pa.array(np.repeat(ug, Q), pa.string()),
+                "q": pa.array(np.tile(qarr, G), pa.float64()),
+                "value": pa.array(vals.ravel(), pa.float64()),
+                "sel_rank": pa.array(ranks.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(ns, Q), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def exact_quantiles(
     ds,
     col: str,

@@ -308,3 +308,33 @@ def test_word_repetition_hand_computed():
     assert got["top_word_count"] == [3, 1, 0]
     # bigrams: "a b","b a","a b","b a" -> top count 2
     assert got["top_bigram_count"] == [2, 0, 0]
+
+
+def test_grouped_quantiles_vs_numpy(ray_session):
+    from rasters_ray.relational import grouped_quantiles
+
+    rng = np.random.default_rng(11)
+    g = np.array(["a", "b", "c"], dtype=object)[rng.integers(0, 3, 500)]
+    v = np.round(rng.random(500) * 100, 2)
+    t = pa.table({"k": pa.array(g, pa.string()), "v": pa.array(v, pa.float64())})
+    qs = [0.25, 0.5, 0.9]
+    for blocks in (2, 7):  # partition-invariant
+        got = (
+            grouped_quantiles(_ds(t, blocks), "k", "v", qs)
+            .to_pandas()
+            .sort_values(["k", "q"])
+            .reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            vals = np.sort(v[g == row["k"]])
+            rank = int(np.ceil(row["q"] * len(vals)))  # percentile_disc
+            assert row["sel_rank"] == rank
+            assert row["value"] == vals[rank - 1]
+            assert row["n"] == len(vals)
+
+
+def test_grouped_quantiles_bad_q():
+    from rasters_ray.relational import grouped_quantiles
+
+    with pytest.raises(ValueError):
+        grouped_quantiles(None, "k", "v", [0.0, 0.5])
