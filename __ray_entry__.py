@@ -1600,6 +1600,26 @@ def q_grouped_quantiles(sf_dir: str):
     )
 
 
+def q_events_pivot(sf_dir: str):
+    """Pivot to a wide hour-of-day x event-type count table.  The
+    category domain is EXPLICIT (schema-sized), so there is no discovery
+    pass: one streaming long-format partial + one hash-partitioned
+    widen."""
+    from rasters_ray.relational import pivot_counts
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        per_sec = _ts_unit(t.column("ts").type)
+        s = t.column("ts").cast(pa.int64()).to_numpy() // per_sec
+        return t.append_column("hour", pa.array((s // 3600) % 24, pa.int64()))
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        add_hour, batch_format="pyarrow"
+    )
+    return pivot_counts(
+        ds, "hour", "event_type", ["click", "error", "purchase", "signup", "view"]
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — distinct pairs reduced
     per batch BEFORE the shuffle, hash-partitioned by user so local
@@ -1708,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "stratified_sample": q_stratified_sample,
         "grouped_quantiles": q_grouped_quantiles,
+        "events_pivot": q_events_pivot,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "lang_quality": q_lang_quality,
@@ -2550,6 +2571,16 @@ SELECT event_type,
        CAST(ceil(unnest([0.25e0, 0.5e0, 0.75e0, 0.95e0]) * n) AS BIGINT) AS sel_rank,
        n
 FROM g
+"""
+
+    sql["events_pivot"] = """
+SELECT CAST((floor(epoch(ts) / 3600)) % 24 AS BIGINT) AS hour,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS "click",
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS "error",
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS "purchase",
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS "signup",
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+FROM events GROUP BY 1
 """
 
     sql["distinct_users"] = """

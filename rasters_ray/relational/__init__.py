@@ -14,6 +14,7 @@ from .aggregates import (
     grouped_int_sums,
     grouped_quantiles,
     int_sum_partial,
+    pivot_counts,
     topk_per_group,
 )
 from .distinct import approx_distinct, distinct_count, hll_count, hll_register_table
@@ -27,6 +28,7 @@ __all__ = [
     "grouped_int_sums",
     "grouped_quantiles",
     "int_sum_partial",
+    "pivot_counts",
     "topk_per_group",
     "approx_distinct",
     "distinct_count",

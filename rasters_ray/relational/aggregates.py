@@ -244,6 +244,81 @@ def grouped_quantiles(
     )
 
 
+def pivot_counts(
+    ds,
+    row_col: str,
+    col_col: str,
+    categories: list[str],
+    n_parts: int = 32,
+):
+    """Pivot to a wide count table -> Dataset[row_col, <one int64 column
+    per category>].  ``categories`` is the EXPLICIT column domain — no
+    discovery pass over the data, so the pipeline stays one streaming
+    partial + one hash-partitioned reduce (row cardinality may scale
+    with data; the category list is schema-sized).  Values outside
+    ``categories`` are dropped.
+
+    Per batch: one np.unique over combined (row, category) codes emits
+    long-format partial counts; the final packs each partition's rows
+    into the wide layout with a single np.add.at scatter."""
+    cats = list(categories)
+    cat_sorted = np.array(sorted(cats), dtype=object)
+    from rasters_ray.util import hash_parts
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = t.select([row_col, col_col])
+        if t.num_rows == 0:
+            return sel.append_column("n", pa.array([], pa.int64())).append_column(
+                "_part", pa.array([], pa.int64())
+            )
+        r = np.asarray(sel.column(row_col).to_pylist(), dtype=object)
+        c = np.asarray(sel.column(col_col).to_pylist(), dtype=object)
+        pos = np.searchsorted(cat_sorted, c)
+        pos_c = np.clip(pos, 0, len(cat_sorted) - 1)
+        keep = cat_sorted[pos_c] == c
+        r, pos_c = r[keep], pos_c[keep]
+        ur, rinv = np.unique(r, return_inverse=True)
+        combo = rinv.astype(np.int64) * np.int64(len(cat_sorted)) + pos_c
+        uc, counts = np.unique(combo, return_counts=True)
+        out_r = ur[(uc // np.int64(len(cat_sorted))).astype(np.int64)]
+        out_c = cat_sorted[(uc % np.int64(len(cat_sorted))).astype(np.int64)]
+        out = pa.table(
+            {
+                row_col: pa.array(out_r, pa.string())
+                if sel.column(row_col).type == pa.string()
+                else pa.array(out_r.astype(np.int64), pa.int64()),
+                col_col: pa.array(out_c, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+        return out.append_column(
+            "_part", pa.array(hash_parts(out.column(row_col), n_parts), pa.int64())
+        )
+
+    def widen(group: pa.Table) -> pa.Table:
+        r = np.asarray(group.column(row_col).to_pylist(), dtype=object)
+        c = np.asarray(group.column(col_col).to_pylist(), dtype=object)
+        n = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ur, rinv = np.unique(r, return_inverse=True)
+        cidx = np.searchsorted(cat_sorted, c)
+        mat = np.zeros((len(ur), len(cat_sorted)), np.int64)
+        np.add.at(mat, (rinv, cidx), n)
+        cols = {
+            row_col: pa.array(ur, pa.string())
+            if group.column(row_col).type == pa.string()
+            else pa.array(ur.astype(np.int64), pa.int64())
+        }
+        for j, cat in enumerate(cat_sorted):
+            cols[str(cat)] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(widen, batch_format="pyarrow")
+    )
+
+
 def exact_quantiles(
     ds,
     col: str,

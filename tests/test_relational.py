@@ -338,3 +338,33 @@ def test_grouped_quantiles_bad_q():
 
     with pytest.raises(ValueError):
         grouped_quantiles(None, "k", "v", [0.0, 0.5])
+
+
+def test_pivot_counts_vs_pandas(ray_session):
+    from rasters_ray.relational import pivot_counts
+
+    rng = np.random.default_rng(5)
+    cats = ["a", "b", "c"]
+    rows = rng.integers(0, 6, 400)
+    cols = np.array(cats + ["zz"], dtype=object)[rng.integers(0, 4, 400)]  # zz dropped
+    t = pa.table(
+        {"hour": pa.array(rows, pa.int64()), "kind": pa.array(cols, pa.string())}
+    )
+    got = (
+        pivot_counts(_ds(t, 3), "hour", "kind", cats)
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = t.to_pandas()
+    df = df[df["kind"].isin(cats)]
+    exp = (
+        pd.crosstab(df["hour"], df["kind"])
+        .reindex(columns=cats, fill_value=0)
+        .reset_index()
+    )
+    for c in cats:
+        assert got[c].to_numpy().tolist() == exp[c].to_numpy().tolist()
+    assert got["hour"].tolist() == exp["hour"].tolist()
