@@ -1620,6 +1620,68 @@ def q_events_pivot(sf_dir: str):
     )
 
 
+def q_orders_anti(sf_dir: str):
+    """Orders with no lineitems — the distributed hash join running in
+    Acero's "left anti" mode (same one-shuffle union+groupby machinery;
+    semi/anti are mode flags, not separate operators)."""
+    from rasters_ray.relational import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return hash_join(
+        orders, li, on="o_orderkey", right_on="l_orderkey", how="left anti"
+    )
+
+
+def q_user_running(sf_dir: str):
+    """Per-user running totals ordered by time (the ROWS UNBOUNDED
+    PRECEDING window): users hash-partitioned, ONE lexsort + segmented
+    cumsum per partition resolves every user vectorized.  The cumulative
+    sum is int64 floor-cents, so it is bit-exact regardless of block
+    layout (a float cumsum would be order-dependent across engines)."""
+    N_PARTS = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(u % N_PARTS, pa.int64()))
+
+    def kernel(part: pa.Table) -> pa.Table:
+        u = part.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        per_sec = _ts_unit(part.column("ts").type)
+        s = part.column("ts").cast(pa.int64()).to_numpy() // per_sec
+        eid = part.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = part.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(val * 100.0).astype(np.int64)
+        order = np.lexsort((eid, s, u))
+        us, cs = u[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(us) > 0])
+        run = np.cumsum(cs)
+        # segmented cumsum: subtract the prefix before each user's start
+        base = np.repeat(
+            np.r_[0, run[starts[1:] - 1]], np.diff(np.r_[starts, len(us)])
+        )
+        run_n = (
+            np.arange(len(us), dtype=np.int64)
+            - np.repeat(starts, np.diff(np.r_[starts, len(us)]))
+            + 1
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(us, pa.int64()),
+                "run_n": pa.array(run_n, pa.int64()),
+                "run_cents": pa.array(run - base, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — distinct pairs reduced
     per batch BEFORE the shuffle, hash-partitioned by user so local
@@ -1729,6 +1791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "grouped_quantiles": q_grouped_quantiles,
         "events_pivot": q_events_pivot,
+        "orders_anti": q_orders_anti,
+        "user_running": q_user_running,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "lang_quality": q_lang_quality,
@@ -2581,6 +2645,20 @@ SELECT CAST((floor(epoch(ts) / 3600)) % 24 AS BIGINT) AS hour,
        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS "signup",
        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
 FROM events GROUP BY 1
+"""
+
+    sql["orders_anti"] = """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+    sql["user_running"] = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS run_n,
+       CAST(SUM(CAST(floor(value * 100e0) AS BIGINT)) OVER w AS BIGINT) AS run_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
     sql["distinct_users"] = """
