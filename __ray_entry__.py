@@ -1682,6 +1682,105 @@ def q_user_running(sf_dir: str):
     )
 
 
+def q_events_rollup(sf_dir: str):
+    """ROLLUP (event_type, hour) -> (type, hour) + (type) + grand total,
+    sentinel-filled ('ALL' / -1).  The data is scanned ONCE at the
+    finest grain (vectorized partial + hash-partitioned reduce); the
+    coarser levels are derived from the finest-grain AGGREGATE, which is
+    grain-sized (types x 24 rows), never from the raw events — the
+    aggregate-once-roll-up-later shape."""
+    N_PARTS = 16
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "hour": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                    "_part": pa.array([], pa.int64()),
+                }
+            )
+        per_sec = _ts_unit(t.column("ts").type)
+        s = t.column("ts").cast(pa.int64()).to_numpy() // per_sec
+        hour = (s // 3600) % 24
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        cents = np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uet, einv = np.unique(et, return_inverse=True)
+        combo = einv.astype(np.int64) * np.int64(24) + hour
+        order = np.argsort(combo, kind="stable")
+        cs = combo[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(cs) > 0])
+        n = np.diff(np.r_[starts, len(cs)])
+        return pa.table(
+            {
+                "event_type": pa.array(uet[(cs[starts] // 24).astype(np.int64)],
+                                       pa.string()),
+                "hour": pa.array(cs[starts] % 24, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(np.add.reduceat(cents[order], starts),
+                                      pa.int64()),
+                "_part": pa.array(cs[starts] % N_PARTS, pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        hour = group.column("hour").to_numpy()
+        n = group.column("n").to_numpy()
+        sc = group.column("sum_cents").to_numpy()
+        uet, einv = np.unique(et, return_inverse=True)
+        combo = einv.astype(np.int64) * np.int64(24) + hour
+        order = np.argsort(combo, kind="stable")
+        cs = combo[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(cs) > 0])
+        return pa.table(
+            {
+                "event_type": pa.array(uet[(cs[starts] // 24).astype(np.int64)],
+                                       pa.string()),
+                "hour": pa.array(cs[starts] % 24, pa.int64()),
+                "n": pa.array(np.add.reduceat(n[order], starts), pa.int64()),
+                "sum_cents": pa.array(np.add.reduceat(sc[order], starts),
+                                      pa.int64()),
+            }
+        )
+
+    finest = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    # roll up from the grain-sized aggregate (types x 24 rows — documented
+    # small-result collect, the raw data is never touched again)
+    import pandas as pd
+
+    fine = finest.to_pandas()
+    by_type = (
+        fine.groupby("event_type", as_index=False)[["n", "sum_cents"]]
+        .sum()
+        .assign(hour=np.int64(-1))
+    )
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "hour": np.array([-1], np.int64),
+            "n": [fine["n"].sum()],
+            "sum_cents": [fine["sum_cents"].sum()],
+        }
+    )
+    out = pd.concat(
+        [fine, by_type[["event_type", "hour", "n", "sum_cents"]], total],
+        ignore_index=True,
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — distinct pairs reduced
     per batch BEFORE the shuffle, hash-partitioned by user so local
@@ -1793,6 +1892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "orders_anti": q_orders_anti,
         "user_running": q_user_running,
+        "events_rollup": q_events_rollup,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "lang_quality": q_lang_quality,
@@ -2659,6 +2759,18 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+    sql["events_rollup"] = """
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+         AS event_type,
+       CAST(CASE WHEN GROUPING(h) = 1 THEN -1 ELSE h END AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100e0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (SELECT event_type, (CAST(floor(epoch(ts) / 3600) AS BIGINT)) % 24 AS h,
+             value
+      FROM events)
+GROUP BY ROLLUP (event_type, h)
 """
 
     sql["distinct_users"] = """
