@@ -1781,6 +1781,72 @@ def q_events_rollup(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field k out of the
+    JSON ``props`` column with pyarrow.compute.extract_regex (vectorized
+    C++ over the Arrow string array — no per-row json.loads in the hot
+    path; the regex form is right for schema-stable fields, a json.loads
+    task stage is the fallback for arbitrary shapes), then int-exact
+    per-type stats via batch partials + a low-cardinality reduce."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_k": pa.array([], pa.int64()),
+                    "min_k": pa.array([], pa.int64()),
+                    "max_k": pa.array([], pa.int64()),
+                }
+            )
+        m = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        uet, einv = np.unique(et, return_inverse=True)
+        order = np.argsort(einv, kind="stable")
+        es = einv[order]
+        ks = k[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(es) > 0])
+        n = np.diff(np.r_[starts, len(es)])
+        return pa.table(
+            {
+                "event_type": pa.array(uet[es[starts]], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "sum_k": pa.array(np.add.reduceat(ks, starts), pa.int64()),
+                "min_k": pa.array(np.minimum.reduceat(ks, starts), pa.int64()),
+                "max_k": pa.array(np.maximum.reduceat(ks, starts), pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": group.column("event_type").slice(0, 1),
+                "n": pa.array(
+                    [int(group.column("n").to_numpy().sum())], pa.int64()
+                ),
+                "sum_k": pa.array(
+                    [int(group.column("sum_k").to_numpy().sum())], pa.int64()
+                ),
+                "min_k": pa.array(
+                    [int(group.column("min_k").to_numpy().min())], pa.int64()
+                ),
+                "max_k": pa.array(
+                    [int(group.column("max_k").to_numpy().max())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — distinct pairs reduced
     per batch BEFORE the shuffle, hash-partitioned by user so local
@@ -1893,6 +1959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_anti": q_orders_anti,
         "user_running": q_user_running,
         "events_rollup": q_events_rollup,
+        "props_stats": q_props_stats,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "lang_quality": q_lang_quality,
@@ -2771,6 +2838,15 @@ FROM (SELECT event_type, (CAST(floor(epoch(ts) / 3600) AS BIGINT)) % 24 AS h,
              value
       FROM events)
 GROUP BY ROLLUP (event_type, h)
+"""
+
+    sql["props_stats"] = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
 """
 
     sql["distinct_users"] = """

@@ -103,6 +103,8 @@ def grouped_int_sums(
     if partials_ready:
         parts = ds
     else:
+        if values_fn is None:
+            raise ValueError("values_fn is required unless partials_ready=True")
         parts = ds.map_batches(
             lambda t: int_sum_partial(t, keys, values_fn, count_col),
             batch_format="pyarrow",

@@ -108,3 +108,75 @@ def test_shingle_jaccard_symmetric_bounded(a, b):
     assert ja == jb
     assert 0.0 <= ja <= 1.0
     assert jaccard(char_shingles(a), char_shingles(a)) == 1.0
+
+
+# --- round-3 op kernels -----------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.integers(2, 20),
+    cols=st.integers(2, 20),
+    radius=st.integers(1, 4),
+    seed=st.integers(0, 10**6),
+    nan_frac=st.floats(0.0, 0.4),
+)
+def test_box_filter_sum_matches_brute_force(rows, cols, radius, seed, nan_frac):
+    from rasters_ray.stages.focal import box_filter_sum
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 251, (rows, cols)).astype(np.float64)
+    a[rng.random(a.shape) < nan_frac] = np.nan
+    fs, nn = box_filter_sum(a, radius)
+    for i in (0, rows // 2, rows - 1):
+        for j in (0, cols // 2, cols - 1):
+            w = a[max(i - radius, 0) : i + radius + 1, max(j - radius, 0) : j + radius + 1]
+            v = w[np.isfinite(w)]
+            assert nn[i, j] == v.size
+            assert fs[i, j] == v.sum()  # integral inputs: exact
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=64))
+def test_hll_rho_equals_bit_length(words):
+    from rasters_ray.relational.distinct import HLL_P, _rho
+
+    bits = 64 - HLL_P
+    w = np.array(words, dtype=np.uint64)
+    got = _rho(w, bits)
+    for wi, gi in zip(words, got):
+        # leading zeros of the full 64-bit word, capped at `bits`
+        clz = 64 - int(wi).bit_length() if wi else 64
+        assert gi == min(clz + 1, bits + 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 200),
+    n_keys=st.integers(1, 5),
+    seed=st.integers(0, 10**6),
+)
+def test_int_sum_partial_matches_pandas(n, n_keys, seed):
+    import pandas as pd
+    import pyarrow as pa
+
+    from rasters_ray.relational import int_sum_partial
+
+    rng = np.random.default_rng(seed)
+    keys = np.array(["k%d" % i for i in rng.integers(0, n_keys, n)], dtype=object)
+    vals = rng.integers(-1000, 1000, n)
+    t = pa.table({"g": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())})
+    out = int_sum_partial(
+        t, ["g"], lambda b: {"s": b.column("v").to_numpy(zero_copy_only=False)}
+    ).to_pandas()
+    exp = (
+        pd.DataFrame({"g": keys, "s": vals})
+        .groupby("g")
+        .agg(s=("s", "sum"), n=("s", "size"))
+        .reset_index()
+    )
+    got = out.sort_values("g").reset_index(drop=True)
+    exp = exp.sort_values("g").reset_index(drop=True)
+    assert got["g"].tolist() == exp["g"].tolist()
+    assert got["s"].tolist() == exp["s"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
