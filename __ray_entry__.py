@@ -1847,6 +1847,61 @@ def q_props_stats(sf_dir: str):
     )
 
 
+def q_augment(sf_dir: str):
+    """Image augmentation through the generic numpy-UDF lift
+    (`apply_fn(np.fliplr)` / rot180) — the training-data augmentation
+    stage, value-oracled: sampled pixels of the flipped images must
+    equal the closed-form formula at mirrored indices, so a wrong axis,
+    off-by-one, or re-encode corruption is a value mismatch."""
+    from rasters_ray import codec
+    from rasters_ray.stages import apply_fn
+
+    flipped = apply_fn(_images_ds(sf_dir, N_IMG_FOCAL), np.fliplr)
+    both = apply_fn(flipped, np.flipud)  # fliplr then flipud == rot180
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids, rr, cc, vals = [], [], [], []
+        blobs = codec.BlobReader(t.column("bytes"))
+        fmts = t.column("fmt").to_pylist()
+        id_col = t.column("image_id").to_pylist()
+        sel = np.arange(0, 100, 7)
+        gr, gc = np.meshgrid(sel, sel, indexing="ij")
+        gr, gc = gr.ravel(), gc.ravel()
+        for i in range(t.num_rows):
+            px = codec.decode(blobs[i], fmts[i])
+            ids.extend([id_col[i]] * len(gr))
+            rr.append(gr)
+            cc.append(gc)
+            vals.append(px[gr, gc].astype(np.int64))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "r": pa.array(np.concatenate(rr) if rr else [], pa.int64()),
+                "c": pa.array(np.concatenate(cc) if cc else [], pa.int64()),
+                "value": pa.array(np.concatenate(vals) if vals else [], pa.int64()),
+            }
+        )
+
+    return both.map_batches(sample, batch_format="pyarrow")
+
+
+def q_cluster_assign(sf_dir: str):
+    """Distributed spherical k-means clustering of the embedding table:
+    Lloyd rounds reduce k x (d+1) partial floats per batch (vectors
+    never move), then a broadcast-centroid matmul assigns every vector.
+    Approximate/iterative by nature (parallel float reduction is not
+    bit-stable across layouts), so rows-only; objective stability is
+    pytest-asserted."""
+    from rasters_ray.ann import kmeans_assign, kmeans_centroids
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_centroids(emb, n_centroids=8, iters=3)
+    out = kmeans_assign(emb, cents)
+    return out.map_batches(
+        lambda t: t.select(["vec_id", "cluster"]), batch_format="pyarrow"
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — distinct pairs reduced
     per batch BEFORE the shuffle, hash-partitioned by user so local
@@ -1960,8 +2015,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running": q_user_running,
         "events_rollup": q_events_rollup,
         "props_stats": q_props_stats,
+        "augment": q_augment,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
+        "cluster_assign": q_cluster_assign,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -2848,6 +2905,15 @@ SELECT event_type,
        CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """
+
+    sql["augment"] = f"""
+WITH {{imgs}}
+SELECT printf('img%08d', d) AS image_id,
+       r.range AS r, c.range AS c,
+       CAST((d * 31 + (99 - r.range) * 7 + (99 - c.range) * 13) % 251 AS BIGINT)
+         AS value
+FROM imgs, range(0, 100, 7) r, range(0, 100, 7) c
+""".format(imgs=_IMGS_CTE.format(n=N_IMG_FOCAL).strip())
 
     sql["distinct_users"] = """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct

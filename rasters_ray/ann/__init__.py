@@ -4,6 +4,7 @@ from .search import (
     cosine_near_dups,
     cosine_topk,
     ivf_topk,
+    kmeans_assign,
     kmeans_centroids,
     lsh_topk,
     recall_at_k,
@@ -15,6 +16,7 @@ __all__ = [
     "cosine_near_dups",
     "cosine_topk",
     "ivf_topk",
+    "kmeans_assign",
     "kmeans_centroids",
     "lsh_topk",
     "recall_at_k",

@@ -452,3 +452,39 @@ def ivf_topk(
 
     cands = embeddings_ds.map_batches(filt, batch_format="pyarrow")
     return cosine_topk(cands, queries, k=k, id_col=id_col, col=col)
+
+
+def kmeans_assign(
+    embeddings_ds,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Assign every vector to its nearest centroid (cosine) ->
+    Dataset[(id, cluster, sim)].  Centroids are broadcast once
+    (``ray.put``); assignment is one matmul per batch — embarrassingly
+    parallel, nothing shuffles.  NOTE: parallel Lloyd centroids are not
+    bit-stable across block layouts (float summation order), so tests
+    must assert OBJECTIVE stability, not assignment equality."""
+    import ray
+
+    cents = _normalize(np.asarray(centroids, dtype=np.float32))
+    cref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        c = _ray.get(cref)
+        m = _normalize(_batch_matrix(t, col).astype(np.float32))
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "sim": pa.array(sims[np.arange(len(a)), a].astype(np.float64),
+                                pa.float64()),
+            }
+        )
+
+    return embeddings_ds.map_batches(assign, batch_format="pyarrow")

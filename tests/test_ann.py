@@ -160,3 +160,38 @@ def test_kmeans_centroids_objective_partition_stable(ray_session):
     # and both beat the un-iterated init (first 8 vectors)
     init = mn[:8]
     assert min(oa, ob) > objective(init) - 1e-9
+
+
+def test_kmeans_assign_objective_stable(ray_session):
+    """Parallel Lloyd is not bit-stable across block layouts (summation
+    order); the clustering OBJECTIVE (mean best-sim) must be."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rasters_ray.ann import kmeans_assign, kmeans_centroids
+
+    rng = np.random.default_rng(9)
+    # three well-separated cones so the objective is a stable target
+    base = rng.normal(size=(3, 16)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # INTERLEAVE the cones: init takes the first k rows, so they must
+    # span the clusters or different layouts converge to different
+    # local optima (first-k init is deterministic, not robust)
+    vecs = np.tile(base, (60, 1)) + 0.05 * rng.normal(size=(180, 16)).astype(
+        np.float32
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(180, dtype=np.int64)),
+            "embedding": pa.array(list(vecs.astype(np.float64))),
+        }
+    )
+    objs = []
+    for blocks in (2, 6):
+        ds = rd.from_arrow(t).repartition(blocks)
+        cents = kmeans_centroids(ds, n_centroids=3, iters=4)
+        out = kmeans_assign(ds, cents).to_pandas()
+        assert len(out) == 180 and set(out["cluster"]) <= {0, 1, 2}
+        objs.append(out["sim"].mean())
+    assert abs(objs[0] - objs[1]) < 1e-3
