@@ -46,7 +46,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from rasters_ray.util import hash_parts
+from rasters_ray.util import hash_parts, hash_parts_cols
 
 _RPREFIX = "__r_"
 
@@ -74,9 +74,12 @@ def _union_side_tables(left_ds, right_ds, left_key_col, right_key_col, n_parts):
     """Tag both sides into one union-compatible layout.
 
     Union schema = left columns ++ ``__r_``-prefixed right columns ++
-    ``_side`` (int8) ++ ``_jp`` (hash partition of the join key).  The
-    other side's columns ride as typed nulls (validity-bitmap only until
-    a partition materializes them)."""
+    ``_side`` (int8) ++ ``_jp`` (hash partition of the join key; keys may
+    be a single column name or a list — composite keys co-partition via
+    ``util.hash_parts_cols``).  The other side's columns ride as typed
+    nulls (validity-bitmap only until a partition materializes them)."""
+    lkeys = [left_key_col] if isinstance(left_key_col, str) else list(left_key_col)
+    rkeys = [right_key_col] if isinstance(right_key_col, str) else list(right_key_col)
     lsch, rsch = _base_schema(left_ds), _base_schema(right_ds)
     lnames = list(lsch.names)
     rnames = list(rsch.names)
@@ -87,7 +90,7 @@ def _union_side_tables(left_ds, right_ds, left_key_col, right_key_col, n_parts):
         cols = [t.column(nm) for nm in lnames]
         cols += [pa.nulls(n, rsch.field(nm).type) for nm in rnames]
         cols.append(pa.array(np.zeros(n, np.int8), pa.int8()))
-        cols.append(pa.array(hash_parts(t.column(left_key_col), n_parts), pa.int64()))
+        cols.append(pa.array(hash_parts_cols(t, lkeys, n_parts), pa.int64()))
         return pa.Table.from_arrays(cols, names=union_names)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -95,7 +98,7 @@ def _union_side_tables(left_ds, right_ds, left_key_col, right_key_col, n_parts):
         cols = [pa.nulls(n, lsch.field(nm).type) for nm in lnames]
         cols += [t.column(nm) for nm in rnames]
         cols.append(pa.array(np.ones(n, np.int8), pa.int8()))
-        cols.append(pa.array(hash_parts(t.column(right_key_col), n_parts), pa.int64()))
+        cols.append(pa.array(hash_parts_cols(t, rkeys, n_parts), pa.int64()))
         return pa.Table.from_arrays(cols, names=union_names)
 
     union = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
@@ -142,8 +145,8 @@ def hash_join(
         left_t, right_t = _split_sides(group, lnames, rnames)
         joined = left_t.join(
             right_t,
-            keys=[on],
-            right_keys=[right_on],
+            keys=[on] if isinstance(on, str) else list(on),
+            right_keys=[right_on] if isinstance(right_on, str) else list(right_on),
             join_type=how,
             right_suffix=right_suffix,
             use_threads=False,  # one Ray CPU per task; Ray owns parallelism

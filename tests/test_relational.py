@@ -368,3 +368,40 @@ def test_pivot_counts_vs_pandas(ray_session):
     for c in cats:
         assert got[c].to_numpy().tolist() == exp[c].to_numpy().tolist()
     assert got["hour"].tolist() == exp["hour"].tolist()
+
+
+def test_hash_join_composite_key(ray_session):
+    rng = np.random.default_rng(13)
+    left = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 4, 60), pa.int64()),
+            "b": pa.array(
+                np.array(["x", "y", "z"], dtype=object)[rng.integers(0, 3, 60)],
+                pa.string(),
+            ),
+            "v": pa.array(np.arange(60), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 4, 30), pa.int64()),
+            "b": pa.array(
+                np.array(["x", "y", "z"], dtype=object)[rng.integers(0, 3, 30)],
+                pa.string(),
+            ),
+            "w": pa.array(np.arange(30) * 10, pa.int64()),
+        }
+    )
+    got = (
+        hash_join(_ds(left, 3), _ds(right, 2), on=["a", "b"], n_parts=8)
+        .to_pandas()
+        .sort_values(["a", "b", "v", "w"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.join(right, keys=["a", "b"], join_type="inner", use_threads=False)
+        .to_pandas()
+        .sort_values(["a", "b", "v", "w"])
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].equals(exp[sorted(exp.columns)])
