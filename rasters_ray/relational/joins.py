@@ -175,8 +175,8 @@ def broadcast_join(
         rt = ray.get(ref)  # plasma-shared per node; fetched once per worker
         return t.join(
             rt,
-            keys=[on],
-            right_keys=[right_on],
+            keys=[on] if isinstance(on, str) else list(on),
+            right_keys=[right_on] if isinstance(right_on, str) else list(right_on),
             join_type=how,
             right_suffix=right_suffix,
             use_threads=False,

@@ -118,3 +118,37 @@ def test_hash_split_bad_ratio_guard():
 
     with pytest.raises(ValueError):
         hash_split(None, train_pct=95, val_pct=10)
+
+
+def test_focal_halo_large_raster(ray_session):
+    """The scale path at non-toy size: one 1200x900 raster, 256-px tiles
+    with halos — the tile lattice is genuinely multi-row/column and the
+    interior equals the single-task integral-image result exactly."""
+    import pyarrow as pa
+
+    from rasters_ray.codec import encode
+    from rasters_ray.grids.gridspec import GridSpec  # noqa: F401  (schema parity)
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 251, (1200, 900)).astype(np.float32)
+    img = pa.table(
+        {
+            "image_id": pa.array(["big0"], pa.string()),
+            "bytes": pa.array([encode(px, "npy")], pa.binary()),
+            "fmt": pa.array(["npy"], pa.string()),
+        }
+    )
+    whole = (
+        focal_stats(_ds(img, 1), radius=3, step=97)
+        .to_pandas()
+        .sort_values(["r", "c"])
+        .reset_index(drop=True)
+    )
+    tiled = (
+        focal_halo_tiled(_ds(img, 1), radius=3, step=97, tile=256)
+        .to_pandas()
+        .sort_values(["r", "c"])
+        .reset_index(drop=True)
+    )
+    assert len(whole) == len(tiled) == 13 * 10  # ceil(1200/97) x ceil(900/97)
+    assert whole.equals(tiled)
