@@ -1902,6 +1902,39 @@ def q_cluster_assign(sf_dir: str):
     )
 
 
+def q_normalize(sf_dir: str):
+    """Text normalization for dedup hygiene: lowercase, squeeze
+    whitespace, trim — all vectorized Arrow C++ kernels
+    (utf8_lower / replace_substring_regex / utf8_trim_whitespace) —
+    then the md5 content key OF THE NORMALIZED text (the key exact
+    dedup should group on).  The md5 loop is per-row Python (no
+    vectorized md5 exists); it hashes short normalized strings, not
+    payloads."""
+    import pyarrow.compute as pc
+
+    from rasters_ray.text import content_key_md5
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t.column("text"))
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        keys = pa.array(
+            [content_key_md5(x if x is not None else "") for x in s.to_pylist()],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "norm_len": pc.utf8_length(s).cast(pa.int64()),
+                "norm_key": keys,
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — distinct pairs reduced
     per batch BEFORE the shuffle, hash-partitioned by user so local
@@ -2016,6 +2049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": q_events_rollup,
         "props_stats": q_props_stats,
         "augment": q_augment,
+        "normalize": q_normalize,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "cluster_assign": q_cluster_assign,
@@ -2914,6 +2948,14 @@ SELECT printf('img%08d', d) AS image_id,
          AS value
 FROM imgs, range(0, 100, 7) r, range(0, 100, 7) c
 """.format(imgs=_IMGS_CTE.format(n=N_IMG_FOCAL).strip())
+
+    sql["normalize"] = """
+SELECT doc_id,
+       CAST(LENGTH(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            AS BIGINT) AS norm_len,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_key
+FROM documents
+"""
 
     sql["distinct_users"] = """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
