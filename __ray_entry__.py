@@ -1935,6 +1935,98 @@ def q_normalize(sf_dir: str):
     )
 
 
+def q_curation(sf_dir: str):
+    """The capstone curation pipeline, end-to-end and oracle-checked:
+    normalize -> exact-dedup on the normalized content key (keep the
+    smallest doc_id) -> quality filter (>= 0.65, between attainable band
+    scores so no float boundary) -> deterministic hash split -> per-split
+    doc count + normalized-length sum.  One map stage computes
+    normalize+quality+split per batch, ONE shuffle dedups by content
+    key, and the per-split reduce is combiner-first — the whole corpus
+    crosses the wire once, as keys and partials."""
+    import pyarrow.compute as pc
+
+    from rasters_ray.text import content_key_md5, hash_bucket, quality_score
+    from rasters_ray.util import hash_parts
+
+    N_PARTS = 32
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t.column("text"))
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        keys = pa.array(
+            [content_key_md5(x or "") for x in s.to_pylist()], pa.string()
+        )
+        q = quality_score(t).column("quality")
+        ids = t.column("doc_id").to_numpy()
+        buckets = np.fromiter(
+            (hash_bucket(int(i)) for i in ids), dtype=np.int64, count=len(ids)
+        )
+        split = np.where(
+            buckets < 80, "train", np.where(buckets < 90, "val", "test")
+        )
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "norm_key": keys,
+                "norm_len": pc.utf8_length(s).cast(pa.int64()),
+                "quality": q,
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+        return out.append_column(
+            "_part", pa.array(hash_parts(out.column("norm_key"), N_PARTS), pa.int64())
+        )
+
+    def dedup_part(group: pa.Table) -> pa.Table:
+        # every copy of a key is in this partition: keep min doc_id per key
+        keys = np.asarray(group.column("norm_key").to_pylist(), dtype=object)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        ks = keys[order]
+        first = order[np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])]
+        kept = group.take(pa.array(np.sort(first), pa.int64()))
+        # quality gate + per-split partial (combiner before the reduce)
+        qv = kept.column("quality").to_numpy(zero_copy_only=False)
+        kept = kept.filter(pa.array(qv >= 0.65))
+        sp = np.asarray(kept.column("split").to_pylist(), dtype=object)
+        ln = kept.column("norm_len").to_numpy(zero_copy_only=False)
+        usp, sinv = np.unique(sp, return_inverse=True)
+        n = np.bincount(sinv, minlength=len(usp)).astype(np.int64)
+        sums = np.zeros(len(usp), np.int64)
+        np.add.at(sums, sinv, ln)
+        return pa.table(
+            {
+                "split": pa.array(usp, pa.string()),
+                "n_docs": pa.array(n, pa.int64()),
+                "sum_len": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": group.column("split").slice(0, 1),
+                "n_docs": pa.array(
+                    [int(group.column("n_docs").to_numpy().sum())], pa.int64()
+                ),
+                "sum_len": pa.array(
+                    [int(group.column("sum_len").to_numpy().sum())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dedup_part, batch_format="pyarrow")
+        .groupby("split")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — distinct pairs reduced
     per batch BEFORE the shuffle, hash-partitioned by user so local
@@ -2050,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_stats": q_props_stats,
         "augment": q_augment,
         "normalize": q_normalize,
+        "curation": q_curation,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "cluster_assign": q_cluster_assign,
@@ -2956,6 +3049,58 @@ SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_key
 FROM documents
 """
+
+    sql["curation"] = r"""
+WITH nt AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n_text
+  FROM documents
+),
+d AS (
+  SELECT doc_id, text, CAST(LENGTH(n_text) AS BIGINT) AS norm_len,
+         row_number() OVER (PARTITION BY md5(n_text) ORDER BY doc_id) AS rn
+  FROM nt
+),
+kept AS (SELECT doc_id, text, norm_len FROM d WHERE rn = 1),
+st AS (
+  SELECT doc_id, norm_len,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+              w -> list_contains(['the','and','of','a','to','in','is','it','that','for'],
+                                 lower(w)))) AS BIGINT) AS n_stop
+  FROM kept
+),
+r AS (
+  SELECT doc_id, norm_len, n_tok,
+         CASE WHEN n_tok > 0
+              THEN CAST(n_chars - greatest(n_tok - 1, 0) AS DOUBLE)
+                     / CAST(greatest(n_tok, 1) AS DOUBLE)
+              ELSE 0.0e0 END AS mean_len,
+         CASE WHEN n_tok > 0
+              THEN CAST(n_stop AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE)
+              ELSE 0.0e0 END AS stop_ratio
+  FROM st
+),
+q AS (
+  SELECT doc_id, norm_len,
+         0.4e0 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0e0 ELSE 0.0e0 END)
+       + 0.3e0 * (CASE WHEN mean_len >= 2.0e0 AND mean_len <= 12.0e0 THEN 1.0e0 ELSE 0.0e0 END)
+       + 0.3e0 * (CASE WHEN stop_ratio >= 0.01e0 THEN 1.0e0 ELSE 0.0e0 END) AS quality
+  FROM r
+),
+f AS (SELECT doc_id, norm_len FROM q WHERE quality >= 0.65e0),
+sp AS (
+  SELECT norm_len,
+         CASE WHEN {bucket} < 80 THEN 'train'
+              WHEN {bucket} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(norm_len) AS BIGINT) AS sum_len
+FROM sp GROUP BY split
+""".replace("{bucket}", _bucket)
 
     sql["distinct_users"] = """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
