@@ -1464,6 +1464,17 @@ def q_focal_halo(sf_dir: str):
     return focal_halo_tiled(_images_ds(sf_dir, N_IMG_FOCAL), radius=1, step=5, tile=32)
 
 
+def q_pyramid(sf_dir: str):
+    """COG-style overview pyramid stats: levels 1-3 reduce 2^l x 2^l
+    blocks of the base image to (n_px, integer-exact psum, mean) —
+    embarrassingly parallel, no shuffle, ragged edge blocks partial.
+    The oracle recomputes every block from the pixel formula with a
+    GROUP BY r // 2^level."""
+    from rasters_ray.stages import overview_stats
+
+    return overview_stats(_images_ds(sf_dir, N_IMG_FOCAL), levels=(1, 2, 3))
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic train/val/test split by md5 bucket of doc_id —
     stable under repartitioning/appends/reruns; no shuffle, no state."""
@@ -2130,6 +2141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pixel_histogram": q_pixel_histogram,
         "image_moments": q_image_moments,
         "focal_halo": q_focal_halo,
+        "pyramid": q_pyramid,
         "hash_split": q_hash_split,
         "events_sliding": q_events_sliding,
         "distinct_users": q_distinct_users,
@@ -2933,6 +2945,27 @@ SELECT printf('img%08d', d) AS image_id, r, c,
 FROM nbr
 WHERE nr BETWEEN 0 AND 99 AND nc BETWEEN 0 AND 99
 GROUP BY d, r, c
+"""
+
+    # overview pyramid: block stats per level from the pixel formula;
+    # mean mirrors the engine's int64 psum -> float64 divide exactly
+    sql["pyramid"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_FOCAL).strip()},
+px AS (
+  SELECT d, r.range AS r, c.range AS c,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS v
+  FROM imgs, range(100) r, range(100) c
+),
+lv AS (SELECT unnest([1, 2, 3]) AS level)
+SELECT printf('img%08d', d) AS image_id,
+       CAST(level AS BIGINT) AS level,
+       r // (1 << level) AS by,
+       c // (1 << level) AS bx,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS psum,
+       CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS mean
+FROM px, lv
+GROUP BY d, level, by, bx
 """
 
     # md5 bucket: integer value of the first 8 hex digits of

@@ -20,6 +20,7 @@ from .focal import (
     image_moments,
     pixel_histogram,
 )
+from .pyramid import block_reduce_sums, overview_images, overview_stats
 from .zonal import ZONES_SCHEMA, ZonalStage, zonal_stats
 from .elementwise import (
     apply_fn,
@@ -81,6 +82,9 @@ __all__ = [
     "assign_cells",
     "sample_points",
     "sample_points_batch",
+    "block_reduce_sums",
+    "overview_images",
+    "overview_stats",
     "box_filter_sum",
     "focal_halo_tiled",
     "focal_stats",
