@@ -1464,6 +1464,17 @@ def q_focal_halo(sf_dir: str):
     return focal_halo_tiled(_images_ds(sf_dir, N_IMG_FOCAL), radius=1, step=5, tile=32)
 
 
+def q_terrain(sf_dir: str):
+    """Horn (1981) slope gradient, computed the DISTRIBUTED way (radius-1
+    halo strips exchanged across the 32px tile lattice in one groupby
+    shuffle, each tile derives its interior independently).  Integer
+    numerators are exact; grad uses a fixed int64->float64 divide /
+    square / add / sqrt order the oracle mirrors literally."""
+    from rasters_ray.stages import terrain_halo_tiled
+
+    return terrain_halo_tiled(_images_ds(sf_dir, N_IMG_FOCAL), step=5, tile=32)
+
+
 def q_pyramid(sf_dir: str):
     """COG-style overview pyramid stats: levels 1-3 reduce 2^l x 2^l
     blocks of the base image to (n_px, integer-exact psum, mean) —
@@ -2142,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_moments": q_image_moments,
         "focal_halo": q_focal_halo,
         "pyramid": q_pyramid,
+        "terrain": q_terrain,
         "hash_split": q_hash_split,
         "events_sliding": q_events_sliding,
         "distinct_users": q_distinct_users,
@@ -2945,6 +2957,39 @@ SELECT printf('img%08d', d) AS image_id, r, c,
 FROM nbr
 WHERE nr BETWEEN 0 AND 99 AND nc BETWEEN 0 AND 99
 GROUP BY d, r, c
+"""
+
+    # Horn gradient at sampled interior centers from the pixel formula;
+    # numerators integral, grad mirrors the engine's float op order
+    _V = lambda dr, dc: (  # noqa: E731
+        f"((d * 31 + (r + ({dr})) * 7 + (c + ({dc})) * 13) % 251)"
+    )
+    _gxn = (
+        f"({_V(-1, 1)} + 2 * {_V(0, 1)} + {_V(1, 1)})"
+        f" - ({_V(-1, -1)} + 2 * {_V(0, -1)} + {_V(1, -1)})"
+    )
+    _gyn = (
+        f"({_V(1, -1)} + 2 * {_V(1, 0)} + {_V(1, 1)})"
+        f" - ({_V(-1, -1)} + 2 * {_V(-1, 0)} + {_V(-1, 1)})"
+    )
+    sql["terrain"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_FOCAL).strip()},
+g AS (
+  SELECT d, r.range AS r, c.range AS c
+  FROM imgs, range(0, 100, 5) r, range(0, 100, 5) c
+  WHERE r.range BETWEEN 1 AND 98 AND c.range BETWEEN 1 AND 98
+),
+num AS (
+  SELECT d, r, c,
+         CAST({_gxn} AS BIGINT) AS gx_num,
+         CAST({_gyn} AS BIGINT) AS gy_num
+  FROM g
+)
+SELECT printf('img%08d', d) AS image_id, r, c, gx_num, gy_num,
+       sqrt((CAST(gx_num AS DOUBLE) / (8 * 0.01e0)) * (CAST(gx_num AS DOUBLE) / (8 * 0.01e0))
+          + (CAST(gy_num AS DOUBLE) / (8 * 0.01e0)) * (CAST(gy_num AS DOUBLE) / (8 * 0.01e0)))
+         AS grad
+FROM num
 """
 
     # overview pyramid: block stats per level from the pixel formula;

@@ -21,6 +21,7 @@ from .focal import (
     pixel_histogram,
 )
 from .pyramid import block_reduce_sums, overview_images, overview_stats
+from .terrain import horn_numerators, terrain_gradient, terrain_halo_tiled
 from .zonal import ZONES_SCHEMA, ZonalStage, zonal_stats
 from .elementwise import (
     apply_fn,
@@ -87,6 +88,10 @@ __all__ = [
     "overview_stats",
     "box_filter_sum",
     "focal_halo_tiled",
+    "halo_exchange_tiled",
+    "horn_numerators",
+    "terrain_gradient",
+    "terrain_halo_tiled",
     "focal_stats",
     "image_moments",
     "pixel_histogram",

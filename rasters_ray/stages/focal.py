@@ -45,6 +45,7 @@ __all__ = [
     "image_moments",
     "focal_stats",
     "focal_halo_tiled",
+    "halo_exchange_tiled",
 ]
 
 
@@ -263,16 +264,15 @@ def focal_stats(images_ds, radius: int = 1, step: int = 1):
 # ---------------------------------------------------------------------------
 
 
-def focal_halo_tiled(images_ds, radius: int = 1, step: int = 1, tile: int = 32):
-    """Same result as :func:`focal_stats`, computed the way a
-    planet-sized mosaic would have to: split every raster into
+def halo_exchange_tiled(images_ds, radius: int, tile: int, tile_fn):
+    """Generic stencil halo exchange: split every raster into
     ``tile``x``tile`` pieces, ship each piece's ``radius``-wide edge
     strips to the 8 neighboring tiles (ONE groupby shuffle, payload
-    O(perimeter) per tile), then compute each tile's interior focal sum
-    independently from (core + received halos).
-
-    A pytest asserts bit-equality with the single-task path; the
-    contract query runs THIS path so the oracle validates the exchange.
+    O(perimeter) per tile), then run ``tile_fn(image_id, canvas, tr0,
+    tc0, trows, tcols) -> pa.Table`` on each tile's NaN-padded canvas
+    (shape ``(trows+2R, tcols+2R)``; absent outside-image neighbors stay
+    NaN).  Any radius-``R`` stencil (focal sums, Horn gradients,
+    morphology) plugs in as ``tile_fn``; the exchange is shared.
     """
     R = int(radius)
     if R >= tile:
@@ -365,11 +365,31 @@ def focal_halo_tiled(images_ds, radius: int = 1, step: int = 1, tile: int = 32):
             pr = int(gr0[i]) - tr0 + R
             pc = int(gc0[i]) - tc0 + R
             canvas[pr : pr + piece.shape[0], pc : pc + piece.shape[1]] = piece
+        image_id = group.column("image_id")[0].as_py()
+        return tile_fn(image_id, canvas, tr0, tc0, trows, tcols)
+
+    return (
+        images_ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["image_id", "ty", "tx"])
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
+def focal_halo_tiled(images_ds, radius: int = 1, step: int = 1, tile: int = 32):
+    """Same result as :func:`focal_stats`, computed the way a
+    planet-sized mosaic would have to — a :func:`halo_exchange_tiled`
+    stencil whose per-tile kernel is the edge-clamped focal sum.
+
+    A pytest asserts bit-equality with the single-task path; the
+    contract query runs THIS path so the oracle validates the exchange.
+    """
+    R = int(radius)
+
+    def tile_fn(image_id, canvas, tr0, tc0, trows, tcols) -> pa.Table:
         fsum, nnbr = box_filter_sum(canvas, R)
         # interior = the core region; its windows never touch canvas edges
         fs = fsum[R : R + trows, R : R + tcols]
         nn = nnbr[R : R + trows, R : R + tcols]
-        image_id = group.column("image_id")[0].as_py()
         rows = _focal_rows(image_id, fs, nn, step, r_off=tr0, c_off=tc0)
         if rows is None:
             return pa.table(
@@ -388,11 +408,7 @@ def focal_halo_tiled(images_ds, radius: int = 1, step: int = 1, tile: int = 32):
             }
         )
 
-    return (
-        images_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["image_id", "ty", "tx"])
-        .map_groups(assemble, batch_format="pyarrow")
-    )
+    return halo_exchange_tiled(images_ds, radius=R, tile=tile, tile_fn=tile_fn)
 
 
 def _emit(out: dict, image_id, ty, tx, r0, c0, piece: np.ndarray, kind: str) -> None:

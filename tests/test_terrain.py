@@ -1,0 +1,84 @@
+"""Horn gradient: brute force per pixel, edge/NaN exclusion, and the
+halo-tiled path asserted BIT-EQUAL to the whole-image path."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rasters_ray import codec
+from rasters_ray.sources.images import make_oracle_images
+from rasters_ray.stages.terrain import (
+    horn_numerators,
+    terrain_gradient,
+    terrain_halo_tiled,
+)
+
+
+def _ds(table: pa.Table, blocks: int = 3):
+    import ray.data as rd
+
+    return rd.from_arrow(table).repartition(blocks)
+
+
+def test_horn_numerators_brute_force():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 251, (9, 12)).astype(np.float64)
+    pad = np.full((11, 14), np.nan)
+    pad[1:-1, 1:-1] = a
+    gx, gy, valid = horn_numerators(pad)
+    assert gx.shape == (9, 12)
+    # interior rows/cols valid, border invalid
+    assert valid[1:-1, 1:-1].all()
+    assert not valid[0].any() and not valid[:, -1].any()
+    for i, j in [(1, 1), (4, 7), (7, 10)]:
+        w = a[i - 1 : i + 2, j - 1 : j + 2]
+        want_gx = (w[0, 2] + 2 * w[1, 2] + w[2, 2]) - (w[0, 0] + 2 * w[1, 0] + w[2, 0])
+        want_gy = (w[2, 0] + 2 * w[2, 1] + w[2, 2]) - (w[0, 0] + 2 * w[0, 1] + w[0, 2])
+        assert gx[i, j] == want_gx
+        assert gy[i, j] == want_gy
+
+
+def test_horn_nan_neighbor_invalidates():
+    a = np.arange(25, dtype=np.float64).reshape(5, 5)
+    a[2, 2] = np.nan
+    pad = np.full((7, 7), np.nan)
+    pad[1:-1, 1:-1] = a
+    _, _, valid = horn_numerators(pad)
+    # every window touching the NaN center is invalid
+    assert not valid[1:4, 1:4].any()
+
+
+def test_terrain_halo_equals_whole(ray_session):
+    imgs = make_oracle_images(np.arange(5, dtype=np.int64))
+    whole = (
+        terrain_gradient(_ds(imgs, 2), step=3)
+        .to_pandas()
+        .sort_values(["image_id", "r", "c"])
+        .reset_index(drop=True)
+    )
+    tiled = (
+        terrain_halo_tiled(_ds(imgs, 2), step=3, tile=16)
+        .to_pandas()
+        .sort_values(["image_id", "r", "c"])
+        .reset_index(drop=True)
+    )
+    assert len(whole) == len(tiled) > 0
+    for col in ("image_id", "r", "c", "gx_num", "gy_num"):
+        assert (whole[col] == tiled[col]).all()
+    # grad must be BIT-equal (same float op order on both paths)
+    assert (
+        whole["grad"].to_numpy().tobytes() == tiled["grad"].to_numpy().tobytes()
+    )
+
+
+def test_terrain_gradient_interior_only(ray_session):
+    imgs = make_oracle_images(np.arange(1, dtype=np.int64))
+    df = terrain_gradient(_ds(imgs, 1), step=1).to_pandas()
+    assert len(df) == 98 * 98
+    assert df.r.min() == 1 and df.r.max() == 98
+    assert df.c.min() == 1 and df.c.max() == 98
+
+
+def test_horn_shape_validation():
+    with pytest.raises(ValueError):
+        horn_numerators(np.zeros((2, 5)))
