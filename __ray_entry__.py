@@ -1464,6 +1464,31 @@ def q_focal_halo(sf_dir: str):
     return focal_halo_tiled(_images_ds(sf_dir, N_IMG_FOCAL), radius=1, step=5, tile=32)
 
 
+def q_bloom_semi(sf_dir: str):
+    """EXACT semi-join with a broadcast Bloom prefilter: urgent-order
+    keys build a 2^17-bit filter (distributed partial bitmaps,
+    OR-reduced to ONE 16 KiB broadcast value), lineitem rows that are
+    definite misses drop BEFORE the shuffle, survivors go through the
+    exact distributed left-semi hash join — the fact-vs-selective-
+    dimension shape at 100 TB."""
+    import pyarrow.compute as pc
+
+    from rasters_ray.relational import bloom_semi_join
+
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    left = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    return bloom_semi_join(
+        left, "l_orderkey", urgent, "o_orderkey", m_bits=1 << 17, k=4
+    )
+
+
 def q_terrain(sf_dir: str):
     """Horn (1981) slope gradient, computed the DISTRIBUTED way (radius-1
     halo strips exchanged across the 32px tile lattice in one groupby
@@ -2154,6 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_halo": q_focal_halo,
         "pyramid": q_pyramid,
         "terrain": q_terrain,
+        "bloom_semi": q_bloom_semi,
         "hash_split": q_hash_split,
         "events_sliding": q_events_sliding,
         "distinct_users": q_distinct_users,
@@ -2957,6 +2983,16 @@ SELECT printf('img%08d', d) AS image_id, r, c,
 FROM nbr
 WHERE nr BETWEEN 0 AND 99 AND nc BETWEEN 0 AND 99
 GROUP BY d, r, c
+"""
+
+    # bloom prefilter + exact semi join == plain EXISTS semi join
+    sql["bloom_semi"] = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT'
+)
 """
 
     # Horn gradient at sampled interior centers from the pixel formula;

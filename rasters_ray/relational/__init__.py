@@ -8,6 +8,7 @@ partition the key, ONE union + groupby all-to-all, and a fully vectorized
 per-row or per-group Python walk at data-scaled cardinality.
 """
 
+from .bloom import BloomFilter, bloom_filter_ds, bloom_semi_join, build_bloom
 from .joins import asof_join, broadcast_join, hash_join, interval_join
 from .aggregates import (
     exact_quantiles,
@@ -20,6 +21,10 @@ from .aggregates import (
 from .distinct import approx_distinct, distinct_count, hll_count, hll_register_table
 
 __all__ = [
+    "BloomFilter",
+    "bloom_filter_ds",
+    "bloom_semi_join",
+    "build_bloom",
     "asof_join",
     "broadcast_join",
     "hash_join",
