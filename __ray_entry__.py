@@ -1464,6 +1464,63 @@ def q_focal_halo(sf_dir: str):
     return focal_halo_tiled(_images_ds(sf_dir, N_IMG_FOCAL), radius=1, step=5, tile=32)
 
 
+def q_zorder_buckets(sf_dir: str):
+    """Z-order (Morton) locality layout: points -> level-12 cell indices
+    -> bit-interleaved curve key -> coarse key-range buckets with
+    count/min/max — the spatially-coherent range partitioning a
+    planet-scale table is clustered by.  Per-batch np.unique partials
+    keep the shuffle at bucket cardinality."""
+    from rasters_ray.grids import cellkey
+
+    def partial(t: pa.Table) -> pa.Table:
+        cid = cellkey.cell_ids(
+            KEY_LEVEL,
+            t.column("x").to_numpy(),
+            t.column("y").to_numpy(),
+        )
+        ix = cid & ((1 << 28) - 1)
+        iy = (cid >> 28) & ((1 << 28) - 1)
+        z = cellkey.morton_key(ix, iy, bits=KEY_LEVEL)
+        bucket = z >> 8
+        ub, inv = np.unique(bucket, return_inverse=True)
+        n = np.bincount(inv)
+        zmin = np.full(len(ub), np.iinfo(np.int64).max)
+        zmax = np.full(len(ub), np.iinfo(np.int64).min)
+        np.minimum.at(zmin, inv, z)
+        np.maximum.at(zmax, inv, z)
+        return pa.table(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "n_pts": pa.array(n.astype(np.int64), pa.int64()),
+                "zmin": pa.array(zmin, pa.int64()),
+                "zmax": pa.array(zmax, pa.int64()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": g.column("bucket").slice(0, 1),
+                "n_pts": pa.array(
+                    [int(g.column("n_pts").to_numpy().sum())], pa.int64()
+                ),
+                "zmin": pa.array(
+                    [int(g.column("zmin").to_numpy().min())], pa.int64()
+                ),
+                "zmax": pa.array(
+                    [int(g.column("zmax").to_numpy().max())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _points_ds(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def q_bloom_semi(sf_dir: str):
     """EXACT semi-join with a broadcast Bloom prefilter: urgent-order
     keys build a 2^17-bit filter (distributed partial bitmaps,
@@ -2180,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pyramid": q_pyramid,
         "terrain": q_terrain,
         "bloom_semi": q_bloom_semi,
+        "zorder_buckets": q_zorder_buckets,
         "hash_split": q_hash_split,
         "events_sliding": q_events_sliding,
         "distinct_users": q_distinct_users,
@@ -2983,6 +3041,24 @@ SELECT printf('img%08d', d) AS image_id, r, c,
 FROM nbr
 WHERE nr BETWEEN 0 AND 99 AND nc BETWEEN 0 AND 99
 GROUP BY d, r, c
+"""
+
+    # Morton key: SQL bit interleave term-by-term over the 12 index bits
+    _ix12 = "LEAST(GREATEST(CAST(floor((x + 180.0e0) / 360.0e0 * 4096) AS BIGINT), 0), 4095)"
+    _iy12 = "LEAST(GREATEST(CAST(floor((90.0e0 - y) / 180.0e0 * 4096) AS BIGINT), 0), 4095)"
+    _zterms = " + ".join(
+        f"(((ix >> {b}) & 1) << {2 * b}) + (((iy >> {b}) & 1) << {2 * b + 1})"
+        for b in range(12)
+    )
+    sql["zorder_buckets"] = f"""
+WITH {_PTS_CTE.strip()},
+idx AS (SELECT {_ix12} AS ix, {_iy12} AS iy FROM pts),
+z AS (SELECT CAST({_zterms} AS BIGINT) AS zkey FROM idx)
+SELECT zkey >> 8 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       MIN(zkey) AS zmin,
+       MAX(zkey) AS zmax
+FROM z GROUP BY 1
 """
 
     # bloom prefilter + exact semi join == plain EXISTS semi join

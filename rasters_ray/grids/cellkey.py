@@ -154,3 +154,52 @@ def cells_to_ranges(ids: np.ndarray) -> List[Tuple[int, int]]:
     starts = np.concatenate([[0], breaks + 1])
     ends = np.concatenate([breaks, [ids.size - 1]])
     return [(int(ids[s]), int(ids[e])) for s, e in zip(starts, ends)]
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) locality keys
+# ---------------------------------------------------------------------------
+
+_SPREAD_MASKS = (
+    (np.uint64(16), np.uint64(0x0000FFFF0000FFFF)),
+    (np.uint64(8), np.uint64(0x00FF00FF00FF00FF)),
+    (np.uint64(4), np.uint64(0x0F0F0F0F0F0F0F0F)),
+    (np.uint64(2), np.uint64(0x3333333333333333)),
+    (np.uint64(1), np.uint64(0x5555555555555555)),
+)
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Insert a zero between consecutive bits of each value (<= 32 bits)."""
+    v = v.astype(np.uint64)
+    for shift, mask in _SPREAD_MASKS:
+        v = (v | (v << shift)) & mask
+    return v
+
+
+def morton_key(ix, iy, bits: int = 28) -> np.ndarray:
+    """Vectorized Z-order key: interleave the low ``bits`` of (ix, iy)
+    with ix on the even bit positions — the space-filling-curve sort /
+    partition key (Morton 1966; the locality layout S2/geohash/Delta-
+    style table clustering all build on).  Two points close on the
+    curve are close on the grid, so range-partitioning the key gives
+    spatially coherent shards."""
+    if not 1 <= bits <= 28:
+        raise ValueError("bits must be in [1, 28]")
+    ix = np.asarray(ix, dtype=np.int64)
+    iy = np.asarray(iy, dtype=np.int64)
+    lim = np.int64(1) << bits
+    if (ix < 0).any() or (iy < 0).any() or (ix >= lim).any() or (iy >= lim).any():
+        raise ValueError(f"indices out of [0, 2^{bits})")
+    return (_spread_bits(ix.astype(np.uint64)) | (_spread_bits(iy.astype(np.uint64)) << np.uint64(1))).astype(np.int64)
+
+
+def morton_decode(zkey, bits: int = 28) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`morton_key`."""
+    z = np.asarray(zkey, dtype=np.int64).astype(np.uint64)
+    ix = np.zeros(z.shape, dtype=np.int64)
+    iy = np.zeros(z.shape, dtype=np.int64)
+    for b in range(int(bits)):
+        ix |= ((z >> np.uint64(2 * b)) & np.uint64(1)).astype(np.int64) << b
+        iy |= ((z >> np.uint64(2 * b + 1)) & np.uint64(1)).astype(np.int64) << b
+    return ix, iy

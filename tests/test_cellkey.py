@@ -65,3 +65,60 @@ def test_token_stable():
 def test_cells_to_ranges():
     ids = np.array([5, 6, 7, 10, 11, 20])
     assert cellkey.cells_to_ranges(ids) == [(5, 7), (10, 11), (20, 20)]
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) keys
+# ---------------------------------------------------------------------------
+
+
+def test_morton_roundtrip_and_bruteforce():
+    import numpy as np
+
+    from rasters_ray.grids.cellkey import morton_decode, morton_key
+
+    rng = np.random.default_rng(1)
+    ix = rng.integers(0, 1 << 14, 2000).astype(np.int64)
+    iy = rng.integers(0, 1 << 14, 2000).astype(np.int64)
+    z = morton_key(ix, iy, bits=14)
+    want = np.zeros_like(z)
+    for b in range(14):
+        want |= ((ix >> b) & 1) << (2 * b)
+        want |= ((iy >> b) & 1) << (2 * b + 1)
+    assert (z == want).all()
+    dx, dy = morton_decode(z, bits=14)
+    assert (dx == ix).all() and (dy == iy).all()
+
+
+def test_morton_validation():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.grids.cellkey import morton_key
+
+    with pytest.raises(ValueError):
+        morton_key(np.array([1 << 10]), np.array([0]), bits=10)
+    with pytest.raises(ValueError):
+        morton_key(np.array([-1]), np.array([0]), bits=10)
+
+
+def test_morton_locality_beats_row_major():
+    """Sorting a 2D sample by the curve key keeps consecutive rows
+    spatially closer than sorting by (ix) alone — the property range
+    partitioning relies on."""
+    import numpy as np
+
+    from rasters_ray.grids.cellkey import morton_key
+
+    rng = np.random.default_rng(2)
+    ix = rng.integers(0, 256, 5000).astype(np.int64)
+    iy = rng.integers(0, 256, 5000).astype(np.int64)
+
+    def mean_step(order):
+        return float(
+            np.abs(np.diff(ix[order])).mean() + np.abs(np.diff(iy[order])).mean()
+        )
+
+    z_order = np.argsort(morton_key(ix, iy, bits=8), kind="stable")
+    x_order = np.lexsort((iy, ix))
+    assert mean_step(z_order) < mean_step(x_order)
