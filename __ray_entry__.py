@@ -1464,6 +1464,34 @@ def q_focal_halo(sf_dir: str):
     return focal_halo_tiled(_images_ds(sf_dir, N_IMG_FOCAL), radius=1, step=5, tile=32)
 
 
+def q_components(sf_dir: str):
+    """Distributed connected components (CCF rounds: one hash-partitioned
+    groupby per round, vectorized per-partition min-pointing) over a
+    SQL-recomputable sparse graph derived from order keys, plus
+    component sizes — the cluster-canonicalization step near-dup pairs
+    feed at curation time.  The oracle recomputes components with a
+    recursive min-label-propagation CTE."""
+    from rasters_ray.relational import cluster_sizes, connected_components
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy()
+        k = k[k < 15000].astype(np.int64)
+        u = (k * 37) % 65536
+        v = (k * 101 + 7) % 65536
+        keep = u != v
+        return pa.table(
+            {
+                "u": pa.array(u[keep], pa.int64()),
+                "v": pa.array(v[keep], pa.int64()),
+            }
+        )
+
+    edges = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        mk_edges, batch_format="pyarrow"
+    )
+    return cluster_sizes(connected_components(edges))
+
+
 def q_zorder_buckets(sf_dir: str):
     """Z-order (Morton) locality layout: points -> level-12 cell indices
     -> bit-interleaved curve key -> coarse key-range buckets with
@@ -2238,6 +2266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain": q_terrain,
         "bloom_semi": q_bloom_semi,
         "zorder_buckets": q_zorder_buckets,
+        "components": q_components,
         "hash_split": q_hash_split,
         "events_sliding": q_events_sliding,
         "distinct_users": q_distinct_users,
@@ -3041,6 +3070,26 @@ SELECT printf('img%08d', d) AS image_id, r, c,
 FROM nbr
 WHERE nr BETWEEN 0 AND 99 AND nc BETWEEN 0 AND 99
 GROUP BY d, r, c
+"""
+
+    # connected components: recursive min-label propagation over the
+    # same synthetic sparse edge set (bidirectional reachability -> the
+    # component minimum); csize windows over the converged mapping
+    sql["components"] = """
+WITH RECURSIVE e0 AS (
+  SELECT (o_orderkey * 37) % 65536 AS u, (o_orderkey * 101 + 7) % 65536 AS v
+  FROM orders WHERE o_orderkey < 15000
+),
+e1 AS (SELECT u, v FROM e0 WHERE u <> v),
+edges AS (SELECT u, v FROM e1 UNION SELECT v AS u, u AS v FROM e1),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v
+),
+cc AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node)
+SELECT node, root, COUNT(*) OVER (PARTITION BY root) AS csize FROM cc
 """
 
     # Morton key: SQL bit interleave term-by-term over the 12 index bits

@@ -9,6 +9,7 @@ per-row or per-group Python walk at data-scaled cardinality.
 """
 
 from .bloom import BloomFilter, bloom_filter_ds, bloom_semi_join, build_bloom
+from .concomp import cluster_sizes, connected_components
 from .joins import asof_join, broadcast_join, hash_join, interval_join
 from .aggregates import (
     exact_quantiles,
@@ -22,6 +23,8 @@ from .distinct import approx_distinct, distinct_count, hll_count, hll_register_t
 
 __all__ = [
     "BloomFilter",
+    "cluster_sizes",
+    "connected_components",
     "bloom_filter_ds",
     "bloom_semi_join",
     "build_bloom",
