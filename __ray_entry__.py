@@ -1464,6 +1464,22 @@ def q_focal_halo(sf_dir: str):
     return focal_halo_tiled(_images_ds(sf_dir, N_IMG_FOCAL), radius=1, step=5, tile=32)
 
 
+def q_label_components(sf_dir: str):
+    """Distributed raster component labeling: every 32px tile labels its
+    core independently (vectorized run-min propagation over GLOBAL pixel
+    ids), 1-px halo strips tie tile seams into an equivalence graph
+    whose size is O(boundary), CCF rounds resolve it, and tile-partial
+    stats fold onto the global roots.  The >=220 mask of the formula
+    images yields 8 diagonal stripe components per image (~240 px each)
+    that cross many tile seams — the oracle recomputes them per pixel
+    with a recursive min-label CTE."""
+    from rasters_ray.stages import label_components
+
+    return label_components(
+        _images_ds(sf_dir, N_IMG_FOCAL), threshold=220.0, tile=32
+    )
+
+
 def q_components(sf_dir: str):
     """Distributed connected components (CCF rounds: one hash-partitioned
     groupby per round, vectorized per-partition min-pointing) over a
@@ -2267,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi": q_bloom_semi,
         "zorder_buckets": q_zorder_buckets,
         "components": q_components,
+        "label_components": q_label_components,
         "hash_split": q_hash_split,
         "events_sliding": q_events_sliding,
         "distinct_users": q_distinct_users,
@@ -3070,6 +3087,40 @@ SELECT printf('img%08d', d) AS image_id, r, c,
 FROM nbr
 WHERE nr BETWEEN 0 AND 99 AND nc BETWEEN 0 AND 99
 GROUP BY d, r, c
+"""
+
+    # raster component labeling: pixel-level recursive min-label CTE
+    # over the 4-adjacency of the >=220 mask; component anchor = the
+    # (row, col) of the minimum pixel id, exactly the engine's packing
+    sql["label_components"] = f"""
+WITH RECURSIVE {_IMGS_CTE.format(n=N_IMG_FOCAL).strip()},
+px AS (
+  SELECT d, r.range AS r, c.range AS c,
+         d * 4294967296 + r.range * 65536 + c.range AS node
+  FROM imgs, range(100) r, range(100) c
+  WHERE (d * 31 + r.range * 7 + c.range * 13) % 251 >= 220
+),
+e0 AS (
+  SELECT a.node AS u, b.node AS v
+  FROM px a JOIN px b
+    ON a.d = b.d
+   AND ((b.r = a.r AND b.c = a.c + 1) OR (b.r = a.r + 1 AND b.c = a.c))
+),
+edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+walk(node, lbl) AS (
+  SELECT node, node FROM px
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v
+),
+cc AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node)
+SELECT printf('img%08d', p.d) AS image_id,
+       (root // 65536) % 65536 AS comp_r,
+       root % 65536 AS comp_c,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       MIN(p.r) AS rmin, MAX(p.r) AS rmax,
+       MIN(p.c) AS cmin, MAX(p.c) AS cmax
+FROM px p JOIN cc ON cc.node = p.node
+GROUP BY p.d, root
 """
 
     # connected components: recursive min-label propagation over the

@@ -20,6 +20,7 @@ from .focal import (
     image_moments,
     pixel_histogram,
 )
+from .label import label_components, label_runs_min, local_label
 from .pyramid import block_reduce_sums, overview_images, overview_stats
 from .terrain import horn_numerators, terrain_gradient, terrain_halo_tiled
 from .zonal import ZONES_SCHEMA, ZonalStage, zonal_stats
@@ -90,6 +91,9 @@ __all__ = [
     "focal_halo_tiled",
     "halo_exchange_tiled",
     "horn_numerators",
+    "label_components",
+    "label_runs_min",
+    "local_label",
     "terrain_gradient",
     "terrain_halo_tiled",
     "focal_stats",
