@@ -1464,6 +1464,18 @@ def q_focal_halo(sf_dir: str):
     return focal_halo_tiled(_images_ds(sf_dir, N_IMG_FOCAL), radius=1, step=5, tile=32)
 
 
+def q_morphology(sf_dir: str):
+    """Binary dilate/erode of the >=200 mask on the distributed halo
+    path (radius 2, so strips are 2 px wide): n_masked / n_nbr per
+    sampled center plus both flags, edge-clamped.  The oracle counts
+    masked in-bounds neighbors from the pixel formula."""
+    from rasters_ray.stages import morphology_halo_tiled
+
+    return morphology_halo_tiled(
+        _images_ds(sf_dir, N_IMG_FOCAL), threshold=200.0, radius=2, step=5, tile=32
+    )
+
+
 def q_label_components(sf_dir: str):
     """Distributed raster component labeling: every 32px tile labels its
     core independently (vectorized run-min propagation over GLOBAL pixel
@@ -2284,6 +2296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_buckets": q_zorder_buckets,
         "components": q_components,
         "label_components": q_label_components,
+        "morphology": q_morphology,
         "hash_split": q_hash_split,
         "events_sliding": q_events_sliding,
         "distinct_users": q_distinct_users,
@@ -3087,6 +3100,33 @@ SELECT printf('img%08d', d) AS image_id, r, c,
 FROM nbr
 WHERE nr BETWEEN 0 AND 99 AND nc BETWEEN 0 AND 99
 GROUP BY d, r, c
+"""
+
+    # morphology: masked-neighbor counts over the (2R+1)^2 window with
+    # bounds filtering == the engine's edge clamp
+    sql["morphology"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_FOCAL).strip()},
+centers AS (
+  SELECT d, r.range AS r, c.range AS c
+  FROM imgs, range(0, 100, 5) r, range(0, 100, 5) c
+),
+nbr AS (
+  SELECT d, r, c, r + dr.range AS nr, c + dc.range AS nc
+  FROM centers, range(-2, 3) dr, range(-2, 3) dc
+),
+agg AS (
+  SELECT d, r, c,
+         CAST(SUM(CASE WHEN (d * 31 + nr * 7 + nc * 13) % 251 >= 200
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         CAST(COUNT(*) AS BIGINT) AS n_nbr
+  FROM nbr
+  WHERE nr BETWEEN 0 AND 99 AND nc BETWEEN 0 AND 99
+  GROUP BY d, r, c
+)
+SELECT printf('img%08d', d) AS image_id, r, c, n_masked, n_nbr,
+       CAST(CASE WHEN n_masked > 0 THEN 1 ELSE 0 END AS BIGINT) AS dilated,
+       CAST(CASE WHEN n_masked = n_nbr THEN 1 ELSE 0 END AS BIGINT) AS eroded
+FROM agg
 """
 
     # raster component labeling: pixel-level recursive min-label CTE

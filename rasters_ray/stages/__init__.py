@@ -21,6 +21,7 @@ from .focal import (
     pixel_histogram,
 )
 from .label import label_components, label_runs_min, local_label
+from .morphology import morphology_halo_tiled, morphology_stats
 from .pyramid import block_reduce_sums, overview_images, overview_stats
 from .terrain import horn_numerators, terrain_gradient, terrain_halo_tiled
 from .zonal import ZONES_SCHEMA, ZonalStage, zonal_stats
@@ -94,6 +95,8 @@ __all__ = [
     "label_components",
     "label_runs_min",
     "local_label",
+    "morphology_halo_tiled",
+    "morphology_stats",
     "terrain_gradient",
     "terrain_halo_tiled",
     "focal_stats",

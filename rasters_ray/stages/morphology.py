@@ -1,0 +1,111 @@
+"""Binary morphology (dilate / erode) over thresholded rasters.
+
+Cloud-mask growing, shoreline buffering, speckle removal — the standard
+raster cleanup ops (Serra's mathematical morphology; the square
+structuring element form).  With the mask encoded 1.0/0.0 and
+outside-image cells NaN, ONE pass of the engine's NaN-aware
+``box_filter_sum`` yields both operators at once:
+
+    n_masked = focal sum   (masked neighbors inside the image)
+    n_nbr    = valid count (in-bounds neighbors, edge-clamped)
+    dilated  = n_masked > 0
+    eroded   = n_masked == n_nbr       (all in-bounds neighbors masked)
+
+Distribution is the same radius-R halo exchange every stencil here
+uses; per-tile work is two integral images regardless of radius.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray import codec
+from rasters_ray.stages.focal import box_filter_sum, halo_exchange_tiled
+
+__all__ = ["morphology_stats", "morphology_halo_tiled"]
+
+_SCHEMA = {
+    "image_id": pa.string(),
+    "r": pa.int64(),
+    "c": pa.int64(),
+    "n_masked": pa.int64(),
+    "n_nbr": pa.int64(),
+    "dilated": pa.int64(),
+    "eroded": pa.int64(),
+}
+
+
+def _morph_rows(image_id, fsum, nnbr, step, r_off, c_off):
+    rows, cols = fsum.shape
+    rr = np.arange(rows)
+    cc = np.arange(cols)
+    rsel = rr[(rr + r_off) % step == 0]
+    csel = cc[(cc + c_off) % step == 0]
+    if not len(rsel) or not len(csel):
+        return None
+    gr, gc = np.meshgrid(rsel, csel, indexing="ij")
+    gr, gc = gr.ravel(), gc.ravel()
+    nm = fsum[gr, gc].astype(np.int64)
+    nn = nnbr[gr, gc].astype(np.int64)
+    return {
+        "image_id": np.repeat(np.array([image_id], dtype=object), len(gr)),
+        "r": gr + r_off,
+        "c": gc + c_off,
+        "n_masked": nm,
+        "n_nbr": nn,
+        "dilated": (nm > 0).astype(np.int64),
+        "eroded": (nm == nn).astype(np.int64),
+    }
+
+
+def _table(rows) -> pa.Table:
+    if rows is None:
+        return pa.table({k: pa.array([], t) for k, t in _SCHEMA.items()})
+    return pa.table({k: pa.array(v, _SCHEMA[k]) for k, v in rows.items()})
+
+
+def morphology_stats(images_ds, threshold: float, radius: int = 1, step: int = 1):
+    """Whole-image path (reference for tests): per sampled center, the
+    masked-neighbor count and the dilate/erode flags."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        parts = []
+        if t.num_rows:
+            blobs = codec.BlobReader(t.column("bytes"))
+            fmts = t.column("fmt").to_pylist()
+            ids = t.column("image_id").to_pylist()
+            for i in range(t.num_rows):
+                px = codec.decode(blobs[i], fmts[i]).astype(np.float64)
+                mask = np.where(np.isfinite(px), (px >= threshold) * 1.0, np.nan)
+                fsum, nnbr = box_filter_sum(mask, radius)
+                rows = _morph_rows(ids[i], fsum, nnbr, step, 0, 0)
+                if rows is not None:
+                    parts.append(rows)
+        if not parts:
+            return _table(None)
+        return pa.table(
+            {
+                k: pa.array(np.concatenate([p[k] for p in parts]), _SCHEMA[k])
+                for k in _SCHEMA
+            }
+        )
+
+    return images_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def morphology_halo_tiled(
+    images_ds, threshold: float, radius: int = 1, step: int = 1, tile: int = 32
+):
+    """Distributed form — radius-wide halo strips, one groupby shuffle,
+    per-tile integral images.  Bit-equal to :func:`morphology_stats`."""
+    R = int(radius)
+
+    def tile_fn(image_id, canvas, tr0, tc0, trows, tcols) -> pa.Table:
+        mask = np.where(np.isfinite(canvas), (canvas >= threshold) * 1.0, np.nan)
+        fsum, nnbr = box_filter_sum(mask, R)
+        fs = fsum[R : R + trows, R : R + tcols]
+        nn = nnbr[R : R + trows, R : R + tcols]
+        return _table(_morph_rows(image_id, fs, nn, step, tr0, tc0))
+
+    return halo_exchange_tiled(images_ds, radius=R, tile=tile, tile_fn=tile_fn)
