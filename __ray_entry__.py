@@ -2242,6 +2242,66 @@ def entry() -> Any:
     return join
 
 
+def q_token_pack(sf_dir: str):
+    """LLM sequence packing: global EXCLUSIVE token offset per document
+    (distributed two-level prefix scan, relational/prefix.py) -> the
+    fixed-length training-sample id its first token lands in
+    (seq_len=256).  One all-to-all on the contiguous range-bucket key;
+    the driver sees only per-bucket token totals.  Oracle: window SUM
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING."""
+    from rasters_ray.relational.prefix import prefix_sum_scan
+    from rasters_ray.text import token_stats
+
+    docs = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(token_stats, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+        )
+    )
+    packed = prefix_sum_scan(
+        docs, "doc_id", "n_tokens", out_col="token_offset", bucket_size=64
+    )
+
+    def seq(t: pa.Table) -> pa.Table:
+        off = t.column("token_offset").to_numpy(zero_copy_only=False)
+        return t.append_column("seq_id", pa.array(off // 256, pa.int64()))
+
+    return packed.map_batches(seq, batch_format="pyarrow")
+
+
+def q_forward_fill(sf_dir: str):
+    """Gap filling over the global event stream: carry the latest 'click'
+    value forward to every subsequent event (LOCF), -1.0 before the first
+    click.  Distributed two-level prefix scan over the event_id order —
+    per-bucket last observations to the driver, carry-in broadcast, one
+    bucket-key shuffle.  Oracle: LAST_VALUE(... IGNORE NULLS) window."""
+    from rasters_ray.relational.prefix import forward_fill_scan
+
+    def nullify(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        obs = np.where(et == "click", v, np.nan)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "obs": pa.array(obs, pa.float64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        nullify, batch_format="pyarrow"
+    )
+    filled = forward_fill_scan(
+        ds, "event_id", "obs", out_col="last_click_value",
+        fill_start=-1.0, bucket_size=1024,
+    )
+    return filled.map_batches(
+        lambda t: t.select(["event_id", "last_click_value"]),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2310,6 +2370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment": q_augment,
         "normalize": q_normalize,
         "curation": q_curation,
+        "token_pack": q_token_pack,
+        "forward_fill": q_forward_fill,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "cluster_assign": q_cluster_assign,
@@ -3449,6 +3511,33 @@ SELECT event_type,
        MAX(value) AS max_value
 FROM e, range(4) j
 GROUP BY event_type, (base - j.range) * 900
+"""
+
+    sql["token_pack"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+  FROM tok
+)
+SELECT doc_id, n_tokens, token_offset,
+       token_offset // 256 AS seq_id
+FROM o
+"""
+
+    sql["forward_fill"] = """
+SELECT event_id,
+       COALESCE(LAST_VALUE(CASE WHEN event_type = 'click' THEN value END
+                           IGNORE NULLS)
+                OVER (ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                -1.0e0) AS last_click_value
+FROM events
 """
 
     return sql
