@@ -2302,6 +2302,24 @@ def q_forward_fill(sf_dir: str):
     )
 
 
+def q_setjoin(sf_dir: str):
+    """EXACT set-similarity self-join (word-token Jaccard >= 0.8) via the
+    PPJoin prefix filter (text/setjoin.py) + the shared distributed
+    verify.  Restricted to docs 0..63 because the synthetic corpus's tiny
+    shared vocabulary makes most doc pairs similar (the oracle recomputes
+    ALL pairs; 64 docs keeps its all-pairs join tractable) — the engine
+    path itself is the full distributed pipeline."""
+    import pyarrow.compute as pc
+
+    from rasters_ray.text.setjoin import set_similarity_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), 64)),
+        batch_format="pyarrow",
+    )
+    return set_similarity_join(docs, threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2372,6 +2390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "token_pack": q_token_pack,
         "forward_fill": q_forward_fill,
+        "setjoin": q_setjoin,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "cluster_assign": q_cluster_assign,
@@ -3528,6 +3547,20 @@ o AS (
 SELECT doc_id, n_tokens, token_offset,
        token_offset // 256 AS seq_id
 FROM o
+"""
+
+    sql["setjoin"] = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 64),
+tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+        FROM d),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY doc_id),
+ix AS (SELECT ta.doc_id AS a, tb.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS i
+       FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.doc_id < tb.doc_id
+       GROUP BY 1, 2)
+SELECT ix.a, ix.b,
+       CAST(ix.i AS DOUBLE) / CAST(ca.c + cb.c - ix.i AS DOUBLE) AS jaccard
+FROM ix JOIN sz ca ON ca.doc_id = ix.a JOIN sz cb ON cb.doc_id = ix.b
+WHERE CAST(ix.i AS DOUBLE) / CAST(ca.c + cb.c - ix.i AS DOUBLE) >= 0.8e0
 """
 
     sql["forward_fill"] = """

@@ -300,6 +300,37 @@ def minhash_near_dups(
         .groupby("_part")  # one Ray group per PARTITION, not per bucket
         .map_groups(bucket_partition_pairs, batch_format="pyarrow")
     )
+    return exact_verify_pairs(
+        pairs,
+        docs_ds,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        set_fn=lambda s: char_shingles(s, shingle_k),
+    )
+
+
+def exact_verify_pairs(
+    pairs,
+    docs_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    set_fn=None,
+    n_join_parts: int = 32,
+):
+    """Distributed exact verification of a candidate-pair Dataset[(a, b)]
+    against the corpus: ONE union + groupby(hash(doc_id)) round that both
+    dedups duplicate candidate pairs and stamps each pair side with its
+    text (implicit, fully distributed semi-filter — every text crosses
+    the wire exactly once), then a regroup by hash(pair) computing exact
+    Jaccard over ``set_fn(text)`` with a per-partition set cache.  Shared
+    by the MinHash (char-shingle sets) and prefix-filter (word-token
+    sets) near-dup paths — they differ only in candidate generation.
+    Nothing touches the driver."""
+    if set_fn is None:
+        set_fn = char_shingles
     id_type = None
     for f in docs_ds.schema().base_schema:  # parquet schema: known lazily
         if f.name == id_col:
@@ -307,7 +338,6 @@ def minhash_near_dups(
     if id_type is None:
         id_type = pa.int64()
 
-    n_join_parts = 32
     union_cols = ["a", "b", "side", "__key", "__text", "_kp"]
 
     def explode_sides(t: pa.Table) -> pa.Table:
@@ -424,7 +454,7 @@ def minhash_near_dups(
             def sh(did, txt):
                 s = memo.get(did)
                 if s is None:
-                    s = char_shingles(txt or "", shingle_k)
+                    s = set_fn(txt or "")
                     memo[did] = s
                 return s
 
