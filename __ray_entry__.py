@@ -2320,6 +2320,33 @@ def q_setjoin(sf_dir: str):
     return set_similarity_join(docs, threshold=0.8)
 
 
+def q_range_partition(sf_dir: str):
+    """The sampled-sort primitive: 16 equal-height range buckets of
+    l_extendedprice from EXACT quantile cuts (histogram-narrowing
+    selection, no global sort), combiner-first per-bucket stats in
+    int64 floor-cents."""
+    from rasters_ray.relational.rangepart import range_partition_stats
+
+    return range_partition_stats(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice", 16
+    )
+
+
+def q_winsorize(sf_dir: str):
+    """Outlier-robust aggregation: clip event values at the global
+    exact [p05, p95], then per-type counts + clipped floor-cents sum —
+    two streaming passes over a pruned read."""
+    from rasters_ray.relational.rangepart import winsorized_stats
+
+    return winsorized_stats(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "value",
+        "event_type",
+        0.05,
+        0.95,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2391,6 +2418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pack": q_token_pack,
         "forward_fill": q_forward_fill,
         "setjoin": q_setjoin,
+        "range_partition": q_range_partition,
+        "winsorize": q_winsorize,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "cluster_assign": q_cluster_assign,
@@ -3561,6 +3590,33 @@ SELECT ix.a, ix.b,
        CAST(ix.i AS DOUBLE) / CAST(ca.c + cb.c - ix.i AS DOUBLE) AS jaccard
 FROM ix JOIN sz ca ON ca.doc_id = ix.a JOIN sz cb ON cb.doc_id = ix.b
 WHERE CAST(ix.i AS DOUBLE) / CAST(ca.c + cb.c - ix.i AS DOUBLE) >= 0.8e0
+"""
+
+    _cuts16 = ", ".join(f"{i / 16!r}e0" for i in range(1, 16))
+    sql["range_partition"] = f"""
+WITH bl AS (SELECT quantile_disc(l_extendedprice, [{_cuts16}]) AS cuts
+            FROM lineitem)
+SELECT CAST(len(list_filter(bl.cuts, c -> c < l.l_extendedprice)) AS BIGINT)
+           AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       MIN(l.l_extendedprice) AS vmin,
+       MAX(l.l_extendedprice) AS vmax
+FROM lineitem l, bl
+GROUP BY 1
+"""
+
+    sql["winsorize"] = """
+WITH b AS (SELECT quantile_disc(value, [0.05e0, 0.95e0]) AS c FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN value < b.c[1] THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(SUM(CASE WHEN value > b.c[2] THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       CAST(SUM(CAST(floor(least(greatest(value, b.c[1]), b.c[2]) * 100)
+                AS BIGINT)) AS BIGINT) AS sum_clipped_cents
+FROM events, b
+GROUP BY event_type
 """
 
     sql["forward_fill"] = """
