@@ -2347,6 +2347,22 @@ def q_winsorize(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling (systematic resampling): 32 picks
+    over orders weighted by o_totalprice — global cumulative weights via
+    the distributed prefix scan, all-integer so the draw is bit-equal to
+    the SQL oracle (ln-key schemes are not bit-portable)."""
+    from rasters_ray.relational.wsample import weighted_systematic_sample
+
+    return weighted_systematic_sample(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        "o_orderkey",
+        "o_totalprice",
+        k=32,
+        bucket_size=2048,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2420,6 +2436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setjoin": q_setjoin,
         "range_partition": q_range_partition,
         "winsorize": q_winsorize,
+        "weighted_sample": q_weighted_sample,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "cluster_assign": q_cluster_assign,
@@ -3617,6 +3634,24 @@ SELECT event_type,
                 AS BIGINT)) AS BIGINT) AS sum_clipped_cents
 FROM events, b
 GROUP BY event_type
+"""
+
+    sql["weighted_sample"] = """
+WITH w AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS wc
+  FROM orders
+),
+c AS (
+  SELECT o_orderkey, wc,
+         COALESCE(SUM(wc) OVER (ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
+  FROM w
+),
+tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS W FROM w),
+pts AS (SELECT ((2 * j.range + 1) * tot.W) // 64 AS p FROM range(32) j, tot)
+SELECT c.o_orderkey, c.wc AS w_cents, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM c JOIN pts ON pts.p >= c.c0 AND pts.p < c.c0 + c.wc
+GROUP BY 1, 2
 """
 
     sql["forward_fill"] = """
