@@ -2363,6 +2363,20 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_pca(sf_dir: str):
+    """Distributed PCA (one streaming scatter-matrix pass -> driver
+    eigensolve -> broadcast projection) over the embeddings table.
+    Rows-only: eigendecomposition is not SQL-expressible; correctness vs
+    single-machine numpy PCA (components, eigenvalues, reconstruction)
+    is pinned in tests/test_pca.py."""
+    from rasters_ray.ann.pca import pca_project
+
+    proj, _ = pca_project(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_components=4
+    )
+    return proj
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2439,6 +2453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
+        "pca": q_pca,
         "cluster_assign": q_cluster_assign,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
