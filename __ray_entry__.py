@@ -2377,6 +2377,33 @@ def q_pca(sf_dir: str):
     return proj
 
 
+def q_hillshade(sf_dir: str):
+    """Lambertian hillshade composed over the distributed halo-exchange
+    gradient field (hillshade is elementwise in the Horn numerators, so
+    it rides the same one-shuffle stencil; trig constants pre-folded to
+    literals for bit-portability — see stages/terrain.py)."""
+    from rasters_ray.stages import terrain_halo_tiled
+    from rasters_ray.stages.terrain import lambertian_shade
+
+    base = terrain_halo_tiled(_images_ds(sf_dir, N_IMG_FOCAL), step=5, tile=32)
+
+    def shade(t: pa.Table) -> pa.Table:
+        gx = t.column("gx_num").to_numpy(zero_copy_only=False)
+        gy = t.column("gy_num").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": t.column("image_id"),
+                "r": t.column("r"),
+                "c": t.column("c"),
+                "shade": pa.array(
+                    lambertian_shade(gx, gy, 0.01, 0.01), pa.float64()
+                ),
+            }
+        )
+
+    return base.map_batches(shade, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2451,6 +2478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition": q_range_partition,
         "winsorize": q_winsorize,
         "weighted_sample": q_weighted_sample,
+        "hillshade": q_hillshade,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3385,6 +3413,32 @@ SELECT printf('img%08d', d) AS image_id, r, c, gx_num, gy_num,
          AS grad
 FROM num
 """
+
+    sql["hillshade"] = f"""
+WITH {{imgs_cte}},
+g AS (
+  SELECT d, r.range AS r, c.range AS c
+  FROM imgs, range(0, 100, 5) r, range(0, 100, 5) c
+  WHERE r.range BETWEEN 1 AND 98 AND c.range BETWEEN 1 AND 98
+),
+num AS (
+  SELECT d, r, c,
+         CAST({_gxn} AS BIGINT) AS gx_num,
+         CAST({_gyn} AS BIGINT) AS gy_num
+  FROM g
+),
+pq AS (
+  SELECT d, r, c,
+         CAST(gx_num AS DOUBLE) / (8 * 0.01e0) AS p,
+         CAST(gy_num AS DOUBLE) / (8 * 0.01e0) AS q
+  FROM num
+)
+SELECT printf('img%08d', d) AS image_id, r, c,
+       255.0e0 * greatest(0.0e0,
+         (0.5e0 * p - 0.5e0 * q + 0.7071067811865476e0)
+         / sqrt(1.0e0 + p * p + q * q)) AS shade
+FROM pq
+""".replace("{imgs_cte}", _IMGS_CTE.format(n=N_IMG_FOCAL).strip())
 
     # overview pyramid: block stats per level from the pixel formula;
     # mean mirrors the engine's int64 psum -> float64 divide exactly

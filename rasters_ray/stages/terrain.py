@@ -38,7 +38,36 @@ import pyarrow as pa
 from rasters_ray import codec
 from rasters_ray.stages.focal import halo_exchange_tiled
 
-__all__ = ["horn_numerators", "terrain_gradient", "terrain_halo_tiled"]
+__all__ = [
+    "horn_numerators",
+    "terrain_gradient",
+    "terrain_halo_tiled",
+    "lambertian_shade",
+]
+
+# hillshade light: unit vector (-0.5, +0.5, sqrt(2)/2) in (col-east,
+# row-south, up) coordinates — elevation 45°, horizontal components
+# EXACT halves, vertical the correctly-rounded double for sqrt(2)/2.
+# Pre-folding the trig to these literals makes the whole formula
+# +,*,/,sqrt on shared constants: bit-portable to SQL (cos/sin/atan are
+# NOT correctly-rounded across libms, which is why no trig survives to
+# runtime).
+HS_COS_Z = 0.7071067811865476
+
+
+def lambertian_shade(gx_num: np.ndarray, gy_num: np.ndarray, cw: float, ch: float):
+    """Lambertian hillshade from Horn gradient numerators.
+
+    shade = max(0, n . l) with unit normal n = (-p, -q, 1)/|.| — the
+    algebraic form of Horn's cos(zen)cos(slope) + sin(zen)sin(slope)
+    cos(az - aspect) (no trig at runtime).  Returns 255 * shade as
+    float64, fixed op order: num = 0.5*p - 0.5*q + cos_z;
+    den = sqrt(1 + p*p + q*q)."""
+    p = gx_num.astype(np.float64) / (8 * cw)
+    q = gy_num.astype(np.float64) / (8 * ch)
+    num = 0.5 * p - 0.5 * q + HS_COS_Z
+    den = np.sqrt(1.0 + p * p + q * q)
+    return 255.0 * np.maximum(0.0, num / den)
 
 
 def horn_numerators(canvas: np.ndarray) -> tuple:
