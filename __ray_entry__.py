@@ -2404,6 +2404,64 @@ def q_hillshade(sf_dir: str):
     return base.map_batches(shade, batch_format="pyarrow")
 
 
+def q_funnel(sf_dir: str):
+    """Ordered funnel per user (view -> click -> purchase, strictly
+    increasing timestamps, each stage anchored at the FIRST qualifying
+    event): hash-partitioned groupby, per-partition fully vectorized
+    multi-user kernel (lexsort + minimum.reduceat cascade) — the same
+    no-per-user-Python-loop shape as events_sessions."""
+    N_PARTS = 32
+    INF = np.int64(1) << 62
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(u % N_PARTS, pa.int64()))
+
+    def funnel(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tcol = group.column("ts")
+        ts = tcol.cast(pa.int64()).to_numpy()
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        us, ss, es = u[order], ts[order], et[order]
+        new_user = np.r_[True, us[1:] != us[:-1]]
+        starts = np.flatnonzero(new_user)
+        runlen = np.diff(np.r_[starts, len(us)])
+
+        def first_after(kind, floor_row):
+            cand = np.where((es == kind) & (ss > floor_row), ss, INF)
+            first = np.minimum.reduceat(cand, starts)
+            return first, np.repeat(first, runlen)
+
+        fv, fv_row = first_after("view", np.full(len(ss), -INF))
+        fc, fc_row = first_after("click", fv_row)
+        fp, _ = first_after("purchase", fc_row)
+        depth = np.where(fp < INF, 3, np.where(fc < INF, 2, np.where(fv < INF, 1, 0)))
+        return pa.table(
+            {
+                "user_id": pa.array(us[starts], pa.int64()),
+                "depth": pa.array(depth.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(funnel, batch_format="pyarrow")
+    )
+
+
+def q_bigram_coverage(sf_dir: str):
+    """LM-coverage quality signal: per-doc occurrence counts against the
+    corpus's top-200 bigrams (combiner-first global counts, one shuffle,
+    per-partition top-k cut, broadcast top table) — the integer-exact
+    core of LM-based corpus filtering."""
+    from rasters_ray.text.analysis import bigram_coverage
+
+    return bigram_coverage(_read(sf_dir, "documents", ["doc_id", "text"]), k=200)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2479,6 +2537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": q_winsorize,
         "weighted_sample": q_weighted_sample,
         "hillshade": q_hillshade,
+        "funnel": q_funnel,
+        "bigram_coverage": q_bigram_coverage,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3703,6 +3763,42 @@ SELECT event_type,
                 AS BIGINT)) AS BIGINT) AS sum_clipped_cents
 FROM events, b
 GROUP BY event_type
+"""
+
+    sql["bigram_coverage"] = r"""
+WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+b AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || chr(32) || ws[i + 1])) AS bg
+      FROM l),
+cnt AS (SELECT bg, COUNT(*) AS n FROM b GROUP BY bg),
+top AS (SELECT bg FROM cnt ORDER BY n DESC, bg ASC LIMIT 200),
+kc AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS c
+       FROM b JOIN top ON top.bg = b.bg GROUP BY b.doc_id)
+SELECT l.doc_id,
+       CAST(greatest(len(l.ws) - 1, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(kc.c, 0) AS n_known
+FROM l LEFT JOIN kc ON kc.doc_id = l.doc_id
+"""
+
+    sql["funnel"] = """
+WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS depth
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
 """
 
     sql["weighted_sample"] = """

@@ -567,3 +567,93 @@ def exact_dedup_groups(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby("_part")
         .map_groups(reduce_part, batch_format="pyarrow")
     )
+
+
+def bigram_coverage(docs_ds, k: int = 200, id_col: str = "doc_id",
+                    text_col: str = "text", n_parts: int = 32):
+    """LM-coverage quality signal (the integer-exact core of CCNet-style
+    language-model filtering): how much of each document is made of the
+    corpus's k most common bigrams.
+
+    -> Dataset[(doc_id, n_bigrams, n_known)]; n_known counts bigram
+    OCCURRENCES that appear in the global top-k bigram table (ties broken
+    (count DESC, bigram ASC) so the cut is deterministic).
+
+    Shape: per-batch bigram combiner (np.unique counts) -> ONE
+    hash-partitioned reduce to global counts -> per-partition top-k cut
+    (each bigram lives wholly in one partition, so the global top-k is a
+    driver merge of <= n_parts * k candidate rows) -> broadcast sorted
+    top array -> per-doc membership by searchsorted.  All integers."""
+    import ray
+
+    from rasters_ray.util import hash_parts
+
+    def _doc_bigrams(txt: str) -> np.ndarray:
+        ws = _TOKEN_RE.findall(txt or "")
+        if len(ws) < 2:
+            return np.array([], dtype=object)
+        a = np.asarray(ws, dtype=object)
+        return a[:-1] + " " + a[1:]
+
+    def partial(t: pa.Table) -> pa.Table:
+        grams: list = []
+        for txt in t.column(text_col).to_pylist():
+            g = _doc_bigrams(txt)
+            if len(g):
+                grams.append(g)
+        if not grams:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_part": pa.array([], pa.int64())})
+        allg = np.concatenate(grams)
+        uniq, counts = np.unique(allg, return_counts=True)
+        bg_arr = pa.array(uniq, pa.string())
+        return pa.table({
+            "bg": bg_arr,
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+            "_part": pa.array(hash_parts(bg_arr, n_parts), pa.int64()),
+        })
+
+    def reduce_top(group: pa.Table) -> pa.Table:
+        bg = group.column("bg").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(bg, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, n)
+        order = np.lexsort((uniq, -sums))[:k]  # partition-local top-k
+        return pa.table({"bg": pa.array(uniq[order], pa.string()),
+                         "n": pa.array(sums[order], pa.int64())})
+
+    cand = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(reduce_top, batch_format="pyarrow")
+        .to_pandas()  # <= n_parts * k rows — driver-small
+    )
+    cand = cand.sort_values(["n", "bg"], ascending=[False, True], kind="mergesort")
+    top = np.sort(cand["bg"].to_numpy()[:k].astype(object))
+    top_ref = ray.put(top)
+
+    def coverage(t: pa.Table) -> pa.Table:
+        from rasters_ray.stages.point_join import _cached_get
+
+        tp = _cached_get(top_ref)
+        ids = t.column(id_col)
+        nb: list = []
+        nk: list = []
+        for txt in t.column(text_col).to_pylist():
+            g = _doc_bigrams(txt)
+            nb.append(len(g))
+            if len(g) and len(tp):
+                pos = np.searchsorted(tp, g)
+                pos = np.clip(pos, 0, len(tp) - 1)
+                nk.append(int(np.sum(tp[pos] == g)))
+            else:
+                nk.append(0)
+        return pa.table({
+            id_col: ids,
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "n_known": pa.array(nk, pa.int64()),
+        })
+
+    return docs_ds.map_batches(coverage, batch_format="pyarrow")
