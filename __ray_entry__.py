@@ -2462,6 +2462,17 @@ def q_bigram_coverage(sf_dir: str):
     return bigram_coverage(_read(sf_dir, "documents", ["doc_id", "text"]), k=200)
 
 
+def q_proximity(sf_dir: str):
+    """Capped L1 distance transform (gdal_proximity analog): one
+    radius-R halo exchange makes the capped transform EXACT per tile —
+    no relaxation rounds (stages/proximity.py)."""
+    from rasters_ray.stages.proximity import distance_transform_tiled
+
+    return distance_transform_tiled(
+        _images_ds(sf_dir, N_IMG_FOCAL), seed_mod=17, cap=12, tile=32, step=7
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2539,6 +2550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hillshade": q_hillshade,
         "funnel": q_funnel,
         "bigram_coverage": q_bigram_coverage,
+        "proximity": q_proximity,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3473,6 +3485,27 @@ SELECT printf('img%08d', d) AS image_id, r, c, gx_num, gy_num,
          AS grad
 FROM num
 """
+
+    sql["proximity"] = f"""
+WITH {{imgs_cte}},
+g AS (
+  SELECT d, r.range AS r, c.range AS c
+  FROM imgs, range(0, 100, 7) r, range(0, 100, 7) c
+),
+seeds AS (
+  SELECT d, r.range AS sr, c.range AS sc
+  FROM imgs, range(100) r, range(100) c
+  WHERE ((d * 31 + r.range * 7 + c.range * 13) % 251) % 17 = 0
+),
+m AS (
+  SELECT g.d, g.r, g.c, MIN(abs(g.r - s.sr) + abs(g.c - s.sc)) AS md
+  FROM g LEFT JOIN seeds s ON s.d = g.d
+  GROUP BY 1, 2, 3
+)
+SELECT printf('img%08d', d) AS image_id, r, c,
+       CAST(LEAST(COALESCE(md, 9223372036854775807), 13) AS BIGINT) AS dist
+FROM m
+""".replace("{imgs_cte}", _IMGS_CTE.format(n=N_IMG_FOCAL).strip())
 
     sql["hillshade"] = f"""
 WITH {{imgs_cte}},

@@ -1,0 +1,86 @@
+"""Capped distance transform (proximity raster) on the halo exchange.
+
+The ``gdal_proximity`` analog (the reference has no distance operator;
+its masks stop at membership, ``/root/reference/rasters/raster_grid.py:986``):
+for every pixel, the city-block (L1) distance to the nearest SEED pixel,
+capped at ``cap`` (pixels farther than ``cap`` from any seed report
+``cap + 1``).
+
+Key fact that makes ONE halo exchange sufficient: any seed within L1
+distance ``R`` of a pixel is also within Chebyshev distance ``R``, i.e.
+inside the tile's radius-``R`` canvas.  So a single
+:func:`focal.halo_exchange_tiled` round with ``radius = cap`` gives every
+tile all the seeds that can matter, and the capped transform is EXACT —
+no iterative relaxation, no convergence rounds (contrast
+``relational/concomp.py`` where label propagation genuinely needs
+rounds).  Per tile the lattice pixels brute-force against the canvas's
+seed list — vectorized (npix x nseeds) int math, both small.
+
+At 100 TB the knob that matters is ``cap``/``tile``: halo payload grows
+with cap * perimeter; caps beyond the tile size call for either larger
+tiles or the multi-round min-plus relaxation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray.stages.focal import halo_exchange_tiled
+
+__all__ = ["distance_transform_tiled"]
+
+_SCHEMA = {
+    "image_id": pa.string(),
+    "r": pa.int64(),
+    "c": pa.int64(),
+    "dist": pa.int64(),
+}
+
+
+def distance_transform_tiled(
+    images_ds,
+    seed_mod: int = 17,
+    cap: int = 12,
+    tile: int = 32,
+    step: int = 7,
+):
+    """Distance to the nearest pixel with ``value % seed_mod == 0``,
+    L1-capped at ``cap`` (-> ``cap + 1`` beyond), sampled on the global
+    ``step`` lattice.  -> Dataset[(image_id, r, c, dist)]."""
+    R = int(cap)
+
+    def tile_fn(image_id, canvas, tr0, tc0, trows, tcols) -> pa.Table:
+        a = np.asarray(canvas, dtype=np.float64)
+        finite = np.isfinite(a)
+        seeds = finite & (np.where(finite, a, 1.0) % seed_mod == 0)
+        sr, sc = np.nonzero(seeds)
+        # global lattice pixels inside this tile's core
+        rr = np.arange(trows)
+        cc = np.arange(tcols)
+        rsel = rr[(rr + tr0) % step == 0]
+        csel = cc[(cc + tc0) % step == 0]
+        if not len(rsel) or not len(csel):
+            return pa.table({k: pa.array([], t) for k, t in _SCHEMA.items()})
+        gr, gc = np.meshgrid(rsel, csel, indexing="ij")
+        gr, gc = gr.ravel(), gc.ravel()
+        if len(sr):
+            # canvas coords of the lattice pixels: +R offset into the pad
+            dr = np.abs((gr + R)[:, None] - sr[None, :])
+            dc = np.abs((gc + R)[:, None] - sc[None, :])
+            dist = np.minimum((dr + dc).min(axis=1), R + 1).astype(np.int64)
+        else:
+            dist = np.full(len(gr), R + 1, np.int64)
+        return pa.table(
+            {
+                "image_id": pa.array(
+                    np.repeat(np.array([image_id], dtype=object), len(gr)),
+                    pa.string(),
+                ),
+                "r": pa.array(gr + tr0, pa.int64()),
+                "c": pa.array(gc + tc0, pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+    return halo_exchange_tiled(images_ds, radius=R, tile=tile, tile_fn=tile_fn)

@@ -1,0 +1,58 @@
+"""Capped L1 distance transform: halo-tiled path vs whole-image brute force."""
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray import codec
+from rasters_ray.stages.proximity import distance_transform_tiled
+
+
+def _image_ds(px: np.ndarray):
+    import ray.data as rd
+
+    blob = codec.encode(px.astype(np.int32), "npy")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "image_id": ["t0"],
+                "bytes": pa.array([blob], pa.binary()),
+                "fmt": ["npy"],
+            }
+        )
+    )
+
+
+def _brute(px: np.ndarray, seed_mod: int, cap: int, step: int):
+    sr, sc = np.nonzero(px % seed_mod == 0)
+    out = {}
+    for r in range(0, px.shape[0], step):
+        for c in range(0, px.shape[1], step):
+            if len(sr):
+                d = int(np.min(np.abs(r - sr) + np.abs(c - sc)))
+            else:
+                d = cap + 1
+            out[(r, c)] = min(d, cap + 1)
+    return out
+
+
+def test_distance_transform_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 251, (90, 70))
+    got = (
+        distance_transform_tiled(
+            _image_ds(px), seed_mod=23, cap=9, tile=16, step=5
+        )
+        .to_pandas()
+    )
+    expect = _brute(px, 23, 9, 5)
+    assert len(got) == len(expect)
+    for row in got.itertuples():
+        assert expect[(row.r, row.c)] == row.dist
+
+
+def test_distance_transform_no_seeds_caps_everywhere(ray_session):
+    px = np.ones((40, 40), np.int64)  # 1 % 7 != 0 everywhere
+    got = distance_transform_tiled(
+        _image_ds(px), seed_mod=7, cap=5, tile=16, step=8
+    ).to_pandas()
+    assert (got["dist"] == 6).all()
