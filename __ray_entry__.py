@@ -2473,6 +2473,27 @@ def q_proximity(sf_dir: str):
     )
 
 
+def q_streaming_dedup(sf_dir: str):
+    """The shared-mutable-index path (raw actors, the one gated escape
+    hatch — state/dedupindex.py): stream md5 content keys through N
+    sharded index actors, query the final key -> min(doc_id) table.
+    min() makes the index arrival-order independent, so it must equal
+    the groupby answer bit-for-bit — which this oracle checks."""
+    from rasters_ray.state.dedupindex import build_first_seen_index
+    from rasters_ray.text import content_key_md5
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = [content_key_md5(x or "") for x in t.column("text").to_pylist()]
+        return pa.table(
+            {"key": pa.array(keys, pa.string()), "doc_id": t.column("doc_id")}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    return build_first_seen_index(ds, "key", "doc_id", n_shards=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2551,6 +2572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "bigram_coverage": q_bigram_coverage,
         "proximity": q_proximity,
+        "streaming_dedup": q_streaming_dedup,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3000,6 +3022,11 @@ GROUP BY b.poly_id
 
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+    sql["streaming_dedup"] = """
+SELECT md5(text) AS key, MIN(doc_id) AS first_id
 FROM documents GROUP BY md5(text)
 """
 

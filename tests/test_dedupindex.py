@@ -1,0 +1,49 @@
+"""Sharded mutable dedup index: determinism + mid-ingest queries."""
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray.state.dedupindex import _shard_cls, build_first_seen_index
+
+
+def _ds(keys, orders, n_blocks):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "oid": pa.array(np.asarray(orders, np.int64), pa.int64()),
+            }
+        )
+    ).random_shuffle(seed=5).repartition(n_blocks)
+
+
+def test_index_equals_groupby_min(ray_session):
+    rng = np.random.default_rng(7)
+    n = 3000
+    keys = [f"k{int(i):04d}" for i in rng.integers(0, 400, n)]
+    orders = rng.permutation(n)
+    got = build_first_seen_index(_ds(keys, orders, 9), "key", "oid", n_shards=5)
+    df = got.to_pandas().set_index("key")["first_id"]
+    import pandas as pd
+
+    expect = (
+        pd.DataFrame({"key": keys, "oid": orders}).groupby("key")["oid"].min()
+    )
+    assert len(df) == len(expect)
+    assert (df.sort_index() == expect.sort_index()).all()
+
+
+def test_shard_contains_mid_ingest(ray_session):
+    cls = _shard_cls()
+    import ray
+
+    shard = cls.remote()
+    ray.get(shard.observe.remote(["a", "b"], [3, 1]))
+    assert ray.get(shard.contains.remote(["a", "c"])) == [True, False]
+    # later smaller order wins
+    ray.get(shard.observe.remote(["a"], [0]))
+    tab = ray.get(shard.dump.remote()).to_pandas().set_index("key")
+    assert tab.loc["a", "first_id"] == 0
+    assert tab.loc["b", "first_id"] == 1
