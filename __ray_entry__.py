@@ -2494,6 +2494,48 @@ def q_streaming_dedup(sf_dir: str):
     return build_first_seen_index(ds, "key", "doc_id", n_shards=8)
 
 
+def q_chunk_spans(sf_dir: str):
+    """LLM context-window chunking: explode each document into
+    size-64/stride-48 token spans (16-token overlap) — a pure vectorized
+    flat_map (np.repeat + arange per batch, rows out > rows in, no
+    shuffle).  Oracle: lateral range(0, n_tokens, 48)."""
+    SIZE, STRIDE = 64, 48
+
+    def chunks(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = np.array([len((x or "").split()) for x in texts], np.int64)
+        n_chunks = (n + STRIDE - 1) // STRIDE  # = len(range(0, n, STRIDE))
+        did = np.repeat(ids, n_chunks)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "start": pa.array([], pa.int64()),
+                    "len": pa.array([], pa.int64()),
+                }
+            )
+        # chunk_idx within each doc: global arange minus each doc's base
+        base = np.repeat(np.r_[0, np.cumsum(n_chunks)[:-1]], n_chunks)
+        idx = np.arange(total, dtype=np.int64) - base
+        start = idx * STRIDE
+        ln = np.minimum(SIZE, np.repeat(n, n_chunks) - start)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "start": pa.array(start, pa.int64()),
+                "len": pa.array(ln, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2573,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_coverage": q_bigram_coverage,
         "proximity": q_proximity,
         "streaming_dedup": q_streaming_dedup,
+        "chunk_spans": q_chunk_spans,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3023,6 +3066,22 @@ GROUP BY b.poly_id
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dupes
 FROM documents GROUP BY md5(text)
+"""
+
+    sql["chunk_spans"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, unnest(range(0, n, 48)) AS start FROM tok
+)
+SELECT doc_id,
+       start // 48 AS chunk_idx,
+       start,
+       LEAST(64, n - start) AS len
+FROM s
 """
 
     sql["streaming_dedup"] = """
