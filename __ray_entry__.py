@@ -2536,6 +2536,23 @@ def q_chunk_spans(sf_dir: str):
     )
 
 
+def q_sketch_quantiles(sf_dir: str):
+    """Approximate quantiles via the deterministic MRL mergeable sketch
+    (relational/kll.py): one streaming pass, KB-sized per-block
+    summaries, driver merge.  Rows-only: the sketch's collapse choices
+    are not SQL-expressible; rank error (<1%) is measured against exact
+    order statistics in tests/test_kll.py and reported alongside
+    the exact `quantiles` query for the same column."""
+    from rasters_ray.relational.kll import sketch_quantiles
+
+    return sketch_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]),
+        "l_extendedprice",
+        QUANTILE_QS,
+        k=256,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2619,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
+        "sketch_quantiles": q_sketch_quantiles,
         "cluster_assign": q_cluster_assign,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
