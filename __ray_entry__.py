@@ -2553,6 +2553,43 @@ def q_sketch_quantiles(sf_dir: str):
     )
 
 
+def q_set_except(sf_dir: str):
+    """Relational EXCEPT (customers with no orders) as a distinct-set
+    op: per-block key+side-bit combiner, ONE hash-partitioned OR-reduce
+    (relational/setops.py) — wire volume is distinct keys, not rows."""
+    import pyarrow.compute as pc
+
+    from rasters_ray.relational.setops import set_op
+
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 400000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return set_op(
+        _read(sf_dir, "customer", ["c_custkey"]),
+        big,
+        "c_custkey",
+        "except",
+        key_col_b="o_custkey",
+    )
+
+
+def q_set_intersect(sf_dir: str):
+    """Relational INTERSECT (customers that do have orders) on the same
+    one-shuffle machinery."""
+    from rasters_ray.relational.setops import set_op
+
+    return set_op(
+        _read(sf_dir, "customer", ["c_custkey"]),
+        _read(sf_dir, "orders", ["o_custkey"]),
+        "c_custkey",
+        "intersect",
+        key_col_b="o_custkey",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2633,6 +2670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity": q_proximity,
         "streaming_dedup": q_streaming_dedup,
         "chunk_spans": q_chunk_spans,
+        "set_except": q_set_except,
+        "set_intersect": q_set_intersect,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3084,6 +3123,16 @@ GROUP BY b.poly_id
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dupes
 FROM documents GROUP BY md5(text)
+"""
+
+    sql["set_except"] = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0e0
+"""
+
+    sql["set_intersect"] = """
+SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
 """
 
     sql["chunk_spans"] = r"""
