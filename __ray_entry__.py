@@ -1842,6 +1842,19 @@ def q_user_running(sf_dir: str):
     )
 
 
+def _events_grain_pandas(sf_dir: str, partial, final):
+    """Finest-grain (event_type, hour) aggregate -> pandas (types x 24
+    rows — documented small-result collect; the raw events are scanned
+    exactly once).  Shared by the ROLLUP and CUBE queries."""
+    return (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(final, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
 def q_events_rollup(sf_dir: str):
     """ROLLUP (event_type, hour) -> (type, hour) + (type) + grand total,
     sentinel-filled ('ALL' / -1).  The data is scanned ONCE at the
@@ -1908,17 +1921,8 @@ def q_events_rollup(sf_dir: str):
             }
         )
 
-    finest = (
-        _read(sf_dir, "events", ["ts", "event_type", "value"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(final, batch_format="pyarrow")
-    )
-    # roll up from the grain-sized aggregate (types x 24 rows — documented
-    # small-result collect, the raw data is never touched again)
+    fine = _events_grain_pandas(sf_dir, partial, final)
     import pandas as pd
-
-    fine = finest.to_pandas()
     by_type = (
         fine.groupby("event_type", as_index=False)[["n", "sum_cents"]]
         .sum()
@@ -1934,6 +1938,29 @@ def q_events_rollup(sf_dir: str):
     )
     out = pd.concat(
         [fine, by_type[["event_type", "hour", "n", "sum_cents"]], total],
+        ignore_index=True,
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_cents"] = out["sum_cents"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_events_cube(sf_dir: str):
+    """CUBE (event_type, hour) = the ROLLUP sets + the (hour)-only set —
+    derived from the SAME single finest-grain scan (the rollup result
+    still contains the grain rows, so the extra grouping set is a
+    grain-sized pandas reduce; raw events are never rescanned)."""
+    import pandas as pd
+
+    roll = q_events_rollup(sf_dir).to_pandas()
+    fine = roll[(roll["hour"] != -1)]
+    by_hour = (
+        fine.groupby("hour", as_index=False)[["n", "sum_cents"]]
+        .sum()
+        .assign(event_type="ALL")
+    )
+    out = pd.concat(
+        [roll, by_hour[["event_type", "hour", "n", "sum_cents"]]],
         ignore_index=True,
     )
     out["n"] = out["n"].astype(np.int64)
@@ -2672,6 +2699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_spans": q_chunk_spans,
         "set_except": q_set_except,
         "set_intersect": q_set_intersect,
+        "events_cube": q_events_cube,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3794,6 +3822,18 @@ FROM (SELECT event_type, (CAST(floor(epoch(ts) / 3600) AS BIGINT)) % 24 AS h,
              value
       FROM events)
 GROUP BY ROLLUP (event_type, h)
+"""
+
+    sql["events_cube"] = """
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END
+         AS event_type,
+       CAST(CASE WHEN GROUPING(h) = 1 THEN -1 ELSE h END AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100e0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (SELECT event_type, (CAST(floor(epoch(ts) / 3600) AS BIGINT)) % 24 AS h,
+             value
+      FROM events)
+GROUP BY CUBE (event_type, h)
 """
 
     sql["props_stats"] = """
