@@ -2617,6 +2617,137 @@ def q_set_intersect(sf_dir: str):
     )
 
 
+N_DUPGRAM = 8  # word-n-gram width for the duplicated-span signal
+
+
+def q_dup_spans(sf_dir: str):
+    """Substring-level dedup signal (the distributed core of
+    Lee et al. 2022 'Deduplicating Training Data Makes Language Models
+    Better'): per document, how many of its word-8-gram positions occur
+    >= 2 times in the whole corpus.  Composition of existing machinery:
+    vectorized gram explode (object-array concat) -> combiner-first
+    global gram counts -> duplicated-gram table -> DISTRIBUTED left-semi
+    hash_join of positions against it -> per-doc int reduce.  No
+    broadcast of the (unboundedly large) gram table."""
+    from ray.data.aggregate import Sum
+
+    from rasters_ray.relational import hash_join
+    from rasters_ray.util import hash_parts
+
+    N = N_DUPGRAM
+
+    def grams_of(words: list) -> np.ndarray:
+        if len(words) < N:
+            return np.array([], dtype=object)
+        a = np.asarray(words, dtype=object)
+        g = a[: len(a) - N + 1]
+        for j in range(1, N):
+            g = g + " " + a[j : len(a) - N + 1 + j]
+        return g
+
+    def positions(t: pa.Table) -> pa.Table:
+        out_d: list = []
+        out_g: list = []
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        for did, txt in zip(ids, t.column("text").to_pylist()):
+            g = grams_of((txt or "").split())
+            if len(g):
+                out_g.append(g)
+                out_d.append(np.full(len(g), did, np.int64))
+        if not out_g:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "gram": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                "gram": pa.array(np.concatenate(out_g), pa.string()),
+            }
+        )
+
+    pos = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        positions, batch_format="pyarrow"
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(g, return_counts=True)
+        arr = pa.array(uniq, pa.string())
+        return pa.table(
+            {
+                "gram": arr,
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "_part": pa.array(hash_parts(arr, 32), pa.int64()),
+            }
+        )
+
+    def dup_only(group: pa.Table) -> pa.Table:
+        g = group.column("gram").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(g, return_inverse=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, n)
+        keep = sums >= 2
+        return pa.table({"gram": pa.array(uniq[keep], pa.string())})
+
+    dup = (
+        pos.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dup_only, batch_format="pyarrow")
+    )
+    hits = hash_join(pos, dup, on="gram", how="left semi", n_parts=32)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    dup_counts = (
+        hits.map_batches(per_doc, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("c", alias_name="n_dup"))
+    )
+
+    def gram_totals(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ng = np.array(
+            [max(len((x or "").split()) - N + 1, 0)
+             for x in t.column("text").to_pylist()],
+            np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(ng, pa.int64()),
+            }
+        )
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        gram_totals, batch_format="pyarrow"
+    )
+    # doc-cardinality tables stay distributed: left-outer join, fill 0
+    joined = hash_join(base, dup_counts, on="doc_id", how="left outer", n_parts=32)
+
+    def fill0(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": t.column("n_grams"),
+                "n_dup": pc.fill_null(t.column("n_dup").cast(pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(fill0, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2700,6 +2831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_except": q_set_except,
         "set_intersect": q_set_intersect,
         "events_cube": q_events_cube,
+        "dup_spans": q_dup_spans,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3152,6 +3284,25 @@ GROUP BY b.poly_id
 SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dupes
 FROM documents GROUP BY md5(text)
 """
+
+    _g8 = " || chr(32) || ".join(f"ws[i + {j}]" for j in range(8))
+    sql["dup_spans"] = (
+        r"""
+WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 6),
+                                   i -> {G8})) AS gram
+      FROM l),
+cnt AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram),
+dup AS (SELECT gram FROM cnt WHERE n >= 2),
+dc AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS c
+       FROM g JOIN dup ON dup.gram = g.gram GROUP BY g.doc_id)
+SELECT l.doc_id,
+       CAST(greatest(len(l.ws) - 7, 0) AS BIGINT) AS n_grams,
+       COALESCE(dc.c, 0) AS n_dup
+FROM l LEFT JOIN dc ON dc.doc_id = l.doc_id
+""".replace("{G8}", _g8.replace("ws[i + 0]", "ws[i]"))
+    )
 
     sql["set_except"] = """
 SELECT c_custkey FROM customer
