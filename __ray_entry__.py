@@ -2748,6 +2748,53 @@ def q_dup_spans(sf_dir: str):
     return joined.map_batches(fill0, batch_format="pyarrow")
 
 
+def q_band_join(sf_dir: str):
+    """Banded stream-stream self-join: for every 'error' event, count the
+    same user's 'click' events in the preceding 60 s (ts in [t-60s, t)).
+    Hash-partition by user, ONE shuffle; inside a partition the count is
+    two searchsorted calls on a composite (user, ts) key — no per-user
+    Python loop, no row pairing ever materialized."""
+    N_PARTS = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(u % N_PARTS, pa.int64()))
+
+    def band_count(group: pa.Table) -> pa.Table:
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        u = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tcol = group.column("ts")
+        ts = tcol.cast(pa.int64()).to_numpy()
+        unit = _ts_unit(tcol.type)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        is_e = et == "error"
+        is_c = et == "click"
+        t0 = ts.min() if len(ts) else 0
+        rel = ts - t0
+        # stride exceeds span + window so a window's lower bound can
+        # never dip into the previous user's key range
+        M = np.int64(rel.max() + 60 * unit + 2) if len(rel) else np.int64(1)
+        if len(u) and int(u.max()) >= (1 << 62) // int(M):
+            raise OverflowError("user*span exceeds int64 — widen the key")
+        key_c = np.sort(u[is_c] * M + rel[is_c])
+        ke = u[is_e] * M + rel[is_e]
+        lo = np.searchsorted(key_c, ke - np.int64(60 * unit))
+        hi = np.searchsorted(key_c, ke)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[is_e], pa.int64()),
+                "n_recent_clicks": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(band_count, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2832,6 +2879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_intersect": q_set_intersect,
         "events_cube": q_events_cube,
         "dup_spans": q_dup_spans,
+        "band_join": q_band_join,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3283,6 +3331,17 @@ GROUP BY b.poly_id
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dupes
 FROM documents GROUP BY md5(text)
+"""
+
+    sql["band_join"] = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT e.event_id, CAST(COUNT(c.ts) AS BIGINT) AS n_recent_clicks
+FROM e LEFT JOIN c
+  ON c.user_id = e.user_id
+ AND c.ts >= e.ts - INTERVAL 60 SECOND
+ AND c.ts < e.ts
+GROUP BY e.event_id
 """
 
     _g8 = " || chr(32) || ".join(f"ws[i + {j}]" for j in range(8))
