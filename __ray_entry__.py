@@ -212,6 +212,28 @@ def q_mosaic_first(sf_dir: str):
     return mosaic_first_lattice(imgs, cell_size=QCELL, order_col="order")
 
 
+def q_mosaic_best(sf_dir: str):
+    """Best-available-pixel (argmax-quality) composite — the third
+    classic EO compositing mode: per cell, the value of the
+    highest-quality covering scene (quality = (d*37) % 11, ties to the
+    larger scene order).  Packed-max lattice, same two-phase shape as
+    mosaic_first."""
+    from rasters_ray.stages.composite import mosaic_best_lattice
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        d = np.array(
+            [int(s[3:]) for s in t.column("image_id").to_pylist()], np.int64
+        )
+        return t.append_column("order", pa.array(d, pa.int64())).append_column(
+            "quality", pa.array((d * 37) % 11, pa.int64())
+        )
+
+    imgs = _images_ds(sf_dir, N_IMG_MERGE).map_batches(
+        add_cols, batch_format="pyarrow"
+    )
+    return mosaic_best_lattice(imgs, cell_size=QCELL)
+
+
 def q_resample_nearest(sf_dir: str):
     """Warp image d=0 from 0.01 deg to 0.02 deg (nearest) — exercises the
     grid->grid warp path; oracle recomputes src[2r, 2c] from the formula."""
@@ -2804,6 +2826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_windows": q_tile_windows,
         "merge_mean": q_merge_mean,
         "mosaic_first": q_mosaic_first,
+        "mosaic_best": q_mosaic_best,
         "resample_nearest": q_resample_nearest,
         "resample_sum": q_resample_sum,
         "resample_max": q_resample_max,
@@ -3057,6 +3080,21 @@ px AS (
   FROM imgs, range(100) r, range(100) c
 )
 SELECT gx, gy, MIN(packed) & 16777215 AS value
+FROM px GROUP BY gx, gy
+"""
+
+    sql["mosaic_best"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT 5600 + (d % 16) * 50 + c.range AS gx,
+         4600 + ((d // 16) % 16) * 50 + r.range AS gy,
+         ((d * 37) % 11) * 17592186044416 + d * 16777216
+           + (d * 31 + r.range * 7 + c.range * 13) % 251 AS packed
+  FROM imgs, range(100) r, range(100) c
+)
+SELECT gx, gy,
+       MAX(packed) & 16777215 AS value,
+       (MAX(packed) // 16777216) % 1048576 AS win_order
 FROM px GROUP BY gx, gy
 """
 

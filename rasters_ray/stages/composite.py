@@ -541,3 +541,93 @@ def composite_cells(
         .groupby("cell_key")
         .map_groups(lambda g: _final_group(g, cell_size), batch_format="pyarrow")
     )
+
+
+def partial_lattice_best(batch: pa.Table, cell_size: float,
+                         order_col: str = "order",
+                         quality_col: str = "quality") -> pa.Table:
+    """Per-batch combiner for BEST-available-pixel (argmax-quality)
+    compositing — the third classic EO compositing mode beside mean
+    (merge) and first-valid (mosaic): per lattice pixel keep the packed
+    int64 ``quality << 44 | order << 24 | value`` MAXIMUM, i.e. the value
+    of the highest-quality covering scene, ties broken by the larger
+    order.  Same order-independent re-mergeable shape as
+    :func:`partial_lattice_first` (values < 2^24, orders < 2^20,
+    qualities < 2^19)."""
+    grids = batch.column("grid").to_pylist()
+    fmts = batch.column("fmt").to_pylist()
+    blobs = codec.BlobReader(batch.column("bytes"))
+    orders = batch.column(order_col).to_pylist()
+    quals = batch.column(quality_col).to_pylist()
+    keys_parts, packed_parts = [], []
+    for i in range(batch.num_rows):
+        grid = GridSpec.from_dict(grids[i])
+        arr = codec.decode(blobs[i], fmts[i]).astype(np.float64)
+        if arr.ndim != 2:
+            raise ValueError("best-pixel combiner is per-band")
+        q, o = int(quals[i]), int(orders[i])
+        if not (0 <= q < (1 << 19) and 0 <= o < (1 << 20)):
+            raise ValueError("quality must fit 19 bits, order 20 bits")
+        gx, gy = lattice_indices(grid, cell_size)
+        gxm, gym = np.meshgrid(gx, gy)
+        valid = np.isfinite(arr)
+        key = (gym.astype(np.int64) << 32) | gxm.astype(np.int64)
+        vals = np.rint(arr[valid]).astype(np.int64)
+        if vals.size and (vals.min() < 0 or vals.max() >= (1 << 24)):
+            raise ValueError("best-pixel packing needs values in [0, 2^24)")
+        keys_parts.append(key[valid].ravel())
+        packed_parts.append(
+            (np.int64(q) << 44) | (np.int64(o) << 24) | vals.ravel()
+        )
+    if not keys_parts:
+        return pa.schema(
+            [("gx", pa.int64()), ("gy", pa.int64()), ("packed", pa.int64())]
+        ).empty_table()
+    keys = np.concatenate(keys_parts)
+    packed = np.concatenate(packed_parts)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    best = np.full(uniq.size, -1, dtype=np.int64)
+    np.maximum.at(best, inv, packed)
+    return pa.table(
+        {
+            "gx": pa.array(uniq & 0xFFFFFFFF, pa.int64()),
+            "gy": pa.array(uniq >> 32, pa.int64()),
+            "packed": pa.array(best, pa.int64()),
+        }
+    )
+
+
+def mosaic_best_lattice(images_ds, cell_size: float, order_col: str = "order",
+                        quality_col: str = "quality",
+                        batch_size: int = 32, n_parts: int = N_LATTICE_PARTS):
+    """Two-phase argmax-quality composite -> Dataset[(gx, gy, value,
+    win_order)] — partial packed-max per batch, hash-partitioned
+    vectorized max combine, unpack."""
+    partials = images_ds.map_batches(
+        lambda t: partial_lattice_best(t, cell_size, order_col, quality_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    def combine(group: pa.Table) -> pa.Table:
+        gx = group.column("gx").to_numpy()
+        gy = group.column("gy").to_numpy()
+        key = (gy << 32) | gx
+        uniq, inv = np.unique(key, return_inverse=True)
+        best = np.full(uniq.size, -1, dtype=np.int64)
+        np.maximum.at(best, inv, group.column("packed").to_numpy())
+        return pa.table(
+            {
+                "gx": pa.array(uniq & 0xFFFFFFFF, pa.int64()),
+                "gy": pa.array(uniq >> 32, pa.int64()),
+                "value": pa.array(best & 0xFFFFFF, pa.int64()),
+                "win_order": pa.array((best >> 24) & 0xFFFFF, pa.int64()),
+            }
+        )
+
+    return (
+        partials.map_batches(lambda t: _add_lattice_part(t, n_parts),
+                             batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(combine, batch_format="pyarrow")
+    )
