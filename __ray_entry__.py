@@ -2817,6 +2817,120 @@ def q_band_join(sf_dir: str):
     )
 
 
+def q_inter_arrival(sf_dir: str):
+    """LAG-window inter-arrival statistics per (user, event_type):
+    vectorized multi-run diff (lexsort + per-run reduceat) inside one
+    hash-partitioned groupby — integer microsecond gaps, bit-exact."""
+    N_PARTS = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(u % N_PARTS, pa.int64()))
+
+    def gaps(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        # _ts_unit-independent: emit gaps in MICROSECONDS to match
+        # DuckDB's epoch_us regardless of the parquet timestamp unit
+        per_sec = _ts_unit(group.column("ts").type)
+        us = ts * (1_000_000 // per_sec) if per_sec <= 1_000_000 else ts // (
+            per_sec // 1_000_000
+        )
+        uet, einv = np.unique(et, return_inverse=True)
+        order = np.lexsort((us, einv, u))
+        uo, eo, to = u[order], einv[order], us[order]
+        new_run = np.r_[True, (uo[1:] != uo[:-1]) | (eo[1:] != eo[:-1])]
+        g = np.diff(to)
+        valid = ~new_run[1:]  # gap belongs to a run continuation
+        run_id = np.cumsum(new_run) - 1
+        gr = run_id[1:][valid]
+        gv = g[valid]
+        if not len(gv):
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "sum_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        runs = np.unique(gr)
+        sums = np.zeros(len(runs), np.int64)
+        maxs = np.zeros(len(runs), np.int64)
+        counts = np.zeros(len(runs), np.int64)
+        ridx = np.searchsorted(runs, gr)
+        np.add.at(sums, ridx, gv)
+        np.maximum.at(maxs, ridx, gv)
+        np.add.at(counts, ridx, 1)
+        starts = np.flatnonzero(new_run)
+        return pa.table(
+            {
+                "user_id": pa.array(uo[starts][runs], pa.int64()),
+                "event_type": pa.array(uet[eo[starts][runs]], pa.string()),
+                "n_gaps": pa.array(counts, pa.int64()),
+                "sum_gap_us": pa.array(sums, pa.int64()),
+                "max_gap_us": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+def q_user_fill(sf_dir: str):
+    """Per-key LOCF (LAST_VALUE IGNORE NULLS PARTITION BY user): carry
+    each user's latest 'purchase' value onto their subsequent events —
+    the partitioned sibling of the global forward_fill scan; one
+    groupby, vectorized in-partition fill."""
+    N_PARTS = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(u % N_PARTS, pa.int64()))
+
+    def fill(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((eid, u))
+        uo, io, eo, vo = u[order], eid[order], et[order], v[order]
+        obs = eo == "purchase"
+        new_user = np.r_[True, uo[1:] != uo[:-1]]
+        idx = np.where(obs, np.arange(len(vo)) + 1, 0)
+        # reset the carried index at each user boundary: segmented cummax
+        seg = np.cumsum(new_user) - 1
+        # per-segment maximum.accumulate: subtract a big per-segment base
+        base = seg * (len(vo) + 1)
+        np.maximum.accumulate(idx + base, out=idx)  # idx now has base added
+        idx = idx - base
+        # idx may still reference an observation from an earlier row of
+        # the SAME segment only: base stride guarantees cross-segment
+        # carries can't win the running max
+        filled = np.where(idx > 0, np.r_[np.nan, vo][idx], -1.0)
+        out = np.empty(len(vo), np.float64)
+        out[order] = filled
+        return pa.table(
+            {
+                "event_id": group.column("event_id"),
+                "last_purchase": pa.array(out, pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fill, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -2903,6 +3017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": q_events_cube,
         "dup_spans": q_dup_spans,
         "band_join": q_band_join,
+        "inter_arrival": q_inter_arrival,
+        "user_fill": q_user_fill,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3369,6 +3485,28 @@ GROUP BY b.poly_id
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dupes
 FROM documents GROUP BY md5(text)
+"""
+
+    sql["inter_arrival"] = """
+WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+d AS (SELECT user_id, event_type,
+             t - LAG(t) OVER (PARTITION BY user_id, event_type ORDER BY t) AS g
+      FROM s)
+SELECT user_id, event_type,
+       CAST(COUNT(g) AS BIGINT) AS n_gaps,
+       CAST(SUM(g) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(g) AS BIGINT) AS max_gap_us
+FROM d GROUP BY 1, 2 HAVING COUNT(g) > 0
+"""
+
+    sql["user_fill"] = """
+SELECT event_id,
+       COALESCE(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                           IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                -1.0e0) AS last_purchase
+FROM events
 """
 
     sql["band_join"] = """
