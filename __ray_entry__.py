@@ -2931,6 +2931,55 @@ def q_user_fill(sf_dir: str):
     )
 
 
+def q_hist_equalize(sf_dir: str):
+    """Per-image histogram equalization LUT (integer-exact classic
+    formula: eq(v) = (cdf(v) - cdf_min) * 255 // (n_px - cdf_min)) —
+    embarrassingly parallel bincount+cumsum per image, output is the
+    per-value mapping table, never re-exploded pixels."""
+    from rasters_ray import codec
+
+    def eq(t: pa.Table) -> pa.Table:
+        ids: list = []
+        vals: list = []
+        ns: list = []
+        eqs: list = []
+        if t.num_rows:
+            blobs = codec.BlobReader(t.column("bytes"))
+            fmts = t.column("fmt").to_pylist()
+            iids = t.column("image_id").to_pylist()
+            for i in range(t.num_rows):
+                px = codec.decode(blobs[i], fmts[i]).astype(np.int64).ravel()
+                counts = np.bincount(px)
+                present = np.flatnonzero(counts)
+                cdf = np.cumsum(counts)[present]
+                cdf_min = int(cdf[0])
+                denom = max(int(px.size) - cdf_min, 1)
+                e = (cdf - cdf_min) * 255 // denom
+                ids.extend([iids[i]] * len(present))
+                vals.append(present.astype(np.int64))
+                ns.append(counts[present].astype(np.int64))
+                eqs.append(e.astype(np.int64))
+        if not vals:
+            return pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "value": pa.array([], pa.int64()),
+                    "n_px": pa.array([], pa.int64()),
+                    "eq": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "value": pa.array(np.concatenate(vals), pa.int64()),
+                "n_px": pa.array(np.concatenate(ns), pa.int64()),
+                "eq": pa.array(np.concatenate(eqs), pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, N_IMG_FOCAL).map_batches(eq, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3019,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_join": q_band_join,
         "inter_arrival": q_inter_arrival,
         "user_fill": q_user_fill,
+        "hist_equalize": q_hist_equalize,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3486,6 +3536,29 @@ GROUP BY b.poly_id
 SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dupes
 FROM documents GROUP BY md5(text)
 """
+
+    sql["hist_equalize"] = f"""
+WITH {{imgs_cte}},
+px AS (
+  SELECT d, (d * 31 + r.range * 7 + c.range * 13) % 251 AS v
+  FROM imgs, range(100) r, range(100) c
+),
+cnt AS (SELECT d, v, CAST(COUNT(*) AS BIGINT) AS n FROM px GROUP BY d, v),
+c2 AS (
+  SELECT d, v, n,
+         SUM(n) OVER (PARTITION BY d ORDER BY v) AS cdf
+  FROM cnt
+),
+c3 AS (
+  SELECT d, v, n, cdf,
+         MIN(cdf) OVER (PARTITION BY d) AS cdf_min
+  FROM c2
+)
+SELECT printf('img%08d', d) AS image_id, v AS value, n AS n_px,
+       CAST(((cdf - cdf_min) * 255) // greatest(10000 - cdf_min, 1)
+            AS BIGINT) AS eq
+FROM c3
+""".replace("{imgs_cte}", _IMGS_CTE.format(n=N_IMG_FOCAL).strip())
 
     sql["inter_arrival"] = """
 WITH s AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
