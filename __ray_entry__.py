@@ -2980,6 +2980,41 @@ def q_hist_equalize(sf_dir: str):
     return _images_ds(sf_dir, N_IMG_FOCAL).map_batches(eq, batch_format="pyarrow")
 
 
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish regex token counting (GPT-2-style word/number/punct
+    pieces, lookahead-free so Python re and DuckDB RE2 agree literally):
+    per-doc piece count + per-class counts, one compiled-regex
+    map_batches."""
+    import re
+
+    pat = re.compile(_BPE_PATTERN)
+
+    def count(t: pa.Table) -> pa.Table:
+        n_tok: list = []
+        n_alpha: list = []
+        n_num: list = []
+        for txt in t.column("text").to_pylist():
+            pieces = pat.findall(txt or "")
+            n_tok.append(len(pieces))
+            n_alpha.append(sum(1 for p in pieces if p.lstrip(" ")[:1].isalpha()))
+            n_num.append(sum(1 for p in pieces if p.lstrip(" ")[:1].isdigit()))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_pieces": pa.array(n_tok, pa.int64()),
+                "n_alpha": pa.array(n_alpha, pa.int64()),
+                "n_num": pa.array(n_num, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3069,6 +3104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inter_arrival": q_inter_arrival,
         "user_fill": q_user_fill,
         "hist_equalize": q_hist_equalize,
+        "bpe_tokens": q_bpe_tokens,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3535,6 +3571,22 @@ GROUP BY b.poly_id
     sql["dedup_exact"] = """
 SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dupes
 FROM documents GROUP BY md5(text)
+"""
+
+    sql["bpe_tokens"] = f"""
+WITH p AS (
+  SELECT doc_id, regexp_extract_all(text, '{_BPE_PATTERN}') AS pieces
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces) AS BIGINT) AS n_pieces,
+       CAST(len(list_filter(pieces,
+            x -> regexp_matches(ltrim(x, ' ')[1:1], '[A-Za-z]')))
+            AS BIGINT) AS n_alpha,
+       CAST(len(list_filter(pieces,
+            x -> regexp_matches(ltrim(x, ' ')[1:1], '[0-9]')))
+            AS BIGINT) AS n_num
+FROM p
 """
 
     sql["hist_equalize"] = f"""
