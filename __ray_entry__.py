@@ -3015,6 +3015,64 @@ def q_bpe_tokens(sf_dir: str):
     )
 
 
+def q_focal_median(sf_dir: str):
+    """3x3 focal MEDIAN on the shared halo exchange — a selection
+    stencil (order statistic, not additive), so unlike focal sums it
+    cannot use integral images or combiners; the distributed answer is
+    exact because each tile sees its full radius-1 canvas.  9 values per
+    window (odd) -> middle element, integer, no interpolation.  Sampled
+    on the step-5 interior lattice like `terrain`."""
+    from rasters_ray.stages.focal import halo_exchange_tiled
+
+    STEP = 5
+
+    def tile_fn(image_id, canvas, tr0, tc0, trows, tcols) -> pa.Table:
+        a = np.asarray(canvas, dtype=np.float64)
+        stack = np.stack(
+            [
+                a[dr : dr + a.shape[0] - 2, dc : dc + a.shape[1] - 2]
+                for dr in (0, 1, 2)
+                for dc in (0, 1, 2)
+            ]
+        )
+        valid = np.isfinite(stack).all(axis=0)
+        med = np.sort(stack, axis=0)[4]
+        rr = np.arange(trows)
+        cc = np.arange(tcols)
+        rsel = rr[(rr + tr0) % STEP == 0]
+        csel = cc[(cc + tc0) % STEP == 0]
+        if not len(rsel) or not len(csel):
+            return pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "r": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "med": pa.array([], pa.int64()),
+                }
+            )
+        gr, gc = np.meshgrid(rsel, csel, indexing="ij")
+        gr, gc = gr.ravel(), gc.ravel()
+        ok = valid[:trows, :tcols][gr, gc]
+        gr, gc = gr[ok], gc[ok]
+        return pa.table(
+            {
+                "image_id": pa.array(
+                    np.repeat(np.array([image_id], dtype=object), len(gr)),
+                    pa.string(),
+                ),
+                "r": pa.array(gr + tr0, pa.int64()),
+                "c": pa.array(gc + tc0, pa.int64()),
+                "med": pa.array(
+                    med[:trows, :tcols][gr, gc].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return halo_exchange_tiled(
+        _images_ds(sf_dir, N_IMG_FOCAL), radius=1, tile=32, tile_fn=tile_fn
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3105,6 +3163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_fill": q_user_fill,
         "hist_equalize": q_hist_equalize,
         "bpe_tokens": q_bpe_tokens,
+        "focal_median": q_focal_median,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4158,6 +4217,19 @@ WHERE EXISTS (
         f"({_V(1, -1)} + 2 * {_V(1, 0)} + {_V(1, 1)})"
         f" - ({_V(-1, -1)} + 2 * {_V(-1, 0)} + {_V(-1, 1)})"
     )
+    _v9 = ", ".join(_V(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1))
+    sql["focal_median"] = f"""
+WITH {{imgs_cte}},
+g AS (
+  SELECT d, r.range AS r, c.range AS c
+  FROM imgs, range(0, 100, 5) r, range(0, 100, 5) c
+  WHERE r.range BETWEEN 1 AND 98 AND c.range BETWEEN 1 AND 98
+)
+SELECT printf('img%08d', d) AS image_id, r, c,
+       CAST(list_sort([{_v9}])[5] AS BIGINT) AS med
+FROM g
+""".replace("{imgs_cte}", _IMGS_CTE.format(n=N_IMG_FOCAL).strip())
+
     sql["terrain"] = f"""
 WITH {_IMGS_CTE.format(n=N_IMG_FOCAL).strip()},
 g AS (
