@@ -3073,6 +3073,48 @@ def q_focal_median(sf_dir: str):
     )
 
 
+def q_priority_semi(sf_dir: str):
+    """TPC-H Q4 analog: orders having at least one returned lineitem
+    (EXISTS), counted per priority — distributed left-semi hash_join,
+    filter pushed into the build-side read, combiner-first count."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from rasters_ray.relational import hash_join
+
+    returned = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("l_returnflag"), "R")).select(
+            ["l_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    hits = hash_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        returned,
+        on="o_orderkey",
+        right_on="l_orderkey",
+        how="left semi",
+        n_parts=32,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
+        uniq, counts = np.unique(p, return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(uniq, pa.string()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        hits.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("c", alias_name="n_orders"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3164,6 +3206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_equalize": q_hist_equalize,
         "bpe_tokens": q_bpe_tokens,
         "focal_median": q_focal_median,
+        "priority_semi": q_priority_semi,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4217,6 +4260,14 @@ WHERE EXISTS (
         f"({_V(1, -1)} + 2 * {_V(1, 0)} + {_V(1, 1)})"
         f" - ({_V(-1, -1)} + 2 * {_V(-1, 0)} + {_V(-1, 1)})"
     )
+    sql["priority_semi"] = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
     _v9 = ", ".join(_V(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1))
     sql["focal_median"] = f"""
 WITH {{imgs_cte}},
