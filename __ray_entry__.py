@@ -1346,6 +1346,53 @@ def q_segment_revenue(sf_dir: str):
     return grouped_int_sums(joined, keys, None, partials_ready=True)
 
 
+def q_region_revenue(sf_dir: str):
+    """Snowflake denormalization at depth: lineitem ⋈ orders (hash) ⋈
+    customer ⋈ nation ⋈ region (three broadcast hops pre-folded into ONE
+    small lookup table driver-side — the dimensions are tiny, so the
+    chain collapses to customer -> region_name before anything ships) —
+    integer-exact revenue per region.  One all-to-all total."""
+    import pyarrow.parquet as pq
+
+    from rasters_ray.relational import (
+        broadcast_join,
+        grouped_int_sums,
+        hash_join,
+        int_sum_partial,
+    )
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    # driver-side fold of the dimension chain (all three are KB-sized):
+    # customer -> nation -> region collapses to (c_custkey, r_name)
+    cn = cust.join(nat, keys=["c_nationkey"], right_keys=["n_nationkey"])
+    cnr = cn.join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    lookup = cnr.select(["c_custkey", "r_name"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    reg_orders = broadcast_join(orders, lookup, on="o_custkey",
+                                right_on="c_custkey")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def vals(t: pa.Table) -> dict:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        di = t.column("l_discount").to_numpy(zero_copy_only=False)
+        return {"revenue_c": np.floor((ep * (1.0 - di)) * 100.0).astype(np.int64)}
+
+    joined = hash_join(
+        li,
+        reg_orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        post=lambda t: int_sum_partial(t, ["r_name"], vals),
+    )
+    return grouped_int_sums(joined, ["r_name"], None, partials_ready=True)
+
+
 def q_events_asof(sf_dir: str):
     """Distributed as-of join (DuckDB ASOF LEFT JOIN semantics): every
     non-purchase event picks up the value of the user's latest purchase
@@ -3155,6 +3202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
+        "region_revenue": q_region_revenue,
         "events_asof": q_events_asof,
         "interval_events": q_interval_events,
         "topk_orders": q_topk_orders,
@@ -4013,6 +4061,18 @@ FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment, o.o_orderpriority
+"""
+
+    sql["region_revenue"] = """
+SELECT r.r_name,
+  CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1.0e0 - l.l_discount)) * 100.0e0) AS BIGINT)) AS BIGINT) AS revenue_c,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation na ON c.c_nationkey = na.n_nationkey
+JOIN region r ON na.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
 """
 
     sql["events_asof"] = """
