@@ -112,3 +112,62 @@ def run_partitioned(
         write_manifest_row(root, row)
         rows.append(row)
     return rows
+
+
+def run_partitioned_with_stats(
+    root: str,
+    partitions: Sequence[dict],
+    run_one: Callable[[dict, str], tuple],
+    resume: bool = True,
+) -> List[dict]:
+    """`run_partitioned` variant where ``run_one(part, out_dir)`` returns
+    ``(row_count, stats)`` and the per-column stats dict
+    (``{col: [min, max]}``) is persisted in the manifest row — the zone
+    map that :func:`read_pruned` uses to skip partitions at read time."""
+
+    def wrap(part, out_dir):
+        n, stats = run_one(part, out_dir)
+        part["_stats"] = stats
+        return n
+
+    rows = run_partitioned(root, partitions, wrap, resume=resume)
+    # attach stats into the manifest rows of partitions just run
+    by_id = {p["partition_id"]: p.get("_stats") for p in partitions}
+    out = []
+    for row in rows:
+        st = by_id.get(row["partition_id"])
+        if st is not None and "stats" not in row:
+            row = dict(row, stats=st)
+            write_manifest_row(root, row)
+        out.append(row)
+    return out
+
+
+def prune_partitions(root: str, col: str, lo, hi) -> List[str]:
+    """Partition ids whose manifest zone map ``stats[col] = [min, max]``
+    OVERLAPS [lo, hi] — partitions without stats are conservatively
+    kept.  This is the 100-TB read lever: a predicate touching 1% of the
+    key range opens 1% of the partitions, driven purely by manifest
+    metadata (no file opened to decide)."""
+    keep = []
+    for pid, row in sorted(completed_partitions(root).items()):
+        st = (row.get("stats") or {}).get(col)
+        if st is None or (st[0] <= hi and st[1] >= lo):
+            keep.append(pid)
+    return keep
+
+
+def read_pruned(root: str, col: str, lo, hi):
+    """ray.data Dataset over only the partitions overlapping [lo, hi]."""
+    import glob
+
+    import ray.data as rd
+
+    files = [
+        f
+        for pid in prune_partitions(root, col, lo, hi)
+        for f in sorted(glob.glob(os.path.join(root, pid, "*.parquet")))
+    ]
+    if not files:
+        raise ValueError("no partition overlaps the requested range")
+    return rd.read_parquet(files)

@@ -133,3 +133,52 @@ def test_flagship_partitioned_resume(tmp_path, ray_session):
         if d.startswith("part-")
     )
     assert total_rows == sum(r["row_count"] for r in rows)
+
+
+def test_zone_map_pruning(ray_session, tmp_path):
+    """Partition stats in the manifest skip non-overlapping partitions at
+    read time; the pruned read equals the filtered full scan."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rasters_ray.checkpoint import (
+        prune_partitions,
+        read_pruned,
+        run_partitioned_with_stats,
+    )
+
+    root = str(tmp_path / "zoned")
+    rng = np.random.default_rng(3)
+    vals = np.sort(rng.uniform(0, 100, 4000))
+    chunks = np.array_split(vals, 8)  # contiguous ranges -> tight zone maps
+
+    def run_one(part, out_dir):
+        i = int(part["partition_id"].split("_")[1])
+        v = chunks[i]
+        pq.write_table(
+            pa.table({"x": v}), os.path.join(out_dir, "part.parquet")
+        )
+        return len(v), {"x": [float(v.min()), float(v.max())]}
+
+    parts = [{"partition_id": f"p_{i:02d}"} for i in range(8)]
+    rows = run_partitioned_with_stats(root, parts, run_one)
+    assert all("stats" in r for r in rows)
+
+    lo, hi = 30.0, 45.0
+    kept = prune_partitions(root, "x", lo, hi)
+    assert 0 < len(kept) < 8  # pruning actually skipped partitions
+    got = read_pruned(root, "x", lo, hi).to_pandas()["x"].to_numpy()
+    inside = vals[(vals >= lo) & (vals <= hi)]
+    assert set(np.round(inside, 9)).issubset(set(np.round(got, 9)))
+    # every kept partition overlaps; every skipped one doesn't
+    for i in range(8):
+        pid = f"p_{i:02d}"
+        overlaps = chunks[i].min() <= hi and chunks[i].max() >= lo
+        assert (pid in kept) == overlaps
+
+    # resume keeps the stats row intact
+    rows2 = run_partitioned_with_stats(root, parts, run_one)
+    assert all("stats" in r for r in rows2)
