@@ -350,3 +350,104 @@ def interval_join(
         return out.append_column(interval_id_col, ids)
 
     return left_ds.map_batches(match, batch_format="pyarrow")
+
+
+def skew_join(
+    left_ds,
+    right_ds,
+    on: str,
+    right_on: str | None = None,
+    hot_threshold: int = 100_000,
+    sample_blocks: int | None = None,
+    n_parts: int = 64,
+    right_suffix: str = "_r",
+):
+    """Skew-aware inner equi-join: hot keys take the broadcast path,
+    cold keys the hash shuffle; the union is exactly the plain join.
+
+    The problem this solves (the north rule's "salt hot keys"): in
+    ``hash_join`` a single hot key lands ENTIRELY in one partition — one
+    task does a disproportionate share of the work and the stage's wall
+    time is that straggler.  Here:
+
+      1. one cheap counting pass over the LEFT side's key column
+         (per-block ``np.unique`` partials capped to the top few
+         candidates — a bounded driver merge, same shape as the
+         heavy-hitter sketch) finds keys with count >= ``hot_threshold``;
+      2. the RIGHT rows for those few keys are collected (small by the
+         skew premise: a hot left key with a large right side is a
+         genuine cross-product no partitioning can fix) and broadcast;
+      3. left rows split per batch: hot rows join against the broadcast
+         table (perfectly parallel — the hot key's work now spreads over
+         EVERY left block instead of one partition), cold rows flow
+         through the ordinary one-shuffle ``hash_join``;
+      4. results union.  Row set is identical to ``hash_join`` by
+         construction (tested).
+    """
+    import ray
+
+    right_on = right_on or on
+
+    def key_counts(t: pa.Table) -> pa.Table:
+        v = t.column(on)
+        arr = v.to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(arr, return_counts=True)
+        top = np.argsort(counts)[::-1][:64]  # candidates only
+        return pa.table(
+            {
+                "k": pa.array(uniq[top]),
+                "n": pa.array(counts[top].astype(np.int64), pa.int64()),
+            }
+        )
+
+    cand = left_ds.map_batches(key_counts, batch_format="pyarrow").to_pandas()
+    # driver-small: <= 64 rows per block; exact for any key that is hot
+    # in aggregate only if it is frequent per block too — acceptable for
+    # the skew regime this targets (hot means orders of magnitude)
+    totals = cand.groupby("k")["n"].sum()
+    hot_keys = set(totals[totals >= hot_threshold].index.tolist())
+
+    if not hot_keys:
+        return hash_join(
+            left_ds, right_ds, on=on, right_on=right_on,
+            how="inner", n_parts=n_parts, right_suffix=right_suffix,
+        )
+
+    hot_arr = pa.array(sorted(hot_keys))
+
+    def right_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(right_on), value_set=hot_arr))
+
+    def right_cold(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t.column(right_on), value_set=hot_arr))
+        )
+
+    def left_hot(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column(on), value_set=hot_arr))
+
+    def left_cold(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t.column(on), value_set=hot_arr)))
+
+    hot_right_tab = pa.concat_tables(
+        ray.get(
+            right_ds.map_batches(right_hot, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    hot_joined = broadcast_join(
+        left_ds.map_batches(left_hot, batch_format="pyarrow"),
+        hot_right_tab,
+        on=on,
+        right_on=right_on,
+        right_suffix=right_suffix,
+    )
+    cold_joined = hash_join(
+        left_ds.map_batches(left_cold, batch_format="pyarrow"),
+        right_ds.map_batches(right_cold, batch_format="pyarrow"),
+        on=on,
+        right_on=right_on,
+        how="inner",
+        n_parts=n_parts,
+        right_suffix=right_suffix,
+    )
+    return hot_joined.union(cold_joined)
