@@ -76,7 +76,7 @@ def prefix_sum_scan(
         sums = np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
         # bincount(weights=) goes through float64 — exact for |sum| < 2^53;
         # re-add in int64 when any bucket partial is large enough to care.
-        if v.size and np.abs(v).max() * v.size >= (1 << 52):
+        if v.size and float(np.abs(v).max()) * v.size >= float(1 << 52):
             sums = np.zeros(len(uniq), np.int64)
             np.add.at(sums, inv, v)
         return pa.table({"b": pa.array(uniq, pa.int64()), "s": pa.array(sums, pa.int64())})

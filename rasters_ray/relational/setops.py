@@ -53,7 +53,9 @@ def set_op(
             keys = t.column(col)
             v = keys.to_numpy(zero_copy_only=False)
             uniq = np.unique(v)
-            arr = pa.array(uniq)
+            # explicit type so EMPTY blocks don't degrade to null arrays
+            # (string keys -> object dtype -> pa.array([]) would be null)
+            arr = pa.array(uniq, type=keys.type)
             return pa.table(
                 {
                     "k": arr,

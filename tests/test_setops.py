@@ -32,3 +32,16 @@ def test_setops_match_python_sets(ray_session, op, fn):
 def test_setops_rejects_unknown_op(ray_session):
     with pytest.raises(ValueError):
         set_op(_ds([1], 1), _ds([2], 1), "k", "xor")
+
+
+def test_setops_string_keys_with_empty_blocks(ray_session):
+    import ray.data as rd
+
+    a = rd.from_arrow(
+        pa.table({"k": pa.array(["a", "b", "c", "c"], pa.string())})
+    ).repartition(6)  # more blocks than rows -> empty blocks exist
+    b = rd.from_arrow(
+        pa.table({"k": pa.array(["b", "d"], pa.string())})
+    ).repartition(3)
+    got = set_op(a, b, "k", "intersect").to_pandas()["k"]
+    assert set(got) == {"b"}
