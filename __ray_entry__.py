@@ -3162,6 +3162,47 @@ def q_priority_semi(sf_dir: str):
     )
 
 
+def q_data_mix(sf_dir: str):
+    """Training-corpus mixing: each source contributes a per-source
+    QUOTA of documents (quota = 10 * (1 + source_index % 3)), selected
+    deterministically by smallest md5 sample key — reproducible corpus
+    composition under any repartitioning.  topk_per_group at the max
+    quota, then the per-source cut; bounded shuffle (partial top-k per
+    block first)."""
+    import hashlib
+
+    from rasters_ray.relational import topk_per_group
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keys = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return t.append_column("sample_key", pa.array(keys, pa.int64()))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        add_key, batch_format="pyarrow"
+    )
+    ranked = topk_per_group(
+        ds, "source", "sample_key", k=30, carry_cols=["doc_id"],
+        descending=False,
+    )
+
+    def quota_cut(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        idx = np.array([int(s[3:]) for s in src], np.int64)
+        quota = 10 * (1 + idx % 3)
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        out = t.filter(pa.array(rank <= quota))
+        return out.rename_columns(
+            ["sel_rank" if c == "rank" else c for c in out.column_names]
+        )
+
+    return ranked.map_batches(quota_cut, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3255,6 +3296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "focal_median": q_focal_median,
         "priority_semi": q_priority_semi,
+        "data_mix": q_data_mix,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4320,6 +4362,25 @@ WHERE EXISTS (
         f"({_V(1, -1)} + 2 * {_V(1, 0)} + {_V(1, 1)})"
         f" - ({_V(-1, -1)} + 2 * {_V(-1, 0)} + {_V(-1, 1)})"
     )
+    _dhx = lambda p: (  # noqa: E731
+        f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)"
+    )
+    _dkey = "(" + " + ".join(f"{_dhx(p)} * {16 ** (8 - p)}" for p in range(1, 9)) + ")"
+    sql["data_mix"] = f"""
+WITH s AS (
+  SELECT source, doc_id, CAST({_dkey} AS BIGINT) AS sample_key
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, sample_key,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY sample_key ASC, doc_id ASC) AS sel_rank
+  FROM s
+)
+SELECT source, doc_id, sample_key, sel_rank FROM r
+WHERE sel_rank <= 10 * (1 + CAST(source[4:] AS BIGINT) % 3)
+"""
+
     sql["priority_semi"] = """
 SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders o
