@@ -1307,6 +1307,23 @@ def q_pricing_summary(sf_dir: str):
     return grouped_int_sums(ds, ["l_returnflag", "l_linestatus"], vals, count_col="n")
 
 
+def _fold_revenue(t: pa.Table) -> pa.Table:
+    """Pre-shuffle byte fold: lineitem's (price, discount) float pair
+    collapses to ONE int64 revenue-cents column before the all-to-all —
+    half the value bytes on the wire, and the floor-per-row is exactly
+    what the downstream int_sum_partial did anyway."""
+    ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    di = t.column("l_discount").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "l_orderkey": t.column("l_orderkey"),
+            "revenue_c": pa.array(
+                np.floor((ep * (1.0 - di)) * 100.0).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 def q_segment_revenue(sf_dir: str):
     """Large ⋈ large distributed hash join (lineitem ⋈ orders) stacked on
     a zero-shuffle broadcast join (orders ⋈ customer, small side
@@ -1324,13 +1341,19 @@ def q_segment_revenue(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"])
-    seg_orders = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    seg_orders = broadcast_join(
+        orders, cust, on="o_custkey", right_on="c_custkey"
+    ).map_batches(
+        # o_custkey is spent after the broadcast hop — don't shuffle it
+        lambda t: t.select(["o_orderkey", "o_orderpriority", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_fold_revenue, batch_format="pyarrow")
 
     def vals(t: pa.Table) -> dict:
-        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        di = t.column("l_discount").to_numpy(zero_copy_only=False)
-        return {"revenue_c": np.floor((ep * (1.0 - di)) * 100.0).astype(np.int64)}
+        return {"revenue_c": t.column("revenue_c").to_numpy(zero_copy_only=False)}
 
     keys = ["c_mktsegment", "o_orderpriority"]
     # the reduction FUSES into the join task (post=): each partition's
@@ -1374,14 +1397,17 @@ def q_region_revenue(sf_dir: str):
     lookup = cnr.select(["c_custkey", "r_name"])
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    reg_orders = broadcast_join(orders, lookup, on="o_custkey",
-                                right_on="c_custkey")
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    reg_orders = broadcast_join(
+        orders, lookup, on="o_custkey", right_on="c_custkey"
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "r_name"]), batch_format="pyarrow"
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_fold_revenue, batch_format="pyarrow")
 
     def vals(t: pa.Table) -> dict:
-        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        di = t.column("l_discount").to_numpy(zero_copy_only=False)
-        return {"revenue_c": np.floor((ep * (1.0 - di)) * 100.0).astype(np.int64)}
+        return {"revenue_c": t.column("revenue_c").to_numpy(zero_copy_only=False)}
 
     joined = hash_join(
         li,

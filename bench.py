@@ -77,6 +77,7 @@ def run_bench() -> dict:
     rd.DataContext.get_current().enable_progress_bars = False
 
     import numpy as np
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -206,16 +207,46 @@ def run_bench() -> dict:
             f"{SF_DIR}/orders.parquet",
             columns=["o_orderkey", "o_custkey", "o_orderpriority"],
         )
-        seg = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+        seg = broadcast_join(
+            orders, cust, on="o_custkey", right_on="c_custkey"
+        ).map_batches(
+            # o_custkey is spent after the broadcast hop — don't shuffle it
+            lambda t: t.select(["o_orderkey", "o_orderpriority", "c_mktsegment"]),
+            batch_format="pyarrow",
+        )
         li = rd.read_parquet(
             f"{SF_DIR}/lineitem.parquet",
             columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ).map_batches(
+            # fold revenue to ONE int64 per row BEFORE the all-to-all:
+            # the shuffle moves 8 value bytes/row instead of 16
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "revenue_c": pa.array(
+                        np.floor(
+                            (
+                                t.column("l_extendedprice").to_numpy(
+                                    zero_copy_only=False
+                                )
+                                * (
+                                    1.0
+                                    - t.column("l_discount").to_numpy(
+                                        zero_copy_only=False
+                                    )
+                                )
+                            )
+                            * 100.0
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
         )
 
         def vals(t):
-            ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-            di = t.column("l_discount").to_numpy(zero_copy_only=False)
-            return {"revenue_c": np.floor((ep * (1.0 - di)) * 100.0).astype(np.int64)}
+            return {"revenue_c": t.column("revenue_c").to_numpy(zero_copy_only=False)}
 
         keys = ["c_mktsegment", "o_orderpriority"]
         # reduction fused into the join task: each partition's join output
