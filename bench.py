@@ -258,6 +258,17 @@ def run_bench() -> dict:
         out = grouped_int_sums(joined, keys, None, partials_ready=True)
         stats["n_join_groups"] = out.count()
 
+    def stage_curation():
+        # capstone text pipeline: normalize -> exact-dedup on normalized
+        # key -> quality filter -> hash split -> per-split stats (the
+        # oracle-checked q_curation over the bench-scale documents table)
+        import __ray_entry__ as entrymod
+
+        out = entrymod.q_curation(SF_DIR)
+        stats["n_curation_splits"] = out.num_rows if hasattr(
+            out, "num_rows"
+        ) else out.count()
+
     stages = [
         ("tiling", stage_tiling),
         ("point_join", stage_point_join),
@@ -267,6 +278,7 @@ def run_bench() -> dict:
         ("lsh_ann", stage_lsh_ann),
         ("ivf_ann", stage_ivf_ann),
         ("hash_join", stage_hash_join),
+        ("curation", stage_curation),
     ]
 
     # this sandbox VM shows fluctuating hypervisor steal (BASELINE.md
