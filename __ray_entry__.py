@@ -3229,6 +3229,18 @@ def q_data_mix(sf_dir: str):
     return ranked.map_batches(quota_cut, batch_format="pyarrow")
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge training (text/bpe.py) — 8 rounds of
+    most-frequent-pair over the documents corpus, each round one
+    vocabulary-weighted streaming pass + an n_parts-row driver pick.
+    Rows-only: the merge loop is inherently iterative; the distributed
+    trainer is asserted bit-equal to a sequential reference in
+    tests/test_bpe.py."""
+    from rasters_ray.text.bpe import train_bpe
+
+    return train_bpe(_read(sf_dir, "documents", ["text"]), n_merges=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3327,6 +3339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
         "sketch_quantiles": q_sketch_quantiles,
+        "bpe_merges": q_bpe_merges,
         "cluster_assign": q_cluster_assign,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
