@@ -3241,6 +3241,46 @@ def q_bpe_merges(sf_dir: str):
     return train_bpe(_read(sf_dir, "documents", ["text"]), n_merges=8)
 
 
+def q_box_overlay(sf_dir: str):
+    """Vector overlay (intersection area): image footprints x query
+    boxes -> per-pair clipped rectangle + area.  Broadcast small side,
+    vectorized min/max per batch; per-pair float arithmetic only (no
+    cross-row sums), so areas hash bit-exact against the SQL
+    LEAST/GREATEST form.  The R-tree candidate filter (state/rtree.py)
+    is the scale path when the box side outgrows a broadcast."""
+    boxes = np.array(
+        [[x0, y0, x1, y1] for _, x0, y0, x1, y1 in PIP_BOXES], np.float64
+    )
+    names = np.asarray([b[0] for b in PIP_BOXES], dtype=object)
+
+    def overlay(t: pa.Table) -> pa.Table:
+        grids = t.column("grid").to_pylist()
+        ids = np.asarray(t.column("image_id").to_pylist(), dtype=object)
+        x0 = np.array([g["x_origin"] for g in grids])
+        y1 = np.array([g["y_origin"] for g in grids])  # top
+        x1 = x0 + np.array([g["cell_width"] * g["cols"] for g in grids])
+        y0 = y1 + np.array([g["cell_height"] * g["rows"] for g in grids])
+        ixmin = np.maximum(x0[:, None], boxes[None, :, 0])
+        iymin = np.maximum(y0[:, None], boxes[None, :, 1])
+        ixmax = np.minimum(x1[:, None], boxes[None, :, 2])
+        iymax = np.minimum(y1[:, None], boxes[None, :, 3])
+        w = ixmax - ixmin
+        h = iymax - iymin
+        hit = (w > 0) & (h > 0)
+        ii, jj = np.nonzero(hit)
+        return pa.table(
+            {
+                "image_id": pa.array(ids[ii], pa.string()),
+                "poly_id": pa.array(names[jj], pa.string()),
+                "area": pa.array(w[ii, jj] * h[ii, jj], pa.float64()),
+            }
+        )
+
+    return _images_ds(sf_dir, N_IMG_TILE).map_batches(
+        overlay, batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3335,6 +3375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_median": q_focal_median,
         "priority_semi": q_priority_semi,
         "data_mix": q_data_mix,
+        "box_overlay": q_box_overlay,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3745,6 +3786,23 @@ SELECT printf('img%08d', d) AS image_id, COUNT(*) AS n_points
 FROM pts p, imgs i
 WHERE p.x > i.x0 AND p.x < i.x0 + 1.0e0 AND p.y > i.y0 - 1.0e0 AND p.y < i.y0
 GROUP BY d
+"""
+
+    _boxes_vals = ", ".join(
+        f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
+        for n, x0, y0, x1, y1 in PIP_BOXES
+    )
+    sql["box_overlay"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_TILE).strip()},
+b(poly_id, bx0, by0, bx1, by1) AS (VALUES {_boxes_vals}),
+ov AS (
+  SELECT printf('img%08d', i.d) AS image_id, b.poly_id,
+         LEAST(i.x0 + 1.0e0, b.bx1) - GREATEST(i.x0, b.bx0) AS w,
+         LEAST(i.y0, b.by1) - GREATEST(i.y0 - 1.0e0, b.by0) AS h
+  FROM imgs i, b
+)
+SELECT image_id, poly_id, w * h AS area
+FROM ov WHERE w > 0 AND h > 0
 """
 
     sql["trim"] = f"""
