@@ -42,7 +42,12 @@ __all__ = ["build_first_seen_index", "IndexShard"]
 def _shard_cls():
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    # num_cpus=0: the shards must ALWAYS be schedulable — ingest map
+    # tasks block on shard acks while holding their own CPUs, so a
+    # CPU-reserving shard could deadlock against a saturated task pool.
+    # The shards are dict mutators (microseconds per call); they share
+    # cores safely.
+    @ray.remote(num_cpus=0)
     class IndexShard:
         """Owns one hash slice: key -> smallest order value seen."""
 
