@@ -3281,6 +3281,76 @@ def q_box_overlay(sf_dir: str):
     )
 
 
+_ANALYZE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_analyze(sf_dir: str):
+    """Catalog statistics (the ANALYZE pass every planner needs): one
+    streaming scan computes (n, n_null, min, max, floor-cents sum) for
+    EVERY numeric column at once — per-batch partials are a few scalars
+    per column, final reduce is column-count-sized."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols: list = []
+        n: list = []
+        nn: list = []
+        vmin: list = []
+        vmax: list = []
+        sc: list = []
+        for c in _ANALYZE_COLS:
+            col = t.column(c)
+            v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            nulls = int(col.null_count) + int(np.isnan(v).sum())
+            ok = v[~np.isnan(v)]
+            cols.append(c)
+            n.append(t.num_rows)
+            nn.append(nulls)
+            vmin.append(float(ok.min()) if len(ok) else np.inf)
+            vmax.append(float(ok.max()) if len(ok) else -np.inf)
+            sc.append(int(np.floor(ok * 100.0).astype(np.int64).sum()))
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "n_null": pa.array(nn, pa.int64()),
+                "vmin": pa.array(vmin, pa.float64()),
+                "vmax": pa.array(vmax, pa.float64()),
+                "sum_cents": pa.array(sc, pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col": pa.array([group.column("col")[0].as_py()], pa.string()),
+                "n": pa.array(
+                    [int(group.column("n").to_numpy().sum())], pa.int64()
+                ),
+                "n_null": pa.array(
+                    [int(group.column("n_null").to_numpy().sum())], pa.int64()
+                ),
+                "vmin": pa.array(
+                    [float(group.column("vmin").to_numpy().min())], pa.float64()
+                ),
+                "vmax": pa.array(
+                    [float(group.column("vmax").to_numpy().max())], pa.float64()
+                ),
+                "sum_cents": pa.array(
+                    [int(group.column("sum_cents").to_numpy().sum())], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", _ANALYZE_COLS)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("col")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3376,6 +3446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_semi": q_priority_semi,
         "data_mix": q_data_mix,
         "box_overlay": q_box_overlay,
+        "analyze": q_analyze,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4477,6 +4548,16 @@ r AS (
 SELECT source, doc_id, sample_key, sel_rank FROM r
 WHERE sel_rank <= 10 * (1 + CAST(source[4:] AS BIGINT) % 3)
 """
+
+    _an = " UNION ALL ".join(
+        f"""SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       MIN({c}) AS vmin, MAX({c}) AS vmax,
+       CAST(SUM(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem"""
+        for c in _ANALYZE_COLS
+    )
+    sql["analyze"] = _an
 
     sql["priority_semi"] = """
 SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
