@@ -3351,6 +3351,36 @@ def q_analyze(sf_dir: str):
     )
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTERING end to end: pHash Hamming pairs (pigeonhole
+    buckets + popcount verify) -> distributed CCF connected components ->
+    (image node, cluster root) — the canonicalization step that turns a
+    pair list into dedup groups.  Oracle: recursive min-label CTE over
+    the SQL-recomputed pair set."""
+    from rasters_ray.relational.concomp import connected_components
+    from rasters_ray.sources import images_dataset
+    from rasters_ray.text import hamming_near_dups
+
+    _phash_fixture_path()
+    imgs = images_dataset(PHASH_FIXTURE_N, profile="fixtures").select_columns(
+        ["image_id", "phash"]
+    )
+    pairs = hamming_near_dups(imgs, max_dist=6, bands=8, cap=2 * PHASH_FIXTURE_N)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = np.array(
+            [int(s[3:]) for s in t.column("a").to_pylist()], np.int64
+        )
+        b = np.array(
+            [int(s[3:]) for s in t.column("b").to_pylist()], np.int64
+        )
+        return pa.table(
+            {"u": pa.array(a, pa.int64()), "v": pa.array(b, pa.int64())}
+        )
+
+    return connected_components(pairs.map_batches(to_edges, batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3447,6 +3477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_mix": q_data_mix,
         "box_overlay": q_box_overlay,
         "analyze": q_analyze,
+        "dup_clusters": q_dup_clusters,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4487,6 +4518,26 @@ walk(node, lbl) AS (
 ),
 cc AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node)
 SELECT node, root, COUNT(*) OVER (PARTITION BY root) AS csize FROM cc
+"""
+
+    sql["dup_clusters"] = f"""
+WITH RECURSIVE t AS (
+  SELECT CAST(image_id[4:] AS BIGINT) AS iid, phash
+  FROM read_parquet('{phash_path}')
+),
+p AS (
+  SELECT x.iid AS u, y.iid AS v
+  FROM t x JOIN t y ON x.iid < y.iid
+  WHERE bit_count(xor(x.phash, y.phash)) <= 6
+),
+edges AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+walk(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node, MIN(lbl) AS root FROM walk GROUP BY node
 """
 
     # Morton key: SQL bit interleave term-by-term over the 12 index bits
