@@ -3381,6 +3381,18 @@ def q_dup_clusters(sf_dir: str):
     return connected_components(pairs.map_batches(to_edges, batch_format="pyarrow"))
 
 
+def q_pq_codes(sf_dir: str):
+    """Product quantization (ann/pq.py): M=4 sub-quantizers trained in
+    one distributed pass per Lloyd round, vectors encoded to 4 codes.
+    Rows-only (iterative float training); reconstruction accuracy and
+    layout independence pinned in tests/test_pq.py."""
+    from rasters_ray.ann.pq import pq_encode, train_pq
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    books = train_pq(ds, m_subspaces=4, k=16, iters=4)
+    return pq_encode(ds, books)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3483,6 +3495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca": q_pca,
         "sketch_quantiles": q_sketch_quantiles,
         "bpe_merges": q_bpe_merges,
+        "pq_codes": q_pq_codes,
         "cluster_assign": q_cluster_assign,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,

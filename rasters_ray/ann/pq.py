@@ -1,0 +1,135 @@
+"""Product quantization (Jégou et al. 2011, public algorithm) — the
+compressed-vector scale path: split each d-dim embedding into M
+subvectors, k-means each subspace, store M small codes per vector
+(M * log2(k) bits instead of 4d bytes).
+
+Distributed shape (one pass per Lloyd iteration covers ALL subspaces):
+per batch, for every subspace assign the subvectors to the broadcast
+codebooks and emit partial (sum, count) per (subspace, code) — a
+M * k * (d/M + 1)-float partial per batch, independent of row count.
+Driver folds the partials and recenters.  Initialization is the first k
+vectors' subvectors (deterministic, like ann.kmeans_centroids), so the
+codebooks — and therefore the codes — are block-layout independent.
+
+Encoding is a broadcast matmul per batch; reconstruction error is the
+accuracy measure (asserted against per-dataset variance in tests, the
+same measured-accuracy gate the LSH/IVF paths use).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray.ann.search import _batch_matrix
+
+__all__ = ["train_pq", "pq_encode", "pq_reconstruct"]
+
+
+def train_pq(
+    embeddings_ds,
+    m_subspaces: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    col: str = "embedding",
+):
+    """-> codebooks float32[M, k, d/M]."""
+    import ray
+
+    first = embeddings_ds.limit(k).take_all()
+    x0 = np.stack([np.asarray(r[col], dtype=np.float32) for r in first])
+    n0, d = x0.shape
+    if n0 < k:
+        raise ValueError(f"need >= {k} vectors to init {k} codes")
+    if d % m_subspaces:
+        raise ValueError("dim must divide m_subspaces")
+    ds_ = d // m_subspaces
+    books = np.stack(
+        [x0[:, m * ds_ : (m + 1) * ds_].copy() for m in range(m_subspaces)]
+    )  # [M, k, ds]
+
+    for _ in range(iters):
+        bref = ray.put(books)
+
+        def partial(t: pa.Table) -> pa.Table:
+            from rasters_ray.stages.point_join import _cached_get
+
+            b = _cached_get(bref)
+            x = _batch_matrix(t, col).astype(np.float32)
+            rows = {"m": [], "code": [], "vsum": [], "n": []}
+            for m in range(b.shape[0]):
+                sub = x[:, m * ds_ : (m + 1) * ds_]
+                d2 = (
+                    (sub * sub).sum(1)[:, None]
+                    - 2.0 * (sub @ b[m].T)
+                    + (b[m] * b[m]).sum(1)[None, :]
+                )
+                a = np.argmin(d2, axis=1)
+                sums = np.zeros((b.shape[1], ds_), np.float64)
+                np.add.at(sums, a, sub)
+                cnt = np.bincount(a, minlength=b.shape[1]).astype(np.int64)
+                rows["m"].extend([m] * b.shape[1])
+                rows["code"].extend(range(b.shape[1]))
+                rows["vsum"].extend(list(sums))
+                rows["n"].extend(cnt.tolist())
+            return pa.table(
+                {
+                    "m": pa.array(rows["m"], pa.int64()),
+                    "code": pa.array(rows["code"], pa.int64()),
+                    "vsum": pa.array(rows["vsum"], pa.list_(pa.float64())),
+                    "n": pa.array(rows["n"], pa.int64()),
+                }
+            )
+
+        parts = embeddings_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        # driver-small: M*k rows per block
+        sums = np.zeros((m_subspaces, k, ds_), np.float64)
+        cnts = np.zeros((m_subspaces, k), np.int64)
+        for mm, cc, vs, nn in zip(parts["m"], parts["code"], parts["vsum"], parts["n"]):
+            sums[int(mm), int(cc)] += np.asarray(vs)
+            cnts[int(mm), int(cc)] += int(nn)
+        nz = cnts > 0
+        for m in range(m_subspaces):
+            for c in range(k):
+                if nz[m, c]:
+                    books[m, c] = (sums[m, c] / cnts[m, c]).astype(np.float32)
+    return books
+
+
+def pq_encode(embeddings_ds, books: np.ndarray, col: str = "embedding",
+              id_col: str = "vec_id"):
+    """-> Dataset[(vec_id, codes: list<int64>[M])]."""
+    import ray
+
+    m_subspaces, k, ds_ = books.shape
+    bref = ray.put(books)
+
+    def encode(t: pa.Table) -> pa.Table:
+        from rasters_ray.stages.point_join import _cached_get
+
+        b = _cached_get(bref)
+        x = _batch_matrix(t, col).astype(np.float32)
+        codes = np.zeros((len(x), m_subspaces), np.int64)
+        for m in range(m_subspaces):
+            sub = x[:, m * ds_ : (m + 1) * ds_]
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ b[m].T)
+                + (b[m] * b[m]).sum(1)[None, :]
+            )
+            codes[:, m] = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "codes": pa.array(list(codes), pa.list_(pa.int64())),
+            }
+        )
+
+    return embeddings_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """codes [n, M] -> reconstructed vectors [n, d]."""
+    return np.concatenate(
+        [books[m][codes[:, m]] for m in range(books.shape[0])], axis=1
+    )

@@ -1,0 +1,50 @@
+"""Product quantization: reconstruction accuracy + determinism."""
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray.ann.pq import pq_encode, pq_reconstruct, train_pq
+
+
+def _ds(x: np.ndarray, n_blocks: int, shuffle_seed=None):
+    import ray.data as rd
+
+    tab = pa.table(
+        {
+            "vec_id": np.arange(len(x), dtype=np.int64),
+            "embedding": pa.array(
+                [r.astype(np.float32) for r in x], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(tab)
+    if shuffle_seed is not None:
+        ds = ds.random_shuffle(seed=shuffle_seed)
+    return ds.repartition(n_blocks)
+
+
+def test_pq_reconstruction_beats_global_mean(ray_session):
+    rng = np.random.default_rng(2)
+    # clustered data: PQ should capture most of the variance
+    centers = rng.normal(size=(8, 16)) * 4
+    x = centers[rng.integers(0, 8, 2000)] + rng.normal(size=(2000, 16)) * 0.3
+    x = x.astype(np.float32).astype(np.float64)
+    ds = _ds(x, 6)
+    books = train_pq(ds, m_subspaces=4, k=16, iters=5)
+    codes_df = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    codes = np.stack(codes_df["codes"].to_numpy())
+    recon = pq_reconstruct(codes, books)
+    mse = np.mean((recon - x) ** 2)
+    base = np.mean((x - x.mean(0)) ** 2)  # rank-0 baseline
+    assert mse < 0.15 * base
+    assert codes.shape == (2000, 4)
+    assert codes.max() < 16
+
+
+def test_pq_codes_layout_independent(ray_session):
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(600, 8)).astype(np.float32).astype(np.float64)
+    # same logical order (init = first k vectors), different block layout
+    a_books = train_pq(_ds(x, 3), m_subspaces=2, k=8, iters=3)
+    b_books = train_pq(_ds(x, 9), m_subspaces=2, k=8, iters=3)
+    np.testing.assert_allclose(a_books, b_books, rtol=0, atol=1e-6)
