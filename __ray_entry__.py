@@ -3393,6 +3393,25 @@ def q_pq_codes(sf_dir: str):
     return pq_encode(ds, books)
 
 
+def q_pq_ann(sf_dir: str):
+    """PQ-ADC ANN search (ann/pq.py::pq_topk): code-only shortlist via
+    broadcast lookup tables, exact rerank of the shortlist — the
+    IVF-PQ deployment pattern.  Rows-only; shortlist recall asserted in
+    tests/test_pq.py."""
+    import pyarrow.parquet as pq_mod
+
+    from rasters_ray.ann.pq import pq_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = pq_mod.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    qm = np.stack(
+        [np.asarray(emb.column("embedding")[i].as_py()) for i in range(4)]
+    )
+    return pq_topk(ds, qm, k_results=10, m_subspaces=4, n_codes=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3496,6 +3515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_quantiles": q_sketch_quantiles,
         "bpe_merges": q_bpe_merges,
         "pq_codes": q_pq_codes,
+        "pq_ann": q_pq_ann,
         "cluster_assign": q_cluster_assign,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,

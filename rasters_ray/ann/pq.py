@@ -133,3 +133,102 @@ def pq_reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
     return np.concatenate(
         [books[m][codes[:, m]] for m in range(books.shape[0])], axis=1
     )
+
+
+def pq_topk(
+    embeddings_ds,
+    query_matrix: np.ndarray,
+    k_results: int = 10,
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    iters: int = 4,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    shortlist: int = 8,
+) -> pa.Table:
+    """ADC-shortlist + exact-rerank search (the PQ deployment pattern):
+    train PQ, then per batch score vectors against the queries using
+    only their CODES — distance(query, vec) ~= sum_m LUT[m][code_m],
+    the query-to-codebook distance table broadcast once — keep an
+    ADC shortlist of ``shortlist * k_results`` per batch, and exact-
+    rerank only the shortlist (at deployment the codes live in RAM and
+    only shortlist rows touch the raw vectors).  Partial top-k per
+    batch -> driver merge on the exact distance; shortlist recall is
+    the measured accuracy (tests — the LSH/IVF accuracy-gate pattern).
+
+    Returns Table[(query_idx, rank, vec_id, dist)].
+    """
+    import ray
+
+    books = train_pq(
+        embeddings_ds, m_subspaces=m_subspaces, k=n_codes, iters=iters, col=col
+    )
+    m_sub, k, ds_ = books.shape
+    q = np.ascontiguousarray(query_matrix, dtype=np.float32)
+    # LUT[m, qi, code] = ||q_sub - book||^2, shared by every batch task
+    lut = np.stack(
+        [
+            ((q[:, m * ds_ : (m + 1) * ds_][:, None, :] - books[m][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            for m in range(m_sub)
+        ]
+    )  # [M, nq, k]
+    state = ray.put((books, lut))
+
+    def partial(t: pa.Table) -> pa.Table:
+        from rasters_ray.stages.point_join import _cached_get
+
+        b, lt = _cached_get(state)
+        x = _batch_matrix(t, col).astype(np.float32)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        codes = np.zeros((len(x), m_sub), np.int64)
+        for m in range(m_sub):
+            sub = x[:, m * ds_ : (m + 1) * ds_]
+            d2 = (
+                (sub * sub).sum(1)[:, None]
+                - 2.0 * (sub @ b[m].T)
+                + (b[m] * b[m]).sum(1)[None, :]
+            )
+            codes[:, m] = np.argmin(d2, axis=1)
+        nq = lt.shape[1]
+        # adc[qi, n] = sum_m lut[m, qi, codes[n, m]]
+        adc = np.zeros((nq, len(x)), np.float32)
+        for m in range(m_sub):
+            adc += lt[m][:, codes[:, m]]
+        kk = min(shortlist * k_results, len(x))
+        short = np.argpartition(adc, kk - 1, axis=1)[:, :kk]
+        keep = min(k_results, kk)
+        rows = {"query_idx": [], "vec_id": [], "dist": []}
+        for qi in range(nq):
+            cand = short[qi]
+            exact = ((x[cand] - q[qi]) ** 2).sum(axis=1)  # rerank shortlist
+            best = np.argsort(exact, kind="stable")[:keep]
+            rows["query_idx"].extend([qi] * keep)
+            rows["vec_id"].extend(ids[cand[best]].tolist())
+            rows["dist"].extend(exact[best].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(rows["query_idx"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "dist": pa.array(rows["dist"], pa.float64()),
+            }
+        )
+
+    cand = embeddings_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # driver-small: k_results * n_blocks rows per query
+    out = {"query_idx": [], "rank": [], "vec_id": [], "dist": []}
+    for qi, grp in cand.groupby("query_idx"):
+        grp = grp.sort_values(["dist", "vec_id"], kind="mergesort").head(k_results)
+        out["query_idx"].extend([int(qi)] * len(grp))
+        out["rank"].extend(range(1, len(grp) + 1))
+        out["vec_id"].extend(int(v) for v in grp["vec_id"])
+        out["dist"].extend(float(v) for v in grp["dist"])
+    return pa.table(
+        {
+            "query_idx": pa.array(out["query_idx"], pa.int64()),
+            "rank": pa.array(out["rank"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "dist": pa.array(out["dist"], pa.float64()),
+        }
+    )

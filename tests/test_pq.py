@@ -48,3 +48,24 @@ def test_pq_codes_layout_independent(ray_session):
     a_books = train_pq(_ds(x, 3), m_subspaces=2, k=8, iters=3)
     b_books = train_pq(_ds(x, 9), m_subspaces=2, k=8, iters=3)
     np.testing.assert_allclose(a_books, b_books, rtol=0, atol=1e-6)
+
+
+def test_pq_adc_topk_recall(ray_session):
+    from rasters_ray.ann.pq import pq_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 16)) * 3
+    x = centers[rng.integers(0, 10, 1500)] + rng.normal(size=(1500, 16)) * 0.2
+    x = x.astype(np.float32).astype(np.float64)
+    q = x[:5] + rng.normal(size=(5, 16)) * 0.01
+    out = pq_topk(_ds(x, 5), q, k_results=10, m_subspaces=4, n_codes=16).to_pandas()
+    # exact L2 top-10 per query
+    hits = 0
+    for qi in range(5):
+        d = ((x - q[qi]) ** 2).sum(1)
+        exact = set(np.argsort(d, kind="stable")[:10].tolist())
+        got = set(out[out["query_idx"] == qi]["vec_id"].tolist())
+        hits += len(exact & got)
+    recall = hits / 50.0
+    assert recall >= 0.9, recall  # ADC shortlist + exact rerank
+    assert (out.groupby("query_idx")["rank"].max() == 10).all()
