@@ -3412,6 +3412,51 @@ def q_pq_ann(sf_dir: str):
     return pq_topk(ds, qm, k_results=10, m_subspaces=4, n_codes=16)
 
 
+def q_knn_join(sf_dir: str):
+    """kNN JOIN: every point gets its 3 nearest image centers (squared
+    planar distance, ties by image id) — broadcast centers, one
+    vectorized distance matrix + argpartition per batch; the k-NN
+    generalization of the 1-NN swath lookup.  Oracle: cross join +
+    row_number window."""
+    K = 3
+
+    def centers():
+        d = np.arange(N_IMG_TILE, dtype=np.int64)
+        x0 = -124.0 + (d % 16) * 0.5
+        y0 = 44.0 - ((d // 16) % 16) * 0.5
+        return d, x0 + 0.5, y0 - 0.5  # footprint centers (1 x 1 deg)
+
+    cd, cx, cy = centers()
+
+    def knn(t: pa.Table) -> pa.Table:
+        px = t.column("x").to_numpy(zero_copy_only=False)
+        py = t.column("y").to_numpy(zero_copy_only=False)
+        pid = np.asarray(t.column("point_id").to_pylist(), dtype=object)
+        dx = px[:, None] - cx[None, :]
+        dy = py[:, None] - cy[None, :]
+        d2 = dx * dx + dy * dy
+        # rank by (d2, image d): lexsort per row via argsort over structured
+        order = np.lexsort((np.broadcast_to(cd, d2.shape), d2), axis=1)[:, :K]
+        n = len(px)
+        rows_p = np.repeat(pid, K)
+        rows_rank = np.tile(np.arange(1, K + 1, dtype=np.int64), n)
+        sel = order.ravel()
+        return pa.table(
+            {
+                "point_id": pa.array(rows_p, pa.string()),
+                "rank": pa.array(rows_rank, pa.int64()),
+                "image_id": pa.array(
+                    [f"img{int(v):08d}" for v in cd[sel]], pa.string()
+                ),
+                "d2": pa.array(
+                    d2[np.repeat(np.arange(n), K), sel], pa.float64()
+                ),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(knn, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3509,6 +3554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "box_overlay": q_box_overlay,
         "analyze": q_analyze,
         "dup_clusters": q_dup_clusters,
+        "knn_join": q_knn_join,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3927,6 +3973,24 @@ GROUP BY d
         f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
         for n, x0, y0, x1, y1 in PIP_BOXES
     )
+    sql["knn_join"] = f"""
+WITH {_PTS_CTE.strip()},
+{_IMGS_CTE.format(n=N_IMG_TILE).strip()},
+c AS (SELECT d, x0 + 0.5e0 AS cx, y0 - 0.5e0 AS cy FROM imgs),
+dd AS (
+  SELECT p.point_id, c.d,
+         (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) AS d2
+  FROM pts p, c
+),
+r AS (
+  SELECT point_id, d, d2,
+         row_number() OVER (PARTITION BY point_id ORDER BY d2, d) AS rank
+  FROM dd
+)
+SELECT point_id, rank, printf('img%08d', d) AS image_id, d2
+FROM r WHERE rank <= 3
+"""
+
     sql["box_overlay"] = f"""
 WITH {_IMGS_CTE.format(n=N_IMG_TILE).strip()},
 b(poly_id, bx0, by0, bx1, by1) AS (VALUES {_boxes_vals}),
