@@ -3457,6 +3457,49 @@ def q_knn_join(sf_dir: str):
     return _points_ds(sf_dir).map_batches(knn, batch_format="pyarrow")
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention: users grouped by their FIRST-activity day,
+    counted distinct per (cohort_day, age_days).  Two grouped stages —
+    per-user first day (hash groupby, vectorized min per partition),
+    then distinct (user, day) activity joined to cohorts and reduced —
+    all integer day arithmetic."""
+    from ray.data.aggregate import Sum
+
+    N_PARTS = 32
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(u % N_PARTS, pa.int64()))
+
+    def per_user(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // (_ts_unit(group.column("ts").type) * 86400)
+        # distinct (user, day) + per-user first day in one lexsort
+        order = np.lexsort((day, u))
+        uo, do = u[order], day[order]
+        new_pair = np.r_[True, (uo[1:] != uo[:-1]) | (do[1:] != do[:-1])]
+        uo, do = uo[new_pair], do[new_pair]
+        new_user = np.r_[True, uo[1:] != uo[:-1]]
+        first = np.repeat(do[new_user], np.diff(np.r_[np.flatnonzero(new_user), len(uo)]))
+        return pa.table(
+            {
+                "cohort_day": pa.array(first, pa.int64()),
+                "age_days": pa.array(do - first, pa.int64()),
+                "n": pa.array(np.ones(len(uo), np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_day", "age_days"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3555,6 +3598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze": q_analyze,
         "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
+        "retention": q_retention,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -3973,6 +4017,20 @@ GROUP BY d
         f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
         for n, x0, y0, x1, y1 in PIP_BOXES
     )
+    sql["retention"] = """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+),
+f AS (SELECT user_id, MIN(day) AS first_day FROM a GROUP BY user_id)
+SELECT f.first_day AS cohort_day,
+       a.day - f.first_day AS age_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN f ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
     sql["knn_join"] = f"""
 WITH {_PTS_CTE.strip()},
 {_IMGS_CTE.format(n=N_IMG_TILE).strip()},
