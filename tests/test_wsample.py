@@ -57,3 +57,23 @@ def test_weighted_sample_rejects_nonpositive_total(ray_session):
     )
     with pytest.raises(ValueError):
         weighted_systematic_sample(ds, "id", "p", k=4)
+
+
+def test_weighted_sample_proportionality_bound(ray_session):
+    """Systematic sampling invariant: every row's hit count is within 1
+    of its proportional share k*w/W (zero-variance stride property)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    n, k = 1500, 40
+    order = np.arange(n, dtype=np.int64)
+    price = np.round(rng.lognormal(3, 1.2, n) * 100) / 100
+    ds = rd.from_arrow(pa.table({"id": order, "p": price})).repartition(6)
+    got = weighted_systematic_sample(ds, "id", "p", k=k, bucket_size=128).to_pandas()
+    cents = np.floor(price * 100).astype(np.int64)
+    W = cents.sum()
+    hits = np.zeros(n, np.int64)
+    hits[got["id"].to_numpy()] = got["n_hits"].to_numpy()
+    share = k * cents / W
+    assert (np.abs(hits - share) <= 1.0).all()
+    assert hits.sum() == k
