@@ -37,6 +37,14 @@ def fit_pca(embeddings_ds, n_components: int, col: str = "embedding"):
     covariance, sorted by descending eigenvalue, deterministic sign."""
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.float64())),
+                    "g": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         m = _batch_matrix(t, col).astype(np.float64)
         n, d = m.shape
         s = m.sum(axis=0)
@@ -86,6 +94,13 @@ def pca_project(
     def project(t: pa.Table) -> pa.Table:
         from rasters_ray.stages.point_join import _cached_get
 
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "proj": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         c, m = _cached_get(state_ref)
         x = _batch_matrix(t, col).astype(np.float64)
         p = (x - m) @ c.T

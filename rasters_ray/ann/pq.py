@@ -54,6 +54,15 @@ def train_pq(
         def partial(t: pa.Table) -> pa.Table:
             from rasters_ray.stages.point_join import _cached_get
 
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "m": pa.array([], pa.int64()),
+                        "code": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
             b = _cached_get(bref)
             x = _batch_matrix(t, col).astype(np.float32)
             rows = {"m": [], "code": [], "vsum": [], "n": []}
@@ -107,6 +116,13 @@ def pq_encode(embeddings_ds, books: np.ndarray, col: str = "embedding",
     def encode(t: pa.Table) -> pa.Table:
         from rasters_ray.stages.point_join import _cached_get
 
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "codes": pa.array([], pa.list_(pa.int64())),
+                }
+            )
         b = _cached_get(bref)
         x = _batch_matrix(t, col).astype(np.float32)
         codes = np.zeros((len(x), m_subspaces), np.int64)
@@ -179,6 +195,14 @@ def pq_topk(
     def partial(t: pa.Table) -> pa.Table:
         from rasters_ray.stages.point_join import _cached_get
 
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
         b, lt = _cached_get(state)
         x = _batch_matrix(t, col).astype(np.float32)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)

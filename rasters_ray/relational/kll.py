@@ -36,8 +36,14 @@ class MRLSketch:
         self._parity = 0
 
     def add(self, values: np.ndarray) -> None:
-        self.levels[0].extend(np.asarray(values, np.float64).tolist())
-        self._compact()
+        v = np.asarray(values, np.float64)
+        # feed in <=2k slices so level-0 never exceeds its bound — a whole
+        # multi-million-row block boxed into one Python list would defeat
+        # the sketch's O(k log n) memory point inside map_batches
+        step = 2 * self.k
+        for i in range(0, len(v), step):
+            self.levels[0].extend(v[i : i + step].tolist())
+            self._compact()
 
     def merge(self, other: "MRLSketch") -> None:
         while len(self.levels) < len(other.levels):

@@ -113,12 +113,13 @@ def winsorized_stats(ds, col: str, group_col: str, p_lo: float, p_hi: float):
     cuts = exact_quantiles(ds, col, [p_lo, p_hi])
     vals = cuts.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
     lo, hi = float(vals.min()), float(vals.max())
+    key_type = ds.schema().base_schema.field(group_col).type
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table(
                 {
-                    "k": pa.array([], pa.string()),
+                    "k": pa.array([], key_type),
                     "n": pa.array([], pa.int64()),
                     "n_lo": pa.array([], pa.int64()),
                     "n_hi": pa.array([], pa.int64()),
@@ -137,7 +138,7 @@ def winsorized_stats(ds, col: str, group_col: str, p_lo: float, p_hi: float):
         np.add.at(s, inv, cents)
         return pa.table(
             {
-                "k": pa.array(uniq, pa.string()),
+                "k": pa.array(uniq, key_type),
                 "n": pa.array(n, pa.int64()),
                 "n_lo": pa.array(n_lo, pa.int64()),
                 "n_hi": pa.array(n_hi, pa.int64()),
@@ -152,7 +153,7 @@ def winsorized_stats(ds, col: str, group_col: str, p_lo: float, p_hi: float):
         }
         return pa.table(
             {
-                "k": pa.array([group.column("k")[0].as_py()], pa.string()),
+                "k": pa.array([group.column("k")[0].as_py()], group.schema.field("k").type),
                 **{c: pa.array([v], pa.int64()) for c, v in sums.items()},
             }
         )

@@ -51,6 +51,11 @@ def set_op(
     def tagger(col: str, is_a: bool):
         def tag(t: pa.Table) -> pa.Table:
             keys = t.column(col)
+            if keys.null_count:
+                # null keys are EXCLUDED (np.unique cannot order None;
+                # SQL set ops would treat NULL as one regular member —
+                # COALESCE to a sentinel upstream to keep them)
+                keys = keys.drop_null()
             v = keys.to_numpy(zero_copy_only=False)
             uniq = np.unique(v)
             # explicit type so EMPTY blocks don't degrade to null arrays

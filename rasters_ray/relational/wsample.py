@@ -49,10 +49,15 @@ def weighted_systematic_sample(
 
     def to_cents(t: pa.Table) -> pa.Table:
         w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(w * 100.0).astype(np.int64)
+        if cents.size and cents.min() < 0:
+            # a negative weight would make cumulative intervals overlap,
+            # silently double-drawing some rows and losing others
+            raise ValueError("weights must be non-negative")
         return pa.table(
             {
                 order_col: t.column(order_col),
-                "w_cents": pa.array(np.floor(w * 100.0).astype(np.int64), pa.int64()),
+                "w_cents": pa.array(cents, pa.int64()),
             }
         )
 

@@ -66,16 +66,19 @@ def _shard_cls():
             f = self.first
             return [k in f for k in keys]
 
-        def dump(self):
+        def dump(self, key_type_str: str = "string"):
+            kt = pa.string() if key_type_str == "string" else getattr(
+                pa, key_type_str
+            )()
             if not self.first:
                 return pa.table(
-                    {"key": pa.array([], pa.string()),
+                    {"key": pa.array([], kt),
                      "first_id": pa.array([], pa.int64())}
                 )
             ks = list(self.first.keys())
             vs = [self.first[k] for k in ks]
             return pa.table(
-                {"key": pa.array(ks, pa.string()),
+                {"key": pa.array(ks, kt),
                  "first_id": pa.array(np.asarray(vs, np.int64), pa.int64())}
             )
 
@@ -102,6 +105,8 @@ def build_first_seen_index(
 
     cls = _shard_cls()
     shards = [cls.remote() for _ in range(n_shards)]
+    kt = ds.schema().base_schema.field(key_col).type
+    key_type_str = "string" if pa.types.is_string(kt) else str(kt)
 
     def ingest(t: pa.Table) -> pa.Table:
         keys = t.column(key_col)
@@ -121,7 +126,7 @@ def build_first_seen_index(
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
     total = ds.map_batches(ingest, batch_format="pyarrow").to_pandas()["n"].sum()
-    parts = ray.get([s.dump.remote() for s in shards])
+    parts = ray.get([s.dump.remote(key_type_str) for s in shards])
     out = pa.concat_tables(parts)
     assert total >= out.num_rows
     return out
