@@ -3500,6 +3500,58 @@ def q_retention(sf_dir: str):
     )
 
 
+def q_embedding_bounds(sf_dir: str):
+    """Per-dimension feature-scaling bounds over the embedding column:
+    one streaming pass of per-batch column-wise min/max partials (order-
+    independent, so exact — float SUMS across blocks would not be), tiny
+    per-dim reduce."""
+    from rasters_ray.ann.search import _batch_matrix
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vmin": pa.array([], pa.float64()),
+                    "vmax": pa.array([], pa.float64()),
+                }
+            )
+        m = _batch_matrix(t, "embedding").astype(np.float64)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(d, len(m), np.int64), pa.int64()),
+                "vmin": pa.array(m.min(axis=0), pa.float64()),
+                "vmax": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dim": pa.array([group.column("dim")[0].as_py()], pa.int64()),
+                "n": pa.array(
+                    [int(group.column("n").to_numpy().sum())], pa.int64()
+                ),
+                "vmin": pa.array(
+                    [float(group.column("vmin").to_numpy().min())], pa.float64()
+                ),
+                "vmax": pa.array(
+                    [float(group.column("vmax").to_numpy().max())], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3599,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
         "retention": q_retention,
+        "embedding_bounds": q_embedding_bounds,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4017,6 +4070,16 @@ GROUP BY d
         f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
         for n, x0, y0, x1, y1 in PIP_BOXES
     )
+    sql["embedding_bounds"] = """
+WITH x AS (
+  SELECT unnest(range(len(embedding))) AS dim, unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(v) AS DOUBLE) AS vmin, CAST(MAX(v) AS DOUBLE) AS vmax
+FROM x GROUP BY dim
+"""
+
     sql["retention"] = """
 WITH a AS (
   SELECT DISTINCT user_id,
