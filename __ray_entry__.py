@@ -3552,6 +3552,49 @@ def q_embedding_bounds(sf_dir: str):
     )
 
 
+def q_orders_by_month(sf_dir: str):
+    """Calendar reporting (the engine's date-function surface): orders
+    bucketed by civil (year, month) — timestamps -> numpy datetime64
+    month codes, vectorized; counts + floor-cents sums combiner-first."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "year": pa.array([], pa.int64()),
+                    "month": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        us = t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        m64 = us.to_numpy().astype("datetime64[us]").astype("datetime64[M]")
+        months = m64.astype(np.int64)  # months since 1970-01
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(months, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {
+                "year": pa.array(1970 + uniq // 12, pa.int64()),
+                "month": pa.array(1 + uniq % 12, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["year", "month"])
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("sum_cents", alias_name="revenue_cents"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3652,6 +3695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": q_knn_join,
         "retention": q_retention,
         "embedding_bounds": q_embedding_bounds,
+        "orders_by_month": q_orders_by_month,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4070,6 +4114,15 @@ GROUP BY d
         f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
         for n, x0, y0, x1, y1 in PIP_BOXES
     )
+    sql["orders_by_month"] = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders GROUP BY 1, 2
+"""
+
     sql["embedding_bounds"] = """
 WITH x AS (
   SELECT unnest(range(len(embedding))) AS dim, unnest(embedding) AS v
