@@ -3595,6 +3595,49 @@ def q_orders_by_month(sf_dir: str):
     )
 
 
+def q_percent_rank(sf_dir: str):
+    """Rank-based feature normalization: PERCENT_RANK of value within
+    each event_type — per-partition sorted arrays + two searchsorted
+    calls give tie-sharing ranks for every row at once; the final ratio
+    is an exact int/int divide both engines round identically."""
+    N_PARTS = 8
+
+    def tag(t: pa.Table) -> pa.Table:
+        from rasters_ray.util import hash_parts
+
+        # partition BY TYPE (stable cross-batch string hash) so each
+        # type is wholly in one group
+        return t.append_column(
+            "_part",
+            pa.array(hash_parts(t.column("event_type"), N_PARTS), pa.int64()),
+        )
+
+    def pr(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        v = group.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        out = np.empty(len(v), np.float64)
+        for ty in np.unique(et):
+            m = et == ty
+            vals = np.sort(v[m])
+            n = int(m.sum())
+            rank = np.searchsorted(vals, v[m], side="left") + 1
+            out[m] = (rank - 1) / (n - 1) if n > 1 else 0.0
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "pr": pa.array(out, pa.float64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "event_type", "value"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(pr, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3696,6 +3739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": q_retention,
         "embedding_bounds": q_embedding_bounds,
         "orders_by_month": q_orders_by_month,
+        "percent_rank": q_percent_rank,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4114,6 +4158,12 @@ GROUP BY d
         f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
         for n, x0, y0, x1, y1 in PIP_BOXES
     )
+    sql["percent_rank"] = """
+SELECT event_id,
+       PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) AS pr
+FROM events
+"""
+
     sql["orders_by_month"] = """
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
        CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
