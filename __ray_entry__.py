@@ -3638,6 +3638,47 @@ def q_percent_rank(sf_dir: str):
     )
 
 
+def q_pushdown_scan(sf_dir: str):
+    """Predicate pushdown at the SCAN: the filter is a pyarrow dataset
+    expression evaluated inside the parquet fragment reader (row-group
+    stats can skip whole groups before decode) — rows never enter the
+    pipeline; downstream is a two-column combiner reduce."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+        filter=(pds.field("o_totalprice") > 450000.0),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = np.asarray(t.column("o_orderpriority").to_pylist(), dtype=object)
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(p, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(uniq, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "c": pa.array(s, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("c", alias_name="sum_cents"))
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3740,6 +3781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_bounds": q_embedding_bounds,
         "orders_by_month": q_orders_by_month,
         "percent_rank": q_percent_rank,
+        "pushdown_scan": q_pushdown_scan,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4158,6 +4200,14 @@ GROUP BY d
         f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
         for n, x0, y0, x1, y1 in PIP_BOXES
     )
+    sql["pushdown_scan"] = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders WHERE o_totalprice > 450000.0e0
+GROUP BY o_orderpriority
+"""
+
     sql["percent_rank"] = """
 SELECT event_id,
        PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) AS pr
