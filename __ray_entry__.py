@@ -3679,6 +3679,73 @@ def q_pushdown_scan(sf_dir: str):
     )
 
 
+def q_edit_near(sf_dir: str):
+    """Edit-distance near-join (unit-cost Levenshtein) over docs 0..31:
+    the pair list is exploded into a Dataset and each map task computes
+    its pairs' distances with a row-vectorized numpy DP (O(len) numpy
+    ops per DP row, never per cell in Python).  Small-subset scope for
+    the all-pairs oracle — candidate generation at scale reuses the
+    prefix-filter machinery (text/setjoin.py)."""
+    import itertools
+
+    import pyarrow.parquet as pqm
+    import ray
+    import ray.data as rd
+
+    tab = pqm.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).filter(pa.compute.less(pa.compute.field("doc_id"), 32))
+    texts = dict(zip(tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()))
+    tref = ray.put(texts)
+    pairs = list(itertools.combinations(sorted(texts), 2))
+    pair_ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([p[0] for p in pairs], pa.int64()),
+                "b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    ).repartition(8)
+
+    def lev(s: str, t: str) -> int:
+        """Row-vectorized Wagner-Fischer.  The left-to-right insertion
+        dependency closes with one min-accumulate:
+        cur[j] = min_{k<=j}(cand[k] + (j-k)) = j + cummin(cand - idx)[j],
+        where cand[j] = min(prev[j-1]+sub_cost, prev[j]+1), cand[0]=i+1."""
+        if len(s) < len(t):
+            s, t = t, s
+        tb = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        sb = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        m = len(tb)
+        prev = np.arange(m + 1, dtype=np.int64)
+        idx = np.arange(m + 1, dtype=np.int64)
+        cand = np.empty(m + 1, np.int64)
+        for i, ch in enumerate(sb):
+            cand[0] = i + 1
+            np.minimum(prev[:-1] + (tb != ch), prev[1:] + 1, out=cand[1:])
+            prev = np.minimum.accumulate(cand - idx) + idx
+        return int(prev[-1])
+
+    def compute(t: pa.Table) -> pa.Table:
+        tx = ray.get(tref)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        d = np.array(
+            [lev(tx[int(x)] or "", tx[int(y)] or "") for x, y in zip(a, b)],
+            np.int64,
+        )
+        keep = d <= 220
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "dist": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    return pair_ds.map_batches(compute, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3782,6 +3849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": q_orders_by_month,
         "percent_rank": q_percent_rank,
         "pushdown_scan": q_pushdown_scan,
+        "edit_near": q_edit_near,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4200,6 +4268,14 @@ GROUP BY d
         f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
         for n, x0, y0, x1, y1 in PIP_BOXES
     )
+    sql["edit_near"] = """
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
+FROM documents x JOIN documents y ON x.doc_id < y.doc_id
+WHERE x.doc_id < 32 AND y.doc_id < 32
+  AND levenshtein(x.text, y.text) <= 220
+"""
+
     sql["pushdown_scan"] = """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
