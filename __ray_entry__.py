@@ -3746,6 +3746,60 @@ def q_edit_near(sf_dir: str):
     return pair_ds.map_batches(compute, batch_format="pyarrow")
 
 
+def q_session_conversion(sf_dir: str):
+    """Sessionized conversion: per user, how many 30-min-gap sessions
+    contain a purchase AFTER a view (strict ts order within the
+    session).  One user-partitioned shuffle; sessions, per-session first
+    view, and the view-before-purchase test are all reduceat/cummax
+    vectorized — no per-session Python loop."""
+    N_PARTS = 32
+    GAP = 1800
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(u % N_PARTS, pa.int64()))
+
+    def conv(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        tcol = group.column("ts")
+        s = tcol.cast(pa.int64()).to_numpy() // _ts_unit(tcol.type)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, u))
+        us, ss, es = u[order], s[order], et[order]
+        new_user = np.r_[True, us[1:] != us[:-1]]
+        new_sess = new_user | np.r_[False, np.diff(ss) > GAP]
+        sess_id = np.cumsum(new_sess) - 1
+        sess_starts = np.flatnonzero(new_sess)
+        n_sess = len(sess_starts)
+        INF = np.int64(1) << 62
+        # first view ts per session, broadcast back per row
+        tv = np.where(es == "view", ss, INF)
+        first_view = np.minimum.reduceat(tv, sess_starts)
+        fv_row = np.repeat(first_view, np.diff(np.r_[sess_starts, len(ss)]))
+        converted_row = (es == "purchase") & (ss > fv_row)
+        sess_conv = np.zeros(n_sess, bool)
+        np.logical_or.at(sess_conv, sess_id, converted_row)
+        # reduce sessions per user
+        sess_user = us[sess_starts]
+        uu, uinv = np.unique(sess_user, return_inverse=True)
+        n_per_user = np.bincount(uinv).astype(np.int64)
+        n_conv = np.bincount(uinv, weights=sess_conv).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "n_sessions": pa.array(n_per_user, pa.int64()),
+                "n_converting": pa.array(n_conv, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(conv, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3850,6 +3904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank": q_percent_rank,
         "pushdown_scan": q_pushdown_scan,
         "edit_near": q_edit_near,
+        "session_conversion": q_session_conversion,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4268,6 +4323,35 @@ GROUP BY d
         f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
         for n, x0, y0, x1, y1 in PIP_BOXES
     )
+    sql["session_conversion"] = """
+WITH o AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+),
+m AS (
+  SELECT user_id, event_type, s,
+         SUM(CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (SELECT user_id, event_type, s,
+               LAG(s) OVER (PARTITION BY user_id ORDER BY s) AS prev_s
+        FROM o)
+),
+f AS (SELECT user_id, sid,
+             MIN(CASE WHEN event_type = 'view' THEN s END) AS fv
+      FROM m GROUP BY 1, 2),
+c AS (SELECT m.user_id, m.sid,
+             MAX(CASE WHEN m.event_type = 'purchase' AND m.s > f.fv
+                      THEN 1 ELSE 0 END) AS conv
+      FROM m JOIN f ON f.user_id = m.user_id AND f.sid = m.sid
+      GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(conv) AS BIGINT) AS n_converting
+FROM c GROUP BY user_id
+"""
+
     sql["edit_near"] = """
 SELECT x.doc_id AS a, y.doc_id AS b,
        CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
