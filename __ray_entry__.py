@@ -3800,6 +3800,84 @@ def q_session_conversion(sf_dir: str):
     )
 
 
+def q_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order >= 3 times.  Hash-partition by ORDER (each order's pairs
+    generated wholly in one task, vectorized triu over order runs),
+    pair counts pre-reduced per partition, one packed-key shuffle to the
+    global count, threshold cut.  Oracle: lineitem self-join."""
+    N_PARTS = 32
+    MIN_N = 3
+
+    def tag(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(o % N_PARTS, pa.int64()))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        o = group.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = group.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, o))
+        oo, pp = o[order], p[order]
+        starts = np.r_[0, np.flatnonzero(oo[1:] != oo[:-1]) + 1, len(oo)]
+        out_a: list = []
+        out_b: list = []
+        for i, j in zip(starts[:-1], starts[1:]):
+            m = j - i
+            if m < 2:
+                continue
+            run = pp[i:j]
+            ia = np.repeat(np.arange(m - 1), np.arange(m - 1, 0, -1))
+            ib = np.concatenate([np.arange(k + 1, m) for k in range(m - 1)])
+            a, b = run[ia], run[ib]
+            keep = a != b  # strict pa < pb pairs only (run is sorted)
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        if not out_a:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "_kp": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        key = a * np.int64(1 << 31) + b  # partkeys < 2^31
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "_kp": pa.array(uniq % np.int64(N_PARTS), pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, n)
+        keep = s >= MIN_N
+        uniq, s = uniq[keep], s[keep]
+        return pa.table(
+            {
+                "part_a": pa.array(uniq // (1 << 31), pa.int64()),
+                "part_b": pa.array(uniq % (1 << 31), pa.int64()),
+                "n": pa.array(s, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby("_kp")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3905,6 +3983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pushdown_scan": q_pushdown_scan,
         "edit_near": q_edit_near,
         "session_conversion": q_session_conversion,
+        "cooccurrence": q_cooccurrence,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4323,6 +4402,14 @@ GROUP BY d
         f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
         for n, x0, y0, x1, y1 in PIP_BOXES
     )
+    sql["cooccurrence"] = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+
     sql["session_conversion"] = """
 WITH o AS (
   SELECT user_id, event_type,
