@@ -3819,20 +3819,19 @@ def q_cooccurrence(sf_dir: str):
         order = np.lexsort((p, o))
         oo, pp = o[order], p[order]
         starts = np.r_[0, np.flatnonzero(oo[1:] != oo[:-1]) + 1, len(oo)]
+        max_m = int(np.diff(starts).max()) if len(starts) > 1 else 0
         out_a: list = []
         out_b: list = []
-        for i, j in zip(starts[:-1], starts[1:]):
-            m = j - i
-            if m < 2:
-                continue
-            run = pp[i:j]
-            ia = np.repeat(np.arange(m - 1), np.arange(m - 1, 0, -1))
-            ib = np.concatenate([np.arange(k + 1, m) for k in range(m - 1)])
-            a, b = run[ia], run[ib]
-            keep = a != b  # strict pa < pb pairs only (run is sorted)
+        # shift trick: pairs at in-run distance s, one vectorized pass per
+        # s (orders have <= ~7 lineitems, so <= 6 passes — never a
+        # per-order Python loop)
+        for s in range(1, max_m):
+            same = oo[:-s] == oo[s:]
+            a, b = pp[:-s][same], pp[s:][same]
+            keep = a != b  # strict pa < pb (runs sorted ascending)
             out_a.append(a[keep])
             out_b.append(b[keep])
-        if not out_a:
+        if not out_a or not sum(len(x) for x in out_a):
             return pa.table(
                 {
                     "key": pa.array([], pa.int64()),
