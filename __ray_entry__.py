@@ -3877,6 +3877,21 @@ def q_cooccurrence(sf_dir: str):
     )
 
 
+def q_weighted_quantiles(sf_dir: str):
+    """Quantity-weighted price quantiles (weighted percentile_disc: the
+    smallest price whose cumulative quantity reaches ceil(q*W)) — the
+    weighted sibling of `quantiles`, same no-sort histogram narrowing.
+    Oracle: value-level cumulative weight window."""
+    from rasters_ray.relational.aggregates import weighted_exact_quantiles
+
+    return weighted_exact_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"]),
+        "l_extendedprice",
+        "l_quantity",
+        [0.25, 0.5, 0.75, 0.9],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "point_index": q_point_index,
@@ -3983,6 +3998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_near": q_edit_near,
         "session_conversion": q_session_conversion,
         "cooccurrence": q_cooccurrence,
+        "weighted_quantiles": q_weighted_quantiles,
         # rows-only (no SQL equivalent)
         "approx_distinct": q_approx_distinct,
         "pca": q_pca,
@@ -4401,6 +4417,26 @@ GROUP BY d
         f"('{n}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
         for n, x0, y0, x1, y1 in PIP_BOXES
     )
+    sql["weighted_quantiles"] = """
+WITH g AS (
+  SELECT l_extendedprice AS v, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY l_extendedprice
+),
+c AS (
+  SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER () AS tot
+  FROM g
+),
+qq AS (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 0.9e0]) AS q)
+SELECT qq.q,
+       MIN(c.v) AS value,
+       CAST(CEIL(qq.q * c.tot) AS BIGINT) AS rank,
+       CAST(c.tot AS BIGINT) AS total_w
+FROM qq, c
+WHERE c.cum >= CEIL(qq.q * c.tot)
+GROUP BY qq.q, c.tot
+"""
+
     sql["cooccurrence"] = """
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
        CAST(COUNT(*) AS BIGINT) AS n

@@ -442,3 +442,134 @@ def exact_quantiles(
                      "value": pa.array(out_v, pa.float64()),
                      "rank": pa.array(out_r, pa.int64()),
                      "n": pa.array([n] * len(out_q), pa.int64())})
+
+
+def weighted_exact_quantiles(
+    ds,
+    col: str,
+    weight_col: str,
+    qs: list[float],
+    n_bins: int = 2048,
+    collect_limit: int = 1 << 21,
+    max_rounds: int = 8,
+):
+    """EXACT weighted discrete quantiles: the smallest value v whose
+    cumulative INTEGER weight (over values <= v) reaches ceil(q * W) ->
+    Table[q, value, rank, total_w].  Same histogram-narrowing shape as
+    :func:`exact_quantiles` with weight sums in place of counts — no
+    global sort, ~3 streaming passes, small final collect.  Weights must
+    be non-negative integers (e.g. quantities, floor-cents)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def wsum(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if w.size and w.min() < 0:
+            raise ValueError("weights must be non-negative")
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "w": pa.array([int(w.sum())], pa.int64()),
+            "lo": pa.array([float(x.min()) if len(x) else np.inf], pa.float64()),
+            "hi": pa.array([float(x.max()) if len(x) else -np.inf], pa.float64()),
+        })
+
+    agg = ds.map_batches(wsum, batch_format="pyarrow").to_pandas()
+    W = int(agg["w"].sum())
+    lo, hi = float(agg["lo"].min()), float(agg["hi"].max())
+    if W <= 0:
+        raise ValueError("total weight must be positive")
+    targets = {q: max(1, int(np.ceil(q * W))) for q in qs}
+    state = {q: [lo, hi, 0, W] for q in qs}  # lo, hi, weight_below, in_weight
+
+    for _ in range(max_rounds):
+        unresolved = [q for q, st in state.items() if st[3] > collect_limit]
+        if not unresolved:
+            break
+        specs = [(q, state[q][0], state[q][1]) for q in unresolved]
+
+        def hist(t: pa.Table) -> pa.Table:
+            x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            wt = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            rows_q, rows_b, rows_c = [], [], []
+            for qi, (q, a, b) in enumerate(specs):
+                edges = np.linspace(a, b, n_bins + 1)
+                m = (x >= a) & (x <= b)
+                if m.any():
+                    binned = np.clip(
+                        np.searchsorted(edges, x[m], side="right") - 1, 0, n_bins - 1
+                    )
+                    cnt = np.zeros(n_bins, np.int64)
+                    np.add.at(cnt, binned, wt[m])
+                    nz = np.flatnonzero(cnt)
+                    rows_q.append(np.full(len(nz), qi, np.int64))
+                    rows_b.append(nz.astype(np.int64))
+                    rows_c.append(cnt[nz])
+            if not rows_q:
+                return pa.table({"qi": pa.array([], pa.int64()),
+                                 "bin": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({"qi": pa.array(np.concatenate(rows_q)),
+                             "bin": pa.array(np.concatenate(rows_b)),
+                             "cnt": pa.array(np.concatenate(rows_c))})
+
+        htab = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .groupby(["qi", "bin"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        for qi, (q, a, b) in enumerate(specs):
+            sub = htab[htab["qi"] == qi].sort_values("bin")
+            bins = sub["bin"].to_numpy()
+            cnts = sub["cnt"].to_numpy()
+            below0 = state[q][2]
+            rank = targets[q]
+            cum = np.cumsum(cnts)
+            j = int(np.searchsorted(below0 + cum, rank, side="left"))
+            j = min(j, len(bins) - 1)
+            edges = np.linspace(a, b, n_bins + 1)
+            bidx = int(bins[j])
+            new_below = below0 + (int(cum[j - 1]) if j > 0 else 0)
+            new_lo = edges[bidx]
+            new_hi = edges[bidx + 1] if bidx + 1 < n_bins else b
+            in_w = int(cnts[j])
+            if new_lo == new_hi or (new_lo == a and new_hi == b):
+                in_w = min(in_w, collect_limit)
+            state[q] = [new_lo, new_hi, new_below, in_w]
+
+    specs = [(q, state[q][0], state[q][1]) for q in qs]
+
+    def collect(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        wt = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        qs_out, vals, wout = [], [], []
+        for qi, (q, a, b) in enumerate(specs):
+            m = (x >= a) & (x <= b)
+            qs_out.append(np.full(int(m.sum()), qi, np.int64))
+            vals.append(x[m])
+            wout.append(wt[m])
+        return pa.table({
+            "qi": pa.array(np.concatenate(qs_out) if qs_out else []),
+            "v": pa.array(np.concatenate(vals) if vals else []),
+            "w": pa.array(np.concatenate(wout) if wout else []),
+        })
+
+    cand = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+    out_q, out_v, out_r = [], [], []
+    for qi, (q, a, b) in enumerate(specs):
+        rank = targets[q]
+        below = state[q][2]
+        sub = cand[cand["qi"] == qi]
+        # value-level cumulative weights (ties merge, deterministic)
+        g = sub.groupby("v", sort=True)["w"].sum()
+        cum = below + np.cumsum(g.to_numpy())
+        j = int(np.searchsorted(cum, rank, side="left"))
+        j = min(j, len(g) - 1)
+        out_q.append(q)
+        out_v.append(float(g.index.to_numpy()[j]))
+        out_r.append(rank)
+    return pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.float64()),
+        "rank": pa.array(np.asarray(out_r, np.int64), pa.int64()),
+        "total_w": pa.array([W] * len(out_q), pa.int64()),
+    })
