@@ -27,6 +27,23 @@ QUERIES = [
     "chunk_spans",
     "bigram_coverage",
     "analyze",
+    # image / geo inline ops (fixture-driven, sf-independent formulas)
+    "hillshade",
+    "focal_median",
+    "proximity",
+    "hist_equalize",
+    "mosaic_best",
+    "knn_join",
+    "box_overlay",
+    # relational compositions
+    "priority_semi",
+    "region_revenue",
+    "weighted_quantiles",
+    "pushdown_scan",
+    "events_cube",
+    "dup_spans",
+    "edit_near",
+    "data_mix",
 ]
 
 TABLES = [
