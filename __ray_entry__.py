@@ -2299,14 +2299,18 @@ def q_curation(sf_dir: str):
             }
         )
 
-    return (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(dedup_part, batch_format="pyarrow")
-        .groupby("split")
-        .map_groups(final, batch_format="pyarrow")
+    from rasters_ray.util import map_groups_typed
+
+    stats_schema = pa.schema(
+        [("split", pa.string()), ("n_docs", pa.int64()), ("sum_len", pa.int64())]
     )
+    partials = map_groups_typed(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        "_part", dedup_part, stats_schema,
+    )
+    return map_groups_typed(partials, "split", final, stats_schema)
 
 
 def q_distinct_users(sf_dir: str):

@@ -30,6 +30,7 @@ import pyarrow as pa
 
 from .. import codec
 from ..grids import GridSpec, cellkey
+from ..util import map_groups_typed
 
 LATTICE_PARTIAL_SCHEMA = pa.schema(
     [
@@ -155,10 +156,13 @@ def merge_mean_lattice(images_ds, cell_size: float, batch_size: int = 32,
             }
         )
 
-    return (
-        partials.map_batches(lambda t: _add_lattice_part(t, n_parts), batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(combine, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("gx", pa.int64()), ("gy", pa.int64()),
+         ("sum_value", pa.int64()), ("n_value", pa.int64())]
+    )
+    return map_groups_typed(
+        partials.map_batches(lambda t: _add_lattice_part(t, n_parts), batch_format="pyarrow"),
+        "_part", combine, out_schema,
     )
 
 
@@ -236,10 +240,12 @@ def mosaic_first_lattice(images_ds, cell_size: float, order_col: str = "order",
             }
         )
 
-    return (
-        partials.map_batches(lambda t: _add_lattice_part(t, n_parts), batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(combine, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [("gx", pa.int64()), ("gy", pa.int64()), ("value", pa.int64())]
+    )
+    return map_groups_typed(
+        partials.map_batches(lambda t: _add_lattice_part(t, n_parts), batch_format="pyarrow"),
+        "_part", combine, out_schema,
     )
 
 
@@ -450,62 +456,41 @@ def composite_cells(
     salt=N: two-phase (cell_key, salt) -> cell_key for EVERY cell — pays a
       full-cell partial array per salt bucket, so only worth it when most
       cells are huge.
-    salt="auto": per-key count scan (metadata-only shuffle of the key
-      column), then hot keys (> hot_threshold) go through the salted
-      two-phase while the cold majority takes the single groupby; results
-      union. This is the north rule's "skewed cells are salted and
-      redistributed" without taxing the cold keys. The default threshold
-      (50k tiles/cell) is the measured crossover on this hardware: a
-      group accumulates at ~0.15 ms/tile while each salt bucket costs a
-      full-cell (sum,count) array encode + an extra shuffle hop (~160 ms),
-      so salting only pays for very hot cells.
+    salt="auto": SINGLE streaming pass, zero driver participation. Each
+      block tags its own rows: a cell holding a large share of the block
+      (see ``hot_threshold``) gets a deterministic hash salt (16 buckets),
+      the cold majority gets salt 0, and everything flows through the
+      two-phase (cell_key, salt) -> cell_key lattice. Block-LOCAL
+      detection is sound because the skew regime this targets is
+      orders-of-magnitude (a cell with 10^5+ tiles dominates every block
+      it appears in — the same argument as ``skew_join``), and because
+      the (sum, count) partials re-merge exactly, the salt choice can
+      only affect performance, never the result. Cold cells pay one
+      extra tiny (sum,count) hop; there is no count pre-pass, no
+      ``materialize()``, and the upstream pipeline executes ONCE.
 
     Salting is only valid for modes whose partials merge associatively —
     merge_mean re-merges (sum, count) arrays exactly."""
     if salt == "auto" and mode == "merge_mean":
-        import pyarrow.compute as pc
-        from ray.data.aggregate import Count
+        from ..util import hash_u64
 
-        # auto mode scans the input three times (count pass + hot/cold
-        # filters) — materialize so the upstream pipeline doesn't re-run.
-        # At sink scale, feed this from the tiles' parquet checkpoint
-        # instead of an unmaterialized pipeline.
-        tiles_ds = tiles_ds.materialize()
-        counts = (
-            tiles_ds.select_columns(["cell_key"])
-            .groupby("cell_key")
-            .aggregate(Count(alias_name="n"))
-            .to_pandas()
-        )
-        if len(counts) == 0:
-            return tiles_ds.groupby("cell_key").map_groups(
-                lambda g: composite_group(g, cell_size, mode, order_col),
-                batch_format="pyarrow",
-            )
         thr = hot_threshold or 50_000
-        hot = set(counts[counts["n"] > thr]["cell_key"].tolist())
-        if not hot:
-            return tiles_ds.groupby("cell_key").map_groups(
-                lambda g: composite_group(g, cell_size, mode, order_col),
-                batch_format="pyarrow",
-            )
-        # single-scan salted pipeline: hot cells get a crc32 salt (16
-        # buckets), cold cells salt 0 — ONE pass over the tile blobs and
-        # two shuffles, instead of separate hot/cold filter scans + union.
-        # Cold cells pay one extra (sum,count) encode hop; hot cells are
-        # redistributed exactly as the explicit salt=16 path would.
-        import zlib
-
-        hot_np = np.array(sorted(hot), dtype=np.int64)
 
         def tag_salt(t: pa.Table) -> pa.Table:
-            ck = t.column("cell_key").to_numpy()
-            salts = np.zeros(len(ck), dtype=np.int64)
-            hot_rows = np.flatnonzero(np.isin(ck, hot_np))
-            if len(hot_rows):
-                ids = t.column("image_id")
-                for i in hot_rows:
-                    salts[i] = zlib.crc32(ids[int(i)].as_py().encode()) % 16
+            n = t.num_rows
+            salts = np.zeros(n, dtype=np.int64)
+            if n:
+                ck = t.column("cell_key").to_numpy()
+                uniq, inv, counts = np.unique(ck, return_inverse=True, return_counts=True)
+                # block-local hot rule: an explicit small hot_threshold
+                # (tests) applies directly; otherwise a cell is hot when
+                # it holds >=12.5% of a non-trivial block — the scale-free
+                # signature of orders-of-magnitude global skew
+                local_thr = min(thr, max(2, n // 8))
+                hot_mask = (counts >= local_thr)[inv]
+                if hot_mask.any():
+                    hv = (hash_u64(t.column("image_id")) % np.uint64(16)).astype(np.int64)
+                    salts[hot_mask] = hv[hot_mask]
             return t.append_column("salt", pa.array(salts, pa.int64()))
 
         return (
@@ -625,9 +610,12 @@ def mosaic_best_lattice(images_ds, cell_size: float, order_col: str = "order",
             }
         )
 
-    return (
+    out_schema = pa.schema(
+        [("gx", pa.int64()), ("gy", pa.int64()),
+         ("value", pa.int64()), ("win_order", pa.int64())]
+    )
+    return map_groups_typed(
         partials.map_batches(lambda t: _add_lattice_part(t, n_parts),
-                             batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(combine, batch_format="pyarrow")
+                             batch_format="pyarrow"),
+        "_part", combine, out_schema,
     )

@@ -130,7 +130,7 @@ def sample_points_batch(batch: pa.Table, buckets: PointBuckets, level: int) -> p
     grids = batch.column("grid").to_pylist()
     image_ids = batch.column("image_id").to_pylist()
     fmts = batch.column("fmt").to_pylist()
-    blobs = batch.column("bytes").to_pylist()
+    blobs = codec.BlobReader(batch.column("bytes"))  # zero-copy views
 
     pid_parts, img_idx_parts, row_parts, col_parts, val_parts = [], [], [], [], []
     for i in range(batch.num_rows):
@@ -212,31 +212,69 @@ def sample_points(
     if not include_misses:
         return matched
 
-    # anti-join: points with no match -> NaN rows. Materialize the matched
-    # side first so the union below doesn't re-execute the sampling stage.
-    # The distinct runs DISTRIBUTED (groupby pre-aggregates point_id inside
-    # each block; only ≤ n_points distinct rows reach the driver — never the
-    # images x points join rows), then the anti set difference happens
-    # against the already-driver-resident small point table.
-    from ray.data.aggregate import Count
+    # anti-join FUSED into one shuffle: union(matched rows, one marker row
+    # per point) -> groupby(hash partition of point_id). Inside each
+    # partition (vectorized, no per-key Python) the matched rows pass
+    # through unchanged and markers whose point_id never matched emit the
+    # NaN miss row (raster.py:701-703 semantics). The sampling stage
+    # executes exactly ONCE, nothing is materialized, and no id set ever
+    # reaches the driver — the distributed form of a left-anti join
+    # (relational/joins.py machinery, specialised so the matched stream is
+    # consumed a single time).
+    import pyarrow.compute as pc
 
-    matched = matched.materialize()
-    distinct = (
-        matched.select_columns(["point_id"])
-        .groupby("point_id")
-        .aggregate(Count(alias_name="_n"))
+    from ..util import hash_parts
+
+    n_pts = points.num_rows
+    marker = pa.Table.from_arrays(
+        [
+            points.column("point_id").cast(pa.string()).combine_chunks(),
+            pa.nulls(n_pts, pa.string()),
+            pa.nulls(n_pts, pa.int32()),
+            pa.nulls(n_pts, pa.int32()),
+            pa.nulls(n_pts, pa.float64()),
+            pa.nulls(n_pts, pa.bool_()),  # inside NULL marks a marker row
+        ],
+        schema=JOIN_SCHEMA,
     )
-    matched_ids = set(distinct.to_pandas()["point_id"])
-    all_ids = points.column("point_id").to_pylist()
-    miss = [pid for pid in all_ids if pid not in matched_ids]
-    miss_tbl = pa.Table.from_pydict(
-        {
-            "point_id": pa.array(miss, pa.string()),
-            "image_id": pa.array([None] * len(miss), pa.string()),
-            "row": pa.array([None] * len(miss), pa.int32()),
-            "col": pa.array([None] * len(miss), pa.int32()),
-            "value": pa.array([float("nan")] * len(miss), pa.float64()),
-            "inside": pa.array([False] * len(miss), pa.bool_()),
-        }
+    n_parts = 64
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_jp", pa.array(hash_parts(t.column("point_id"), n_parts), pa.int64())
+        )
+
+    union = matched.map_batches(tag, batch_format="pyarrow").union(
+        rd.from_arrow(marker).map_batches(tag, batch_format="pyarrow")
     )
-    return matched.union(rd.from_arrow(miss_tbl))
+
+    def finish(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["_jp"])
+        valid = pc.is_valid(part.column("inside"))
+        real = part.filter(valid)
+        markers = part.filter(pc.invert(valid))
+        if markers.num_rows == 0:
+            return real
+        miss_ids = markers.column("point_id")
+        if real.num_rows:
+            matched_ids = pc.unique(real.column("point_id"))
+            miss_ids = markers.filter(
+                pc.invert(pc.is_in(markers.column("point_id"), value_set=matched_ids))
+            ).column("point_id")
+        n_miss = len(miss_ids)
+        miss_tbl = pa.Table.from_arrays(
+            [
+                miss_ids.combine_chunks() if isinstance(miss_ids, pa.ChunkedArray) else miss_ids,
+                pa.nulls(n_miss, pa.string()),
+                pa.nulls(n_miss, pa.int32()),
+                pa.nulls(n_miss, pa.int32()),
+                pa.array(np.full(n_miss, np.nan), pa.float64()),
+                pa.array(np.zeros(n_miss, dtype=bool), pa.bool_()),
+            ],
+            schema=JOIN_SCHEMA,
+        )
+        return pa.concat_tables([real, miss_tbl])
+
+    from ..util import map_groups_typed
+
+    return map_groups_typed(union, "_jp", finish, JOIN_SCHEMA)

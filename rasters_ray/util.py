@@ -62,6 +62,48 @@ def hash_parts_cols(table, cols, n_parts: int) -> np.ndarray:
     return (h % np.uint64(n_parts)).astype(np.int64)
 
 
+def map_groups_typed(ds, keys, fn, out_schema):
+    """``ds.groupby(keys).map_groups(fn)`` with SCHEMA-TYPED empty outputs.
+
+    Ray's own ``map_groups`` yields NOTHING for an empty sort partition
+    (grouped_data.py::_apply_udf_to_groups iterates zero groups), so the
+    operator emits zero-column RefBundles — the executor's "different
+    schema" warnings — which can poison downstream ``schema()`` calls.
+    This helper runs the IDENTICAL plan Ray would (sort by keys, then a
+    whole-block map that applies ``fn`` per group; equal keys are
+    co-located because the sort range-partitions by key value), but
+    yields ``out_schema.empty_table()`` for empty partitions so every
+    block of the stage stays typed."""
+    import pyarrow as pa
+
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+
+    def apply_block(block: pa.Table):
+        n = block.num_rows
+        if n == 0:
+            yield out_schema.empty_table()
+            return
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys_l:
+            col = block.column(k)
+            try:
+                v = col.to_numpy(zero_copy_only=False)
+                change[1:] |= v[1:] != v[:-1]
+            except Exception:  # non-numpy-convertible key types
+                import pyarrow.compute as pc
+
+                neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                change[1:] |= neq.to_numpy(zero_copy_only=False).astype(bool)
+        bounds = np.append(np.flatnonzero(change), n)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            yield fn(block.slice(int(s), int(e - s)))
+
+    return ds.sort(keys_l).map_batches(
+        apply_block, batch_size=None, batch_format="pyarrow"
+    )
+
+
 def pool_size(fraction: float = 0.25, lo: int = 1, hi: int = 8) -> int:
     """Actor-pool size that leaves CPUs free for the surrounding stages.
 

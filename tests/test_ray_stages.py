@@ -261,8 +261,9 @@ def test_lattice_combine_partition_invariance(ray_session, oracle_images_ds):
 def test_composite_auto_salt_single_pass_equals_plain(ray_session, oracle_images_ds):
     tiles = tile_images(oracle_images_ds, level=9).materialize()
     plain = composite_cells(tiles, 0.01, "merge_mean").to_pandas()
-    # hot_threshold=1 forces EVERY cell through the salted single-pass path;
-    # a huge threshold sends every cell through salt-0 partial+final
+    # hot_threshold=1 forces EVERY row to take a nonzero hash salt; a huge
+    # threshold falls back to the block-share rule (only block-dominant
+    # cells salted). Either way the two-phase partials re-merge exactly.
     for thr in (1, 10**9):
         auto = composite_cells(
             tiles, 0.01, "merge_mean", salt="auto", hot_threshold=thr
