@@ -3069,6 +3069,14 @@ def q_bpe_tokens(sf_dir: str):
 
     pat = re.compile(_BPE_PATTERN)
 
+    import string
+
+    # classify with the SAME ASCII classes the regex uses ([A-Za-z]/[0-9]);
+    # Unicode-wide str.isalpha()/isdigit() would diverge from the oracle's
+    # regexp_matches on any non-ASCII text
+    _ascii_alpha = set(string.ascii_letters)
+    _ascii_digit = set(string.digits)
+
     def count(t: pa.Table) -> pa.Table:
         n_tok: list = []
         n_alpha: list = []
@@ -3076,8 +3084,8 @@ def q_bpe_tokens(sf_dir: str):
         for txt in t.column("text").to_pylist():
             pieces = pat.findall(txt or "")
             n_tok.append(len(pieces))
-            n_alpha.append(sum(1 for p in pieces if p.lstrip(" ")[:1].isalpha()))
-            n_num.append(sum(1 for p in pieces if p.lstrip(" ")[:1].isdigit()))
+            n_alpha.append(sum(1 for p in pieces if p.lstrip(" ")[:1] in _ascii_alpha))
+            n_num.append(sum(1 for p in pieces if p.lstrip(" ")[:1] in _ascii_digit))
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -3215,9 +3223,11 @@ def q_data_mix(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
         add_key, batch_format="pyarrow"
     )
+    # tie_col: on a 32-bit md5-prefix collision the rank among equal keys
+    # must match the oracle's ORDER BY (sample_key ASC, doc_id ASC)
     ranked = topk_per_group(
         ds, "source", "sample_key", k=30, carry_cols=["doc_id"],
-        descending=False,
+        descending=False, tie_col="doc_id",
     )
 
     def quota_cut(t: pa.Table) -> pa.Table:
@@ -3718,8 +3728,10 @@ def q_edit_near(sf_dir: str):
         where cand[j] = min(prev[j-1]+sub_cost, prev[j]+1), cand[0]=i+1."""
         if len(s) < len(t):
             s, t = t, s
-        tb = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        sb = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        # CODE POINTS, not utf-8 bytes: DuckDB's levenshtein() is
+        # character-level, and the two diverge on any non-ASCII text
+        tb = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        sb = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
         m = len(tb)
         prev = np.arange(m + 1, dtype=np.int64)
         idx = np.arange(m + 1, dtype=np.int64)

@@ -70,9 +70,13 @@ def run_partitioned(
     """Drive a partitioned, resumable job.
 
     partitions: [{"partition_id": str, "inputs": [...], ...}, ...]
-    run_one(partition, out_dir) -> row_count; writes its output under
-    out_dir (Ray parallelism lives INSIDE run_one — e.g. a Dataset
-    pipeline consuming that partition's fragments with write_parquet).
+    run_one(partition, out_dir) -> row_count, or ``(row_count, stats)``
+    where stats is a per-column zone map ``{col: [min, max]}``; writes its
+    output under out_dir (Ray parallelism lives INSIDE run_one — e.g. a
+    Dataset pipeline consuming that partition's fragments with
+    write_parquet). When stats are returned they land in the SAME atomic
+    manifest write as the completion row — a crash can never leave a
+    partition marked complete but missing its zone map.
 
     Returns the manifest rows of all partitions (completed + just-run).
     """
@@ -92,7 +96,8 @@ def run_partitioned(
             shutil.rmtree(out_dir)  # output without manifest row = torn
         os.makedirs(tmp_dir)
         t0 = time.perf_counter()
-        row_count = run_one(part, tmp_dir)
+        res = run_one(part, tmp_dir)
+        row_count, stats = res if isinstance(res, tuple) else (res, None)
         wall_ms = (time.perf_counter() - t0) * 1000.0
         os.replace(tmp_dir, out_dir)
         nbytes = sum(
@@ -109,6 +114,8 @@ def run_partitioned(
             "rows_per_sec": round(row_count / (wall_ms / 1000.0), 3) if wall_ms > 0 else None,
             "finished_at": datetime.now(timezone.utc).isoformat(),
         }
+        if stats is not None:
+            row["stats"] = stats
         write_manifest_row(root, row)
         rows.append(row)
     return rows
@@ -120,27 +127,13 @@ def run_partitioned_with_stats(
     run_one: Callable[[dict, str], tuple],
     resume: bool = True,
 ) -> List[dict]:
-    """`run_partitioned` variant where ``run_one(part, out_dir)`` returns
-    ``(row_count, stats)`` and the per-column stats dict
-    (``{col: [min, max]}``) is persisted in the manifest row — the zone
-    map that :func:`read_pruned` uses to skip partitions at read time."""
-
-    def wrap(part, out_dir):
-        n, stats = run_one(part, out_dir)
-        part["_stats"] = stats
-        return n
-
-    rows = run_partitioned(root, partitions, wrap, resume=resume)
-    # attach stats into the manifest rows of partitions just run
-    by_id = {p["partition_id"]: p.get("_stats") for p in partitions}
-    out = []
-    for row in rows:
-        st = by_id.get(row["partition_id"])
-        if st is not None and "stats" not in row:
-            row = dict(row, stats=st)
-            write_manifest_row(root, row)
-        out.append(row)
-    return out
+    """`run_partitioned` with ``run_one(part, out_dir)`` returning
+    ``(row_count, stats)``; the per-column stats dict
+    (``{col: [min, max]}``) is persisted atomically WITH the manifest row
+    — the zone map that :func:`read_pruned` uses to skip partitions at
+    read time. (Thin alias: ``run_partitioned`` itself accepts the tuple
+    return; kept for callers that want the explicit contract.)"""
+    return run_partitioned(root, partitions, run_one, resume=resume)
 
 
 def prune_partitions(root: str, col: str, lo, hi) -> List[str]:

@@ -352,6 +352,40 @@ def interval_join(
     return left_ds.map_batches(match, batch_format="pyarrow")
 
 
+def detect_hot_keys(ds, on: str, hot_threshold: int) -> set:
+    """EXACT distributed hot-key detection: per-block ``np.unique``
+    partials (one metadata row per distinct key per block) feed a
+    distributed groupby-sum; the threshold filter also runs distributed,
+    so the driver receives ONLY the hot keys.  A key hot in aggregate but
+    never dominant in any single block is still found — no per-block
+    truncation anywhere."""
+
+    def key_counts(t: pa.Table) -> pa.Table:
+        arr = t.column(on).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(arr, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(uniq),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ds.map_batches(key_counts, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="total"))
+    )
+    hot_df = totals.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("total"), hot_threshold)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if "k" not in hot_df.columns:  # all-empty blocks lose the schema
+        return set()
+    return set(hot_df["k"].tolist())
+
+
 def skew_join(
     left_ds,
     right_ds,
@@ -370,10 +404,13 @@ def skew_join(
     task does a disproportionate share of the work and the stage's wall
     time is that straggler.  Here:
 
-      1. one cheap counting pass over the LEFT side's key column
-         (per-block ``np.unique`` partials capped to the top few
-         candidates — a bounded driver merge, same shape as the
-         heavy-hitter sketch) finds keys with count >= ``hot_threshold``;
+      1. one cheap EXACT counting pass over the LEFT side's key column:
+         per-block ``np.unique`` partials (a combiner — one row per
+         distinct key per block, metadata only) feed a DISTRIBUTED
+         groupby-sum, and only keys with total >= ``hot_threshold``
+         reach the driver.  Exact by construction: a key that is hot in
+         aggregate but never dominant within any single block is still
+         detected (the old per-block top-64 truncation missed it);
       2. the RIGHT rows for those few keys are collected (small by the
          skew premise: a hot left key with a large right side is a
          genuine cross-product no partitioning can fix) and broadcast;
@@ -387,25 +424,7 @@ def skew_join(
     import ray
 
     right_on = right_on or on
-
-    def key_counts(t: pa.Table) -> pa.Table:
-        v = t.column(on)
-        arr = v.to_numpy(zero_copy_only=False)
-        uniq, counts = np.unique(arr, return_counts=True)
-        top = np.argsort(counts)[::-1][:64]  # candidates only
-        return pa.table(
-            {
-                "k": pa.array(uniq[top]),
-                "n": pa.array(counts[top].astype(np.int64), pa.int64()),
-            }
-        )
-
-    cand = left_ds.map_batches(key_counts, batch_format="pyarrow").to_pandas()
-    # driver-small: <= 64 rows per block; exact for any key that is hot
-    # in aggregate only if it is frequent per block too — acceptable for
-    # the skew regime this targets (hot means orders of magnitude)
-    totals = cand.groupby("k")["n"].sum()
-    hot_keys = set(totals[totals >= hot_threshold].index.tolist())
+    hot_keys = detect_hot_keys(left_ds, on, hot_threshold)
 
     if not hot_keys:
         return hash_join(

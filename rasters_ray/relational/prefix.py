@@ -63,8 +63,11 @@ def prefix_sum_scan(
     """Exclusive prefix sum of ``value_col`` (int64) in ``order_col`` order.
 
     Emits the input columns plus ``out_col`` = sum of ``value_col`` over
-    all rows with a strictly smaller order key.  Integer-exact, so the
-    result is bit-equal to a sequential scan regardless of block layout.
+    all rows with a STRICTLY smaller order key.  Integer-exact and
+    layout-independent: duplicate order keys all receive the same
+    exclusive prefix (equal keys are aggregated before the cumsum), so
+    the result is bit-equal to a sequential scan regardless of block
+    layout or key multiplicity.
     """
 
     def partial(t: pa.Table) -> pa.Table:
@@ -91,9 +94,20 @@ def prefix_sum_scan(
         order = group.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
         v = group.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
         sort = np.argsort(order, kind="stable")
-        excl = np.zeros(len(v), np.int64)
-        excl[sort[1:]] = np.cumsum(v[sort])[:-1]
-        excl[sort[:1]] = 0
+        os_, vs = order[sort], v[sort]
+        # every row sharing an order key gets the SAME exclusive prefix —
+        # the sum over STRICTLY smaller keys — so duplicates are
+        # layout-independent (a stable argsort alone would distribute the
+        # running sum among equal keys in block-arrival order). Equal keys
+        # never span buckets (bucket = key // bucket_size), so the carry-in
+        # stays exact too.
+        newkey = np.r_[True, os_[1:] != os_[:-1]] if len(os_) else np.array([], bool)
+        starts = np.flatnonzero(newkey)
+        csum = np.cumsum(vs)
+        group_excl = np.r_[0, csum[starts[1:] - 1]] if len(starts) else np.array([], np.int64)
+        excl_sorted = group_excl[np.cumsum(newkey) - 1] if len(os_) else np.array([], np.int64)
+        excl = np.empty(len(v), np.int64)
+        excl[sort] = excl_sorted
         base = int(carry[int(group.column("__bucket")[0].as_py())])
         out = group.append_column(out_col, pa.array(excl + base, pa.int64()))
         return out.drop_columns(["__bucket"])

@@ -563,7 +563,8 @@ def hamming64(a: int, b: int) -> int:
 
 
 def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
-                        text_col: str = "text", max_docs: int = 10_000) -> pa.Table:
+                        text_col: str = "text", max_docs: int = 10_000,
+                        threshold: float | None = None):
     """All-pairs word-n-gram Jaccard over a (small, pre-filtered) doc set.
 
     Distributed shape mirrors the LSH pipeline: explode DISTINCT
@@ -577,8 +578,14 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
     recomputable bit-exactly.
 
     This op is intentionally quadratic in the doc count: ``max_docs``
-    (default 10k -> 50M pairs) guard-rails it; above that, use
-    ``minhash_near_dups`` (candidates only) instead of all-pairs."""
+    (default 10k -> 50M pairs) guard-rails the dense all-pairs matrix.
+    Above the guard, pass ``threshold`` to route through the EXACT PPJoin
+    prefix-filter machinery (``setjoin.set_similarity_join`` with an
+    n-gram ``set_fn``): same (a, b, jaccard) contract restricted to pairs
+    with jaccard >= threshold (the dense zero-pair matrix is itself
+    quadratic output, so a threshold is what makes scale meaningful),
+    returned as a streaming Dataset.  Without a threshold the guard
+    raises as before."""
     from ray.data.aggregate import Count
 
     def explode(t: pa.Table) -> pa.Table:
@@ -625,10 +632,21 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
         )
 
     if len(sizes) > max_docs:
+        if threshold is not None:
+            from rasters_ray.text.setjoin import set_similarity_join
+
+            return set_similarity_join(
+                docs_ds,
+                threshold=float(threshold),
+                id_col=id_col,
+                text_col=text_col,
+                set_fn=lambda s: word_ngrams(s, n),
+            )
         raise ValueError(
             f"ngram_jaccard_pairs is all-pairs quadratic: {len(sizes)} docs "
             f"exceeds max_docs={max_docs} ({len(sizes) * (len(sizes) - 1) // 2} "
-            "pairs); pre-filter the doc set or use minhash_near_dups"
+            "pairs); pass threshold= to route through the exact prefix-filter "
+            "join, pre-filter the doc set, or use minhash_near_dups"
         )
     inter = (
         grams.map_batches(tag_part, batch_format="pyarrow")

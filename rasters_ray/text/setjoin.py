@@ -52,25 +52,26 @@ def word_token_set(text: str) -> set:
     return set(text.split())
 
 
-def _distinct_token_rows(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+def _distinct_token_rows(t: pa.Table, id_col: str, text_col: str, set_fn) -> pa.Table:
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
     texts = t.column(text_col).to_pylist()
     out_tok: list = []
     out_id: list = []
+    str_tokens = True
     for did, txt in zip(ids, texts):
-        toks = np.unique((txt or "").split())
-        out_tok.append(toks)
+        toks = sorted(set_fn(txt or ""))
+        if toks and not isinstance(toks[0], str):
+            str_tokens = False  # e.g. n-gram hash sets
+        out_tok.extend(toks)
         out_id.append(np.full(len(toks), did, dtype=ids.dtype))
     if not out_tok:
         return pa.table(
             {"token": pa.array([], pa.string()), "doc": pa.array([], pa.int64())}
         )
-    return pa.table(
-        {
-            "token": pa.array(np.concatenate(out_tok), pa.string()),
-            "doc": pa.array(np.concatenate(out_id)),
-        }
+    tok_arr = (
+        pa.array(out_tok, pa.string()) if str_tokens else pa.array(out_tok, pa.uint64())
     )
+    return pa.table({"token": tok_arr, "doc": pa.array(np.concatenate(out_id))})
 
 
 def set_similarity_join(
@@ -78,16 +79,22 @@ def set_similarity_join(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    set_fn=None,
 ):
-    """All pairs (a < b) with Jaccard(word-token sets) >= threshold.
+    """All pairs (a < b) with Jaccard(``set_fn`` sets) >= threshold.
 
-    Returns Dataset[(a, b, jaccard)] — exact, order-independent.
+    ``set_fn(text) -> set`` defaults to distinct word tokens
+    (:func:`word_token_set`); pass e.g. ``lambda s: word_ngrams(s, 3)``
+    for n-gram-shingle Jaccard (the scale path behind
+    ``dedup.ngram_jaccard_pairs``).  Returns Dataset[(a, b, jaccard)] —
+    exact, order-independent.
     """
     import ray
     from ray.data.aggregate import Count
 
+    set_fn = set_fn or word_token_set
     tok = docs_ds.map_batches(
-        lambda t: _distinct_token_rows(t, id_col, text_col),
+        lambda t: _distinct_token_rows(t, id_col, text_col, set_fn),
         batch_format="pyarrow",
     )
     df_tab = tok.groupby("token").aggregate(Count(alias_name="df")).to_pandas()
@@ -116,7 +123,7 @@ def set_similarity_join(
         docs_out: list = []
         sizes_out: list = []
         for did, txt in zip(ids, texts):
-            toks = set((txt or "").split())
+            toks = set_fn(txt or "")
             s = len(toks)
             if s == 0:
                 continue
@@ -208,5 +215,5 @@ def set_similarity_join(
         id_col=id_col,
         text_col=text_col,
         threshold=thr,
-        set_fn=word_token_set,
+        set_fn=set_fn,
     )

@@ -35,6 +35,52 @@ def test_index_equals_groupby_min(ray_session):
     assert (df.sort_index() == expect.sort_index()).all()
 
 
+def test_index_spill_bounds_memory_and_matches_groupby(ray_session):
+    # far more distinct keys than the spill threshold: shard memory must
+    # stay bounded (runs created, resident dict <= threshold) and the
+    # merged result must still equal groupby-min exactly
+    rng = np.random.default_rng(11)
+    n = 4000
+    keys = [f"k{int(i):05d}" for i in rng.integers(0, 2500, n)]
+    orders = rng.permutation(n)
+    got, stats = build_first_seen_index(
+        _ds(keys, orders, 7), "key", "oid",
+        n_shards=3, spill_threshold=64, return_stats=True,
+    )
+    assert sum(s["n_runs"] for s in stats) > 0  # spilling actually happened
+    assert all(s["high_water"] <= 64 for s in stats)  # bounded resident keys
+    import pandas as pd
+
+    df = got.to_pandas().set_index("key")["first_id"]
+    expect = (
+        pd.DataFrame({"key": keys, "oid": orders}).groupby("key")["oid"].min()
+    )
+    assert len(df) == len(expect)
+    assert (df.sort_index() == expect.sort_index()).all()
+
+
+def test_shard_spill_contains_and_remerge(ray_session):
+    # a key re-observed AFTER its run spilled must still answer contains()
+    # and resolve dump() to the true min across dict + runs
+    import ray
+
+    cls = _shard_cls()
+    shard = cls.remote(2, "/tmp/rr_dedupidx_test_shard")
+    ray.get(shard.observe.remote(["a", "b"], [5, 7]))  # hits threshold -> spills
+    st = ray.get(shard.stats.remote())
+    assert st["n_runs"] == 1 and st["resident"] == 0
+    assert ray.get(shard.contains.remote(["a", "b", "z"])) == [True, True, False]
+    ray.get(shard.observe.remote(["a", "c"], [1, 9]))  # 'a' again, smaller order
+    tab = ray.get(shard.dump.remote()).to_pandas().set_index("key")
+    assert tab.loc["a", "first_id"] == 1
+    assert tab.loc["b", "first_id"] == 7
+    assert tab.loc["c", "first_id"] == 9
+    ray.kill(shard)
+    import shutil
+
+    shutil.rmtree("/tmp/rr_dedupidx_test_shard", ignore_errors=True)
+
+
 def test_shard_contains_mid_ingest(ray_session):
     cls = _shard_cls()
     import ray

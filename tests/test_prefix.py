@@ -51,6 +51,27 @@ def test_prefix_sum_sparse_keys(ray_session):
     assert (out["off"].to_numpy() == expect).all()
 
 
+def test_prefix_sum_duplicate_keys_layout_independent(ray_session):
+    # duplicate order keys: every copy must get the SAME exclusive prefix
+    # (sum over strictly smaller keys), for any block layout
+    rng = np.random.default_rng(19)
+    n = 4000
+    order = rng.integers(0, 300, n).astype(np.int64)  # heavy duplication
+    vals = rng.integers(1, 20, n).astype(np.int64)
+    per_key = np.zeros(301, np.int64)
+    np.add.at(per_key, order, vals)
+    strict_below = np.r_[0, np.cumsum(per_key)[:-1]]  # exclusive by key
+    for blocks in (3, 17):
+        ds = _scattered_ds(pa.table({"k": order, "v": vals}), blocks)
+        out = (
+            prefix_sum_scan(ds, "k", "v", out_col="off", bucket_size=64)
+            .to_pandas()
+            .sort_values(["k", "v"])
+        )
+        expect = strict_below[out["k"].to_numpy()]
+        assert (out["off"].to_numpy() == expect).all(), f"blocks={blocks}"
+
+
 def test_prefix_sum_rejects_negative_order(ray_session):
     import ray.exceptions
 

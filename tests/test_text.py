@@ -225,6 +225,46 @@ def test_ngram_jaccard_pairs(ray_session):
                 assert out.loc[(a, b), "jaccard"] == want
 
 
+def test_ngram_jaccard_routes_to_setjoin_above_guard(ray_session):
+    # above max_docs with a threshold: the exact prefix-filter join takes
+    # over and must return exactly the dense path's pairs >= threshold
+    import ray.data as rd
+
+    from rasters_ray.text import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=12, replace=True)) for i in range(30)
+    }
+    # plant near-dup pairs
+    texts[30] = texts[0]
+    texts[31] = texts[1] + " extra"
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values())),
+            }
+        )
+    ).repartition(5)
+    thr = 0.5
+    dense = ngram_jaccard_pairs(docs, n=3, max_docs=1000).to_pandas()
+    dense = dense[dense["jaccard"] >= thr].sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(dense) >= 2  # the planted pairs are present
+    routed = ngram_jaccard_pairs(docs, n=3, max_docs=10, threshold=thr)
+    routed = routed.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(routed) == len(dense)
+    assert (routed["a"].to_numpy() == dense["a"].to_numpy()).all()
+    assert (routed["b"].to_numpy() == dense["b"].to_numpy()).all()
+    np.testing.assert_allclose(
+        routed["jaccard"].to_numpy(), dense["jaccard"].to_numpy(), rtol=0, atol=0
+    )
+    # without a threshold the guard still raises
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(docs, n=3, max_docs=10)
+
+
 def test_hamming_near_dups(ray_session):
     import ray.data as rd
 
