@@ -1188,20 +1188,26 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_transform_utm(sf_dir: str):
+    """Ellipsoidal UTM forward (Karney flattening series to n^6,
+    proj/transverse_mercator.py) + inverse round-trip.  Emits FLOOR-CM
+    int64 so the generated-SQL oracle — the identical series with literal
+    alpha coefficients, hyperbolics expanded via exp/ln — matches
+    value-exactly (residual is libm last-ulp noise ~1e-8 m vs the 1 cm
+    floor step).  Upgraded from rows-only in round 4."""
     from rasters_ray.proj import transform_xy
 
     def f(t: pa.Table) -> pa.Table:
-        e, n = transform_xy(
-            t.column("x").to_numpy(), t.column("y").to_numpy(), "EPSG:4326", "EPSG:32610"
-        )
+        x = t.column("x").to_numpy()
+        y = t.column("y").to_numpy()
+        e, n = transform_xy(x, y, "EPSG:4326", "EPSG:32610")
         lon, lat = transform_xy(e, n, "EPSG:32610", "EPSG:4326")
         return pa.table(
             {
                 "point_id": t.column("point_id"),
-                "easting": pa.array(e, pa.float64()),
-                "northing": pa.array(n, pa.float64()),
+                "easting_cm": pa.array(np.floor(e * 100.0).astype(np.int64), pa.int64()),
+                "northing_cm": pa.array(np.floor(n * 100.0).astype(np.int64), pa.int64()),
                 "roundtrip_ok": pa.array(
-                    (np.abs(lon - t.column("x").to_numpy()) < 1e-8)
+                    ((np.abs(lon - x) < 1e-8) & (np.abs(lat - y) < 1e-8))
                     | ~np.isfinite(lon),
                     pa.bool_(),
                 ),
@@ -1209,6 +1215,172 @@ def q_transform_utm(sf_dir: str):
         )
 
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+MODIS_SINU_CRS = "+proj=sinu +R=6371007.181"
+CONUS_LCC_CRS = "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96"
+
+
+def q_transform_sinu(sf_dir: str):
+    """MODIS-grid sinusoidal forward (proj/sinusoidal.py, Snyder
+    spherical form) + inverse round-trip check.  Output is FLOOR-CM int64
+    so the DuckDB oracle — the same public formula with literal R,
+    mirrored op-for-op including the longitude wrap — matches
+    value-exactly (engine/SQL differ only by libm last-ulp noise, ~1e-9 m
+    against a 1 cm floor step)."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", MODIS_SINU_CRS)
+        lon2, lat2 = transform_xy(x, yv, MODIS_SINU_CRS, "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_transform_merc(sf_dir: str):
+    """Web-Mercator (EPSG:3857) forward + inverse round-trip
+    (proj/mercator.py, Snyder 7-1/7-2).  Floor-cm int64 for the same
+    bit-stability argument as ``transform_sinu``."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "EPSG:3857")
+        lon2, lat2 = transform_xy(x, yv, "EPSG:3857", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_transform_lcc(sf_dir: str):
+    """Lambert conformal conic 2SP (proj/conic.py, Snyder 14-15/15-1..11)
+    over a CONUS-style parameterisation, forward + inverse round-trip.
+    Floor-cm int64; the oracle recomputes n, F, rho0 AND the per-point
+    projection from the same public formulas entirely in SQL."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", CONUS_LCC_CRS)
+        lon2, lat2 = transform_xy(x, yv, CONUS_LCC_CRS, "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+_MINHASH_GOLDEN_SF_DIRS = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+
+
+def _minhash_golden_path() -> str:
+    """Golden (a, b, jaccard) pairs for ``minhash_pairs``, computed by an
+    INDEPENDENT SEQUENTIAL reference pipeline (plain dict buckets, no Ray,
+    no shuffles — only the deterministic hash kernels are shared with the
+    engine) for every known sf corpus, written once under /tmp.  Each
+    corpus is fingerprinted by SUM(length(text)) so one static oracle SQL
+    selects the right golden rows for whichever sf the driver registered.
+    This upgrades minhash_pairs from rows-only to value-exact: the oracle
+    pins the DISTRIBUTED plumbing (banding, bucket pairing incl. the hot-
+    bucket star cap, pair dedup, semi-filtered verify) against the
+    in-memory reference, bit-for-bit including the final float division."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    from rasters_ray.text.dedup import (
+        HOT_BUCKET_CAP,
+        MinHasher,
+        band_hashes,
+        char_shingle_hashes,
+        jaccard,
+    )
+
+    path = "/tmp/rasters_ray_oracle/minhash_golden_v1.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    hasher = MinHasher(128)
+    rows_a, rows_b, rows_j, rows_fp = [], [], [], []
+    for d in _MINHASH_GOLDEN_SF_DIRS:
+        f = f"{d}/documents.parquet"
+        if not os.path.exists(f):
+            continue
+        tab = pqm.read_table(f, columns=["doc_id", "text"])
+        ids = tab.column("doc_id").to_pylist()
+        texts = tab.column("text").to_pylist()
+        fp = sum(len(x or "") for x in texts)
+        shing = {i: char_shingle_hashes(t or "", 5) for i, t in zip(ids, texts)}
+        sigs = np.stack([hasher.signature(shing[i]) for i in ids])
+        bh = band_hashes(sigs, 16)  # (n, 16)
+        from collections import defaultdict
+
+        buckets = defaultdict(list)
+        for r, did in enumerate(ids):
+            for band in range(16):
+                buckets[(band, int(bh[r, band]))].append(did)
+        cand = set()
+        for members in buckets.values():
+            u = sorted(set(members))
+            if len(u) < 2:
+                continue
+            if len(u) <= HOT_BUCKET_CAP:
+                cand.update(
+                    (u[i], u[j]) for i in range(len(u)) for j in range(i + 1, len(u))
+                )
+            else:  # hot bucket: star pairs to the smallest id
+                cand.update((u[0], x) for x in u[1:])
+        sets = {i: set(shing[i].tolist()) for i in ids}
+        for a, b in sorted(cand):
+            jc = jaccard(sets[a], sets[b])
+            if jc >= 0.5:
+                rows_a.append(a)
+                rows_b.append(b)
+                rows_j.append(jc)
+                rows_fp.append(fp)
+    out = pa.table(
+        {
+            "a": pa.array(rows_a, pa.int64()),
+            "b": pa.array(rows_b, pa.int64()),
+            "jaccard": pa.array(rows_j, pa.float64()),
+            "fp": pa.array(rows_fp, pa.int64()),
+        }
+    )
+    tmp = f"{path}.tmp{os.getpid()}"
+    pqm.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 PHASH_FIXTURE_N = 256
@@ -4028,6 +4200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
         "transform_utm": q_transform_utm,
+        "transform_sinu": q_transform_sinu,
+        "transform_merc": q_transform_merc,
+        "transform_lcc": q_transform_lcc,
         "phash_dups": q_phash_dups,
         "phash_near": q_phash_near,
         "idw_sample": q_idw_sample,
@@ -4599,6 +4774,146 @@ SELECT point_id,
        LEAST(GREATEST(CAST(floor((x + 180.0e0) / 6.0e0) AS BIGINT), 1), 60) AS zone,
        y < 0 AS south
 FROM pts
+"""
+
+    # projection oracles: the SAME public Snyder formulas, mirrored
+    # op-for-op (incl. the longitude wrap), floor-cm int64 outputs so
+    # libm last-ulp noise (~1e-9 m) cannot flip a comparison
+    # minhash_pairs: golden rows from the sequential reference pipeline
+    # (_minhash_golden_path docstring has the independence scope); the
+    # corpus fingerprint picks the right sf's rows
+    sql["minhash_pairs"] = f"""
+SELECT a, b, jaccard
+FROM read_parquet('{_minhash_golden_path()}')
+WHERE fp = (SELECT SUM(length(text)) FROM documents)
+"""
+
+    # transform_utm: GENERATED SQL — the engine's exact Karney n^6 series
+    # (proj/transverse_mercator.py) with literal alpha coefficients;
+    # hyperbolics expanded via exp/ln. Residual engine-vs-DuckDB drift is
+    # libm last-ulp noise (~1e-8 m), absorbed by the floor-cm outputs.
+    from rasters_ray.proj import transverse_mercator as _tmu
+
+    def _dl(v: float) -> str:  # double literal (bare decimals parse as DECIMAL)
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    _pi_l, _2pi_l = "3.141592653589793e0", "6.283185307179586e0"
+    _es = _dl(float(_tmu._E_SQRT))
+    _k0a = _dl(float(_tmu.K0 * _tmu._A_RECT))
+    _eta_terms = " + ".join(
+        f"{_dl(float(_tmu._ALPHA[j - 1]))} * cos({_dl(2.0 * j)} * xip)"
+        f" * ((exp({_dl(2.0 * j)} * etap) - exp(-({_dl(2.0 * j)}) * etap)) / 2.0e0)"
+        for j in range(1, 7)
+    )
+    _xi_terms = " + ".join(
+        f"{_dl(float(_tmu._ALPHA[j - 1]))} * sin({_dl(2.0 * j)} * xip)"
+        f" * ((exp({_dl(2.0 * j)} * etap) + exp(-({_dl(2.0 * j)}) * etap)) / 2.0e0)"
+        for j in range(1, 7)
+    )
+    sql["transform_utm"] = f"""
+WITH {_PTS_CTE.strip()},
+s1 AS (
+  SELECT point_id,
+         sin(radians(y)) AS sphi,
+         fmod(radians(x - (-123.0e0)) + {_pi_l}, {_2pi_l}) - {_pi_l} AS lam
+  FROM pts
+),
+s2 AS (
+  SELECT point_id, lam,
+         0.5e0 * ln((1.0e0 + sphi) / (1.0e0 - sphi))
+           - {_es} * (0.5e0 * ln((1.0e0 + {_es} * sphi) / (1.0e0 - {_es} * sphi))) AS u
+  FROM s1
+),
+s3 AS (SELECT point_id, lam, (exp(u) - exp(-u)) / 2.0e0 AS t FROM s2),
+s4 AS (
+  SELECT point_id,
+         atan2(t, cos(lam)) AS xip,
+         0.5e0 * ln((1.0e0 + sin(lam) / sqrt(1.0e0 + t * t))
+                    / (1.0e0 - sin(lam) / sqrt(1.0e0 + t * t))) AS etap
+  FROM s3
+),
+s5 AS (
+  SELECT point_id,
+         etap + {_eta_terms} AS eta,
+         xip + {_xi_terms} AS xi
+  FROM s4
+)
+SELECT point_id,
+       CAST(floor(({_k0a} * eta + 500000.0e0) * 100.0e0) AS BIGINT) AS easting_cm,
+       CAST(floor(({_k0a} * xi) * 100.0e0) AS BIGINT) AS northing_cm,
+       TRUE AS roundtrip_ok
+FROM s5
+"""
+
+    sql["transform_sinu"] = f"""
+WITH {_PTS_CTE.strip()}
+SELECT point_id,
+       CAST(floor(6371007.181e0
+            * (fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+               - 3.141592653589793e0)
+            * cos(radians(y)) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(6371007.181e0 * radians(y) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM pts
+"""
+
+    sql["transform_merc"] = f"""
+WITH {_PTS_CTE.strip()}
+SELECT point_id,
+       CAST(floor(6378137.0e0 * radians(x) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(6378137.0e0
+            * ln(tan(0.7853981633974483e0 + radians(y) / 2.0e0))
+            * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM pts
+"""
+
+    # LCC 2SP: n, F, rho0/a recomputed IN SQL from Snyder 14-15/15-8/15-10
+    # with literal WGS84 e, e^2 and the CRS's parallels — fully independent
+    # of the engine's lcc_constants
+    sql["transform_lcc"] = f"""
+WITH {_PTS_CTE.strip()},
+prm AS (
+  SELECT 0.08181919084262149e0 AS e, 0.0066943799901413165e0 AS e2,
+         6378137.0e0 AS a,
+         radians(33.0e0) AS p1, radians(45.0e0) AS p2, radians(39.0e0) AS p0
+),
+mt AS (
+  SELECT a, e, e2,
+         cos(p1) / sqrt(1.0e0 - e2 * sin(p1) * sin(p1)) AS m1,
+         cos(p2) / sqrt(1.0e0 - e2 * sin(p2) * sin(p2)) AS m2,
+         tan(0.7853981633974483e0 - p1 / 2.0e0)
+           / pow((1.0e0 - e * sin(p1)) / (1.0e0 + e * sin(p1)), e / 2.0e0) AS t1,
+         tan(0.7853981633974483e0 - p2 / 2.0e0)
+           / pow((1.0e0 - e * sin(p2)) / (1.0e0 + e * sin(p2)), e / 2.0e0) AS t2,
+         tan(0.7853981633974483e0 - p0 / 2.0e0)
+           / pow((1.0e0 - e * sin(p0)) / (1.0e0 + e * sin(p0)), e / 2.0e0) AS t0
+  FROM prm
+),
+kn AS (
+  SELECT a, e, e2, m1, t1, t0,
+         (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n
+  FROM mt
+),
+kf AS (SELECT a, e, e2, n, t0, m1 / (n * pow(t1, n)) AS f FROM kn),
+kg AS (SELECT a, e, e2, n, f, f * pow(t0, n) AS rho0_a FROM kf),
+pp AS (
+  SELECT point_id,
+         a * f * pow(
+           tan(0.7853981633974483e0 - radians(y) / 2.0e0)
+             / pow((1.0e0 - e * sin(radians(y))) / (1.0e0 + e * sin(radians(y))),
+                   e / 2.0e0),
+           n) AS rho,
+         n * (fmod(radians(x - (-96.0e0)) + 3.141592653589793e0,
+                   6.283185307179586e0) - 3.141592653589793e0) AS theta,
+         a, n, rho0_a
+  FROM pts, kg
+)
+SELECT point_id,
+       CAST(floor(rho * sin(theta) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor((a * rho0_a - rho * cos(theta)) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM pp
 """
 
     sql["swath_nearest"] = """

@@ -27,11 +27,16 @@ WGS84 = "EPSG:4326"
 
 @dataclass(frozen=True)
 class CRSInfo:
-    kind: str  # 'geographic' | 'utm' | 'aeqd'
+    kind: str  # 'geographic' | 'utm' | 'aeqd' | 'sinu' | 'lcc' | 'merc' | 'webmerc'
     zone: Optional[int] = None  # utm
     south: bool = False  # utm
-    lat_0: float = 0.0  # aeqd
-    lon_0: float = 0.0  # aeqd
+    lat_0: float = 0.0  # aeqd / lcc
+    lon_0: float = 0.0  # aeqd / sinu / lcc
+    lat_1: float = 0.0  # lcc standard parallels
+    lat_2: float = 0.0
+    x_0: float = 0.0  # false easting/northing (sinu / lcc)
+    y_0: float = 0.0
+    radius: Optional[float] = None  # sinu sphere radius (None = ellipsoidal)
 
     @property
     def is_geographic(self) -> bool:
@@ -42,6 +47,19 @@ class CRSInfo:
             return "EPSG:4326"
         if self.kind == "utm":
             return f"EPSG:{(32700 if self.south else 32600) + self.zone}"
+        if self.kind == "sinu":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return f"+proj=sinu +lon_0={self.lon_0} +x_0={self.x_0} +y_0={self.y_0}{r}"
+        if self.kind == "lcc":
+            return (
+                f"+proj=lcc +lat_1={self.lat_1} +lat_2={self.lat_2}"
+                f" +lat_0={self.lat_0} +lon_0={self.lon_0}"
+                f" +x_0={self.x_0} +y_0={self.y_0}"
+            )
+        if self.kind == "webmerc":
+            return "EPSG:3857"
+        if self.kind == "merc":
+            return "EPSG:3395"
         return f"+proj=aeqd +lat_0={self.lat_0} +lon_0={self.lon_0}"
 
 
@@ -58,12 +76,21 @@ def parse_crs(crs: str) -> CRSInfo:
         code = int(m.group(1))
         if code == 4326:
             return CRSInfo("geographic")
+        if code == 3857 or code == 900913:
+            return CRSInfo("webmerc")
+        if code == 3395:
+            return CRSInfo("merc")
         if 32601 <= code <= 32660:
             return CRSInfo("utm", zone=code - 32600, south=False)
         if 32701 <= code <= 32760:
             return CRSInfo("utm", zone=code - 32700, south=True)
         raise ValueError(f"unsupported EPSG code: {code}")
     low = s.lower()
+
+    def _p(name: str, default: float = 0.0) -> float:
+        pm = re.search(rf"\+{name}=(-?[\d.eE+]+)", low)
+        return float(pm.group(1)) if pm else default
+
     if "+proj=longlat" in low or low in ("wgs84", "epsg:4326"):
         return CRSInfo("geographic")
     if "+proj=utm" in low:
@@ -72,13 +99,35 @@ def parse_crs(crs: str) -> CRSInfo:
             raise ValueError(f"UTM proj4 without +zone: {s}")
         return CRSInfo("utm", zone=int(zm.group(1)), south="+south" in low)
     if "+proj=aeqd" in low:
-        lat = re.search(r"\+lat_0=(-?[\d.]+)", low)
-        lon = re.search(r"\+lon_0=(-?[\d.]+)", low)
+        return CRSInfo("aeqd", lat_0=_p("lat_0"), lon_0=_p("lon_0"))
+    if "+proj=sinu" in low:
+        # sphere when +R is given or +a == +b (the MODIS grid publishes
+        # +a=6371007.181 +b=6371007.181); WGS84 ellipsoid otherwise
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        radius = float(rm.group(1)) if rm else None
+        if radius is None:
+            am = re.search(r"\+a=(-?[\d.eE+]+)", low)
+            bm = re.search(r"\+b=(-?[\d.eE+]+)", low)
+            if am and bm and float(am.group(1)) == float(bm.group(1)):
+                radius = float(am.group(1))
         return CRSInfo(
-            "aeqd",
-            lat_0=float(lat.group(1)) if lat else 0.0,
-            lon_0=float(lon.group(1)) if lon else 0.0,
+            "sinu", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"), radius=radius
         )
+    if "+proj=lcc" in low:
+        lat_1 = _p("lat_1")
+        return CRSInfo(
+            "lcc",
+            lat_1=lat_1,
+            lat_2=_p("lat_2", lat_1),  # 1SP when only lat_1 given
+            lat_0=_p("lat_0"),
+            lon_0=_p("lon_0"),
+            x_0=_p("x_0"),
+            y_0=_p("y_0"),
+        )
+    if "+proj=webmerc" in low:
+        return CRSInfo("webmerc")
+    if "+proj=merc" in low:
+        return CRSInfo("merc")
     raise ValueError(f"unsupported CRS: {s}")
 
 

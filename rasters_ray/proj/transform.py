@@ -18,6 +18,9 @@ from typing import Tuple
 import numpy as np
 
 from . import aeqd as _aeqd
+from . import conic as _lcc
+from . import mercator as _merc
+from . import sinusoidal as _sinu
 from . import transverse_mercator as _tm
 from .crs import CRSInfo, parse_crs
 
@@ -29,6 +32,18 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
         return _tm.utm_to_geographic(x, y, info.zone, info.south)
     if info.kind == "aeqd":
         return _aeqd.aeqd_to_geographic(x, y, info.lon_0, info.lat_0)
+    if info.kind == "sinu":
+        return _sinu.sinu_to_geographic(
+            x, y, info.lon_0, radius=info.radius, x_0=info.x_0, y_0=info.y_0
+        )
+    if info.kind == "lcc":
+        return _lcc.lcc_to_geographic(
+            x, y, info.lat_1, info.lat_2, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "webmerc":
+        return _merc.webmerc_to_geographic(x, y)
+    if info.kind == "merc":
+        return _merc.merc_to_geographic(x, y)
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 
 
@@ -39,6 +54,18 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         return _tm.geographic_to_utm(lon, lat, info.zone, info.south)
     if info.kind == "aeqd":
         return _aeqd.geographic_to_aeqd(lon, lat, info.lon_0, info.lat_0)
+    if info.kind == "sinu":
+        return _sinu.geographic_to_sinu(
+            lon, lat, info.lon_0, radius=info.radius, x_0=info.x_0, y_0=info.y_0
+        )
+    if info.kind == "lcc":
+        return _lcc.geographic_to_lcc(
+            lon, lat, info.lat_1, info.lat_2, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "webmerc":
+        return _merc.geographic_to_webmerc(lon, lat)
+    if info.kind == "merc":
+        return _merc.geographic_to_merc(lon, lat)
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 
 

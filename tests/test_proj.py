@@ -93,4 +93,128 @@ def test_parse_crs_equivalences():
     assert parse_crs("EPSG:32610") == parse_crs("+proj=utm +zone=10 +datum=WGS84")
     assert parse_crs("EPSG:4326") == parse_crs("+proj=longlat +datum=WGS84")
     with pytest.raises(ValueError):
-        parse_crs("EPSG:3857")
+        parse_crs("EPSG:2154")  # projected CRSs outside the family still raise
+
+
+# --- sinusoidal / LCC / Mercator (round 4: arbitrary-CRS family) ---------
+
+MODIS_SINU = "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181 +units=m +no_defs"
+CONUS_LCC = "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +x_0=0 +y_0=0"
+
+
+def test_sinu_modis_tile_constant():
+    # the MODIS land grid's 10-degree tile height: R * radians(10); the
+    # published 1111950.5196666666 m comes from the TRUNCATED earth width
+    # 20015109.354 / 18, so match it at the mm level only
+    x, y = transform_point(0.0, 10.0, "EPSG:4326", MODIS_SINU)
+    assert y == pytest.approx(6371007.181 * np.radians(10.0), abs=1e-9)
+    assert y == pytest.approx(1111950.5196666666, abs=1e-3)
+    assert x == pytest.approx(0.0, abs=1e-9)
+    # x shrinks with cos(lat)
+    x40, y40 = transform_point(-120.0, 40.0, "EPSG:4326", MODIS_SINU)
+    assert y40 == pytest.approx(4.0 * 1111950.5196666666, abs=1e-2)
+    assert x40 == pytest.approx(
+        6371007.181 * np.radians(-120.0) * np.cos(np.radians(40.0)), abs=1e-6
+    )
+
+
+def test_sinu_round_trip_spherical_and_ellipsoidal():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-85, 85, 200)
+    for crs in (MODIS_SINU, "+proj=sinu +lon_0=-100"):
+        x, y = transform_xy(lon, lat, "EPSG:4326", crs)
+        lon2, lat2 = transform_xy(x, y, crs, "EPSG:4326")
+        np.testing.assert_allclose(lon2, lon, atol=1e-8, err_msg=crs)
+        np.testing.assert_allclose(lat2, lat, atol=1e-8, err_msg=crs)
+
+
+def test_lcc_round_trip_and_shape():
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-125, -66, 300)
+    lat = rng.uniform(24, 50, 300)
+    x, y = transform_xy(lon, lat, "EPSG:4326", CONUS_LCC)
+    assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+    lon2, lat2 = transform_xy(x, y, CONUS_LCC, "EPSG:4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-8)
+    np.testing.assert_allclose(lat2, lat, atol=1e-8)
+    # the central meridian maps to x = x_0 exactly; lat_0 on it to y = y_0
+    x0, y0 = transform_point(-96.0, 39.0, "EPSG:4326", CONUS_LCC)
+    assert x0 == pytest.approx(0.0, abs=1e-6)
+    assert y0 == pytest.approx(0.0, abs=1e-6)
+    # conformal conic: scale is exact on both standard parallels — one
+    # degree of longitude on lat_1 must measure r*cos(lat_1)-ish only
+    # after projection; instead check the defining property t(lat)^n
+    # monotonicity: y increases with lat along the central meridian
+    _, ys = transform_xy(
+        np.full(5, -96.0), np.array([30.0, 35.0, 39.0, 43.0, 48.0]),
+        "EPSG:4326", CONUS_LCC,
+    )
+    assert np.all(np.diff(ys) > 0)
+
+
+def test_lcc_1sp_equals_2sp_limit():
+    lon = np.array([-100.0, -90.0])
+    lat = np.array([35.0, 42.0])
+    a = transform_xy(lon, lat, "EPSG:4326", "+proj=lcc +lat_1=40 +lat_2=40 +lon_0=-96")
+    b = transform_xy(lon, lat, "EPSG:4326", "+proj=lcc +lat_1=40 +lon_0=-96")
+    np.testing.assert_allclose(a[0], b[0], rtol=1e-12)
+    np.testing.assert_allclose(a[1], b[1], rtol=1e-12)
+
+
+def test_webmerc_famous_constants():
+    # EPSG:3857's square: x(180 deg) = 20037508.342789244
+    x, _ = transform_point(180.0, 0.0, "EPSG:4326", "EPSG:3857")
+    assert x == pytest.approx(20037508.342789244, abs=1e-6)
+    _, y = transform_point(0.0, 85.05112877980659, "EPSG:4326", "EPSG:3857")
+    assert y == pytest.approx(20037508.342789244, abs=1e-3)
+
+
+def test_mercator_round_trips_and_ellipsoidal_differs():
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179, 179, 200)
+    lat = rng.uniform(-84, 84, 200)
+    for crs in ("EPSG:3857", "EPSG:3395"):
+        x, y = transform_xy(lon, lat, "EPSG:4326", crs)
+        lon2, lat2 = transform_xy(x, y, crs, "EPSG:4326")
+        np.testing.assert_allclose(lon2, lon, atol=1e-8, err_msg=crs)
+        np.testing.assert_allclose(lat2, lat, atol=1e-8, err_msg=crs)
+    # ellipsoidal y differs from spherical y away from the equator
+    _, y_sph = transform_point(0.0, 45.0, "EPSG:4326", "EPSG:3857")
+    _, y_ell = transform_point(0.0, 45.0, "EPSG:4326", "EPSG:3395")
+    assert abs(y_sph - y_ell) > 10_000  # ~0.3% of R at 45 deg
+
+
+def test_new_crs_nan_clip_to_geographic():
+    # coordinates far outside a projection's valid inverse domain clip to
+    # NaN when the TARGET is geographic (transform_xy.py:50-52 semantics)
+    x = np.array([1e9])
+    y = np.array([0.0])
+    lon, lat = transform_xy(x, y, MODIS_SINU, "EPSG:4326")
+    assert np.isnan(lon[0]) or np.isnan(lat[0]) or abs(lon[0]) <= 180
+
+
+def test_cross_projection_bridging():
+    # sinu -> lcc goes through WGS84; verify against the two-hop compose
+    lon = np.array([-110.0, -95.0])
+    lat = np.array([35.0, 44.0])
+    sx, sy = transform_xy(lon, lat, "EPSG:4326", MODIS_SINU)
+    lx, ly = transform_xy(sx, sy, MODIS_SINU, CONUS_LCC)
+    lx2, ly2 = transform_xy(lon, lat, "EPSG:4326", CONUS_LCC)
+    np.testing.assert_allclose(lx, lx2, atol=1e-6)
+    np.testing.assert_allclose(ly, ly2, atol=1e-6)
+
+
+def test_parse_new_crs_kinds():
+    assert parse_crs(MODIS_SINU).kind == "sinu"
+    assert parse_crs(MODIS_SINU).radius == pytest.approx(6371007.181)
+    # MODIS publishes +a=+b too
+    assert parse_crs("+proj=sinu +a=6371007.181 +b=6371007.181").radius == pytest.approx(
+        6371007.181
+    )
+    assert parse_crs("+proj=sinu +lon_0=0").radius is None  # WGS84 ellipsoidal
+    inf = parse_crs(CONUS_LCC)
+    assert inf.kind == "lcc" and inf.lat_1 == 33 and inf.lat_2 == 45
+    assert parse_crs("EPSG:3857").kind == "webmerc"
+    assert parse_crs("EPSG:3395").kind == "merc"
+    assert parse_crs("+proj=webmerc").kind == "webmerc"
