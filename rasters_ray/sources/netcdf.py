@@ -102,10 +102,34 @@ def read_netcdf(path_or_bytes) -> Dict:
     )
     data = bytes(data)
     if data[:8] == b"\x89HDF\r\n\x1a\n":
-        raise NotImplementedError(
-            "NetCDF-4/HDF5 container: no HDF5 library in this environment; "
-            "convert to classic (CDF-1/2) format"
-        )
+        # NetCDF-4 = HDF5 container. The env has no HDF5 library, but
+        # hdf5lite reads the contiguous/uncompressed subset of the public
+        # spec; chunked/filtered datasets raise NotImplementedError there
+        # with the remediation (nccopy to contiguous or classic).
+        from .hdf5lite import read_hdf5
+
+        dsets = read_hdf5(data)
+        vars_out: Dict[str, Dict] = {}
+        dim_len: Dict[str, int] = {}
+        for full, arr in dsets.items():
+            nm = full.rsplit("/", 1)[-1]
+            # NetCDF-4 coordinate variables share their dimension's name;
+            # without DIMENSION_LIST attributes we name dims after the 1D
+            # dataset whose length matches, else synthesize phony dims.
+            vars_out[nm] = {"data": arr, "dims": [], "attrs": {}}
+        onedim = {v["data"].shape[0]: nm for nm, v in vars_out.items()
+                  if v["data"].ndim == 1}
+        for nm, v in vars_out.items():
+            dims = []
+            for i, s in enumerate(v["data"].shape):
+                if v["data"].ndim == 1:
+                    dn = nm
+                else:
+                    dn = onedim.get(s, f"phony_dim_{s}")
+                dims.append(dn)
+                dim_len[dn] = s
+            v["dims"] = dims
+        return {"dims": dim_len, "attrs": {}, "vars": vars_out}
     if data[:3] != b"CDF" or data[3] not in (1, 2):
         raise ValueError("not a classic NetCDF (CDF-1/CDF-2) file")
     version = data[3]

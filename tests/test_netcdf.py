@@ -112,3 +112,64 @@ def test_netcdf_dataset_tiles(ray_session, tmp_path):
     tiles = tile_images(ds, level=8).to_pandas()
     assert len(tiles) >= 3
     assert set(t.split("/")[1] for t in tiles.tile_id) == {"scene0", "scene1", "scene2"}
+
+
+# ----------------------------------------------------------- hdf5lite
+
+from rasters_ray.sources import hdf5lite
+
+
+def test_hdf5_roundtrip(tmp_path):
+    """write_hdf5 -> read_hdf5 over mixed dtypes/endianness/rank."""
+    p = tmp_path / "t.h5"
+    data = {
+        "temp": (np.arange(12, dtype=np.float32) / 7).reshape(3, 4),
+        "mask": np.array([[1, 0], [0, 1], [1, 1]], dtype=np.int16),
+        "time": np.array([10, 20, 30], dtype=np.int64),
+        "z": np.linspace(-1.0, 1.0, 4),
+    }
+    hdf5lite.write_hdf5(str(p), data)
+    back = hdf5lite.read_hdf5(str(p))
+    assert set(back) == {"/temp", "/mask", "/time", "/z"}
+    for k, v in data.items():
+        np.testing.assert_array_equal(back[f"/{k}"], v)
+        assert back[f"/{k}"].dtype == v.dtype
+
+
+def test_hdf5_netcdf4_route(tmp_path):
+    """read_netcdf on an HDF5 container extracts contiguous vars and
+    netcdf_raster reconstructs the CF grid from 1D coordinate vars."""
+    p = tmp_path / "n4.nc"
+    rows, cols = 5, 7
+    lat = 44.0 - 0.01 * (np.arange(rows) + 0.5)
+    lon = -124.0 + 0.01 * (np.arange(cols) + 0.5)
+    temp = np.arange(rows * cols, dtype=np.float32).reshape(rows, cols)
+    hdf5lite.write_hdf5(str(p), {"lat": lat, "lon": lon, "temp": temp})
+    nc = read_netcdf(str(p))
+    np.testing.assert_array_equal(nc["vars"]["temp"]["data"], temp)
+    assert nc["vars"]["temp"]["dims"] == ["lat", "lon"]
+    arr, grid = netcdf_raster(str(p), "temp")
+    assert (grid.rows, grid.cols) == (rows, cols)
+    assert grid.cell_width == pytest.approx(0.01)
+    assert grid.cell_height == pytest.approx(-0.01)
+
+
+def test_hdf5_chunked_raises():
+    space = struct.pack("<BBB5x", 1, 1, 0) + struct.pack("<Q", 4)
+    dtype = hdf5lite._dtype_msg(np.dtype("<f4"))
+    chunked = struct.pack("<BB", 3, 2) + b"\x00" * 24
+    msgs = [(0x0001, space), (0x0003, dtype), (0x0008, chunked)]
+    with pytest.raises(NotImplementedError, match="chunked"):
+        hdf5lite._read_dataset(b"", msgs, "v")
+
+
+def test_hdf5_unsupported_versions(tmp_path):
+    sig = b"\x89HDF\r\n\x1a\n"
+    with pytest.raises(NotImplementedError, match="superblock version 2"):
+        hdf5lite.read_hdf5(sig + bytes([2]) + b"\x00" * 64)
+    # v0 superblock pointing at a v2 ("OHDR") object header
+    buf = bytearray(hdf5lite.write_hdf5(str(tmp_path / "x.h5"), {
+        "a": np.zeros(2, np.float32)}) and open(tmp_path / "x.h5", "rb").read())
+    buf[96:100] = b"OHDR"
+    with pytest.raises(NotImplementedError, match="header version 2"):
+        hdf5lite.read_hdf5(bytes(buf))
