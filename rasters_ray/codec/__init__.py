@@ -3,6 +3,8 @@
 Formats (FIXTURES.md §1; no PIL/rasterio in this environment):
 - ``npy`` — raw numpy, lossless, any dtype (the allclose-exact path);
 - ``png`` — stdlib-zlib grayscale PNG, lossless, uint8/uint16;
+- ``jpg``/``jpeg`` — baseline sequential JPEG, pure numpy
+  (``jpeg_codec``; lossy, uint8 gray or RGB);
 - ``qnt`` — the engine's "lossy" path: float32 linearly quantized to
   uint16 (+ zlib) — re-encodes must hold PSNR >= 40 dB per the
   BASELINE.json input_hint invariant.
@@ -15,7 +17,7 @@ import zlib
 
 import numpy as np
 
-from . import npy_codec, png_codec
+from . import jpeg_codec, npy_codec, png_codec
 
 _QNT_MAGIC = b"QNT1"
 
@@ -50,6 +52,8 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return npy_codec.encode(arr)
     if fmt == "png":
         return png_codec.encode(arr)
+    if fmt in ("jpg", "jpeg"):
+        return jpeg_codec.encode(arr)
     if fmt == "qnt":
         a = np.asarray(arr, dtype=np.float32)
         finite = np.isfinite(a)
@@ -71,6 +75,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return npy_codec.decode(data)
     if fmt == "png":
         return png_codec.decode(data)
+    if fmt in ("jpg", "jpeg"):
+        return jpeg_codec.decode(data)
     if fmt == "qnt":
         data = memoryview(data)
         if bytes(data[:4]) != _QNT_MAGIC:

@@ -2,14 +2,15 @@
 frame-sample over opaque binary columns.
 
 The Ray-side plumbing (schemas, actor signatures, batch sizing, output
-layout) is REAL and tested, and as of round 3 so are the codec bodies
-for every format parseable without external libraries: npy/png/qnt
-images (rasters_ray.codec), RIFF/WAV audio -> log-mel features
-(``multimodal.audio``, dependency-free DSP), and the NPV frame
-container (``encode_npv``). Foreign compressed formats (jpeg/mp3/mp4 —
-PIL/ffmpeg absent in this container, SURVEY.md §7.0) route to clearly
-marked deterministic fallbacks; ``strict=True`` raises
-NotImplementedError for them instead.
+layout) is REAL and tested, and so are the codec bodies for every
+format parseable without external libraries: npy/png/qnt images and —
+as of round 4 — baseline JPEG (rasters_ray.codec.jpeg_codec, pure
+numpy), RIFF/WAV audio -> log-mel features (``multimodal.audio``,
+dependency-free DSP), and the NPV frame container (``encode_npv``).
+Remaining foreign formats (mp3/mp4 — ffmpeg absent in this container,
+SURVEY.md §7.0; progressive/arithmetic JPEG) route to clearly marked
+deterministic fallbacks; ``strict=True`` raises NotImplementedError
+for them instead.
 
 Batch-size guidance: binary payloads are MB-scale — size batches so
 batch_size x payload x concurrency fits the worker heap (the guide's
@@ -25,7 +26,7 @@ import pyarrow as pa
 
 from .. import codec
 
-_NATIVE_FMTS = {"npy", "png", "qnt"}
+_NATIVE_FMTS = {"npy", "png", "qnt", "jpg", "jpeg"}
 
 
 def deterministic_fake_decode(data: bytes, fmt: str) -> np.ndarray:

@@ -4,9 +4,10 @@
   centroids (raster.py:1494-1545) — a stateful actor holding the per-image
   centroid cache; float-dtype ``to_point`` dispatch uses it
   (raster.py:1295-1322: nearest for int dtype, IDW for float).
-- ``render_png``: value raster -> display uint8 PNG via min-max stretch
-  (the to_geojpeg/to_geopng path, raster.py:1791-1865) with the PSNR>=40dB
-  check applying to such lossy re-encodes.
+- ``render_png``/``render_jpeg``: value raster -> display uint8 PNG or
+  baseline JPEG via min-max stretch (the to_geojpeg/to_geopng path,
+  raster.py:1791-1865) with the PSNR>=40dB check applying to such lossy
+  re-encodes.
 - ``band_stack``: MultiRaster.stack analog — groupby(image group) ->
   np.stack of bands sharing a geometry (multi_raster.py:99-105).
 - ``to_geometry``: the resample router (raster.py:1441-1479): grid target
@@ -87,26 +88,43 @@ class IDWSampler:
         )
 
 
-def render_png(batch: pa.Table) -> pa.Table:
-    """Min-max stretch to uint8 gray PNG (display render path)."""
+def _stretch_u8(arr: np.ndarray) -> np.ndarray:
+    """Min-max stretch any value raster to display uint8."""
+    arr = arr.astype(np.float64)
+    finite = np.isfinite(arr)
+    img = np.zeros(arr.shape, dtype=np.uint8)
+    if finite.any():
+        lo, hi = arr[finite].min(), arr[finite].max()
+        scale = (hi - lo) or 1.0
+        img[finite] = np.clip((arr[finite] - lo) / scale * 255.0, 0, 255).astype(
+            np.uint8
+        )
+    return img
+
+
+def _render(batch: pa.Table, out_fmt: str) -> pa.Table:
     blobs = batch.column("bytes").to_pylist()
     fmts = batch.column("fmt").to_pylist()
-    out = []
-    for b, f in zip(blobs, fmts):
-        arr = codec.decode(b, f).astype(np.float64)
-        finite = np.isfinite(arr)
-        if finite.any():
-            lo, hi = arr[finite].min(), arr[finite].max()
-            scale = (hi - lo) or 1.0
-            img = np.zeros(arr.shape, dtype=np.uint8)
-            img[finite] = np.clip((arr[finite] - lo) / scale * 255.0, 0, 255).astype(np.uint8)
-        else:
-            img = np.zeros(arr.shape, dtype=np.uint8)
-        out.append(codec.encode(img, "png"))
+    out = [
+        codec.encode(_stretch_u8(codec.decode(b, f)), out_fmt)
+        for b, f in zip(blobs, fmts)
+    ]
     t = batch.set_column(batch.column_names.index("bytes"), "bytes", pa.array(out, pa.binary()))
     return t.set_column(
-        t.column_names.index("fmt"), "fmt", pa.array(["png"] * t.num_rows, pa.string())
+        t.column_names.index("fmt"), "fmt", pa.array([out_fmt] * t.num_rows, pa.string())
     )
+
+
+def render_png(batch: pa.Table) -> pa.Table:
+    """Min-max stretch to uint8 gray PNG (display render path)."""
+    return _render(batch, "png")
+
+
+def render_jpeg(batch: pa.Table) -> pa.Table:
+    """Min-max stretch to uint8 gray baseline JPEG — the reference's
+    ``to_geojpeg`` display path (raster.py:1791-1865), real as of round
+    4 via the pure-numpy ``codec.jpeg_codec``."""
+    return _render(batch, "jpg")
 
 
 def band_stack(images_ds, group_col: str = "caption"):

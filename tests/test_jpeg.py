@@ -1,0 +1,111 @@
+"""Baseline JPEG codec (pure numpy, public ITU-T T.81 spec)."""
+
+import numpy as np
+import pytest
+
+from rasters_ray import codec
+from rasters_ray.codec import jpeg_codec as J
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((np.sin(yy / 9.0) + np.cos(xx / 13.0)) * 60 + 128).clip(0, 255).astype(
+        np.uint8
+    )
+
+
+def test_gray_roundtrip_psnr():
+    g = _gradient(120, 200)
+    data = J.encode(g, quality=90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    back = J.decode(data)
+    assert back.shape == g.shape and back.dtype == np.uint8
+    assert codec.psnr(g.astype(float), back.astype(float), peak=255) >= 40
+
+
+def test_rgb_444_and_420():
+    g = _gradient(96, 80)
+    rgb = np.stack([g, np.roll(g, 7, 0), 255 - g], axis=-1)
+    b444 = J.encode(rgb, quality=90)
+    b420 = J.encode(rgb, quality=90, subsample=True)
+    r444 = J.decode(b444)
+    r420 = J.decode(b420)
+    assert r444.shape == rgb.shape and r420.shape == rgb.shape
+    assert codec.psnr(rgb.astype(float), r444.astype(float), peak=255) >= 40
+    assert codec.psnr(rgb.astype(float), r420.astype(float), peak=255) >= 30
+    assert len(b420) < len(b444)  # subsampling actually shrinks the stream
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 9), (17, 33), (16, 16), (8, 8)])
+def test_odd_sizes(shape):
+    a = (np.arange(np.prod(shape)) % 251).astype(np.uint8).reshape(shape)
+    back = J.decode(J.encode(a, quality=95))
+    assert back.shape == shape
+    assert codec.psnr(a.astype(float), back.astype(float), peak=255) >= 35
+
+
+def test_quality_monotonic():
+    g = _gradient(64, 64)
+    sizes = [len(J.encode(g, quality=q)) for q in (10, 50, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+    lo = J.decode(J.encode(g, quality=10)).astype(float)
+    hi = J.decode(J.encode(g, quality=95)).astype(float)
+    assert codec.psnr(g.astype(float), hi, peak=255) > codec.psnr(
+        g.astype(float), lo, peak=255
+    )
+
+
+def test_codec_dispatch_and_errors():
+    g = _gradient(24, 24)
+    assert np.array_equal(
+        J.decode(codec.encode(g, "jpg")), codec.decode(J.encode(g), "jpeg")
+    )
+    with pytest.raises(ValueError, match="uint8"):
+        J.encode(g.astype(np.float32))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode(b"not a jpeg")
+    # progressive SOF2 raises clearly
+    data = bytearray(J.encode(g))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        J.decode(bytes(data))
+
+
+def test_render_jpeg_stage():
+    import pyarrow as pa
+
+    from rasters_ray.stages.sampling import render_jpeg
+
+    arr = (np.arange(48 * 40, dtype=np.float32).reshape(48, 40)) / 7.0
+    arr[0, 0] = np.nan
+    batch = pa.table(
+        {
+            "image_id": ["a"],
+            "bytes": [codec.encode(arr, "npy")],
+            "fmt": ["npy"],
+        }
+    )
+    out = render_jpeg(batch)
+    assert out.column("fmt").to_pylist() == ["jpg"]
+    img = codec.decode(out.column("bytes")[0].as_py(), "jpg")
+    assert img.shape == arr.shape and img.dtype == np.uint8
+    # stretch maps finite min->~0 and max->~255; JPEG is lossy so allow slack
+    assert img.max() > 240
+
+
+def test_decode_stage_jpeg_native():
+    import pyarrow as pa
+
+    from rasters_ray.multimodal.decode import ImageDecodeStage
+
+    g = _gradient(32, 32)
+    batch = pa.table(
+        {
+            "image_id": ["x"],
+            "bytes": [J.encode(g, quality=92)],
+            "fmt": ["jpeg"],
+        }
+    )
+    out = ImageDecodeStage(strict=True)(batch)  # strict: no fake fallback
+    assert out.num_rows == 1
