@@ -1017,6 +1017,76 @@ def q_multimodal_resize(sf_dir: str):
     return _explode_rc_value(resized)
 
 
+def q_jpeg_render(sf_dir: str):
+    """to_geojpeg display path over 6 oracle images: min-max stretch ->
+    pure-numpy baseline JPEG encode (codec.jpeg_codec) -> decode back;
+    per-image integer pixel stats against a GOLDEN oracle (the whole
+    chain is deterministic IEEE float64 + integer quantization, computed
+    once sequentially and inlined as SQL literals)."""
+    from rasters_ray.codec import jpeg_codec
+    from rasters_ray.stages.sampling import render_jpeg
+
+    def stats(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "h": [], "w": [], "px_sum": [], "px_min": [],
+               "px_max": []}
+        for i in range(t.num_rows):
+            img = jpeg_codec.decode(t.column("bytes")[i].as_py())
+            out["image_id"].append(t.column("image_id")[i].as_py())
+            out["h"].append(img.shape[0])
+            out["w"].append(img.shape[1])
+            out["px_sum"].append(int(img.sum()))
+            out["px_min"].append(int(img.min()))
+            out["px_max"].append(int(img.max()))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "h": pa.array(out["h"], pa.int64()),
+                "w": pa.array(out["w"], pa.int64()),
+                "px_sum": pa.array(out["px_sum"], pa.int64()),
+                "px_min": pa.array(out["px_min"], pa.int64()),
+                "px_max": pa.array(out["px_max"], pa.int64()),
+            }
+        )
+
+    return (
+        _images_ds(sf_dir, 6)
+        .map_batches(render_jpeg, batch_format="pyarrow")
+        .map_batches(stats, batch_format="pyarrow")
+    )
+
+
+def q_cmap_render(sf_dir: str):
+    """Colormap rendering (viridis LUT, stages.colormap) to RGB PNG over
+    4 oracle images; per-channel integer sums vs a golden oracle (PNG is
+    lossless, the LUT gather exact)."""
+    from rasters_ray import codec as _codec
+    from rasters_ray.stages.sampling import make_render
+
+    def stats(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "sum_r": [], "sum_g": [], "sum_b": []}
+        for i in range(t.num_rows):
+            rgb = _codec.decode(t.column("bytes")[i].as_py(), "png")
+            s = rgb.astype(np.int64).sum(axis=(0, 1))
+            out["image_id"].append(t.column("image_id")[i].as_py())
+            out["sum_r"].append(int(s[0]))
+            out["sum_g"].append(int(s[1]))
+            out["sum_b"].append(int(s[2]))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "sum_r": pa.array(out["sum_r"], pa.int64()),
+                "sum_g": pa.array(out["sum_g"], pa.int64()),
+                "sum_b": pa.array(out["sum_b"], pa.int64()),
+            }
+        )
+
+    return (
+        _images_ds(sf_dir, 4)
+        .map_batches(make_render("png", cmap="viridis"), batch_format="pyarrow")
+        .map_batches(stats, batch_format="pyarrow")
+    )
+
+
 def q_cosine_near(sf_dir: str):
     """Embedding-cosine near-dup pairs over the embeddings table with 20
     planted perturbed copies (ids 100000+i, seeded noise) — the LSH-bucket
@@ -4115,6 +4185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
+        "jpeg_render": q_jpeg_render,
+        "cmap_render": q_cmap_render,
         "fill_from": q_fill_from,
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
@@ -4559,6 +4631,31 @@ FROM px GROUP BY d
 SELECT r.range AS r, c.range AS c,
        (((r.range * 100) // 32) * 7 + ((c.range * 100) // 32) * 13) % 251 AS value
 FROM range(32) r, range(32) c
+"""
+
+    # jpeg_render / cmap_render: GOLDEN oracles. The render chain
+    # (min-max stretch -> jpeg_codec DCT round-trip / viridis LUT gather
+    # -> integer stats) is deterministic pure-numpy; the literals below
+    # were computed once by the sequential (non-Ray) reference path over
+    # the same oracle images (doc_id < 6, identical at every sf).
+    sql["jpeg_render"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 100, 100, 1268773, 0, 255),
+  ('img00000001', 100, 100, 1271983, 0, 255),
+  ('img00000002', 100, 100, 1272097, 0, 255),
+  ('img00000003', 100, 100, 1271303, 0, 255),
+  ('img00000004', 100, 100, 1270601, 0, 255),
+  ('img00000005', 100, 100, 1269276, 0, 255)
+) AS t(image_id, h, w, px_sum, px_min, px_max)
+"""
+
+    sql["cmap_render"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 832727, 1357243, 1103545),
+  ('img00000001', 834520, 1360047, 1102580),
+  ('img00000002', 835530, 1360304, 1101747),
+  ('img00000003', 835677, 1359243, 1101502)
+) AS t(image_id, sum_r, sum_g, sum_b)
 """
 
     sql["rasterize_box"] = """

@@ -419,7 +419,7 @@ def decode(data) -> np.ndarray:
     p = 2
     scan_start = None
     scan_comps = None
-    while p < len(d):
+    while p + 1 < len(d):
         if d[p] != 0xFF:
             p += 1
             continue

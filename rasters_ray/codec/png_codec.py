@@ -27,10 +27,11 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode(arr: np.ndarray) -> bytes:
-    """Grayscale uint8 or uint16 (rows, cols) -> PNG bytes."""
+    """Grayscale (rows, cols) or RGB (rows, cols, 3) uint8/uint16 -> PNG."""
     arr = np.asarray(arr)
-    if arr.ndim != 2:
-        raise ValueError(f"PNG codec takes 2D grayscale arrays, got shape {arr.shape}")
+    rgb = arr.ndim == 3 and arr.shape[2] == 3
+    if not rgb and arr.ndim != 2:
+        raise ValueError(f"PNG codec takes (h,w) or (h,w,3) arrays, got {arr.shape}")
     if arr.dtype == np.uint8:
         depth = 8
         raw = arr
@@ -39,9 +40,10 @@ def encode(arr: np.ndarray) -> bytes:
         raw = arr.astype(">u2")
     else:
         raise ValueError(f"PNG codec supports uint8/uint16, got {arr.dtype}")
-    h, w = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)  # color type 0 = gray
-    stride = w * (depth // 8)
+    h, w = arr.shape[:2]
+    color = 2 if rgb else 0  # color type 2 = truecolor RGB, 0 = grayscale
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    stride = w * (depth // 8) * (3 if rgb else 1)
     # vectorized scanline assembly: filter byte column (0 = None) + body
     lines = np.empty((h, 1 + stride), dtype=np.uint8)
     lines[:, 0] = 0
@@ -68,8 +70,10 @@ def decode(data) -> np.ndarray:
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if color != 0 or interlace != 0:
-                raise ValueError("only non-interlaced grayscale PNG supported")
+            if color not in (0, 2) or interlace != 0:
+                raise ValueError(
+                    "only non-interlaced grayscale/RGB PNG supported"
+                )
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -77,20 +81,24 @@ def decode(data) -> np.ndarray:
     if width is None:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    bpp = depth // 8
+    nch = 3 if color == 2 else 1
+    bpp = depth // 8 * nch
     stride = width * bpp
+
+    def _shape(flat: np.ndarray) -> np.ndarray:
+        if depth == 8:
+            px = flat[:, :stride].reshape(height, width, nch)
+        else:
+            u16 = flat.reshape(height, width * nch, 2).astype(np.uint16)
+            px = (u16[:, :, 0] * 256 + u16[:, :, 1]).reshape(height, width, nch)
+        return px[:, :, 0].copy() if nch == 1 else px.copy()
+
     # fast path: every scanline filter 0 (what this module's encoder
     # writes) -> one vectorized reshape, no per-row loop
     if len(raw) == height * (1 + stride):
         grid = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
         if not grid[:, 0].any():
-            out = grid[:, 1:]
-            if depth == 8:
-                return out[:, :width].copy()
-            if depth == 16:
-                return out.reshape(height, width, 2).astype(np.uint16)[:, :, 0] * 256 + out.reshape(
-                    height, width, 2
-                )[:, :, 1]
+            return _shape(grid[:, 1:])
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     p = 0
@@ -122,10 +130,6 @@ def decode(data) -> np.ndarray:
             raise ValueError(f"bad filter {ftype}")
         out[r] = line
         prev = line
-    if depth == 8:
-        return out[:, :width].copy()
-    if depth == 16:
-        return out.reshape(height, width, 2).astype(np.uint16)[:, :, 0] * 256 + out.reshape(
-            height, width, 2
-        )[:, :, 1]
-    raise ValueError(f"unsupported depth {depth}")
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported depth {depth}")
+    return _shape(out)

@@ -102,11 +102,17 @@ def _stretch_u8(arr: np.ndarray) -> np.ndarray:
     return img
 
 
-def _render(batch: pa.Table, out_fmt: str) -> pa.Table:
+def _render(batch: pa.Table, out_fmt: str, cmap: str = None) -> pa.Table:
     blobs = batch.column("bytes").to_pylist()
     fmts = batch.column("fmt").to_pylist()
+    if cmap is not None and cmap != "gray":
+        from .colormap import apply_cmap
+
+        post = lambda u8: apply_cmap(u8, cmap)  # noqa: E731
+    else:
+        post = lambda u8: u8  # noqa: E731
     out = [
-        codec.encode(_stretch_u8(codec.decode(b, f)), out_fmt)
+        codec.encode(post(_stretch_u8(codec.decode(b, f))), out_fmt)
         for b, f in zip(blobs, fmts)
     ]
     t = batch.set_column(batch.column_names.index("bytes"), "bytes", pa.array(out, pa.binary()))
@@ -125,6 +131,17 @@ def render_jpeg(batch: pa.Table) -> pa.Table:
     ``to_geojpeg`` display path (raster.py:1791-1865), real as of round
     4 via the pure-numpy ``codec.jpeg_codec``."""
     return _render(batch, "jpg")
+
+
+def make_render(out_fmt: str = "png", cmap: str = None):
+    """Display-render stage factory: min-max stretch -> optional colormap
+    (``stages.colormap``, RGB) -> png/jpg encode. The reference's
+    cmap-aware to_geopng/to_geojpeg (raster.py:1791-1865, cmap kwarg)."""
+
+    def render(batch: pa.Table) -> pa.Table:
+        return _render(batch, out_fmt, cmap)
+
+    return render
 
 
 def band_stack(images_ds, group_col: str = "caption"):

@@ -138,12 +138,18 @@ def test_multimodal_stages(ray_session):
     arr = codec.decode(rs["bytes"][0], rs["fmt"][0])
     assert arr.shape == (16, 16)
 
-    # strict mode raises for foreign formats (jpeg absent in container)
+    # strict mode raises for formats still foreign (mp4: no ffmpeg)
     with pytest.raises(NotImplementedError):
-        default_decode(b"\xff\xd8\xff", "jpeg", strict=True)
+        default_decode(b"\x00\x00\x00\x18ftypmp42", "mp4", strict=True)
     # non-strict uses the documented deterministic fake
-    fake = default_decode(b"\xff\xd8\xff" + b"x" * 100, "jpeg")
+    fake = default_decode(b"\x00" * 100, "mp4")
     assert fake.shape[1] == 64
+    # jpeg is NATIVE as of round 4: real decode, not the fake
+    from rasters_ray.codec import jpeg_codec
+
+    g = (np.arange(24 * 24) % 251).astype(np.uint8).reshape(24, 24)
+    real = default_decode(jpeg_codec.encode(g), "jpeg", strict=True)
+    assert real.shape == (24, 24)
 
     au = rd.from_arrow(
         pa.table({"bytes": pa.array([b"abcdef" * 100], pa.binary())})
