@@ -753,7 +753,9 @@ def q_merge_grids(sf_dir: str):
 
 
 def q_idw_sample(sf_dir: str):
-    """IDW point sampling (float-dtype to_point path) — rows-only."""
+    """IDW point sampling (float-dtype to_point path). Value-exact as of
+    round 4: fixed oracle inputs, per-(image, point) compute with no
+    cross-row float reduction -> golden VALUES oracle."""
     import ray
 
     from rasters_ray.stages.sampling import IDWSampler
@@ -1372,6 +1374,101 @@ _MINHASH_GOLDEN_SF_DIRS = (
     "/root/testdata/sf0.01",
     "/root/testdata/sf0.1",
 )
+
+
+def _hll_golden_path() -> str:
+    """Golden (event_type, n_approx) rows for ``approx_distinct``,
+    computed by a SEQUENTIAL single-pass reference (one in-memory
+    register table per group — no Ray, no partial merge) for every known
+    sf corpus; fingerprinted by COUNT(*) of events. Valid because HLL
+    registers are ORDER-INDEPENDENT (max per register), so the
+    distributed partial/merge path must land on the identical integer
+    estimate — this pins the register-merge plumbing, upgrading the
+    query from rows-only to value-exact."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    from rasters_ray.relational.distinct import hll_count, hll_register_table
+
+    path = "/tmp/rasters_ray_oracle/hll_golden_v1.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = {"fp": [], "event_type": [], "n_approx": []}
+    for d in _MINHASH_GOLDEN_SF_DIRS:
+        f = f"{d}/events.parquet"
+        if not os.path.exists(f):
+            continue
+        tab = pqm.read_table(f, columns=["event_type", "user_id"])
+        et = np.asarray(tab.column("event_type").to_pylist(), dtype=object)
+        uid = np.asarray(tab.column("user_id").to_pylist(), dtype=object)
+        fp = tab.num_rows
+        for g in np.unique(et):
+            est = hll_count(hll_register_table(uid[et == g]))
+            rows["fp"].append(fp)
+            rows["event_type"].append(str(g))
+            rows["n_approx"].append(int(round(est)))
+    pqm.write_table(
+        pa.table(
+            {
+                "fp": pa.array(rows["fp"], pa.int64()),
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "n_approx": pa.array(rows["n_approx"], pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def _bpe_golden_path() -> str:
+    """Golden (merge_idx, left, right, n) rows for ``bpe_merges`` from
+    the sequential reference trainer (text/bpe.py::bpe_train_local — the
+    same truth tests/test_bpe.py asserts bit-equality against), per
+    known sf corpus, fingerprinted by SUM(length(text)). Integer counts
+    + deterministic (count DESC, pair ASC) tie-break make the merge
+    sequence exactly reproducible, so this upgrades the iterative
+    trainer from rows-only to value-exact."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    from rasters_ray.text.bpe import bpe_train_local
+
+    path = "/tmp/rasters_ray_oracle/bpe_golden_v1.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = {"fp": [], "merge_idx": [], "left": [], "right": [], "n": []}
+    for d in _MINHASH_GOLDEN_SF_DIRS:
+        f = f"{d}/documents.parquet"
+        if not os.path.exists(f):
+            continue
+        tab = pqm.read_table(f, columns=["text"])
+        texts = tab.column("text").to_pylist()
+        fp = sum(len(x or "") for x in texts)
+        for i, (left, right, n) in enumerate(bpe_train_local(texts, n_merges=8)):
+            rows["fp"].append(fp)
+            rows["merge_idx"].append(i)
+            rows["left"].append(left)
+            rows["right"].append(right)
+            rows["n"].append(int(n))
+    pqm.write_table(
+        pa.table(
+            {
+                "fp": pa.array(rows["fp"], pa.int64()),
+                "merge_idx": pa.array(rows["merge_idx"], pa.int64()),
+                "left": pa.array(rows["left"], pa.string()),
+                "right": pa.array(rows["right"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
 
 
 def _minhash_golden_path() -> str:
@@ -2568,9 +2665,11 @@ def q_distinct_users(sf_dir: str):
 
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog per event type (m=4096, ~1.6% expected error) — the
-    sketch path when even pair cardinality is too much wire.  Approximate
-    by construction, so rows-only here; the error bound is pytest-asserted
-    against the exact path."""
+    sketch path when even pair cardinality is too much wire.  Value-exact
+    golden oracle as of round 4 (_hll_golden_path: HLL registers are
+    order-independent, so the distributed merge must reproduce the
+    sequential estimate bit-for-bit); the error bound vs the exact path
+    is pytest-asserted."""
     from rasters_ray.relational import approx_distinct
 
     return approx_distinct(
@@ -3489,9 +3588,10 @@ def q_bpe_merges(sf_dir: str):
     """Distributed BPE merge training (text/bpe.py) — 8 rounds of
     most-frequent-pair over the documents corpus, each round one
     vocabulary-weighted streaming pass + an n_parts-row driver pick.
-    Rows-only: the merge loop is inherently iterative; the distributed
-    trainer is asserted bit-equal to a sequential reference in
-    tests/test_bpe.py."""
+    Value-exact golden oracle as of round 4 (_bpe_golden_path: integer
+    counts + deterministic tie-break make the merge sequence exactly
+    reproducible by the sequential reference trainer); also asserted
+    bit-equal to that reference in tests/test_bpe.py."""
     from rasters_ray.text.bpe import train_bpe
 
     return train_bpe(_read(sf_dir, "documents", ["text"]), n_merges=8)
@@ -3639,14 +3739,89 @@ def q_dup_clusters(sf_dir: str):
 
 def q_pq_codes(sf_dir: str):
     """Product quantization (ann/pq.py): M=4 sub-quantizers trained in
-    one distributed pass per Lloyd round, vectors encoded to 4 codes.
-    Rows-only (iterative float training); reconstruction accuracy and
-    layout independence pinned in tests/test_pq.py."""
+    one distributed pass per Lloyd round, vectors encoded to 4 codes,
+    exploded to (vec_id, m, code) rows.  Value-exact golden oracle as of
+    round 4: the fixed-point int64 centroid accumulation makes training
+    bit-equal to the sequential ``pq_train_local`` reference at any
+    block layout (tests/test_pq.py asserts it), so the sequential codes
+    ARE the truth table (_pq_golden_path)."""
     from rasters_ray.ann.pq import pq_encode, train_pq
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     books = train_pq(ds, m_subspaces=4, k=16, iters=4)
-    return pq_encode(ds, books)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        m = 4
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        vid = np.repeat(t.column("vec_id").to_numpy(), m)
+        codes = np.stack(
+            [np.asarray(c, dtype=np.int64) for c in t.column("codes").to_pylist()]
+        ).reshape(-1)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "m": pa.array(np.tile(np.arange(m, dtype=np.int64), n), pa.int64()),
+                "code": pa.array(codes, pa.int64()),
+            }
+        )
+
+    return pq_encode(ds, books).map_batches(explode, batch_format="pyarrow")
+
+
+def _pq_golden_path() -> str:
+    """Golden (vec_id, m, code) rows for ``pq_codes`` from the
+    sequential fixed-point PQ reference (ann/pq.py::pq_train_local +
+    the shared ``_assign`` kernel), per known sf corpus, fingerprinted
+    by COUNT(*) of embeddings."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    from rasters_ray.ann.pq import _assign, pq_train_local
+
+    path = "/tmp/rasters_ray_oracle/pq_golden_v1.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = {"fp": [], "vec_id": [], "m": [], "code": []}
+    for d in _MINHASH_GOLDEN_SF_DIRS:
+        f = f"{d}/embeddings.parquet"
+        if not os.path.exists(f):
+            continue
+        tab = pqm.read_table(f, columns=["vec_id", "embedding"])
+        vid = tab.column("vec_id").to_numpy()
+        x = np.stack(
+            [np.asarray(r, dtype=np.float32) for r in tab.column("embedding").to_pylist()]
+        )
+        books = pq_train_local(x, m_subspaces=4, k=16, iters=4)
+        ds_ = x.shape[1] // 4
+        # embeddings COUNT(*) collides between sf0.001 and sf0.01 (both
+        # 500 rows, different content) -> fingerprint by lineitem count,
+        # which scales with sf
+        fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
+        for m in range(4):
+            codes = _assign(x[:, m * ds_ : (m + 1) * ds_], books[m])
+            rows["fp"].extend([fp] * len(vid))
+            rows["vec_id"].extend(vid.tolist())
+            rows["m"].extend([m] * len(vid))
+            rows["code"].extend(codes.tolist())
+    pqm.write_table(
+        pa.table(
+            {
+                "fp": pa.array(rows["fp"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "m": pa.array(rows["m"], pa.int64()),
+                "code": pa.array(rows["code"], pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
 
 
 def q_pq_ann(sf_dir: str):
@@ -4882,6 +5057,49 @@ FROM pts
     sql["minhash_pairs"] = f"""
 SELECT a, b, jaccard
 FROM read_parquet('{_minhash_golden_path()}')
+WHERE fp = (SELECT SUM(length(text)) FROM documents)
+"""
+
+    # approx_distinct: golden rows from the sequential HLL reference
+    # (order-independent registers -> same integer estimate required)
+    sql["approx_distinct"] = f"""
+SELECT event_type, n_approx
+FROM read_parquet('{_hll_golden_path()}')
+WHERE fp = (SELECT COUNT(*) FROM events)
+"""
+
+    # idw_sample: golden VALUES — fixed oracle images (doc_id < 4) x 8
+    # fixed query points, per-(image, point) float compute with no
+    # cross-row reduction, so the sequential values (shortest-repr
+    # round-trip doubles) are bit-exact at every sf and layout.
+    sql["idw_sample"] = """
+SELECT * FROM (VALUES
+  ('q0', 'img00000000', 105.70510523319774e0),
+  ('q1', 'img00000000', 149.83187978076145e0),
+  ('q2', 'img00000000', 107.89550540242729e0),
+  ('q3', 'img00000000', 109.56219443034576e0),
+  ('q4', 'img00000000', 152.4663792341384e0),
+  ('q5', 'img00000000', 91.2789131743392e0),
+  ('q6', 'img00000000', 113.08283930668198e0),
+  ('q7', 'img00000000', 155.39064555022168e0),
+  ('q4', 'img00000001', 102.69186831623014e0),
+  ('q5', 'img00000001', 141.58980043441164e0),
+  ('q6', 'img00000001', 159.6575694873741e0),
+  ('q7', 'img00000001', 96.83628647243769e0)
+) AS t(point_id, image_id, value)
+"""
+
+    # pq_codes: golden codes from the sequential fixed-point PQ reference
+    sql["pq_codes"] = f"""
+SELECT vec_id, m, code
+FROM read_parquet('{_pq_golden_path()}')
+WHERE fp = (SELECT COUNT(*) FROM lineitem)
+"""
+
+    # bpe_merges: golden merge sequence from the sequential trainer
+    sql["bpe_merges"] = f"""
+SELECT merge_idx, "left", "right", n
+FROM read_parquet('{_bpe_golden_path()}')
 WHERE fp = (SELECT SUM(length(text)) FROM documents)
 """
 

@@ -6,10 +6,16 @@ subvectors, k-means each subspace, store M small codes per vector
 Distributed shape (one pass per Lloyd iteration covers ALL subspaces):
 per batch, for every subspace assign the subvectors to the broadcast
 codebooks and emit partial (sum, count) per (subspace, code) — a
-M * k * (d/M + 1)-float partial per batch, independent of row count.
+M * k * (d/M + 1) partial per batch, independent of row count.
 Driver folds the partials and recenters.  Initialization is the first k
-vectors' subvectors (deterministic, like ann.kmeans_centroids), so the
-codebooks — and therefore the codes — are block-layout independent.
+vectors' subvectors (deterministic, like ann.kmeans_centroids), and the
+centroid accumulation is FIXED-POINT int64 (values scaled by 2^20 and
+rounded): integer partial sums are exact and commutative, so the
+codebooks — and therefore the codes — are BIT-equal for any block
+layout or partial arrival order (the same int-exact-lattice trick
+stages/composite.py uses for float merges). A sequential single-pass
+reference (``pq_train_local``) reproduces them bit-for-bit, which is
+what upgrades ``pq_codes`` to a value-exact golden oracle.
 
 Encoding is a broadcast matmul per batch; reconstruction error is the
 accuracy measure (asserted against per-dataset variance in tests, the
@@ -23,7 +29,21 @@ import pyarrow as pa
 
 from rasters_ray.ann.search import _batch_matrix
 
-__all__ = ["train_pq", "pq_encode", "pq_reconstruct"]
+__all__ = ["train_pq", "pq_train_local", "pq_encode", "pq_reconstruct"]
+
+_FP_SCALE = float(1 << 20)  # fixed-point accumulation scale
+
+
+def _assign(sub: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """Nearest-code assignment for one subspace (shared by the
+    distributed partial, the encoder, and the sequential reference, so
+    all three agree bit-for-bit)."""
+    d2 = (
+        (sub * sub).sum(1)[:, None]
+        - 2.0 * (sub @ book.T)
+        + (book * book).sum(1)[None, :]
+    )
+    return np.argmin(d2, axis=1)
 
 
 def train_pq(
@@ -59,7 +79,7 @@ def train_pq(
                     {
                         "m": pa.array([], pa.int64()),
                         "code": pa.array([], pa.int64()),
-                        "vsum": pa.array([], pa.list_(pa.float64())),
+                        "vsum": pa.array([], pa.list_(pa.int64())),
                         "n": pa.array([], pa.int64()),
                     }
                 )
@@ -68,14 +88,12 @@ def train_pq(
             rows = {"m": [], "code": [], "vsum": [], "n": []}
             for m in range(b.shape[0]):
                 sub = x[:, m * ds_ : (m + 1) * ds_]
-                d2 = (
-                    (sub * sub).sum(1)[:, None]
-                    - 2.0 * (sub @ b[m].T)
-                    + (b[m] * b[m]).sum(1)[None, :]
-                )
-                a = np.argmin(d2, axis=1)
-                sums = np.zeros((b.shape[1], ds_), np.float64)
-                np.add.at(sums, a, sub)
+                a = _assign(sub, b[m])
+                # fixed-point int64 partial: exact + commutative, so the
+                # fold is layout/arrival-order independent bit-for-bit
+                q = np.rint(sub.astype(np.float64) * _FP_SCALE).astype(np.int64)
+                sums = np.zeros((b.shape[1], ds_), np.int64)
+                np.add.at(sums, a, q)
                 cnt = np.bincount(a, minlength=b.shape[1]).astype(np.int64)
                 rows["m"].extend([m] * b.shape[1])
                 rows["code"].extend(range(b.shape[1]))
@@ -85,23 +103,62 @@ def train_pq(
                 {
                     "m": pa.array(rows["m"], pa.int64()),
                     "code": pa.array(rows["code"], pa.int64()),
-                    "vsum": pa.array(rows["vsum"], pa.list_(pa.float64())),
+                    "vsum": pa.array(rows["vsum"], pa.list_(pa.int64())),
                     "n": pa.array(rows["n"], pa.int64()),
                 }
             )
 
         parts = embeddings_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        # driver-small: M*k rows per block
-        sums = np.zeros((m_subspaces, k, ds_), np.float64)
+        # driver-small: M*k rows per block; int64 sums commute exactly
+        sums = np.zeros((m_subspaces, k, ds_), np.int64)
         cnts = np.zeros((m_subspaces, k), np.int64)
         for mm, cc, vs, nn in zip(parts["m"], parts["code"], parts["vsum"], parts["n"]):
-            sums[int(mm), int(cc)] += np.asarray(vs)
+            sums[int(mm), int(cc)] += np.asarray(vs, dtype=np.int64)
             cnts[int(mm), int(cc)] += int(nn)
-        nz = cnts > 0
+        books = _recenter(books, sums, cnts)
+    return books
+
+
+def _recenter(books: np.ndarray, sums: np.ndarray, cnts: np.ndarray) -> np.ndarray:
+    """Fixed-point mean -> float32 centroids (shared with the sequential
+    reference so both paths round identically)."""
+    books = books.copy()
+    m_subspaces, k = cnts.shape
+    for m in range(m_subspaces):
+        for c in range(k):
+            if cnts[m, c]:
+                books[m, c] = (
+                    sums[m, c].astype(np.float64) / _FP_SCALE / cnts[m, c]
+                ).astype(np.float32)
+    return books
+
+
+def pq_train_local(x: np.ndarray, m_subspaces: int = 4, k: int = 16,
+                   iters: int = 5) -> np.ndarray:
+    """Sequential single-process reference for ``train_pq`` — identical
+    init, assignment kernel, fixed-point accumulation and recentering,
+    so the distributed trainer must match it BIT-for-bit at any block
+    layout (tests assert this; the golden pq_codes oracle relies on it)."""
+    x = np.asarray(x)
+    xf = np.stack([np.asarray(r, dtype=np.float32) for r in x]) \
+        if x.dtype == object else x.astype(np.float32)
+    n, d = xf.shape
+    if d % m_subspaces:
+        raise ValueError("dim must divide m_subspaces")
+    ds_ = d // m_subspaces
+    books = np.stack(
+        [xf[:k, m * ds_ : (m + 1) * ds_].copy() for m in range(m_subspaces)]
+    )
+    for _ in range(iters):
+        sums = np.zeros((m_subspaces, k, ds_), np.int64)
+        cnts = np.zeros((m_subspaces, k), np.int64)
         for m in range(m_subspaces):
-            for c in range(k):
-                if nz[m, c]:
-                    books[m, c] = (sums[m, c] / cnts[m, c]).astype(np.float32)
+            sub = xf[:, m * ds_ : (m + 1) * ds_]
+            a = _assign(sub, books[m])
+            q = np.rint(sub.astype(np.float64) * _FP_SCALE).astype(np.int64)
+            np.add.at(sums[m], a, q)
+            cnts[m] = np.bincount(a, minlength=k).astype(np.int64)
+        books = _recenter(books, sums, cnts)
     return books
 
 
@@ -127,13 +184,7 @@ def pq_encode(embeddings_ds, books: np.ndarray, col: str = "embedding",
         x = _batch_matrix(t, col).astype(np.float32)
         codes = np.zeros((len(x), m_subspaces), np.int64)
         for m in range(m_subspaces):
-            sub = x[:, m * ds_ : (m + 1) * ds_]
-            d2 = (
-                (sub * sub).sum(1)[:, None]
-                - 2.0 * (sub @ b[m].T)
-                + (b[m] * b[m]).sum(1)[None, :]
-            )
-            codes[:, m] = np.argmin(d2, axis=1)
+            codes[:, m] = _assign(x[:, m * ds_ : (m + 1) * ds_], b[m])
         return pa.table(
             {
                 id_col: t.column(id_col),

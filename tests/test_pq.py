@@ -44,10 +44,22 @@ def test_pq_reconstruction_beats_global_mean(ray_session):
 def test_pq_codes_layout_independent(ray_session):
     rng = np.random.default_rng(5)
     x = rng.normal(size=(600, 8)).astype(np.float32).astype(np.float64)
-    # same logical order (init = first k vectors), different block layout
+    # same logical order (init = first k vectors), different block layout:
+    # fixed-point int64 accumulation makes the fold exact + commutative,
+    # so codebooks must match BIT-for-bit (not just within tolerance)
     a_books = train_pq(_ds(x, 3), m_subspaces=2, k=8, iters=3)
     b_books = train_pq(_ds(x, 9), m_subspaces=2, k=8, iters=3)
-    np.testing.assert_allclose(a_books, b_books, rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(a_books, b_books)
+
+
+def test_pq_distributed_matches_sequential(ray_session):
+    from rasters_ray.ann.pq import pq_train_local
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(500, 8)).astype(np.float32).astype(np.float64)
+    dist = train_pq(_ds(x, 7), m_subspaces=2, k=8, iters=4)
+    seq = pq_train_local(x, m_subspaces=2, k=8, iters=4)
+    np.testing.assert_array_equal(dist, seq)  # bit-equal: the golden-oracle gate
 
 
 def test_pq_adc_topk_recall(ray_session):
