@@ -1369,6 +1369,57 @@ def q_transform_lcc(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_stere(sf_dir: str):
+    """Polar stereographic north (proj/stereographic.py, Snyder 21-33..41)
+    with the NSIDC EPSG:3413 parameterisation (lat_ts=70, lon_0=-45),
+    forward + inverse round-trip.  Floor-cm int64; the oracle recomputes
+    m_c, t_c and the per-point projection from the same public formulas
+    in SQL."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "EPSG:3413")
+        lon2, lat2 = transform_xy(x, yv, "EPSG:3413", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_transform_aea(sf_dir: str):
+    """Albers equal-area conic (proj/albers.py, Snyder 14-12..14) with
+    the CONUS EPSG:5070 parameterisation, forward + inverse round-trip.
+    Floor-cm int64; the oracle recomputes q, n, C, rho0 and the
+    per-point projection from the same public formulas in SQL."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "EPSG:5070")
+        lon2, lat2 = transform_xy(x, yv, "EPSG:5070", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 _MINHASH_GOLDEN_SF_DIRS = (
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -4450,6 +4501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_sinu": q_transform_sinu,
         "transform_merc": q_transform_merc,
         "transform_lcc": q_transform_lcc,
+        "transform_stere": q_transform_stere,
+        "transform_aea": q_transform_aea,
         "phash_dups": q_phash_dups,
         "phash_near": q_phash_near,
         "idw_sample": q_idw_sample,
@@ -5219,6 +5272,87 @@ pp AS (
              / pow((1.0e0 - e * sin(radians(y))) / (1.0e0 + e * sin(radians(y))),
                    e / 2.0e0),
            n) AS rho,
+         n * (fmod(radians(x - (-96.0e0)) + 3.141592653589793e0,
+                   6.283185307179586e0) - 3.141592653589793e0) AS theta,
+         a, n, rho0_a
+  FROM pts, kg
+)
+SELECT point_id,
+       CAST(floor(rho * sin(theta) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor((a * rho0_a - rho * cos(theta)) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM pp
+"""
+
+    # polar stereographic north, EPSG:3413 (Snyder 21-33..41 in SQL)
+    sql["transform_stere"] = f"""
+WITH {_PTS_CTE.strip()},
+prm AS (
+  SELECT 0.08181919084262149e0 AS e, 0.0066943799901413165e0 AS e2,
+         6378137.0e0 AS a, radians(70.0e0) AS pc
+),
+kc AS (
+  SELECT a, e, e2,
+         cos(pc) / sqrt(1.0e0 - e2 * sin(pc) * sin(pc)) AS mc,
+         tan(0.7853981633974483e0 - pc / 2.0e0)
+           / pow((1.0e0 - e * sin(pc)) / (1.0e0 + e * sin(pc)), e / 2.0e0) AS tc
+  FROM prm
+),
+pp AS (
+  SELECT point_id,
+         a * mc / tc * (
+           tan(0.7853981633974483e0 - radians(y) / 2.0e0)
+             / pow((1.0e0 - e * sin(radians(y))) / (1.0e0 + e * sin(radians(y))),
+                   e / 2.0e0)
+         ) AS rho,
+         fmod(radians(x - (-45.0e0)) + 3.141592653589793e0,
+              6.283185307179586e0) - 3.141592653589793e0 AS lam
+  FROM pts, kc
+)
+SELECT point_id,
+       CAST(floor(rho * sin(lam) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(-rho * cos(lam) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM pp
+"""
+
+    # Albers equal-area conic, EPSG:5070 (Snyder 3-12, 14-12..14 in SQL)
+    sql["transform_aea"] = f"""
+WITH {_PTS_CTE.strip()},
+prm AS (
+  SELECT 0.08181919084262149e0 AS e, 0.0066943799901413165e0 AS e2,
+         6378137.0e0 AS a,
+         radians(29.5e0) AS p1, radians(45.5e0) AS p2, radians(23.0e0) AS p0
+),
+mq AS (
+  SELECT a, e, e2,
+         cos(p1) / sqrt(1.0e0 - e2 * sin(p1) * sin(p1)) AS m1,
+         cos(p2) / sqrt(1.0e0 - e2 * sin(p2) * sin(p2)) AS m2,
+         (1.0e0 - e2) * (sin(p1) / (1.0e0 - e2 * sin(p1) * sin(p1))
+           - (1.0e0 / (2.0e0 * e))
+             * ln((1.0e0 - e * sin(p1)) / (1.0e0 + e * sin(p1)))) AS q1,
+         (1.0e0 - e2) * (sin(p2) / (1.0e0 - e2 * sin(p2) * sin(p2))
+           - (1.0e0 / (2.0e0 * e))
+             * ln((1.0e0 - e * sin(p2)) / (1.0e0 + e * sin(p2)))) AS q2,
+         (1.0e0 - e2) * (sin(p0) / (1.0e0 - e2 * sin(p0) * sin(p0))
+           - (1.0e0 / (2.0e0 * e))
+             * ln((1.0e0 - e * sin(p0)) / (1.0e0 + e * sin(p0)))) AS q0
+  FROM prm
+),
+kn AS (
+  SELECT a, e, e2, q0,
+         (m1 * m1 - m2 * m2) / (q2 - q1) AS n,
+         m1 * m1 + ((m1 * m1 - m2 * m2) / (q2 - q1)) * q1 AS c
+  FROM mq
+),
+kg AS (SELECT a, e, e2, n, c, sqrt(c - n * q0) / n AS rho0_a FROM kn),
+pp AS (
+  SELECT point_id,
+         a * sqrt(c - n * (
+           (1.0e0 - e2) * (sin(radians(y)) / (1.0e0 - e2 * sin(radians(y)) * sin(radians(y)))
+             - (1.0e0 / (2.0e0 * e))
+               * ln((1.0e0 - e * sin(radians(y))) / (1.0e0 + e * sin(radians(y)))))
+         )) / n AS rho,
          n * (fmod(radians(x - (-96.0e0)) + 3.141592653589793e0,
                    6.283185307179586e0) - 3.141592653589793e0) AS theta,
          a, n, rho0_a

@@ -27,16 +27,18 @@ WGS84 = "EPSG:4326"
 
 @dataclass(frozen=True)
 class CRSInfo:
-    kind: str  # 'geographic' | 'utm' | 'aeqd' | 'sinu' | 'lcc' | 'merc' | 'webmerc'
+    kind: str  # 'geographic' | 'utm' | 'aeqd' | 'sinu' | 'lcc' | 'merc'
+    #          | 'webmerc' | 'stere' (polar) | 'aea'
     zone: Optional[int] = None  # utm
-    south: bool = False  # utm
-    lat_0: float = 0.0  # aeqd / lcc
-    lon_0: float = 0.0  # aeqd / sinu / lcc
-    lat_1: float = 0.0  # lcc standard parallels
+    south: bool = False  # utm / polar stere aspect
+    lat_0: float = 0.0  # aeqd / lcc / aea
+    lon_0: float = 0.0  # aeqd / sinu / lcc / stere / aea
+    lat_1: float = 0.0  # lcc / aea standard parallels
     lat_2: float = 0.0
-    x_0: float = 0.0  # false easting/northing (sinu / lcc)
+    x_0: float = 0.0  # false easting/northing (sinu / lcc / stere / aea)
     y_0: float = 0.0
     radius: Optional[float] = None  # sinu sphere radius (None = ellipsoidal)
+    lat_ts: float = 0.0  # polar stereographic standard parallel
 
     @property
     def is_geographic(self) -> bool:
@@ -60,6 +62,18 @@ class CRSInfo:
             return "EPSG:3857"
         if self.kind == "merc":
             return "EPSG:3395"
+        if self.kind == "stere":
+            lat0 = -90 if self.south else 90
+            return (
+                f"+proj=stere +lat_0={lat0} +lat_ts={self.lat_ts}"
+                f" +lon_0={self.lon_0} +x_0={self.x_0} +y_0={self.y_0}"
+            )
+        if self.kind == "aea":
+            return (
+                f"+proj=aea +lat_1={self.lat_1} +lat_2={self.lat_2}"
+                f" +lat_0={self.lat_0} +lon_0={self.lon_0}"
+                f" +x_0={self.x_0} +y_0={self.y_0}"
+            )
         return f"+proj=aeqd +lat_0={self.lat_0} +lon_0={self.lon_0}"
 
 
@@ -84,6 +98,15 @@ def parse_crs(crs: str) -> CRSInfo:
             return CRSInfo("utm", zone=code - 32600, south=False)
         if 32701 <= code <= 32760:
             return CRSInfo("utm", zone=code - 32700, south=True)
+        if code in (3413, 3411):  # NSIDC Sea Ice North (3411 legacy sphere
+            # params differ; treated as the WGS84 grid — documented approx)
+            return CRSInfo("stere", south=False, lat_ts=70.0, lon_0=-45.0)
+        if code == 3976:  # NSIDC Sea Ice South
+            return CRSInfo("stere", south=True, lat_ts=-70.0, lon_0=0.0)
+        if code == 3031:  # Antarctic Polar Stereographic
+            return CRSInfo("stere", south=True, lat_ts=-71.0, lon_0=0.0)
+        if code == 5070:  # CONUS Albers (NAD83/GRS80 ~ WGS84 here)
+            return CRSInfo("aea", lat_1=29.5, lat_2=45.5, lat_0=23.0, lon_0=-96.0)
         raise ValueError(f"unsupported EPSG code: {code}")
     low = s.lower()
 
@@ -128,6 +151,23 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo("webmerc")
     if "+proj=merc" in low:
         return CRSInfo("merc")
+    if "+proj=stere" in low:
+        lat0 = _p("lat_0", 90.0)
+        if abs(lat0) != 90.0:
+            raise ValueError(
+                f"only POLAR stereographic supported (+lat_0=+/-90): {s}"
+            )
+        lat_ts = _p("lat_ts", lat0)
+        return CRSInfo(
+            "stere", south=lat0 < 0, lat_ts=lat_ts, lon_0=_p("lon_0"),
+            x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=aea" in low:
+        lat_1 = _p("lat_1")
+        return CRSInfo(
+            "aea", lat_1=lat_1, lat_2=_p("lat_2", lat_1), lat_0=_p("lat_0"),
+            lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+        )
     raise ValueError(f"unsupported CRS: {s}")
 
 

@@ -18,9 +18,11 @@ from typing import Tuple
 import numpy as np
 
 from . import aeqd as _aeqd
+from . import albers as _aea
 from . import conic as _lcc
 from . import mercator as _merc
 from . import sinusoidal as _sinu
+from . import stereographic as _st
 from . import transverse_mercator as _tm
 from .crs import CRSInfo, parse_crs
 
@@ -44,6 +46,14 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
         return _merc.webmerc_to_geographic(x, y)
     if info.kind == "merc":
         return _merc.merc_to_geographic(x, y)
+    if info.kind == "stere":
+        return _st.polar_stereo_to_geographic(
+            x, y, info.lat_ts, info.lon_0, info.south, info.x_0, info.y_0
+        )
+    if info.kind == "aea":
+        return _aea.aea_to_geographic(
+            x, y, info.lat_1, info.lat_2, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 
 
@@ -66,6 +76,14 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         return _merc.geographic_to_webmerc(lon, lat)
     if info.kind == "merc":
         return _merc.geographic_to_merc(lon, lat)
+    if info.kind == "stere":
+        return _st.geographic_to_polar_stereo(
+            lon, lat, info.lat_ts, info.lon_0, info.south, info.x_0, info.y_0
+        )
+    if info.kind == "aea":
+        return _aea.geographic_to_aea(
+            lon, lat, info.lat_1, info.lat_2, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 
 

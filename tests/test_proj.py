@@ -218,3 +218,97 @@ def test_parse_new_crs_kinds():
     assert parse_crs("EPSG:3857").kind == "webmerc"
     assert parse_crs("EPSG:3395").kind == "merc"
     assert parse_crs("+proj=webmerc").kind == "webmerc"
+
+
+def test_polar_stereo_round_trip_both_poles():
+    from rasters_ray.proj.transform import transform_xy
+
+    lon = np.array([-45.0, 0.0, 120.0, -135.0, 17.0])
+    lat = np.array([70.0, 85.0, 75.0, 89.9, 60.0])
+    x, y = transform_xy(lon, lat, "EPSG:4326", "EPSG:3413")
+    lo, la = transform_xy(x, y, "EPSG:3413", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    # south (EPSG:3031): along lon_0 the grid-north axis points to equator
+    x, y = transform_xy(np.array([0.0]), np.array([-80.0]), "EPSG:4326", "EPSG:3031")
+    assert abs(x[0]) < 1e-6 and y[0] > 1e6
+    lo, la = transform_xy(x, y, "EPSG:3031", "EPSG:4326")
+    assert abs(lo[0]) < 1e-9 and abs(la[0] + 80.0) < 1e-9
+
+
+def test_polar_stereo_scale_at_standard_parallel():
+    """k=1 on the lat_ts parallel (the defining property of variant B)."""
+    from rasters_ray.proj.conic import A_WGS84, E2
+    from rasters_ray.proj.stereographic import geographic_to_polar_stereo
+
+    xa, ya = geographic_to_polar_stereo(np.array([-45.0]), np.array([70.0]), 70.0, -45.0)
+    xb, yb = geographic_to_polar_stereo(np.array([-44.99]), np.array([70.0]), 70.0, -45.0)
+    chord = float(np.hypot(xa - xb, ya - yb)[0])
+    phi = np.radians(70.0)
+    arc = A_WGS84 * np.cos(phi) / np.sqrt(1 - E2 * np.sin(phi) ** 2) * np.radians(0.01)
+    assert abs(chord / arc - 1.0) < 1e-6
+
+
+def test_polar_stereo_pole_and_parse():
+    from rasters_ray.proj.crs import parse_crs
+    from rasters_ray.proj.transform import transform_xy
+
+    # the pole maps to the origin for any lon
+    x, y = transform_xy(np.array([33.0, -170.0]), np.array([90.0, 90.0]),
+                        "EPSG:4326", "EPSG:3413")
+    np.testing.assert_allclose([x, y], 0.0, atol=1e-6)
+    info = parse_crs("+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0")
+    assert info.kind == "stere" and info.south and info.lat_ts == -70.0
+    assert parse_crs("EPSG:3976") == info
+    with pytest.raises(ValueError, match="POLAR"):
+        parse_crs("+proj=stere +lat_0=52 +lon_0=10")
+
+
+def test_albers_round_trip_and_equal_area():
+    from rasters_ray.proj.transform import transform_xy
+
+    lon = np.array([-96.0, -120.0, -75.0, -100.0])
+    lat = np.array([23.0, 40.0, 45.0, 37.5])
+    x, y = transform_xy(lon, lat, "EPSG:4326", "EPSG:5070")
+    lo, la = transform_xy(x, y, "EPSG:5070", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    # origin maps to (0, 0)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # equal-area property: a projected cell's area equals the EXACT
+    # ellipsoidal area  a^2 (1-e^2)/2 * dlam * (q(phi2) - q(phi1))
+    # (same q as the projection, Snyder 3-12) up to edge linearization
+    from rasters_ray.proj.albers import _q
+    from rasters_ray.proj.conic import A_WGS84, E2
+
+    def cell_ratio(lon0, lat0, d=0.05):
+        n = 8  # densify edges so the polygon approximates the true image
+        top = np.linspace(lon0, lon0 + d, n)
+        right = np.linspace(lat0, lat0 + d, n)
+        cx = np.concatenate([top, np.full(n, lon0 + d), top[::-1], np.full(n, lon0)])
+        cy = np.concatenate([np.full(n, lat0), right, np.full(n, lat0 + d), right[::-1]])
+        px, py = transform_xy(cx, cy, "EPSG:4326", "EPSG:5070")
+        proj_area = 0.5 * abs(np.dot(px, np.roll(py, -1)) - np.dot(py, np.roll(px, -1)))
+        true_area = (
+            A_WGS84**2 * (1 - E2) / 2.0 * np.radians(d)
+            * (float(_q(np.radians(lat0 + d))) - float(_q(np.radians(lat0))))
+            / (1 - E2)  # _q already includes the (1-e^2) factor
+        )
+        return proj_area / true_area
+
+    for lat0 in (29.5, 37.0, 45.45):
+        assert abs(cell_ratio(-96.0, lat0) - 1.0) < 1e-5
+
+
+def test_albers_parse_and_1sp():
+    from rasters_ray.proj.albers import aea_to_geographic, geographic_to_aea
+    from rasters_ray.proj.crs import parse_crs
+
+    info = parse_crs("EPSG:5070")
+    assert (info.kind, info.lat_1, info.lat_2, info.lat_0, info.lon_0) == (
+        "aea", 29.5, 45.5, 23.0, -96.0)
+    assert parse_crs("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96") == info
+    # 1SP: lat_1 == lat_2 limit still round-trips
+    x, y = geographic_to_aea(np.array([-100.0]), np.array([41.0]), 40.0, 40.0, 40.0, -96.0)
+    lo, la = aea_to_geographic(x, y, 40.0, 40.0, 40.0, -96.0)
+    assert abs(lo[0] + 100.0) < 1e-9 and abs(la[0] - 41.0) < 1e-9
