@@ -2559,11 +2559,13 @@ def q_augment(sf_dir: str):
 
 def q_cluster_assign(sf_dir: str):
     """Distributed spherical k-means clustering of the embedding table:
-    Lloyd rounds reduce k x (d+1) partial floats per batch (vectors
-    never move), then a broadcast-centroid matmul assigns every vector.
-    Approximate/iterative by nature (parallel float reduction is not
-    bit-stable across layouts), so rows-only; objective stability is
-    pytest-asserted."""
+    Lloyd rounds reduce k x (d+1) partials per batch (vectors never
+    move), then a broadcast-centroid scoring assigns every vector.
+    Value-exact golden oracle as of round 4: fixed-point int64 Lloyd
+    accumulation + fixed-order einsum scoring make centroids and
+    assignments bit-equal to the sequential kmeans_local reference at
+    any block layout (tests/test_ann.py asserts it); the sequential
+    assignment is the truth table (_kmeans_golden_path)."""
     from rasters_ray.ann import kmeans_assign, kmeans_centroids
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -3821,6 +3823,56 @@ def q_pq_codes(sf_dir: str):
         )
 
     return pq_encode(ds, books).map_batches(explode, batch_format="pyarrow")
+
+
+def _kmeans_golden_path() -> str:
+    """Golden (vec_id, cluster) rows for ``cluster_assign`` from the
+    sequential fixed-point k-means reference (ann/search.py::
+    kmeans_local + the same normalize/einsum-argmax assignment ops as
+    kmeans_assign), per known sf corpus, fingerprinted by lineitem
+    count (embeddings COUNT(*) collides across sf dirs)."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    from rasters_ray.ann.search import _normalize, kmeans_local
+
+    path = "/tmp/rasters_ray_oracle/kmeans_golden_v1.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = {"fp": [], "vec_id": [], "cluster": []}
+    for d in _MINHASH_GOLDEN_SF_DIRS:
+        f = f"{d}/embeddings.parquet"
+        if not os.path.exists(f):
+            continue
+        tab = pqm.read_table(f, columns=["vec_id", "embedding"])
+        vid = tab.column("vec_id").to_numpy()
+        x = np.stack(
+            [np.asarray(r, dtype=np.float32) for r in tab.column("embedding").to_pylist()]
+        )
+        cents = _normalize(np.asarray(kmeans_local(x, 8, iters=3), dtype=np.float32))
+        mm = _normalize(x.astype(np.float32))
+        cluster = np.argmax(
+            np.einsum("nd,kd->nk", mm.astype(np.float64), cents.astype(np.float64)),
+            axis=1,
+        )
+        fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
+        rows["fp"].extend([fp] * len(vid))
+        rows["vec_id"].extend(vid.tolist())
+        rows["cluster"].extend(cluster.tolist())
+    pqm.write_table(
+        pa.table(
+            {
+                "fp": pa.array(rows["fp"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "cluster": pa.array(rows["cluster"], pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
 
 
 def _pq_golden_path() -> str:
@@ -5140,6 +5192,13 @@ SELECT * FROM (VALUES
   ('q6', 'img00000001', 159.6575694873741e0),
   ('q7', 'img00000001', 96.83628647243769e0)
 ) AS t(point_id, image_id, value)
+"""
+
+    # cluster_assign: golden assignment from sequential fixed-point k-means
+    sql["cluster_assign"] = f"""
+SELECT vec_id, cluster
+FROM read_parquet('{_kmeans_golden_path()}')
+WHERE fp = (SELECT COUNT(*) FROM lineitem)
 """
 
     # pq_codes: golden codes from the sequential fixed-point PQ reference

@@ -37,11 +37,18 @@ _FP_SCALE = float(1 << 20)  # fixed-point accumulation scale
 def _assign(sub: np.ndarray, book: np.ndarray) -> np.ndarray:
     """Nearest-code assignment for one subspace (shared by the
     distributed partial, the encoder, and the sequential reference, so
-    all three agree bit-for-bit)."""
+    all three agree bit-for-bit).
+
+    einsum in float64, NOT a float32 BLAS matmul: BLAS picks different
+    kernels (hence different reduction orders, hence last-ulp drift) for
+    different row counts, which flips near-tie argmins between block
+    layouts; einsum's fixed-order C loop is row-count independent."""
+    s64 = sub.astype(np.float64)
+    b64 = book.astype(np.float64)
     d2 = (
-        (sub * sub).sum(1)[:, None]
-        - 2.0 * (sub @ book.T)
-        + (book * book).sum(1)[None, :]
+        (s64 * s64).sum(1)[:, None]
+        - 2.0 * np.einsum("nd,kd->nk", s64, b64)
+        + (b64 * b64).sum(1)[None, :]
     )
     return np.argmin(d2, axis=1)
 

@@ -355,10 +355,16 @@ def kmeans_centroids(
 
     Each round broadcasts the (k, d) centroid matrix and reduces
     per-batch PARTIAL (sum, count) statistics per centroid — the only
-    bytes that ever reach the driver are k x (d+1) floats per batch, so
+    bytes that ever reach the driver are k x (d+1) values per batch, so
     the embedding table itself never moves. Init takes the first k
-    vectors (deterministic). Centroids are L2-normalized every round
-    (spherical k-means matches cosine assignment)."""
+    vectors (deterministic), and the centroid accumulation is
+    FIXED-POINT int64 (normalized components scaled by 2^20, rounded):
+    integer partials are exact and commutative, so the centroids — and
+    every downstream assignment — are BIT-equal for any block layout or
+    partial arrival order (same int-exact-lattice trick as ann/pq.py and
+    stages/composite.py; ``kmeans_local`` is the sequential reference
+    that must match bit-for-bit). Centroids are L2-normalized every
+    round (spherical k-means matches cosine assignment)."""
     import ray
 
     first = embeddings_ds.limit(n_centroids).take_all()
@@ -374,19 +380,21 @@ def kmeans_centroids(
 
             c = _ray.get(cref)
             m = _normalize(_batch_matrix(t, col).astype(np.float32))
-            a = np.argmax(m @ c.T, axis=1)  # (n,) nearest centroid
-            sums = np.zeros((k, d), dtype=np.float64)
-            np.add.at(sums, a, m)
+            a = _km_argmax(m, c)  # (n,) nearest centroid
+            # fixed-point int64 partial: exact + commutative fold
+            q = np.rint(m * _KM_FP_SCALE).astype(np.int64)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, a, q)
             cnt = np.bincount(a, minlength=k).astype(np.int64)
             return pa.table(
                 {
                     "centroid": pa.array(np.arange(k, dtype=np.int64)),
-                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "vsum": pa.array(list(sums), pa.list_(pa.int64())),
                     "n": pa.array(cnt, pa.int64()),
                 }
             )
 
-        tot = np.zeros((k, d), dtype=np.float64)
+        tot = np.zeros((k, d), dtype=np.int64)
         cnt = np.zeros(k, dtype=np.int64)
         for b in embeddings_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
@@ -395,14 +403,58 @@ def kmeans_centroids(
             vs_col = b.column("vsum")
             if isinstance(vs_col, pa.ChunkedArray):
                 vs_col = vs_col.combine_chunks()
-            vs = np.asarray(vs_col.values, dtype=np.float64).reshape(len(vs_col), d)
-            tot[ci] += vs
-            cnt[ci] += b.column("n").to_numpy()
-        live = cnt > 0
-        cents = cents.copy()
-        cents[live] = _normalize(
-            (tot[live] / cnt[live, None]).astype(np.float32)
+            vs = np.asarray(vs_col.values, dtype=np.int64).reshape(len(vs_col), d)
+            # add.at, NOT tot[ci] += vs: iter_batches may coalesce several
+            # partial blocks into one batch, giving DUPLICATE centroid ids,
+            # and fancy-index += silently keeps only the last occurrence
+            np.add.at(tot, ci, vs)
+            np.add.at(cnt, ci, b.column("n").to_numpy())
+        cents = _km_recenter(cents, tot, cnt)
+    return cents
+
+
+_KM_FP_SCALE = float(1 << 20)
+
+
+def _km_argmax(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Nearest-centroid by cosine — einsum in float64, not a float32
+    BLAS matmul: BLAS reduction order varies with row count, flipping
+    near-tie argmaxes between block layouts; einsum's fixed-order loop
+    makes the assignment bit-stable for any batch size."""
+    return np.argmax(
+        np.einsum("nd,kd->nk", m.astype(np.float64), c.astype(np.float64)), axis=1
+    )
+
+
+def _km_recenter(cents: np.ndarray, tot: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Fixed-point mean -> normalized float32 centroids (shared with the
+    sequential reference so both paths round identically)."""
+    live = cnt > 0
+    cents = cents.copy()
+    cents[live] = _normalize(
+        (tot[live].astype(np.float64) / _KM_FP_SCALE / cnt[live, None]).astype(
+            np.float32
         )
+    )
+    return cents
+
+
+def kmeans_local(x: np.ndarray, n_centroids: int = 32, iters: int = 3) -> np.ndarray:
+    """Sequential single-process reference for ``kmeans_centroids`` —
+    identical init, assignment, fixed-point accumulation and
+    recentering, so the distributed trainer must match it BIT-for-bit
+    at any block layout (tests assert this; the golden cluster_assign
+    oracle relies on it)."""
+    xf = _normalize(np.asarray(x, dtype=np.float32))
+    cents = _normalize(xf[:n_centroids].copy())
+    k, d = cents.shape
+    for _ in range(iters):
+        a = _km_argmax(xf, cents)
+        q = np.rint(xf * _KM_FP_SCALE).astype(np.int64)
+        tot = np.zeros((k, d), dtype=np.int64)
+        np.add.at(tot, a, q)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        cents = _km_recenter(cents, tot, cnt)
     return cents
 
 
@@ -463,9 +515,10 @@ def kmeans_assign(
     """Assign every vector to its nearest centroid (cosine) ->
     Dataset[(id, cluster, sim)].  Centroids are broadcast once
     (``ray.put``); assignment is one matmul per batch — embarrassingly
-    parallel, nothing shuffles.  NOTE: parallel Lloyd centroids are not
-    bit-stable across block layouts (float summation order), so tests
-    must assert OBJECTIVE stability, not assignment equality."""
+    parallel, nothing shuffles.  As of round 4 the centroids AND this
+    assignment are bit-stable across block layouts (fixed-point Lloyd
+    accumulation + fixed-order einsum scoring), which is what lets
+    cluster_assign carry a golden value oracle."""
     import ray
 
     cents = _normalize(np.asarray(centroids, dtype=np.float32))
@@ -476,7 +529,9 @@ def kmeans_assign(
 
         c = _ray.get(cref)
         m = _normalize(_batch_matrix(t, col).astype(np.float32))
-        sims = m @ c.T
+        sims = np.einsum(
+            "nd,kd->nk", m.astype(np.float64), c.astype(np.float64)
+        )  # fixed-order reduction: bit-stable for any batch size
         a = np.argmax(sims, axis=1)
         return pa.table(
             {

@@ -134,14 +134,15 @@ def test_ivf_topk_recall(ray_session):
     assert r >= 0.9, f"recall@10 = {r}"
 
 
-def test_kmeans_centroids_objective_partition_stable(ray_session):
-    """Parallel k-means is NOT bit-identical across block layouts
-    (float summation order can flip boundary assignments), but the
-    OBJECTIVE must be stable: same init, similar quantization quality
-    and unit-norm centroids under any partitioning."""
+def test_kmeans_centroids_bit_stable_across_layouts(ray_session):
+    """Fixed-point int64 accumulation makes the Lloyd fold exact and
+    commutative: centroids must match BIT-for-bit across block layouts
+    AND the sequential reference (the golden cluster_assign oracle
+    gate); and quality still improves over the un-iterated init."""
     import ray.data as rd
 
     from rasters_ray.ann import kmeans_centroids
+    from rasters_ray.ann.search import kmeans_local
 
     tbl, m = _emb_table(n=300)
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -153,13 +154,12 @@ def test_kmeans_centroids_objective_partition_stable(ray_session):
     b = kmeans_centroids(
         rd.from_arrow(tbl).repartition(7), n_centroids=8, iters=2
     )
+    seq = kmeans_local(m, n_centroids=8, iters=2)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, seq)
     np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-5)
-    np.testing.assert_allclose(np.linalg.norm(b, axis=1), 1.0, rtol=1e-5)
-    oa, ob = objective(a), objective(b)
-    assert abs(oa - ob) < 0.05, (oa, ob)
-    # and both beat the un-iterated init (first 8 vectors)
-    init = mn[:8]
-    assert min(oa, ob) > objective(init) - 1e-9
+    # and it beats the un-iterated init (first 8 vectors)
+    assert objective(a) > objective(mn[:8]) - 1e-9
 
 
 def test_kmeans_assign_objective_stable(ray_session):
