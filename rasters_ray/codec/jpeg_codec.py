@@ -179,7 +179,8 @@ def _zigzag_quant(blocks: np.ndarray, qt_zz: np.ndarray) -> np.ndarray:
     return np.rint(coef[:, _ZIG] / qt_zz[None, :]).astype(np.int32)
 
 
-def _channel_tokens(q: np.ndarray, slot: np.ndarray, dc_tbl, ac_tbl):
+def _channel_tokens(q: np.ndarray, slot: np.ndarray, dc_tbl, ac_tbl,
+                    dc_reset: np.ndarray = None):
     """Tokens for one component's blocks -> (sortkey, code, len) arrays.
 
     ``q`` is (n,64) zigzag coefficients in SCAN ORDER for this component
@@ -189,7 +190,10 @@ def _channel_tokens(q: np.ndarray, slot: np.ndarray, dc_tbl, ac_tbl):
     order across components. Fully vectorized."""
     n = q.shape[0]
     dc = q[:, 0].astype(np.int64)
-    diff = np.diff(np.concatenate([[0], dc]))
+    prev = np.concatenate([[0], dc[:-1]])
+    if dc_reset is not None:
+        prev = np.where(dc_reset, 0, prev)  # DC predictor resets at RSTn
+    diff = dc - prev
     cat = _category(diff)
     keys, codes, lens = [], [], []
 
@@ -247,8 +251,13 @@ def _dht_payload(tc_th: int, bits: List[int], values: List[int]) -> bytes:
     return bytes([tc_th] + bits + values)
 
 
-def encode(arr: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
-    """uint8 grayscale (h,w) or RGB (h,w,3) -> baseline JFIF bytes."""
+def encode(arr: np.ndarray, quality: int = 85, subsample: bool = False,
+           restart_interval: int = 0) -> bytes:
+    """uint8 grayscale (h,w) or RGB (h,w,3) -> baseline JFIF bytes.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (DC predictors reset, each entropy segment
+    byte-aligned) — the stream-resync feature robust encoders use."""
     a = np.asarray(arr)
     if a.dtype != np.uint8:
         raise ValueError("jpeg encode expects uint8")
@@ -282,15 +291,25 @@ def encode(arr: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes
     comp_q = [0] + ([1, 1] if not gray else [])
 
     # --- per-component blocks in scan order + global MCU slot indices
+    def resets(slot: np.ndarray, spm: int):
+        """True where this block's restart segment differs from the
+        previous block's (scan order) -> DC predictor reset points."""
+        if not restart_interval:
+            return None
+        seg = (slot // spm) // restart_interval
+        return np.concatenate([[False], np.diff(seg) != 0])
+
     all_tokens = []
     if gray or not subsample:
         ncomp = 1 if gray else 3
+        spm = ncomp
         for ci, plane in enumerate(planes):
             bl = _blocks(np.clip(np.rint(plane), 0, 255).astype(np.uint8))
             q = _zigzag_quant(bl, qt_zz[comp_q[ci]].astype(np.float64))
             slot = np.arange(q.shape[0], dtype=np.int64) * ncomp + ci
             tbls = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            all_tokens.append(_channel_tokens(q, slot, *tbls))
+            all_tokens.append(_channel_tokens(q, slot, *tbls,
+                                              dc_reset=resets(slot, spm)))
         hs = [(1, 1)] * ncomp
     else:
         # 4:2:0: MCU = 4 Y blocks + 1 Cb + 1 Cr (6 slots per MCU)
@@ -307,19 +326,38 @@ def encode(arr: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes
         slot_y = mcu * 6 + sub
         order = np.argsort(slot_y, kind="stable")  # scan order for DC pred
         qy = _zigzag_quant(yb, qt_zz[0].astype(np.float64))[order]
-        all_tokens.append(_channel_tokens(qy, slot_y[order], dc_l, ac_l))
+        spm = 6
+        sy = slot_y[order]
+        all_tokens.append(_channel_tokens(qy, sy, dc_l, ac_l,
+                                          dc_reset=resets(sy, spm)))
         for k, p in ((4, cb), (5, cr)):
             bl = _blocks(np.clip(np.rint(p), 0, 255).astype(np.uint8))
             q = _zigzag_quant(bl, qt_zz[1].astype(np.float64))
             slot = np.arange(q.shape[0], dtype=np.int64) * 6 + k
-            all_tokens.append(_channel_tokens(q, slot, dc_c, ac_c))
+            all_tokens.append(_channel_tokens(q, slot, dc_c, ac_c,
+                                              dc_reset=resets(slot, spm)))
         hs = [(2, 2), (1, 1), (1, 1)]
 
     keys = np.concatenate([t[0] for t in all_tokens])
     codes = np.concatenate([t[1] for t in all_tokens])
     lens = np.concatenate([t[2] for t in all_tokens])
     o = np.argsort(keys, kind="stable")
-    scan = _pack_bits(codes[o], lens[o])
+    if restart_interval:
+        # one byte-aligned entropy segment per restart interval, joined
+        # by RST0..7 markers cycling
+        seg_of = (keys[o] // (65 * 16) // spm) // restart_interval
+        bounds = np.flatnonzero(np.concatenate([[False], np.diff(seg_of) != 0]))
+        pieces = []
+        start = 0
+        cs, ls = codes[o], lens[o]
+        for gi, end in enumerate(list(bounds) + [len(cs)]):
+            pieces.append(_pack_bits(cs[start:end], ls[start:end]))
+            if end != len(cs):
+                pieces.append(bytes([0xFF, 0xD0 + gi % 8]))
+            start = end
+        scan = b"".join(pieces)
+    else:
+        scan = _pack_bits(codes[o], lens[o])
 
     # --- headers
     out = [b"\xFF\xD8"]  # SOI
@@ -337,6 +375,8 @@ def encode(arr: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes
     if not gray:
         out.append(_seg(0xFFC4, _dht_payload(0x01, *_DC_CHR)))
         out.append(_seg(0xFFC4, _dht_payload(0x11, *_AC_CHR)))
+    if restart_interval:
+        out.append(_seg(0xFFDD, struct.pack(">H", restart_interval)))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])

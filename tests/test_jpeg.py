@@ -109,3 +109,23 @@ def test_decode_stage_jpeg_native():
     )
     out = ImageDecodeStage(strict=True)(batch)  # strict: no fake fallback
     assert out.num_rows == 1
+
+
+def test_restart_intervals():
+    """DRI + RSTn markers: byte-aligned segments, DC predictor resets;
+    decoded pixels identical to the unsegmented stream."""
+    g = _gradient(120, 200)
+    plain = J.decode(J.encode(g, quality=90))
+    for ri in (1, 4, 17):
+        b = J.encode(g, quality=90, restart_interval=ri)
+        assert b.count(b"\xff\xdd") == 1  # DRI emitted
+        n_mcu = (120 // 8 + (120 % 8 > 0)) * (200 // 8 + (200 % 8 > 0))
+        n_rst = sum(b.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+        assert n_rst == (n_mcu - 1) // ri
+        np.testing.assert_array_equal(J.decode(b), plain)
+    # interleaved color MCUs + subsampling
+    rgb = np.stack([g, np.roll(g, 7, 0), 255 - g], axis=-1)
+    for kw in (dict(restart_interval=3), dict(subsample=True, restart_interval=2)):
+        ref = J.decode(J.encode(rgb, quality=90, **{k: v for k, v in kw.items()
+                                                    if k != "restart_interval"}))
+        np.testing.assert_array_equal(J.decode(J.encode(rgb, quality=90, **kw)), ref)
