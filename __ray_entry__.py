@@ -3825,6 +3825,59 @@ def q_pq_codes(sf_dir: str):
     return pq_encode(ds, books).map_batches(explode, batch_format="pyarrow")
 
 
+def q_winnow_fp(sf_dir: str):
+    """Winnowing document fingerprints (text/winnow.py, Schleimer et al.
+    2003): rolling k-gram hash + rightmost-window-min selection, one row
+    per fingerprint. Per-document compute (nothing shuffles); value-
+    exact golden oracle from the sequential reference (wrapping-uint64
+    hashes are platform- and layout-independent by construction)."""
+    from rasters_ray.text.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _winnow_golden_path() -> str:
+    """Golden (doc_id, pos, fp) rows for ``winnow_fp`` from the
+    sequential winnow_local reference, per known sf corpus,
+    fingerprinted by SUM(length(text))."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    from rasters_ray.text.winnow import winnow_local
+
+    path = "/tmp/rasters_ray_oracle/winnow_golden_v1.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = {"corpus_fp": [], "doc_id": [], "pos": [], "fp": []}
+    for d in _MINHASH_GOLDEN_SF_DIRS:
+        f = f"{d}/documents.parquet"
+        if not os.path.exists(f):
+            continue
+        tab = pqm.read_table(f, columns=["doc_id", "text"])
+        texts = tab.column("text").to_pylist()
+        cfp = sum(len(x or "") for x in texts)
+        for did, p, fp in winnow_local(texts, tab.column("doc_id").to_pylist()):
+            rows["corpus_fp"].append(cfp)
+            rows["doc_id"].append(did)
+            rows["pos"].append(p)
+            rows["fp"].append(fp)
+    pqm.write_table(
+        pa.table(
+            {
+                "corpus_fp": pa.array(rows["corpus_fp"], pa.int64()),
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "pos": pa.array(rows["pos"], pa.int64()),
+                "fp": pa.array(rows["fp"], pa.int64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def _kmeans_golden_path() -> str:
     """Golden (vec_id, cluster) rows for ``cluster_assign`` from the
     sequential fixed-point k-means reference (ann/search.py::
@@ -4545,6 +4598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": q_pq_codes,
         "pq_ann": q_pq_ann,
         "cluster_assign": q_cluster_assign,
+        "winnow_fp": q_winnow_fp,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -5192,6 +5246,13 @@ SELECT * FROM (VALUES
   ('q6', 'img00000001', 159.6575694873741e0),
   ('q7', 'img00000001', 96.83628647243769e0)
 ) AS t(point_id, image_id, value)
+"""
+
+    # winnow_fp: golden fingerprints from the sequential winnowing reference
+    sql["winnow_fp"] = f"""
+SELECT doc_id, pos, fp
+FROM read_parquet('{_winnow_golden_path()}')
+WHERE corpus_fp = (SELECT SUM(length(text)) FROM documents)
 """
 
     # cluster_assign: golden assignment from sequential fixed-point k-means
