@@ -9,6 +9,8 @@ from .images import (
     oracle_pixels,
 )
 from .geotiff import read_geotiff, write_cog
+from .open import open_raster, raster_dataset
+from .geoimage import write_geoimages, world_file_text
 from .netcdf import netcdf_dataset, netcdf_raster, read_netcdf, write_netcdf
 from .geopackage import (
     read_geopackage_tiles,
@@ -33,6 +35,10 @@ __all__ = [
     "make_fixture_images",
     "make_oracle_images",
     "netcdf_dataset",
+    "open_raster",
+    "raster_dataset",
+    "write_geoimages",
+    "world_file_text",
     "netcdf_raster",
     "oracle_grid_origin",
     "oracle_pixels",

@@ -294,6 +294,11 @@ def netcdf_raster(path_or_bytes, var: str) -> Tuple[np.ndarray, GridSpec]:
             raise ValueError(f"coordinate {nm} is not regularly spaced")
     cw = float(x[1] - x[0]) if len(x) > 1 else 1.0
     ch = float(y[1] - y[0]) if len(y) > 1 else -1.0
+    if ch > 0:
+        # ascending latitude axis (CF allows either): flip to north-up
+        a = a[::-1]
+        y = y[::-1]
+        ch = -ch
     crs = "EPSG:4326"
     ga = nc["attrs"].get("crs")
     if isinstance(ga, str):

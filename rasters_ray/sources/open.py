@@ -1,0 +1,155 @@
+"""``open_raster`` — the engine's ``Raster.open`` router.
+
+Parity target: the reference's single entry point ``Raster.open``
+(raster.py:634-771) accepts any rasterio-readable path and dispatches
+by driver. Without GDAL, dispatch here is by MAGIC BYTES over the
+formats the engine reads natively:
+
+- TIFF / GeoTIFF (``II*\\0`` / ``MM\\0*``)      -> sources.geotiff
+- classic NetCDF (``CDF1``/``CDF2``)           -> sources.netcdf
+- NetCDF-4 / HDF5 (``\\x89HDF``)               -> sources.netcdf (via
+  hdf5lite; contiguous datasets only, clear raise otherwise)
+- PNG (``\\x89PNG``) / baseline JPEG / npy     -> pixel decode, georef
+  from an ESRI world-file sidecar when present (else unit grid)
+
+``raster_dataset`` lifts the router to a streaming Ray ingest: one
+IMAGES-schema row per file, decoded ON WORKERS (the driver ships only
+the path list) — mixed-format directories stream through one pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .. import codec
+from ..grids import GridSpec
+
+_WORLD_EXT = {".png": ".pgw", ".jpg": ".jgw", ".jpeg": ".jgw", ".npy": ".npw"}
+
+
+def _sidecar_grid(path: str, rows: int, cols: int) -> GridSpec:
+    base, ext = os.path.splitext(path)
+    wf = base + _WORLD_EXT.get(ext.lower(), ".wld")
+    crs = "EPSG:4326"
+    cpath = base + ".crs"
+    if os.path.exists(cpath):
+        crs = open(cpath).read().strip()
+    if os.path.exists(wf):
+        vals = [float(v) for v in open(wf).read().split()[:6]]
+        cw, _, _, ch, cx, cy = vals
+        return GridSpec(
+            crs=crs, x_origin=cx - cw / 2.0, y_origin=cy - ch / 2.0,
+            cell_width=cw, cell_height=ch, rows=rows, cols=cols,
+        )
+    # no georeferencing: unit pixel grid (the reference's behavior for
+    # bare images is an identity transform)
+    return GridSpec(crs=crs, x_origin=0.0, y_origin=0.0, cell_width=1.0,
+                    cell_height=-1.0, rows=rows, cols=cols)
+
+
+def _crs_from_geokeys(gk) -> str:
+    """GeoKeyDirectory -> EPSG string: ProjectedCSType (3072) wins,
+    else GeographicType (2048), else WGS84."""
+    gk = [int(v) for v in gk]
+    crs = "EPSG:4326"
+    for i in range(4, len(gk) - 3, 4):
+        key, loc, _cnt, val = gk[i : i + 4]
+        if key == 3072 and loc == 0:
+            return f"EPSG:{val}"
+        if key == 2048 and loc == 0:
+            crs = f"EPSG:{val}"
+    return crs
+
+
+def _geotiff_grid(meta: dict, rows: int, cols: int) -> GridSpec:
+    sx, sy = meta["pixel_scale"][:2]
+    i, j, _k, x, y, _z = meta["tiepoint"][:6]
+    crs = _crs_from_geokeys(meta.get("geo_keys", []))
+    return GridSpec(
+        crs=crs, x_origin=float(x - i * sx), y_origin=float(y + j * sy),
+        cell_width=float(sx), cell_height=-float(sy), rows=rows, cols=cols,
+    )
+
+
+def open_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridSpec]:
+    """Read ONE raster (any supported format) -> (2D array, GridSpec).
+    ``var`` selects the NetCDF/HDF5 variable (required for those)."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        from .geotiff import read_geotiff
+
+        levels, meta = read_geotiff(path)
+        arr = levels[0]
+        return np.asarray(arr), _geotiff_grid(meta, arr.shape[0], arr.shape[1])
+    if head[:3] == b"CDF" or head == b"\x89HDF\r\n\x1a\n":
+        from .netcdf import netcdf_raster, read_netcdf
+
+        if var is None:
+            nc = read_netcdf(path)
+            two_d = [k for k, v in nc["vars"].items() if v["data"].ndim == 2]
+            if len(two_d) != 1:
+                raise ValueError(
+                    f"netcdf file has {len(two_d)} 2D variables {two_d}; "
+                    "pass var= to choose"
+                )
+            var = two_d[0]
+        return netcdf_raster(path, var)
+    if head[:4] == b"\x89PNG":
+        arr = codec.decode(open(path, "rb").read(), "png")
+        return arr, _sidecar_grid(path, arr.shape[0], arr.shape[1])
+    if head[:2] == b"\xff\xd8":
+        arr = codec.decode(open(path, "rb").read(), "jpg")
+        return arr, _sidecar_grid(path, arr.shape[0], arr.shape[1])
+    if head[:6] == b"\x93NUMPY":
+        arr = codec.decode(open(path, "rb").read(), "npy")
+        return arr, _sidecar_grid(path, arr.shape[0], arr.shape[1])
+    raise ValueError(f"unrecognized raster format (magic {head[:4]!r}): {path}")
+
+
+def raster_dataset(paths: List[str], var: Optional[str] = None, fmt: str = "npy"):
+    """Streaming mixed-format ingest: one IMAGES-schema row per file,
+    decoded on workers via the magic router."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from .images import GRID_STRUCT, average_hash
+
+    def load(batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption",
+                               "phash")}
+        grids = []
+        for p in batch.column("path").to_pylist():
+            arr, grid = open_raster(p, var=var)
+            if arr.ndim == 3:  # RGB display images ingest as luma
+                arr = arr.mean(axis=2)
+            a32 = np.ascontiguousarray(arr).astype(np.float32)
+            out["image_id"].append(os.path.splitext(os.path.basename(p))[0])
+            out["bytes"].append(codec.encode(a32, fmt))
+            out["w"].append(grid.cols)
+            out["h"].append(grid.rows)
+            out["fmt"].append(fmt)
+            out["caption"].append(f"open:{os.path.basename(p)}")
+            out["phash"].append(average_hash(a32))
+            grids.append({k: v for k, v in grid.to_dict().items() if k != "type"})
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "bytes": pa.array(out["bytes"], pa.binary()),
+                "w": pa.array(out["w"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "fmt": pa.array(out["fmt"], pa.string()),
+                "caption": pa.array(out["caption"], pa.string()),
+                "phash": pa.array(out["phash"], pa.int64()),
+                "grid": pa.array(grids, GRID_STRUCT),
+            }
+        )
+
+    return rd.from_items([{"path": p} for p in paths]).map_batches(
+        load, batch_format="pyarrow"
+    )
