@@ -180,3 +180,53 @@ def test_int_sum_partial_matches_pandas(n, n_keys, seed):
     assert got["g"].tolist() == exp["g"].tolist()
     assert got["s"].tolist() == exp["s"].tolist()
     assert got["n"].tolist() == exp["n"].tolist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    q=st.integers(20, 95),
+    seed=st.integers(0, 10**6),
+    rgb=st.booleans(),
+    ri=st.sampled_from([0, 3]),
+)
+def test_jpeg_roundtrip_properties(h, w, q, seed, rgb, ri):
+    """Any size/content/quality: decode(encode(x)) has the input's shape,
+    dtype uint8, and bounded error (quantization can't exceed the value
+    range); restart intervals never change pixels."""
+    from rasters_ray.codec import jpeg_codec as J
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = J.decode(J.encode(a, quality=q, restart_interval=ri))
+    assert out.shape == shape and out.dtype == np.uint8
+    if ri:
+        np.testing.assert_array_equal(
+            out, J.decode(J.encode(a, quality=q))
+        )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    rank=st.integers(1, 3),
+    dt=st.sampled_from(["<f4", "<f8", "<i2", "<i8", ">f4", ">i4", "<u1"]),
+    seed=st.integers(0, 10**6),
+    n_ds=st.integers(1, 4),
+)
+def test_hdf5_roundtrip_properties(tmp_path_factory, rank, dt, seed, n_ds):
+    """write_hdf5 -> read_hdf5 is exact for any dtype/endianness/rank."""
+    from rasters_ray.sources import hdf5lite
+
+    rng = np.random.default_rng(seed)
+    dims = tuple(int(d) for d in rng.integers(1, 6, rank))
+    data = {}
+    for i in range(n_ds):
+        a = rng.integers(-100, 100, dims).astype(np.dtype(dt))
+        data[f"ds{i}"] = a
+    p = tmp_path_factory.mktemp("h5") / "t.h5"
+    hdf5lite.write_hdf5(str(p), data)
+    back = hdf5lite.read_hdf5(str(p))
+    for k, v in data.items():
+        np.testing.assert_array_equal(back[f"/{k}"], v)
