@@ -518,6 +518,18 @@ def decode(data) -> np.ndarray:
         p += 2 + ln
     if scan_start is None or not comps:
         raise ValueError("no SOS/SOF in JPEG stream")
+    if len(scan_comps) == 1 and len(comps) > 1:
+        raise NotImplementedError(
+            "multi-scan (per-component non-interleaved) baseline JPEG "
+            "unsupported: only single-scan interleaved streams"
+        )
+    if len(comps) == 1:
+        # T.81: a single-component scan is NON-interleaved — MCU is one
+        # 8x8 block in raster order regardless of declared sampling
+        # factors (some encoders emit 2x2 on grayscale); normalizing to
+        # 1x1 gives exactly that layout.
+        cid0, _ch0, _cv0, tq0 = comps[0]
+        comps = [(cid0, 1, 1, tq0)]
 
     # unstuff entropy data, splitting at restart markers
     raw = d[scan_start:]

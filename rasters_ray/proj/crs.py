@@ -111,7 +111,9 @@ def parse_crs(crs: str) -> CRSInfo:
     low = s.lower()
 
     def _p(name: str, default: float = 0.0) -> float:
-        pm = re.search(rf"\+{name}=(-?[\d.eE+]+)", low)
+        # exponent sign must be inside the optional group: '1e-5' would
+        # otherwise match only '1e' and fail float()
+        pm = re.search(rf"\+{name}=(-?[\d.]+(?:[eE][-+]?\d+)?)", low)
         return float(pm.group(1)) if pm else default
 
     if "+proj=longlat" in low or low in ("wgs84", "epsg:4326"):

@@ -21,9 +21,6 @@ F_WGS84 = 1.0 / 298.257223563
 E2 = F_WGS84 * (2.0 - F_WGS84)
 E = np.sqrt(E2)
 
-WEBMERC_MAX_LAT = 85.06  # beyond +-85.051129 the 3857 square cuts off
-
-
 def geographic_to_webmerc(lon, lat) -> Tuple[np.ndarray, np.ndarray]:
     """EPSG:3857: x = a lam, y = a ln tan(pi/4 + phi/2) — geodetic lat on
     the sphere of radius a (Snyder 7-1/7-2)."""

@@ -28,6 +28,14 @@ from .conic import A_WGS84, E, _m, _t
 
 
 def _constants(lat_ts: float) -> Tuple[float, float]:
+    """(m_c, t_c) such that rho = a * (m_c / t_c) * t(phi).
+
+    At |lat_ts| = 90 variant B degenerates (t_c = tan(0) = 0); Snyder's
+    variant-A limit applies: rho = 2 a t / sqrt((1+e)^(1+e) (1-e)^(1-e))
+    (eq. 21-33), expressed here as m_c = that constant, t_c = 1."""
+    if abs(abs(lat_ts) - 90.0) < 1e-12:
+        k = 2.0 / np.sqrt((1.0 + E) ** (1.0 + E) * (1.0 - E) ** (1.0 - E))
+        return float(k), 1.0
     phi_c = np.radians(abs(lat_ts))
     return float(_m(phi_c)), float(_t(phi_c))
 

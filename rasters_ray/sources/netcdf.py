@@ -114,18 +114,24 @@ def read_netcdf(path_or_bytes) -> Dict:
         for full, arr in dsets.items():
             nm = full.rsplit("/", 1)[-1]
             # NetCDF-4 coordinate variables share their dimension's name;
-            # without DIMENSION_LIST attributes we name dims after the 1D
-            # dataset whose length matches, else synthesize phony dims.
+            # without DIMENSION_LIST attributes we name an axis after the
+            # 1D dataset of matching length ONLY when that is unambiguous
+            # (exactly one candidate, not already used for an earlier axis
+            # of the same variable) — a square grid or a same-length time
+            # axis would otherwise silently corrupt the georeferencing.
             vars_out[nm] = {"data": arr, "dims": [], "attrs": {}}
-        onedim = {v["data"].shape[0]: nm for nm, v in vars_out.items()
-                  if v["data"].ndim == 1}
+        onedim: Dict[int, list] = {}
+        for nm, v in vars_out.items():
+            if v["data"].ndim == 1:
+                onedim.setdefault(v["data"].shape[0], []).append(nm)
         for nm, v in vars_out.items():
             dims = []
             for i, s in enumerate(v["data"].shape):
                 if v["data"].ndim == 1:
                     dn = nm
                 else:
-                    dn = onedim.get(s, f"phony_dim_{s}")
+                    cands = [c for c in onedim.get(s, []) if c not in dims]
+                    dn = cands[0] if len(cands) == 1 else f"phony_dim_{i}_{s}"
                 dims.append(dn)
                 dim_len[dn] = s
             v["dims"] = dims
@@ -277,15 +283,27 @@ def write_netcdf(path: str, dims: Dict[str, int], variables: Dict[str, Dict],
     return path
 
 
-def netcdf_raster(path_or_bytes, var: str) -> Tuple[np.ndarray, GridSpec]:
+def netcdf_raster(path_or_bytes, var: str,
+                  coords: Optional[Tuple[str, str]] = None) -> Tuple[np.ndarray, GridSpec]:
     """CF-style 2D variable + 1D coordinate vars -> (array, GridSpec).
-    Coordinates must be regularly spaced (validated to 1e-9 relative)."""
-    nc = read_netcdf(path_or_bytes)
+    Coordinates must be regularly spaced (validated to 1e-9 relative).
+    ``path_or_bytes`` may also be an already-parsed ``read_netcdf`` dict
+    (avoids double-parsing on ingest hot paths); ``coords=(y, x)``
+    overrides coordinate-variable inference when dimension names are
+    ambiguous (e.g. square NetCDF-4 grids without DIMENSION_LIST)."""
+    nc = (path_or_bytes if isinstance(path_or_bytes, dict)
+          else read_netcdf(path_or_bytes))
     v = nc["vars"][var]
     a = v["data"]
     if a.ndim != 2:
         raise ValueError(f"{var} is not 2D: shape {a.shape}")
-    ydim, xdim = v["dims"]
+    ydim, xdim = coords if coords is not None else v["dims"]
+    for dn in (ydim, xdim):
+        if dn not in nc["vars"]:
+            raise ValueError(
+                f"no coordinate variable for dimension {dn!r} of {var!r}; "
+                "pass coords=(y_name, x_name) to disambiguate"
+            )
     y = nc["vars"][ydim]["data"].astype(np.float64)
     x = nc["vars"][xdim]["data"].astype(np.float64)
     for c, nm in ((x, xdim), (y, ydim)):

@@ -89,8 +89,8 @@ def open_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridS
     if head[:3] == b"CDF" or head == b"\x89HDF\r\n\x1a\n":
         from .netcdf import netcdf_raster, read_netcdf
 
+        nc = read_netcdf(path)  # parse once; netcdf_raster takes the dict
         if var is None:
-            nc = read_netcdf(path)
             two_d = [k for k, v in nc["vars"].items() if v["data"].ndim == 2]
             if len(two_d) != 1:
                 raise ValueError(
@@ -98,7 +98,7 @@ def open_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridS
                     "pass var= to choose"
                 )
             var = two_d[0]
-        return netcdf_raster(path, var)
+        return netcdf_raster(nc, var)
     if head[:4] == b"\x89PNG":
         arr = codec.decode(open(path, "rb").read(), "png")
         return arr, _sidecar_grid(path, arr.shape[0], arr.shape[1])

@@ -66,7 +66,35 @@ def _shard_cls():
             self.spill_threshold = spill_threshold
             self.spill_dir = spill_dir
             self.runs: list = []  # immutable spilled run files
+            self.blooms: list = []  # per-run bloom bit arrays (~2 B/key)
+            self.run_keys: dict = {}  # lazy per-run sorted key arrays
             self.high_water = 0  # max resident dict size ever observed
+
+        _BLOOM_BITS_PER_KEY = 16  # 2 hashes -> ~0.1% false-positive rate
+
+        @staticmethod
+        def _bloom_hashes(keys, nbits: int):
+            import pandas as pd
+
+            h = pd.util.hash_array(
+                np.asarray(keys, dtype=object), categorize=False
+            ).astype(np.uint64)
+            nb = np.uint64(nbits)
+            return h % nb, (h >> np.uint64(32) | (h << np.uint64(32))) % nb
+
+        def _bloom_build(self, keys) -> tuple:
+            nbits = max(64, len(keys) * self._BLOOM_BITS_PER_KEY)
+            bits = np.zeros((nbits + 7) // 8, dtype=np.uint8)
+            for idx in self._bloom_hashes(keys, nbits):
+                np.bitwise_or.at(bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+            return bits, nbits
+
+        def _bloom_maybe(self, bloom, keys) -> np.ndarray:
+            bits, nbits = bloom
+            out = np.ones(len(keys), dtype=bool)
+            for idx in self._bloom_hashes(keys, nbits):
+                out &= ((bits[idx // 8] >> (idx % 8)) & 1).astype(bool)
+            return out
 
         def _dict_table(self) -> pa.Table:
             if not self.first:
@@ -90,6 +118,7 @@ def _shard_cls():
             t = self._dict_table().sort_by("key")
             pq.write_table(t, path)
             self.runs.append(path)
+            self.blooms.append(self._bloom_build(list(self.first.keys())))
             self.first = {}
 
         def observe(self, keys: list, orders: list) -> int:
@@ -109,16 +138,41 @@ def _shard_cls():
             return len(f)
 
         def contains(self, keys: list) -> list:
+            """Exact membership. Spilled runs are consulted through a
+            two-tier path: a per-run BLOOM filter (built at spill time,
+            ~2 B/key resident) rules out almost every probe without I/O;
+            only bloom-positive runs load their sorted key array — once
+            per shard lifetime (cached) — and answer by searchsorted.
+            The old path re-read every run file in full and rebuilt a
+            Python set on EVERY call with a resident-dict miss."""
             f = self.first
-            hits = [k in f for k in keys]
-            if self.runs and not all(hits):
+            hits = np.array([k in f for k in keys], dtype=bool)
+            if self.runs and not hits.all():
                 import pyarrow.parquet as pq
 
-                for path in self.runs:
-                    rk = pq.read_table(path, columns=["key"]).column("key")
-                    seen = set(rk.to_pylist())
-                    hits = [h or (k in seen) for h, k in zip(hits, keys)]
-            return hits
+                pending = np.flatnonzero(~hits)
+                pkeys = [keys[i] for i in pending]
+                for ri, path in enumerate(self.runs):
+                    maybe = self._bloom_maybe(self.blooms[ri], pkeys)
+                    if not maybe.any():
+                        continue
+                    if path not in self.run_keys:
+                        rk = pq.read_table(path, columns=["key"]).column("key")
+                        self.run_keys[path] = np.asarray(
+                            rk.to_pylist(), dtype=object
+                        )  # already key-sorted by _spill
+                    arr = self.run_keys[path]
+                    cand = np.flatnonzero(maybe)
+                    cvals = np.asarray([pkeys[i] for i in cand], dtype=object)
+                    pos = np.searchsorted(arr, cvals)
+                    found = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)]
+                                                == cvals)
+                    hits[pending[cand[found]]] = True
+                    pending = np.flatnonzero(~hits)
+                    pkeys = [keys[i] for i in pending]
+                    if not len(pending):
+                        break
+            return hits.tolist()
 
         def stats(self) -> dict:
             return {

@@ -641,6 +641,7 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
                 id_col=id_col,
                 text_col=text_col,
                 set_fn=lambda s: word_ngrams(s, n),
+                token_type=pa.uint64(),
             )
         raise ValueError(
             f"ngram_jaccard_pairs is all-pairs quadratic: {len(sizes)} docs "
@@ -669,6 +670,12 @@ def ngram_jaccard_pairs(docs_ds, n: int = 3, id_col: str = "doc_id",
             inter["i"].to_numpy().astype(np.int64)
         )
     jac = ivec / (cs[ii] + cs[jj] - ivec)
+    if threshold is not None:
+        # same contract as the >max_docs prefix-filter route: only pairs
+        # with jaccard >= threshold (the dense path would otherwise
+        # silently ignore the parameter below the guard)
+        keep = jac >= float(threshold)
+        ii, jj, jac = ii[keep], jj[keep], jac[keep]
     return pa.table(
         {
             "a": pa.array(ids[ii]),

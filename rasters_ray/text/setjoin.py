@@ -52,26 +52,27 @@ def word_token_set(text: str) -> set:
     return set(text.split())
 
 
-def _distinct_token_rows(t: pa.Table, id_col: str, text_col: str, set_fn) -> pa.Table:
+def _distinct_token_rows(t: pa.Table, id_col: str, text_col: str, set_fn,
+                         token_type: pa.DataType) -> pa.Table:
+    """``token_type`` is fixed per join (pa.string() for word tokens,
+    pa.uint64() for n-gram hash sets) so EMPTY blocks emit the same
+    schema as full ones — inferring from data made a token-less block
+    produce string-typed empties beside uint64 blocks and fail the
+    downstream concat/groupby."""
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
     texts = t.column(text_col).to_pylist()
     out_tok: list = []
     out_id: list = []
-    str_tokens = True
     for did, txt in zip(ids, texts):
         toks = sorted(set_fn(txt or ""))
-        if toks and not isinstance(toks[0], str):
-            str_tokens = False  # e.g. n-gram hash sets
         out_tok.extend(toks)
         out_id.append(np.full(len(toks), did, dtype=ids.dtype))
     if not out_tok:
         return pa.table(
-            {"token": pa.array([], pa.string()), "doc": pa.array([], pa.int64())}
+            {"token": pa.array([], token_type), "doc": pa.array([], pa.int64())}
         )
-    tok_arr = (
-        pa.array(out_tok, pa.string()) if str_tokens else pa.array(out_tok, pa.uint64())
-    )
-    return pa.table({"token": tok_arr, "doc": pa.array(np.concatenate(out_id))})
+    return pa.table({"token": pa.array(out_tok, token_type),
+                     "doc": pa.array(np.concatenate(out_id))})
 
 
 def set_similarity_join(
@@ -80,21 +81,23 @@ def set_similarity_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     set_fn=None,
+    token_type: "pa.DataType" = None,
 ):
     """All pairs (a < b) with Jaccard(``set_fn`` sets) >= threshold.
 
     ``set_fn(text) -> set`` defaults to distinct word tokens
     (:func:`word_token_set`); pass e.g. ``lambda s: word_ngrams(s, 3)``
-    for n-gram-shingle Jaccard (the scale path behind
-    ``dedup.ngram_jaccard_pairs``).  Returns Dataset[(a, b, jaccard)] —
-    exact, order-independent.
+    with ``token_type=pa.uint64()`` for n-gram-shingle Jaccard (the
+    scale path behind ``dedup.ngram_jaccard_pairs``).  Returns
+    Dataset[(a, b, jaccard)] — exact, order-independent.
     """
     import ray
     from ray.data.aggregate import Count
 
     set_fn = set_fn or word_token_set
+    token_type = token_type or pa.string()
     tok = docs_ds.map_batches(
-        lambda t: _distinct_token_rows(t, id_col, text_col, set_fn),
+        lambda t: _distinct_token_rows(t, id_col, text_col, set_fn, token_type),
         batch_format="pyarrow",
     )
     df_tab = tok.groupby("token").aggregate(Count(alias_name="df")).to_pandas()

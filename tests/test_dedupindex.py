@@ -93,3 +93,21 @@ def test_shard_contains_mid_ingest(ray_session):
     tab = ray.get(shard.dump.remote()).to_pandas().set_index("key")
     assert tab.loc["a", "first_id"] == 0
     assert tab.loc["b", "first_id"] == 1
+
+
+def test_shard_bloom_contains_many_runs(ray_session):
+    """contains() across several spilled runs: exact answers through the
+    bloom + cached-searchsorted path (no false positives/negatives)."""
+    import ray
+
+    shard = _shard_cls().remote(50, "/tmp/ddx_bloom_test")
+    all_keys = [f"k{i:05d}" for i in range(400)]
+    for s in range(0, 400, 100):  # 4 ingest waves -> multiple spills
+        ray.get(shard.observe.remote(all_keys[s : s + 100], list(range(s, s + 100))))
+    probe = all_keys[::7] + [f"MISS{i}" for i in range(200)]
+    got = ray.get(shard.contains.remote(probe))
+    want = [k in set(all_keys) for k in probe]
+    assert got == want
+    st = ray.get(shard.stats.remote())
+    assert st["n_runs"] >= 2 and st["high_water"] <= 51
+    ray.kill(shard)

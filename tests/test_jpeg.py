@@ -129,3 +129,15 @@ def test_restart_intervals():
         ref = J.decode(J.encode(rgb, quality=90, **{k: v for k, v in kw.items()
                                                     if k != "restart_interval"}))
         np.testing.assert_array_equal(J.decode(J.encode(rgb, quality=90, **kw)), ref)
+
+
+def test_gray_with_declared_subsampling():
+    """T.81: a single-component scan is non-interleaved (MCU = 1 block)
+    even when the SOF declares 2x2 sampling factors — some encoders do."""
+    g = _gradient(24, 40)
+    b = bytearray(J.encode(g, quality=90))
+    i = b.find(b"\xff\xc0")
+    hv_off = i + 4 + 6 + 1  # SOF0: marker(2) len(2) prec(1) h(2) w(2) nc(1) id(1) -> hv
+    assert b[hv_off] == 0x11
+    b[hv_off] = 0x22
+    np.testing.assert_array_equal(J.decode(bytes(b)), J.decode(J.encode(g, quality=90)))

@@ -263,6 +263,25 @@ def test_ngram_jaccard_routes_to_setjoin_above_guard(ray_session):
     # without a threshold the guard still raises
     with pytest.raises(ValueError, match="quadratic"):
         ngram_jaccard_pairs(docs, n=3, max_docs=10)
+    # the DENSE path honors threshold too (same filtered contents)
+    dense_thr = (
+        ngram_jaccard_pairs(docs, n=3, max_docs=1000, threshold=thr)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert dense_thr["a"].tolist() == dense["a"].tolist()
+    np.testing.assert_allclose(
+        dense_thr["jaccard"].to_numpy(), dense["jaccard"].to_numpy(), atol=0
+    )
+    # empty blocks beside token-bearing ones: schema stays uint64 on the
+    # routed path (a doc with < n words produces zero n-grams)
+    few = docs.union(
+        __import__("ray").data.from_arrow(
+            pa.table({"doc_id": pa.array([999], pa.int64()),
+                      "text": pa.array(["ab"], pa.string())})
+        ).repartition(1)
+    )
+    routed2 = ngram_jaccard_pairs(few, n=3, max_docs=10, threshold=thr).to_pandas()
+    assert len(routed2) == len(dense)
 
 
 def test_hamming_near_dups(ray_session):
