@@ -3825,6 +3825,40 @@ def q_pq_codes(sf_dir: str):
     return pq_encode(ds, books).map_batches(explode, batch_format="pyarrow")
 
 
+def q_geoimage_write(sf_dir: str):
+    """to_geopng file sink (sources/geoimage.py): 4 oracle images ->
+    viridis RGB PNG + world-file + .crs sidecars under /tmp, written on
+    workers; returns the manifest.  n_bytes is deterministic (stretch ->
+    LUT -> zlib level 6), so the golden VALUES oracle pins the whole
+    render+encode chain; the query also verifies the sidecars exist."""
+    import os
+
+    from rasters_ray.sources.geoimage import write_geoimages
+
+    out_dir = "/tmp/rasters_ray_geoimage_q"
+    manifest = write_geoimages(
+        _images_ds(sf_dir, 4), out_dir, out_fmt="png", cmap="viridis"
+    )
+
+    def check(t: pa.Table) -> pa.Table:
+        keep_id, keep_n = [], []
+        for i in range(t.num_rows):
+            p = t.column("path")[i].as_py()
+            base = p[:-4]
+            ok = (os.path.exists(p) and os.path.exists(base + ".pgw")
+                  and os.path.exists(base + ".crs"))
+            keep_id.append(t.column("image_id")[i].as_py())
+            keep_n.append(int(t.column("n_bytes")[i].as_py()) if ok else -1)
+        return pa.table(
+            {
+                "image_id": pa.array(keep_id, pa.string()),
+                "n_bytes": pa.array(keep_n, pa.int64()),
+            }
+        )
+
+    return manifest.map_batches(check, batch_format="pyarrow")
+
+
 def q_winnow_fp(sf_dir: str):
     """Winnowing document fingerprints (text/winnow.py, Schleimer et al.
     2003): rolling k-gram hash + rightmost-window-min selection, one row
@@ -3872,6 +3906,57 @@ def _winnow_golden_path() -> str:
                 "fp": pa.array(rows["fp"], pa.int64()),
             }
         ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def q_dup_substrings(sf_dir: str):
+    """Cross-document duplicated substring SPANS with byte offsets
+    (text/winnow.py::duplicate_spans — the k-gram inverted-index
+    approximation of exact substring dedup; complements the word-8-gram
+    counting query ``dup_spans``): two shuffles, vectorized partition
+    scans, golden sequential oracle."""
+    from rasters_ray.text.winnow import duplicate_spans
+
+    return duplicate_spans(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=20, min_docs=2
+    )
+
+
+def _dupspans_golden_path() -> str:
+    """Golden (doc_id, start, end, n_grams) rows for ``dup_substrings`` from
+    the sequential duplicate_spans_local reference, per known sf corpus,
+    fingerprinted by SUM(length(text))."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    from rasters_ray.text.winnow import duplicate_spans_local
+
+    path = "/tmp/rasters_ray_oracle/dupspans_golden_v1.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = {"corpus_fp": [], "doc_id": [], "start": [], "end": [], "n_grams": []}
+    for d in _MINHASH_GOLDEN_SF_DIRS:
+        f = f"{d}/documents.parquet"
+        if not os.path.exists(f):
+            continue
+        tab = pqm.read_table(f, columns=["doc_id", "text"])
+        texts = tab.column("text").to_pylist()
+        cfp = sum(len(x or "") for x in texts)
+        for did, s, e, n in duplicate_spans_local(
+            texts, tab.column("doc_id").to_pylist(), k=20, min_docs=2
+        ):
+            rows["corpus_fp"].append(cfp)
+            rows["doc_id"].append(did)
+            rows["start"].append(s)
+            rows["end"].append(e)
+            rows["n_grams"].append(n)
+    pqm.write_table(
+        pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()}),
         path + ".tmp",
     )
     os.replace(path + ".tmp", path)
@@ -4599,6 +4684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann": q_pq_ann,
         "cluster_assign": q_cluster_assign,
         "winnow_fp": q_winnow_fp,
+        "geoimage_write": q_geoimage_write,
+        "dup_substrings": q_dup_substrings,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -5246,6 +5333,23 @@ SELECT * FROM (VALUES
   ('q6', 'img00000001', 159.6575694873741e0),
   ('q7', 'img00000001', 96.83628647243769e0)
 ) AS t(point_id, image_id, value)
+"""
+
+    # geoimage_write: golden VALUES — deterministic render+PNG-encode sizes
+    sql["geoimage_write"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 1378),
+  ('img00000001', 1376),
+  ('img00000002', 1376),
+  ('img00000003', 1377)
+) AS t(image_id, n_bytes)
+"""
+
+    # dup_substrings: golden spans from the sequential inverted-index ref
+    sql["dup_substrings"] = f"""
+SELECT doc_id, "start", "end", n_grams
+FROM read_parquet('{_dupspans_golden_path()}')
+WHERE corpus_fp = (SELECT SUM(length(text)) FROM documents)
 """
 
     # winnow_fp: golden fingerprints from the sequential winnowing reference

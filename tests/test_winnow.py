@@ -62,3 +62,32 @@ def test_distributed_matches_sequential(ray_session):
     )
     want = winnow_local(texts, range(40))
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_duplicate_spans(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.text.winnow import duplicate_spans, duplicate_spans_local
+
+    rng = np.random.default_rng(3)
+    shared = "".join(rng.choice(list("abcdefgh"), 60))  # 60-byte duplicated run
+    texts = []
+    for i in range(30):
+        noise = "".join(rng.choice(list("0123456789 "), 120))
+        texts.append(noise[:50] + (shared if i % 3 == 0 else "") + noise[50:])
+    tab = pa.table({"doc_id": np.arange(30, dtype=np.int64),
+                    "text": pa.array(texts, pa.string())})
+    k = 20
+    got = (
+        duplicate_spans(rd.from_arrow(tab).repartition(6), k=k)
+        .to_pandas().sort_values(["doc_id", "start"]).reset_index(drop=True)
+    )
+    want = sorted(duplicate_spans_local(texts, range(30), k=k))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    # every doc holding the planted run reports a span covering it
+    dup_docs = set(got["doc_id"])
+    assert {i for i in range(30) if i % 3 == 0} <= dup_docs
+    for i in range(0, 30, 3):
+        rows = got[got["doc_id"] == i]
+        s0 = texts[i].find(shared)
+        assert ((rows["start"] <= s0) & (rows["end"] >= s0 + 60)).any()
