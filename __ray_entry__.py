@@ -820,8 +820,10 @@ def q_idw_exact(sf_dir: str):
 
 
 def q_lsh_ann(sf_dir: str):
-    """Approximate ANN via random-hyperplane LSH buckets — rows-only
-    (recall < 1 by construction; exactness checked in pytest vs brute force)."""
+    """Approximate ANN via random-hyperplane LSH buckets.  Value-exact
+    golden oracle as of round 4: bucket membership is a per-row
+    predicate, scores are fixed-order float64, partials tie-inclusive —
+    bit-equal to lsh_topk_local at any layout (tests/test_ann.py)."""
     import pyarrow.parquet as pq
 
     from rasters_ray.ann import lsh_topk
@@ -833,8 +835,9 @@ def q_lsh_ann(sf_dir: str):
 
 def q_ivf_ann(sf_dir: str):
     """IVF-Flat ANN: distributed spherical-k-means lists + nprobe probe
-    filter + exact rerank — rows-only (recall < 1 by construction;
-    recall@10 >= 0.9 asserted in tests, reported in bench)."""
+    filter + exact rerank.  Value-exact golden oracle as of round 4
+    (bit-deterministic centroids + per-row probe predicate + tie-safe
+    rerank == ivf_topk_local); recall@10 >= 0.9 asserted in tests."""
     import pyarrow.parquet as pq
 
     from rasters_ray.ann import ivf_topk
@@ -3963,6 +3966,67 @@ def _dupspans_golden_path() -> str:
     return path
 
 
+def _annapprox_golden_path() -> str:
+    """Golden (algo, query_idx, rank, vec_id, score) rows for lsh_ann /
+    ivf_ann from the sequential references (ann/search.py::
+    lsh_topk_local / ivf_topk_local — same bucket/probe kernels, same
+    fixed-order float64 scoring), per known sf corpus, fingerprinted by
+    lineitem count. Valid because (round 4) candidate sets are per-row
+    predicates, scores are layout-independent, and the distributed
+    partials are tie-inclusive — bit-equality asserted in
+    tests/test_ann.py."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    from rasters_ray.ann.search import ivf_topk_local, lsh_topk_local
+
+    path = "/tmp/rasters_ray_oracle/annapprox_golden_v1.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = {"fp": [], "algo": [], "query_idx": [], "rank": [], "vec_id": [],
+            "score": []}
+    for d in _MINHASH_GOLDEN_SF_DIRS:
+        f = f"{d}/embeddings.parquet"
+        if not os.path.exists(f):
+            continue
+        tab = pqm.read_table(f, columns=["vec_id", "embedding"])
+        vid = tab.column("vec_id").to_numpy()
+        x = np.stack(
+            [np.asarray(r, dtype=np.float32) for r in tab.column("embedding").to_pylist()]
+        )
+        q = x[:4].astype(np.float64)  # same as the queries' first-4 stack
+        fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
+        for algo, res in (
+            ("lsh", lsh_topk_local(x, vid, q, k=5, n_planes=6)),
+            ("ivf", ivf_topk_local(x, vid, q, k=5, n_centroids=16, nprobe=6,
+                                   iters=2)),
+        ):
+            for qi, rank, v, sc in res:
+                rows["fp"].append(fp)
+                rows["algo"].append(algo)
+                rows["query_idx"].append(qi)
+                rows["rank"].append(rank)
+                rows["vec_id"].append(v)
+                rows["score"].append(sc)
+    pqm.write_table(
+        pa.table(
+            {
+                "fp": pa.array(rows["fp"], pa.int64()),
+                "algo": pa.array(rows["algo"], pa.string()),
+                "query_idx": pa.array(rows["query_idx"], pa.int64()),
+                "rank": pa.array(rows["rank"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def _kmeans_golden_path() -> str:
     """Golden (vec_id, cluster) rows for ``cluster_assign`` from the
     sequential fixed-point k-means reference (ann/search.py::
@@ -4068,8 +4132,11 @@ def _pq_golden_path() -> str:
 def q_pq_ann(sf_dir: str):
     """PQ-ADC ANN search (ann/pq.py::pq_topk): code-only shortlist via
     broadcast lookup tables, exact rerank of the shortlist — the
-    IVF-PQ deployment pattern.  Rows-only; shortlist recall asserted in
-    tests/test_pq.py."""
+    IVF-PQ deployment pattern.  Rows-only BY DESIGN: the ADC shortlist
+    is per-batch (shortlist*k best per block), so the candidate pool
+    legitimately depends on block boundaries — pinning it to a golden
+    would freeze one layout; shortlist recall is asserted in
+    tests/test_pq.py instead."""
     import pyarrow.parquet as pq_mod
 
     from rasters_ray.ann.pq import pq_topk
@@ -5357,6 +5424,21 @@ WHERE corpus_fp = (SELECT SUM(length(text)) FROM documents)
 SELECT doc_id, pos, fp
 FROM read_parquet('{_winnow_golden_path()}')
 WHERE corpus_fp = (SELECT SUM(length(text)) FROM documents)
+"""
+
+    # lsh_ann / ivf_ann: golden top-k from the sequential references
+    sql["lsh_ann"] = f"""
+SELECT CAST(query_idx AS INTEGER) AS query_idx, CAST(rank AS INTEGER) AS rank,
+       vec_id, score
+FROM read_parquet('{_annapprox_golden_path()}')
+WHERE algo = 'lsh' AND fp = (SELECT COUNT(*) FROM lineitem)
+"""
+
+    sql["ivf_ann"] = f"""
+SELECT CAST(query_idx AS INTEGER) AS query_idx, CAST(rank AS INTEGER) AS rank,
+       vec_id, score
+FROM read_parquet('{_annapprox_golden_path()}')
+WHERE algo = 'ivf' AND fp = (SELECT COUNT(*) FROM lineitem)
 """
 
     # cluster_assign: golden assignment from sequential fixed-point k-means

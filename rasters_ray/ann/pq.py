@@ -266,13 +266,7 @@ def pq_topk(
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         codes = np.zeros((len(x), m_sub), np.int64)
         for m in range(m_sub):
-            sub = x[:, m * ds_ : (m + 1) * ds_]
-            d2 = (
-                (sub * sub).sum(1)[:, None]
-                - 2.0 * (sub @ b[m].T)
-                + (b[m] * b[m]).sum(1)[None, :]
-            )
-            codes[:, m] = np.argmin(d2, axis=1)
+            codes[:, m] = _assign(x[:, m * ds_ : (m + 1) * ds_], b[m])
         nq = lt.shape[1]
         # adc[qi, n] = sum_m lut[m, qi, codes[n, m]]
         adc = np.zeros((nq, len(x)), np.float32)

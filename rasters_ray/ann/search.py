@@ -13,7 +13,6 @@ Both shapes stream: no stage materializes the embedding table.
 
 from __future__ import annotations
 
-import heapq
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -55,15 +54,25 @@ class BruteForceTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.col).astype(np.float32))
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        sims = m @ self.q.T  # (n, nq)
+        # fixed-order einsum in float64 (NOT float32 BLAS): per-pair
+        # scores are then bit-identical for any batch size/layout, which
+        # (with tie-inclusive partials below) makes the final top-k
+        # deterministic — the golden-oracle gate for the ANN queries
+        sims = np.einsum(
+            "nd,qd->nq", m.astype(np.float64), self.q.astype(np.float64)
+        )
         k = min(self.k, m.shape[0])
         out_q, out_id, out_s = [], [], []
         for qi in range(self.q.shape[0]):
             s = sims[:, qi]
-            top = np.argpartition(-s, k - 1)[:k]
-            out_q.extend([qi] * k)
+            kth = np.partition(-s, k - 1)[k - 1]
+            # ties at the k-th score INCLUDED: a per-batch truncation of
+            # equal scores would make the global result depend on which
+            # batch a tied candidate landed in
+            top = np.flatnonzero(-s <= kth)
+            out_q.extend([qi] * len(top))
             out_id.extend(ids[top].tolist())
-            out_s.extend(s[top].astype(np.float64).tolist())
+            out_s.extend(s[top].tolist())
         return pa.table(
             {
                 "query_idx": pa.array(out_q, pa.int32()),
@@ -91,20 +100,21 @@ def cosine_topk(
         batch_format="pyarrow",
         concurrency=concurrency or pool_size(0.5),
     )
-    heaps: List[List[Tuple[float, object]]] = [[] for _ in range(len(queries))]
+    # exact merge: collect the (k + ties)-sized partials, one global
+    # (-score, vec_id) sort per query — arrival order cannot matter (the
+    # old bounded heap dropped boundary ties by arrival order)
+    cand: List[List[Tuple[float, object]]] = [[] for _ in range(len(queries))]
     for b in partials.iter_batches(batch_format="pyarrow"):
         qs = b.column("query_idx").to_numpy()
         ids = b.column("vec_id").to_pylist()
         ss = b.column("score").to_numpy()
         for qi, vid, s in zip(qs, ids, ss):
-            h = heaps[qi]
-            if len(h) < k:
-                heapq.heappush(h, (float(s), vid))
-            else:
-                heapq.heappushpop(h, (float(s), vid))
+            cand[qi].append((float(s), vid))
     out_q, out_id, out_s, out_r = [], [], [], []
-    for qi, h in enumerate(heaps):
-        for rank, (s, vid) in enumerate(sorted(h, key=lambda t: (-t[0], t[1]))):
+    for qi, h in enumerate(cand):
+        for rank, (s, vid) in enumerate(
+            sorted(h, key=lambda t: (-t[0], t[1]))[:k]
+        ):
             out_q.append(qi)
             out_id.append(vid)
             out_s.append(s)
@@ -139,7 +149,12 @@ class LSHBuckets:
         return "lsh_bucket" if t == 0 else f"lsh_bucket_{t}"
 
     def hash_matrix(self, m: np.ndarray, t: int) -> np.ndarray:
-        bits = (m @ self.planes[t]) > 0  # (n, p)
+        # einsum float64: a float32 BLAS matmul flips sign bits for
+        # projections within an ulp of 0 depending on row count, which
+        # would move vectors between buckets across block layouts
+        bits = np.einsum(
+            "nd,dp->np", m.astype(np.float64), self.planes[t].astype(np.float64)
+        ) > 0  # (n, p)
         bucket = np.zeros(m.shape[0], dtype=np.int64)
         for j in range(self.planes[t].shape[1]):
             bucket |= bits[:, j].astype(np.int64) << j
@@ -499,7 +514,7 @@ def ivf_topk(
 
         c = _ray.get(cref)
         m = _normalize(_batch_matrix(t, col).astype(np.float32))
-        a = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        a = _km_argmax(m, c).astype(np.int64)
         return t.filter(pc.is_in(pa.array(a, pa.int64()), wanted))
 
     cands = embeddings_ds.map_batches(filt, batch_format="pyarrow")
@@ -543,3 +558,56 @@ def kmeans_assign(
         )
 
     return embeddings_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def cosine_topk_local(x: np.ndarray, ids: np.ndarray, queries: np.ndarray,
+                      k: int = 10, mask: np.ndarray = None) -> list:
+    """Sequential reference for ``cosine_topk`` over (optionally masked)
+    vectors: [(query_idx, rank, vec_id, score)] with the same normalize/
+    einsum/(-score, vec_id) ordering — bit-equal to the distributed path
+    at any block layout (per-pair scores are fixed-order float64, and
+    the distributed partials are tie-inclusive)."""
+    xf = _normalize(np.asarray(x, dtype=np.float32))
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    if mask is not None:
+        xf, ids = xf[mask], np.asarray(ids)[mask]
+    sims = np.einsum("nd,qd->nq", xf.astype(np.float64), qn.astype(np.float64))
+    out = []
+    for qi in range(qn.shape[0]):
+        order = sorted(zip(-sims[:, qi], ids), key=lambda t: (t[0], t[1]))[:k]
+        for rank, (negs, vid) in enumerate(order):
+            out.append((qi, rank + 1, int(vid), float(-negs)))
+    return out
+
+
+def lsh_topk_local(x: np.ndarray, ids: np.ndarray, queries: np.ndarray,
+                   k: int = 10, n_planes: int = 8, seed: int = 42,
+                   multiprobe: int = 1, n_tables: int = 2) -> list:
+    """Sequential reference for ``lsh_topk`` (same LSHBuckets kernels)."""
+    queries = np.asarray(queries, dtype=np.float32)
+    stage = LSHBuckets(queries.shape[1], n_planes, seed, "embedding",
+                       n_tables=n_tables)
+    xf = np.asarray(x, dtype=np.float32)
+    keep = np.zeros(len(xf), dtype=bool)
+    for t in range(n_tables):
+        qb = stage.hash_matrix(queries, t)
+        wanted = _multiprobe_buckets(qb, n_planes, multiprobe)
+        keep |= np.isin(stage.hash_matrix(xf, t), np.fromiter(wanted, np.int64))
+    return cosine_topk_local(xf, ids, queries, k=k, mask=keep)
+
+
+def ivf_topk_local(x: np.ndarray, ids: np.ndarray, queries: np.ndarray,
+                   k: int = 10, n_centroids: int = 32, nprobe: int = 4,
+                   iters: int = 3) -> list:
+    """Sequential reference for ``ivf_topk`` (kmeans_local centroids are
+    bit-equal to the distributed trainer; probe + filter identical)."""
+    queries = np.asarray(queries, dtype=np.float32)
+    cents = kmeans_local(x, n_centroids=n_centroids, iters=iters)
+    qn = _normalize(queries)
+    sims = qn @ cents.T
+    npb = min(nprobe, cents.shape[0])
+    probed = np.unique(np.argpartition(-sims, npb - 1, axis=1)[:, :npb].ravel())
+    xf = _normalize(np.asarray(x, dtype=np.float32))
+    a = _km_argmax(xf, cents)
+    keep = np.isin(a, probed)
+    return cosine_topk_local(x, ids, queries, k=k, mask=keep)

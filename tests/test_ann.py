@@ -195,3 +195,33 @@ def test_kmeans_assign_objective_stable(ray_session):
         assert len(out) == 180 and set(out["cluster"]) <= {0, 1, 2}
         objs.append(out["sim"].mean())
     assert abs(objs[0] - objs[1]) < 1e-3
+
+
+def test_lsh_and_ivf_match_sequential_bitwise(ray_session):
+    """Distributed lsh_topk / ivf_topk == sequential references at two
+    different block layouts (the golden-oracle gate): candidate sets are
+    per-row predicates, scores fixed-order float64, partials
+    tie-inclusive."""
+    import ray.data as rd
+
+    from rasters_ray.ann import ivf_topk, lsh_topk
+    from rasters_ray.ann.search import ivf_topk_local, lsh_topk_local
+
+    tbl, m = _emb_table(n=400)
+    q = m[:4].astype(np.float32)
+
+    def rows(t):
+        return [
+            (a, b, c, d) for a, b, c, d in zip(
+                t.column("query_idx").to_pylist(), t.column("rank").to_pylist(),
+                t.column("vec_id").to_pylist(), t.column("score").to_pylist())
+        ]
+
+    want_lsh = lsh_topk_local(m, np.arange(len(m)), q, k=5, n_planes=6)
+    want_ivf = ivf_topk_local(m, np.arange(len(m)), q, k=5, n_centroids=8, iters=2)
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got_lsh = rows(lsh_topk(ds, q, k=5, n_planes=6))
+        got_ivf = rows(ivf_topk(ds, q, k=5, n_centroids=8, iters=2))
+        assert got_lsh == want_lsh, f"lsh parts={parts}"
+        assert got_ivf == want_ivf, f"ivf parts={parts}"
