@@ -1095,7 +1095,9 @@ def q_cmap_render(sf_dir: str):
 def q_cosine_near(sf_dir: str):
     """Embedding-cosine near-dup pairs over the embeddings table with 20
     planted perturbed copies (ids 100000+i, seeded noise) — the LSH-bucket
-    + exact-verify dedup shape; rows-only (float cosine)."""
+    + exact-verify dedup shape.  Value-exact golden oracle as of round 4:
+    bucket membership and pair cosines are fixed-order einsum (bit-stable
+    for any group row order), matching cosine_near_dups_local."""
     import ray.data as rd
 
     from rasters_ray.ann import cosine_near_dups
@@ -4027,6 +4029,63 @@ def _annapprox_golden_path() -> str:
     return path
 
 
+def _cosnear_golden_path() -> str:
+    """Golden (a, b, cosine) rows for ``cosine_near`` from the
+    sequential cosine_near_dups_local reference over the SAME planted
+    corpus (base embeddings + the deterministic per-id perturbed
+    copies), per known sf corpus, fingerprinted by lineitem count.
+    Valid because (round 4) bucket membership and pair cosines are
+    fixed-order einsum — bit-stable for any group row order."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    from rasters_ray.ann.search import cosine_near_dups_local
+
+    path = "/tmp/rasters_ray_oracle/cosnear_golden_v1.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = {"fp": [], "a": [], "b": [], "cosine": []}
+    for d in _MINHASH_GOLDEN_SF_DIRS:
+        f = f"{d}/embeddings.parquet"
+        if not os.path.exists(f):
+            continue
+        tab = pqm.read_table(f, columns=["vec_id", "embedding"])
+        vid = tab.column("vec_id").to_numpy()
+        x = np.stack(
+            [np.asarray(r, dtype=np.float32) for r in tab.column("embedding").to_pylist()]
+        )
+        ids = list(vid)
+        planted = []
+        for i in np.flatnonzero(vid < 20):
+            rng = np.random.default_rng(int(vid[i]))
+            planted.append(
+                x[i] + 0.01 * rng.standard_normal(x.shape[1]).astype(np.float32)
+            )
+            ids.append(int(100000 + vid[i]))
+        full = np.vstack([x] + [p[None] for p in planted])
+        fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
+        for a, b, c in cosine_near_dups_local(full, ids, threshold=0.95):
+            rows["fp"].append(fp)
+            rows["a"].append(int(a))
+            rows["b"].append(int(b))
+            rows["cosine"].append(float(c))
+    pqm.write_table(
+        pa.table(
+            {
+                "fp": pa.array(rows["fp"], pa.int64()),
+                "a": pa.array(rows["a"], pa.int64()),
+                "b": pa.array(rows["b"], pa.int64()),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        ),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def _kmeans_golden_path() -> str:
     """Golden (vec_id, cluster) rows for ``cluster_assign`` from the
     sequential fixed-point k-means reference (ann/search.py::
@@ -5424,6 +5483,13 @@ WHERE corpus_fp = (SELECT SUM(length(text)) FROM documents)
 SELECT doc_id, pos, fp
 FROM read_parquet('{_winnow_golden_path()}')
 WHERE corpus_fp = (SELECT SUM(length(text)) FROM documents)
+"""
+
+    # cosine_near: golden pairs from the sequential bucket+verify reference
+    sql["cosine_near"] = f"""
+SELECT a, b, cosine
+FROM read_parquet('{_cosnear_golden_path()}')
+WHERE fp = (SELECT COUNT(*) FROM lineitem)
 """
 
     # lsh_ann / ivf_ann: golden top-k from the sequential references

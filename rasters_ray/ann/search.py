@@ -317,7 +317,9 @@ def cosine_near_dups(
         if n > cap:
             anchor = order[0]
             others = order[1:]
-            sims = m[others] @ m[anchor]
+            # einsum, not BLAS: gemm/gemv pair values are NOT row-order
+            # invariant (verified), and Ray group row order is arbitrary
+            sims = np.einsum("nd,d->n", m[others], m[anchor])
             keep = sims >= threshold
             return pa.table(
                 {
@@ -326,7 +328,7 @@ def cosine_near_dups(
                     "cosine": pa.array(sims[keep], pa.float64()),
                 }
             )
-        sims = m @ m.T
+        sims = np.einsum("nd,md->nm", m, m)
         ii, jj = np.triu_indices(n, k=1)
         keep = sims[ii, jj] >= threshold
         ii, jj = ii[keep], jj[keep]
@@ -611,3 +613,46 @@ def ivf_topk_local(x: np.ndarray, ids: np.ndarray, queries: np.ndarray,
     a = _km_argmax(xf, cents)
     keep = np.isin(a, probed)
     return cosine_topk_local(x, ids, queries, k=k, mask=keep)
+
+
+def cosine_near_dups_local(
+    x: np.ndarray, ids, threshold: float = 0.95, n_planes: int = 10,
+    n_tables: int = 2, seed: int = 42, cap: int = 64,
+) -> list:
+    """Sequential reference for ``cosine_near_dups`` — same bucket
+    kernels, same sorted-anchor cap rule, same einsum pair scoring, so
+    the distributed path must match bit-for-bit: [(a, b, cosine)]
+    sorted."""
+    from collections import defaultdict
+
+    xf = np.asarray(x, dtype=np.float32)
+    stage = LSHBuckets(xf.shape[1], n_planes, seed, "embedding",
+                       n_tables=n_tables)
+    m64 = _normalize(xf.astype(np.float64))
+    best: dict = {}
+    for t in range(n_tables):
+        bk = stage.hash_matrix(xf, t)
+        groups = defaultdict(list)
+        for i, b in enumerate(bk):
+            groups[int(b)].append(i)
+        for rows in groups.values():
+            if len(rows) < 2:
+                continue
+            order = sorted(range(len(rows)), key=lambda r: ids[rows[r]])
+            g = m64[[rows[r] for r in order]]
+            gids = [ids[rows[r]] for r in order]
+            if len(rows) > cap:
+                sims = np.einsum("nd,d->n", g[1:], g[0])
+                for o, sv in zip(gids[1:], sims):
+                    if sv >= threshold:
+                        k2 = tuple(sorted((gids[0], o)))
+                        best[k2] = max(best.get(k2, -2.0), float(sv))
+            else:
+                sims = np.einsum("nd,md->nm", g, g)
+                n = len(gids)
+                for i in range(n):
+                    for j in range(i + 1, n):
+                        if sims[i, j] >= threshold:
+                            k2 = tuple(sorted((gids[i], gids[j])))
+                            best[k2] = max(best.get(k2, -2.0), float(sims[i, j]))
+    return sorted((a, b, c) for (a, b), c in best.items())
