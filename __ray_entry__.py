@@ -1432,100 +1432,102 @@ _MINHASH_GOLDEN_SF_DIRS = (
 )
 
 
+def _golden(filename: str, types: "dict", per_dir):
+    """Shared golden-oracle builder: compute-once parquet under
+    /tmp/rasters_ray_oracle, one call of ``per_dir(sf_dir) -> {col:
+    list} | None`` per known corpus, atomic write.  Every golden oracle
+    (the sequential-reference truth tables for non-SQL-expressible ops)
+    goes through here so the path/fingerprint/atomic-write conventions
+    live in one place."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    path = f"/tmp/rasters_ray_oracle/{filename}"
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rows = {k: [] for k in types}
+    for d in _MINHASH_GOLDEN_SF_DIRS:
+        got = per_dir(d)
+        if got is None:
+            continue
+        for k in types:
+            rows[k].extend(got[k])
+    pqm.write_table(
+        pa.table({k: pa.array(v, types[k]) for k, v in rows.items()}),
+        path + ".tmp",
+    )
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def _hll_golden_path() -> str:
-    """Golden (event_type, n_approx) rows for ``approx_distinct``,
-    computed by a SEQUENTIAL single-pass reference (one in-memory
-    register table per group — no Ray, no partial merge) for every known
-    sf corpus; fingerprinted by COUNT(*) of events. Valid because HLL
-    registers are ORDER-INDEPENDENT (max per register), so the
-    distributed partial/merge path must land on the identical integer
-    estimate — this pins the register-merge plumbing, upgrading the
-    query from rows-only to value-exact."""
+    """Golden (event_type, n_approx) rows for ``approx_distinct`` from a
+    SEQUENTIAL single-pass HLL reference — valid because registers are
+    ORDER-INDEPENDENT (max per register), so the distributed
+    partial/merge path must land on the identical integer estimate."""
     import os
 
     import pyarrow.parquet as pqm
 
     from rasters_ray.relational.distinct import hll_count, hll_register_table
 
-    path = "/tmp/rasters_ray_oracle/hll_golden_v1.parquet"
-    if os.path.exists(path):
-        return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    rows = {"fp": [], "event_type": [], "n_approx": []}
-    for d in _MINHASH_GOLDEN_SF_DIRS:
+    def per_dir(d):
         f = f"{d}/events.parquet"
         if not os.path.exists(f):
-            continue
+            return None
         tab = pqm.read_table(f, columns=["event_type", "user_id"])
         et = np.asarray(tab.column("event_type").to_pylist(), dtype=object)
         uid = np.asarray(tab.column("user_id").to_pylist(), dtype=object)
-        fp = tab.num_rows
+        out = {"fp": [], "event_type": [], "n_approx": []}
         for g in np.unique(et):
-            est = hll_count(hll_register_table(uid[et == g]))
-            rows["fp"].append(fp)
-            rows["event_type"].append(str(g))
-            rows["n_approx"].append(int(round(est)))
-    pqm.write_table(
-        pa.table(
-            {
-                "fp": pa.array(rows["fp"], pa.int64()),
-                "event_type": pa.array(rows["event_type"], pa.string()),
-                "n_approx": pa.array(rows["n_approx"], pa.int64()),
-            }
-        ),
-        path + ".tmp",
-    )
-    os.replace(path + ".tmp", path)
-    return path
+            out["fp"].append(tab.num_rows)
+            out["event_type"].append(str(g))
+            out["n_approx"].append(
+                int(round(hll_count(hll_register_table(uid[et == g]))))
+            )
+        return out
 
+    return _golden(
+        "hll_golden_v1.parquet",
+        {"fp": pa.int64(), "event_type": pa.string(), "n_approx": pa.int64()},
+        per_dir,
+    )
 
 def _bpe_golden_path() -> str:
     """Golden (merge_idx, left, right, n) rows for ``bpe_merges`` from
-    the sequential reference trainer (text/bpe.py::bpe_train_local — the
-    same truth tests/test_bpe.py asserts bit-equality against), per
-    known sf corpus, fingerprinted by SUM(length(text)). Integer counts
-    + deterministic (count DESC, pair ASC) tie-break make the merge
-    sequence exactly reproducible, so this upgrades the iterative
-    trainer from rows-only to value-exact."""
+    the sequential trainer (text/bpe.py::bpe_train_local — the same
+    truth tests/test_bpe.py asserts bit-equality against); integer
+    counts + deterministic (count DESC, pair ASC) tie-break make the
+    merge sequence exactly reproducible."""
     import os
 
     import pyarrow.parquet as pqm
 
     from rasters_ray.text.bpe import bpe_train_local
 
-    path = "/tmp/rasters_ray_oracle/bpe_golden_v1.parquet"
-    if os.path.exists(path):
-        return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    rows = {"fp": [], "merge_idx": [], "left": [], "right": [], "n": []}
-    for d in _MINHASH_GOLDEN_SF_DIRS:
+    def per_dir(d):
         f = f"{d}/documents.parquet"
         if not os.path.exists(f):
-            continue
-        tab = pqm.read_table(f, columns=["text"])
-        texts = tab.column("text").to_pylist()
+            return None
+        texts = pqm.read_table(f, columns=["text"]).column("text").to_pylist()
         fp = sum(len(x or "") for x in texts)
+        out = {"fp": [], "merge_idx": [], "left": [], "right": [], "n": []}
         for i, (left, right, n) in enumerate(bpe_train_local(texts, n_merges=8)):
-            rows["fp"].append(fp)
-            rows["merge_idx"].append(i)
-            rows["left"].append(left)
-            rows["right"].append(right)
-            rows["n"].append(int(n))
-    pqm.write_table(
-        pa.table(
-            {
-                "fp": pa.array(rows["fp"], pa.int64()),
-                "merge_idx": pa.array(rows["merge_idx"], pa.int64()),
-                "left": pa.array(rows["left"], pa.string()),
-                "right": pa.array(rows["right"], pa.string()),
-                "n": pa.array(rows["n"], pa.int64()),
-            }
-        ),
-        path + ".tmp",
-    )
-    os.replace(path + ".tmp", path)
-    return path
+            out["fp"].append(fp)
+            out["merge_idx"].append(i)
+            out["left"].append(left)
+            out["right"].append(right)
+            out["n"].append(int(n))
+        return out
 
+    return _golden(
+        "bpe_golden_v1.parquet",
+        {"fp": pa.int64(), "merge_idx": pa.int64(), "left": pa.string(),
+         "right": pa.string(), "n": pa.int64()},
+        per_dir,
+    )
 
 def _minhash_golden_path() -> str:
     """Golden (a, b, jaccard) pairs for ``minhash_pairs``, computed by an
@@ -3877,45 +3879,34 @@ def q_winnow_fp(sf_dir: str):
 
 def _winnow_golden_path() -> str:
     """Golden (doc_id, pos, fp) rows for ``winnow_fp`` from the
-    sequential winnow_local reference, per known sf corpus,
-    fingerprinted by SUM(length(text))."""
+    sequential winnow_local reference, fingerprinted by SUM(length(text))."""
     import os
 
     import pyarrow.parquet as pqm
 
     from rasters_ray.text.winnow import winnow_local
 
-    path = "/tmp/rasters_ray_oracle/winnow_golden_v1.parquet"
-    if os.path.exists(path):
-        return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    rows = {"corpus_fp": [], "doc_id": [], "pos": [], "fp": []}
-    for d in _MINHASH_GOLDEN_SF_DIRS:
+    def per_dir(d):
         f = f"{d}/documents.parquet"
         if not os.path.exists(f):
-            continue
+            return None
         tab = pqm.read_table(f, columns=["doc_id", "text"])
         texts = tab.column("text").to_pylist()
         cfp = sum(len(x or "") for x in texts)
+        out = {"corpus_fp": [], "doc_id": [], "pos": [], "fp": []}
         for did, p, fp in winnow_local(texts, tab.column("doc_id").to_pylist()):
-            rows["corpus_fp"].append(cfp)
-            rows["doc_id"].append(did)
-            rows["pos"].append(p)
-            rows["fp"].append(fp)
-    pqm.write_table(
-        pa.table(
-            {
-                "corpus_fp": pa.array(rows["corpus_fp"], pa.int64()),
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
-                "pos": pa.array(rows["pos"], pa.int64()),
-                "fp": pa.array(rows["fp"], pa.int64()),
-            }
-        ),
-        path + ".tmp",
-    )
-    os.replace(path + ".tmp", path)
-    return path
+            out["corpus_fp"].append(cfp)
+            out["doc_id"].append(did)
+            out["pos"].append(p)
+            out["fp"].append(fp)
+        return out
 
+    return _golden(
+        "winnow_golden_v1.parquet",
+        {"corpus_fp": pa.int64(), "doc_id": pa.int64(), "pos": pa.int64(),
+         "fp": pa.int64()},
+        per_dir,
+    )
 
 def q_dup_substrings(sf_dir: str):
     """Cross-document duplicated substring SPANS with byte offsets
@@ -3931,131 +3922,104 @@ def q_dup_substrings(sf_dir: str):
 
 
 def _dupspans_golden_path() -> str:
-    """Golden (doc_id, start, end, n_grams) rows for ``dup_substrings`` from
-    the sequential duplicate_spans_local reference, per known sf corpus,
-    fingerprinted by SUM(length(text))."""
+    """Golden (doc_id, start, end, n_grams) rows for ``dup_substrings``
+    from the sequential duplicate_spans_local reference."""
     import os
 
     import pyarrow.parquet as pqm
 
     from rasters_ray.text.winnow import duplicate_spans_local
 
-    path = "/tmp/rasters_ray_oracle/dupspans_golden_v1.parquet"
-    if os.path.exists(path):
-        return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    rows = {"corpus_fp": [], "doc_id": [], "start": [], "end": [], "n_grams": []}
-    for d in _MINHASH_GOLDEN_SF_DIRS:
+    def per_dir(d):
         f = f"{d}/documents.parquet"
         if not os.path.exists(f):
-            continue
+            return None
         tab = pqm.read_table(f, columns=["doc_id", "text"])
         texts = tab.column("text").to_pylist()
         cfp = sum(len(x or "") for x in texts)
-        for did, s, e, n in duplicate_spans_local(
+        out = {"corpus_fp": [], "doc_id": [], "start": [], "end": [],
+               "n_grams": []}
+        for did, st, en, n in duplicate_spans_local(
             texts, tab.column("doc_id").to_pylist(), k=20, min_docs=2
         ):
-            rows["corpus_fp"].append(cfp)
-            rows["doc_id"].append(did)
-            rows["start"].append(s)
-            rows["end"].append(e)
-            rows["n_grams"].append(n)
-    pqm.write_table(
-        pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()}),
-        path + ".tmp",
-    )
-    os.replace(path + ".tmp", path)
-    return path
+            out["corpus_fp"].append(cfp)
+            out["doc_id"].append(did)
+            out["start"].append(st)
+            out["end"].append(en)
+            out["n_grams"].append(n)
+        return out
 
+    return _golden(
+        "dupspans_golden_v1.parquet",
+        {"corpus_fp": pa.int64(), "doc_id": pa.int64(), "start": pa.int64(),
+         "end": pa.int64(), "n_grams": pa.int64()},
+        per_dir,
+    )
 
 def _annapprox_golden_path() -> str:
     """Golden (algo, query_idx, rank, vec_id, score) rows for lsh_ann /
-    ivf_ann from the sequential references (ann/search.py::
-    lsh_topk_local / ivf_topk_local — same bucket/probe kernels, same
-    fixed-order float64 scoring), per known sf corpus, fingerprinted by
-    lineitem count. Valid because (round 4) candidate sets are per-row
-    predicates, scores are layout-independent, and the distributed
-    partials are tie-inclusive — bit-equality asserted in
-    tests/test_ann.py."""
+    ivf_ann from the sequential references (same bucket/probe kernels,
+    same fixed-order float64 scoring; bit-equality asserted in
+    tests/test_ann.py). Fingerprinted by lineitem count (embeddings
+    COUNT(*) collides across sf dirs)."""
     import os
 
     import pyarrow.parquet as pqm
 
     from rasters_ray.ann.search import ivf_topk_local, lsh_topk_local
 
-    path = "/tmp/rasters_ray_oracle/annapprox_golden_v1.parquet"
-    if os.path.exists(path):
-        return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    rows = {"fp": [], "algo": [], "query_idx": [], "rank": [], "vec_id": [],
-            "score": []}
-    for d in _MINHASH_GOLDEN_SF_DIRS:
+    def per_dir(d):
         f = f"{d}/embeddings.parquet"
         if not os.path.exists(f):
-            continue
+            return None
         tab = pqm.read_table(f, columns=["vec_id", "embedding"])
         vid = tab.column("vec_id").to_numpy()
-        x = np.stack(
-            [np.asarray(r, dtype=np.float32) for r in tab.column("embedding").to_pylist()]
-        )
-        q = x[:4].astype(np.float64)  # same as the queries' first-4 stack
+        x = np.stack([np.asarray(r, dtype=np.float32)
+                      for r in tab.column("embedding").to_pylist()])
+        q = x[:4].astype(np.float64)
         fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
+        out = {"fp": [], "algo": [], "query_idx": [], "rank": [],
+               "vec_id": [], "score": []}
         for algo, res in (
             ("lsh", lsh_topk_local(x, vid, q, k=5, n_planes=6)),
             ("ivf", ivf_topk_local(x, vid, q, k=5, n_centroids=16, nprobe=6,
                                    iters=2)),
         ):
             for qi, rank, v, sc in res:
-                rows["fp"].append(fp)
-                rows["algo"].append(algo)
-                rows["query_idx"].append(qi)
-                rows["rank"].append(rank)
-                rows["vec_id"].append(v)
-                rows["score"].append(sc)
-    pqm.write_table(
-        pa.table(
-            {
-                "fp": pa.array(rows["fp"], pa.int64()),
-                "algo": pa.array(rows["algo"], pa.string()),
-                "query_idx": pa.array(rows["query_idx"], pa.int64()),
-                "rank": pa.array(rows["rank"], pa.int64()),
-                "vec_id": pa.array(rows["vec_id"], pa.int64()),
-                "score": pa.array(rows["score"], pa.float64()),
-            }
-        ),
-        path + ".tmp",
-    )
-    os.replace(path + ".tmp", path)
-    return path
+                out["fp"].append(fp)
+                out["algo"].append(algo)
+                out["query_idx"].append(qi)
+                out["rank"].append(rank)
+                out["vec_id"].append(v)
+                out["score"].append(sc)
+        return out
 
+    return _golden(
+        "annapprox_golden_v1.parquet",
+        {"fp": pa.int64(), "algo": pa.string(), "query_idx": pa.int64(),
+         "rank": pa.int64(), "vec_id": pa.int64(), "score": pa.float64()},
+        per_dir,
+    )
 
 def _cosnear_golden_path() -> str:
     """Golden (a, b, cosine) rows for ``cosine_near`` from the
     sequential cosine_near_dups_local reference over the SAME planted
-    corpus (base embeddings + the deterministic per-id perturbed
-    copies), per known sf corpus, fingerprinted by lineitem count.
-    Valid because (round 4) bucket membership and pair cosines are
-    fixed-order einsum — bit-stable for any group row order."""
+    corpus (bucket membership and pair cosines are fixed-order einsum —
+    bit-stable for any group row order)."""
     import os
 
     import pyarrow.parquet as pqm
 
     from rasters_ray.ann.search import cosine_near_dups_local
 
-    path = "/tmp/rasters_ray_oracle/cosnear_golden_v1.parquet"
-    if os.path.exists(path):
-        return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    rows = {"fp": [], "a": [], "b": [], "cosine": []}
-    for d in _MINHASH_GOLDEN_SF_DIRS:
+    def per_dir(d):
         f = f"{d}/embeddings.parquet"
         if not os.path.exists(f):
-            continue
+            return None
         tab = pqm.read_table(f, columns=["vec_id", "embedding"])
         vid = tab.column("vec_id").to_numpy()
-        x = np.stack(
-            [np.asarray(r, dtype=np.float32) for r in tab.column("embedding").to_pylist()]
-        )
+        x = np.stack([np.asarray(r, dtype=np.float32)
+                      for r in tab.column("embedding").to_pylist()])
         ids = list(vid)
         planted = []
         for i in np.flatnonzero(vid < 20):
@@ -4066,127 +4030,89 @@ def _cosnear_golden_path() -> str:
             ids.append(int(100000 + vid[i]))
         full = np.vstack([x] + [p[None] for p in planted])
         fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
+        out = {"fp": [], "a": [], "b": [], "cosine": []}
         for a, b, c in cosine_near_dups_local(full, ids, threshold=0.95):
-            rows["fp"].append(fp)
-            rows["a"].append(int(a))
-            rows["b"].append(int(b))
-            rows["cosine"].append(float(c))
-    pqm.write_table(
-        pa.table(
-            {
-                "fp": pa.array(rows["fp"], pa.int64()),
-                "a": pa.array(rows["a"], pa.int64()),
-                "b": pa.array(rows["b"], pa.int64()),
-                "cosine": pa.array(rows["cosine"], pa.float64()),
-            }
-        ),
-        path + ".tmp",
-    )
-    os.replace(path + ".tmp", path)
-    return path
+            out["fp"].append(fp)
+            out["a"].append(int(a))
+            out["b"].append(int(b))
+            out["cosine"].append(float(c))
+        return out
 
+    return _golden(
+        "cosnear_golden_v1.parquet",
+        {"fp": pa.int64(), "a": pa.int64(), "b": pa.int64(),
+         "cosine": pa.float64()},
+        per_dir,
+    )
 
 def _kmeans_golden_path() -> str:
     """Golden (vec_id, cluster) rows for ``cluster_assign`` from the
-    sequential fixed-point k-means reference (ann/search.py::
-    kmeans_local + the same normalize/einsum-argmax assignment ops as
-    kmeans_assign), per known sf corpus, fingerprinted by lineitem
-    count (embeddings COUNT(*) collides across sf dirs)."""
+    sequential fixed-point k-means reference (kmeans_local + the same
+    normalize/_dot64-argmax assignment as kmeans_assign)."""
     import os
 
     import pyarrow.parquet as pqm
 
-    from rasters_ray.ann.search import _normalize, kmeans_local
+    from rasters_ray.ann.search import _dot64, _normalize, kmeans_local
 
-    path = "/tmp/rasters_ray_oracle/kmeans_golden_v1.parquet"
-    if os.path.exists(path):
-        return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    rows = {"fp": [], "vec_id": [], "cluster": []}
-    for d in _MINHASH_GOLDEN_SF_DIRS:
+    def per_dir(d):
         f = f"{d}/embeddings.parquet"
         if not os.path.exists(f):
-            continue
+            return None
         tab = pqm.read_table(f, columns=["vec_id", "embedding"])
         vid = tab.column("vec_id").to_numpy()
-        x = np.stack(
-            [np.asarray(r, dtype=np.float32) for r in tab.column("embedding").to_pylist()]
-        )
-        cents = _normalize(np.asarray(kmeans_local(x, 8, iters=3), dtype=np.float32))
-        mm = _normalize(x.astype(np.float32))
-        cluster = np.argmax(
-            np.einsum("nd,kd->nk", mm.astype(np.float64), cents.astype(np.float64)),
-            axis=1,
-        )
+        x = np.stack([np.asarray(r, dtype=np.float32)
+                      for r in tab.column("embedding").to_pylist()])
+        cents = _normalize(np.asarray(kmeans_local(x, 8, iters=3),
+                                      dtype=np.float32))
+        cluster = np.argmax(_dot64(_normalize(x.astype(np.float32)), cents),
+                            axis=1)
         fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
-        rows["fp"].extend([fp] * len(vid))
-        rows["vec_id"].extend(vid.tolist())
-        rows["cluster"].extend(cluster.tolist())
-    pqm.write_table(
-        pa.table(
-            {
-                "fp": pa.array(rows["fp"], pa.int64()),
-                "vec_id": pa.array(rows["vec_id"], pa.int64()),
-                "cluster": pa.array(rows["cluster"], pa.int64()),
-            }
-        ),
-        path + ".tmp",
-    )
-    os.replace(path + ".tmp", path)
-    return path
+        return {"fp": [fp] * len(vid), "vec_id": vid.tolist(),
+                "cluster": cluster.tolist()}
 
+    return _golden(
+        "kmeans_golden_v1.parquet",
+        {"fp": pa.int64(), "vec_id": pa.int64(), "cluster": pa.int64()},
+        per_dir,
+    )
 
 def _pq_golden_path() -> str:
     """Golden (vec_id, m, code) rows for ``pq_codes`` from the
-    sequential fixed-point PQ reference (ann/pq.py::pq_train_local +
-    the shared ``_assign`` kernel), per known sf corpus, fingerprinted
-    by COUNT(*) of embeddings."""
+    sequential fixed-point PQ reference (pq_train_local + the shared
+    ``_assign`` kernel)."""
     import os
 
     import pyarrow.parquet as pqm
 
     from rasters_ray.ann.pq import _assign, pq_train_local
 
-    path = "/tmp/rasters_ray_oracle/pq_golden_v1.parquet"
-    if os.path.exists(path):
-        return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    rows = {"fp": [], "vec_id": [], "m": [], "code": []}
-    for d in _MINHASH_GOLDEN_SF_DIRS:
+    def per_dir(d):
         f = f"{d}/embeddings.parquet"
         if not os.path.exists(f):
-            continue
+            return None
         tab = pqm.read_table(f, columns=["vec_id", "embedding"])
         vid = tab.column("vec_id").to_numpy()
-        x = np.stack(
-            [np.asarray(r, dtype=np.float32) for r in tab.column("embedding").to_pylist()]
-        )
+        x = np.stack([np.asarray(r, dtype=np.float32)
+                      for r in tab.column("embedding").to_pylist()])
         books = pq_train_local(x, m_subspaces=4, k=16, iters=4)
         ds_ = x.shape[1] // 4
-        # embeddings COUNT(*) collides between sf0.001 and sf0.01 (both
-        # 500 rows, different content) -> fingerprint by lineitem count,
-        # which scales with sf
         fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
+        out = {"fp": [], "vec_id": [], "m": [], "code": []}
         for m in range(4):
             codes = _assign(x[:, m * ds_ : (m + 1) * ds_], books[m])
-            rows["fp"].extend([fp] * len(vid))
-            rows["vec_id"].extend(vid.tolist())
-            rows["m"].extend([m] * len(vid))
-            rows["code"].extend(codes.tolist())
-    pqm.write_table(
-        pa.table(
-            {
-                "fp": pa.array(rows["fp"], pa.int64()),
-                "vec_id": pa.array(rows["vec_id"], pa.int64()),
-                "m": pa.array(rows["m"], pa.int64()),
-                "code": pa.array(rows["code"], pa.int64()),
-            }
-        ),
-        path + ".tmp",
-    )
-    os.replace(path + ".tmp", path)
-    return path
+            out["fp"].extend([fp] * len(vid))
+            out["vec_id"].extend(vid.tolist())
+            out["m"].extend([m] * len(vid))
+            out["code"].extend(codes.tolist())
+        return out
 
+    return _golden(
+        "pq_golden_v1.parquet",
+        {"fp": pa.int64(), "vec_id": pa.int64(), "m": pa.int64(),
+         "code": pa.int64()},
+        per_dir,
+    )
 
 def q_pq_ann(sf_dir: str):
     """PQ-ADC ANN search (ann/pq.py::pq_topk): code-only shortlist via

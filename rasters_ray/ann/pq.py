@@ -39,15 +39,15 @@ def _assign(sub: np.ndarray, book: np.ndarray) -> np.ndarray:
     distributed partial, the encoder, and the sequential reference, so
     all three agree bit-for-bit).
 
-    einsum in float64, NOT a float32 BLAS matmul: BLAS picks different
-    kernels (hence different reduction orders, hence last-ulp drift) for
-    different row counts, which flips near-tie argmins between block
-    layouts; einsum's fixed-order C loop is row-count independent."""
+    Scores via ``search._dot64`` (fixed-order float64), NOT a float32
+    BLAS matmul — see _dot64's invariant."""
+    from rasters_ray.ann.search import _dot64
+
     s64 = sub.astype(np.float64)
     b64 = book.astype(np.float64)
     d2 = (
         (s64 * s64).sum(1)[:, None]
-        - 2.0 * np.einsum("nd,kd->nk", s64, b64)
+        - 2.0 * _dot64(s64, b64)
         + (b64 * b64).sum(1)[None, :]
     )
     return np.argmin(d2, axis=1)

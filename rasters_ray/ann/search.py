@@ -1,9 +1,11 @@
 """Similarity search over an embedding column (list<float>).
 
-- ``cosine_topk``: exact brute-force top-k — per-batch numpy matmul of the
-  batch's embedding matrix against a broadcast query matrix, partial top-k
-  per batch, final top-k merge on the driver (tiny: k x num_queries rows).
-  This is the baseline the scale path is checked against.
+- ``cosine_topk``: exact brute-force top-k — per-batch fixed-order
+  scoring of the batch's embedding matrix against a broadcast query
+  matrix, tie-inclusive partial top-k per batch, exact merge on the
+  driver bounded to best-k-plus-boundary-ties per query (a few k rows,
+  pruned as partials stream in). This is the baseline the scale path is
+  checked against.
 - ``lsh_topk``: the scale path — random-hyperplane LSH (Charikar 2002):
   embeddings bucketed by sign-pattern hash; queries probe their own bucket
   (+ optional multiprobe neighbors); exact rerank inside buckets only.
@@ -38,6 +40,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _dot64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n, d) x (m, d) -> (n, m) scores via FIXED-ORDER float64 einsum.
+
+    This is the single helper every scoring site must use instead of a
+    float32 BLAS matmul: BLAS picks different kernels (different
+    reduction orders, last-ulp drift) for different row counts, and gemm
+    pair values are not even row-permutation invariant (measured) — the
+    whole round-4 golden-oracle contract (bit-equal results at any block
+    layout) rests on this invariant."""
+    return np.einsum("nd,md->nm", a.astype(np.float64), b.astype(np.float64))
+
+
 class BruteForceTopK:
     """map_batches stage: per-batch exact cosine top-k against the
     broadcast query matrix; emits (query_idx, vec_id, score) partials."""
@@ -52,15 +66,22 @@ class BruteForceTopK:
         self.col = col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # the lsh/ivf filter stages routinely emit 0-row tables, and
+            # map_batches can see empty blocks (same guard as elsewhere)
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         m = _normalize(_batch_matrix(batch, self.col).astype(np.float32))
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        # fixed-order einsum in float64 (NOT float32 BLAS): per-pair
-        # scores are then bit-identical for any batch size/layout, which
-        # (with tie-inclusive partials below) makes the final top-k
-        # deterministic — the golden-oracle gate for the ANN queries
-        sims = np.einsum(
-            "nd,qd->nq", m.astype(np.float64), self.q.astype(np.float64)
-        )
+        # _dot64: bit-identical per-pair scores for any batch layout,
+        # which (with tie-inclusive partials below) makes the final
+        # top-k deterministic — the golden-oracle gate for ANN queries
+        sims = _dot64(m, self.q)
         k = min(self.k, m.shape[0])
         out_q, out_id, out_s = [], [], []
         for qi in range(self.q.shape[0]):
@@ -101,15 +122,26 @@ def cosine_topk(
         concurrency=concurrency or pool_size(0.5),
     )
     # exact merge: collect the (k + ties)-sized partials, one global
-    # (-score, vec_id) sort per query — arrival order cannot matter (the
-    # old bounded heap dropped boundary ties by arrival order)
+    # (-score, vec_id) sort per query — arrival order cannot matter (a
+    # bounded heap would drop boundary ties by arrival order). Memory is
+    # bounded by pruning to best-k-plus-boundary-ties whenever a list
+    # grows past 8k: pruning by (score > kth) OR (score == kth) keeps a
+    # superset of the exact answer, so the result is unchanged even on
+    # duplicate-heavy corpora where whole batches tie.
+    def prune(h: List[Tuple[float, object]]) -> List[Tuple[float, object]]:
+        kth = sorted((-s for s, _ in h))[k - 1] if len(h) >= k else None
+        return h if kth is None else [t for t in h if -t[0] <= kth]
+
     cand: List[List[Tuple[float, object]]] = [[] for _ in range(len(queries))]
     for b in partials.iter_batches(batch_format="pyarrow"):
         qs = b.column("query_idx").to_numpy()
         ids = b.column("vec_id").to_pylist()
         ss = b.column("score").to_numpy()
         for qi, vid, s in zip(qs, ids, ss):
-            cand[qi].append((float(s), vid))
+            h = cand[qi]
+            h.append((float(s), vid))
+            if len(h) > max(8 * k, 64):
+                cand[qi] = prune(h)
     out_q, out_id, out_s, out_r = [], [], [], []
     for qi, h in enumerate(cand):
         for rank, (s, vid) in enumerate(
@@ -149,12 +181,10 @@ class LSHBuckets:
         return "lsh_bucket" if t == 0 else f"lsh_bucket_{t}"
 
     def hash_matrix(self, m: np.ndarray, t: int) -> np.ndarray:
-        # einsum float64: a float32 BLAS matmul flips sign bits for
-        # projections within an ulp of 0 depending on row count, which
-        # would move vectors between buckets across block layouts
-        bits = np.einsum(
-            "nd,dp->np", m.astype(np.float64), self.planes[t].astype(np.float64)
-        ) > 0  # (n, p)
+        # _dot64: a float32 BLAS matmul flips sign bits for projections
+        # within an ulp of 0 depending on row count, which would move
+        # vectors between buckets across block layouts
+        bits = _dot64(m, self.planes[t].T) > 0  # (n, p)
         bucket = np.zeros(m.shape[0], dtype=np.int64)
         for j in range(self.planes[t].shape[1]):
             bucket |= bits[:, j].astype(np.int64) << j
@@ -317,9 +347,9 @@ def cosine_near_dups(
         if n > cap:
             anchor = order[0]
             others = order[1:]
-            # einsum, not BLAS: gemm/gemv pair values are NOT row-order
+            # _dot64, not BLAS: gemm/gemv pair values are NOT row-order
             # invariant (verified), and Ray group row order is arbitrary
-            sims = np.einsum("nd,d->n", m[others], m[anchor])
+            sims = _dot64(m[others], m[anchor][None, :])[:, 0]
             keep = sims >= threshold
             return pa.table(
                 {
@@ -328,7 +358,7 @@ def cosine_near_dups(
                     "cosine": pa.array(sims[keep], pa.float64()),
                 }
             )
-        sims = np.einsum("nd,md->nm", m, m)
+        sims = _dot64(m, m)
         ii, jj = np.triu_indices(n, k=1)
         keep = sims[ii, jj] >= threshold
         ii, jj = ii[keep], jj[keep]
@@ -434,13 +464,9 @@ _KM_FP_SCALE = float(1 << 20)
 
 
 def _km_argmax(m: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Nearest-centroid by cosine — einsum in float64, not a float32
-    BLAS matmul: BLAS reduction order varies with row count, flipping
-    near-tie argmaxes between block layouts; einsum's fixed-order loop
-    makes the assignment bit-stable for any batch size."""
-    return np.argmax(
-        np.einsum("nd,kd->nk", m.astype(np.float64), c.astype(np.float64)), axis=1
-    )
+    """Nearest-centroid by cosine via ``_dot64`` — bit-stable argmax for
+    any batch size (see _dot64's invariant)."""
+    return np.argmax(_dot64(m, c), axis=1)
 
 
 def _km_recenter(cents: np.ndarray, tot: np.ndarray, cnt: np.ndarray) -> np.ndarray:
@@ -546,9 +572,7 @@ def kmeans_assign(
 
         c = _ray.get(cref)
         m = _normalize(_batch_matrix(t, col).astype(np.float32))
-        sims = np.einsum(
-            "nd,kd->nk", m.astype(np.float64), c.astype(np.float64)
-        )  # fixed-order reduction: bit-stable for any batch size
+        sims = _dot64(m, c)  # fixed-order reduction: bit-stable
         a = np.argmax(sims, axis=1)
         return pa.table(
             {
@@ -573,7 +597,7 @@ def cosine_topk_local(x: np.ndarray, ids: np.ndarray, queries: np.ndarray,
     qn = _normalize(np.asarray(queries, dtype=np.float32))
     if mask is not None:
         xf, ids = xf[mask], np.asarray(ids)[mask]
-    sims = np.einsum("nd,qd->nq", xf.astype(np.float64), qn.astype(np.float64))
+    sims = _dot64(xf, qn)
     out = []
     for qi in range(qn.shape[0]):
         order = sorted(zip(-sims[:, qi], ids), key=lambda t: (t[0], t[1]))[:k]
@@ -642,13 +666,13 @@ def cosine_near_dups_local(
             g = m64[[rows[r] for r in order]]
             gids = [ids[rows[r]] for r in order]
             if len(rows) > cap:
-                sims = np.einsum("nd,d->n", g[1:], g[0])
+                sims = _dot64(g[1:], g[0][None, :])[:, 0]
                 for o, sv in zip(gids[1:], sims):
                     if sv >= threshold:
                         k2 = tuple(sorted((gids[0], o)))
                         best[k2] = max(best.get(k2, -2.0), float(sv))
             else:
-                sims = np.einsum("nd,md->nm", g, g)
+                sims = _dot64(g, g)
                 n = len(gids)
                 for i in range(n):
                     for j in range(i + 1, n):
