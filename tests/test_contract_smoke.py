@@ -44,6 +44,18 @@ QUERIES = [
     "dup_spans",
     "edit_near",
     "data_mix",
+    # round-4 additions: codecs, projections, golden-oracle ops
+    "jpeg_render",
+    "cmap_render",
+    "geoimage_write",
+    "transform_sinu",
+    "transform_stere",
+    "transform_aea",
+    "winnow_fp",
+    "dup_substrings",
+    "idw_sample",
+    "cluster_assign",
+    "lsh_ann",
 ]
 
 TABLES = [
