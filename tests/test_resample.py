@@ -94,3 +94,41 @@ def test_knn_index_cached():
     assert len(r._cache) == 1
     r.resample(RAMP * 2, swath, SRC)
     assert len(r._cache) == 1  # reused, not rebuilt
+
+
+def test_warp_to_polar_stereographic_target():
+    """round 4: warp_array targets the NEW CRS family end-to-end — warp
+    a geographic image onto an EPSG:3413 polar grid and back-check pixel
+    values through the inverse transform."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.proj import transform_xy
+    from rasters_ray.stages.resample import warp_array
+
+    rows, cols = 40, 60
+    src_grid = GridSpec(crs="EPSG:4326", x_origin=-50.0, y_origin=75.0,
+                        cell_width=0.1, cell_height=-0.1, rows=rows, cols=cols)
+    px = (np.arange(rows * cols) % 251).astype(np.float32).reshape(rows, cols)
+    xs, ys = transform_xy(
+        np.array([-50.0, -44.0, -50.0, -44.0]),
+        np.array([75.0, 75.0, 71.0, 71.0]), "EPSG:4326", "EPSG:3413")
+    tgt = GridSpec(crs="EPSG:3413", x_origin=float(xs.min()),
+                   y_origin=float(ys.max()),
+                   cell_width=float((xs.max() - xs.min()) / 50),
+                   cell_height=-float((ys.max() - ys.min()) / 50),
+                   rows=50, cols=50)
+    warped = warp_array(px, src_grid, tgt, "nearest")
+    assert warped.shape == (50, 50)
+    finite = np.isfinite(warped)
+    assert finite.mean() > 0.5  # footprint covers most of the box
+    # spot-check several target cells against the inverse mapping
+    checked = 0
+    for r, c in ((25, 25), (10, 40), (40, 10), (5, 5)):
+        cx = tgt.x_origin + (c + 0.5) * tgt.cell_width
+        cy = tgt.y_origin + (r + 0.5) * tgt.cell_height
+        lon, lat = transform_xy([cx], [cy], "EPSG:3413", "EPSG:4326")
+        sr = int(np.floor((lat[0] - src_grid.y_origin) / src_grid.cell_height))
+        sc = int(np.floor((lon[0] - src_grid.x_origin) / src_grid.cell_width))
+        if 0 <= sr < rows and 0 <= sc < cols and np.isfinite(warped[r, c]):
+            assert warped[r, c] == px[sr, sc]
+            checked += 1
+    assert checked >= 2
