@@ -4001,6 +4001,45 @@ def _annapprox_golden_path() -> str:
         per_dir,
     )
 
+def _pqann_golden_path() -> str:
+    """Golden (query_idx, rank, vec_id, dist) rows for ``pq_ann`` from
+    the sequential pq_topk_local reference — valid since round 4's
+    GLOBAL (adc, vec_id) shortlist cut (bit-equality asserted in
+    tests/test_pq.py)."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    from rasters_ray.ann.pq import pq_topk_local
+
+    def per_dir(d):
+        f = f"{d}/embeddings.parquet"
+        if not os.path.exists(f):
+            return None
+        tab = pqm.read_table(f, columns=["vec_id", "embedding"])
+        vid = tab.column("vec_id").to_numpy()
+        x = np.stack([np.asarray(r, dtype=np.float32)
+                      for r in tab.column("embedding").to_pylist()])
+        res = pq_topk_local(x, vid, x[:4].astype(np.float32), k_results=10,
+                            m_subspaces=4, n_codes=16, iters=4)
+        fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
+        out = {"fp": [], "query_idx": [], "rank": [], "vec_id": [], "dist": []}
+        for qi, rank, v, dist in res:
+            out["fp"].append(fp)
+            out["query_idx"].append(qi)
+            out["rank"].append(rank)
+            out["vec_id"].append(v)
+            out["dist"].append(dist)
+        return out
+
+    return _golden(
+        "pqann_golden_v1.parquet",
+        {"fp": pa.int64(), "query_idx": pa.int64(), "rank": pa.int64(),
+         "vec_id": pa.int64(), "dist": pa.float64()},
+        per_dir,
+    )
+
+
 def _cosnear_golden_path() -> str:
     """Golden (a, b, cosine) rows for ``cosine_near`` from the
     sequential cosine_near_dups_local reference over the SAME planted
@@ -4117,11 +4156,12 @@ def _pq_golden_path() -> str:
 def q_pq_ann(sf_dir: str):
     """PQ-ADC ANN search (ann/pq.py::pq_topk): code-only shortlist via
     broadcast lookup tables, exact rerank of the shortlist — the
-    IVF-PQ deployment pattern.  Rows-only BY DESIGN: the ADC shortlist
-    is per-batch (shortlist*k best per block), so the candidate pool
-    legitimately depends on block boundaries — pinning it to a golden
-    would freeze one layout; shortlist recall is asserted in
-    tests/test_pq.py instead."""
+    IVF-PQ deployment pattern.  Value-exact golden oracle as of round 4:
+    the shortlist cut is GLOBAL by (adc, vec_id) total order (pass 1
+    ships tie-inclusive per-batch ADC partials; pass 2 reranks only the
+    broadcast shortlist ids), so the result is bit-equal to
+    pq_topk_local at any block layout (tests/test_pq.py); shortlist
+    recall is also asserted."""
     import pyarrow.parquet as pq_mod
 
     from rasters_ray.ann.pq import pq_topk
@@ -5409,6 +5449,13 @@ WHERE corpus_fp = (SELECT SUM(length(text)) FROM documents)
 SELECT doc_id, pos, fp
 FROM read_parquet('{_winnow_golden_path()}')
 WHERE corpus_fp = (SELECT SUM(length(text)) FROM documents)
+"""
+
+    # pq_ann: golden top-k from the sequential global-shortlist reference
+    sql["pq_ann"] = f"""
+SELECT query_idx, rank, vec_id, dist
+FROM read_parquet('{_pqann_golden_path()}')
+WHERE fp = (SELECT COUNT(*) FROM lineitem)
 """
 
     # cosine_near: golden pairs from the sequential bucket+verify reference

@@ -221,14 +221,18 @@ def pq_topk(
     shortlist: int = 8,
 ) -> pa.Table:
     """ADC-shortlist + exact-rerank search (the PQ deployment pattern):
-    train PQ, then per batch score vectors against the queries using
-    only their CODES — distance(query, vec) ~= sum_m LUT[m][code_m],
-    the query-to-codebook distance table broadcast once — keep an
-    ADC shortlist of ``shortlist * k_results`` per batch, and exact-
-    rerank only the shortlist (at deployment the codes live in RAM and
-    only shortlist rows touch the raw vectors).  Partial top-k per
-    batch -> driver merge on the exact distance; shortlist recall is
-    the measured accuracy (tests — the LSH/IVF accuracy-gate pattern).
+    train PQ, then score vectors against the queries using only their
+    CODES — distance(query, vec) ~= sum_m LUT[m][code_m], the
+    query-to-codebook distance table broadcast once.  The shortlist is
+    GLOBAL (round 4): pass 1 emits tie-inclusive per-batch ADC partials,
+    the driver cuts the global top-(shortlist * k_results) per query by
+    (adc, vec_id) — deterministic for any block layout since codes and
+    LUT sums are fixed-order — and pass 2 exact-reranks ONLY shortlist
+    rows (a broadcast id set of shortlist*k*nq ints).  At deployment the
+    codes live in RAM, so pass 1 never touches raw vectors; only
+    shortlist rows are read in full.  Shortlist recall is the measured
+    accuracy (tests — the LSH/IVF accuracy-gate pattern), and the
+    result is bit-equal to the sequential ``pq_topk_local``.
 
     Returns Table[(query_idx, rank, vec_id, dist)].
     """
@@ -239,18 +243,12 @@ def pq_topk(
     )
     m_sub, k, ds_ = books.shape
     q = np.ascontiguousarray(query_matrix, dtype=np.float32)
-    # LUT[m, qi, code] = ||q_sub - book||^2, shared by every batch task
-    lut = np.stack(
-        [
-            ((q[:, m * ds_ : (m + 1) * ds_][:, None, :] - books[m][None, :, :]) ** 2).sum(
-                axis=2
-            )
-            for m in range(m_sub)
-        ]
-    )  # [M, nq, k]
-    state = ray.put((books, lut))
+    lut = _adc_lut(q, books)
+    nq = q.shape[0]
+    S = shortlist * k_results
+    bref = ray.put((books, lut))
 
-    def partial(t: pa.Table) -> pa.Table:
+    def adc_partial(t: pa.Table) -> pa.Table:
         from rasters_ray.stages.point_join import _cached_get
 
         if t.num_rows == 0:
@@ -258,31 +256,74 @@ def pq_topk(
                 {
                     "query_idx": pa.array([], pa.int64()),
                     "vec_id": pa.array([], pa.int64()),
-                    "dist": pa.array([], pa.float64()),
+                    "adc": pa.array([], pa.float64()),
                 }
             )
-        b, lt = _cached_get(state)
+        b, lt = _cached_get(bref)
         x = _batch_matrix(t, col).astype(np.float32)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        codes = np.zeros((len(x), m_sub), np.int64)
-        for m in range(m_sub):
-            codes[:, m] = _assign(x[:, m * ds_ : (m + 1) * ds_], b[m])
-        nq = lt.shape[1]
-        # adc[qi, n] = sum_m lut[m, qi, codes[n, m]]
-        adc = np.zeros((nq, len(x)), np.float32)
-        for m in range(m_sub):
-            adc += lt[m][:, codes[:, m]]
-        kk = min(shortlist * k_results, len(x))
-        short = np.argpartition(adc, kk - 1, axis=1)[:, :kk]
-        keep = min(k_results, kk)
-        rows = {"query_idx": [], "vec_id": [], "dist": []}
+        adc = _adc_scores(x, b, lt)  # (nq, n) fixed-order float64
+        rows = {"query_idx": [], "vec_id": [], "adc": []}
+        kk = min(S, adc.shape[1])
         for qi in range(nq):
-            cand = short[qi]
-            exact = ((x[cand] - q[qi]) ** 2).sum(axis=1)  # rerank shortlist
-            best = np.argsort(exact, kind="stable")[:keep]
-            rows["query_idx"].extend([qi] * keep)
-            rows["vec_id"].extend(ids[cand[best]].tolist())
-            rows["dist"].extend(exact[best].astype(np.float64).tolist())
+            a = adc[qi]
+            kth = np.partition(a, kk - 1)[kk - 1]
+            keep = np.flatnonzero(a <= kth)  # tie-inclusive
+            rows["query_idx"].extend([qi] * len(keep))
+            rows["vec_id"].extend(ids[keep].tolist())
+            rows["adc"].extend(a[keep].tolist())
+        return pa.table(
+            {
+                "query_idx": pa.array(rows["query_idx"], pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                "adc": pa.array(rows["adc"], pa.float64()),
+            }
+        )
+
+    parts = embeddings_ds.map_batches(adc_partial, batch_format="pyarrow").to_pandas()
+    # global deterministic cut: (adc, vec_id) is a total order
+    short_ids = set()
+    per_q_short = {}
+    for qi, grp in parts.groupby("query_idx"):
+        grp = grp.sort_values(["adc", "vec_id"], kind="mergesort").head(S)
+        sel = set(int(v) for v in grp["vec_id"])
+        per_q_short[int(qi)] = sel
+        short_ids |= sel
+    sref = ray.put((q, per_q_short))
+
+    def rerank(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from rasters_ray.stages.point_join import _cached_get
+
+        empty = pa.table(
+            {
+                "query_idx": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        qm, short = _cached_get(sref)
+        short_arr = {qi: np.fromiter(sorted(v), np.int64, len(v))
+                     for qi, v in short.items()}
+        all_ids = pa.array(sorted(set().union(*short.values()) if short else []),
+                           pa.int64())
+        t = t.filter(pc.is_in(t.column(id_col), all_ids))
+        if t.num_rows == 0:
+            return empty
+        x = _batch_matrix(t, col).astype(np.float64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        rows = {"query_idx": [], "vec_id": [], "dist": []}
+        for qi in range(qm.shape[0]):
+            sel = np.flatnonzero(np.isin(ids, short_arr[qi]))
+            if not len(sel):
+                continue
+            d = ((x[sel] - qm[qi].astype(np.float64)) ** 2).sum(axis=1)
+            rows["query_idx"].extend([qi] * len(sel))
+            rows["vec_id"].extend(ids[sel].tolist())
+            rows["dist"].extend(d.tolist())
         return pa.table(
             {
                 "query_idx": pa.array(rows["query_idx"], pa.int64()),
@@ -291,8 +332,8 @@ def pq_topk(
             }
         )
 
-    cand = embeddings_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    # driver-small: k_results * n_blocks rows per query
+    cand = embeddings_ds.map_batches(rerank, batch_format="pyarrow").to_pandas()
+    # driver-small: <= S rows per query
     out = {"query_idx": [], "rank": [], "vec_id": [], "dist": []}
     for qi, grp in cand.groupby("query_idx"):
         grp = grp.sort_values(["dist", "vec_id"], kind="mergesort").head(k_results)
@@ -308,3 +349,56 @@ def pq_topk(
             "dist": pa.array(out["dist"], pa.float64()),
         }
     )
+
+
+def _adc_lut(q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """LUT[m, qi, code] = ||q_sub - book||^2 in float64 (fixed-order)."""
+    m_sub, k, ds_ = books.shape
+    q64 = q.astype(np.float64)
+    b64 = books.astype(np.float64)
+    return np.stack(
+        [
+            ((q64[:, m * ds_ : (m + 1) * ds_][:, None, :] - b64[m][None, :, :]) ** 2)
+            .sum(axis=2)
+            for m in range(m_sub)
+        ]
+    )
+
+
+def _adc_scores(x: np.ndarray, books: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """(nq, n) ADC distances from codes — fixed subspace order, float64."""
+    m_sub, k, ds_ = books.shape
+    codes = np.zeros((len(x), m_sub), np.int64)
+    for m in range(m_sub):
+        codes[:, m] = _assign(x[:, m * ds_ : (m + 1) * ds_], books[m])
+    adc = np.zeros((lut.shape[1], len(x)), np.float64)
+    for m in range(m_sub):
+        adc += lut[m][:, codes[:, m]]
+    return adc
+
+
+def pq_topk_local(x: np.ndarray, ids, queries: np.ndarray, k_results: int = 10,
+                  m_subspaces: int = 4, n_codes: int = 16, iters: int = 4,
+                  shortlist: int = 8) -> list:
+    """Sequential reference for ``pq_topk`` (same fixed-point training,
+    ADC kernels, global (adc, vec_id) shortlist cut and exact rerank):
+    [(query_idx, rank, vec_id, dist)]."""
+    xf = np.stack([np.asarray(r, dtype=np.float32) for r in x]) \
+        if np.asarray(x).dtype == object else np.asarray(x, dtype=np.float32)
+    ids = np.asarray(ids)
+    books = pq_train_local(xf, m_subspaces=m_subspaces, k=n_codes, iters=iters)
+    q = np.ascontiguousarray(queries, dtype=np.float32)
+    lut = _adc_lut(q, books)
+    adc = _adc_scores(xf, books, lut)
+    S = shortlist * k_results
+    out = []
+    for qi in range(q.shape[0]):
+        order = sorted(zip(adc[qi], ids), key=lambda t: (t[0], t[1]))[:S]
+        sel = np.asarray([int(v) for _, v in order])
+        idx = {int(v): i for i, v in enumerate(ids)}
+        rows = np.asarray([idx[v] for v in sel])
+        d = ((xf[rows].astype(np.float64) - q[qi].astype(np.float64)) ** 2).sum(axis=1)
+        best = sorted(zip(d, sel), key=lambda t: (t[0], t[1]))[:k_results]
+        for rank, (dist, vid) in enumerate(best):
+            out.append((qi, rank + 1, int(vid), float(dist)))
+    return out

@@ -81,3 +81,23 @@ def test_pq_adc_topk_recall(ray_session):
     recall = hits / 50.0
     assert recall >= 0.9, recall  # ADC shortlist + exact rerank
     assert (out.groupby("query_idx")["rank"].max() == 10).all()
+
+
+def test_pq_topk_matches_sequential_bitwise(ray_session):
+    """Global ADC shortlist (round 4): pq_topk must be bit-equal to the
+    sequential reference at different block layouts — the shortlist cut
+    is (adc, vec_id) total order, no longer per-batch."""
+    from rasters_ray.ann.pq import pq_topk, pq_topk_local
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(400, 8)).astype(np.float32).astype(np.float64)
+    q = x[:3].astype(np.float32)
+    want = pq_topk_local(x, np.arange(400), q, k_results=5, m_subspaces=2,
+                         n_codes=8, iters=3)
+    for parts in (1, 7):
+        got = pq_topk(_ds(x, parts), q, k_results=5, m_subspaces=2,
+                      n_codes=8, iters=3)
+        rows = [(a, b, c, d) for a, b, c, d in zip(
+            got.column("query_idx").to_pylist(), got.column("rank").to_pylist(),
+            got.column("vec_id").to_pylist(), got.column("dist").to_pylist())]
+        assert rows == want, f"parts={parts}"
