@@ -20,7 +20,6 @@ the path list) — mixed-format directories stream through one pipeline.
 from __future__ import annotations
 
 import os
-import struct
 from typing import List, Optional, Tuple
 
 import numpy as np
