@@ -3969,15 +3969,11 @@ def _annapprox_golden_path() -> str:
     from rasters_ray.ann.search import ivf_topk_local, lsh_topk_local
 
     def per_dir(d):
-        f = f"{d}/embeddings.parquet"
-        if not os.path.exists(f):
+        got = _emb_fixture(d)
+        if got is None:
             return None
-        tab = pqm.read_table(f, columns=["vec_id", "embedding"])
-        vid = tab.column("vec_id").to_numpy()
-        x = np.stack([np.asarray(r, dtype=np.float32)
-                      for r in tab.column("embedding").to_pylist()])
+        vid, x, fp = got
         q = x[:4].astype(np.float64)
-        fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
         out = {"fp": [], "algo": [], "query_idx": [], "rank": [],
                "vec_id": [], "score": []}
         for algo, res in (
@@ -4001,6 +3997,25 @@ def _annapprox_golden_path() -> str:
         per_dir,
     )
 
+def _emb_fixture(sf_dir: str):
+    """(vec_id, float32 matrix, lineitem-count fingerprint) for the
+    embeddings-based golden builders — embeddings COUNT(*) collides
+    between sf dirs, so the fingerprint is the lineitem row count."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    f = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(f):
+        return None
+    tab = pqm.read_table(f, columns=["vec_id", "embedding"])
+    vid = tab.column("vec_id").to_numpy()
+    x = np.stack([np.asarray(r, dtype=np.float32)
+                  for r in tab.column("embedding").to_pylist()])
+    fp = pqm.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    return vid, x, fp
+
+
 def _pqann_golden_path() -> str:
     """Golden (query_idx, rank, vec_id, dist) rows for ``pq_ann`` from
     the sequential pq_topk_local reference — valid since round 4's
@@ -4013,16 +4028,12 @@ def _pqann_golden_path() -> str:
     from rasters_ray.ann.pq import pq_topk_local
 
     def per_dir(d):
-        f = f"{d}/embeddings.parquet"
-        if not os.path.exists(f):
+        got = _emb_fixture(d)
+        if got is None:
             return None
-        tab = pqm.read_table(f, columns=["vec_id", "embedding"])
-        vid = tab.column("vec_id").to_numpy()
-        x = np.stack([np.asarray(r, dtype=np.float32)
-                      for r in tab.column("embedding").to_pylist()])
+        vid, x, fp = got
         res = pq_topk_local(x, vid, x[:4].astype(np.float32), k_results=10,
                             m_subspaces=4, n_codes=16, iters=4)
-        fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
         out = {"fp": [], "query_idx": [], "rank": [], "vec_id": [], "dist": []}
         for qi, rank, v, dist in res:
             out["fp"].append(fp)
@@ -4052,13 +4063,10 @@ def _cosnear_golden_path() -> str:
     from rasters_ray.ann.search import cosine_near_dups_local
 
     def per_dir(d):
-        f = f"{d}/embeddings.parquet"
-        if not os.path.exists(f):
+        got = _emb_fixture(d)
+        if got is None:
             return None
-        tab = pqm.read_table(f, columns=["vec_id", "embedding"])
-        vid = tab.column("vec_id").to_numpy()
-        x = np.stack([np.asarray(r, dtype=np.float32)
-                      for r in tab.column("embedding").to_pylist()])
+        vid, x, fp = got
         ids = list(vid)
         planted = []
         for i in np.flatnonzero(vid < 20):
@@ -4068,7 +4076,6 @@ def _cosnear_golden_path() -> str:
             )
             ids.append(int(100000 + vid[i]))
         full = np.vstack([x] + [p[None] for p in planted])
-        fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
         out = {"fp": [], "a": [], "b": [], "cosine": []}
         for a, b, c in cosine_near_dups_local(full, ids, threshold=0.95):
             out["fp"].append(fp)
@@ -4095,18 +4102,14 @@ def _kmeans_golden_path() -> str:
     from rasters_ray.ann.search import _dot64, _normalize, kmeans_local
 
     def per_dir(d):
-        f = f"{d}/embeddings.parquet"
-        if not os.path.exists(f):
+        got = _emb_fixture(d)
+        if got is None:
             return None
-        tab = pqm.read_table(f, columns=["vec_id", "embedding"])
-        vid = tab.column("vec_id").to_numpy()
-        x = np.stack([np.asarray(r, dtype=np.float32)
-                      for r in tab.column("embedding").to_pylist()])
+        vid, x, fp = got
         cents = _normalize(np.asarray(kmeans_local(x, 8, iters=3),
                                       dtype=np.float32))
         cluster = np.argmax(_dot64(_normalize(x.astype(np.float32)), cents),
                             axis=1)
-        fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
         return {"fp": [fp] * len(vid), "vec_id": vid.tolist(),
                 "cluster": cluster.tolist()}
 
@@ -4127,16 +4130,12 @@ def _pq_golden_path() -> str:
     from rasters_ray.ann.pq import _assign, pq_train_local
 
     def per_dir(d):
-        f = f"{d}/embeddings.parquet"
-        if not os.path.exists(f):
+        got = _emb_fixture(d)
+        if got is None:
             return None
-        tab = pqm.read_table(f, columns=["vec_id", "embedding"])
-        vid = tab.column("vec_id").to_numpy()
-        x = np.stack([np.asarray(r, dtype=np.float32)
-                      for r in tab.column("embedding").to_pylist()])
+        vid, x, fp = got
         books = pq_train_local(x, m_subspaces=4, k=16, iters=4)
         ds_ = x.shape[1] // 4
-        fp = pqm.ParquetFile(f"{d}/lineitem.parquet").metadata.num_rows
         out = {"fp": [], "vec_id": [], "m": [], "code": []}
         for m in range(4):
             codes = _assign(x[:, m * ds_ : (m + 1) * ds_], books[m])
@@ -4173,7 +4172,9 @@ def q_pq_ann(sf_dir: str):
     qm = np.stack(
         [np.asarray(emb.column("embedding")[i].as_py()) for i in range(4)]
     )
-    return pq_topk(ds, qm, k_results=10, m_subspaces=4, n_codes=16)
+    # iters pinned explicitly: the golden oracle trains with iters=4, so
+    # the query must not float on pq_topk's default
+    return pq_topk(ds, qm, k_results=10, m_subspaces=4, n_codes=16, iters=4)
 
 
 def q_knn_join(sf_dir: str):

@@ -29,7 +29,8 @@ import pyarrow as pa
 
 from rasters_ray.ann.search import _batch_matrix
 
-__all__ = ["train_pq", "pq_train_local", "pq_encode", "pq_reconstruct"]
+__all__ = ["train_pq", "pq_train_local", "pq_encode",
+           "pq_reconstruct", "pq_topk", "pq_topk_local"]
 
 _FP_SCALE = float(1 << 20)  # fixed-point accumulation scale
 
@@ -241,7 +242,6 @@ def pq_topk(
     books = train_pq(
         embeddings_ds, m_subspaces=m_subspaces, k=n_codes, iters=iters, col=col
     )
-    m_sub, k, ds_ = books.shape
     q = np.ascontiguousarray(query_matrix, dtype=np.float32)
     lut = _adc_lut(q, books)
     nq = q.shape[0]
@@ -266,9 +266,13 @@ def pq_topk(
         rows = {"query_idx": [], "vec_id": [], "adc": []}
         kk = min(S, adc.shape[1])
         for qi in range(nq):
+            # batch-local top-S by the SAME (adc, vec_id) TOTAL order as
+            # the global cut: any global top-S member ranks <= S within
+            # its own batch under that order, so the partial is bounded
+            # (<= S rows per query per batch) AND provably sufficient —
+            # no unbounded tie-inclusion needed since the order is total
             a = adc[qi]
-            kth = np.partition(a, kk - 1)[kk - 1]
-            keep = np.flatnonzero(a <= kth)  # tie-inclusive
+            keep = np.lexsort((ids, a))[:kk]
             rows["query_idx"].extend([qi] * len(keep))
             rows["vec_id"].extend(ids[keep].tolist())
             rows["adc"].extend(a[keep].tolist())
@@ -281,15 +285,16 @@ def pq_topk(
         )
 
     parts = embeddings_ds.map_batches(adc_partial, batch_format="pyarrow").to_pandas()
-    # global deterministic cut: (adc, vec_id) is a total order
-    short_ids = set()
+    # global deterministic cut: (adc, vec_id) is a total order; ship the
+    # PRECOMPUTED per-query sorted id arrays + the global union so each
+    # rerank batch only filters and scans
     per_q_short = {}
     for qi, grp in parts.groupby("query_idx"):
         grp = grp.sort_values(["adc", "vec_id"], kind="mergesort").head(S)
-        sel = set(int(v) for v in grp["vec_id"])
-        per_q_short[int(qi)] = sel
-        short_ids |= sel
-    sref = ray.put((q, per_q_short))
+        per_q_short[int(qi)] = np.sort(grp["vec_id"].to_numpy().astype(np.int64))
+    all_short = (np.unique(np.concatenate(list(per_q_short.values())))
+                 if per_q_short else np.zeros(0, np.int64))
+    sref = ray.put((q, per_q_short, all_short))
 
     def rerank(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -305,19 +310,15 @@ def pq_topk(
         )
         if t.num_rows == 0:
             return empty
-        qm, short = _cached_get(sref)
-        short_arr = {qi: np.fromiter(sorted(v), np.int64, len(v))
-                     for qi, v in short.items()}
-        all_ids = pa.array(sorted(set().union(*short.values()) if short else []),
-                           pa.int64())
-        t = t.filter(pc.is_in(t.column(id_col), all_ids))
+        qm, short, all_short = _cached_get(sref)
+        t = t.filter(pc.is_in(t.column(id_col), pa.array(all_short, pa.int64())))
         if t.num_rows == 0:
             return empty
         x = _batch_matrix(t, col).astype(np.float64)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         rows = {"query_idx": [], "vec_id": [], "dist": []}
         for qi in range(qm.shape[0]):
-            sel = np.flatnonzero(np.isin(ids, short_arr[qi]))
+            sel = np.flatnonzero(np.isin(ids, short[qi]))
             if not len(sel):
                 continue
             d = ((x[sel] - qm[qi].astype(np.float64)) ** 2).sum(axis=1)
@@ -391,11 +392,11 @@ def pq_topk_local(x: np.ndarray, ids, queries: np.ndarray, k_results: int = 10,
     lut = _adc_lut(q, books)
     adc = _adc_scores(xf, books, lut)
     S = shortlist * k_results
+    idx = {int(v): i for i, v in enumerate(ids)}  # query-independent
     out = []
     for qi in range(q.shape[0]):
         order = sorted(zip(adc[qi], ids), key=lambda t: (t[0], t[1]))[:S]
         sel = np.asarray([int(v) for _, v in order])
-        idx = {int(v): i for i, v in enumerate(ids)}
         rows = np.asarray([idx[v] for v in sel])
         d = ((xf[rows].astype(np.float64) - q[qi].astype(np.float64)) ** 2).sum(axis=1)
         best = sorted(zip(d, sel), key=lambda t: (t[0], t[1]))[:k_results]

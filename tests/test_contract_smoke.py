@@ -56,6 +56,7 @@ QUERIES = [
     "idw_sample",
     "cluster_assign",
     "lsh_ann",
+    "pq_ann",
 ]
 
 TABLES = [
