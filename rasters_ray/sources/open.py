@@ -9,6 +9,7 @@ formats the engine reads natively:
 - classic NetCDF (``CDF1``/``CDF2``)           -> sources.netcdf
 - NetCDF-4 / HDF5 (``\\x89HDF``)               -> sources.netcdf (via
   hdf5lite; contiguous datasets only, clear raise otherwise)
+- Zarr v2 store DIRECTORY (``.zgroup``/``.zarray``) -> sources.zarr_lite
 - PNG (``\\x89PNG``) / baseline JPEG / npy     -> pixel decode, georef
   from an ESRI world-file sidecar when present (else unit grid)
 
@@ -76,7 +77,17 @@ def _geotiff_grid(meta: dict, rows: int, cols: int) -> GridSpec:
 
 def open_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridSpec]:
     """Read ONE raster (any supported format) -> (2D array, GridSpec).
-    ``var`` selects the NetCDF/HDF5 variable (required for those)."""
+    ``var`` selects the NetCDF/HDF5/Zarr variable (required when more
+    than one 2D array exists). A DIRECTORY containing ``.zgroup`` /
+    ``.zarray`` is read as a Zarr v2 store."""
+    if os.path.isdir(path):
+        if os.path.exists(os.path.join(path, ".zgroup")) or os.path.exists(
+            os.path.join(path, ".zarray")
+        ):
+            from .zarr_lite import zarr_raster
+
+            return zarr_raster(path, var=var)
+        raise ValueError(f"directory is not a zarr v2 store: {path}")
     with open(path, "rb") as f:
         head = f.read(8)
     if head[:4] in (b"II*\x00", b"MM\x00*"):

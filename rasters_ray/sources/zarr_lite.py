@@ -1,0 +1,181 @@
+"""Minimal pure-Python Zarr v2 store reader/writer — no zarr library.
+
+Parity/usefulness target: modern geo archives increasingly publish
+chunked arrays as Zarr stores; the PUBLIC Zarr v2 spec is small (JSON
+``.zarray`` metadata + raw/zlib-compressed C-order chunk files named
+``i.j``), so this module implements the subset the engine needs:
+
+- ``read_zarr``: directory store; groups (``.zgroup``) with array
+  members; 1D/2D arrays; any numpy dtype string; ``compressor`` null or
+  ``{"id": "zlib"}``; ``fill_value`` for missing chunk files; the
+  xarray ``_ARRAY_DIMENSIONS`` attribute convention for dimension
+  names. Blosc/other codecs raise NotImplementedError with the
+  remediation (rewrite with compressor=zlib or none).
+- ``write_zarr``: the same subset (used by round-trip tests and as an
+  interchange sink readable by real zarr/xarray elsewhere).
+- ``zarr_raster``: CF-style (array, GridSpec) extraction — 2D variable
+  + 1D coordinate arrays named by ``_ARRAY_DIMENSIONS`` — mirroring
+  ``netcdf_raster`` (same regular-spacing validation, same north-up
+  flip for ascending latitude axes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..grids import GridSpec
+
+
+def _read_array(adir: str) -> Tuple[np.ndarray, dict]:
+    meta = json.load(open(os.path.join(adir, ".zarray")))
+    if meta.get("zarr_format") != 2:
+        raise NotImplementedError(
+            f"zarr_format {meta.get('zarr_format')}: only v2 supported"
+        )
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise NotImplementedError(
+            f"zarr compressor {comp.get('id')!r} unsupported in this "
+            "environment; rewrite with zlib or no compression"
+        )
+    if meta.get("filters"):
+        raise NotImplementedError("zarr filters unsupported")
+    if meta.get("order", "C") != "C":
+        raise NotImplementedError("only C-order zarr chunks supported")
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    dt = np.dtype(meta["dtype"])
+    fill = meta.get("fill_value")
+    fill = 0 if fill is None else fill
+    out = np.full(shape, fill, dtype=dt)
+    grid_counts = [-(-s // c) for s, c in zip(shape, chunks)]
+    attrs = {}
+    zattrs = os.path.join(adir, ".zattrs")
+    if os.path.exists(zattrs):
+        attrs = json.load(open(zattrs))
+    for idx in np.ndindex(*grid_counts):
+        name = ".".join(str(i) for i in idx)
+        p = os.path.join(adir, name)
+        if not os.path.exists(p):
+            continue  # missing chunk = fill_value per spec
+        raw = open(p, "rb").read()
+        if comp is not None:
+            raw = zlib.decompress(raw)
+        block = np.frombuffer(raw, dtype=dt).reshape(chunks)
+        sl = tuple(
+            slice(i * c, min((i + 1) * c, s))
+            for i, c, s in zip(idx, chunks, shape)
+        )
+        out[sl] = block[tuple(slice(0, x.stop - x.start) for x in sl)]
+    return out, attrs
+
+
+def read_zarr(path: str) -> Dict[str, Dict]:
+    """Store directory -> {name: {"data": array, "dims": [...],
+    "attrs": {...}}}.  Accepts a bare array store or a group store."""
+    if os.path.exists(os.path.join(path, ".zarray")):
+        arr, attrs = _read_array(path)
+        return {os.path.basename(path.rstrip("/")): {
+            "data": arr, "dims": attrs.get("_ARRAY_DIMENSIONS", []),
+            "attrs": attrs}}
+    if not os.path.exists(os.path.join(path, ".zgroup")):
+        raise ValueError(f"not a zarr v2 store (no .zgroup/.zarray): {path}")
+    out: Dict[str, Dict] = {}
+    for name in sorted(os.listdir(path)):
+        adir = os.path.join(path, name)
+        if os.path.isdir(adir) and os.path.exists(os.path.join(adir, ".zarray")):
+            arr, attrs = _read_array(adir)
+            out[name] = {"data": arr,
+                         "dims": attrs.get("_ARRAY_DIMENSIONS", []),
+                         "attrs": attrs}
+    return out
+
+
+def write_zarr(path: str, arrays: Dict[str, Dict], chunks: int = 64,
+               compress: bool = True) -> str:
+    """{name: {"data": ndarray, "dims": [names]}} -> group store."""
+    os.makedirs(path, exist_ok=True)
+    json.dump({"zarr_format": 2}, open(os.path.join(path, ".zgroup"), "w"))
+    for name, spec in arrays.items():
+        a = np.ascontiguousarray(spec["data"])
+        adir = os.path.join(path, name)
+        os.makedirs(adir, exist_ok=True)
+        ch = tuple(min(chunks, s) for s in a.shape)
+        meta = {
+            "zarr_format": 2,
+            "shape": list(a.shape),
+            "chunks": list(ch),
+            "dtype": a.dtype.str,
+            "compressor": {"id": "zlib", "level": 6} if compress else None,
+            "fill_value": 0,
+            "filters": None,
+            "order": "C",
+        }
+        json.dump(meta, open(os.path.join(adir, ".zarray"), "w"))
+        dims = spec.get("dims") or []
+        if dims:
+            json.dump({"_ARRAY_DIMENSIONS": list(dims)},
+                      open(os.path.join(adir, ".zattrs"), "w"))
+        grid_counts = [-(-s // c) for s, c in zip(a.shape, ch)]
+        for idx in np.ndindex(*grid_counts):
+            sl = tuple(slice(i * c, min((i + 1) * c, s))
+                       for i, c, s in zip(idx, ch, a.shape))
+            block = np.zeros(ch, dtype=a.dtype)
+            view = a[sl]
+            block[tuple(slice(0, v) for v in view.shape)] = view
+            raw = block.tobytes()
+            if compress:
+                raw = zlib.compress(raw, 6)
+            open(os.path.join(adir, ".".join(str(i) for i in idx)), "wb").write(raw)
+    return path
+
+
+def zarr_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridSpec]:
+    """CF-style 2D variable + 1D coordinate arrays -> (array, GridSpec),
+    mirroring netcdf_raster (regular spacing validated; ascending
+    latitude flipped north-up)."""
+    store = read_zarr(path)
+    if var is None:
+        two_d = [k for k, v in store.items() if v["data"].ndim == 2]
+        if len(two_d) != 1:
+            raise ValueError(
+                f"zarr store has {len(two_d)} 2D arrays {two_d}; pass var="
+            )
+        var = two_d[0]
+    v = store[var]
+    a = v["data"]
+    if a.ndim != 2:
+        raise ValueError(f"{var} is not 2D: shape {a.shape}")
+    dims = v["dims"] or []
+    if len(dims) != 2 or any(d not in store for d in dims):
+        raise ValueError(
+            f"{var} needs _ARRAY_DIMENSIONS naming 1D coordinate arrays "
+            f"(got {dims})"
+        )
+    ydim, xdim = dims
+    y = store[ydim]["data"].astype(np.float64)
+    x = store[xdim]["data"].astype(np.float64)
+    for c, nm in ((x, xdim), (y, ydim)):
+        d = np.diff(c)
+        if len(d) and not np.allclose(d, d[0], rtol=1e-9, atol=1e-12):
+            raise ValueError(f"coordinate {nm} is not regularly spaced")
+    cw = float(x[1] - x[0]) if len(x) > 1 else 1.0
+    ch = float(y[1] - y[0]) if len(y) > 1 else -1.0
+    if ch > 0:
+        a = a[::-1]
+        ch = -ch
+    crs = str(v["attrs"].get("crs", "EPSG:4326"))
+    return np.ascontiguousarray(a), GridSpec(
+        crs=crs,
+        x_origin=float(x[0]) - cw / 2.0,
+        y_origin=float(y.max() if ch < 0 else y[0]) - ch / 2.0,
+        cell_width=cw,
+        cell_height=ch,
+        rows=a.shape[0],
+        cols=a.shape[1],
+    )

@@ -1,0 +1,81 @@
+"""Zarr v2 store reader/writer (public spec, no zarr library)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rasters_ray.sources.open import open_raster
+from rasters_ray.sources.zarr_lite import read_zarr, write_zarr, zarr_raster
+
+
+def _store(tmp_path, rows=37, cols=53, compress=True):
+    lat = 44.0 - 0.01 * (np.arange(rows) + 0.5)
+    lon = -124.0 + 0.01 * (np.arange(cols) + 0.5)
+    temp = (np.arange(rows * cols) % 251).astype(np.float32).reshape(rows, cols)
+    p = str(tmp_path / "store.zarr")
+    write_zarr(p, {
+        "lat": {"data": lat, "dims": ["lat"]},
+        "lon": {"data": lon, "dims": ["lon"]},
+        "temp": {"data": temp, "dims": ["lat", "lon"]},
+    }, chunks=16, compress=compress)
+    return p, temp, lat, lon
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip(tmp_path, compress):
+    p, temp, lat, lon = _store(tmp_path, compress=compress)
+    store = read_zarr(p)
+    np.testing.assert_array_equal(store["temp"]["data"], temp)
+    np.testing.assert_array_equal(store["lat"]["data"], lat)
+    assert store["temp"]["dims"] == ["lat", "lon"]
+    # ragged edge chunks (37 % 16, 53 % 16 != 0) round-trip exactly
+
+
+def test_zarr_raster_and_open_router(tmp_path):
+    p, temp, lat, lon = _store(tmp_path)
+    arr, grid = zarr_raster(p)  # var auto-detected
+    np.testing.assert_array_equal(arr, temp)
+    assert grid.cell_width == pytest.approx(0.01)
+    assert grid.cell_height == pytest.approx(-0.01)
+    assert grid.x_origin == pytest.approx(-124.0)
+    assert grid.y_origin == pytest.approx(44.0)
+    # the magic router reads the directory store too
+    arr2, grid2 = open_raster(p)
+    np.testing.assert_array_equal(arr2, temp)
+    assert (grid2.rows, grid2.cols) == (37, 53)
+
+
+def test_ascending_latitude_flips_north_up(tmp_path):
+    rows, cols = 5, 7
+    lat = 40.0 + 0.5 * np.arange(rows)  # ascending (CF-legal)
+    lon = 10.0 + 0.5 * np.arange(cols)
+    v = np.arange(rows * cols, dtype=np.float64).reshape(rows, cols)
+    p = str(tmp_path / "asc.zarr")
+    write_zarr(p, {"lat": {"data": lat, "dims": ["lat"]},
+                   "lon": {"data": lon, "dims": ["lon"]},
+                   "v": {"data": v, "dims": ["lat", "lon"]}})
+    arr, grid = zarr_raster(p, "v")
+    assert grid.cell_height == pytest.approx(-0.5)
+    assert grid.y_origin == pytest.approx(lat.max() + 0.25)
+    np.testing.assert_array_equal(arr, v[::-1])  # north-up
+
+
+def test_missing_chunk_is_fill_value(tmp_path):
+    p, temp, *_ = _store(tmp_path)
+    os.remove(os.path.join(p, "temp", "0.0"))
+    store = read_zarr(p)
+    assert (store["temp"]["data"][:16, :16] == 0).all()
+    np.testing.assert_array_equal(store["temp"]["data"][16:, 16:], temp[16:, 16:])
+
+
+def test_unsupported_codec_raises(tmp_path):
+    p, *_ = _store(tmp_path)
+    meta = json.load(open(os.path.join(p, "temp", ".zarray")))
+    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    json.dump(meta, open(os.path.join(p, "temp", ".zarray"), "w"))
+    with pytest.raises(NotImplementedError, match="blosc"):
+        read_zarr(p)
+    with pytest.raises(ValueError, match="not a zarr"):
+        open_raster(str(tmp_path))  # plain directory, no .zgroup
