@@ -10,7 +10,7 @@ from .images import (
 )
 from .geotiff import read_geotiff, write_cog
 from .open import open_raster, raster_dataset
-from .zarr_lite import read_zarr, write_zarr, zarr_raster
+from .zarr_lite import read_zarr, write_zarr, write_zarr_tiles, zarr_raster
 from .geoimage import write_geoimages, world_file_text
 from .netcdf import netcdf_dataset, netcdf_raster, read_netcdf, write_netcdf
 from .geopackage import (
@@ -41,6 +41,7 @@ __all__ = [
     "write_geoimages",
     "read_zarr",
     "write_zarr",
+    "write_zarr_tiles",
     "zarr_raster",
     "world_file_text",
     "netcdf_raster",

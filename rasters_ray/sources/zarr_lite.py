@@ -179,3 +179,67 @@ def zarr_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridS
         rows=a.shape[0],
         cols=a.shape[1],
     )
+
+
+def write_zarr_tiles(tiles, path: str, level: int, tile_size: int,
+                     dtype: str = "<f4", compress: bool = True,
+                     fill_value: float = 0.0) -> int:
+    """Engine tile table -> ONE logical Zarr v2 array written in
+    PARALLEL: each worker writes its tiles as independent chunk files
+    (``iy.ix``) straight into the store — the cloud-native pattern Zarr
+    exists for (chunks are standalone objects; no coordination, no
+    shuffle, resumable by construction since a re-run overwrites the
+    same chunk names idempotently). The driver writes only the
+    ``.zarray`` metadata; missing chunks read back as ``fill_value``.
+
+    ``tiles`` is a Ray Dataset or pyarrow Table with TILES_SCHEMA
+    columns (cell_key, bytes, fmt, th, tw); the world quadtree cell at
+    ``level`` becomes chunk (iy, ix) of the (2^level * tile_size)^2
+    array. Expects one tile per cell (composite first); returns the
+    tile count."""
+    import pyarrow as pa_mod
+
+    from .. import codec
+    from ..grids.cellkey import decode as _cell_decode
+
+    n = 1 << level
+    os.makedirs(path, exist_ok=True)
+    json.dump({"zarr_format": 2}, open(os.path.join(path, ".zgroup"), "w"))
+    adir = os.path.join(path, "tiles")
+    os.makedirs(adir, exist_ok=True)
+    dt = np.dtype(dtype)
+    meta = {
+        "zarr_format": 2,
+        "shape": [n * tile_size, n * tile_size],
+        "chunks": [tile_size, tile_size],
+        "dtype": dt.str,
+        "compressor": {"id": "zlib", "level": 6} if compress else None,
+        "fill_value": fill_value,
+        "filters": None,
+        "order": "C",
+    }
+    json.dump(meta, open(os.path.join(adir, ".zarray"), "w"))
+
+    def write_batch(t: pa_mod.Table) -> pa_mod.Table:
+        written = []
+        for i in range(t.num_rows):
+            arr = codec.decode(
+                t.column("bytes")[i].as_py(), t.column("fmt")[i].as_py()
+            )
+            block = np.full((tile_size, tile_size), fill_value, dtype=dt)
+            block[: arr.shape[0], : arr.shape[1]] = arr[:tile_size, :tile_size]
+            _lvl, ix, iy = _cell_decode(int(t.column("cell_key")[i].as_py()))
+            raw = block.tobytes()
+            if compress:
+                raw = zlib.compress(raw, 6)
+            # atomic per chunk: idempotent re-runs, no torn chunk files
+            p = os.path.join(adir, f"{int(iy)}.{int(ix)}")
+            with open(p + ".tmp", "wb") as f:
+                f.write(raw)
+            os.replace(p + ".tmp", p)
+            written.append(int(t.column("cell_key")[i].as_py()))
+        return pa_mod.table({"cell_key": pa_mod.array(written, pa_mod.int64())})
+
+    if isinstance(tiles, pa_mod.Table):
+        return write_batch(tiles).num_rows
+    return int(tiles.map_batches(write_batch, batch_format="pyarrow").count())

@@ -79,3 +79,47 @@ def test_unsupported_codec_raises(tmp_path):
         read_zarr(p)
     with pytest.raises(ValueError, match="not a zarr"):
         open_raster(str(tmp_path))  # plain directory, no .zgroup
+
+
+def test_write_zarr_tiles_distributed(ray_session, tmp_path):
+    """Distributed chunk sink: workers write independent iy.ix chunk
+    files; the reassembled array places every tile at its quadtree cell."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rasters_ray import codec
+    from rasters_ray.grids.cellkey import decode as cell_decode
+    from rasters_ray.sources.zarr_lite import read_zarr, write_zarr_tiles
+
+    level, ts = 3, 8
+    cells = [(1, 2), (2, 2), (5, 7), (0, 0)]
+    rows = {"cell_key": [], "bytes": [], "fmt": [], "th": [], "tw": []}
+    tiles_px = {}
+    for ix, iy in cells:
+        px = np.full((ts, ts), float(ix * 10 + iy), np.float32)
+        tiles_px[(ix, iy)] = px
+        cid = (level << 56) | (iy << 28) | ix  # cellkey.py packing
+        assert tuple(int(v) for v in cell_decode(cid)) == (level, ix, iy)
+        rows["cell_key"].append(cid)
+        rows["bytes"].append(codec.encode(px, "npy"))
+        rows["fmt"].append("npy")
+        rows["th"].append(ts)
+        rows["tw"].append(ts)
+    tab = pa.table({
+        "cell_key": pa.array(rows["cell_key"], pa.int64()),
+        "bytes": pa.array(rows["bytes"], pa.binary()),
+        "fmt": pa.array(rows["fmt"], pa.string()),
+        "th": pa.array(rows["th"], pa.int32()),
+        "tw": pa.array(rows["tw"], pa.int32()),
+    })
+    p = str(tmp_path / "tiles.zarr")
+    n = write_zarr_tiles(rd.from_arrow(tab).repartition(3), p, level, ts)
+    assert n == 4
+    store = read_zarr(p)
+    full = store["tiles"]["data"]
+    assert full.shape == ((1 << level) * ts, (1 << level) * ts)
+    for (ix, iy), px in tiles_px.items():
+        np.testing.assert_array_equal(
+            full[iy * ts : (iy + 1) * ts, ix * ts : (ix + 1) * ts], px)
+    # untouched cells are fill
+    assert (full[7 * ts :, 0 : ts] == 0.0).all()
