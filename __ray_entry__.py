@@ -3866,6 +3866,46 @@ def q_geoimage_write(sf_dir: str):
     return manifest.map_batches(check, batch_format="pyarrow")
 
 
+def q_zarr_tiles(sf_dir: str):
+    """Distributed Zarr v2 tile sink (sources/zarr_lite.py::
+    write_zarr_tiles): image 0's quadtree tiles written as independent
+    chunk files ON WORKERS, read back through read_zarr, one stats row
+    per chunk.  Pixel sums are exact ints (oracle pixels are integer-
+    valued), so the golden VALUES oracle pins chunk placement, padding
+    and the zlib round-trip."""
+    import ray
+
+    from rasters_ray.sources.zarr_lite import (
+        list_zarr_chunks,
+        read_zarr_chunk,
+        write_zarr_tiles,
+    )
+    from rasters_ray.stages import make_tiles
+
+    out_dir = "/tmp/rasters_ray_zarr_q/tiles.zarr"
+    tiles = _images_ds(sf_dir, 1).map_batches(
+        lambda t: make_tiles(t, level=TILE_LEVEL, decode_pixels=True),
+        batch_format="pyarrow",
+    )
+    write_zarr_tiles(tiles, out_dir, level=TILE_LEVEL, tile_size=128)
+    # chunk-wise readback: the LOGICAL array is a sparse planetary
+    # quadtree (32768^2 at level 8) — never materialize it
+    rows = {"iy": [], "ix": [], "px_sum": []}
+    for iy, ix in list_zarr_chunks(out_dir, "tiles"):
+        block = read_zarr_chunk(out_dir, "tiles", (iy, ix))
+        rows["iy"].append(iy)
+        rows["ix"].append(ix)
+        rows["px_sum"].append(int(np.rint(block.astype(np.float64)).sum()))
+    tab = pa.table(
+        {
+            "iy": pa.array(rows["iy"], pa.int64()),
+            "ix": pa.array(rows["ix"], pa.int64()),
+            "px_sum": pa.array(rows["px_sum"], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(tab)
+
+
 def q_winnow_fp(sf_dir: str):
     """Winnowing document fingerprints (text/winnow.py, Schleimer et al.
     2003): rolling k-gram hash + rightmost-window-min selection, one row
@@ -4779,6 +4819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fp": q_winnow_fp,
         "geoimage_write": q_geoimage_write,
         "dup_substrings": q_dup_substrings,
+        "zarr_tiles": q_zarr_tiles,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -5443,6 +5484,14 @@ SELECT * FROM (VALUES
 SELECT doc_id, "start", "end", n_grams
 FROM read_parquet('{_dupspans_golden_path()}')
 WHERE corpus_fp = (SELECT SUM(length(text)) FROM documents)
+"""
+
+    # zarr_tiles: golden VALUES — image 0's tiles at level 8 land in 4
+    # chunks with exact integer pixel sums (computed sequentially once)
+    sql["zarr_tiles"] = """
+SELECT * FROM (VALUES
+  (65, 39, 125943), (65, 40, 389872), (66, 39, 189164), (66, 40, 569064)
+) AS t(iy, ix, px_sum)
 """
 
     # winnow_fp: golden fingerprints from the sequential winnowing reference

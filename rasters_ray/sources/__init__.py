@@ -10,7 +10,14 @@ from .images import (
 )
 from .geotiff import read_geotiff, write_cog
 from .open import open_raster, raster_dataset
-from .zarr_lite import read_zarr, write_zarr, write_zarr_tiles, zarr_raster
+from .zarr_lite import (
+    list_zarr_chunks,
+    read_zarr,
+    read_zarr_chunk,
+    write_zarr,
+    write_zarr_tiles,
+    zarr_raster,
+)
 from .geoimage import write_geoimages, world_file_text
 from .netcdf import netcdf_dataset, netcdf_raster, read_netcdf, write_netcdf
 from .geopackage import (
@@ -40,6 +47,8 @@ __all__ = [
     "raster_dataset",
     "write_geoimages",
     "read_zarr",
+    "read_zarr_chunk",
+    "list_zarr_chunks",
     "write_zarr",
     "write_zarr_tiles",
     "zarr_raster",

@@ -243,3 +243,37 @@ def write_zarr_tiles(tiles, path: str, level: int, tile_size: int,
     if isinstance(tiles, pa_mod.Table):
         return write_batch(tiles).num_rows
     return int(tiles.map_batches(write_batch, batch_format="pyarrow").count())
+
+
+def read_zarr_chunk(store: str, array: str, idx: Tuple[int, ...]) -> np.ndarray:
+    """Read ONE chunk of a store array without materializing the logical
+    array (read_zarr allocates the FULL declared shape — fine for real
+    extents, catastrophic for a sparse planetary-quadtree sink where the
+    logical array is huge and chunks are few). Missing chunks return a
+    fill_value block per spec."""
+    adir = os.path.join(store, array)
+    meta = json.load(open(os.path.join(adir, ".zarray")))
+    chunks = tuple(meta["chunks"])
+    dt = np.dtype(meta["dtype"])
+    fill = meta.get("fill_value")
+    p = os.path.join(adir, ".".join(str(i) for i in idx))
+    if not os.path.exists(p):
+        return np.full(chunks, 0 if fill is None else fill, dtype=dt)
+    raw = open(p, "rb").read()
+    comp = meta.get("compressor")
+    if comp is not None:
+        if comp.get("id") != "zlib":
+            raise NotImplementedError(f"zarr compressor {comp.get('id')!r}")
+        raw = zlib.decompress(raw)
+    return np.frombuffer(raw, dtype=dt).reshape(chunks)
+
+
+def list_zarr_chunks(store: str, array: str) -> list:
+    """Sorted chunk index tuples present on disk for one store array."""
+    adir = os.path.join(store, array)
+    out = []
+    for name in os.listdir(adir):
+        if name.startswith("."):
+            continue
+        out.append(tuple(int(v) for v in name.split(".")))
+    return sorted(out)

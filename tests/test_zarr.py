@@ -123,3 +123,17 @@ def test_write_zarr_tiles_distributed(ray_session, tmp_path):
             full[iy * ts : (iy + 1) * ts, ix * ts : (ix + 1) * ts], px)
     # untouched cells are fill
     assert (full[7 * ts :, 0 : ts] == 0.0).all()
+
+
+def test_read_zarr_chunk_sparse(tmp_path):
+    """Chunk-wise reads never materialize the logical array (the sparse
+    quadtree sink case); missing chunks return fill blocks."""
+    from rasters_ray.sources.zarr_lite import list_zarr_chunks, read_zarr_chunk
+
+    p, temp, *_ = _store(tmp_path)
+    idxs = list_zarr_chunks(p, "temp")
+    assert (0, 0) in idxs and len(idxs) == 12  # ceil(37/16)*ceil(53/16)
+    b = read_zarr_chunk(p, "temp", (0, 0))
+    np.testing.assert_array_equal(b, temp[:16, :16])
+    missing = read_zarr_chunk(p, "temp", (99, 99))
+    assert missing.shape == (16, 16) and (missing == 0).all()
