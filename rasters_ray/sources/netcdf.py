@@ -283,6 +283,37 @@ def write_netcdf(path: str, dims: Dict[str, int], variables: Dict[str, Dict],
     return path
 
 
+def grid_from_coords(a: np.ndarray, y: np.ndarray, x: np.ndarray,
+                     crs: str = "EPSG:4326") -> Tuple[np.ndarray, GridSpec]:
+    """CF coordinate arrays -> (north-up array, GridSpec): regular
+    spacing validated (1e-9 relative), ascending latitude flipped
+    north-up, half-cell origin shift. Shared by the NetCDF and Zarr
+    readers so the rules cannot diverge."""
+    y = np.asarray(y, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    for c, nm in ((x, "x"), (y, "y")):
+        d = np.diff(c)
+        if len(d) and not np.allclose(d, d[0], rtol=1e-9, atol=1e-12):
+            raise ValueError(f"coordinate {nm} is not regularly spaced")
+    cw = float(x[1] - x[0]) if len(x) > 1 else 1.0
+    ch = float(y[1] - y[0]) if len(y) > 1 else -1.0
+    if ch > 0:
+        # ascending latitude axis (CF allows either): flip to north-up
+        a = a[::-1]
+        y = y[::-1]
+        ch = -ch
+    grid = GridSpec(
+        crs=crs,
+        x_origin=float(x[0]) - cw / 2.0,
+        y_origin=float(y[0]) - ch / 2.0,
+        cell_width=cw,
+        cell_height=ch,
+        rows=a.shape[0],
+        cols=a.shape[1],
+    )
+    return np.ascontiguousarray(a), grid
+
+
 def netcdf_raster(path_or_bytes, var: str,
                   coords: Optional[Tuple[str, str]] = None) -> Tuple[np.ndarray, GridSpec]:
     """CF-style 2D variable + 1D coordinate vars -> (array, GridSpec).
@@ -306,31 +337,11 @@ def netcdf_raster(path_or_bytes, var: str,
             )
     y = nc["vars"][ydim]["data"].astype(np.float64)
     x = nc["vars"][xdim]["data"].astype(np.float64)
-    for c, nm in ((x, xdim), (y, ydim)):
-        d = np.diff(c)
-        if len(d) and not np.allclose(d, d[0], rtol=1e-9, atol=1e-12):
-            raise ValueError(f"coordinate {nm} is not regularly spaced")
-    cw = float(x[1] - x[0]) if len(x) > 1 else 1.0
-    ch = float(y[1] - y[0]) if len(y) > 1 else -1.0
-    if ch > 0:
-        # ascending latitude axis (CF allows either): flip to north-up
-        a = a[::-1]
-        y = y[::-1]
-        ch = -ch
     crs = "EPSG:4326"
     ga = nc["attrs"].get("crs")
     if isinstance(ga, str):
         crs = ga
-    grid = GridSpec(
-        crs=crs,
-        x_origin=float(x[0]) - cw / 2.0,
-        y_origin=float(y[0]) - ch / 2.0,
-        cell_width=cw,
-        cell_height=ch,
-        rows=a.shape[0],
-        cols=a.shape[1],
-    )
-    return np.ascontiguousarray(a), grid
+    return grid_from_coords(a, y, x, crs)
 
 
 def netcdf_dataset(paths: List[str], var: str, fmt: str = "npy"):

@@ -31,8 +31,7 @@ import numpy as np
 from ..grids import GridSpec
 
 
-def _read_array(adir: str) -> Tuple[np.ndarray, dict]:
-    meta = json.load(open(os.path.join(adir, ".zarray")))
+def _check_meta(meta: dict) -> None:
     if meta.get("zarr_format") != 2:
         raise NotImplementedError(
             f"zarr_format {meta.get('zarr_format')}: only v2 supported"
@@ -47,6 +46,12 @@ def _read_array(adir: str) -> Tuple[np.ndarray, dict]:
         raise NotImplementedError("zarr filters unsupported")
     if meta.get("order", "C") != "C":
         raise NotImplementedError("only C-order zarr chunks supported")
+
+
+def _read_array(adir: str) -> Tuple[np.ndarray, dict]:
+    meta = json.load(open(os.path.join(adir, ".zarray")))
+    _check_meta(meta)
+    comp = meta.get("compressor")
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])
     dt = np.dtype(meta["dtype"])
@@ -117,10 +122,12 @@ def write_zarr(path: str, arrays: Dict[str, Dict], chunks: int = 64,
             "order": "C",
         }
         json.dump(meta, open(os.path.join(adir, ".zarray"), "w"))
+        attrs = dict(spec.get("attrs") or {})
         dims = spec.get("dims") or []
         if dims:
-            json.dump({"_ARRAY_DIMENSIONS": list(dims)},
-                      open(os.path.join(adir, ".zattrs"), "w"))
+            attrs["_ARRAY_DIMENSIONS"] = list(dims)
+        if attrs:
+            json.dump(attrs, open(os.path.join(adir, ".zattrs"), "w"))
         grid_counts = [-(-s // c) for s, c in zip(a.shape, ch)]
         for idx in np.ndindex(*grid_counts):
             sl = tuple(slice(i * c, min((i + 1) * c, s))
@@ -151,39 +158,26 @@ def zarr_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridS
     a = v["data"]
     if a.ndim != 2:
         raise ValueError(f"{var} is not 2D: shape {a.shape}")
+    crs = str(v["attrs"].get("crs", "EPSG:4326"))
     dims = v["dims"] or []
     if len(dims) != 2 or any(d not in store for d in dims):
-        raise ValueError(
-            f"{var} needs _ARRAY_DIMENSIONS naming 1D coordinate arrays "
-            f"(got {dims})"
+        # coordinate-less store (e.g. a bare .zarray array): unit pixel
+        # grid, mirroring open_raster's behavior for bare images
+        return np.ascontiguousarray(a), GridSpec(
+            crs=crs, x_origin=0.0, y_origin=0.0, cell_width=1.0,
+            cell_height=-1.0, rows=a.shape[0], cols=a.shape[1],
         )
     ydim, xdim = dims
-    y = store[ydim]["data"].astype(np.float64)
-    x = store[xdim]["data"].astype(np.float64)
-    for c, nm in ((x, xdim), (y, ydim)):
-        d = np.diff(c)
-        if len(d) and not np.allclose(d, d[0], rtol=1e-9, atol=1e-12):
-            raise ValueError(f"coordinate {nm} is not regularly spaced")
-    cw = float(x[1] - x[0]) if len(x) > 1 else 1.0
-    ch = float(y[1] - y[0]) if len(y) > 1 else -1.0
-    if ch > 0:
-        a = a[::-1]
-        ch = -ch
-    crs = str(v["attrs"].get("crs", "EPSG:4326"))
-    return np.ascontiguousarray(a), GridSpec(
-        crs=crs,
-        x_origin=float(x[0]) - cw / 2.0,
-        y_origin=float(y.max() if ch < 0 else y[0]) - ch / 2.0,
-        cell_width=cw,
-        cell_height=ch,
-        rows=a.shape[0],
-        cols=a.shape[1],
+    from .netcdf import grid_from_coords
+
+    return grid_from_coords(
+        a, store[ydim]["data"], store[xdim]["data"], crs
     )
 
 
 def write_zarr_tiles(tiles, path: str, level: int, tile_size: int,
                      dtype: str = "<f4", compress: bool = True,
-                     fill_value: float = 0.0) -> int:
+                     fill_value: float = 0.0, overwrite: bool = True) -> int:
     """Engine tile table -> ONE logical Zarr v2 array written in
     PARALLEL: each worker writes its tiles as independent chunk files
     (``iy.ix``) straight into the store — the cloud-native pattern Zarr
@@ -202,7 +196,12 @@ def write_zarr_tiles(tiles, path: str, level: int, tile_size: int,
     from .. import codec
     from ..grids.cellkey import decode as _cell_decode
 
+    import shutil
+
     n = 1 << level
+    if overwrite and os.path.exists(path):
+        shutil.rmtree(path)  # stale chunks from a prior layout would
+        # otherwise survive the metadata rewrite and corrupt readback
     os.makedirs(path, exist_ok=True)
     json.dump({"zarr_format": 2}, open(os.path.join(path, ".zgroup"), "w"))
     adir = os.path.join(path, "tiles")
@@ -221,23 +220,31 @@ def write_zarr_tiles(tiles, path: str, level: int, tile_size: int,
     json.dump(meta, open(os.path.join(adir, ".zarray"), "w"))
 
     def write_batch(t: pa_mod.Table) -> pa_mod.Table:
+        blobs = codec.BlobReader(t.column("bytes"))  # zero-copy slices
+        fmts = t.column("fmt").to_pylist()
+        keys = t.column("cell_key").to_numpy(zero_copy_only=False)
         written = []
         for i in range(t.num_rows):
-            arr = codec.decode(
-                t.column("bytes")[i].as_py(), t.column("fmt")[i].as_py()
-            )
+            arr = codec.decode(blobs[i], fmts[i])
             block = np.full((tile_size, tile_size), fill_value, dtype=dt)
             block[: arr.shape[0], : arr.shape[1]] = arr[:tile_size, :tile_size]
-            _lvl, ix, iy = _cell_decode(int(t.column("cell_key")[i].as_py()))
+            lvl, ix, iy = (int(v) for v in _cell_decode(int(keys[i])))
+            if lvl != level:
+                raise ValueError(
+                    f"tile cell_key level {lvl} != sink level {level}; "
+                    "chunk indices would fall outside the declared grid"
+                )
             raw = block.tobytes()
             if compress:
                 raw = zlib.compress(raw, 6)
-            # atomic per chunk: idempotent re-runs, no torn chunk files
-            p = os.path.join(adir, f"{int(iy)}.{int(ix)}")
-            with open(p + ".tmp", "wb") as f:
+            # atomic per chunk (unique temp per writer: duplicate keys
+            # cannot interleave into a torn file); idempotent re-runs
+            p = os.path.join(adir, f"{iy}.{ix}")
+            tmp = f"{p}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
                 f.write(raw)
-            os.replace(p + ".tmp", p)
-            written.append(int(t.column("cell_key")[i].as_py()))
+            os.replace(tmp, p)
+            written.append(int(keys[i]))
         return pa_mod.table({"cell_key": pa_mod.array(written, pa_mod.int64())})
 
     if isinstance(tiles, pa_mod.Table):
@@ -253,6 +260,7 @@ def read_zarr_chunk(store: str, array: str, idx: Tuple[int, ...]) -> np.ndarray:
     fill_value block per spec."""
     adir = os.path.join(store, array)
     meta = json.load(open(os.path.join(adir, ".zarray")))
+    _check_meta(meta)  # same codec/order/filters rules as read_zarr
     chunks = tuple(meta["chunks"])
     dt = np.dtype(meta["dtype"])
     fill = meta.get("fill_value")
@@ -260,12 +268,10 @@ def read_zarr_chunk(store: str, array: str, idx: Tuple[int, ...]) -> np.ndarray:
     if not os.path.exists(p):
         return np.full(chunks, 0 if fill is None else fill, dtype=dt)
     raw = open(p, "rb").read()
-    comp = meta.get("compressor")
-    if comp is not None:
-        if comp.get("id") != "zlib":
-            raise NotImplementedError(f"zarr compressor {comp.get('id')!r}")
+    if meta.get("compressor") is not None:
         raw = zlib.decompress(raw)
-    return np.frombuffer(raw, dtype=dt).reshape(chunks)
+    # copy: consistent writable result on both present/missing paths
+    return np.frombuffer(raw, dtype=dt).reshape(chunks).copy()
 
 
 def list_zarr_chunks(store: str, array: str) -> list:
@@ -273,7 +279,8 @@ def list_zarr_chunks(store: str, array: str) -> list:
     adir = os.path.join(store, array)
     out = []
     for name in os.listdir(adir):
-        if name.startswith("."):
-            continue
-        out.append(tuple(int(v) for v in name.split(".")))
+        parts = name.split(".")
+        if not parts or not all(p.isdigit() for p in parts):
+            continue  # metadata files and .tmp leftovers from killed writers
+        out.append(tuple(int(v) for v in parts))
     return sorted(out)

@@ -137,3 +137,64 @@ def test_read_zarr_chunk_sparse(tmp_path):
     np.testing.assert_array_equal(b, temp[:16, :16])
     missing = read_zarr_chunk(p, "temp", (99, 99))
     assert missing.shape == (16, 16) and (missing == 0).all()
+
+
+def test_tiles_sink_overwrite_and_level_guard(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rasters_ray import codec
+    from rasters_ray.sources.zarr_lite import list_zarr_chunks, write_zarr_tiles
+
+    def tiles_tab(level, cells, ts=8):
+        rows = {"cell_key": [], "bytes": [], "fmt": [], "th": [], "tw": []}
+        for ix, iy in cells:
+            rows["cell_key"].append((level << 56) | (iy << 28) | ix)
+            rows["bytes"].append(codec.encode(np.ones((ts, ts), np.float32), "npy"))
+            rows["fmt"].append("npy")
+            rows["th"].append(ts)
+            rows["tw"].append(ts)
+        return pa.table({"cell_key": pa.array(rows["cell_key"], pa.int64()),
+                         "bytes": pa.array(rows["bytes"], pa.binary()),
+                         "fmt": pa.array(rows["fmt"], pa.string()),
+                         "th": pa.array(rows["th"], pa.int32()),
+                         "tw": pa.array(rows["tw"], pa.int32())})
+
+    p = str(tmp_path / "s.zarr")
+    write_zarr_tiles(tiles_tab(3, [(1, 1), (2, 2)]), p, 3, 8)
+    assert list_zarr_chunks(p, "tiles") == [(1, 1), (2, 2)]
+    # overwrite clears stale chunks from the previous layout
+    write_zarr_tiles(tiles_tab(3, [(0, 0)]), p, 3, 8)
+    assert list_zarr_chunks(p, "tiles") == [(0, 0)]
+    # a .tmp leftover from a killed writer never breaks enumeration
+    open(os.path.join(p, "tiles", "5.5.1234.tmp"), "wb").write(b"x")
+    assert list_zarr_chunks(p, "tiles") == [(0, 0)]
+    # level mismatch raises instead of silently dropping tiles
+    with pytest.raises(Exception, match="level"):
+        write_zarr_tiles(
+            rd.from_arrow(tiles_tab(8, [(1, 1)])), p, 3, 8
+        )
+
+
+def test_write_zarr_preserves_attrs(tmp_path):
+    from rasters_ray.sources.zarr_lite import read_zarr, write_zarr, zarr_raster
+
+    p = str(tmp_path / "c.zarr")
+    write_zarr(p, {
+        "y": {"data": np.arange(4.0)[::-1], "dims": ["y"]},
+        "x": {"data": np.arange(3.0), "dims": ["x"]},
+        "v": {"data": np.ones((4, 3), np.float32), "dims": ["y", "x"],
+              "attrs": {"crs": "EPSG:32610"}},
+    })
+    assert read_zarr(p)["v"]["attrs"]["crs"] == "EPSG:32610"
+    _, grid = zarr_raster(p, "v")
+    assert grid.crs == "EPSG:32610"  # round trip keeps the CRS
+
+
+def test_zarr_raster_bare_store_unit_grid(tmp_path):
+    from rasters_ray.sources.zarr_lite import write_zarr, zarr_raster
+
+    p = str(tmp_path / "b.zarr")
+    write_zarr(p, {"v": {"data": np.ones((5, 6), np.float32)}})
+    arr, grid = zarr_raster(p, "v")  # no coordinate arrays: unit grid
+    assert (grid.rows, grid.cols, grid.cell_width) == (5, 6, 1.0)
