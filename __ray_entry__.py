@@ -3906,6 +3906,68 @@ def q_zarr_tiles(sf_dir: str):
     return ray.data.from_arrow(tab)
 
 
+def q_strip_tiff(sf_dir: str):
+    """Real-world GeoTIFF envelope (sources/geotiff.py): each oracle
+    image round-trips through STRIPPED and big-endian TIFF variants —
+    strips+LZW little-endian, strips+deflate big-endian, strips+PackBits,
+    tiles+uncompressed big-endian — written and read back on WORKERS via
+    the ``open_raster`` magic router.  Pixel sums are exact ints and the
+    grid origin survives as floor-cm, so the golden VALUES oracle pins
+    the strip assembly, LZW/PackBits codecs, byte-order handling and
+    GeoKey georeferencing end-to-end.  Scale shape: one independent file
+    per (image, variant) on worker-local disk; nothing shuffles."""
+    import os
+
+    from rasters_ray import codec
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.sources.geotiff import write_geotiff
+    from rasters_ray.sources.open import open_raster
+
+    variants = [
+        ("strips_lzw_le", "strips", "lzw", "<"),
+        ("strips_deflate_be", "strips", "deflate", ">"),
+        ("strips_packbits_le", "strips", "packbits", "<"),
+        ("tiles_none_be", "tiles", "none", ">"),
+    ]
+    out_dir = f"/tmp/rasters_ray_tiff_q_{os.getpid()}"
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = {"image_id": [], "variant": [], "px_sum": [], "x0_cm": [],
+                "y0_cm": []}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            g = t.column("grid")[i].as_py()
+            grid = GridSpec(crs=g["crs"], x_origin=g["x_origin"],
+                            y_origin=g["y_origin"], cell_width=g["cell_width"],
+                            cell_height=g["cell_height"], rows=g["rows"],
+                            cols=g["cols"])
+            for name, layout, comp, bo in variants:
+                p = os.path.join(out_dir, f"{iid}_{name}.tif")
+                write_geotiff(px, grid, p, layout=layout, compression=comp,
+                              byte_order=bo, rows_per_strip=17, tile=64,
+                              overviews=False)
+                arr, g2 = open_raster(p)
+                rows["image_id"].append(iid)
+                rows["variant"].append(name)
+                rows["px_sum"].append(int(np.rint(arr.astype(np.float64)).sum()))
+                rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))
+                rows["y0_cm"].append(int(np.floor(g2.y_origin * 100.0)))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "variant": pa.array(rows["variant"], pa.string()),
+                "px_sum": pa.array(rows["px_sum"], pa.int64()),
+                "x0_cm": pa.array(rows["x0_cm"], pa.int64()),
+                "y0_cm": pa.array(rows["y0_cm"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q_winnow_fp(sf_dir: str):
     """Winnowing document fingerprints (text/winnow.py, Schleimer et al.
     2003): rolling k-gram hash + rightmost-window-min selection, one row
@@ -4820,6 +4882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geoimage_write": q_geoimage_write,
         "dup_substrings": q_dup_substrings,
         "zarr_tiles": q_zarr_tiles,
+        "strip_tiff": q_strip_tiff,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -5484,6 +5547,19 @@ SELECT * FROM (VALUES
 SELECT doc_id, "start", "end", n_grams
 FROM read_parquet('{_dupspans_golden_path()}')
 WHERE corpus_fp = (SELECT SUM(length(text)) FROM documents)
+"""
+
+    # strip_tiff: golden VALUES — the round-trip is exact for every
+    # variant, so each row equals the source image's integer pixel sum
+    # and floor-cm grid origin (computed sequentially once)
+    sql["strip_tiff"] = """
+SELECT t.image_id, v.variant, t.px_sum, t.x0_cm, t.y0_cm
+FROM (VALUES
+  ('img00000000', 1248532, -12400, 4400),
+  ('img00000001', 1251559, -12350, 4400)
+) AS t(image_id, px_sum, x0_cm, y0_cm),
+(VALUES ('strips_lzw_le'), ('strips_deflate_be'), ('strips_packbits_le'),
+        ('tiles_none_be')) AS v(variant)
 """
 
     # zarr_tiles: golden VALUES — image 0's tiles at level 8 land in 4

@@ -1,35 +1,41 @@
-"""Cloud-Optimized GeoTIFF writer — pure Python (public TIFF 6.0 +
-OGC GeoTIFF 1.1 specs; no GDAL/rasterio in this environment).
+"""GeoTIFF reader/writer — pure Python (public TIFF 6.0 + OGC GeoTIFF
+1.1 specs; no GDAL/rasterio in this environment).
 
-Parity target: ``Raster.to_COG`` (reference raster.py:1741-1791, which
-shells out to GDAL's COG path). A COG is a tiled GeoTIFF whose IFDs
-(main image + reduced-resolution overviews) all sit at the FRONT of the
-file, followed by the tile bytes, so a range-reader can fetch the
-header once and then exactly the tiles it needs. This writer produces
-that layout from the engine's own data:
+Parity target: ``Raster.open`` reads any rasterio-supported TIFF and
+``Raster.to_COG`` writes a cloud-optimized one (reference
+raster.py:634-771, raster.py:1741-1791, which shell out to GDAL). This
+module covers the envelope a real user's files actually span:
 
-- classic little-endian TIFF, tiled (default 256x256), deflate (zlib)
-  or uncompressed;
+- EITHER byte order (``II`` little-endian / ``MM`` big-endian — all tag
+  and pixel unpacking is parameterized on the header's order);
+- TILED (tags 322-325) or STRIPPED (tags 273/278/279 — the layout most
+  wild GeoTIFFs use) single-band images;
+- compression: none (1), LZW (5, TIFF 6.0 §13 with the standard
+  early-change rule), deflate (8 and legacy 32946), PackBits (32773,
+  §9); any OTHER code raises ``NotImplementedError`` naming the code —
+  never a silent fall-through to garbage pixels;
+- horizontal-differencing predictor (tag 317 == 2) for integer samples;
+  the floating-point predictor (3) raises clearly;
 - grayscale uint8/uint16 (exact round-trip) or float32 (SampleFormat 3);
-- 2x block-mean overview pyramid until the level fits one tile;
 - GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint +
   GeoKeyDirectory (geographic WGS84 for EPSG:4326 grids).
 
-``read_geotiff`` is a minimal reader used by the round-trip tests (and
-a working example of the range-read pattern the layout enables).
+``write_cog`` emits the COG layout (all IFDs + overview pyramid at the
+front, tile bytes after). ``write_geotiff`` adds ``layout="strips"``
+(plain baseline TIFF) so the strip/LZW/PackBits/big-endian read paths
+can be proven by round-trip against independently constructed bytes.
 """
 
 from __future__ import annotations
 
 import struct
 import zlib
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from ..grids import GridSpec
 
-_II = b"II"
 _MAGIC = 42
 
 # TIFF field types
@@ -42,7 +48,11 @@ TAG_LENGTH = 257
 TAG_BITS = 258
 TAG_COMPRESSION = 259
 TAG_PHOTOMETRIC = 262
+TAG_STRIP_OFFSETS = 273
 TAG_SAMPLES = 277
+TAG_ROWS_PER_STRIP = 278
+TAG_STRIP_COUNTS = 279
+TAG_PREDICTOR = 317
 TAG_TILE_W = 322
 TAG_TILE_L = 323
 TAG_TILE_OFFSETS = 324
@@ -51,6 +61,214 @@ TAG_SAMPLE_FORMAT = 339
 TAG_PIXEL_SCALE = 33550
 TAG_TIEPOINT = 33922
 TAG_GEO_KEYS = 34735
+
+# compression codes (TIFF 6.0 §7 + the two de-facto registered ones)
+COMP_NONE = 1
+COMP_LZW = 5
+COMP_DEFLATE = 8
+COMP_PACKBITS = 32773
+COMP_DEFLATE_OLD = 32946  # legacy "Deflate" code, byte-identical streams
+_COMP_NAME = {"none": COMP_NONE, "lzw": COMP_LZW, "deflate": COMP_DEFLATE,
+              "packbits": COMP_PACKBITS}
+
+
+# ------------------------------------------------------------- codecs
+
+
+def _lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
+    """TIFF 6.0 §13 LZW (MSB-first packing, early code-width change).
+
+    ``max_out`` bounds the output like libtiff's strip-size-driven loop:
+    real encoders write the final data code + EOI without adding table
+    entries while decoders add one per code, so the trailing EOI can sit
+    past a width bump — stopping at the expected byte count sidesteps
+    that spec asymmetry (and EOI remains honored when it arrives)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    base = [bytes([i]) for i in range(256)]
+    table: List[bytes] = []
+    width, next_code = 9, 258
+    prev: bytes | None = None
+    buf = nbits = 0
+    n = len(data)
+    pos = 0
+    while True:
+        if max_out is not None and len(out) >= max_out:
+            return bytes(out)
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # stream ends without EOI: tolerated
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (buf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == EOI:
+            return bytes(out)
+        if code == CLEAR:
+            table.clear()
+            width, next_code, prev = 9, 258, None
+            continue
+        if code < 256:
+            entry = base[code]
+        elif code - 258 < len(table):
+            entry = table[code - 258]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt TIFF LZW stream (code {code})")
+        if prev is not None and code != next_code:
+            table.append(prev + entry[:1])
+            next_code += 1
+        elif prev is not None:  # the K-omega-K case already built `entry`
+            table.append(entry)
+            next_code += 1
+        out += entry
+        prev = entry
+        # early change: the encoder widens when the NEXT free entry hits
+        # 511/1023/2047, so the decoder must widen one entry early too
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Matched encoder for ``_lzw_decode`` (same spec §13 rules)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: Dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    width, next_code = 9, 258
+    put(CLEAR, width)
+    omega = b""
+    for b in data:
+        k = bytes([b])
+        if omega + k in table:
+            omega += k
+            continue
+        put(table[omega], width)
+        table[omega + k] = next_code
+        next_code += 1
+        # the decoder's table runs one entry BEHIND the encoder's, and it
+        # widens at next_code == 2^w - 1; matching that here means the
+        # encoder widens at 2^w (TIFF 6.0 §13 "early change" bookkeeping)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        omega = k
+        if next_code >= 4094:  # table nearly full: reset (spec §13)
+            put(table[omega], width)
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            width, next_code = 9, 258
+            omega = b""
+    if omega:
+        put(table[omega], width)
+    put(EOI, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits run-length decoding."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits: replicate runs >= 3, literals otherwise."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3 and i + run <= n:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _compress(raw: bytes, comp: int) -> bytes:
+    if comp == COMP_NONE:
+        return raw
+    if comp == COMP_DEFLATE:
+        return zlib.compress(raw, 6)
+    if comp == COMP_LZW:
+        return _lzw_encode(raw)
+    if comp == COMP_PACKBITS:
+        return _packbits_encode(raw)
+    raise NotImplementedError(f"TIFF compression code {comp} not writable")
+
+
+def _decompress(raw: bytes, comp: int, expected: int | None = None) -> bytes:
+    """Whitelist decompressor — unknown codes raise, NEVER fall through
+    (an LZW file silently np.frombuffer'd would die in reshape or, worse,
+    produce garbage pixels). ``expected`` is the uncompressed byte count
+    the tile/strip geometry implies (bounds the LZW loop)."""
+    if comp == COMP_NONE:
+        return raw
+    if comp in (COMP_DEFLATE, COMP_DEFLATE_OLD):
+        return zlib.decompress(raw)
+    if comp == COMP_LZW:
+        return _lzw_decode(raw, max_out=expected)
+    if comp == COMP_PACKBITS:
+        return _packbits_decode(raw)
+    names = {2: "CCITT RLE", 3: "CCITT G3", 4: "CCITT G4", 6: "old JPEG",
+             7: "JPEG", 34712: "JPEG2000", 50000: "zstd", 50001: "webp"}
+    raise NotImplementedError(
+        f"TIFF compression code {comp}"
+        f"{' (' + names[comp] + ')' if comp in names else ''} unsupported; "
+        "supported codes: 1 (none), 5 (LZW), 8/32946 (deflate), "
+        "32773 (PackBits)"
+    )
+
+
+def _undo_predictor(a: np.ndarray, predictor: int) -> np.ndarray:
+    """Tag 317: 2 = horizontal differencing (integer wraparound cumsum
+    along each row); 1 = none; 3 (floating-point) raises clearly."""
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        if not np.issubdtype(a.dtype, np.integer):
+            raise NotImplementedError(
+                "TIFF predictor 2 on non-integer samples unsupported"
+            )
+        # int64 cumsum cast back to the sample dtype == modular per-row sum
+        return np.cumsum(a.astype(np.int64), axis=1).astype(a.dtype)
+    raise NotImplementedError(
+        f"TIFF predictor {predictor} unsupported (1=none and 2=horizontal "
+        "differencing are implemented; 3 is the floating-point predictor)"
+    )
 
 
 def _dtype_info(a: np.ndarray) -> Tuple[int, int]:
@@ -61,10 +279,10 @@ def _dtype_info(a: np.ndarray) -> Tuple[int, int]:
         return 16, 1
     if a.dtype == np.float32:
         return 32, 3
-    raise ValueError(f"unsupported dtype for COG: {a.dtype}")
+    raise ValueError(f"unsupported dtype for GeoTIFF: {a.dtype}")
 
 
-def _tile_blobs(a: np.ndarray, tile: int, deflate: bool) -> Tuple[List[bytes], int, int]:
+def _tile_blobs(a: np.ndarray, tile: int, comp: int) -> Tuple[List[bytes], int, int]:
     """Row-major tile blobs (zero-padded at the ragged edges)."""
     h, w = a.shape
     ty = (h + tile - 1) // tile
@@ -75,8 +293,7 @@ def _tile_blobs(a: np.ndarray, tile: int, deflate: bool) -> Tuple[List[bytes], i
             t = np.zeros((tile, tile), dtype=a.dtype)
             sub = a[r * tile : (r + 1) * tile, c * tile : (c + 1) * tile]
             t[: sub.shape[0], : sub.shape[1]] = sub
-            raw = t.tobytes()
-            blobs.append(zlib.compress(raw, 6) if deflate else raw)
+            blobs.append(_compress(t.tobytes(), comp))
     return blobs, tx, ty
 
 
@@ -94,9 +311,11 @@ def _overview(a: np.ndarray) -> np.ndarray:
 
 class _IFD:
     """One image-file directory: fixed-size entry table + out-of-line
-    values; offsets patched once the layout is known."""
+    values; offsets patched once the layout is known. ``bo`` is the
+    struct byte-order prefix ('<' or '>')."""
 
-    def __init__(self):
+    def __init__(self, bo: str = "<"):
+        self.bo = bo
         self.entries: List[Tuple[int, int, int, object]] = []  # tag, type, count, value
 
     def add(self, tag: int, typ: int, values) -> None:
@@ -116,26 +335,38 @@ class _IFD:
 
     def render(self, my_offset: int, next_ifd: int) -> bytes:
         """Serialize at ``my_offset`` (overflow values follow the table)."""
+        bo = self.bo
         table_len, _ = self.sizes()
         out = bytearray()
-        out += struct.pack("<H", len(self.entries))
+        out += struct.pack(f"{bo}H", len(self.entries))
         overflow = bytearray()
         over_base = my_offset + table_len
-        fmt = {_SHORT: "<H", _LONG: "<I", _DOUBLE: "<d"}
+        fmt = {_SHORT: f"{bo}H", _LONG: f"{bo}I", _DOUBLE: f"{bo}d"}
         for tag, typ, count, values in sorted(self.entries):
             nbytes = _TYPE_SIZE[typ] * count
             packed = b"".join(struct.pack(fmt[typ], v) for v in values)
             if nbytes <= 4:
                 val = packed + b"\x00" * (4 - nbytes)
             else:
-                val = struct.pack("<I", over_base + len(overflow))
+                val = struct.pack(f"{bo}I", over_base + len(overflow))
                 overflow += packed
                 if len(packed) % 2:
                     overflow += b"\x00"
-            out += struct.pack("<HHI", tag, typ, count) + val
-        out += struct.pack("<I", next_ifd)
+            out += struct.pack(f"{bo}HHI", tag, typ, count) + val
+        out += struct.pack(f"{bo}I", next_ifd)
         out += overflow
         return bytes(out)
+
+
+def _geo_entries(ifd: _IFD, grid: GridSpec) -> None:
+    ifd.add(TAG_PIXEL_SCALE, _DOUBLE,
+            [abs(grid.cell_width), abs(grid.cell_height), 0.0])
+    ifd.add(TAG_TIEPOINT, _DOUBLE,
+            [0.0, 0.0, 0.0, grid.x_origin, grid.y_origin, 0.0])
+    # GTModelType=Geographic(2), GTRasterType=PixelIsArea(1),
+    # GeographicType=4326 (public GeoTIFF 1.1 key layout)
+    ifd.add(TAG_GEO_KEYS, _SHORT,
+            [1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326])
 
 
 def write_cog(
@@ -145,13 +376,22 @@ def write_cog(
     tile: int = 256,
     compression: str = "deflate",
     overviews: bool = True,
+    byte_order: str = "<",
 ) -> str:
     """Write ``arr`` on ``grid`` as a Cloud-Optimized GeoTIFF."""
     a = np.ascontiguousarray(arr)
     if a.ndim != 2:
         raise ValueError("write_cog takes one 2D band")
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
     bits, sfmt = _dtype_info(a)
-    deflate = compression == "deflate"
+    if bo == ">":
+        a = a.astype(a.dtype.newbyteorder(">"), copy=False)
+    comp = _COMP_NAME.get(compression)
+    if comp is None:
+        raise ValueError(f"unknown compression {compression!r}; "
+                         f"one of {sorted(_COMP_NAME)}")
 
     levels = [a]
     if overviews:
@@ -160,16 +400,16 @@ def write_cog(
             cur = _overview(cur)
             levels.append(cur)
 
-    per_level = [_tile_blobs(lv, tile, deflate) for lv in levels]
+    per_level = [_tile_blobs(lv, tile, comp) for lv in levels]
 
     ifds: List[_IFD] = []
     for li, (lv, (blobs, tx, ty)) in enumerate(zip(levels, per_level)):
-        ifd = _IFD()
+        ifd = _IFD(bo)
         ifd.add(TAG_NEW_SUBFILE, _LONG, 1 if li else 0)
         ifd.add(TAG_WIDTH, _LONG, lv.shape[1])
         ifd.add(TAG_LENGTH, _LONG, lv.shape[0])
         ifd.add(TAG_BITS, _SHORT, bits)
-        ifd.add(TAG_COMPRESSION, _SHORT, 8 if deflate else 1)
+        ifd.add(TAG_COMPRESSION, _SHORT, comp)
         ifd.add(TAG_PHOTOMETRIC, _SHORT, 1)  # BlackIsZero
         ifd.add(TAG_SAMPLES, _SHORT, 1)
         ifd.add(TAG_TILE_W, _SHORT, tile)
@@ -178,14 +418,7 @@ def write_cog(
         ifd.add(TAG_TILE_COUNTS, _LONG, [len(b) for b in blobs])
         ifd.add(TAG_SAMPLE_FORMAT, _SHORT, sfmt)
         if li == 0:
-            ifd.add(TAG_PIXEL_SCALE, _DOUBLE,
-                    [abs(grid.cell_width), abs(grid.cell_height), 0.0])
-            ifd.add(TAG_TIEPOINT, _DOUBLE,
-                    [0.0, 0.0, 0.0, grid.x_origin, grid.y_origin, 0.0])
-            # GTModelType=Geographic(2), GTRasterType=PixelIsArea(1),
-            # GeographicType=4326 (public GeoTIFF 1.1 key layout)
-            ifd.add(TAG_GEO_KEYS, _SHORT,
-                    [1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326])
+            _geo_entries(ifd, grid)
         ifds.append(ifd)
 
     # layout pass: header, then ALL IFDs (+overflow), THEN tile data — the
@@ -210,7 +443,8 @@ def write_cog(
                 ifd.entries[i] = (e[0], e[1], e[2], offsets)
 
     with open(path, "wb") as f:
-        f.write(_II + struct.pack("<HI", _MAGIC, ifd_offsets[0]))
+        f.write((b"II" if bo == "<" else b"MM")
+                + struct.pack(f"{bo}HI", _MAGIC, ifd_offsets[0]))
         for li, ifd in enumerate(ifds):
             nxt = ifd_offsets[li + 1] if li + 1 < len(ifds) else 0
             f.write(ifd.render(ifd_offsets[li], nxt))
@@ -224,29 +458,118 @@ def write_cog(
     return path
 
 
+def write_geotiff(
+    arr: np.ndarray,
+    grid: GridSpec,
+    path: str,
+    layout: str = "tiles",
+    tile: int = 256,
+    rows_per_strip: int = 64,
+    compression: str = "deflate",
+    byte_order: str = "<",
+    overviews: bool = True,
+) -> str:
+    """General GeoTIFF writer. ``layout="tiles"`` is the COG path;
+    ``layout="strips"`` emits a plain baseline stripped TIFF (the layout
+    most wild files use — RowsPerStrip/StripOffsets/StripByteCounts),
+    in either byte order, with none/LZW/deflate/PackBits compression."""
+    if layout == "tiles":
+        return write_cog(arr, grid, path, tile=tile, compression=compression,
+                         overviews=overviews, byte_order=byte_order)
+    if layout != "strips":
+        raise ValueError(f"layout must be 'tiles' or 'strips', got {layout!r}")
+    a = np.ascontiguousarray(arr)
+    if a.ndim != 2:
+        raise ValueError("write_geotiff takes one 2D band")
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    bits, sfmt = _dtype_info(a)
+    comp = _COMP_NAME.get(compression)
+    if comp is None:
+        raise ValueError(f"unknown compression {compression!r}; "
+                         f"one of {sorted(_COMP_NAME)}")
+    if bo == ">":
+        a = a.astype(a.dtype.newbyteorder(">"), copy=False)
+
+    h, w = a.shape
+    rps = max(1, int(rows_per_strip))
+    nstrips = (h + rps - 1) // rps
+    blobs = []
+    for i in range(nstrips):
+        sub = a[i * rps : min((i + 1) * rps, h)]  # last strip short, unpadded
+        blobs.append(_compress(np.ascontiguousarray(sub).tobytes(), comp))
+
+    ifd = _IFD(bo)
+    ifd.add(TAG_NEW_SUBFILE, _LONG, 0)
+    ifd.add(TAG_WIDTH, _LONG, w)
+    ifd.add(TAG_LENGTH, _LONG, h)
+    ifd.add(TAG_BITS, _SHORT, bits)
+    ifd.add(TAG_COMPRESSION, _SHORT, comp)
+    ifd.add(TAG_PHOTOMETRIC, _SHORT, 1)
+    ifd.add(TAG_SAMPLES, _SHORT, 1)
+    ifd.add(TAG_ROWS_PER_STRIP, _LONG, rps)
+    ifd.add(TAG_STRIP_OFFSETS, _LONG, [0] * nstrips)  # patched below
+    ifd.add(TAG_STRIP_COUNTS, _LONG, [len(b) for b in blobs])
+    ifd.add(TAG_SAMPLE_FORMAT, _SHORT, sfmt)
+    _geo_entries(ifd, grid)
+
+    t, o = ifd.sizes()
+    data_start = 8 + t + o
+    data_start += data_start % 2
+    offsets, pos = [], data_start
+    for b in blobs:
+        offsets.append(pos)
+        pos += len(b) + (len(b) % 2)
+    for i, e in enumerate(ifd.entries):
+        if e[0] == TAG_STRIP_OFFSETS:
+            ifd.entries[i] = (e[0], e[1], e[2], offsets)
+
+    with open(path, "wb") as f:
+        f.write((b"II" if bo == "<" else b"MM") + struct.pack(f"{bo}HI", _MAGIC, 8))
+        f.write(ifd.render(8, 0))
+        if f.tell() % 2:
+            f.write(b"\x00")
+        for b in blobs:
+            f.write(b)
+            if len(b) % 2:
+                f.write(b"\x00")
+    return path
+
+
 def read_geotiff(path: str):
-    """Minimal tiled-GeoTIFF reader for tests: returns (levels, meta)
-    where levels is a list of 2D arrays (main + overviews) and meta has
-    pixel_scale / tiepoint / geo_keys / layout offsets."""
+    """GeoTIFF reader: returns (levels, meta) where levels is a list of
+    2D arrays (main + overviews) and meta has pixel_scale / tiepoint /
+    geo_keys / layout info. Either byte order, tiled or stripped,
+    whitelisted compression only (unknown codes raise — see
+    ``_decompress``)."""
     data = open(path, "rb").read()
-    if data[:2] != _II or struct.unpack("<H", data[2:4])[0] != _MAGIC:
-        raise ValueError("not a little-endian classic TIFF")
-    (off,) = struct.unpack("<I", data[4:8])
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"not a TIFF (byte-order mark {data[:2]!r})")
+    if struct.unpack(f"{bo}H", data[2:4])[0] != _MAGIC:
+        raise ValueError("not a classic TIFF (bad magic; BigTIFF unsupported)")
+    (off,) = struct.unpack(f"{bo}I", data[4:8])
     levels = []
-    meta = {"ifd_offsets": [], "first_tile_offset": None}
-    fmt = {_SHORT: "<H", _LONG: "<I", _DOUBLE: "<d"}
+    meta = {"ifd_offsets": [], "first_tile_offset": None, "byte_order": bo}
+    fmt = {_SHORT: f"{bo}H", _LONG: f"{bo}I", _DOUBLE: f"{bo}d"}
     while off:
         meta["ifd_offsets"].append(off)
-        (n,) = struct.unpack("<H", data[off : off + 2])
+        (n,) = struct.unpack(f"{bo}H", data[off : off + 2])
         tags = {}
         for i in range(n):
             e = off + 2 + 12 * i
-            tag, typ, count = struct.unpack("<HHI", data[e : e + 8])
+            tag, typ, count = struct.unpack(f"{bo}HHI", data[e : e + 8])
+            if typ not in _TYPE_SIZE:  # BYTE/ASCII/RATIONAL tags we don't use
+                continue
             nbytes = _TYPE_SIZE[typ] * count
             if nbytes <= 4:
                 raw = data[e + 8 : e + 8 + nbytes]
             else:
-                (voff,) = struct.unpack("<I", data[e + 8 : e + 12])
+                (voff,) = struct.unpack(f"{bo}I", data[e + 8 : e + 12])
                 raw = data[voff : voff + nbytes]
             step = _TYPE_SIZE[typ]
             tags[tag] = [
@@ -254,27 +577,72 @@ def read_geotiff(path: str):
                 for j in range(0, nbytes, step)
             ]
         w, h = tags[TAG_WIDTH][0], tags[TAG_LENGTH][0]
-        tw, tl = tags[TAG_TILE_W][0], tags[TAG_TILE_L][0]
         bits, sfmt = tags[TAG_BITS][0], tags.get(TAG_SAMPLE_FORMAT, [1])[0]
-        comp = tags[TAG_COMPRESSION][0]
-        dt = {(8, 1): np.uint8, (16, 1): np.uint16, (32, 3): np.float32}[(bits, sfmt)]
-        tx = (w + tw - 1) // tw
-        out = np.zeros((h, w), dtype=dt)
-        for ti, (toff, tcnt) in enumerate(zip(tags[TAG_TILE_OFFSETS], tags[TAG_TILE_COUNTS])):
-            if meta["first_tile_offset"] is None or toff < meta["first_tile_offset"]:
-                meta["first_tile_offset"] = toff
-            raw = data[toff : toff + tcnt]
-            if comp == 8:
-                raw = zlib.decompress(raw)
-            t = np.frombuffer(raw, dtype=dt).reshape(tl, tw)
-            r, c = divmod(ti, tx)
-            hh = min(tl, h - r * tl)
-            ww = min(tw, w - c * tw)
-            out[r * tl : r * tl + hh, c * tw : c * tw + ww] = t[:hh, :ww]
+        comp = tags.get(TAG_COMPRESSION, [COMP_NONE])[0]
+        pred = tags.get(TAG_PREDICTOR, [1])[0]
+        if tags.get(TAG_SAMPLES, [1])[0] != 1:
+            raise NotImplementedError(
+                f"multi-sample TIFF (SamplesPerPixel="
+                f"{tags[TAG_SAMPLES][0]}) unsupported; single-band only"
+            )
+        try:
+            base = {(8, 1): np.uint8, (16, 1): np.uint16,
+                    (32, 3): np.float32}[(bits, sfmt)]
+        except KeyError:
+            raise NotImplementedError(
+                f"TIFF sample type bits={bits} format={sfmt} unsupported "
+                "(uint8/uint16/float32 single-band only)"
+            ) from None
+        dt = np.dtype(base).newbyteorder(bo)
+        out = np.zeros((h, w), dtype=np.dtype(base))
+
+        if TAG_TILE_W in tags:  # tiled layout
+            tw, tl = tags[TAG_TILE_W][0], tags[TAG_TILE_L][0]
+            tx = (w + tw - 1) // tw
+            for ti, (toff, tcnt) in enumerate(
+                zip(tags[TAG_TILE_OFFSETS], tags[TAG_TILE_COUNTS])
+            ):
+                if meta["first_tile_offset"] is None or toff < meta["first_tile_offset"]:
+                    meta["first_tile_offset"] = toff
+                raw = _decompress(data[toff : toff + tcnt], comp,
+                                  expected=tl * tw * dt.itemsize)
+                t = np.frombuffer(raw, dtype=dt).reshape(tl, tw)
+                t = _undo_predictor(t, pred).astype(np.dtype(base), copy=False)
+                r, c = divmod(ti, tx)
+                hh = min(tl, h - r * tl)
+                ww = min(tw, w - c * tw)
+                out[r * tl : r * tl + hh, c * tw : c * tw + ww] = t[:hh, :ww]
+            meta["layout"] = "tiles"
+        elif TAG_STRIP_OFFSETS in tags:  # stripped layout
+            rps = tags.get(TAG_ROWS_PER_STRIP, [h])[0]
+            rps = min(rps, h) or h
+            counts = tags.get(
+                TAG_STRIP_COUNTS,
+                # per spec, StripByteCounts is required; tolerate its
+                # absence only for uncompressed data where sizes are known
+                [min(rps, h - i * rps) * w * dt.itemsize
+                 for i in range(len(tags[TAG_STRIP_OFFSETS]))]
+                if comp == COMP_NONE else None,
+            )
+            if counts is None:
+                raise ValueError("compressed stripped TIFF missing StripByteCounts")
+            for i, (soff, scnt) in enumerate(zip(tags[TAG_STRIP_OFFSETS], counts)):
+                if meta["first_tile_offset"] is None or soff < meta["first_tile_offset"]:
+                    meta["first_tile_offset"] = soff
+                rows = min(rps, h - i * rps)
+                raw = _decompress(data[soff : soff + scnt], comp,
+                                  expected=rows * w * dt.itemsize)
+                s = np.frombuffer(raw, dtype=dt, count=rows * w).reshape(rows, w)
+                s = _undo_predictor(s, pred).astype(np.dtype(base), copy=False)
+                out[i * rps : i * rps + rows] = s
+            meta["layout"] = "strips"
+        else:
+            raise ValueError("TIFF IFD has neither tile nor strip offsets")
+        meta["compression"] = comp
         levels.append(out)
         if TAG_PIXEL_SCALE in tags:
             meta["pixel_scale"] = tags[TAG_PIXEL_SCALE]
             meta["tiepoint"] = tags[TAG_TIEPOINT]
-            meta["geo_keys"] = tags[TAG_GEO_KEYS]
-        (off,) = struct.unpack("<I", data[off + 2 + 12 * n : off + 6 + 12 * n])
+            meta["geo_keys"] = tags.get(TAG_GEO_KEYS, [])
+        (off,) = struct.unpack(f"{bo}I", data[off + 2 + 12 * n : off + 6 + 12 * n])
     return levels, meta

@@ -62,3 +62,131 @@ def test_overview_is_block_mean(tmp_path):
 def test_rejects_band_stack(tmp_path):
     with pytest.raises(ValueError, match="2D"):
         write_cog(np.zeros((2, 8, 8), np.uint8), _grid(8, 8), str(tmp_path / "e.tif"))
+
+
+# ---- round-5 envelope: strips, byte order, LZW/PackBits, predictor ----
+
+from rasters_ray.sources.geotiff import (  # noqa: E402
+    _lzw_decode,
+    _lzw_encode,
+    _packbits_decode,
+    _packbits_encode,
+    write_geotiff,
+)
+
+
+def test_lzw_packbits_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    cases = [
+        b"",
+        b"x",
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),   # incompressible
+        bytes(rng.integers(0, 4, 30000, dtype=np.uint8)),    # deep LZW table
+        b"\x00" * 10000,                                     # pure run
+        (b"abcabd" * 3000),                                  # table resets
+    ]
+    for d in cases:
+        assert _lzw_decode(_lzw_encode(d)) == d
+        assert _packbits_decode(_packbits_encode(d)) == d
+
+
+def test_stripped_roundtrip_all_compressions(tmp_path):
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 255, (143, 210), dtype=np.uint8)
+    for comp in ("none", "deflate", "lzw", "packbits"):
+        path = str(tmp_path / f"s_{comp}.tif")
+        write_geotiff(arr, _grid(143, 210), path, layout="strips",
+                      rows_per_strip=37, compression=comp)
+        levels, meta = read_geotiff(path)
+        np.testing.assert_array_equal(levels[0], arr)
+        assert meta["layout"] == "strips"
+    # georeferencing survives the strip path
+    assert meta["pixel_scale"][:2] == [0.01, 0.01]
+    assert meta["tiepoint"][3:5] == [-120.0, 40.0]
+
+
+def test_big_endian_roundtrip_strips_and_tiles(tmp_path):
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 60000, (90, 130), dtype=np.uint16)
+    for layout in ("strips", "tiles"):
+        path = str(tmp_path / f"be_{layout}.tif")
+        write_geotiff(arr, _grid(90, 130), path, layout=layout, tile=64,
+                      byte_order=">", compression="deflate", overviews=False)
+        assert open(path, "rb").read(2) == b"MM"
+        levels, meta = read_geotiff(path)
+        np.testing.assert_array_equal(levels[0], arr)
+        assert meta["byte_order"] == ">"
+
+
+def test_float32_strips_roundtrip(tmp_path):
+    arr = np.linspace(-5, 5, 80 * 33, dtype=np.float32).reshape(80, 33)
+    path = str(tmp_path / "f.tif")
+    write_geotiff(arr, _grid(80, 33), path, layout="strips",
+                  rows_per_strip=13, compression="deflate")
+    levels, _ = read_geotiff(path)
+    np.testing.assert_array_equal(levels[0], arr)
+
+
+def test_unknown_compression_raises_with_code(tmp_path):
+    import struct
+
+    arr = np.zeros((16, 16), dtype=np.uint8)
+    path = str(tmp_path / "j.tif")
+    write_geotiff(arr, _grid(16, 16), path, layout="strips", compression="none")
+    b = bytearray(open(path, "rb").read())
+    n = struct.unpack("<H", b[8:10])[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack("<H", b[e : e + 2])[0] == 259:
+            struct.pack_into("<H", b, e + 8, 7)  # JPEG-in-TIFF
+    bad = str(tmp_path / "bad.tif")
+    open(bad, "wb").write(bytes(b))
+    with pytest.raises(NotImplementedError, match="code 7"):
+        read_geotiff(bad)
+
+
+def test_predictor2_horizontal_differencing(tmp_path):
+    """A file written with predictor=2 semantics decodes correctly: write
+    the row-differenced pixels with the predictor tag patched in, expect
+    the original image back (cumsum undo, modular per TIFF 6.0 §14)."""
+    import struct
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 255, (40, 51), dtype=np.uint8)
+    diff = arr.astype(np.int16)
+    diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+    diff = diff.astype(np.uint8)  # modular differencing
+    path = str(tmp_path / "p.tif")
+    write_geotiff(diff, _grid(40, 51), path, layout="strips",
+                  rows_per_strip=40, compression="none")
+    b = bytearray(open(path, "rb").read())
+    # append a predictor tag by rewriting compression-adjacent entry is
+    # fiddly; instead patch SampleFormat (339, unused for uint8 default)
+    # into Predictor (317) with value 2
+    n = struct.unpack("<H", b[8:10])[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack("<H", b[e : e + 2])[0] == 339:
+            struct.pack_into("<H", b, e, 317)
+            struct.pack_into("<H", b, e + 8, 2)
+    open(path, "wb").write(bytes(b))
+    levels, _ = read_geotiff(path)
+    np.testing.assert_array_equal(levels[0], arr)
+
+
+def test_open_raster_routes_stripped_and_big_endian(tmp_path):
+    from rasters_ray.sources.open import open_raster
+
+    rng = np.random.default_rng(19)
+    arr = rng.integers(0, 255, (64, 96), dtype=np.uint8)
+    p1 = str(tmp_path / "s.tif")
+    write_geotiff(arr, _grid(64, 96), p1, layout="strips", compression="lzw")
+    a1, g1 = open_raster(p1)
+    np.testing.assert_array_equal(a1, arr)
+    assert g1.crs == "EPSG:4326" and g1.rows == 64 and g1.cols == 96
+    p2 = str(tmp_path / "be.tif")
+    write_geotiff(arr, _grid(64, 96), p2, layout="tiles", tile=64,
+                  byte_order=">", overviews=False)
+    a2, g2 = open_raster(p2)
+    np.testing.assert_array_equal(a2, arr)
+    assert abs(g2.x_origin - (-120.0)) < 1e-9
