@@ -1,34 +1,35 @@
-"""Minimal pure-Python HDF5 reader/writer — contiguous datasets only.
+"""Minimal pure-Python HDF5 reader/writer.
 
 Parity target: the reference opens NetCDF-4 granules (HDF5 containers)
 through rasterio/GDAL (reference debug_reading_netcdf.py:6-10,
 raster.py:634-771). No HDF5 library ships in this container, so this
 module implements the documented subset of the public "HDF5 File Format
-Specification Version 2.0" needed to extract UNCOMPRESSED, UNCHUNKED
-(contiguous or compact) datasets:
+Specification Version 2.0" needed to extract datasets:
 
 - superblock version 0 (the default emitted by netcdf-c/h5py),
 - old-style groups (symbol-table message -> local heap + v1 B-tree ->
   SNOD symbol nodes), recursing into subgroups,
 - object header version 1 (with continuation blocks),
 - dataspace v1/v2, datatype classes 0/1 (fixed-point/float, either
-  endianness), data layout v3 classes 0 (compact) and 1 (contiguous).
+  endianness), data layout v3 classes 0 (compact), 1 (contiguous) and
+  2 (CHUNKED, spec III.A.1 v1 B-tree raw-data-chunk index) with the
+  deflate filter (pipeline message IV.A.2.l, filter id 1 via zlib) —
+  the layout+filter real NASA NetCDF-4 granules actually use.
 
-Chunked (layout class 2) or filtered datasets raise NotImplementedError
-with a clear message — that is the documented env-blocked boundary
-(real NASA granules are usually chunked+deflate; converting with
-``nccopy -d0 -c var:contiguous`` produces files this reader handles).
+Shuffle/szip/other filters raise NotImplementedError naming the filter
+— that remains the documented env-blocked boundary.
 
-``write_hdf5`` emits exactly that subset (one flat root group of
-contiguous datasets) and exists so round-trip tests can prove the
-reader against independently-constructed bytes; it doubles as an
-interchange sink readable by h5py/netcdf4 elsewhere.
+``write_hdf5`` emits the same subset (one flat root group; contiguous
+by default, chunked+deflate on request) and exists so round-trip tests
+can prove the reader against independently-constructed bytes; it
+doubles as an interchange sink readable by h5py/netcdf4 elsewhere.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Tuple
+import zlib
+from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -39,8 +40,12 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 _MSG_DATASPACE = 0x0001
 _MSG_DATATYPE = 0x0003
 _MSG_LAYOUT = 0x0008
+_MSG_FILTER = 0x000B
 _MSG_CONTINUATION = 0x0010
 _MSG_SYMBOL_TABLE = 0x0011
+
+_FILTER_NAMES = {1: "deflate", 2: "shuffle", 3: "fletcher32", 4: "szip",
+                 5: "nbit", 6: "scaleoffset", 32000: "lzf", 32001: "blosc"}
 
 
 def _u(buf, off, n):
@@ -183,9 +188,118 @@ def _group_children(d: bytes, msgs) -> Dict[str, int]:
     return out
 
 
+def _parse_filters(body: bytes, name: str) -> List[Tuple[int, Tuple[int, ...]]]:
+    """Filter pipeline message (IV.A.2.l) -> [(filter_id, client_vals)],
+    versions 1 and 2."""
+    ver = body[0]
+    nf = body[1]
+    if ver == 1:
+        off = 8  # version, nfilters, 2+4 reserved
+    elif ver == 2:
+        off = 2
+    else:
+        raise Hdf5LiteError(f"dataset {name}: filter pipeline version {ver}")
+    out: List[Tuple[int, Tuple[int, ...]]] = []
+    for _ in range(nf):
+        fid = _u(body, off, 2)
+        off += 2
+        if ver == 1 or fid >= 256:
+            name_len = _u(body, off, 2)
+            off += 2
+        else:
+            name_len = 0
+        flags = _u(body, off, 2)
+        ncv = _u(body, off + 2, 2)
+        off += 4 + name_len  # v1 name is pre-padded to 8; v2 is exact
+        cvals = tuple(_u(body, off + 4 * i, 4) for i in range(ncv))
+        off += 4 * ncv
+        if ver == 1 and ncv % 2:
+            off += 4  # v1 pads client data to an even count
+        out.append((fid, cvals))
+    return out
+
+
+def _walk_chunk_btree(
+    d: bytes, addr: int, ndimp1: int
+) -> List[Tuple[Tuple[int, ...], int, int, int]]:
+    """v1 B-tree (type 1, raw data chunks, spec III.A.1) -> flat
+    [(chunk_offsets, data_addr, nbytes, filter_mask)] at any depth."""
+    if addr == _UNDEF:
+        return []
+    if d[addr : addr + 4] != b"TREE":
+        raise Hdf5LiteError(f"bad chunk B-tree signature @ {addr}")
+    if d[addr + 4] != 1:
+        raise Hdf5LiteError(f"chunk B-tree node type {d[addr + 4]} != 1")
+    level = d[addr + 5]
+    n = _u(d, addr + 6, 2)
+    key_len = 8 + 8 * ndimp1  # size(4) + filter mask(4) + offsets(8 each)
+    out: List[Tuple[Tuple[int, ...], int, int, int]] = []
+    pos = addr + 24  # past sig/type/level/used/left/right
+    for _ in range(n):
+        nbytes = _u(d, pos, 4)
+        fmask = _u(d, pos + 4, 4)
+        offs = tuple(_u(d, pos + 8 + 8 * i, 8) for i in range(ndimp1 - 1))
+        child = _u(d, pos + key_len, 8)
+        pos += key_len + 8
+        if level == 0:
+            out.append((offs, child, nbytes, fmask))
+        else:
+            out.extend(_walk_chunk_btree(d, child, ndimp1))
+    return out
+
+
+def _defilter(raw: bytes, filters, fmask: int, name: str) -> bytes:
+    """Undo the pipeline back-to-front; only deflate (id 1) is available
+    in this environment — anything else raises naming the filter."""
+    for i in range(len(filters) - 1, -1, -1):
+        fid, _cvals = filters[i]
+        if fmask & (1 << i):
+            continue  # filter skipped for this chunk
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        else:
+            raise NotImplementedError(
+                f"dataset {name}: HDF5 filter {fid} "
+                f"({_FILTER_NAMES.get(fid, 'unknown')}) unsupported in this "
+                "environment; only deflate (gzip) chunks are readable — "
+                "rewrite with nccopy (no shuffle/szip) or h5repack -f GZIP"
+            )
+    return raw
+
+
+def _read_chunked(
+    d: bytes, layout: bytes, shape, dtype: np.dtype, filters, name: str
+) -> np.ndarray:
+    """Data layout v3 class 2: dimensionality(1), B-tree address(8),
+    dim sizes (4 bytes each, last = element size)."""
+    ndimp1 = layout[2]
+    btree = _u(layout, 3, 8)
+    dims = [_u(layout, 11 + 4 * i, 4) for i in range(ndimp1)]
+    chunk_dims = tuple(dims[:-1])
+    if len(chunk_dims) != len(shape):
+        raise Hdf5LiteError(
+            f"dataset {name}: chunk rank {len(chunk_dims)} != data rank {len(shape)}"
+        )
+    native = dtype.newbyteorder("=")
+    out = np.zeros(shape, dtype=native)
+    per_chunk = int(np.prod(chunk_dims or (1,)))
+    for offs, addr, nbytes, fmask in _walk_chunk_btree(d, btree, ndimp1):
+        raw = _defilter(d[addr : addr + nbytes], filters, fmask, name)
+        block = np.frombuffer(raw, dtype=dtype, count=per_chunk).reshape(chunk_dims)
+        sl_out = tuple(
+            slice(o, min(o + c, s)) for o, c, s in zip(offs, chunk_dims, shape)
+        )
+        if any(sl.start >= sl.stop for sl in sl_out):
+            continue  # chunk fully past the edge (shouldn't happen; tolerate)
+        sl_in = tuple(slice(0, sl.stop - sl.start) for sl in sl_out)
+        out[sl_out] = block[sl_in]
+    return out
+
+
 def _read_dataset(d: bytes, msgs, name: str) -> np.ndarray:
     shape = dtype = None
     layout = None
+    filters: List[Tuple[int, Tuple[int, ...]]] = []
     for t, b in msgs:
         if t == _MSG_DATASPACE:
             shape = _parse_dataspace(b)
@@ -193,18 +307,16 @@ def _read_dataset(d: bytes, msgs, name: str) -> np.ndarray:
             dtype = _parse_datatype(b)
         elif t == _MSG_LAYOUT:
             layout = b
+        elif t == _MSG_FILTER:
+            filters = _parse_filters(b, name)
     if shape is None or dtype is None or layout is None:
         raise Hdf5LiteError(f"dataset {name}: missing dataspace/datatype/layout")
     ver = layout[0]
     if ver != 3:
         raise NotImplementedError(f"dataset {name}: layout version {ver} unsupported")
     lclass = layout[1]
-    if lclass == 2:
-        raise NotImplementedError(
-            f"dataset {name}: chunked/filtered HDF5 layout unsupported in this "
-            "environment; rewrite contiguous (e.g. nccopy -d0 with contiguous "
-            "storage) or use classic NetCDF"
-        )
+    if lclass == 2:  # chunked (+ filter pipeline) — the NASA-granule path
+        return _read_chunked(d, layout, shape, dtype, filters, name)
     if lclass == 0:  # compact: size(2) then raw bytes in the message
         size = _u(layout, 2, 2)
         raw = layout[4 : 4 + size]
@@ -287,11 +399,80 @@ def _ohdr_v1(msgs: List[bytes]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(msgs), 1, len(blob)) + blob
 
 
-def write_hdf5(path: str, datasets: Dict[str, np.ndarray]) -> str:
-    """Flat root group of contiguous datasets, superblock v0."""
+def _chunk_plan(a: np.ndarray, cdims: Tuple[int, ...], compress: bool):
+    """(chunk_offsets, blobs) — row-major chunk grid, edge chunks stored
+    full-size zero-padded (the standard HDF5 convention)."""
+    import itertools
+
+    ranges = [range(0, s, c) for s, c in zip(a.shape, cdims)]
+    offsets = list(itertools.product(*ranges))
+    blobs = []
+    for offs in offsets:
+        block = np.zeros(cdims, dtype=a.dtype)
+        sl = tuple(slice(o, min(o + c, s)) for o, c, s in zip(offs, cdims, a.shape))
+        block[tuple(slice(0, x.stop - x.start) for x in sl)] = a[sl]
+        raw = block.tobytes()
+        blobs.append(zlib.compress(raw, 6) if compress else raw)
+    return offsets, blobs
+
+
+def _chunk_btree_node(
+    offsets, blob_sizes, blob_addrs, cdims: Tuple[int, ...], grid_end
+) -> bytes:
+    """Single-level v1 raw-data-chunk B-tree leaf holding every chunk
+    (tests write small grids; one node suffices and readers only follow
+    entries_used)."""
+    ndimp1 = len(cdims) + 1
+    out = bytearray(b"TREE" + bytes([1, 0]) + struct.pack("<H", len(offsets)))
+    out += struct.pack("<QQ", _UNDEF, _UNDEF)
+    for offs, size, addr in zip(offsets, blob_sizes, blob_addrs):
+        out += struct.pack("<II", size, 0)
+        out += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
+        out += struct.pack("<Q", addr)
+    # final key: one past the last chunk in every dimension
+    out += struct.pack("<II", 0, 0)
+    out += b"".join(struct.pack("<Q", int(e)) for e in grid_end)
+    out += struct.pack("<QQ", 0, 0)[:8]
+    return bytes(out)
+
+
+def write_hdf5(
+    path: str,
+    datasets: Dict[str, np.ndarray],
+    chunks: Optional[Union[Dict[str, Tuple[int, ...]], Tuple[int, ...]]] = None,
+    compression: Optional[str] = None,
+) -> str:
+    """Flat root group, superblock v0. Contiguous by default; pass
+    ``chunks`` (per-name dict or one tuple for all) and/or
+    ``compression="deflate"`` for chunked(+gzip) datasets — the layout
+    real NetCDF-4 granules use. Compression implies chunking (one
+    full-shape chunk when no chunk dims are given)."""
+    if compression not in (None, "deflate"):
+        raise Hdf5LiteError(f"unsupported compression {compression!r}")
     names = sorted(datasets)
     if not names:
         raise Hdf5LiteError("write_hdf5 requires at least one dataset")
+
+    def chunk_dims_of(nm: str, a: np.ndarray) -> Optional[Tuple[int, ...]]:
+        spec = chunks.get(nm) if isinstance(chunks, dict) else chunks
+        if spec is None and compression is None:
+            return None
+        if a.ndim == 0:
+            return None  # scalars stay contiguous
+        if spec is None:
+            spec = a.shape
+        return tuple(min(int(c), int(s)) for c, s in zip(spec, a.shape))
+
+    # --- per-dataset plan: ('contig', a) or ('chunked', a, cdims, offs, blobs)
+    plans: Dict[str, tuple] = {}
+    for nm in names:
+        a = np.ascontiguousarray(datasets[nm])
+        cdims = chunk_dims_of(nm, a)
+        if cdims is None:
+            plans[nm] = ("contig", a)
+        else:
+            offs, blobs = _chunk_plan(a, cdims, compression == "deflate")
+            plans[nm] = ("chunked", a, cdims, offs, blobs)
 
     # --- local heap data: offset 0 = empty string (spec convention)
     heap_data = bytearray(b"\x00" * 8)
@@ -301,22 +482,31 @@ def write_hdf5(path: str, datasets: Dict[str, np.ndarray]) -> str:
         b = nm.encode("utf-8") + b"\x00"
         heap_data += b + b"\x00" * ((8 - len(b) % 8) % 8)
 
-    # --- dataset object headers (layout address patched after placement)
-    ds_hdrs = []
-    for nm in names:
-        a = np.ascontiguousarray(datasets[nm])
+    def build_hdr(nm: str, btree_addr: int = 0, data_addr: int = 0) -> bytes:
+        plan = plans[nm]
+        a = plan[1]
         space = struct.pack("<BBB5x", 1, a.ndim, 0) + b"".join(
             struct.pack("<Q", s) for s in a.shape
         )
-        layout = struct.pack("<BBQQ", 3, 1, 0, a.nbytes)  # addr patched later
-        hdr = _ohdr_v1(
-            [
-                _msg(_MSG_DATASPACE, space),
-                _msg(_MSG_DATATYPE, _dtype_msg(a.dtype)),
-                _msg(_MSG_LAYOUT, layout),
-            ]
-        )
-        ds_hdrs.append(hdr)
+        msgs = [_msg(_MSG_DATASPACE, space),
+                _msg(_MSG_DATATYPE, _dtype_msg(a.dtype))]
+        if plan[0] == "contig":
+            msgs.append(_msg(_MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr,
+                                                      a.nbytes)))
+        else:
+            _, _, cdims, _, _ = plan
+            if compression == "deflate":
+                # pipeline v1: id=1 (deflate), no name, 1 client value
+                # (level 6), padded to an even value count
+                filt = struct.pack("<BB6x", 1, 1) + struct.pack(
+                    "<HHHH", 1, 0, 0, 1) + struct.pack("<I", 6) + b"\x00" * 4
+                msgs.append(_msg(_MSG_FILTER, filt))
+            layout = (struct.pack("<BBB", 3, 2, len(cdims) + 1)
+                      + struct.pack("<Q", btree_addr)
+                      + b"".join(struct.pack("<I", c) for c in cdims)
+                      + struct.pack("<I", a.dtype.itemsize))
+            msgs.append(_msg(_MSG_LAYOUT, layout))
+        return _ohdr_v1(msgs)
 
     # --- placement
     def align(n):
@@ -336,32 +526,30 @@ def write_hdf5(path: str, datasets: Dict[str, np.ndarray]) -> str:
     snod_size = 8 + 40 * len(names)
     pos = align(snod_addr + snod_size)
     hdr_addr = {}
-    for nm, hdr in zip(names, ds_hdrs):
-        hdr_addr[nm] = pos
-        pos = align(pos + len(hdr))
-    data_addr = {}
     for nm in names:
-        data_addr[nm] = pos
-        pos = align(pos + np.ascontiguousarray(datasets[nm]).nbytes)
+        hdr_addr[nm] = pos
+        pos = align(pos + len(build_hdr(nm)))  # size is address-independent
+    data_addr: Dict[str, int] = {}
+    chunk_btree_addr: Dict[str, int] = {}
+    chunk_addrs: Dict[str, List[int]] = {}
+    for nm in names:
+        plan = plans[nm]
+        if plan[0] == "contig":
+            data_addr[nm] = pos
+            pos = align(pos + plan[1].nbytes)
+        else:
+            _, _, cdims, offs, blobs = plan
+            ndimp1 = len(cdims) + 1
+            node_size = 24 + len(offs) * (8 + 8 * ndimp1 + 8) + (8 + 8 * ndimp1)
+            chunk_btree_addr[nm] = pos
+            pos = align(pos + node_size)
+            addrs = []
+            for b in blobs:
+                addrs.append(pos)
+                pos = align(pos + len(b))
+            chunk_addrs[nm] = addrs
     eof = pos
 
-    # --- rebuild dataset headers with true data addresses
-    ds_hdrs = []
-    for nm in names:
-        a = np.ascontiguousarray(datasets[nm])
-        space = struct.pack("<BBB5x", 1, a.ndim, 0) + b"".join(
-            struct.pack("<Q", s) for s in a.shape
-        )
-        layout = struct.pack("<BBQQ", 3, 1, data_addr[nm], a.nbytes)
-        ds_hdrs.append(
-            _ohdr_v1(
-                [
-                    _msg(_MSG_DATASPACE, space),
-                    _msg(_MSG_DATATYPE, _dtype_msg(a.dtype)),
-                    _msg(_MSG_LAYOUT, layout),
-                ]
-            )
-        )
     root_hdr = _ohdr_v1(
         [_msg(_MSG_SYMBOL_TABLE, struct.pack("<QQ", btree_addr, heap_addr))]
     )
@@ -389,10 +577,25 @@ def write_hdf5(path: str, datasets: Dict[str, np.ndarray]) -> str:
         struct.pack_into(
             "<QQII16x", buf, snod_addr + 8 + i * 40, name_off[nm], hdr_addr[nm], 0, 0
         )
-    for nm, hdr in zip(names, ds_hdrs):
-        buf[hdr_addr[nm] : hdr_addr[nm] + len(hdr)] = hdr
-        raw = np.ascontiguousarray(datasets[nm]).tobytes()
-        buf[data_addr[nm] : data_addr[nm] + len(raw)] = raw
+    for nm in names:
+        plan = plans[nm]
+        if plan[0] == "contig":
+            hdr = build_hdr(nm, data_addr=data_addr[nm])
+            buf[hdr_addr[nm] : hdr_addr[nm] + len(hdr)] = hdr
+            raw = plan[1].tobytes()
+            buf[data_addr[nm] : data_addr[nm] + len(raw)] = raw
+        else:
+            _, _, cdims, offs, blobs = plan
+            hdr = build_hdr(nm, btree_addr=chunk_btree_addr[nm])
+            buf[hdr_addr[nm] : hdr_addr[nm] + len(hdr)] = hdr
+            grid_end = [((s + c - 1) // c) * c for s, c in
+                        zip(plan[1].shape, cdims)]
+            node = _chunk_btree_node(offs, [len(b) for b in blobs],
+                                     chunk_addrs[nm], cdims, grid_end)
+            na = chunk_btree_addr[nm]
+            buf[na : na + len(node)] = node
+            for b, addr in zip(blobs, chunk_addrs[nm]):
+                buf[addr : addr + len(b)] = b
     with open(path, "wb") as f:
         f.write(buf)
     return path

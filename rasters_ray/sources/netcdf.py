@@ -18,8 +18,11 @@ section. This module implements it directly:
   ``map_batches`` (one row per (file, var) image, IMAGES-schema
   compatible), so ingest streams like every other source.
 
-NetCDF-4 (HDF5 container) remains environment-blocked and raises a
-clear error on its magic.
+NetCDF-4 (HDF5 container) files route through ``hdf5lite`` — a pure-spec
+reader covering contiguous, compact and chunked(+deflate) datasets (the
+layout real NASA granules use); shuffle/szip-filtered or new-format
+(v2 superblock / OHDR) files raise NotImplementedError there with the
+remediation.
 """
 
 from __future__ import annotations
@@ -103,9 +106,9 @@ def read_netcdf(path_or_bytes) -> Dict:
     data = bytes(data)
     if data[:8] == b"\x89HDF\r\n\x1a\n":
         # NetCDF-4 = HDF5 container. The env has no HDF5 library, but
-        # hdf5lite reads the contiguous/uncompressed subset of the public
-        # spec; chunked/filtered datasets raise NotImplementedError there
-        # with the remediation (nccopy to contiguous or classic).
+        # hdf5lite reads the contiguous/compact/chunked(+deflate) subset
+        # of the public spec; shuffle/szip-filtered datasets raise
+        # NotImplementedError there with the remediation.
         from .hdf5lite import read_hdf5
 
         dsets = read_hdf5(data)
@@ -113,6 +116,14 @@ def read_netcdf(path_or_bytes) -> Dict:
         dim_len: Dict[str, int] = {}
         for full, arr in dsets.items():
             nm = full.rsplit("/", 1)[-1]
+            if nm in vars_out:
+                # two groups with same-named datasets would silently
+                # overwrite each other under leaf-name flattening
+                raise ValueError(
+                    f"HDF5 file has duplicate leaf dataset name {nm!r} "
+                    f"(at {full!r} and elsewhere); open it with "
+                    "hdf5lite.read_hdf5 and address datasets by full path"
+                )
             # NetCDF-4 coordinate variables share their dimension's name;
             # without DIMENSION_LIST attributes we name an axis after the
             # 1D dataset of matching length ONLY when that is unambiguous
