@@ -1454,11 +1454,12 @@ def _golden(filename: str, types: "dict", per_dir):
             continue
         for k in types:
             rows[k].extend(got[k])
-    pqm.write_table(
+    tmp = f"{path}.tmp{os.getpid()}"  # pid-unique: concurrent sweeps must
+    pqm.write_table(                  # not interleave into one half-written
         pa.table({k: pa.array(v, types[k]) for k, v in rows.items()}),
-        path + ".tmp",
+        tmp,
     )
-    os.replace(path + ".tmp", path)
+    os.replace(tmp, path)
     return path
 
 
@@ -3835,14 +3836,18 @@ def q_pq_codes(sf_dir: str):
 def q_geoimage_write(sf_dir: str):
     """to_geopng file sink (sources/geoimage.py): 4 oracle images ->
     viridis RGB PNG + world-file + .crs sidecars under /tmp, written on
-    workers; returns the manifest.  n_bytes is deterministic (stretch ->
-    LUT -> zlib level 6), so the golden VALUES oracle pins the whole
-    render+encode chain; the query also verifies the sidecars exist."""
+    workers; returns the manifest.  Each written PNG is DECODED BACK and
+    its exact RGB integer sum reported, so the golden VALUES oracle pins
+    the whole render chain (stretch -> LUT -> PNG round-trip) by pixel
+    CONTENT, not by compressed size (which would vary with the zlib
+    build).  The query also verifies the sidecars exist.  Output dir is
+    pid-unique so concurrent sweeps cannot race."""
     import os
 
+    from rasters_ray.codec import png_codec
     from rasters_ray.sources.geoimage import write_geoimages
 
-    out_dir = "/tmp/rasters_ray_geoimage_q"
+    out_dir = f"/tmp/rasters_ray_geoimage_q_{os.getpid()}"
     manifest = write_geoimages(
         _images_ds(sf_dir, 4), out_dir, out_fmt="png", cmap="viridis"
     )
@@ -3855,11 +3860,16 @@ def q_geoimage_write(sf_dir: str):
             ok = (os.path.exists(p) and os.path.exists(base + ".pgw")
                   and os.path.exists(base + ".crs"))
             keep_id.append(t.column("image_id")[i].as_py())
-            keep_n.append(int(t.column("n_bytes")[i].as_py()) if ok else -1)
+            if ok:
+                with open(p, "rb") as f:
+                    rgb = png_codec.decode(f.read())
+                keep_n.append(int(rgb.astype(np.int64).sum()))
+            else:
+                keep_n.append(-1)
         return pa.table(
             {
                 "image_id": pa.array(keep_id, pa.string()),
-                "n_bytes": pa.array(keep_n, pa.int64()),
+                "rgb_sum": pa.array(keep_n, pa.int64()),
             }
         )
 
@@ -3882,7 +3892,7 @@ def q_zarr_tiles(sf_dir: str):
     )
     from rasters_ray.stages import make_tiles
 
-    out_dir = "/tmp/rasters_ray_zarr_q/tiles.zarr"
+    out_dir = f"/tmp/rasters_ray_zarr_q_{__import__('os').getpid()}/tiles.zarr"
     tiles = _images_ds(sf_dir, 1).map_batches(
         lambda t: make_tiles(t, level=TILE_LEVEL, decode_pixels=True),
         batch_format="pyarrow",
@@ -5532,14 +5542,16 @@ SELECT * FROM (VALUES
 ) AS t(point_id, image_id, value)
 """
 
-    # geoimage_write: golden VALUES — deterministic render+PNG-encode sizes
+    # geoimage_write: golden VALUES — exact RGB sums of the decoded
+    # render (stretch -> viridis LUT -> lossless PNG round-trip); pixel
+    # content, not compressed size, so any zlib build matches
     sql["geoimage_write"] = """
 SELECT * FROM (VALUES
-  ('img00000000', 1378),
-  ('img00000001', 1376),
-  ('img00000002', 1376),
-  ('img00000003', 1377)
-) AS t(image_id, n_bytes)
+  ('img00000000', 3293515),
+  ('img00000001', 3297147),
+  ('img00000002', 3297581),
+  ('img00000003', 3296422)
+) AS t(image_id, rgb_sum)
 """
 
     # dup_substrings: golden spans from the sequential inverted-index ref

@@ -98,9 +98,17 @@ def parse_crs(crs: str) -> CRSInfo:
             return CRSInfo("utm", zone=code - 32600, south=False)
         if 32701 <= code <= 32760:
             return CRSInfo("utm", zone=code - 32700, south=True)
-        if code in (3413, 3411):  # NSIDC Sea Ice North (3411 legacy sphere
-            # params differ; treated as the WGS84 grid — documented approx)
+        if code == 3413:  # NSIDC Sea Ice North (WGS84)
             return CRSInfo("stere", south=False, lat_ts=70.0, lon_0=-45.0)
+        if code == 3411:
+            # Legacy NSIDC grid on the Hughes 1980 ellipsoid — NOT the
+            # WGS84 parameterization; aliasing it to 3413 would be wrong
+            # by up to hundreds of meters, so refuse instead.
+            raise ValueError(
+                "EPSG:3411 uses the Hughes 1980 ellipsoid, which this engine "
+                "does not implement; reproject the data to EPSG:3413 (the "
+                "WGS84 successor grid) upstream"
+            )
         if code == 3976:  # NSIDC Sea Ice South
             return CRSInfo("stere", south=True, lat_ts=-70.0, lon_0=0.0)
         if code == 3031:  # Antarctic Polar Stereographic
