@@ -57,8 +57,27 @@ def _read_array(adir: str) -> Tuple[np.ndarray, dict]:
     dt = np.dtype(meta["dtype"])
     fill = meta.get("fill_value")
     fill = 0 if fill is None else fill
-    out = np.full(shape, fill, dtype=dt)
     grid_counts = [-(-s // c) for s, c in zip(shape, chunks)]
+    # Sparse-store guard: a planetary-quadtree sink (write_zarr_tiles)
+    # declares a huge logical shape with few chunks present; allocating
+    # it here would OOM. Real-extent rasters (mostly-present chunks, or
+    # small arrays) pass untouched.
+    logical_bytes = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+    if logical_bytes > 256 * 1024 * 1024:
+        n_grid = int(np.prod(grid_counts, dtype=np.int64))
+        n_present = sum(
+            1 for nm in os.listdir(adir)
+            if nm.split(".") and all(p.isdigit() for p in nm.split("."))
+        )
+        if n_present < n_grid // 2:
+            raise ValueError(
+                f"zarr array at {adir} declares "
+                f"{logical_bytes / 2**30:.1f} GiB logical shape {shape} but "
+                f"only {n_present}/{n_grid} chunks are present — a sparse "
+                "store; use list_zarr_chunks + read_zarr_chunk to stream "
+                "chunks instead of materializing the logical array"
+            )
+    out = np.full(shape, fill, dtype=dt)
     attrs = {}
     zattrs = os.path.join(adir, ".zattrs")
     if os.path.exists(zattrs):

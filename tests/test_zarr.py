@@ -198,3 +198,29 @@ def test_zarr_raster_bare_store_unit_grid(tmp_path):
     write_zarr(p, {"v": {"data": np.ones((5, 6), np.float32)}})
     arr, grid = zarr_raster(p, "v")  # no coordinate arrays: unit grid
     assert (grid.rows, grid.cols, grid.cell_width) == (5, 6, 1.0)
+
+
+def test_sparse_store_guard(tmp_path):
+    """read_zarr refuses to materialize a huge-but-sparse logical array
+    (the write_zarr_tiles planetary-quadtree shape) and points at the
+    chunk-wise path; real-extent stores still open."""
+    import zlib
+
+    adir = tmp_path / "sparse.zarr"
+    adir.mkdir()
+    n = 32768  # 4 GiB logical f4 array, 1 of 65536 chunks present
+    json.dump(
+        {"zarr_format": 2, "shape": [n, n], "chunks": [128, 128],
+         "dtype": "<f4", "compressor": {"id": "zlib", "level": 6},
+         "fill_value": 0.0, "filters": None, "order": "C"},
+        open(adir / ".zarray", "w"),
+    )
+    block = np.ones((128, 128), dtype="<f4")
+    (adir / "65.39").write_bytes(zlib.compress(block.tobytes(), 6))
+    with pytest.raises(ValueError, match="read_zarr_chunk"):
+        read_zarr(str(adir))
+    with pytest.raises(ValueError, match="read_zarr_chunk"):
+        zarr_raster(str(adir))
+    # dense real-extent stores (and small sparse ones) open untouched
+    p, temp, *_ = _store(tmp_path)
+    np.testing.assert_array_equal(read_zarr(p)["temp"]["data"], temp)
