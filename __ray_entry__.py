@@ -1425,6 +1425,34 @@ def q_transform_aea(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_laea(sf_dir: str):
+    """Lambert azimuthal equal-area (proj/equal_area.py, Snyder
+    24-17..24-20 via authalic latitude 3-12) with the European
+    EPSG:3035 parameterisation (lat_0=52 lon_0=10, false origin
+    4321000/3210000 — the EPSG GN7-2 worked example is pinned in
+    tests/test_proj.py), forward + inverse round-trip.  Floor-cm int64;
+    the oracle recomputes qp, beta1, Rq, D, B and the per-point
+    projection from the same public formulas in SQL."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "EPSG:3035")
+        lon2, lat2 = transform_xy(x, yv, "EPSG:3035", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 _MINHASH_GOLDEN_SF_DIRS = (
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -4903,6 +4931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_lcc": q_transform_lcc,
         "transform_stere": q_transform_stere,
         "transform_aea": q_transform_aea,
+        "transform_laea": q_transform_laea,
         "phash_dups": q_phash_dups,
         "phash_near": q_phash_near,
         "idw_sample": q_idw_sample,
@@ -5844,6 +5873,58 @@ pp AS (
 SELECT point_id,
        CAST(floor(rho * sin(theta) * 100.0e0) AS BIGINT) AS x_cm,
        CAST(floor((a * rho0_a - rho * cos(theta)) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM pp
+"""
+
+    # transform_laea: EPSG:3035 oblique LAEA — the oracle recomputes the
+    # authalic-latitude machinery (Snyder 3-12, 24-17..24-20) in SQL
+    sql["transform_laea"] = f"""
+WITH {_PTS_CTE.strip()},
+prm AS (
+  SELECT 0.08181919084262149e0 AS e, 0.0066943799901413165e0 AS e2,
+         6378137.0e0 AS a, radians(52.0e0) AS p0
+),
+base AS (
+  SELECT a, e, e2, p0,
+         (1.0e0 - e2) * (1.0e0 / (1.0e0 - e2)
+           - (1.0e0 / (2.0e0 * e)) * ln((1.0e0 - e) / (1.0e0 + e))) AS qp,
+         (1.0e0 - e2) * (sin(p0) / (1.0e0 - e2 * sin(p0) * sin(p0))
+           - (1.0e0 / (2.0e0 * e))
+             * ln((1.0e0 - e * sin(p0)) / (1.0e0 + e * sin(p0)))) AS q0,
+         cos(p0) / sqrt(1.0e0 - e2 * sin(p0) * sin(p0)) AS m1
+  FROM prm
+),
+kg AS (
+  SELECT a, e, e2, qp,
+         asin(q0 / qp) AS b1,
+         a * sqrt(qp / 2.0e0) AS rq,
+         a * m1 / ((a * sqrt(qp / 2.0e0)) * cos(asin(q0 / qp))) AS d
+  FROM base
+),
+pq AS (
+  SELECT point_id,
+         fmod(radians(x - 10.0e0) + 3.141592653589793e0,
+              6.283185307179586e0) - 3.141592653589793e0 AS dl,
+         asin(((1.0e0 - e2)
+           * (sin(radians(y)) / (1.0e0 - e2 * sin(radians(y)) * sin(radians(y)))
+              - (1.0e0 / (2.0e0 * e))
+                * ln((1.0e0 - e * sin(radians(y)))
+                     / (1.0e0 + e * sin(radians(y)))))) / qp) AS b,
+         b1, rq, d
+  FROM pts, kg
+),
+pp AS (
+  SELECT point_id, dl, b, b1, d,
+         rq * sqrt(2.0e0 / (1.0e0 + sin(b1) * sin(b)
+                            + cos(b1) * cos(b) * cos(dl))) AS bb
+  FROM pq
+)
+SELECT point_id,
+       CAST(floor((bb * d * cos(b) * sin(dl) + 4321000.0e0) * 100.0e0)
+            AS BIGINT) AS x_cm,
+       CAST(floor(((bb / d) * (cos(b1) * sin(b) - sin(b1) * cos(b) * cos(dl))
+                   + 3210000.0e0) * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM pp
 """

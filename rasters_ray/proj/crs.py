@@ -28,7 +28,7 @@ WGS84 = "EPSG:4326"
 @dataclass(frozen=True)
 class CRSInfo:
     kind: str  # 'geographic' | 'utm' | 'aeqd' | 'sinu' | 'lcc' | 'merc'
-    #          | 'webmerc' | 'stere' (polar) | 'aea'
+    #          | 'webmerc' | 'stere' (polar) | 'aea' | 'laea' | 'cea'
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea
@@ -38,7 +38,7 @@ class CRSInfo:
     x_0: float = 0.0  # false easting/northing (sinu / lcc / stere / aea)
     y_0: float = 0.0
     radius: Optional[float] = None  # sinu sphere radius (None = ellipsoidal)
-    lat_ts: float = 0.0  # polar stereographic standard parallel
+    lat_ts: float = 0.0  # polar stereographic / cea standard parallel
 
     @property
     def is_geographic(self) -> bool:
@@ -72,6 +72,16 @@ class CRSInfo:
             return (
                 f"+proj=aea +lat_1={self.lat_1} +lat_2={self.lat_2}"
                 f" +lat_0={self.lat_0} +lon_0={self.lon_0}"
+                f" +x_0={self.x_0} +y_0={self.y_0}"
+            )
+        if self.kind == "laea":
+            return (
+                f"+proj=laea +lat_0={self.lat_0} +lon_0={self.lon_0}"
+                f" +x_0={self.x_0} +y_0={self.y_0}"
+            )
+        if self.kind == "cea":
+            return (
+                f"+proj=cea +lat_ts={self.lat_ts} +lon_0={self.lon_0}"
                 f" +x_0={self.x_0} +y_0={self.y_0}"
             )
         return f"+proj=aeqd +lat_0={self.lat_0} +lon_0={self.lon_0}"
@@ -115,6 +125,15 @@ def parse_crs(crs: str) -> CRSInfo:
             return CRSInfo("stere", south=True, lat_ts=-71.0, lon_0=0.0)
         if code == 5070:  # CONUS Albers (NAD83/GRS80 ~ WGS84 here)
             return CRSInfo("aea", lat_1=29.5, lat_2=45.5, lat_0=23.0, lon_0=-96.0)
+        if code == 3035:  # European LAEA (ETRS89/GRS80 ~ WGS84 here)
+            return CRSInfo("laea", lat_0=52.0, lon_0=10.0,
+                           x_0=4321000.0, y_0=3210000.0)
+        if code == 6931:  # EASE-Grid 2.0 North (polar LAEA)
+            return CRSInfo("laea", lat_0=90.0, lon_0=0.0)
+        if code == 6932:  # EASE-Grid 2.0 South
+            return CRSInfo("laea", lat_0=-90.0, lon_0=0.0)
+        if code == 6933:  # EASE-Grid 2.0 Global (cylindrical equal-area)
+            return CRSInfo("cea", lat_ts=30.0, lon_0=0.0)
         raise ValueError(f"unsupported EPSG code: {code}")
     low = s.lower()
 
@@ -177,6 +196,16 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo(
             "aea", lat_1=lat_1, lat_2=_p("lat_2", lat_1), lat_0=_p("lat_0"),
             lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=laea" in low:
+        return CRSInfo(
+            "laea", lat_0=_p("lat_0"), lon_0=_p("lon_0"),
+            x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=cea" in low:
+        return CRSInfo(
+            "cea", lat_ts=_p("lat_ts"), lon_0=_p("lon_0"),
+            x_0=_p("x_0"), y_0=_p("y_0"),
         )
     raise ValueError(f"unsupported CRS: {s}")
 

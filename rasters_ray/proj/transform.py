@@ -20,6 +20,7 @@ import numpy as np
 from . import aeqd as _aeqd
 from . import albers as _aea
 from . import conic as _lcc
+from . import equal_area as _ea
 from . import mercator as _merc
 from . import sinusoidal as _sinu
 from . import stereographic as _st
@@ -54,6 +55,14 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
         return _aea.aea_to_geographic(
             x, y, info.lat_1, info.lat_2, info.lat_0, info.lon_0, info.x_0, info.y_0
         )
+    if info.kind == "laea":
+        return _ea.laea_to_geographic(
+            x, y, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "cea":
+        return _ea.cea_to_geographic(
+            x, y, info.lat_ts, info.lon_0, info.x_0, info.y_0
+        )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 
 
@@ -83,6 +92,14 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
     if info.kind == "aea":
         return _aea.geographic_to_aea(
             lon, lat, info.lat_1, info.lat_2, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "laea":
+        return _ea.geographic_to_laea(
+            lon, lat, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "cea":
+        return _ea.geographic_to_cea(
+            lon, lat, info.lat_ts, info.lon_0, info.x_0, info.y_0
         )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 

@@ -312,3 +312,88 @@ def test_albers_parse_and_1sp():
     x, y = geographic_to_aea(np.array([-100.0]), np.array([41.0]), 40.0, 40.0, 40.0, -96.0)
     lo, la = aea_to_geographic(x, y, 40.0, 40.0, 40.0, -96.0)
     assert abs(lo[0] + 100.0) < 1e-9 and abs(la[0] - 41.0) < 1e-9
+
+
+def test_laea_epsg_worked_example_and_round_trip():
+    """EPSG Guidance Note 7-2 worked example for ETRS89-LAEA
+    (EPSG:3035): 50N 5E -> E 3962799.45, N 2999718.85 — an anchor
+    independent of this implementation."""
+    from rasters_ray.proj.transform import transform_xy
+
+    x, y = transform_xy([5.0], [50.0], "EPSG:4326", "EPSG:3035")
+    assert abs(x[0] - 3962799.45) < 0.01
+    assert abs(y[0] - 2999718.85) < 0.01
+    # projection center -> false origin exactly
+    x, y = transform_xy([10.0], [52.0], "EPSG:4326", "EPSG:3035")
+    assert abs(x[0] - 4321000.0) < 1e-6 and abs(y[0] - 3210000.0) < 1e-6
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-89, 89, 500)
+    lo, la = transform_xy(*transform_xy(lon, lat, "EPSG:4326", "EPSG:3035"),
+                          "EPSG:3035", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+def test_laea_polar_ease2_and_cea_global():
+    """EASE-Grid 2.0 (Brodzik et al. 2012): EPSG:6931/6932 polar LAEA,
+    EPSG:6933 global CEA lat_ts=30 whose published map half-width is
+    17367530.44 m — an independent anchor."""
+    from rasters_ray.proj.transform import transform_xy
+
+    # poles map to origin; polar round-trips both aspects
+    x, y = transform_xy([123.0], [90.0], "EPSG:4326", "EPSG:6931")
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    x, y = transform_xy([-45.0], [-90.0], "EPSG:4326", "EPSG:6932")
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179, 179, 300)
+    for crs, lat in [("EPSG:6931", rng.uniform(1, 89, 300)),
+                     ("EPSG:6932", rng.uniform(-89, -1, 300)),
+                     ("EPSG:6933", rng.uniform(-85, 85, 300))]:
+        lo, la = transform_xy(*transform_xy(lon, lat, "EPSG:4326", crs),
+                              crs, "EPSG:4326")
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-8)
+    x, _ = transform_xy([180.0 - 1e-9], [0.0], "EPSG:4326", "EPSG:6933")
+    assert abs(x[0] - 17367530.44) < 0.01
+
+
+def test_laea_cea_equal_area_property():
+    """det(Jacobian) of the forward equals the ellipsoidal area element
+    a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2 — the defining
+    property, checked by numerical differentiation (formula independent
+    of the projection code)."""
+    from rasters_ray.proj.conic import A_WGS84, E2
+    from rasters_ray.proj.transform import transform_xy
+
+    h = 1e-4
+    lo = np.array([10.0, -50.0, 120.0, 0.0])
+    la = np.array([52.0, 20.0, -35.0, 70.0])
+    elem = (A_WGS84**2 * (1 - E2) * np.cos(np.radians(la))
+            / (1 - E2 * np.sin(np.radians(la)) ** 2) ** 2
+            * (np.pi / 180.0) ** 2)
+    for crs in ("EPSG:3035", "EPSG:6931", "EPSG:6933"):
+        x0, y0 = transform_xy(lo, la, "EPSG:4326", crs)
+        xl, yl = transform_xy(lo + h, la, "EPSG:4326", crs)
+        xp, yp = transform_xy(lo, la + h, "EPSG:4326", crs)
+        det = np.abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (h * h)
+        np.testing.assert_allclose(det / elem, 1.0, atol=2e-5)
+
+
+def test_laea_cea_parse_and_refusals():
+    from rasters_ray.proj.crs import parse_crs
+
+    info = parse_crs("EPSG:3035")
+    assert (info.kind, info.lat_0, info.lon_0, info.x_0, info.y_0) == (
+        "laea", 52.0, 10.0, 4321000.0, 3210000.0)
+    assert parse_crs(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000") == info
+    assert parse_crs("EPSG:6933").kind == "cea"
+    assert parse_crs("+proj=cea +lat_ts=30") == parse_crs("EPSG:6933")
+    assert parse_crs(info.canonical()) == info
+    cea = parse_crs("EPSG:6933")
+    assert parse_crs(cea.canonical()) == cea
+    # EPSG:3411 (Hughes 1980) is refused, not silently aliased to 3413
+    with pytest.raises(ValueError, match="Hughes"):
+        parse_crs("EPSG:3411")
