@@ -29,14 +29,22 @@ def install_sort_empty_schema_filter():
     """Drop ONLY Ray's "RefBundle with a different schema ... new schema: ."
     executor warnings for ZERO-COLUMN bundles.
 
-    These originate inside Ray 2.49's sort reduce, not in engine code: a
-    bare ``ds.sort("k")`` with more input blocks than distinct keys emits
-    them (empty ranges are built by a DelegatingBlockBuilder with zero
-    inputs -> a schema-less empty block). Every engine map/group stage
-    emits SCHEMA-TYPED empty tables (rasters_ray.util.map_groups_typed and
-    per-stage empty_table() guards), so any remaining instance is the
-    Ray-internal artifact; real schema-mismatch warnings (non-empty "new
-    schema") still surface."""
+    Diagnosed root cause (round 5, pinned by
+    tests/test_ray_stages.py::test_ray_drops_typed_empty_batches): Ray
+    2.49's OWN map pipeline manufactures the schema-less empties — the
+    inter-stage Batcher drops 0-row blocks even when schema-typed
+    (ray/data/_internal/batcher.py:83 ``if num_rows() > 0``), and the
+    all-empty fallback in BlocksToBatchesMapTransformFn rebuilds "an
+    empty block with same schema" from a FRESH builder, which has no
+    schema (map_transformer.py:443-460) — so ANY map_batches task whose
+    output is empty (a filter with no survivors in that block, a sort
+    range with no keys) emits one zero-column bundle, on sort-free plans
+    too. Engine stages always return SCHEMA-TYPED empty tables
+    (rasters_ray.util.map_groups_typed and per-stage empty_table()
+    guards), and a typed empty CANNOT reach the executor through Ray's
+    batcher, so a warning whose "new schema" is EMPTY is provably the
+    Ray artifact; a real engine schema divergence always prints a
+    non-empty "new schema" and still surfaces."""
     import logging
 
     class _F(logging.Filter):

@@ -316,3 +316,38 @@ def test_zonal_stats_hand_computed(ray_session):
     assert out.loc[2, "n_px"] == 3 and out.loc[2, "sum_value"] == 35
     # zone 3: no overlap -> absent (inner-join semantics)
     assert 3 not in out.index
+
+
+def test_ray_drops_typed_empty_batches(ray_session):
+    """Pins the Ray 2.49 behavior behind bench.py's log filter: a
+    map_batches chain whose UDF returns a SCHEMA-TYPED empty table still
+    surfaces a ZERO-COLUMN block, because the inter-stage Batcher drops
+    0-row blocks (ray/data/_internal/batcher.py:83) and the all-empty
+    fallback rebuilds the empty from a fresh schema-less builder
+    (map_transformer.py:443-460). The engine's typed empties therefore
+    cannot reach the executor, and every "new schema: ." RefBundle
+    warning is the Ray artifact, not an engine stage. If a Ray upgrade
+    makes this test FAIL (schema preserved), delete bench.py's
+    install_sort_empty_schema_filter."""
+    import ray.data as rd
+
+    typed = pa.schema([("a", pa.int64()), ("b", pa.string())])
+
+    def keep_none(t: pa.Table) -> pa.Table:
+        return typed.empty_table()
+
+    def passthrough(t: pa.Table) -> pa.Table:
+        return t
+
+    ds = (
+        rd.from_arrow(pa.table({"a": pa.array([1, 2], pa.int64()),
+                                "b": pa.array(["x", "y"], pa.string())}))
+        .map_batches(keep_none, batch_format="pyarrow")
+        .map_batches(passthrough, batch_format="pyarrow")
+    )
+    schemas = [rb.schema for rb in ds.iter_internal_ref_bundles()]
+    assert schemas, "expected at least one output bundle"
+    assert all(s is None or len(s.names) == 0 for s in schemas), (
+        f"Ray now preserves typed empty schemas ({schemas}); "
+        "bench.py's RefBundle log filter can be removed"
+    )
