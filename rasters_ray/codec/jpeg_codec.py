@@ -10,14 +10,20 @@ implements the baseline subset of the PUBLIC JPEG spec directly:
   quantization, token generation AND entropy bit-packing are all
   vectorized (the bitstream is assembled with one cumsum/packbits pass —
   no per-coefficient Python loop).
-- ``decode``: baseline DCT (SOF0), 8-bit, grayscale or YCbCr with any
+- ``decode``: baseline DCT (SOF0/1, single- or multi-scan, interleaved
+  or per-component) AND progressive (SOF2: spectral selection +
+  successive approximation per T.81 Annex G — DC/AC first and
+  refinement scans, EOB runs), 8-bit, grayscale or YCbCr with any
   1-2/1-2 sampling factors, multiple DQT/DHT segments, restart
-  intervals. Progressive (SOF2), arithmetic coding, and 12-bit raise
-  NotImplementedError. The per-symbol Huffman loop is sequential Python
-  (unavoidable for a data-dependent prefix code) but everything after —
-  dequantize, IDCT, upsample, color convert — is one vectorized pass
-  over all blocks; decode runs inside actor-pool map_batches stages so
-  the parallelism axis is images, not pixels.
+  intervals in any scan. Arithmetic coding, lossless/hierarchical SOFs
+  and 12-bit raise NotImplementedError. The per-symbol Huffman loop is
+  sequential Python (unavoidable for a data-dependent prefix code) but
+  everything after — dequantize, IDCT, upsample, color convert — is one
+  vectorized pass over all blocks; decode runs inside actor-pool
+  map_batches stages so the parallelism axis is images, not pixels.
+  ``encode(progressive=True)`` emits an SOF2 stream (interleaved DC
+  scan + per-component spectral/successive AC scans) that decodes
+  bit-identically to the baseline stream at the same quality.
 
 Round-trip PSNR at quality 90 is >= 30 dB on natural gradients (tested);
 this is a LOSSY codec — the engine's lossless paths stay npy/png.
@@ -252,18 +258,25 @@ def _dht_payload(tc_th: int, bits: List[int], values: List[int]) -> bytes:
 
 
 def encode(arr: np.ndarray, quality: int = 85, subsample: bool = False,
-           restart_interval: int = 0) -> bytes:
+           restart_interval: int = 0, progressive: bool = False) -> bytes:
     """uint8 grayscale (h,w) or RGB (h,w,3) -> baseline JFIF bytes.
 
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (DC predictors reset, each entropy segment
-    byte-aligned) — the stream-resync feature robust encoders use."""
+    byte-aligned) — the stream-resync feature robust encoders use.
+    ``progressive`` emits an SOF2 multi-scan stream instead (spectral
+    selection + successive approximation; same quantized coefficients,
+    so it decodes bit-identically to the baseline stream)."""
     a = np.asarray(arr)
     if a.dtype != np.uint8:
         raise ValueError("jpeg encode expects uint8")
     gray = a.ndim == 2
     if not gray and (a.ndim != 3 or a.shape[2] != 3):
         raise ValueError("expected (h,w) or (h,w,3)")
+    if progressive:
+        if restart_interval:
+            raise ValueError("progressive encode does not take restart_interval")
+        return _encode_progressive(a, quality, subsample)
     h, w = a.shape[:2]
     qlum, qchr = _quality_tables(quality)
     dc_l = _build_codes(*_DC_LUM)
@@ -446,19 +459,243 @@ def _extend(v: int, cat: int) -> int:
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
+def _entropy_segments(d: bytes, start: int) -> Tuple[List[bytes], int]:
+    """Unstuff one scan's entropy bytes starting at ``start``, splitting
+    at RSTn markers.  Returns (segments, pos-of-next-marker) so the
+    caller's marker loop resumes at the DHT/SOS/EOI that ends the scan."""
+    segments: List[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(d)
+    while i < n:
+        b = d[i]
+        if b == 0xFF:
+            nxt = d[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _block_full(br: _Bits, blk, dc_tbl, ac_tbl, pred: Dict[int, int], cid: int):
+    """Baseline full-band block: DC diff + AC run/size to coefficient 63."""
+    dsym, dlen = dc_tbl
+    asym, alen = ac_tbl
+    look = br.peek16()
+    s, L = int(dsym[look]), int(dlen[look])
+    if L == 0:
+        raise ValueError("bad Huffman code (DC)")
+    br.skip(L)
+    diff = _extend(br.take(s), s) if s else 0
+    pred[cid] += diff
+    blk[0] = pred[cid]
+    k = 1
+    while k < 64:
+        look = br.peek16()
+        s, L = int(asym[look]), int(alen[look])
+        if L == 0:
+            raise ValueError("bad Huffman code (AC)")
+        br.skip(L)
+        if s == 0x00:
+            break
+        if s == 0xF0:
+            k += 16
+            continue
+        k += s >> 4
+        cat = s & 0x0F
+        if k > 63:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(br.take(cat), cat)
+        k += 1
+
+
+def _block_dc_first(br: _Bits, blk, dc_tbl, pred: Dict[int, int], cid: int,
+                    al: int):
+    """Progressive DC first scan (G.1.2.1): diff of dc >> Al, stored
+    << Al."""
+    dsym, dlen = dc_tbl
+    look = br.peek16()
+    s, L = int(dsym[look]), int(dlen[look])
+    if L == 0:
+        raise ValueError("bad Huffman code (DC)")
+    br.skip(L)
+    diff = _extend(br.take(s), s) if s else 0
+    pred[cid] += diff
+    blk[0] = pred[cid] << al
+
+
+def _block_ac_first(br: _Bits, blk, ac_tbl, ss: int, se: int, al: int,
+                    eob: List[int]):
+    """Progressive AC first scan (G.1.2.2): band [Ss..Se] with EOB runs;
+    values stored << Al."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    asym, alen = ac_tbl
+    k = ss
+    while k <= se:
+        look = br.peek16()
+        s, L = int(asym[look]), int(alen[look])
+        if L == 0:
+            raise ValueError("bad Huffman code (AC)")
+        br.skip(L)
+        r, sz = s >> 4, s & 0x0F
+        if sz == 0:
+            if r != 15:
+                eob[0] = (1 << r) - 1
+                if r:
+                    eob[0] += br.take(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(br.take(sz), sz) << al
+        k += 1
+
+
+def _block_ac_refine(br: _Bits, blk, ac_tbl, ss: int, se: int, al: int,
+                     eob: List[int]):
+    """Progressive AC refinement scan (G.1.2.3): correction bits for
+    history-nonzero coefficients, new +-1<<Al insertions, EOB runs."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eob[0] == 0:
+        asym, alen = ac_tbl
+        while k <= se:
+            look = br.peek16()
+            s, L = int(asym[look]), int(alen[look])
+            if L == 0:
+                raise ValueError("bad Huffman code (AC)")
+            br.skip(L)
+            r, sz = s >> 4, s & 0x0F
+            val = 0
+            if sz == 0:
+                if r != 15:
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += br.take(r)
+                    break  # rest of band: correction-bit sweep below
+                # ZRL: r=15 -> skip 16 zero-history coefficients
+            else:
+                if sz != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                val = p1 if br.take(1) else m1
+            # advance over r zero-history coefficients, reading a
+            # correction bit at every nonzero-history one passed
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.take(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eob[0] > 0:
+        while k <= se:  # in an EOB run: correction bits only
+            c = int(blk[k])
+            if c != 0:
+                if br.take(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eob[0] -= 1
+
+
+def _decode_scan(d: bytes, start: int, scomps, ss: int, se: int, ah: int,
+                 al: int, comps, coef, used, hufs, restart: int,
+                 mcux: int, mcuy: int, progressive: bool) -> int:
+    """Decode one entropy-coded scan into the per-component coefficient
+    grids; returns the stream position of the marker ending the scan."""
+    segments, end = _entropy_segments(d, start)
+    byc = {cid: (ch, cv) for cid, ch, cv, _tq in comps}
+    interleaved = len(scomps) > 1
+    if progressive and ss > 0 and interleaved:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        uy, ux = used[scomps[0][0]]
+        n_units = uy * ux
+    seg_idx = 0
+    br = _Bits(segments[0])
+    pred = {cid: 0 for cid, *_ in comps}
+    eob = [0]
+    per_seg = restart if restart else n_units
+
+    def one(br, blk, td, ta, cid):
+        if not progressive:
+            _block_full(br, blk, hufs[0x00 | td], hufs[0x10 | ta], pred, cid)
+        elif ss == 0:
+            if ah == 0:
+                _block_dc_first(br, blk, hufs[0x00 | td], pred, cid, al)
+            else:  # DC refinement: one raw bit appended at Al
+                blk[0] |= br.take(1) << al
+        elif ah == 0:
+            _block_ac_first(br, blk, hufs[0x10 | ta], ss, se, al, eob)
+        else:
+            _block_ac_refine(br, blk, hufs[0x10 | ta], ss, se, al, eob)
+
+    for ui in range(n_units):
+        if restart and ui and ui % per_seg == 0:
+            seg_idx += 1
+            br = _Bits(segments[seg_idx])
+            pred = {cid: 0 for cid, *_ in comps}
+            eob[0] = 0
+        if interleaved:
+            my, mx = ui // mcux, ui % mcux
+            for cid, td, ta in scomps:
+                ch, cv = byc[cid]
+                for v in range(cv):
+                    for hh in range(ch):
+                        one(br, coef[cid][my * cv + v, mx * ch + hh],
+                            td, ta, cid)
+        else:
+            cid, td, ta = scomps[0]
+            _uy, ux = used[cid]
+            one(br, coef[cid][ui // ux, ui % ux], td, ta, cid)
+    return end
+
+
 def decode(data) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 array (h,w) or (h,w,3)."""
+    """JPEG bytes -> uint8 array (h,w) or (h,w,3).
+
+    Handles baseline sequential (SOF0/1, single- or multi-scan,
+    interleaved or per-component) AND progressive (SOF2: spectral
+    selection + successive approximation, DC/AC first and refinement
+    scans, EOB runs), with restart intervals in any scan. Arithmetic,
+    lossless and hierarchical SOFs raise NotImplementedError."""
     d = bytes(data)
     if d[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     qts: Dict[int, np.ndarray] = {}
     hufs: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-    comps = []  # (id, h, v, tq)
+    comps: List[Tuple[int, int, int, int]] = []
     h = w = 0
     restart = 0
+    progressive = False
+    coef: Dict[int, np.ndarray] = {}
+    used: Dict[int, Tuple[int, int]] = {}
+    mcux = mcuy = 0
+    hmax = vmax = 1
+    got_scan = False
     p = 2
-    scan_start = None
-    scan_comps = None
     while p + 1 < len(d):
         if d[p] != 0xFF:
             p += 1
@@ -492,9 +729,10 @@ def decode(data) -> np.ndarray:
                 vals = list(body[q + 17 : q + 17 + nv])
                 hufs[tc_th] = _lut(bits, vals)
                 q += 17 + nv
-        elif m == 0xC0 or m == 0xC1:
+        elif m in (0xC0, 0xC1, 0xC2):
+            progressive = m == 0xC2
             if body[0] != 8:
-                raise NotImplementedError("only 8-bit baseline JPEG supported")
+                raise NotImplementedError("only 8-bit JPEG supported")
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
             comps = [
@@ -502,136 +740,57 @@ def decode(data) -> np.ndarray:
                  body[8 + 3 * i])
                 for i in range(nc)
             ]
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if nc == 1:
+                # T.81: a single-component image scans non-interleaved —
+                # MCU is one 8x8 block regardless of declared sampling
+                cid0, _ch0, _cv0, tq0 = comps[0]
+                comps = [(cid0, 1, 1, tq0)]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, ch, cv, tq in comps:
+                coef[cid] = np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+                cw = -(-(w * ch) // hmax)   # component sample dims
+                chh = -(-(h * cv) // vmax)
+                used[cid] = (-(-chh // 8), -(-cw // 8))
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{m:02X} (progressive/arithmetic/lossless) "
-                "unsupported: only baseline sequential (SOF0/1)"
+                f"JPEG SOF marker 0xFF{m:02X} (arithmetic/lossless/"
+                "hierarchical) unsupported: baseline (SOF0/1) and "
+                "progressive (SOF2) Huffman streams only"
             )
         elif m == 0xDD:
             restart = struct.unpack(">H", body[:2])[0]
         elif m == 0xDA:
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
-                           body[2 + 2 * i] & 0x0F) for i in range(ns)]
-            scan_start = p + 2 + ln
-            break
+            scomps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                       body[2 + 2 * i] & 0x0F) for i in range(ns)]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            p = _decode_scan(d, p + 2 + ln, scomps, ss, se,
+                             ahal >> 4, ahal & 0x0F, comps, coef, used,
+                             hufs, restart, mcux, mcuy, progressive)
+            got_scan = True
+            continue
         p += 2 + ln
-    if scan_start is None or not comps:
+    if not got_scan:
         raise ValueError("no SOS/SOF in JPEG stream")
-    if len(scan_comps) == 1 and len(comps) > 1:
-        raise NotImplementedError(
-            "multi-scan (per-component non-interleaved) baseline JPEG "
-            "unsupported: only single-scan interleaved streams"
-        )
-    if len(comps) == 1:
-        # T.81: a single-component scan is NON-interleaved — MCU is one
-        # 8x8 block in raster order regardless of declared sampling
-        # factors (some encoders emit 2x2 on grayscale); normalizing to
-        # 1x1 gives exactly that layout.
-        cid0, _ch0, _cv0, tq0 = comps[0]
-        comps = [(cid0, 1, 1, tq0)]
 
-    # unstuff entropy data, splitting at restart markers
-    raw = d[scan_start:]
-    end = raw.find(b"\xFF\xD9")
-    raw = raw[: end if end >= 0 else len(raw)]
-    segments: List[bytes] = []
-    cur = bytearray()
-    i = 0
-    while i < len(raw):
-        b = raw[i]
-        if b == 0xFF:
-            nxt = raw[i + 1] if i + 1 < len(raw) else 0
-            if nxt == 0:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
-    per_comp_coef = {}
-    per_comp_blocks = {}
-    for cid, ch, cv, tq in comps:
-        nb = n_mcu * ch * cv
-        per_comp_coef[cid] = np.zeros((nb, 64), dtype=np.int32)
-        per_comp_blocks[cid] = 0
-
-    sc = {cid: (td, ta) for cid, td, ta in scan_comps}
-    order = [(cid, ch, cv, tq) for cid, ch, cv, tq in comps]
-
-    seg_idx = 0
-    br = _Bits(segments[0])
-    pred = {cid: 0 for cid, *_ in comps}
-    mcu_per_seg = restart if restart else n_mcu
-    for mi in range(n_mcu):
-        if restart and mi and mi % mcu_per_seg == 0:
-            seg_idx += 1
-            br = _Bits(segments[seg_idx])
-            pred = {cid: 0 for cid, *_ in comps}
-        for cid, ch, cv, tq in order:
-            dsym, dlen = hufs[0x00 | sc[cid][0]]
-            asym, alen = hufs[0x10 | sc[cid][1]]
-            for _ in range(ch * cv):
-                blk = per_comp_coef[cid][per_comp_blocks[cid]]
-                per_comp_blocks[cid] += 1
-                look = br.peek16()
-                s, L = int(dsym[look]), int(dlen[look])
-                if L == 0:
-                    raise ValueError("bad Huffman code (DC)")
-                br.skip(L)
-                if s:
-                    blk[0] = _extend(br.take(s), s)
-                blk[0] += pred[cid]
-                pred[cid] = blk[0]
-                k = 1
-                while k < 64:
-                    look = br.peek16()
-                    s, L = int(asym[look]), int(alen[look])
-                    if L == 0:
-                        raise ValueError("bad Huffman code (AC)")
-                    br.skip(L)
-                    if s == 0x00:
-                        break
-                    if s == 0xF0:
-                        k += 16
-                        continue
-                    k += s >> 4
-                    cat = s & 0x0F
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    blk[k] = _extend(br.take(cat), cat)
-                    k += 1
-
-    # vectorized dequant + IDCT per component
+    # vectorized dequant + IDCT per component (grids are block-raster)
     planes = {}
     for cid, ch, cv, tq in comps:
-        coef = per_comp_coef[cid].astype(np.float64) * qts[tq][None, :]
-        rast = np.zeros_like(coef)
-        rast[:, _ZIG] = coef
+        g = coef[cid]
+        gy, gx = g.shape[:2]
+        co = g.reshape(-1, 64).astype(np.float64) * qts[tq][None, :]
+        rast = np.zeros_like(co)
+        rast[:, _ZIG] = co
         bl = rast.reshape(-1, 8, 8)
         pix = np.einsum("ji,njk,kl->nil", _D, bl, _D) + 128.0
-        cw, chh = mcux * ch, mcuy * cv  # blocks across / down
-        # blocks are stored MCU-major: within each MCU, cv x ch raster
-        full = np.zeros((chh * 8, cw * 8))
-        idx = np.arange(n_mcu * ch * cv)
-        mcu_of = idx // (ch * cv)
-        sub = idx % (ch * cv)
-        by = (mcu_of // mcux) * cv + sub // ch
-        bx = (mcu_of % mcux) * ch + sub % ch
-        full_bl = full.reshape(chh, 8, cw, 8)
-        full_bl[by, :, bx, :] = pix
+        full = pix.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3).reshape(
+            gy * 8, gx * 8)
         planes[cid] = (full, ch, cv)
 
     if len(comps) == 1:
@@ -650,3 +809,273 @@ def decode(data) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+# ------------------------------------------------------- progressive encode
+
+# Flat canonical AC table for progressive scans: every (run,size) symbol
+# plus all EOBn codes must be encodable, and the Annex-K tables lack
+# EOBn for runs > 1 — so progressive scans carry this complete table
+# (254 symbols at 9 bits + 2 at 10; simplicity over ratio, and the
+# decoder reads whatever DHT the stream declares).
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
+
+
+class _BitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing (one scan)."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _mag1(v: int, cat: int) -> int:
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _enc_dc_scan(bw: _BitWriter, qgrids, comps, mcux: int, mcuy: int,
+                 dc_tbls, ah: int, al: int):
+    """Interleaved DC scan: first pass (diffs of dc >> Al) or refinement
+    (one raw bit per block)."""
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (ch, cv) in enumerate(comps):
+                g = qgrids[ci]
+                for v in range(cv):
+                    for hh in range(ch):
+                        dc = int(g[my * cv + v, mx * ch + hh, 0])
+                        if ah:
+                            bw.put((dc >> al) & 1, 1)
+                            continue
+                        val = dc >> al  # arithmetic shift (T.81 point transform)
+                        diff = val - preds[ci]
+                        preds[ci] = val
+                        cat = abs(diff).bit_length()
+                        code, ln = dc_tbls[ci][cat]
+                        bw.put(code, ln)
+                        if cat:
+                            bw.put(_mag1(diff, cat), cat)
+
+
+def _enc_ac_first(bw: _BitWriter, blocks, tbl, ss: int, se: int, al: int):
+    """AC first scan (G.1.2.2 encoder): run/size coding of the
+    point-transformed band with cross-block EOB runs."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = tbl[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(blk[k])
+            a = (-t if t < 0 else t) >> al  # magnitude shift toward zero
+            if a == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                code, ln = tbl[0xF0]
+                bw.put(code, ln)
+                r -= 16
+            cat = a.bit_length()
+            code, ln = tbl[(r << 4) | cat]
+            bw.put(code, ln)
+            bw.put(_mag1(a if t >= 0 else -a, cat), cat)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine(bw: _BitWriter, blocks, tbl, ss: int, se: int, al: int):
+    """AC refinement scan (G.1.2.3 encoder, libjpeg-structured):
+    correction bits buffered behind the next emitted symbol; trailing
+    zero sections folded into cross-block EOB runs."""
+    eobrun = 0
+    bebits: List[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, bebits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = tbl[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+            for b in bebits:
+                bw.put(b, 1)
+            bebits = []
+
+    for blk in blocks:
+        absv = []
+        for k in range(ss, se + 1):
+            t = int(blk[k])
+            absv.append((-t if t < 0 else t) >> al)
+        eobpos = ss - 1  # position of last NEWLY-significant coefficient
+        for i, a in enumerate(absv):
+            if a == 1:
+                eobpos = ss + i
+        r = 0
+        br: List[int] = []  # correction bits since the last symbol
+        for i, a in enumerate(absv):
+            k = ss + i
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:
+                flush_eob()
+                code, ln = tbl[0xF0]
+                bw.put(code, ln)
+                r -= 16
+                for b in br:
+                    bw.put(b, 1)
+                br = []
+            if a > 1:  # history-nonzero: buffer its correction bit
+                br.append(a & 1)
+                continue
+            flush_eob()  # newly significant: emit (r,1) + sign
+            code, ln = tbl[(r << 4) | 1]
+            bw.put(code, ln)
+            bw.put(0 if int(blk[k]) < 0 else 1, 1)
+            for b in br:
+                bw.put(b, 1)
+            br = []
+            r = 0
+        if r or br:  # trailing section joins the EOB run
+            eobrun += 1
+            bebits.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_progressive(a: np.ndarray, quality: int, subsample: bool) -> bytes:
+    """SOF2 progressive JFIF: interleaved DC scan (Al=1) + per-component
+    spectral-selection AC scans at Al=1, then AC refinement scans and a
+    DC refinement scan down to full precision — every T.81 progressive
+    coding mode, so the stream fully exercises a decoder. Same quantized
+    coefficients as the baseline path, so decode(progressive) is
+    bit-identical to decode(baseline) at the same quality."""
+    h, w = a.shape[:2]
+    gray = a.ndim == 2
+    qlum, qchr = _quality_tables(quality)
+    if gray:
+        planes = [a.astype(np.float64)]
+    else:
+        r, g, b = (a[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            H2, W2 = -(-h // 2) * 2, -(-w // 2) * 2
+
+            def ds(p):
+                p = np.pad(p, ((0, H2 - h), (0, W2 - w)), mode="edge")
+                return p.reshape(H2 // 2, 2, W2 // 2, 2).mean(axis=(1, 3))
+
+            cb, cr = ds(cb), ds(cr)
+        planes = [y, cb, cr]
+    qt_zz = [qlum[_ZIG]] + ([qchr[_ZIG]] if not gray else [])
+    comp_q = [0] + ([1, 1] if not gray else [])
+    hs = [(1, 1)] if gray else ([(2, 2), (1, 1), (1, 1)] if subsample
+                                else [(1, 1)] * 3)
+    hmax = max(x[0] for x in hs)
+    vmax = max(x[1] for x in hs)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    qgrids, useds = [], []
+    for ci, plane in enumerate(planes):
+        ch, cv = hs[ci]
+        gy, gx = mcuy * cv, mcux * ch
+        ph, pw = plane.shape
+        pl = np.pad(plane, ((0, gy * 8 - ph), (0, gx * 8 - pw)), mode="edge")
+        bl = _blocks(np.clip(np.rint(pl), 0, 255).astype(np.uint8))
+        q = _zigzag_quant(bl, qt_zz[comp_q[ci]].astype(np.float64))
+        qgrids.append(q.reshape(gy, gx, 64))
+        useds.append((-(-ph // 8), -(-pw // 8)))  # non-interleaved dims
+
+    dc_l = _build_codes(*_DC_LUM)
+    dc_c = _build_codes(*_DC_CHR)
+    ac_p = _build_codes(*_AC_PROG)
+    dc_tbls = [dc_l] + [dc_c] * (len(planes) - 1)
+
+    out = [b"\xFF\xD8",
+           _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+           _seg(0xFFDB, b"\x00" + bytes(qt_zz[0].astype(np.uint8)))]
+    if not gray:
+        out.append(_seg(0xFFDB, b"\x01" + bytes(qt_zz[1].astype(np.uint8))))
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, hs[ci][0] * 16 + hs[ci][1], comp_q[ci]])
+    out.append(_seg(0xFFC2, sof))
+    out.append(_seg(0xFFC4, _dht_payload(0x00, *_DC_LUM)))
+    if not gray:
+        out.append(_seg(0xFFC4, _dht_payload(0x01, *_DC_CHR)))
+    out.append(_seg(0xFFC4, _dht_payload(0x10, *_AC_PROG)))
+
+    def sos(scomps, ss, se, ah, al):
+        b = bytes([len(scomps)])
+        for cid, td, ta in scomps:
+            b += bytes([cid, (td << 4) | ta])
+        return _seg(0xFFDA, b + bytes([ss, se, (ah << 4) | al]))
+
+    comps_hv = [tuple(x) for x in hs]
+    all_dc = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+
+    def ac_blocks(ci):
+        uy, ux = useds[ci]
+        g = qgrids[ci]
+        return [g[by, bx] for by in range(uy) for bx in range(ux)]
+
+    # scan script: DC first, AC bands at Al=1, AC refinements, DC refine
+    bw = _BitWriter()
+    _enc_dc_scan(bw, qgrids, comps_hv, mcux, mcuy, dc_tbls, 0, 1)
+    out += [sos(all_dc, 0, 0, 0, 1), bw.flush()]
+    for bands, ah, al in (((1, 5), 0, 1), ((6, 63), 0, 1),
+                          ((1, 5), 1, 0), ((6, 63), 1, 0)):
+        for ci in range(ncomp):
+            bw = _BitWriter()
+            enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+            enc(bw, ac_blocks(ci), ac_p, bands[0], bands[1], al)
+            out += [sos([(ci + 1, 0, 0)], bands[0], bands[1], ah, al),
+                    bw.flush()]
+    bw = _BitWriter()
+    _enc_dc_scan(bw, qgrids, comps_hv, mcux, mcuy, dc_tbls, 1, 0)
+    out += [sos(all_dc, 0, 0, 1, 0), bw.flush()]
+    out.append(b"\xFF\xD9")
+    return b"".join(out)

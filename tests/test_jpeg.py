@@ -64,11 +64,12 @@ def test_codec_dispatch_and_errors():
         J.encode(g.astype(np.float32))
     with pytest.raises(ValueError, match="SOI"):
         J.decode(b"not a jpeg")
-    # progressive SOF2 raises clearly
+    # arithmetic-coded SOF9 raises clearly (progressive SOF2 is decoded
+    # since round 5 — see test_progressive_* below)
     data = bytearray(J.encode(g))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    data[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         J.decode(bytes(data))
 
 
@@ -141,3 +142,61 @@ def test_gray_with_declared_subsampling():
     assert b[hv_off] == 0x11
     b[hv_off] = 0x22
     np.testing.assert_array_equal(J.decode(bytes(b)), J.decode(J.encode(g, quality=90)))
+
+
+def test_progressive_bitexact_vs_baseline():
+    """SOF2 progressive decode reproduces EXACTLY the pixels of the
+    baseline decode at the same quality — both paths share the quantized
+    coefficients, so any deviation is a scan-decoding bug. Covers gray /
+    RGB 4:4:4 / RGB 4:2:0 (incl. non-MCU-aligned dims), DC+AC first and
+    refinement scans, and cross-block EOB runs (flat regions)."""
+    rng = np.random.default_rng(3)
+
+    def scene(h, w, color=False):
+        yy, xx = np.linspace(0, 1, h)[:, None], np.linspace(0, 1, w)[None, :]
+        base = (120 + 80 * np.sin(4 * xx + 1) * np.cos(3 * yy) + 40 * yy
+                + rng.normal(0, 6, (h, w)))
+        g = np.clip(base, 0, 255).astype(np.uint8)
+        if not color:
+            return g
+        return np.stack([g, np.clip(base * 0.8 + 20, 0, 255).astype(np.uint8),
+                         np.clip(255 - base, 0, 255).astype(np.uint8)], -1)
+
+    cases = [(scene(57, 83), False), (scene(64, 64, True), False),
+             (scene(50, 70, True), True), (scene(24, 24, True), True),
+             (scene(9, 13), False)]
+    for img, sub in cases:
+        base = J.decode(J.encode(img, quality=85, subsample=sub))
+        prog = J.decode(J.encode(img, quality=85, subsample=sub,
+                                 progressive=True))
+        np.testing.assert_array_equal(prog, base)
+    # PSNR sanity: progressive stream is a faithful lossy encode
+    g = scene(64, 64)
+    out = J.decode(J.encode(g, quality=90, progressive=True)).astype(np.float64)
+    mse = np.mean((out - g.astype(np.float64)) ** 2)
+    assert 10 * np.log10(255.0**2 / max(mse, 1e-9)) >= 30.0
+
+
+def test_progressive_eob_runs_and_extremes():
+    """Flat images force maximal EOB runs; extreme qualities exercise
+    large and tiny coefficient magnitudes through every scan type."""
+    flat = np.full((128, 96), 77, np.uint8)
+    np.testing.assert_array_equal(
+        J.decode(J.encode(flat, progressive=True)), J.decode(J.encode(flat)))
+    img = np.full((80, 80), 100, np.uint8)
+    img[40:48, 40:48] = 200
+    np.testing.assert_array_equal(
+        J.decode(J.encode(img, progressive=True)), J.decode(J.encode(img)))
+    rng = np.random.default_rng(9)
+    noisy = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    for q in (20, 50, 95):
+        np.testing.assert_array_equal(
+            J.decode(J.encode(noisy, quality=q, progressive=True)),
+            J.decode(J.encode(noisy, quality=q)))
+    rgb = rng.integers(0, 256, (48, 56, 3)).astype(np.uint8)
+    for sub in (False, True):
+        np.testing.assert_array_equal(
+            J.decode(J.encode(rgb, quality=30, subsample=sub, progressive=True)),
+            J.decode(J.encode(rgb, quality=30, subsample=sub)))
+    with pytest.raises(ValueError, match="restart_interval"):
+        J.encode(noisy, progressive=True, restart_interval=4)
