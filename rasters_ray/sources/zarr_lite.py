@@ -1,22 +1,28 @@
-"""Minimal pure-Python Zarr v2 store reader/writer — no zarr library.
+"""Minimal pure-Python Zarr v2 + v3 store reader/writer — no zarr lib.
 
 Parity/usefulness target: modern geo archives increasingly publish
-chunked arrays as Zarr stores; the PUBLIC Zarr v2 spec is small (JSON
-``.zarray`` metadata + raw/zlib-compressed C-order chunk files named
-``i.j``), so this module implements the subset the engine needs:
+chunked arrays as Zarr stores; the PUBLIC Zarr specs are small, so this
+module implements the subset the engine needs:
 
-- ``read_zarr``: directory store; groups (``.zgroup``) with array
-  members; 1D/2D arrays; any numpy dtype string; ``compressor`` null or
-  ``{"id": "zlib"}``; ``fill_value`` for missing chunk files; the
-  xarray ``_ARRAY_DIMENSIONS`` attribute convention for dimension
-  names. Blosc/other codecs raise NotImplementedError with the
-  remediation (rewrite with compressor=zlib or none).
-- ``write_zarr``: the same subset (used by round-trip tests and as an
-  interchange sink readable by real zarr/xarray elsewhere).
+- ``read_zarr``: directory store, v2 (``.zarray``/``.zgroup`` JSON,
+  chunk files ``i.j``) and v3 (``zarr.json``, regular chunk grid,
+  default ``c/i/j`` or v2-style chunk key encodings); groups with array
+  members; 1D/2D arrays; any numpy dtype; compressors/codecs
+  ``null``/``zlib``/``gzip`` and BLOSC (the zarr-python default —
+  lz4/lz4hc/zlib chunks with byte shuffle, via codec/blosc_lite);
+  ``fill_value`` for missing chunk files; the xarray
+  ``_ARRAY_DIMENSIONS`` (v2) / ``dimension_names`` (v3) conventions.
+  Bit-shuffle, blosclz/snappy/zstd and sharding raise
+  NotImplementedError with the remediation.
+- ``write_zarr``: same subset (``zarr_format=2`` default or 3;
+  compressor zlib, blosc or none) — round-trip tests prove the reader
+  and the output is readable by real zarr/xarray elsewhere.
 - ``zarr_raster``: CF-style (array, GridSpec) extraction — 2D variable
-  + 1D coordinate arrays named by ``_ARRAY_DIMENSIONS`` — mirroring
-  ``netcdf_raster`` (same regular-spacing validation, same north-up
-  flip for ascending latitude axes).
+  + 1D coordinate arrays — mirroring ``netcdf_raster`` (same
+  regular-spacing validation, same north-up flip for ascending
+  latitude axes).
+- ``write_zarr_tiles``: coordination-free distributed tile sink (one
+  chunk file per worker-written tile).
 """
 
 from __future__ import annotations
@@ -24,40 +30,213 @@ from __future__ import annotations
 import json
 import os
 import zlib
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..grids import GridSpec
 
+_V3_DTYPES = {
+    "bool": "|b1", "int8": "|i1", "int16": "i2", "int32": "i4",
+    "int64": "i8", "uint8": "|u1", "uint16": "u2", "uint32": "u4",
+    "uint64": "u8", "float16": "f2", "float32": "f4", "float64": "f8",
+}
+_V3_DTYPES_INV = {v.lstrip("|"): k for k, v in _V3_DTYPES.items()}
 
-def _check_meta(meta: dict) -> None:
-    if meta.get("zarr_format") != 2:
-        raise NotImplementedError(
-            f"zarr_format {meta.get('zarr_format')}: only v2 supported"
-        )
-    comp = meta.get("compressor")
-    if comp is not None and comp.get("id") != "zlib":
-        raise NotImplementedError(
-            f"zarr compressor {comp.get('id')!r} unsupported in this "
-            "environment; rewrite with zlib or no compression"
-        )
-    if meta.get("filters"):
-        raise NotImplementedError("zarr filters unsupported")
-    if meta.get("order", "C") != "C":
-        raise NotImplementedError("only C-order zarr chunks supported")
+
+class _ArrayInfo:
+    """Uniform view over a v2 or v3 array directory: metadata plus the
+    chunk-path and chunk-decompress rules."""
+
+    __slots__ = ("adir", "version", "shape", "chunks", "dtype", "fill",
+                 "dims", "attrs", "_codec", "_sep", "_key_v2")
+
+    def __init__(self, adir: str):
+        self.adir = adir
+        v2 = os.path.join(adir, ".zarray")
+        v3 = os.path.join(adir, "zarr.json")
+        if os.path.exists(v2):
+            self._init_v2(json.load(open(v2)))
+        elif os.path.exists(v3):
+            meta = json.load(open(v3))
+            if meta.get("node_type") != "array":
+                raise ValueError(f"{adir}: zarr.json is not an array node")
+            self._init_v3(meta)
+        else:
+            raise ValueError(f"not a zarr array dir (no .zarray/zarr.json): {adir}")
+
+    # ---- v2
+    def _init_v2(self, meta: dict) -> None:
+        if meta.get("zarr_format") != 2:
+            raise NotImplementedError(
+                f"zarr_format {meta.get('zarr_format')} in .zarray")
+        if meta.get("filters"):
+            raise NotImplementedError("zarr v2 filters unsupported")
+        if meta.get("order", "C") != "C":
+            raise NotImplementedError("only C-order zarr chunks supported")
+        self.version = 2
+        self.shape = tuple(meta["shape"])
+        self.chunks = tuple(meta["chunks"])
+        self.dtype = np.dtype(meta["dtype"])
+        fill = meta.get("fill_value")
+        self.fill = 0 if fill is None else fill
+        comp = meta.get("compressor")
+        self._codec = _compressor_codec(comp)
+        self._sep = meta.get("dimension_separator", ".")
+        self._key_v2 = True
+        attrs = {}
+        zattrs = os.path.join(self.adir, ".zattrs")
+        if os.path.exists(zattrs):
+            attrs = json.load(open(zattrs))
+        self.attrs = attrs
+        self.dims = attrs.get("_ARRAY_DIMENSIONS", [])
+
+    # ---- v3
+    def _init_v3(self, meta: dict) -> None:
+        self.version = 3
+        self.shape = tuple(meta["shape"])
+        grid = meta.get("chunk_grid", {})
+        if grid.get("name") != "regular":
+            raise NotImplementedError(
+                f"zarr v3 chunk grid {grid.get('name')!r} (regular only)")
+        self.chunks = tuple(grid["configuration"]["chunk_shape"])
+        dt = meta["data_type"]
+        if dt not in _V3_DTYPES:
+            raise NotImplementedError(f"zarr v3 data_type {dt!r}")
+        base = _V3_DTYPES[dt]
+        endian = "<"
+        codecs = list(meta.get("codecs", []))
+        # array->bytes codec fixes endianness; the rest are bytes->bytes
+        bstack = []
+        for c in codecs:
+            name = c.get("name")
+            conf = c.get("configuration", {}) or {}
+            if name == "bytes":
+                endian = "<" if conf.get("endian", "little") == "little" else ">"
+            elif name in ("gzip", "zlib", "blosc"):
+                bstack.append((name, conf))
+            elif name == "crc32c":
+                raise NotImplementedError("zarr v3 crc32c codec unsupported")
+            elif name == "sharding_indexed":
+                raise NotImplementedError(
+                    "zarr v3 sharding unsupported; write unsharded chunks")
+            elif name == "transpose":
+                raise NotImplementedError("zarr v3 transpose codec unsupported")
+            else:
+                raise NotImplementedError(f"zarr v3 codec {name!r}")
+        if len(bstack) > 1:
+            raise NotImplementedError("zarr v3 stacked compressors unsupported")
+        self.dtype = np.dtype(base if base.startswith("|") else endian + base)
+        self._codec = _compressor_codec(
+            {"id": bstack[0][0], **bstack[0][1]} if bstack else None)
+        fill = meta.get("fill_value", 0)
+        if fill in ("NaN", "nan"):
+            fill = float("nan")
+        elif fill in ("Infinity", "+Infinity"):
+            fill = float("inf")
+        elif fill == "-Infinity":
+            fill = float("-inf")
+        self.fill = 0 if fill is None else fill
+        cke = meta.get("chunk_key_encoding",
+                       {"name": "default", "configuration": {"separator": "/"}})
+        conf = cke.get("configuration") or {}
+        self._sep = conf.get("separator", "/" if cke.get("name") == "default"
+                             else ".")
+        self._key_v2 = cke.get("name") == "v2"
+        self.attrs = dict(meta.get("attributes") or {})
+        self.dims = list(meta.get("dimension_names") or
+                         self.attrs.get("_ARRAY_DIMENSIONS", []))
+
+    # ---- shared
+    def grid_counts(self) -> List[int]:
+        return [-(-s // c) for s, c in zip(self.shape, self.chunks)]
+
+    def chunk_relpath(self, idx: Tuple[int, ...]) -> str:
+        key = self._sep.join(str(i) for i in idx)
+        if self.version == 3 and not self._key_v2:
+            return "c" + self._sep + key if idx else "c"
+        return key
+
+    def read_chunk_file(self, idx: Tuple[int, ...]) -> Optional[np.ndarray]:
+        p = os.path.join(self.adir, self.chunk_relpath(idx))
+        if not os.path.exists(p):
+            return None
+        raw = self._codec[0](open(p, "rb").read())
+        return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks)
+
+    def encode_chunk(self, block: np.ndarray) -> bytes:
+        return self._codec[1](np.ascontiguousarray(block).tobytes())
+
+    def present_chunks(self) -> List[Tuple[int, ...]]:
+        ndim = len(self.shape)
+        if self.version == 3 and not self._key_v2:
+            root = os.path.join(self.adir, "c")
+            if self._sep == "/":
+                out = []
+                for dirpath, _dirs, files in os.walk(root):
+                    rel = os.path.relpath(dirpath, root)
+                    head = [] if rel == "." else rel.split(os.sep)
+                    for f in files:
+                        parts = head + [f]
+                        if len(parts) == ndim and all(p.isdigit() for p in parts):
+                            out.append(tuple(int(v) for v in parts))
+                return sorted(out)
+            adir, prefix = self.adir, "c" + self._sep
+            names = [n[len(prefix):] for n in os.listdir(adir)
+                     if n.startswith(prefix)]
+        else:
+            names = os.listdir(self.adir)
+        out = []
+        for name in names:
+            parts = name.split(self._sep)
+            if len(parts) == ndim and all(p.isdigit() for p in parts):
+                out.append(tuple(int(v) for v in parts))
+        return sorted(out)
+
+
+def _compressor_codec(comp: Optional[dict]):
+    """compressor metadata -> (decode, encode) byte transforms."""
+    if comp is None:
+        return (lambda b: b), (lambda b: b)
+    cid = comp.get("id")
+    if cid == "zlib":
+        lvl = int(comp.get("level", 6))
+        return zlib.decompress, (lambda b, _l=lvl: zlib.compress(b, _l))
+    if cid == "gzip":
+        lvl = int(comp.get("level", 5))
+
+        def gz(b, _l=lvl):
+            co = zlib.compressobj(_l, zlib.DEFLATED, 31)
+            return co.compress(b) + co.flush()
+
+        return (lambda b: zlib.decompress(b, 47)), gz
+    if cid == "blosc":
+        from ..codec import blosc_lite
+
+        cname = comp.get("cname", "lz4")
+        if cname not in ("lz4", "lz4hc", "zlib"):
+            raise NotImplementedError(
+                f"blosc cname {cname!r} unsupported in this environment; "
+                "rewrite with cname='lz4' or 'zlib'"
+            )
+        sh = comp.get("shuffle", 1)
+        if sh in ("bitshuffle", 2):
+            raise NotImplementedError("blosc bit-shuffle unsupported")
+        shuffle = sh in ("shuffle", 1, True)
+        ts = int(comp.get("typesize", 4) or 4)
+        return blosc_lite.decompress, (
+            lambda b, _t=ts, _s=shuffle: blosc_lite.compress(
+                b, typesize=_t, shuffle=_s))
+    raise NotImplementedError(
+        f"zarr compressor {cid!r} unsupported in this environment; "
+        "rewrite with zlib, gzip, blosc(lz4/zlib) or no compression"
+    )
 
 
 def _read_array(adir: str) -> Tuple[np.ndarray, dict]:
-    meta = json.load(open(os.path.join(adir, ".zarray")))
-    _check_meta(meta)
-    comp = meta.get("compressor")
-    shape = tuple(meta["shape"])
-    chunks = tuple(meta["chunks"])
-    dt = np.dtype(meta["dtype"])
-    fill = meta.get("fill_value")
-    fill = 0 if fill is None else fill
-    grid_counts = [-(-s // c) for s, c in zip(shape, chunks)]
+    info = _ArrayInfo(adir)
+    shape, chunks, dt = info.shape, info.chunks, info.dtype
+    grid_counts = info.grid_counts()
     # Sparse-store guard: a planetary-quadtree sink (write_zarr_tiles)
     # declares a huge logical shape with few chunks present; allocating
     # it here would OOM. Real-extent rasters (mostly-present chunks, or
@@ -65,10 +244,7 @@ def _read_array(adir: str) -> Tuple[np.ndarray, dict]:
     logical_bytes = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
     if logical_bytes > 256 * 1024 * 1024:
         n_grid = int(np.prod(grid_counts, dtype=np.int64))
-        n_present = sum(
-            1 for nm in os.listdir(adir)
-            if nm.split(".") and all(p.isdigit() for p in nm.split("."))
-        )
+        n_present = len(info.present_chunks())
         if n_present < n_grid // 2:
             raise ValueError(
                 f"zarr array at {adir} declares "
@@ -77,42 +253,54 @@ def _read_array(adir: str) -> Tuple[np.ndarray, dict]:
                 "store; use list_zarr_chunks + read_zarr_chunk to stream "
                 "chunks instead of materializing the logical array"
             )
-    out = np.full(shape, fill, dtype=dt)
-    attrs = {}
-    zattrs = os.path.join(adir, ".zattrs")
-    if os.path.exists(zattrs):
-        attrs = json.load(open(zattrs))
+    out = np.full(shape, info.fill, dtype=dt)
     for idx in np.ndindex(*grid_counts):
-        name = ".".join(str(i) for i in idx)
-        p = os.path.join(adir, name)
-        if not os.path.exists(p):
+        block = info.read_chunk_file(idx)
+        if block is None:
             continue  # missing chunk = fill_value per spec
-        raw = open(p, "rb").read()
-        if comp is not None:
-            raw = zlib.decompress(raw)
-        block = np.frombuffer(raw, dtype=dt).reshape(chunks)
         sl = tuple(
             slice(i * c, min((i + 1) * c, s))
             for i, c, s in zip(idx, chunks, shape)
         )
         out[sl] = block[tuple(slice(0, x.stop - x.start) for x in sl)]
+    attrs = dict(info.attrs)
+    if info.dims and "_ARRAY_DIMENSIONS" not in attrs:
+        attrs["_ARRAY_DIMENSIONS"] = list(info.dims)
     return out, attrs
+
+
+def _is_array_dir(adir: str) -> bool:
+    if os.path.exists(os.path.join(adir, ".zarray")):
+        return True
+    p = os.path.join(adir, "zarr.json")
+    if os.path.exists(p):
+        try:
+            return json.load(open(p)).get("node_type") == "array"
+        except Exception:
+            return False
+    return False
 
 
 def read_zarr(path: str) -> Dict[str, Dict]:
     """Store directory -> {name: {"data": array, "dims": [...],
-    "attrs": {...}}}.  Accepts a bare array store or a group store."""
-    if os.path.exists(os.path.join(path, ".zarray")):
+    "attrs": {...}}}.  Accepts a bare array store or a group store,
+    zarr v2 or v3."""
+    if _is_array_dir(path):
         arr, attrs = _read_array(path)
         return {os.path.basename(path.rstrip("/")): {
             "data": arr, "dims": attrs.get("_ARRAY_DIMENSIONS", []),
             "attrs": attrs}}
-    if not os.path.exists(os.path.join(path, ".zgroup")):
-        raise ValueError(f"not a zarr v2 store (no .zgroup/.zarray): {path}")
+    is_v2_group = os.path.exists(os.path.join(path, ".zgroup"))
+    v3_meta = os.path.join(path, "zarr.json")
+    is_v3_group = (os.path.exists(v3_meta) and
+                   json.load(open(v3_meta)).get("node_type") == "group")
+    if not (is_v2_group or is_v3_group):
+        raise ValueError(
+            f"not a zarr store (no .zgroup/.zarray/zarr.json): {path}")
     out: Dict[str, Dict] = {}
     for name in sorted(os.listdir(path)):
         adir = os.path.join(path, name)
-        if os.path.isdir(adir) and os.path.exists(os.path.join(adir, ".zarray")):
+        if os.path.isdir(adir) and _is_array_dir(adir):
             arr, attrs = _read_array(adir)
             out[name] = {"data": arr,
                          "dims": attrs.get("_ARRAY_DIMENSIONS", []),
@@ -121,32 +309,83 @@ def read_zarr(path: str) -> Dict[str, Dict]:
 
 
 def write_zarr(path: str, arrays: Dict[str, Dict], chunks: int = 64,
-               compress: bool = True) -> str:
-    """{name: {"data": ndarray, "dims": [names]}} -> group store."""
+               compress: bool = True, zarr_format: int = 2,
+               compressor: str = "zlib") -> str:
+    """{name: {"data": ndarray, "dims": [names]}} -> group store.
+
+    ``zarr_format`` 2 (default) or 3; ``compressor`` 'zlib', 'blosc'
+    (byte-shuffled zlib-coded blosc chunks) or ignored when
+    ``compress=False``."""
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
+    if compressor not in ("zlib", "blosc"):
+        raise ValueError(f"compressor must be 'zlib' or 'blosc': {compressor}")
     os.makedirs(path, exist_ok=True)
-    json.dump({"zarr_format": 2}, open(os.path.join(path, ".zgroup"), "w"))
+    if zarr_format == 2:
+        json.dump({"zarr_format": 2}, open(os.path.join(path, ".zgroup"), "w"))
+    else:
+        json.dump({"zarr_format": 3, "node_type": "group", "attributes": {}},
+                  open(os.path.join(path, "zarr.json"), "w"))
     for name, spec in arrays.items():
         a = np.ascontiguousarray(spec["data"])
         adir = os.path.join(path, name)
         os.makedirs(adir, exist_ok=True)
         ch = tuple(min(chunks, s) for s in a.shape)
-        meta = {
-            "zarr_format": 2,
-            "shape": list(a.shape),
-            "chunks": list(ch),
-            "dtype": a.dtype.str,
-            "compressor": {"id": "zlib", "level": 6} if compress else None,
-            "fill_value": 0,
-            "filters": None,
-            "order": "C",
-        }
-        json.dump(meta, open(os.path.join(adir, ".zarray"), "w"))
         attrs = dict(spec.get("attrs") or {})
-        dims = spec.get("dims") or []
-        if dims:
-            attrs["_ARRAY_DIMENSIONS"] = list(dims)
-        if attrs:
-            json.dump(attrs, open(os.path.join(adir, ".zattrs"), "w"))
+        dims = list(spec.get("dims") or [])
+        if zarr_format == 2:
+            if compress and compressor == "blosc":
+                comp = {"id": "blosc", "cname": "zlib", "clevel": 5,
+                        "shuffle": 1, "typesize": a.dtype.itemsize,
+                        "blocksize": 0}
+            elif compress:
+                comp = {"id": "zlib", "level": 6}
+            else:
+                comp = None
+            meta = {
+                "zarr_format": 2,
+                "shape": list(a.shape),
+                "chunks": list(ch),
+                "dtype": a.dtype.str,
+                "compressor": comp,
+                "fill_value": 0,
+                "filters": None,
+                "order": "C",
+            }
+            json.dump(meta, open(os.path.join(adir, ".zarray"), "w"))
+            if dims:
+                attrs["_ARRAY_DIMENSIONS"] = dims
+            if attrs:
+                json.dump(attrs, open(os.path.join(adir, ".zattrs"), "w"))
+        else:
+            base = a.dtype.str.lstrip("<>|=")
+            if base not in _V3_DTYPES_INV:
+                raise NotImplementedError(f"zarr v3 write: dtype {a.dtype}")
+            codecs = [{"name": "bytes", "configuration": {
+                "endian": "big" if a.dtype.byteorder == ">" else "little"}}]
+            if compress and compressor == "blosc":
+                codecs.append({"name": "blosc", "configuration": {
+                    "cname": "zlib", "clevel": 5, "shuffle": "shuffle",
+                    "typesize": a.dtype.itemsize, "blocksize": 0}})
+            elif compress:
+                codecs.append({"name": "gzip", "configuration": {"level": 5}})
+            meta = {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": list(a.shape),
+                "data_type": _V3_DTYPES_INV[base],
+                "chunk_grid": {"name": "regular",
+                               "configuration": {"chunk_shape": list(ch)}},
+                "chunk_key_encoding": {"name": "default",
+                                       "configuration": {"separator": "/"}},
+                "fill_value": 0,
+                "codecs": codecs,
+                "attributes": attrs,
+            }
+            if dims:
+                meta["dimension_names"] = dims
+            json.dump(meta, open(os.path.join(adir, "zarr.json"), "w"))
+        info = _ArrayInfo(adir)
         grid_counts = [-(-s // c) for s, c in zip(a.shape, ch)]
         for idx in np.ndindex(*grid_counts):
             sl = tuple(slice(i * c, min((i + 1) * c, s))
@@ -154,10 +393,9 @@ def write_zarr(path: str, arrays: Dict[str, Dict], chunks: int = 64,
             block = np.zeros(ch, dtype=a.dtype)
             view = a[sl]
             block[tuple(slice(0, v) for v in view.shape)] = view
-            raw = block.tobytes()
-            if compress:
-                raw = zlib.compress(raw, 6)
-            open(os.path.join(adir, ".".join(str(i) for i in idx)), "wb").write(raw)
+            p = os.path.join(adir, info.chunk_relpath(idx))
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            open(p, "wb").write(info.encode_chunk(block))
     return path
 
 
@@ -277,29 +515,14 @@ def read_zarr_chunk(store: str, array: str, idx: Tuple[int, ...]) -> np.ndarray:
     extents, catastrophic for a sparse planetary-quadtree sink where the
     logical array is huge and chunks are few). Missing chunks return a
     fill_value block per spec."""
-    adir = os.path.join(store, array)
-    meta = json.load(open(os.path.join(adir, ".zarray")))
-    _check_meta(meta)  # same codec/order/filters rules as read_zarr
-    chunks = tuple(meta["chunks"])
-    dt = np.dtype(meta["dtype"])
-    fill = meta.get("fill_value")
-    p = os.path.join(adir, ".".join(str(i) for i in idx))
-    if not os.path.exists(p):
-        return np.full(chunks, 0 if fill is None else fill, dtype=dt)
-    raw = open(p, "rb").read()
-    if meta.get("compressor") is not None:
-        raw = zlib.decompress(raw)
+    info = _ArrayInfo(os.path.join(store, array))
+    block = info.read_chunk_file(idx)
+    if block is None:
+        return np.full(info.chunks, info.fill, dtype=info.dtype)
     # copy: consistent writable result on both present/missing paths
-    return np.frombuffer(raw, dtype=dt).reshape(chunks).copy()
+    return block.copy()
 
 
 def list_zarr_chunks(store: str, array: str) -> list:
     """Sorted chunk index tuples present on disk for one store array."""
-    adir = os.path.join(store, array)
-    out = []
-    for name in os.listdir(adir):
-        parts = name.split(".")
-        if not parts or not all(p.isdigit() for p in parts):
-            continue  # metadata files and .tmp leftovers from killed writers
-        out.append(tuple(int(v) for v in parts))
-    return sorted(out)
+    return _ArrayInfo(os.path.join(store, array)).present_chunks()

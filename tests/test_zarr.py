@@ -73,9 +73,13 @@ def test_missing_chunk_is_fill_value(tmp_path):
 def test_unsupported_codec_raises(tmp_path):
     p, *_ = _store(tmp_path)
     meta = json.load(open(os.path.join(p, "temp", ".zarray")))
-    meta["compressor"] = {"id": "blosc", "cname": "lz4"}
+    meta["compressor"] = {"id": "zstd"}
     json.dump(meta, open(os.path.join(p, "temp", ".zarray"), "w"))
-    with pytest.raises(NotImplementedError, match="blosc"):
+    with pytest.raises(NotImplementedError, match="zstd"):
+        read_zarr(p)
+    meta["compressor"] = {"id": "blosc", "cname": "zstd"}
+    json.dump(meta, open(os.path.join(p, "temp", ".zarray"), "w"))
+    with pytest.raises(NotImplementedError, match="zstd"):
         read_zarr(p)
     with pytest.raises(ValueError, match="not a zarr"):
         open_raster(str(tmp_path))  # plain directory, no .zgroup
@@ -224,3 +228,100 @@ def test_sparse_store_guard(tmp_path):
     # dense real-extent stores (and small sparse ones) open untouched
     p, temp, *_ = _store(tmp_path)
     np.testing.assert_array_equal(read_zarr(p)["temp"]["data"], temp)
+
+
+def test_blosc_v2_roundtrip_and_real_layout(tmp_path):
+    """Blosc-compressed v2 stores: our blosc(zlib+shuffle) writer
+    round-trips, and a hand-built chunk in the REAL zarr-python default
+    layout (blosc + lz4 + byte shuffle + per-typesize split streams)
+    reads back exactly."""
+    import struct
+
+    from rasters_ray.codec import blosc_lite, lz4_lite
+
+    lat = 44.0 - 0.01 * (np.arange(30) + 0.5)
+    lon = -124.0 + 0.01 * (np.arange(40) + 0.5)
+    temp = np.sin(np.arange(1200, dtype="<f4")).reshape(30, 40)
+    p = str(tmp_path / "b.zarr")
+    write_zarr(p, {
+        "lat": {"data": lat, "dims": ["lat"]},
+        "lon": {"data": lon, "dims": ["lon"]},
+        "temp": {"data": temp, "dims": ["lat", "lon"]},
+    }, chunks=16, compressor="blosc")
+    back = read_zarr(p)
+    np.testing.assert_array_equal(back["temp"]["data"], temp)
+    arr, grid = zarr_raster(p)
+    np.testing.assert_array_equal(arr, temp)
+    assert grid.cell_width == pytest.approx(0.01)
+
+    # hand-build one chunk exactly as c-blosc/zarr-python does:
+    # lz4 codec, byte shuffle, block split into typesize streams
+    adir = tmp_path / "raw.zarr"
+    adir.mkdir()
+    data = np.cos(np.arange(64 * 64, dtype="<f4")).reshape(64, 64)
+    raw = blosc_lite._shuffle(data.tobytes(), 4)
+    part = len(raw) // 4
+    streams = b""
+    for s in range(4):
+        seg = raw[s * part:(s + 1) * part]
+        comp = lz4_lite.compress(seg)
+        if len(comp) >= len(seg):
+            comp = seg
+        streams += struct.pack("<i", len(comp)) + comp
+    hl = 16 + 4
+    chunk = struct.pack("<BBBBIII", 2, 1, (1 << 5) | 1, 4, len(raw),
+                        len(raw), hl + len(streams))
+    chunk += struct.pack("<I", hl) + streams
+    json.dump({"zarr_format": 2, "shape": [64, 64], "chunks": [64, 64],
+               "dtype": "<f4", "fill_value": 0, "filters": None,
+               "order": "C",
+               "compressor": {"id": "blosc", "cname": "lz4", "clevel": 5,
+                              "shuffle": 1, "blocksize": 0}},
+              open(adir / ".zarray", "w"))
+    (adir / "0.0").write_bytes(chunk)
+    out = read_zarr(str(adir))
+    np.testing.assert_array_equal(out["raw.zarr"]["data"], data)
+
+
+def test_zarr_v3_roundtrip(tmp_path):
+    """Zarr v3 stores: zarr.json metadata, c/i/j chunk keys, gzip and
+    blosc codec chains, dimension_names; zarr_raster and the chunk-wise
+    API work unchanged."""
+    from rasters_ray.sources.zarr_lite import list_zarr_chunks, read_zarr_chunk
+
+    lat = 44.0 - 0.01 * (np.arange(37) + 0.5)
+    lon = -124.0 + 0.01 * (np.arange(53) + 0.5)
+    temp = (np.arange(37 * 53) % 251).astype(np.float32).reshape(37, 53)
+    for compressor in ("zlib", "blosc"):  # v3: zlib -> gzip codec
+        p = str(tmp_path / f"v3_{compressor}.zarr")
+        write_zarr(p, {
+            "lat": {"data": lat, "dims": ["lat"]},
+            "lon": {"data": lon, "dims": ["lon"]},
+            "temp": {"data": temp, "dims": ["lat", "lon"],
+                     "attrs": {"units": "K"}},
+        }, chunks=16, zarr_format=3, compressor=compressor)
+        assert json.load(open(os.path.join(p, "zarr.json")))["node_type"] == "group"
+        store = read_zarr(p)
+        np.testing.assert_array_equal(store["temp"]["data"], temp)
+        assert store["temp"]["dims"] == ["lat", "lon"]
+        assert store["temp"]["attrs"]["units"] == "K"
+        arr, grid = zarr_raster(p)
+        np.testing.assert_array_equal(arr, temp)
+        assert (grid.rows, grid.cols) == (37, 53)
+        # chunk files live under c/ with / separator
+        assert os.path.exists(os.path.join(p, "temp", "c", "0", "0"))
+        idxs = list_zarr_chunks(p, "temp")
+        assert (0, 0) in idxs and len(idxs) == 12
+        np.testing.assert_array_equal(
+            read_zarr_chunk(p, "temp", (0, 0)), temp[:16, :16])
+    # uncompressed v3 + big-endian dtype
+    p = str(tmp_path / "v3_raw.zarr")
+    write_zarr(p, {"t": {"data": temp.astype(">f8"), "dims": ["y", "x"]}},
+               chunks=32, zarr_format=3, compress=False)
+    np.testing.assert_array_equal(read_zarr(p)["t"]["data"], temp.astype(">f8"))
+    # v3 sharding raises clearly
+    meta = json.load(open(os.path.join(p, "t", "zarr.json")))
+    meta["codecs"] = [{"name": "sharding_indexed", "configuration": {}}]
+    json.dump(meta, open(os.path.join(p, "t", "zarr.json"), "w"))
+    with pytest.raises(NotImplementedError, match="sharding"):
+        read_zarr(p)
