@@ -4006,6 +4006,115 @@ def q_strip_tiff(sf_dir: str):
     return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q_netcdf_chunked(sf_dir: str):
+    """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
+    each oracle image round-trips through a CHUNKED+DEFLATE HDF5
+    container — the layout real NASA granules use — written and read
+    back ON WORKERS: write_hdf5 emits the v1 B-tree chunk index + the
+    deflate filter pipeline, read_netcdf routes the \\x89HDF magic
+    through hdf5lite and extracts the CF grid from the lat/lon
+    coordinate datasets. Pixel sums are exact ints and the recovered
+    origin is floor-cm, so the golden VALUES oracle pins the chunk
+    B-tree walk, the filter pipeline and the CF grid inference
+    end-to-end. Scale shape: one file per image on worker-local disk;
+    nothing shuffles."""
+    import os
+
+    from rasters_ray import codec
+    from rasters_ray.sources.hdf5lite import write_hdf5
+    from rasters_ray.sources.netcdf import netcdf_raster
+
+    out_dir = f"/tmp/rasters_ray_nc_q_{os.getpid()}"
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = {"image_id": [], "px_sum": [], "x0_cm": [], "y0_cm": []}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            g = t.column("grid")[i].as_py()
+            lat = g["y_origin"] + g["cell_height"] * (
+                np.arange(g["rows"], dtype=np.float64) + 0.5)
+            lon = g["x_origin"] + g["cell_width"] * (
+                np.arange(g["cols"], dtype=np.float64) + 0.5)
+            p = os.path.join(out_dir, f"{iid}.nc")
+            write_hdf5(p, {"lat": lat, "lon": lon,
+                           "temp": px.astype(np.float32)},
+                       chunks={"temp": (16, 16), "lat": (len(lat),),
+                               "lon": (len(lon),)}, compression="deflate")
+            # oracle grids are square, so dimension inference is
+            # ambiguous without DIMENSION_LIST — name the axes
+            arr, g2 = netcdf_raster(p, "temp", coords=("lat", "lon"))
+            rows["image_id"].append(iid)
+            rows["px_sum"].append(int(np.rint(arr.astype(np.float64)).sum()))
+            rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))
+            rows["y0_cm"].append(int(np.floor(g2.y_origin * 100.0)))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "px_sum": pa.array(rows["px_sum"], pa.int64()),
+                "x0_cm": pa.array(rows["x0_cm"], pa.int64()),
+                "y0_cm": pa.array(rows["y0_cm"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
+
+
+def q_zarr_v3(sf_dir: str):
+    """Zarr v3 + blosc envelope (sources/zarr_lite.py + codec/
+    blosc_lite.py): each oracle image round-trips through a v3 store
+    (zarr.json metadata, c/i/j chunk keys, bytes->blosc codec chain with
+    byte shuffle) written and read back ON WORKERS via zarr_raster's CF
+    extraction. The golden VALUES oracle pins the v3 metadata path, the
+    blosc container round-trip and the grid inference. Scale shape: one
+    store per image on worker-local disk; nothing shuffles."""
+    import os
+    import shutil
+
+    from rasters_ray import codec
+    from rasters_ray.sources.zarr_lite import write_zarr, zarr_raster
+
+    out_dir = f"/tmp/rasters_ray_z3_q_{os.getpid()}"
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = {"image_id": [], "px_sum": [], "x0_cm": [], "y0_cm": []}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            g = t.column("grid")[i].as_py()
+            lat = g["y_origin"] + g["cell_height"] * (
+                np.arange(g["rows"], dtype=np.float64) + 0.5)
+            lon = g["x_origin"] + g["cell_width"] * (
+                np.arange(g["cols"], dtype=np.float64) + 0.5)
+            p = os.path.join(out_dir, f"{iid}.zarr")
+            if os.path.exists(p):
+                shutil.rmtree(p)
+            write_zarr(p, {
+                "lat": {"data": lat, "dims": ["lat"]},
+                "lon": {"data": lon, "dims": ["lon"]},
+                "temp": {"data": px.astype("<f4"), "dims": ["lat", "lon"]},
+            }, chunks=16, zarr_format=3, compressor="blosc")
+            arr, g2 = zarr_raster(p, "temp")
+            rows["image_id"].append(iid)
+            rows["px_sum"].append(int(np.rint(arr.astype(np.float64)).sum()))
+            rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))
+            rows["y0_cm"].append(int(np.floor(g2.y_origin * 100.0)))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "px_sum": pa.array(rows["px_sum"], pa.int64()),
+                "x0_cm": pa.array(rows["x0_cm"], pa.int64()),
+                "y0_cm": pa.array(rows["y0_cm"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q_winnow_fp(sf_dir: str):
     """Winnowing document fingerprints (text/winnow.py, Schleimer et al.
     2003): rolling k-gram hash + rightmost-window-min selection, one row
@@ -4921,6 +5030,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_substrings": q_dup_substrings,
         "zarr_tiles": q_zarr_tiles,
         "strip_tiff": q_strip_tiff,
+        "netcdf_chunked": q_netcdf_chunked,
+        "zarr_v3": q_zarr_v3,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -5601,6 +5712,23 @@ FROM (VALUES
 ) AS t(image_id, px_sum, x0_cm, y0_cm),
 (VALUES ('strips_lzw_le'), ('strips_deflate_be'), ('strips_packbits_le'),
         ('tiles_none_be')) AS v(variant)
+"""
+
+    # netcdf_chunked / zarr_v3: golden VALUES — the round-trips are
+    # lossless, so each row equals the source image's integer pixel sum
+    # and floor-cm grid origin (same truths strip_tiff pins; computed
+    # sequentially once and identical across all three containers)
+    sql["netcdf_chunked"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 1248532, -12400, 4400),
+  ('img00000001', 1251559, -12350, 4400)
+) AS t(image_id, px_sum, x0_cm, y0_cm)
+"""
+    sql["zarr_v3"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 1248532, -12400, 4400),
+  ('img00000001', 1251559, -12350, 4400)
+) AS t(image_id, px_sum, x0_cm, y0_cm)
 """
 
     # zarr_tiles: golden VALUES — image 0's tiles at level 8 land in 4
