@@ -37,10 +37,12 @@ import numpy as np
 from ..grids import GridSpec
 
 _MAGIC = 42
+_MAGIC_BIG = 43  # BigTIFF (the de-facto public spec: 8-byte offsets)
 
 # TIFF field types
-_SHORT, _LONG, _DOUBLE = 3, 4, 12
-_TYPE_SIZE = {_SHORT: 2, _LONG: 4, _DOUBLE: 8}
+_SHORT, _LONG, _DOUBLE, _LONG8, _SLONG8, _IFD8 = 3, 4, 12, 16, 17, 18
+_TYPE_SIZE = {_SHORT: 2, _LONG: 4, _DOUBLE: 8, _LONG8: 8, _SLONG8: 8,
+              _IFD8: 8}
 
 TAG_NEW_SUBFILE = 254
 TAG_WIDTH = 256
@@ -312,10 +314,13 @@ def _overview(a: np.ndarray) -> np.ndarray:
 class _IFD:
     """One image-file directory: fixed-size entry table + out-of-line
     values; offsets patched once the layout is known. ``bo`` is the
-    struct byte-order prefix ('<' or '>')."""
+    struct byte-order prefix ('<' or '>'); ``big`` selects the BigTIFF
+    geometry (u64 entry count, 20-byte entries, 8-byte inline values
+    and next-IFD pointer)."""
 
-    def __init__(self, bo: str = "<"):
+    def __init__(self, bo: str = "<", big: bool = False):
         self.bo = bo
+        self.big = big
         self.entries: List[Tuple[int, int, int, object]] = []  # tag, type, count, value
 
     def add(self, tag: int, typ: int, values) -> None:
@@ -325,11 +330,16 @@ class _IFD:
 
     def sizes(self) -> Tuple[int, int]:
         """(table_bytes, overflow_bytes)."""
-        table = 2 + 12 * len(self.entries) + 4
+        if self.big:
+            table = 8 + 20 * len(self.entries) + 8
+            inline = 8
+        else:
+            table = 2 + 12 * len(self.entries) + 4
+            inline = 4
         overflow = 0
         for _, typ, count, _ in self.entries:
             nbytes = _TYPE_SIZE[typ] * count
-            if nbytes > 4:
+            if nbytes > inline:
                 overflow += nbytes + (nbytes % 2)
         return table, overflow
 
@@ -337,23 +347,28 @@ class _IFD:
         """Serialize at ``my_offset`` (overflow values follow the table)."""
         bo = self.bo
         table_len, _ = self.sizes()
+        inline = 8 if self.big else 4
         out = bytearray()
-        out += struct.pack(f"{bo}H", len(self.entries))
+        out += struct.pack(f"{bo}Q" if self.big else f"{bo}H",
+                           len(self.entries))
         overflow = bytearray()
         over_base = my_offset + table_len
-        fmt = {_SHORT: f"{bo}H", _LONG: f"{bo}I", _DOUBLE: f"{bo}d"}
+        fmt = {_SHORT: f"{bo}H", _LONG: f"{bo}I", _DOUBLE: f"{bo}d",
+               _LONG8: f"{bo}Q", _SLONG8: f"{bo}q", _IFD8: f"{bo}Q"}
+        hdr_fmt = f"{bo}HHQ" if self.big else f"{bo}HHI"
+        off_fmt = f"{bo}Q" if self.big else f"{bo}I"
         for tag, typ, count, values in sorted(self.entries):
             nbytes = _TYPE_SIZE[typ] * count
             packed = b"".join(struct.pack(fmt[typ], v) for v in values)
-            if nbytes <= 4:
-                val = packed + b"\x00" * (4 - nbytes)
+            if nbytes <= inline:
+                val = packed + b"\x00" * (inline - nbytes)
             else:
-                val = struct.pack(f"{bo}I", over_base + len(overflow))
+                val = struct.pack(off_fmt, over_base + len(overflow))
                 overflow += packed
                 if len(packed) % 2:
                     overflow += b"\x00"
-            out += struct.pack(f"{bo}HHI", tag, typ, count) + val
-        out += struct.pack(f"{bo}I", next_ifd)
+            out += struct.pack(hdr_fmt, tag, typ, count) + val
+        out += struct.pack(off_fmt, next_ifd)
         out += overflow
         return bytes(out)
 
@@ -377,8 +392,12 @@ def write_cog(
     compression: str = "deflate",
     overviews: bool = True,
     byte_order: str = "<",
+    bigtiff: bool = False,
 ) -> str:
-    """Write ``arr`` on ``grid`` as a Cloud-Optimized GeoTIFF."""
+    """Write ``arr`` on ``grid`` as a Cloud-Optimized GeoTIFF.
+    ``bigtiff=True`` emits the BigTIFF (version 43, 8-byte offset)
+    container — required beyond 4 GiB and common in the wild for large
+    mosaics; tile offsets are stored as LONG8."""
     a = np.ascontiguousarray(arr)
     if a.ndim != 2:
         raise ValueError("write_cog takes one 2D band")
@@ -404,7 +423,7 @@ def write_cog(
 
     ifds: List[_IFD] = []
     for li, (lv, (blobs, tx, ty)) in enumerate(zip(levels, per_level)):
-        ifd = _IFD(bo)
+        ifd = _IFD(bo, big=bigtiff)
         ifd.add(TAG_NEW_SUBFILE, _LONG, 1 if li else 0)
         ifd.add(TAG_WIDTH, _LONG, lv.shape[1])
         ifd.add(TAG_LENGTH, _LONG, lv.shape[0])
@@ -414,7 +433,8 @@ def write_cog(
         ifd.add(TAG_SAMPLES, _SHORT, 1)
         ifd.add(TAG_TILE_W, _SHORT, tile)
         ifd.add(TAG_TILE_L, _SHORT, tile)
-        ifd.add(TAG_TILE_OFFSETS, _LONG, [0] * len(blobs))  # patched below
+        ifd.add(TAG_TILE_OFFSETS, _LONG8 if bigtiff else _LONG,
+                [0] * len(blobs))  # patched below
         ifd.add(TAG_TILE_COUNTS, _LONG, [len(b) for b in blobs])
         ifd.add(TAG_SAMPLE_FORMAT, _SHORT, sfmt)
         if li == 0:
@@ -423,7 +443,7 @@ def write_cog(
 
     # layout pass: header, then ALL IFDs (+overflow), THEN tile data — the
     # COG front-matter property
-    pos = 8
+    pos = 16 if bigtiff else 8
     ifd_offsets = []
     for ifd in ifds:
         t, o = ifd.sizes()
@@ -443,8 +463,13 @@ def write_cog(
                 ifd.entries[i] = (e[0], e[1], e[2], offsets)
 
     with open(path, "wb") as f:
-        f.write((b"II" if bo == "<" else b"MM")
-                + struct.pack(f"{bo}HI", _MAGIC, ifd_offsets[0]))
+        if bigtiff:
+            f.write((b"II" if bo == "<" else b"MM")
+                    + struct.pack(f"{bo}HHHQ", _MAGIC_BIG, 8, 0,
+                                  ifd_offsets[0]))
+        else:
+            f.write((b"II" if bo == "<" else b"MM")
+                    + struct.pack(f"{bo}HI", _MAGIC, ifd_offsets[0]))
         for li, ifd in enumerate(ifds):
             nxt = ifd_offsets[li + 1] if li + 1 < len(ifds) else 0
             f.write(ifd.render(ifd_offsets[li], nxt))
@@ -468,14 +493,17 @@ def write_geotiff(
     compression: str = "deflate",
     byte_order: str = "<",
     overviews: bool = True,
+    bigtiff: bool = False,
 ) -> str:
     """General GeoTIFF writer. ``layout="tiles"`` is the COG path;
     ``layout="strips"`` emits a plain baseline stripped TIFF (the layout
     most wild files use — RowsPerStrip/StripOffsets/StripByteCounts),
-    in either byte order, with none/LZW/deflate/PackBits compression."""
+    in either byte order, with none/LZW/deflate/PackBits compression;
+    ``bigtiff=True`` selects the version-43 8-byte-offset container."""
     if layout == "tiles":
         return write_cog(arr, grid, path, tile=tile, compression=compression,
-                         overviews=overviews, byte_order=byte_order)
+                         overviews=overviews, byte_order=byte_order,
+                         bigtiff=bigtiff)
     if layout != "strips":
         raise ValueError(f"layout must be 'tiles' or 'strips', got {layout!r}")
     a = np.ascontiguousarray(arr)
@@ -500,7 +528,7 @@ def write_geotiff(
         sub = a[i * rps : min((i + 1) * rps, h)]  # last strip short, unpadded
         blobs.append(_compress(np.ascontiguousarray(sub).tobytes(), comp))
 
-    ifd = _IFD(bo)
+    ifd = _IFD(bo, big=bigtiff)
     ifd.add(TAG_NEW_SUBFILE, _LONG, 0)
     ifd.add(TAG_WIDTH, _LONG, w)
     ifd.add(TAG_LENGTH, _LONG, h)
@@ -509,13 +537,15 @@ def write_geotiff(
     ifd.add(TAG_PHOTOMETRIC, _SHORT, 1)
     ifd.add(TAG_SAMPLES, _SHORT, 1)
     ifd.add(TAG_ROWS_PER_STRIP, _LONG, rps)
-    ifd.add(TAG_STRIP_OFFSETS, _LONG, [0] * nstrips)  # patched below
+    ifd.add(TAG_STRIP_OFFSETS, _LONG8 if bigtiff else _LONG,
+            [0] * nstrips)  # patched below
     ifd.add(TAG_STRIP_COUNTS, _LONG, [len(b) for b in blobs])
     ifd.add(TAG_SAMPLE_FORMAT, _SHORT, sfmt)
     _geo_entries(ifd, grid)
 
+    hdr_len = 16 if bigtiff else 8
     t, o = ifd.sizes()
-    data_start = 8 + t + o
+    data_start = hdr_len + t + o
     data_start += data_start % 2
     offsets, pos = [], data_start
     for b in blobs:
@@ -526,8 +556,13 @@ def write_geotiff(
             ifd.entries[i] = (e[0], e[1], e[2], offsets)
 
     with open(path, "wb") as f:
-        f.write((b"II" if bo == "<" else b"MM") + struct.pack(f"{bo}HI", _MAGIC, 8))
-        f.write(ifd.render(8, 0))
+        if bigtiff:
+            f.write((b"II" if bo == "<" else b"MM")
+                    + struct.pack(f"{bo}HHHQ", _MAGIC_BIG, 8, 0, hdr_len))
+        else:
+            f.write((b"II" if bo == "<" else b"MM")
+                    + struct.pack(f"{bo}HI", _MAGIC, 8))
+        f.write(ifd.render(hdr_len, 0))
         if f.tell() % 2:
             f.write(b"\x00")
         for b in blobs:
@@ -550,26 +585,47 @@ def read_geotiff(path: str):
         bo = ">"
     else:
         raise ValueError(f"not a TIFF (byte-order mark {data[:2]!r})")
-    if struct.unpack(f"{bo}H", data[2:4])[0] != _MAGIC:
-        raise ValueError("not a classic TIFF (bad magic; BigTIFF unsupported)")
-    (off,) = struct.unpack(f"{bo}I", data[4:8])
+    magic = struct.unpack(f"{bo}H", data[2:4])[0]
+    if magic == _MAGIC:
+        big = False
+        (off,) = struct.unpack(f"{bo}I", data[4:8])
+    elif magic == _MAGIC_BIG:
+        big = True
+        osize, rsvd = struct.unpack(f"{bo}HH", data[4:8])
+        if osize != 8 or rsvd != 0:
+            raise ValueError(f"BigTIFF with offset size {osize} unsupported")
+        (off,) = struct.unpack(f"{bo}Q", data[8:16])
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
+    # classic vs BigTIFF IFD geometry: (count bytes/fmt, entry size,
+    # count+value header fmt, inline value capacity, next-pointer fmt)
+    if big:
+        cnt_n, ent, hdr_fmt, inline, next_fmt = 8, 20, f"{bo}HHQ", 8, f"{bo}Q"
+    else:
+        cnt_n, ent, hdr_fmt, inline, next_fmt = 2, 12, f"{bo}HHI", 4, f"{bo}I"
     levels = []
-    meta = {"ifd_offsets": [], "first_tile_offset": None, "byte_order": bo}
-    fmt = {_SHORT: f"{bo}H", _LONG: f"{bo}I", _DOUBLE: f"{bo}d"}
+    meta = {"ifd_offsets": [], "first_tile_offset": None, "byte_order": bo,
+            "bigtiff": big}
+    fmt = {_SHORT: f"{bo}H", _LONG: f"{bo}I", _DOUBLE: f"{bo}d",
+           _LONG8: f"{bo}Q", _SLONG8: f"{bo}q", _IFD8: f"{bo}Q"}
     while off:
         meta["ifd_offsets"].append(off)
-        (n,) = struct.unpack(f"{bo}H", data[off : off + 2])
+        (n,) = struct.unpack(f"{bo}Q" if big else f"{bo}H",
+                             data[off : off + cnt_n])
         tags = {}
         for i in range(n):
-            e = off + 2 + 12 * i
-            tag, typ, count = struct.unpack(f"{bo}HHI", data[e : e + 8])
+            e = off + cnt_n + ent * i
+            tag, typ, count = struct.unpack(hdr_fmt, data[e : e + cnt_n + 4]
+                                            if big else data[e : e + 8])
             if typ not in _TYPE_SIZE:  # BYTE/ASCII/RATIONAL tags we don't use
                 continue
+            vpos = e + (12 if big else 8)
             nbytes = _TYPE_SIZE[typ] * count
-            if nbytes <= 4:
-                raw = data[e + 8 : e + 8 + nbytes]
+            if nbytes <= inline:
+                raw = data[vpos : vpos + nbytes]
             else:
-                (voff,) = struct.unpack(f"{bo}I", data[e + 8 : e + 12])
+                (voff,) = struct.unpack(f"{bo}Q" if big else f"{bo}I",
+                                        data[vpos : vpos + inline])
                 raw = data[voff : voff + nbytes]
             step = _TYPE_SIZE[typ]
             tags[tag] = [
@@ -644,5 +700,7 @@ def read_geotiff(path: str):
             meta["pixel_scale"] = tags[TAG_PIXEL_SCALE]
             meta["tiepoint"] = tags[TAG_TIEPOINT]
             meta["geo_keys"] = tags.get(TAG_GEO_KEYS, [])
-        (off,) = struct.unpack(f"{bo}I", data[off + 2 + 12 * n : off + 6 + 12 * n])
+        nxt_at = off + cnt_n + ent * n
+        (off,) = struct.unpack(next_fmt,
+                               data[nxt_at : nxt_at + (8 if big else 4)])
     return levels, meta

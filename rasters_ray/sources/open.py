@@ -79,18 +79,18 @@ def open_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridS
     """Read ONE raster (any supported format) -> (2D array, GridSpec).
     ``var`` selects the NetCDF/HDF5/Zarr variable (required when more
     than one 2D array exists). A DIRECTORY containing ``.zgroup`` /
-    ``.zarray`` is read as a Zarr v2 store."""
+    ``.zarray`` (v2) or ``zarr.json`` (v3) is read as a Zarr store."""
     if os.path.isdir(path):
-        if os.path.exists(os.path.join(path, ".zgroup")) or os.path.exists(
-            os.path.join(path, ".zarray")
-        ):
+        if any(os.path.exists(os.path.join(path, m))
+               for m in (".zgroup", ".zarray", "zarr.json")):
             from .zarr_lite import zarr_raster
 
             return zarr_raster(path, var=var)
-        raise ValueError(f"directory is not a zarr v2 store: {path}")
+        raise ValueError(f"directory is not a zarr store: {path}")
     with open(path, "rb") as f:
         head = f.read(8)
-    if head[:4] in (b"II*\x00", b"MM\x00*"):
+    if head[:4] in (b"II*\x00", b"MM\x00*",        # classic TIFF
+                    b"II+\x00", b"MM\x00+"):       # BigTIFF (version 43)
         from .geotiff import read_geotiff
 
         levels, meta = read_geotiff(path)

@@ -190,3 +190,40 @@ def test_open_raster_routes_stripped_and_big_endian(tmp_path):
     a2, g2 = open_raster(p2)
     np.testing.assert_array_equal(a2, arr)
     assert abs(g2.x_origin - (-120.0)) < 1e-9
+
+
+def test_bigtiff_roundtrip_and_router(tmp_path):
+    """BigTIFF (version 43, 8-byte offsets — the container real >4 GiB
+    mosaics use): strips and tiles, either byte order, LONG8 offset
+    tags; classic files keep reading; the magic router accepts II+/MM+."""
+    from rasters_ray.sources.open import open_raster
+
+    grid = GridSpec(crs="EPSG:4326", x_origin=-124.0, y_origin=44.0,
+                    cell_width=0.01, cell_height=-0.01, rows=57, cols=83)
+    a = (np.arange(57 * 83) % 251).astype(np.uint8).reshape(57, 83)
+    for layout, bo, comp in [("strips", "<", "deflate"), ("strips", ">", "lzw"),
+                             ("tiles", "<", "none"), ("tiles", ">", "deflate")]:
+        p = str(tmp_path / f"bt_{layout}_{bo == '<'}_{comp}.tif")
+        write_geotiff(a, grid, p, layout=layout, compression=comp,
+                      byte_order=bo, rows_per_strip=13, tile=32,
+                      overviews=(layout == "tiles"), bigtiff=True)
+        assert open(p, "rb").read(4) in (b"II+\x00", b"MM\x00+")
+        levels, meta = read_geotiff(p)
+        assert meta["bigtiff"] and meta["byte_order"] == bo
+        np.testing.assert_array_equal(levels[0], a)
+        arr, g2 = open_raster(p)
+        np.testing.assert_array_equal(arr, a)
+        assert g2.x_origin == pytest.approx(-124.0)
+        assert g2.cell_height == pytest.approx(-0.01)
+    # float32 data exercises LONG8 offsets + SAMPLE_FORMAT together
+    f = np.linspace(0, 1, 57 * 83, dtype=np.float32).reshape(57, 83)
+    p = str(tmp_path / "bt_f32.tif")
+    write_geotiff(f, grid, p, layout="strips", bigtiff=True)
+    np.testing.assert_array_equal(read_geotiff(p)[0][0], f)
+    # a malformed BigTIFF offset size raises clearly
+    b = bytearray(open(p, "rb").read())
+    b[4] = 4
+    bad = tmp_path / "bad.tif"
+    bad.write_bytes(bytes(b))
+    with pytest.raises(ValueError, match="offset size"):
+        read_geotiff(str(bad))
