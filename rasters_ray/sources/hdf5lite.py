@@ -38,8 +38,11 @@ _UNDEF = 0xFFFFFFFFFFFFFFFF
 
 # object-header message type ids (spec IV.A.2)
 _MSG_DATASPACE = 0x0001
+_MSG_LINK_INFO = 0x0002
 _MSG_DATATYPE = 0x0003
+_MSG_LINK = 0x0006
 _MSG_LAYOUT = 0x0008
+_MSG_GROUP_INFO = 0x000A
 _MSG_FILTER = 0x000B
 _MSG_CONTINUATION = 0x0010
 _MSG_SYMBOL_TABLE = 0x0011
@@ -63,32 +66,38 @@ def _parse_superblock(d: bytes) -> Dict:
     if d[:8] != _SIG:
         raise Hdf5LiteError("not an HDF5 file (bad signature)")
     ver = d[8]
-    if ver != 0:
-        raise NotImplementedError(
-            f"HDF5 superblock version {ver}: only version 0 (the netcdf-c/"
-            "h5py default) is supported in this environment"
-        )
-    size_off, size_len = d[13], d[14]
-    if (size_off, size_len) != (8, 8):
-        raise NotImplementedError(
-            f"HDF5 offset/length sizes {size_off}/{size_len}: only 8/8 supported"
-        )
-    base = _u(d, 24, 8)
-    if base != 0:
-        raise NotImplementedError("HDF5 non-zero base address unsupported")
-    # root group symbol table entry starts at byte 56
-    root_ohdr = _u(d, 56 + 8, 8)
-    return {"root_ohdr": root_ohdr}
+    if ver == 0:
+        size_off, size_len = d[13], d[14]
+        if (size_off, size_len) != (8, 8):
+            raise NotImplementedError(
+                f"HDF5 offset/length sizes {size_off}/{size_len}: "
+                "only 8/8 supported"
+            )
+        base = _u(d, 24, 8)
+        if base != 0:
+            raise NotImplementedError("HDF5 non-zero base address unsupported")
+        # root group symbol table entry starts at byte 56
+        return {"root_ohdr": _u(d, 56 + 8, 8)}
+    if ver in (2, 3):
+        # v2/v3: sizes(2), flags(1), base(8), extension(8), EOF(8),
+        # root object header address(8), checksum(4)
+        size_off, size_len = d[9], d[10]
+        if (size_off, size_len) != (8, 8):
+            raise NotImplementedError(
+                f"HDF5 offset/length sizes {size_off}/{size_len}: "
+                "only 8/8 supported"
+            )
+        if _u(d, 12, 8) != 0:
+            raise NotImplementedError("HDF5 non-zero base address unsupported")
+        return {"root_ohdr": _u(d, 36, 8)}
+    raise NotImplementedError(
+        f"HDF5 superblock version {ver}: versions 0/2/3 supported"
+    )
 
 
 def _parse_ohdr_v1(d: bytes, addr: int) -> List[Tuple[int, bytes]]:
     """Object header v1 -> [(msg_type, body)], following continuations."""
     if d[addr] != 1:
-        if d[addr : addr + 4] == b"OHDR":
-            raise NotImplementedError(
-                "HDF5 object header version 2 unsupported (file written with "
-                "libver=latest); rewrite with default library version"
-            )
         raise Hdf5LiteError(f"bad object header version {d[addr]} @ {addr}")
     nmsgs = _u(d, addr + 2, 2)
     hsize = _u(d, addr + 8, 4)
@@ -108,6 +117,98 @@ def _parse_ohdr_v1(d: bytes, addr: int) -> List[Tuple[int, bytes]]:
             else:
                 msgs.append((mtype, body))
     return msgs
+
+
+def _parse_ohdr_v2(d: bytes, addr: int) -> List[Tuple[int, bytes]]:
+    """Version-2 object header ("OHDR", spec IV.A.1.b) -> [(type, body)],
+    following OCHK continuation blocks. Written by libver='latest'."""
+    if d[addr : addr + 4] != b"OHDR":
+        raise Hdf5LiteError(f"bad OHDR signature @ {addr}")
+    if d[addr + 4] != 2:
+        raise Hdf5LiteError(f"OHDR version {d[addr + 4]} unsupported")
+    flags = d[addr + 5]
+    off = addr + 6
+    if flags & 0x20:
+        off += 16  # access/mod/change/birth times
+    if flags & 0x10:
+        off += 4  # max compact / min dense attribute counts
+    c0n = 1 << (flags & 0x03)
+    chunk0 = _u(d, off, c0n)
+    off += c0n
+    extra = 2 if flags & 0x04 else 0  # message creation-order field
+    msgs: List[Tuple[int, bytes]] = []
+    blocks = [(off, chunk0)]
+    while blocks:
+        start, length = blocks.pop(0)
+        pos, end = start, start + length
+        while pos + 4 + extra <= end:
+            mtype = d[pos]
+            msize = _u(d, pos + 1, 2)
+            pos += 4 + extra
+            body = bytes(d[pos : pos + msize])
+            pos += msize
+            if mtype == _MSG_CONTINUATION:
+                # block = OCHK signature + messages + checksum
+                caddr, clen = _u(body, 0, 8), _u(body, 8, 8)
+                if d[caddr : caddr + 4] != b"OCHK":
+                    raise Hdf5LiteError(f"bad OCHK signature @ {caddr}")
+                blocks.append((caddr + 4, clen - 8))
+            elif mtype != 0:  # NIL padding
+                msgs.append((mtype, body))
+    return msgs
+
+
+def _parse_ohdr(d: bytes, addr: int) -> List[Tuple[int, bytes]]:
+    if d[addr : addr + 4] == b"OHDR":
+        return _parse_ohdr_v2(d, addr)
+    return _parse_ohdr_v1(d, addr)
+
+
+def _parse_link(body: bytes) -> Tuple[str, Optional[int]]:
+    """Link message (type 0x06) -> (name, object header address);
+    address None for soft/external links (skipped)."""
+    if body[0] != 1:
+        raise Hdf5LiteError(f"link message version {body[0]}")
+    flags = body[1]
+    off = 2
+    ltype = 0
+    if flags & 0x08:
+        ltype = body[off]
+        off += 1
+    if flags & 0x04:
+        off += 8  # creation order
+    if flags & 0x10:
+        off += 1  # charset
+    lsz = 1 << (flags & 0x03)
+    nlen = _u(body, off, lsz)
+    off += lsz
+    name = body[off : off + nlen].decode("utf-8")
+    off += nlen
+    if ltype != 0:
+        return name, None
+    return name, _u(body, off, 8)
+
+
+def _group_children_v2(d: bytes, msgs) -> Dict[str, int]:
+    """New-style (compact) group: hard-link messages -> children. Dense
+    storage (fractal heap + v2 B-tree) raises with the remediation."""
+    for t, b in msgs:
+        if t == _MSG_LINK_INFO:
+            fl = b[1]
+            o = 2 + (8 if fl & 1 else 0)
+            if _u(b, o, 8) != _UNDEF:
+                raise NotImplementedError(
+                    "HDF5 dense link storage (fractal heap) unsupported; "
+                    "rewrite with default library settings or fewer links "
+                    "per group"
+                )
+    out: Dict[str, int] = {}
+    for t, b in msgs:
+        if t == _MSG_LINK:
+            name, addr = _parse_link(b)
+            if addr is not None:
+                out[name] = addr
+    return out
 
 
 def _parse_dataspace(body: bytes) -> Tuple[int, ...]:
@@ -333,10 +434,13 @@ def _read_dataset(d: bytes, msgs, name: str) -> np.ndarray:
 
 
 def read_hdf5(path_or_bytes) -> Dict[str, np.ndarray]:
-    """Extract every contiguous/compact dataset -> {"/path/name": array}.
+    """Extract every dataset -> {"/path/name": array}.
 
-    Raises NotImplementedError (with the remediation) on chunked or
-    filtered datasets, v2+ superblocks, or new-style groups.
+    Superblocks v0/v2/v3, object headers v1 and v2, old-style
+    (symbol-table) and new-style compact (link-message) groups,
+    compact/contiguous/chunked(+deflate) layouts. Dense link storage
+    and non-deflate filters raise NotImplementedError with the
+    remediation.
     """
     d = (
         bytes(path_or_bytes)
@@ -347,12 +451,17 @@ def read_hdf5(path_or_bytes) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
 
     def walk(ohdr_addr: int, prefix: str):
-        msgs = _parse_ohdr_v1(d, ohdr_addr)
+        msgs = _parse_ohdr(d, ohdr_addr)
         types = {t for t, _ in msgs}
         if _MSG_SYMBOL_TABLE in types:
             for name, child in _group_children(d, msgs).items():
                 walk(child, f"{prefix}{name}/")
-        elif _MSG_LAYOUT in types or _MSG_DATASPACE in types:
+        elif _MSG_LAYOUT in types:
+            out[prefix.rstrip("/")] = _read_dataset(d, msgs, prefix.rstrip("/"))
+        elif types & {_MSG_LINK_INFO, _MSG_LINK, _MSG_GROUP_INFO}:
+            for name, child in _group_children_v2(d, msgs).items():
+                walk(child, f"{prefix}{name}/")
+        elif _MSG_DATASPACE in types:
             out[prefix.rstrip("/")] = _read_dataset(d, msgs, prefix.rstrip("/"))
 
     walk(sb["root_ohdr"], "/")
@@ -399,6 +508,64 @@ def _ohdr_v1(msgs: List[bytes]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(msgs), 1, len(blob)) + blob
 
 
+def _lookup3(data: bytes, initval: int = 0) -> int:
+    """Bob Jenkins lookup3 hashlittle (public domain), the checksum HDF5
+    uses for v2 superblocks and v2 object headers (H5_checksum_lookup3)."""
+    M = 0xFFFFFFFF
+
+    def rot(x, k):
+        return ((x << k) | (x >> (32 - k))) & M
+
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & M
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & M
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & M
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & M
+        a = (a - c) & M; a ^= rot(c, 4); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 6); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 8); b = (b + a) & M
+        a = (a - c) & M; a ^= rot(c, 16); c = (c + b) & M
+        b = (b - a) & M; b ^= rot(a, 19); a = (a + c) & M
+        c = (c - b) & M; c ^= rot(b, 4); b = (b + a) & M
+        i += 12
+        length -= 12
+    if length > 0:
+        tail = data[i:] + b"\x00" * (12 - length)
+        a = (a + int.from_bytes(tail[0:4], "little")) & M
+        b = (b + int.from_bytes(tail[4:8], "little")) & M
+        c = (c + int.from_bytes(tail[8:12], "little")) & M
+        c ^= b; c = (c - rot(b, 14)) & M
+        a ^= c; a = (a - rot(c, 11)) & M
+        b ^= a; b = (b - rot(a, 25)) & M
+        c ^= b; c = (c - rot(b, 16)) & M
+        a ^= c; a = (a - rot(c, 4)) & M
+        b ^= a; b = (b - rot(a, 14)) & M
+        c ^= b; c = (c - rot(b, 24)) & M
+    return c
+
+
+def _msg2(mtype: int, body: bytes) -> bytes:
+    """Version-2 object-header message: 1-byte type, no 8-alignment."""
+    return struct.pack("<BHB", mtype, len(body), 0) + body
+
+
+def _ohdr_v2(msgs: List[bytes]) -> bytes:
+    blob = b"".join(msgs)
+    # flags 0x02: 4-byte size-of-chunk-0, no times, no creation order
+    head = b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", len(blob))
+    body = head + blob
+    return body + struct.pack("<I", _lookup3(body))
+
+
+def _link_msg(name: str, addr: int) -> bytes:
+    nb = name.encode("utf-8")
+    # version 1, flags 0x01 (2-byte name length, hard link, no extras)
+    return (bytes([1, 0x01]) + struct.pack("<H", len(nb)) + nb
+            + struct.pack("<Q", addr))
+
+
 def _chunk_plan(a: np.ndarray, cdims: Tuple[int, ...], compress: bool):
     """(chunk_offsets, blobs) — row-major chunk grid, edge chunks stored
     full-size zero-padded (the standard HDF5 convention)."""
@@ -441,14 +608,20 @@ def write_hdf5(
     datasets: Dict[str, np.ndarray],
     chunks: Optional[Union[Dict[str, Tuple[int, ...]], Tuple[int, ...]]] = None,
     compression: Optional[str] = None,
+    superblock: int = 0,
 ) -> str:
-    """Flat root group, superblock v0. Contiguous by default; pass
-    ``chunks`` (per-name dict or one tuple for all) and/or
-    ``compression="deflate"`` for chunked(+gzip) datasets — the layout
-    real NetCDF-4 granules use. Compression implies chunking (one
-    full-shape chunk when no chunk dims are given)."""
+    """Flat root group. Contiguous by default; pass ``chunks`` (per-name
+    dict or one tuple for all) and/or ``compression="deflate"`` for
+    chunked(+gzip) datasets — the layout real NetCDF-4 granules use.
+    Compression implies chunking (one full-shape chunk when no chunk
+    dims are given). ``superblock=0`` (default, netcdf-c style: symbol
+    tables + v1 object headers) or ``superblock=2`` (libver='latest'
+    style: v2 superblock + OHDR v2 + compact link messages, with the
+    lookup3 checksums real readers verify)."""
     if compression not in (None, "deflate"):
         raise Hdf5LiteError(f"unsupported compression {compression!r}")
+    if superblock not in (0, 2):
+        raise Hdf5LiteError(f"superblock must be 0 or 2, got {superblock}")
     names = sorted(datasets)
     if not names:
         raise Hdf5LiteError("write_hdf5 requires at least one dataset")
@@ -482,17 +655,18 @@ def write_hdf5(
         b = nm.encode("utf-8") + b"\x00"
         heap_data += b + b"\x00" * ((8 - len(b) % 8) % 8)
 
-    def build_hdr(nm: str, btree_addr: int = 0, data_addr: int = 0) -> bytes:
+    def ds_msgs(nm: str, btree_addr: int, data_addr: int) -> List[Tuple[int, bytes]]:
+        """(type, body) message list for one dataset — shared between the
+        v1 and v2 object-header renderings."""
         plan = plans[nm]
         a = plan[1]
         space = struct.pack("<BBB5x", 1, a.ndim, 0) + b"".join(
             struct.pack("<Q", s) for s in a.shape
         )
-        msgs = [_msg(_MSG_DATASPACE, space),
-                _msg(_MSG_DATATYPE, _dtype_msg(a.dtype))]
+        msgs = [(_MSG_DATASPACE, space), (_MSG_DATATYPE, _dtype_msg(a.dtype))]
         if plan[0] == "contig":
-            msgs.append(_msg(_MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr,
-                                                      a.nbytes)))
+            msgs.append((_MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr,
+                                                  a.nbytes)))
         else:
             _, _, cdims, _, _ = plan
             if compression == "deflate":
@@ -500,17 +674,101 @@ def write_hdf5(
                 # (level 6), padded to an even value count
                 filt = struct.pack("<BB6x", 1, 1) + struct.pack(
                     "<HHHH", 1, 0, 0, 1) + struct.pack("<I", 6) + b"\x00" * 4
-                msgs.append(_msg(_MSG_FILTER, filt))
+                msgs.append((_MSG_FILTER, filt))
             layout = (struct.pack("<BBB", 3, 2, len(cdims) + 1)
                       + struct.pack("<Q", btree_addr)
                       + b"".join(struct.pack("<I", c) for c in cdims)
                       + struct.pack("<I", a.dtype.itemsize))
-            msgs.append(_msg(_MSG_LAYOUT, layout))
-        return _ohdr_v1(msgs)
+            msgs.append((_MSG_LAYOUT, layout))
+        return msgs
+
+    def build_hdr(nm: str, btree_addr: int = 0, data_addr: int = 0) -> bytes:
+        if superblock == 2:
+            return _ohdr_v2([_msg2(t, b)
+                             for t, b in ds_msgs(nm, btree_addr, data_addr)])
+        return _ohdr_v1([_msg(t, b)
+                         for t, b in ds_msgs(nm, btree_addr, data_addr)])
 
     # --- placement
     def align(n):
         return (n + 7) & ~7
+
+    def place_data(start: int):
+        """Assign contiguous-data / chunk-btree / chunk-blob addresses
+        from ``start``; returns (data_addr, cb_addr, c_addrs, eof)."""
+        pos = start
+        daddr: Dict[str, int] = {}
+        cbaddr: Dict[str, int] = {}
+        caddrs: Dict[str, List[int]] = {}
+        for nm in names:
+            plan = plans[nm]
+            if plan[0] == "contig":
+                daddr[nm] = pos
+                pos = align(pos + plan[1].nbytes)
+            else:
+                _, _, cdims, offs, blobs = plan
+                ndimp1 = len(cdims) + 1
+                node = 24 + len(offs) * (8 + 8 * ndimp1 + 8) + (8 + 8 * ndimp1)
+                cbaddr[nm] = pos
+                pos = align(pos + node)
+                addrs = []
+                for b in blobs:
+                    addrs.append(pos)
+                    pos = align(pos + len(b))
+                caddrs[nm] = addrs
+        return daddr, cbaddr, caddrs, pos
+
+    def write_payloads(buf, data_addr, chunk_btree_addr, chunk_addrs):
+        for nm in names:
+            plan = plans[nm]
+            if plan[0] == "contig":
+                hdr = build_hdr(nm, data_addr=data_addr[nm])
+                buf[hdr_addr[nm] : hdr_addr[nm] + len(hdr)] = hdr
+                raw = plan[1].tobytes()
+                buf[data_addr[nm] : data_addr[nm] + len(raw)] = raw
+            else:
+                _, _, cdims, offs, blobs = plan
+                hdr = build_hdr(nm, btree_addr=chunk_btree_addr[nm])
+                buf[hdr_addr[nm] : hdr_addr[nm] + len(hdr)] = hdr
+                grid_end = [((s + c - 1) // c) * c for s, c in
+                            zip(plan[1].shape, cdims)]
+                node = _chunk_btree_node(offs, [len(b) for b in blobs],
+                                         chunk_addrs[nm], cdims, grid_end)
+                na = chunk_btree_addr[nm]
+                buf[na : na + len(node)] = node
+                for b, addr in zip(blobs, chunk_addrs[nm]):
+                    buf[addr : addr + len(b)] = b
+
+    if superblock == 2:
+        # v2 superblock (48 bytes) -> root OHDR v2 with compact link
+        # messages -> dataset OHDR v2 headers -> data
+        def root_hdr2(addr_of: Dict[str, int]) -> bytes:
+            msgs = [_msg2(_MSG_LINK_INFO,
+                          bytes([0, 0]) + struct.pack("<QQ", _UNDEF, _UNDEF)),
+                    _msg2(_MSG_GROUP_INFO, bytes([0, 0]))]
+            for nm in names:
+                msgs.append(_msg2(_MSG_LINK, _link_msg(nm, addr_of[nm])))
+            return _ohdr_v2(msgs)
+
+        root_addr = 48
+        pos = align(root_addr + len(root_hdr2({nm: 0 for nm in names})))
+        hdr_addr = {}
+        for nm in names:
+            hdr_addr[nm] = pos
+            pos = align(pos + len(build_hdr(nm)))
+        data_addr, chunk_btree_addr, chunk_addrs, eof = place_data(pos)
+
+        buf = bytearray(eof)
+        sb = (_SIG + bytes([2, 8, 8, 0])
+              + struct.pack("<QQQQ", 0, _UNDEF, eof, root_addr))
+        buf[0:44] = sb
+        struct.pack_into("<I", buf, 44, _lookup3(sb))
+        rh = root_hdr2(hdr_addr)
+        buf[root_addr : root_addr + len(rh)] = rh
+        write_payloads(buf, data_addr, chunk_btree_addr, chunk_addrs)
+        with open(path, "wb") as f:
+            f.write(buf)
+        return path
 
     sb_size = 96
     root_hdr = _ohdr_v1([_msg(_MSG_SYMBOL_TABLE, struct.pack("<QQ", 0, 0))])
@@ -529,26 +787,7 @@ def write_hdf5(
     for nm in names:
         hdr_addr[nm] = pos
         pos = align(pos + len(build_hdr(nm)))  # size is address-independent
-    data_addr: Dict[str, int] = {}
-    chunk_btree_addr: Dict[str, int] = {}
-    chunk_addrs: Dict[str, List[int]] = {}
-    for nm in names:
-        plan = plans[nm]
-        if plan[0] == "contig":
-            data_addr[nm] = pos
-            pos = align(pos + plan[1].nbytes)
-        else:
-            _, _, cdims, offs, blobs = plan
-            ndimp1 = len(cdims) + 1
-            node_size = 24 + len(offs) * (8 + 8 * ndimp1 + 8) + (8 + 8 * ndimp1)
-            chunk_btree_addr[nm] = pos
-            pos = align(pos + node_size)
-            addrs = []
-            for b in blobs:
-                addrs.append(pos)
-                pos = align(pos + len(b))
-            chunk_addrs[nm] = addrs
-    eof = pos
+    data_addr, chunk_btree_addr, chunk_addrs, eof = place_data(pos)
 
     root_hdr = _ohdr_v1(
         [_msg(_MSG_SYMBOL_TABLE, struct.pack("<QQ", btree_addr, heap_addr))]
@@ -577,25 +816,7 @@ def write_hdf5(
         struct.pack_into(
             "<QQII16x", buf, snod_addr + 8 + i * 40, name_off[nm], hdr_addr[nm], 0, 0
         )
-    for nm in names:
-        plan = plans[nm]
-        if plan[0] == "contig":
-            hdr = build_hdr(nm, data_addr=data_addr[nm])
-            buf[hdr_addr[nm] : hdr_addr[nm] + len(hdr)] = hdr
-            raw = plan[1].tobytes()
-            buf[data_addr[nm] : data_addr[nm] + len(raw)] = raw
-        else:
-            _, _, cdims, offs, blobs = plan
-            hdr = build_hdr(nm, btree_addr=chunk_btree_addr[nm])
-            buf[hdr_addr[nm] : hdr_addr[nm] + len(hdr)] = hdr
-            grid_end = [((s + c - 1) // c) * c for s, c in
-                        zip(plan[1].shape, cdims)]
-            node = _chunk_btree_node(offs, [len(b) for b in blobs],
-                                     chunk_addrs[nm], cdims, grid_end)
-            na = chunk_btree_addr[nm]
-            buf[na : na + len(node)] = node
-            for b, addr in zip(blobs, chunk_addrs[nm]):
-                buf[addr : addr + len(b)] = b
+    write_payloads(buf, data_addr, chunk_btree_addr, chunk_addrs)
     with open(path, "wb") as f:
         f.write(buf)
     return path

@@ -227,13 +227,61 @@ def test_hdf5_duplicate_leaf_name_raises(monkeypatch):
         read_netcdf(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
 
 
-def test_hdf5_unsupported_versions(tmp_path):
+def test_hdf5_unsupported_versions():
     sig = b"\x89HDF\r\n\x1a\n"
-    with pytest.raises(NotImplementedError, match="superblock version 2"):
-        hdf5lite.read_hdf5(sig + bytes([2]) + b"\x00" * 64)
-    # v0 superblock pointing at a v2 ("OHDR") object header
-    buf = bytearray(hdf5lite.write_hdf5(str(tmp_path / "x.h5"), {
-        "a": np.zeros(2, np.float32)}) and open(tmp_path / "x.h5", "rb").read())
-    buf[96:100] = b"OHDR"
-    with pytest.raises(NotImplementedError, match="header version 2"):
+    with pytest.raises(NotImplementedError, match="superblock version 1"):
+        hdf5lite.read_hdf5(sig + bytes([1]) + b"\x00" * 64)
+
+
+def test_hdf5_superblock_v2_roundtrip(tmp_path):
+    """libver='latest'-style files: v2 superblock, OHDR v2 with lookup3
+    checksums, compact link-message groups — contiguous AND
+    chunked+deflate datasets round-trip; the netcdf CF route works on
+    the same container."""
+    rng = np.random.default_rng(8)
+    data = {"a": rng.normal(size=(57, 83)).astype(np.float32),
+            "b": rng.integers(0, 1000, (40,)).astype(np.int32),
+            "c": rng.normal(size=(3, 20, 11)).astype(">f8")}
+    for chunks, comp in [(None, None),
+                         ({"a": (16, 32), "b": (7,), "c": (2, 8, 5)},
+                          "deflate")]:
+        p = str(tmp_path / "sb2.h5")
+        hdf5lite.write_hdf5(p, data, chunks=chunks, compression=comp,
+                            superblock=2)
+        raw = open(p, "rb").read()
+        assert raw[8] == 2 and raw[48:52] == b"OHDR"
+        back = hdf5lite.read_hdf5(p)
+        np.testing.assert_array_equal(back["/a"], data["a"])
+        np.testing.assert_array_equal(back["/b"], data["b"])
+        np.testing.assert_allclose(back["/c"], data["c"].astype("=f8"))
+    # CF grid extraction through the netcdf route on a v2-superblock file
+    rows, cols = 50, 70
+    lat = 44.0 - 0.01 * (np.arange(rows) + 0.5)
+    lon = -124.0 + 0.01 * (np.arange(cols) + 0.5)
+    temp = np.arange(rows * cols, dtype=np.float32).reshape(rows, cols)
+    p = str(tmp_path / "n4v2.nc")
+    hdf5lite.write_hdf5(p, {"lat": lat, "lon": lon, "temp": temp},
+                        compression="deflate", superblock=2)
+    arr, grid = netcdf_raster(p, "temp")
+    np.testing.assert_array_equal(arr, temp)
+    assert (grid.rows, grid.cols) == (rows, cols)
+    # lookup3 checksum matches Bob Jenkins' published hashlittle vectors
+    assert hdf5lite._lookup3(b"", 0) == 0xDEADBEEF
+    assert hdf5lite._lookup3(b"Four score and seven years ago", 0) == 0x17770551
+    assert hdf5lite._lookup3(b"Four score and seven years ago", 1) == 0xCD628161
+
+
+def test_hdf5_dense_links_raise(tmp_path):
+    """A v2 group whose link-info points at a fractal heap (dense
+    storage) raises with the remediation instead of misreading."""
+    p = str(tmp_path / "d.h5")
+    hdf5lite.write_hdf5(p, {"a": np.zeros(4, np.float32)}, superblock=2)
+    buf = bytearray(open(p, "rb").read())
+    # link-info body starts after the root OHDR prefix (sig4+ver1+flags1+
+    # size4) + the 4-byte v2 message header; body = version(1) flags(1)
+    # then the fractal heap address
+    li = 48 + 10 + 4 + 2
+    assert buf[li : li + 8] == b"\xff" * 8  # currently UNDEF
+    struct.pack_into("<Q", buf, li, 4096)
+    with pytest.raises(NotImplementedError, match="dense link"):
         hdf5lite.read_hdf5(bytes(buf))
