@@ -268,9 +268,32 @@ def _undo_predictor(a: np.ndarray, predictor: int) -> np.ndarray:
         # int64 cumsum cast back to the sample dtype == modular per-row sum
         return np.cumsum(a.astype(np.int64), axis=1).astype(a.dtype)
     raise NotImplementedError(
-        f"TIFF predictor {predictor} unsupported (1=none and 2=horizontal "
-        "differencing are implemented; 3 is the floating-point predictor)"
+        f"TIFF predictor {predictor} unsupported (1=none, 2=horizontal "
+        "differencing, 3=floating-point are implemented)"
     )
+
+
+def _undo_float_predictor(raw: bytes, width: int, itemsize: int) -> bytes:
+    """Predictor 3 (TIFF Technical Note 3): each row is stored as
+    byte-wise horizontal differences over the row's values split into
+    byte PLANES, most-significant plane first. Returns big-endian value
+    bytes in raster order."""
+    a = np.frombuffer(raw, np.uint8).reshape(-1, width * itemsize)
+    a = np.cumsum(a, axis=1, dtype=np.uint8)  # wraps mod 256 per row
+    planes = a.reshape(-1, itemsize, width)  # MSB plane first
+    return planes.transpose(0, 2, 1).tobytes()
+
+
+def _apply_float_predictor(a: np.ndarray) -> bytes:
+    """Encode-side predictor 3 for one strip/tile (2D float array)."""
+    be = np.ascontiguousarray(a.astype(a.dtype.newbyteorder(">")))
+    rows, width = a.shape
+    itemsize = a.dtype.itemsize
+    by = np.frombuffer(be.tobytes(), np.uint8).reshape(rows, width, itemsize)
+    planes = by.transpose(0, 2, 1).reshape(rows, width * itemsize)
+    diff = planes.astype(np.int16)
+    diff[:, 1:] -= planes[:, :-1].astype(np.int16)
+    return (diff & 0xFF).astype(np.uint8).tobytes()
 
 
 def _dtype_info(a: np.ndarray) -> Tuple[int, int]:
@@ -494,12 +517,15 @@ def write_geotiff(
     byte_order: str = "<",
     overviews: bool = True,
     bigtiff: bool = False,
+    predictor: int = 1,
 ) -> str:
     """General GeoTIFF writer. ``layout="tiles"`` is the COG path;
     ``layout="strips"`` emits a plain baseline stripped TIFF (the layout
     most wild files use — RowsPerStrip/StripOffsets/StripByteCounts),
     in either byte order, with none/LZW/deflate/PackBits compression;
-    ``bigtiff=True`` selects the version-43 8-byte-offset container."""
+    ``bigtiff=True`` selects the version-43 8-byte-offset container;
+    ``predictor=3`` applies the TechNote-3 floating-point predictor
+    (strips layout, float data only)."""
     if layout == "tiles":
         return write_cog(arr, grid, path, tile=tile, compression=compression,
                          overviews=overviews, byte_order=byte_order,
@@ -520,13 +546,21 @@ def write_geotiff(
     if bo == ">":
         a = a.astype(a.dtype.newbyteorder(">"), copy=False)
 
+    if predictor not in (1, 3):
+        raise ValueError("write predictor must be 1 (none) or 3 (float)")
+    if predictor == 3 and a.dtype.kind != "f":
+        raise ValueError("predictor 3 applies to floating-point samples only")
+
     h, w = a.shape
     rps = max(1, int(rows_per_strip))
     nstrips = (h + rps - 1) // rps
     blobs = []
     for i in range(nstrips):
         sub = a[i * rps : min((i + 1) * rps, h)]  # last strip short, unpadded
-        blobs.append(_compress(np.ascontiguousarray(sub).tobytes(), comp))
+        if predictor == 3:
+            blobs.append(_compress(_apply_float_predictor(sub), comp))
+        else:
+            blobs.append(_compress(np.ascontiguousarray(sub).tobytes(), comp))
 
     ifd = _IFD(bo, big=bigtiff)
     ifd.add(TAG_NEW_SUBFILE, _LONG, 0)
@@ -541,6 +575,8 @@ def write_geotiff(
             [0] * nstrips)  # patched below
     ifd.add(TAG_STRIP_COUNTS, _LONG, [len(b) for b in blobs])
     ifd.add(TAG_SAMPLE_FORMAT, _SHORT, sfmt)
+    if predictor != 1:
+        ifd.add(TAG_PREDICTOR, _SHORT, predictor)
     _geo_entries(ifd, grid)
 
     hdr_len = 16 if bigtiff else 8
@@ -662,8 +698,14 @@ def read_geotiff(path: str):
                     meta["first_tile_offset"] = toff
                 raw = _decompress(data[toff : toff + tcnt], comp,
                                   expected=tl * tw * dt.itemsize)
-                t = np.frombuffer(raw, dtype=dt).reshape(tl, tw)
-                t = _undo_predictor(t, pred).astype(np.dtype(base), copy=False)
+                if pred == 3:
+                    t = np.frombuffer(
+                        _undo_float_predictor(raw, tw, dt.itemsize),
+                        dtype=np.dtype(base).newbyteorder(">")).reshape(tl, tw)
+                else:
+                    t = np.frombuffer(raw, dtype=dt).reshape(tl, tw)
+                    t = _undo_predictor(t, pred)
+                t = t.astype(np.dtype(base), copy=False)
                 r, c = divmod(ti, tx)
                 hh = min(tl, h - r * tl)
                 ww = min(tw, w - c * tw)
@@ -688,8 +730,16 @@ def read_geotiff(path: str):
                 rows = min(rps, h - i * rps)
                 raw = _decompress(data[soff : soff + scnt], comp,
                                   expected=rows * w * dt.itemsize)
-                s = np.frombuffer(raw, dtype=dt, count=rows * w).reshape(rows, w)
-                s = _undo_predictor(s, pred).astype(np.dtype(base), copy=False)
+                if pred == 3:
+                    s = np.frombuffer(
+                        _undo_float_predictor(raw[: rows * w * dt.itemsize],
+                                              w, dt.itemsize),
+                        dtype=np.dtype(base).newbyteorder(">")).reshape(rows, w)
+                else:
+                    s = np.frombuffer(raw, dtype=dt, count=rows * w
+                                      ).reshape(rows, w)
+                    s = _undo_predictor(s, pred)
+                s = s.astype(np.dtype(base), copy=False)
                 out[i * rps : i * rps + rows] = s
             meta["layout"] = "strips"
         else:

@@ -4,6 +4,8 @@ Parity target: Raster.to_COG (reference raster.py:1741-1791 via GDAL),
 rebuilt from the public TIFF 6.0 + OGC GeoTIFF 1.1 specs.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -227,3 +229,30 @@ def test_bigtiff_roundtrip_and_router(tmp_path):
     bad.write_bytes(bytes(b))
     with pytest.raises(ValueError, match="offset size"):
         read_geotiff(str(bad))
+
+
+def test_float_predictor_3(tmp_path):
+    """TIFF TechNote-3 floating-point predictor: byte-plane split (MSB
+    first) + byte-wise horizontal differencing, per strip row; round-
+    trips under every codec and byte order, and actually helps on
+    smooth data."""
+    grid = GridSpec(crs="EPSG:4326", x_origin=-124.0, y_origin=44.0,
+                    cell_width=0.01, cell_height=-0.01, rows=57, cols=83)
+    rng = np.random.default_rng(4)
+    f = rng.normal(size=(57, 83)).astype(np.float32)
+    for comp in ("deflate", "lzw", "none"):
+        for bo in ("<", ">"):
+            p = str(tmp_path / f"p3_{comp}_{bo == '<'}.tif")
+            write_geotiff(f, grid, p, layout="strips", compression=comp,
+                          byte_order=bo, rows_per_strip=13, predictor=3)
+            levels, _meta = read_geotiff(p)
+            np.testing.assert_array_equal(levels[0], f)
+    sm = np.linspace(0, 1, 57 * 83, dtype=np.float32).reshape(57, 83)
+    p3 = str(tmp_path / "sm3.tif")
+    p1 = str(tmp_path / "sm1.tif")
+    write_geotiff(sm, grid, p3, layout="strips", predictor=3)
+    write_geotiff(sm, grid, p1, layout="strips", predictor=1)
+    assert os.path.getsize(p3) < os.path.getsize(p1) / 2
+    with pytest.raises(ValueError, match="floating-point"):
+        write_geotiff(np.zeros((4, 4), np.uint8), grid, p1,
+                      layout="strips", predictor=3)
