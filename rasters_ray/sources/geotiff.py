@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -608,12 +608,19 @@ def write_geotiff(
     return path
 
 
-def read_geotiff(path: str):
+def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
     """GeoTIFF reader: returns (levels, meta) where levels is a list of
     2D arrays (main + overviews) and meta has pixel_scale / tiepoint /
-    geo_keys / layout info. Either byte order, tiled or stripped,
-    whitelisted compression only (unknown codes raise — see
-    ``_decompress``)."""
+    geo_keys / layout info. Either byte order, classic or BigTIFF,
+    tiled or stripped, whitelisted compression only (unknown codes
+    raise — see ``_decompress``).
+
+    ``window=(row_off, col_off, height, width)`` decodes ONLY the
+    tiles/strips intersecting that level-0 region (clamped to the
+    image) and returns a single level of the window's pixels — the
+    scale path for pulling one AOI out of a continent-sized mosaic
+    without touching the rest of the file. ``meta["window"]`` records
+    the clamped region."""
     data = open(path, "rb").read()
     if data[:2] == b"II":
         bo = "<"
@@ -686,7 +693,25 @@ def read_geotiff(path: str):
                 "(uint8/uint16/float32 single-band only)"
             ) from None
         dt = np.dtype(base).newbyteorder(bo)
-        out = np.zeros((h, w), dtype=np.dtype(base))
+        # target region: full image, or the clamped window on level 0
+        if window is not None:
+            wr0, wc0, wh_, ww_ = window
+            wr0 = max(0, min(int(wr0), h))
+            wc0 = max(0, min(int(wc0), w))
+            wh_ = max(0, min(int(wh_), h - wr0))
+            ww_ = max(0, min(int(ww_), w - wc0))
+            meta["window"] = (wr0, wc0, wh_, ww_)
+        else:
+            wr0 = wc0 = 0
+            wh_, ww_ = h, w
+        out = np.zeros((wh_, ww_), dtype=np.dtype(base))
+
+        def paste(block: np.ndarray, br: int, bc: int) -> None:
+            rs, re = max(br, wr0), min(br + block.shape[0], wr0 + wh_)
+            cs, ce = max(bc, wc0), min(bc + block.shape[1], wc0 + ww_)
+            if rs < re and cs < ce:
+                out[rs - wr0 : re - wr0, cs - wc0 : ce - wc0] = (
+                    block[rs - br : re - br, cs - bc : ce - bc])
 
         if TAG_TILE_W in tags:  # tiled layout
             tw, tl = tags[TAG_TILE_W][0], tags[TAG_TILE_L][0]
@@ -696,6 +721,10 @@ def read_geotiff(path: str):
             ):
                 if meta["first_tile_offset"] is None or toff < meta["first_tile_offset"]:
                     meta["first_tile_offset"] = toff
+                r, c = divmod(ti, tx)
+                if (r * tl >= wr0 + wh_ or (r + 1) * tl <= wr0
+                        or c * tw >= wc0 + ww_ or (c + 1) * tw <= wc0):
+                    continue  # outside the window: never decompressed
                 raw = _decompress(data[toff : toff + tcnt], comp,
                                   expected=tl * tw * dt.itemsize)
                 if pred == 3:
@@ -706,10 +735,9 @@ def read_geotiff(path: str):
                     t = np.frombuffer(raw, dtype=dt).reshape(tl, tw)
                     t = _undo_predictor(t, pred)
                 t = t.astype(np.dtype(base), copy=False)
-                r, c = divmod(ti, tx)
                 hh = min(tl, h - r * tl)
                 ww = min(tw, w - c * tw)
-                out[r * tl : r * tl + hh, c * tw : c * tw + ww] = t[:hh, :ww]
+                paste(t[:hh, :ww], r * tl, c * tw)
             meta["layout"] = "tiles"
         elif TAG_STRIP_OFFSETS in tags:  # stripped layout
             rps = tags.get(TAG_ROWS_PER_STRIP, [h])[0]
@@ -728,6 +756,8 @@ def read_geotiff(path: str):
                 if meta["first_tile_offset"] is None or soff < meta["first_tile_offset"]:
                     meta["first_tile_offset"] = soff
                 rows = min(rps, h - i * rps)
+                if i * rps >= wr0 + wh_ or i * rps + rows <= wr0:
+                    continue  # outside the window: never decompressed
                 raw = _decompress(data[soff : soff + scnt], comp,
                                   expected=rows * w * dt.itemsize)
                 if pred == 3:
@@ -740,7 +770,7 @@ def read_geotiff(path: str):
                                       ).reshape(rows, w)
                     s = _undo_predictor(s, pred)
                 s = s.astype(np.dtype(base), copy=False)
-                out[i * rps : i * rps + rows] = s
+                paste(s, i * rps, 0)
             meta["layout"] = "strips"
         else:
             raise ValueError("TIFF IFD has neither tile nor strip offsets")
@@ -750,6 +780,8 @@ def read_geotiff(path: str):
             meta["pixel_scale"] = tags[TAG_PIXEL_SCALE]
             meta["tiepoint"] = tags[TAG_TIEPOINT]
             meta["geo_keys"] = tags.get(TAG_GEO_KEYS, [])
+        if window is not None:
+            break  # window coordinates are level-0; skip overview IFDs
         nxt_at = off + cnt_n + ent * n
         (off,) = struct.unpack(next_fmt,
                                data[nxt_at : nxt_at + (8 if big else 4)])

@@ -75,11 +75,38 @@ def _geotiff_grid(meta: dict, rows: int, cols: int) -> GridSpec:
     )
 
 
-def open_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridSpec]:
+def open_raster(path: str, var: Optional[str] = None,
+                window: Optional[Tuple[int, int, int, int]] = None,
+                ) -> Tuple[np.ndarray, GridSpec]:
     """Read ONE raster (any supported format) -> (2D array, GridSpec).
     ``var`` selects the NetCDF/HDF5/Zarr variable (required when more
     than one 2D array exists). A DIRECTORY containing ``.zgroup`` /
-    ``.zarray`` (v2) or ``zarr.json`` (v3) is read as a Zarr store."""
+    ``.zarray`` (v2) or ``zarr.json`` (v3) is read as a Zarr store.
+    ``window=(row_off, col_off, height, width)`` reads only that region
+    of a TIFF/BigTIFF — intersecting tiles/strips are the ONLY bytes
+    decompressed — and returns a GridSpec shifted to the window origin
+    (reference parity: Raster.open(window=...), raster.py:634-771)."""
+    if window is not None and os.path.isfile(path):
+        with open(path, "rb") as f:
+            hd = f.read(4)
+        if hd not in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
+            raise NotImplementedError(
+                "window= reads are supported for TIFF/BigTIFF files; for "
+                "Zarr use read_zarr_chunk, for NetCDF subset after read"
+            )
+        from .geotiff import read_geotiff
+
+        levels, meta = read_geotiff(path, window=window)
+        arr = levels[0]
+        wr0, wc0, _wh, _ww = meta["window"]
+        g = _geotiff_grid(meta, arr.shape[0], arr.shape[1])
+        return np.asarray(arr), GridSpec(
+            crs=g.crs,
+            x_origin=g.x_origin + wc0 * g.cell_width,
+            y_origin=g.y_origin + wr0 * g.cell_height,
+            cell_width=g.cell_width, cell_height=g.cell_height,
+            rows=arr.shape[0], cols=arr.shape[1],
+        )
     if os.path.isdir(path):
         if any(os.path.exists(os.path.join(path, m))
                for m in (".zgroup", ".zarray", "zarr.json")):

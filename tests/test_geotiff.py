@@ -256,3 +256,43 @@ def test_float_predictor_3(tmp_path):
     with pytest.raises(ValueError, match="floating-point"):
         write_geotiff(np.zeros((4, 4), np.uint8), grid, p1,
                       layout="strips", predictor=3)
+
+
+def test_windowed_read_prunes_decode(tmp_path):
+    """window= reads decode ONLY intersecting tiles/strips (counted via
+    a _decompress probe), return exactly the window's pixels, clamp at
+    the edges, and shift the GridSpec origin to the window corner."""
+    import rasters_ray.sources.geotiff as G
+    from rasters_ray.sources.open import open_raster
+
+    grid = _grid(300, 400)
+    a = (np.arange(300 * 400) % 251).astype(np.uint8).reshape(300, 400)
+    for layout, big in [("tiles", False), ("strips", False), ("tiles", True)]:
+        p = str(tmp_path / f"w_{layout}_{big}.tif")
+        write_geotiff(a, grid, p, layout=layout, compression="deflate",
+                      rows_per_strip=32, tile=64, overviews=False,
+                      bigtiff=big)
+        calls = [0]
+        orig = G._decompress
+
+        def counted(*args, _orig=orig, **kw):
+            calls[0] += 1
+            return _orig(*args, **kw)
+
+        G._decompress = counted
+        try:
+            arr, g2 = open_raster(p, window=(100, 150, 50, 60))
+        finally:
+            G._decompress = orig
+        np.testing.assert_array_equal(arr, a[100:150, 150:210])
+        assert g2.x_origin == pytest.approx(grid.x_origin + 150 * grid.cell_width)
+        assert g2.y_origin == pytest.approx(grid.y_origin + 100 * grid.cell_height)
+        assert (g2.rows, g2.cols) == (50, 60)
+        total = 35 if layout == "tiles" else 10
+        assert calls[0] <= 4 < total
+        # clamped at the image edge
+        arr2, _ = open_raster(p, window=(280, 390, 100, 100))
+        np.testing.assert_array_equal(arr2, a[280:300, 390:400])
+    # non-TIFF window reads raise with the remediation
+    with pytest.raises(NotImplementedError, match="window"):
+        open_raster(__file__, window=(0, 0, 1, 1))
