@@ -4115,6 +4115,58 @@ def q_zarr_v3(sf_dir: str):
     return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q_tiff_window(sf_dir: str):
+    """Windowed GeoTIFF read (sources/geotiff.py::read_geotiff(window=),
+    reference Raster.open(window=...) raster.py:634-771): each oracle
+    image is written as a tiled BigTIFF ON WORKERS, then ONLY the
+    (30,20,40,60) window is read back — intersecting tiles are the only
+    bytes decompressed (probe-asserted in tests/test_geotiff.py) and
+    the returned GridSpec is shifted to the window corner. The golden
+    VALUES oracle pins the window's exact pixel sum and floor-cm
+    origin. Scale shape: one file per image on worker-local disk; the
+    read I/O is proportional to the WINDOW, not the raster."""
+    import os
+
+    from rasters_ray import codec
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.sources.geotiff import write_geotiff
+    from rasters_ray.sources.open import open_raster
+
+    out_dir = f"/tmp/rasters_ray_tw_q_{os.getpid()}"
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = {"image_id": [], "px_sum": [], "x0_cm": [], "y0_cm": []}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            g = t.column("grid")[i].as_py()
+            grid = GridSpec(crs=g["crs"], x_origin=g["x_origin"],
+                            y_origin=g["y_origin"],
+                            cell_width=g["cell_width"],
+                            cell_height=g["cell_height"],
+                            rows=g["rows"], cols=g["cols"])
+            p = os.path.join(out_dir, f"{iid}.tif")
+            write_geotiff(px, grid, p, layout="tiles", tile=32,
+                          overviews=False, bigtiff=True)
+            arr, g2 = open_raster(p, window=(30, 20, 40, 60))
+            rows["image_id"].append(iid)
+            rows["px_sum"].append(int(np.rint(arr.astype(np.float64)).sum()))
+            rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))
+            rows["y0_cm"].append(int(np.floor(g2.y_origin * 100.0)))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "px_sum": pa.array(rows["px_sum"], pa.int64()),
+                "x0_cm": pa.array(rows["x0_cm"], pa.int64()),
+                "y0_cm": pa.array(rows["y0_cm"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q_winnow_fp(sf_dir: str):
     """Winnowing document fingerprints (text/winnow.py, Schleimer et al.
     2003): rolling k-gram hash + rightmost-window-min selection, one row
@@ -5032,6 +5084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_tiff": q_strip_tiff,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
+        "tiff_window": q_tiff_window,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
@@ -5728,6 +5781,15 @@ SELECT * FROM (VALUES
 SELECT * FROM (VALUES
   ('img00000000', 1248532, -12400, 4400),
   ('img00000001', 1251559, -12350, 4400)
+) AS t(image_id, px_sum, x0_cm, y0_cm)
+"""
+
+    # tiff_window: golden VALUES — exact pixel sum and floor-cm origin of
+    # the (30,20,40,60) window of each oracle image (sequential compute)
+    sql["tiff_window"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 300732, -12380, 4370),
+  ('img00000001', 299079, -12330, 4370)
 ) AS t(image_id, px_sum, x0_cm, y0_cm)
 """
 
