@@ -4042,10 +4042,12 @@ def q_netcdf_chunked(sf_dir: str):
             write_hdf5(p, {"lat": lat, "lon": lon,
                            "temp": px.astype(np.float32)},
                        chunks={"temp": (16, 16), "lat": (len(lat),),
-                               "lon": (len(lon),)}, compression="deflate")
-            # oracle grids are square, so dimension inference is
-            # ambiguous without DIMENSION_LIST — name the axes
-            arr, g2 = netcdf_raster(p, "temp", coords=("lat", "lon"))
+                               "lon": (len(lon),)}, compression="deflate",
+                       dims={"temp": ["lat", "lon"]})
+            # the grid is SQUARE: only the DIMENSION_LIST attribute
+            # (vlen object references through the global heap — what
+            # real granules carry) disambiguates the axes; no coords=
+            arr, g2 = netcdf_raster(p, "temp")
             rows["image_id"].append(iid)
             rows["px_sum"].append(int(np.rint(arr.astype(np.float64)).sum()))
             rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))

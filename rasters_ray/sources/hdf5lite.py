@@ -44,6 +44,7 @@ _MSG_LINK = 0x0006
 _MSG_LAYOUT = 0x0008
 _MSG_GROUP_INFO = 0x000A
 _MSG_FILTER = 0x000B
+_MSG_ATTRIBUTE = 0x000C
 _MSG_CONTINUATION = 0x0010
 _MSG_SYMBOL_TABLE = 0x0011
 
@@ -187,6 +188,69 @@ def _parse_link(body: bytes) -> Tuple[str, Optional[int]]:
     if ltype != 0:
         return name, None
     return name, _u(body, off, 8)
+
+
+def _parse_attribute(body: bytes) -> Tuple[str, bytes, bytes, bytes]:
+    """Attribute message (IV.A.2.m) -> (name, datatype, dataspace, data);
+    versions 1 (8-padded fields), 2 and 3."""
+    ver = body[0]
+    nsz = _u(body, 2, 2)
+    dtsz = _u(body, 4, 2)
+    dssz = _u(body, 6, 2)
+    if ver == 1:
+        off = 8
+
+        def adv(n):
+            return (n + 7) & ~7
+    elif ver in (2, 3):
+        off = 8 + (1 if ver == 3 else 0)  # v3 adds a name-encoding byte
+
+        def adv(n):
+            return n
+    else:
+        raise Hdf5LiteError(f"attribute message version {ver}")
+    name = body[off : off + nsz].split(b"\x00")[0].decode("utf-8")
+    off += adv(nsz)
+    dt = body[off : off + dtsz]
+    off += adv(dtsz)
+    ds = body[off : off + dssz]
+    off += adv(dssz)
+    return name, dt, ds, body[off:]
+
+
+def _gheap_object(d: bytes, addr: int, idx: int) -> bytes:
+    """Global heap collection (III.E): return object ``idx``'s data."""
+    if d[addr : addr + 4] != b"GCOL":
+        raise Hdf5LiteError(f"bad global heap signature @ {addr}")
+    end = addr + _u(d, addr + 8, 8)
+    pos = addr + 16
+    while pos + 16 <= end:
+        oidx = _u(d, pos, 2)
+        osize = _u(d, pos + 8, 8)
+        if oidx == 0:
+            break  # free-space object terminates the walk
+        if oidx == idx:
+            return bytes(d[pos + 16 : pos + 16 + osize])
+        pos += 16 + ((osize + 7) & ~7)
+    raise Hdf5LiteError(f"global heap object {idx} not found @ {addr}")
+
+
+def _dimension_list(d: bytes, attr_data: bytes, ndim: int) -> List[List[int]]:
+    """DIMENSION_LIST attribute data (netCDF-4 convention; HDF5
+    dimension scales, vlen-of-object-reference per axis) -> per-axis
+    lists of referenced object header addresses."""
+    out: List[List[int]] = []
+    for i in range(ndim):
+        e = 16 * i
+        n = _u(attr_data, e, 4)
+        gaddr = _u(attr_data, e + 4, 8)
+        gidx = _u(attr_data, e + 12, 4)
+        if n == 0 or gaddr in (0, _UNDEF):
+            out.append([])
+            continue
+        refs = _gheap_object(d, gaddr, gidx)
+        out.append([_u(refs, 8 * j, 8) for j in range(min(n, len(refs) // 8))])
+    return out
 
 
 def _group_children_v2(d: bytes, msgs) -> Dict[str, int]:
@@ -433,14 +497,17 @@ def _read_dataset(d: bytes, msgs, name: str) -> np.ndarray:
     return arr.astype(dtype.newbyteorder("="), copy=False)
 
 
-def read_hdf5(path_or_bytes) -> Dict[str, np.ndarray]:
-    """Extract every dataset -> {"/path/name": array}.
+def read_hdf5_info(path_or_bytes) -> Dict[str, Dict]:
+    """Extract every dataset -> {"/path/name": {"data": array,
+    "dims": [coordinate dataset path or None, per axis]}}.
 
     Superblocks v0/v2/v3, object headers v1 and v2, old-style
     (symbol-table) and new-style compact (link-message) groups,
-    compact/contiguous/chunked(+deflate) layouts. Dense link storage
-    and non-deflate filters raise NotImplementedError with the
-    remediation.
+    compact/contiguous/chunked(+deflate) layouts. ``dims`` come from
+    the netCDF-4 DIMENSION_LIST convention (HDF5 dimension scales:
+    vlen object references resolved through the global heap) when
+    present. Dense link storage and non-deflate filters raise
+    NotImplementedError with the remediation.
     """
     d = (
         bytes(path_or_bytes)
@@ -448,7 +515,20 @@ def read_hdf5(path_or_bytes) -> Dict[str, np.ndarray]:
         else open(path_or_bytes, "rb").read()
     )
     sb = _parse_superblock(d)
-    out: Dict[str, np.ndarray] = {}
+    out: Dict[str, Dict] = {}
+    addr_path: Dict[int, str] = {}
+    dimrefs: Dict[str, List[List[int]]] = {}
+
+    def read_ds(msgs, path, addr):
+        arr = _read_dataset(d, msgs, path)
+        out[path] = {"data": arr, "dims": [None] * arr.ndim}
+        addr_path[addr] = path
+        for t, b in msgs:
+            if t != _MSG_ATTRIBUTE:
+                continue
+            name, _dt, _ds, adata = _parse_attribute(b)
+            if name == "DIMENSION_LIST":
+                dimrefs[path] = _dimension_list(d, adata, arr.ndim)
 
     def walk(ohdr_addr: int, prefix: str):
         msgs = _parse_ohdr(d, ohdr_addr)
@@ -457,15 +537,28 @@ def read_hdf5(path_or_bytes) -> Dict[str, np.ndarray]:
             for name, child in _group_children(d, msgs).items():
                 walk(child, f"{prefix}{name}/")
         elif _MSG_LAYOUT in types:
-            out[prefix.rstrip("/")] = _read_dataset(d, msgs, prefix.rstrip("/"))
+            read_ds(msgs, prefix.rstrip("/"), ohdr_addr)
         elif types & {_MSG_LINK_INFO, _MSG_LINK, _MSG_GROUP_INFO}:
             for name, child in _group_children_v2(d, msgs).items():
                 walk(child, f"{prefix}{name}/")
         elif _MSG_DATASPACE in types:
-            out[prefix.rstrip("/")] = _read_dataset(d, msgs, prefix.rstrip("/"))
+            read_ds(msgs, prefix.rstrip("/"), ohdr_addr)
 
     walk(sb["root_ohdr"], "/")
+    for path, axes in dimrefs.items():
+        dims = out[path]["dims"]
+        for i, refs in enumerate(axes):
+            for ref in refs:
+                if ref in addr_path:
+                    dims[i] = addr_path[ref]
+                    break
     return out
+
+
+def read_hdf5(path_or_bytes) -> Dict[str, np.ndarray]:
+    """Extract every dataset -> {"/path/name": array} (see
+    ``read_hdf5_info`` for the dimension-aware variant)."""
+    return {k: v["data"] for k, v in read_hdf5_info(path_or_bytes).items()}
 
 
 # ---------------------------------------------------------------- writer
@@ -609,6 +702,7 @@ def write_hdf5(
     chunks: Optional[Union[Dict[str, Tuple[int, ...]], Tuple[int, ...]]] = None,
     compression: Optional[str] = None,
     superblock: int = 0,
+    dims: Optional[Dict[str, List[str]]] = None,
 ) -> str:
     """Flat root group. Contiguous by default; pass ``chunks`` (per-name
     dict or one tuple for all) and/or ``compression="deflate"`` for
@@ -617,7 +711,10 @@ def write_hdf5(
     dims are given). ``superblock=0`` (default, netcdf-c style: symbol
     tables + v1 object headers) or ``superblock=2`` (libver='latest'
     style: v2 superblock + OHDR v2 + compact link messages, with the
-    lookup3 checksums real readers verify)."""
+    lookup3 checksums real readers verify). ``dims={"temp": ["lat",
+    "lon"]}`` attaches netCDF-4 DIMENSION_LIST attributes (vlen object
+    references through a global heap) naming each axis's coordinate
+    dataset — what real NetCDF-4 granules carry."""
     if compression not in (None, "deflate"):
         raise Hdf5LiteError(f"unsupported compression {compression!r}")
     if superblock not in (0, 2):
@@ -655,6 +752,47 @@ def write_hdf5(
         b = nm.encode("utf-8") + b"\x00"
         heap_data += b + b"\x00" * ((8 - len(b) % 8) % 8)
 
+    # DIMENSION_LIST plumbing: one global-heap object per (dataset, axis)
+    dims = dims or {}
+    for nm, dnames in dims.items():
+        if nm not in plans:
+            raise Hdf5LiteError(f"dims references unknown dataset {nm!r}")
+        if len(dnames) != plans[nm][1].ndim:
+            raise Hdf5LiteError(
+                f"dims[{nm!r}] has {len(dnames)} names for a "
+                f"{plans[nm][1].ndim}-D dataset")
+        for dn in dnames:
+            if dn not in plans:
+                raise Hdf5LiteError(f"dims[{nm!r}] references unknown "
+                                    f"coordinate dataset {dn!r}")
+    dim_obj_idx: Dict[Tuple[str, int], int] = {}
+    for nm in sorted(dims):
+        for i in range(len(dims[nm])):
+            dim_obj_idx[(nm, i)] = len(dim_obj_idx) + 1  # GCOL ids from 1
+    ctx = {"gcol": 0, "hdr_addr": {}}  # filled before the write pass
+
+    def _dimlist_attr(nm: str, v3: bool) -> bytes:
+        """DIMENSION_LIST attribute body (v1 padded / v3 unpadded):
+        vlen-of-object-reference, one element per axis."""
+        ndim = plans[nm][1].ndim
+        name = b"DIMENSION_LIST\x00"
+        ref = bytes([0x10 | 7, 0, 0, 0]) + struct.pack("<I", 8)
+        dtb = bytes([0x10 | 9, 0, 0, 0]) + struct.pack("<I", 16) + ref
+        dsb = struct.pack("<BBB5x", 1, 1, 0) + struct.pack("<Q", ndim)
+        data = b"".join(
+            struct.pack("<IQI", 1, ctx["gcol"], dim_obj_idx[(nm, i)])
+            for i in range(ndim)
+        )
+
+        def pad8(b):
+            return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+        if v3:
+            return (struct.pack("<BBHHHB", 3, 0, len(name), len(dtb),
+                                len(dsb), 0) + name + dtb + dsb + data)
+        return (struct.pack("<BBHHH", 1, 0, len(name), len(dtb), len(dsb))
+                + pad8(name) + pad8(dtb) + pad8(dsb) + data)
+
     def ds_msgs(nm: str, btree_addr: int, data_addr: int) -> List[Tuple[int, bytes]]:
         """(type, body) message list for one dataset — shared between the
         v1 and v2 object-header renderings."""
@@ -680,6 +818,8 @@ def write_hdf5(
                       + b"".join(struct.pack("<I", c) for c in cdims)
                       + struct.pack("<I", a.dtype.itemsize))
             msgs.append((_MSG_LAYOUT, layout))
+        if nm in dims:
+            msgs.append((_MSG_ATTRIBUTE, _dimlist_attr(nm, superblock == 2)))
         return msgs
 
     def build_hdr(nm: str, btree_addr: int = 0, data_addr: int = 0) -> bytes:
@@ -717,6 +857,22 @@ def write_hdf5(
                     pos = align(pos + len(b))
                 caddrs[nm] = addrs
         return daddr, cbaddr, caddrs, pos
+
+    def place_gcol(eof: int) -> Tuple[int, int]:
+        """Reserve the global heap collection after the data; returns
+        (gcol_addr, new_eof)."""
+        if not dim_obj_idx:
+            return 0, eof
+        return eof, eof + max(4096, 16 + 24 * len(dim_obj_idx))
+
+    def gcol_block() -> bytes:
+        objs = b""
+        for (nm, i), idx in sorted(dim_obj_idx.items(), key=lambda kv: kv[1]):
+            ref_addr = ctx["hdr_addr"][dims[nm][i]]
+            objs += struct.pack("<HH4xQ", idx, 1, 8) + struct.pack("<Q", ref_addr)
+        size = max(4096, 16 + len(objs))
+        block = b"GCOL" + bytes([1, 0, 0, 0]) + struct.pack("<Q", size) + objs
+        return block + b"\x00" * (size - len(block))
 
     def write_payloads(buf, data_addr, chunk_btree_addr, chunk_addrs):
         for nm in names:
@@ -757,6 +913,8 @@ def write_hdf5(
             hdr_addr[nm] = pos
             pos = align(pos + len(build_hdr(nm)))
         data_addr, chunk_btree_addr, chunk_addrs, eof = place_data(pos)
+        ctx["gcol"], eof = place_gcol(eof)
+        ctx["hdr_addr"] = hdr_addr
 
         buf = bytearray(eof)
         sb = (_SIG + bytes([2, 8, 8, 0])
@@ -766,6 +924,9 @@ def write_hdf5(
         rh = root_hdr2(hdr_addr)
         buf[root_addr : root_addr + len(rh)] = rh
         write_payloads(buf, data_addr, chunk_btree_addr, chunk_addrs)
+        if dim_obj_idx:
+            gb = gcol_block()
+            buf[ctx["gcol"] : ctx["gcol"] + len(gb)] = gb
         with open(path, "wb") as f:
             f.write(buf)
         return path
@@ -788,6 +949,8 @@ def write_hdf5(
         hdr_addr[nm] = pos
         pos = align(pos + len(build_hdr(nm)))  # size is address-independent
     data_addr, chunk_btree_addr, chunk_addrs, eof = place_data(pos)
+    ctx["gcol"], eof = place_gcol(eof)
+    ctx["hdr_addr"] = hdr_addr
 
     root_hdr = _ohdr_v1(
         [_msg(_MSG_SYMBOL_TABLE, struct.pack("<QQ", btree_addr, heap_addr))]
@@ -817,6 +980,9 @@ def write_hdf5(
             "<QQII16x", buf, snod_addr + 8 + i * 40, name_off[nm], hdr_addr[nm], 0, 0
         )
     write_payloads(buf, data_addr, chunk_btree_addr, chunk_addrs)
+    if dim_obj_idx:
+        gb = gcol_block()
+        buf[ctx["gcol"] : ctx["gcol"] + len(gb)] = gb
     with open(path, "wb") as f:
         f.write(buf)
     return path

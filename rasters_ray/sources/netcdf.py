@@ -109,12 +109,13 @@ def read_netcdf(path_or_bytes) -> Dict:
         # hdf5lite reads the contiguous/compact/chunked(+deflate) subset
         # of the public spec; shuffle/szip-filtered datasets raise
         # NotImplementedError there with the remediation.
-        from .hdf5lite import read_hdf5
+        from .hdf5lite import read_hdf5_info
 
-        dsets = read_hdf5(data)
+        dsets = read_hdf5_info(data)
         vars_out: Dict[str, Dict] = {}
+        resolved: Dict[str, list] = {}
         dim_len: Dict[str, int] = {}
-        for full, arr in dsets.items():
+        for full, info in dsets.items():
             nm = full.rsplit("/", 1)[-1]
             if nm in vars_out:
                 # two groups with same-named datasets would silently
@@ -124,13 +125,17 @@ def read_netcdf(path_or_bytes) -> Dict:
                     f"(at {full!r} and elsewhere); open it with "
                     "hdf5lite.read_hdf5 and address datasets by full path"
                 )
-            # NetCDF-4 coordinate variables share their dimension's name;
-            # without DIMENSION_LIST attributes we name an axis after the
-            # 1D dataset of matching length ONLY when that is unambiguous
-            # (exactly one candidate, not already used for an earlier axis
-            # of the same variable) — a square grid or a same-length time
-            # axis would otherwise silently corrupt the georeferencing.
-            vars_out[nm] = {"data": arr, "dims": [], "attrs": {}}
+            vars_out[nm] = {"data": info["data"], "dims": [], "attrs": {}}
+            # DIMENSION_LIST (real NetCDF-4 granules carry it) names the
+            # axes authoritatively; store leaf names of the referenced
+            # coordinate datasets, None where unnamed
+            resolved[nm] = [
+                d.rsplit("/", 1)[-1] if d else None for d in info["dims"]
+            ]
+        # fallback for axes without DIMENSION_LIST: name after the 1D
+        # dataset of matching length ONLY when unambiguous (exactly one
+        # candidate not already used for an earlier axis) — a square
+        # grid would otherwise silently corrupt the georeferencing
         onedim: Dict[int, list] = {}
         for nm, v in vars_out.items():
             if v["data"].ndim == 1:
@@ -138,7 +143,10 @@ def read_netcdf(path_or_bytes) -> Dict:
         for nm, v in vars_out.items():
             dims = []
             for i, s in enumerate(v["data"].shape):
-                if v["data"].ndim == 1:
+                named = resolved[nm][i]
+                if named is not None:
+                    dn = named
+                elif v["data"].ndim == 1:
                     dn = nm
                 else:
                     cands = [c for c in onedim.get(s, []) if c not in dims]

@@ -220,8 +220,9 @@ def test_hdf5_duplicate_leaf_name_raises(monkeypatch):
     read_netcdf imports read_hdf5 at call time, so patching the module
     attribute takes effect)."""
     monkeypatch.setattr(
-        hdf5lite, "read_hdf5",
-        lambda d: {"/g1/v": np.zeros(2), "/g2/v": np.ones(2)},
+        hdf5lite, "read_hdf5_info",
+        lambda d: {"/g1/v": {"data": np.zeros(2), "dims": [None]},
+                   "/g2/v": {"data": np.ones(2), "dims": [None]}},
     )
     with pytest.raises(ValueError, match="duplicate leaf"):
         read_netcdf(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
@@ -285,3 +286,35 @@ def test_hdf5_dense_links_raise(tmp_path):
     struct.pack_into("<Q", buf, li, 4096)
     with pytest.raises(NotImplementedError, match="dense link"):
         hdf5lite.read_hdf5(bytes(buf))
+
+
+def test_hdf5_dimension_list(tmp_path):
+    """netCDF-4 DIMENSION_LIST attributes (vlen object references
+    resolved through the global heap) name the axes authoritatively —
+    a SQUARE grid extracts its CF georeferencing without coords=,
+    under both superblock versions and both layouts."""
+    lat = 44.0 - 0.01 * (np.arange(60) + 0.5)
+    lon = -124.0 + 0.01 * (np.arange(60) + 0.5)
+    temp = np.arange(3600, dtype=np.float32).reshape(60, 60)
+    for sb in (0, 2):
+        for chunks, comp in [(None, None),
+                             ({"temp": (16, 16), "lat": (60,), "lon": (60,)},
+                              "deflate")]:
+            p = str(tmp_path / "dl.nc")
+            hdf5lite.write_hdf5(p, {"lat": lat, "lon": lon, "temp": temp},
+                                chunks=chunks, compression=comp,
+                                superblock=sb, dims={"temp": ["lat", "lon"]})
+            info = hdf5lite.read_hdf5_info(p)
+            assert info["/temp"]["dims"] == ["/lat", "/lon"]
+            arr, grid = netcdf_raster(p, "temp")  # no coords= despite square
+            np.testing.assert_array_equal(arr, temp)
+            assert grid.cell_width == pytest.approx(0.01)
+            assert grid.x_origin == pytest.approx(-124.0)
+    # bad dims references fail loudly at write time
+    with pytest.raises(hdf5lite.Hdf5LiteError, match="unknown"):
+        hdf5lite.write_hdf5(str(tmp_path / "bad.h5"),
+                            {"a": np.zeros((2, 2))}, dims={"a": ["x", "y"]})
+    with pytest.raises(hdf5lite.Hdf5LiteError, match="2-D"):
+        hdf5lite.write_hdf5(str(tmp_path / "bad.h5"),
+                            {"a": np.zeros((2, 2)), "x": np.zeros(2)},
+                            dims={"a": ["x"]})
