@@ -169,20 +169,23 @@ class _ArrayInfo:
 
     def present_chunks(self) -> List[Tuple[int, ...]]:
         ndim = len(self.shape)
+        if self._sep == "/":
+            # nested chunk files: v3 default layout under c/, or a v2
+            # store with dimension_separator "/" directly in the array dir
+            root = (os.path.join(self.adir, "c")
+                    if self.version == 3 and not self._key_v2 else self.adir)
+            out = []
+            for dirpath, _dirs, files in os.walk(root):
+                rel = os.path.relpath(dirpath, root)
+                head = [] if rel == "." else rel.split(os.sep)
+                for f in files:
+                    parts = head + [f]
+                    if len(parts) == ndim and all(p.isdigit() for p in parts):
+                        out.append(tuple(int(v) for v in parts))
+            return sorted(out)
         if self.version == 3 and not self._key_v2:
-            root = os.path.join(self.adir, "c")
-            if self._sep == "/":
-                out = []
-                for dirpath, _dirs, files in os.walk(root):
-                    rel = os.path.relpath(dirpath, root)
-                    head = [] if rel == "." else rel.split(os.sep)
-                    for f in files:
-                        parts = head + [f]
-                        if len(parts) == ndim and all(p.isdigit() for p in parts):
-                            out.append(tuple(int(v) for v in parts))
-                return sorted(out)
-            adir, prefix = self.adir, "c" + self._sep
-            names = [n[len(prefix):] for n in os.listdir(adir)
+            prefix = "c" + self._sep
+            names = [n[len(prefix):] for n in os.listdir(self.adir)
                      if n.startswith(prefix)]
         else:
             names = os.listdir(self.adir)

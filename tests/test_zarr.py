@@ -325,3 +325,31 @@ def test_zarr_v3_roundtrip(tmp_path):
     json.dump(meta, open(os.path.join(p, "t", "zarr.json"), "w"))
     with pytest.raises(NotImplementedError, match="sharding"):
         read_zarr(p)
+
+
+def test_v2_nested_dimension_separator(tmp_path):
+    """Zarr v2 with dimension_separator '/' (nested chunk dirs): reads,
+    chunk enumeration and the raster route all work."""
+    import zlib
+
+    from rasters_ray.sources.zarr_lite import list_zarr_chunks
+
+    adir = tmp_path / "nested.zarr" / "v"
+    adir.mkdir(parents=True)
+    a = np.arange(24, dtype="<f4").reshape(4, 6)
+    json.dump({"zarr_format": 2, "shape": [4, 6], "chunks": [2, 3],
+               "dtype": "<f4", "compressor": {"id": "zlib", "level": 6},
+               "fill_value": 0, "filters": None, "order": "C",
+               "dimension_separator": "/"},
+              open(adir / ".zarray", "w"))
+    json.dump({"zarr_format": 2}, open(adir.parent / ".zgroup", "w"))
+    for iy in range(2):
+        for ix in range(2):
+            blk = a[iy * 2:(iy + 1) * 2, ix * 3:(ix + 1) * 3]
+            (adir / str(iy)).mkdir(exist_ok=True)
+            (adir / str(iy) / str(ix)).write_bytes(
+                zlib.compress(np.ascontiguousarray(blk).tobytes(), 6))
+    store = read_zarr(str(adir.parent))
+    np.testing.assert_array_equal(store["v"]["data"], a)
+    assert list_zarr_chunks(str(adir.parent), "v") == [
+        (0, 0), (0, 1), (1, 0), (1, 1)]
