@@ -86,7 +86,12 @@ def open_raster(path: str, var: Optional[str] = None,
     of a TIFF/BigTIFF — intersecting tiles/strips are the ONLY bytes
     decompressed — and returns a GridSpec shifted to the window origin
     (reference parity: Raster.open(window=...), raster.py:634-771)."""
-    if window is not None and os.path.isfile(path):
+    if window is not None:
+        if not os.path.isfile(path):
+            raise NotImplementedError(
+                "window= reads are supported for TIFF/BigTIFF files; for "
+                "Zarr stores use read_zarr_chunk/list_zarr_chunks"
+            )
         with open(path, "rb") as f:
             hd = f.read(4)
         if hd not in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
