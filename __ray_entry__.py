@@ -4008,12 +4008,13 @@ def q_strip_tiff(sf_dir: str):
 
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
-    each oracle image round-trips through a CHUNKED+DEFLATE HDF5
-    container — the layout real NASA granules use — written and read
+    each oracle image round-trips through a CHUNKED HDF5 container with
+    the full netcdf-c default filter stack (shuffle + deflate +
+    fletcher32) — the layout real NASA granules use — written and read
     back ON WORKERS: write_hdf5 emits the v1 B-tree chunk index + the
-    deflate filter pipeline, read_netcdf routes the \\x89HDF magic
-    through hdf5lite and extracts the CF grid from the lat/lon
-    coordinate datasets. Pixel sums are exact ints and the recovered
+    three-entry filter pipeline, read_netcdf routes the \\x89HDF magic
+    through hdf5lite (which verifies every chunk checksum) and extracts
+    the CF grid from the lat/lon coordinate datasets. Pixel sums are exact ints and the recovered
     origin is floor-cm, so the golden VALUES oracle pins the chunk
     B-tree walk, the filter pipeline and the CF grid inference
     end-to-end. Scale shape: one file per image on worker-local disk;
@@ -4043,6 +4044,7 @@ def q_netcdf_chunked(sf_dir: str):
                            "temp": px.astype(np.float32)},
                        chunks={"temp": (16, 16), "lat": (len(lat),),
                                "lon": (len(lon),)}, compression="deflate",
+                       shuffle=True, fletcher32=True,
                        dims={"temp": ["lat", "lon"]})
             # the grid is SQUARE: only the DIMENSION_LIST attribute
             # (vlen object references through the global heap — what

@@ -13,16 +13,19 @@ Specification Version 2.0" needed to extract datasets:
 - dataspace v1/v2, datatype classes 0/1 (fixed-point/float, either
   endianness), data layout v3 classes 0 (compact), 1 (contiguous) and
   2 (CHUNKED, spec III.A.1 v1 B-tree raw-data-chunk index) with the
-  deflate filter (pipeline message IV.A.2.l, filter id 1 via zlib) —
-  the layout+filter real NASA NetCDF-4 granules actually use.
+  deflate (id 1, zlib), shuffle (id 2, byte transposition) and
+  fletcher32 (id 3, appended checksum, verified) filters in any
+  pipeline order — ``shuffle+deflate(+fletcher32)`` is the combination
+  netcdf-c/h5py emit by default for real NASA NetCDF-4 granules.
 
-Shuffle/szip/other filters raise NotImplementedError naming the filter
+Szip/nbit/other filters raise NotImplementedError naming the filter
 — that remains the documented env-blocked boundary.
 
 ``write_hdf5`` emits the same subset (one flat root group; contiguous
-by default, chunked+deflate on request) and exists so round-trip tests
-can prove the reader against independently-constructed bytes; it
-doubles as an interchange sink readable by h5py/netcdf4 elsewhere.
+by default, chunked with any of deflate/shuffle/fletcher32 on request)
+and exists so round-trip tests can prove the reader against
+independently-constructed bytes; it doubles as an interchange sink
+readable by h5py/netcdf4 elsewhere.
 """
 
 from __future__ import annotations
@@ -413,21 +416,85 @@ def _walk_chunk_btree(
     return out
 
 
+def _shuffle_bytes(raw: bytes, itemsize: int, forward: bool) -> bytes:
+    """HDF5 shuffle filter (id 2): byte-transpose so all byte-0s of each
+    element come first, then byte-1s, ... (H5Zshuffle.c). Trailing bytes
+    of a partial element are carried through untouched, matching the C
+    implementation. ``forward=True`` shuffles (encode), False unshuffles."""
+    if itemsize <= 1:
+        return raw
+    n = len(raw) // itemsize
+    cut = n * itemsize
+    body, tail = raw[:cut], raw[cut:]
+    a = np.frombuffer(body, dtype=np.uint8)
+    if forward:
+        out = a.reshape(n, itemsize).T
+    else:
+        out = a.reshape(itemsize, n).T
+    return np.ascontiguousarray(out).tobytes() + tail
+
+
+def _fletcher32(data: bytes) -> int:
+    """HDF5's Fletcher-32 variant (H5checksum.c H5_checksum_fletcher32):
+    big-endian 16-bit words, sums folded every 360 words, odd trailing
+    byte treated as the high byte of a final word. Vectorized per block
+    so the per-word arithmetic (including the deferred folds, which a
+    plain mod-65535 would not reproduce bit-exactly) stays in numpy."""
+    nwords = len(data) // 2
+    words = np.frombuffer(data[: nwords * 2], dtype=">u2").astype(np.int64)
+    sum1 = 0
+    sum2 = 0
+    for start in range(0, nwords, 360):
+        blk = words[start : start + 360]
+        m = len(blk)
+        # within a block sum1 is never folded, so the prefix-sum identity
+        # holds exactly: sum2 += m*sum1_start + sum((m-i)*w_i)
+        sum2 += m * sum1 + int(np.dot(blk, np.arange(m, 0, -1, dtype=np.int64)))
+        sum1 += int(blk.sum())
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    if len(data) % 2:
+        sum1 += data[-1] << 8
+        sum2 += sum1
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    return (sum2 << 16) | sum1
+
+
 def _defilter(raw: bytes, filters, fmask: int, name: str) -> bytes:
-    """Undo the pipeline back-to-front; only deflate (id 1) is available
-    in this environment — anything else raises naming the filter."""
+    """Undo the pipeline back-to-front. deflate (1), shuffle (2) and
+    fletcher32 (3) — the full netcdf-c default stack — are implemented;
+    anything else raises naming the filter."""
     for i in range(len(filters) - 1, -1, -1):
-        fid, _cvals = filters[i]
+        fid, cvals = filters[i]
         if fmask & (1 << i):
             continue  # filter skipped for this chunk
         if fid == 1:
             raw = zlib.decompress(raw)
+        elif fid == 2:
+            itemsize = int(cvals[0]) if cvals else 1
+            raw = _shuffle_bytes(raw, itemsize, forward=False)
+        elif fid == 3:
+            if len(raw) < 4:
+                raise Hdf5LiteError(
+                    f"dataset {name}: fletcher32 chunk shorter than checksum")
+            body, tail = raw[:-4], raw[-4:]
+            want = _fletcher32(body)
+            # stored little-endian; pre-1.6.3 libraries wrote the bytes
+            # reversed, and H5Zfletcher32.c accepts both — so do we
+            if want != _u(tail, 0, 4) and want != int.from_bytes(tail, "big"):
+                raise Hdf5LiteError(
+                    f"dataset {name}: fletcher32 checksum mismatch "
+                    f"(chunk corrupt)")
+            raw = body
         else:
             raise NotImplementedError(
                 f"dataset {name}: HDF5 filter {fid} "
                 f"({_FILTER_NAMES.get(fid, 'unknown')}) unsupported in this "
-                "environment; only deflate (gzip) chunks are readable — "
-                "rewrite with nccopy (no shuffle/szip) or h5repack -f GZIP"
+                "environment; deflate/shuffle/fletcher32 chunks are readable "
+                "— rewrite with h5repack -f GZIP to drop szip/nbit filters"
             )
     return raw
 
@@ -659,9 +726,13 @@ def _link_msg(name: str, addr: int) -> bytes:
             + struct.pack("<Q", addr))
 
 
-def _chunk_plan(a: np.ndarray, cdims: Tuple[int, ...], compress: bool):
+def _chunk_plan(a: np.ndarray, cdims: Tuple[int, ...],
+                compress: bool, shuffle: bool = False,
+                fletcher32: bool = False):
     """(chunk_offsets, blobs) — row-major chunk grid, edge chunks stored
-    full-size zero-padded (the standard HDF5 convention)."""
+    full-size zero-padded (the standard HDF5 convention). Filters apply
+    in pipeline order: shuffle -> deflate -> fletcher32 (checksum of the
+    stored bytes, so a reader can verify without decompressing)."""
     import itertools
 
     ranges = [range(0, s, c) for s, c in zip(a.shape, cdims)]
@@ -672,7 +743,13 @@ def _chunk_plan(a: np.ndarray, cdims: Tuple[int, ...], compress: bool):
         sl = tuple(slice(o, min(o + c, s)) for o, c, s in zip(offs, cdims, a.shape))
         block[tuple(slice(0, x.stop - x.start) for x in sl)] = a[sl]
         raw = block.tobytes()
-        blobs.append(zlib.compress(raw, 6) if compress else raw)
+        if shuffle:
+            raw = _shuffle_bytes(raw, a.dtype.itemsize, forward=True)
+        if compress:
+            raw = zlib.compress(raw, 6)
+        if fletcher32:
+            raw += struct.pack("<I", _fletcher32(raw))
+        blobs.append(raw)
     return offsets, blobs
 
 
@@ -703,11 +780,16 @@ def write_hdf5(
     compression: Optional[str] = None,
     superblock: int = 0,
     dims: Optional[Dict[str, List[str]]] = None,
+    shuffle: bool = False,
+    fletcher32: bool = False,
 ) -> str:
     """Flat root group. Contiguous by default; pass ``chunks`` (per-name
     dict or one tuple for all) and/or ``compression="deflate"`` for
     chunked(+gzip) datasets — the layout real NetCDF-4 granules use.
-    Compression implies chunking (one full-shape chunk when no chunk
+    ``shuffle=True`` byte-transposes each chunk before compression and
+    ``fletcher32=True`` appends the HDF5 Fletcher-32 checksum (the
+    netcdf-c/h5py default stack is shuffle+deflate). Any filter implies
+    chunking (one full-shape chunk when no chunk
     dims are given). ``superblock=0`` (default, netcdf-c style: symbol
     tables + v1 object headers) or ``superblock=2`` (libver='latest'
     style: v2 superblock + OHDR v2 + compact link messages, with the
@@ -723,9 +805,11 @@ def write_hdf5(
     if not names:
         raise Hdf5LiteError("write_hdf5 requires at least one dataset")
 
+    any_filter = compression is not None or shuffle or fletcher32
+
     def chunk_dims_of(nm: str, a: np.ndarray) -> Optional[Tuple[int, ...]]:
         spec = chunks.get(nm) if isinstance(chunks, dict) else chunks
-        if spec is None and compression is None:
+        if spec is None and not any_filter:
             return None
         if a.ndim == 0:
             return None  # scalars stay contiguous
@@ -741,7 +825,8 @@ def write_hdf5(
         if cdims is None:
             plans[nm] = ("contig", a)
         else:
-            offs, blobs = _chunk_plan(a, cdims, compression == "deflate")
+            offs, blobs = _chunk_plan(a, cdims, compression == "deflate",
+                                      shuffle=shuffle, fletcher32=fletcher32)
             plans[nm] = ("chunked", a, cdims, offs, blobs)
 
     # --- local heap data: offset 0 = empty string (spec convention)
@@ -807,11 +892,22 @@ def write_hdf5(
                                                   a.nbytes)))
         else:
             _, _, cdims, _, _ = plan
+            # pipeline v1 entries in application order; client data is
+            # padded to an even value count per the spec
+            entries = []
+            if shuffle:
+                entries.append((2, (a.dtype.itemsize,)))
             if compression == "deflate":
-                # pipeline v1: id=1 (deflate), no name, 1 client value
-                # (level 6), padded to an even value count
-                filt = struct.pack("<BB6x", 1, 1) + struct.pack(
-                    "<HHHH", 1, 0, 0, 1) + struct.pack("<I", 6) + b"\x00" * 4
+                entries.append((1, (6,)))
+            if fletcher32:
+                entries.append((3, ()))
+            if entries:
+                filt = struct.pack("<BB6x", 1, len(entries))
+                for fid, cvals in entries:
+                    filt += struct.pack("<HHHH", fid, 0, 0, len(cvals))
+                    filt += b"".join(struct.pack("<I", v) for v in cvals)
+                    if len(cvals) % 2:
+                        filt += b"\x00" * 4
                 msgs.append((_MSG_FILTER, filt))
             layout = (struct.pack("<BBB", 3, 2, len(cdims) + 1)
                       + struct.pack("<Q", btree_addr)

@@ -19,10 +19,10 @@ section. This module implements it directly:
   compatible), so ingest streams like every other source.
 
 NetCDF-4 (HDF5 container) files route through ``hdf5lite`` — a pure-spec
-reader covering contiguous, compact and chunked(+deflate) datasets (the
-layout real NASA granules use); shuffle/szip-filtered or new-format
-(v2 superblock / OHDR) files raise NotImplementedError there with the
-remediation.
+reader covering contiguous, compact and chunked datasets with the
+deflate/shuffle/fletcher32 filter stack (the layout real NASA granules
+use); szip/nbit-filtered datasets raise NotImplementedError there with
+the remediation.
 """
 
 from __future__ import annotations
@@ -106,9 +106,9 @@ def read_netcdf(path_or_bytes) -> Dict:
     data = bytes(data)
     if data[:8] == b"\x89HDF\r\n\x1a\n":
         # NetCDF-4 = HDF5 container. The env has no HDF5 library, but
-        # hdf5lite reads the contiguous/compact/chunked(+deflate) subset
-        # of the public spec; shuffle/szip-filtered datasets raise
-        # NotImplementedError there with the remediation.
+        # hdf5lite reads the contiguous/compact/chunked subset of the
+        # public spec with deflate/shuffle/fletcher32 filters; szip/nbit
+        # datasets raise NotImplementedError there with the remediation.
         from .hdf5lite import read_hdf5_info
 
         dsets = read_hdf5_info(data)

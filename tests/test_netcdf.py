@@ -200,8 +200,90 @@ def test_hdf5_chunked_netcdf4_cf_route(tmp_path):
     assert grid.cell_height == pytest.approx(-0.01)
 
 
+def test_hdf5_shuffle_fletcher32_roundtrip(tmp_path):
+    """shuffle (id 2) + fletcher32 (id 3) — with deflate, the full
+    netcdf-c default filter stack — round-trip in every combination and
+    both superblock flavors; the CF route reads a shuffle+deflate
+    granule (what `nc_def_var_deflate(..., shuffle=1, ...)` emits)."""
+    import itertools
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(37, 53)).astype(np.float32)
+    b = rng.integers(-1000, 1000, (20, 30)).astype(np.int16)
+    for i, (comp, shuf, fle, sb) in enumerate(itertools.product(
+            [None, "deflate"], [False, True], [False, True], [0, 2])):
+        p = tmp_path / f"f{i}.h5"
+        hdf5lite.write_hdf5(str(p), {"x": a, "y": b}, chunks=(16, 16),
+                            compression=comp, shuffle=shuf,
+                            fletcher32=fle, superblock=sb)
+        back = hdf5lite.read_hdf5(str(p))
+        np.testing.assert_array_equal(back["/x"], a)
+        np.testing.assert_array_equal(back["/y"], b)
+    # CF extraction through the shuffle+deflate path
+    rows, cols = 30, 44
+    lat = 44.0 - 0.01 * (np.arange(rows) + 0.5)
+    lon = -124.0 + 0.01 * (np.arange(cols) + 0.5)
+    temp = np.arange(rows * cols, dtype=np.float32).reshape(rows, cols)
+    p = tmp_path / "n4s.nc"
+    hdf5lite.write_hdf5(str(p), {"lat": lat, "lon": lon, "temp": temp},
+                        chunks={"temp": (16, 16), "lat": (rows,),
+                                "lon": (cols,)},
+                        compression="deflate", shuffle=True, fletcher32=True)
+    arr, grid = netcdf_raster(str(p), "temp")
+    np.testing.assert_array_equal(arr, temp)
+    assert (grid.rows, grid.cols) == (rows, cols)
+
+
+def test_hdf5_fletcher32_checksum():
+    """_fletcher32 is bit-identical to a literal transcription of the
+    public H5checksum.c algorithm (big-endian words, deferred folds
+    every 360 words, odd-byte tail), including the fold edge cases a
+    plain mod-65535 Fletcher would get wrong."""
+
+    def ref(data: bytes) -> int:
+        ln = len(data) // 2
+        i = sum1 = sum2 = 0
+        while ln:
+            tlen = min(ln, 360)
+            ln -= tlen
+            for _ in range(tlen):
+                sum1 += (data[i] << 8) | data[i + 1]
+                i += 2
+                sum2 += sum1
+            sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+            sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+        if len(data) % 2:
+            sum1 += data[-1] << 8
+            sum2 += sum1
+            sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+            sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+        sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+        sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+        return (sum2 << 16) | sum1
+
+    rng = np.random.default_rng(42)
+    for n in [0, 1, 2, 3, 359 * 2, 360 * 2, 360 * 2 + 1, 10001, 720 * 2]:
+        d = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert hdf5lite._fletcher32(d) == ref(d)
+    for n in [719 * 2, 720 * 2 + 1]:  # saturating sums exercise the folds
+        assert hdf5lite._fletcher32(b"\xff" * n) == ref(b"\xff" * n)
+
+
+def test_hdf5_fletcher32_corruption_raises(tmp_path):
+    """A flipped byte inside a checksummed chunk is detected, not
+    silently decoded into garbage pixels."""
+    p = tmp_path / "cor.h5"
+    a = np.arange(256, dtype=np.float32).reshape(16, 16)
+    hdf5lite.write_hdf5(str(p), {"x": a}, chunks=(8, 8),
+                        compression="deflate", shuffle=True, fletcher32=True)
+    buf = bytearray(open(p, "rb").read())
+    buf[-40] ^= 0xFF  # inside the last chunk's bytes
+    with pytest.raises(hdf5lite.Hdf5LiteError, match="fletcher32"):
+        hdf5lite.read_hdf5(bytes(buf))
+
+
 def test_hdf5_unsupported_filter_raises(tmp_path):
-    """A shuffle-filtered chunk raises naming the filter (the remaining
+    """An szip-filtered chunk raises naming the filter (the remaining
     documented env boundary)."""
     p = tmp_path / "f.h5"
     hdf5lite.write_hdf5(str(p), {"a": np.arange(12, dtype=np.float32)},
@@ -209,8 +291,8 @@ def test_hdf5_unsupported_filter_raises(tmp_path):
     buf = bytearray(open(p, "rb").read())
     i = buf.find(struct.pack("<HHHH", 1, 0, 0, 1))  # deflate filter desc
     assert i > 0
-    struct.pack_into("<H", buf, i, 2)  # shuffle
-    with pytest.raises(NotImplementedError, match="shuffle"):
+    struct.pack_into("<H", buf, i, 4)  # szip
+    with pytest.raises(NotImplementedError, match="szip"):
         hdf5lite.read_hdf5(bytes(buf))
 
 
