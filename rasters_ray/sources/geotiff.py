@@ -14,9 +14,11 @@ module covers the envelope a real user's files actually span:
   early-change rule), deflate (8 and legacy 32946), PackBits (32773,
   §9); any OTHER code raises ``NotImplementedError`` naming the code —
   never a silent fall-through to garbage pixels;
-- horizontal-differencing predictor (tag 317 == 2) for integer samples;
-  the floating-point predictor (3) raises clearly;
-- grayscale uint8/uint16 (exact round-trip) or float32 (SampleFormat 3);
+- predictors (tag 317): horizontal differencing (2, integer samples,
+  read AND write) and the TechNote-3 floating-point predictor (3),
+  both exact round-trips;
+- grayscale int8/uint8/int16/uint16/int32/uint32 (exact round-trip)
+  and float32/float64 (SampleFormat 3);
 - GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint +
   GeoKeyDirectory (geographic WGS84 for EPSG:4326 grids).
 
@@ -296,15 +298,21 @@ def _apply_float_predictor(a: np.ndarray) -> bytes:
     return (diff & 0xFF).astype(np.uint8).tobytes()
 
 
+_SAMPLE_TYPES = {  # (bits, sample_format) <-> numpy dtype, TIFF 6.0 §19
+    (8, 1): np.uint8, (8, 2): np.int8,
+    (16, 1): np.uint16, (16, 2): np.int16,
+    (32, 1): np.uint32, (32, 2): np.int32,
+    (32, 3): np.float32, (64, 3): np.float64,
+}
+_SAMPLE_KEYS = {np.dtype(v): k for k, v in _SAMPLE_TYPES.items()}
+
+
 def _dtype_info(a: np.ndarray) -> Tuple[int, int]:
     """(bits_per_sample, sample_format)."""
-    if a.dtype == np.uint8:
-        return 8, 1
-    if a.dtype == np.uint16:
-        return 16, 1
-    if a.dtype == np.float32:
-        return 32, 3
-    raise ValueError(f"unsupported dtype for GeoTIFF: {a.dtype}")
+    key = _SAMPLE_KEYS.get(np.dtype(a.dtype).newbyteorder("="))
+    if key is None:
+        raise ValueError(f"unsupported dtype for GeoTIFF: {a.dtype}")
+    return key
 
 
 def _tile_blobs(a: np.ndarray, tile: int, comp: int) -> Tuple[List[bytes], int, int]:
@@ -546,10 +554,13 @@ def write_geotiff(
     if bo == ">":
         a = a.astype(a.dtype.newbyteorder(">"), copy=False)
 
-    if predictor not in (1, 3):
-        raise ValueError("write predictor must be 1 (none) or 3 (float)")
+    if predictor not in (1, 2, 3):
+        raise ValueError("write predictor must be 1 (none), 2 (horizontal) "
+                         "or 3 (float)")
     if predictor == 3 and a.dtype.kind != "f":
         raise ValueError("predictor 3 applies to floating-point samples only")
+    if predictor == 2 and not np.issubdtype(a.dtype, np.integer):
+        raise ValueError("predictor 2 applies to integer samples only")
 
     h, w = a.shape
     rps = max(1, int(rows_per_strip))
@@ -559,6 +570,12 @@ def write_geotiff(
         sub = a[i * rps : min((i + 1) * rps, h)]  # last strip short, unpadded
         if predictor == 3:
             blobs.append(_compress(_apply_float_predictor(sub), comp))
+        elif predictor == 2:
+            # horizontal differencing in the sample dtype (wraparound),
+            # the exact inverse of _undo_predictor's modular cumsum
+            d = sub.copy()
+            d[:, 1:] = sub[:, 1:] - sub[:, :-1]
+            blobs.append(_compress(np.ascontiguousarray(d).tobytes(), comp))
         else:
             blobs.append(_compress(np.ascontiguousarray(sub).tobytes(), comp))
 
@@ -685,12 +702,11 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
                 f"{tags[TAG_SAMPLES][0]}) unsupported; single-band only"
             )
         try:
-            base = {(8, 1): np.uint8, (16, 1): np.uint16,
-                    (32, 3): np.float32}[(bits, sfmt)]
+            base = _SAMPLE_TYPES[(bits, sfmt)]
         except KeyError:
             raise NotImplementedError(
                 f"TIFF sample type bits={bits} format={sfmt} unsupported "
-                "(uint8/uint16/float32 single-band only)"
+                f"(single-band {sorted(set(t.__name__ for t in _SAMPLE_TYPES.values()))} only)"
             ) from None
         dt = np.dtype(base).newbyteorder(bo)
         # target region: full image, or the clamped window on level 0

@@ -176,6 +176,50 @@ def test_predictor2_horizontal_differencing(tmp_path):
     np.testing.assert_array_equal(levels[0], arr)
 
 
+def test_predictor2_write_roundtrip(tmp_path):
+    """write_geotiff(predictor=2) — the LZW+horizontal-differencing
+    combination most wild integer GeoTIFFs use — round-trips exactly
+    across integer dtypes, compressions and byte orders; float input
+    raises."""
+    import itertools
+
+    rng = np.random.default_rng(23)
+    p = str(tmp_path / "p2.tif")
+    for dt, comp, bo in itertools.product(
+            [np.uint8, np.int16, np.uint16, np.int32],
+            ["lzw", "deflate", "none"], ["<", ">"]):
+        info = np.iinfo(dt)
+        a = rng.integers(info.min, int(info.max), (45, 67)).astype(dt)
+        write_geotiff(a, _grid(45, 67), p, layout="strips",
+                      rows_per_strip=13, compression=comp,
+                      byte_order=bo, predictor=2)
+        levels, meta = read_geotiff(p)
+        np.testing.assert_array_equal(levels[0], a)
+    with pytest.raises(ValueError, match="integer"):
+        write_geotiff(rng.normal(size=(8, 8)).astype(np.float32),
+                      _grid(8, 8), p, layout="strips", predictor=2)
+
+
+def test_widened_sample_types_roundtrip(tmp_path):
+    """int8/int16/int32/uint32/float64 samples (SampleFormat 2/1/3)
+    round-trip through both the stripped and the COG writer — the
+    envelope real DEMs (int16 SRTM) and analysis rasters (float64)
+    need."""
+    from rasters_ray.sources.geotiff import write_cog
+
+    rng = np.random.default_rng(29)
+    for dt in [np.int8, np.int16, np.int32, np.uint32, np.float64]:
+        a = (rng.normal(size=(45, 67)) * 100).astype(dt)
+        p = str(tmp_path / "wd.tif")
+        write_geotiff(a, _grid(45, 67), p, layout="strips",
+                      compression="deflate")
+        np.testing.assert_array_equal(read_geotiff(p)[0][0], a)
+        pc = str(tmp_path / "wd_cog.tif")
+        write_cog(a, _grid(45, 67), pc, tile=32, compression="deflate",
+                  overviews=False)
+        np.testing.assert_array_equal(read_geotiff(pc)[0][0], a)
+
+
 def test_open_raster_routes_stripped_and_big_endian(tmp_path):
     from rasters_ray.sources.open import open_raster
 
