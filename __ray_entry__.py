@@ -1453,6 +1453,97 @@ def q_transform_laea(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+_TMERC_CRS = "+proj=tmerc +lat_0=40 +lon_0=-120 +k_0=0.9999 +x_0=250000 +y_0=100000"
+_GEOS_CRS = "+proj=geos +h=35786023 +lon_0=-137 +sweep=x"
+
+
+def q_transform_tmerc(sf_dir: str):
+    """General transverse Mercator, EPSG method 9807 (proj/
+    transverse_mercator.py geographic_to_tmerc): arbitrary natural
+    origin (lat_0=40), scale (k_0=0.9999) and false origin — the
+    state-plane / NZTM parameterization; same Karney flattening series
+    as UTM (bit-identical when parameterized as a zone, pinned in
+    tests/test_proj.py). The oracle recomputes the full series in SQL —
+    rectifying radius, alpha coefficients, sinh/atanh via exp/ln —
+    from the same public formulas (Karney 2011). Outlier points 50 deg
+    east are excluded on both sides to keep |lon - lon_0| small (the
+    series' documented validity region). Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        keep = lon < -100.0
+        lon, lat = lon[keep], lat[keep]
+        x, yv = transform_xy(lon, lat, "EPSG:4326", _TMERC_CRS)
+        lon2, lat2 = transform_xy(x, yv, _TMERC_CRS, "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-9) & (np.abs(lat2 - lat) < 1e-9)
+        return pa.table(
+            {
+                "point_id": t.column("point_id").filter(pa.array(keep)),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_transform_geos(sf_dir: str):
+    """Geostationary satellite view (proj/geostationary.py): the GOES-R
+    ABI fixed-grid CRS (sweep=x, h=35786023, GOES-West lon_0=-137),
+    implemented from the public CGMS/PROJ algorithm and pinned against
+    an INDEPENDENT ECEF scan-angle construction in tests/test_proj.py.
+    All oracle points lie on the visible disk (limb at ~81 deg central
+    angle; the farthest point is ~75 deg). The SQL oracle recomputes
+    the geocentric-latitude view geometry per point. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", _GEOS_CRS)
+        lon2, lat2 = transform_xy(x, yv, _GEOS_CRS, "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-9) & (np.abs(lat2 - lat) < 1e-9)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_transform_eqc(sf_dir: str):
+    """Equidistant cylindrical / Plate Carrée EPSG:4087 (proj/
+    equirect.py): PROJ's spherical eqc on the WGS84 semi-major axis —
+    pyproj parity, not the ellipsoidal EPSG method 1028 (PROJ forces
+    es=0 for eqc). One multiply per axis; the SQL oracle is the same
+    algebra. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "EPSG:4087")
+        lon2, lat2 = transform_xy(x, yv, "EPSG:4087", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-12) & (np.abs(lat2 - lat) < 1e-12)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 _MINHASH_GOLDEN_SF_DIRS = (
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -5100,6 +5191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_stere": q_transform_stere,
         "transform_aea": q_transform_aea,
         "transform_laea": q_transform_laea,
+        "transform_tmerc": q_transform_tmerc,
+        "transform_geos": q_transform_geos,
+        "transform_eqc": q_transform_eqc,
         "phash_dups": q_phash_dups,
         "phash_near": q_phash_near,
         "idw_sample": q_idw_sample,
@@ -6121,6 +6215,146 @@ SELECT point_id,
                    + 3210000.0e0) * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM pp
+"""
+
+    # transform_tmerc: the oracle recomputes the full Karney flattening
+    # series (alpha coefficients, rectifying radius, conformal latitude
+    # via sinh/atanh expressed through exp/ln) from the same public
+    # formulas — nothing golden, everything re-derived in SQL
+    _sinh = "((exp({u}) - exp(-({u}))) / 2.0e0)"
+    _cosh = "((exp({u}) + exp(-({u}))) / 2.0e0)"
+    _tm_series = " + ".join(
+        f"a{j} * sin({2 * j}.0e0 * xip) * " + _cosh.format(u=f"{2 * j}.0e0 * etap")
+        for j in range(1, 7)
+    )
+    _tm_series_eta = " + ".join(
+        f"a{j} * cos({2 * j}.0e0 * xip) * " + _sinh.format(u=f"{2 * j}.0e0 * etap")
+        for j in range(1, 7)
+    )
+    _tm_series0 = " + ".join(
+        f"a{j} * sin({2 * j}.0e0 * xip0)" for j in range(1, 7)
+    )
+    sql["transform_tmerc"] = f"""
+WITH {_PTS_CTE.strip()},
+nn AS (
+  SELECT (1.0e0/298.257223563e0) / (2.0e0 - 1.0e0/298.257223563e0) AS n
+),
+np2 AS (
+  SELECT n, n*n AS n2, n*n*n AS n3, n*n*n*n AS n4,
+         n*n*n*n*n AS n5, n*n*n*n*n*n AS n6 FROM nn
+),
+kc AS (
+  SELECT
+    6378137.0e0 / (1.0e0 + n) * (1.0e0 + n2/4.0e0 + n4/64.0e0 + n6/256.0e0) AS ar,
+    2.0e0 * sqrt(n) / (1.0e0 + n) AS ee,
+    n/2.0e0 - 2.0e0*n2/3.0e0 + 5.0e0*n3/16.0e0 + 41.0e0*n4/180.0e0
+      - 127.0e0*n5/288.0e0 + 7891.0e0*n6/37800.0e0 AS a1,
+    13.0e0*n2/48.0e0 - 3.0e0*n3/5.0e0 + 557.0e0*n4/1440.0e0
+      + 281.0e0*n5/630.0e0 - 1983433.0e0*n6/1935360.0e0 AS a2,
+    61.0e0*n3/240.0e0 - 103.0e0*n4/140.0e0 + 15061.0e0*n5/26880.0e0
+      + 167603.0e0*n6/181440.0e0 AS a3,
+    49561.0e0*n4/161280.0e0 - 179.0e0*n5/168.0e0 + 6601661.0e0*n6/7257600.0e0 AS a4,
+    34729.0e0*n5/80640.0e0 - 3418889.0e0*n6/1995840.0e0 AS a5,
+    212378941.0e0*n6/319334400.0e0 AS a6
+  FROM np2
+),
+org AS (  -- K0-scaled meridian arc at lat_0 = 40 (eta' = 0 on the meridian)
+  SELECT kc.*,
+         {_sinh.format(u="0.5e0*ln((1.0e0 + sin(radians(40.0e0)))"
+                         "/(1.0e0 - sin(radians(40.0e0))))"
+                         " - ee * 0.5e0*ln((1.0e0 + ee*sin(radians(40.0e0)))"
+                         "/(1.0e0 - ee*sin(radians(40.0e0))))")} AS t0
+  FROM kc
+),
+org2 AS (
+  SELECT *, atan(t0) AS xip0 FROM org
+),
+org3 AS (
+  SELECT *, 0.9996e0 * ar * (xip0 + {_tm_series0}) AS n0 FROM org2
+),
+pp AS (
+  SELECT point_id,
+         fmod(radians(x + 120.0e0) + 3.141592653589793e0,
+              6.283185307179586e0) - 3.141592653589793e0 AS lam,
+         sin(radians(y)) AS sphi, org3.*
+  FROM pts, org3
+  WHERE x < -100.0e0
+),
+pt AS (
+  SELECT *,
+         {_sinh.format(u="0.5e0*ln((1.0e0 + sphi)/(1.0e0 - sphi))"
+                         " - ee * 0.5e0*ln((1.0e0 + ee*sphi)/(1.0e0 - ee*sphi))")} AS t
+  FROM pp
+),
+pxe AS (
+  SELECT *, atan2(t, cos(lam)) AS xip,
+         0.5e0*ln((1.0e0 + sin(lam)/sqrt(1.0e0 + t*t))
+                  /(1.0e0 - sin(lam)/sqrt(1.0e0 + t*t))) AS etap
+  FROM pt
+),
+fin AS (
+  SELECT point_id, n0,
+         0.9996e0 * ar * (etap + {_tm_series_eta}) AS e_k0,
+         0.9996e0 * ar * (xip + {_tm_series}) AS n_k0
+  FROM pxe
+)
+SELECT point_id,
+       CAST(floor((e_k0 * (0.9999e0/0.9996e0) + 250000.0e0) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(((n_k0 - n0) * (0.9999e0/0.9996e0) + 100000.0e0) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM fin
+"""
+
+    # transform_geos: geocentric-latitude view geometry, re-derived per
+    # point (CGMS / PROJ geos, sweep=x) — GOES-West parameters
+    sql["transform_geos"] = f"""
+WITH {_PTS_CTE.strip()},
+prm AS (
+  SELECT (1.0e0/298.257223563e0) * (2.0e0 - 1.0e0/298.257223563e0) AS e2,
+         35786023.0e0/6378137.0e0 AS rg1
+),
+prm2 AS (
+  SELECT e2, rg1, 1.0e0 - e2 AS rp2, sqrt(1.0e0 - e2) AS rp,
+         1.0e0 + rg1 AS rg
+  FROM prm
+),
+pp AS (
+  SELECT point_id,
+         fmod(radians(x + 137.0e0) + 3.141592653589793e0,
+              6.283185307179586e0) - 3.141592653589793e0 AS lam,
+         atan(rp2 * tan(radians(y))) AS phic, prm2.*
+  FROM pts, prm2
+),
+vv AS (
+  SELECT point_id, rg1, rg,
+         (rp / sqrt((rp*cos(phic))*(rp*cos(phic)) + sin(phic)*sin(phic)))
+           * cos(lam) * cos(phic) AS vx,
+         (rp / sqrt((rp*cos(phic))*(rp*cos(phic)) + sin(phic)*sin(phic)))
+           * sin(lam) * cos(phic) AS vy,
+         (rp / sqrt((rp*cos(phic))*(rp*cos(phic)) + sin(phic)*sin(phic)))
+           * sin(phic) AS vz
+  FROM pp
+)
+SELECT point_id,
+       CAST(floor((rg1 * atan(vy / sqrt(vz*vz + (rg - vx)*(rg - vx))))
+                  * 6378137.0e0 * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor((rg1 * atan(vz / (rg - vx)))
+                  * 6378137.0e0 * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM vv
+"""
+
+    # transform_eqc: PROJ's spherical eqc on the WGS84 semi-major axis
+    sql["transform_eqc"] = f"""
+WITH {_PTS_CTE.strip()}
+SELECT point_id,
+       CAST(floor(6378137.0e0
+                  * (fmod(radians(x) + 3.141592653589793e0,
+                          6.283185307179586e0) - 3.141592653589793e0)
+                  * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(6378137.0e0 * radians(y) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM pts
 """
 
     sql["swath_nearest"] = """

@@ -29,16 +29,20 @@ WGS84 = "EPSG:4326"
 class CRSInfo:
     kind: str  # 'geographic' | 'utm' | 'aeqd' | 'sinu' | 'lcc' | 'merc'
     #          | 'webmerc' | 'stere' (polar) | 'aea' | 'laea' | 'cea'
+    #          | 'tmerc' (general) | 'geos' | 'eqc'
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
-    lat_0: float = 0.0  # aeqd / lcc / aea
-    lon_0: float = 0.0  # aeqd / sinu / lcc / stere / aea
+    lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
+    lon_0: float = 0.0  # aeqd / sinu / lcc / stere / aea / tmerc / geos / eqc
     lat_1: float = 0.0  # lcc / aea standard parallels
     lat_2: float = 0.0
-    x_0: float = 0.0  # false easting/northing (sinu / lcc / stere / aea)
+    x_0: float = 0.0  # false easting/northing (sinu / lcc / stere / aea / ...)
     y_0: float = 0.0
     radius: Optional[float] = None  # sinu sphere radius (None = ellipsoidal)
-    lat_ts: float = 0.0  # polar stereographic / cea standard parallel
+    lat_ts: float = 0.0  # polar stereographic / cea / eqc standard parallel
+    k_0: float = 1.0  # tmerc scale factor at the natural origin
+    h: Optional[float] = None  # geos satellite height above the surface
+    sweep_x: bool = True  # geos scan-angle sweep axis ('x' = GOES-R)
 
     @property
     def is_geographic(self) -> bool:
@@ -83,6 +87,22 @@ class CRSInfo:
             return (
                 f"+proj=cea +lat_ts={self.lat_ts} +lon_0={self.lon_0}"
                 f" +x_0={self.x_0} +y_0={self.y_0}"
+            )
+        if self.kind == "tmerc":
+            return (
+                f"+proj=tmerc +lat_0={self.lat_0} +lon_0={self.lon_0}"
+                f" +k_0={self.k_0} +x_0={self.x_0} +y_0={self.y_0}"
+            )
+        if self.kind == "geos":
+            sweep = "x" if self.sweep_x else "y"
+            return (
+                f"+proj=geos +h={self.h} +lon_0={self.lon_0}"
+                f" +sweep={sweep} +x_0={self.x_0} +y_0={self.y_0}"
+            )
+        if self.kind == "eqc":
+            return (
+                f"+proj=eqc +lat_ts={self.lat_ts} +lat_0={self.lat_0}"
+                f" +lon_0={self.lon_0} +x_0={self.x_0} +y_0={self.y_0}"
             )
         return f"+proj=aeqd +lat_0={self.lat_0} +lon_0={self.lon_0}"
 
@@ -134,6 +154,23 @@ def parse_crs(crs: str) -> CRSInfo:
             return CRSInfo("laea", lat_0=-90.0, lon_0=0.0)
         if code == 6933:  # EASE-Grid 2.0 Global (cylindrical equal-area)
             return CRSInfo("cea", lat_ts=30.0, lon_0=0.0)
+        if code == 2193:  # NZTM2000 (NZGD2000/GRS80 ~ WGS84 here)
+            return CRSInfo("tmerc", lat_0=0.0, lon_0=173.0, k_0=0.9996,
+                           x_0=1600000.0, y_0=10000000.0)
+        if 25828 <= code <= 25838:  # ETRS89 / UTM zones (GRS80 ~ WGS84)
+            return CRSInfo("utm", zone=code - 25800, south=False)
+        if code in (4087, 32662):  # WGS84 Equidistant Cylindrical / Plate Carrée
+            return CRSInfo("eqc")
+        if code == 27700:
+            # British National Grid is TM on the AIRY 1830 ellipsoid with
+            # the OSTN15 datum grid; pretending WGS84 parameters would be
+            # wrong by ~100 m, so refuse rather than alias (same policy
+            # as EPSG:3411).
+            raise ValueError(
+                "EPSG:27700 uses the Airy 1830 ellipsoid + OSTN15 datum "
+                "shift, which this engine does not implement; reproject "
+                "to EPSG:32630/EPSG:4326 upstream"
+            )
         raise ValueError(f"unsupported EPSG code: {code}")
     low = s.lower()
 
@@ -206,6 +243,26 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo(
             "cea", lat_ts=_p("lat_ts"), lon_0=_p("lon_0"),
             x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=tmerc" in low:
+        # +k= and +k_0= are synonyms in proj4 strings
+        k0 = _p("k_0", _p("k", 1.0))
+        return CRSInfo(
+            "tmerc", lat_0=_p("lat_0"), lon_0=_p("lon_0"), k_0=k0,
+            x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=geos" in low:
+        hm = re.search(r"\+h=(-?[\d.]+(?:[eE][-+]?\d+)?)", low)
+        if not hm:
+            raise ValueError(f"geos proj4 without +h: {s}")
+        return CRSInfo(
+            "geos", h=float(hm.group(1)), lon_0=_p("lon_0"),
+            sweep_x="+sweep=y" not in low, x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=eqc" in low:
+        return CRSInfo(
+            "eqc", lat_ts=_p("lat_ts"), lat_0=_p("lat_0"),
+            lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
         )
     raise ValueError(f"unsupported CRS: {s}")
 

@@ -22,6 +22,8 @@ from . import albers as _aea
 from . import conic as _lcc
 from . import equal_area as _ea
 from . import mercator as _merc
+from . import equirect as _eqc
+from . import geostationary as _geos
 from . import sinusoidal as _sinu
 from . import stereographic as _st
 from . import transverse_mercator as _tm
@@ -63,6 +65,18 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
         return _ea.cea_to_geographic(
             x, y, info.lat_ts, info.lon_0, info.x_0, info.y_0
         )
+    if info.kind == "tmerc":
+        return _tm.tmerc_to_geographic(
+            x, y, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0
+        )
+    if info.kind == "geos":
+        return _geos.geos_to_geographic(
+            x, y, info.h, info.lon_0, info.sweep_x, info.x_0, info.y_0
+        )
+    if info.kind == "eqc":
+        return _eqc.eqc_to_geographic(
+            x, y, info.lat_ts, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 
 
@@ -100,6 +114,18 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
     if info.kind == "cea":
         return _ea.geographic_to_cea(
             lon, lat, info.lat_ts, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "tmerc":
+        return _tm.geographic_to_tmerc(
+            lon, lat, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0
+        )
+    if info.kind == "geos":
+        return _geos.geographic_to_geos(
+            lon, lat, info.h, info.lon_0, info.sweep_x, info.x_0, info.y_0
+        )
+    if info.kind == "eqc":
+        return _eqc.geographic_to_eqc(
+            lon, lat, info.lat_ts, info.lat_0, info.lon_0, info.x_0, info.y_0
         )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 

@@ -121,6 +121,39 @@ def tm_to_geographic(
     return np.degrees(lam) + lon0_deg, np.degrees(phi)
 
 
+def _tm_n0(lat_0: float, lon_0: float) -> float:
+    """K0-scaled northing of the natural origin (meridian arc at lat_0)."""
+    if lat_0 == 0.0:
+        return 0.0
+    return float(geographic_to_tm(np.array([lon_0]), np.array([lat_0]), lon_0)[1][0])
+
+
+def geographic_to_tmerc(
+    lon: np.ndarray, lat: np.ndarray, lat_0: float, lon_0: float,
+    k_0: float, x_0: float, y_0: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """General transverse Mercator (EPSG method 9807) with arbitrary
+    natural origin / scale factor / false origin — the parameterization
+    national grids like NZTM2000 (EPSG:2193) publish. Same Karney
+    series as UTM; k_0 rescales the K0-scaled core, lat_0 subtracts the
+    origin's meridian arc."""
+    e, n = geographic_to_tm(lon, lat, lon_0)
+    s = k_0 / K0
+    n0 = _tm_n0(lat_0, lon_0)
+    return e * s + x_0, (n - n0) * s + y_0
+
+
+def tmerc_to_geographic(
+    easting: np.ndarray, northing: np.ndarray, lat_0: float, lon_0: float,
+    k_0: float, x_0: float, y_0: float,
+) -> Tuple[np.ndarray, np.ndarray]:
+    s = k_0 / K0
+    n0 = _tm_n0(lat_0, lon_0)
+    e = (np.asarray(easting, dtype=np.float64) - x_0) / s
+    n = (np.asarray(northing, dtype=np.float64) - y_0) / s + n0
+    return tm_to_geographic(e, n, lon_0)
+
+
 def geographic_to_utm(
     lon: np.ndarray, lat: np.ndarray, zone: int, south: bool
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -397,3 +397,123 @@ def test_laea_cea_parse_and_refusals():
     # EPSG:3411 (Hughes 1980) is refused, not silently aliased to 3413
     with pytest.raises(ValueError, match="Hughes"):
         parse_crs("EPSG:3411")
+
+
+def test_tmerc_general_matches_utm_and_roundtrips():
+    """General transverse Mercator (EPSG method 9807): parameterized as a
+    UTM zone it is BIT-IDENTICAL to the UTM path (same Karney core); a
+    nonzero lat_0 / custom k_0 round-trips to 1e-10 deg; NZTM2000
+    (EPSG:2193) places Wellington at its published ~(1748.8 km,
+    5427.6 km) coordinates."""
+    from rasters_ray.proj.transform import transform_xy
+
+    lon = np.linspace(168.2, 173.8, 25)
+    lat = np.linspace(-46.5, -34.2, 25)
+    e1, n1 = transform_xy(lon, lat, "EPSG:4326", "EPSG:32759")
+    e2, n2 = transform_xy(
+        lon, lat, "EPSG:4326",
+        "+proj=tmerc +lat_0=0 +lon_0=171 +k=0.9996 +x_0=500000 +y_0=10000000")
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(n1, n2)
+
+    E, N = transform_xy([174.7772], [-41.2889], "EPSG:4326", "EPSG:2193")
+    assert abs(E[0] - 1748813.84) < 1.0 and abs(N[0] - 5427648.31) < 1.0
+    lo, la = transform_xy(E, N, "EPSG:2193", "EPSG:4326")
+    assert abs(lo[0] - 174.7772) < 1e-9 and abs(la[0] + 41.2889) < 1e-9
+
+    crs = "+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 +x_0=400000 +y_0=-100000"
+    x, y = transform_xy([-1.5, -3.2], [50.5, 54.1], "EPSG:4326", crs)
+    lo, la = transform_xy(x, y, crs, "EPSG:4326")
+    np.testing.assert_allclose(lo, [-1.5, -3.2], atol=1e-10)
+    np.testing.assert_allclose(la, [50.5, 54.1], atol=1e-10)
+
+
+def test_geos_matches_independent_ecef_geometry():
+    """The geostationary forward projection agrees to <1 cm with an
+    INDEPENDENT construction: geodetic->ECEF, view vector from the
+    satellite, scan angles in the satellite's local frame (the CGMS /
+    GOES-R PUG definition) — plus exact round-trips, nadir->origin and
+    limb->NaN."""
+    from rasters_ray.proj.transform import transform_xy
+
+    GOES_W = "+proj=geos +h=35786023 +lon_0=-137 +sweep=x"
+    a, f = 6378137.0, 1 / 298.257223563
+    e2c = f * (2 - f)
+    lon0, h = -137.0, 35786023.0
+
+    def ecef(lon, lat):
+        lam, phi = np.radians(lon), np.radians(lat)
+        nn = a / np.sqrt(1 - e2c * np.sin(phi) ** 2)
+        return np.array([nn * np.cos(phi) * np.cos(lam),
+                         nn * np.cos(phi) * np.sin(lam),
+                         nn * (1 - e2c) * np.sin(phi)])
+
+    sat = np.array([(a + h) * np.cos(np.radians(lon0)),
+                    (a + h) * np.sin(np.radians(lon0)), 0.0])
+    rot = np.array([[-np.cos(np.radians(lon0)), -np.sin(np.radians(lon0)), 0],
+                    [-np.sin(np.radians(lon0)), np.cos(np.radians(lon0)), 0],
+                    [0, 0, 1.0]])
+    for lonp, latp in [(-124.0, 44.0), (-137.0, 0.0), (-150.0, -30.0),
+                       (-100.0, 20.0)]:
+        x, y = transform_xy([lonp], [latp], "EPSG:4326", GOES_W)
+        v = rot @ (ecef(lonp, latp) - sat)
+        assert abs(x[0] - h * np.arctan2(v[1], np.hypot(v[2], v[0]))) < 0.01
+        assert abs(y[0] - h * np.arctan(v[2] / v[0])) < 0.01
+        lo, la = transform_xy(x, y, GOES_W, "EPSG:4326")
+        assert abs(lo[0] - lonp) < 1e-9 and abs(la[0] - latp) < 1e-9
+
+    x, y = transform_xy([-137.0, 43.0], [0.0, 0.0], "EPSG:4326", GOES_W)
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9  # nadir
+    assert np.isnan(x[1]) and np.isnan(y[1])  # behind the limb
+
+    msg = "+proj=geos +h=35785831 +lon_0=0 +sweep=y"  # Meteosat convention
+    x, y = transform_xy([10.0, -20.0], [45.0, -35.0], "EPSG:4326", msg)
+    lo, la = transform_xy(x, y, msg, "EPSG:4326")
+    np.testing.assert_allclose(lo, [10, -20], atol=1e-9)
+    np.testing.assert_allclose(la, [45, -35], atol=1e-9)
+    # sweep matters: x differs between conventions off the equator/meridian
+    xx, _ = transform_xy([10.0], [45.0], "EPSG:4326",
+                         "+proj=geos +h=35785831 +lon_0=0 +sweep=x")
+    assert abs(xx[0] - x[0]) > 100
+
+
+def test_eqc_plate_carree():
+    """EPSG:4087 equidistant cylindrical: PROJ's spherical eqc on the
+    WGS84 semi-major axis (pyproj parity), exact algebra both ways, and
+    the lat_ts/lat_0 general form round-trips."""
+    from rasters_ray.proj.transform import transform_xy
+    from rasters_ray.proj.crs import parse_crs
+
+    x, y = transform_xy([90.0], [45.0], "EPSG:4326", "EPSG:4087")
+    assert abs(x[0] - 6378137.0 * np.pi / 2) < 1e-6
+    assert abs(y[0] - 6378137.0 * np.pi / 4) < 1e-6
+    lo, la = transform_xy(x, y, "EPSG:4087", "EPSG:4326")
+    assert abs(lo[0] - 90) < 1e-12 and abs(la[0] - 45) < 1e-12
+    assert parse_crs("EPSG:32662") == parse_crs("EPSG:4087")
+
+    crs = "+proj=eqc +lat_ts=30 +lat_0=5 +lon_0=40 +x_0=100 +y_0=-200"
+    x, y = transform_xy([47.5, 33.0], [12.0, -8.0], "EPSG:4326", crs)
+    lo, la = transform_xy(x, y, crs, "EPSG:4326")
+    np.testing.assert_allclose(lo, [47.5, 33.0], atol=1e-12)
+    np.testing.assert_allclose(la, [12.0, -8.0], atol=1e-12)
+
+
+def test_new_crs_parse_canonical_and_refusals():
+    from rasters_ray.proj.crs import parse_crs
+
+    nz = parse_crs("EPSG:2193")
+    assert (nz.kind, nz.lon_0, nz.k_0, nz.x_0, nz.y_0) == (
+        "tmerc", 173.0, 0.9996, 1600000.0, 10000000.0)
+    assert parse_crs(nz.canonical()) == nz
+    assert parse_crs("EPSG:25832") == parse_crs("EPSG:32632")  # ETRS89/UTM
+    g = parse_crs("+proj=geos +h=35786023 +lon_0=-75 +sweep=x")
+    assert (g.kind, g.h, g.sweep_x) == ("geos", 35786023.0, True)
+    assert parse_crs(g.canonical()) == g
+    assert not parse_crs("+proj=geos +h=35785831 +sweep=y").sweep_x
+    with pytest.raises(ValueError, match=r"without \+h"):
+        parse_crs("+proj=geos +lon_0=0")
+    # British National Grid: Airy 1830 + OSTN15 -> refused, not aliased
+    with pytest.raises(ValueError, match="Airy"):
+        parse_crs("EPSG:27700")
+    eq = parse_crs("EPSG:4087")
+    assert parse_crs(eq.canonical()) == eq
