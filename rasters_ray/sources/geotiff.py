@@ -9,7 +9,9 @@ module covers the envelope a real user's files actually span:
 - EITHER byte order (``II`` little-endian / ``MM`` big-endian — all tag
   and pixel unpacking is parameterized on the header's order);
 - TILED (tags 322-325) or STRIPPED (tags 273/278/279 — the layout most
-  wild GeoTIFFs use) single-band images;
+  wild GeoTIFFs use) images; single-band 2D or chunky multi-band
+  (PlanarConfiguration=1, e.g. RGB aerial imagery) returned as a 3D
+  (h, w, samples) array — planar-config-2 files raise clearly;
 - compression: none (1), LZW (5, TIFF 6.0 §13 with the standard
   early-change rule), deflate (8 and legacy 32946), PackBits (32773,
   §9); any OTHER code raises ``NotImplementedError`` naming the code —
@@ -57,6 +59,8 @@ TAG_SAMPLES = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
 TAG_PREDICTOR = 317
+TAG_PLANAR = 284  # 1 = chunky (RGBRGB...), 2 = planar (separate planes)
+TAG_EXTRA_SAMPLES = 338
 TAG_TILE_W = 322
 TAG_TILE_L = 323
 TAG_TILE_OFFSETS = 324
@@ -531,6 +535,8 @@ def write_geotiff(
     ``layout="strips"`` emits a plain baseline stripped TIFF (the layout
     most wild files use — RowsPerStrip/StripOffsets/StripByteCounts),
     in either byte order, with none/LZW/deflate/PackBits compression;
+    a 3D (h, w, samples) array writes a chunky multi-band image (RGB
+    photometric for 3 samples, ExtraSamples otherwise; strips only);
     ``bigtiff=True`` selects the version-43 8-byte-offset container;
     ``predictor=3`` applies the TechNote-3 floating-point predictor
     (strips layout, float data only)."""
@@ -541,8 +547,10 @@ def write_geotiff(
     if layout != "strips":
         raise ValueError(f"layout must be 'tiles' or 'strips', got {layout!r}")
     a = np.ascontiguousarray(arr)
-    if a.ndim != 2:
-        raise ValueError("write_geotiff takes one 2D band")
+    if a.ndim not in (2, 3):
+        raise ValueError("write_geotiff takes a 2D band or a 3D (h, w, "
+                         "samples) chunky multi-band image")
+    spp = a.shape[2] if a.ndim == 3 else 1
     bo = byte_order
     if bo not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
@@ -562,14 +570,17 @@ def write_geotiff(
     if predictor == 2 and not np.issubdtype(a.dtype, np.integer):
         raise ValueError("predictor 2 applies to integer samples only")
 
-    h, w = a.shape
+    h, w = a.shape[:2]
     rps = max(1, int(rows_per_strip))
     nstrips = (h + rps - 1) // rps
     blobs = []
     for i in range(nstrips):
         sub = a[i * rps : min((i + 1) * rps, h)]  # last strip short, unpadded
         if predictor == 3:
-            blobs.append(_compress(_apply_float_predictor(sub), comp))
+            # chunky rows are w*spp values; TechNote 3 splits the whole
+            # row into byte planes, so flatten the sample axis first
+            blobs.append(_compress(
+                _apply_float_predictor(sub.reshape(sub.shape[0], -1)), comp))
         elif predictor == 2:
             # horizontal differencing in the sample dtype (wraparound),
             # the exact inverse of _undo_predictor's modular cumsum
@@ -583,10 +594,16 @@ def write_geotiff(
     ifd.add(TAG_NEW_SUBFILE, _LONG, 0)
     ifd.add(TAG_WIDTH, _LONG, w)
     ifd.add(TAG_LENGTH, _LONG, h)
-    ifd.add(TAG_BITS, _SHORT, bits)
+    ifd.add(TAG_BITS, _SHORT, [bits] * spp if spp > 1 else bits)
     ifd.add(TAG_COMPRESSION, _SHORT, comp)
-    ifd.add(TAG_PHOTOMETRIC, _SHORT, 1)
-    ifd.add(TAG_SAMPLES, _SHORT, 1)
+    # RGB photometric for 3 uint8/uint16 color samples; otherwise
+    # MinIsBlack with the extra channels declared unspecified
+    ifd.add(TAG_PHOTOMETRIC, _SHORT, 2 if spp == 3 else 1)
+    ifd.add(TAG_SAMPLES, _SHORT, spp)
+    if spp > 1:
+        ifd.add(TAG_PLANAR, _SHORT, 1)
+        if spp != 3:
+            ifd.add(TAG_EXTRA_SAMPLES, _SHORT, [0] * (spp - 1))
     ifd.add(TAG_ROWS_PER_STRIP, _LONG, rps)
     ifd.add(TAG_STRIP_OFFSETS, _LONG8 if bigtiff else _LONG,
             [0] * nstrips)  # patched below
@@ -696,11 +713,18 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
         bits, sfmt = tags[TAG_BITS][0], tags.get(TAG_SAMPLE_FORMAT, [1])[0]
         comp = tags.get(TAG_COMPRESSION, [COMP_NONE])[0]
         pred = tags.get(TAG_PREDICTOR, [1])[0]
-        if tags.get(TAG_SAMPLES, [1])[0] != 1:
-            raise NotImplementedError(
-                f"multi-sample TIFF (SamplesPerPixel="
-                f"{tags[TAG_SAMPLES][0]}) unsupported; single-band only"
-            )
+        spp = tags.get(TAG_SAMPLES, [1])[0]
+        if spp > 1:
+            if tags.get(TAG_PLANAR, [1])[0] != 1:
+                raise NotImplementedError(
+                    "planar-configuration-2 TIFF (separate sample planes) "
+                    "unsupported; chunky (PlanarConfiguration=1) only"
+                )
+            if len(set(tags[TAG_BITS])) != 1:
+                raise NotImplementedError(
+                    f"per-sample BitsPerSample {tags[TAG_BITS]} unsupported; "
+                    "all samples must share one type"
+                )
         try:
             base = _SAMPLE_TYPES[(bits, sfmt)]
         except KeyError:
@@ -720,7 +744,8 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
         else:
             wr0 = wc0 = 0
             wh_, ww_ = h, w
-        out = np.zeros((wh_, ww_), dtype=np.dtype(base))
+        bshape = (spp,) if spp > 1 else ()  # chunky: trailing sample axis
+        out = np.zeros((wh_, ww_) + bshape, dtype=np.dtype(base))
 
         def paste(block: np.ndarray, br: int, bc: int) -> None:
             rs, re = max(br, wr0), min(br + block.shape[0], wr0 + wh_)
@@ -742,13 +767,14 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
                         or c * tw >= wc0 + ww_ or (c + 1) * tw <= wc0):
                     continue  # outside the window: never decompressed
                 raw = _decompress(data[toff : toff + tcnt], comp,
-                                  expected=tl * tw * dt.itemsize)
+                                  expected=tl * tw * spp * dt.itemsize)
                 if pred == 3:
                     t = np.frombuffer(
-                        _undo_float_predictor(raw, tw, dt.itemsize),
-                        dtype=np.dtype(base).newbyteorder(">")).reshape(tl, tw)
+                        _undo_float_predictor(raw, tw * spp, dt.itemsize),
+                        dtype=np.dtype(base).newbyteorder(">")
+                    ).reshape((tl, tw) + bshape)
                 else:
-                    t = np.frombuffer(raw, dtype=dt).reshape(tl, tw)
+                    t = np.frombuffer(raw, dtype=dt).reshape((tl, tw) + bshape)
                     t = _undo_predictor(t, pred)
                 t = t.astype(np.dtype(base), copy=False)
                 hh = min(tl, h - r * tl)
@@ -762,7 +788,7 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
                 TAG_STRIP_COUNTS,
                 # per spec, StripByteCounts is required; tolerate its
                 # absence only for uncompressed data where sizes are known
-                [min(rps, h - i * rps) * w * dt.itemsize
+                [min(rps, h - i * rps) * w * spp * dt.itemsize
                  for i in range(len(tags[TAG_STRIP_OFFSETS]))]
                 if comp == COMP_NONE else None,
             )
@@ -775,15 +801,17 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
                 if i * rps >= wr0 + wh_ or i * rps + rows <= wr0:
                     continue  # outside the window: never decompressed
                 raw = _decompress(data[soff : soff + scnt], comp,
-                                  expected=rows * w * dt.itemsize)
+                                  expected=rows * w * spp * dt.itemsize)
                 if pred == 3:
                     s = np.frombuffer(
-                        _undo_float_predictor(raw[: rows * w * dt.itemsize],
-                                              w, dt.itemsize),
-                        dtype=np.dtype(base).newbyteorder(">")).reshape(rows, w)
+                        _undo_float_predictor(
+                            raw[: rows * w * spp * dt.itemsize],
+                            w * spp, dt.itemsize),
+                        dtype=np.dtype(base).newbyteorder(">")
+                    ).reshape((rows, w) + bshape)
                 else:
-                    s = np.frombuffer(raw, dtype=dt, count=rows * w
-                                      ).reshape(rows, w)
+                    s = np.frombuffer(raw, dtype=dt, count=rows * w * spp
+                                      ).reshape((rows, w) + bshape)
                     s = _undo_predictor(s, pred)
                 s = s.astype(np.dtype(base), copy=False)
                 paste(s, i * rps, 0)

@@ -340,3 +340,53 @@ def test_windowed_read_prunes_decode(tmp_path):
     # non-TIFF window reads raise with the remediation
     with pytest.raises(NotImplementedError, match="window"):
         open_raster(__file__, window=(0, 0, 1, 1))
+
+
+def test_multiband_chunky_roundtrip(tmp_path):
+    """Chunky multi-band (PlanarConfiguration=1) strips — RGB aerial
+    imagery and n-band stacks — round-trip exactly across compressions,
+    byte orders and both predictors; windows decode only intersecting
+    strips; planar-config-2 raises clearly."""
+    import itertools
+    import struct
+
+    rng = np.random.default_rng(7)
+    p = str(tmp_path / "mb.tif")
+    for comp, bo, pred in itertools.product(
+            ["lzw", "deflate", "none"], ["<", ">"], [1, 2]):
+        a = rng.integers(0, 255, (45, 67, 3), dtype=np.uint8)
+        write_geotiff(a, _grid(45, 67), p, layout="strips",
+                      rows_per_strip=13, compression=comp,
+                      byte_order=bo, predictor=pred)
+        levels, meta = read_geotiff(p)
+        assert levels[0].shape == (45, 67, 3)
+        np.testing.assert_array_equal(levels[0], a)
+    # n-band with predictor 2; float32 bands with predictor 3
+    for s, dt in [(4, np.uint16), (2, np.uint8)]:
+        a = rng.integers(0, np.iinfo(dt).max // 2, (30, 41, s)).astype(dt)
+        write_geotiff(a, _grid(30, 41), p, layout="strips",
+                      compression="lzw", predictor=2)
+        np.testing.assert_array_equal(read_geotiff(p)[0][0], a)
+    a = rng.normal(size=(30, 41, 3)).astype(np.float32)
+    write_geotiff(a, _grid(30, 41), p, layout="strips",
+                  compression="deflate", predictor=3)
+    np.testing.assert_array_equal(read_geotiff(p)[0][0], a)
+    # windowed read pastes the right sub-block of every band
+    a = rng.integers(0, 255, (300, 400, 3), dtype=np.uint8)
+    write_geotiff(a, _grid(300, 400), p, layout="strips",
+                  rows_per_strip=32, compression="deflate")
+    levels, meta = read_geotiff(p, window=(100, 150, 50, 60))
+    np.testing.assert_array_equal(levels[0], a[100:150, 150:210])
+    # planar configuration 2 is refused, not mis-decoded
+    a = rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+    write_geotiff(a, _grid(20, 20), p, layout="strips", compression="none")
+    b = bytearray(open(p, "rb").read())
+    n = struct.unpack("<H", b[8:10])[0]
+    for i in range(n):
+        e = 10 + 12 * i
+        if struct.unpack("<H", b[e : e + 2])[0] == 284:
+            struct.pack_into("<H", b, e + 8, 2)
+    pp = str(tmp_path / "planar2.tif")
+    open(pp, "wb").write(bytes(b))
+    with pytest.raises(NotImplementedError, match="planar"):
+        read_geotiff(pp)
