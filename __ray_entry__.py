@@ -4097,6 +4097,76 @@ def q_strip_tiff(sf_dir: str):
     return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q_rgb_tiff(sf_dir: str):
+    """Multi-band GeoTIFF envelope (sources/geotiff.py chunky
+    PlanarConfiguration=1): each oracle image becomes a deterministic
+    3-channel RGB stack (r = px, g = 255-px, b = (3*px+7) mod 256) and
+    round-trips through strips+LZW+predictor-2 little-endian and
+    strips+deflate big-endian variants ON WORKERS via ``open_raster``.
+    Per-channel integer sums + floor-cm origin pin the interleaved
+    strip assembly, per-channel horizontal differencing and RGB
+    photometric tagging; the VALUES oracle rows derive from the same
+    pixel sums strip_tiff pins (g-channel = 255*10000 - px_sum). Scale
+    shape: one file per (image, variant) on worker-local disk; nothing
+    shuffles."""
+    import os
+
+    from rasters_ray import codec
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.sources.geotiff import write_geotiff
+    from rasters_ray.sources.open import open_raster
+
+    variants = [
+        ("strips_lzw_pred2_le", "lzw", "<", 2),
+        ("strips_deflate_be", "deflate", ">", 1),
+    ]
+    out_dir = f"/tmp/rasters_ray_rgb_q_{os.getpid()}"
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = {"image_id": [], "variant": [], "ch0_sum": [], "ch1_sum": [],
+                "ch2_sum": [], "x0_cm": [], "y0_cm": []}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            g = t.column("grid")[i].as_py()
+            grid = GridSpec(crs=g["crs"], x_origin=g["x_origin"],
+                            y_origin=g["y_origin"], cell_width=g["cell_width"],
+                            cell_height=g["cell_height"], rows=g["rows"],
+                            cols=g["cols"])
+            r = px.astype(np.uint8)
+            rgb = np.stack(
+                [r, (255 - r.astype(np.int64)).astype(np.uint8),
+                 ((r.astype(np.int64) * 3 + 7) % 256).astype(np.uint8)],
+                axis=-1)
+            for name, comp, bo, pred in variants:
+                p = os.path.join(out_dir, f"{iid}_{name}.tif")
+                write_geotiff(rgb, grid, p, layout="strips", compression=comp,
+                              byte_order=bo, predictor=pred, rows_per_strip=17)
+                arr, g2 = open_raster(p)
+                rows["image_id"].append(iid)
+                rows["variant"].append(name)
+                for ch in range(3):
+                    rows[f"ch{ch}_sum"].append(
+                        int(arr[..., ch].astype(np.int64).sum()))
+                rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))
+                rows["y0_cm"].append(int(np.floor(g2.y_origin * 100.0)))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "variant": pa.array(rows["variant"], pa.string()),
+                "ch0_sum": pa.array(rows["ch0_sum"], pa.int64()),
+                "ch1_sum": pa.array(rows["ch1_sum"], pa.int64()),
+                "ch2_sum": pa.array(rows["ch2_sum"], pa.int64()),
+                "x0_cm": pa.array(rows["x0_cm"], pa.int64()),
+                "y0_cm": pa.array(rows["y0_cm"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -5177,6 +5247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_substrings": q_dup_substrings,
         "zarr_tiles": q_zarr_tiles,
         "strip_tiff": q_strip_tiff,
+        "rgb_tiff": q_rgb_tiff,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "tiff_window": q_tiff_window,
@@ -5863,6 +5934,18 @@ FROM (VALUES
 ) AS t(image_id, px_sum, x0_cm, y0_cm),
 (VALUES ('strips_lzw_le'), ('strips_deflate_be'), ('strips_packbits_le'),
         ('tiles_none_be')) AS v(variant)
+"""
+
+    # rgb_tiff: channel sums derive from the pinned px sums above —
+    # g = 255*10000 - px_sum, b = sum((3*px+7) mod 256) computed once
+    sql["rgb_tiff"] = """
+SELECT t.image_id, v.variant, t.ch0_sum, t.ch1_sum, t.ch2_sum,
+       t.x0_cm, t.y0_cm
+FROM (VALUES
+  ('img00000000', 1248532, 1301468, 1269420, -12400, 4400),
+  ('img00000001', 1251559, 1298441, 1270565, -12350, 4400)
+) AS t(image_id, ch0_sum, ch1_sum, ch2_sum, x0_cm, y0_cm),
+(VALUES ('strips_lzw_pred2_le'), ('strips_deflate_be')) AS v(variant)
 """
 
     # netcdf_chunked / zarr_v3: golden VALUES — the round-trips are
