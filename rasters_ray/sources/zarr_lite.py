@@ -10,10 +10,11 @@ module implements the subset the engine needs:
   members; 1D/2D arrays; any numpy dtype; compressors/codecs
   ``null``/``zlib``/``gzip`` and BLOSC (the zarr-python default —
   lz4/lz4hc/zlib chunks with byte shuffle, via codec/blosc_lite);
-  ``fill_value`` for missing chunk files; the xarray
-  ``_ARRAY_DIMENSIONS`` (v2) / ``dimension_names`` (v3) conventions.
-  Bit-shuffle, blosclz/snappy/zstd and sharding raise
-  NotImplementedError with the remediation.
+  ``fill_value`` for missing chunk files; numcodecs array-side
+  filters Delta (what xarray puts on coordinate arrays) and Shuffle;
+  the xarray ``_ARRAY_DIMENSIONS`` (v2) / ``dimension_names`` (v3)
+  conventions. Bit-shuffle, blosclz/snappy/zstd, other filters and
+  sharding raise NotImplementedError with the remediation.
 - ``write_zarr``: same subset (``zarr_format=2`` default or 3;
   compressor zlib, blosc or none) — round-trip tests prove the reader
   and the output is readable by real zarr/xarray elsewhere.
@@ -49,7 +50,7 @@ class _ArrayInfo:
     chunk-path and chunk-decompress rules."""
 
     __slots__ = ("adir", "version", "shape", "chunks", "dtype", "fill",
-                 "dims", "attrs", "_codec", "_sep", "_key_v2")
+                 "dims", "attrs", "_codec", "_sep", "_key_v2", "_filters")
 
     def __init__(self, adir: str):
         self.adir = adir
@@ -70,14 +71,13 @@ class _ArrayInfo:
         if meta.get("zarr_format") != 2:
             raise NotImplementedError(
                 f"zarr_format {meta.get('zarr_format')} in .zarray")
-        if meta.get("filters"):
-            raise NotImplementedError("zarr v2 filters unsupported")
         if meta.get("order", "C") != "C":
             raise NotImplementedError("only C-order zarr chunks supported")
         self.version = 2
         self.shape = tuple(meta["shape"])
         self.chunks = tuple(meta["chunks"])
         self.dtype = np.dtype(meta["dtype"])
+        self._filters = [_filter_codec(f) for f in (meta.get("filters") or [])]
         fill = meta.get("fill_value")
         self.fill = 0 if fill is None else fill
         comp = meta.get("compressor")
@@ -94,6 +94,7 @@ class _ArrayInfo:
     # ---- v3
     def _init_v3(self, meta: dict) -> None:
         self.version = 3
+        self._filters = []  # v3 expresses everything as codecs
         self.shape = tuple(meta["shape"])
         grid = meta.get("chunk_grid", {})
         if grid.get("name") != "regular":
@@ -162,10 +163,15 @@ class _ArrayInfo:
         if not os.path.exists(p):
             return None
         raw = self._codec[0](open(p, "rb").read())
+        for _dec, _enc in reversed(self._filters):
+            raw = _dec(raw)
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks)
 
     def encode_chunk(self, block: np.ndarray) -> bytes:
-        return self._codec[1](np.ascontiguousarray(block).tobytes())
+        raw = np.ascontiguousarray(block).tobytes()
+        for _dec, _enc in self._filters:
+            raw = _enc(raw)
+        return self._codec[1](raw)
 
     def present_chunks(self) -> List[Tuple[int, ...]]:
         ndim = len(self.shape)
@@ -195,6 +201,41 @@ class _ArrayInfo:
             if len(parts) == ndim and all(p.isdigit() for p in parts):
                 out.append(tuple(int(v) for v in parts))
         return sorted(out)
+
+
+def _filter_codec(cfg: dict):
+    """numcodecs array-side filter config -> (decode, encode) byte
+    transforms, applied between the raw chunk bytes and the compressor.
+    Delta (the filter real xarray stores put on coordinate arrays) and
+    Shuffle are implemented; anything else raises naming the id."""
+    fid = (cfg or {}).get("id")
+    if fid == "delta":
+        vdt = np.dtype(cfg["dtype"])
+        adt = np.dtype(cfg.get("astype") or cfg["dtype"])
+
+        def dec(b, _v=vdt, _a=adt):
+            enc = np.frombuffer(b, dtype=_a)
+            return np.cumsum(enc, dtype=_v).tobytes()
+
+        def enc(b, _v=vdt, _a=adt):
+            arr = np.frombuffer(b, dtype=_v)
+            out = np.empty(arr.shape, dtype=_a)
+            if arr.size:
+                out[0] = arr[0]
+                # modular in the value dtype, then cast — numcodecs parity
+                out[1:] = (arr[1:] - arr[:-1]).astype(_a)
+            return out.tobytes()
+
+        return dec, enc
+    if fid == "shuffle":
+        size = int(cfg.get("elementsize", 4))
+        from .hdf5lite import _shuffle_bytes
+
+        return (lambda b, _s=size: _shuffle_bytes(b, _s, forward=False)), (
+            lambda b, _s=size: _shuffle_bytes(b, _s, forward=True))
+    raise NotImplementedError(
+        f"zarr v2 filter {fid!r} unsupported (delta/shuffle are readable; "
+        "rewrite the store without other numcodecs filters)")
 
 
 def _compressor_codec(comp: Optional[dict]):
