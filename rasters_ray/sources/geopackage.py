@@ -13,6 +13,9 @@ artifact from the engine's own data:
   the world-box quadtree maps 1:1 onto a GeoPackage tile matrix with
   matrix_width = matrix_height = 2^level over the world bbox, and
   (tile_column, tile_row) = the cell's (ix, iy).
+- ``read_geopackage(path)`` — the read half: assembles the present
+  tiles at one zoom back into a georeferenced (array, GridSpec);
+  routed from ``open_raster`` by the SQLite magic.
 
 GeoPackage is a single-writer SQLite file — the LAST-MILE export of a
 composite / preview-scale result (exactly how the reference uses it: one
@@ -260,5 +263,90 @@ def read_geopackage_tiles(path: str, table_name: str = "tiles"):
         return [
             (z, c, r, codec.decode(bytes(b), "png")) for z, c, r, b in cur.fetchall()
         ]
+    finally:
+        con.close()
+
+
+def read_geopackage(
+    path: str,
+    table_name: Optional[str] = None,
+    zoom: Optional[int] = None,
+) -> tuple:
+    """GeoPackage tile pyramid -> (2D array, GridSpec) — the read half of
+    ``to_geopackage`` parity (the reference reads .gpkg through the GDAL
+    driver, raster.py:634-771). Decodes ONLY the present tiles at one
+    zoom level (the deepest by default) and allocates just their
+    bounding box, so a sparse planetary pyramid costs what its content
+    covers; a pathologically sparse span (two far-apart tiles) raises
+    with the ``read_geopackage_tiles`` remediation instead of OOMing."""
+    con = sqlite3.connect(path)
+    try:
+        tabs = con.execute(
+            "SELECT table_name, srs_id FROM gpkg_contents "
+            "WHERE data_type = 'tiles' ORDER BY table_name").fetchall()
+        if not tabs:
+            raise ValueError(f"no tile pyramid tables in {path}")
+        if table_name is None:
+            if len(tabs) > 1:
+                raise ValueError(
+                    f"geopackage has {len(tabs)} tile tables "
+                    f"{[t[0] for t in tabs]}; pass table_name= to choose")
+            table_name, srs = tabs[0]
+        else:
+            match = [t for t in tabs if t[0] == table_name]
+            if not match:
+                raise ValueError(f"no tile table {table_name!r} in {path}")
+            srs = match[0][1]
+        ms = con.execute(
+            "SELECT min_x, min_y, max_x, max_y FROM gpkg_tile_matrix_set "
+            "WHERE table_name = ?", (table_name,)).fetchone()
+        if ms is None:
+            raise ValueError(f"missing gpkg_tile_matrix_set row for {table_name}")
+        min_x, _min_y, _max_x, max_y = (float(v) for v in ms)
+        if zoom is None:
+            (zoom,) = con.execute(
+                f'SELECT MAX(zoom_level) FROM "{table_name}"').fetchone()
+            if zoom is None:
+                raise ValueError(f"tile table {table_name!r} is empty")
+        tm = con.execute(
+            "SELECT tile_width, tile_height, pixel_x_size, pixel_y_size "
+            "FROM gpkg_tile_matrix WHERE table_name = ? AND zoom_level = ?",
+            (table_name, zoom)).fetchone()
+        if tm is None:
+            raise ValueError(f"no gpkg_tile_matrix row for zoom {zoom}")
+        tw, th, pxx, pxy = int(tm[0]), int(tm[1]), float(tm[2]), float(tm[3])
+        rows = con.execute(
+            f'SELECT tile_column, tile_row, tile_data FROM "{table_name}" '
+            "WHERE zoom_level = ? ORDER BY tile_row, tile_column",
+            (zoom,)).fetchall()
+        if not rows:
+            raise ValueError(f"no tiles at zoom {zoom} in {table_name!r}")
+        cols_i = np.array([r[0] for r in rows])
+        rows_i = np.array([r[1] for r in rows])
+        cmin, cmax = int(cols_i.min()), int(cols_i.max())
+        rmin, rmax = int(rows_i.min()), int(rows_i.max())
+        span = (rmax - rmin + 1) * (cmax - cmin + 1)
+        if span * th * tw > (1 << 26) and len(rows) * 4 < span:
+            raise ValueError(
+                f"present tiles span {span} tile slots but only {len(rows)} "
+                "exist — assembling would allocate a mostly-empty "
+                f"{(rmax - rmin + 1) * th}x{(cmax - cmin + 1) * tw} array; "
+                "iterate read_geopackage_tiles(path) instead")
+        out = None
+        for c, r, blob in rows:
+            px = codec.decode(bytes(blob), "png")
+            if out is None:
+                out = np.zeros(((rmax - rmin + 1) * th,
+                                (cmax - cmin + 1) * tw), dtype=px.dtype)
+            out[(r - rmin) * th:(r - rmin) * th + px.shape[0],
+                (c - cmin) * tw:(c - cmin) * tw + px.shape[1]] = px
+        grid = GridSpec(
+            crs=f"EPSG:{srs}" if srs and srs > 0 else "EPSG:4326",
+            x_origin=min_x + cmin * tw * pxx,
+            y_origin=max_y - rmin * th * pxy,
+            cell_width=pxx, cell_height=-pxy,
+            rows=out.shape[0], cols=out.shape[1],
+        )
+        return out, grid
     finally:
         con.close()

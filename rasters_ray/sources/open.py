@@ -10,6 +10,8 @@ formats the engine reads natively:
 - NetCDF-4 / HDF5 (``\\x89HDF``)               -> sources.netcdf (via
   hdf5lite; contiguous datasets only, clear raise otherwise)
 - Zarr v2 store DIRECTORY (``.zgroup``/``.zarray``) -> sources.zarr_lite
+- GeoPackage (``SQLite format 3`` magic)       -> sources.geopackage
+  (``var`` selects the tile table when several exist)
 - PNG (``\\x89PNG``) / baseline JPEG / npy     -> pixel decode, georef
   from an ESRI world-file sidecar when present (else unit grid)
 
@@ -150,6 +152,10 @@ def open_raster(path: str, var: Optional[str] = None,
     if head[:6] == b"\x93NUMPY":
         arr = codec.decode(open(path, "rb").read(), "npy")
         return arr, _sidecar_grid(path, arr.shape[0], arr.shape[1])
+    if head == b"SQLite f":  # GeoPackage (SQLite container, OGC 12-128r18)
+        from .geopackage import read_geopackage
+
+        return read_geopackage(path, table_name=var)
     raise ValueError(f"unrecognized raster format (magic {head[:4]!r}): {path}")
 
 

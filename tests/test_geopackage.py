@@ -104,3 +104,71 @@ def test_float_raster_quantizes(tmp_path):
     # quantized ramp stays monotone where finite
     flat = px.ravel()[1:]
     assert (np.diff(flat.astype(np.int64)) >= 0).all()
+
+
+def test_read_geopackage_raster_and_router(tmp_path):
+    """read_geopackage assembles the tile pyramid back into a
+    georeferenced (array, GridSpec) — the read half of the GDAL-driver
+    parity — and open_raster routes the SQLite magic to it."""
+    from rasters_ray.sources.geopackage import read_geopackage
+    from rasters_ray.sources.open import open_raster
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 60000, (100, 120), dtype=np.uint16)
+    path = str(tmp_path / "rt.gpkg")
+    write_geopackage(arr, _grid(100, 120), path)
+    got, g = read_geopackage(path)
+    np.testing.assert_array_equal(got, arr)
+    assert g.x_origin == pytest.approx(-120.0)
+    assert g.y_origin == pytest.approx(40.0)
+    assert g.cell_width == pytest.approx(0.01)
+    assert g.cell_height == pytest.approx(-0.01)
+    got2, g2 = open_raster(path)  # magic-byte routing
+    np.testing.assert_array_equal(got2, arr)
+    assert g2.crs == "EPSG:4326"
+
+
+def test_read_geopackage_pyramid_bbox_and_sparse_guard(tmp_path):
+    """Pyramid reads allocate only the present tiles' bounding box with
+    the correct world-quadtree origin; a pathologically sparse level
+    raises with the tiles-wise remediation instead of OOMing."""
+    import pyarrow as pa
+
+    from rasters_ray import codec
+    from rasters_ray.grids.cellkey import _LEVEL_SHIFT, _Y_SHIFT
+    from rasters_ray.sources.geopackage import read_geopackage
+
+    def enc(level, ix, iy):
+        return (level << _LEVEL_SHIFT) | (iy << _Y_SHIFT) | ix
+
+    def tile_table(entries, size):
+        return pa.table({
+            "cell_key": pa.array([int(e[0]) for e in entries], pa.int64()),
+            "bytes": pa.array([e[1] for e in entries], pa.binary()),
+            "fmt": pa.array(["png"] * len(entries)),
+            "th": pa.array([size] * len(entries), pa.int32()),
+            "tw": pa.array([size] * len(entries), pa.int32()),
+        })
+
+    rng = np.random.default_rng(4)
+    pix = [rng.integers(0, 255, (64, 64), dtype=np.uint8) for _ in range(3)]
+    entries = [(enc(3, ix, iy), codec.encode(px, "png"))
+               for (ix, iy), px in zip([(2, 1), (3, 1), (2, 2)], pix)]
+    path = str(tmp_path / "pyr.gpkg")
+    write_geopackage_tiles(tile_table(entries, 64), path, 3)
+    arr, g = read_geopackage(path)
+    assert arr.shape == (128, 128)
+    # level 3 = 8x8 world tiles: tile (2,1) origin = (-180+2*45, 90-22.5)
+    assert g.x_origin == pytest.approx(-90.0)
+    assert g.y_origin == pytest.approx(67.5)
+    np.testing.assert_array_equal(arr[:64, :64], pix[0])
+    np.testing.assert_array_equal(arr[64:, :64], pix[2])
+    assert (arr[64:, 64:] == 0).all()  # absent tile zero-filled
+
+    one = np.ones((256, 256), np.uint8)
+    far = [(enc(12, 0, 0), codec.encode(one, "png")),
+           (enc(12, 4000, 4000), codec.encode(one, "png"))]
+    sp = str(tmp_path / "sparse.gpkg")
+    write_geopackage_tiles(tile_table(far, 256), sp, 12)
+    with pytest.raises(ValueError, match="read_geopackage_tiles"):
+        read_geopackage(sp)
