@@ -4167,6 +4167,56 @@ def q_rgb_tiff(sf_dir: str):
     return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q_gpkg_roundtrip(sf_dir: str):
+    """GeoPackage envelope (sources/geopackage.py): each oracle image
+    round-trips through an OGC tile-pyramid SQLite container written
+    and read back ON WORKERS — write_geopackage emits the spec tables
+    (gpkg_contents / gpkg_tile_matrix_set / gpkg_tile_matrix) with the
+    pixels as a PNG tile, read_geopackage reassembles the georeferenced
+    array and open_raster routes the SQLite magic. Pixels ride as exact
+    uint16, so the golden VALUES oracle pins the same integer sums and
+    floor-cm origins strip_tiff pins. Scale shape: one file per image
+    on worker-local disk; nothing shuffles."""
+    import os
+
+    from rasters_ray import codec
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.sources.geopackage import write_geopackage
+    from rasters_ray.sources.open import open_raster
+
+    out_dir = f"/tmp/rasters_ray_gpkg_q_{os.getpid()}"
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = {"image_id": [], "px_sum": [], "x0_cm": [], "y0_cm": []}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            g = t.column("grid")[i].as_py()
+            grid = GridSpec(crs=g["crs"], x_origin=g["x_origin"],
+                            y_origin=g["y_origin"], cell_width=g["cell_width"],
+                            cell_height=g["cell_height"], rows=g["rows"],
+                            cols=g["cols"])
+            p = os.path.join(out_dir, f"{iid}.gpkg")
+            write_geopackage(px.astype(np.uint16), grid, p)
+            arr, g2 = open_raster(p)
+            rows["image_id"].append(iid)
+            rows["px_sum"].append(int(arr.astype(np.int64).sum()))
+            rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))
+            rows["y0_cm"].append(int(np.floor(g2.y_origin * 100.0)))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "px_sum": pa.array(rows["px_sum"], pa.int64()),
+                "x0_cm": pa.array(rows["x0_cm"], pa.int64()),
+                "y0_cm": pa.array(rows["y0_cm"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -5248,6 +5298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zarr_tiles": q_zarr_tiles,
         "strip_tiff": q_strip_tiff,
         "rgb_tiff": q_rgb_tiff,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "tiff_window": q_tiff_window,
@@ -5953,6 +6004,12 @@ FROM (VALUES
     # and floor-cm grid origin (same truths strip_tiff pins; computed
     # sequentially once and identical across all three containers)
     sql["netcdf_chunked"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 1248532, -12400, 4400),
+  ('img00000001', 1251559, -12350, 4400)
+) AS t(image_id, px_sum, x0_cm, y0_cm)
+"""
+    sql["gpkg_roundtrip"] = """
 SELECT * FROM (VALUES
   ('img00000000', 1248532, -12400, 4400),
   ('img00000001', 1251559, -12350, 4400)
