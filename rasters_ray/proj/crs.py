@@ -305,3 +305,26 @@ def local_UTM_EPSG(lat: float, lon: float) -> str:
 def center_aeqd(lat: float, lon: float) -> str:
     """AEQD CRS centered on a point (center_aeqd.py:4-14)."""
     return f"+proj=aeqd +lat_0={lat} +lon_0={lon}"
+
+
+_EPSG_CANDIDATES = (4326, 3857, 3395, 3413, 3976, 3031, 5070, 3035,
+                    6931, 6932, 6933, 2193, 4087)
+
+
+def epsg_code(crs: str) -> Optional[int]:
+    """The EPSG code whose parameterization equals this CRS, or None for
+    proj4-only CRSs (local AEQD, MODIS sinusoidal, a custom tmerc...).
+    Used by writers that need to stamp authority metadata (GeoTIFF
+    GeoKeys) honestly instead of defaulting everything to 4326."""
+    info = parse_crs(crs)
+    if info.kind == "geographic":
+        return 4326
+    if info.kind == "utm":
+        return (32700 if info.south else 32600) + info.zone
+    for code in _EPSG_CANDIDATES:
+        try:
+            if parse_crs(f"EPSG:{code}") == info:
+                return code
+        except ValueError:
+            continue
+    return None

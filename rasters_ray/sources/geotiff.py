@@ -22,7 +22,10 @@ module covers the envelope a real user's files actually span:
 - grayscale int8/uint8/int16/uint16/int32/uint32 (exact round-trip)
   and float32/float64 (SampleFormat 3);
 - GeoTIFF georeferencing: ModelPixelScale + ModelTiepoint +
-  GeoKeyDirectory (geographic WGS84 for EPSG:4326 grids).
+  GeoKeyDirectory honest to the grid's CRS — GeographicType=4326 for
+  geographic grids, ProjectedCSType=<EPSG> for projected grids with a
+  canonical code, and user-defined (32767) + a PCSCitation proj4
+  string in GeoAsciiParams for proj4-only CRSs.
 
 ``write_cog`` emits the COG layout (all IFDs + overview pyramid at the
 front, tile bytes after). ``write_geotiff`` adds ``layout="strips"``
@@ -44,9 +47,9 @@ _MAGIC = 42
 _MAGIC_BIG = 43  # BigTIFF (the de-facto public spec: 8-byte offsets)
 
 # TIFF field types
-_SHORT, _LONG, _DOUBLE, _LONG8, _SLONG8, _IFD8 = 3, 4, 12, 16, 17, 18
-_TYPE_SIZE = {_SHORT: 2, _LONG: 4, _DOUBLE: 8, _LONG8: 8, _SLONG8: 8,
-              _IFD8: 8}
+_ASCII, _SHORT, _LONG, _DOUBLE, _LONG8, _SLONG8, _IFD8 = 2, 3, 4, 12, 16, 17, 18
+_TYPE_SIZE = {_ASCII: 1, _SHORT: 2, _LONG: 4, _DOUBLE: 8, _LONG8: 8,
+              _SLONG8: 8, _IFD8: 8}
 
 TAG_NEW_SUBFILE = 254
 TAG_WIDTH = 256
@@ -69,6 +72,7 @@ TAG_SAMPLE_FORMAT = 339
 TAG_PIXEL_SCALE = 33550
 TAG_TIEPOINT = 33922
 TAG_GEO_KEYS = 34735
+TAG_GEO_ASCII = 34737
 
 # compression codes (TIFF 6.0 §7 + the two de-facto registered ones)
 COMP_NONE = 1
@@ -388,8 +392,9 @@ class _IFD:
                            len(self.entries))
         overflow = bytearray()
         over_base = my_offset + table_len
-        fmt = {_SHORT: f"{bo}H", _LONG: f"{bo}I", _DOUBLE: f"{bo}d",
-               _LONG8: f"{bo}Q", _SLONG8: f"{bo}q", _IFD8: f"{bo}Q"}
+        fmt = {_ASCII: f"{bo}B", _SHORT: f"{bo}H", _LONG: f"{bo}I",
+               _DOUBLE: f"{bo}d", _LONG8: f"{bo}Q", _SLONG8: f"{bo}q",
+               _IFD8: f"{bo}Q"}
         hdr_fmt = f"{bo}HHQ" if self.big else f"{bo}HHI"
         off_fmt = f"{bo}Q" if self.big else f"{bo}I"
         for tag, typ, count, values in sorted(self.entries):
@@ -409,14 +414,35 @@ class _IFD:
 
 
 def _geo_entries(ifd: _IFD, grid: GridSpec) -> None:
+    """GeoTIFF 1.1 georeferencing honest to the grid's CRS: geographic
+    grids get GeographicType=4326; projected grids with a canonical
+    EPSG code get GTModelType=Projected + ProjectedCSType=<code>;
+    proj4-only CRSs (local AEQD, MODIS sinusoidal, geos...) get
+    ProjectedCSType=32767 (user-defined) with the proj4 string in
+    PCSCitation/GeoAsciiParams — never a silent 4326 stamp."""
     ifd.add(TAG_PIXEL_SCALE, _DOUBLE,
             [abs(grid.cell_width), abs(grid.cell_height), 0.0])
     ifd.add(TAG_TIEPOINT, _DOUBLE,
             [0.0, 0.0, 0.0, grid.x_origin, grid.y_origin, 0.0])
-    # GTModelType=Geographic(2), GTRasterType=PixelIsArea(1),
-    # GeographicType=4326 (public GeoTIFF 1.1 key layout)
+    from ..proj.crs import epsg_code, parse_crs
+
+    info = parse_crs(grid.crs)
+    if info.is_geographic:
+        # GTModelType=Geographic(2), GTRasterType=PixelIsArea(1)
+        ifd.add(TAG_GEO_KEYS, _SHORT,
+                [1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326])
+        return
+    code = epsg_code(grid.crs)
+    if code is not None:
+        ifd.add(TAG_GEO_KEYS, _SHORT,
+                [1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1,
+                 3072, 0, 1, code])
+        return
+    cite = info.canonical() + "|"
     ifd.add(TAG_GEO_KEYS, _SHORT,
-            [1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326])
+            [1, 1, 0, 4, 1024, 0, 1, 1, 1025, 0, 1, 1,
+             3072, 0, 1, 32767, 3073, TAG_GEO_ASCII, len(cite), 0])
+    ifd.add(TAG_GEO_ASCII, _ASCII, list(cite.encode("ascii")) + [0])
 
 
 def write_cog(
@@ -683,8 +709,9 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
     levels = []
     meta = {"ifd_offsets": [], "first_tile_offset": None, "byte_order": bo,
             "bigtiff": big}
-    fmt = {_SHORT: f"{bo}H", _LONG: f"{bo}I", _DOUBLE: f"{bo}d",
-           _LONG8: f"{bo}Q", _SLONG8: f"{bo}q", _IFD8: f"{bo}Q"}
+    fmt = {_ASCII: f"{bo}B", _SHORT: f"{bo}H", _LONG: f"{bo}I",
+           _DOUBLE: f"{bo}d", _LONG8: f"{bo}Q", _SLONG8: f"{bo}q",
+           _IFD8: f"{bo}Q"}
     while off:
         meta["ifd_offsets"].append(off)
         (n,) = struct.unpack(f"{bo}Q" if big else f"{bo}H",
@@ -824,6 +851,10 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
             meta["pixel_scale"] = tags[TAG_PIXEL_SCALE]
             meta["tiepoint"] = tags[TAG_TIEPOINT]
             meta["geo_keys"] = tags.get(TAG_GEO_KEYS, [])
+            if TAG_GEO_ASCII in tags:
+                meta["geo_ascii"] = bytes(
+                    tags[TAG_GEO_ASCII]).rstrip(b"\x00").decode(
+                        "ascii", "replace")
         if window is not None:
             break  # window coordinates are level-0; skip overview IFDs
         nxt_at = off + cnt_n + ent * n

@@ -53,14 +53,27 @@ def _sidecar_grid(path: str, rows: int, cols: int) -> GridSpec:
                     cell_height=-1.0, rows=rows, cols=cols)
 
 
-def _crs_from_geokeys(gk) -> str:
-    """GeoKeyDirectory -> EPSG string: ProjectedCSType (3072) wins,
-    else GeographicType (2048), else WGS84."""
+def _crs_from_geokeys(gk, ascii_params: str = "") -> str:
+    """GeoKeyDirectory -> CRS string: ProjectedCSType (3072) wins —
+    32767 (user-defined) resolves through the PCSCitation (3073) slice
+    of GeoAsciiParams (how the engine's writer records proj4-only
+    CRSs) — else GeographicType (2048), else WGS84."""
     gk = [int(v) for v in gk]
     crs = "EPSG:4326"
+    cite = None
+    for i in range(4, len(gk) - 3, 4):
+        key, loc, cnt, val = gk[i : i + 4]
+        if key == 3073 and loc != 0:
+            cite = ascii_params[val : val + cnt].rstrip("|")
     for i in range(4, len(gk) - 3, 4):
         key, loc, _cnt, val = gk[i : i + 4]
         if key == 3072 and loc == 0:
+            if val == 32767:
+                if cite:
+                    return cite
+                raise ValueError(
+                    "GeoTIFF has a user-defined projected CRS with no "
+                    "PCSCitation; cannot georeference")
             return f"EPSG:{val}"
         if key == 2048 and loc == 0:
             crs = f"EPSG:{val}"
@@ -70,7 +83,8 @@ def _crs_from_geokeys(gk) -> str:
 def _geotiff_grid(meta: dict, rows: int, cols: int) -> GridSpec:
     sx, sy = meta["pixel_scale"][:2]
     i, j, _k, x, y, _z = meta["tiepoint"][:6]
-    crs = _crs_from_geokeys(meta.get("geo_keys", []))
+    crs = _crs_from_geokeys(meta.get("geo_keys", []),
+                            meta.get("geo_ascii", ""))
     return GridSpec(
         crs=crs, x_origin=float(x - i * sx), y_origin=float(y + j * sy),
         cell_width=float(sx), cell_height=-float(sy), rows=rows, cols=cols,

@@ -390,3 +390,38 @@ def test_multiband_chunky_roundtrip(tmp_path):
     open(pp, "wb").write(bytes(b))
     with pytest.raises(NotImplementedError, match="planar"):
         read_geotiff(pp)
+
+
+def test_crs_honest_geokeys(tmp_path):
+    """Projected grids no longer get a silent 4326 stamp: EPSG-coded
+    CRSs round-trip through ProjectedCSType, proj4-only CRSs through a
+    user-defined PCSCitation in GeoAsciiParams, geographic grids stay
+    GeographicType=4326."""
+    from rasters_ray.proj.crs import parse_crs
+    from rasters_ray.sources.open import open_raster
+
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 255, (40, 50), dtype=np.uint8)
+
+    def grid_for(crs):
+        return GridSpec(crs=crs, x_origin=500000.0, y_origin=4400000.0,
+                        cell_width=30.0, cell_height=-30.0, rows=40, cols=50)
+
+    for crs in ["EPSG:32610", "EPSG:2193", "EPSG:3035"]:
+        p = str(tmp_path / "p.tif")
+        write_geotiff(a, grid_for(crs), p, layout="strips",
+                      compression="deflate")
+        assert open_raster(p)[1].crs == crs
+        pc = str(tmp_path / "pc.tif")
+        write_cog(a, grid_for(crs), pc, tile=32, overviews=False)
+        assert open_raster(pc)[1].crs == crs
+
+    p4 = "+proj=aeqd +lat_0=40.5 +lon_0=-120.25"
+    p = str(tmp_path / "aeqd.tif")
+    write_geotiff(a, grid_for(p4), p, layout="strips")
+    got = open_raster(p)[1].crs
+    assert parse_crs(got) == parse_crs(p4)
+
+    p = str(tmp_path / "geo.tif")
+    write_geotiff(a, _grid(40, 50), p, layout="strips")
+    assert open_raster(p)[1].crs == "EPSG:4326"
