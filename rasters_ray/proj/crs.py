@@ -115,6 +115,18 @@ def parse_crs(crs: str) -> CRSInfo:
     unsupported CRSs (the supported family is all the reference semantics
     require — SURVEY.md §7.0)."""
     s = str(crs).strip()
+    if s[:1].isalpha() and "[" in s and s.split("[", 1)[0].strip().upper() in (
+            "GEOGCS", "PROJCS", "GEOGCRS", "PROJCRS", "GEODCRS", "COMPD_CS",
+            "BOUNDCRS"):
+        # WKT (1 or 2): resolve through the LAST authority/id entry —
+        # the outermost CRS's own code (inner datum/axis ids come first)
+        ids = re.findall(
+            r'(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?', s, re.I)
+        if not ids:
+            raise ValueError(
+                "WKT CRS without an EPSG AUTHORITY/ID entry; pass an "
+                "EPSG:<code> or proj4 string instead")
+        return parse_crs(f"EPSG:{ids[-1]}")
     m = _EPSG_RE.match(s)
     if m:
         code = int(m.group(1))

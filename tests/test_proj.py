@@ -517,3 +517,31 @@ def test_new_crs_parse_canonical_and_refusals():
         parse_crs("EPSG:27700")
     eq = parse_crs("EPSG:4087")
     assert parse_crs(eq.canonical()) == eq
+
+
+def test_wkt_authority_parsing():
+    """WKT 1/2 CRS strings (what GeoPackage definitions and .crs
+    sidecars carry) resolve through their outermost EPSG AUTHORITY/ID
+    entry; WKT without one raises with the remediation."""
+    from rasters_ray.proj.crs import parse_crs
+
+    wkt1 = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+            '298.257223563,AUTHORITY["EPSG","7030"]],'
+            'AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]')
+    assert parse_crs(wkt1).kind == "geographic"
+    wkt_utm = ('PROJCS["WGS 84 / UTM zone 10N",GEOGCS["WGS 84",'
+               'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+               'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],'
+               'AUTHORITY["EPSG","4326"]],'
+               'PROJECTION["Transverse_Mercator"],UNIT["metre",1],'
+               'AUTHORITY["EPSG","32610"]]')
+    info = parse_crs(wkt_utm)
+    assert (info.kind, info.zone, info.south) == ("utm", 10, False)
+    wkt2 = ('PROJCRS["ETRS89-extended / LAEA Europe",BASEGEOGCRS["ETRS89",'
+            'DATUM["European Terrestrial Reference System 1989"],'
+            'ID["EPSG",4258]],CONVERSION["Europe Equal Area 2001"],'
+            'ID["EPSG",3035]]')
+    assert parse_crs(wkt2) == parse_crs("EPSG:3035")
+    with pytest.raises(ValueError, match="AUTHORITY"):
+        parse_crs('PROJCS["custom",GEOGCS["x",DATUM["y",SPHEROID["z",1,2]]]]')
