@@ -9,9 +9,10 @@ module covers the envelope a real user's files actually span:
 - EITHER byte order (``II`` little-endian / ``MM`` big-endian — all tag
   and pixel unpacking is parameterized on the header's order);
 - TILED (tags 322-325) or STRIPPED (tags 273/278/279 — the layout most
-  wild GeoTIFFs use) images; single-band 2D or chunky multi-band
-  (PlanarConfiguration=1, e.g. RGB aerial imagery) returned as a 3D
-  (h, w, samples) array — planar-config-2 files raise clearly;
+  wild GeoTIFFs use) images; single-band 2D, chunky multi-band
+  (PlanarConfiguration=1, e.g. RGB aerial imagery) or separate-plane
+  multi-band (PlanarConfiguration=2, one strip/tile sequence per
+  sample) — both returned as a 3D (h, w, samples) array;
 - compression: none (1), LZW (5, TIFF 6.0 §13 with the standard
   early-change rule), deflate (8 and legacy 32946), PackBits (32773,
   §9); any OTHER code raises ``NotImplementedError`` naming the code —
@@ -741,17 +742,12 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
         comp = tags.get(TAG_COMPRESSION, [COMP_NONE])[0]
         pred = tags.get(TAG_PREDICTOR, [1])[0]
         spp = tags.get(TAG_SAMPLES, [1])[0]
-        if spp > 1:
-            if tags.get(TAG_PLANAR, [1])[0] != 1:
-                raise NotImplementedError(
-                    "planar-configuration-2 TIFF (separate sample planes) "
-                    "unsupported; chunky (PlanarConfiguration=1) only"
-                )
-            if len(set(tags[TAG_BITS])) != 1:
-                raise NotImplementedError(
-                    f"per-sample BitsPerSample {tags[TAG_BITS]} unsupported; "
-                    "all samples must share one type"
-                )
+        planar2 = spp > 1 and tags.get(TAG_PLANAR, [1])[0] == 2
+        if spp > 1 and len(set(tags[TAG_BITS])) != 1:
+            raise NotImplementedError(
+                f"per-sample BitsPerSample {tags[TAG_BITS]} unsupported; "
+                "all samples must share one type"
+            )
         try:
             base = _SAMPLE_TYPES[(bits, sfmt)]
         except KeyError:
@@ -771,33 +767,44 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
         else:
             wr0 = wc0 = 0
             wh_, ww_ = h, w
-        bshape = (spp,) if spp > 1 else ()  # chunky: trailing sample axis
-        out = np.zeros((wh_, ww_) + bshape, dtype=np.dtype(base))
+        out = np.zeros((wh_, ww_) + ((spp,) if spp > 1 else ()),
+                       dtype=np.dtype(base))
+        # chunky: blocks carry a trailing sample axis; planar-2: 2D
+        # blocks paste into one sample plane each
+        bshape = (spp,) if spp > 1 and not planar2 else ()
 
-        def paste(block: np.ndarray, br: int, bc: int) -> None:
+        def paste(block: np.ndarray, br: int, bc: int, plane=None) -> None:
             rs, re = max(br, wr0), min(br + block.shape[0], wr0 + wh_)
             cs, ce = max(bc, wc0), min(bc + block.shape[1], wc0 + ww_)
             if rs < re and cs < ce:
-                out[rs - wr0 : re - wr0, cs - wc0 : ce - wc0] = (
+                dst = out if plane is None else out[..., plane]
+                dst[rs - wr0 : re - wr0, cs - wc0 : ce - wc0] = (
                     block[rs - br : re - br, cs - bc : ce - bc])
 
         if TAG_TILE_W in tags:  # tiled layout
             tw, tl = tags[TAG_TILE_W][0], tags[TAG_TILE_L][0]
             tx = (w + tw - 1) // tw
+            # planar-2: the tile sequence repeats once per sample plane
+            # (TIFF 6.0 PlanarConfiguration); per-tile payload is 2D
+            tiles_per_plane = tx * ((h + tl - 1) // tl)
+            vals_per_tile = tl * tw * (1 if planar2 else spp)
             for ti, (toff, tcnt) in enumerate(
                 zip(tags[TAG_TILE_OFFSETS], tags[TAG_TILE_COUNTS])
             ):
                 if meta["first_tile_offset"] is None or toff < meta["first_tile_offset"]:
                     meta["first_tile_offset"] = toff
-                r, c = divmod(ti, tx)
+                plane, tj = (divmod(ti, tiles_per_plane) if planar2
+                             else (None, ti))
+                r, c = divmod(tj, tx)
                 if (r * tl >= wr0 + wh_ or (r + 1) * tl <= wr0
                         or c * tw >= wc0 + ww_ or (c + 1) * tw <= wc0):
                     continue  # outside the window: never decompressed
                 raw = _decompress(data[toff : toff + tcnt], comp,
-                                  expected=tl * tw * spp * dt.itemsize)
+                                  expected=vals_per_tile * dt.itemsize)
+                row_vals = tw * (1 if planar2 else spp)
                 if pred == 3:
                     t = np.frombuffer(
-                        _undo_float_predictor(raw, tw * spp, dt.itemsize),
+                        _undo_float_predictor(raw, row_vals, dt.itemsize),
                         dtype=np.dtype(base).newbyteorder(">")
                     ).reshape((tl, tw) + bshape)
                 else:
@@ -806,16 +813,19 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
                 t = t.astype(np.dtype(base), copy=False)
                 hh = min(tl, h - r * tl)
                 ww = min(tw, w - c * tw)
-                paste(t[:hh, :ww], r * tl, c * tw)
+                paste(t[:hh, :ww], r * tl, c * tw, plane)
             meta["layout"] = "tiles"
         elif TAG_STRIP_OFFSETS in tags:  # stripped layout
             rps = tags.get(TAG_ROWS_PER_STRIP, [h])[0]
             rps = min(rps, h) or h
+            strips_per_plane = (h + rps - 1) // rps
+            vals_per_px = 1 if planar2 else spp
             counts = tags.get(
                 TAG_STRIP_COUNTS,
                 # per spec, StripByteCounts is required; tolerate its
                 # absence only for uncompressed data where sizes are known
-                [min(rps, h - i * rps) * w * spp * dt.itemsize
+                [min(rps, h - (i % strips_per_plane) * rps) * w
+                 * vals_per_px * dt.itemsize
                  for i in range(len(tags[TAG_STRIP_OFFSETS]))]
                 if comp == COMP_NONE else None,
             )
@@ -824,24 +834,26 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
             for i, (soff, scnt) in enumerate(zip(tags[TAG_STRIP_OFFSETS], counts)):
                 if meta["first_tile_offset"] is None or soff < meta["first_tile_offset"]:
                     meta["first_tile_offset"] = soff
-                rows = min(rps, h - i * rps)
-                if i * rps >= wr0 + wh_ or i * rps + rows <= wr0:
+                plane, si = (divmod(i, strips_per_plane) if planar2
+                             else (None, i))
+                rows = min(rps, h - si * rps)
+                if si * rps >= wr0 + wh_ or si * rps + rows <= wr0:
                     continue  # outside the window: never decompressed
                 raw = _decompress(data[soff : soff + scnt], comp,
-                                  expected=rows * w * spp * dt.itemsize)
+                                  expected=rows * w * vals_per_px * dt.itemsize)
                 if pred == 3:
                     s = np.frombuffer(
                         _undo_float_predictor(
-                            raw[: rows * w * spp * dt.itemsize],
-                            w * spp, dt.itemsize),
+                            raw[: rows * w * vals_per_px * dt.itemsize],
+                            w * vals_per_px, dt.itemsize),
                         dtype=np.dtype(base).newbyteorder(">")
                     ).reshape((rows, w) + bshape)
                 else:
-                    s = np.frombuffer(raw, dtype=dt, count=rows * w * spp
+                    s = np.frombuffer(raw, dtype=dt, count=rows * w * vals_per_px
                                       ).reshape((rows, w) + bshape)
                     s = _undo_predictor(s, pred)
                 s = s.astype(np.dtype(base), copy=False)
-                paste(s, i * rps, 0)
+                paste(s, si * rps, 0, plane)
             meta["layout"] = "strips"
         else:
             raise ValueError("TIFF IFD has neither tile nor strip offsets")

@@ -348,7 +348,6 @@ def test_multiband_chunky_roundtrip(tmp_path):
     byte orders and both predictors; windows decode only intersecting
     strips; planar-config-2 raises clearly."""
     import itertools
-    import struct
 
     rng = np.random.default_rng(7)
     p = str(tmp_path / "mb.tif")
@@ -377,19 +376,82 @@ def test_multiband_chunky_roundtrip(tmp_path):
                   rows_per_strip=32, compression="deflate")
     levels, meta = read_geotiff(p, window=(100, 150, 50, 60))
     np.testing.assert_array_equal(levels[0], a[100:150, 150:210])
-    # planar configuration 2 is refused, not mis-decoded
-    a = rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
-    write_geotiff(a, _grid(20, 20), p, layout="strips", compression="none")
-    b = bytearray(open(p, "rb").read())
-    n = struct.unpack("<H", b[8:10])[0]
-    for i in range(n):
-        e = 10 + 12 * i
-        if struct.unpack("<H", b[e : e + 2])[0] == 284:
-            struct.pack_into("<H", b, e + 8, 2)
-    pp = str(tmp_path / "planar2.tif")
-    open(pp, "wb").write(bytes(b))
-    with pytest.raises(NotImplementedError, match="planar"):
-        read_geotiff(pp)
+
+
+def _build_planar2(a, rps, path, comp=True):
+    """Independently-constructed PlanarConfiguration=2 stripped TIFF:
+    the strip sequence repeats per sample plane (TIFF 6.0)."""
+    import struct
+    import zlib as _zlib
+
+    from rasters_ray.sources.geotiff import (
+        _DOUBLE, _IFD, _LONG, _SHORT, TAG_BITS, TAG_COMPRESSION,
+        TAG_GEO_KEYS, TAG_LENGTH, TAG_PHOTOMETRIC, TAG_PIXEL_SCALE,
+        TAG_PLANAR, TAG_ROWS_PER_STRIP, TAG_SAMPLE_FORMAT, TAG_SAMPLES,
+        TAG_STRIP_COUNTS, TAG_STRIP_OFFSETS, TAG_TIEPOINT, TAG_WIDTH)
+
+    h, w, spp = a.shape
+    nsp = (h + rps - 1) // rps
+    blobs = []
+    for pl in range(spp):
+        for i in range(nsp):
+            raw = np.ascontiguousarray(
+                a[i * rps:min((i + 1) * rps, h), :, pl]).tobytes()
+            blobs.append(_zlib.compress(raw, 6) if comp else raw)
+    ifd = _IFD("<")
+    ifd.add(TAG_WIDTH, _LONG, w)
+    ifd.add(TAG_LENGTH, _LONG, h)
+    ifd.add(TAG_BITS, _SHORT, [8] * spp)
+    ifd.add(TAG_COMPRESSION, _SHORT, 8 if comp else 1)
+    ifd.add(TAG_PHOTOMETRIC, _SHORT, 2 if spp == 3 else 1)
+    ifd.add(TAG_SAMPLES, _SHORT, spp)
+    ifd.add(TAG_PLANAR, _SHORT, 2)
+    ifd.add(TAG_ROWS_PER_STRIP, _LONG, rps)
+    ifd.add(TAG_STRIP_OFFSETS, _LONG, [0] * len(blobs))
+    ifd.add(TAG_STRIP_COUNTS, _LONG, [len(b) for b in blobs])
+    ifd.add(TAG_SAMPLE_FORMAT, _SHORT, [1] * spp)
+    ifd.add(TAG_PIXEL_SCALE, _DOUBLE, [0.01, 0.01, 0.0])
+    ifd.add(TAG_TIEPOINT, _DOUBLE, [0, 0, 0, -120.0, 40.0, 0])
+    ifd.add(TAG_GEO_KEYS, _SHORT,
+            [1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326])
+    t, o = ifd.sizes()
+    start = 8 + t + o
+    start += start % 2
+    offs, pos = [], start
+    for b in blobs:
+        offs.append(pos)
+        pos += len(b) + (len(b) % 2)
+    for i, e in enumerate(ifd.entries):
+        if e[0] == TAG_STRIP_OFFSETS:
+            ifd.entries[i] = (e[0], e[1], e[2], offs)
+    with open(path, "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, 8))
+        f.write(ifd.render(8, 0))
+        if f.tell() % 2:
+            f.write(b"\x00")
+        for b in blobs:
+            f.write(b)
+            if len(b) % 2:
+                f.write(b"\x00")
+
+
+def test_planar2_separate_planes(tmp_path):
+    """PlanarConfiguration=2 (one strip sequence per sample plane)
+    decodes to the same (h, w, samples) array as chunky, including
+    windowed reads — proven against independently constructed bytes."""
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 255, (45, 67, 3), dtype=np.uint8)
+    p = str(tmp_path / "p2p.tif")
+    for comp in (True, False):
+        _build_planar2(a, 13, p, comp)
+        levels, meta = read_geotiff(p)
+        assert levels[0].shape == (45, 67, 3)
+        np.testing.assert_array_equal(levels[0], a)
+    b = rng.integers(0, 255, (200, 150, 3), dtype=np.uint8)
+    pw = str(tmp_path / "p2w.tif")
+    _build_planar2(b, 32, pw, True)
+    levels, meta = read_geotiff(pw, window=(50, 30, 60, 70))
+    np.testing.assert_array_equal(levels[0], b[50:110, 30:100])
 
 
 def test_crs_honest_geokeys(tmp_path):
