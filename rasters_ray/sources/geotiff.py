@@ -14,9 +14,12 @@ module covers the envelope a real user's files actually span:
   multi-band (PlanarConfiguration=2, one strip/tile sequence per
   sample) — both returned as a 3D (h, w, samples) array;
 - compression: none (1), LZW (5, TIFF 6.0 §13 with the standard
-  early-change rule), deflate (8 and legacy 32946), PackBits (32773,
-  §9); any OTHER code raises ``NotImplementedError`` naming the code —
-  never a silent fall-through to garbage pixels;
+  early-change rule), new-style JPEG (7, TIFF TechNote 2 — per-block
+  streams through the engine's own baseline/progressive codec, with
+  shared JPEGTables (tag 347) spliced in; read AND lossy write),
+  deflate (8 and legacy 32946), PackBits (32773, §9); any OTHER code
+  raises ``NotImplementedError`` naming the code — never a silent
+  fall-through to garbage pixels;
 - predictors (tag 317): horizontal differencing (2, integer samples,
   read AND write) and the TechNote-3 floating-point predictor (3),
   both exact round-trips;
@@ -48,9 +51,10 @@ _MAGIC = 42
 _MAGIC_BIG = 43  # BigTIFF (the de-facto public spec: 8-byte offsets)
 
 # TIFF field types
-_ASCII, _SHORT, _LONG, _DOUBLE, _LONG8, _SLONG8, _IFD8 = 2, 3, 4, 12, 16, 17, 18
-_TYPE_SIZE = {_ASCII: 1, _SHORT: 2, _LONG: 4, _DOUBLE: 8, _LONG8: 8,
-              _SLONG8: 8, _IFD8: 8}
+_ASCII, _SHORT, _LONG, _UNDEF_T, _DOUBLE, _LONG8, _SLONG8, _IFD8 = (
+    2, 3, 4, 7, 12, 16, 17, 18)
+_TYPE_SIZE = {_ASCII: 1, _SHORT: 2, _LONG: 4, _UNDEF_T: 1, _DOUBLE: 8,
+              _LONG8: 8, _SLONG8: 8, _IFD8: 8}
 
 TAG_NEW_SUBFILE = 254
 TAG_WIDTH = 256
@@ -72,6 +76,7 @@ TAG_TILE_COUNTS = 325
 TAG_SAMPLE_FORMAT = 339
 TAG_PIXEL_SCALE = 33550
 TAG_TIEPOINT = 33922
+TAG_JPEG_TABLES = 347  # TIFF TechNote 2 new-style JPEG
 TAG_GEO_KEYS = 34735
 TAG_GEO_ASCII = 34737
 
@@ -79,10 +84,11 @@ TAG_GEO_ASCII = 34737
 COMP_NONE = 1
 COMP_LZW = 5
 COMP_DEFLATE = 8
+COMP_JPEG = 7  # new-style JPEG-in-TIFF (TIFF TechNote 2)
 COMP_PACKBITS = 32773
 COMP_DEFLATE_OLD = 32946  # legacy "Deflate" code, byte-identical streams
 _COMP_NAME = {"none": COMP_NONE, "lzw": COMP_LZW, "deflate": COMP_DEFLATE,
-              "packbits": COMP_PACKBITS}
+              "packbits": COMP_PACKBITS, "jpeg": COMP_JPEG}
 
 
 # ------------------------------------------------------------- codecs
@@ -266,6 +272,21 @@ def _decompress(raw: bytes, comp: int, expected: int | None = None) -> bytes:
     )
 
 
+def _jpeg_block(raw: bytes, tables: bytes | None) -> np.ndarray:
+    """Decode one new-style JPEG (code 7) tile/strip. With a JPEGTables
+    tag (TIFF TechNote 2), the abbreviated per-block stream is spliced
+    after the shared tables: SOI + tables-body + block-body."""
+    from ..codec import jpeg_codec
+
+    if raw[:2] != b"\xFF\xD8":
+        raise ValueError("JPEG-in-TIFF block missing SOI")
+    if tables:
+        if tables[:2] != b"\xFF\xD8" or tables[-2:] != b"\xFF\xD9":
+            raise ValueError("JPEGTables tag is not an SOI..EOI tables stream")
+        raw = tables[:-2] + raw[2:]
+    return jpeg_codec.decode(raw)
+
+
 def _undo_predictor(a: np.ndarray, predictor: int) -> np.ndarray:
     """Tag 317: 2 = horizontal differencing (integer wraparound cumsum
     along each row); 1 = none; 3 (floating-point) raises clearly."""
@@ -394,8 +415,8 @@ class _IFD:
         overflow = bytearray()
         over_base = my_offset + table_len
         fmt = {_ASCII: f"{bo}B", _SHORT: f"{bo}H", _LONG: f"{bo}I",
-               _DOUBLE: f"{bo}d", _LONG8: f"{bo}Q", _SLONG8: f"{bo}q",
-               _IFD8: f"{bo}Q"}
+               _UNDEF_T: f"{bo}B", _DOUBLE: f"{bo}d", _LONG8: f"{bo}Q",
+               _SLONG8: f"{bo}q", _IFD8: f"{bo}Q"}
         hdr_fmt = f"{bo}HHQ" if self.big else f"{bo}HHI"
         off_fmt = f"{bo}Q" if self.big else f"{bo}I"
         for tag, typ, count, values in sorted(self.entries):
@@ -557,6 +578,7 @@ def write_geotiff(
     overviews: bool = True,
     bigtiff: bool = False,
     predictor: int = 1,
+    jpeg_quality: int = 90,
 ) -> str:
     """General GeoTIFF writer. ``layout="tiles"`` is the COG path;
     ``layout="strips"`` emits a plain baseline stripped TIFF (the layout
@@ -586,6 +608,11 @@ def write_geotiff(
     if comp is None:
         raise ValueError(f"unknown compression {compression!r}; "
                          f"one of {sorted(_COMP_NAME)}")
+    if comp == COMP_JPEG:
+        if a.dtype != np.uint8:
+            raise ValueError("JPEG compression requires uint8 samples")
+        if predictor != 1:
+            raise ValueError("JPEG compression excludes predictors")
     if bo == ">":
         a = a.astype(a.dtype.newbyteorder(">"), copy=False)
 
@@ -603,7 +630,12 @@ def write_geotiff(
     blobs = []
     for i in range(nstrips):
         sub = a[i * rps : min((i + 1) * rps, h)]  # last strip short, unpadded
-        if predictor == 3:
+        if comp == COMP_JPEG:
+            from ..codec import jpeg_codec
+
+            blobs.append(jpeg_codec.encode(np.ascontiguousarray(sub),
+                                           quality=jpeg_quality))
+        elif predictor == 3:
             # chunky rows are w*spp values; TechNote 3 splits the whole
             # row into byte planes, so flatten the sample axis first
             blobs.append(_compress(
@@ -623,9 +655,11 @@ def write_geotiff(
     ifd.add(TAG_LENGTH, _LONG, h)
     ifd.add(TAG_BITS, _SHORT, [bits] * spp if spp > 1 else bits)
     ifd.add(TAG_COMPRESSION, _SHORT, comp)
-    # RGB photometric for 3 uint8/uint16 color samples; otherwise
-    # MinIsBlack with the extra channels declared unspecified
-    ifd.add(TAG_PHOTOMETRIC, _SHORT, 2 if spp == 3 else 1)
+    # RGB photometric for 3 uint8/uint16 color samples (YCbCr when the
+    # payload is JPEG-compressed); otherwise MinIsBlack with the extra
+    # channels declared unspecified
+    ifd.add(TAG_PHOTOMETRIC, _SHORT,
+            (6 if comp == COMP_JPEG else 2) if spp == 3 else 1)
     ifd.add(TAG_SAMPLES, _SHORT, spp)
     if spp > 1:
         ifd.add(TAG_PLANAR, _SHORT, 1)
@@ -711,8 +745,8 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
     meta = {"ifd_offsets": [], "first_tile_offset": None, "byte_order": bo,
             "bigtiff": big}
     fmt = {_ASCII: f"{bo}B", _SHORT: f"{bo}H", _LONG: f"{bo}I",
-           _DOUBLE: f"{bo}d", _LONG8: f"{bo}Q", _SLONG8: f"{bo}q",
-           _IFD8: f"{bo}Q"}
+           _UNDEF_T: f"{bo}B", _DOUBLE: f"{bo}d", _LONG8: f"{bo}Q",
+           _SLONG8: f"{bo}q", _IFD8: f"{bo}Q"}
     while off:
         meta["ifd_offsets"].append(off)
         (n,) = struct.unpack(f"{bo}Q" if big else f"{bo}H",
@@ -743,6 +777,11 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
         pred = tags.get(TAG_PREDICTOR, [1])[0]
         spp = tags.get(TAG_SAMPLES, [1])[0]
         planar2 = spp > 1 and tags.get(TAG_PLANAR, [1])[0] == 2
+        jpeg_tables = (bytes(tags[TAG_JPEG_TABLES])
+                       if TAG_JPEG_TABLES in tags else None)
+        if comp == COMP_JPEG and planar2:
+            raise NotImplementedError(
+                "JPEG-in-TIFF with PlanarConfiguration=2 unsupported")
         if spp > 1 and len(set(tags[TAG_BITS])) != 1:
             raise NotImplementedError(
                 f"per-sample BitsPerSample {tags[TAG_BITS]} unsupported; "
@@ -799,6 +838,13 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
                 if (r * tl >= wr0 + wh_ or (r + 1) * tl <= wr0
                         or c * tw >= wc0 + ww_ or (c + 1) * tw <= wc0):
                     continue  # outside the window: never decompressed
+                if comp == COMP_JPEG:
+                    blk = _jpeg_block(data[toff : toff + tcnt], jpeg_tables)
+                    hh = min(tl, h - r * tl)
+                    ww = min(tw, w - c * tw)
+                    paste(blk[:hh, :ww].astype(np.dtype(base), copy=False),
+                          r * tl, c * tw, plane)
+                    continue
                 raw = _decompress(data[toff : toff + tcnt], comp,
                                   expected=vals_per_tile * dt.itemsize)
                 row_vals = tw * (1 if planar2 else spp)
@@ -839,6 +885,11 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
                 rows = min(rps, h - si * rps)
                 if si * rps >= wr0 + wh_ or si * rps + rows <= wr0:
                     continue  # outside the window: never decompressed
+                if comp == COMP_JPEG:
+                    blk = _jpeg_block(data[soff : soff + scnt], jpeg_tables)
+                    paste(blk[:rows, :w].astype(np.dtype(base), copy=False),
+                          si * rps, 0, plane)
+                    continue
                 raw = _decompress(data[soff : soff + scnt], comp,
                                   expected=rows * w * vals_per_px * dt.itemsize)
                 if pred == 3:

@@ -140,10 +140,10 @@ def test_unknown_compression_raises_with_code(tmp_path):
     for i in range(n):
         e = 10 + 12 * i
         if struct.unpack("<H", b[e : e + 2])[0] == 259:
-            struct.pack_into("<H", b, e + 8, 7)  # JPEG-in-TIFF
+            struct.pack_into("<H", b, e + 8, 34712)  # JPEG2000
     bad = str(tmp_path / "bad.tif")
     open(bad, "wb").write(bytes(b))
-    with pytest.raises(NotImplementedError, match="code 7"):
+    with pytest.raises(NotImplementedError, match="34712"):
         read_geotiff(bad)
 
 
@@ -487,3 +487,102 @@ def test_crs_honest_geokeys(tmp_path):
     p = str(tmp_path / "geo.tif")
     write_geotiff(a, _grid(40, 50), p, layout="strips")
     assert open_raster(p)[1].crs == "EPSG:4326"
+
+
+def test_jpeg_in_tiff(tmp_path):
+    """New-style JPEG compression (code 7, TIFF TechNote 2): lossy
+    write+read through the engine's own JPEG codec for gray and RGB
+    strips, and a hand-built file with a shared JPEGTables tag whose
+    abbreviated per-strip streams are spliced after the tables."""
+    import struct
+
+    from rasters_ray.codec import jpeg_codec
+    from rasters_ray.sources.geotiff import (
+        _IFD, _LONG, _SHORT, _UNDEF_T, TAG_BITS, TAG_COMPRESSION,
+        TAG_JPEG_TABLES, TAG_LENGTH, TAG_PHOTOMETRIC, TAG_ROWS_PER_STRIP,
+        TAG_SAMPLES, TAG_STRIP_COUNTS, TAG_STRIP_OFFSETS, TAG_WIDTH)
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255 ** 2 / mse) if mse else np.inf
+
+    x = np.linspace(0, 255, 128)
+    y = np.linspace(0, 255, 96)
+    gray = (np.add.outer(y, x) / 2).astype(np.uint8)
+    p = str(tmp_path / "j.tif")
+    write_geotiff(gray, _grid(96, 128), p, layout="strips",
+                  rows_per_strip=32, compression="jpeg")
+    levels, meta = read_geotiff(p)
+    assert meta["compression"] == 7
+    assert psnr(levels[0], gray) > 35
+
+    rgb = np.stack([gray, 255 - gray, np.roll(gray, 7, axis=1)], axis=-1)
+    pc = str(tmp_path / "jc.tif")
+    write_geotiff(rgb, _grid(96, 128), pc, layout="strips",
+                  rows_per_strip=32, compression="jpeg", jpeg_quality=95)
+    levels, _ = read_geotiff(pc)
+    assert levels[0].shape == (96, 128, 3) and psnr(levels[0], rgb) > 30
+
+    with pytest.raises(ValueError, match="uint8"):
+        write_geotiff(gray.astype(np.uint16), _grid(96, 128), p,
+                      layout="strips", compression="jpeg")
+
+    # JPEGTables form: split a standalone stream into shared tables
+    # (DQT/DHT) + abbreviated per-strip remainder
+    def split_stream(s):
+        tables, rest = bytearray(b"\xFF\xD8"), bytearray(b"\xFF\xD8")
+        q = 2
+        while q < len(s):
+            m = s[q + 1]
+            if m == 0xD9:
+                break
+            ln = struct.unpack(">H", s[q + 2:q + 4])[0]
+            seg = s[q:q + 2 + ln]
+            if m in (0xDB, 0xC4):
+                tables += seg
+            else:
+                rest += seg
+                if m == 0xDA:
+                    rest += s[q + 2 + ln:]
+                    break
+            q += 2 + ln
+        return bytes(tables) + b"\xFF\xD9", bytes(rest)
+
+    strips, tables_stream = [], None
+    for i in range(2):
+        sub = np.ascontiguousarray(gray[i * 32:i * 32 + 32, :])
+        tables_stream, rest = split_stream(jpeg_codec.encode(sub, quality=90))
+        strips.append(rest)
+    ifd = _IFD("<")
+    ifd.add(TAG_WIDTH, _LONG, 128)
+    ifd.add(TAG_LENGTH, _LONG, 64)
+    ifd.add(TAG_BITS, _SHORT, 8)
+    ifd.add(TAG_COMPRESSION, _SHORT, 7)
+    ifd.add(TAG_PHOTOMETRIC, _SHORT, 1)
+    ifd.add(TAG_SAMPLES, _SHORT, 1)
+    ifd.add(TAG_ROWS_PER_STRIP, _LONG, 32)
+    ifd.add(TAG_STRIP_OFFSETS, _LONG, [0, 0])
+    ifd.add(TAG_STRIP_COUNTS, _LONG, [len(b) for b in strips])
+    ifd.add(TAG_JPEG_TABLES, _UNDEF_T, list(tables_stream))
+    t, o = ifd.sizes()
+    start = 8 + t + o
+    start += start % 2
+    offs, pos = [], start
+    for b in strips:
+        offs.append(pos)
+        pos += len(b) + (len(b) % 2)
+    for i, e in enumerate(ifd.entries):
+        if e[0] == TAG_STRIP_OFFSETS:
+            ifd.entries[i] = (e[0], e[1], e[2], offs)
+    pt = str(tmp_path / "jt.tif")
+    with open(pt, "wb") as f:
+        f.write(b"II" + struct.pack("<HI", 42, 8))
+        f.write(ifd.render(8, 0))
+        if f.tell() % 2:
+            f.write(b"\x00")
+        for b in strips:
+            f.write(b)
+            if len(b) % 2:
+                f.write(b"\x00")
+    levels, _ = read_geotiff(pt)
+    assert psnr(levels[0], gray[:64]) > 35
