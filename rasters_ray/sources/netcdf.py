@@ -237,9 +237,28 @@ def read_netcdf(path_or_bytes) -> Dict:
 
 def write_netcdf(path: str, dims: Dict[str, int], variables: Dict[str, Dict],
                  attrs: Optional[Dict] = None) -> str:
-    """CDF-2 writer, fixed variables only. ``variables`` = {name:
-    {"data": ndarray, "dims": [dim names], "attrs": {...}}}."""
+    """CDF-2 writer: fixed AND record variables. ``variables`` = {name:
+    {"data": ndarray, "dims": [dim names], "attrs": {...}}}. A dim with
+    length None (or 0) is the UNLIMITED/record dimension; variables
+    whose first dim is the record dim interleave per record (4-padded
+    slabs, or contiguous unpadded for a sole record variable — the
+    spec rule the reader mirrors), and numrecs comes from their data's
+    first axis."""
     dim_names = list(dims)
+    rec_name = next((nm for nm in dim_names if not dims[nm]), None)
+
+    def is_rec_var(spec) -> bool:
+        return rec_name is not None and (spec["dims"][:1] or [None])[0] == rec_name
+
+    numrecs = 0
+    for nm, spec in variables.items():
+        if is_rec_var(spec):
+            n = int(np.asarray(spec["data"]).shape[0])
+            if numrecs and n != numrecs:
+                raise ValueError(
+                    f"record variables disagree on record count: {nm} has "
+                    f"{n}, earlier ones {numrecs}")
+            numrecs = n
 
     def enc_name(s: str) -> bytes:
         b = s.encode("utf-8")
@@ -261,20 +280,29 @@ def write_netcdf(path: str, dims: Dict[str, int], variables: Dict[str, Dict],
                 out += struct.pack(">II", t, arr.size) + raw + b"\x00" * _pad4(len(raw))
         return out
 
-    header = b"CDF\x02" + struct.pack(">I", 0)
+    header = b"CDF\x02" + struct.pack(">I", numrecs)
     header += struct.pack(">II", _NC_DIMENSION, len(dims))
     for nm in dim_names:
-        header += enc_name(nm) + struct.pack(">I", dims[nm])
+        header += enc_name(nm) + struct.pack(">I", dims[nm] or 0)
     header += enc_attrs(attrs or {})
 
-    # two passes: sizes first (begin offsets depend on header length)
+    # two passes: sizes first (begin offsets depend on header length).
+    # Fixed variables first (their data precedes the record section);
+    # record vars carry their padded PER-RECORD slab as vsize.
     var_items = []
-    for nm, spec in variables.items():
+    for nm, spec in sorted(variables.items(),
+                           key=lambda kv: is_rec_var(kv[1])):
         arr = np.asarray(spec["data"])
         t = _TYPE_OF[arr.dtype.newbyteorder("=")]
-        vsize = arr.size * _TYPES[t].itemsize
-        vsize += _pad4(vsize)
+        if is_rec_var(spec):
+            slab = _TYPES[t].itemsize * int(np.prod(arr.shape[1:] or (1,)))
+            vsize = slab + _pad4(slab)
+        else:
+            vsize = arr.size * _TYPES[t].itemsize
+            vsize += _pad4(vsize)
         var_items.append((nm, spec, arr, t, vsize))
+    rec_items = [it for it in var_items if is_rec_var(it[1])]
+    sole_rec = len(rec_items) == 1
 
     def var_block(begin_by_name: Dict[str, int]) -> bytes:
         out = struct.pack(">II", _NC_VARIABLE, len(var_items))
@@ -290,15 +318,32 @@ def write_netcdf(path: str, dims: Dict[str, int], variables: Dict[str, Dict],
     probe = header + var_block({})
     begin = len(probe)
     begins = {}
-    for nm, _, _, _, vsize in var_items:
+    for nm, spec, _, _, vsize in var_items:
+        if is_rec_var(spec):
+            continue
         begins[nm] = begin
         begin += vsize
+    rec_start = begin
+    for nm, spec, arr, t, vsize in rec_items:
+        begins[nm] = begin
+        slab = _TYPES[t].itemsize * int(np.prod(arr.shape[1:] or (1,)))
+        begin += slab if sole_rec else slab + _pad4(slab)
     body = header + var_block(begins)
     with open(path, "wb") as f:
         f.write(body)
-        for nm, _, arr, t, vsize in var_items:
+        for nm, spec, arr, t, vsize in var_items:
+            if is_rec_var(spec):
+                continue
             raw = arr.astype(_TYPES[t]).tobytes()
             f.write(raw + b"\x00" * (vsize - len(raw)))
+        # record section: records interleave across record variables,
+        # each slab 4-padded (sole record var: contiguous, unpadded)
+        for rec in range(numrecs):
+            for nm, spec, arr, t, vsize in rec_items:
+                # np.asarray: a 1-D record var indexes to a SCALAR, and
+                # numpy scalars silently drop the big-endian byte order
+                raw = np.asarray(arr[rec]).astype(_TYPES[t]).tobytes()
+                f.write(raw if sole_rec else raw + b"\x00" * _pad4(len(raw)))
     return path
 
 

@@ -400,3 +400,38 @@ def test_hdf5_dimension_list(tmp_path):
         hdf5lite.write_hdf5(str(tmp_path / "bad.h5"),
                             {"a": np.zeros((2, 2)), "x": np.zeros(2)},
                             dims={"a": ["x"]})
+
+
+def test_write_record_variables(tmp_path):
+    """The CDF-2 writer now emits UNLIMITED/record variables: records
+    interleave across record vars with 4-padded slabs (a sole record
+    var packs contiguous unpadded, the spec rule), numrecs from the
+    data; fixed vars precede the record section. Round-trips through
+    the reader's independent record-stride logic."""
+    rng = np.random.default_rng(6)
+    lat = 44.0 - 0.01 * np.arange(5)
+    temp = rng.normal(size=(7, 5, 4)).astype(np.float32)
+    prec = rng.integers(0, 100, (7,)).astype(np.int32)
+    p = str(tmp_path / "rec.nc")
+    write_netcdf(p, {"time": None, "lat": 5, "lon": 4},
+                 {"temp": {"data": temp, "dims": ["time", "lat", "lon"]},
+                  "prec": {"data": prec, "dims": ["time"]},
+                  "lat": {"data": lat, "dims": ["lat"]}},
+                 attrs={"title": "rec"})
+    nc = read_netcdf(p)
+    assert nc["dims"]["time"] == 7
+    np.testing.assert_allclose(nc["vars"]["temp"]["data"], temp)
+    np.testing.assert_array_equal(nc["vars"]["prec"]["data"], prec)
+    np.testing.assert_allclose(nc["vars"]["lat"]["data"], lat)
+    # sole record variable: odd (6-byte) slabs pack unpadded
+    v = rng.integers(-5, 5, (4, 3)).astype(np.int16)
+    p1 = str(tmp_path / "rec1.nc")
+    write_netcdf(p1, {"t": None, "x": 3},
+                 {"v": {"data": v, "dims": ["t", "x"]}})
+    nc = read_netcdf(p1)
+    np.testing.assert_array_equal(nc["vars"]["v"]["data"], v)
+    assert nc["dims"]["t"] == 4
+    with pytest.raises(ValueError, match="record count"):
+        write_netcdf(str(tmp_path / "bad.nc"), {"t": None},
+                     {"a": {"data": np.zeros(3), "dims": ["t"]},
+                      "b": {"data": np.zeros(4), "dims": ["t"]}})
