@@ -345,8 +345,11 @@ def _dtype_info(a: np.ndarray) -> Tuple[int, int]:
     return key
 
 
-def _tile_blobs(a: np.ndarray, tile: int, comp: int) -> Tuple[List[bytes], int, int]:
-    """Row-major tile blobs (zero-padded at the ragged edges)."""
+def _tile_blobs(a: np.ndarray, tile: int, comp: int,
+                jpeg_quality: int = 90) -> Tuple[List[bytes], int, int]:
+    """Row-major tile blobs (zero-padded at the ragged edges). JPEG
+    tiles (code 7) encode standalone per-tile streams through the
+    engine's own codec."""
     h, w = a.shape
     ty = (h + tile - 1) // tile
     tx = (w + tile - 1) // tile
@@ -356,7 +359,12 @@ def _tile_blobs(a: np.ndarray, tile: int, comp: int) -> Tuple[List[bytes], int, 
             t = np.zeros((tile, tile), dtype=a.dtype)
             sub = a[r * tile : (r + 1) * tile, c * tile : (c + 1) * tile]
             t[: sub.shape[0], : sub.shape[1]] = sub
-            blobs.append(_compress(t.tobytes(), comp))
+            if comp == COMP_JPEG:
+                from ..codec import jpeg_codec
+
+                blobs.append(jpeg_codec.encode(t, quality=jpeg_quality))
+            else:
+                blobs.append(_compress(t.tobytes(), comp))
     return blobs, tx, ty
 
 
@@ -476,11 +484,13 @@ def write_cog(
     overviews: bool = True,
     byte_order: str = "<",
     bigtiff: bool = False,
+    jpeg_quality: int = 90,
 ) -> str:
     """Write ``arr`` on ``grid`` as a Cloud-Optimized GeoTIFF.
     ``bigtiff=True`` emits the BigTIFF (version 43, 8-byte offset)
     container — required beyond 4 GiB and common in the wild for large
-    mosaics; tile offsets are stored as LONG8."""
+    mosaics; tile offsets are stored as LONG8. ``compression="jpeg"``
+    emits lossy JPEG tiles (uint8 only) — the classic aerial-ortho COG."""
     a = np.ascontiguousarray(arr)
     if a.ndim != 2:
         raise ValueError("write_cog takes one 2D band")
@@ -488,12 +498,14 @@ def write_cog(
     if bo not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
     bits, sfmt = _dtype_info(a)
-    if bo == ">":
-        a = a.astype(a.dtype.newbyteorder(">"), copy=False)
     comp = _COMP_NAME.get(compression)
     if comp is None:
         raise ValueError(f"unknown compression {compression!r}; "
                          f"one of {sorted(_COMP_NAME)}")
+    if comp == COMP_JPEG and a.dtype != np.uint8:
+        raise ValueError("JPEG compression requires uint8 samples")
+    if bo == ">":
+        a = a.astype(a.dtype.newbyteorder(">"), copy=False)
 
     levels = [a]
     if overviews:
@@ -502,7 +514,7 @@ def write_cog(
             cur = _overview(cur)
             levels.append(cur)
 
-    per_level = [_tile_blobs(lv, tile, comp) for lv in levels]
+    per_level = [_tile_blobs(lv, tile, comp, jpeg_quality) for lv in levels]
 
     ifds: List[_IFD] = []
     for li, (lv, (blobs, tx, ty)) in enumerate(zip(levels, per_level)):

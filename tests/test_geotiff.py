@@ -586,3 +586,25 @@ def test_jpeg_in_tiff(tmp_path):
                 f.write(b"\x00")
     levels, _ = read_geotiff(pt)
     assert psnr(levels[0], gray[:64]) > 35
+
+
+def test_cog_jpeg_tiles(tmp_path):
+    """compression='jpeg' on the COG writer — the classic aerial-ortho
+    layout: lossy JPEG tiles at every pyramid level, COG front-matter
+    property preserved, uint16 refused."""
+    def psnr(a, b):
+        mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+        return 10 * np.log10(255 ** 2 / mse) if mse else np.inf
+
+    x = np.linspace(0, 255, 300)
+    y = np.linspace(0, 255, 260)
+    gray = (np.add.outer(y, x) / 2).astype(np.uint8)
+    p = str(tmp_path / "cogj.tif")
+    write_cog(gray, _grid(260, 300), p, tile=128, compression="jpeg")
+    levels, meta = read_geotiff(p)
+    assert [lv.shape for lv in levels] == [(260, 300), (130, 150), (65, 75)]
+    assert psnr(levels[0], gray) > 35
+    assert max(meta["ifd_offsets"]) < meta["first_tile_offset"]
+    with pytest.raises(ValueError, match="uint8"):
+        write_cog(gray.astype(np.uint16), _grid(260, 300), p,
+                  compression="jpeg")
