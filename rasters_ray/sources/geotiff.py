@@ -347,16 +347,17 @@ def _dtype_info(a: np.ndarray) -> Tuple[int, int]:
 
 def _tile_blobs(a: np.ndarray, tile: int, comp: int,
                 jpeg_quality: int = 90) -> Tuple[List[bytes], int, int]:
-    """Row-major tile blobs (zero-padded at the ragged edges). JPEG
-    tiles (code 7) encode standalone per-tile streams through the
-    engine's own codec."""
-    h, w = a.shape
+    """Row-major tile blobs (zero-padded at the ragged edges), 2D or
+    chunky 3D (h, w, samples). JPEG tiles (code 7) encode standalone
+    per-tile streams through the engine's own codec."""
+    h, w = a.shape[:2]
+    bshape = a.shape[2:]
     ty = (h + tile - 1) // tile
     tx = (w + tile - 1) // tile
     blobs = []
     for r in range(ty):
         for c in range(tx):
-            t = np.zeros((tile, tile), dtype=a.dtype)
+            t = np.zeros((tile, tile) + bshape, dtype=a.dtype)
             sub = a[r * tile : (r + 1) * tile, c * tile : (c + 1) * tile]
             t[: sub.shape[0], : sub.shape[1]] = sub
             if comp == COMP_JPEG:
@@ -364,15 +365,18 @@ def _tile_blobs(a: np.ndarray, tile: int, comp: int,
 
                 blobs.append(jpeg_codec.encode(t, quality=jpeg_quality))
             else:
-                blobs.append(_compress(t.tobytes(), comp))
+                blobs.append(_compress(np.ascontiguousarray(t).tobytes(),
+                                       comp))
     return blobs, tx, ty
 
 
 def _overview(a: np.ndarray) -> np.ndarray:
-    """2x block-mean reduction (pads the odd edge by repeating it)."""
-    h, w = a.shape
+    """2x block-mean reduction (pads the odd edge by repeating it);
+    a trailing sample axis reduces per channel."""
+    h, w = a.shape[:2]
     if h % 2 or w % 2:
-        a = np.pad(a, ((0, h % 2), (0, w % 2)), mode="edge")
+        pad = ((0, h % 2), (0, w % 2)) + ((0, 0),) * (a.ndim - 2)
+        a = np.pad(a, pad, mode="edge")
     f = a.astype(np.float64)
     m = (f[0::2, 0::2] + f[0::2, 1::2] + f[1::2, 0::2] + f[1::2, 1::2]) / 4.0
     if np.issubdtype(a.dtype, np.integer):
@@ -492,8 +496,10 @@ def write_cog(
     mosaics; tile offsets are stored as LONG8. ``compression="jpeg"``
     emits lossy JPEG tiles (uint8 only) — the classic aerial-ortho COG."""
     a = np.ascontiguousarray(arr)
-    if a.ndim != 2:
-        raise ValueError("write_cog takes one 2D band")
+    if a.ndim not in (2, 3):
+        raise ValueError("write_cog takes a 2D band or a 3D (h, w, "
+                         "samples) chunky multi-band image")
+    spp = a.shape[2] if a.ndim == 3 else 1
     bo = byte_order
     if bo not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
@@ -510,7 +516,7 @@ def write_cog(
     levels = [a]
     if overviews:
         cur = a
-        while min(cur.shape) > tile:
+        while min(cur.shape[:2]) > tile:
             cur = _overview(cur)
             levels.append(cur)
 
@@ -522,10 +528,15 @@ def write_cog(
         ifd.add(TAG_NEW_SUBFILE, _LONG, 1 if li else 0)
         ifd.add(TAG_WIDTH, _LONG, lv.shape[1])
         ifd.add(TAG_LENGTH, _LONG, lv.shape[0])
-        ifd.add(TAG_BITS, _SHORT, bits)
+        ifd.add(TAG_BITS, _SHORT, [bits] * spp if spp > 1 else bits)
         ifd.add(TAG_COMPRESSION, _SHORT, comp)
-        ifd.add(TAG_PHOTOMETRIC, _SHORT, 1)  # BlackIsZero
-        ifd.add(TAG_SAMPLES, _SHORT, 1)
+        ifd.add(TAG_PHOTOMETRIC, _SHORT,
+                ((6 if comp == COMP_JPEG else 2) if spp == 3 else 1))
+        ifd.add(TAG_SAMPLES, _SHORT, spp)
+        if spp > 1:
+            ifd.add(TAG_PLANAR, _SHORT, 1)
+            if spp != 3:
+                ifd.add(TAG_EXTRA_SAMPLES, _SHORT, [0] * (spp - 1))
         ifd.add(TAG_TILE_W, _SHORT, tile)
         ifd.add(TAG_TILE_L, _SHORT, tile)
         ifd.add(TAG_TILE_OFFSETS, _LONG8 if bigtiff else _LONG,

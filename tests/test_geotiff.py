@@ -61,9 +61,41 @@ def test_overview_is_block_mean(tmp_path):
     assert ov[0, 0] == 100 and ov[255, 255] == 0
 
 
-def test_rejects_band_stack(tmp_path):
-    with pytest.raises(ValueError, match="2D"):
-        write_cog(np.zeros((2, 8, 8), np.uint8), _grid(8, 8), str(tmp_path / "e.tif"))
+def test_rejects_4d(tmp_path):
+    with pytest.raises(ValueError, match="2D band or a 3D"):
+        write_cog(np.zeros((2, 8, 8, 3), np.uint8), _grid(8, 8),
+                  str(tmp_path / "e.tif"))
+
+
+def test_multiband_cog_roundtrip(tmp_path):
+    """RGB / n-band COGs: chunky tiles at every pyramid level, windowed
+    reads, per-channel block-mean overviews, JPEG RGB variant."""
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 255, (260, 300, 3), dtype=np.uint8)
+    p = str(tmp_path / "cogrgb.tif")
+    write_cog(rgb, _grid(260, 300), p, tile=128, compression="deflate")
+    levels, meta = read_geotiff(p)
+    assert [lv.shape for lv in levels] == [
+        (260, 300, 3), (130, 150, 3), (65, 75, 3)]
+    np.testing.assert_array_equal(levels[0], rgb)
+    assert max(meta["ifd_offsets"]) < meta["first_tile_offset"]
+    levels, _ = read_geotiff(p, window=(60, 70, 80, 90))
+    np.testing.assert_array_equal(levels[0], rgb[60:140, 70:160])
+    m2 = rng.integers(0, 60000, (260, 300, 2), dtype=np.uint16)
+    p2 = str(tmp_path / "cog2.tif")
+    write_cog(m2, _grid(260, 300), p2, tile=128, compression="lzw")
+    np.testing.assert_array_equal(read_geotiff(p2)[0][0], m2)
+    # lossy RGB JPEG COG
+    x = np.linspace(0, 255, 300)
+    y = np.linspace(0, 255, 260)
+    gray = (np.add.outer(y, x) / 2).astype(np.uint8)
+    smooth = np.stack([gray, 255 - gray, np.roll(gray, 5, axis=1)], axis=-1)
+    pj = str(tmp_path / "cogrgbj.tif")
+    write_cog(smooth, _grid(260, 300), pj, tile=128, compression="jpeg",
+              jpeg_quality=95)
+    got = read_geotiff(pj)[0][0]
+    mse = np.mean((got.astype(np.float64) - smooth.astype(np.float64)) ** 2)
+    assert 10 * np.log10(255 ** 2 / mse) > 30
 
 
 # ---- round-5 envelope: strips, byte order, LZW/PackBits, predictor ----
