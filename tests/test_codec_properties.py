@@ -89,3 +89,81 @@ def test_hdf5_chunked_roundtrip_property(rows, cols, seed, dts):
                                 compression="deflate", superblock=sb)
             back = hdf5lite.read_hdf5(p)["/a"]
             np.testing.assert_array_equal(back, a.astype(a.dtype.newbyteorder("=")))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1),
+       st.booleans(), st.booleans(), st.booleans())
+def test_hdf5_filter_stack_property(rows, cols, seed, shuf, fle, comp):
+    """Any combination of shuffle/deflate/fletcher32 round-trips for
+    random shapes, chunk grids and dtypes."""
+    import os
+    import tempfile
+
+    from rasters_ray.sources import hdf5lite
+
+    rng = np.random.default_rng(seed)
+    dts = ["<f4", "<i4", ">f8", "<u2"][seed % 4]
+    a = rng.integers(0, 250, (rows, cols)).astype(np.dtype(dts))
+    cy, cx = int(rng.integers(1, rows + 1)), int(rng.integers(1, cols + 1))
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.h5")
+        hdf5lite.write_hdf5(p, {"a": a}, chunks=(cy, cx),
+                            compression="deflate" if comp else None,
+                            shuffle=shuf, fletcher32=fle)
+        back = hdf5lite.read_hdf5(p)["/a"]
+        np.testing.assert_array_equal(back, a.astype(a.dtype.newbyteorder("=")))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 50), st.integers(1, 50), st.integers(1, 5),
+       st.integers(0, 2**32 - 1),
+       st.sampled_from(["none", "lzw", "deflate", "packbits"]),
+       st.sampled_from(["<", ">"]), st.integers(1, 2))
+def test_geotiff_multiband_property(rows, cols, spp, seed, comp, bo, pred):
+    """Chunky multi-band stripped GeoTIFFs round-trip exactly for any
+    shape / sample count / compression / byte order / predictor."""
+    import os
+    import tempfile
+
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.sources.geotiff import read_geotiff, write_geotiff
+
+    rng = np.random.default_rng(seed)
+    shape = (rows, cols) if spp == 1 else (rows, cols, spp)
+    a = rng.integers(0, 255, shape, dtype=np.uint8)
+    g = GridSpec(crs="EPSG:4326", x_origin=-120.0, y_origin=40.0,
+                 cell_width=0.01, cell_height=-0.01, rows=rows, cols=cols)
+    rps = int(rng.integers(1, rows + 1))
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "x.tif")
+        write_geotiff(a, g, p, layout="strips", rows_per_strip=rps,
+                      compression=comp, byte_order=bo, predictor=pred)
+        np.testing.assert_array_equal(read_geotiff(p)[0][0], a)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(-60.0, 60.0), st.floats(-55.0, 55.0),
+       st.sampled_from(["EPSG:2193",
+                        "+proj=tmerc +lat_0=40 +lon_0=-120 +k_0=0.9999 "
+                        "+x_0=250000 +y_0=100000",
+                        "+proj=geos +h=35786023 +lon_0=-137 +sweep=x",
+                        "+proj=geos +h=35785831 +lon_0=0 +sweep=y",
+                        "EPSG:4087"]))
+def test_new_crs_roundtrip_property(dlon, dlat, crs):
+    """tmerc/geos/eqc forward∘inverse == identity within 1e-8 deg over
+    each CRS's valid region (lon offset applied about its center)."""
+    from rasters_ray.proj.crs import parse_crs
+    from rasters_ray.proj.transform import transform_xy
+
+    info = parse_crs(crs)
+    center = info.lon_0
+    if info.kind == "tmerc":
+        dlon = max(-20.0, min(20.0, dlon))  # series validity region
+    lon = ((center + dlon + 180.0) % 360.0) - 180.0
+    x, y = transform_xy([lon], [dlat], "EPSG:4326", crs)
+    if np.isnan(x[0]):  # geos limb — only reachable at extreme offsets
+        return
+    lo, la = transform_xy(x, y, crs, "EPSG:4326")
+    dl = ((lo[0] - lon + 180.0) % 360.0) - 180.0  # -180 == 180 aliasing
+    assert abs(dl) < 1e-8 and abs(la[0] - dlat) < 1e-8
