@@ -13,8 +13,10 @@ module implements the subset the engine needs:
   ``fill_value`` for missing chunk files; numcodecs array-side
   filters Delta (what xarray puts on coordinate arrays) and Shuffle;
   the xarray ``_ARRAY_DIMENSIONS`` (v2) / ``dimension_names`` (v3)
-  conventions. Bit-shuffle, blosclz/snappy/zstd, other filters and
-  sharding raise NotImplementedError with the remediation.
+  conventions; v3 ``sharding_indexed`` shards (inner chunk index with
+  verified CRC-32C, absent inner chunks -> fill_value) read natively.
+  Bit-shuffle, blosclz/snappy/zstd, other filters, nested sharding and
+  sharded WRITES raise NotImplementedError with the remediation.
 - ``write_zarr``: same subset (``zarr_format=2`` default or 3;
   compressor zlib, blosc or none) — round-trip tests prove the reader
   and the output is readable by real zarr/xarray elsewhere.
@@ -50,7 +52,8 @@ class _ArrayInfo:
     chunk-path and chunk-decompress rules."""
 
     __slots__ = ("adir", "version", "shape", "chunks", "dtype", "fill",
-                 "dims", "attrs", "_codec", "_sep", "_key_v2", "_filters")
+                 "dims", "attrs", "_codec", "_sep", "_key_v2", "_filters",
+                 "_shard")
 
     def __init__(self, adir: str):
         self.adir = adir
@@ -77,6 +80,7 @@ class _ArrayInfo:
         self.shape = tuple(meta["shape"])
         self.chunks = tuple(meta["chunks"])
         self.dtype = np.dtype(meta["dtype"])
+        self._shard = None
         self._filters = [_filter_codec(f) for f in (meta.get("filters") or [])]
         fill = meta.get("fill_value")
         self.fill = 0 if fill is None else fill
@@ -105,31 +109,20 @@ class _ArrayInfo:
         if dt not in _V3_DTYPES:
             raise NotImplementedError(f"zarr v3 data_type {dt!r}")
         base = _V3_DTYPES[dt]
-        endian = "<"
-        codecs = list(meta.get("codecs", []))
-        # array->bytes codec fixes endianness; the rest are bytes->bytes
-        bstack = []
-        for c in codecs:
-            name = c.get("name")
-            conf = c.get("configuration", {}) or {}
-            if name == "bytes":
-                endian = "<" if conf.get("endian", "little") == "little" else ">"
-            elif name in ("gzip", "zlib", "blosc"):
-                bstack.append((name, conf))
-            elif name == "crc32c":
-                raise NotImplementedError("zarr v3 crc32c codec unsupported")
-            elif name == "sharding_indexed":
-                raise NotImplementedError(
-                    "zarr v3 sharding unsupported; write unsharded chunks")
-            elif name == "transpose":
-                raise NotImplementedError("zarr v3 transpose codec unsupported")
-            else:
-                raise NotImplementedError(f"zarr v3 codec {name!r}")
-        if len(bstack) > 1:
-            raise NotImplementedError("zarr v3 stacked compressors unsupported")
+        endian, codec, shard = _parse_v3_codecs(meta.get("codecs", []))
+        if shard is not None:
+            endian = shard["endian"]  # the 'bytes' codec nests inside
         self.dtype = np.dtype(base if base.startswith("|") else endian + base)
-        self._codec = _compressor_codec(
-            {"id": bstack[0][0], **bstack[0][1]} if bstack else None)
+        self._codec = codec
+        self._shard = shard
+        if shard is not None:
+            # the chunk_grid describes SHARD files; inner chunks live
+            # inside each shard behind the binary index
+            if any(sc % ic for sc, ic in zip(self.chunks,
+                                             shard["chunk_shape"])):
+                raise NotImplementedError(
+                    "zarr v3 shard shape must be a multiple of the inner "
+                    "chunk shape")
         fill = meta.get("fill_value", 0)
         if fill in ("NaN", "nan"):
             fill = float("nan")
@@ -162,12 +155,54 @@ class _ArrayInfo:
         p = os.path.join(self.adir, self.chunk_relpath(idx))
         if not os.path.exists(p):
             return None
-        raw = self._codec[0](open(p, "rb").read())
+        data = open(p, "rb").read()
+        if self._shard is not None:
+            return self._read_shard(data)
+        raw = self._codec[0](data)
         for _dec, _enc in reversed(self._filters):
             raw = _dec(raw)
         return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks)
 
+    def _read_shard(self, data: bytes) -> np.ndarray:
+        """sharding_indexed shard file: inner chunks + a binary index of
+        (offset, nbytes) uint64 pairs per inner chunk (2^64-1 = absent),
+        crc32c-checked, at the end (default) or start of the file."""
+        sh = self._shard
+        ishape = sh["chunk_shape"]
+        counts = [sc // ic for sc, ic in zip(self.chunks, ishape)]
+        n_inner = int(np.prod(counts))
+        idx_len = n_inner * 16 + (4 if sh["index_crc"] else 0)
+        if len(data) < idx_len:
+            raise ValueError("zarr v3 shard shorter than its index")
+        raw_idx = (data[-idx_len:] if sh["index_location"] == "end"
+                   else data[:idx_len])
+        if sh["index_crc"]:
+            body, crc = raw_idx[:-4], raw_idx[-4:]
+            if _crc32c(body) != int.from_bytes(crc, "little"):
+                raise ValueError("zarr v3 shard index crc32c mismatch")
+            raw_idx = body
+        pairs = np.frombuffer(raw_idx, dtype="<u8").reshape(n_inner, 2)
+        out = np.full(self.chunks, self.fill, dtype=self.dtype)
+        absent = (1 << 64) - 1
+        import itertools
+
+        for flat, pos in enumerate(itertools.product(*[range(c)
+                                                       for c in counts])):
+            off, nb = int(pairs[flat, 0]), int(pairs[flat, 1])
+            if off == absent:
+                continue
+            raw = sh["codec"][0](data[off : off + nb])
+            blk = np.frombuffer(raw, dtype=self.dtype).reshape(ishape)
+            sl = tuple(slice(p * c, (p + 1) * c)
+                       for p, c in zip(pos, ishape))
+            out[sl] = blk
+        return out
+
     def encode_chunk(self, block: np.ndarray) -> bytes:
+        if self._shard is not None:
+            raise NotImplementedError(
+                "writing zarr v3 sharded chunks unsupported; write "
+                "unsharded and reshard with zarr-python")
         raw = np.ascontiguousarray(block).tobytes()
         for _dec, _enc in self._filters:
             raw = _enc(raw)
@@ -201,6 +236,76 @@ class _ArrayInfo:
             if len(parts) == ndim and all(p.isdigit() for p in parts):
                 out.append(tuple(int(v) for v in parts))
         return sorted(out)
+
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, reflected poly 0x82F63B78) — the checksum
+    the zarr v3 sharding index carries. Table-driven; the index is tiny
+    so pure Python is fine."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _parse_v3_codecs(codecs):
+    """v3 codec chain -> (endian, (decode, encode), shard_cfg|None).
+    The array->bytes 'bytes' codec fixes endianness; gzip/zlib/blosc are
+    the supported bytes->bytes compressors; 'sharding_indexed' nests an
+    inner chain. A bare 'crc32c' in the DATA chain stays unsupported
+    (we'd have to checksum every chunk payload); inside the shard INDEX
+    chain it is verified."""
+    endian = "<"
+    bstack = []
+    shard = None
+    for c in codecs:
+        name = c.get("name")
+        conf = c.get("configuration", {}) or {}
+        if name == "bytes":
+            endian = "<" if conf.get("endian", "little") == "little" else ">"
+        elif name in ("gzip", "zlib", "blosc"):
+            bstack.append((name, conf))
+        elif name == "sharding_indexed":
+            i_endian, i_codec, i_shard = _parse_v3_codecs(
+                conf.get("codecs", []))
+            if i_shard is not None:
+                raise NotImplementedError("nested zarr v3 sharding")
+            index_codecs = conf.get("index_codecs",
+                                    [{"name": "bytes"}, {"name": "crc32c"}])
+            index_names = [ic.get("name") for ic in index_codecs]
+            if any(n not in ("bytes", "crc32c") for n in index_names):
+                raise NotImplementedError(
+                    f"zarr v3 shard index codecs {index_names}")
+            shard = {
+                "chunk_shape": tuple(conf["chunk_shape"]),
+                "codec": i_codec,
+                "endian": i_endian,
+                "index_crc": "crc32c" in index_names,
+                "index_location": conf.get("index_location", "end"),
+            }
+        elif name == "crc32c":
+            raise NotImplementedError("zarr v3 crc32c data codec unsupported")
+        elif name == "transpose":
+            raise NotImplementedError("zarr v3 transpose codec unsupported")
+        else:
+            raise NotImplementedError(f"zarr v3 codec {name!r}")
+    if len(bstack) > 1:
+        raise NotImplementedError("zarr v3 stacked compressors unsupported")
+    codec = _compressor_codec(
+        {"id": bstack[0][0], **bstack[0][1]} if bstack else None)
+    return endian, codec, shard
 
 
 def _filter_codec(cfg: dict):

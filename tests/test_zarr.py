@@ -319,11 +319,16 @@ def test_zarr_v3_roundtrip(tmp_path):
     write_zarr(p, {"t": {"data": temp.astype(">f8"), "dims": ["y", "x"]}},
                chunks=32, zarr_format=3, compress=False)
     np.testing.assert_array_equal(read_zarr(p)["t"]["data"], temp.astype(">f8"))
-    # v3 sharding raises clearly
+    # NESTED sharding (a shard inside a shard) raises clearly; plain
+    # sharded reads are covered by test_zarr_v3_sharding_read
     meta = json.load(open(os.path.join(p, "t", "zarr.json")))
-    meta["codecs"] = [{"name": "sharding_indexed", "configuration": {}}]
+    inner = {"name": "sharding_indexed", "configuration": {
+        "chunk_shape": [8, 8],
+        "codecs": [{"name": "bytes"}]}}
+    meta["codecs"] = [{"name": "sharding_indexed", "configuration": {
+        "chunk_shape": [16, 16], "codecs": [inner]}}]
     json.dump(meta, open(os.path.join(p, "t", "zarr.json"), "w"))
-    with pytest.raises(NotImplementedError, match="sharding"):
+    with pytest.raises(NotImplementedError, match="nested"):
         read_zarr(p)
 
 
@@ -417,4 +422,78 @@ def test_v2_delta_and_shuffle_filters(tmp_path):
                "fill_value": 0, "order": "C"},
               open(cdir + "/.zarray", "w"))
     with pytest.raises(NotImplementedError, match="quantize"):
+        read_zarr(root)
+
+
+def test_zarr_v3_sharding_read(tmp_path):
+    """sharding_indexed shards — inner gzip chunks behind a crc32c'd
+    binary index — decode correctly from an INDEPENDENTLY spec-built
+    store: multi-shard assembly, absent inner chunk -> fill_value,
+    index corruption raises, CRC-32C pinned to its check value."""
+    import itertools
+    import zlib as _zlib
+
+    from rasters_ray.sources.zarr_lite import _crc32c
+
+    assert _crc32c(b"123456789") == 0xE3069283  # Castagnoli check value
+
+    root = str(tmp_path / "zs")
+    adir = os.path.join(root, "temp")
+    os.makedirs(os.path.join(adir, "c", "0"))
+    rng = np.random.default_rng(8)
+    a = rng.normal(size=(10, 12)).astype("<f4")
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [10, 12],
+        "data_type": "float32",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [10, 6]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0.0,
+        "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [5, 3],
+            "codecs": [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "gzip", "configuration": {"level": 5}}],
+            "index_codecs": [
+                {"name": "bytes", "configuration": {"endian": "little"}},
+                {"name": "crc32c"}],
+            "index_location": "end"}}],
+        "dimension_names": ["y", "x"],
+    }
+    json.dump(meta, open(os.path.join(adir, "zarr.json"), "w"))
+    json.dump({"zarr_format": 3, "node_type": "group"},
+              open(os.path.join(root, "zarr.json"), "w"))
+
+    def gz(b):
+        co = _zlib.compressobj(5, _zlib.DEFLATED, 31)
+        return co.compress(b) + co.flush()
+
+    for sj in range(2):
+        shard = a[:, sj * 6:(sj + 1) * 6]
+        payload = bytearray()
+        pairs = []
+        for iy, ix in itertools.product(range(2), range(2)):
+            if sj == 1 and iy == 1 and ix == 1:
+                pairs.append(((1 << 64) - 1, 0))  # absent inner chunk
+                continue
+            enc = gz(np.ascontiguousarray(
+                shard[iy * 5:(iy + 1) * 5, ix * 3:(ix + 1) * 3]).tobytes())
+            pairs.append((len(payload), len(enc)))
+            payload += enc
+        idx = np.array(pairs, dtype="<u8").tobytes()
+        idx += _crc32c(idx).to_bytes(4, "little")
+        open(os.path.join(adir, "c", "0", str(sj)), "wb").write(
+            bytes(payload) + idx)
+
+    got = read_zarr(root)["temp"]["data"]
+    exp = a.copy()
+    exp[5:10, 9:12] = 0.0
+    np.testing.assert_array_equal(got, exp)
+
+    p = os.path.join(adir, "c", "0", "0")
+    d = bytearray(open(p, "rb").read())
+    d[-1] ^= 0xFF
+    open(p, "wb").write(bytes(d))
+    with pytest.raises(ValueError, match="crc32c"):
         read_zarr(root)
