@@ -15,10 +15,11 @@ module implements the subset the engine needs:
   the xarray ``_ARRAY_DIMENSIONS`` (v2) / ``dimension_names`` (v3)
   conventions; v3 ``sharding_indexed`` shards (inner chunk index with
   verified CRC-32C, absent inner chunks -> fill_value) read natively.
-  Bit-shuffle, blosclz/snappy/zstd, other filters, nested sharding and
-  sharded WRITES raise NotImplementedError with the remediation.
+  Bit-shuffle, blosclz/snappy/zstd, other filters and nested sharding
+  raise NotImplementedError with the remediation.
 - ``write_zarr``: same subset (``zarr_format=2`` default or 3;
-  compressor zlib, blosc or none) — round-trip tests prove the reader
+  compressor zlib, blosc or none; ``shards=`` emits v3
+  sharding_indexed shard files) — round-trip tests prove the reader
   and the output is readable by real zarr/xarray elsewhere.
 - ``zarr_raster``: CF-style (array, GridSpec) extraction — 2D variable
   + 1D coordinate arrays — mirroring ``netcdf_raster`` (same
@@ -200,13 +201,35 @@ class _ArrayInfo:
 
     def encode_chunk(self, block: np.ndarray) -> bytes:
         if self._shard is not None:
-            raise NotImplementedError(
-                "writing zarr v3 sharded chunks unsupported; write "
-                "unsharded and reshard with zarr-python")
+            return self._encode_shard(block)
         raw = np.ascontiguousarray(block).tobytes()
         for _dec, _enc in self._filters:
             raw = _enc(raw)
         return self._codec[1](raw)
+
+    def _encode_shard(self, block: np.ndarray) -> bytes:
+        """Inverse of _read_shard: inner chunks back-to-back, then the
+        (offset, nbytes) index (+ CRC-32C) at index_location."""
+        import itertools
+
+        sh = self._shard
+        ishape = sh["chunk_shape"]
+        counts = [sc // ic for sc, ic in zip(self.chunks, ishape)]
+        payload = bytearray()
+        pairs = []
+        head = 0 if sh["index_location"] == "end" else (
+            int(np.prod(counts)) * 16 + (4 if sh["index_crc"] else 0))
+        for pos in itertools.product(*[range(c) for c in counts]):
+            sl = tuple(slice(p * c, (p + 1) * c)
+                       for p, c in zip(pos, ishape))
+            enc = sh["codec"][1](np.ascontiguousarray(block[sl]).tobytes())
+            pairs.append((head + len(payload), len(enc)))
+            payload += enc
+        idx = np.array(pairs, dtype="<u8").tobytes()
+        if sh["index_crc"]:
+            idx += _crc32c(idx).to_bytes(4, "little")
+        return (bytes(payload) + idx if sh["index_location"] == "end"
+                else idx + bytes(payload))
 
     def present_chunks(self) -> List[Tuple[int, ...]]:
         ndim = len(self.shape)
@@ -459,16 +482,25 @@ def read_zarr(path: str) -> Dict[str, Dict]:
 
 def write_zarr(path: str, arrays: Dict[str, Dict], chunks: int = 64,
                compress: bool = True, zarr_format: int = 2,
-               compressor: str = "zlib") -> str:
+               compressor: str = "zlib",
+               shards: Optional[int] = None) -> str:
     """{name: {"data": ndarray, "dims": [names]}} -> group store.
 
     ``zarr_format`` 2 (default) or 3; ``compressor`` 'zlib', 'blosc'
     (byte-shuffled zlib-coded blosc chunks) or ignored when
-    ``compress=False``."""
+    ``compress=False``. ``shards`` (v3 only) emits sharding_indexed
+    shard files of that edge length with ``chunks``-sized inner chunks
+    behind a CRC-32C'd binary index — fewer files for object stores."""
     if zarr_format not in (2, 3):
         raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format}")
     if compressor not in ("zlib", "blosc"):
         raise ValueError(f"compressor must be 'zlib' or 'blosc': {compressor}")
+    if shards is not None:
+        if zarr_format != 3:
+            raise ValueError("shards= requires zarr_format=3")
+        if shards % chunks:
+            raise ValueError(
+                f"shards ({shards}) must be a multiple of chunks ({chunks})")
     os.makedirs(path, exist_ok=True)
     if zarr_format == 2:
         json.dump({"zarr_format": 2}, open(os.path.join(path, ".zgroup"), "w"))
@@ -518,6 +550,20 @@ def write_zarr(path: str, arrays: Dict[str, Dict], chunks: int = 64,
                     "typesize": a.dtype.itemsize, "blocksize": 0}})
             elif compress:
                 codecs.append({"name": "gzip", "configuration": {"level": 5}})
+            if shards is not None:
+                inner = list(ch)
+                ch = tuple(min(shards, s) for s in a.shape)
+                # clamp the shard to a whole multiple of the inner chunk
+                ch = tuple(max(i, (c // i) * i)
+                           for c, i in zip(ch, inner))
+                codecs = [{"name": "sharding_indexed", "configuration": {
+                    "chunk_shape": inner,
+                    "codecs": codecs,
+                    "index_codecs": [
+                        {"name": "bytes",
+                         "configuration": {"endian": "little"}},
+                        {"name": "crc32c"}],
+                    "index_location": "end"}}]
             meta = {
                 "zarr_format": 3,
                 "node_type": "array",

@@ -497,3 +497,34 @@ def test_zarr_v3_sharding_read(tmp_path):
     open(p, "wb").write(bytes(d))
     with pytest.raises(ValueError, match="crc32c"):
         read_zarr(root)
+
+
+def test_zarr_v3_sharded_write_roundtrip(tmp_path):
+    """write_zarr(shards=) emits sharding_indexed shard files (inner
+    chunks behind a CRC-32C'd index) that the reader — and by spec any
+    zarr-python v3 — can decode; the CF route works over shards; shard
+    size must be a multiple of the chunk size."""
+    rng = np.random.default_rng(17)
+    temp = rng.normal(size=(37, 53)).astype(np.float32)
+    lat = 44.0 - 0.01 * (np.arange(37) + 0.5)
+    lon = -124.0 + 0.01 * (np.arange(53) + 0.5)
+    for compressor, compress in [("zlib", True), ("blosc", True),
+                                 ("zlib", False)]:
+        p = str(tmp_path / f"zs_{compressor}_{compress}")
+        write_zarr(p, {"lat": {"data": lat, "dims": ["lat"]},
+                       "lon": {"data": lon, "dims": ["lon"]},
+                       "temp": {"data": temp, "dims": ["lat", "lon"]}},
+                   chunks=8, shards=16, zarr_format=3,
+                   compress=compress, compressor=compressor)
+        np.testing.assert_array_equal(read_zarr(p)["temp"]["data"], temp)
+        arr, grid = zarr_raster(p)
+        np.testing.assert_array_equal(arr, temp)
+        # ceil(37/16) x ceil(53/16) = 12 shard files, not 35 chunk files
+        nfiles = sum(len(f) for _, _, f in os.walk(os.path.join(p, "temp", "c")))
+        assert nfiles == 12
+    with pytest.raises(ValueError, match="multiple"):
+        write_zarr(str(tmp_path / "bad"), {"a": {"data": temp}},
+                   chunks=7, shards=16, zarr_format=3)
+    with pytest.raises(ValueError, match="zarr_format=3"):
+        write_zarr(str(tmp_path / "bad2"), {"a": {"data": temp}},
+                   chunks=8, shards=16, zarr_format=2)
