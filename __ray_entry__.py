@@ -4330,6 +4330,59 @@ def q_zarr_v3(sf_dir: str):
     return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q_zarr_shard(sf_dir: str):
+    """Zarr v3 SHARDING envelope (sources/zarr_lite.py sharding_indexed
+    read+write): each oracle image round-trips through a sharded v3
+    store on workers — shards=64 with 16-px inner chunks behind a
+    CRC-32C'd binary index, gzip inner codec — via zarr_raster's CF
+    extraction. Pins the shard index build, the checksum, the nested
+    codec chain and the grid inference. Scale shape: one store per
+    image on worker-local disk; nothing shuffles."""
+    import os
+    import shutil
+
+    from rasters_ray import codec
+    from rasters_ray.sources.zarr_lite import write_zarr, zarr_raster
+
+    out_dir = f"/tmp/rasters_ray_zsh_q_{os.getpid()}"
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = {"image_id": [], "px_sum": [], "x0_cm": [], "y0_cm": []}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            g = t.column("grid")[i].as_py()
+            lat = g["y_origin"] + g["cell_height"] * (
+                np.arange(g["rows"], dtype=np.float64) + 0.5)
+            lon = g["x_origin"] + g["cell_width"] * (
+                np.arange(g["cols"], dtype=np.float64) + 0.5)
+            p = os.path.join(out_dir, f"{iid}.zarr")
+            if os.path.exists(p):
+                shutil.rmtree(p)
+            write_zarr(p, {
+                "lat": {"data": lat, "dims": ["lat"]},
+                "lon": {"data": lon, "dims": ["lon"]},
+                "temp": {"data": px.astype("<f4"), "dims": ["lat", "lon"]},
+            }, chunks=16, shards=64, zarr_format=3)
+            arr, g2 = zarr_raster(p, "temp")
+            rows["image_id"].append(iid)
+            rows["px_sum"].append(int(np.rint(arr.astype(np.float64)).sum()))
+            rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))
+            rows["y0_cm"].append(int(np.floor(g2.y_origin * 100.0)))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "px_sum": pa.array(rows["px_sum"], pa.int64()),
+                "x0_cm": pa.array(rows["x0_cm"], pa.int64()),
+                "y0_cm": pa.array(rows["y0_cm"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q_tiff_window(sf_dir: str):
     """Windowed GeoTIFF read (sources/geotiff.py::read_geotiff(window=),
     reference Raster.open(window=...) raster.py:634-771): each oracle
@@ -5301,6 +5354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
+        "zarr_shard": q_zarr_shard,
         "tiff_window": q_tiff_window,
         "lang_quality": q_lang_quality,
         "fingerprint": q_fingerprint,
@@ -6010,6 +6064,12 @@ SELECT * FROM (VALUES
 ) AS t(image_id, px_sum, x0_cm, y0_cm)
 """
     sql["gpkg_roundtrip"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 1248532, -12400, 4400),
+  ('img00000001', 1251559, -12350, 4400)
+) AS t(image_id, px_sum, x0_cm, y0_cm)
+"""
+    sql["zarr_shard"] = """
 SELECT * FROM (VALUES
   ('img00000000', 1248532, -12400, 4400),
   ('img00000001', 1251559, -12350, 4400)
