@@ -77,6 +77,7 @@ TAG_SAMPLE_FORMAT = 339
 TAG_PIXEL_SCALE = 33550
 TAG_TIEPOINT = 33922
 TAG_JPEG_TABLES = 347  # TIFF TechNote 2 new-style JPEG
+TAG_GDAL_NODATA = 42113  # ASCII nodata value (GDAL convention)
 TAG_GEO_KEYS = 34735
 TAG_GEO_ASCII = 34737
 
@@ -270,6 +271,15 @@ def _decompress(raw: bytes, comp: int, expected: int | None = None) -> bytes:
         "supported codes: 1 (none), 5 (LZW), 8/32946 (deflate), "
         "32773 (PackBits)"
     )
+
+
+def _nodata_text(v: float) -> str:
+    """GDAL_NODATA tag text: 'nan' or repr-exact numeric (GDAL parses
+    with atof; repr keeps float64 round-trip exact)."""
+    f = float(v)
+    if np.isnan(f):
+        return "nan"
+    return repr(int(f)) if float(int(f)) == f else repr(f)
 
 
 def _jpeg_block(raw: bytes, tables: bytes | None) -> np.ndarray:
@@ -489,6 +499,7 @@ def write_cog(
     byte_order: str = "<",
     bigtiff: bool = False,
     jpeg_quality: int = 90,
+    nodata: Optional[float] = None,
 ) -> str:
     """Write ``arr`` on ``grid`` as a Cloud-Optimized GeoTIFF.
     ``bigtiff=True`` emits the BigTIFF (version 43, 8-byte offset)
@@ -544,6 +555,9 @@ def write_cog(
         ifd.add(TAG_TILE_COUNTS, _LONG, [len(b) for b in blobs])
         ifd.add(TAG_SAMPLE_FORMAT, _SHORT, sfmt)
         if li == 0:
+            if nodata is not None:
+                ifd.add(TAG_GDAL_NODATA, _ASCII,
+                        list(_nodata_text(nodata).encode("ascii")) + [0])
             _geo_entries(ifd, grid)
         ifds.append(ifd)
 
@@ -602,6 +616,7 @@ def write_geotiff(
     bigtiff: bool = False,
     predictor: int = 1,
     jpeg_quality: int = 90,
+    nodata: Optional[float] = None,
 ) -> str:
     """General GeoTIFF writer. ``layout="tiles"`` is the COG path;
     ``layout="strips"`` emits a plain baseline stripped TIFF (the layout
@@ -615,7 +630,7 @@ def write_geotiff(
     if layout == "tiles":
         return write_cog(arr, grid, path, tile=tile, compression=compression,
                          overviews=overviews, byte_order=byte_order,
-                         bigtiff=bigtiff)
+                         bigtiff=bigtiff, nodata=nodata)
     if layout != "strips":
         raise ValueError(f"layout must be 'tiles' or 'strips', got {layout!r}")
     a = np.ascontiguousarray(arr)
@@ -695,6 +710,9 @@ def write_geotiff(
     ifd.add(TAG_SAMPLE_FORMAT, _SHORT, sfmt)
     if predictor != 1:
         ifd.add(TAG_PREDICTOR, _SHORT, predictor)
+    if nodata is not None:
+        ifd.add(TAG_GDAL_NODATA, _ASCII,
+                list(_nodata_text(nodata).encode("ascii")) + [0])
     _geo_entries(ifd, grid)
 
     hdr_len = 16 if bigtiff else 8
@@ -941,6 +959,13 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
                 meta["geo_ascii"] = bytes(
                     tags[TAG_GEO_ASCII]).rstrip(b"\x00").decode(
                         "ascii", "replace")
+        if TAG_GDAL_NODATA in tags:
+            txt = bytes(tags[TAG_GDAL_NODATA]).rstrip(b"\x00").decode(
+                "ascii", "replace").strip()
+            try:
+                meta["nodata"] = float(txt)
+            except ValueError:
+                pass  # malformed nodata text: surface nothing
         if window is not None:
             break  # window coordinates are level-0; skip overview IFDs
         nxt_at = off + cnt_n + ent * n

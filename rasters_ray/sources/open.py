@@ -142,8 +142,14 @@ def open_raster(path: str, var: Optional[str] = None,
         from .geotiff import read_geotiff
 
         levels, meta = read_geotiff(path)
-        arr = levels[0]
-        return np.asarray(arr), _geotiff_grid(meta, arr.shape[0], arr.shape[1])
+        arr = np.asarray(levels[0])
+        # GDAL_NODATA -> NaN for float rasters (the engine's composites
+        # treat NaN as invalid, mirroring the reference's nodata->nan);
+        # integer rasters keep raw values (no NaN representation)
+        nd = meta.get("nodata")
+        if nd is not None and arr.dtype.kind == "f" and not np.isnan(nd):
+            arr = np.where(arr == arr.dtype.type(nd), np.nan, arr)
+        return arr, _geotiff_grid(meta, arr.shape[0], arr.shape[1])
     if head[:3] == b"CDF" or head == b"\x89HDF\r\n\x1a\n":
         from .netcdf import netcdf_raster, read_netcdf
 

@@ -640,3 +640,34 @@ def test_cog_jpeg_tiles(tmp_path):
     with pytest.raises(ValueError, match="uint8"):
         write_cog(gray.astype(np.uint16), _grid(260, 300), p,
                   compression="jpeg")
+
+
+def test_gdal_nodata_tag(tmp_path):
+    """GDAL_NODATA (ASCII tag 42113): written by both writers, surfaced
+    in meta, and open_raster masks float rasters' nodata to NaN (the
+    engine's invalid convention); integer rasters keep raw values."""
+    from rasters_ray.sources.open import open_raster
+
+    a = np.arange(1200, dtype=np.float32).reshape(30, 40)
+    a[0, :5] = -9999.0
+    p = str(tmp_path / "nd.tif")
+    write_geotiff(a, _grid(30, 40), p, layout="strips", nodata=-9999.0)
+    levels, meta = read_geotiff(p)
+    assert meta["nodata"] == -9999.0
+    np.testing.assert_array_equal(levels[0], a)  # raw read keeps values
+    arr, g = open_raster(p)
+    assert np.isnan(arr[0, :5]).all() and arr[0, 5] == a[0, 5]
+    pc = str(tmp_path / "ndc.tif")
+    write_cog(a, _grid(30, 40), pc, tile=16, nodata=float("nan"),
+              overviews=False)
+    assert np.isnan(read_geotiff(pc)[1]["nodata"])
+    # integer raster: tag surfaces, values untouched
+    b = np.arange(1200, dtype=np.int16).reshape(30, 40)
+    pi = str(tmp_path / "ndi.tif")
+    write_geotiff(b, _grid(30, 40), pi, layout="strips", nodata=-32768)
+    arr, _ = open_raster(pi)
+    assert arr.dtype == np.int16
+    np.testing.assert_array_equal(arr, b)
+    p3 = str(tmp_path / "nd3.tif")
+    write_geotiff(a, _grid(30, 40), p3, layout="strips")
+    assert "nodata" not in read_geotiff(p3)[1]
