@@ -378,6 +378,37 @@ def grid_from_coords(a: np.ndarray, y: np.ndarray, x: np.ndarray,
     return np.ascontiguousarray(a), grid
 
 
+def cf_unpack(a: np.ndarray, attrs: Dict) -> np.ndarray:
+    """CF packed-data conventions, the way xarray/rasterio apply them:
+    raw values equal to ``_FillValue``/``missing_value`` become NaN,
+    then ``scale_factor``/``add_offset`` unpack (result float64 when any
+    of the four attributes is present; untouched otherwise). Real
+    granules almost always ship int16 + scale/offset/_FillValue."""
+    def _num(key):
+        v = attrs.get(key)
+        if v is None:
+            return None
+        arr = np.asarray(v).ravel()
+        return float(arr[0]) if arr.size else None
+
+    scale = _num("scale_factor")
+    offset = _num("add_offset")
+    fills = [f for f in (_num("_FillValue"), _num("missing_value"))
+             if f is not None]
+    if scale is None and offset is None and not fills:
+        return a
+    out = a.astype(np.float64)
+    for f in fills:
+        if np.isnan(f):
+            continue  # NaN fill is already the invalid marker
+        out[a == np.asarray(f).astype(a.dtype)] = np.nan
+    if scale is not None:
+        out = out * scale
+    if offset is not None:
+        out = out + offset
+    return out
+
+
 def netcdf_raster(path_or_bytes, var: str,
                   coords: Optional[Tuple[str, str]] = None) -> Tuple[np.ndarray, GridSpec]:
     """CF-style 2D variable + 1D coordinate vars -> (array, GridSpec).
@@ -389,7 +420,7 @@ def netcdf_raster(path_or_bytes, var: str,
     nc = (path_or_bytes if isinstance(path_or_bytes, dict)
           else read_netcdf(path_or_bytes))
     v = nc["vars"][var]
-    a = v["data"]
+    a = cf_unpack(v["data"], v.get("attrs") or {})
     if a.ndim != 2:
         raise ValueError(f"{var} is not 2D: shape {a.shape}")
     ydim, xdim = coords if coords is not None else v["dims"]

@@ -598,6 +598,8 @@ def zarr_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridS
     """CF-style 2D variable + 1D coordinate arrays -> (array, GridSpec),
     mirroring netcdf_raster (regular spacing validated; ascending
     latitude flipped north-up)."""
+    from .netcdf import cf_unpack
+
     store = read_zarr(path)
     if var is None:
         two_d = [k for k, v in store.items() if v["data"].ndim == 2]
@@ -607,7 +609,7 @@ def zarr_raster(path: str, var: Optional[str] = None) -> Tuple[np.ndarray, GridS
             )
         var = two_d[0]
     v = store[var]
-    a = v["data"]
+    a = cf_unpack(v["data"], v.get("attrs") or {})
     if a.ndim != 2:
         raise ValueError(f"{var} is not 2D: shape {a.shape}")
     crs = str(v["attrs"].get("crs", "EPSG:4326"))

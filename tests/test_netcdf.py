@@ -435,3 +435,53 @@ def test_write_record_variables(tmp_path):
         write_netcdf(str(tmp_path / "bad.nc"), {"t": None},
                      {"a": {"data": np.zeros(3), "dims": ["t"]},
                       "b": {"data": np.zeros(4), "dims": ["t"]}})
+
+
+def test_cf_packed_data_unpacks(tmp_path):
+    """CF packed-data conventions (how real granules ship int16 data):
+    _FillValue/missing_value -> NaN, then scale_factor/add_offset
+    unpack — the same behavior xarray/rasterio apply; attribute-less
+    variables pass through with their dtype untouched. Shared with the
+    Zarr route."""
+    from rasters_ray.sources.zarr_lite import write_zarr, zarr_raster
+
+    rows, cols = 20, 30
+    lat = 44.0 - 0.01 * (np.arange(rows) + 0.5)
+    lon = -124.0 + 0.01 * (np.arange(cols) + 0.5)
+    true = np.linspace(250.0, 320.0, rows * cols).reshape(rows, cols)
+    scale, offset = 0.01, 273.15
+    raw = np.rint((true - offset) / scale).astype(np.int16)
+    raw[0, :3] = -32768
+    p = str(tmp_path / "cf.nc")
+    write_netcdf(p, {"lat": rows, "lon": cols},
+                 {"lat": {"data": lat, "dims": ["lat"]},
+                  "lon": {"data": lon, "dims": ["lon"]},
+                  "temp": {"data": raw, "dims": ["lat", "lon"],
+                           "attrs": {"scale_factor": np.float64(scale),
+                                     "add_offset": np.float64(offset),
+                                     "_FillValue": np.int16(-32768)}}})
+    arr, grid = netcdf_raster(p, "temp")
+    assert np.isnan(arr[0, :3]).all()
+    mask = ~np.isnan(arr)
+    np.testing.assert_allclose(
+        arr[mask], (raw.astype(np.float64) * scale + offset)[mask])
+
+    pz = str(tmp_path / "cf.zarr")
+    write_zarr(pz, {"lat": {"data": lat, "dims": ["lat"]},
+                    "lon": {"data": lon, "dims": ["lon"]},
+                    "temp": {"data": raw, "dims": ["lat", "lon"],
+                             "attrs": {"scale_factor": scale,
+                                       "add_offset": offset,
+                                       "_FillValue": -32768}}})
+    arr2, _ = zarr_raster(pz, "temp")
+    np.testing.assert_array_equal(np.isnan(arr2), np.isnan(arr))
+    np.testing.assert_allclose(arr2[mask], arr[mask])
+
+    pp = str(tmp_path / "plain.nc")
+    write_netcdf(pp, {"lat": rows, "lon": cols},
+                 {"lat": {"data": lat, "dims": ["lat"]},
+                  "lon": {"data": lon, "dims": ["lon"]},
+                  "v": {"data": raw, "dims": ["lat", "lon"]}})
+    arr3, _ = netcdf_raster(pp, "v")
+    assert np.issubdtype(arr3.dtype, np.integer)
+    np.testing.assert_array_equal(arr3, raw)
