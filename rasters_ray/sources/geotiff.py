@@ -77,6 +77,7 @@ TAG_SAMPLE_FORMAT = 339
 TAG_PIXEL_SCALE = 33550
 TAG_TIEPOINT = 33922
 TAG_JPEG_TABLES = 347  # TIFF TechNote 2 new-style JPEG
+TAG_COLORMAP = 320  # palette for photometric 3 images
 TAG_GDAL_NODATA = 42113  # ASCII nodata value (GDAL convention)
 TAG_GEO_KEYS = 34735
 TAG_GEO_ASCII = 34737
@@ -617,6 +618,7 @@ def write_geotiff(
     predictor: int = 1,
     jpeg_quality: int = 90,
     nodata: Optional[float] = None,
+    palette: Optional[np.ndarray] = None,
 ) -> str:
     """General GeoTIFF writer. ``layout="tiles"`` is the COG path;
     ``layout="strips"`` emits a plain baseline stripped TIFF (the layout
@@ -626,7 +628,10 @@ def write_geotiff(
     photometric for 3 samples, ExtraSamples otherwise; strips only);
     ``bigtiff=True`` selects the version-43 8-byte-offset container;
     ``predictor=3`` applies the TechNote-3 floating-point predictor
-    (strips layout, float data only)."""
+    (strips layout, float data only); ``palette`` (a (n, 3) uint8/16
+    RGB table, n <= 2^bits) writes a PALETTE image (photometric 3 +
+    ColorMap tag) from uint8/uint16 index pixels — the land-cover
+    classification layout."""
     if layout == "tiles":
         return write_cog(arr, grid, path, tile=tile, compression=compression,
                          overviews=overviews, byte_order=byte_order,
@@ -651,6 +656,15 @@ def write_geotiff(
             raise ValueError("JPEG compression requires uint8 samples")
         if predictor != 1:
             raise ValueError("JPEG compression excludes predictors")
+    if palette is not None:
+        pal = np.asarray(palette)
+        if (pal.ndim != 2 or pal.shape[1] != 3
+                or a.dtype not in (np.dtype(np.uint8), np.dtype(np.uint16))
+                or a.ndim != 2):
+            raise ValueError("palette requires 2D uint8/uint16 index "
+                             "pixels and an (n, 3) RGB table")
+        if comp == COMP_JPEG:
+            raise ValueError("palette excludes JPEG compression")
     if bo == ">":
         a = a.astype(a.dtype.newbyteorder(">"), copy=False)
 
@@ -694,10 +708,20 @@ def write_geotiff(
     ifd.add(TAG_BITS, _SHORT, [bits] * spp if spp > 1 else bits)
     ifd.add(TAG_COMPRESSION, _SHORT, comp)
     # RGB photometric for 3 uint8/uint16 color samples (YCbCr when the
-    # payload is JPEG-compressed); otherwise MinIsBlack with the extra
-    # channels declared unspecified
+    # payload is JPEG-compressed); palette (3) for indexed images;
+    # otherwise MinIsBlack with the extra channels declared unspecified
     ifd.add(TAG_PHOTOMETRIC, _SHORT,
-            (6 if comp == COMP_JPEG else 2) if spp == 3 else 1)
+            (6 if comp == COMP_JPEG else 2) if spp == 3
+            else (3 if palette is not None else 1))
+    if palette is not None:
+        # ColorMap: 3 * 2^bits SHORTs, R then G then B planes, 16-bit
+        # intensities (8-bit tables scale by 257 per the TIFF 6.0 note)
+        n = 1 << bits
+        table = np.zeros((3, n), dtype=np.uint32)
+        pal16 = (pal.astype(np.uint32) * 257
+                 if pal.dtype == np.uint8 else pal.astype(np.uint32))
+        table[:, : pal.shape[0]] = pal16.T
+        ifd.add(TAG_COLORMAP, _SHORT, [int(v) for v in table.ravel()])
     ifd.add(TAG_SAMPLES, _SHORT, spp)
     if spp > 1:
         ifd.add(TAG_PLANAR, _SHORT, 1)
@@ -959,6 +983,10 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
                 meta["geo_ascii"] = bytes(
                     tags[TAG_GEO_ASCII]).rstrip(b"\x00").decode(
                         "ascii", "replace")
+        if TAG_COLORMAP in tags and tags.get(TAG_PHOTOMETRIC, [1])[0] == 3:
+            cm = np.asarray(tags[TAG_COLORMAP], dtype=np.uint32)
+            if cm.size % 3 == 0:
+                meta["colormap"] = cm.reshape(3, -1).T  # (n, 3) 16-bit RGB
         if TAG_GDAL_NODATA in tags:
             txt = bytes(tags[TAG_GDAL_NODATA]).rstrip(b"\x00").decode(
                 "ascii", "replace").strip()

@@ -671,3 +671,30 @@ def test_gdal_nodata_tag(tmp_path):
     p3 = str(tmp_path / "nd3.tif")
     write_geotiff(a, _grid(30, 40), p3, layout="strips")
     assert "nodata" not in read_geotiff(p3)[1]
+
+
+def test_palette_tiff(tmp_path):
+    """Photometric-3 palette images (land-cover classifications): the
+    ColorMap tag round-trips 8-bit (scaled by 257 per TIFF 6.0) and
+    16-bit tables; index pixels stay exact; float indices raise."""
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 7, (30, 40), dtype=np.uint8)
+    pal = rng.integers(0, 255, (7, 3), dtype=np.uint8)
+    p = str(tmp_path / "pal.tif")
+    write_geotiff(idx, _grid(30, 40), p, layout="strips",
+                  compression="lzw", palette=pal)
+    levels, meta = read_geotiff(p)
+    np.testing.assert_array_equal(levels[0], idx)
+    assert meta["colormap"].shape == (256, 3)
+    np.testing.assert_array_equal(meta["colormap"][:7] // 257, pal)
+    idx16 = rng.integers(0, 1000, (30, 40), dtype=np.uint16)
+    pal16 = rng.integers(0, 65535, (1000, 3), dtype=np.uint16)
+    p16 = str(tmp_path / "pal16.tif")
+    write_geotiff(idx16, _grid(30, 40), p16, layout="strips",
+                  palette=pal16)
+    levels, meta = read_geotiff(p16)
+    np.testing.assert_array_equal(levels[0], idx16)
+    np.testing.assert_array_equal(meta["colormap"][:1000], pal16)
+    with pytest.raises(ValueError, match="palette"):
+        write_geotiff(idx.astype(np.float32), _grid(30, 40), p,
+                      layout="strips", palette=pal)
