@@ -172,3 +172,37 @@ def test_read_geopackage_pyramid_bbox_and_sparse_guard(tmp_path):
     write_geopackage_tiles(tile_table(far, 256), sp, 12)
     with pytest.raises(ValueError, match="read_geopackage_tiles"):
         read_geopackage(sp)
+
+
+def test_multi_zoom_pyramid_roundtrip(tmp_path):
+    """Tile levels compose into one multi-zoom pyramid file (append with
+    overwrite=False); read_geopackage picks the deepest zoom by default
+    and any level on request, with doubled pixel sizes per level up."""
+    import pyarrow as pa
+
+    from rasters_ray import codec
+    from rasters_ray.grids.cellkey import _LEVEL_SHIFT, _Y_SHIFT
+    from rasters_ray.sources.geopackage import read_geopackage
+
+    def enc(level, ix, iy):
+        return (level << _LEVEL_SHIFT) | (iy << _Y_SHIFT) | ix
+
+    def tab(level, cells, val, ts=32):
+        rows = {"cell_key": [], "bytes": [], "fmt": [], "th": [], "tw": []}
+        for ix, iy in cells:
+            rows["cell_key"].append(enc(level, ix, iy))
+            rows["bytes"].append(
+                codec.encode(np.full((ts, ts), val, np.uint8), "png"))
+            rows["fmt"].append("png")
+            rows["th"].append(ts)
+            rows["tw"].append(ts)
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    p = str(tmp_path / "multi.gpkg")
+    write_geopackage_tiles(tab(3, [(2, 1), (3, 1)], 77), p, 3)
+    write_geopackage_tiles(tab(2, [(1, 0)], 99), p, 2, overwrite=False)
+    arr3, g3 = read_geopackage(p)
+    arr2, g2 = read_geopackage(p, zoom=2)
+    assert (arr3 == 77).all() and arr3.shape == (32, 64)
+    assert (arr2 == 99).all() and arr2.shape == (32, 32)
+    assert g2.cell_width == pytest.approx(2 * g3.cell_width)
