@@ -22,6 +22,8 @@ import re
 from dataclasses import dataclass
 from typing import Optional
 
+from .datum import DATUMS
+
 WGS84 = "EPSG:4326"
 
 
@@ -43,15 +45,37 @@ class CRSInfo:
     k_0: float = 1.0  # tmerc scale factor at the natural origin
     h: Optional[float] = None  # geos satellite height above the surface
     sweep_x: bool = True  # geos scan-angle sweep axis ('x' = GOES-R)
+    # datum: ellipsoid registry key (proj/datum.py ELLIPSOIDS) and the
+    # 3/7-parameter position-vector Helmert to WGS84 (None = WGS84-
+    # equivalent datum, no shift). Only utm/tmerc support non-WGS84
+    # ellipsoids — the grids that actually sit on classical datums.
+    ellps: str = "WGS84"
+    towgs84: Optional[tuple] = None
 
     @property
     def is_geographic(self) -> bool:
         return self.kind == "geographic"
 
+    def _datum_suffix(self) -> str:
+        if self.ellps == "WGS84" and self.towgs84 is None:
+            return ""
+        tw = ""
+        if self.towgs84 is not None:
+            tw = " +towgs84=" + ",".join(repr(v) for v in self.towgs84)
+        return f" +ellps={self.ellps}{tw}"
+
     def canonical(self) -> str:
         if self.kind == "geographic":
             return "EPSG:4326"
         if self.kind == "utm":
+            if self.ellps != "WGS84" or self.towgs84 is not None:
+                if (self.ellps, self.towgs84) == _ED50_KEY and not self.south:
+                    return f"EPSG:{23000 + self.zone}"
+                return (
+                    f"+proj=utm +zone={self.zone}"
+                    + (" +south" if self.south else "")
+                    + self._datum_suffix()
+                )
             return f"EPSG:{(32700 if self.south else 32600) + self.zone}"
         if self.kind == "sinu":
             r = f" +R={self.radius}" if self.radius is not None else ""
@@ -92,6 +116,7 @@ class CRSInfo:
             return (
                 f"+proj=tmerc +lat_0={self.lat_0} +lon_0={self.lon_0}"
                 f" +k_0={self.k_0} +x_0={self.x_0} +y_0={self.y_0}"
+                + self._datum_suffix()
             )
         if self.kind == "geos":
             sweep = "x" if self.sweep_x else "y"
@@ -108,6 +133,11 @@ class CRSInfo:
 
 
 _EPSG_RE = re.compile(r"^EPSG:(\d+)$", re.I)
+
+_ED50_KEY = (DATUMS["ED50"][0], DATUMS["ED50"][1])
+_OSGB36 = (DATUMS["OSGB36"][0], DATUMS["OSGB36"][1])
+_TM65 = (DATUMS["TM65"][0], DATUMS["TM65"][1])
+_TM75 = (DATUMS["TM75"][0], DATUMS["TM75"][1])
 
 
 def parse_crs(crs: str) -> CRSInfo:
@@ -174,14 +204,30 @@ def parse_crs(crs: str) -> CRSInfo:
         if code in (4087, 32662):  # WGS84 Equidistant Cylindrical / Plate Carrée
             return CRSInfo("eqc")
         if code == 27700:
-            # British National Grid is TM on the AIRY 1830 ellipsoid with
-            # the OSTN15 datum grid; pretending WGS84 parameters would be
-            # wrong by ~100 m, so refuse rather than alias (same policy
-            # as EPSG:3411).
-            raise ValueError(
-                "EPSG:27700 uses the Airy 1830 ellipsoid + OSTN15 datum "
-                "shift, which this engine does not implement; reproject "
-                "to EPSG:32630/EPSG:4326 upstream"
+            # British National Grid: TM on Airy 1830 + the OSGB36 single
+            # Helmert (EPSG transformation 1314). Accuracy vs the OSTN15
+            # grid is the documented ~3.5 m of the national Helmert
+            # (pinned against the OS guide's Caister worked example in
+            # tests); survey-grade OSTN15 interpolation is out of scope.
+            return CRSInfo(
+                "tmerc", lat_0=49.0, lon_0=-2.0, k_0=0.9996012717,
+                x_0=400000.0, y_0=-100000.0,
+                ellps=_OSGB36[0], towgs84=_OSGB36[1],
+            )
+        if code in (29902, 29903):
+            # Irish Grid on TM65 (29902) / TM75 (29903) — Airy Modified,
+            # EPSG transformations 1640/1641
+            dat = _TM65 if code == 29902 else _TM75
+            return CRSInfo(
+                "tmerc", lat_0=53.5, lon_0=-8.0, k_0=1.000035,
+                x_0=200000.0, y_0=250000.0, ellps=dat[0], towgs84=dat[1],
+            )
+        if 23028 <= code <= 23038:
+            # ED50 / UTM zones 28N-38N (International 1924, EPSG
+            # transformation 1133 mean-European 3-param shift)
+            return CRSInfo(
+                "utm", zone=code - 23000, south=False,
+                ellps=_ED50_KEY[0], towgs84=_ED50_KEY[1],
             )
         raise ValueError(f"unsupported EPSG code: {code}")
     low = s.lower()
@@ -192,13 +238,35 @@ def parse_crs(crs: str) -> CRSInfo:
         pm = re.search(rf"\+{name}=(-?[\d.]+(?:[eE][-+]?\d+)?)", low)
         return float(pm.group(1)) if pm else default
 
+    def _datum_fields() -> dict:
+        """+ellps= / +towgs84= proj4 datum fields for utm/tmerc. WGS84
+        and the WGS84-equivalent modern ellipsoids map to the default
+        (GRS80's flattening differs from WGS84's by 0.1 mm — the same
+        ETRS89~WGS84 alias the EPSG branches use)."""
+        em = re.search(r"\+ellps=([a-z0-9_]+)", low)
+        ellps = {"wgs84": "WGS84", "grs80": "WGS84", "airy": "airy",
+                 "mod_airy": "mod_airy", "intl": "intl", "bessel": "bessel",
+                 }.get(em.group(1)) if em else "WGS84"
+        if ellps is None:
+            raise ValueError(f"unsupported +ellps={em.group(1)} in: {s}")
+        tm_ = re.search(r"\+towgs84=([-\d.,eE+]+)", low)
+        towgs84 = None
+        if tm_:
+            vals = tuple(float(v) for v in tm_.group(1).split(","))
+            if len(vals) not in (3, 7):
+                raise ValueError(f"+towgs84 needs 3 or 7 values: {s}")
+            if any(vals):
+                towgs84 = vals
+        return {"ellps": ellps, "towgs84": towgs84}
+
     if "+proj=longlat" in low or low in ("wgs84", "epsg:4326"):
         return CRSInfo("geographic")
     if "+proj=utm" in low:
         zm = re.search(r"\+zone=(\d+)", low)
         if not zm:
             raise ValueError(f"UTM proj4 without +zone: {s}")
-        return CRSInfo("utm", zone=int(zm.group(1)), south="+south" in low)
+        return CRSInfo("utm", zone=int(zm.group(1)), south="+south" in low,
+                       **_datum_fields())
     if "+proj=aeqd" in low:
         return CRSInfo("aeqd", lat_0=_p("lat_0"), lon_0=_p("lon_0"))
     if "+proj=sinu" in low:
@@ -261,7 +329,7 @@ def parse_crs(crs: str) -> CRSInfo:
         k0 = _p("k_0", _p("k", 1.0))
         return CRSInfo(
             "tmerc", lat_0=_p("lat_0"), lon_0=_p("lon_0"), k_0=k0,
-            x_0=_p("x_0"), y_0=_p("y_0"),
+            x_0=_p("x_0"), y_0=_p("y_0"), **_datum_fields(),
         )
     if "+proj=geos" in low:
         hm = re.search(r"\+h=(-?[\d.]+(?:[eE][-+]?\d+)?)", low)
@@ -320,7 +388,7 @@ def center_aeqd(lat: float, lon: float) -> str:
 
 
 _EPSG_CANDIDATES = (4326, 3857, 3395, 3413, 3976, 3031, 5070, 3035,
-                    6931, 6932, 6933, 2193, 4087)
+                    6931, 6932, 6933, 2193, 4087, 27700, 29902, 29903)
 
 
 def epsg_code(crs: str) -> Optional[int]:
@@ -332,7 +400,11 @@ def epsg_code(crs: str) -> Optional[int]:
     if info.kind == "geographic":
         return 4326
     if info.kind == "utm":
-        return (32700 if info.south else 32600) + info.zone
+        if info.ellps == "WGS84" and info.towgs84 is None:
+            return (32700 if info.south else 32600) + info.zone
+        if (info.ellps, info.towgs84) == _ED50_KEY and not info.south:
+            return 23000 + info.zone
+        return None
     for code in _EPSG_CANDIDATES:
         try:
             if parse_crs(f"EPSG:{code}") == info:

@@ -28,9 +28,32 @@ from . import sinusoidal as _sinu
 from . import stereographic as _st
 from . import transverse_mercator as _tm
 from .crs import CRSInfo, parse_crs
+from .datum import ELLIPSOIDS, datum_to_wgs84, wgs84_to_datum
+
+
+def _has_datum(info: CRSInfo) -> bool:
+    return info.ellps != "WGS84" or info.towgs84 is not None
+
+
+def _ell(info: CRSInfo) -> Tuple[float, float]:
+    return ELLIPSOIDS[info.ellps]
 
 
 def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndarray, np.ndarray]:
+    if _has_datum(info):
+        if info.kind not in ("utm", "tmerc"):
+            raise ValueError(
+                f"non-WGS84 datum is only supported for utm/tmerc CRSs, "
+                f"not {info.kind}"
+            )
+        a, f = _ell(info)
+        if info.kind == "utm":
+            lon, lat = _tm.utm_to_geographic(x, y, info.zone, info.south, a, f)
+        else:
+            lon, lat = _tm.tmerc_to_geographic(
+                x, y, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
+            )
+        return datum_to_wgs84(lon, lat, info.ellps, info.towgs84)
     if info.kind == "geographic":
         return x, y
     if info.kind == "utm":
@@ -81,6 +104,19 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
 
 
 def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[np.ndarray, np.ndarray]:
+    if _has_datum(info):
+        if info.kind not in ("utm", "tmerc"):
+            raise ValueError(
+                f"non-WGS84 datum is only supported for utm/tmerc CRSs, "
+                f"not {info.kind}"
+            )
+        lon, lat = wgs84_to_datum(lon, lat, info.ellps, info.towgs84)
+        a, f = _ell(info)
+        if info.kind == "utm":
+            return _tm.geographic_to_utm(lon, lat, info.zone, info.south, a, f)
+        return _tm.geographic_to_tmerc(
+            lon, lat, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
+        )
     if info.kind == "geographic":
         return lon, lat
     if info.kind == "utm":

@@ -512,9 +512,12 @@ def test_new_crs_parse_canonical_and_refusals():
     assert not parse_crs("+proj=geos +h=35785831 +sweep=y").sweep_x
     with pytest.raises(ValueError, match=r"without \+h"):
         parse_crs("+proj=geos +lon_0=0")
-    # British National Grid: Airy 1830 + OSTN15 -> refused, not aliased
-    with pytest.raises(ValueError, match="Airy"):
-        parse_crs("EPSG:27700")
+    # British National Grid now parses with its real Airy 1830 ellipsoid
+    # + OSGB36 Helmert (see test_datum_grids_*)
+    bng = parse_crs("EPSG:27700")
+    assert (bng.kind, bng.ellps) == ("tmerc", "airy")
+    assert bng.towgs84 is not None
+    assert parse_crs(bng.canonical()) == bng
     eq = parse_crs("EPSG:4087")
     assert parse_crs(eq.canonical()) == eq
 
@@ -545,3 +548,111 @@ def test_wkt_authority_parsing():
     assert parse_crs(wkt2) == parse_crs("EPSG:3035")
     with pytest.raises(ValueError, match="AUTHORITY"):
         parse_crs('PROJCS["custom",GEOGCS["x",DATUM["y",SPHEROID["z",1,2]]]]')
+
+
+def test_datum_grids_osgb_worked_example():
+    """EPSG:27700 (British National Grid): TM on Airy 1830 + the OSGB36
+    single Helmert (EPSG transformation 1314). Pins: (a) the PURE
+    projection step against the OS guide's worked example C.1 (OSGB36
+    geodetic -> grid, no datum shift: 651409.903 E, 313177.270 N) to
+    2 mm; (b) the full WGS84 path against the same guide's Caister
+    water tower ETRS89 coordinates to the documented ~3.5 m accuracy of
+    the national Helmert; (c) 1e-7 deg round-trips (the negated-
+    parameter Helmert inverse is the EPSG reversibility convention,
+    sub-mm at these magnitudes)."""
+    from rasters_ray.proj.transform import transform_xy
+    from rasters_ray.proj.transverse_mercator import geographic_to_tmerc
+
+    # (a) projection-only: OSGB36 52d39m27.2531sN 1d43m04.5177sE
+    la_os = 52 + 39 / 60 + 27.2531 / 3600
+    lo_os = 1 + 43 / 60 + 4.5177 / 3600
+    E, N = geographic_to_tmerc(
+        np.array([lo_os]), np.array([la_os]), 49.0, -2.0, 0.9996012717,
+        400000.0, -100000.0, 6377563.396, 1 / 299.3249646)
+    assert abs(E[0] - 651409.903) < 2e-3
+    assert abs(N[0] - 313177.270) < 2e-3
+
+    # (b) full WGS84 -> BNG: ETRS89 52d39m28.8282sN 1d42m57.8663sE
+    la_et = 52 + 39 / 60 + 28.8282 / 3600
+    lo_et = 1 + 42 / 60 + 57.8663 / 3600
+    E, N = transform_xy([lo_et], [la_et], "EPSG:4326", "EPSG:27700")
+    assert abs(E[0] - 651409.903) < 3.5
+    assert abs(N[0] - 313177.270) < 3.5
+
+    # (c) round-trips across GB
+    lon = np.linspace(-7.5, 1.5, 30)
+    lat = np.linspace(49.5, 60.5, 30)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "EPSG:27700")
+    lo2, la2 = transform_xy(x, y, "EPSG:27700", "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=3e-7)
+    np.testing.assert_allclose(la2, lat, atol=3e-7)
+
+
+def test_datum_grids_irish_and_ed50():
+    """EPSG:29902/29903 (Irish Grid, Airy Modified + TM65/TM75 Helmert)
+    and EPSG:23028-23038 (ED50 UTM on International 1924, 3-param
+    shift). Sanity: Dublin city centre lands near its published Irish
+    Grid coordinates (~O 159 349 -> E 315900 N 234600, +-200 m); the
+    ED50-WGS84 UTM offset in western Europe is the famous ~(90, 200) m
+    northeast shift; both round-trip."""
+    from rasters_ray.proj.transform import transform_xy
+
+    E, N = transform_xy([-6.2603], [53.3498], "EPSG:4326", "EPSG:29903")
+    assert abs(E[0] - 315900) < 300 and abs(N[0] - 234600) < 300
+    lo, la = transform_xy(E, N, "EPSG:29903", "EPSG:4326")
+    assert abs(lo[0] + 6.2603) < 1e-7 and abs(la[0] - 53.3498) < 1e-7
+    # TM65 vs TM75 differ by centimeters, not meters
+    E2, N2 = transform_xy([-6.2603], [53.3498], "EPSG:4326", "EPSG:29902")
+    assert abs(E2[0] - E[0]) < 0.2 and abs(N2[0] - N[0]) < 0.2
+
+    E1, N1 = transform_xy([5.0], [52.0], "EPSG:4326", "EPSG:23031")
+    E2, N2 = transform_xy([5.0], [52.0], "EPSG:4326", "EPSG:32631")
+    assert 50 < (E1[0] - E2[0]) < 150 and 150 < (N1[0] - N2[0]) < 260
+    lo, la = transform_xy(E1, N1, "EPSG:23031", "EPSG:4326")
+    assert abs(lo[0] - 5.0) < 1e-7 and abs(la[0] - 52.0) < 1e-7
+
+
+def test_datum_helmert_conventions():
+    """The Helmert layer itself: position-vector sign convention checked
+    against an independently-constructed rotation matrix product;
+    negated-parameter inverse agrees with the exact matrix inverse to
+    ~1 cm (the translation-times-scale cross terms dominate); proj4
+    +towgs84/+ellps parsing round-trips."""
+    import pytest
+    from rasters_ray.proj import datum as d
+    from rasters_ray.proj.crs import parse_crs
+    from rasters_ray.proj.transform import transform_xy
+
+    params = d.DATUMS["OSGB36"][1]
+    x = np.array([3909833.018]); y = np.array([-147097.138]); z = np.array([5020322.478])
+    xt, yt, zt = d.helmert(x, y, z, params)
+    # independent construction: full matrix product T + (1+s) R v
+    tx, ty, tz, rx, ry, rz, ppm = params
+    s = np.pi / 648000.0  # arcsec -> rad
+    R = np.array([[1.0, -rz * s, ry * s],
+                  [rz * s, 1.0, -rx * s],
+                  [-ry * s, rx * s, 1.0]])
+    v = (1.0 + ppm * 1e-6) * (R @ np.array([x[0], y[0], z[0]])) + np.array([tx, ty, tz])
+    assert abs(xt[0] - v[0]) < 1e-6 and abs(yt[0] - v[1]) < 1e-6 and abs(zt[0] - v[2]) < 1e-6
+    # negated-parameter inverse vs exact matrix inverse: sub-mm
+    xb, yb, zb = d.helmert(xt, yt, zt, params, inverse=True)
+    M = (1.0 + ppm * 1e-6) * R
+    ve = np.linalg.solve(M, np.array([xt[0] - tx, yt[0] - ty, zt[0] - tz]))
+    assert abs(xb[0] - ve[0]) < 2e-2 and abs(yb[0] - ve[1]) < 2e-2 and abs(zb[0] - ve[2]) < 2e-2
+
+    # proj4 datum fields parse + canonical round-trip
+    crs = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 "
+           "+x_0=400000 +y_0=-100000 +ellps=airy "
+           "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894")
+    info = parse_crs(crs)
+    assert info.ellps == "airy" and len(info.towgs84) == 7
+    assert parse_crs(info.canonical()) == info
+    # matches the EPSG:27700 parameterization except the rounded tz/rz
+    e1, n1 = transform_xy([-1.0], [52.0], "EPSG:4326", crs)
+    e2, n2 = transform_xy([-1.0], [52.0], "EPSG:4326", "EPSG:27700")
+    assert abs(e1[0] - e2[0]) < 0.01 and abs(n1[0] - n2[0]) < 0.01
+    # zero towgs84 = pure ellipsoid change about the same geocenter
+    info0 = parse_crs("+proj=utm +zone=31 +ellps=intl +towgs84=0,0,0")
+    assert info0.towgs84 is None and info0.ellps == "intl"
+    with pytest.raises(ValueError, match="ellps"):
+        parse_crs("+proj=tmerc +lat_0=0 +lon_0=3 +ellps=clrk80ign")
