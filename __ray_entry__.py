@@ -1544,6 +1544,44 @@ def q_transform_eqc(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_osgb(sf_dir: str):
+    """British National Grid EPSG:27700 (proj/datum.py + proj/
+    transverse_mercator.py): the FULL classical-datum pipeline — WGS84
+    geodetic -> ECEF -> 7-parameter position-vector Helmert (EPSG 9606,
+    the OSGB36 parameters of EPSG transformation 1314) -> fixed
+    six-iteration ECEF->geodetic on Airy 1830 -> Karney transverse
+    Mercator with the OSGB natural origin (49N 2W, k_0=0.9996012717).
+    Pinned against the OS guide's Caister worked example in
+    tests/test_proj.py. The SQL oracle re-derives EVERY step — ECEF,
+    the linearized Helmert matrix, all six latitude iterations, and the
+    Airy flattening series. Points are remapped into the GB window
+    (lon+118, lat+8) on both sides so the series stays in its validity
+    region; outliers excluded on both sides. Floor-cm int64; the
+    round-trip gate is 3e-7 deg (the negated-parameter Helmert inverse
+    is the EPSG reversibility convention, ~1 cm)."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        keep = lon < -100.0
+        lon = lon[keep] + 118.0
+        lat = lat[keep] + 8.0
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "EPSG:27700")
+        lon2, lat2 = transform_xy(x, yv, "EPSG:27700", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 3e-7) & (np.abs(lat2 - lat) < 3e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id").filter(pa.array(keep)),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 _MINHASH_GOLDEN_SF_DIRS = (
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -5368,6 +5406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_aea": q_transform_aea,
         "transform_laea": q_transform_laea,
         "transform_tmerc": q_transform_tmerc,
+        "transform_osgb": q_transform_osgb,
         "transform_geos": q_transform_geos,
         "transform_eqc": q_transform_eqc,
         "phash_dups": q_phash_dups,
@@ -6501,6 +6540,127 @@ fin AS (
 SELECT point_id,
        CAST(floor((e_k0 * (0.9999e0/0.9996e0) + 250000.0e0) * 100.0e0) AS BIGINT) AS x_cm,
        CAST(floor(((n_k0 - n0) * (0.9999e0/0.9996e0) + 100000.0e0) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM fin
+"""
+
+    # transform_osgb: the FULL classical-datum pipeline re-derived in
+    # SQL — WGS84 ECEF, the linearized position-vector Helmert with the
+    # OSGB36 parameters negated (WGS84 -> OSGB36 direction), all six
+    # fixed latitude iterations of the ECEF -> geodetic inverse on Airy
+    # 1830, then the same Karney series as transform_tmerc with Airy
+    # constants and the OSGB natural origin. Every constant re-derived,
+    # nothing golden.
+    _os_iter = (
+        "atan2(hz + e2a * (6377563.396e0 / sqrt(1.0e0 - e2a * sin({p}) * sin({p})))"
+        " * sin({p}), pr)"
+    )
+    sql["transform_osgb"] = f"""
+WITH {_PTS_CTE.strip()},
+nn AS (
+  SELECT (1.0e0/299.3249646e0) / (2.0e0 - 1.0e0/299.3249646e0) AS n,
+         (1.0e0/299.3249646e0) * (2.0e0 - 1.0e0/299.3249646e0) AS e2a,
+         (1.0e0/298.257223563e0) * (2.0e0 - 1.0e0/298.257223563e0) AS e2w,
+         pi() / 648000.0e0 AS as2r
+),
+np2 AS (
+  SELECT n, e2a, e2w, as2r, n*n AS n2, n*n*n AS n3, n*n*n*n AS n4,
+         n*n*n*n*n AS n5, n*n*n*n*n*n AS n6 FROM nn
+),
+kc AS (
+  SELECT e2a, e2w, as2r,
+    6377563.396e0 / (1.0e0 + n) * (1.0e0 + n2/4.0e0 + n4/64.0e0 + n6/256.0e0) AS ar,
+    2.0e0 * sqrt(n) / (1.0e0 + n) AS ee,
+    n/2.0e0 - 2.0e0*n2/3.0e0 + 5.0e0*n3/16.0e0 + 41.0e0*n4/180.0e0
+      - 127.0e0*n5/288.0e0 + 7891.0e0*n6/37800.0e0 AS a1,
+    13.0e0*n2/48.0e0 - 3.0e0*n3/5.0e0 + 557.0e0*n4/1440.0e0
+      + 281.0e0*n5/630.0e0 - 1983433.0e0*n6/1935360.0e0 AS a2,
+    61.0e0*n3/240.0e0 - 103.0e0*n4/140.0e0 + 15061.0e0*n5/26880.0e0
+      + 167603.0e0*n6/181440.0e0 AS a3,
+    49561.0e0*n4/161280.0e0 - 179.0e0*n5/168.0e0 + 6601661.0e0*n6/7257600.0e0 AS a4,
+    34729.0e0*n5/80640.0e0 - 3418889.0e0*n6/1995840.0e0 AS a5,
+    212378941.0e0*n6/319334400.0e0 AS a6
+  FROM np2
+),
+org AS (  -- K0-scaled meridian arc at lat_0 = 49 on Airy (eta' = 0)
+  SELECT kc.*,
+         {_sinh.format(u="0.5e0*ln((1.0e0 + sin(radians(49.0e0)))"
+                         "/(1.0e0 - sin(radians(49.0e0))))"
+                         " - ee * 0.5e0*ln((1.0e0 + ee*sin(radians(49.0e0)))"
+                         "/(1.0e0 - ee*sin(radians(49.0e0))))")} AS t0
+  FROM kc
+),
+org2 AS (
+  SELECT *, atan(t0) AS xip0 FROM org
+),
+org3 AS (
+  SELECT *, 0.9996e0 * ar * (xip0 + {_tm_series0}) AS n0 FROM org2
+),
+gb AS (  -- remap into the GB window; WGS84 geodetic (surface, h=0)
+  SELECT point_id, radians(x + 118.0e0) AS lw, radians(y + 8.0e0) AS pw, org3.*
+  FROM pts, org3
+  WHERE x < -100.0e0
+),
+ec AS (  -- WGS84 geodetic -> ECEF
+  SELECT gb.*,
+         (6378137.0e0 / sqrt(1.0e0 - e2w * sin(pw) * sin(pw)))
+           * cos(pw) * cos(lw) AS gx,
+         (6378137.0e0 / sqrt(1.0e0 - e2w * sin(pw) * sin(pw)))
+           * cos(pw) * sin(lw) AS gy,
+         (6378137.0e0 / sqrt(1.0e0 - e2w * sin(pw) * sin(pw)))
+           * (1.0e0 - e2w) * sin(pw) AS gz
+  FROM gb
+),
+hm AS (  -- WGS84 -> OSGB36: negated EPSG:1314 position-vector Helmert
+  SELECT ec.*,
+         -446.448e0 + (1.0e0 + 20.4894e0 * 1.0e-6)
+           * (gx - (-0.8421e0 * as2r) * gy + (-0.2470e0 * as2r) * gz) AS hx,
+         125.157e0 + (1.0e0 + 20.4894e0 * 1.0e-6)
+           * ((-0.8421e0 * as2r) * gx + gy - (-0.1502e0 * as2r) * gz) AS hy,
+         -542.060e0 + (1.0e0 + 20.4894e0 * 1.0e-6)
+           * (-(-0.2470e0 * as2r) * gx + (-0.1502e0 * as2r) * gy + gz) AS hz
+  FROM ec
+),
+g0 AS (  -- ECEF -> geodetic on Airy: fixed six-iteration fixed point
+  SELECT hm.*, sqrt(hx*hx + hy*hy) AS pr,
+         atan2(hz, sqrt(hx*hx + hy*hy) * (1.0e0 - e2a)) AS p0
+  FROM hm
+),
+g1 AS (SELECT *, {_os_iter.format(p='p0')} AS p1 FROM g0),
+g2 AS (SELECT *, {_os_iter.format(p='p1')} AS p2 FROM g1),
+g3 AS (SELECT *, {_os_iter.format(p='p2')} AS p3 FROM g2),
+g4 AS (SELECT *, {_os_iter.format(p='p3')} AS p4 FROM g3),
+g5 AS (SELECT *, {_os_iter.format(p='p4')} AS p5 FROM g4),
+g6 AS (SELECT *, {_os_iter.format(p='p5')} AS p6 FROM g5),
+geo AS (  -- mirror the engine's degrees() round-trip exactly
+  SELECT g6.*,
+         fmod(radians(degrees(atan2(hy, hx)) + 2.0e0)
+              + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         sin(radians(degrees(p6))) AS sphi
+  FROM g6
+),
+pt AS (
+  SELECT *,
+         {_sinh.format(u="0.5e0*ln((1.0e0 + sphi)/(1.0e0 - sphi))"
+                         " - ee * 0.5e0*ln((1.0e0 + ee*sphi)/(1.0e0 - ee*sphi))")} AS t
+  FROM geo
+),
+pxe AS (
+  SELECT *, atan2(t, cos(lam)) AS xip,
+         0.5e0*ln((1.0e0 + sin(lam)/sqrt(1.0e0 + t*t))
+                  /(1.0e0 - sin(lam)/sqrt(1.0e0 + t*t))) AS etap
+  FROM pt
+),
+fin AS (
+  SELECT point_id, n0,
+         0.9996e0 * ar * (etap + {_tm_series_eta}) AS e_k0,
+         0.9996e0 * ar * (xip + {_tm_series}) AS n_k0
+  FROM pxe
+)
+SELECT point_id,
+       CAST(floor((e_k0 * (0.9996012717e0/0.9996e0) + 400000.0e0) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(((n_k0 - n0) * (0.9996012717e0/0.9996e0) - 100000.0e0) * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM fin
 """
