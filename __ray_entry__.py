@@ -4255,6 +4255,56 @@ def q_gpkg_roundtrip(sf_dir: str):
     return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q_asc_roundtrip(sf_dir: str):
+    """ESRI ASCII grid envelope (sources/ascii_grid.py): each oracle
+    image round-trips through the plain-text Arc/Info ASCIIGRID format
+    written and read back ON WORKERS — write_ascii_grid emits the
+    corner header + %.10g rows, read_ascii_grid reparses them and
+    open_raster routes the ``ncols`` text sniff. Pixels ride as exact
+    uint16 (integers print exactly at %.10g), so the golden VALUES
+    oracle pins the same integer sums and floor-cm origins the other
+    container queries pin. Scale shape: one file per image on
+    worker-local disk; nothing shuffles."""
+    import os
+
+    from rasters_ray import codec
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.sources.ascii_grid import write_ascii_grid
+    from rasters_ray.sources.open import open_raster
+
+    out_dir = f"/tmp/rasters_ray_asc_q_{os.getpid()}"
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = {"image_id": [], "px_sum": [], "x0_cm": [], "y0_cm": []}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            g = t.column("grid")[i].as_py()
+            grid = GridSpec(crs=g["crs"], x_origin=g["x_origin"],
+                            y_origin=g["y_origin"], cell_width=g["cell_width"],
+                            cell_height=g["cell_height"], rows=g["rows"],
+                            cols=g["cols"])
+            p = os.path.join(out_dir, f"{iid}.asc")
+            write_ascii_grid(px.astype(np.uint16), grid, p)
+            arr, g2 = open_raster(p)
+            rows["image_id"].append(iid)
+            rows["px_sum"].append(int(np.nansum(arr).astype(np.int64)))
+            rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))
+            rows["y0_cm"].append(int(np.floor(g2.y_origin * 100.0)))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "px_sum": pa.array(rows["px_sum"], pa.int64()),
+                "x0_cm": pa.array(rows["x0_cm"], pa.int64()),
+                "y0_cm": pa.array(rows["y0_cm"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -5390,6 +5440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_tiff": q_strip_tiff,
         "rgb_tiff": q_rgb_tiff,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "asc_roundtrip": q_asc_roundtrip,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -6103,6 +6154,12 @@ SELECT * FROM (VALUES
 ) AS t(image_id, px_sum, x0_cm, y0_cm)
 """
     sql["gpkg_roundtrip"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 1248532, -12400, 4400),
+  ('img00000001', 1251559, -12350, 4400)
+) AS t(image_id, px_sum, x0_cm, y0_cm)
+"""
+    sql["asc_roundtrip"] = """
 SELECT * FROM (VALUES
   ('img00000000', 1248532, -12400, 4400),
   ('img00000001', 1251559, -12350, 4400)

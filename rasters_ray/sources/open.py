@@ -176,6 +176,10 @@ def open_raster(path: str, var: Optional[str] = None,
         from .geopackage import read_geopackage
 
         return read_geopackage(path, table_name=var)
+    if head[:5].lower() in (b"ncols", b"nrows"):  # ESRI ASCII grid
+        from .ascii_grid import read_ascii_grid
+
+        return read_ascii_grid(path)
     raise ValueError(f"unrecognized raster format (magic {head[:4]!r}): {path}")
 
 
