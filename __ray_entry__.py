@@ -4305,6 +4305,52 @@ def q_asc_roundtrip(sf_dir: str):
     return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q_hgt_roundtrip(sf_dir: str):
+    """SRTM .hgt envelope (sources/srtm.py): a 65x65 crop of each
+    oracle image round-trips through the headerless big-endian-int16
+    tile format ON WORKERS, georeferenced purely by the N37W105-style
+    FILENAME convention (write_hgt validates the token, read_hgt
+    rebuilds the GDAL SRTMHGT pixel-center grid, open_raster routes
+    the extension — the format has no magic). n=65 makes the cell
+    1/64 deg, DYADIC, so the half-cell edge offsets are exact in
+    float64 and the floor-cm golden is bit-stable. Pixels are ints in
+    [0, 250] (int16-lossless). Scale shape: one tile per image on
+    worker-local disk; nothing shuffles."""
+    import os
+
+    from rasters_ray import codec
+    from rasters_ray.sources.open import open_raster
+    from rasters_ray.sources.srtm import write_hgt
+
+    out_dir = f"/tmp/rasters_ray_hgt_q_{os.getpid()}"
+    tiles = {"img00000000": "N37W105", "img00000001": "S09E112"}
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = {"image_id": [], "px_sum": [], "x0_cm": [], "y0_cm": []}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            p = os.path.join(out_dir, f"{tiles[iid]}.hgt")
+            write_hgt(px[:65, :65].astype(np.float64), p)
+            arr, g2 = open_raster(p)
+            rows["image_id"].append(iid)
+            rows["px_sum"].append(int(np.nansum(arr).astype(np.int64)))
+            rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))
+            rows["y0_cm"].append(int(np.floor(g2.y_origin * 100.0)))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "px_sum": pa.array(rows["px_sum"], pa.int64()),
+                "x0_cm": pa.array(rows["x0_cm"], pa.int64()),
+                "y0_cm": pa.array(rows["y0_cm"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -5441,6 +5487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rgb_tiff": q_rgb_tiff,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "asc_roundtrip": q_asc_roundtrip,
+        "hgt_roundtrip": q_hgt_roundtrip,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -6163,6 +6210,15 @@ SELECT * FROM (VALUES
 SELECT * FROM (VALUES
   ('img00000000', 1248532, -12400, 4400),
   ('img00000001', 1251559, -12350, 4400)
+) AS t(image_id, px_sum, x0_cm, y0_cm)
+"""
+    # hgt_roundtrip: golden VALUES — 65x65 crop sums plus the floor-cm
+    # corners the FILENAME convention implies (N37W105 / S09E112 with a
+    # dyadic 1/64-deg cell; sequential compute pinned in test_srtm)
+    sql["hgt_roundtrip"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 529336, -10501, 3800),
+  ('img00000001', 530795, 11199, -800)
 ) AS t(image_id, px_sum, x0_cm, y0_cm)
 """
     sql["zarr_shard"] = """

@@ -14,6 +14,8 @@ formats the engine reads natively:
   (``var`` selects the tile table when several exist)
 - PNG (``\\x89PNG``) / baseline JPEG / npy     -> pixel decode, georef
   from an ESRI world-file sidecar when present (else unit grid)
+- SRTM ``.hgt`` (headerless; routed by EXTENSION) -> sources.srtm,
+  georeferenced by the N37W105-style filename convention
 
 ``raster_dataset`` lifts the router to a streaming Ray ingest: one
 IMAGES-schema row per file, decoded ON WORKERS (the driver ships only
@@ -135,6 +137,10 @@ def open_raster(path: str, var: Optional[str] = None,
 
             return zarr_raster(path, var=var)
         raise ValueError(f"directory is not a zarr store: {path}")
+    if path.lower().endswith(".hgt"):  # SRTM: headerless, no magic —
+        from .srtm import read_hgt     # extension + filename convention
+
+        return read_hgt(path)
     with open(path, "rb") as f:
         head = f.read(8)
     if head[:4] in (b"II*\x00", b"MM\x00*",        # classic TIFF
