@@ -4351,6 +4351,61 @@ def q_hgt_roundtrip(sf_dir: str):
     return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q_bil_roundtrip(sf_dir: str):
+    """Raw-binary + .hdr envelope (sources/rawbin.py): each oracle
+    image round-trips ON WORKERS through a DIFFERENT dialect of the
+    headerless-payload family — image 0 as ESRI EHdr (big-endian int16
+    BIL, pixel-center ULXMAP/ULYMAP registration, the GTOPO30 layout),
+    image 1 as ENVI (float32 BSQ, corner-registered map info) — and
+    open_raster routes the extension. The golden VALUES pin the exact
+    integer pixel sums plus the floor-cm origins AFTER the half-cell
+    center<->corner fp round-trip (run-deterministic: fixed IEEE op
+    order). Scale shape: one file per image on worker-local disk;
+    nothing shuffles."""
+    import os
+
+    from rasters_ray import codec
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.sources.open import open_raster
+    from rasters_ray.sources.rawbin import write_rawbin
+
+    out_dir = f"/tmp/rasters_ray_bil_q_{os.getpid()}"
+    style = {"img00000000": ("esri", ">", np.int16, "bil"),
+             "img00000001": ("envi", "<", np.float32, "bsq")}
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        rows = {"image_id": [], "px_sum": [], "x0_cm": [], "y0_cm": []}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            g = t.column("grid")[i].as_py()
+            grid = GridSpec(crs=g["crs"], x_origin=g["x_origin"],
+                            y_origin=g["y_origin"], cell_width=g["cell_width"],
+                            cell_height=g["cell_height"], rows=g["rows"],
+                            cols=g["cols"])
+            dialect, bo, dt, il = style[iid]
+            p = os.path.join(out_dir, f"{iid}.{il if il != 'bsq' else 'bsq'}")
+            write_rawbin(px.astype(dt), grid, p, dialect=dialect,
+                         interleave=il, byte_order=bo)
+            arr, g2 = open_raster(p)
+            rows["image_id"].append(iid)
+            rows["px_sum"].append(int(np.nansum(arr).astype(np.int64)))
+            rows["x0_cm"].append(int(np.floor(g2.x_origin * 100.0)))
+            rows["y0_cm"].append(int(np.floor(g2.y_origin * 100.0)))
+        return pa.table(
+            {
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "px_sum": pa.array(rows["px_sum"], pa.int64()),
+                "x0_cm": pa.array(rows["x0_cm"], pa.int64()),
+                "y0_cm": pa.array(rows["y0_cm"], pa.int64()),
+            }
+        )
+
+    return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -5488,6 +5543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "asc_roundtrip": q_asc_roundtrip,
         "hgt_roundtrip": q_hgt_roundtrip,
+        "bil_roundtrip": q_bil_roundtrip,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -6207,6 +6263,15 @@ SELECT * FROM (VALUES
 ) AS t(image_id, px_sum, x0_cm, y0_cm)
 """
     sql["asc_roundtrip"] = """
+SELECT * FROM (VALUES
+  ('img00000000', 1248532, -12400, 4400),
+  ('img00000001', 1251559, -12350, 4400)
+) AS t(image_id, px_sum, x0_cm, y0_cm)
+"""
+    # bil_roundtrip: golden VALUES — full-image sums; the half-cell
+    # center<->corner fp round-trip lands back on the exact lattice
+    # origins (pinned by one sequential run; fixed IEEE op order)
+    sql["bil_roundtrip"] = """
 SELECT * FROM (VALUES
   ('img00000000', 1248532, -12400, 4400),
   ('img00000001', 1251559, -12350, 4400)

@@ -16,6 +16,8 @@ formats the engine reads natively:
   from an ESRI world-file sidecar when present (else unit grid)
 - SRTM ``.hgt`` (headerless; routed by EXTENSION) -> sources.srtm,
   georeferenced by the N37W105-style filename convention
+- raw binary + ``.hdr`` sidecar (``.bil/.bip/.bsq/.flt/.raw``; routed
+  by EXTENSION) -> sources.rawbin (ESRI EHdr and ENVI dialects)
 
 ``raster_dataset`` lifts the router to a streaming Ray ingest: one
 IMAGES-schema row per file, decoded ON WORKERS (the driver ships only
@@ -141,6 +143,11 @@ def open_raster(path: str, var: Optional[str] = None,
         from .srtm import read_hgt     # extension + filename convention
 
         return read_hgt(path)
+    if os.path.splitext(path)[1].lower() in (
+            ".bil", ".bip", ".bsq", ".flt", ".raw"):
+        from .rawbin import read_rawbin  # ESRI/ENVI .hdr sidecar dialects
+
+        return read_rawbin(path)
     with open(path, "rb") as f:
         head = f.read(8)
     if head[:4] in (b"II*\x00", b"MM\x00*",        # classic TIFF
