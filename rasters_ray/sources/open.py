@@ -97,6 +97,7 @@ def _geotiff_grid(meta: dict, rows: int, cols: int) -> GridSpec:
 
 def open_raster(path: str, var: Optional[str] = None,
                 window: Optional[Tuple[int, int, int, int]] = None,
+                overview: Optional[int] = None,
                 ) -> Tuple[np.ndarray, GridSpec]:
     """Read ONE raster (any supported format) -> (2D array, GridSpec).
     ``var`` selects the NetCDF/HDF5/Zarr variable (required when more
@@ -105,7 +106,13 @@ def open_raster(path: str, var: Optional[str] = None,
     ``window=(row_off, col_off, height, width)`` reads only that region
     of a TIFF/BigTIFF — intersecting tiles/strips are the ONLY bytes
     decompressed — and returns a GridSpec shifted to the window origin
-    (reference parity: Raster.open(window=...), raster.py:634-771)."""
+    (reference parity: Raster.open(window=...), raster.py:634-771).
+    ``overview=n`` returns pyramid level n of a COG (0 = full
+    resolution; rasterio's ``overview_level`` is ``overview - 1``) with
+    the cell size scaled to the level's decimation — the cheap path for
+    quicklooks over a continent-sized mosaic."""
+    if overview is not None and window is not None:
+        raise ValueError("pass either overview= or window=, not both")
     if window is not None:
         if not os.path.isfile(path):
             raise NotImplementedError(
@@ -132,6 +139,13 @@ def open_raster(path: str, var: Optional[str] = None,
             cell_width=g.cell_width, cell_height=g.cell_height,
             rows=arr.shape[0], cols=arr.shape[1],
         )
+    if overview is not None and (
+            os.path.isdir(path)
+            or os.path.splitext(path)[1].lower() in (
+                ".hgt", ".bil", ".bip", ".bsq", ".flt", ".raw")):
+        raise NotImplementedError(
+            "overview= needs an embedded pyramid; only TIFF/COG carries "
+            "one (GeoPackage zoom levels: read_geopackage(zoom=...))")
     if os.path.isdir(path):
         if any(os.path.exists(os.path.join(path, m))
                for m in (".zgroup", ".zarray", "zarr.json")):
@@ -155,14 +169,34 @@ def open_raster(path: str, var: Optional[str] = None,
         from .geotiff import read_geotiff
 
         levels, meta = read_geotiff(path)
-        arr = np.asarray(levels[0])
+        lvl = 0 if overview is None else overview
+        if lvl < 0 or lvl >= len(levels):
+            raise ValueError(
+                f"overview {lvl} out of range: file has {len(levels)} "
+                f"pyramid level(s)")
+        arr = np.asarray(levels[lvl])
         # GDAL_NODATA -> NaN for float rasters (the engine's composites
         # treat NaN as invalid, mirroring the reference's nodata->nan);
         # integer rasters keep raw values (no NaN representation)
         nd = meta.get("nodata")
         if nd is not None and arr.dtype.kind == "f" and not np.isnan(nd):
             arr = np.where(arr == arr.dtype.type(nd), np.nan, arr)
-        return arr, _geotiff_grid(meta, arr.shape[0], arr.shape[1])
+        g = _geotiff_grid(meta, arr.shape[0], arr.shape[1])
+        if lvl > 0:
+            # extent-preserving decimation: the overview covers the SAME
+            # ground box with fewer cells (GDAL overview semantics)
+            r0, c0 = levels[0].shape[0], levels[0].shape[1]
+            g = GridSpec(
+                crs=g.crs, x_origin=g.x_origin, y_origin=g.y_origin,
+                cell_width=g.cell_width * (c0 / arr.shape[1]),
+                cell_height=g.cell_height * (r0 / arr.shape[0]),
+                rows=arr.shape[0], cols=arr.shape[1],
+            )
+        return arr, g
+    if overview is not None:
+        raise NotImplementedError(
+            "overview= needs an embedded pyramid; only TIFF/COG carries "
+            f"one (file magic {head[:4]!r})")
     if head[:3] == b"CDF" or head == b"\x89HDF\r\n\x1a\n":
         from .netcdf import netcdf_raster, read_netcdf
 

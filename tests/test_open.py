@@ -81,3 +81,39 @@ def test_raster_dataset_mixed_formats(ray_session, tmp_path):
     df = ds.to_pandas().sort_values("image_id").reset_index(drop=True)
     assert list(df["image_id"]) == ["a", "b", "c"]
     assert list(df["w"]) == [16, 16, 3] and list(df["h"]) == [16, 16, 4]
+
+
+def test_open_cog_overview_levels(tmp_path):
+    arr = (np.arange(64 * 96) % 251).astype(np.float32).reshape(64, 96)
+    p = str(tmp_path / "ov.tif")
+    write_cog(arr, _grid(64, 96), p, tile=32)
+    full, g0 = open_raster(p, overview=0)
+    np.testing.assert_array_equal(full, arr)
+    ov1, g1 = open_raster(p, overview=1)
+    assert ov1.shape == (32, 48)
+    # extent preserved: fewer cells, proportionally larger cells
+    assert g1.x_origin == g0.x_origin and g1.y_origin == g0.y_origin
+    assert g1.cell_width == pytest.approx(g0.cell_width * 2)
+    assert g1.cell_height == pytest.approx(g0.cell_height * 2)
+    assert g1.rows == 32 and g1.cols == 48
+    # level-1 pixels are the 2x2 block means the writer computed
+    assert ov1[0, 0] == pytest.approx(arr[:2, :2].mean())
+    with pytest.raises(ValueError, match="pyramid level"):
+        open_raster(p, overview=99)
+    with pytest.raises(ValueError, match="not both"):
+        open_raster(p, overview=1, window=(0, 0, 4, 4))
+
+
+def test_open_overview_rejected_off_tiff(tmp_path):
+    import rasters_ray.sources.srtm as srtm
+
+    hp = str(tmp_path / "N10E020.hgt")
+    srtm.write_hgt(np.zeros((3, 3)), hp)
+    with pytest.raises(NotImplementedError, match="pyramid"):
+        open_raster(hp, overview=1)
+    nc = str(tmp_path / "x.nc")
+    write_netcdf(nc, {"y": 2, "x": 2},
+                 {"v": {"dims": ("y", "x"),
+                        "data": np.zeros((2, 2), np.float32)}})
+    with pytest.raises(NotImplementedError, match="pyramid"):
+        open_raster(nc, overview=1)
