@@ -977,7 +977,8 @@ def read_geotiff(path: str, window: Optional[Tuple[int, int, int, int]] = None):
         levels.append(out)
         if TAG_PIXEL_SCALE in tags:
             meta["pixel_scale"] = tags[TAG_PIXEL_SCALE]
-            meta["tiepoint"] = tags[TAG_TIEPOINT]
+            if TAG_TIEPOINT in tags:
+                meta["tiepoint"] = tags[TAG_TIEPOINT]
             meta["geo_keys"] = tags.get(TAG_GEO_KEYS, [])
             if TAG_GEO_ASCII in tags:
                 meta["geo_ascii"] = bytes(

@@ -34,7 +34,8 @@ import numpy as np
 from .. import codec
 from ..grids import GridSpec
 
-_WORLD_EXT = {".png": ".pgw", ".jpg": ".jgw", ".jpeg": ".jgw", ".npy": ".npw"}
+_WORLD_EXT = {".png": ".pgw", ".jpg": ".jgw", ".jpeg": ".jgw", ".npy": ".npw",
+              ".tif": ".tfw", ".tiff": ".tfw"}
 
 
 def _sidecar_grid(path: str, rows: int, cols: int) -> GridSpec:
@@ -84,7 +85,14 @@ def _crs_from_geokeys(gk, ascii_params: str = "") -> str:
     return crs
 
 
-def _geotiff_grid(meta: dict, rows: int, cols: int) -> GridSpec:
+def _geotiff_grid(meta: dict, rows: int, cols: int,
+                  path: Optional[str] = None) -> GridSpec:
+    if "pixel_scale" not in meta or "tiepoint" not in meta:
+        if path is not None:
+            # bare TIFF without GeoKeys (scanned maps, image-tool
+            # exports): GDAL's fallback is the .tfw world file
+            return _sidecar_grid(path, rows, cols)
+        raise ValueError("TIFF has no ModelPixelScale/ModelTiepoint tags")
     sx, sy = meta["pixel_scale"][:2]
     i, j, _k, x, y, _z = meta["tiepoint"][:6]
     crs = _crs_from_geokeys(meta.get("geo_keys", []),
@@ -131,7 +139,7 @@ def open_raster(path: str, var: Optional[str] = None,
         levels, meta = read_geotiff(path, window=window)
         arr = levels[0]
         wr0, wc0, _wh, _ww = meta["window"]
-        g = _geotiff_grid(meta, arr.shape[0], arr.shape[1])
+        g = _geotiff_grid(meta, arr.shape[0], arr.shape[1], path)
         return np.asarray(arr), GridSpec(
             crs=g.crs,
             x_origin=g.x_origin + wc0 * g.cell_width,
@@ -181,7 +189,7 @@ def open_raster(path: str, var: Optional[str] = None,
         nd = meta.get("nodata")
         if nd is not None and arr.dtype.kind == "f" and not np.isnan(nd):
             arr = np.where(arr == arr.dtype.type(nd), np.nan, arr)
-        g = _geotiff_grid(meta, arr.shape[0], arr.shape[1])
+        g = _geotiff_grid(meta, arr.shape[0], arr.shape[1], path)
         if lvl > 0:
             # extent-preserving decimation: the overview covers the SAME
             # ground box with fewer cells (GDAL overview semantics)
