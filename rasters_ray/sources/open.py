@@ -178,6 +178,12 @@ def open_raster(path: str, var: Optional[str] = None,
 
         levels, meta = read_geotiff(path)
         lvl = 0 if overview is None else overview
+        if lvl > 0 and len(levels) == 1 and os.path.exists(path + ".ovr"):
+            # GDAL convention: external overviews live in <file>.ovr (a
+            # TIFF whose IFD chain holds the pyramid) when the main file
+            # carries none; its level i is the main file's level i+1
+            ovr_levels, _ = read_geotiff(path + ".ovr")
+            levels = levels + ovr_levels
         if lvl < 0 or lvl >= len(levels):
             raise ValueError(
                 f"overview {lvl} out of range: file has {len(levels)} "
@@ -238,9 +244,12 @@ def open_raster(path: str, var: Optional[str] = None,
     raise ValueError(f"unrecognized raster format (magic {head[:4]!r}): {path}")
 
 
-def raster_dataset(paths: List[str], var: Optional[str] = None, fmt: str = "npy"):
+def raster_dataset(paths: List[str], var: Optional[str] = None, fmt: str = "npy",
+                   overview: Optional[int] = None):
     """Streaming mixed-format ingest: one IMAGES-schema row per file,
-    decoded on workers via the magic router."""
+    decoded on workers via the magic router. ``overview=`` ingests that
+    COG pyramid level instead of full resolution — the quicklook path
+    that touches a fraction of the bytes (all paths must be TIFFs)."""
     import pyarrow as pa
 
     import ray.data as rd
@@ -252,7 +261,7 @@ def raster_dataset(paths: List[str], var: Optional[str] = None, fmt: str = "npy"
                                "phash")}
         grids = []
         for p in batch.column("path").to_pylist():
-            arr, grid = open_raster(p, var=var)
+            arr, grid = open_raster(p, var=var, overview=overview)
             if arr.ndim == 3:  # RGB display images ingest as luma
                 arr = arr.mean(axis=2)
             a32 = np.ascontiguousarray(arr).astype(np.float32)

@@ -141,3 +141,27 @@ def test_open_bare_tiff_with_tfw(tmp_path):
     assert g2.x_origin == 100.0 and g2.y_origin == 50.0
     with pytest.raises(ValueError, match="ModelPixelScale"):
         _geotiff_grid({}, 3, 4, None)
+
+
+def test_open_external_ovr_overviews(tmp_path, ray_session):
+    from rasters_ray.sources.geotiff import write_cog, write_geotiff
+
+    arr = (np.arange(64 * 64) % 199).astype(np.float32).reshape(64, 64)
+    p = str(tmp_path / "plain.tif")
+    write_geotiff(arr, _grid(64, 64), p)          # no embedded pyramid
+    with pytest.raises(ValueError, match="pyramid level"):
+        open_raster(p, overview=1)                # and no .ovr yet
+    # build the external pyramid: a COG whose levels 1.. are the
+    # overviews; store them as the .ovr sidecar (GDAL layout)
+    import rasters_ray.sources.geotiff as gt
+
+    levels, _ = gt.read_geotiff(p)
+    ov1 = arr.reshape(32, 2, 32, 2).mean(axis=(1, 3)).astype(np.float32)
+    write_geotiff(ov1, _grid(32, 32), p + ".ovr")
+    got, g = open_raster(p, overview=1)
+    np.testing.assert_allclose(got, ov1)
+    assert g.cell_width == pytest.approx(0.02)
+    # streaming ingest at an overview level decodes the small arrays
+    ds = raster_dataset([str(tmp_path / "plain.tif")], overview=1)
+    t = ds.take_all()
+    assert t[0]["w"] == 32 and t[0]["h"] == 32
