@@ -77,9 +77,11 @@ def read_ascii_grid(path: str) -> Tuple[np.ndarray, GridSpec]:
         arr = np.where(arr == nd, np.nan, arr)
 
     crs = "EPSG:4326"
-    cpath = os.path.splitext(path)[0] + ".crs"
-    if os.path.exists(cpath):
-        crs = open(cpath).read().strip()
+    base = os.path.splitext(path)[0]
+    for sc in (base + ".prj", base + ".crs"):  # .prj WKT wins (GDAL/ESRI)
+        if os.path.exists(sc):
+            crs = open(sc).read().strip()
+            break
     grid = GridSpec(
         crs=crs, x_origin=xll, y_origin=yll + rows * cs,
         cell_width=cs, cell_height=-cs, rows=rows, cols=cols,

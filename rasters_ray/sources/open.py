@@ -42,9 +42,12 @@ def _sidecar_grid(path: str, rows: int, cols: int) -> GridSpec:
     base, ext = os.path.splitext(path)
     wf = base + _WORLD_EXT.get(ext.lower(), ".wld")
     crs = "EPSG:4326"
-    cpath = base + ".crs"
-    if os.path.exists(cpath):
-        crs = open(cpath).read().strip()
+    # .prj (WKT, the GDAL/ESRI convention — resolved lazily by the
+    # engine's authority parser) wins over the engine's .crs shorthand
+    for sc in (base + ".prj", base + ".crs"):
+        if os.path.exists(sc):
+            crs = open(sc).read().strip()
+            break
     if os.path.exists(wf):
         vals = [float(v) for v in open(wf).read().split()[:6]]
         cw, _, _, ch, cx, cy = vals

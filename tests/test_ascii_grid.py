@@ -65,3 +65,15 @@ def test_asc_crs_sidecar_and_errors(tmp_path):
     p3.write_text("ncols 3\nnrows 2\nxllcorner 0\nyllcorner 0\ncellsize 1\n1 2 3\n")
     with pytest.raises(ValueError, match="samples"):
         read_ascii_grid(str(p3))
+
+
+def test_asc_prj_sidecar_wins(tmp_path):
+    arr = np.ones((2, 2), dtype=np.float64)
+    p = str(tmp_path / "w.asc")
+    write_ascii_grid(arr, _grid(2, 2), p)
+    (tmp_path / "w.prj").write_text(
+        'PROJCS["WGS 84 / UTM zone 10N",AUTHORITY["EPSG","32610"]]')
+    (tmp_path / "w.crs").write_text("EPSG:3857")  # loses to .prj
+    _, grid = read_ascii_grid(p)
+    from rasters_ray.proj.crs import parse_crs
+    assert parse_crs(grid.crs) == parse_crs("EPSG:32610")
