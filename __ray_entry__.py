@@ -4406,6 +4406,52 @@ def q_bil_roundtrip(sf_dir: str):
     return _images_ds(sf_dir, 2).map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q_shp_roundtrip(sf_dir: str):
+    """ESRI Shapefile envelope (sources/shapefile.py): the oracle
+    points (c_custkey < 2000) round-trip ON WORKERS through .shp +
+    .shx + .dbf — geometry doubles are stored raw (bit-exact back),
+    the integer attribute rides a dBase N field — and the oracle
+    recomputes EVERYTHING from the customer view (_PTS_CTE formula +
+    floor-cm), so this is a value-exact non-golden contract. Scale
+    shape: one shapefile per input block on worker-local disk; nothing
+    shuffles."""
+    import os
+
+    from rasters_ray.sources.shapefile import read_shapefile, write_shapefile
+    from rasters_ray.sources.vectors import oracle_points_from_keys
+
+    out_dir = f"/tmp/rasters_ray_shp_q_{os.getpid()}"
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        k = t.column("c_custkey").to_numpy()
+        k = k[k < 2000]
+        if len(k) == 0:
+            return pa.table({"point_id": pa.array([], pa.string()),
+                             "x_cm": pa.array([], pa.int64()),
+                             "y_cm": pa.array([], pa.int64()),
+                             "grp": pa.array([], pa.int64())})
+        pts = oracle_points_from_keys(k)
+        pts = pts.append_column(
+            "grp", pa.array((k % 1000).astype(np.int64), pa.int64()))
+        p = os.path.join(out_dir, f"blk{int(k[0])}_{os.getpid()}.shp")
+        write_shapefile(pts, p)
+        back = read_shapefile(p)
+        x = back.column("x").to_numpy()
+        y = back.column("y").to_numpy()
+        return pa.table(
+            {
+                "point_id": back.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64)),
+                "y_cm": pa.array(np.floor(y * 100.0).astype(np.int64)),
+                "grp": back.column("grp"),
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        roundtrip, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -5544,6 +5590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asc_roundtrip": q_asc_roundtrip,
         "hgt_roundtrip": q_hgt_roundtrip,
         "bil_roundtrip": q_bil_roundtrip,
+        "shp_roundtrip": q_shp_roundtrip,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -6267,6 +6314,24 @@ SELECT * FROM (VALUES
   ('img00000000', 1248532, -12400, 4400),
   ('img00000001', 1251559, -12350, 4400)
 ) AS t(image_id, px_sum, x0_cm, y0_cm)
+"""
+    # shp_roundtrip: value-exact NON-golden — the .shp stores geometry
+    # doubles raw, so the oracle recomputes the full point formula +
+    # floor-cm from the customer view (same IEEE expression order)
+    sql["shp_roundtrip"] = """
+WITH k AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 97 = 0
+              THEN -124.0e0 + (c_custkey % 800) * 0.01e0 + 0.001e0 + 50.0e0
+              ELSE -124.0e0 + (c_custkey % 800) * 0.01e0 + 0.001e0 END AS x,
+         44.0e0 - ((c_custkey // 7) % 800) * 0.01e0 - 0.001e0 AS y
+  FROM customer WHERE c_custkey < 2000
+)
+SELECT printf('pt%06d', c_custkey) AS point_id,
+       CAST(FLOOR(x * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(FLOOR(y * 100.0e0) AS BIGINT) AS y_cm,
+       CAST(c_custkey % 1000 AS BIGINT) AS grp
+FROM k
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice

@@ -1,0 +1,113 @@
+"""ESRI Shapefile read/write — points, polygons, polylines, dBase
+attributes, Z/M tolerance, null shapes (reference parity: the
+geopandas/fiona vector path behind rasterize/mask/to_point,
+rasters/raster.py:1488-1530; spec: ESRI Shapefile Technical
+Description, July 1998)."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rasters_ray.sources.shapefile import (read_shapefile, write_shapefile,
+                                           _read_dbf)
+from rasters_ray.sources.vectors import RING_TYPE, fixture_polygons
+
+
+def test_points_roundtrip_bit_exact(tmp_path):
+    rng = np.random.default_rng(3)
+    x = rng.normal(scale=100, size=40)
+    y = rng.normal(scale=50, size=40)
+    t = pa.table({
+        "point_id": pa.array([f"pt{i:04d}" for i in range(40)]),
+        "x": pa.array(x), "y": pa.array(y),
+        "crs": pa.array(["EPSG:32610"] * 40),
+        "height": pa.array(rng.integers(0, 500, 40)),
+    })
+    p = str(tmp_path / "pts.shp")
+    write_shapefile(t, p)
+    back = read_shapefile(p)
+    assert back.column("point_id").to_pylist() == t.column("point_id").to_pylist()
+    # geometry doubles are stored raw: bit-exact round-trip
+    assert np.array_equal(back.column("x").to_numpy(), x)
+    assert np.array_equal(back.column("y").to_numpy(), y)
+    assert back.column("crs")[0].as_py() == "EPSG:32610"
+    assert back.column("height").to_pylist() == t.column("height").to_pylist()
+
+
+def test_polygons_roundtrip_rings(tmp_path):
+    polys = fixture_polygons(8)
+    p = str(tmp_path / "zones.shp")
+    write_shapefile(polys, p)
+    back = read_shapefile(p)
+    assert back.column("poly_id").to_pylist() == polys.column("poly_id").to_pylist()
+    assert back.column("rings").to_pylist() == polys.column("rings").to_pylist()
+    assert back.schema.field("rings").type == RING_TYPE
+
+
+def test_polylines_and_multiparts(tmp_path):
+    paths = [
+        [[{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 1.0}]],
+        [[{"x": 2.0, "y": 0.0}, {"x": 3.0, "y": 1.0}],
+         [{"x": 4.0, "y": 0.0}, {"x": 5.0, "y": 1.0}, {"x": 6.0, "y": 0.0}]],
+    ]
+    t = pa.table({
+        "line_id": pa.array(["a", "b"]),
+        "paths": pa.array(paths, RING_TYPE),
+        "crs": pa.array(["EPSG:4326"] * 2),
+    })
+    p = str(tmp_path / "lines.shp")
+    write_shapefile(t, p)
+    back = read_shapefile(p)
+    assert back.column("line_id").to_pylist() == ["a", "b"]
+    assert back.column("paths").to_pylist() == paths
+
+
+def test_reader_tolerates_z_and_null_shapes(tmp_path):
+    # hand-build a .shp: record 1 = null shape, record 2 = PointZ (11)
+    content1 = struct.pack("<i", 0)
+    content2 = struct.pack("<idddd", 11, 7.25, -3.5, 99.0, 1.0)  # x y z m
+    body = (struct.pack(">ii", 1, len(content1) // 2) + content1
+            + struct.pack(">ii", 2, len(content2) // 2) + content2)
+    hdr = (struct.pack(">i20xi", 9994, (100 + len(body)) // 2)
+           + struct.pack("<ii", 1000, 11)
+           + struct.pack("<8d", 7.25, -3.5, 7.25, -3.5, 0, 0, 0, 0))
+    (tmp_path / "z.shp").write_bytes(hdr + body)
+    back = read_shapefile(str(tmp_path / "z.shp"))
+    assert back.num_rows == 1
+    assert back.column("x")[0].as_py() == 7.25
+    assert back.column("point_id")[0].as_py() == "shp000002"
+
+
+def test_dbf_field_types_and_shx(tmp_path):
+    t = pa.table({
+        "point_id": pa.array(["a", "b"]),
+        "x": pa.array([1.0, 2.0]), "y": pa.array([3.0, 4.0]),
+        "crs": pa.array(["EPSG:4326"] * 2),
+        "n": pa.array([10, None], pa.int64()),
+        "f": pa.array([1.5, -2.25]),
+        "flag": pa.array([True, False]),
+    })
+    base = tmp_path / "mix"
+    write_shapefile(t, str(base) + ".shp")
+    cols = _read_dbf(str(base) + ".dbf")
+    assert cols["n"] == [10, None]
+    assert cols["f"] == [1.5, -2.25]
+    assert cols["flag"] == [True, False]
+    # .shx carries one (offset, length) pair per record
+    shx = (base.parent / "mix.shx").read_bytes()
+    assert len(shx) == 100 + 8 * 2
+    off1, len1 = struct.unpack(">ii", shx[100:108])
+    assert off1 == 50 and len1 == 10  # first point record = 10 words
+    back = read_shapefile(str(base) + ".shp")
+    assert back.column("flag").to_pylist() == [True, False]
+
+
+def test_bad_files_raise(tmp_path):
+    (tmp_path / "bad.shp").write_bytes(b"\x00" * 100)
+    with pytest.raises(ValueError, match="file code"):
+        read_shapefile(str(tmp_path / "bad.shp"))
+    with pytest.raises(ValueError, match="x/y or rings"):
+        write_shapefile(pa.table({"a": pa.array([1])}),
+                        str(tmp_path / "x.shp"))
