@@ -124,3 +124,48 @@ def rings_to_numpy(rings_value) -> List[np.ndarray]:
         pts = np.array([(p["x"], p["y"]) for p in ring], dtype=np.float64)
         out.append(pts)
     return out
+
+
+def read_vector_file(path: str, kind: str = "auto") -> pa.Table:
+    """One vector file -> the engine's Arrow vector table. Shapefiles
+    route by the .shp extension; everything else is parsed as GeoJSON
+    (FeatureCollection or bare geometry). ``kind`` ('points' or
+    'polygons') asserts the schema class for pipelines that need one;
+    'auto' returns whatever the file holds."""
+    import os
+
+    if os.path.splitext(path)[1].lower() == ".shp":
+        from .shapefile import read_shapefile
+
+        t = read_shapefile(path)
+    else:
+        from .geojson import geojson_to_polygons
+
+        t = geojson_to_polygons(open(path).read())
+    have = ("points" if "x" in t.column_names
+            else "polygons" if "rings" in t.column_names else "lines")
+    if kind != "auto" and kind != have:
+        raise ValueError(f"{path} holds {have}, pipeline expects {kind}")
+    return t
+
+
+def vector_dataset(paths: List[str], kind: str = "polygons"):
+    """Streaming vector ingest (the vector side of raster_dataset): one
+    Ray task per file batch, parsed ON WORKERS into a uniformly-typed
+    dataset ready for pip_join/rasterize/point stages; a source_file
+    column keeps lineage. All files must hold the same schema class."""
+    import os
+
+    import ray.data as rd
+
+    def load(batch: pa.Table) -> pa.Table:
+        parts = []
+        for p in batch.column("path").to_pylist():
+            t = read_vector_file(p, kind=kind)
+            parts.append(t.append_column(
+                "source_file",
+                pa.array([os.path.basename(p)] * t.num_rows, pa.string())))
+        return pa.concat_tables(parts, promote_options="default")
+
+    return rd.from_items([{"path": p} for p in paths]).map_batches(
+        load, batch_format="pyarrow")

@@ -111,3 +111,23 @@ def test_bad_files_raise(tmp_path):
     with pytest.raises(ValueError, match="x/y or rings"):
         write_shapefile(pa.table({"a": pa.array([1])}),
                         str(tmp_path / "x.shp"))
+
+
+def test_vector_dataset_streaming(tmp_path, ray_session):
+    from rasters_ray.sources.geojson import polygons_to_geojson
+    from rasters_ray.sources.vectors import (fixture_polygons,
+                                             read_vector_file,
+                                             vector_dataset)
+
+    polys = fixture_polygons(6)
+    shp = str(tmp_path / "a.shp")
+    write_shapefile(polys, shp)
+    gj = str(tmp_path / "b.geojson")
+    with open(gj, "w") as fh:
+        fh.write(polygons_to_geojson(polys))
+    ds = vector_dataset([shp, gj], kind="polygons")
+    t = pa.Table.from_pylist(ds.take_all())
+    assert t.num_rows == 12
+    assert set(t.column("source_file").to_pylist()) == {"a.shp", "b.geojson"}
+    with pytest.raises(ValueError, match="expects points"):
+        read_vector_file(shp, kind="points")
