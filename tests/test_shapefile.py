@@ -131,3 +131,37 @@ def test_vector_dataset_streaming(tmp_path, ray_session):
     assert set(t.column("source_file").to_pylist()) == {"a.shp", "b.geojson"}
     with pytest.raises(ValueError, match="expects points"):
         read_vector_file(shp, kind="points")
+
+
+def test_shapefile_feeds_pip_and_rasterize(tmp_path, ray_session):
+    """A user's shapefile drives the engine's spatial stages directly:
+    read_shapefile -> pip_join (broadcast) and rasterize_mask."""
+    import ray.data as rd
+
+    from rasters_ray.grids.gridspec import GridSpec
+    from rasters_ray.stages.pip import pip_join, rasterize_mask
+
+    square = [[{"x": 2.0, "y": 2.0}, {"x": 6.0, "y": 2.0},
+               {"x": 6.0, "y": 6.0}, {"x": 2.0, "y": 6.0},
+               {"x": 2.0, "y": 2.0}]]
+    polys = pa.table({
+        "poly_id": pa.array(["sq"]),
+        "rings": pa.array([square], RING_TYPE),
+        "crs": pa.array(["EPSG:4326"]),
+    })
+    p = str(tmp_path / "zone.shp")
+    write_shapefile(polys, p)
+    zone = read_shapefile(p)
+
+    pts = rd.from_items([
+        {"point_id": "in", "x": 3.0, "y": 3.0, "crs": "EPSG:4326"},
+        {"point_id": "out", "x": 9.0, "y": 9.0, "crs": "EPSG:4326"},
+    ])
+    hits = pip_join(pts, zone, mode="inner").take_all()
+    assert [h["point_id"] for h in hits] == ["in"]
+
+    grid = GridSpec(crs="EPSG:4326", x_origin=0.0, y_origin=8.0,
+                    cell_width=1.0, cell_height=-1.0, rows=8, cols=8)
+    mask = rasterize_mask(grid, zone)
+    # cell centers strictly inside [2,6]x[2,6]
+    assert mask.sum() == 16 and mask[3, 3] and not mask[0, 0]
