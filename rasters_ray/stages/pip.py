@@ -226,3 +226,24 @@ def rasterize_mask(
                     rr, cc = segment_cells(grid, xs[k], ys[k], xs[k + 1], ys[k + 1])
                     mask[rr, cc] = True
     return ~mask if invert else mask
+
+
+def rasterize_lines(grid: GridSpec, lines: pa.Table,
+                    column: str = "paths") -> np.ndarray:
+    """Polyline set -> boolean mask of every cell a path passes through
+    (GDAL line-burn / all_touched semantics, the roads-and-rivers
+    counterpart of ``rasterize_mask``; reference rasterizes any fiona
+    geometry through rasterio.features, raster_grid.py:936-984).
+    Consumes the engine's ``paths`` vector schema — what
+    ``read_shapefile`` yields for PolyLine files — via the same
+    supercover ``segment_cells`` traversal the polygon edge burn uses."""
+    from ..sources.vectors import rings_to_numpy
+
+    mask = np.zeros(grid.shape, dtype=bool)
+    for paths_v in lines.column(column).to_pylist():
+        for pts in rings_to_numpy(paths_v):
+            for k in range(len(pts) - 1):
+                rr, cc = segment_cells(grid, pts[k, 0], pts[k, 1],
+                                       pts[k + 1, 0], pts[k + 1, 1])
+                mask[rr, cc] = True
+    return mask

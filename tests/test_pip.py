@@ -164,3 +164,29 @@ def test_rasterize_all_touched_exact_edges():
     # bbox) is far from the hypotenuse -> not touched
     assert not m_all[5, 5]
     assert not m_all[4, 4] or True  # near hypotenuse; covered by oracle above
+
+
+def test_rasterize_lines_supercover(ray_session):
+    import pyarrow as pa
+
+    from rasters_ray.sources.vectors import RING_TYPE
+    from rasters_ray.stages.pip import rasterize_lines
+
+    grid = GridSpec(crs="EPSG:4326", x_origin=0.0, y_origin=6.0,
+                    cell_width=1.0, cell_height=-1.0, rows=6, cols=6)
+    # a horizontal run plus a diagonal: supercover touches every
+    # crossed cell, not just Bresenham picks
+    paths = [[
+        [{"x": 0.5, "y": 5.5}, {"x": 3.5, "y": 5.5}],          # row 0
+        [{"x": 0.5, "y": 0.5}, {"x": 5.5, "y": 5.5}],          # diagonal
+    ]]
+    t = pa.table({"line_id": pa.array(["road"]),
+                  "paths": pa.array(paths, RING_TYPE),
+                  "crs": pa.array(["EPSG:4326"])})
+    m = rasterize_lines(grid, t)
+    assert m[0, :4].all() and not m[0, 4]              # horizontal burn
+    for k in range(6):                                 # diagonal cells
+        assert m[5 - k, k]                             # (0,5) is its end
+    # corner-exact crossings stay one cell per step (unique-t dedup):
+    # 4 horizontal + 6 diagonal, no overlap
+    assert m.sum() == 10
