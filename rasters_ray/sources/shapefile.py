@@ -322,3 +322,31 @@ def write_shapefile(table: pa.Table, path: str) -> None:
     if crs_vals and crs_vals[0] != "EPSG:4326":
         with open(base + ".crs", "w") as fh:
             fh.write(crs_vals[0])
+
+
+def write_shapefile_dataset(ds, out_dir: str, prefix: str = "part"):
+    """Distributed shapefile sink: each block of a points/polygons/
+    lines dataset becomes one ``out_dir/<prefix>-<firstid>.shp`` (+
+    .shx/.dbf/.crs) written ON ITS WORKER — the shard-per-block layout
+    every sink in this engine uses (resumable, no driver funnel; a
+    consumer opens the directory as a multi-file layer, which is how
+    large shapefile deliveries ship in practice since one .shp caps at
+    2 GB). Returns the manifest Dataset[(path, n_rows)] — consume it to
+    drive the write."""
+    import pyarrow as pa_mod
+
+    def write(batch: pa_mod.Table) -> pa_mod.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        if batch.num_rows == 0:
+            return pa_mod.table({"path": pa_mod.array([], pa_mod.string()),
+                                 "n_rows": pa_mod.array([], pa_mod.int64())})
+        idcol = next(c for c in ("point_id", "poly_id", "line_id")
+                     if c in batch.column_names)
+        first = str(batch.column(idcol)[0].as_py()).replace(os.sep, "_")
+        p = os.path.join(out_dir, f"{prefix}-{first}.shp")
+        write_shapefile(batch, p)
+        return pa_mod.table({"path": pa_mod.array([p]),
+                             "n_rows": pa_mod.array([batch.num_rows],
+                                                    pa_mod.int64())})
+
+    return ds.map_batches(write, batch_format="pyarrow")

@@ -165,3 +165,25 @@ def test_shapefile_feeds_pip_and_rasterize(tmp_path, ray_session):
     mask = rasterize_mask(grid, zone)
     # cell centers strictly inside [2,6]x[2,6]
     assert mask.sum() == 16 and mask[3, 3] and not mask[0, 0]
+
+
+def test_write_shapefile_dataset_sharded(tmp_path, ray_session):
+    import glob
+
+    import ray.data as rd
+
+    from rasters_ray.sources.shapefile import write_shapefile_dataset
+    from rasters_ray.sources.vectors import vector_dataset
+
+    pts = [{"point_id": f"pt{i:03d}", "x": float(i), "y": float(-i),
+            "crs": "EPSG:4326", "rank": i % 7} for i in range(50)]
+    ds = rd.from_items(pts).repartition(4)
+    manifest = write_shapefile_dataset(ds, str(tmp_path / "out"))
+    rows = manifest.take_all()
+    assert sum(r["n_rows"] for r in rows) == 50 and len(rows) == 4
+    shps = sorted(glob.glob(str(tmp_path / "out" / "*.shp")))
+    assert len(shps) == 4
+    back = vector_dataset(shps, kind="points").take_all()
+    assert len(back) == 50
+    got = {r["point_id"]: (r["x"], r["rank"]) for r in back}
+    assert got["pt017"] == (17.0, 3)
