@@ -25,6 +25,15 @@ from .geopackage import (
     write_geopackage,
     write_geopackage_tiles,
 )
+from .ascii_grid import read_ascii_grid, write_ascii_grid
+from .srtm import read_hgt, write_hgt
+from .rawbin import read_rawbin, write_rawbin
+from .shapefile import (
+    read_shapefile,
+    write_shapefile,
+    write_shapefile_dataset,
+)
+from .geopackage import read_geopackage
 from .vectors import (
     POINTS_SCHEMA,
     POLYGONS_SCHEMA,
@@ -32,7 +41,9 @@ from .vectors import (
     fixture_points,
     fixture_polygons,
     oracle_points_from_keys,
+    read_vector_file,
     rings_to_numpy,
+    vector_dataset,
 )
 
 __all__ = [
@@ -70,4 +81,16 @@ __all__ = [
     "write_geopackage",
     "write_geopackage_tiles",
     "write_netcdf",
+    "read_ascii_grid",
+    "write_ascii_grid",
+    "read_hgt",
+    "write_hgt",
+    "read_rawbin",
+    "write_rawbin",
+    "read_shapefile",
+    "write_shapefile",
+    "write_shapefile_dataset",
+    "read_geopackage",
+    "read_vector_file",
+    "vector_dataset",
 ]
