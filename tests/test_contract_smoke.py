@@ -57,6 +57,10 @@ QUERIES = [
     "cluster_assign",
     "lsh_ann",
     "pq_ann",
+    # round-5 third-pass container round-trips
+    "hgt_roundtrip",
+    "bil_roundtrip",
+    "shp_roundtrip",
 ]
 
 TABLES = [
