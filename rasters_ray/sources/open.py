@@ -127,15 +127,21 @@ def open_raster(path: str, var: Optional[str] = None,
     if window is not None:
         if not os.path.isfile(path):
             raise NotImplementedError(
-                "window= reads are supported for TIFF/BigTIFF files; for "
-                "Zarr stores use read_zarr_chunk/list_zarr_chunks"
+                "window= reads are supported for TIFF/BigTIFF and raw-"
+                "binary files; for Zarr use read_zarr_chunk/list_zarr_chunks"
             )
+        if os.path.splitext(path)[1].lower() in (
+                ".bil", ".bip", ".bsq", ".flt", ".raw"):
+            from .rawbin import read_rawbin  # row-seek window path
+
+            return read_rawbin(path, window=window)
         with open(path, "rb") as f:
             hd = f.read(4)
         if hd not in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
             raise NotImplementedError(
-                "window= reads are supported for TIFF/BigTIFF files; for "
-                "Zarr use read_zarr_chunk, for NetCDF subset after read"
+                "window= reads are supported for TIFF/BigTIFF and raw-"
+                "binary (.bil/.bip/.bsq/.flt) files; for Zarr use "
+                "read_zarr_chunk, for NetCDF subset after read"
             )
         from .geotiff import read_geotiff
 

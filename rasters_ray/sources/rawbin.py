@@ -66,26 +66,47 @@ def _sidecar_crs(path: str) -> str:
 
 
 def _read_payload(path: str, dtype: np.dtype, rows: int, cols: int,
-                  bands: int, interleave: str, skip: int) -> np.ndarray:
-    with open(path, "rb") as fh:
-        fh.seek(skip)
-        data = fh.read(rows * cols * bands * dtype.itemsize)
-    need = rows * cols * bands
-    a = np.frombuffer(data, dtype=dtype)
-    if a.size != need:
-        raise ValueError(
-            f"raw payload has {a.size} samples, header declares "
-            f"{rows}x{cols}x{bands}={need}: {path}"
-        )
+                  bands: int, interleave: str, skip: int,
+                  window: Optional[Tuple[int, int, int, int]] = None,
+                  ) -> np.ndarray:
+    """Full read, or a clamped (row_off, col_off, height, width) window
+    that touches ONLY the window's rows on disk: BIL/BIP rows are
+    contiguous (one seek + one read of h row-blocks), BSQ needs one
+    seek per band — either way a continental GTOPO30 tile costs h/rows
+    of its bytes, the same scale contract as the windowed TIFF path."""
+    isz = dtype.itemsize
     il = interleave.lower()
-    if il == "bsq":
-        a = a.reshape(bands, rows, cols).transpose(1, 2, 0)
-    elif il == "bil":
-        a = a.reshape(rows, bands, cols).transpose(0, 2, 1)
-    elif il == "bip":
-        a = a.reshape(rows, cols, bands)
-    else:
+    if il not in ("bsq", "bil", "bip"):
         raise ValueError(f"unknown interleave {interleave!r}: {path}")
+    if os.path.getsize(path) - skip < rows * cols * bands * isz:
+        raise ValueError(
+            f"raw payload is smaller than the declared "
+            f"{rows}x{cols}x{bands} samples: {path}")
+    if window is None:
+        r0, c0, h, w = 0, 0, rows, cols
+    else:
+        r0, c0, h, w = window
+        r0 = max(0, min(int(r0), rows))
+        c0 = max(0, min(int(c0), cols))
+        h = max(0, min(int(h), rows - r0))
+        w = max(0, min(int(w), cols - c0))
+        if h == 0 or w == 0:
+            raise ValueError(f"window {window} is empty after clamping")
+    with open(path, "rb") as fh:
+        if il == "bsq":
+            planes = []
+            for b in range(bands):
+                fh.seek(skip + (b * rows + r0) * cols * isz)
+                plane = np.frombuffer(fh.read(h * cols * isz), dtype)
+                planes.append(plane.reshape(h, cols)[:, c0:c0 + w])
+            a = np.stack(planes, axis=2)
+        else:
+            fh.seek(skip + r0 * bands * cols * isz)
+            a = np.frombuffer(fh.read(h * bands * cols * isz), dtype)
+            if il == "bil":
+                a = a.reshape(h, bands, cols).transpose(0, 2, 1)[:, c0:c0 + w]
+            else:  # bip
+                a = a.reshape(h, cols, bands)[:, c0:c0 + w]
     return a[:, :, 0] if bands == 1 else a
 
 
@@ -97,7 +118,9 @@ def _apply_nodata(a: np.ndarray, nodata: Optional[float]) -> np.ndarray:
     return a
 
 
-def _read_esri(path: str, hdr_text: str) -> Tuple[np.ndarray, GridSpec]:
+def _read_esri(path: str, hdr_text: str,
+               window: Optional[Tuple[int, int, int, int]] = None,
+               ) -> Tuple[np.ndarray, GridSpec]:
     kv = {}
     for line in hdr_text.splitlines():
         parts = line.split(None, 1)
@@ -124,7 +147,7 @@ def _read_esri(path: str, hdr_text: str) -> Tuple[np.ndarray, GridSpec]:
     dtype = np.dtype(f"{bo}{kind}{nbits // 8}")
     il = kv.get("layout", "bil")
     skip = int(kv.get("skipbytes", 0))
-    a = _read_payload(path, dtype, rows, cols, bands, il, skip)
+    a = _read_payload(path, dtype, rows, cols, bands, il, skip, window)
     nd = kv.get("nodata", kv.get("nodata_value"))
     if nd is not None:
         a = _apply_nodata(a, float(nd))
@@ -173,7 +196,9 @@ def _envi_crs(kv: dict, mi: list) -> str:
         "string (WKT) entry to georeference")
 
 
-def _read_envi(path: str, hdr_text: str) -> Tuple[np.ndarray, GridSpec]:
+def _read_envi(path: str, hdr_text: str,
+               window: Optional[Tuple[int, int, int, int]] = None,
+               ) -> Tuple[np.ndarray, GridSpec]:
     kv = _envi_kv(hdr_text)
     try:
         rows, cols = int(kv["lines"]), int(kv["samples"])
@@ -188,7 +213,7 @@ def _read_envi(path: str, hdr_text: str) -> Tuple[np.ndarray, GridSpec]:
     dtype = np.dtype(bo + _ENVI_DTYPES[code])
     il = kv.get("interleave", "bsq")
     skip = int(kv.get("header offset", 0))
-    a = _read_payload(path, dtype, rows, cols, bands, il, skip)
+    a = _read_payload(path, dtype, rows, cols, bands, il, skip, window)
     if "data ignore value" in kv:
         a = _apply_nodata(a, float(kv["data ignore value"]))
     mi = [s.strip() for s in kv.get("map info", "").strip("{}").split(",")
@@ -209,9 +234,13 @@ def _read_envi(path: str, hdr_text: str) -> Tuple[np.ndarray, GridSpec]:
     return a, grid
 
 
-def read_rawbin(path: str) -> Tuple[np.ndarray, GridSpec]:
+def read_rawbin(path: str,
+                window: Optional[Tuple[int, int, int, int]] = None,
+                ) -> Tuple[np.ndarray, GridSpec]:
     """Read a raw-binary raster via its ``.hdr`` sidecar (either
-    dialect, sniffed by the ``ENVI`` first line)."""
+    dialect, sniffed by the ``ENVI`` first line). ``window=(row_off,
+    col_off, height, width)`` reads only those rows from disk (clamped;
+    see ``_read_payload``) and returns the window-shifted GridSpec."""
     hdr = _hdr_path(path)
     if hdr is None:
         raise ValueError(
@@ -219,8 +248,20 @@ def read_rawbin(path: str) -> Tuple[np.ndarray, GridSpec]:
             f"for {os.path.splitext(path)[0] + '.hdr'} and {path + '.hdr'})")
     text = open(hdr, "r").read()
     if text.lstrip().splitlines()[0].strip().upper() == "ENVI":
-        return _read_envi(path, text)
-    return _read_esri(path, text)
+        a, g = _read_envi(path, text, window)
+    else:
+        a, g = _read_esri(path, text, window)
+    if window is not None:
+        r0 = max(0, min(int(window[0]), g.rows))
+        c0 = max(0, min(int(window[1]), g.cols))
+        g = GridSpec(
+            crs=g.crs,
+            x_origin=g.x_origin + c0 * g.cell_width,
+            y_origin=g.y_origin + r0 * g.cell_height,
+            cell_width=g.cell_width, cell_height=g.cell_height,
+            rows=a.shape[0], cols=a.shape[1],
+        )
+    return a, g
 
 
 def write_rawbin(arr: np.ndarray, grid: GridSpec, path: str,

@@ -113,3 +113,27 @@ def test_crs_sidecars(tmp_path):
     _, grid2 = read_rawbin(p)
     from rasters_ray.proj.crs import parse_crs
     assert parse_crs(grid2.crs) == parse_crs("EPSG:32633")
+
+
+@pytest.mark.parametrize("dialect,interleave", [
+    ("esri", "bil"), ("esri", "bsq"), ("envi", "bip"), ("envi", "bsq")])
+def test_windowed_reads_match_full(tmp_path, dialect, interleave):
+    rng = np.random.default_rng(23)
+    arr = rng.integers(-100, 100, size=(12, 15, 2)).astype(np.int16)
+    p = str(tmp_path / "cube.bil")
+    write_rawbin(arr, _grid(12, 15), p, dialect=dialect,
+                 interleave=interleave)
+    full, g = read_rawbin(p)
+    win, gw = read_rawbin(p, window=(3, 5, 4, 6))
+    assert np.array_equal(win, full[3:7, 5:11])
+    assert gw.x_origin == g.x_origin + 5 * g.cell_width
+    assert gw.y_origin == g.y_origin + 3 * g.cell_height
+    assert gw.rows == 4 and gw.cols == 6
+    # clamping at the edge; empty window raises
+    win2, _ = read_rawbin(p, window=(10, 13, 99, 99))
+    assert win2.shape[:2] == (2, 2)
+    with pytest.raises(ValueError, match="empty"):
+        read_rawbin(p, window=(12, 0, 5, 5))
+    # the router takes the same window path for raw extensions
+    got, g3 = open_raster(p, window=(3, 5, 4, 6))
+    assert np.array_equal(got, win) and g3 == gw
