@@ -135,6 +135,10 @@ def open_raster(path: str, var: Optional[str] = None,
             from .rawbin import read_rawbin  # row-seek window path
 
             return read_rawbin(path, window=window)
+        if path.lower().endswith(".hgt"):
+            from .srtm import read_hgt       # row-seek window path
+
+            return read_hgt(path, window=window)
         with open(path, "rb") as f:
             hd = f.read(4)
         if hd not in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):

@@ -66,20 +66,45 @@ def _tile_grid(lat: int, lon: int, n: int) -> GridSpec:
     )
 
 
-def read_hgt(path: str) -> Tuple[np.ndarray, GridSpec]:
-    """Read one SRTM tile -> (float64 array, voids as NaN, GridSpec)."""
-    with open(path, "rb") as fh:
-        data = fh.read()
-    n = math.isqrt(len(data) // 2)
-    if n < 2 or 2 * n * n != len(data):
+def read_hgt(path: str,
+             window: Tuple[int, int, int, int] = None,
+             ) -> Tuple[np.ndarray, GridSpec]:
+    """Read one SRTM tile -> (float64 array, voids as NaN, GridSpec).
+    ``window=(row_off, col_off, height, width)`` seeks to just those
+    rows (clamped) — the AOI path shared with the TIFF and raw-binary
+    readers — and returns the window-shifted grid."""
+    size = os.path.getsize(path)
+    n = math.isqrt(size // 2)
+    if n < 2 or 2 * n * n != size:
         raise ValueError(
-            f".hgt must be a square of int16 samples; {len(data)} bytes "
+            f".hgt must be a square of int16 samples; {size} bytes "
             f"is not 2*n*n for any n >= 2: {path}"
         )
     lat, lon = parse_hgt_name(path)
-    a = np.frombuffer(data, dtype=">i2").reshape(n, n).astype(np.float64)
+    grid = _tile_grid(lat, lon, n)
+    if window is None:
+        r0, c0, h, w = 0, 0, n, n
+    else:
+        r0 = max(0, min(int(window[0]), n))
+        c0 = max(0, min(int(window[1]), n))
+        h = max(0, min(int(window[2]), n - r0))
+        w = max(0, min(int(window[3]), n - c0))
+        if h == 0 or w == 0:
+            raise ValueError(f"window {window} is empty after clamping")
+    with open(path, "rb") as fh:
+        fh.seek(2 * r0 * n)
+        a = np.frombuffer(fh.read(2 * h * n), dtype=">i2")
+    a = a.reshape(h, n)[:, c0:c0 + w].astype(np.float64)
     a[a == VOID] = np.nan
-    return a, _tile_grid(lat, lon, n)
+    if window is not None:
+        grid = GridSpec(
+            crs=grid.crs,
+            x_origin=grid.x_origin + c0 * grid.cell_width,
+            y_origin=grid.y_origin + r0 * grid.cell_height,
+            cell_width=grid.cell_width, cell_height=grid.cell_height,
+            rows=h, cols=w,
+        )
+    return a, grid
 
 
 def write_hgt(arr: np.ndarray, path: str) -> None:

@@ -58,3 +58,23 @@ def test_hgt_router_by_extension(tmp_path):
     got, grid = open_raster(p)
     assert np.array_equal(got, arr)
     assert grid.y_origin == -44 + 0.25  # SW lat -45 -> top edge -44 + cell/2
+
+
+def test_hgt_windowed_read(tmp_path):
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 4000, size=(33, 33)).astype(np.float64)
+    p = str(tmp_path / "N40W111.hgt")
+    write_hgt(arr, p)
+    full, g = read_hgt(p)
+    win, gw = read_hgt(p, window=(5, 7, 10, 12))
+    assert np.array_equal(win, full[5:15, 7:19])
+    assert gw.x_origin == g.x_origin + 7 * g.cell_width
+    assert gw.y_origin == g.y_origin + 5 * g.cell_height
+    assert gw.rows == 10 and gw.cols == 12
+    # router window path; clamp; empty raises
+    got, g2 = open_raster(p, window=(5, 7, 10, 12))
+    assert np.array_equal(got, win) and g2 == gw
+    edge, _ = read_hgt(p, window=(30, 30, 99, 99))
+    assert edge.shape == (3, 3)
+    with pytest.raises(ValueError, match="empty"):
+        read_hgt(p, window=(40, 0, 1, 1))
