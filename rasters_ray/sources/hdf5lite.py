@@ -319,7 +319,9 @@ def _parse_heap(d: bytes, addr: int) -> Tuple[int, int]:
 
 
 def _heap_name(d: bytes, heap_data: int, off: int) -> str:
-    end = d.index(b"\x00", heap_data + off)
+    end = d.find(b"\x00", heap_data + off)  # .find: works on mmap too
+    if end < 0:
+        raise Hdf5LiteError(f"unterminated heap string @ {heap_data + off}")
     return d[heap_data + off : end].decode("utf-8")
 
 
@@ -1082,3 +1084,137 @@ def write_hdf5(
     with open(path, "wb") as f:
         f.write(buf)
     return path
+
+
+# ---------------------------------------------------------------------------
+# windowed (AOI) reads — decode only the chunks a window touches
+# ---------------------------------------------------------------------------
+
+
+def _find_dataset_msgs(d, target: str):
+    """Group walk that parses object headers ONLY (no data decode) and
+    returns the message list of ``target`` (exact path, or unique leaf
+    name). Raises naming the available datasets otherwise."""
+    sb = _parse_superblock(d)
+    found: Dict[str, list] = {}
+
+    def walk(addr: int, prefix: str):
+        msgs = _parse_ohdr(d, addr)
+        types = {t for t, _ in msgs}
+        if _MSG_SYMBOL_TABLE in types:
+            for name, child in _group_children(d, msgs).items():
+                walk(child, f"{prefix}{name}/")
+        elif _MSG_LAYOUT in types or (
+                _MSG_DATASPACE in types
+                and not types & {_MSG_LINK_INFO, _MSG_LINK, _MSG_GROUP_INFO}):
+            found[prefix.rstrip("/")] = msgs
+        elif types & {_MSG_LINK_INFO, _MSG_LINK, _MSG_GROUP_INFO}:
+            for name, child in _group_children_v2(d, msgs).items():
+                walk(child, f"{prefix}{name}/")
+
+    walk(sb["root_ohdr"], "/")
+    t = target if target.startswith("/") else "/" + target
+    if t in found:
+        return found[t]
+    leaf = [k for k in found if k.rsplit("/", 1)[-1] == target]
+    if len(leaf) == 1:
+        return found[leaf[0]]
+    raise Hdf5LiteError(
+        f"dataset {target!r} not found (have {sorted(found)})")
+
+
+def read_hdf5_window(path_or_bytes, dataset: str, window) -> np.ndarray:
+    """AOI read of ONE dataset: ``window`` is a per-axis sequence of
+    ``(offset, length)`` pairs (or the raster-style ``(row_off,
+    col_off, height, width)`` 4-tuple for 2D data), clamped to the
+    shape. Chunked layouts (the real NASA-granule case) walk the v1
+    B-tree and DEFILTER ONLY the chunks the window intersects — a
+    window costs its chunks, not the granule; contiguous/compact
+    layouts slice a lazy view. Given a PATH the file is mmapped, so
+    untouched chunks are never paged in; callers in a Ray stage get
+    the windowed-TIFF scale contract for NetCDF-4/HDF5 containers."""
+    import mmap
+
+    if isinstance(path_or_bytes, (bytes, memoryview)):
+        d = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as fh:
+            d = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+    msgs = _find_dataset_msgs(d, dataset)
+    shape = dtype = layout = None
+    filters: List[Tuple[int, Tuple[int, ...]]] = []
+    for t, b in msgs:
+        if t == _MSG_DATASPACE:
+            shape = _parse_dataspace(b)
+        elif t == _MSG_DATATYPE:
+            dtype = _parse_datatype(b)
+        elif t == _MSG_LAYOUT:
+            layout = b
+        elif t == _MSG_FILTER:
+            filters = _parse_filters(b, dataset)
+    if shape is None or dtype is None or layout is None:
+        raise Hdf5LiteError(f"dataset {dataset}: missing dataspace/datatype/layout")
+
+    if (len(shape) == 2 and len(window) == 4
+            and all(np.isscalar(v) for v in window)):
+        window = ((int(window[0]), int(window[2])),
+                  (int(window[1]), int(window[3])))
+    if len(window) != len(shape):
+        raise ValueError(
+            f"window has {len(window)} axes, dataset {dataset} has "
+            f"{len(shape)}")
+    offs_lens = []
+    for (o, ln), s in zip(window, shape):
+        o = max(0, min(int(o), s))
+        ln = max(0, min(int(ln), s - o))
+        if ln == 0:
+            raise ValueError(f"window {window} is empty after clamping")
+        offs_lens.append((o, ln))
+    wshape = tuple(ln for _, ln in offs_lens)
+
+    ver, lclass = layout[0], layout[1]
+    if ver != 3:
+        raise NotImplementedError(f"dataset {dataset}: layout version {ver}")
+    native = dtype.newbyteorder("=")
+    if lclass == 0:  # compact
+        size = _u(layout, 2, 2)
+        full = np.frombuffer(layout, dtype, count=int(np.prod(shape)),
+                             offset=4).reshape(shape)
+        return full[tuple(slice(o, o + ln) for o, ln in offs_lens)].astype(
+            native)
+    if lclass == 1:  # contiguous: lazy view over the mmap, copy the AOI
+        addr = _u(layout, 2, 8)
+        if addr == _UNDEF:
+            return np.zeros(wshape, dtype=native)
+        full = np.frombuffer(d, dtype, count=int(np.prod(shape)),
+                             offset=addr).reshape(shape)
+        return full[tuple(slice(o, o + ln) for o, ln in offs_lens)].astype(
+            native)
+    if lclass != 2:
+        raise NotImplementedError(f"dataset {dataset}: layout class {lclass}")
+
+    ndimp1 = layout[2]
+    btree = _u(layout, 3, 8)
+    dims = [_u(layout, 11 + 4 * i, 4) for i in range(ndimp1)]
+    chunk_dims = tuple(dims[:-1])
+    out = np.zeros(wshape, dtype=native)
+    per_chunk = int(np.prod(chunk_dims or (1,)))
+    for offs, addr, nbytes, fmask in _walk_chunk_btree(d, btree, ndimp1):
+        hit = True
+        for co, cd, (wo, wl) in zip(offs, chunk_dims, offs_lens):
+            if co + cd <= wo or co >= wo + wl:
+                hit = False
+                break
+        if not hit:
+            continue  # the point: this chunk is never defiltered
+        raw = _defilter(d[addr:addr + nbytes], filters, fmask, dataset)
+        block = np.frombuffer(raw, dtype=dtype, count=per_chunk).reshape(
+            chunk_dims)
+        sl_out, sl_in = [], []
+        for co, cd, (wo, wl), s in zip(offs, chunk_dims, offs_lens, shape):
+            lo = max(co, wo)
+            hi = min(co + cd, wo + wl, s)
+            sl_out.append(slice(lo - wo, hi - wo))
+            sl_in.append(slice(lo - co, hi - co))
+        out[tuple(sl_out)] = block[tuple(sl_in)]
+    return out

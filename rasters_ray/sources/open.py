@@ -8,7 +8,8 @@ formats the engine reads natively:
 - TIFF / GeoTIFF (``II*\\0`` / ``MM\\0*``)      -> sources.geotiff
 - classic NetCDF (``CDF1``/``CDF2``)           -> sources.netcdf
 - NetCDF-4 / HDF5 (``\\x89HDF``)               -> sources.netcdf (via
-  hdf5lite; contiguous datasets only, clear raise otherwise)
+  hdf5lite: contiguous/compact/chunked with the deflate/shuffle/
+  fletcher32 stack; AOI reads via ``hdf5lite.read_hdf5_window``)
 - Zarr v2 store DIRECTORY (``.zgroup``/``.zarray``) -> sources.zarr_lite
 - GeoPackage (``SQLite format 3`` magic)       -> sources.geopackage
   (``var`` selects the tile table when several exist)
@@ -143,9 +144,10 @@ def open_raster(path: str, var: Optional[str] = None,
             hd = f.read(4)
         if hd not in (b"II*\x00", b"MM\x00*", b"II+\x00", b"MM\x00+"):
             raise NotImplementedError(
-                "window= reads are supported for TIFF/BigTIFF and raw-"
-                "binary (.bil/.bip/.bsq/.flt) files; for Zarr use "
-                "read_zarr_chunk, for NetCDF subset after read"
+                "window= reads are supported for TIFF/BigTIFF, raw-binary "
+                "(.bil/.bip/.bsq/.flt) and .hgt files; for Zarr use "
+                "read_zarr_chunk, for NetCDF-4/HDF5 use "
+                "hdf5lite.read_hdf5_window (chunk-pruned AOI)"
             )
         from .geotiff import read_geotiff
 

@@ -485,3 +485,45 @@ def test_cf_packed_data_unpacks(tmp_path):
     arr3, _ = netcdf_raster(pp, "v")
     assert np.issubdtype(arr3.dtype, np.integer)
     np.testing.assert_array_equal(arr3, raw)
+
+
+def test_hdf5_window_decodes_only_hit_chunks(tmp_path, monkeypatch):
+    """AOI contract: read_hdf5_window defilters ONLY intersecting
+    chunks, matches the full read on the window, and slices
+    contiguous layouts lazily."""
+    import rasters_ray.sources.hdf5lite as h5
+
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 1000, size=(40, 56)).astype(np.int32)
+    small = np.arange(12, dtype=np.float32).reshape(3, 4)
+    p = str(tmp_path / "win.h5")
+    h5.write_hdf5(p, {"big": arr, "small": small},
+                  chunks={"big": (16, 16)}, compression="deflate")
+
+    calls = []
+    real = h5._defilter
+
+    def counting(raw, filters, fmask, name):
+        calls.append(name)
+        return real(raw, filters, fmask, name)
+
+    monkeypatch.setattr(h5, "_defilter", counting)
+    got = h5.read_hdf5_window(p, "big", (10, 20, 12, 18))
+    assert np.array_equal(got, arr[10:22, 20:38])
+    # rows 10..22 hit chunk-rows 0-1; cols 20..38 hit chunk-cols 1-2 -> 4
+    assert len(calls) == 4
+    # full read for comparison touches every stored chunk (>= the
+    # ceil(40/16)*ceil(56/16) = 12 grid chunks)
+    calls.clear()
+    full = h5.read_hdf5(p)["/big"]
+    assert np.array_equal(full, arr) and len(calls) >= 12
+
+    # contiguous dataset: lazy view slice, general (off, len) window
+    got2 = h5.read_hdf5_window(p, "small", ((1, 2), (1, 2)))
+    assert np.array_equal(got2, small[1:3, 1:3])
+    # clamping + emptiness + unknown dataset
+    assert h5.read_hdf5_window(p, "big", (36, 50, 99, 99)).shape == (4, 6)
+    with pytest.raises(ValueError, match="empty"):
+        h5.read_hdf5_window(p, "big", (40, 0, 4, 4))
+    with pytest.raises(h5.Hdf5LiteError, match="not found"):
+        h5.read_hdf5_window(p, "nope", (0, 0, 1, 1))
