@@ -12,6 +12,7 @@ from .geotiff import read_geotiff, write_cog
 from .open import open_raster, raster_dataset
 from .zarr_lite import (
     list_zarr_chunks,
+    read_zarr_window,
     read_zarr,
     read_zarr_chunk,
     write_zarr,
@@ -59,6 +60,7 @@ __all__ = [
     "write_geoimages",
     "read_zarr",
     "read_zarr_chunk",
+    "read_zarr_window",
     "list_zarr_chunks",
     "write_zarr",
     "write_zarr_tiles",

@@ -723,3 +723,49 @@ def read_zarr_chunk(store: str, array: str, idx: Tuple[int, ...]) -> np.ndarray:
 def list_zarr_chunks(store: str, array: str) -> list:
     """Sorted chunk index tuples present on disk for one store array."""
     return _ArrayInfo(os.path.join(store, array)).present_chunks()
+
+
+def read_zarr_window(store: str, array: str, window) -> np.ndarray:
+    """AOI read: assemble only the chunks a window touches (the Zarr
+    counterpart of hdf5lite.read_hdf5_window / the windowed TIFF path).
+    ``window`` is a per-axis sequence of ``(offset, length)`` pairs, or
+    the raster-style ``(row_off, col_off, height, width)`` 4-tuple for
+    2D arrays; clamped to the declared shape. Absent chunks fill per
+    spec — safe on sparse planetary stores because cost scales with
+    the WINDOW's chunk count, never the logical shape."""
+    import numpy as _np
+
+    info = _ArrayInfo(os.path.join(store, array))
+    shape, cdims = info.shape, info.chunks
+    if (len(shape) == 2 and len(window) == 4
+            and all(_np.isscalar(v) for v in window)):
+        window = ((int(window[0]), int(window[2])),
+                  (int(window[1]), int(window[3])))
+    if len(window) != len(shape):
+        raise ValueError(
+            f"window has {len(window)} axes, array {array} has {len(shape)}")
+    offs_lens = []
+    for (o, ln), s in zip(window, shape):
+        o = max(0, min(int(o), s))
+        ln = max(0, min(int(ln), s - o))
+        if ln == 0:
+            raise ValueError(f"window {window} is empty after clamping")
+        offs_lens.append((o, ln))
+    out = _np.full(tuple(ln for _, ln in offs_lens), info.fill,
+                   dtype=info.dtype)
+    ranges = [range(wo // cd, (wo + wl - 1) // cd + 1)
+              for (wo, wl), cd in zip(offs_lens, cdims)]
+    import itertools
+
+    for idx in itertools.product(*ranges):
+        block = info.read_chunk_file(idx)
+        if block is None:
+            continue  # stays fill
+        sl_out, sl_in = [], []
+        for i, ((wo, wl), cd, s) in enumerate(zip(offs_lens, cdims, shape)):
+            co = idx[i] * cd
+            lo, hi = max(co, wo), min(co + cd, wo + wl, s)
+            sl_out.append(slice(lo - wo, hi - wo))
+            sl_in.append(slice(lo - co, hi - co))
+        out[tuple(sl_out)] = block[tuple(sl_in)]
+    return out

@@ -528,3 +528,30 @@ def test_zarr_v3_sharded_write_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="zarr_format=3"):
         write_zarr(str(tmp_path / "bad2"), {"a": {"data": temp}},
                    chunks=8, shards=16, zarr_format=2)
+
+
+def test_zarr_window_touches_only_hit_chunks(tmp_path, monkeypatch):
+    import rasters_ray.sources.zarr_lite as zl
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 500, size=(30, 44)).astype(np.int32)
+    store = str(tmp_path / "w.zarr")
+    zl.write_zarr(store, {"v": {"data": arr}}, chunks=16)
+
+    reads = []
+    real = zl._ArrayInfo.read_chunk_file
+
+    def counting(self, idx):
+        reads.append(idx)
+        return real(self, idx)
+
+    monkeypatch.setattr(zl._ArrayInfo, "read_chunk_file", counting)
+    got = zl.read_zarr_window(store, "v", (10, 20, 12, 18))
+    assert np.array_equal(got, arr[10:22, 20:38])
+    assert sorted(reads) == [(0, 1), (0, 2), (1, 1), (1, 2)]
+    # clamp + empty + general (off, len) form
+    assert zl.read_zarr_window(store, "v", (28, 40, 99, 99)).shape == (2, 4)
+    got2 = zl.read_zarr_window(store, "v", ((3, 2), (5, 3)))
+    assert np.array_equal(got2, arr[3:5, 5:8])
+    with pytest.raises(ValueError, match="empty"):
+        zl.read_zarr_window(store, "v", (30, 0, 1, 1))
