@@ -271,6 +271,7 @@ def read_geopackage(
     path: str,
     table_name: Optional[str] = None,
     zoom: Optional[int] = None,
+    tile_window: Optional[tuple] = None,
 ) -> tuple:
     """GeoPackage tile pyramid -> (2D array, GridSpec) — the read half of
     ``to_geopackage`` parity (the reference reads .gpkg through the GDAL
@@ -278,7 +279,10 @@ def read_geopackage(
     zoom level (the deepest by default) and allocates just their
     bounding box, so a sparse planetary pyramid costs what its content
     covers; a pathologically sparse span (two far-apart tiles) raises
-    with the ``read_geopackage_tiles`` remediation instead of OOMing."""
+    with the ``read_geopackage_tiles`` remediation instead of OOMing.
+    ``tile_window=(tile_row0, tile_col0, n_rows, n_cols)`` pushes an
+    AOI down into the SQL tile query — only intersecting tiles leave
+    the store, the gpkg flavor of the windowed TIFF/HDF5/Zarr paths."""
     con = sqlite3.connect(path)
     try:
         tabs = con.execute(
@@ -315,12 +319,20 @@ def read_geopackage(
         if tm is None:
             raise ValueError(f"no gpkg_tile_matrix row for zoom {zoom}")
         tw, th, pxx, pxy = int(tm[0]), int(tm[1]), float(tm[2]), float(tm[3])
-        rows = con.execute(
-            f'SELECT tile_column, tile_row, tile_data FROM "{table_name}" '
-            "WHERE zoom_level = ? ORDER BY tile_row, tile_column",
-            (zoom,)).fetchall()
+        sql = (f'SELECT tile_column, tile_row, tile_data FROM "{table_name}" '
+               "WHERE zoom_level = ?")
+        params = [zoom]
+        if tile_window is not None:
+            tr0, tc0, nr, nc = (int(v) for v in tile_window)
+            sql += " AND tile_row BETWEEN ? AND ? AND tile_column BETWEEN ? AND ?"
+            params += [tr0, tr0 + nr - 1, tc0, tc0 + nc - 1]
+        rows = con.execute(sql + " ORDER BY tile_row, tile_column",
+                           params).fetchall()
         if not rows:
-            raise ValueError(f"no tiles at zoom {zoom} in {table_name!r}")
+            raise ValueError(
+                f"no tiles at zoom {zoom}"
+                + (f" in tile_window {tile_window}" if tile_window else "")
+                + f" in {table_name!r}")
         cols_i = np.array([r[0] for r in rows])
         rows_i = np.array([r[1] for r in rows])
         cmin, cmax = int(cols_i.min()), int(cols_i.max())

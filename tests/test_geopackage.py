@@ -206,3 +206,39 @@ def test_multi_zoom_pyramid_roundtrip(tmp_path):
     assert (arr3 == 77).all() and arr3.shape == (32, 64)
     assert (arr2 == 99).all() and arr2.shape == (32, 32)
     assert g2.cell_width == pytest.approx(2 * g3.cell_width)
+
+
+def test_tile_window_pushdown(tmp_path):
+    """tile_window= selects only the AOI's tiles in SQL; the result
+    matches the same region cut from the full assembly."""
+    import pyarrow as pa
+
+    from rasters_ray import codec
+    from rasters_ray.grids.cellkey import _LEVEL_SHIFT, _Y_SHIFT
+    from rasters_ray.sources.geopackage import read_geopackage
+
+    def enc(level, ix, iy):
+        return (level << _LEVEL_SHIFT) | (iy << _Y_SHIFT) | ix
+
+    ts = 32
+    rows = {"cell_key": [], "bytes": [], "fmt": [], "th": [], "tw": []}
+    for ix in (2, 3, 4):
+        for iy in (1, 2):
+            rows["cell_key"].append(enc(3, ix, iy))
+            rows["bytes"].append(codec.encode(
+                np.full((ts, ts), 10 * ix + iy, np.uint8), "png"))
+            rows["fmt"].append("png")
+            rows["th"].append(ts)
+            rows["tw"].append(ts)
+    p = str(tmp_path / "win.gpkg")
+    write_geopackage_tiles(
+        pa.table({k: pa.array(v) for k, v in rows.items()}), p, 3)
+    full, gfull = read_geopackage(p)
+    assert full.shape == (64, 96)          # 2 tile rows x 3 tile cols
+    win, gwin = read_geopackage(p, tile_window=(2, 3, 1, 2))
+    assert win.shape == (32, 64)
+    np.testing.assert_array_equal(win, full[32:64, 32:96])
+    assert gwin.x_origin == gfull.x_origin + 32 * gfull.cell_width
+    assert gwin.y_origin == gfull.y_origin + 32 * gfull.cell_height
+    with pytest.raises(ValueError, match="tile_window"):
+        read_geopackage(p, tile_window=(9, 9, 1, 1))
