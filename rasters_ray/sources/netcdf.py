@@ -477,3 +477,38 @@ def netcdf_dataset(paths: List[str], var: str, fmt: str = "npy"):
 
     items = rd.from_items([{"path": p} for p in paths])
     return items.map_batches(load, batch_format="pyarrow")
+
+
+def netcdf_raster_window(path: str, var: str,
+                         window: Tuple[int, int, int, int],
+                         coords: Tuple[str, str],
+                         crs: str = "EPSG:4326",
+                         ) -> Tuple[np.ndarray, "GridSpec"]:
+    """AOI read of a CF raster FROM AN HDF5/NetCDF-4 GRANULE without
+    decoding the rest of it: the 2D variable window comes through
+    ``hdf5lite.read_hdf5_window`` (only intersecting chunks defilter),
+    the 1D coordinate variables are read whole (tiny) and sliced, and
+    ``grid_from_coords`` applies the same regular-spacing/north-up
+    rules as the full reader. ``window`` is (row_off, col_off, height,
+    width) in the FILE's array order (clamped); ``coords=(y_name,
+    x_name)`` is explicit because the cheap path skips the
+    DIMENSION_LIST resolution a full parse would do. Classic CDF files
+    decode fully anyway — use ``netcdf_raster`` + slicing there."""
+    with open(path, "rb") as fh:
+        magic = fh.read(8)
+    if magic != b"\x89HDF\r\n\x1a\n":
+        raise NotImplementedError(
+            "netcdf_raster_window reads HDF5/NetCDF-4 containers; classic "
+            "CDF files decode fully — use netcdf_raster and slice")
+    from .hdf5lite import read_hdf5_window
+
+    big = 1 << 60  # full-extent (off, len) request; the reader clamps
+    y = read_hdf5_window(path, coords[0], ((0, big),))
+    x = read_hdf5_window(path, coords[1], ((0, big),))
+    r0 = max(0, min(int(window[0]), len(y)))
+    c0 = max(0, min(int(window[1]), len(x)))
+    a = read_hdf5_window(path, var, window)
+    if a.ndim != 2:
+        raise ValueError(f"{var} is not 2D: shape {a.shape}")
+    return grid_from_coords(a, y[r0:r0 + a.shape[0]],
+                            x[c0:c0 + a.shape[1]], crs)

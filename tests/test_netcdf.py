@@ -527,3 +527,47 @@ def test_hdf5_window_decodes_only_hit_chunks(tmp_path, monkeypatch):
         h5.read_hdf5_window(p, "big", (40, 0, 4, 4))
     with pytest.raises(h5.Hdf5LiteError, match="not found"):
         h5.read_hdf5_window(p, "nope", (0, 0, 1, 1))
+
+
+def test_netcdf_raster_window_matches_full(tmp_path):
+    """The granule AOI path equals the full read's slice, grid shifted
+    to the window; ascending-latitude flip still applies."""
+    from rasters_ray.sources.hdf5lite import write_hdf5
+    from rasters_ray.sources.netcdf import (netcdf_raster,
+                                            netcdf_raster_window)
+
+    rng = np.random.default_rng(41)
+    px = rng.normal(size=(48, 64)).astype(np.float32)
+    lat = 44.0 - 0.01 * (np.arange(48) + 0.5)       # descending (north-up)
+    lon = -124.0 + 0.01 * (np.arange(64) + 0.5)
+    p = str(tmp_path / "g.nc")
+    write_hdf5(p, {"lat": lat, "lon": lon, "temp": px},
+               chunks={"temp": (16, 16), "lat": (48,), "lon": (64,)},
+               compression="deflate", dims={"temp": ["lat", "lon"]})
+    full, gfull = netcdf_raster(p, "temp", coords=("lat", "lon"))
+    win, gwin = netcdf_raster_window(p, "temp", (10, 20, 12, 18),
+                                     coords=("lat", "lon"))
+    np.testing.assert_array_equal(win, full[10:22, 20:38])
+    assert gwin.x_origin == pytest.approx(gfull.x_origin + 20 * gfull.cell_width)
+    assert gwin.y_origin == pytest.approx(gfull.y_origin + 10 * gfull.cell_height)
+    # ascending-latitude file: both paths flip north-up consistently
+    write_hdf5(str(tmp_path / "a.nc"),
+               {"lat": lat[::-1].copy(), "lon": lon, "temp": px[::-1].copy()},
+               chunks={"temp": (16, 16)}, dims={"temp": ["lat", "lon"]})
+    fa, _ = netcdf_raster(str(tmp_path / "a.nc"), "temp", coords=("lat", "lon"))
+    wa, _ = netcdf_raster_window(str(tmp_path / "a.nc"), "temp",
+                                 (0, 0, 48, 64), coords=("lat", "lon"))
+    np.testing.assert_array_equal(wa, fa)
+    with pytest.raises(NotImplementedError, match="classic"):
+        netcdf_raster_window(_classic_path(tmp_path), "v", (0, 0, 1, 1),
+                             coords=("y", "x"))
+
+
+def _classic_path(tmp_path):
+    from rasters_ray.sources.netcdf import write_netcdf
+
+    p = str(tmp_path / "c.nc")
+    write_netcdf(p, {"y": 2, "x": 2},
+                 {"v": {"dims": ("y", "x"),
+                        "data": np.zeros((2, 2), np.float32)}})
+    return p
