@@ -1091,12 +1091,11 @@ def write_hdf5(
 # ---------------------------------------------------------------------------
 
 
-def _find_dataset_msgs(d, target: str):
-    """Group walk that parses object headers ONLY (no data decode) and
-    returns the message list of ``target`` (exact path, or unique leaf
-    name). Raises naming the available datasets otherwise."""
+def _walk_datasets(d) -> Dict[str, Tuple[list, int]]:
+    """Group walk that parses object headers ONLY (no data decode):
+    ``{dataset_path: (messages, ohdr_addr)}``."""
     sb = _parse_superblock(d)
-    found: Dict[str, list] = {}
+    found: Dict[str, Tuple[list, int]] = {}
 
     def walk(addr: int, prefix: str):
         msgs = _parse_ohdr(d, addr)
@@ -1107,20 +1106,68 @@ def _find_dataset_msgs(d, target: str):
         elif _MSG_LAYOUT in types or (
                 _MSG_DATASPACE in types
                 and not types & {_MSG_LINK_INFO, _MSG_LINK, _MSG_GROUP_INFO}):
-            found[prefix.rstrip("/")] = msgs
+            found[prefix.rstrip("/")] = (msgs, addr)
         elif types & {_MSG_LINK_INFO, _MSG_LINK, _MSG_GROUP_INFO}:
             for name, child in _group_children_v2(d, msgs).items():
                 walk(child, f"{prefix}{name}/")
 
     walk(sb["root_ohdr"], "/")
+    return found
+
+
+def _resolve_dataset(found: Dict[str, Tuple[list, int]], target: str) -> str:
+    """Exact path, or unique leaf name; raises naming what exists."""
     t = target if target.startswith("/") else "/" + target
     if t in found:
-        return found[t]
+        return t
     leaf = [k for k in found if k.rsplit("/", 1)[-1] == target]
     if len(leaf) == 1:
-        return found[leaf[0]]
+        return leaf[0]
     raise Hdf5LiteError(
         f"dataset {target!r} not found (have {sorted(found)})")
+
+
+def _find_dataset_msgs(d, target: str):
+    found = _walk_datasets(d)
+    return found[_resolve_dataset(found, target)][0]
+
+
+def dataset_dims(path_or_bytes, dataset: str) -> List[Optional[str]]:
+    """Per-axis coordinate dataset LEAF names of ``dataset`` from its
+    DIMENSION_LIST attribute (the netCDF-4 convention), or None per
+    axis when absent — resolved from object headers only, no data
+    decode (the cheap companion of read_hdf5_window)."""
+    import mmap
+
+    if isinstance(path_or_bytes, (bytes, memoryview)):
+        d = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as fh:
+            d = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+    found = _walk_datasets(d)
+    path = _resolve_dataset(found, dataset)
+    msgs, _addr = found[path]
+    shape = None
+    adata = None
+    for t, b in msgs:
+        if t == _MSG_DATASPACE:
+            shape = _parse_dataspace(b)
+        elif t == _MSG_ATTRIBUTE:
+            name, _dt, _ds, data = _parse_attribute(b)
+            if name == "DIMENSION_LIST":
+                adata = data
+    if shape is None:
+        raise Hdf5LiteError(f"dataset {dataset}: missing dataspace")
+    dims: List[Optional[str]] = [None] * len(shape)
+    if adata is None:
+        return dims
+    addr_leaf = {a: p.rsplit("/", 1)[-1] for p, (_m, a) in found.items()}
+    for i, refs in enumerate(_dimension_list(d, adata, len(shape))):
+        for ref in refs:
+            if ref in addr_leaf:
+                dims[i] = addr_leaf[ref]
+                break
+    return dims
 
 
 def read_hdf5_window(path_or_bytes, dataset: str, window) -> np.ndarray:

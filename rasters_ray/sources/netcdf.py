@@ -481,7 +481,7 @@ def netcdf_dataset(paths: List[str], var: str, fmt: str = "npy"):
 
 def netcdf_raster_window(path: str, var: str,
                          window: Tuple[int, int, int, int],
-                         coords: Tuple[str, str],
+                         coords: Optional[Tuple[str, str]] = None,
                          crs: str = "EPSG:4326",
                          ) -> Tuple[np.ndarray, "GridSpec"]:
     """AOI read of a CF raster FROM AN HDF5/NetCDF-4 GRANULE without
@@ -490,17 +490,28 @@ def netcdf_raster_window(path: str, var: str,
     the 1D coordinate variables are read whole (tiny) and sliced, and
     ``grid_from_coords`` applies the same regular-spacing/north-up
     rules as the full reader. ``window`` is (row_off, col_off, height,
-    width) in the FILE's array order (clamped); ``coords=(y_name,
-    x_name)`` is explicit because the cheap path skips the
-    DIMENSION_LIST resolution a full parse would do. Classic CDF files
-    decode fully anyway — use ``netcdf_raster`` + slicing there."""
+    width) in the FILE's array order (clamped). ``coords=(y_name,
+    x_name)`` overrides the default: the variable's netCDF-4
+    DIMENSION_LIST attribute, resolved from object headers only
+    (``hdf5lite.dataset_dims`` — still no data decode outside the
+    window; files lacking the attribute need the explicit names).
+    Classic CDF files decode fully anyway — use ``netcdf_raster`` +
+    slicing there."""
     with open(path, "rb") as fh:
         magic = fh.read(8)
     if magic != b"\x89HDF\r\n\x1a\n":
         raise NotImplementedError(
             "netcdf_raster_window reads HDF5/NetCDF-4 containers; classic "
             "CDF files decode fully — use netcdf_raster and slice")
-    from .hdf5lite import read_hdf5_window
+    from .hdf5lite import dataset_dims, read_hdf5_window
+
+    if coords is None:
+        dims = dataset_dims(path, var)
+        if len(dims) != 2 or None in dims:
+            raise ValueError(
+                f"{var}: DIMENSION_LIST does not name a coordinate dataset "
+                f"per axis (got {dims}); pass coords=(y_name, x_name)")
+        coords = (dims[0], dims[1])
 
     big = 1 << 60  # full-extent (off, len) request; the reader clamps
     y = read_hdf5_window(path, coords[0], ((0, big),))

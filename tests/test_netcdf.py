@@ -563,6 +563,36 @@ def test_netcdf_raster_window_matches_full(tmp_path):
                              coords=("y", "x"))
 
 
+def test_netcdf_raster_window_auto_coords(tmp_path):
+    """coords=None resolves the y/x coordinate names from the
+    variable's DIMENSION_LIST (object headers only) and matches the
+    explicit-names path; files without the attribute raise asking for
+    explicit names."""
+    from rasters_ray.sources.hdf5lite import dataset_dims, write_hdf5
+    from rasters_ray.sources.netcdf import netcdf_raster_window
+
+    rng = np.random.default_rng(43)
+    px = rng.normal(size=(32, 40)).astype(np.float32)
+    lat = 10.0 - 0.05 * (np.arange(32) + 0.5)
+    lon = 5.0 + 0.05 * (np.arange(40) + 0.5)
+    p = str(tmp_path / "d.nc")
+    write_hdf5(p, {"lat": lat, "lon": lon, "sst": px},
+               chunks={"sst": (8, 8)}, compression="deflate",
+               dims={"sst": ["lat", "lon"]})
+    assert dataset_dims(p, "sst") == ["lat", "lon"]
+    auto, gauto = netcdf_raster_window(p, "sst", (4, 6, 10, 12))
+    expl, gexpl = netcdf_raster_window(p, "sst", (4, 6, 10, 12),
+                                       coords=("lat", "lon"))
+    np.testing.assert_array_equal(auto, expl)
+    assert gauto.to_dict() == gexpl.to_dict()
+    # no DIMENSION_LIST attached -> explicit names required
+    bare = str(tmp_path / "bare.nc")
+    write_hdf5(bare, {"lat": lat, "lon": lon, "sst": px})
+    assert dataset_dims(bare, "sst") == [None, None]
+    with pytest.raises(ValueError, match="DIMENSION_LIST"):
+        netcdf_raster_window(bare, "sst", (0, 0, 4, 4))
+
+
 def _classic_path(tmp_path):
     from rasters_ray.sources.netcdf import write_netcdf
 
