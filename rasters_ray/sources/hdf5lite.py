@@ -16,7 +16,12 @@ Specification Version 2.0" needed to extract datasets:
   deflate (id 1, zlib), shuffle (id 2, byte transposition) and
   fletcher32 (id 3, appended checksum, verified) filters in any
   pipeline order — ``shuffle+deflate(+fletcher32)`` is the combination
-  netcdf-c/h5py emit by default for real NASA NetCDF-4 granules.
+  netcdf-c/h5py emit by default for real NASA NetCDF-4 granules,
+- data layout message VERSION 4 (spec IV.A.2.i) with the Single Chunk,
+  Implicit and Fixed Array chunk indexes (spec III.A.3, paged and
+  unpaged data blocks) — what libver='latest' libraries emit for
+  fixed-shape datasets; the Extensible Array and v2 B-tree indexes
+  (unlimited dimensions) raise with an h5repack remediation.
 
 Szip/nbit/other filters raise NotImplementedError naming the filter
 — that remains the documented env-blocked boundary.
@@ -418,6 +423,139 @@ def _walk_chunk_btree(
     return out
 
 
+def _walk_fixed_array(
+    d: bytes, addr: int, grid: Tuple[int, ...], cdims: Tuple[int, ...],
+    default_nbytes: int, name: str,
+) -> List[Tuple[Tuple[int, ...], int, int, int]]:
+    """Fixed Array chunk index (spec III.A.3, the libver='latest'
+    default for fixed-shape chunked datasets): FAHD header -> FADB data
+    block (paged past 2^page_bits elements) -> one element per chunk in
+    row-major grid order. Client 0 elements are a bare address; client 1
+    (filtered) adds the stored chunk size and filter mask."""
+    if addr == _UNDEF:
+        return []
+    if d[addr : addr + 4] != b"FAHD":
+        raise Hdf5LiteError(f"dataset {name}: bad Fixed Array signature @ {addr}")
+    client = d[addr + 5]
+    entry = d[addr + 6]
+    page_bits = d[addr + 7]
+    nelmts = _u(d, addr + 8, 8)
+    dblk = _u(d, addr + 16, 8)
+    if dblk == _UNDEF or nelmts == 0:
+        return []
+    if d[dblk : dblk + 4] != b"FADB":
+        raise Hdf5LiteError(
+            f"dataset {name}: bad Fixed Array data block signature @ {dblk}")
+    if nelmts != int(np.prod(grid or (1,))):
+        raise Hdf5LiteError(
+            f"dataset {name}: Fixed Array holds {nelmts} entries for a "
+            f"{grid} chunk grid")
+    pos = dblk + 4 + 1 + 1 + 8  # sig, version, client id, header address
+    page_n = 1 << page_bits
+    if nelmts > page_n:  # paged: bitmap + checksum, then per-page checksums
+        npages = (nelmts + page_n - 1) // page_n
+        pos += (npages + 7) // 8 + 4
+        elems = bytearray()
+        remaining = nelmts
+        while remaining > 0:
+            k = min(page_n, remaining)
+            elems += d[pos : pos + k * entry]
+            pos += k * entry + 4
+            remaining -= k
+        elems = bytes(elems)
+    else:
+        elems = bytes(d[pos : pos + nelmts * entry])
+    out: List[Tuple[Tuple[int, ...], int, int, int]] = []
+    for i in range(nelmts):
+        e = elems[i * entry : (i + 1) * entry]
+        a = _u(e, 0, 8)
+        if a == _UNDEF:
+            continue  # chunk never allocated (fill value)
+        if client == 1:
+            szb = entry - 12
+            nbytes = _u(e, 8, szb)
+            fmask = _u(e, 8 + szb, 4)
+        else:
+            nbytes, fmask = default_nbytes, 0
+        offs = tuple(
+            int(o) * c for o, c in zip(np.unravel_index(i, grid or (1,)), cdims)
+        )
+        out.append((offs, a, nbytes, fmask))
+    return out
+
+
+def _parse_layout_chunked(d: bytes, layout: bytes, shape, dtype: np.dtype,
+                          name: str):
+    """Chunked layout message (v3 class 2 via the v1 B-tree, or v4
+    class 2 via the Single Chunk / Implicit / Fixed Array indexes the
+    libver='latest' library emits) -> ``(chunk_dims, chunks)`` where
+    ``chunks`` is ``[(grid_offsets, addr, stored_nbytes, filter_mask)]``
+    for every allocated chunk. Extensible Array / v2 B-tree indexes
+    (unlimited dimensions) raise with the h5repack remediation."""
+    ver = layout[0]
+    if ver == 3:
+        ndimp1 = layout[2]
+        btree = _u(layout, 3, 8)
+        dims = [_u(layout, 11 + 4 * i, 4) for i in range(ndimp1)]
+        cdims = tuple(dims[:-1])
+        chunks = _walk_chunk_btree(d, btree, ndimp1)
+    else:  # v4
+        flags = layout[2]
+        ndim = layout[3]
+        enc = layout[4]
+        dims = [_u(layout, 5 + enc * i, enc) for i in range(ndim)]
+        pos = 5 + enc * ndim
+        itype = layout[pos]
+        pos += 1
+        # the library stores rank+1 dims with the element size last
+        # (mirroring v3); tolerate a bare-rank encoding too
+        if ndim == len(shape) + 1 and dims[-1] == dtype.itemsize:
+            cdims = tuple(dims[:-1])
+        elif ndim == len(shape):
+            cdims = tuple(dims)
+        else:
+            raise Hdf5LiteError(
+                f"dataset {name}: v4 chunk rank {ndim} inconsistent with "
+                f"data rank {len(shape)}")
+        nb_chunk = int(np.prod(cdims or (1,))) * dtype.itemsize
+        grid = tuple((s + c - 1) // c for s, c in zip(shape, cdims))
+        if itype == 1:  # Single Chunk
+            if flags & 0x02:  # filtered single chunk: size + mask inline
+                nbytes = _u(layout, pos, 8)
+                fmask = _u(layout, pos + 8, 4)
+                pos += 12
+            else:
+                nbytes, fmask = nb_chunk, 0
+            addr = _u(layout, pos, 8)
+            chunks = [] if addr == _UNDEF else [
+                ((0,) * len(cdims), addr, nbytes, fmask)]
+        elif itype == 2:  # Implicit: unfiltered chunks packed in grid order
+            addr = _u(layout, pos, 8)
+            chunks = []
+            if addr != _UNDEF:
+                for i in range(int(np.prod(grid or (1,)))):
+                    offs = tuple(int(o) * c for o, c in
+                                 zip(np.unravel_index(i, grid or (1,)), cdims))
+                    chunks.append((offs, addr + i * nb_chunk, nb_chunk, 0))
+        elif itype == 3:  # Fixed Array (page bits byte, then address)
+            addr = _u(layout, pos + 1, 8)
+            chunks = _walk_fixed_array(d, addr, grid, cdims, nb_chunk, name)
+        elif itype in (4, 5):
+            kind = ("Extensible Array" if itype == 4 else "v2 B-tree")
+            raise NotImplementedError(
+                f"dataset {name}: v4 chunk index type {itype} ({kind}) is "
+                "for unlimited dimensions and unsupported here; h5repack "
+                "to fixed dimensions (or libver='earliest') to get a "
+                "readable index")
+        else:
+            raise Hdf5LiteError(
+                f"dataset {name}: unknown v4 chunk index type {itype}")
+    if len(cdims) != len(shape):
+        raise Hdf5LiteError(
+            f"dataset {name}: chunk rank {len(cdims)} != data rank {len(shape)}")
+    return cdims, chunks
+
+
 def _shuffle_bytes(raw: bytes, itemsize: int, forward: bool) -> bytes:
     """HDF5 shuffle filter (id 2): byte-transpose so all byte-0s of each
     element come first, then byte-1s, ... (H5Zshuffle.c). Trailing bytes
@@ -504,20 +642,13 @@ def _defilter(raw: bytes, filters, fmask: int, name: str) -> bytes:
 def _read_chunked(
     d: bytes, layout: bytes, shape, dtype: np.dtype, filters, name: str
 ) -> np.ndarray:
-    """Data layout v3 class 2: dimensionality(1), B-tree address(8),
-    dim sizes (4 bytes each, last = element size)."""
-    ndimp1 = layout[2]
-    btree = _u(layout, 3, 8)
-    dims = [_u(layout, 11 + 4 * i, 4) for i in range(ndimp1)]
-    chunk_dims = tuple(dims[:-1])
-    if len(chunk_dims) != len(shape):
-        raise Hdf5LiteError(
-            f"dataset {name}: chunk rank {len(chunk_dims)} != data rank {len(shape)}"
-        )
+    """Chunked layouts, v3 (v1 B-tree) and v4 (single/implicit/fixed
+    array) — see _parse_layout_chunked."""
+    chunk_dims, chunks = _parse_layout_chunked(d, layout, shape, dtype, name)
     native = dtype.newbyteorder("=")
     out = np.zeros(shape, dtype=native)
     per_chunk = int(np.prod(chunk_dims or (1,)))
-    for offs, addr, nbytes, fmask in _walk_chunk_btree(d, btree, ndimp1):
+    for offs, addr, nbytes, fmask in chunks:
         raw = _defilter(d[addr : addr + nbytes], filters, fmask, name)
         block = np.frombuffer(raw, dtype=dtype, count=per_chunk).reshape(chunk_dims)
         sl_out = tuple(
@@ -546,7 +677,7 @@ def _read_dataset(d: bytes, msgs, name: str) -> np.ndarray:
     if shape is None or dtype is None or layout is None:
         raise Hdf5LiteError(f"dataset {name}: missing dataspace/datatype/layout")
     ver = layout[0]
-    if ver != 3:
+    if ver not in (3, 4):
         raise NotImplementedError(f"dataset {name}: layout version {ver} unsupported")
     lclass = layout[1]
     if lclass == 2:  # chunked (+ filter pipeline) — the NASA-granule path
@@ -775,6 +906,52 @@ def _chunk_btree_node(
     return bytes(out)
 
 
+_FA_PAGE_BITS = 10  # library-default data-block page size (1024 elements)
+
+
+def _fadb_size(n: int, entry: int) -> int:
+    """On-disk size of a Fixed Array data block (+ pages when paged)."""
+    base = 4 + 1 + 1 + 8  # sig, version, client id, header address
+    page_n = 1 << _FA_PAGE_BITS
+    if n > page_n:
+        npages = (n + page_n - 1) // page_n
+        return base + (npages + 7) // 8 + 4 + n * entry + npages * 4
+    return base + n * entry + 4
+
+
+def _fixed_array_bytes(
+    fahd_addr: int, fadb_addr: int, client: int, entry: int,
+    blob_addrs: List[int], blob_sizes: List[int],
+) -> Tuple[bytes, bytes]:
+    """(FAHD, FADB[+pages]) for a fully-allocated chunk grid."""
+    n = len(blob_addrs)
+    hdr = (b"FAHD" + bytes([0, client, entry, _FA_PAGE_BITS])
+           + struct.pack("<QQ", n, fadb_addr))
+    hdr += struct.pack("<I", _lookup3(hdr))
+    if client == 1:
+        elems = b"".join(
+            struct.pack("<QQI", a, s, 0)
+            for a, s in zip(blob_addrs, blob_sizes))
+    else:
+        elems = b"".join(struct.pack("<Q", a) for a in blob_addrs)
+    body = b"FADB" + bytes([0, client]) + struct.pack("<Q", fahd_addr)
+    page_n = 1 << _FA_PAGE_BITS
+    if n > page_n:
+        npages = (n + page_n - 1) // page_n
+        bitmap = bytearray((npages + 7) // 8)
+        for i in range(npages):  # every page initialized
+            bitmap[i // 8] |= 1 << (i % 8)
+        body += bytes(bitmap)
+        body += struct.pack("<I", _lookup3(body))
+        for p in range(npages):
+            page = elems[p * page_n * entry : (p + 1) * page_n * entry]
+            body += page + struct.pack("<I", _lookup3(page))
+    else:
+        body += elems
+        body += struct.pack("<I", _lookup3(body))
+    return hdr, body
+
+
 def write_hdf5(
     path: str,
     datasets: Dict[str, np.ndarray],
@@ -784,6 +961,7 @@ def write_hdf5(
     dims: Optional[Dict[str, List[str]]] = None,
     shuffle: bool = False,
     fletcher32: bool = False,
+    chunk_index: Optional[str] = None,
 ) -> str:
     """Flat root group. Contiguous by default; pass ``chunks`` (per-name
     dict or one tuple for all) and/or ``compression="deflate"`` for
@@ -798,20 +976,38 @@ def write_hdf5(
     lookup3 checksums real readers verify). ``dims={"temp": ["lat",
     "lon"]}`` attaches netCDF-4 DIMENSION_LIST attributes (vlen object
     references through a global heap) naming each axis's coordinate
-    dataset — what real NetCDF-4 granules carry."""
+    dataset — what real NetCDF-4 granules carry.
+
+    ``chunk_index`` selects the on-disk chunk index for chunked
+    datasets: ``None`` (default) is the v1 B-tree with a v3 layout
+    message (what libver='earliest' emits); ``"single"`` /
+    ``"implicit"`` / ``"fixed"`` emit a V4 LAYOUT MESSAGE with the
+    Single Chunk, Implicit or Fixed Array index (spec IV.A.2.i +
+    III.A.3) — the indexes libver='latest' libraries choose for
+    fixed-shape datasets. ``"single"`` requires the chunk to cover the
+    whole dataset; ``"implicit"`` disallows filters (both library
+    preconditions)."""
     if compression not in (None, "deflate"):
         raise Hdf5LiteError(f"unsupported compression {compression!r}")
     if superblock not in (0, 2):
         raise Hdf5LiteError(f"superblock must be 0 or 2, got {superblock}")
+    if chunk_index not in (None, "single", "implicit", "fixed"):
+        raise Hdf5LiteError(
+            f"chunk_index must be None/'single'/'implicit'/'fixed', "
+            f"got {chunk_index!r}")
     names = sorted(datasets)
     if not names:
         raise Hdf5LiteError("write_hdf5 requires at least one dataset")
 
     any_filter = compression is not None or shuffle or fletcher32
+    if chunk_index == "implicit" and any_filter:
+        raise Hdf5LiteError(
+            "the Implicit chunk index stores fixed-size chunks with no "
+            "filter pipeline; drop the filters or use chunk_index='fixed'")
 
     def chunk_dims_of(nm: str, a: np.ndarray) -> Optional[Tuple[int, ...]]:
         spec = chunks.get(nm) if isinstance(chunks, dict) else chunks
-        if spec is None and not any_filter:
+        if spec is None and not any_filter and chunk_index is None:
             return None
         if a.ndim == 0:
             return None  # scalars stay contiguous
@@ -829,6 +1025,11 @@ def write_hdf5(
         else:
             offs, blobs = _chunk_plan(a, cdims, compression == "deflate",
                                       shuffle=shuffle, fletcher32=fletcher32)
+            if chunk_index == "single" and len(blobs) != 1:
+                raise Hdf5LiteError(
+                    f"dataset {nm}: chunk_index='single' needs ONE chunk "
+                    f"covering the data, got a {len(blobs)}-chunk grid — "
+                    "drop chunks= or use chunk_index='fixed'")
             plans[nm] = ("chunked", a, cdims, offs, blobs)
 
     # --- local heap data: offset 0 = empty string (spec convention)
@@ -911,10 +1112,28 @@ def write_hdf5(
                     if len(cvals) % 2:
                         filt += b"\x00" * 4
                 msgs.append((_MSG_FILTER, filt))
-            layout = (struct.pack("<BBB", 3, 2, len(cdims) + 1)
-                      + struct.pack("<Q", btree_addr)
-                      + b"".join(struct.pack("<I", c) for c in cdims)
-                      + struct.pack("<I", a.dtype.itemsize))
+            if chunk_index is None:
+                layout = (struct.pack("<BBB", 3, 2, len(cdims) + 1)
+                          + struct.pack("<Q", btree_addr)
+                          + b"".join(struct.pack("<I", c) for c in cdims)
+                          + struct.pack("<I", a.dtype.itemsize))
+            else:
+                # v4 layout message: rank+1 dims (element size last,
+                # mirroring the library), 8-byte encoded dim sizes,
+                # index type + type info, then the index address
+                itype = {"single": 1, "implicit": 2, "fixed": 3}[chunk_index]
+                flags = 0
+                idx_info = b""
+                if itype == 1 and any_filter:
+                    flags |= 0x02  # single filtered chunk: size + mask inline
+                    idx_info = struct.pack("<QI", len(plan[4][0]), 0)
+                elif itype == 3:
+                    idx_info = bytes([_FA_PAGE_BITS])
+                layout = (struct.pack("<BBBBB", 4, 2, flags, len(cdims) + 1, 8)
+                          + b"".join(struct.pack("<Q", c) for c in cdims)
+                          + struct.pack("<Q", a.dtype.itemsize)
+                          + bytes([itype]) + idx_info
+                          + struct.pack("<Q", btree_addr))
             msgs.append((_MSG_LAYOUT, layout))
         if nm in dims:
             msgs.append((_MSG_ATTRIBUTE, _dimlist_attr(nm, superblock == 2)))
@@ -932,29 +1151,52 @@ def write_hdf5(
         return (n + 7) & ~7
 
     def place_data(start: int):
-        """Assign contiguous-data / chunk-btree / chunk-blob addresses
-        from ``start``; returns (data_addr, cb_addr, c_addrs, eof)."""
+        """Assign contiguous-data / chunk-index / chunk-blob addresses
+        from ``start``; returns (data_addr, idx_addr, c_addrs,
+        fadb_addr, eof). ``idx_addr`` is the layout message's index
+        address: the v1 B-tree node, the FAHD, the single chunk, or
+        the first implicit chunk."""
         pos = start
         daddr: Dict[str, int] = {}
         cbaddr: Dict[str, int] = {}
         caddrs: Dict[str, List[int]] = {}
+        fadb: Dict[str, int] = {}
         for nm in names:
             plan = plans[nm]
             if plan[0] == "contig":
                 daddr[nm] = pos
                 pos = align(pos + plan[1].nbytes)
-            else:
-                _, _, cdims, offs, blobs = plan
+                continue
+            _, _, cdims, offs, blobs = plan
+            if chunk_index is None:
                 ndimp1 = len(cdims) + 1
                 node = 24 + len(offs) * (8 + 8 * ndimp1 + 8) + (8 + 8 * ndimp1)
                 cbaddr[nm] = pos
                 pos = align(pos + node)
+            elif chunk_index == "fixed":
+                entry = 20 if any_filter else 8
+                cbaddr[nm] = pos  # FAHD
+                pos = align(pos + 28)
+                fadb[nm] = pos
+                pos = align(pos + _fadb_size(len(blobs), entry))
+            if chunk_index == "implicit":
+                # chunks back-to-back, NO padding: chunk i lives at
+                # base + i * chunk_nbytes by definition of the index
+                addrs = []
+                for b in blobs:
+                    addrs.append(pos)
+                    pos += len(b)
+                pos = align(pos)
+                cbaddr[nm] = addrs[0]
+            else:
                 addrs = []
                 for b in blobs:
                     addrs.append(pos)
                     pos = align(pos + len(b))
-                caddrs[nm] = addrs
-        return daddr, cbaddr, caddrs, pos
+                if chunk_index == "single":
+                    cbaddr[nm] = addrs[0]
+            caddrs[nm] = addrs
+        return daddr, cbaddr, caddrs, fadb, pos
 
     def place_gcol(eof: int) -> Tuple[int, int]:
         """Reserve the global heap collection after the data; returns
@@ -972,7 +1214,8 @@ def write_hdf5(
         block = b"GCOL" + bytes([1, 0, 0, 0]) + struct.pack("<Q", size) + objs
         return block + b"\x00" * (size - len(block))
 
-    def write_payloads(buf, data_addr, chunk_btree_addr, chunk_addrs):
+    def write_payloads(buf, data_addr, chunk_idx_addr, chunk_addrs,
+                       fadb_addr):
         for nm in names:
             plan = plans[nm]
             if plan[0] == "contig":
@@ -982,14 +1225,22 @@ def write_hdf5(
                 buf[data_addr[nm] : data_addr[nm] + len(raw)] = raw
             else:
                 _, _, cdims, offs, blobs = plan
-                hdr = build_hdr(nm, btree_addr=chunk_btree_addr[nm])
+                hdr = build_hdr(nm, btree_addr=chunk_idx_addr[nm])
                 buf[hdr_addr[nm] : hdr_addr[nm] + len(hdr)] = hdr
-                grid_end = [((s + c - 1) // c) * c for s, c in
-                            zip(plan[1].shape, cdims)]
-                node = _chunk_btree_node(offs, [len(b) for b in blobs],
-                                         chunk_addrs[nm], cdims, grid_end)
-                na = chunk_btree_addr[nm]
-                buf[na : na + len(node)] = node
+                if chunk_index is None:
+                    grid_end = [((s + c - 1) // c) * c for s, c in
+                                zip(plan[1].shape, cdims)]
+                    node = _chunk_btree_node(offs, [len(b) for b in blobs],
+                                             chunk_addrs[nm], cdims, grid_end)
+                    na = chunk_idx_addr[nm]
+                    buf[na : na + len(node)] = node
+                elif chunk_index == "fixed":
+                    fa, fb = _fixed_array_bytes(
+                        chunk_idx_addr[nm], fadb_addr[nm],
+                        1 if any_filter else 0, 20 if any_filter else 8,
+                        chunk_addrs[nm], [len(b) for b in blobs])
+                    buf[chunk_idx_addr[nm] : chunk_idx_addr[nm] + len(fa)] = fa
+                    buf[fadb_addr[nm] : fadb_addr[nm] + len(fb)] = fb
                 for b, addr in zip(blobs, chunk_addrs[nm]):
                     buf[addr : addr + len(b)] = b
 
@@ -1010,7 +1261,7 @@ def write_hdf5(
         for nm in names:
             hdr_addr[nm] = pos
             pos = align(pos + len(build_hdr(nm)))
-        data_addr, chunk_btree_addr, chunk_addrs, eof = place_data(pos)
+        data_addr, chunk_idx_addr, chunk_addrs, fadb_addr, eof = place_data(pos)
         ctx["gcol"], eof = place_gcol(eof)
         ctx["hdr_addr"] = hdr_addr
 
@@ -1021,7 +1272,7 @@ def write_hdf5(
         struct.pack_into("<I", buf, 44, _lookup3(sb))
         rh = root_hdr2(hdr_addr)
         buf[root_addr : root_addr + len(rh)] = rh
-        write_payloads(buf, data_addr, chunk_btree_addr, chunk_addrs)
+        write_payloads(buf, data_addr, chunk_idx_addr, chunk_addrs, fadb_addr)
         if dim_obj_idx:
             gb = gcol_block()
             buf[ctx["gcol"] : ctx["gcol"] + len(gb)] = gb
@@ -1046,7 +1297,7 @@ def write_hdf5(
     for nm in names:
         hdr_addr[nm] = pos
         pos = align(pos + len(build_hdr(nm)))  # size is address-independent
-    data_addr, chunk_btree_addr, chunk_addrs, eof = place_data(pos)
+    data_addr, chunk_idx_addr, chunk_addrs, fadb_addr, eof = place_data(pos)
     ctx["gcol"], eof = place_gcol(eof)
     ctx["hdr_addr"] = hdr_addr
 
@@ -1077,7 +1328,7 @@ def write_hdf5(
         struct.pack_into(
             "<QQII16x", buf, snod_addr + 8 + i * 40, name_off[nm], hdr_addr[nm], 0, 0
         )
-    write_payloads(buf, data_addr, chunk_btree_addr, chunk_addrs)
+    write_payloads(buf, data_addr, chunk_idx_addr, chunk_addrs, fadb_addr)
     if dim_obj_idx:
         gb = gcol_block()
         buf[ctx["gcol"] : ctx["gcol"] + len(gb)] = gb
@@ -1220,7 +1471,7 @@ def read_hdf5_window(path_or_bytes, dataset: str, window) -> np.ndarray:
     wshape = tuple(ln for _, ln in offs_lens)
 
     ver, lclass = layout[0], layout[1]
-    if ver != 3:
+    if ver not in (3, 4):
         raise NotImplementedError(f"dataset {dataset}: layout version {ver}")
     native = dtype.newbyteorder("=")
     if lclass == 0:  # compact
@@ -1240,13 +1491,10 @@ def read_hdf5_window(path_or_bytes, dataset: str, window) -> np.ndarray:
     if lclass != 2:
         raise NotImplementedError(f"dataset {dataset}: layout class {lclass}")
 
-    ndimp1 = layout[2]
-    btree = _u(layout, 3, 8)
-    dims = [_u(layout, 11 + 4 * i, 4) for i in range(ndimp1)]
-    chunk_dims = tuple(dims[:-1])
+    chunk_dims, chunks = _parse_layout_chunked(d, layout, shape, dtype, dataset)
     out = np.zeros(wshape, dtype=native)
     per_chunk = int(np.prod(chunk_dims or (1,)))
-    for offs, addr, nbytes, fmask in _walk_chunk_btree(d, btree, ndimp1):
+    for offs, addr, nbytes, fmask in chunks:
         hit = True
         for co, cd, (wo, wl) in zip(offs, chunk_dims, offs_lens):
             if co + cd <= wo or co >= wo + wl:

@@ -529,6 +529,101 @@ def test_hdf5_window_decodes_only_hit_chunks(tmp_path, monkeypatch):
         h5.read_hdf5_window(p, "nope", (0, 0, 1, 1))
 
 
+def test_hdf5_v4_chunk_indexes_roundtrip(tmp_path):
+    """Layout-message v4 (libver='latest'): Single Chunk, Implicit and
+    Fixed Array chunk indexes round-trip in both superblock styles,
+    with and without the filter pipeline; the paged Fixed Array data
+    block (>1024 chunks) reads back too."""
+    import rasters_ray.sources.hdf5lite as h5
+
+    rng = np.random.default_rng(53)
+    a = rng.normal(size=(37, 53)).astype(np.float32)
+    v = rng.integers(0, 1000, size=120).astype(np.int64)
+    cases = [
+        dict(chunk_index="single"),
+        dict(chunk_index="single", compression="deflate"),
+        dict(chunk_index="implicit", chunks=(8, 16)),
+        dict(chunk_index="fixed", chunks=(8, 16)),
+        dict(chunk_index="fixed", chunks=(8, 16), compression="deflate",
+             shuffle=True, fletcher32=True),
+    ]
+    for kw in cases:
+        for sb in (0, 2):
+            p = str(tmp_path / f"v4_{kw['chunk_index']}_{sb}.h5")
+            h5.write_hdf5(p, {"a": a, "v": v}, superblock=sb, **kw)
+            got = h5.read_hdf5(p)
+            np.testing.assert_array_equal(got["/a"], a)
+            np.testing.assert_array_equal(got["/v"], v)
+            w = h5.read_hdf5_window(p, "a", (5, 9, 12, 20))
+            np.testing.assert_array_equal(w, a[5:17, 9:29])
+    # paged fixed array: 40x30 grid of 4x4 chunks = 1200 > 2^10 entries
+    big = rng.normal(size=(160, 120)).astype(np.float32)
+    p = str(tmp_path / "paged.h5")
+    h5.write_hdf5(p, {"b": big}, chunks=(4, 4), compression="deflate",
+                  chunk_index="fixed")
+    np.testing.assert_array_equal(h5.read_hdf5(p)["/b"], big)
+    np.testing.assert_array_equal(
+        h5.read_hdf5_window(p, "b", (100, 50, 30, 40)),
+        big[100:130, 50:90])
+
+
+def test_hdf5_v4_guards_and_pruning(tmp_path, monkeypatch):
+    """v4 writer preconditions raise; Extensible Array / v2 B-tree
+    indexes raise with the h5repack remediation; the AOI defilter
+    pruning contract holds through a Fixed Array index."""
+    import rasters_ray.sources.hdf5lite as h5
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    with pytest.raises(h5.Hdf5LiteError, match="ONE chunk"):
+        h5.write_hdf5(str(tmp_path / "x.h5"), {"a": a},
+                      chunk_index="single", chunks=(2, 2))
+    with pytest.raises(h5.Hdf5LiteError, match="no\\s+filter"):
+        h5.write_hdf5(str(tmp_path / "x.h5"), {"a": a},
+                      chunk_index="implicit", compression="deflate")
+    dims8 = np.array([2, 2, 4], "<u8").tobytes()
+    for itype, nm in ((4, "Extensible Array"), (5, "v2 B-tree")):
+        lay = bytes([4, 2, 0, 3, 8]) + dims8 + bytes([itype]) + b"\x00" * 14
+        with pytest.raises(NotImplementedError, match=nm):
+            h5._parse_layout_chunked(b"", lay, (3, 4), np.dtype("<f4"), "x")
+    # pruning: window touching 4 of 12 chunks defilters exactly 4
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 1000, size=(40, 56)).astype(np.int32)
+    p = str(tmp_path / "fa.h5")
+    h5.write_hdf5(p, {"big": arr}, chunks=(16, 16), compression="deflate",
+                  chunk_index="fixed")
+    calls = []
+    real = h5._defilter
+
+    def counting(raw, filters, fmask, name):
+        calls.append(name)
+        return real(raw, filters, fmask, name)
+
+    monkeypatch.setattr(h5, "_defilter", counting)
+    got = h5.read_hdf5_window(p, "big", (10, 20, 12, 18))
+    assert np.array_equal(got, arr[10:22, 20:38])
+    assert len(calls) == 4
+
+
+def test_netcdf_route_reads_v4_indexed_granule(tmp_path):
+    """netcdf_raster extracts the CF grid from a file whose variables
+    use the Fixed Array chunk index (a libver='latest' granule)."""
+    from rasters_ray.sources.hdf5lite import write_hdf5
+    from rasters_ray.sources.netcdf import netcdf_raster
+
+    rng = np.random.default_rng(59)
+    px = rng.normal(size=(24, 36)).astype(np.float32)
+    lat = 50.0 - 0.1 * (np.arange(24) + 0.5)
+    lon = -10.0 + 0.1 * (np.arange(36) + 0.5)
+    p = str(tmp_path / "latest.nc")
+    write_hdf5(p, {"lat": lat, "lon": lon, "temp": px},
+               chunks={"temp": (8, 8), "lat": (24,), "lon": (36,)},
+               compression="deflate", dims={"temp": ["lat", "lon"]},
+               superblock=2, chunk_index="fixed")
+    arr, grid = netcdf_raster(p, "temp", coords=("lat", "lon"))
+    np.testing.assert_array_equal(arr, px)
+    assert grid.cols == 36 and grid.rows == 24
+
+
 def test_netcdf_raster_window_matches_full(tmp_path):
     """The granule AOI path equals the full read's slice, grid shifted
     to the window; ascending-latitude flip still applies."""
