@@ -1582,6 +1582,41 @@ def q_transform_osgb(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_somerc(sf_dir: str):
+    """Swiss oblique Mercator EPSG:2056 (CH1903+/LV95 — proj/swiss.py,
+    the swisstopo double projection: conformal sphere at the Bern
+    origin, rotated, equatorial Mercator; pinned against the swisstopo
+    Rigi reference point in tests/test_proj.py): WGS84 -> ECEF -> the
+    3-parameter CH1903+ geocentric translation (EPSG transformation
+    1676) -> fixed six-iteration geodetic on Bessel 1841 -> somerc
+    forward. Points remapped into the Swiss window (exact-double linear
+    map) on both sides; outliers excluded. Floor-cm int64; the oracle
+    re-derives EVERY step in SQL — ECEF, the translation, all six
+    latitude iterations, the sphere constants alpha/b0/K/R and the
+    per-point projection."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        keep = lon < -100.0
+        lon = (lon[keep] + 124.0) * 0.5 + 6.0
+        lat = (lat[keep] - 36.0) * 0.25 + 46.0
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "EPSG:2056")
+        lon2, lat2 = transform_xy(x, yv, "EPSG:2056", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 3e-7) & (np.abs(lat2 - lat) < 3e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id").filter(pa.array(keep)),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 _MINHASH_GOLDEN_SF_DIRS = (
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -5608,6 +5643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_laea": q_transform_laea,
         "transform_tmerc": q_transform_tmerc,
         "transform_osgb": q_transform_osgb,
+        "transform_somerc": q_transform_somerc,
         "transform_geos": q_transform_geos,
         "transform_eqc": q_transform_eqc,
         "phash_dups": q_phash_dups,
@@ -6906,6 +6942,109 @@ SELECT point_id,
        CAST(floor(((n_k0 - n0) * (0.9996012717e0/0.9996e0) - 100000.0e0) * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM fin
+"""
+
+    # transform_somerc: the Swiss double projection re-derived in SQL —
+    # WGS84 ECEF, the negated CH1903+ geocentric translation, six fixed
+    # latitude iterations on Bessel 1841, then the swisstopo conformal
+    # sphere (alpha, b0, K, R) and the rotated equatorial Mercator.
+    # Every constant re-derived, nothing golden.
+    _ch_iter = (
+        "atan2(hz + e2b * (6377397.155e0 / sqrt(1.0e0 - e2b * sin({p}) * sin({p})))"
+        " * sin({p}), pr)"
+    )
+    sql["transform_somerc"] = f"""
+WITH {_PTS_CTE.strip()},
+cb AS (
+  SELECT (1.0e0/299.1528128e0) * (2.0e0 - 1.0e0/299.1528128e0) AS e2b,
+         sqrt((1.0e0/299.1528128e0) * (2.0e0 - 1.0e0/299.1528128e0)) AS eb,
+         (1.0e0/298.257223563e0) * (2.0e0 - 1.0e0/298.257223563e0) AS e2w,
+         radians(46.0e0 + 57.0e0/60.0e0 + 8.66e0/3600.0e0) AS p0,
+         7.0e0 + 26.0e0/60.0e0 + 22.50e0/3600.0e0 AS lon0
+),
+kc AS (  -- conformal-sphere constants at the Bern origin
+  SELECT cb.*,
+         6377397.155e0 * sqrt(1.0e0 - e2b)
+           / (1.0e0 - e2b * sin(p0) * sin(p0)) AS rr,
+         sqrt(1.0e0 + e2b * cos(p0)*cos(p0)*cos(p0)*cos(p0)
+                      / (1.0e0 - e2b)) AS al
+  FROM cb
+),
+kc2 AS (
+  SELECT kc.*, asin(sin(p0) / al) AS b0 FROM kc
+),
+kc3 AS (
+  SELECT kc2.*,
+         ln(tan(pi()/4.0e0 + b0/2.0e0))
+           - al * ln(tan(pi()/4.0e0 + p0/2.0e0))
+           + al * eb / 2.0e0
+             * ln((1.0e0 + eb*sin(p0)) / (1.0e0 - eb*sin(p0))) AS kk
+  FROM kc2
+),
+ch AS (  -- remap into the Swiss window; WGS84 geodetic (surface, h=0)
+  SELECT point_id,
+         radians((x + 124.0e0) * 0.5e0 + 6.0e0) AS lw,
+         radians((y - 36.0e0) * 0.25e0 + 46.0e0) AS pw, kc3.*
+  FROM pts, kc3
+  WHERE x < -100.0e0
+),
+ec AS (  -- WGS84 geodetic -> ECEF
+  SELECT ch.*,
+         (6378137.0e0 / sqrt(1.0e0 - e2w * sin(pw) * sin(pw)))
+           * cos(pw) * cos(lw) AS gx,
+         (6378137.0e0 / sqrt(1.0e0 - e2w * sin(pw) * sin(pw)))
+           * cos(pw) * sin(lw) AS gy,
+         (6378137.0e0 / sqrt(1.0e0 - e2w * sin(pw) * sin(pw)))
+           * (1.0e0 - e2w) * sin(pw) AS gz
+  FROM ch
+),
+hm AS (  -- WGS84 -> CH1903+: negated EPSG:1676 geocentric translation
+  SELECT ec.*, gx - 674.374e0 AS hx, gy - 15.056e0 AS hy,
+         gz - 405.346e0 AS hz
+  FROM ec
+),
+g0 AS (  -- ECEF -> geodetic on Bessel: fixed six-iteration fixed point
+  SELECT hm.*, sqrt(hx*hx + hy*hy) AS pr,
+         atan2(hz, sqrt(hx*hx + hy*hy) * (1.0e0 - e2b)) AS q0
+  FROM hm
+),
+g1 AS (SELECT *, {_ch_iter.format(p='q0')} AS q1 FROM g0),
+g2 AS (SELECT *, {_ch_iter.format(p='q1')} AS q2 FROM g1),
+g3 AS (SELECT *, {_ch_iter.format(p='q2')} AS q3 FROM g2),
+g4 AS (SELECT *, {_ch_iter.format(p='q3')} AS q4 FROM g3),
+g5 AS (SELECT *, {_ch_iter.format(p='q4')} AS q5 FROM g4),
+g6 AS (SELECT *, {_ch_iter.format(p='q5')} AS q6 FROM g5),
+geo AS (  -- mirror the engine's degrees() round-trip exactly
+  SELECT g6.*,
+         fmod(radians(degrees(atan2(hy, hx)) - lon0)
+              + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(degrees(q6)) AS phi
+  FROM g6
+),
+sb AS (  -- ellipsoid -> conformal sphere
+  SELECT geo.*,
+         al * ln(tan(pi()/4.0e0 + phi/2.0e0))
+           - al * eb / 2.0e0
+             * ln((1.0e0 + eb*sin(phi)) / (1.0e0 - eb*sin(phi))) + kk AS ss,
+         al * lam AS l
+  FROM geo
+),
+rb AS (
+  SELECT sb.*, 2.0e0 * (atan(exp(ss)) - pi()/4.0e0) AS b FROM sb
+),
+rot AS (  -- rotate to the pseudo-equator system
+  SELECT point_id, rr, b0,
+         cos(b0)*sin(b) - sin(b0)*cos(b)*cos(l) AS sbar,
+         atan2(cos(b)*sin(l), sin(b0)*sin(b) + cos(b0)*cos(b)*cos(l)) AS lbar
+  FROM rb
+)
+SELECT point_id,
+       CAST(floor((rr * lbar + 2600000.0e0) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor((rr * 0.5e0 * ln((1.0e0 + sbar)/(1.0e0 - sbar))
+                   + 1200000.0e0) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM rot
 """
 
     # transform_geos: geocentric-latitude view geometry, re-derived per

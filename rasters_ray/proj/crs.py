@@ -31,7 +31,7 @@ WGS84 = "EPSG:4326"
 class CRSInfo:
     kind: str  # 'geographic' | 'utm' | 'aeqd' | 'sinu' | 'lcc' | 'merc'
     #          | 'webmerc' | 'stere' (polar) | 'aea' | 'laea' | 'cea'
-    #          | 'tmerc' (general) | 'geos' | 'eqc'
+    #          | 'tmerc' (general) | 'geos' | 'eqc' | 'somerc' (Swiss)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -118,6 +118,16 @@ class CRSInfo:
                 f" +k_0={self.k_0} +x_0={self.x_0} +y_0={self.y_0}"
                 + self._datum_suffix()
             )
+        if self.kind == "somerc":
+            if (self.ellps, self.towgs84) == _CH1903 and self.x_0 == 600000.0:
+                return "EPSG:21781"
+            if (self.ellps, self.towgs84) == _CH1903P and self.x_0 == 2600000.0:
+                return "EPSG:2056"
+            return (
+                f"+proj=somerc +lat_0={self.lat_0} +lon_0={self.lon_0}"
+                f" +k_0={self.k_0} +x_0={self.x_0} +y_0={self.y_0}"
+                + self._datum_suffix()
+            )
         if self.kind == "geos":
             sweep = "x" if self.sweep_x else "y"
             return (
@@ -138,6 +148,12 @@ _ED50_KEY = (DATUMS["ED50"][0], DATUMS["ED50"][1])
 _OSGB36 = (DATUMS["OSGB36"][0], DATUMS["OSGB36"][1])
 _TM65 = (DATUMS["TM65"][0], DATUMS["TM65"][1])
 _TM75 = (DATUMS["TM75"][0], DATUMS["TM75"][1])
+_CH1903 = (DATUMS["CH1903"][0], DATUMS["CH1903"][1])
+_CH1903P = (DATUMS["CH1903+"][0], DATUMS["CH1903+"][1])
+# Swiss projection center (Bern old observatory): 46deg57'08.66" N,
+# 7deg26'22.50" E — shared by LV03 and LV95
+_SWISS_LAT0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+_SWISS_LON0 = 7.0 + 26.0 / 60.0 + 22.50 / 3600.0
 
 
 def parse_crs(crs: str) -> CRSInfo:
@@ -221,6 +237,17 @@ def parse_crs(crs: str) -> CRSInfo:
             return CRSInfo(
                 "tmerc", lat_0=53.5, lon_0=-8.0, k_0=1.000035,
                 x_0=200000.0, y_0=250000.0, ellps=dat[0], towgs84=dat[1],
+            )
+        if code in (21781, 2056):
+            # Swiss grids: CH1903/LV03 (21781) and CH1903+/LV95 (2056) —
+            # oblique Mercator (EPSG 9814) on Bessel 1841 with the
+            # EPSG-published geocentric translations to WGS84
+            dat = _CH1903 if code == 21781 else _CH1903P
+            x0, y0 = (600000.0, 200000.0) if code == 21781 else (
+                2600000.0, 1200000.0)
+            return CRSInfo(
+                "somerc", lat_0=_SWISS_LAT0, lon_0=_SWISS_LON0, k_0=1.0,
+                x_0=x0, y_0=y0, ellps=dat[0], towgs84=dat[1],
             )
         if 23028 <= code <= 23038:
             # ED50 / UTM zones 28N-38N (International 1924, EPSG
@@ -323,6 +350,12 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo(
             "cea", lat_ts=_p("lat_ts"), lon_0=_p("lon_0"),
             x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=somerc" in low:
+        k0 = _p("k_0", _p("k", 1.0))
+        return CRSInfo(
+            "somerc", lat_0=_p("lat_0"), lon_0=_p("lon_0"), k_0=k0,
+            x_0=_p("x_0"), y_0=_p("y_0"), **_datum_fields(),
         )
     if "+proj=tmerc" in low:
         # +k= and +k_0= are synonyms in proj4 strings

@@ -66,6 +66,11 @@ DATUMS = {
     # ED50 -> WGS84 (EPSG transformation 1133 — mean European solution,
     # geocentric translations only)
     "ED50": ("intl", (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)),
+    # CH1903 -> WGS84 (EPSG transformation 1753, geocentric translations)
+    "CH1903": ("bessel", (674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0)),
+    # CH1903+ -> WGS84 (the official swisstopo CHTRS95 relation,
+    # EPSG transformation 1676)
+    "CH1903+": ("bessel", (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)),
 }
 
 _AS_TO_RAD = np.pi / (180.0 * 3600.0)

@@ -26,6 +26,7 @@ from . import equirect as _eqc
 from . import geostationary as _geos
 from . import sinusoidal as _sinu
 from . import stereographic as _st
+from . import swiss as _sw
 from . import transverse_mercator as _tm
 from .crs import CRSInfo, parse_crs
 from .datum import ELLIPSOIDS, datum_to_wgs84, wgs84_to_datum
@@ -41,14 +42,18 @@ def _ell(info: CRSInfo) -> Tuple[float, float]:
 
 def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndarray, np.ndarray]:
     if _has_datum(info):
-        if info.kind not in ("utm", "tmerc"):
+        if info.kind not in ("utm", "tmerc", "somerc"):
             raise ValueError(
-                f"non-WGS84 datum is only supported for utm/tmerc CRSs, "
-                f"not {info.kind}"
+                f"non-WGS84 datum is only supported for utm/tmerc/somerc "
+                f"CRSs, not {info.kind}"
             )
         a, f = _ell(info)
         if info.kind == "utm":
             lon, lat = _tm.utm_to_geographic(x, y, info.zone, info.south, a, f)
+        elif info.kind == "somerc":
+            lon, lat = _sw.somerc_to_geographic(
+                x, y, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
+            )
         else:
             lon, lat = _tm.tmerc_to_geographic(
                 x, y, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
@@ -100,20 +105,29 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
         return _eqc.eqc_to_geographic(
             x, y, info.lat_ts, info.lat_0, info.lon_0, info.x_0, info.y_0
         )
+    if info.kind == "somerc":  # WGS84-datum somerc (no shift requested)
+        return _sw.somerc_to_geographic(
+            x, y, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0,
+            *ELLIPSOIDS["WGS84"]
+        )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 
 
 def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[np.ndarray, np.ndarray]:
     if _has_datum(info):
-        if info.kind not in ("utm", "tmerc"):
+        if info.kind not in ("utm", "tmerc", "somerc"):
             raise ValueError(
-                f"non-WGS84 datum is only supported for utm/tmerc CRSs, "
-                f"not {info.kind}"
+                f"non-WGS84 datum is only supported for utm/tmerc/somerc "
+                f"CRSs, not {info.kind}"
             )
         lon, lat = wgs84_to_datum(lon, lat, info.ellps, info.towgs84)
         a, f = _ell(info)
         if info.kind == "utm":
             return _tm.geographic_to_utm(lon, lat, info.zone, info.south, a, f)
+        if info.kind == "somerc":
+            return _sw.geographic_to_somerc(
+                lon, lat, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
+            )
         return _tm.geographic_to_tmerc(
             lon, lat, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
         )
@@ -162,6 +176,11 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
     if info.kind == "eqc":
         return _eqc.geographic_to_eqc(
             lon, lat, info.lat_ts, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "somerc":  # WGS84-datum somerc (no shift requested)
+        return _sw.geographic_to_somerc(
+            lon, lat, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0,
+            *ELLIPSOIDS["WGS84"]
         )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 

@@ -656,3 +656,60 @@ def test_datum_helmert_conventions():
     assert info0.towgs84 is None and info0.ellps == "intl"
     with pytest.raises(ValueError, match="ellps"):
         parse_crs("+proj=tmerc +lat_0=0 +lon_0=3 +ellps=clrk80ign")
+
+
+def test_swiss_somerc_swisstopo_reference_point():
+    """EPSG:2056/21781 (Swiss LV95/LV03): the swisstopo double
+    projection. Pins: (a) the PURE projection step against swisstopo's
+    Rigi reference point (CH1903 geodetic -> LV03 grid E 679520.05,
+    N 212273.44) to 1 mm; (b) the projection center maps exactly onto
+    each grid's false origin; (c) WGS84 Bern lands within the CH1903+
+    datum-shift magnitude of the LV95 origin; (d) 3e-7 deg round-trips
+    (negated-parameter Helmert reversibility)."""
+    from rasters_ray.proj.swiss import geographic_to_somerc
+    from rasters_ray.proj.transform import transform_xy
+
+    lat0 = 46 + 57 / 60 + 8.66 / 3600
+    lon0 = 7 + 26 / 60 + 22.50 / 3600
+
+    # (a) projection-only Rigi: 47d03m28.95659233sN 8d29m11.11127154sE
+    phi = 47 + 3 / 60 + 28.95659233 / 3600
+    lam = 8 + 29 / 60 + 11.11127154 / 3600
+    E, N = geographic_to_somerc(
+        np.array([lam]), np.array([phi]), lat0, lon0, 1.0,
+        600000.0, 200000.0)
+    assert abs(E[0] - 679520.05) < 1e-3
+    assert abs(N[0] - 212273.44) < 1e-3
+
+    # (b) center -> false origin (both grids)
+    E, N = geographic_to_somerc(
+        np.array([lon0]), np.array([lat0]), lat0, lon0, 1.0,
+        2600000.0, 1200000.0)
+    assert abs(E[0] - 2600000.0) < 1e-6 and abs(N[0] - 1200000.0) < 1e-6
+
+    # (c) full WGS84 path: Bern old observatory in WGS84 is ~(7.438632,
+    # 46.951083); the LV95 origin sits there within a few meters
+    E, N = transform_xy([7.438632], [46.951083], "EPSG:4326", "EPSG:2056")
+    assert abs(E[0] - 2600000.0) < 5.0 and abs(N[0] - 1200000.0) < 5.0
+
+    # (d) round-trips across Switzerland, both grids
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(5.9, 10.5, 300)
+    lat = rng.uniform(45.8, 47.8, 300)
+    for code in ("EPSG:2056", "EPSG:21781"):
+        x, y = transform_xy(lon, lat, "EPSG:4326", code)
+        lo2, la2 = transform_xy(x, y, code, "EPSG:4326")
+        np.testing.assert_allclose(lo2, lon, atol=3e-7)
+        np.testing.assert_allclose(la2, lat, atol=3e-7)
+
+    # parse/canonical round-trip + proj4 parity with the EPSG route
+    assert parse_crs("EPSG:2056").canonical() == "EPSG:2056"
+    assert parse_crs("EPSG:21781").canonical() == "EPSG:21781"
+    x1, y1 = transform_xy(lon, lat, "EPSG:4326", "EPSG:2056")
+    x2, y2 = transform_xy(
+        lon, lat, "EPSG:4326",
+        "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 "
+        "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel "
+        "+towgs84=674.374,15.056,405.346")
+    np.testing.assert_allclose(x2, x1, atol=1e-6)
+    np.testing.assert_allclose(y2, y1, atol=1e-6)
