@@ -1617,6 +1617,63 @@ def q_transform_somerc(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_moll(sf_dir: str):
+    """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
+    the WGS84-semi-major sphere; pinned against Snyder's numerical
+    example in tests/test_proj.py): the theta equation solved by a
+    FIXED ten Newton iterations that the oracle replays one CTE per
+    iteration. All points (outliers included) are valid inputs.
+    Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "ESRI:54009")
+        lon2, lat2 = transform_xy(x, yv, "ESRI:54009", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_transform_ortho(sf_dir: str):
+    """Orthographic satellite view centered on the point window (40N
+    120W — proj/world.py, Snyder 20-3..20-6; pinned against Snyder's
+    numerical example in tests/test_proj.py). Outliers excluded so
+    every input is on the visible hemisphere; closed-form oracle.
+    Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    crs = "+proj=ortho +lat_0=40 +lon_0=-120"
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        keep = lon < -100.0
+        lon, lat = lon[keep], lat[keep]
+        x, yv = transform_xy(lon, lat, "EPSG:4326", crs)
+        lon2, lat2 = transform_xy(x, yv, crs, "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id").filter(pa.array(keep)),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 _MINHASH_GOLDEN_SF_DIRS = (
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -5644,6 +5701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_tmerc": q_transform_tmerc,
         "transform_osgb": q_transform_osgb,
         "transform_somerc": q_transform_somerc,
+        "transform_moll": q_transform_moll,
+        "transform_ortho": q_transform_ortho,
         "transform_geos": q_transform_geos,
         "transform_eqc": q_transform_eqc,
         "phash_dups": q_phash_dups,
@@ -7045,6 +7104,56 @@ SELECT point_id,
                    + 1200000.0e0) * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM rot
+"""
+
+    # transform_moll: Snyder's Mollweide with the fixed ten-iteration
+    # Newton solve replayed one CTE per iteration — nothing golden
+    _mo_iter = (
+        "{t} - (2.0e0*{t} + sin(2.0e0*{t}) - rhs)"
+        " / (2.0e0 + 2.0e0*cos(2.0e0*{t}))"
+    )
+    sql["transform_moll"] = f"""
+WITH {_PTS_CTE.strip()},
+m0 AS (
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(y) AS t0, pi() * sin(radians(y)) AS rhs
+  FROM pts
+),
+{"".join(
+    f"m{i+1} AS (SELECT point_id, lam, rhs, "
+    + _mo_iter.format(t=f"t{i}") + f" AS t{i+1} FROM m{i}),"
+    for i in range(10)
+).rstrip(",")}
+SELECT point_id,
+       CAST(floor((2.0e0 * sqrt(2.0e0) / pi()) * 6378137.0e0 * lam
+                  * cos(t10) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(sqrt(2.0e0) * 6378137.0e0 * sin(t10) * 100.0e0)
+            AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM m10
+"""
+
+    # transform_ortho: closed-form Snyder orthographic, center 40N 120W
+    sql["transform_ortho"] = f"""
+WITH {_PTS_CTE.strip()},
+oo AS (
+  SELECT point_id,
+         fmod(radians(x - -120.0e0) + 3.141592653589793e0,
+              6.283185307179586e0) - 3.141592653589793e0 AS lam,
+         radians(y) AS pw, radians(40.0e0) AS p0
+  FROM pts
+  WHERE x < -100.0e0
+)
+SELECT point_id,
+       CAST(floor(6378137.0e0 * cos(pw) * sin(lam) * 100.0e0)
+            AS BIGINT) AS x_cm,
+       CAST(floor(6378137.0e0 * (cos(p0) * sin(pw)
+                                 - sin(p0) * cos(pw) * cos(lam))
+                  * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM oo
 """
 
     # transform_geos: geocentric-latitude view geometry, re-derived per

@@ -32,6 +32,7 @@ class CRSInfo:
     kind: str  # 'geographic' | 'utm' | 'aeqd' | 'sinu' | 'lcc' | 'merc'
     #          | 'webmerc' | 'stere' (polar) | 'aea' | 'laea' | 'cea'
     #          | 'tmerc' (general) | 'geos' | 'eqc' | 'somerc' (Swiss)
+    #          | 'moll' | 'ortho' (spherical)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -118,6 +119,14 @@ class CRSInfo:
                 f" +k_0={self.k_0} +x_0={self.x_0} +y_0={self.y_0}"
                 + self._datum_suffix()
             )
+        if self.kind == "moll":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return (f"+proj=moll +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
+        if self.kind == "ortho":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return (f"+proj=ortho +lat_0={self.lat_0} +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
         if self.kind == "somerc":
             if (self.ellps, self.towgs84) == _CH1903 and self.x_0 == 600000.0:
                 return "EPSG:21781"
@@ -173,6 +182,8 @@ def parse_crs(crs: str) -> CRSInfo:
                 "WKT CRS without an EPSG AUTHORITY/ID entry; pass an "
                 "EPSG:<code> or proj4 string instead")
         return parse_crs(f"EPSG:{ids[-1]}")
+    if re.match(r"^ESRI:54009$", s, re.I):
+        return CRSInfo("moll")
     m = _EPSG_RE.match(s)
     if m:
         code = int(m.group(1))
@@ -350,6 +361,19 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo(
             "cea", lat_ts=_p("lat_ts"), lon_0=_p("lon_0"),
             x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=moll" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo(
+            "moll", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
+        )
+    if "+proj=ortho" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo(
+            "ortho", lat_0=_p("lat_0"), lon_0=_p("lon_0"),
+            x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
         )
     if "+proj=somerc" in low:
         k0 = _p("k_0", _p("k", 1.0))

@@ -27,6 +27,7 @@ from . import geostationary as _geos
 from . import sinusoidal as _sinu
 from . import stereographic as _st
 from . import swiss as _sw
+from . import world as _world
 from . import transverse_mercator as _tm
 from .crs import CRSInfo, parse_crs
 from .datum import ELLIPSOIDS, datum_to_wgs84, wgs84_to_datum
@@ -110,6 +111,16 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             x, y, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0,
             *ELLIPSOIDS["WGS84"]
         )
+    if info.kind == "moll":
+        return _world.moll_to_geographic(
+            x, y, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "ortho":
+        return _world.ortho_to_geographic(
+            x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 
 
@@ -181,6 +192,16 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         return _sw.geographic_to_somerc(
             lon, lat, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0,
             *ELLIPSOIDS["WGS84"]
+        )
+    if info.kind == "moll":
+        return _world.geographic_to_moll(
+            lon, lat, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "ortho":
+        return _world.geographic_to_ortho(
+            lon, lat, info.lat_0, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
         )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 

@@ -713,3 +713,60 @@ def test_swiss_somerc_swisstopo_reference_point():
         "+towgs84=674.374,15.056,405.346")
     np.testing.assert_allclose(x2, x1, atol=1e-6)
     np.testing.assert_allclose(y2, y1, atol=1e-6)
+
+
+def test_mollweide_snyder_example_equal_area_roundtrip():
+    """Mollweide (Snyder 31-1..31-8). Pins: (a) Snyder's PP 1395
+    numerical example (R=1, lon_0=-90: 50N 75W -> x 0.1788845,
+    y 0.9208758); (b) the ellipse frame: pole y = sqrt(2) R, edge
+    x -> 2 sqrt(2) R; (c) numeric equal-area (Jacobian == R^2 cos phi
+    to 1e-6); (d) 1e-9 deg round-trips including a shifted lon_0."""
+    from rasters_ray.proj.transform import transform_xy
+    from rasters_ray.proj.world import R_WGS84, geographic_to_moll
+
+    x, y = geographic_to_moll([-75.0], [50.0], lon_0=-90.0, radius=1.0)
+    assert abs(x[0] - 0.1788845) < 1e-6 and abs(y[0] - 0.9208758) < 1e-6
+    x, y = geographic_to_moll([0.0], [90.0])
+    assert abs(y[0] - np.sqrt(2.0) * R_WGS84) < 1e-6 and abs(x[0]) < 1e-6
+    eps = 1e-6
+    for phi in (0.0, 30.0, 60.0, 85.0):
+        x0, y0 = geographic_to_moll([10.0], [phi])
+        xl, yl = geographic_to_moll([10.0 + eps], [phi])
+        xp, yp = geographic_to_moll([10.0], [phi + eps])
+        J = ((xl[0] - x0[0]) * (yp[0] - y0[0])
+             - (xp[0] - x0[0]) * (yl[0] - y0[0])) / np.radians(eps) ** 2
+        assert abs(J / (R_WGS84 ** 2 * np.cos(np.radians(phi))) - 1.0) < 1e-6
+    rng = np.random.default_rng(13)
+    lon = rng.uniform(-179, 179, 400)
+    lat = rng.uniform(-89, 89, 400)
+    for crs in ("ESRI:54009", "+proj=moll +lon_0=100"):
+        lo, la = transform_xy(*transform_xy(lon, lat, "EPSG:4326", crs),
+                              crs, "EPSG:4326")
+        np.testing.assert_allclose(lo, lon, atol=1e-9)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+def test_orthographic_snyder_example_and_hemisphere():
+    """Orthographic (Snyder 20-3..20-6). Pins: (a) Snyder's numerical
+    example (R=1, center 40N 100W: 30N 110W -> x -0.1503837,
+    y -0.1651911); (b) the far hemisphere maps to NaN; (c) center maps
+    to the false origin; (d) visible-hemisphere round-trips."""
+    from rasters_ray.proj.transform import transform_xy
+    from rasters_ray.proj.world import geographic_to_ortho
+
+    x, y = geographic_to_ortho([-110.0], [30.0], 40.0, -100.0, radius=1.0)
+    assert abs(x[0] + 0.1503837) < 1e-6 and abs(y[0] + 0.1651911) < 1e-6
+    crs = "+proj=ortho +lat_0=45 +lon_0=10"
+    x, y = transform_xy([10.0], [45.0], "EPSG:4326", crs)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    x, y = transform_xy([-170.0], [-45.0], "EPSG:4326", crs)
+    assert np.isnan(x[0]) and np.isnan(y[0])
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-60, 80, 400)
+    lat = rng.uniform(0, 89, 400)
+    X, Y = transform_xy(lon, lat, "EPSG:4326", crs)
+    vis = ~np.isnan(X)
+    assert vis.sum() > 300
+    lo, la = transform_xy(X[vis], Y[vis], crs, "EPSG:4326")
+    np.testing.assert_allclose(lo, lon[vis], atol=1e-9)
+    np.testing.assert_allclose(la, lat[vis], atol=1e-9)
