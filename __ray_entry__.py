@@ -1674,6 +1674,38 @@ def q_transform_ortho(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_igh(sf_dir: str):
+    """Interrupted Goode homolosine (proj/world.py — the MODIS-era
+    global land grid; PROJ +proj=igh): per-lobe central meridian,
+    sinusoidal below Snyder's 40d44'11.8" join, shifted Mollweide
+    above. Points spread across two northern lobes by an exact-double
+    remap (lon+100 when lon < -120), latitudes 36..44 straddle the
+    join, so the oracle's CASE covers lobe selection AND both
+    component projections, replaying the ten Newton iterations.
+    Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        keep = lon < -100.0
+        lon, lat = lon[keep], lat[keep]
+        lon = np.where(lon < -120.0, lon + 100.0, lon)
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "+proj=igh")
+        lon2, lat2 = transform_xy(x, yv, "+proj=igh", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id").filter(pa.array(keep)),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 _MINHASH_GOLDEN_SF_DIRS = (
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -5703,6 +5735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_somerc": q_transform_somerc,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
+        "transform_igh": q_transform_igh,
         "transform_geos": q_transform_geos,
         "transform_eqc": q_transform_eqc,
         "phash_dups": q_phash_dups,
@@ -7154,6 +7187,52 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM oo
+"""
+
+    # transform_igh: interrupted Goode homolosine — lobe CASE, the
+    # sinusoidal/Mollweide join CASE, and the ten Newton iterations all
+    # replayed in SQL. Northern hemisphere only here (lat 36..44), so
+    # sign(phi) = +1 in the Mollweide y shift. Nothing golden.
+    sql["transform_igh"] = f"""
+WITH {_PTS_CTE.strip()},
+i0 AS (
+  SELECT point_id,
+         fmod((CASE WHEN x < -120.0e0 THEN x + 100.0e0 ELSE x END)
+              + 180.0e0, 360.0e0) - 180.0e0 AS lonw,
+         radians(y) AS pw, pi() * sin(radians(y)) AS rhs, radians(y) AS t0
+  FROM pts
+  WHERE x < -100.0e0
+),
+i1 AS (
+  SELECT *, CASE WHEN lonw < -40.0e0 THEN -100.0e0 ELSE 30.0e0 END AS lam0
+  FROM i0
+),
+i2 AS (
+  SELECT *, fmod(radians(lonw - lam0) + 3.141592653589793e0,
+                 6.283185307179586e0) - 3.141592653589793e0 AS lam
+  FROM i1
+),
+{"".join(
+    f"n{i+1} AS (SELECT point_id, lonw, pw, rhs, lam, lam0, "
+    + f"t{i} - (2.0e0*t{i} + sin(2.0e0*t{i}) - rhs)"
+      f" / (2.0e0 + 2.0e0*cos(2.0e0*t{i})) AS t{i+1} FROM "
+    + ("i2" if i == 0 else f"n{i}") + "),"
+    for i in range(10)
+).rstrip(",")}
+SELECT point_id,
+       CAST(floor(((CASE WHEN abs(pw) > 0.7109888814838443e0
+                    THEN (2.0e0 * sqrt(2.0e0) / pi()) * 6378137.0e0
+                         * lam * cos(t10)
+                    ELSE 6378137.0e0 * lam * cos(pw) END)
+                   + 6378137.0e0 * radians(lam0)) * 100.0e0)
+            AS BIGINT) AS x_cm,
+       CAST(floor((CASE WHEN abs(pw) > 0.7109888814838443e0
+                   THEN 6378137.0e0 * (sqrt(2.0e0) * sin(t10)
+                                       - 0.05280352736854088e0)
+                   ELSE 6378137.0e0 * pw END) * 100.0e0)
+            AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM n10
 """
 
     # transform_geos: geocentric-latitude view geometry, re-derived per

@@ -32,7 +32,7 @@ class CRSInfo:
     kind: str  # 'geographic' | 'utm' | 'aeqd' | 'sinu' | 'lcc' | 'merc'
     #          | 'webmerc' | 'stere' (polar) | 'aea' | 'laea' | 'cea'
     #          | 'tmerc' (general) | 'geos' | 'eqc' | 'somerc' (Swiss)
-    #          | 'moll' | 'ortho' (spherical)
+    #          | 'moll' | 'ortho' | 'goode' | 'igh' (spherical)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -119,6 +119,12 @@ class CRSInfo:
                 f" +k_0={self.k_0} +x_0={self.x_0} +y_0={self.y_0}"
                 + self._datum_suffix()
             )
+        if self.kind == "goode":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return f"+proj=goode +lon_0={self.lon_0}{r}"
+        if self.kind == "igh":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return f"+proj=igh{r}"
         if self.kind == "moll":
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=moll +lon_0={self.lon_0}"
@@ -362,6 +368,13 @@ def parse_crs(crs: str) -> CRSInfo:
             "cea", lat_ts=_p("lat_ts"), lon_0=_p("lon_0"),
             x_0=_p("x_0"), y_0=_p("y_0"),
         )
+    if "+proj=goode" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo("goode", lon_0=_p("lon_0"),
+                       radius=float(rm.group(1)) if rm else None)
+    if "+proj=igh" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo("igh", radius=float(rm.group(1)) if rm else None)
     if "+proj=moll" in low:
         rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
         return CRSInfo(

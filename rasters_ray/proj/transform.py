@@ -121,6 +121,14 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )
+    if info.kind == "goode":
+        return _world.goode_to_geographic(
+            x, y, info.lon_0, radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "igh":
+        return _world.igh_to_geographic(
+            x, y, radius=info.radius or _world.R_WGS84
+        )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 
 
@@ -202,6 +210,14 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         return _world.geographic_to_ortho(
             lon, lat, info.lat_0, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "goode":
+        return _world.geographic_to_goode(
+            lon, lat, info.lon_0, radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "igh":
+        return _world.geographic_to_igh(
+            lon, lat, radius=info.radius or _world.R_WGS84
         )
     raise ValueError(f"unsupported CRS kind: {info.kind}")
 

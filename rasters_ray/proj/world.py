@@ -111,3 +111,135 @@ def ortho_to_geographic(
     # wrap back to [-180, 180] (the forward wraps lam - lam0 the same way)
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
+
+
+# --- Goode homolosine (Snyder PP 1395 "Goode Homolosine"; PROJ
+# +proj=goode / +proj=igh). Equal-area fusion: sinusoidal equatorward
+# of PHI_LIM, Mollweide (shifted by Y_COR to join continuously)
+# poleward. The constants solve the x-continuity system
+#   2 theta + sin 2 theta = pi sin phi,
+#   cos theta = (pi / (2 sqrt 2)) cos phi
+# (derived in tests to full double precision):
+PHI_LIM = 0.7109888814838443    # 40d44'11.8" (Snyder's join latitude)
+THETA_LIM = 0.5705354790951345
+Y_COR = 0.05280352736854088     # sqrt(2) sin theta_lim - phi_lim
+
+
+def _moll_theta(phi: np.ndarray) -> np.ndarray:
+    """Fixed ten-Newton-iteration solve of 2t + sin 2t = pi sin phi
+    (the same iteration geographic_to_moll uses)."""
+    rhs = np.pi * np.sin(phi)
+    theta = phi.copy() if isinstance(phi, np.ndarray) else np.asarray(phi)
+    for _ in range(10):
+        denom = 2.0 + 2.0 * np.cos(2.0 * theta)
+        step = np.where(denom > 1e-14,
+                        (2.0 * theta + np.sin(2.0 * theta) - rhs)
+                        / np.where(denom > 1e-14, denom, 1.0),
+                        0.0)
+        theta = theta - step
+    return theta
+
+
+def geographic_to_goode(
+    lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
+    radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Uninterrupted Goode homolosine."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = _moll_theta(phi)
+    moll = np.abs(phi) > PHI_LIM
+    x = np.where(moll, (2.0 * _SQRT2 / np.pi) * radius * lam * np.cos(theta),
+                 radius * lam * np.cos(phi))
+    y = np.where(moll,
+                 radius * (_SQRT2 * np.sin(theta)
+                           - np.sign(phi) * Y_COR),
+                 radius * phi)
+    return x, y
+
+
+def goode_to_geographic(
+    x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
+    radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = np.asarray(x, dtype=np.float64) / radius
+    ys = np.asarray(y, dtype=np.float64) / radius
+    moll = np.abs(ys) > PHI_LIM
+    # mollweide branch
+    st = np.clip((np.abs(ys) + Y_COR) / _SQRT2, -1.0, 1.0)
+    theta = np.arcsin(st) * np.sign(ys)
+    phi_m = np.arcsin(np.clip((2.0 * theta + np.sin(2.0 * theta)) / np.pi,
+                              -1.0, 1.0))
+    ct = np.cos(theta)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam_m = np.pi * xs / (2.0 * _SQRT2 * ct)
+    lam_m = np.where(ct < 1e-14, 0.0, lam_m)
+    # sinusoidal branch
+    phi_s = ys
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam_s = xs / np.cos(phi_s)
+    phi = np.where(moll, phi_m, phi_s)
+    lam = np.where(moll, lam_m, lam_s)
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
+
+
+# interrupted layout (the PROJ +proj=igh land arrangement): northern
+# hemisphere splits at -40; southern at -100 / -20 / 80. Per-lobe
+# central meridians below; each lobe is drawn about its own meridian
+# and translated by R*lam0 so the equator stays continuous.
+_IGH_N_SPLITS = (-40.0,)
+_IGH_N_LAM0 = (-100.0, 30.0)
+_IGH_S_SPLITS = (-100.0, -20.0, 80.0)
+_IGH_S_LAM0 = (-160.0, -60.0, 20.0, 140.0)
+
+
+def _igh_lam0(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Per-point central meridian (degrees) of the containing lobe."""
+    north = lat >= 0.0
+    lam0 = np.where(
+        north,
+        np.where(lon < _IGH_N_SPLITS[0], _IGH_N_LAM0[0], _IGH_N_LAM0[1]),
+        np.select(
+            [lon < _IGH_S_SPLITS[0], lon < _IGH_S_SPLITS[1],
+             lon < _IGH_S_SPLITS[2]],
+            [_IGH_S_LAM0[0], _IGH_S_LAM0[1], _IGH_S_LAM0[2]],
+            default=_IGH_S_LAM0[3]),
+    )
+    return lam0
+
+
+def geographic_to_igh(
+    lon: np.ndarray, lat: np.ndarray, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Interrupted Goode homolosine (12 zones, land arrangement)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon_w = (lon + 180.0) % 360.0 - 180.0
+    lam0 = _igh_lam0(lon_w, lat)
+    x, y = geographic_to_goode(lon_w - lam0, lat, 0.0, radius)
+    return x + radius * np.radians(lam0), y
+
+
+def igh_to_geographic(
+    x: np.ndarray, y: np.ndarray, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Inverse by lobe strip: the vertical strip containing x decides
+    the lobe (every lobe lies within its meridian strip because both
+    component projections contract x toward the central meridian);
+    points whose inverse longitude falls outside the lobe map to NaN
+    (the gores between lobes)."""
+    xs = np.asarray(x, dtype=np.float64)
+    ys = np.asarray(y, dtype=np.float64)
+    north = ys >= 0.0
+    xd = np.degrees(xs / radius)  # equator-scale pseudo-longitude
+    lam0 = _igh_lam0(xd, np.where(north, 1.0, -1.0))
+    lon_rel, lat = goode_to_geographic(xs - radius * np.radians(lam0), ys,
+                                       0.0, radius)
+    lon = lon_rel + lam0
+    # gore check: the point must classify into the same lobe
+    ok = _igh_lam0(lon, np.where(north, 1.0, -1.0)) == lam0
+    lon = np.where(ok, lon, np.nan)
+    lat = np.where(ok, lat, np.nan)
+    return lon, lat

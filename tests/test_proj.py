@@ -770,3 +770,53 @@ def test_orthographic_snyder_example_and_hemisphere():
     lo, la = transform_xy(X[vis], Y[vis], crs, "EPSG:4326")
     np.testing.assert_allclose(lo, lon[vis], atol=1e-9)
     np.testing.assert_allclose(la, lat[vis], atol=1e-9)
+
+
+def test_goode_homolosine_constants_and_roundtrip():
+    """Goode homolosine (Snyder PP 1395): (a) the module constants
+    solve the defining system (theta equation + x-continuity) to full
+    double precision; (b) the sinusoidal/Mollweide join is continuous;
+    (c) equal-area Jacobian both sides of the join; (d) 1e-9 deg
+    round-trips for goode and igh, and igh restores points across all
+    six lobes."""
+    from rasters_ray.proj.transform import transform_xy
+    from rasters_ray.proj.world import (PHI_LIM, THETA_LIM, Y_COR, R_WGS84,
+                                        geographic_to_goode)
+
+    assert abs(2 * THETA_LIM + np.sin(2 * THETA_LIM)
+               - np.pi * np.sin(PHI_LIM)) < 1e-14
+    assert abs(np.cos(THETA_LIM)
+               - (np.pi / (2 * np.sqrt(2))) * np.cos(PHI_LIM)) < 1e-14
+    assert abs(Y_COR - (np.sqrt(2) * np.sin(THETA_LIM) - PHI_LIM)) < 1e-15
+    # Snyder's join latitude 40d44'11.8"
+    assert abs(np.degrees(PHI_LIM) - (40 + 44 / 60 + 11.8 / 3600)) < 1e-4
+
+    eps = 2e-7
+    for lam in (-120.0, 40.0):
+        xb, yb = geographic_to_goode(
+            [lam, lam], [np.degrees(PHI_LIM) - eps, np.degrees(PHI_LIM) + eps])
+        assert abs(xb[1] - xb[0]) < 0.1 and abs(yb[1] - yb[0]) < 0.1
+
+    deps = 1e-6
+    for phi in (30.0, 55.0):  # one per component projection
+        x0, y0 = geographic_to_goode([10.0], [phi])
+        xl, yl = geographic_to_goode([10.0 + deps], [phi])
+        xp, yp = geographic_to_goode([10.0], [phi + deps])
+        J = ((xl[0] - x0[0]) * (yp[0] - y0[0])
+             - (xp[0] - x0[0]) * (yl[0] - y0[0])) / np.radians(deps) ** 2
+        assert abs(J / (R_WGS84 ** 2 * np.cos(np.radians(phi))) - 1.0) < 1e-5
+
+    rng = np.random.default_rng(29)
+    lon = rng.uniform(-179, 179, 600)
+    lat = rng.uniform(-89, 89, 600)
+    for crs in ("+proj=goode +lon_0=20", "+proj=igh"):
+        X, Y = transform_xy(lon, lat, "EPSG:4326", crs)
+        lo, la = transform_xy(X, Y, crs, "EPSG:4326")
+        ok = ~np.isnan(lo)
+        assert ok.mean() > 0.99
+        np.testing.assert_allclose(lo[ok], lon[ok], atol=1e-9)
+        np.testing.assert_allclose(la[ok], lat[ok], atol=1e-9)
+    # igh covers all six lobes in that sample
+    from rasters_ray.proj.world import _igh_lam0
+    lam0 = _igh_lam0(lon, lat)
+    assert len(np.unique(lam0)) == 6

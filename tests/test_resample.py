@@ -179,3 +179,51 @@ def test_warp_to_geos_and_tmerc_targets():
     run((-126.0, 45.0, 0.1, -0.1), "EPSG:4326",
         "+proj=geos +h=35786023 +lon_0=-137 +sweep=x")
     run((172.0, -40.0, 0.05, -0.05), "EPSG:4326", "EPSG:2193")
+
+
+def test_warp_to_swiss_and_mollweide_targets():
+    """The round-5 somerc/moll/ortho CRSs integrate with the warp
+    machinery end-to-end, back-checking pixels through the inverse
+    transforms (same harness as the geos/NZTM leg)."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.proj import transform_xy
+    from rasters_ray.stages.resample import warp_array
+
+    rows, cols = 40, 60
+    px = (np.arange(rows * cols) % 251).astype(np.float32).reshape(rows, cols)
+
+    def run(src_box, src_crs, tgt_crs):
+        x0, y0, cw, ch = src_box
+        src_grid = GridSpec(crs=src_crs, x_origin=x0, y_origin=y0,
+                            cell_width=cw, cell_height=ch,
+                            rows=rows, cols=cols)
+        lon_c = [x0, x0 + cols * cw, x0, x0 + cols * cw]
+        lat_c = [y0, y0, y0 + rows * ch, y0 + rows * ch]
+        xs, ys = transform_xy(np.array(lon_c), np.array(lat_c),
+                              src_crs, tgt_crs)
+        tgt = GridSpec(crs=tgt_crs, x_origin=float(xs.min()),
+                       y_origin=float(ys.max()),
+                       cell_width=float((xs.max() - xs.min()) / 50),
+                       cell_height=-float((ys.max() - ys.min()) / 50),
+                       rows=50, cols=50)
+        warped = warp_array(px, src_grid, tgt, "nearest")
+        assert warped.shape == (50, 50)
+        assert np.isfinite(warped).mean() > 0.5
+        hits = 0
+        for r, c in ((25, 25), (10, 40), (40, 10), (5, 5)):
+            cx = tgt.x_origin + (c + 0.5) * tgt.cell_width
+            cy = tgt.y_origin + (r + 0.5) * tgt.cell_height
+            lon, lat = transform_xy([cx], [cy], tgt_crs, src_crs)
+            sr = int(np.floor((lat[0] - src_grid.y_origin)
+                              / src_grid.cell_height))
+            sc = int(np.floor((lon[0] - src_grid.x_origin)
+                              / src_grid.cell_width))
+            if 0 <= sr < rows and 0 <= sc < cols and np.isfinite(warped[r, c]):
+                assert warped[r, c] == px[sr, sc]
+                hits += 1
+        assert hits >= 2
+
+    run((6.0, 47.8, 0.05, -0.04), "EPSG:4326", "EPSG:2056")
+    run((-10.0, 50.0, 0.5, -0.5), "EPSG:4326", "ESRI:54009")
+    run((5.0, 50.0, 0.2, -0.2), "EPSG:4326",
+        "+proj=ortho +lat_0=46 +lon_0=8")
