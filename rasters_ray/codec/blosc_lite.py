@@ -23,8 +23,16 @@ unsplit — both layouts are self-describing enough to disambiguate.
 
 ``compress`` emits zlib-coded chunks (split never applies to zlib in
 c-blosc, so the layout is unambiguous for real blosc readers too) with
-optional byte shuffle. Bit-shuffle, blosclz, snappy and zstd raise
-naming the codec."""
+optional byte or bit shuffle. Blosclz, snappy and zstd raise naming
+the codec.
+
+Bit-shuffle (flags bit 2) follows the public bitshuffle library layout
+c-blosc embeds (``bshuf_trans_bit_elem``): per block, the elements are
+byte-transposed, then each byte plane is split into 8 bit planes (LSB
+first), each plane packing bit ``b`` of byte ``k`` of every element in
+little-endian element order — i.e. a bit-matrix transpose of
+(n_elements, 8*typesize). c-blosc rounds the element count down to a
+multiple of 8 and memcpy's the tail (shuffle.c ``bitshuffle``)."""
 
 from __future__ import annotations
 
@@ -58,6 +66,36 @@ def _shuffle(buf: bytes, typesize: int) -> bytes:
     a = np.frombuffer(buf[:main], np.uint8)
     out = a.reshape(-1, typesize).T.reshape(-1).tobytes()
     return out + buf[main:]
+
+
+def _bit_unshuffle(buf: bytes, typesize: int) -> bytes:
+    """Undo blosc bit-shuffle on one block. The shuffled layout is the
+    transpose of the (n_elements, 8*typesize) bit matrix with planes
+    ordered byte-then-bit (LSB first) and elements packed little-endian;
+    c-blosc shuffles only ``n - n % 8`` elements and stores the tail
+    raw (shuffle.c ``bitshuffle``/``bitunshuffle``)."""
+    n = len(buf) // typesize
+    n -= n % 8
+    main = n * typesize
+    if n == 0:
+        return buf
+    planes = np.frombuffer(buf[:main], np.uint8).reshape(typesize * 8, n // 8)
+    bits = np.unpackbits(planes, axis=1, bitorder="little")  # (8T, n)
+    elems = np.packbits(bits.T, axis=1, bitorder="little")  # (n, T)
+    return elems.tobytes() + buf[main:]
+
+
+def _bit_shuffle(buf: bytes, typesize: int) -> bytes:
+    """Forward bit-shuffle matching ``_bit_unshuffle``."""
+    n = len(buf) // typesize
+    n -= n % 8
+    main = n * typesize
+    if n == 0:
+        return buf
+    elems = np.frombuffer(buf[:main], np.uint8).reshape(n, typesize)
+    bits = np.unpackbits(elems, axis=1, bitorder="little")  # (n, 8T)
+    planes = np.packbits(bits.T, axis=1, bitorder="little")  # (8T, n/8)
+    return planes.tobytes() + buf[main:]
 
 
 def _decode_streams(d: bytes, pos: int, neblock: int, nsplits: int,
@@ -107,15 +145,11 @@ def decompress(data: bytes) -> bytes:
         # tolerate trailing padding some writers leave, but never short
         if cbytes > len(d):
             raise ValueError("blosc: cbytes exceeds chunk length")
-    if flags & 0x04:
-        raise NotImplementedError(
-            "blosc bit-shuffle unsupported; rewrite with shuffle=SHUFFLE "
-            "(byte) or NOSHUFFLE"
-        )
     if flags & 0x02:  # pure memcpy: original bytes follow the header
         return d[16 : 16 + nbytes]
     codec = flags >> 5
     shuffled = bool(flags & 0x01)
+    bitshuffled = bool(flags & 0x04)
     nblocks = -(-nbytes // blocksize) if blocksize else 0
     starts = list(struct.unpack_from(f"<{nblocks}I", d, 16))
     out = bytearray()
@@ -136,6 +170,8 @@ def decompress(data: bytes) -> bytes:
             raise ValueError(f"blosc: block {j} undecodable: {err}")
         if shuffled:
             block = _unshuffle(block, typesize)
+        elif bitshuffled:
+            block = _bit_unshuffle(block, max(typesize, 1))
         out += block
     if len(out) != nbytes:
         raise ValueError("blosc: reassembled size mismatch")
@@ -143,21 +179,29 @@ def decompress(data: bytes) -> bytes:
 
 
 def compress(data: bytes, typesize: int = 4, shuffle: bool = True,
-             blocksize: int = 1 << 18, clevel: int = 5) -> bytes:
+             blocksize: int = 1 << 18, clevel: int = 5,
+             bitshuffle: bool = False) -> bytes:
     """Raw bytes -> blosc chunk (zlib codec, unsplit blocks — the layout
-    every c-blosc build reads back deterministically)."""
+    every c-blosc build reads back deterministically). ``bitshuffle``
+    selects the bit-plane transpose (flags bit 2) instead of the byte
+    shuffle; the two are mutually exclusive per the c-blosc header."""
     d = bytes(data)
     nbytes = len(d)
     if nbytes == 0:
         return struct.pack("<BBBBIII", 2, 1, 0x02, max(typesize, 1), 0, 0, 16)
+    if bitshuffle:
+        shuffle = False
     blocksize = min(blocksize, nbytes)
     nblocks = -(-nbytes // blocksize)
-    flags = (3 << 5) | (0x01 if shuffle and typesize > 1 else 0)
+    flags = ((3 << 5) | (0x01 if shuffle and typesize > 1 else 0)
+             | (0x04 if bitshuffle else 0))
     blobs = []
     for j in range(nblocks):
         raw = d[j * blocksize : j * blocksize + blocksize]
         if shuffle and typesize > 1:
             raw = _shuffle(raw, typesize)
+        elif bitshuffle:
+            raw = _bit_shuffle(raw, max(typesize, 1))
         comp = zlib.compress(raw, clevel)
         if len(comp) >= len(raw):
             comp, csize = raw, len(raw)  # stored raw (csize == neblock)

@@ -9,14 +9,17 @@ module implements the subset the engine needs:
   default ``c/i/j`` or v2-style chunk key encodings); groups with array
   members; 1D/2D arrays; any numpy dtype; compressors/codecs
   ``null``/``zlib``/``gzip`` and BLOSC (the zarr-python default —
-  lz4/lz4hc/zlib chunks with byte shuffle, via codec/blosc_lite);
-  ``fill_value`` for missing chunk files; numcodecs array-side
+  lz4/lz4hc/zlib chunks with byte OR bit shuffle, via
+  codec/blosc_lite); v3 bytes->bytes codecs STACK in declared order,
+  including the ``crc32c`` data codec (verified+stripped) and the
+  array->array ``transpose`` codec (permutation inverted at the typed
+  chunk); ``fill_value`` for missing chunk files; numcodecs array-side
   filters Delta (what xarray puts on coordinate arrays) and Shuffle;
   the xarray ``_ARRAY_DIMENSIONS`` (v2) / ``dimension_names`` (v3)
   conventions; v3 ``sharding_indexed`` shards (inner chunk index with
   verified CRC-32C, absent inner chunks -> fill_value) read natively.
-  Bit-shuffle, blosclz/snappy/zstd, other filters and nested sharding
-  raise NotImplementedError with the remediation.
+  Blosclz/snappy/zstd, other filters and nested sharding raise
+  NotImplementedError with the remediation.
 - ``write_zarr``: same subset (``zarr_format=2`` default or 3;
   compressor zlib, blosc or none; ``shards=`` emits v3
   sharding_indexed shard files) — round-trip tests prove the reader
@@ -54,7 +57,7 @@ class _ArrayInfo:
 
     __slots__ = ("adir", "version", "shape", "chunks", "dtype", "fill",
                  "dims", "attrs", "_codec", "_sep", "_key_v2", "_filters",
-                 "_shard")
+                 "_shard", "_transpose")
 
     def __init__(self, adir: str):
         self.adir = adir
@@ -82,6 +85,7 @@ class _ArrayInfo:
         self.chunks = tuple(meta["chunks"])
         self.dtype = np.dtype(meta["dtype"])
         self._shard = None
+        self._transpose = None
         self._filters = [_filter_codec(f) for f in (meta.get("filters") or [])]
         fill = meta.get("fill_value")
         self.fill = 0 if fill is None else fill
@@ -110,12 +114,14 @@ class _ArrayInfo:
         if dt not in _V3_DTYPES:
             raise NotImplementedError(f"zarr v3 data_type {dt!r}")
         base = _V3_DTYPES[dt]
-        endian, codec, shard = _parse_v3_codecs(meta.get("codecs", []))
+        endian, codec, shard, transpose = _parse_v3_codecs(
+            meta.get("codecs", []))
         if shard is not None:
             endian = shard["endian"]  # the 'bytes' codec nests inside
         self.dtype = np.dtype(base if base.startswith("|") else endian + base)
         self._codec = codec
         self._shard = shard
+        self._transpose = transpose
         if shard is not None:
             # the chunk_grid describes SHARD files; inner chunks live
             # inside each shard behind the binary index
@@ -162,7 +168,7 @@ class _ArrayInfo:
         raw = self._codec[0](data)
         for _dec, _enc in reversed(self._filters):
             raw = _dec(raw)
-        return np.frombuffer(raw, dtype=self.dtype).reshape(self.chunks)
+        return _typed_chunk(raw, self.dtype, self.chunks, self._transpose)
 
     def _read_shard(self, data: bytes) -> np.ndarray:
         """sharding_indexed shard file: inner chunks + a binary index of
@@ -193,7 +199,7 @@ class _ArrayInfo:
             if off == absent:
                 continue
             raw = sh["codec"][0](data[off : off + nb])
-            blk = np.frombuffer(raw, dtype=self.dtype).reshape(ishape)
+            blk = _typed_chunk(raw, self.dtype, ishape, sh.get("transpose"))
             sl = tuple(slice(p * c, (p + 1) * c)
                        for p, c in zip(pos, ishape))
             out[sl] = blk
@@ -202,6 +208,8 @@ class _ArrayInfo:
     def encode_chunk(self, block: np.ndarray) -> bytes:
         if self._shard is not None:
             return self._encode_shard(block)
+        if self._transpose is not None:
+            block = block.transpose(self._transpose)
         raw = np.ascontiguousarray(block).tobytes()
         for _dec, _enc in self._filters:
             raw = _enc(raw)
@@ -222,7 +230,10 @@ class _ArrayInfo:
         for pos in itertools.product(*[range(c) for c in counts]):
             sl = tuple(slice(p * c, (p + 1) * c)
                        for p, c in zip(pos, ishape))
-            enc = sh["codec"][1](np.ascontiguousarray(block[sl]).tobytes())
+            inner = block[sl]
+            if sh.get("transpose") is not None:
+                inner = inner.transpose(sh["transpose"])
+            enc = sh["codec"][1](np.ascontiguousarray(inner).tobytes())
             pairs.append((head + len(payload), len(enc)))
             payload += enc
         idx = np.array(pairs, dtype="<u8").tobytes()
@@ -283,25 +294,69 @@ def _crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+def _typed_chunk(raw: bytes, dtype, cshape, order):
+    """Decoded chunk bytes -> typed array of ``cshape``. With a v3
+    transpose codec the stored layout is the chunk permuted by
+    ``order``; view it in that shape and invert the permutation."""
+    if order is None:
+        return np.frombuffer(raw, dtype=dtype).reshape(cshape)
+    if len(order) != len(cshape):
+        raise ValueError(
+            f"zarr v3 transpose order {order} does not match chunk rank "
+            f"{len(cshape)}")
+    pshape = tuple(cshape[o] for o in order)
+    inv = tuple(int(i) for i in np.argsort(order))
+    return np.frombuffer(raw, dtype=dtype).reshape(pshape).transpose(inv)
+
+
+def _crc32c_codec():
+    """zarr v3 'crc32c' bytes->bytes codec: a 4-byte little-endian
+    CRC-32C APPENDED to the payload on encode, verified and stripped on
+    decode (zarr v3 crc32c codec spec)."""
+
+    def dec(b):
+        if len(b) < 4:
+            raise ValueError("crc32c codec payload shorter than its checksum")
+        body, crc = b[:-4], int.from_bytes(b[-4:], "little")
+        if _crc32c(body) != crc:
+            raise ValueError("zarr v3 chunk crc32c mismatch")
+        return body
+
+    def enc(b):
+        return bytes(b) + _crc32c(bytes(b)).to_bytes(4, "little")
+
+    return dec, enc
+
+
 def _parse_v3_codecs(codecs):
-    """v3 codec chain -> (endian, (decode, encode), shard_cfg|None).
-    The array->bytes 'bytes' codec fixes endianness; gzip/zlib/blosc are
-    the supported bytes->bytes compressors; 'sharding_indexed' nests an
-    inner chain. A bare 'crc32c' in the DATA chain stays unsupported
-    (we'd have to checksum every chunk payload); inside the shard INDEX
-    chain it is verified."""
+    """v3 codec chain -> (endian, (decode, encode), shard_cfg|None,
+    transpose_order|None). The array->array 'transpose' codec records
+    its axis permutation (applied at the typed-chunk layer by the
+    callers); the array->bytes 'bytes' codec fixes endianness;
+    gzip/zlib/blosc/crc32c are the supported bytes->bytes codecs and
+    STACK in declared order (encode forward, decode reverse);
+    'sharding_indexed' nests an inner chain."""
     endian = "<"
-    bstack = []
+    bstack = []  # (decode, encode) pairs in declared (encode) order
     shard = None
+    transpose = None
     for c in codecs:
         name = c.get("name")
         conf = c.get("configuration", {}) or {}
         if name == "bytes":
             endian = "<" if conf.get("endian", "little") == "little" else ">"
         elif name in ("gzip", "zlib", "blosc"):
-            bstack.append((name, conf))
+            bstack.append(_compressor_codec({"id": name, **conf}))
+        elif name == "crc32c":
+            bstack.append(_crc32c_codec())
+        elif name == "transpose":
+            order = tuple(int(v) for v in conf.get("order", ()))
+            if sorted(order) != list(range(len(order))):
+                raise ValueError(
+                    f"zarr v3 transpose order {order} is not a permutation")
+            transpose = order
         elif name == "sharding_indexed":
-            i_endian, i_codec, i_shard = _parse_v3_codecs(
+            i_endian, i_codec, i_shard, i_transpose = _parse_v3_codecs(
                 conf.get("codecs", []))
             if i_shard is not None:
                 raise NotImplementedError("nested zarr v3 sharding")
@@ -315,20 +370,30 @@ def _parse_v3_codecs(codecs):
                 "chunk_shape": tuple(conf["chunk_shape"]),
                 "codec": i_codec,
                 "endian": i_endian,
+                "transpose": i_transpose,
                 "index_crc": "crc32c" in index_names,
                 "index_location": conf.get("index_location", "end"),
             }
-        elif name == "crc32c":
-            raise NotImplementedError("zarr v3 crc32c data codec unsupported")
-        elif name == "transpose":
-            raise NotImplementedError("zarr v3 transpose codec unsupported")
         else:
             raise NotImplementedError(f"zarr v3 codec {name!r}")
-    if len(bstack) > 1:
-        raise NotImplementedError("zarr v3 stacked compressors unsupported")
-    codec = _compressor_codec(
-        {"id": bstack[0][0], **bstack[0][1]} if bstack else None)
-    return endian, codec, shard
+    if not bstack:
+        codec = _compressor_codec(None)
+    elif len(bstack) == 1:
+        codec = bstack[0]
+    else:
+
+        def dec(b, _cs=tuple(bstack)):
+            for d_, _e in reversed(_cs):
+                b = d_(b)
+            return b
+
+        def enc(b, _cs=tuple(bstack)):
+            for _d, e_ in _cs:
+                b = e_(b)
+            return b
+
+        codec = (dec, enc)
+    return endian, codec, shard, transpose
 
 
 def _filter_codec(cfg: dict):
@@ -392,13 +457,12 @@ def _compressor_codec(comp: Optional[dict]):
                 "rewrite with cname='lz4' or 'zlib'"
             )
         sh = comp.get("shuffle", 1)
-        if sh in ("bitshuffle", 2):
-            raise NotImplementedError("blosc bit-shuffle unsupported")
+        bitsh = sh in ("bitshuffle", 2)
         shuffle = sh in ("shuffle", 1, True)
         ts = int(comp.get("typesize", 4) or 4)
         return blosc_lite.decompress, (
-            lambda b, _t=ts, _s=shuffle: blosc_lite.compress(
-                b, typesize=_t, shuffle=_s))
+            lambda b, _t=ts, _s=shuffle, _b=bitsh: blosc_lite.compress(
+                b, typesize=_t, shuffle=_s, bitshuffle=_b))
     raise NotImplementedError(
         f"zarr compressor {cid!r} unsupported in this environment; "
         "rewrite with zlib, gzip, blosc(lz4/zlib) or no compression"

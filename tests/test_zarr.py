@@ -555,3 +555,134 @@ def test_zarr_window_touches_only_hit_chunks(tmp_path, monkeypatch):
     assert np.array_equal(got2, arr[3:5, 5:8])
     with pytest.raises(ValueError, match="empty"):
         zl.read_zarr_window(store, "v", (30, 0, 1, 1))
+
+
+def _bitshuffle_slow(buf: bytes, typesize: int) -> bytes:
+    """Independent reference for the bitshuffle layout: explicit loops
+    over (element, byte, bit) — plane order byte-then-bit (LSB first),
+    elements packed little-endian, tail past a multiple of 8 elements
+    copied raw (c-blosc shuffle.c `bitshuffle`)."""
+    n = (len(buf) // typesize) & ~7
+    main = n * typesize
+    out = bytearray(main)
+    for b in range(typesize):
+        for bit in range(8):
+            plane = (b * 8 + bit) * (n // 8)
+            for e in range(n):
+                v = (buf[e * typesize + b] >> bit) & 1
+                out[plane + e // 8] |= v << (e % 8)
+    return bytes(out) + buf[main:]
+
+
+def test_blosc_bitshuffle(tmp_path):
+    """Bit-shuffle (blosc flags bit 2): vectorized kernel matches the
+    loop reference bit for bit, compress/decompress round-trips, and a
+    hand-assembled chunk in the real c-blosc bitshuffle layout reads."""
+    import struct
+    import zlib
+
+    from rasters_ray.codec import blosc_lite
+
+    rng = np.random.default_rng(7)
+    for dt, ts in (("<u1", 1), ("<u2", 2), ("<f4", 4), ("<f8", 8)):
+        vals = rng.integers(0, 255, size=203, dtype=np.uint8)
+        raw = np.frombuffer(
+            rng.integers(0, 256, size=203 * ts, dtype=np.int64
+                         ).astype(np.uint8).tobytes(), np.uint8).tobytes()
+        del vals
+        assert blosc_lite._bit_shuffle(raw, ts) == _bitshuffle_slow(raw, ts)
+        assert blosc_lite._bit_unshuffle(
+            blosc_lite._bit_shuffle(raw, ts), ts) == raw
+    # tiny pinned vector: 8 uint8 elements [1,0,...,0] -> bit-0 plane 0x01
+    assert blosc_lite._bit_shuffle(bytes([1, 0, 0, 0, 0, 0, 0, 0]), 1) == (
+        bytes([1, 0, 0, 0, 0, 0, 0, 0]))
+    # element 3 with bit 6 set -> plane 6, bit 3
+    assert blosc_lite._bit_shuffle(
+        bytes([0, 0, 0, 0x40, 0, 0, 0, 0]), 1)[6] == 0x08
+
+    data = np.sin(np.arange(40 * 50, dtype="<f4")).reshape(40, 50)
+    chunk = blosc_lite.compress(data.tobytes(), typesize=4, bitshuffle=True)
+    assert chunk[2] & 0x04 and not (chunk[2] & 0x01)
+    assert blosc_lite.decompress(chunk) == data.tobytes()
+
+    # hand-assemble a bitshuffled zlib chunk via the loop reference and
+    # read the store (zarr v2 metadata with shuffle=2)
+    adir = tmp_path / "bits.zarr"
+    adir.mkdir()
+    raw = _bitshuffle_slow(data.tobytes(), 4)
+    comp = zlib.compress(raw, 5)
+    hl = 16 + 4
+    blob = struct.pack("<BBBBIII", 2, 1, (3 << 5) | 0x04, 4, len(raw),
+                       len(raw), hl + 4 + len(comp))
+    blob += struct.pack("<I", hl) + struct.pack("<i", len(comp)) + comp
+    json.dump({"zarr_format": 2, "shape": [40, 50], "chunks": [40, 50],
+               "dtype": "<f4", "fill_value": 0, "filters": None,
+               "order": "C",
+               "compressor": {"id": "blosc", "cname": "zlib", "clevel": 5,
+                              "shuffle": 2, "blocksize": 0}},
+              open(adir / ".zarray", "w"))
+    (adir / "0.0").write_bytes(blob)
+    out = read_zarr(str(adir))
+    np.testing.assert_array_equal(out["bits.zarr"]["data"], data)
+
+
+def _crc32c_slow(data: bytes) -> int:
+    """Bit-by-bit CRC-32C (Castagnoli), independent of the engine's
+    table-driven kernel."""
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = (crc >> 1) ^ (0x82F63B78 if crc & 1 else 0)
+    return crc ^ 0xFFFFFFFF
+
+
+def test_zarr_v3_transpose_crc32c_stacked(tmp_path):
+    """v3 codec chains the engine previously refused: transpose ->
+    bytes -> gzip -> crc32c (an array->array codec, a stacked
+    bytes->bytes pair, and the crc32c DATA codec). Chunk files are
+    assembled independently in the test; read_zarr must invert the
+    whole chain, and encode_chunk must round-trip it."""
+    import zlib
+
+    from rasters_ray.sources.zarr_lite import _ArrayInfo
+
+    data = (np.arange(24 * 17) % 97).astype("<f4").reshape(24, 17)
+    adir = tmp_path / "t.zarr"
+    (adir / "c" / "0").mkdir(parents=True)
+    meta = {
+        "zarr_format": 3, "node_type": "array",
+        "shape": [24, 17], "data_type": "float32",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [24, 17]}},
+        "chunk_key_encoding": {"name": "default",
+                               "configuration": {"separator": "/"}},
+        "fill_value": 0.0,
+        "codecs": [
+            {"name": "transpose", "configuration": {"order": [1, 0]}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "gzip", "configuration": {"level": 5}},
+            {"name": "crc32c"},
+        ],
+        "dimension_names": ["y", "x"],
+    }
+    json.dump(meta, open(adir / "zarr.json", "w"))
+    co = zlib.compressobj(5, zlib.DEFLATED, 31)
+    gz = co.compress(np.ascontiguousarray(data.T).tobytes()) + co.flush()
+    payload = gz + _crc32c_slow(gz).to_bytes(4, "little")
+    (adir / "c" / "0" / "0").write_bytes(payload)
+    out = read_zarr(str(adir))
+    np.testing.assert_array_equal(out["t.zarr"]["data"], data)
+
+    # encode path round-trips the same chain
+    info = _ArrayInfo(str(adir))
+    enc = info.encode_chunk(data)
+    (adir / "c" / "0" / "0").write_bytes(enc)
+    np.testing.assert_array_equal(read_zarr(str(adir))["t.zarr"]["data"], data)
+
+    # corrupted checksum raises
+    bad = bytearray(payload)
+    bad[-1] ^= 0xFF
+    (adir / "c" / "0" / "0").write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="crc32c"):
+        read_zarr(str(adir))
