@@ -20,8 +20,11 @@ Specification Version 2.0" needed to extract datasets:
 - data layout message VERSION 4 (spec IV.A.2.i) with the Single Chunk,
   Implicit and Fixed Array chunk indexes (spec III.A.3, paged and
   unpaged data blocks) — what libver='latest' libraries emit for
-  fixed-shape datasets; the Extensible Array and v2 B-tree indexes
-  (unlimited dimensions) raise with an h5repack remediation.
+  fixed-shape datasets — AND the Extensible Array index (spec III.A.4,
+  ONE unlimited dimension: EAHD/EAIB/EADB/EASB walk honoring the
+  header's creation parameters, element order swizzled so the
+  unlimited dim leads); paged EA data blocks and the v2 B-tree index
+  (multiple unlimited dimensions) raise with an h5repack remediation.
 
 Szip/nbit/other filters raise NotImplementedError naming the filter
 — that remains the documented env-blocked boundary.
@@ -295,6 +298,19 @@ def _parse_dataspace(body: bytes) -> Tuple[int, ...]:
     return tuple(_u(body, off + 8 * i, 8) for i in range(rank))
 
 
+def _parse_dataspace_max(body: bytes) -> Optional[Tuple[int, ...]]:
+    """Maximum dimensions (flags bit 0), or None when absent.
+    ``_UNDEF`` entries are unlimited — what routes a chunked dataset to
+    the Extensible Array / v2 B-tree indexes under libver='latest'."""
+    ver = body[0]
+    rank = body[1]
+    flags = body[2]
+    if not flags & 0x01:
+        return None
+    off = (8 if ver == 1 else 4) + 8 * rank
+    return tuple(_u(body, off + 8 * i, 8) for i in range(rank))
+
+
 def _parse_datatype(body: bytes) -> np.dtype:
     cls = body[0] & 0x0F
     ver = body[0] >> 4
@@ -484,14 +500,165 @@ def _walk_fixed_array(
     return out
 
 
+def _ea_sblk_info(max_nelmts_bits: int, idx_blk_elmts: int,
+                  data_blk_min_elmts: int):
+    """Super-block geometry of an Extensible Array (public H5EA
+    algorithm): super block ``u`` holds ``2^(u//2)`` data blocks of
+    ``data_blk_min_elmts * 2^((u+1)//2)`` elements; element coverage
+    starts after the index block's direct elements. Returns
+    [(ndblks, dblk_nelmts, start_idx, start_dblk)] for every super
+    block the address space can need."""
+    nsblks = 2 * (max_nelmts_bits - int(data_blk_min_elmts).bit_length() + 1)
+    info = []
+    start_idx, start_dblk = idx_blk_elmts, 0
+    for u in range(nsblks):
+        ndblks = 1 << (u // 2)
+        dblk_nelmts = data_blk_min_elmts * (1 << ((u + 1) // 2))
+        info.append((ndblks, dblk_nelmts, start_idx, start_dblk))
+        start_idx += ndblks * dblk_nelmts
+        start_dblk += ndblks
+    return info
+
+
+def _ea_decode_elem(e: bytes, client: int, default_nbytes: int):
+    """One Extensible Array element -> (addr, nbytes, fmask) or None
+    when unset. Client 0 (chunked dataset) is a bare address; client 1
+    (filtered) is address(8) + chunk size(4) + filter mask(4)
+    (H5Dearray element classes)."""
+    a = _u(e, 0, 8)
+    if a == _UNDEF:
+        return None
+    if client == 1:
+        return a, _u(e, 8, 4), _u(e, 12, 4)
+    return a, default_nbytes, 0
+
+
+def _walk_extensible_array(
+    d: bytes, addr: int, grid: Tuple[int, ...], cdims: Tuple[int, ...],
+    default_nbytes: int, name: str, unlim_dim: int = 0,
+) -> List[Tuple[Tuple[int, ...], int, int, int]]:
+    """Extensible Array chunk index (spec III.A.4 — the libver='latest'
+    index for ONE unlimited dimension): EAHD header -> EAIB index block
+    (direct elements, then direct data-block addresses covering the
+    first ``2*log2(sup_blk_min_data_ptrs)`` super blocks, then super
+    block addresses) -> EADB data blocks / EASB super blocks. Element
+    order is the row-major chunk index with the unlimited dimension
+    swizzled to the front (H5Dearray), so the index stays stable as the
+    dataset grows. Paged data blocks (beyond
+    ``2^max_dblk_page_nelmts_bits`` elements) raise with the h5repack
+    remediation."""
+    if addr == _UNDEF:
+        return []
+    if d[addr : addr + 4] != b"EAHD":
+        raise Hdf5LiteError(
+            f"dataset {name}: bad Extensible Array signature @ {addr}")
+    client = d[addr + 5]
+    esize = d[addr + 6]
+    max_bits = d[addr + 7]
+    idx_elmts = d[addr + 8]
+    dblk_min = d[addr + 9]
+    sblk_min_ptrs = d[addr + 10]
+    page_bits = d[addr + 11]
+    # six 8-byte statistics fields (nsblks, sblk bytes, ndblks, dblk
+    # bytes, max index set, nelmts) precede the index block address —
+    # the structures themselves are authoritative, so skip them
+    iblk_addr = _u(d, addr + 12 + 48, 8)
+    arr_off = (max_bits + 7) // 8
+    page_nelmts = 1 << page_bits
+    sblk_info = _ea_sblk_info(max_bits, idx_elmts, dblk_min)
+    ibl_nsblks = 2 * (int(sblk_min_ptrs).bit_length() - 1)
+    ndblk_addrs = 2 * (sblk_min_ptrs - 1)
+    nsblk_addrs = len(sblk_info) - ibl_nsblks
+
+    total = int(np.prod(grid or (1,)))
+    # element index -> chunk offsets via the swizzled grid (unlimited
+    # dim first); fixed-dim counts come from the grid the caller built
+    sw = [unlim_dim] + [i for i in range(len(grid)) if i != unlim_dim]
+    sw_grid = tuple(grid[i] for i in sw)
+    inv = np.argsort(sw)
+
+    def offs_of(e: int) -> Optional[Tuple[int, ...]]:
+        if e >= total:
+            return None
+        co = np.unravel_index(e, sw_grid)
+        return tuple(int(co[j]) * cdims[i] for i, j in
+                     zip(range(len(grid)), inv))
+
+    def read_dblock(daddr: int, nelmts: int, first: int, out):
+        if daddr == _UNDEF:
+            return
+        if d[daddr : daddr + 4] != b"EADB":
+            raise Hdf5LiteError(
+                f"dataset {name}: bad Extensible Array data block @ {daddr}")
+        if nelmts > page_nelmts:
+            raise NotImplementedError(
+                f"dataset {name}: paged Extensible Array data block "
+                f"({nelmts} elements > {page_nelmts}/page) unsupported; "
+                "h5repack to fixed dimensions for a readable index")
+        pos = daddr + 4 + 1 + 1 + 8 + arr_off
+        for i in range(nelmts):
+            el = _ea_decode_elem(d[pos + i * esize : pos + (i + 1) * esize],
+                                 client, default_nbytes)
+            if el is not None:
+                offs = offs_of(first + i)
+                if offs is not None:
+                    out.append((offs, *el))
+
+    out: List[Tuple[Tuple[int, ...], int, int, int]] = []
+    if iblk_addr == _UNDEF:
+        return out
+    if d[iblk_addr : iblk_addr + 4] != b"EAIB":
+        raise Hdf5LiteError(
+            f"dataset {name}: bad Extensible Array index block @ {iblk_addr}")
+    pos = iblk_addr + 4 + 1 + 1 + 8
+    for i in range(idx_elmts):
+        el = _ea_decode_elem(d[pos : pos + esize], client, default_nbytes)
+        pos += esize
+        if el is not None:
+            offs = offs_of(i)
+            if offs is not None:
+                out.append((offs, *el))
+    # direct data-block addresses (super blocks 0..ibl_nsblks-1)
+    direct = [_u(d, pos + 8 * i, 8) for i in range(ndblk_addrs)]
+    pos += 8 * ndblk_addrs
+    di = 0
+    for u in range(min(ibl_nsblks, len(sblk_info))):
+        ndblks, dblk_nelmts, start_idx, _sd = sblk_info[u]
+        for k in range(ndblks):
+            if di < len(direct):
+                read_dblock(direct[di], dblk_nelmts,
+                            start_idx + k * dblk_nelmts, out)
+            di += 1
+    # super block addresses (super blocks ibl_nsblks..)
+    for si in range(nsblk_addrs):
+        saddr = _u(d, pos + 8 * si, 8)
+        if saddr == _UNDEF:
+            continue
+        u = ibl_nsblks + si
+        ndblks, dblk_nelmts, start_idx, _sd = sblk_info[u]
+        if d[saddr : saddr + 4] != b"EASB":
+            raise Hdf5LiteError(
+                f"dataset {name}: bad Extensible Array super block @ {saddr}")
+        if dblk_nelmts > page_nelmts:
+            raise NotImplementedError(
+                f"dataset {name}: paged Extensible Array data blocks under "
+                "a super block unsupported; h5repack to fixed dimensions")
+        spos = saddr + 4 + 1 + 1 + 8 + arr_off
+        for k in range(ndblks):
+            read_dblock(_u(d, spos + 8 * k, 8), dblk_nelmts,
+                        start_idx + k * dblk_nelmts, out)
+    return out
+
+
 def _parse_layout_chunked(d: bytes, layout: bytes, shape, dtype: np.dtype,
-                          name: str):
+                          name: str, maxdims=None):
     """Chunked layout message (v3 class 2 via the v1 B-tree, or v4
-    class 2 via the Single Chunk / Implicit / Fixed Array indexes the
+    class 2 via the Single Chunk / Implicit / Fixed Array / Extensible
+    Array indexes the
     libver='latest' library emits) -> ``(chunk_dims, chunks)`` where
     ``chunks`` is ``[(grid_offsets, addr, stored_nbytes, filter_mask)]``
-    for every allocated chunk. Extensible Array / v2 B-tree indexes
-    (unlimited dimensions) raise with the h5repack remediation."""
+    for every allocated chunk. The v2 B-tree index (multiple unlimited
+    dimensions) raises with the h5repack remediation."""
     ver = layout[0]
     if ver == 3:
         ndimp1 = layout[2]
@@ -540,13 +707,28 @@ def _parse_layout_chunked(d: bytes, layout: bytes, shape, dtype: np.dtype,
         elif itype == 3:  # Fixed Array (page bits byte, then address)
             addr = _u(layout, pos + 1, 8)
             chunks = _walk_fixed_array(d, addr, grid, cdims, nb_chunk, name)
-        elif itype in (4, 5):
-            kind = ("Extensible Array" if itype == 4 else "v2 B-tree")
+        elif itype == 4:  # Extensible Array (ONE unlimited dimension)
+            # 5 creation-parameter bytes (repeated in the EAHD), then
+            # the header address (layout message v4, index type 4)
+            addr = _u(layout, pos + 5, 8)
+            unlim = 0
+            if maxdims is not None:
+                unl = [i for i, m in enumerate(maxdims) if m == _UNDEF]
+                if len(unl) == 1:
+                    unlim = unl[0]
+                # the index grid uses max dims where finite (chunk
+                # strides stay stable as the dataset grows)
+                grid = tuple(
+                    (max(s, m if m != _UNDEF else 0) + c - 1) // c
+                    for s, m, c in zip(shape, maxdims, cdims))
+            chunks = _walk_extensible_array(d, addr, grid, cdims, nb_chunk,
+                                            name, unlim_dim=unlim)
+        elif itype == 5:
             raise NotImplementedError(
-                f"dataset {name}: v4 chunk index type {itype} ({kind}) is "
-                "for unlimited dimensions and unsupported here; h5repack "
-                "to fixed dimensions (or libver='earliest') to get a "
-                "readable index")
+                f"dataset {name}: v4 chunk index type 5 (v2 B-tree) is for "
+                "MULTIPLE unlimited dimensions and unsupported here; "
+                "h5repack to fixed dimensions (or libver='earliest') to "
+                "get a readable index")
         else:
             raise Hdf5LiteError(
                 f"dataset {name}: unknown v4 chunk index type {itype}")
@@ -640,11 +822,13 @@ def _defilter(raw: bytes, filters, fmask: int, name: str) -> bytes:
 
 
 def _read_chunked(
-    d: bytes, layout: bytes, shape, dtype: np.dtype, filters, name: str
+    d: bytes, layout: bytes, shape, dtype: np.dtype, filters, name: str,
+    maxdims=None,
 ) -> np.ndarray:
-    """Chunked layouts, v3 (v1 B-tree) and v4 (single/implicit/fixed
-    array) — see _parse_layout_chunked."""
-    chunk_dims, chunks = _parse_layout_chunked(d, layout, shape, dtype, name)
+    """Chunked layouts, v3 (v1 B-tree) and v4 (single/implicit/fixed/
+    extensible array) — see _parse_layout_chunked."""
+    chunk_dims, chunks = _parse_layout_chunked(d, layout, shape, dtype, name,
+                                               maxdims=maxdims)
     native = dtype.newbyteorder("=")
     out = np.zeros(shape, dtype=native)
     per_chunk = int(np.prod(chunk_dims or (1,)))
@@ -663,11 +847,13 @@ def _read_chunked(
 
 def _read_dataset(d: bytes, msgs, name: str) -> np.ndarray:
     shape = dtype = None
+    maxdims = None
     layout = None
     filters: List[Tuple[int, Tuple[int, ...]]] = []
     for t, b in msgs:
         if t == _MSG_DATASPACE:
             shape = _parse_dataspace(b)
+            maxdims = _parse_dataspace_max(b)
         elif t == _MSG_DATATYPE:
             dtype = _parse_datatype(b)
         elif t == _MSG_LAYOUT:
@@ -681,7 +867,8 @@ def _read_dataset(d: bytes, msgs, name: str) -> np.ndarray:
         raise NotImplementedError(f"dataset {name}: layout version {ver} unsupported")
     lclass = layout[1]
     if lclass == 2:  # chunked (+ filter pipeline) — the NASA-granule path
-        return _read_chunked(d, layout, shape, dtype, filters, name)
+        return _read_chunked(d, layout, shape, dtype, filters, name,
+                             maxdims=maxdims)
     if lclass == 0:  # compact: size(2) then raw bytes in the message
         size = _u(layout, 2, 2)
         raw = layout[4 : 4 + size]
@@ -952,6 +1139,145 @@ def _fixed_array_bytes(
     return hdr, body
 
 
+# Extensible Array creation parameters — the library defaults for
+# chunked-dataset indexes (H5Dearray.c): max_nelmts_bits, index-block
+# elements, data-block min elements, super-block min data pointers,
+# max data-block-page elements bits
+_EA_MAX_BITS, _EA_IDX_ELMTS, _EA_DBLK_MIN, _EA_SBLK_MIN, _EA_PAGE_BITS = (
+    32, 4, 16, 4, 10)
+
+
+def _ea_plan(n: int, esize: int) -> Dict:
+    """Geometry of an Extensible Array holding ``n`` elements with the
+    default creation parameters: relative offsets for the header, index
+    block, direct data blocks and super blocks (+ their data blocks).
+    Blocks whose element range starts past ``n`` stay unallocated
+    (``None`` offsets -> undefined addresses)."""
+    info = _ea_sblk_info(_EA_MAX_BITS, _EA_IDX_ELMTS, _EA_DBLK_MIN)
+    ibl_nsblks = 2 * (_EA_SBLK_MIN.bit_length() - 1)
+    ndblk_addrs = 2 * (_EA_SBLK_MIN - 1)
+    nsblk_addrs = len(info) - ibl_nsblks
+    arr_off = (_EA_MAX_BITS + 7) // 8
+    page_nelmts = 1 << _EA_PAGE_BITS
+
+    def align(v):
+        return (v + 7) & ~7
+
+    pos = 72  # EAHD: 12 header bytes + six 8-byte stats + addr + checksum
+    iblk_off = pos
+    pos = align(pos + 14 + _EA_IDX_ELMTS * esize
+                + (ndblk_addrs + nsblk_addrs) * 8 + 4)
+    direct = []
+    for u in range(ibl_nsblks):
+        ndblks, dnel, sidx, _sd = info[u]
+        for k in range(ndblks):
+            first = sidx + k * dnel
+            if first < n:
+                direct.append((first, dnel, pos))
+                pos = align(pos + 14 + arr_off + dnel * esize + 4)
+            else:
+                direct.append((first, dnel, None))
+    sblocks = []
+    for si in range(nsblk_addrs):
+        u = ibl_nsblks + si
+        ndblks, dnel, sidx, _sd = info[u]
+        if sidx >= n:
+            break
+        if dnel > page_nelmts:
+            raise Hdf5LiteError(
+                f"extensible-array writer: {n} chunks need paged data "
+                "blocks (unsupported); use chunk_index='fixed'")
+        s_off = pos
+        pos = align(pos + 14 + arr_off + ndblks * 8 + 4)
+        dblks = []
+        for k in range(ndblks):
+            first = sidx + k * dnel
+            if first < n:
+                dblks.append((first, dnel, pos))
+                pos = align(pos + 14 + arr_off + dnel * esize + 4)
+            else:
+                dblks.append((first, dnel, None))
+        sblocks.append((si, sidx, s_off, dblks))
+    return {"total": pos, "iblk_off": iblk_off, "direct": direct,
+            "sblocks": sblocks, "arr_off": arr_off,
+            "nsblk_addrs": nsblk_addrs}
+
+
+def _extensible_array_bytes(base: int, client: int,
+                            blob_addrs: List[int],
+                            blob_sizes: List[int]) -> bytes:
+    """Render the EAHD + EAIB + EADB/EASB blob at file address ``base``
+    for a fully-allocated, logically-ordered chunk sequence."""
+    esize = 16 if client == 1 else 8
+    n = len(blob_addrs)
+    plan = _ea_plan(n, esize)
+    arr_off = plan["arr_off"]
+
+    def elem(i: int) -> bytes:
+        if i < n:
+            if client == 1:
+                return struct.pack("<QII", blob_addrs[i], blob_sizes[i], 0)
+            return struct.pack("<Q", blob_addrs[i])
+        unset = struct.pack("<Q", _UNDEF)
+        return unset + b"\x00" * 8 if client == 1 else unset
+
+    def addr_of(off) -> int:
+        return _UNDEF if off is None else base + off
+
+    buf = bytearray(plan["total"])
+
+    def put(off: int, blob: bytes) -> None:
+        buf[off : off + len(blob)] = blob
+
+    def dblock(first: int, dnel: int) -> bytes:
+        b = (b"EADB" + bytes([0, client]) + struct.pack("<Q", base)
+             + first.to_bytes(arr_off, "little"))
+        b += b"".join(elem(first + i) for i in range(dnel))
+        return b + struct.pack("<I", _lookup3(b))
+
+    ndblks_alloc = dblk_bytes = 0
+    for first, dnel, off in plan["direct"]:
+        if off is not None:
+            blob = dblock(first, dnel)
+            put(off, blob)
+            ndblks_alloc += 1
+            dblk_bytes += len(blob)
+    sblk_bytes = 0
+    for _si, sidx, s_off, dblks in plan["sblocks"]:
+        s = (b"EASB" + bytes([0, client]) + struct.pack("<Q", base)
+             + sidx.to_bytes(arr_off, "little"))
+        s += b"".join(struct.pack("<Q", addr_of(off))
+                      for _f, _dn, off in dblks)
+        s += struct.pack("<I", _lookup3(s))
+        put(s_off, s)
+        sblk_bytes += len(s)
+        for first, dnel, off in dblks:
+            if off is not None:
+                blob = dblock(first, dnel)
+                put(off, blob)
+                ndblks_alloc += 1
+                dblk_bytes += len(blob)
+
+    ib = b"EAIB" + bytes([0, client]) + struct.pack("<Q", base)
+    ib += b"".join(elem(i) for i in range(_EA_IDX_ELMTS))
+    ib += b"".join(struct.pack("<Q", addr_of(off))
+                   for _f, _dn, off in plan["direct"])
+    salloc = {si: s_off for si, _sx, s_off, _d in plan["sblocks"]}
+    ib += b"".join(struct.pack("<Q", addr_of(salloc.get(si)))
+                   for si in range(plan["nsblk_addrs"]))
+    ib += struct.pack("<I", _lookup3(ib))
+    put(plan["iblk_off"], ib)
+
+    hdr = b"EAHD" + bytes([0, client, esize, _EA_MAX_BITS, _EA_IDX_ELMTS,
+                           _EA_DBLK_MIN, _EA_SBLK_MIN, _EA_PAGE_BITS])
+    hdr += struct.pack("<QQQQQQ", len(plan["sblocks"]), sblk_bytes,
+                       ndblks_alloc, dblk_bytes, n, n)
+    hdr += struct.pack("<Q", base + plan["iblk_off"])
+    hdr += struct.pack("<I", _lookup3(hdr))
+    put(0, hdr)
+    return bytes(buf)
+
+
 def write_hdf5(
     path: str,
     datasets: Dict[str, np.ndarray],
@@ -981,20 +1307,23 @@ def write_hdf5(
     ``chunk_index`` selects the on-disk chunk index for chunked
     datasets: ``None`` (default) is the v1 B-tree with a v3 layout
     message (what libver='earliest' emits); ``"single"`` /
-    ``"implicit"`` / ``"fixed"`` emit a V4 LAYOUT MESSAGE with the
-    Single Chunk, Implicit or Fixed Array index (spec IV.A.2.i +
-    III.A.3) — the indexes libver='latest' libraries choose for
-    fixed-shape datasets. ``"single"`` requires the chunk to cover the
-    whole dataset; ``"implicit"`` disallows filters (both library
-    preconditions)."""
+    ``"implicit"`` / ``"fixed"`` / ``"extensible"`` emit a V4 LAYOUT
+    MESSAGE with the Single Chunk, Implicit, Fixed Array or Extensible
+    Array index (spec IV.A.2.i + III.A.3/III.A.4) — the indexes
+    libver='latest' libraries choose. ``"single"`` requires the chunk
+    to cover the whole dataset; ``"implicit"`` disallows filters (both
+    library preconditions); ``"extensible"`` marks dim 0 unlimited in
+    the dataspace maxdims, the precondition under which the library
+    picks that index."""
     if compression not in (None, "deflate"):
         raise Hdf5LiteError(f"unsupported compression {compression!r}")
     if superblock not in (0, 2):
         raise Hdf5LiteError(f"superblock must be 0 or 2, got {superblock}")
-    if chunk_index not in (None, "single", "implicit", "fixed"):
+    if chunk_index not in (None, "single", "implicit", "fixed",
+                           "extensible"):
         raise Hdf5LiteError(
-            f"chunk_index must be None/'single'/'implicit'/'fixed', "
-            f"got {chunk_index!r}")
+            f"chunk_index must be None/'single'/'implicit'/'fixed'/"
+            f"'extensible', got {chunk_index!r}")
     names = sorted(datasets)
     if not names:
         raise Hdf5LiteError("write_hdf5 requires at least one dataset")
@@ -1086,9 +1415,18 @@ def write_hdf5(
         v1 and v2 object-header renderings."""
         plan = plans[nm]
         a = plan[1]
-        space = struct.pack("<BBB5x", 1, a.ndim, 0) + b"".join(
-            struct.pack("<Q", s) for s in a.shape
-        )
+        if chunk_index == "extensible" and plan[0] == "chunked":
+            # one unlimited dimension (dim 0) — the precondition under
+            # which the library picks the Extensible Array index
+            space = struct.pack("<BBB5x", 1, a.ndim, 1) + b"".join(
+                struct.pack("<Q", s) for s in a.shape
+            ) + struct.pack("<Q", _UNDEF) + b"".join(
+                struct.pack("<Q", s) for s in a.shape[1:]
+            )
+        else:
+            space = struct.pack("<BBB5x", 1, a.ndim, 0) + b"".join(
+                struct.pack("<Q", s) for s in a.shape
+            )
         msgs = [(_MSG_DATASPACE, space), (_MSG_DATATYPE, _dtype_msg(a.dtype))]
         if plan[0] == "contig":
             msgs.append((_MSG_LAYOUT, struct.pack("<BBQQ", 3, 1, data_addr,
@@ -1121,7 +1459,8 @@ def write_hdf5(
                 # v4 layout message: rank+1 dims (element size last,
                 # mirroring the library), 8-byte encoded dim sizes,
                 # index type + type info, then the index address
-                itype = {"single": 1, "implicit": 2, "fixed": 3}[chunk_index]
+                itype = {"single": 1, "implicit": 2, "fixed": 3,
+                         "extensible": 4}[chunk_index]
                 flags = 0
                 idx_info = b""
                 if itype == 1 and any_filter:
@@ -1129,6 +1468,11 @@ def write_hdf5(
                     idx_info = struct.pack("<QI", len(plan[4][0]), 0)
                 elif itype == 3:
                     idx_info = bytes([_FA_PAGE_BITS])
+                elif itype == 4:
+                    # creation params, layout-message order (H5Dlayout.c)
+                    idx_info = bytes([_EA_MAX_BITS, _EA_IDX_ELMTS,
+                                      _EA_SBLK_MIN, _EA_DBLK_MIN,
+                                      _EA_PAGE_BITS])
                 layout = (struct.pack("<BBBBB", 4, 2, flags, len(cdims) + 1, 8)
                           + b"".join(struct.pack("<Q", c) for c in cdims)
                           + struct.pack("<Q", a.dtype.itemsize)
@@ -1179,6 +1523,10 @@ def write_hdf5(
                 pos = align(pos + 28)
                 fadb[nm] = pos
                 pos = align(pos + _fadb_size(len(blobs), entry))
+            elif chunk_index == "extensible":
+                cbaddr[nm] = pos  # EAHD heads the whole EA blob
+                pos = align(pos + _ea_plan(
+                    len(blobs), 16 if any_filter else 8)["total"])
             if chunk_index == "implicit":
                 # chunks back-to-back, NO padding: chunk i lives at
                 # base + i * chunk_nbytes by definition of the index
@@ -1241,6 +1589,11 @@ def write_hdf5(
                         chunk_addrs[nm], [len(b) for b in blobs])
                     buf[chunk_idx_addr[nm] : chunk_idx_addr[nm] + len(fa)] = fa
                     buf[fadb_addr[nm] : fadb_addr[nm] + len(fb)] = fb
+                elif chunk_index == "extensible":
+                    ea = _extensible_array_bytes(
+                        chunk_idx_addr[nm], 1 if any_filter else 0,
+                        chunk_addrs[nm], [len(b) for b in blobs])
+                    buf[chunk_idx_addr[nm] : chunk_idx_addr[nm] + len(ea)] = ea
                 for b, addr in zip(blobs, chunk_addrs[nm]):
                     buf[addr : addr + len(b)] = b
 
@@ -1440,10 +1793,12 @@ def read_hdf5_window(path_or_bytes, dataset: str, window) -> np.ndarray:
             d = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
     msgs = _find_dataset_msgs(d, dataset)
     shape = dtype = layout = None
+    maxdims = None
     filters: List[Tuple[int, Tuple[int, ...]]] = []
     for t, b in msgs:
         if t == _MSG_DATASPACE:
             shape = _parse_dataspace(b)
+            maxdims = _parse_dataspace_max(b)
         elif t == _MSG_DATATYPE:
             dtype = _parse_datatype(b)
         elif t == _MSG_LAYOUT:
@@ -1491,7 +1846,8 @@ def read_hdf5_window(path_or_bytes, dataset: str, window) -> np.ndarray:
     if lclass != 2:
         raise NotImplementedError(f"dataset {dataset}: layout class {lclass}")
 
-    chunk_dims, chunks = _parse_layout_chunked(d, layout, shape, dtype, dataset)
+    chunk_dims, chunks = _parse_layout_chunked(d, layout, shape, dtype,
+                                               dataset, maxdims=maxdims)
     out = np.zeros(wshape, dtype=native)
     per_chunk = int(np.prod(chunk_dims or (1,)))
     for offs, addr, nbytes, fmask in chunks:

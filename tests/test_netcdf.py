@@ -581,10 +581,15 @@ def test_hdf5_v4_guards_and_pruning(tmp_path, monkeypatch):
         h5.write_hdf5(str(tmp_path / "x.h5"), {"a": a},
                       chunk_index="implicit", compression="deflate")
     dims8 = np.array([2, 2, 4], "<u8").tobytes()
-    for itype, nm in ((4, "Extensible Array"), (5, "v2 B-tree")):
-        lay = bytes([4, 2, 0, 3, 8]) + dims8 + bytes([itype]) + b"\x00" * 14
-        with pytest.raises(NotImplementedError, match=nm):
-            h5._parse_layout_chunked(b"", lay, (3, 4), np.dtype("<f4"), "x")
+    lay = bytes([4, 2, 0, 3, 8]) + dims8 + bytes([5]) + b"\x00" * 14
+    with pytest.raises(NotImplementedError, match="v2 B-tree"):
+        h5._parse_layout_chunked(b"", lay, (3, 4), np.dtype("<f4"), "x")
+    # itype 4 now reads; a garbage header address raises the signature
+    # check, not a blanket NotImplementedError
+    lay = bytes([4, 2, 0, 3, 8]) + dims8 + bytes([4]) + b"\x00" * 14
+    with pytest.raises(h5.Hdf5LiteError, match="Extensible Array signature"):
+        h5._parse_layout_chunked(b"XXXX" + b"\x00" * 64, lay, (3, 4),
+                                 np.dtype("<f4"), "x")
     # pruning: window touching 4 of 12 chunks defilters exactly 4
     rng = np.random.default_rng(31)
     arr = rng.integers(0, 1000, size=(40, 56)).astype(np.int32)
@@ -696,3 +701,76 @@ def _classic_path(tmp_path):
                  {"v": {"dims": ("y", "x"),
                         "data": np.zeros((2, 2), np.float32)}})
     return p
+
+
+def test_hdf5_extensible_array_roundtrip(tmp_path):
+    """Extensible Array chunk index (v4 itype 4, ONE unlimited dim):
+    round-trips at every structural depth — index-block-only (<=4
+    chunks), direct data blocks (<=244), and super blocks (>244) —
+    filtered and not, both superblock styles; the AOI window path
+    prunes through it; maxdims mark dim 0 unlimited."""
+    import rasters_ray.sources.hdf5lite as h5
+
+    rng = np.random.default_rng(67)
+    small = rng.normal(size=(8, 8)).astype(np.float32)     # 2 chunks
+    med = rng.integers(0, 500, size=(40, 12)).astype(np.int32)  # 20 chunks
+    big = rng.normal(size=(300, 6)).astype(np.float64)     # 300 chunks
+    cases = [
+        dict(data={"s": small}, chunks=(4, 8)),
+        dict(data={"m": med}, chunks=(2, 12)),
+        dict(data={"m": med}, chunks=(2, 12), compression="deflate",
+             shuffle=True, fletcher32=True),
+        dict(data={"b": big}, chunks=(1, 6)),
+        dict(data={"b": big}, chunks=(1, 6), compression="deflate"),
+    ]
+    for kw in cases:
+        data = kw.pop("data")
+        for sb in (0, 2):
+            p = str(tmp_path / f"ea_{next(iter(data))}_{sb}.h5")
+            h5.write_hdf5(p, data, superblock=sb, chunk_index="extensible",
+                          **kw)
+            got = h5.read_hdf5(p)
+            for nm, a in data.items():
+                np.testing.assert_array_equal(got[f"/{nm}"], a)
+    # window pruning through the EA index: 300-chunk file, 5-row AOI
+    p = str(tmp_path / "ea_win.h5")
+    h5.write_hdf5(p, {"b": big}, chunks=(1, 6), compression="deflate",
+                  chunk_index="extensible")
+    w = h5.read_hdf5_window(p, "b", (250, 2, 5, 3))
+    np.testing.assert_array_equal(w, big[250:255, 2:5])
+    # the dataspace carries maxdims with dim 0 unlimited
+    msgs = h5._find_dataset_msgs(open(p, "rb").read(), "b")
+    for t, b in msgs:
+        if t == h5._MSG_DATASPACE:
+            assert h5._parse_dataspace_max(b) == (h5._UNDEF, 6)
+
+
+def test_hdf5_extensible_array_swizzle_and_partial(tmp_path):
+    """EA element order swizzles the unlimited dim to the front: a
+    hand-permuted element sequence read with unlim_dim=1 lands each
+    chunk at its original offsets; unset element slots (partially
+    allocated datasets) fall back to fill (zeros)."""
+    import rasters_ray.sources.hdf5lite as h5
+
+    # 3x2 chunk grid of (2, 4) chunks over (6, 8); unlim dim = 1:
+    # swizzled grid is (2, 3), element e -> (c1, c0) = unravel(e, (2, 3))
+    grid = (3, 2)
+    cdims = (2, 4)
+    addrs = {}  # element index -> fake address
+    for e in range(6):
+        c1, c0 = np.unravel_index(e, (2, 3))
+        addrs[e] = 1000 + (int(c0) * 2) * 100 + int(c1) * 4  # offs-coded
+    blob = h5._extensible_array_bytes(0, 0, [addrs[e] for e in range(6)],
+                                      [32] * 6)
+    out = h5._walk_extensible_array(blob, 0, grid, cdims, 32, "t",
+                                    unlim_dim=1)
+    assert len(out) == 6
+    for offs, addr, nbytes, fmask in out:
+        assert addr == 1000 + offs[0] * 100 + offs[1]
+        assert nbytes == 32 and fmask == 0
+    # partial allocation: writer fills only n elements; reading a
+    # 20-chunk EA as a 24-chunk grid yields 20 entries (4 unset)
+    blob = h5._extensible_array_bytes(0, 0, list(range(1, 21)), [16] * 20)
+    out = h5._walk_extensible_array(blob, 0, (24, 1), (1, 1), 16, "t")
+    assert len(out) == 20
+    assert sorted(a for _o, a, _n, _f in out) == list(range(1, 21))
