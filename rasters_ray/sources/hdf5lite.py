@@ -23,8 +23,10 @@ Specification Version 2.0" needed to extract datasets:
   fixed-shape datasets — AND the Extensible Array index (spec III.A.4,
   ONE unlimited dimension: EAHD/EAIB/EADB/EASB walk honoring the
   header's creation parameters, element order swizzled so the
-  unlimited dim leads); paged EA data blocks and the v2 B-tree index
-  (multiple unlimited dimensions) raise with an h5repack remediation.
+  unlimited dim leads) AND the v2 B-tree index (spec III.A.2, MULTIPLE
+  unlimited dimensions: BTHD/BTIN/BTLF walk with the public H5B2 node
+  capacity math, chunk record types 10/11); paged EA data blocks
+  raise with an h5repack remediation.
 
 Szip/nbit/other filters raise NotImplementedError naming the filter
 — that remains the documented env-blocked boundary.
@@ -650,6 +652,114 @@ def _walk_extensible_array(
     return out
 
 
+def _b2_geometry(node_size: int, rrec_size: int, depth: int):
+    """v2 B-tree node capacities (public H5B2 algorithm): leaf and
+    internal prefixes are 10 bytes (sig+version+type / +4 checksum);
+    an internal child pointer is address(8) + child record count
+    (``max_nrec_size`` bytes, sized for the leaf capacity) + the
+    cumulative subtree record count for depths > 1. Returns
+    (max_nrec[depth+1], cum_max_nrec_size[depth+1], max_nrec_size)."""
+
+    def enc_size(v: int) -> int:
+        return (int(v).bit_length() + 7) // 8 or 1
+
+    leaf_max = (node_size - 10) // rrec_size
+    max_nrec_size = enc_size(leaf_max)
+    max_nrec = [leaf_max]
+    cum = [leaf_max]
+    cum_size = [0]
+    for dlev in range(1, depth + 1):
+        ptr = 8 + max_nrec_size + cum_size[dlev - 1]
+        nrec = (node_size - (10 + ptr)) // (rrec_size + ptr)
+        max_nrec.append(nrec)
+        cum.append((nrec + 1) * cum[dlev - 1] + nrec)
+        cum_size.append(enc_size(cum[dlev]))
+    return max_nrec, cum_size, max_nrec_size
+
+
+def _b2_decode_chunk_rec(e: bytes, rank: int, filtered: bool,
+                         csize_len: int, cdims, default_nbytes: int):
+    """v2 B-tree record type 10 (non-filtered chunk: address + scaled
+    offsets) or 11 (filtered: address + variable-size chunk size +
+    filter mask + scaled offsets) -> (offsets, addr, nbytes, fmask)."""
+    addr = _u(e, 0, 8)
+    pos = 8
+    if filtered:
+        nbytes = _u(e, pos, csize_len)
+        fmask = _u(e, pos + csize_len, 4)
+        pos += csize_len + 4
+    else:
+        nbytes, fmask = default_nbytes, 0
+    scaled = tuple(_u(e, pos + 8 * i, 8) for i in range(rank))
+    offs = tuple(int(s) * c for s, c in zip(scaled, cdims))
+    return offs, addr, nbytes, fmask
+
+
+def _walk_btree2(
+    d: bytes, addr: int, rank: int, cdims: Tuple[int, ...],
+    default_nbytes: int, name: str,
+) -> List[Tuple[Tuple[int, ...], int, int, int]]:
+    """v2 B-tree chunk index (spec III.A.2, v4 layout itype 5 — what
+    libver='latest' emits for MULTIPLE unlimited dimensions): BTHD
+    header -> BTIN internal nodes -> BTLF leaves, record types 10/11."""
+    if addr == _UNDEF:
+        return []
+    if d[addr : addr + 4] != b"BTHD":
+        raise Hdf5LiteError(f"dataset {name}: bad v2 B-tree header @ {addr}")
+    btype = d[addr + 5]
+    if btype not in (10, 11):
+        raise Hdf5LiteError(
+            f"dataset {name}: v2 B-tree record type {btype} is not a "
+            "chunk record (10/11)")
+    filtered = btype == 11  # record type distinguishes the element class
+    node_size = _u(d, addr + 6, 4)
+    rrec_size = _u(d, addr + 10, 2)
+    depth = _u(d, addr + 12, 2)
+    root_addr = _u(d, addr + 16, 8)
+    root_nrec = _u(d, addr + 24, 2)
+    csize_len = rrec_size - 8 - 4 - 8 * rank if filtered else 0
+    if filtered and csize_len < 1:
+        raise Hdf5LiteError(
+            f"dataset {name}: v2 B-tree record size {rrec_size} too small "
+            f"for a rank-{rank} filtered chunk record")
+    max_nrec, cum_size, max_nrec_size = _b2_geometry(
+        node_size, rrec_size, depth)
+    out: List[Tuple[Tuple[int, ...], int, int, int]] = []
+
+    def walk(naddr: int, nrec: int, dlev: int) -> None:
+        if naddr == _UNDEF:
+            return
+        sig = d[naddr : naddr + 4]
+        pos = naddr + 6  # sig, version, type
+        if dlev == 0:
+            if sig != b"BTLF":
+                raise Hdf5LiteError(
+                    f"dataset {name}: bad v2 B-tree leaf @ {naddr}")
+            for i in range(nrec):
+                out.append(_b2_decode_chunk_rec(
+                    d[pos + i * rrec_size : pos + (i + 1) * rrec_size],
+                    rank, filtered, csize_len, cdims, default_nbytes))
+            return
+        if sig != b"BTIN":
+            raise Hdf5LiteError(
+                f"dataset {name}: bad v2 B-tree internal node @ {naddr}")
+        recs = pos
+        ptrs = pos + nrec * rrec_size
+        ptr_sz = 8 + max_nrec_size + (cum_size[dlev - 1] if dlev > 1 else 0)
+        for i in range(nrec + 1):
+            p = ptrs + i * ptr_sz
+            child = _u(d, p, 8)
+            child_nrec = _u(d, p + 8, max_nrec_size)
+            walk(child, child_nrec, dlev - 1)
+            if i < nrec:
+                out.append(_b2_decode_chunk_rec(
+                    d[recs + i * rrec_size : recs + (i + 1) * rrec_size],
+                    rank, filtered, csize_len, cdims, default_nbytes))
+
+    walk(root_addr, root_nrec, depth)
+    return out
+
+
 def _parse_layout_chunked(d: bytes, layout: bytes, shape, dtype: np.dtype,
                           name: str, maxdims=None):
     """Chunked layout message (v3 class 2 via the v1 B-tree, or v4
@@ -657,8 +767,8 @@ def _parse_layout_chunked(d: bytes, layout: bytes, shape, dtype: np.dtype,
     Array indexes the
     libver='latest' library emits) -> ``(chunk_dims, chunks)`` where
     ``chunks`` is ``[(grid_offsets, addr, stored_nbytes, filter_mask)]``
-    for every allocated chunk. The v2 B-tree index (multiple unlimited
-    dimensions) raises with the h5repack remediation."""
+    for every allocated chunk, across all six index types (v1 B-tree,
+    Single Chunk, Implicit, Fixed Array, Extensible Array, v2 B-tree)."""
     ver = layout[0]
     if ver == 3:
         ndimp1 = layout[2]
@@ -723,12 +833,10 @@ def _parse_layout_chunked(d: bytes, layout: bytes, shape, dtype: np.dtype,
                     for s, m, c in zip(shape, maxdims, cdims))
             chunks = _walk_extensible_array(d, addr, grid, cdims, nb_chunk,
                                             name, unlim_dim=unlim)
-        elif itype == 5:
-            raise NotImplementedError(
-                f"dataset {name}: v4 chunk index type 5 (v2 B-tree) is for "
-                "MULTIPLE unlimited dimensions and unsupported here; "
-                "h5repack to fixed dimensions (or libver='earliest') to "
-                "get a readable index")
+        elif itype == 5:  # v2 B-tree (MULTIPLE unlimited dimensions)
+            # 6 info bytes: node size(4), split%(1), merge%(1)
+            addr = _u(layout, pos + 6, 8)
+            chunks = _walk_btree2(d, addr, len(cdims), cdims, nb_chunk, name)
         else:
             raise Hdf5LiteError(
                 f"dataset {name}: unknown v4 chunk index type {itype}")
@@ -1278,6 +1386,101 @@ def _extensible_array_bytes(base: int, client: int,
     return bytes(buf)
 
 
+# v2 B-tree creation parameters — the library defaults for chunk
+# indexes (H5Dbtree2.c)
+_B2_NODE_SIZE, _B2_SPLIT, _B2_MERGE = 2048, 100, 40
+
+
+def _b2_rrec_size(rank: int, filtered: bool, chunk_nbytes: int) -> int:
+    if not filtered:
+        return 8 + 8 * rank
+    csize_len = min(8, 1 + ((int(chunk_nbytes).bit_length() + 7) // 8 or 1))
+    return 8 + csize_len + 4 + 8 * rank
+
+
+def _b2_plan(n: int, rrec_size: int) -> Dict:
+    """Static tree shape: a single leaf root when it fits, else a
+    depth-1 internal root with evenly-filled leaves."""
+    leaf_max = (_B2_NODE_SIZE - 10) // rrec_size
+    if n <= leaf_max:
+        return {"depth": 0, "leaves": [n], "nnodes": 1}
+    max_nrec, _cum, _mns = _b2_geometry(_B2_NODE_SIZE, rrec_size, 1)
+    nl = max(2, -(-n // leaf_max))
+    while True:
+        body = n - (nl - 1)  # records not promoted into the root
+        if -(-body // nl) <= leaf_max:
+            break
+        nl += 1
+    if nl - 1 > max_nrec[1]:
+        raise Hdf5LiteError(
+            f"btree2 writer: {n} chunks need a depth-2 tree (unsupported); "
+            "use chunk_index='fixed'")
+    counts = [body // nl] * nl
+    for i in range(body % nl):
+        counts[i] += 1
+    return {"depth": 1, "leaves": counts, "nnodes": 1 + nl}
+
+
+def _b2_size(n: int, rrec_size: int) -> int:
+    return 40 + _b2_plan(n, rrec_size)["nnodes"] * _B2_NODE_SIZE
+
+
+def _btree2_bytes(base: int, btype: int, rrec_size: int,
+                  recs: List[bytes]) -> bytes:
+    """Render a BTHD + BTIN/BTLF blob at file address ``base`` for
+    pre-sorted chunk records (lexicographic scaled offsets — row-major
+    chunk order). Nodes occupy full node_size slots as the library's
+    cache images do; checksums cover the used prefix."""
+    plan = _b2_plan(len(recs), rrec_size)
+    _max_nrec, _cum, mns = _b2_geometry(_B2_NODE_SIZE, rrec_size,
+                                        max(plan["depth"], 1))
+    pos = 40  # BTHD is 38 bytes, 8-aligned
+    nodes: List[Tuple[int, bytes]] = []
+    if plan["depth"] == 0:
+        root_addr = base + pos
+        root_nrec = len(recs)
+        leaf = b"BTLF" + bytes([0, btype]) + b"".join(recs)
+        leaf += struct.pack("<I", _lookup3(leaf))
+        nodes.append((pos, leaf))
+        pos += _B2_NODE_SIZE
+    else:
+        counts = plan["leaves"]
+        leaf_recs, root_recs = [], []
+        idx = 0
+        for li, c in enumerate(counts):
+            leaf_recs.append(recs[idx : idx + c])
+            idx += c
+            if li < len(counts) - 1:
+                root_recs.append(recs[idx])
+                idx += 1
+        root_off = pos
+        root_addr = base + pos
+        root_nrec = len(root_recs)
+        pos += _B2_NODE_SIZE
+        ptrs = b""
+        for lr in leaf_recs:
+            leaf = b"BTLF" + bytes([0, btype]) + b"".join(lr)
+            leaf += struct.pack("<I", _lookup3(leaf))
+            nodes.append((pos, leaf))
+            ptrs += struct.pack("<Q", base + pos) + len(lr).to_bytes(
+                mns, "little")
+            pos += _B2_NODE_SIZE
+        root = b"BTIN" + bytes([0, btype]) + b"".join(root_recs) + ptrs
+        root += struct.pack("<I", _lookup3(root))
+        nodes.append((root_off, root))
+    hdr = (b"BTHD" + bytes([0, btype])
+           + struct.pack("<IHH", _B2_NODE_SIZE, rrec_size, plan["depth"])
+           + bytes([_B2_SPLIT, _B2_MERGE])
+           + struct.pack("<Q", root_addr) + struct.pack("<H", root_nrec)
+           + struct.pack("<Q", len(recs)))
+    hdr += struct.pack("<I", _lookup3(hdr))
+    buf = bytearray(pos)
+    buf[: len(hdr)] = hdr
+    for off, blob in nodes:
+        buf[off : off + len(blob)] = blob
+    return bytes(buf)
+
+
 def write_hdf5(
     path: str,
     datasets: Dict[str, np.ndarray],
@@ -1320,10 +1523,10 @@ def write_hdf5(
     if superblock not in (0, 2):
         raise Hdf5LiteError(f"superblock must be 0 or 2, got {superblock}")
     if chunk_index not in (None, "single", "implicit", "fixed",
-                           "extensible"):
+                           "extensible", "btree2"):
         raise Hdf5LiteError(
             f"chunk_index must be None/'single'/'implicit'/'fixed'/"
-            f"'extensible', got {chunk_index!r}")
+            f"'extensible'/'btree2', got {chunk_index!r}")
     names = sorted(datasets)
     if not names:
         raise Hdf5LiteError("write_hdf5 requires at least one dataset")
@@ -1423,6 +1626,12 @@ def write_hdf5(
             ) + struct.pack("<Q", _UNDEF) + b"".join(
                 struct.pack("<Q", s) for s in a.shape[1:]
             )
+        elif chunk_index == "btree2" and plan[0] == "chunked":
+            # every dimension unlimited — the multiple-unlimited-dims
+            # precondition under which the library picks the v2 B-tree
+            space = struct.pack("<BBB5x", 1, a.ndim, 1) + b"".join(
+                struct.pack("<Q", s) for s in a.shape
+            ) + struct.pack("<Q", _UNDEF) * a.ndim
         else:
             space = struct.pack("<BBB5x", 1, a.ndim, 0) + b"".join(
                 struct.pack("<Q", s) for s in a.shape
@@ -1460,7 +1669,7 @@ def write_hdf5(
                 # mirroring the library), 8-byte encoded dim sizes,
                 # index type + type info, then the index address
                 itype = {"single": 1, "implicit": 2, "fixed": 3,
-                         "extensible": 4}[chunk_index]
+                         "extensible": 4, "btree2": 5}[chunk_index]
                 flags = 0
                 idx_info = b""
                 if itype == 1 and any_filter:
@@ -1473,6 +1682,9 @@ def write_hdf5(
                     idx_info = bytes([_EA_MAX_BITS, _EA_IDX_ELMTS,
                                       _EA_SBLK_MIN, _EA_DBLK_MIN,
                                       _EA_PAGE_BITS])
+                elif itype == 5:
+                    idx_info = (struct.pack("<I", _B2_NODE_SIZE)
+                                + bytes([_B2_SPLIT, _B2_MERGE]))
                 layout = (struct.pack("<BBBBB", 4, 2, flags, len(cdims) + 1, 8)
                           + b"".join(struct.pack("<Q", c) for c in cdims)
                           + struct.pack("<Q", a.dtype.itemsize)
@@ -1527,6 +1739,12 @@ def write_hdf5(
                 cbaddr[nm] = pos  # EAHD heads the whole EA blob
                 pos = align(pos + _ea_plan(
                     len(blobs), 16 if any_filter else 8)["total"])
+            elif chunk_index == "btree2":
+                cbaddr[nm] = pos  # BTHD heads the whole tree blob
+                rr = _b2_rrec_size(
+                    len(cdims), any_filter,
+                    int(np.prod(cdims)) * plan[1].dtype.itemsize)
+                pos = align(pos + _b2_size(len(blobs), rr))
             if chunk_index == "implicit":
                 # chunks back-to-back, NO padding: chunk i lives at
                 # base + i * chunk_nbytes by definition of the index
@@ -1594,6 +1812,23 @@ def write_hdf5(
                         chunk_idx_addr[nm], 1 if any_filter else 0,
                         chunk_addrs[nm], [len(b) for b in blobs])
                     buf[chunk_idx_addr[nm] : chunk_idx_addr[nm] + len(ea)] = ea
+                elif chunk_index == "btree2":
+                    chunk_nb = int(np.prod(cdims)) * plan[1].dtype.itemsize
+                    rr = _b2_rrec_size(len(cdims), any_filter, chunk_nb)
+                    csl = rr - 8 - 4 - 8 * len(cdims)
+                    recs = []
+                    for o, a_, b in zip(offs, chunk_addrs[nm], blobs):
+                        r = struct.pack("<Q", a_)
+                        if any_filter:
+                            r += len(b).to_bytes(csl, "little")
+                            r += struct.pack("<I", 0)
+                        r += b"".join(
+                            struct.pack("<Q", oi // ci)
+                            for oi, ci in zip(o, cdims))
+                        recs.append(r)
+                    bt = _btree2_bytes(chunk_idx_addr[nm],
+                                       11 if any_filter else 10, rr, recs)
+                    buf[chunk_idx_addr[nm] : chunk_idx_addr[nm] + len(bt)] = bt
                 for b, addr in zip(blobs, chunk_addrs[nm]):
                     buf[addr : addr + len(b)] = b
 

@@ -580,14 +580,15 @@ def test_hdf5_v4_guards_and_pruning(tmp_path, monkeypatch):
     with pytest.raises(h5.Hdf5LiteError, match="no\\s+filter"):
         h5.write_hdf5(str(tmp_path / "x.h5"), {"a": a},
                       chunk_index="implicit", compression="deflate")
+    # itypes 4 and 5 now read; garbage header addresses raise their
+    # signature checks, not a blanket NotImplementedError
     dims8 = np.array([2, 2, 4], "<u8").tobytes()
-    lay = bytes([4, 2, 0, 3, 8]) + dims8 + bytes([5]) + b"\x00" * 14
-    with pytest.raises(NotImplementedError, match="v2 B-tree"):
-        h5._parse_layout_chunked(b"", lay, (3, 4), np.dtype("<f4"), "x")
-    # itype 4 now reads; a garbage header address raises the signature
-    # check, not a blanket NotImplementedError
     lay = bytes([4, 2, 0, 3, 8]) + dims8 + bytes([4]) + b"\x00" * 14
     with pytest.raises(h5.Hdf5LiteError, match="Extensible Array signature"):
+        h5._parse_layout_chunked(b"XXXX" + b"\x00" * 64, lay, (3, 4),
+                                 np.dtype("<f4"), "x")
+    lay = bytes([4, 2, 0, 3, 8]) + dims8 + bytes([5]) + b"\x00" * 14
+    with pytest.raises(h5.Hdf5LiteError, match="v2 B-tree header"):
         h5._parse_layout_chunked(b"XXXX" + b"\x00" * 64, lay, (3, 4),
                                  np.dtype("<f4"), "x")
     # pruning: window touching 4 of 12 chunks defilters exactly 4
@@ -774,3 +775,43 @@ def test_hdf5_extensible_array_swizzle_and_partial(tmp_path):
     out = h5._walk_extensible_array(blob, 0, (24, 1), (1, 1), 16, "t")
     assert len(out) == 20
     assert sorted(a for _o, a, _n, _f in out) == list(range(1, 21))
+
+
+def test_hdf5_btree2_chunk_index_roundtrip(tmp_path):
+    """v2 B-tree chunk index (v4 itype 5, MULTIPLE unlimited dims):
+    single-leaf and depth-1 trees round-trip, filtered (record type 11
+    with variable-size chunk sizes) and not (type 10); AOI window
+    pruning works through the tree; maxdims mark every dim unlimited."""
+    import rasters_ray.sources.hdf5lite as h5
+
+    rng = np.random.default_rng(71)
+    small = rng.normal(size=(12, 12)).astype(np.float32)    # 9 chunks
+    big = rng.integers(0, 900, size=(80, 75)).astype(np.int32)  # 240 chunks
+    cases = [
+        dict(data={"s": small}, chunks=(4, 4)),
+        dict(data={"s": small}, chunks=(4, 4), compression="deflate"),
+        dict(data={"b": big}, chunks=(5, 5)),  # 240 > leaf capacity
+        dict(data={"b": big}, chunks=(5, 5), compression="deflate",
+             shuffle=True, fletcher32=True),
+    ]
+    for kw in cases:
+        data = kw.pop("data")
+        for sb in (0, 2):
+            p = str(tmp_path / f"b2_{next(iter(data))}_{sb}.h5")
+            h5.write_hdf5(p, data, superblock=sb, chunk_index="btree2", **kw)
+            got = h5.read_hdf5(p)
+            for nm, a in data.items():
+                np.testing.assert_array_equal(got[f"/{nm}"], a)
+    p = str(tmp_path / "b2_win.h5")
+    h5.write_hdf5(p, {"b": big}, chunks=(5, 5), compression="deflate",
+                  chunk_index="btree2")
+    w = h5.read_hdf5_window(p, "b", (31, 42, 9, 8))
+    np.testing.assert_array_equal(w, big[31:40, 42:50])
+    msgs = h5._find_dataset_msgs(open(p, "rb").read(), "b")
+    for t, b in msgs:
+        if t == h5._MSG_DATASPACE:
+            assert h5._parse_dataspace_max(b) == (h5._UNDEF, h5._UNDEF)
+    # geometry sanity against the public H5B2 math: 2048-byte nodes,
+    # 24-byte type-10 rank-2 records -> 84-record leaves
+    max_nrec, cum_size, mns = h5._b2_geometry(2048, 24, 1)
+    assert max_nrec[0] == 84 and mns == 1
