@@ -1617,6 +1617,67 @@ def q_transform_somerc(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_krovak(sf_dir: str):
+    """Krovak EPSG:5514 (S-JTSK / Krovak East North — proj/krovak.py,
+    the EPSG GN7-2 method 9819 oblique conformal conic on Bessel 1841,
+    pinned against the GN7-2 worked example in tests/test_proj.py):
+    WGS84 -> ECEF -> the 3-parameter S-JTSK geocentric translation
+    (EPSG transformation 1622) -> fixed six-iteration geodetic on
+    Bessel -> conformal latitude, oblique rotation, conic. Points
+    remapped into the Czech window (exact-double linear map) on both
+    sides; outliers excluded. Floor-cm int64; the oracle re-derives
+    EVERY step in SQL — ECEF, the translation, the six latitude
+    iterations, B/A/gamma0/t0/n/r0 and the per-point projection."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        keep = lon < -100.0
+        lon = (lon[keep] + 124.0) * 0.5 + 13.0
+        lat = (lat[keep] - 36.0) * 0.25 + 48.5
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "EPSG:5514")
+        lon2, lat2 = transform_xy(x, yv, "EPSG:5514", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 3e-7) & (np.abs(lat2 - lat) < 3e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id").filter(pa.array(keep)),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_transform_eck4(sf_dir: str):
+    """World Eckert IV ESRI:54012 (proj/world.py, Snyder 32-1..32-4 on
+    the WGS84-semi-major sphere; scale constants and the equal-area
+    Jacobian pinned in tests/test_proj.py): the theta equation solved
+    by a FIXED twelve guarded Newton iterations that the oracle replays
+    one CTE per iteration. All points (outliers included) are valid
+    inputs. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "ESRI:54012")
+        lon2, lat2 = transform_xy(x, yv, "ESRI:54012", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -5733,6 +5794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_tmerc": q_transform_tmerc,
         "transform_osgb": q_transform_osgb,
         "transform_somerc": q_transform_somerc,
+        "transform_krovak": q_transform_krovak,
+        "transform_eck4": q_transform_eck4,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7137,6 +7200,145 @@ SELECT point_id,
                    + 1200000.0e0) * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM rot
+"""
+
+    # transform_krovak: the Czech S-JTSK Krovak oblique conformal conic
+    # re-derived in SQL — WGS84 ECEF, the negated EPSG:1622 geocentric
+    # translation, six fixed latitude iterations on Bessel 1841 (the
+    # f-derived e2, as datum.py uses), then the GN7-2 method 9819
+    # projection with its OWN published-literal e2 (0.006674372230614,
+    # as proj/krovak.py pins) — B, A, gamma0, t0, n, r0 all re-derived.
+    sql["transform_krovak"] = f"""
+WITH {_PTS_CTE.strip()},
+cb AS (
+  SELECT (1.0e0/299.1528128e0) * (2.0e0 - 1.0e0/299.1528128e0) AS e2b,
+         (1.0e0/298.257223563e0) * (2.0e0 - 1.0e0/298.257223563e0) AS e2w,
+         0.006674372230614e0 AS e2k,
+         sqrt(0.006674372230614e0) AS ek,
+         radians(49.5e0) AS pc,
+         radians(30.0e0 + 17.0e0/60.0e0 + 17.30311e0/3600.0e0) AS alc,
+         radians(78.5e0) AS pp,
+         24.0e0 + 50.0e0/60.0e0 AS lon0
+),
+kd AS (  -- GN7-2 derived constants (B, A, gamma0)
+  SELECT cb.*,
+         sqrt(1.0e0 + e2k * cos(pc)*cos(pc)*cos(pc)*cos(pc)
+                      / (1.0e0 - e2k)) AS bb,
+         6377397.155e0 * sqrt(1.0e0 - e2k)
+           / (1.0e0 - e2k * sin(pc) * sin(pc)) AS abig
+  FROM cb
+),
+kd2 AS (SELECT kd.*, asin(sin(pc) / bb) AS g0 FROM kd),
+kd3 AS (  -- t0, n, r0
+  SELECT kd2.*,
+         tan(pi()/4.0e0 + g0/2.0e0)
+           * ((1.0e0 + ek*sin(pc)) / (1.0e0 - ek*sin(pc))) ^ (ek * bb / 2.0e0)
+           / tan(pi()/4.0e0 + pc/2.0e0) ^ bb AS t0k,
+         sin(pp) AS nk,
+         0.9999e0 * abig / tan(pp) AS r0k
+  FROM kd2
+),
+cz AS (  -- remap into the Czech window; WGS84 geodetic (surface, h=0)
+  SELECT point_id,
+         radians((x + 124.0e0) * 0.5e0 + 13.0e0) AS lw,
+         radians((y - 36.0e0) * 0.25e0 + 48.5e0) AS pw, kd3.*
+  FROM pts, kd3
+  WHERE x < -100.0e0
+),
+ec AS (  -- WGS84 geodetic -> ECEF
+  SELECT cz.*,
+         (6378137.0e0 / sqrt(1.0e0 - e2w * sin(pw) * sin(pw)))
+           * cos(pw) * cos(lw) AS gx,
+         (6378137.0e0 / sqrt(1.0e0 - e2w * sin(pw) * sin(pw)))
+           * cos(pw) * sin(lw) AS gy,
+         (6378137.0e0 / sqrt(1.0e0 - e2w * sin(pw) * sin(pw)))
+           * (1.0e0 - e2w) * sin(pw) AS gz
+  FROM cz
+),
+hm AS (  -- WGS84 -> S-JTSK: negated EPSG:1622 geocentric translation
+  SELECT ec.*, gx - 589.0e0 AS hx, gy - 76.0e0 AS hy,
+         gz - 480.0e0 AS hz
+  FROM ec
+),
+g0i AS (  -- ECEF -> geodetic on Bessel: fixed six-iteration fixed point
+  SELECT hm.*, sqrt(hx*hx + hy*hy) AS pr,
+         atan2(hz, sqrt(hx*hx + hy*hy) * (1.0e0 - e2b)) AS q0
+  FROM hm
+),
+g1 AS (SELECT *, {_ch_iter.format(p='q0')} AS q1 FROM g0i),
+g2 AS (SELECT *, {_ch_iter.format(p='q1')} AS q2 FROM g1),
+g3 AS (SELECT *, {_ch_iter.format(p='q2')} AS q3 FROM g2),
+g4 AS (SELECT *, {_ch_iter.format(p='q3')} AS q4 FROM g3),
+g5 AS (SELECT *, {_ch_iter.format(p='q4')} AS q5 FROM g4),
+g6 AS (SELECT *, {_ch_iter.format(p='q5')} AS q6 FROM g5),
+geo AS (  -- mirror the engine's degrees() round-trip exactly
+  SELECT g6.*,
+         radians(degrees(atan2(hy, hx))) AS lam,
+         radians(degrees(q6)) AS phi
+  FROM g6
+),
+uv AS (  -- Gaussian sphere: conformal latitude u, longitude v
+  SELECT geo.*,
+         2.0e0 * (atan(t0k * tan(pi()/4.0e0 + phi/2.0e0) ^ bb
+                       / ((1.0e0 + ek*sin(phi)) / (1.0e0 - ek*sin(phi)))
+                         ^ (ek * bb / 2.0e0)) - pi()/4.0e0) AS u,
+         bb * (radians(lon0) - lam) AS v
+  FROM geo
+),
+sd AS (  -- rotate to the oblique pole
+  SELECT uv.*,
+         asin(least(greatest(cos(alc)*sin(u)
+                             + sin(alc)*cos(u)*cos(v), -1.0e0), 1.0e0)) AS s
+  FROM uv
+),
+sd2 AS (
+  SELECT sd.*,
+         asin(least(greatest(cos(u)*sin(v)/cos(s), -1.0e0), 1.0e0)) AS d
+  FROM sd
+),
+rt AS (  -- conformal conic on the pseudo standard parallel
+  SELECT point_id, nk * d AS theta,
+         r0k * tan(pi()/4.0e0 + pp/2.0e0) ^ nk
+           / tan(s/2.0e0 + pi()/4.0e0) ^ nk AS r
+  FROM sd2
+)
+SELECT point_id,
+       CAST(floor(-(r * sin(theta)) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(-(r * cos(theta)) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM rt
+"""
+
+    # transform_eck4: Eckert IV with the fixed twelve guarded Newton
+    # iterations replayed one CTE per iteration — nothing golden
+    _e4_iter = (
+        "CASE WHEN abs(1.0e0 + cos(2.0e0*{t}) + 2.0e0*cos({t})) > 1.0e-12"
+        " THEN {t} - ({t} + sin({t})*cos({t}) + 2.0e0*sin({t}) - rhs)"
+        " / (1.0e0 + cos(2.0e0*{t}) + 2.0e0*cos({t}))"
+        " ELSE {t} END"
+    )
+    sql["transform_eck4"] = f"""
+WITH {_PTS_CTE.strip()},
+k0 AS (
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(y) AS t0,
+         (2.0e0 + pi()/2.0e0) * sin(radians(y)) AS rhs
+  FROM pts
+),
+{"".join(
+    f"k{i+1} AS (SELECT point_id, lam, rhs, "
+    + _e4_iter.format(t=f"t{i}") + f" AS t{i+1} FROM k{i}),"
+    for i in range(12)
+).rstrip(",")}
+SELECT point_id,
+       CAST(floor(2.0e0 / sqrt(pi() * (4.0e0 + pi())) * 6378137.0e0 * lam
+                  * (1.0e0 + cos(t12)) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(2.0e0 * sqrt(pi() / (4.0e0 + pi())) * 6378137.0e0
+                  * sin(t12) * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM k12
 """
 
     # transform_moll: Snyder's Mollweide with the fixed ten-iteration

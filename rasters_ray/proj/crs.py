@@ -32,7 +32,8 @@ class CRSInfo:
     kind: str  # 'geographic' | 'utm' | 'aeqd' | 'sinu' | 'lcc' | 'merc'
     #          | 'webmerc' | 'stere' (polar) | 'aea' | 'laea' | 'cea'
     #          | 'tmerc' (general) | 'geos' | 'eqc' | 'somerc' (Swiss)
-    #          | 'moll' | 'ortho' | 'goode' | 'igh' (spherical)
+    #          | 'moll' | 'ortho' | 'goode' | 'igh' | 'eck4' (spherical)
+    #          | 'krovak' (EPSG:5514 S-JTSK, fixed parameterization)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -129,6 +130,12 @@ class CRSInfo:
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=moll +lon_0={self.lon_0}"
                     f" +x_0={self.x_0} +y_0={self.y_0}{r}")
+        if self.kind == "eck4":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return (f"+proj=eck4 +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
+        if self.kind == "krovak":
+            return "EPSG:5514"
         if self.kind == "ortho":
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=ortho +lat_0={self.lat_0} +lon_0={self.lon_0}"
@@ -190,6 +197,8 @@ def parse_crs(crs: str) -> CRSInfo:
         return parse_crs(f"EPSG:{ids[-1]}")
     if re.match(r"^ESRI:54009$", s, re.I):
         return CRSInfo("moll")
+    if re.match(r"^ESRI:54012$", s, re.I):
+        return CRSInfo("eck4")
     m = _EPSG_RE.match(s)
     if m:
         code = int(m.group(1))
@@ -255,6 +264,12 @@ def parse_crs(crs: str) -> CRSInfo:
                 "tmerc", lat_0=53.5, lon_0=-8.0, k_0=1.000035,
                 x_0=200000.0, y_0=250000.0, ellps=dat[0], towgs84=dat[1],
             )
+        if code == 5514:
+            # S-JTSK / Krovak East North — the Czech/Slovak national
+            # grid (Krovak oblique conformal conic on Bessel 1841 with
+            # the EPSG 1622 geocentric translations)
+            return CRSInfo("krovak", ellps=DATUMS["S-JTSK"][0],
+                           towgs84=DATUMS["S-JTSK"][1])
         if code in (21781, 2056):
             # Swiss grids: CH1903/LV03 (21781) and CH1903+/LV95 (2056) —
             # oblique Mercator (EPSG 9814) on Bessel 1841 with the
@@ -381,6 +396,17 @@ def parse_crs(crs: str) -> CRSInfo:
             "moll", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
             radius=float(rm.group(1)) if rm else None,
         )
+    if "+proj=eck4" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo(
+            "eck4", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
+        )
+    if "+proj=krovak" in low:
+        # the only Krovak in the wild is the S-JTSK national grid; the
+        # engine implements that fixed parameterization (EPSG:5514)
+        return CRSInfo("krovak", ellps=DATUMS["S-JTSK"][0],
+                       towgs84=DATUMS["S-JTSK"][1])
     if "+proj=ortho" in low:
         rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
         return CRSInfo(

@@ -68,6 +68,9 @@ DATUMS = {
     "ED50": ("intl", (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)),
     # CH1903 -> WGS84 (EPSG transformation 1753, geocentric translations)
     "CH1903": ("bessel", (674.4, 15.1, 405.3, 0.0, 0.0, 0.0, 0.0)),
+    # S-JTSK -> WGS84 (EPSG transformation 1622, geocentric translations
+    # — the shift EPSG:5514 carries)
+    "S-JTSK": ("bessel", (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)),
     # CH1903+ -> WGS84 (the official swisstopo CHTRS95 relation,
     # EPSG transformation 1676)
     "CH1903+": ("bessel", (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)),

