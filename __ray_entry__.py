@@ -1678,6 +1678,35 @@ def q_transform_eck4(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_eqearth(sf_dir: str):
+    """Equal Earth EPSG:8857 (proj/equal_area.py, EPSG method 1078 =
+    the Savric-Patterson-Jenny 2018 polynomial applied to the AUTHALIC
+    latitude on the authalic-radius sphere; published aspect ratio and
+    the ellipsoidal equal-area Jacobian pinned in tests/test_proj.py).
+    Forward is closed-form (authalic q, beta, theta, polynomial), so
+    the oracle re-derives every constant — qp, Rq, M=sqrt(3)/2, the
+    A1..A4 polynomial — per point in SQL. All points are valid inputs.
+    Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "EPSG:8857")
+        lon2, lat2 = transform_xy(x, yv, "EPSG:8857", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -5796,6 +5825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_somerc": q_transform_somerc,
         "transform_krovak": q_transform_krovak,
         "transform_eck4": q_transform_eck4,
+        "transform_eqearth": q_transform_eqearth,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7339,6 +7369,50 @@ SELECT point_id,
                   * sin(t12) * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM k12
+"""
+
+    # transform_eqearth: EPSG method 1078 Equal Earth — authalic q/qp,
+    # beta, theta = asin(M sin beta), then the Savric polynomial; every
+    # constant (qp, Rq, M, A1..A4) re-derived in SQL. Forward only
+    # (closed form), so no iteration CTEs are needed.
+    sql["transform_eqearth"] = f"""
+WITH {_PTS_CTE.strip()},
+prm AS (
+  SELECT 0.08181919084262149e0 AS e, 0.0066943799901413165e0 AS e2,
+         6378137.0e0 AS a, sqrt(3.0e0) / 2.0e0 AS m
+),
+base AS (
+  SELECT a, e, e2, m,
+         (1.0e0 - e2) * (1.0e0 / (1.0e0 - e2)
+           - (1.0e0 / (2.0e0 * e)) * ln((1.0e0 - e) / (1.0e0 + e))) AS qp
+  FROM prm
+),
+kg AS (SELECT base.*, a * sqrt(qp / 2.0e0) AS rq FROM base),
+pq AS (  -- authalic latitude beta, then theta
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS dl,
+         asin(m * sin(asin(((1.0e0 - e2)
+           * (sin(radians(y)) / (1.0e0 - e2 * sin(radians(y)) * sin(radians(y)))
+              - (1.0e0 / (2.0e0 * e))
+                * ln((1.0e0 - e * sin(radians(y)))
+                     / (1.0e0 + e * sin(radians(y)))))) / qp))) AS th,
+         m, rq
+  FROM pts, kg
+),
+pt2 AS (SELECT pq.*, th * th AS t2 FROM pq),
+pt6 AS (SELECT pt2.*, t2 * t2 * t2 AS t6 FROM pt2)
+SELECT point_id,
+       CAST(floor(rq * dl * cos(th)
+                  / (m * (1.340264e0 + 3.0e0 * -0.081106e0 * t2
+                          + t6 * (7.0e0 * 0.000893e0
+                                  + 9.0e0 * 0.003796e0 * t2)))
+                  * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(rq * (th * (1.340264e0 + -0.081106e0 * t2
+                              + t6 * (0.000893e0 + 0.003796e0 * t2)))
+                  * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM pt6
 """
 
     # transform_moll: Snyder's Mollweide with the fixed ten-iteration

@@ -34,6 +34,7 @@ class CRSInfo:
     #          | 'tmerc' (general) | 'geos' | 'eqc' | 'somerc' (Swiss)
     #          | 'moll' | 'ortho' | 'goode' | 'igh' | 'eck4' (spherical)
     #          | 'krovak' (EPSG:5514 S-JTSK, fixed parameterization)
+    #          | 'eqearth' (EPSG:8857, authalic-latitude Equal Earth)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -136,6 +137,9 @@ class CRSInfo:
                     f" +x_0={self.x_0} +y_0={self.y_0}{r}")
         if self.kind == "krovak":
             return "EPSG:5514"
+        if self.kind == "eqearth":
+            return (f"+proj=eqearth +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}")
         if self.kind == "ortho":
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=ortho +lat_0={self.lat_0} +lon_0={self.lon_0}"
@@ -199,6 +203,8 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo("moll")
     if re.match(r"^ESRI:54012$", s, re.I):
         return CRSInfo("eck4")
+    if re.match(r"^ESRI:54035$", s, re.I):  # World Equal Earth (ESRI alias)
+        return CRSInfo("eqearth")
     m = _EPSG_RE.match(s)
     if m:
         code = int(m.group(1))
@@ -238,6 +244,8 @@ def parse_crs(crs: str) -> CRSInfo:
             return CRSInfo("laea", lat_0=-90.0, lon_0=0.0)
         if code == 6933:  # EASE-Grid 2.0 Global (cylindrical equal-area)
             return CRSInfo("cea", lat_ts=30.0, lon_0=0.0)
+        if code == 8857:  # WGS 84 / Equal Earth Greenwich (method 1078)
+            return CRSInfo("eqearth")
         if code == 2193:  # NZTM2000 (NZGD2000/GRS80 ~ WGS84 here)
             return CRSInfo("tmerc", lat_0=0.0, lon_0=173.0, k_0=0.9996,
                            x_0=1600000.0, y_0=10000000.0)
@@ -396,6 +404,10 @@ def parse_crs(crs: str) -> CRSInfo:
             "moll", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
             radius=float(rm.group(1)) if rm else None,
         )
+    if "+proj=eqearth" in low:
+        return CRSInfo(
+            "eqearth", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+        )
     if "+proj=eck4" in low:
         rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
         return CRSInfo(
@@ -484,7 +496,8 @@ def center_aeqd(lat: float, lon: float) -> str:
 
 
 _EPSG_CANDIDATES = (4326, 3857, 3395, 3413, 3976, 3031, 5070, 3035,
-                    6931, 6932, 6933, 2193, 4087, 27700, 29902, 29903)
+                    6931, 6932, 6933, 2193, 4087, 27700, 29902, 29903,
+                    8857, 5514)
 
 
 def epsg_code(crs: str) -> Optional[int]:

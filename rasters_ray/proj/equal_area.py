@@ -160,3 +160,67 @@ def cea_to_geographic(
     lam = xs / (A_WGS84 * k0)
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
+
+
+# --- Equal Earth (EPSG:8857, EPSG method 1078) --------------------------
+# Šavrič, Patterson & Jenny 2018, "The Equal Earth map projection"
+# (IJGIS 32:3, eqs. 1-4; PROJ ``+proj=eqearth``): the pseudocylindrical
+# equal-area world projection. On WGS84 the EPSG method applies the
+# spherical polynomial to the AUTHALIC latitude on the authalic-radius
+# sphere Rq = a sqrt(qp/2) — the same machinery as LAEA above. The
+# theta Newton solve in the inverse runs a FIXED twelve guarded
+# iterations (residual < 1e-15 over the full map) so the oracle can
+# replay it one CTE per iteration.
+_EE_A1 = 1.340264
+_EE_A2 = -0.081106
+_EE_A3 = 0.000893
+_EE_A4 = 0.003796
+_EE_M = np.sqrt(3.0) / 2.0
+_RQ = A_WGS84 * np.sqrt(_QP / 2.0)  # authalic radius (Snyder 3-13)
+
+
+def _ee_poly(theta: np.ndarray) -> np.ndarray:
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    return theta * (_EE_A1 + _EE_A2 * t2 + t6 * (_EE_A3 + _EE_A4 * t2))
+
+
+def _ee_dpoly(theta: np.ndarray) -> np.ndarray:
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    return _EE_A1 + 3.0 * _EE_A2 * t2 + t6 * (7.0 * _EE_A3 + 9.0 * _EE_A4 * t2)
+
+
+def geographic_to_eqearth(
+    lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    dl = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    dl = (dl + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    b = np.arcsin(np.clip(_q(phi) / _QP, -1.0, 1.0))
+    theta = np.arcsin(np.clip(_EE_M * np.sin(b), -1.0, 1.0))
+    x = _RQ * dl * np.cos(theta) / (_EE_M * _ee_dpoly(theta)) + x_0
+    y = _RQ * _ee_poly(theta) + y_0
+    return x, y
+
+
+def eqearth_to_geographic(
+    x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = np.asarray(x, dtype=np.float64) - x_0
+    yr = (np.asarray(y, dtype=np.float64) - y_0) / _RQ
+    theta = yr.copy()
+    for _ in range(12):
+        den = _ee_dpoly(theta)
+        num = _ee_poly(theta) - yr
+        step = np.where(np.abs(den) > 1e-12,
+                        num / np.where(np.abs(den) > 1e-12, den, 1.0), 0.0)
+        theta = theta - step
+    b = np.arcsin(np.clip(np.sin(theta) / _EE_M, -1.0, 1.0))
+    phi = _phi_from_q(_QP * np.sin(b))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = _EE_M * xs * _ee_dpoly(theta) / (_RQ * np.cos(theta))
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)

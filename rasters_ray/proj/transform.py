@@ -124,6 +124,8 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             x, y, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )
+    if info.kind == "eqearth":
+        return _ea.eqearth_to_geographic(x, y, info.lon_0, info.x_0, info.y_0)
     if info.kind == "ortho":
         return _world.ortho_to_geographic(
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
@@ -216,6 +218,8 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
             lon, lat, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )
+    if info.kind == "eqearth":
+        return _ea.geographic_to_eqearth(lon, lat, info.lon_0, info.x_0, info.y_0)
     if info.kind == "moll":
         return _world.geographic_to_moll(
             lon, lat, info.lon_0, info.x_0, info.y_0,

@@ -923,3 +923,63 @@ def test_eckert4_constants_equal_area_roundtrip():
                                   lon_0=25.0)
     np.testing.assert_allclose(lo3, lon, atol=1e-9)
     np.testing.assert_allclose(la3, lat, atol=1e-9)
+
+
+def test_equal_earth_published_pins_and_roundtrip():
+    """EPSG:8857 (Equal Earth, EPSG method 1078): pins (a) the published
+    Savric-Patterson-Jenny width-to-height ratio 2.05458; (b) the
+    equal-area property against the ELLIPSOIDAL area element
+    a^2 (1-e^2) cos(phi) / (1-e^2 sin^2 phi)^2 via a numerical Jacobian
+    (the authalic-latitude route must preserve ellipsoid areas, not
+    sphere areas); (c) the theta Newton residual after the FIXED twelve
+    iterations; (d) round-trips via EPSG/ESRI/proj4 routes."""
+    from rasters_ray.proj.equal_area import (
+        _ee_poly,
+        _EE_M,
+        _RQ,
+        eqearth_to_geographic,
+        geographic_to_eqearth,
+    )
+    from rasters_ray.proj.conic import A_WGS84, E2
+    from rasters_ray.proj.transform import transform_xy
+
+    # (a) published aspect ratio (paper table: 1:2.05458)
+    xe, _ = geographic_to_eqearth(np.array([180.0 - 1e-9]), np.array([0.0]))
+    _, yp = geographic_to_eqearth(np.array([0.0]), np.array([90.0]))
+    assert abs(xe[0] / yp[0] - 2.05458) < 1e-4
+
+    # (b) ellipsoidal equal-area Jacobian at an arbitrary point
+    lon = np.array([37.0]); lat = np.array([52.0])
+    h = 1e-5
+    xE, yE = geographic_to_eqearth(lon + h, lat)
+    xW, yW = geographic_to_eqearth(lon - h, lat)
+    xN, yN = geographic_to_eqearth(lon, lat + h)
+    xS, yS = geographic_to_eqearth(lon, lat - h)
+    dh = np.radians(2 * h)
+    J = ((xE - xW) / dh * (yN - yS) / dh - (xN - xS) / dh * (yE - yW) / dh)
+    s = np.sin(np.radians(lat))
+    want = A_WGS84 ** 2 * (1.0 - E2) * np.cos(np.radians(lat)) \
+        / (1.0 - E2 * s * s) ** 2
+    assert abs(J[0] / want[0] - 1.0) < 1e-6
+
+    # (c) fixed-iteration inverse residual over the full y range
+    y = np.linspace(-_ee_poly(np.array([np.arcsin(_EE_M)]))[0],
+                    _ee_poly(np.array([np.arcsin(_EE_M)]))[0], 5001) * _RQ
+    lonr, latr = eqearth_to_geographic(np.zeros_like(y), y)
+    _, y2 = geographic_to_eqearth(lonr, latr)
+    assert np.abs(y2 - y).max() < 1e-6  # metres, round-trip through phi
+
+    # (d) round-trips, all three CRS spellings
+    rng = np.random.default_rng(31)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-89.9, 89.9, 500)
+    x, yv = transform_xy(lon, lat, "EPSG:4326", "EPSG:8857")
+    lo2, la2 = transform_xy(x, yv, "EPSG:8857", "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=1e-9)
+    np.testing.assert_allclose(la2, lat, atol=1e-9)
+    for alias in ("ESRI:54035", "+proj=eqearth +lon_0=0 +x_0=0 +y_0=0"):
+        x2, y2 = transform_xy(lon, lat, "EPSG:4326", alias)
+        np.testing.assert_allclose(x2, x, atol=1e-9)
+        np.testing.assert_allclose(y2, yv, atol=1e-9)
+    from rasters_ray.proj.crs import epsg_code
+    assert epsg_code("+proj=eqearth +lon_0=0 +x_0=0 +y_0=0") == 8857
