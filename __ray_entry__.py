@@ -1707,6 +1707,34 @@ def q_transform_eqearth(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_robin(sf_dir: str):
+    """Robinson ESRI:54030 (proj/robinson.py): the published 1974
+    PLEN/PDFE table with a deterministic piecewise cubic Hermite
+    (central-difference knot slopes) between the 5-degree knots —
+    closed-form per band, so the oracle re-derives the SAME knot
+    values, slopes and Hermite basis from list literals in SQL. The
+    points' latitudes (36..44 N) exercise the 35-40 and 40-45 bands.
+    All points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "ESRI:54030")
+        lon2, lat2 = transform_xy(x, yv, "ESRI:54030", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -5826,6 +5854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_krovak": q_transform_krovak,
         "transform_eck4": q_transform_eck4,
         "transform_eqearth": q_transform_eqearth,
+        "transform_robin": q_transform_robin,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7413,6 +7442,65 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM pt6
+"""
+
+    # transform_robin: Robinson — the published 1974 PLEN/PDFE knots as
+    # SQL list literals, central-difference slopes and the cubic Hermite
+    # basis re-derived per point (the 36..44N points hit interior bands,
+    # so no one-sided end slopes are needed). Nothing golden.
+    _rx = ("list_value(1.0000e0, 0.9986e0, 0.9954e0, 0.9900e0, 0.9822e0,"
+           " 0.9730e0, 0.9600e0, 0.9427e0, 0.9216e0, 0.8962e0, 0.8679e0,"
+           " 0.8350e0, 0.7986e0, 0.7597e0, 0.7186e0, 0.6732e0, 0.6213e0,"
+           " 0.5722e0, 0.5322e0)")
+    _ry = ("list_value(0.0000e0, 0.0620e0, 0.1240e0, 0.1860e0, 0.2480e0,"
+           " 0.3100e0, 0.3720e0, 0.4340e0, 0.4958e0, 0.5571e0, 0.6176e0,"
+           " 0.6769e0, 0.7346e0, 0.7903e0, 0.8435e0, 0.8936e0, 0.9394e0,"
+           " 0.9761e0, 1.0000e0)")
+    sql["transform_robin"] = f"""
+WITH {_PTS_CTE.strip()},
+rb AS (
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         least(abs(y), 90.0e0) AS alat
+  FROM pts
+),
+ri AS (
+  SELECT point_id, lam,
+         CAST(least(floor(alat / 5.0e0), 17.0e0) AS BIGINT) AS i,
+         alat / 5.0e0 - least(floor(alat / 5.0e0), 17.0e0) AS t
+  FROM rb
+),
+rv AS (  -- knot values + central-difference slopes (interior bands)
+  SELECT point_id, lam, t,
+         {_rx}[i + 1] AS xv0, {_rx}[i + 2] AS xv1,
+         ({_rx}[i + 2] - {_rx}[i]) / 2.0e0 AS xm0,
+         ({_rx}[i + 3] - {_rx}[i + 1]) / 2.0e0 AS xm1,
+         {_ry}[i + 1] AS yv0, {_ry}[i + 2] AS yv1,
+         ({_ry}[i + 2] - {_ry}[i]) / 2.0e0 AS ym0,
+         ({_ry}[i + 3] - {_ry}[i + 1]) / 2.0e0 AS ym1
+  FROM ri
+),
+rh AS (
+  SELECT rv.*, t * t AS t2, t * t * t AS t3 FROM rv
+),
+re2 AS (  -- cubic Hermite basis, engine association
+  SELECT point_id, lam,
+         (2.0e0 * t3 - 3.0e0 * t2 + 1.0e0) * xv0
+           + (t3 - 2.0e0 * t2 + t) * xm0
+           + (-2.0e0 * t3 + 3.0e0 * t2) * xv1 + (t3 - t2) * xm1 AS xv,
+         (2.0e0 * t3 - 3.0e0 * t2 + 1.0e0) * yv0
+           + (t3 - 2.0e0 * t2 + t) * ym0
+           + (-2.0e0 * t3 + 3.0e0 * t2) * yv1 + (t3 - t2) * ym1 AS yv
+  FROM rh
+)
+SELECT point_id,
+       CAST(floor(0.8487e0 * 6378137.0e0 * xv * lam * 100.0e0)
+            AS BIGINT) AS x_cm,
+       CAST(floor(1.3523e0 * 6378137.0e0 * yv * 100.0e0)
+            AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM re2
 """
 
     # transform_moll: Snyder's Mollweide with the fixed ten-iteration

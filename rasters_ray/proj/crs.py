@@ -35,6 +35,7 @@ class CRSInfo:
     #          | 'moll' | 'ortho' | 'goode' | 'igh' | 'eck4' (spherical)
     #          | 'krovak' (EPSG:5514 S-JTSK, fixed parameterization)
     #          | 'eqearth' (EPSG:8857, authalic-latitude Equal Earth)
+    #          | 'robin' (ESRI:54030 Robinson, published-table Hermite)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -140,6 +141,10 @@ class CRSInfo:
         if self.kind == "eqearth":
             return (f"+proj=eqearth +lon_0={self.lon_0}"
                     f" +x_0={self.x_0} +y_0={self.y_0}")
+        if self.kind == "robin":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return (f"+proj=robin +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
         if self.kind == "ortho":
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=ortho +lat_0={self.lat_0} +lon_0={self.lon_0}"
@@ -205,6 +210,8 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo("eck4")
     if re.match(r"^ESRI:54035$", s, re.I):  # World Equal Earth (ESRI alias)
         return CRSInfo("eqearth")
+    if re.match(r"^ESRI:54030$", s, re.I):  # World Robinson
+        return CRSInfo("robin")
     m = _EPSG_RE.match(s)
     if m:
         code = int(m.group(1))
@@ -407,6 +414,12 @@ def parse_crs(crs: str) -> CRSInfo:
     if "+proj=eqearth" in low:
         return CRSInfo(
             "eqearth", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=robin" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo(
+            "robin", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
         )
     if "+proj=eck4" in low:
         rm = re.search(r"\+r=(-?[\d.eE+]+)", low)

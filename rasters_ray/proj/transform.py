@@ -28,6 +28,7 @@ from . import sinusoidal as _sinu
 from . import stereographic as _st
 from . import swiss as _sw
 from . import krovak as _krovak
+from . import robinson as _rob
 from . import world as _world
 from . import transverse_mercator as _tm
 from .crs import CRSInfo, parse_crs
@@ -126,6 +127,11 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
         )
     if info.kind == "eqearth":
         return _ea.eqearth_to_geographic(x, y, info.lon_0, info.x_0, info.y_0)
+    if info.kind == "robin":
+        return _rob.robin_to_geographic(
+            x, y, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _rob.R_WGS84
+        )
     if info.kind == "ortho":
         return _world.ortho_to_geographic(
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
@@ -220,6 +226,11 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         )
     if info.kind == "eqearth":
         return _ea.geographic_to_eqearth(lon, lat, info.lon_0, info.x_0, info.y_0)
+    if info.kind == "robin":
+        return _rob.geographic_to_robin(
+            lon, lat, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _rob.R_WGS84
+        )
     if info.kind == "moll":
         return _world.geographic_to_moll(
             lon, lat, info.lon_0, info.x_0, info.y_0,

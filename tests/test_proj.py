@@ -983,3 +983,50 @@ def test_equal_earth_published_pins_and_roundtrip():
         np.testing.assert_allclose(y2, yv, atol=1e-9)
     from rasters_ray.proj.crs import epsg_code
     assert epsg_code("+proj=eqearth +lon_0=0 +x_0=0 +y_0=0") == 8857
+
+
+def test_robinson_published_table_and_roundtrip():
+    """ESRI:54030 (Robinson): pins (a) every knot of the published 1974
+    PLEN/PDFE table bit-exactly (the Hermite basis is exact at nodes);
+    (b) the published ~1.9716:1 aspect ratio; (c) monotonicity of the
+    Y spline (the inverse Newton's precondition); (d) round-trips incl.
+    poles/antimeridian via ESRI and proj4 routes."""
+    from rasters_ray.proj.robinson import (
+        _MY,
+        _PDFE,
+        _PLEN,
+        R_WGS84,
+        _hermite,
+        geographic_to_robin,
+        robin_to_geographic,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    # (a) knots reproduce the published table exactly (lam = 1 rad)
+    knots = np.arange(0.0, 91.0, 5.0)
+    xk, yk = geographic_to_robin(np.full(19, np.degrees(1.0)), knots)
+    np.testing.assert_allclose(xk / (0.8487 * R_WGS84), _PLEN,
+                               rtol=0, atol=2e-15)  # 1 ulp: wrap + divide
+    np.testing.assert_allclose(yk / (1.3523 * R_WGS84), _PDFE,
+                               rtol=0, atol=2e-15)
+
+    # (b) aspect ratio of the full map
+    assert abs((0.8487 * np.pi) / 1.3523 - 1.9716554648389095) < 1e-12
+
+    # (c) Y strictly increasing on [0, 90] (dense sample)
+    alat = np.linspace(0.0, 90.0, 9001)
+    yv, _ = _hermite(_PDFE, _MY, alat)
+    assert (np.diff(yv) > 0).all()
+
+    # (d) round-trips
+    rng = np.random.default_rng(37)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-89.99, 89.99, 500)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "ESRI:54030")
+    lo2, la2 = transform_xy(x, y, "ESRI:54030", "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=1e-9)
+    np.testing.assert_allclose(la2, lat, atol=1e-9)
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326",
+                          "+proj=robin +lon_0=0 +x_0=0 +y_0=0")
+    np.testing.assert_allclose(x2, x, atol=1e-9)
+    np.testing.assert_allclose(y2, y, atol=1e-9)
