@@ -1735,6 +1735,35 @@ def q_transform_robin(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_wintri(sf_dir: str):
+    """Winkel Tripel ESRI:54042 (proj/world.py, phi_1 = acos(2/pi) so
+    cos phi_1 = 2/pi EXACTLY; closed-form corner values pinned in
+    tests/test_proj.py): the mean of the equirectangular and Aitoff
+    projections. Forward is closed-form — alpha = acos(cos phi cos
+    (lambda/2)), the alpha/sin(alpha) unsinc guarded at 1e-12 — so the
+    oracle re-derives it per point; the engine-side inverse (fixed
+    twelve 2-D Newton iterations, central-difference Jacobian) feeds
+    only roundtrip_ok. All points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "ESRI:54042")
+        lon2, lat2 = transform_xy(x, yv, "ESRI:54042", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -5855,6 +5884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_eck4": q_transform_eck4,
         "transform_eqearth": q_transform_eqearth,
         "transform_robin": q_transform_robin,
+        "transform_wintri": q_transform_wintri,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7501,6 +7531,44 @@ SELECT point_id,
             AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM re2
+"""
+
+    # transform_wintri: Winkel Tripel — closed-form mean of
+    # equirectangular (cos phi_1 = 2/pi exactly) and Aitoff, the
+    # alpha/sin(alpha) guard mirrored as a CASE. Nothing golden.
+    sql["transform_wintri"] = f"""
+WITH {_PTS_CTE.strip()},
+w0 AS (
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(y) AS phi
+  FROM pts
+),
+w1 AS (
+  SELECT point_id, lam, phi, 0.5e0 * lam AS lam2, cos(phi) AS cosphi
+  FROM w0
+),
+w2 AS (
+  SELECT w1.*,
+         acos(least(greatest(cosphi * cos(lam2), -1.0e0), 1.0e0)) AS alpha
+  FROM w1
+),
+w3 AS (
+  SELECT w2.*,
+         CASE WHEN alpha > 1.0e-12 THEN alpha / sin(alpha)
+              ELSE 1.0e0 END AS sincinv
+  FROM w2
+)
+SELECT point_id,
+       CAST(floor(0.5e0 * 6378137.0e0
+                  * (lam * (2.0e0 / pi())
+                     + 2.0e0 * cosphi * sin(lam2) * sincinv)
+                  * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(0.5e0 * 6378137.0e0 * (phi + sin(phi) * sincinv)
+                  * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM w3
 """
 
     # transform_moll: Snyder's Mollweide with the fixed ten-iteration

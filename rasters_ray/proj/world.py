@@ -295,3 +295,79 @@ def igh_to_geographic(
     lon = np.where(ok, lon, np.nan)
     lat = np.where(ok, lat, np.nan)
     return lon, lat
+
+
+# Winkel Tripel (Snyder "Flattening the Earth" §Winkel; PROJ
+# ``+proj=wintri``, ESRI:54042 "World Winkel Tripel"; National
+# Geographic's world map since 1998) — the arithmetic mean of the
+# equirectangular projection on the standard parallel
+# phi_1 = acos(2/pi) (Winkel's own choice, PROJ's default) and the
+# Aitoff projection:
+#     a = acos(cos phi cos(lambda/2));  sinc a = sin(a)/a  (1 at 0)
+#     x = R/2 [lambda cos phi_1 + 2 cos phi sin(lambda/2) / sinc a]
+#     y = R/2 [phi + sin phi / sinc a]
+# The forward is closed-form (oracle-mirrorable); the inverse has no
+# closed form anywhere in the literature, so it runs a FIXED twelve
+# 2-D Newton iterations with a central-difference Jacobian
+# (h = 1e-7 rad) — deterministic, converging to ~1e-9 deg over the
+# usable map (|lat| <= 89.9, |lon| <= 179).
+_WINTRI_COSP1 = 2.0 / np.pi  # cos(phi_1) EXACTLY, phi_1 = acos(2/pi)
+
+
+def _wintri_fwd_rad(lam: np.ndarray, phi: np.ndarray, radius: float):
+    lam2 = 0.5 * lam
+    cosphi = np.cos(phi)
+    ca = np.clip(cosphi * np.cos(lam2), -1.0, 1.0)
+    alpha = np.arccos(ca)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sinc_inv = np.where(alpha > 1e-12, alpha / np.sin(alpha), 1.0)
+    x = 0.5 * radius * (lam * _WINTRI_COSP1
+                        + 2.0 * cosphi * np.sin(lam2) * sinc_inv)
+    y = 0.5 * radius * (phi + np.sin(phi) * sinc_inv)
+    return x, y
+
+
+def geographic_to_wintri(
+    lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    x, y = _wintri_fwd_rad(lam, phi, radius)
+    return x + x_0, y + y_0
+
+
+def wintri_to_geographic(
+    x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = np.asarray(x, dtype=np.float64) - x_0
+    ys = np.asarray(y, dtype=np.float64) - y_0
+    # seeds: y ~ R phi near the equator axis; x ~ R/2 lam (cosp1 + cosphi)
+    phi = np.clip(ys / radius, -np.pi / 2.0, np.pi / 2.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = np.clip(2.0 * xs / (radius * (_WINTRI_COSP1 + np.cos(phi))),
+                      -np.pi, np.pi)
+    h = 1e-7
+    for _ in range(12):
+        fx, fy = _wintri_fwd_rad(lam, phi, radius)
+        rx = fx - xs
+        ry = fy - ys
+        dxl = (_wintri_fwd_rad(lam + h, phi, radius)[0]
+               - _wintri_fwd_rad(lam - h, phi, radius)[0]) / (2.0 * h)
+        dxp = (_wintri_fwd_rad(lam, phi + h, radius)[0]
+               - _wintri_fwd_rad(lam, phi - h, radius)[0]) / (2.0 * h)
+        dyl = (_wintri_fwd_rad(lam + h, phi, radius)[1]
+               - _wintri_fwd_rad(lam - h, phi, radius)[1]) / (2.0 * h)
+        dyp = (_wintri_fwd_rad(lam, phi + h, radius)[1]
+               - _wintri_fwd_rad(lam, phi - h, radius)[1]) / (2.0 * h)
+        det = dxl * dyp - dxp * dyl
+        ok = np.abs(det) > 1e-12
+        det_safe = np.where(ok, det, 1.0)
+        dl = np.where(ok, (rx * dyp - ry * dxp) / det_safe, 0.0)
+        dp = np.where(ok, (ry * dxl - rx * dyl) / det_safe, 0.0)
+        lam = np.clip(lam - dl, -np.pi, np.pi)
+        phi = np.clip(phi - dp, -np.pi / 2.0, np.pi / 2.0)
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)

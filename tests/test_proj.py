@@ -1030,3 +1030,55 @@ def test_robinson_published_table_and_roundtrip():
                           "+proj=robin +lon_0=0 +x_0=0 +y_0=0")
     np.testing.assert_allclose(x2, x, atol=1e-9)
     np.testing.assert_allclose(y2, y, atol=1e-9)
+
+
+def test_winkel_tripel_closed_form_pins_and_roundtrip():
+    """ESRI:54042 (Winkel Tripel, phi_1 = acos(2/pi)): pins (a) the
+    closed-form corner values — x(180, 0) = R(2+pi)/2 and
+    y(0, 90) = R pi/2, hence the (2+pi)/pi aspect ratio; (b) the
+    equatorial profile x(lam, 0) = R(2 lam/pi + lam)/2 (the Aitoff term
+    degenerates to the equirectangular one on the equator); (c) the
+    mean-of-two-projections property at phi_1 where the equirect term
+    is exact; (d) round-trips over the usable map via ESRI and proj4
+    routes (fixed twelve 2-D Newton iterations)."""
+    from rasters_ray.proj.world import (
+        R_WGS84,
+        geographic_to_wintri,
+        wintri_to_geographic,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    # (a) corners and aspect
+    xe, ye = geographic_to_wintri(np.array([180.0 - 1e-9]), np.array([0.0]))
+    assert abs(xe[0] - R_WGS84 * (2.0 + np.pi) / 2.0) < 1.0
+    assert abs(ye[0]) == 0.0
+    xp, yp = geographic_to_wintri(np.array([0.0]), np.array([90.0]))
+    assert abs(xp[0]) == 0.0
+    assert abs(yp[0] - R_WGS84 * np.pi / 2.0) < 1e-6
+
+    # (b) equator: x = R/2 (2 lam / pi + lam)
+    lam = np.radians(np.array([30.0, 75.0, 120.0]))
+    xq, yq = geographic_to_wintri(np.degrees(lam), np.zeros(3))
+    np.testing.assert_allclose(
+        xq, 0.5 * R_WGS84 * (lam * (2.0 / np.pi) + lam), rtol=1e-14)
+    assert np.abs(yq).max() == 0.0
+
+    # (c) prime meridian: x = 0, y = R/2 (phi + sin phi * alpha/sin alpha)
+    # with alpha = phi exactly (cos lam2 = 1), so y = R phi
+    phi = np.radians(np.array([20.0, 55.0, 80.0]))
+    x0, y0 = geographic_to_wintri(np.zeros(3), np.degrees(phi))
+    assert np.abs(x0).max() == 0.0
+    np.testing.assert_allclose(y0, R_WGS84 * phi, rtol=1e-14)
+
+    # (d) round-trips
+    rng = np.random.default_rng(41)
+    lon = rng.uniform(-179.0, 179.0, 500)
+    lat = rng.uniform(-89.5, 89.5, 500)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "ESRI:54042")
+    lo2, la2 = transform_xy(x, y, "ESRI:54042", "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=1e-8)
+    np.testing.assert_allclose(la2, lat, atol=1e-8)
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326",
+                          "+proj=wintri +lon_0=0 +x_0=0 +y_0=0")
+    np.testing.assert_allclose(x2, x, atol=1e-9)
+    np.testing.assert_allclose(y2, y, atol=1e-9)
