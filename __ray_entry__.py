@@ -1764,6 +1764,33 @@ def q_transform_wintri(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_hammer(sf_dir: str):
+    """Hammer ESRI:54044 (proj/world.py, Snyder 24-4..24-6; the 2:1
+    ellipse frame and the spherical equal-area Jacobian pinned in
+    tests/test_proj.py): closed form in BOTH directions (Snyder
+    24-7..24-9 inverse via the auxiliary z), so the oracle is a pure
+    expression with no iteration CTEs and roundtrip_ok is exact. All
+    points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "ESRI:54044")
+        lon2, lat2 = transform_xy(x, yv, "ESRI:54044", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -5885,6 +5912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_eqearth": q_transform_eqearth,
         "transform_robin": q_transform_robin,
         "transform_wintri": q_transform_wintri,
+        "transform_hammer": q_transform_hammer,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7569,6 +7597,32 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM w3
+"""
+
+    # transform_hammer: Snyder's Hammer — closed form, one CTE
+    sql["transform_hammer"] = f"""
+WITH {_PTS_CTE.strip()},
+h0 AS (
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(y) AS phi
+  FROM pts
+),
+h1 AS (
+  SELECT point_id, phi, cos(phi) AS cosphi, 0.5e0 * lam AS lam2
+  FROM h0
+),
+h2 AS (
+  SELECT h1.*, sqrt(1.0e0 + cosphi * cos(lam2)) AS d FROM h1
+)
+SELECT point_id,
+       CAST(floor(6378137.0e0 * 2.0e0 * sqrt(2.0e0) * cosphi * sin(lam2)
+                  / d * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(6378137.0e0 * sqrt(2.0e0) * sin(phi) / d * 100.0e0)
+            AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM h2
 """
 
     # transform_moll: Snyder's Mollweide with the fixed ten-iteration

@@ -37,6 +37,7 @@ class CRSInfo:
     #          | 'eqearth' (EPSG:8857, authalic-latitude Equal Earth)
     #          | 'robin' (ESRI:54030 Robinson, published-table Hermite)
     #          | 'wintri' (ESRI:54042 Winkel Tripel, phi_1 = acos(2/pi))
+    #          | 'hammer' (ESRI:54044 Hammer equal-area, closed form)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -150,6 +151,10 @@ class CRSInfo:
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=wintri +lon_0={self.lon_0}"
                     f" +x_0={self.x_0} +y_0={self.y_0}{r}")
+        if self.kind == "hammer":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return (f"+proj=hammer +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
         if self.kind == "ortho":
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=ortho +lat_0={self.lat_0} +lon_0={self.lon_0}"
@@ -219,6 +224,8 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo("robin")
     if re.match(r"^ESRI:54042$", s, re.I):  # World Winkel Tripel
         return CRSInfo("wintri")
+    if re.match(r"^ESRI:54044$", s, re.I):  # World Hammer Aitoff
+        return CRSInfo("hammer")
     m = _EPSG_RE.match(s)
     if m:
         code = int(m.group(1))
@@ -432,6 +439,12 @@ def parse_crs(crs: str) -> CRSInfo:
         rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
         return CRSInfo(
             "wintri", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
+        )
+    if "+proj=hammer" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo(
+            "hammer", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
             radius=float(rm.group(1)) if rm else None,
         )
     if "+proj=eck4" in low:

@@ -371,3 +371,44 @@ def wintri_to_geographic(
         phi = np.clip(phi - dp, -np.pi / 2.0, np.pi / 2.0)
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
+
+
+# Hammer (Snyder PP 1395 eqs. 24-4..24-6 "Hammer (Elliptical)"; PROJ
+# ``+proj=hammer`` with the default W=0.5, ESRI:54044 "World Hammer
+# Aitoff") — the equal-area modification of Aitoff. Closed form BOTH
+# ways (Snyder 24-7..24-9 for the inverse via the auxiliary z), so the
+# oracle mirrors the forward with no iteration CTEs at all:
+#     d = sqrt(1 + cos phi cos(lambda/2))
+#     x = R 2 sqrt(2) cos phi sin(lambda/2) / d
+#     y = R sqrt(2) sin phi / d
+def geographic_to_hammer(
+    lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    cosphi = np.cos(phi)
+    lam2 = 0.5 * lam
+    d = np.sqrt(1.0 + cosphi * np.cos(lam2))
+    x = radius * 2.0 * np.sqrt(2.0) * cosphi * np.sin(lam2) / d + x_0
+    y = radius * np.sqrt(2.0) * np.sin(phi) / d + y_0
+    return x, y
+
+
+def hammer_to_geographic(
+    x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Snyder 24-7..24-9: z = sqrt(1 - (x/4R)^2 - (y/2R)^2), then
+    lambda = 2 atan2(z x, 2(2 z^2 - 1) * 2R)... expressed with the
+    intermediate z exactly as published."""
+    xs = (np.asarray(x, dtype=np.float64) - x_0) / radius
+    ys = (np.asarray(y, dtype=np.float64) - y_0) / radius
+    z2 = 1.0 - (xs / 4.0) ** 2 - (ys / 2.0) ** 2
+    z = np.sqrt(np.maximum(z2, 0.0))
+    with np.errstate(invalid="ignore"):
+        lam = 2.0 * np.arctan2(z * xs, 2.0 * (2.0 * z * z - 1.0))
+        phi = np.arcsin(np.clip(z * ys, -1.0, 1.0))
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)

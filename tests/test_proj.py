@@ -1082,3 +1082,54 @@ def test_winkel_tripel_closed_form_pins_and_roundtrip():
                           "+proj=wintri +lon_0=0 +x_0=0 +y_0=0")
     np.testing.assert_allclose(x2, x, atol=1e-9)
     np.testing.assert_allclose(y2, y, atol=1e-9)
+
+
+def test_hammer_snyder_pins_and_roundtrip():
+    """ESRI:54044 (Hammer): pins (a) the closed-form frame — the full
+    map is a 2:1 ellipse with semi-axes 2 sqrt(2) R and sqrt(2) R; (b)
+    the spherical equal-area Jacobian R^2 cos phi; (c) the closed-form
+    Snyder 24-7..24-9 inverse (no iteration) round-trips; (d) ESRI and
+    proj4 routes agree."""
+    from rasters_ray.proj.world import (
+        R_WGS84,
+        geographic_to_hammer,
+        hammer_to_geographic,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    # (a) ellipse frame: x(180-, 0) -> 2 sqrt(2) R, y(0, 90) = sqrt(2) R
+    xe, _ = geographic_to_hammer(np.array([180.0 - 1e-7]), np.array([0.0]))
+    assert abs(xe[0] - 2.0 * np.sqrt(2.0) * R_WGS84) < 10.0
+    _, yp = geographic_to_hammer(np.array([0.0]), np.array([90.0]))
+    assert abs(yp[0] - np.sqrt(2.0) * R_WGS84) < 1e-6
+    # boundary points satisfy the ellipse equation (x/4R)^2+(y/2R)^2=1/2... 
+    # Snyder frame: (x/(2 sqrt2 R))^2 + (y/(sqrt2 R))^2 = 1 on lam=+-pi
+    lats = np.linspace(-89.0, 89.0, 50)
+    xb, yb = geographic_to_hammer(np.full(50, 179.999999), lats)
+    r2 = (xb / (2.0 * np.sqrt(2.0) * R_WGS84)) ** 2 \
+        + (yb / (np.sqrt(2.0) * R_WGS84)) ** 2
+    np.testing.assert_allclose(r2, 1.0, atol=1e-6)
+
+    # (b) equal-area Jacobian
+    h = 1e-5
+    lon = np.array([40.0]); lat = np.array([-33.0])
+    xE, yE = geographic_to_hammer(lon + h, lat)
+    xW, yW = geographic_to_hammer(lon - h, lat)
+    xN, yN = geographic_to_hammer(lon, lat + h)
+    xS, yS = geographic_to_hammer(lon, lat - h)
+    dh = np.radians(2 * h)
+    J = (xE - xW) / dh * (yN - yS) / dh - (xN - xS) / dh * (yE - yW) / dh
+    assert abs(J[0] / (R_WGS84 ** 2 * np.cos(np.radians(lat[0]))) - 1.0) < 1e-6
+
+    # (c)+(d) round-trips, both spellings
+    rng = np.random.default_rng(43)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-89.9, 89.9, 500)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "ESRI:54044")
+    lo2, la2 = transform_xy(x, y, "ESRI:54044", "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=1e-8)
+    np.testing.assert_allclose(la2, lat, atol=1e-8)
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326",
+                          "+proj=hammer +lon_0=0 +x_0=0 +y_0=0")
+    np.testing.assert_allclose(x2, x, atol=1e-9)
+    np.testing.assert_allclose(y2, y, atol=1e-9)
