@@ -227,3 +227,43 @@ def test_warp_to_swiss_and_mollweide_targets():
     run((-10.0, 50.0, 0.5, -0.5), "EPSG:4326", "ESRI:54009")
     run((5.0, 50.0, 0.2, -0.2), "EPSG:4326",
         "+proj=ortho +lat_0=46 +lon_0=8")
+
+
+def test_warp_to_world_projection_targets():
+    """Round-5 close: the new world CRSs (Equal Earth, Robinson, Winkel
+    Tripel, Hammer) integrate with the warp machinery end-to-end — warp
+    a geographic image onto each target and back-check pixels through
+    the inverse transform."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.proj import transform_xy
+    from rasters_ray.stages.resample import warp_array
+
+    rows, cols = 30, 50
+    src_grid = GridSpec(crs="EPSG:4326", x_origin=-10.0, y_origin=55.0,
+                        cell_width=0.5, cell_height=-0.5, rows=rows, cols=cols)
+    px = (np.arange(rows * cols) % 199).astype(np.float32).reshape(rows, cols)
+    for crs in ("EPSG:8857", "ESRI:54030", "ESRI:54042", "ESRI:54044"):
+        xs, ys = transform_xy(
+            np.array([-10.0, 15.0, -10.0, 15.0]),
+            np.array([55.0, 55.0, 40.0, 40.0]), "EPSG:4326", crs)
+        tgt = GridSpec(crs=crs, x_origin=float(xs.min()),
+                       y_origin=float(ys.max()),
+                       cell_width=float((xs.max() - xs.min()) / 40),
+                       cell_height=-float((ys.max() - ys.min()) / 40),
+                       rows=40, cols=40)
+        warped = warp_array(px, src_grid, tgt, "nearest")
+        assert warped.shape == (40, 40)
+        assert np.isfinite(warped).mean() > 0.5, crs
+        checked = 0
+        for r, c in ((20, 20), (8, 30), (30, 8), (35, 35)):
+            cx = tgt.x_origin + (c + 0.5) * tgt.cell_width
+            cy = tgt.y_origin + (r + 0.5) * tgt.cell_height
+            lon, lat = transform_xy([cx], [cy], crs, "EPSG:4326")
+            sr = int(np.floor((lat[0] - src_grid.y_origin)
+                              / src_grid.cell_height))
+            sc = int(np.floor((lon[0] - src_grid.x_origin)
+                              / src_grid.cell_width))
+            if 0 <= sr < rows and 0 <= sc < cols and np.isfinite(warped[r, c]):
+                assert warped[r, c] == px[sr, sc], crs
+                checked += 1
+        assert checked >= 2, crs
