@@ -1791,6 +1791,35 @@ def q_transform_hammer(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_natearth(sf_dir: str):
+    """Natural Earth (+proj=natearth; proj/world.py, the Savric-Jenny-
+    Patterson 2011 published polynomial pair, pinned to the 1.923:1
+    aspect and the 0.8707 equator scale in tests/test_proj.py):
+    forward is a pure polynomial, so the oracle is one expression; the
+    engine-side inverse (fixed twelve guarded Newton iterations on the
+    strictly monotone y polynomial) feeds only roundtrip_ok. All
+    points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        crs = "+proj=natearth +lon_0=0 +x_0=0 +y_0=0"
+        x, yv = transform_xy(lon, lat, "EPSG:4326", crs)
+        lon2, lat2 = transform_xy(x, yv, crs, "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -5913,6 +5942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_robin": q_transform_robin,
         "transform_wintri": q_transform_wintri,
         "transform_hammer": q_transform_hammer,
+        "transform_natearth": q_transform_natearth,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7597,6 +7627,33 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM w3
+"""
+
+    # transform_natearth: the published 2011 Natural Earth polynomial
+    # pair, engine association mirrored term by term. Nothing golden.
+    sql["transform_natearth"] = f"""
+WITH {_PTS_CTE.strip()},
+n0 AS (
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(y) AS phi
+  FROM pts
+),
+n1 AS (SELECT n0.*, phi * phi AS p2 FROM n0),
+n2 AS (SELECT n1.*, p2 * p2 AS p4 FROM n1)
+SELECT point_id,
+       CAST(floor(6378137.0e0 * lam
+                  * (0.8707e0 - 0.131979e0 * p2 - 0.013791e0 * p4
+                     + p4 * p4 * (0.003971e0 * p2 - 0.001529e0 * p4))
+                  * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(6378137.0e0
+                  * (phi * (1.007226e0 + 0.015085e0 * p2
+                            + p4 * (-0.044475e0 * p2 + 0.028874e0 * p4
+                                    - 0.005916e0 * p4 * p2)))
+                  * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM n2
 """
 
     # transform_hammer: Snyder's Hammer — closed form, one CTE

@@ -38,6 +38,7 @@ class CRSInfo:
     #          | 'robin' (ESRI:54030 Robinson, published-table Hermite)
     #          | 'wintri' (ESRI:54042 Winkel Tripel, phi_1 = acos(2/pi))
     #          | 'hammer' (ESRI:54044 Hammer equal-area, closed form)
+    #          | 'natearth' (+proj=natearth, published 2011 polynomial)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -154,6 +155,10 @@ class CRSInfo:
         if self.kind == "hammer":
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=hammer +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
+        if self.kind == "natearth":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return (f"+proj=natearth +lon_0={self.lon_0}"
                     f" +x_0={self.x_0} +y_0={self.y_0}{r}")
         if self.kind == "ortho":
             r = f" +R={self.radius}" if self.radius is not None else ""
@@ -445,6 +450,12 @@ def parse_crs(crs: str) -> CRSInfo:
         rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
         return CRSInfo(
             "hammer", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
+        )
+    if "+proj=natearth" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo(
+            "natearth", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
             radius=float(rm.group(1)) if rm else None,
         )
     if "+proj=eck4" in low:

@@ -142,6 +142,11 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             x, y, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )
+    if info.kind == "natearth":
+        return _world.natearth_to_geographic(
+            x, y, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
     if info.kind == "ortho":
         return _world.ortho_to_geographic(
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
@@ -248,6 +253,11 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         )
     if info.kind == "hammer":
         return _world.geographic_to_hammer(
+            lon, lat, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "natearth":
+        return _world.geographic_to_natearth(
             lon, lat, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )

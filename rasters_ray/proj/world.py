@@ -412,3 +412,69 @@ def hammer_to_geographic(
         phi = np.arcsin(np.clip(z * ys, -1.0, 1.0))
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
+
+
+# Natural Earth (Savric, Jenny, Patterson, Petrovic & Hurni 2011, "A
+# polynomial equation for the Natural Earth projection", Cartography
+# and GIS 38(4); PROJ ``+proj=natearth``) — the compromise
+# pseudocylindrical designed for small-scale world maps. DEFINED by the
+# published polynomial pair (the paper's eq. 2-3):
+#     x = R lam (0.8707 - 0.131979 p2 - 0.013791 p4
+#                + 0.003971 p10 - 0.001529 p12)
+#     y = R phi (1.007226 + 0.015085 p2 - 0.044475 p6
+#                + 0.028874 p8 - 0.005916 p10)
+# with p2 = phi^2 etc. The y polynomial is strictly increasing on
+# [-pi/2, pi/2], so the inverse recovers phi with a FIXED twelve
+# guarded Newton iterations (one CTE each, were an oracle ever to need
+# the inverse), then lam from the x polynomial.
+def _natearth_xpoly(p2: np.ndarray) -> np.ndarray:
+    p4 = p2 * p2
+    return (0.8707 - 0.131979 * p2 - 0.013791 * p4
+            + p4 * p4 * (0.003971 * p2 - 0.001529 * p4))
+
+
+def _natearth_ypoly(phi: np.ndarray) -> np.ndarray:
+    p2 = phi * phi
+    p4 = p2 * p2
+    return phi * (1.007226 + 0.015085 * p2
+                  + p4 * (-0.044475 * p2 + 0.028874 * p4
+                          - 0.005916 * p4 * p2))
+
+
+def _natearth_dypoly(phi: np.ndarray) -> np.ndarray:
+    p2 = phi * phi
+    p4 = p2 * p2
+    return (1.007226 + 3.0 * 0.015085 * p2
+            + p4 * (-7.0 * 0.044475 * p2 + 9.0 * 0.028874 * p4
+                    - 11.0 * 0.005916 * p4 * p2))
+
+
+def geographic_to_natearth(
+    lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    x = radius * lam * _natearth_xpoly(phi * phi) + x_0
+    y = radius * _natearth_ypoly(phi) + y_0
+    return x, y
+
+
+def natearth_to_geographic(
+    x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = np.asarray(x, dtype=np.float64) - x_0
+    yr = (np.asarray(y, dtype=np.float64) - y_0) / radius
+    phi = yr.copy()  # |ypoly| <= ~1.48 on the map; linear seed converges
+    for _ in range(12):
+        den = _natearth_dypoly(phi)
+        num = _natearth_ypoly(phi) - yr
+        step = np.where(np.abs(den) > 1e-12,
+                        num / np.where(np.abs(den) > 1e-12, den, 1.0), 0.0)
+        phi = phi - step
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = xs / (radius * _natearth_xpoly(phi * phi))
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)

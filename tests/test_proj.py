@@ -1133,3 +1133,44 @@ def test_hammer_snyder_pins_and_roundtrip():
                           "+proj=hammer +lon_0=0 +x_0=0 +y_0=0")
     np.testing.assert_allclose(x2, x, atol=1e-9)
     np.testing.assert_allclose(y2, y, atol=1e-9)
+
+
+def test_natural_earth_published_pins_and_roundtrip():
+    """+proj=natearth (Savric et al. 2011 polynomial): pins (a) the
+    published 1.923:1 aspect ratio of the graticule frame; (b) the
+    equator scale 0.8707 R per radian; (c) strict monotonicity of the
+    y polynomial (the inverse Newton's precondition); (d) round-trips
+    through the dispatcher."""
+    from rasters_ray.proj.world import (
+        R_WGS84,
+        _natearth_dypoly,
+        _natearth_ypoly,
+        geographic_to_natearth,
+        natearth_to_geographic,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    # (a) aspect: width 2 pi 0.8707 R over height 2 ypoly(pi/2) R
+    h = _natearth_ypoly(np.array([np.pi / 2.0]))[0]
+    assert abs((0.8707 * np.pi) / h - 1.9230898340062679) < 1e-12
+    assert abs((0.8707 * np.pi) / h - 1.923) < 1e-3  # the published ratio
+
+    # (b) equator scale
+    xq, yq = geographic_to_natearth(np.array([45.0]), np.array([0.0]))
+    assert abs(xq[0] - 0.8707 * R_WGS84 * np.radians(45.0)) < 1e-6
+    assert yq[0] == 0.0
+
+    # (c) dy/dphi > 0 everywhere on the map
+    p = np.linspace(-np.pi / 2.0, np.pi / 2.0, 10001)
+    assert _natearth_dypoly(p).min() > 0.12
+
+    # (d) round-trips
+    rng = np.random.default_rng(47)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-89.9, 89.9, 500)
+    x, y = transform_xy(lon, lat, "EPSG:4326",
+                        "+proj=natearth +lon_0=0 +x_0=0 +y_0=0")
+    lo2, la2 = transform_xy(x, y, "+proj=natearth +lon_0=0 +x_0=0 +y_0=0",
+                            "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=1e-9)
+    np.testing.assert_allclose(la2, lat, atol=1e-9)
