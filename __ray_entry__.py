@@ -1820,6 +1820,34 @@ def q_transform_natearth(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_vandg(sf_dir: str):
+    """Van der Grinten I ESRI:54029 (proj/world.py, Snyder 33-1..33-13;
+    world-in-circle, boundary, straight-equator and circular-arc
+    invariants pinned in tests/test_proj.py): closed form in BOTH
+    directions (the inverse via Snyder's exact cubic), so the oracle is
+    pure expressions and roundtrip_ok is exact. The points sit strictly
+    off the equator and central meridian, so the oracle mirrors the
+    main branch only. All points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "ESRI:54029")
+        lon2, lat2 = transform_xy(x, yv, "ESRI:54029", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-6) & (np.abs(lat2 - lat) < 1e-6)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -5943,6 +5971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_wintri": q_transform_wintri,
         "transform_hammer": q_transform_hammer,
         "transform_natearth": q_transform_natearth,
+        "transform_vandg": q_transform_vandg,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7627,6 +7656,55 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM w3
+"""
+
+    # transform_vandg: Snyder's Van der Grinten I — the A/theta/G/P/Q
+    # chain mirrored term by term (main branch; the points sit off the
+    # equator and central meridian). sign(lam) = -1 and sign(phi) = +1
+    # for every point in the window. Nothing golden.
+    sql["transform_vandg"] = f"""
+WITH {_PTS_CTE.strip()},
+v0 AS (
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(y) AS phi
+  FROM pts
+),
+v1 AS (
+  SELECT point_id, lam, phi,
+         asin(least(abs(2.0e0 * phi / pi()), 1.0e0)) AS theta,
+         0.5e0 * abs(pi() / lam - lam / pi()) AS biga
+  FROM v0
+),
+v2 AS (
+  SELECT v1.*,
+         cos(theta) / (sin(theta) + cos(theta) - 1.0e0) AS g
+  FROM v1
+),
+v3 AS (
+  SELECT v2.*, g * (2.0e0 / sin(theta) - 1.0e0) AS p,
+         biga * biga AS a2
+  FROM v2
+),
+v4 AS (
+  SELECT v3.*, p * p AS p2, a2 + g AS q FROM v3
+),
+v5 AS (
+  SELECT v4.*, p2 + a2 AS p2a2, g - p2 AS gp FROM v4
+)
+SELECT point_id,
+       CAST(floor(-(pi() * 6378137.0e0
+                    * (biga * gp
+                       + sqrt(greatest(a2 * (gp * gp)
+                                       - p2a2 * (g * g - p2), 0.0e0)))
+                    / p2a2) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(pi() * 6378137.0e0
+                  * (p * q - biga * sqrt(greatest((a2 + 1.0e0) * p2a2
+                                                  - q * q, 0.0e0)))
+                  / p2a2 * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM v5
 """
 
     # transform_natearth: the published 2011 Natural Earth polynomial

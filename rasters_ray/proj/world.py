@@ -478,3 +478,80 @@ def natearth_to_geographic(
         lam = xs / (radius * _natearth_xpoly(phi * phi))
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
+
+
+# Van der Grinten (Snyder PP 1395 eqs. 33-1..33-13; PROJ
+# ``+proj=vandg``, ESRI:54029 "World Van der Grinten I"; National
+# Geographic's world map 1922-1988) — the whole world in one circle of
+# radius pi R. Closed form BOTH ways: the forward through the
+# auxiliary A, theta, G, P, Q chain; the inverse through Snyder's
+# exact cubic resolution (33-9..33-13) — no iteration anywhere.
+def geographic_to_vandg(
+    lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = np.arcsin(np.clip(np.abs(2.0 * phi / np.pi), 0.0, 1.0))
+    sin_t = np.sin(theta)
+    cos_t = np.cos(theta)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bigA = 0.5 * np.abs(np.pi / lam - lam / np.pi)
+        G = cos_t / (sin_t + cos_t - 1.0)
+        P = G * (2.0 / sin_t - 1.0)
+        A2 = bigA * bigA
+        P2 = P * P
+        Q = A2 + G
+        P2A2 = P2 + A2
+        GP = G - P2  # explicit squares keep the SQL oracle bit-faithful
+        x_main = (np.pi * radius
+                  * (bigA * GP
+                     + np.sqrt(np.maximum(
+                         A2 * (GP * GP) - P2A2 * (G * G - P2), 0.0)))
+                  / P2A2) * np.sign(lam)
+        y_main = (np.pi * radius
+                  * (P * Q - bigA * np.sqrt(np.maximum(
+                      (A2 + 1.0) * P2A2 - Q * Q, 0.0)))
+                  / P2A2) * np.sign(phi)
+    # special cases: the equator is the straight line y = 0, x = R lam;
+    # the central meridian (and the poles) collapse to x = 0,
+    # y = +- pi R tan(theta/2)
+    on_eq = phi == 0.0
+    on_cm = (lam == 0.0) | (np.abs(phi) >= np.pi / 2.0 - 1e-15)
+    x = np.where(on_eq, radius * lam, np.where(on_cm, 0.0, x_main))
+    y = np.where(on_eq, 0.0,
+                 np.where(on_cm,
+                          np.pi * radius * np.tan(0.5 * theta)
+                          * np.sign(phi), y_main))
+    return x + x_0, y + y_0
+
+
+def vandg_to_geographic(
+    x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    X = (np.asarray(x, dtype=np.float64) - x_0) / (np.pi * radius)
+    Y = (np.asarray(y, dtype=np.float64) - y_0) / (np.pi * radius)
+    X2 = X * X
+    Y2 = Y * Y
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c1 = -np.abs(Y) * (1.0 + X2 + Y2)
+        c2 = c1 - 2.0 * Y2 + X2
+        c3 = -2.0 * c1 + 1.0 + 2.0 * Y2 + (X2 + Y2) ** 2
+        d = (Y2 / c3
+             + (2.0 * c2 ** 3 / c3 ** 3 - 9.0 * c1 * c2 / (c3 * c3)) / 27.0)
+        a1 = (c1 - c2 * c2 / (3.0 * c3)) / c3
+        m1 = 2.0 * np.sqrt(np.maximum(-a1 / 3.0, 0.0))
+        cosarg = np.clip(3.0 * d / (a1 * m1), -1.0, 1.0)
+        t1 = np.arccos(cosarg) / 3.0
+        phi = (np.pi * (-m1 * np.cos(t1 + np.pi / 3.0) - c2 / (3.0 * c3))
+               * np.copysign(1.0, Y))
+        lam = (np.pi * (X2 + Y2 - 1.0
+                        + np.sqrt(np.maximum(
+                            1.0 + 2.0 * (X2 - Y2) + (X2 + Y2) ** 2, 0.0)))
+               / (2.0 * X))
+    phi = np.where(Y == 0.0, 0.0, phi)
+    lam = np.where(X == 0.0, 0.0, lam)
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)

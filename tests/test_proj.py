@@ -1174,3 +1174,64 @@ def test_natural_earth_published_pins_and_roundtrip():
                             "EPSG:4326")
     np.testing.assert_allclose(lo2, lon, atol=1e-9)
     np.testing.assert_allclose(la2, lat, atol=1e-9)
+
+
+def test_van_der_grinten_invariants_and_roundtrip():
+    """ESRI:54029 (Van der Grinten I): pins the projection's DEFINING
+    geometric invariants — (a) the whole world maps inside the circle
+    of radius pi R, with lam = +-180 on the boundary circle for every
+    latitude; (b) the equator is straight with true scale x = R lam;
+    (c) the central meridian is straight with y = pi R tan(theta/2),
+    theta = asin(2 phi / pi); (d) parallels are circular arcs centered
+    on the y-axis that meet the boundary circle; (e) the closed-form
+    Snyder cubic inverse round-trips (no iteration in either
+    direction)."""
+    from rasters_ray.proj.world import (
+        R_WGS84,
+        geographic_to_vandg,
+        vandg_to_geographic,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    # (a) boundary circle
+    for ph in (10.0, 35.0, 60.0, 85.0):
+        xb, yb = geographic_to_vandg(
+            np.array([179.9999999]), np.array([ph]), radius=1.0)
+        assert abs(np.hypot(xb, yb)[0] / np.pi - 1.0) < 1e-8
+
+    # (b) equator
+    xq, yq = geographic_to_vandg(np.array([77.0]), np.array([0.0]))
+    assert abs(xq[0] - R_WGS84 * np.radians(77.0)) < 1e-6
+    assert yq[0] == 0.0
+
+    # (c) central meridian
+    x0, y0 = geographic_to_vandg(np.array([0.0]), np.array([50.0]), radius=1.0)
+    th = np.arcsin(2.0 * np.radians(50.0) / np.pi)
+    assert x0[0] == 0.0
+    assert abs(y0[0] - np.pi * np.tan(th / 2.0)) < 1e-14
+
+    # (d) the phi=50 parallel is a circular arc centered on x=0 that
+    # passes through the lam=+-180 boundary points
+    lams = np.array([20.0, 60.0, 110.0])
+    xp, yp = geographic_to_vandg(lams, np.full(3, 50.0), radius=1.0)
+    k = ((xp[0] ** 2 + yp[0] ** 2) - (xp[1] ** 2 + yp[1] ** 2)) \
+        / (2.0 * (yp[0] - yp[1]))
+    r2 = xp[0] ** 2 + (yp[0] - k) ** 2
+    assert abs(xp[2] ** 2 + (yp[2] - k) ** 2 - r2) < 1e-10
+    xb, yb = geographic_to_vandg(
+        np.array([179.9999999]), np.array([50.0]), radius=1.0)
+    assert abs(xb[0] ** 2 + (yb[0] - k) ** 2 - r2) < 1e-6
+
+    # (e) round-trips via ESRI and proj4 routes
+    rng = np.random.default_rng(53)
+    lon = rng.uniform(-179.0, 179.0, 500)
+    lat = rng.uniform(-85.0, 85.0, 500)
+    lat[np.abs(lat) < 0.5] = 0.7  # keep clear of the equator's branch
+    x, y = transform_xy(lon, lat, "EPSG:4326", "ESRI:54029")
+    lo2, la2 = transform_xy(x, y, "ESRI:54029", "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=1e-6)
+    np.testing.assert_allclose(la2, lat, atol=1e-6)
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326",
+                          "+proj=vandg +lon_0=0 +x_0=0 +y_0=0")
+    np.testing.assert_allclose(x2, x, atol=1e-9)
+    np.testing.assert_allclose(y2, y, atol=1e-9)
