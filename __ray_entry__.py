@@ -1848,6 +1848,33 @@ def q_transform_vandg(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_aitoff(sf_dir: str):
+    """Aitoff ESRI:54043 (proj/world.py; the 2:1 ellipse frame and the
+    exact Winkel-mean relation pinned in tests/test_proj.py): the
+    Aitoff term of the Winkel Tripel machinery, closed-form forward —
+    the oracle mirrors the alpha/sin(alpha) chain with a CASE guard;
+    the engine-side 2-D Newton inverse feeds only roundtrip_ok. All
+    points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "ESRI:54043")
+        lon2, lat2 = transform_xy(x, yv, "ESRI:54043", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -5972,6 +5999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_hammer": q_transform_hammer,
         "transform_natearth": q_transform_natearth,
         "transform_vandg": q_transform_vandg,
+        "transform_aitoff": q_transform_aitoff,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7656,6 +7684,41 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM w3
+"""
+
+    # transform_aitoff: the Aitoff term of the Winkel machinery —
+    # x doubled, no equirectangular average. Nothing golden.
+    sql["transform_aitoff"] = f"""
+WITH {_PTS_CTE.strip()},
+a0 AS (
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(y) AS phi
+  FROM pts
+),
+a1 AS (
+  SELECT point_id, phi, 0.5e0 * lam AS lam2, cos(phi) AS cosphi
+  FROM a0
+),
+a2 AS (
+  SELECT a1.*,
+         acos(least(greatest(cosphi * cos(lam2), -1.0e0), 1.0e0)) AS alpha
+  FROM a1
+),
+a3 AS (
+  SELECT a2.*,
+         CASE WHEN alpha > 1.0e-12 THEN alpha / sin(alpha)
+              ELSE 1.0e0 END AS sincinv
+  FROM a2
+)
+SELECT point_id,
+       CAST(floor(2.0e0 * 6378137.0e0 * cosphi * sin(lam2) * sincinv
+                  * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(6378137.0e0 * sin(phi) * sincinv * 100.0e0)
+            AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM a3
 """
 
     # transform_vandg: Snyder's Van der Grinten I — the A/theta/G/P/Q

@@ -40,6 +40,7 @@ class CRSInfo:
     #          | 'hammer' (ESRI:54044 Hammer equal-area, closed form)
     #          | 'natearth' (+proj=natearth, published 2011 polynomial)
     #          | 'vandg' (ESRI:54029 Van der Grinten I, closed form)
+    #          | 'aitoff' (ESRI:54043 Aitoff, the Winkel Aitoff term)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -165,6 +166,10 @@ class CRSInfo:
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=vandg +lon_0={self.lon_0}"
                     f" +x_0={self.x_0} +y_0={self.y_0}{r}")
+        if self.kind == "aitoff":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return (f"+proj=aitoff +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
         if self.kind == "ortho":
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=ortho +lat_0={self.lat_0} +lon_0={self.lon_0}"
@@ -238,6 +243,8 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo("hammer")
     if re.match(r"^ESRI:54029$", s, re.I):  # World Van der Grinten I
         return CRSInfo("vandg")
+    if re.match(r"^ESRI:54043$", s, re.I):  # World Aitoff
+        return CRSInfo("aitoff")
     m = _EPSG_RE.match(s)
     if m:
         code = int(m.group(1))
@@ -469,6 +476,12 @@ def parse_crs(crs: str) -> CRSInfo:
         rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
         return CRSInfo(
             "vandg", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
+        )
+    if "+proj=aitoff" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo(
+            "aitoff", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
             radius=float(rm.group(1)) if rm else None,
         )
     if "+proj=eck4" in low:

@@ -152,6 +152,11 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             x, y, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )
+    if info.kind == "aitoff":
+        return _world.aitoff_to_geographic(
+            x, y, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
     if info.kind == "ortho":
         return _world.ortho_to_geographic(
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
@@ -268,6 +273,11 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         )
     if info.kind == "vandg":
         return _world.geographic_to_vandg(
+            lon, lat, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "aitoff":
+        return _world.geographic_to_aitoff(
             lon, lat, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )

@@ -555,3 +555,68 @@ def vandg_to_geographic(
     lam = np.where(X == 0.0, 0.0, lam)
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
+
+
+# Aitoff (Snyder "Flattening the Earth"; PROJ ``+proj=aitoff``,
+# ESRI:54043 "World Aitoff") — the azimuthal-equidistant-derived
+# compromise projection Winkel Tripel averages with equirectangular:
+#     alpha = acos(cos phi cos(lambda/2))
+#     x = 2 R cos phi sin(lambda/2) * alpha/sin(alpha)
+#     y = R sin phi * alpha/sin(alpha)
+# (exactly the Aitoff term of _wintri_fwd_rad, doubled in x). The
+# inverse reuses the same fixed twelve 2-D Newton iterations.
+def _aitoff_fwd_rad(lam: np.ndarray, phi: np.ndarray, radius: float):
+    lam2 = 0.5 * lam
+    cosphi = np.cos(phi)
+    ca = np.clip(cosphi * np.cos(lam2), -1.0, 1.0)
+    alpha = np.arccos(ca)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sinc_inv = np.where(alpha > 1e-12, alpha / np.sin(alpha), 1.0)
+    x = 2.0 * radius * cosphi * np.sin(lam2) * sinc_inv
+    y = radius * np.sin(phi) * sinc_inv
+    return x, y
+
+
+def geographic_to_aitoff(
+    lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    x, y = _aitoff_fwd_rad(lam, phi, radius)
+    return x + x_0, y + y_0
+
+
+def aitoff_to_geographic(
+    x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = np.asarray(x, dtype=np.float64) - x_0
+    ys = np.asarray(y, dtype=np.float64) - y_0
+    phi = np.clip(ys / radius, -np.pi / 2.0, np.pi / 2.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = np.clip(xs / (radius * np.maximum(np.cos(phi), 1e-12)),
+                      -np.pi, np.pi)
+    h = 1e-7
+    for _ in range(12):
+        fx, fy = _aitoff_fwd_rad(lam, phi, radius)
+        rx = fx - xs
+        ry = fy - ys
+        dxl = (_aitoff_fwd_rad(lam + h, phi, radius)[0]
+               - _aitoff_fwd_rad(lam - h, phi, radius)[0]) / (2.0 * h)
+        dxp = (_aitoff_fwd_rad(lam, phi + h, radius)[0]
+               - _aitoff_fwd_rad(lam, phi - h, radius)[0]) / (2.0 * h)
+        dyl = (_aitoff_fwd_rad(lam + h, phi, radius)[1]
+               - _aitoff_fwd_rad(lam - h, phi, radius)[1]) / (2.0 * h)
+        dyp = (_aitoff_fwd_rad(lam, phi + h, radius)[1]
+               - _aitoff_fwd_rad(lam, phi - h, radius)[1]) / (2.0 * h)
+        det = dxl * dyp - dxp * dyl
+        ok = np.abs(det) > 1e-12
+        det_safe = np.where(ok, det, 1.0)
+        dl = np.where(ok, (rx * dyp - ry * dxp) / det_safe, 0.0)
+        dp = np.where(ok, (ry * dxl - rx * dyl) / det_safe, 0.0)
+        lam = np.clip(lam - dl, -np.pi, np.pi)
+        phi = np.clip(phi - dp, -np.pi / 2.0, np.pi / 2.0)
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)

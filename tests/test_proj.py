@@ -1235,3 +1235,53 @@ def test_van_der_grinten_invariants_and_roundtrip():
                           "+proj=vandg +lon_0=0 +x_0=0 +y_0=0")
     np.testing.assert_allclose(x2, x, atol=1e-9)
     np.testing.assert_allclose(y2, y, atol=1e-9)
+
+
+def test_aitoff_pins_and_roundtrip():
+    """ESRI:54043 (Aitoff): pins (a) the 2:1 ellipse frame (semi-axes
+    pi R and pi R / 2) with the lam = +-180 meridian ON the ellipse;
+    (b) the Winkel relation — Winkel Tripel is exactly the mean of
+    equirectangular at acos(2/pi) and Aitoff; (c) round-trips via both
+    spellings (fixed twelve 2-D Newton iterations)."""
+    from rasters_ray.proj.world import (
+        R_WGS84,
+        geographic_to_aitoff,
+        geographic_to_wintri,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    # (a) frame
+    xe, _ = geographic_to_aitoff(np.array([180.0 - 1e-7]), np.array([0.0]))
+    assert abs(xe[0] - np.pi * R_WGS84) < 10.0
+    _, yp = geographic_to_aitoff(np.array([0.0]), np.array([90.0]))
+    assert abs(yp[0] - np.pi * R_WGS84 / 2.0) < 1e-6
+    lats = np.linspace(-85.0, 85.0, 30)
+    xb, yb = geographic_to_aitoff(np.full(30, 179.999999), lats)
+    r2 = (xb / (np.pi * R_WGS84)) ** 2 + (yb / (np.pi * R_WGS84 / 2.0)) ** 2
+    np.testing.assert_allclose(r2, 1.0, atol=1e-6)
+
+    # (b) Winkel = (equirect(acos(2/pi)) + Aitoff) / 2
+    rng = np.random.default_rng(59)
+    lon = rng.uniform(-170.0, 170.0, 200)
+    lat = rng.uniform(-85.0, 85.0, 200)
+    xa, ya = geographic_to_aitoff(lon, lat)
+    xw, yw = geographic_to_wintri(lon, lat)
+    lam = np.radians(lon)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(lat)
+    xeq = R_WGS84 * lam * (2.0 / np.pi)
+    yeq = R_WGS84 * phi
+    np.testing.assert_allclose(xw, 0.5 * (xeq + xa), rtol=1e-12)
+    np.testing.assert_allclose(yw, 0.5 * (yeq + ya), rtol=1e-12)
+
+    # (c) round-trips
+    lon = rng.uniform(-179.0, 179.0, 500)
+    lat = rng.uniform(-89.5, 89.5, 500)
+    x, y = transform_xy(lon, lat, "EPSG:4326", "ESRI:54043")
+    lo2, la2 = transform_xy(x, y, "ESRI:54043", "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=1e-8)
+    np.testing.assert_allclose(la2, lat, atol=1e-8)
+    x2, y2 = transform_xy(lon, lat, "EPSG:4326",
+                          "+proj=aitoff +lon_0=0 +x_0=0 +y_0=0")
+    np.testing.assert_allclose(x2, x, atol=1e-9)
+    np.testing.assert_allclose(y2, y, atol=1e-9)
