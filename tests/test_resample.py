@@ -242,7 +242,9 @@ def test_warp_to_world_projection_targets():
     src_grid = GridSpec(crs="EPSG:4326", x_origin=-10.0, y_origin=55.0,
                         cell_width=0.5, cell_height=-0.5, rows=rows, cols=cols)
     px = (np.arange(rows * cols) % 199).astype(np.float32).reshape(rows, cols)
-    for crs in ("EPSG:8857", "ESRI:54030", "ESRI:54042", "ESRI:54044"):
+    for crs in ("EPSG:8857", "ESRI:54030", "ESRI:54042", "ESRI:54044",
+                "ESRI:54029", "ESRI:54043",
+                "+proj=natearth +lon_0=0 +x_0=0 +y_0=0"):
         xs, ys = transform_xy(
             np.array([-10.0, 15.0, -10.0, 15.0]),
             np.array([55.0, 55.0, 40.0, 40.0]), "EPSG:4326", crs)
