@@ -1285,3 +1285,53 @@ def test_aitoff_pins_and_roundtrip():
                           "+proj=aitoff +lon_0=0 +x_0=0 +y_0=0")
     np.testing.assert_allclose(x2, x, atol=1e-9)
     np.testing.assert_allclose(y2, y, atol=1e-9)
+
+
+def test_all_crs_kinds_canonical_roundtrip_and_dispatch():
+    """Sweep EVERY implemented CRS spelling: parse -> canonical ->
+    re-parse must be a fixed point, and the dispatcher must round-trip
+    a small inland point through each CRS (catches a canonical string
+    that parses to different parameters, and a kind wired into only
+    one direction of the dispatcher)."""
+    from rasters_ray.proj.crs import parse_crs
+    from rasters_ray.proj.transform import transform_xy
+
+    spellings = [
+        "EPSG:4326", "EPSG:32633", "EPSG:32733", "EPSG:3857", "EPSG:3395",
+        "EPSG:3413", "EPSG:3031", "EPSG:3976", "EPSG:5070", "EPSG:3035",
+        "EPSG:6931", "EPSG:6932", "EPSG:6933", "EPSG:2193", "EPSG:4087",
+        "EPSG:27700", "EPSG:29902", "EPSG:2056", "EPSG:21781",
+        "EPSG:5514", "EPSG:8857", "ESRI:54009", "ESRI:54012",
+        "ESRI:54029", "ESRI:54030", "ESRI:54035", "ESRI:54042",
+        "ESRI:54043", "ESRI:54044",
+        "+proj=sinu +lon_0=0 +x_0=0 +y_0=0",
+        "+proj=aeqd +lat_0=45 +lon_0=10",
+        "+proj=natearth +lon_0=0 +x_0=0 +y_0=0",
+        "+proj=goode +lon_0=0",
+    ]
+    # per-CRS valid test points (lon, lat) inside each grid's domain
+    domain = {
+        "EPSG:32633": (15.0, 48.0), "EPSG:32733": (15.0, -30.0),
+        "EPSG:3413": (-45.0, 75.0), "EPSG:3031": (0.0, -75.0),
+        "EPSG:3976": (0.0, -72.0), "EPSG:5070": (-96.0, 38.0),
+        "EPSG:3035": (10.0, 52.0), "EPSG:6931": (0.0, 75.0),
+        "EPSG:6932": (0.0, -75.0), "EPSG:2193": (173.0, -41.0),
+        "EPSG:27700": (-2.0, 53.0), "EPSG:29902": (-8.0, 53.5),
+        "EPSG:2056": (7.44, 46.95), "EPSG:21781": (7.44, 46.95),
+        "EPSG:5514": (15.0, 49.8),
+        "+proj=aeqd +lat_0=45 +lon_0=10": (11.0, 46.0),
+    }
+    for crs in spellings:
+        info = parse_crs(crs)
+        assert parse_crs(info.canonical()) == info, crs
+        lon0, lat0 = domain.get(crs, (15.0, 40.0))
+        lon = np.array([lon0]); lat = np.array([lat0])
+        x, y = transform_xy(lon, lat, "EPSG:4326", crs)
+        lo, la = transform_xy(x, y, crs, "EPSG:4326")
+        assert np.isfinite(x).all() and np.isfinite(y).all(), crs
+        np.testing.assert_allclose(lo, lon, atol=5e-6, err_msg=crs)
+        np.testing.assert_allclose(la, lat, atol=5e-6, err_msg=crs)
+        # and through the CANONICAL spelling (must hit the same kind)
+        x2, y2 = transform_xy(lon, lat, "EPSG:4326", info.canonical())
+        np.testing.assert_allclose(x2, x, atol=1e-6, err_msg=crs)
+        np.testing.assert_allclose(y2, y, atol=1e-6, err_msg=crs)
