@@ -1875,6 +1875,57 @@ def q_transform_aitoff(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_mill(sf_dir: str):
+    """Miller cylindrical ESRI:54003 (proj/world.py, Snyder 18-1..18-4;
+    the finite-pole constant pinned in tests/test_proj.py): closed form
+    both ways — the oracle is one expression, roundtrip_ok exact. All
+    points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "ESRI:54003")
+        lon2, lat2 = transform_xy(x, yv, "ESRI:54003", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_transform_eck6(sf_dir: str):
+    """Eckert VI ESRI:54010 (proj/world.py; pole-line, height and
+    equal-area Jacobian pinned in tests/test_proj.py): theta solves
+    ``theta + sin theta = (1 + pi/2) sin phi`` by a FIXED twelve
+    guarded Newton iterations the oracle replays one CTE per
+    iteration. All points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "ESRI:54010")
+        lon2, lat2 = transform_xy(x, yv, "ESRI:54010", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -6000,6 +6051,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_natearth": q_transform_natearth,
         "transform_vandg": q_transform_vandg,
         "transform_aitoff": q_transform_aitoff,
+        "transform_mill": q_transform_mill,
+        "transform_eck6": q_transform_eck6,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7684,6 +7737,52 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM w3
+"""
+
+    # transform_mill: Snyder's Miller cylindrical — one expression
+    sql["transform_mill"] = f"""
+WITH {_PTS_CTE.strip()}
+SELECT point_id,
+       CAST(floor(6378137.0e0
+                  * (fmod(radians(x) + 3.141592653589793e0,
+                          6.283185307179586e0) - 3.141592653589793e0)
+                  * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(6378137.0e0
+                  * ln(tan(pi() / 4.0e0 + 0.4e0 * radians(y))) * 1.25e0
+                  * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM pts
+"""
+
+    # transform_eck6: Eckert VI — the twelve guarded Newton iterations
+    # replayed one CTE per iteration (same discipline as eck4)
+    _e6_iter = (
+        "CASE WHEN abs(1.0e0 + cos({t})) > 1.0e-12"
+        " THEN {t} - ({t} + sin({t}) - rhs) / (1.0e0 + cos({t}))"
+        " ELSE {t} END"
+    )
+    sql["transform_eck6"] = f"""
+WITH {_PTS_CTE.strip()},
+s0 AS (
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(y) AS t0,
+         (1.0e0 + pi() / 2.0e0) * sin(radians(y)) AS rhs
+  FROM pts
+),
+{"".join(
+    f"s{i+1} AS (SELECT point_id, lam, rhs, "
+    + _e6_iter.format(t=f"t{i}") + f" AS t{i+1} FROM s{i}),"
+    for i in range(12)
+).rstrip(",")}
+SELECT point_id,
+       CAST(floor(6378137.0e0 * lam * (1.0e0 + cos(t12))
+                  / sqrt(2.0e0 + pi()) * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(2.0e0 * 6378137.0e0 * t12 / sqrt(2.0e0 + pi())
+                  * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM s12
 """
 
     # transform_aitoff: the Aitoff term of the Winkel machinery —

@@ -41,6 +41,8 @@ class CRSInfo:
     #          | 'natearth' (+proj=natearth, published 2011 polynomial)
     #          | 'vandg' (ESRI:54029 Van der Grinten I, closed form)
     #          | 'aitoff' (ESRI:54043 Aitoff, the Winkel Aitoff term)
+    #          | 'mill' (ESRI:54003 Miller cylindrical, closed form)
+    #          | 'eck6' (ESRI:54010 Eckert VI, fixed-Newton theta)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -170,6 +172,14 @@ class CRSInfo:
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=aitoff +lon_0={self.lon_0}"
                     f" +x_0={self.x_0} +y_0={self.y_0}{r}")
+        if self.kind == "mill":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return (f"+proj=mill +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
+        if self.kind == "eck6":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return (f"+proj=eck6 +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
         if self.kind == "ortho":
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=ortho +lat_0={self.lat_0} +lon_0={self.lon_0}"
@@ -245,6 +255,10 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo("vandg")
     if re.match(r"^ESRI:54043$", s, re.I):  # World Aitoff
         return CRSInfo("aitoff")
+    if re.match(r"^ESRI:54003$", s, re.I):  # World Miller Cylindrical
+        return CRSInfo("mill")
+    if re.match(r"^ESRI:54010$", s, re.I):  # World Eckert VI
+        return CRSInfo("eck6")
     m = _EPSG_RE.match(s)
     if m:
         code = int(m.group(1))
@@ -482,6 +496,18 @@ def parse_crs(crs: str) -> CRSInfo:
         rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
         return CRSInfo(
             "aitoff", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
+        )
+    if "+proj=mill" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo(
+            "mill", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
+        )
+    if "+proj=eck6" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo(
+            "eck6", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
             radius=float(rm.group(1)) if rm else None,
         )
     if "+proj=eck4" in low:

@@ -157,6 +157,16 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             x, y, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )
+    if info.kind == "mill":
+        return _world.mill_to_geographic(
+            x, y, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "eck6":
+        return _world.eck6_to_geographic(
+            x, y, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
     if info.kind == "ortho":
         return _world.ortho_to_geographic(
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
@@ -278,6 +288,16 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         )
     if info.kind == "aitoff":
         return _world.geographic_to_aitoff(
+            lon, lat, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "mill":
+        return _world.geographic_to_mill(
+            lon, lat, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "eck6":
+        return _world.geographic_to_eck6(
             lon, lat, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )

@@ -620,3 +620,80 @@ def aitoff_to_geographic(
         phi = np.clip(phi - dp, -np.pi / 2.0, np.pi / 2.0)
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
+
+
+# Miller cylindrical (Snyder PP 1395 eqs. 18-1..18-4; PROJ
+# ``+proj=mill``, ESRI:54003 "World Miller Cylindrical") — the
+# compromise cylindrical: Mercator's y compressed by 4/5 after scaling
+# latitude by 4/5. Closed form both ways:
+#     x = R lam        y = R ln(tan(pi/4 + 0.4 phi)) * 1.25
+def geographic_to_mill(
+    lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    x = radius * lam + x_0
+    y = radius * np.log(np.tan(np.pi / 4.0 + 0.4 * phi)) * 1.25 + y_0
+    return x, y
+
+
+def mill_to_geographic(
+    x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = np.asarray(x, dtype=np.float64) - x_0
+    ys = np.asarray(y, dtype=np.float64) - y_0
+    phi = 2.5 * (np.arctan(np.exp(0.8 * ys / radius)) - np.pi / 4.0)
+    lam = xs / radius
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
+
+
+# Eckert VI (Snyder PP 1395 "Eckert VI"; PROJ ``+proj=eck6``,
+# ESRI:54010 "World Eckert VI") — the sinusoidal-pole-line equal-area
+# companion of Eckert IV. ``theta + sin theta = (1 + pi/2) sin phi``;
+# FIXED twelve guarded Newton iterations (same discipline as eck4):
+#     x = R lam (1 + cos theta) / sqrt(2 + pi)
+#     y = 2 R theta / sqrt(2 + pi)
+def _eck6_theta(phi: np.ndarray) -> np.ndarray:
+    rhs = (1.0 + np.pi / 2.0) * np.sin(phi)
+    theta = phi.copy()
+    for _ in range(12):
+        den = 1.0 + np.cos(theta)
+        f = theta + np.sin(theta) - rhs
+        step = np.where(np.abs(den) > 1e-12,
+                        f / np.where(np.abs(den) > 1e-12, den, 1.0), 0.0)
+        theta = theta - step
+    return theta
+
+
+def geographic_to_eck6(
+    lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = _eck6_theta(phi)
+    sp = np.sqrt(2.0 + np.pi)
+    x = radius * lam * (1.0 + np.cos(theta)) / sp + x_0
+    y = 2.0 * radius * theta / sp + y_0
+    return x, y
+
+
+def eck6_to_geographic(
+    x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = np.asarray(x, dtype=np.float64) - x_0
+    ys = np.asarray(y, dtype=np.float64) - y_0
+    sp = np.sqrt(2.0 + np.pi)
+    theta = ys * sp / (2.0 * radius)
+    phi = np.arcsin(np.clip((theta + np.sin(theta)) / (1.0 + np.pi / 2.0),
+                            -1.0, 1.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = xs * sp / (radius * (1.0 + np.cos(theta)))
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)

@@ -1335,3 +1335,60 @@ def test_all_crs_kinds_canonical_roundtrip_and_dispatch():
         x2, y2 = transform_xy(lon, lat, "EPSG:4326", info.canonical())
         np.testing.assert_allclose(x2, x, atol=1e-6, err_msg=crs)
         np.testing.assert_allclose(y2, y, atol=1e-6, err_msg=crs)
+
+
+def test_miller_and_eckert6_pins_and_roundtrip():
+    """ESRI:54003 (Miller cylindrical) and ESRI:54010 (Eckert VI).
+    Miller pins: finite pole at y = 1.25 R ln tan(pi/4 + 0.4 pi/2)
+    (Snyder 18-x) and the closed-form inverse. Eckert VI pins: the
+    pole line exactly half the equator, y_pole = pi R / sqrt(2+pi),
+    theta residual < 1e-12 after the fixed twelve Newton iterations,
+    and the equal-area Jacobian R^2 cos phi."""
+    from rasters_ray.proj.world import (
+        R_WGS84,
+        _eck6_theta,
+        geographic_to_eck6,
+        geographic_to_mill,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    # Miller: pole height + x true on every parallel
+    _, ym = geographic_to_mill(np.array([0.0]), np.array([90.0]))
+    assert abs(ym[0] / R_WGS84
+               - 1.25 * np.log(np.tan(np.pi / 4.0 + 0.4 * np.pi / 2.0))) \
+        < 1e-12
+    xm, _ = geographic_to_mill(np.array([120.0]), np.array([77.0]))
+    assert abs(xm[0] - R_WGS84 * np.radians(120.0)) < 1e-6
+
+    # Eckert VI: pole line, height, residual, Jacobian
+    xe, _ = geographic_to_eck6(np.array([90.0]), np.array([0.0]))
+    xp, yp = geographic_to_eck6(np.array([90.0]), np.array([90.0]))
+    assert abs(xp[0] / xe[0] - 0.5) < 1e-12
+    assert abs(yp[0] - np.pi * R_WGS84 / np.sqrt(2.0 + np.pi)) < 1e-6
+    p = np.radians(np.linspace(-90.0, 90.0, 10001))
+    t = _eck6_theta(p)
+    assert np.abs(t + np.sin(t) - (1.0 + np.pi / 2.0) * np.sin(p)).max() \
+        < 1e-12
+    h = 1e-5
+    lon = np.array([25.0]); lat = np.array([47.0])
+    xE, yE = geographic_to_eck6(lon + h, lat)
+    xW, yW = geographic_to_eck6(lon - h, lat)
+    xN, yN = geographic_to_eck6(lon, lat + h)
+    xS, yS = geographic_to_eck6(lon, lat - h)
+    dh = np.radians(2 * h)
+    J = (xE - xW) / dh * (yN - yS) / dh - (xN - xS) / dh * (yE - yW) / dh
+    assert abs(J[0] / (R_WGS84 ** 2 * np.cos(np.radians(47.0))) - 1.0) < 1e-6
+
+    # round-trips, both spellings each
+    rng = np.random.default_rng(61)
+    lon = rng.uniform(-179.9, 179.9, 500)
+    lat = rng.uniform(-89.9, 89.9, 500)
+    for esri, p4 in (("ESRI:54003", "+proj=mill +lon_0=0 +x_0=0 +y_0=0"),
+                     ("ESRI:54010", "+proj=eck6 +lon_0=0 +x_0=0 +y_0=0")):
+        x, y = transform_xy(lon, lat, "EPSG:4326", esri)
+        lo2, la2 = transform_xy(x, y, esri, "EPSG:4326")
+        np.testing.assert_allclose(lo2, lon, atol=1e-9)
+        np.testing.assert_allclose(la2, lat, atol=1e-8)
+        x2, y2 = transform_xy(lon, lat, "EPSG:4326", p4)
+        np.testing.assert_allclose(x2, x, atol=1e-9)
+        np.testing.assert_allclose(y2, y, atol=1e-9)
