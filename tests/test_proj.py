@@ -1303,7 +1303,7 @@ def test_all_crs_kinds_canonical_roundtrip_and_dispatch():
         "EPSG:27700", "EPSG:29902", "EPSG:2056", "EPSG:21781",
         "EPSG:5514", "EPSG:8857", "ESRI:54009", "ESRI:54012",
         "ESRI:54029", "ESRI:54030", "ESRI:54035", "ESRI:54042",
-        "ESRI:54043", "ESRI:54044",
+        "ESRI:54043", "ESRI:54044", "ESRI:54003", "ESRI:54010",
         "+proj=sinu +lon_0=0 +x_0=0 +y_0=0",
         "+proj=aeqd +lat_0=45 +lon_0=10",
         "+proj=natearth +lon_0=0 +x_0=0 +y_0=0",
