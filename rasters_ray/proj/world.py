@@ -15,7 +15,13 @@ satellite-view azimuthal: the sphere seen from infinity, centered on
 (lat_0, lon_0). Points on the far hemisphere (cos c < 0) map to NaN,
 mirroring the engine's NaN-for-invalid convention.
 
-The reference reaches both through pyproj (rasters/CRS.py:10-34).
+This module also carries the rest of the spherical world-map family
+added over rounds 4-5: Eckert IV/VI, Goode homolosine (uninterrupted
+and interrupted), Winkel Tripel, Aitoff, Hammer, Van der Grinten I,
+Miller cylindrical and Natural Earth — each documented at its own
+definition below. The reference reaches every one of these CRSs
+through pyproj (rasters/CRS.py:10-34); this module replaces that
+dependency for the engine's transform dispatcher.
 """
 
 from __future__ import annotations
