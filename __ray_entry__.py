@@ -1926,6 +1926,34 @@ def q_transform_eck6(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_gnom(sf_dir: str):
+    """Gnomonic +proj=gnom lat_0=40 lon_0=-95 (proj/world.py, Snyder
+    22-3..22-9; the great-circle-to-straight-line property, the tan(c)
+    radial scale and the far-hemisphere NaN pinned in
+    tests/test_proj.py): closed form both ways, every point within
+    ~35 degrees of the center so cos c > 0.8 throughout. Floor-cm
+    int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        crs = "+proj=gnom +lat_0=40 +lon_0=-95"
+        x, yv = transform_xy(lon, lat, "EPSG:4326", crs)
+        lon2, lat2 = transform_xy(x, yv, crs, "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -6053,6 +6081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_aitoff": q_transform_aitoff,
         "transform_mill": q_transform_mill,
         "transform_eck6": q_transform_eck6,
+        "transform_gnom": q_transform_gnom,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7737,6 +7766,37 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM w3
+"""
+
+    # transform_gnom: Snyder's gnomonic, center (40N, 95W) — closed
+    # form, the 1/cos(c) guard mirrored as a CASE. Nothing golden.
+    sql["transform_gnom"] = f"""
+WITH {_PTS_CTE.strip()},
+g0 AS (
+  SELECT point_id,
+         fmod(radians(x - -95.0e0) + 3.141592653589793e0,
+              6.283185307179586e0) - 3.141592653589793e0 AS lam,
+         radians(y) AS phi, radians(40.0e0) AS p0
+  FROM pts
+),
+g1 AS (
+  SELECT g0.*,
+         sin(p0) * sin(phi) + cos(p0) * cos(phi) * cos(lam) AS cosc
+  FROM g0
+),
+g2 AS (
+  SELECT g1.*,
+         CASE WHEN cosc > 1.0e-12 THEN 1.0e0 / cosc ELSE NULL END AS kp
+  FROM g1
+)
+SELECT point_id,
+       CAST(floor(6378137.0e0 * kp * cos(phi) * sin(lam) * 100.0e0)
+            AS BIGINT) AS x_cm,
+       CAST(floor(6378137.0e0 * kp
+                  * (cos(p0) * sin(phi) - sin(p0) * cos(phi) * cos(lam))
+                  * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM g2
 """
 
     # transform_mill: Snyder's Miller cylindrical — one expression

@@ -43,6 +43,7 @@ class CRSInfo:
     #          | 'aitoff' (ESRI:54043 Aitoff, the Winkel Aitoff term)
     #          | 'mill' (ESRI:54003 Miller cylindrical, closed form)
     #          | 'eck6' (ESRI:54010 Eckert VI, fixed-Newton theta)
+    #          | 'gnom' (+proj=gnom, great-circle azimuthal)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -183,6 +184,10 @@ class CRSInfo:
         if self.kind == "ortho":
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=ortho +lat_0={self.lat_0} +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
+        if self.kind == "gnom":
+            r = f" +R={self.radius}" if self.radius is not None else ""
+            return (f"+proj=gnom +lat_0={self.lat_0} +lon_0={self.lon_0}"
                     f" +x_0={self.x_0} +y_0={self.y_0}{r}")
         if self.kind == "somerc":
             if (self.ellps, self.towgs84) == _CH1903 and self.x_0 == 600000.0:
@@ -525,6 +530,13 @@ def parse_crs(crs: str) -> CRSInfo:
         rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
         return CRSInfo(
             "ortho", lat_0=_p("lat_0"), lon_0=_p("lon_0"),
+            x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
+        )
+    if "+proj=gnom" in low:
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
+        return CRSInfo(
+            "gnom", lat_0=_p("lat_0"), lon_0=_p("lon_0"),
             x_0=_p("x_0"), y_0=_p("y_0"),
             radius=float(rm.group(1)) if rm else None,
         )

@@ -172,6 +172,11 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )
+    if info.kind == "gnom":
+        return _world.gnom_to_geographic(
+            x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
     if info.kind == "goode":
         return _world.goode_to_geographic(
             x, y, info.lon_0, radius=info.radius or _world.R_WGS84
@@ -308,6 +313,11 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         )
     if info.kind == "ortho":
         return _world.geographic_to_ortho(
+            lon, lat, info.lat_0, info.lon_0, info.x_0, info.y_0,
+            radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "gnom":
+        return _world.geographic_to_gnom(
             lon, lat, info.lat_0, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )

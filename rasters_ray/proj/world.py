@@ -703,3 +703,51 @@ def eck6_to_geographic(
         lam = xs * sp / (radius * (1.0 + np.cos(theta)))
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
+
+
+# Gnomonic (Snyder PP 1395 eqs. 22-3..22-9; PROJ ``+proj=gnom``) — the
+# only projection mapping every great circle to a straight line, the
+# standard choice for great-circle routing and spherical-triangle tile
+# work. Closed form both ways; the far hemisphere (cos c <= 0) has no
+# image and maps to NaN, mirroring the orthographic convention above.
+def geographic_to_gnom(
+    lon: np.ndarray, lat: np.ndarray, lat_0: float, lon_0: float,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    phi0 = np.radians(lat_0)
+    cosc = (np.sin(phi0) * np.sin(phi)
+            + np.cos(phi0) * np.cos(phi) * np.cos(lam))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        kp = np.where(cosc > 1e-12, 1.0 / np.where(cosc > 1e-12, cosc, 1.0),
+                      np.nan)
+    x = radius * kp * np.cos(phi) * np.sin(lam) + x_0
+    y = radius * kp * (np.cos(phi0) * np.sin(phi)
+                       - np.sin(phi0) * np.cos(phi) * np.cos(lam)) + y_0
+    return x, y
+
+
+def gnom_to_geographic(
+    x: np.ndarray, y: np.ndarray, lat_0: float, lon_0: float,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float = R_WGS84,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = (np.asarray(x, dtype=np.float64) - x_0) / radius
+    ys = (np.asarray(y, dtype=np.float64) - y_0) / radius
+    rho = np.hypot(xs, ys)
+    c = np.arctan(rho)
+    sinc, cosc = np.sin(c), np.cos(c)
+    phi0 = np.radians(lat_0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        phi = np.arcsin(np.clip(
+            cosc * np.sin(phi0)
+            + np.where(rho > 0.0, ys * sinc * np.cos(phi0)
+                       / np.where(rho > 0.0, rho, 1.0), 0.0), -1.0, 1.0))
+        lam = np.arctan2(xs * sinc,
+                         rho * np.cos(phi0) * cosc
+                         - ys * np.sin(phi0) * sinc)
+    phi = np.where(rho == 0.0, phi0, phi)
+    lam = np.where(rho == 0.0, 0.0, lam)
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)

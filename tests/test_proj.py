@@ -1392,3 +1392,61 @@ def test_miller_and_eckert6_pins_and_roundtrip():
         x2, y2 = transform_xy(lon, lat, "EPSG:4326", p4)
         np.testing.assert_allclose(x2, x, atol=1e-9)
         np.testing.assert_allclose(y2, y, atol=1e-9)
+
+
+def test_gnomonic_great_circles_and_roundtrip():
+    """+proj=gnom (Snyder 22-3..22-9): pins (a) the projection's
+    DEFINING property — every great circle maps to a straight line
+    (checked for a meridian, the equator and an oblique great circle
+    through the center); (b) the radial scale tan(c) from the center;
+    (c) the far hemisphere maps to NaN; (d) closed-form round-trips."""
+    from rasters_ray.proj.world import (
+        R_WGS84,
+        geographic_to_gnom,
+        gnom_to_geographic,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    def collinear(xs, ys):
+        v1 = np.array([xs[1] - xs[0], ys[1] - ys[0]])
+        v2 = np.array([xs[2] - xs[0], ys[2] - ys[0]])
+        cross = v1[0] * v2[1] - v1[1] * v2[0]
+        scale = np.hypot(*v1) * np.hypot(*v2)
+        return abs(cross) / scale < 1e-9
+
+    # (a) meridian lon=30 (center (0,0)); equator; oblique great circle
+    x, y = geographic_to_gnom(np.full(3, 30.0),
+                              np.array([-40.0, 10.0, 55.0]), 0.0, 0.0)
+    assert collinear(x, y)
+    x, y = geographic_to_gnom(np.array([-60.0, 10.0, 70.0]),
+                              np.zeros(3), 0.0, 0.0)
+    assert collinear(x, y)
+    # oblique: the great circle through (0,0) with azimuth 40deg —
+    # parameterize on the sphere and take three points
+    az = np.radians(40.0)
+    t = np.array([-0.8, 0.3, 1.0])
+    lat_gc = np.degrees(np.arcsin(np.sin(t) * np.cos(az)))
+    lon_gc = np.degrees(np.arctan2(np.sin(t) * np.sin(az), np.cos(t)))
+    x, y = geographic_to_gnom(lon_gc, lat_gc, 0.0, 0.0)
+    assert collinear(x, y)
+
+    # (b) radial scale: distance from center = R tan(c)
+    x, y = geographic_to_gnom(np.array([0.0]), np.array([37.0]), 0.0, 0.0)
+    assert abs(np.hypot(x, y)[0] - R_WGS84 * np.tan(np.radians(37.0))) < 1e-6
+
+    # (c) far hemisphere NaN
+    xf, yf = geographic_to_gnom(np.array([140.0]), np.array([0.0]), 0.0, 0.0)
+    assert np.isnan(xf[0]) and np.isnan(yf[0])
+
+    # (d) round-trips through the dispatcher
+    rng = np.random.default_rng(67)
+    lon = rng.uniform(-100.0, 20.0, 500)
+    lat = rng.uniform(-25.0, 85.0, 500)
+    crs = "+proj=gnom +lat_0=40 +lon_0=-40"
+    x, y = transform_xy(lon, lat, "EPSG:4326", crs)
+    lo2, la2 = transform_xy(x, y, crs, "EPSG:4326")
+    keep = np.isfinite(x)
+    np.testing.assert_allclose(lo2[keep], lon[keep], atol=1e-8)
+    np.testing.assert_allclose(la2[keep], lat[keep], atol=1e-8)
+    from rasters_ray.proj.crs import parse_crs
+    assert parse_crs(parse_crs(crs).canonical()) == parse_crs(crs)
