@@ -1954,6 +1954,36 @@ def q_transform_gnom(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_poly(sf_dir: str):
+    """American Polyconic +proj=poly lat_0=38 lon_0=-95
+    (proj/polyconic.py, Snyder 18-12..18-15 ellipsoidal; central
+    meridian, per-parallel true scale and the equator row pinned in
+    tests/test_proj.py): the forward is closed form — meridian arc
+    (Snyder 3-21 series), N, cot phi, the cone angle E — so the oracle
+    re-derives the series coefficients and every step from the e2
+    literal; the engine-side 2-D Newton inverse feeds only
+    roundtrip_ok. All points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        crs = "+proj=poly +lat_0=38 +lon_0=-95"
+        x, yv = transform_xy(lon, lat, "EPSG:4326", crs)
+        lon2, lat2 = transform_xy(x, yv, crs, "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -6082,6 +6112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_mill": q_transform_mill,
         "transform_eck6": q_transform_eck6,
         "transform_gnom": q_transform_gnom,
+        "transform_poly": q_transform_poly,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7766,6 +7797,55 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM w3
+"""
+
+    # transform_poly: American Polyconic, center (38N, 95W) — the
+    # Snyder 3-21 meridian-arc series coefficients re-derived from the
+    # f-derived e2, then N, cot phi and the cone angle E per point.
+    # Nothing golden.
+    _pm = ("(c0 * {p} - c2 * sin(2.0e0 * {p}) + c4 * sin(4.0e0 * {p})"
+           " - c6 * sin(6.0e0 * {p}))")
+    sql["transform_poly"] = f"""
+WITH {_PTS_CTE.strip()},
+pc AS (
+  SELECT (1.0e0/298.257223563e0) * (2.0e0 - 1.0e0/298.257223563e0) AS e2
+),
+pk AS (
+  SELECT e2,
+         1.0e0 - e2/4.0e0 - 3.0e0*e2*e2/64.0e0
+           - 5.0e0*pow(e2, 3.0e0)/256.0e0 AS c0,
+         3.0e0*e2/8.0e0 + 3.0e0*e2*e2/32.0e0
+           + 45.0e0*pow(e2, 3.0e0)/1024.0e0 AS c2,
+         15.0e0*e2*e2/256.0e0 + 45.0e0*pow(e2, 3.0e0)/1024.0e0 AS c4,
+         35.0e0*pow(e2, 3.0e0)/3072.0e0 AS c6
+  FROM pc
+),
+pm AS (SELECT pk.*, {_pm.format(p='radians(38.0e0)')} AS m0 FROM pk),
+p0 AS (
+  SELECT point_id,
+         fmod(radians(x - -95.0e0) + 3.141592653589793e0,
+              6.283185307179586e0) - 3.141592653589793e0 AS lam,
+         radians(y) AS phi, pm.*
+  FROM pts, pm
+),
+p1 AS (
+  SELECT p0.*, sin(phi) AS sphi FROM p0
+),
+p2 AS (
+  SELECT p1.*,
+         1.0e0 / sqrt(1.0e0 - e2 * sphi * sphi) AS nn,
+         cos(phi) / sphi AS cot,
+         lam * sphi AS ee
+  FROM p1
+)
+SELECT point_id,
+       CAST(floor(nn * cot * sin(ee) * 6378137.0e0 * 100.0e0)
+            AS BIGINT) AS x_cm,
+       CAST(floor(({_pm.format(p='phi')} - m0
+                   + nn * cot * (1.0e0 - cos(ee))) * 6378137.0e0
+                  * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM p2
 """
 
     # transform_gnom: Snyder's gnomonic, center (40N, 95W) — closed

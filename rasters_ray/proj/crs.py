@@ -44,6 +44,7 @@ class CRSInfo:
     #          | 'mill' (ESRI:54003 Miller cylindrical, closed form)
     #          | 'eck6' (ESRI:54010 Eckert VI, fixed-Newton theta)
     #          | 'gnom' (+proj=gnom, great-circle azimuthal)
+    #          | 'poly' (ESRI:54021 American Polyconic, ellipsoidal)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -189,6 +190,9 @@ class CRSInfo:
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=gnom +lat_0={self.lat_0} +lon_0={self.lon_0}"
                     f" +x_0={self.x_0} +y_0={self.y_0}{r}")
+        if self.kind == "poly":
+            return (f"+proj=poly +lat_0={self.lat_0} +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}")
         if self.kind == "somerc":
             if (self.ellps, self.towgs84) == _CH1903 and self.x_0 == 600000.0:
                 return "EPSG:21781"
@@ -264,6 +268,8 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo("mill")
     if re.match(r"^ESRI:54010$", s, re.I):  # World Eckert VI
         return CRSInfo("eck6")
+    if re.match(r"^ESRI:54021$", s, re.I):  # World Polyconic
+        return CRSInfo("poly")
     m = _EPSG_RE.match(s)
     if m:
         code = int(m.group(1))
@@ -539,6 +545,11 @@ def parse_crs(crs: str) -> CRSInfo:
             "gnom", lat_0=_p("lat_0"), lon_0=_p("lon_0"),
             x_0=_p("x_0"), y_0=_p("y_0"),
             radius=float(rm.group(1)) if rm else None,
+        )
+    if "+proj=poly" in low:
+        return CRSInfo(
+            "poly", lat_0=_p("lat_0"), lon_0=_p("lon_0"),
+            x_0=_p("x_0"), y_0=_p("y_0"),
         )
     if "+proj=somerc" in low:
         k0 = _p("k_0", _p("k", 1.0))

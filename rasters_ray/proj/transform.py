@@ -28,6 +28,7 @@ from . import sinusoidal as _sinu
 from . import stereographic as _st
 from . import swiss as _sw
 from . import krovak as _krovak
+from . import polyconic as _poly
 from . import robinson as _rob
 from . import world as _world
 from . import transverse_mercator as _tm
@@ -177,6 +178,10 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
         )
+    if info.kind == "poly":
+        return _poly.poly_to_geographic(
+            x, y, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
     if info.kind == "goode":
         return _world.goode_to_geographic(
             x, y, info.lon_0, radius=info.radius or _world.R_WGS84
@@ -320,6 +325,10 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         return _world.geographic_to_gnom(
             lon, lat, info.lat_0, info.lon_0, info.x_0, info.y_0,
             radius=info.radius or _world.R_WGS84
+        )
+    if info.kind == "poly":
+        return _poly.geographic_to_poly(
+            lon, lat, info.lat_0, info.lon_0, info.x_0, info.y_0
         )
     if info.kind == "goode":
         return _world.geographic_to_goode(

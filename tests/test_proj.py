@@ -1450,3 +1450,62 @@ def test_gnomonic_great_circles_and_roundtrip():
     np.testing.assert_allclose(la2[keep], lat[keep], atol=1e-8)
     from rasters_ray.proj.crs import parse_crs
     assert parse_crs(parse_crs(crs).canonical()) == parse_crs(crs)
+
+
+def test_polyconic_invariants_and_roundtrip():
+    """ESRI:54021 / +proj=poly (American Polyconic, Snyder 18-12..15):
+    pins (a) the central meridian true to the meridian arc (Snyder
+    3-21 series, exact by construction); (b) every parallel true to
+    scale — the projected arc length along phi=40 equals
+    N cos(phi) dlambda to 1e-9 relative; (c) the equator row
+    x = a lambda; (d) round-trips via both spellings (fixed twelve 2-D
+    Newton iterations)."""
+    from rasters_ray.proj.polyconic import (
+        A_WGS84,
+        E2,
+        _merid,
+        geographic_to_poly,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    # (a) central meridian
+    phis = np.array([10.0, 35.0, 60.0])
+    x, y = geographic_to_poly(np.zeros(3), phis, lat_0=30.0)
+    want = (_merid(np.radians(phis))
+            - _merid(np.radians(np.float64(30.0)))) * A_WGS84
+    assert np.abs(x).max() == 0.0
+    np.testing.assert_allclose(y, want, rtol=0, atol=1e-9)
+
+    # (b) parallel true to scale
+    lons = np.linspace(0.0, 10.0, 2001)
+    x, y = geographic_to_poly(lons, np.full_like(lons, 40.0), lat_0=30.0)
+    arclen = np.sum(np.hypot(np.diff(x), np.diff(y)))
+    sphi = np.sin(np.radians(40.0))
+    want = (A_WGS84 / np.sqrt(1.0 - E2 * sphi * sphi)
+            * np.cos(np.radians(40.0)) * np.radians(10.0))
+    assert abs(arclen / want - 1.0) < 1e-9
+
+    # (c) equator row
+    xq, yq = geographic_to_poly(np.array([57.0]), np.array([0.0]), lat_0=0.0)
+    assert abs(xq[0] - A_WGS84 * np.radians(57.0)) < 1e-6
+    assert yq[0] == 0.0
+
+    # (d) round-trips
+    rng = np.random.default_rng(71)
+    lon = rng.uniform(-125.0, -65.0, 500)
+    lat = rng.uniform(5.0, 70.0, 500)
+    crs = "+proj=poly +lat_0=38 +lon_0=-95"
+    x, y = transform_xy(lon, lat, "EPSG:4326", crs)
+    lo2, la2 = transform_xy(x, y, crs, "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=1e-8)
+    np.testing.assert_allclose(la2, lat, atol=1e-8)
+    # ESRI:54021 is the world aspect (lon_0 = 0): test inside the
+    # projection's useful domain, within ~85 deg of Greenwich
+    lon_w = rng.uniform(-85.0, 85.0, 500)
+    lat_w = rng.uniform(-70.0, 70.0, 500)
+    x2, y2 = transform_xy(lon_w, lat_w, "EPSG:4326", "ESRI:54021")
+    lo3, la3 = transform_xy(x2, y2, "ESRI:54021", "EPSG:4326")
+    np.testing.assert_allclose(lo3, lon_w, atol=1e-7)
+    np.testing.assert_allclose(la3, lat_w, atol=1e-7)
+    from rasters_ray.proj.crs import parse_crs
+    assert parse_crs(parse_crs(crs).canonical()) == parse_crs(crs)
