@@ -1308,6 +1308,8 @@ def test_all_crs_kinds_canonical_roundtrip_and_dispatch():
         "+proj=aeqd +lat_0=45 +lon_0=10",
         "+proj=natearth +lon_0=0 +x_0=0 +y_0=0",
         "+proj=goode +lon_0=0",
+        "+proj=gnom +lat_0=40 +lon_0=10",
+        "ESRI:54021", "+proj=poly +lat_0=38 +lon_0=10",
     ]
     # per-CRS valid test points (lon, lat) inside each grid's domain
     domain = {
@@ -1320,6 +1322,8 @@ def test_all_crs_kinds_canonical_roundtrip_and_dispatch():
         "EPSG:2056": (7.44, 46.95), "EPSG:21781": (7.44, 46.95),
         "EPSG:5514": (15.0, 49.8),
         "+proj=aeqd +lat_0=45 +lon_0=10": (11.0, 46.0),
+        "+proj=gnom +lat_0=40 +lon_0=10": (12.0, 44.0),
+        "+proj=poly +lat_0=38 +lon_0=10": (12.0, 44.0),
     }
     for crs in spellings:
         info = parse_crs(crs)
