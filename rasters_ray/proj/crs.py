@@ -148,8 +148,9 @@ class CRSInfo:
         if self.kind == "krovak":
             return "EPSG:5514"
         if self.kind == "eqearth":
+            r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=eqearth +lon_0={self.lon_0}"
-                    f" +x_0={self.x_0} +y_0={self.y_0}")
+                    f" +x_0={self.x_0} +y_0={self.y_0}{r}")
         if self.kind == "robin":
             r = f" +R={self.radius}" if self.radius is not None else ""
             return (f"+proj=robin +lon_0={self.lon_0}"
@@ -470,8 +471,12 @@ def parse_crs(crs: str) -> CRSInfo:
             radius=float(rm.group(1)) if rm else None,
         )
     if "+proj=eqearth" in low:
+        # +R selects PROJ's SPHERICAL Equal Earth (geodetic latitude on
+        # that sphere); without it this is the EPSG:8857 authalic method
+        rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
         return CRSInfo(
             "eqearth", lon_0=_p("lon_0"), x_0=_p("x_0"), y_0=_p("y_0"),
+            radius=float(rm.group(1)) if rm else None,
         )
     if "+proj=robin" in low:
         rm = re.search(r"\+r=(-?[\d.eE+]+)", low)
@@ -528,8 +533,27 @@ def parse_crs(crs: str) -> CRSInfo:
             radius=float(rm.group(1)) if rm else None,
         )
     if "+proj=krovak" in low:
-        # the only Krovak in the wild is the S-JTSK national grid; the
-        # engine implements that fixed parameterization (EPSG:5514)
+        # the engine implements exactly the EPSG:5514 parameterization
+        # (east-north GIS axes, Bessel 1841, the EPSG:1622 shift). Any
+        # modifier that changes it — +czech (positive southing/westing
+        # axes), a custom origin/scale, a different datum shift — must
+        # raise rather than silently return EPSG:5514 numbers.
+        _kv_ok = re.search(
+            r"\+towgs84=589(\.0)?,76(\.0)?,480(\.0)?(,0(\.0)?){0,4}\b", low)
+        for bad in ("+czech", "+lat_0=", "+lon_0=", "+x_0=", "+y_0=",
+                    "+k=", "+k_0=", "+alpha=", "+r=", "+towgs84=",
+                    "+ellps="):
+            if bad in low:
+                if bad == "+towgs84=" and _kv_ok:
+                    continue
+                if bad == "+ellps=" and "+ellps=bessel" in low:
+                    continue
+                raise ValueError(
+                    f"+proj=krovak with {bad.rstrip('=')} is not the "
+                    "EPSG:5514 parameterization this engine implements "
+                    "(S-JTSK / Krovak East North); only the standard "
+                    "S-JTSK grid is supported"
+                )
         return CRSInfo("krovak", ellps=DATUMS["S-JTSK"][0],
                        towgs84=DATUMS["S-JTSK"][1])
     if "+proj=ortho" in low:

@@ -193,24 +193,34 @@ def _ee_dpoly(theta: np.ndarray) -> np.ndarray:
 
 def geographic_to_eqearth(
     lon: np.ndarray, lat: np.ndarray, lon_0: float = 0.0,
-    x_0: float = 0.0, y_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
+    """``radius=None`` is the EPSG:8857 ellipsoidal method (authalic
+    latitude on the WGS84 authalic sphere); an explicit ``radius`` is
+    PROJ's spherical ``+proj=eqearth +R=`` — the polynomial applied to
+    the geodetic latitude directly on that sphere."""
     dl = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
     dl = (dl + np.pi) % (2.0 * np.pi) - np.pi
     phi = np.radians(np.asarray(lat, dtype=np.float64))
-    b = np.arcsin(np.clip(_q(phi) / _QP, -1.0, 1.0))
+    if radius is None:
+        rr = _RQ
+        b = np.arcsin(np.clip(_q(phi) / _QP, -1.0, 1.0))
+    else:
+        rr = radius
+        b = phi
     theta = np.arcsin(np.clip(_EE_M * np.sin(b), -1.0, 1.0))
-    x = _RQ * dl * np.cos(theta) / (_EE_M * _ee_dpoly(theta)) + x_0
-    y = _RQ * _ee_poly(theta) + y_0
+    x = rr * dl * np.cos(theta) / (_EE_M * _ee_dpoly(theta)) + x_0
+    y = rr * _ee_poly(theta) + y_0
     return x, y
 
 
 def eqearth_to_geographic(
     x: np.ndarray, y: np.ndarray, lon_0: float = 0.0,
-    x_0: float = 0.0, y_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, radius: float | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
+    rr = _RQ if radius is None else radius
     xs = np.asarray(x, dtype=np.float64) - x_0
-    yr = (np.asarray(y, dtype=np.float64) - y_0) / _RQ
+    yr = (np.asarray(y, dtype=np.float64) - y_0) / rr
     theta = yr.copy()
     for _ in range(12):
         den = _ee_dpoly(theta)
@@ -219,8 +229,8 @@ def eqearth_to_geographic(
                         num / np.where(np.abs(den) > 1e-12, den, 1.0), 0.0)
         theta = theta - step
     b = np.arcsin(np.clip(np.sin(theta) / _EE_M, -1.0, 1.0))
-    phi = _phi_from_q(_QP * np.sin(b))
+    phi = b if radius is not None else _phi_from_q(_QP * np.sin(b))
     with np.errstate(divide="ignore", invalid="ignore"):
-        lam = _EE_M * xs * _ee_dpoly(theta) / (_RQ * np.cos(theta))
+        lam = _EE_M * xs * _ee_dpoly(theta) / (rr * np.cos(theta))
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)

@@ -91,25 +91,10 @@ def poly_to_geographic(
         ee = np.arcsin(np.clip(xs / (A_WGS84 * nc), -1.0, 1.0))
         lam = np.clip(np.where(np.abs(sphi) > 1e-9, ee / sphi,
                                xs / A_WGS84), -np.pi, np.pi)
-    h = 1e-7
-    for _ in range(12):
-        fx, fy = _poly_fwd_rad(lam, phi, lat_0)
-        rx = fx - xs
-        ry = fy - ys
-        dxl = (_poly_fwd_rad(lam + h, phi, lat_0)[0]
-               - _poly_fwd_rad(lam - h, phi, lat_0)[0]) / (2.0 * h)
-        dxp = (_poly_fwd_rad(lam, phi + h, lat_0)[0]
-               - _poly_fwd_rad(lam, phi - h, lat_0)[0]) / (2.0 * h)
-        dyl = (_poly_fwd_rad(lam + h, phi, lat_0)[1]
-               - _poly_fwd_rad(lam - h, phi, lat_0)[1]) / (2.0 * h)
-        dyp = (_poly_fwd_rad(lam, phi + h, lat_0)[1]
-               - _poly_fwd_rad(lam, phi - h, lat_0)[1]) / (2.0 * h)
-        det = dxl * dyp - dxp * dyl
-        ok = np.abs(det) > 1e-15
-        det_safe = np.where(ok, det, 1.0)
-        dl = np.where(ok, (rx * dyp - ry * dxp) / det_safe, 0.0)
-        dp = np.where(ok, (ry * dxl - rx * dyl) / det_safe, 0.0)
-        lam = np.clip(lam - dl, -np.pi, np.pi)
-        phi = np.clip(phi - dp, -np.pi / 2.0 + 1e-9, np.pi / 2.0 - 1e-9)
+    from .world import _newton2d
+
+    lam, phi = _newton2d(lambda lm, ph: _poly_fwd_rad(lm, ph, lat_0),
+                         lam, phi, xs, ys,
+                         det_eps=1e-15, phi_clip=np.pi / 2.0 - 1e-9)
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)

@@ -127,7 +127,9 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             radius=info.radius or _world.R_WGS84
         )
     if info.kind == "eqearth":
-        return _ea.eqearth_to_geographic(x, y, info.lon_0, info.x_0, info.y_0)
+        return _ea.eqearth_to_geographic(
+            x, y, info.lon_0, info.x_0, info.y_0, radius=info.radius
+        )
     if info.kind == "robin":
         return _rob.robin_to_geographic(
             x, y, info.lon_0, info.x_0, info.y_0,
@@ -270,7 +272,9 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
             radius=info.radius or _world.R_WGS84
         )
     if info.kind == "eqearth":
-        return _ea.geographic_to_eqearth(lon, lat, info.lon_0, info.x_0, info.y_0)
+        return _ea.geographic_to_eqearth(
+            lon, lat, info.lon_0, info.x_0, info.y_0, radius=info.radius
+        )
     if info.kind == "robin":
         return _rob.geographic_to_robin(
             lon, lat, info.lon_0, info.x_0, info.y_0,

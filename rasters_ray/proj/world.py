@@ -320,6 +320,35 @@ def igh_to_geographic(
 _WINTRI_COSP1 = 2.0 / np.pi  # cos(phi_1) EXACTLY, phi_1 = acos(2/pi)
 
 
+def _newton2d(fwd, lam, phi, xs, ys, iters=12, h=1e-7,
+              det_eps=1e-12, phi_clip=np.pi / 2.0):
+    """Shared fixed-iteration 2-D Newton with a central-difference
+    Jacobian for inverses that have no closed form (Winkel Tripel,
+    Aitoff, polyconic). Each perturbed forward point is evaluated
+    exactly ONCE per iteration (the Jacobian costs 4 forward calls,
+    not 8) — this is the per-pixel hot path of warps onto these CRSs."""
+    for _ in range(iters):
+        fx, fy = fwd(lam, phi)
+        rx = fx - xs
+        ry = fy - ys
+        xe, ye = fwd(lam + h, phi)
+        xw, yw = fwd(lam - h, phi)
+        xn, yn = fwd(lam, phi + h)
+        xs2, ys2 = fwd(lam, phi - h)
+        dxl = (xe - xw) / (2.0 * h)
+        dyl = (ye - yw) / (2.0 * h)
+        dxp = (xn - xs2) / (2.0 * h)
+        dyp = (yn - ys2) / (2.0 * h)
+        det = dxl * dyp - dxp * dyl
+        ok = np.abs(det) > det_eps
+        det_safe = np.where(ok, det, 1.0)
+        dl = np.where(ok, (rx * dyp - ry * dxp) / det_safe, 0.0)
+        dp = np.where(ok, (ry * dxl - rx * dyl) / det_safe, 0.0)
+        lam = np.clip(lam - dl, -np.pi, np.pi)
+        phi = np.clip(phi - dp, -phi_clip, phi_clip)
+    return lam, phi
+
+
 def _wintri_fwd_rad(lam: np.ndarray, phi: np.ndarray, radius: float):
     lam2 = 0.5 * lam
     cosphi = np.cos(phi)
@@ -355,26 +384,8 @@ def wintri_to_geographic(
     with np.errstate(divide="ignore", invalid="ignore"):
         lam = np.clip(2.0 * xs / (radius * (_WINTRI_COSP1 + np.cos(phi))),
                       -np.pi, np.pi)
-    h = 1e-7
-    for _ in range(12):
-        fx, fy = _wintri_fwd_rad(lam, phi, radius)
-        rx = fx - xs
-        ry = fy - ys
-        dxl = (_wintri_fwd_rad(lam + h, phi, radius)[0]
-               - _wintri_fwd_rad(lam - h, phi, radius)[0]) / (2.0 * h)
-        dxp = (_wintri_fwd_rad(lam, phi + h, radius)[0]
-               - _wintri_fwd_rad(lam, phi - h, radius)[0]) / (2.0 * h)
-        dyl = (_wintri_fwd_rad(lam + h, phi, radius)[1]
-               - _wintri_fwd_rad(lam - h, phi, radius)[1]) / (2.0 * h)
-        dyp = (_wintri_fwd_rad(lam, phi + h, radius)[1]
-               - _wintri_fwd_rad(lam, phi - h, radius)[1]) / (2.0 * h)
-        det = dxl * dyp - dxp * dyl
-        ok = np.abs(det) > 1e-12
-        det_safe = np.where(ok, det, 1.0)
-        dl = np.where(ok, (rx * dyp - ry * dxp) / det_safe, 0.0)
-        dp = np.where(ok, (ry * dxl - rx * dyl) / det_safe, 0.0)
-        lam = np.clip(lam - dl, -np.pi, np.pi)
-        phi = np.clip(phi - dp, -np.pi / 2.0, np.pi / 2.0)
+    lam, phi = _newton2d(lambda lm, ph: _wintri_fwd_rad(lm, ph, radius),
+                         lam, phi, xs, ys)
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
 
@@ -604,26 +615,8 @@ def aitoff_to_geographic(
     with np.errstate(divide="ignore", invalid="ignore"):
         lam = np.clip(xs / (radius * np.maximum(np.cos(phi), 1e-12)),
                       -np.pi, np.pi)
-    h = 1e-7
-    for _ in range(12):
-        fx, fy = _aitoff_fwd_rad(lam, phi, radius)
-        rx = fx - xs
-        ry = fy - ys
-        dxl = (_aitoff_fwd_rad(lam + h, phi, radius)[0]
-               - _aitoff_fwd_rad(lam - h, phi, radius)[0]) / (2.0 * h)
-        dxp = (_aitoff_fwd_rad(lam, phi + h, radius)[0]
-               - _aitoff_fwd_rad(lam, phi - h, radius)[0]) / (2.0 * h)
-        dyl = (_aitoff_fwd_rad(lam + h, phi, radius)[1]
-               - _aitoff_fwd_rad(lam - h, phi, radius)[1]) / (2.0 * h)
-        dyp = (_aitoff_fwd_rad(lam, phi + h, radius)[1]
-               - _aitoff_fwd_rad(lam, phi - h, radius)[1]) / (2.0 * h)
-        det = dxl * dyp - dxp * dyl
-        ok = np.abs(det) > 1e-12
-        det_safe = np.where(ok, det, 1.0)
-        dl = np.where(ok, (rx * dyp - ry * dxp) / det_safe, 0.0)
-        dp = np.where(ok, (ry * dxl - rx * dyl) / det_safe, 0.0)
-        lam = np.clip(lam - dl, -np.pi, np.pi)
-        phi = np.clip(phi - dp, -np.pi / 2.0, np.pi / 2.0)
+    lam, phi = _newton2d(lambda lm, ph: _aitoff_fwd_rad(lm, ph, radius),
+                         lam, phi, xs, ys)
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
 

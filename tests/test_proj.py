@@ -1513,3 +1513,40 @@ def test_polyconic_invariants_and_roundtrip():
     np.testing.assert_allclose(la3, lat_w, atol=1e-7)
     from rasters_ray.proj.crs import parse_crs
     assert parse_crs(parse_crs(crs).canonical()) == parse_crs(crs)
+
+
+def test_krovak_modifier_refusals_and_eqearth_sphere():
+    """Review follow-ups: (a) +proj=krovak with any modifier that
+    changes the EPSG:5514 parameterization (+czech axes, custom
+    origin/scale, a different datum shift) raises instead of silently
+    returning EPSG:5514 numbers; the exact S-JTSK spellings still
+    parse. (b) +proj=eqearth +R= is PROJ's SPHERICAL Equal Earth —
+    geodetic latitude on that sphere — not the authalic EPSG:8857
+    method; y differs by km at mid-latitudes and the sphere round-trip
+    is exact."""
+    import pytest as _pytest
+    from rasters_ray.proj.crs import parse_crs
+    from rasters_ray.proj.transform import transform_xy
+
+    for bad in ("+proj=krovak +czech",
+                "+proj=krovak +lon_0=24.8333333333333",
+                "+proj=krovak +towgs84=570.8,85.7,462.8,4.998,1.587,5.261,3.56",
+                "+proj=krovak +x_0=5000000"):
+        with _pytest.raises(ValueError, match="EPSG:5514"):
+            parse_crs(bad)
+    # the exact S-JTSK spellings still parse
+    assert parse_crs("+proj=krovak").kind == "krovak"
+    assert parse_crs(
+        "+proj=krovak +ellps=bessel +towgs84=589,76,480").kind == "krovak"
+
+    lon = np.array([30.0]); lat = np.array([45.0])
+    xa, ya = transform_xy(lon, lat, "EPSG:4326", "EPSG:8857")
+    xs_, ys_ = transform_xy(lon, lat, "EPSG:4326",
+                            "+proj=eqearth +R=6378137")
+    assert abs(ys_[0] - ya[0]) > 5000.0  # authalic vs geodetic latitude
+    lo, la = transform_xy(xs_, ys_, "+proj=eqearth +R=6378137", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    info = parse_crs("+proj=eqearth +R=6371000")
+    assert info.radius == 6371000.0
+    assert parse_crs(info.canonical()) == info
