@@ -1984,6 +1984,63 @@ def q_transform_poly(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_cass(sf_dir: str):
+    """Cassini-Soldner +proj=cass lat_0=40 lon_0=-95
+    (proj/polyconic.py, Snyder 13-7..13-13, EPSG method 9806; central
+    meridian and round-trip pinned in tests/test_proj.py): longitudes
+    remapped into the series' use band (within 2 degrees of the
+    central meridian, exact-double linear map); the oracle re-derives
+    the meridian-arc coefficients and the A/T/C/N series per point.
+    Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        lon = (lon + 95.0) / 15.0 - 95.0
+        crs = "+proj=cass +lat_0=40 +lon_0=-95"
+        x, yv = transform_xy(lon, lat, "EPSG:4326", crs)
+        lon2, lat2 = transform_xy(x, yv, crs, "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-5) & (np.abs(lat2 - lat) < 1e-5)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+def q_transform_bonne(sf_dir: str):
+    """Bonne ESRI:54024 (proj/polyconic.py, Snyder's ellipsoidal Bonne
+    with the lat_1=60N apex; equal-area Jacobian and per-parallel true
+    scale pinned in tests/test_proj.py): closed form both ways via the
+    footpoint-latitude series, so roundtrip_ok is exact. The oracle
+    re-derives the apex constants and the rho/E chain per point. All
+    points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        x, yv = transform_xy(lon, lat, "EPSG:4326", "ESRI:54024")
+        lon2, lat2 = transform_xy(x, yv, "ESRI:54024", "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-5) & (np.abs(lat2 - lat) < 1e-5)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -6113,6 +6170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_eck6": q_transform_eck6,
         "transform_gnom": q_transform_gnom,
         "transform_poly": q_transform_poly,
+        "transform_cass": q_transform_cass,
+        "transform_bonne": q_transform_bonne,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7846,6 +7905,116 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM p2
+"""
+
+    # transform_cass: Cassini-Soldner, center (40N, 95W), longitudes
+    # remapped into the series band — meridian-arc coefficients and the
+    # A/T/C/N series re-derived per point. Nothing golden. (Reuses the
+    # pk coefficient CTE shape from transform_poly above.)
+    sql["transform_cass"] = f"""
+WITH {_PTS_CTE.strip()},
+cc AS (
+  SELECT (1.0e0/298.257223563e0) * (2.0e0 - 1.0e0/298.257223563e0) AS e2
+),
+ck AS (
+  SELECT e2,
+         1.0e0 - e2/4.0e0 - 3.0e0*e2*e2/64.0e0
+           - 5.0e0*pow(e2, 3.0e0)/256.0e0 AS c0,
+         3.0e0*e2/8.0e0 + 3.0e0*e2*e2/32.0e0
+           + 45.0e0*pow(e2, 3.0e0)/1024.0e0 AS c2,
+         15.0e0*e2*e2/256.0e0 + 45.0e0*pow(e2, 3.0e0)/1024.0e0 AS c4,
+         35.0e0*pow(e2, 3.0e0)/3072.0e0 AS c6
+  FROM cc
+),
+cm AS (SELECT ck.*, {_pm.format(p='radians(40.0e0)')} AS m0 FROM ck),
+q0 AS (
+  SELECT point_id,
+         fmod(radians(((x + 95.0e0) / 15.0e0 - 95.0e0) - -95.0e0)
+              + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(y) AS phi, cm.*
+  FROM pts, cm
+),
+q1 AS (
+  SELECT q0.*,
+         sin(phi) AS sphi, cos(phi) AS cphi, tan(phi) AS tphi
+  FROM q0
+),
+q2 AS (
+  SELECT q1.*,
+         lam * cphi AS aa,
+         tphi * tphi AS tt,
+         e2 * cphi * cphi / (1.0e0 - e2) AS cv,
+         1.0e0 / sqrt(1.0e0 - e2 * sphi * sphi) AS nn
+  FROM q1
+),
+q3 AS (SELECT q2.*, aa * aa AS a2 FROM q2)
+SELECT point_id,
+       CAST(floor(nn * (aa - tt * aa * a2 / 6.0e0
+                        - (8.0e0 - tt + 8.0e0 * cv) * tt * aa * a2 * a2
+                          / 120.0e0)
+                  * 6378137.0e0 * 100.0e0) AS BIGINT) AS x_cm,
+       CAST(floor(({_pm.format(p='phi')} - m0
+                   + nn * tphi * (a2 / 2.0e0
+                                  + (5.0e0 - tt + 6.0e0 * cv) * a2 * a2
+                                    / 24.0e0))
+                  * 6378137.0e0 * 100.0e0) AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM q3
+"""
+
+    # transform_bonne: Snyder's ellipsoidal Bonne, lat_1 = 60N apex —
+    # apex constants and the rho/E chain re-derived. Nothing golden.
+    sql["transform_bonne"] = f"""
+WITH {_PTS_CTE.strip()},
+bc AS (
+  SELECT (1.0e0/298.257223563e0) * (2.0e0 - 1.0e0/298.257223563e0) AS e2
+),
+bk AS (
+  SELECT e2,
+         1.0e0 - e2/4.0e0 - 3.0e0*e2*e2/64.0e0
+           - 5.0e0*pow(e2, 3.0e0)/256.0e0 AS c0,
+         3.0e0*e2/8.0e0 + 3.0e0*e2*e2/32.0e0
+           + 45.0e0*pow(e2, 3.0e0)/1024.0e0 AS c2,
+         15.0e0*e2*e2/256.0e0 + 45.0e0*pow(e2, 3.0e0)/1024.0e0 AS c4,
+         35.0e0*pow(e2, 3.0e0)/3072.0e0 AS c6
+  FROM bc
+),
+bm AS (
+  SELECT bk.*,
+         sin(radians(60.0e0)) AS s1,
+         cos(radians(60.0e0))
+           / sqrt(1.0e0 - e2 * sin(radians(60.0e0)) * sin(radians(60.0e0)))
+           AS m1,
+         {_pm.format(p='radians(60.0e0)')} AS mm1
+  FROM bk
+),
+b0 AS (
+  SELECT point_id,
+         fmod(radians(x) + 3.141592653589793e0, 6.283185307179586e0)
+           - 3.141592653589793e0 AS lam,
+         radians(y) AS phi, bm.*
+  FROM pts, bm
+),
+b1 AS (
+  SELECT b0.*,
+         cos(phi) / sqrt(1.0e0 - e2 * sin(phi) * sin(phi)) AS m,
+         m1 / s1 + mm1 - {_pm.format(p='phi')} AS rho
+  FROM b0
+),
+b2 AS (
+  SELECT b1.*,
+         CASE WHEN abs(rho) > 1.0e-12 THEN m * lam / rho
+              ELSE 0.0e0 END AS ee
+  FROM b1
+)
+SELECT point_id,
+       CAST(floor(rho * sin(ee) * 6378137.0e0 * 100.0e0)
+            AS BIGINT) AS x_cm,
+       CAST(floor((m1 / s1 - rho * cos(ee)) * 6378137.0e0 * 100.0e0)
+            AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM b2
 """
 
     # transform_gnom: Snyder's gnomonic, center (40N, 95W) — closed

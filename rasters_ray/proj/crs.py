@@ -45,6 +45,8 @@ class CRSInfo:
     #          | 'eck6' (ESRI:54010 Eckert VI, fixed-Newton theta)
     #          | 'gnom' (+proj=gnom, great-circle azimuthal)
     #          | 'poly' (ESRI:54021 American Polyconic, ellipsoidal)
+    #          | 'cass' (+proj=cass Cassini-Soldner, ellipsoidal)
+    #          | 'bonne' (ESRI:54024 Bonne, ellipsoidal, lat_1 apex)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -194,6 +196,12 @@ class CRSInfo:
         if self.kind == "poly":
             return (f"+proj=poly +lat_0={self.lat_0} +lon_0={self.lon_0}"
                     f" +x_0={self.x_0} +y_0={self.y_0}")
+        if self.kind == "cass":
+            return (f"+proj=cass +lat_0={self.lat_0} +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}")
+        if self.kind == "bonne":
+            return (f"+proj=bonne +lat_1={self.lat_1} +lon_0={self.lon_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}")
         if self.kind == "somerc":
             if (self.ellps, self.towgs84) == _CH1903 and self.x_0 == 600000.0:
                 return "EPSG:21781"
@@ -271,6 +279,8 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo("eck6")
     if re.match(r"^ESRI:54021$", s, re.I):  # World Polyconic
         return CRSInfo("poly")
+    if re.match(r"^ESRI:54024$", s, re.I):  # World Bonne (lat_1 = 60N)
+        return CRSInfo("bonne", lat_1=60.0)
     m = _EPSG_RE.match(s)
     if m:
         code = int(m.group(1))
@@ -573,6 +583,16 @@ def parse_crs(crs: str) -> CRSInfo:
     if "+proj=poly" in low:
         return CRSInfo(
             "poly", lat_0=_p("lat_0"), lon_0=_p("lon_0"),
+            x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=cass" in low:
+        return CRSInfo(
+            "cass", lat_0=_p("lat_0"), lon_0=_p("lon_0"),
+            x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=bonne" in low:
+        return CRSInfo(
+            "bonne", lat_1=_p("lat_1"), lon_0=_p("lon_0"),
             x_0=_p("x_0"), y_0=_p("y_0"),
         )
     if "+proj=somerc" in low:

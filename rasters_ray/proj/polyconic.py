@@ -98,3 +98,123 @@ def poly_to_geographic(
                          det_eps=1e-15, phi_clip=np.pi / 2.0 - 1e-9)
     lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
     return lon, np.degrees(phi)
+
+
+# --- shared footpoint latitude (Snyder 3-26 / 7-19) ---------------------
+_E1 = (1.0 - np.sqrt(1.0 - E2)) / (1.0 + np.sqrt(1.0 - E2))
+
+
+def _footpoint(mu: np.ndarray) -> np.ndarray:
+    """Latitude whose meridian arc is ``mu * C0`` (rectifying inverse)."""
+    return (mu
+            + (3.0 * _E1 / 2.0 - 27.0 * _E1 ** 3 / 32.0) * np.sin(2.0 * mu)
+            + (21.0 * _E1 ** 2 / 16.0 - 55.0 * _E1 ** 4 / 32.0)
+            * np.sin(4.0 * mu)
+            + (151.0 * _E1 ** 3 / 96.0) * np.sin(6.0 * mu)
+            + (1097.0 * _E1 ** 4 / 512.0) * np.sin(8.0 * mu))
+
+
+# --- Cassini-Soldner (Snyder PP 1395 eqs. 13-7..13-13; EPSG method
+# 9806; PROJ ``+proj=cass``) — the projection of the 19th-century
+# national surveys (Soldner Berlin, Trinidad 1903, Kertau cadastral):
+# true scale along the central meridian and along every great circle
+# perpendicular to it. Series forward/inverse on WGS84.
+def geographic_to_cass(
+    lon: np.ndarray, lat: np.ndarray, lat_0: float = 0.0,
+    lon_0: float = 0.0, x_0: float = 0.0, y_0: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sphi = np.sin(phi)
+    cphi = np.cos(phi)
+    tphi = np.tan(phi)
+    A = lam * cphi
+    T = tphi * tphi
+    C = E2 * cphi * cphi / (1.0 - E2)
+    N = 1.0 / np.sqrt(1.0 - E2 * sphi * sphi)
+    A2 = A * A
+    m0 = _merid(np.radians(np.float64(lat_0)))
+    x = N * (A - T * A * A2 / 6.0
+             - (8.0 - T + 8.0 * C) * T * A * A2 * A2 / 120.0)
+    y = (_merid(phi) - m0
+         + N * tphi * (A2 / 2.0 + (5.0 - T + 6.0 * C) * A2 * A2 / 24.0))
+    return x * A_WGS84 + x_0, y * A_WGS84 + y_0
+
+
+def cass_to_geographic(
+    x: np.ndarray, y: np.ndarray, lat_0: float = 0.0,
+    lon_0: float = 0.0, x_0: float = 0.0, y_0: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = (np.asarray(x, dtype=np.float64) - x_0) / A_WGS84
+    ys = (np.asarray(y, dtype=np.float64) - y_0) / A_WGS84
+    m0 = _merid(np.radians(np.float64(lat_0)))
+    mu = (m0 + ys) / _C0
+    p1 = _footpoint(mu)
+    s1 = np.sin(p1)
+    t1 = np.tan(p1)
+    T1 = t1 * t1
+    one = 1.0 - E2 * s1 * s1
+    N1 = 1.0 / np.sqrt(one)
+    R1 = (1.0 - E2) / (one * np.sqrt(one))
+    D = xs / N1
+    D2 = D * D
+    phi = p1 - (N1 * t1 / R1) * (D2 / 2.0 - (1.0 + 3.0 * T1) * D2 * D2 / 24.0)
+    lam = (D - T1 * D * D2 / 3.0
+           + (1.0 + 3.0 * T1) * T1 * D * D2 * D2 / 15.0) / np.cos(p1)
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
+
+
+# --- Bonne (Snyder PP 1395 "Bonne", ellipsoidal eqs.; PROJ
+# ``+proj=bonne``, ESRI:54024 "World Bonne" with lat_1 = 60N) — the
+# equal-area pseudoconic of the classic French/atlas sheet maps: every
+# parallel a true-scale circular arc about the apex above the standard
+# parallel. Closed form both ways on WGS84.
+def _bonne_consts(lat_1: float):
+    p1 = np.radians(np.float64(lat_1))
+    s1 = np.sin(p1)
+    m1 = np.cos(p1) / np.sqrt(1.0 - E2 * s1 * s1)
+    return p1, s1, m1, _merid(p1)
+
+
+def geographic_to_bonne(
+    lon: np.ndarray, lat: np.ndarray, lat_1: float = 60.0,
+    lon_0: float = 0.0, x_0: float = 0.0, y_0: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    p1, s1, m1, mm1 = _bonne_consts(lat_1)
+    sphi = np.sin(phi)
+    m = np.cos(phi) / np.sqrt(1.0 - E2 * sphi * sphi)
+    rho = m1 / s1 + mm1 - _merid(phi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ee = np.where(np.abs(rho) > 1e-12,
+                      m * lam / np.where(np.abs(rho) > 1e-12, rho, 1.0), 0.0)
+    x = rho * np.sin(ee)
+    y = m1 / s1 - rho * np.cos(ee)
+    return x * A_WGS84 + x_0, y * A_WGS84 + y_0
+
+
+def bonne_to_geographic(
+    x: np.ndarray, y: np.ndarray, lat_1: float = 60.0,
+    lon_0: float = 0.0, x_0: float = 0.0, y_0: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    xs = (np.asarray(x, dtype=np.float64) - x_0) / A_WGS84
+    ys = (np.asarray(y, dtype=np.float64) - y_0) / A_WGS84
+    p1, s1, m1, mm1 = _bonne_consts(lat_1)
+    apex = m1 / s1
+    rho = np.copysign(np.hypot(xs, apex - ys), s1)
+    mm = apex + mm1 - rho
+    mu = mm / _C0
+    phi = _footpoint(mu)
+    sphi = np.sin(phi)
+    m = np.cos(phi) / np.sqrt(1.0 - E2 * sphi * sphi)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        theta = np.arctan2(xs * np.sign(s1), (apex - ys) * np.sign(s1))
+        lam = np.where(np.abs(m) > 1e-12,
+                       rho * theta / np.where(np.abs(m) > 1e-12, m, 1.0),
+                       0.0)
+    lon = (np.degrees(lam) + lon_0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)

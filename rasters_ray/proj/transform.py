@@ -184,6 +184,14 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
         return _poly.poly_to_geographic(
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0
         )
+    if info.kind == "cass":
+        return _poly.cass_to_geographic(
+            x, y, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "bonne":
+        return _poly.bonne_to_geographic(
+            x, y, info.lat_1, info.lon_0, info.x_0, info.y_0
+        )
     if info.kind == "goode":
         return _world.goode_to_geographic(
             x, y, info.lon_0, radius=info.radius or _world.R_WGS84
@@ -333,6 +341,14 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
     if info.kind == "poly":
         return _poly.geographic_to_poly(
             lon, lat, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "cass":
+        return _poly.geographic_to_cass(
+            lon, lat, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "bonne":
+        return _poly.geographic_to_bonne(
+            lon, lat, info.lat_1, info.lon_0, info.x_0, info.y_0
         )
     if info.kind == "goode":
         return _world.geographic_to_goode(

@@ -1550,3 +1550,70 @@ def test_krovak_modifier_refusals_and_eqearth_sphere():
     info = parse_crs("+proj=eqearth +R=6371000")
     assert info.radius == 6371000.0
     assert parse_crs(info.canonical()) == info
+
+
+def test_cassini_and_bonne_pins_and_roundtrip():
+    """+proj=cass (Cassini-Soldner, Snyder 13-7..13-13) and ESRI:54024
+    Bonne (Snyder's ellipsoidal Bonne). Cassini pins: the central
+    meridian is the exact meridian arc; round-trip within the series'
+    use band (a few degrees of the central meridian) better than 1e-6
+    deg. Bonne pins: the equal-area Jacobian equals the ellipsoidal
+    area element; every parallel true to scale; closed-form inverse
+    round-trips globally."""
+    from rasters_ray.proj.polyconic import (
+        A_WGS84,
+        E2,
+        _merid,
+        geographic_to_bonne,
+        geographic_to_cass,
+    )
+    from rasters_ray.proj.transform import transform_xy
+
+    # Cassini: central meridian
+    phis = np.array([10.0, 40.0, 60.0])
+    x, y = geographic_to_cass(np.zeros(3), phis, lat_0=30.0)
+    want = (_merid(np.radians(phis))
+            - _merid(np.radians(np.float64(30.0)))) * A_WGS84
+    assert np.abs(x).max() == 0.0
+    np.testing.assert_allclose(y, want, rtol=0, atol=1e-9)
+    # Cassini round-trip in the use band
+    rng = np.random.default_rng(73)
+    lon = rng.uniform(-3.0, 3.0, 500)
+    lat = rng.uniform(-70.0, 70.0, 500)
+    crs = "+proj=cass +lat_0=52 +lon_0=0"
+    xc, yc = transform_xy(lon, lat, "EPSG:4326", crs)
+    lo2, la2 = transform_xy(xc, yc, crs, "EPSG:4326")
+    np.testing.assert_allclose(lo2, lon, atol=1e-6)
+    np.testing.assert_allclose(la2, lat, atol=1e-6)
+
+    # Bonne: equal-area Jacobian
+    h = 1e-5
+    lonp = np.array([20.0]); latp = np.array([35.0])
+    xE, yE = geographic_to_bonne(lonp + h, latp)
+    xW, yW = geographic_to_bonne(lonp - h, latp)
+    xN, yN = geographic_to_bonne(lonp, latp + h)
+    xS, yS = geographic_to_bonne(lonp, latp - h)
+    dh = np.radians(2 * h)
+    J = (xE - xW) / dh * (yN - yS) / dh - (xN - xS) / dh * (yE - yW) / dh
+    s = np.sin(np.radians(latp))
+    want = A_WGS84 ** 2 * (1.0 - E2) * np.cos(np.radians(latp)) \
+        / (1.0 - E2 * s * s) ** 2
+    assert abs(J[0] / want[0] - 1.0) < 1e-6
+    # Bonne: parallels true to scale
+    lons = np.linspace(0.0, 10.0, 2001)
+    xb, yb = geographic_to_bonne(lons, np.full_like(lons, 45.0))
+    arclen = np.sum(np.hypot(np.diff(xb), np.diff(yb)))
+    s45 = np.sin(np.radians(45.0))
+    want = (A_WGS84 / np.sqrt(1.0 - E2 * s45 * s45)
+            * np.cos(np.radians(45.0)) * np.radians(10.0))
+    assert abs(arclen / want - 1.0) < 1e-9
+    # Bonne: global round-trip via the ESRI code
+    lon = rng.uniform(-170.0, 170.0, 500)
+    lat = rng.uniform(-85.0, 85.0, 500)
+    xb, yb = transform_xy(lon, lat, "EPSG:4326", "ESRI:54024")
+    lo3, la3 = transform_xy(xb, yb, "ESRI:54024", "EPSG:4326")
+    np.testing.assert_allclose(lo3, lon, atol=1e-6)
+    np.testing.assert_allclose(la3, lat, atol=1e-6)
+    from rasters_ray.proj.crs import parse_crs
+    for spelled in (crs, "+proj=bonne +lat_1=60 +lon_0=0"):
+        assert parse_crs(parse_crs(spelled).canonical()) == parse_crs(spelled)
