@@ -1310,6 +1310,8 @@ def test_all_crs_kinds_canonical_roundtrip_and_dispatch():
         "+proj=goode +lon_0=0",
         "+proj=gnom +lat_0=40 +lon_0=10",
         "ESRI:54021", "+proj=poly +lat_0=38 +lon_0=10",
+        "ESRI:54024", "+proj=cass +lat_0=40 +lon_0=10",
+        "+proj=bonne +lat_1=45 +lon_0=10",
     ]
     # per-CRS valid test points (lon, lat) inside each grid's domain
     domain = {
@@ -1324,6 +1326,8 @@ def test_all_crs_kinds_canonical_roundtrip_and_dispatch():
         "+proj=aeqd +lat_0=45 +lon_0=10": (11.0, 46.0),
         "+proj=gnom +lat_0=40 +lon_0=10": (12.0, 44.0),
         "+proj=poly +lat_0=38 +lon_0=10": (12.0, 44.0),
+        "+proj=cass +lat_0=40 +lon_0=10": (11.0, 44.0),
+        "+proj=bonne +lat_1=45 +lon_0=10": (12.0, 44.0),
     }
     for crs in spellings:
         info = parse_crs(crs)
