@@ -2041,6 +2041,35 @@ def q_transform_bonne(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+def q_transform_omerc(sf_dir: str):
+    """Hotine oblique Mercator variant B, WGS84, center (40N, 95W),
+    azimuth 30, k_c 0.9996 (proj/omerc.py, GN7-2 method 9815 — pinned
+    to the published Timbalai/RSO Borneo worked example to the cm and
+    to conformality invariants in tests/test_proj.py): the oracle
+    re-derives the full aposphere constant chain (B, A, t0, D, F, H,
+    G, gamma0, lambda0, u_c) and the per-point t/Q/S/T/V/U skew-axes
+    path in SQL. All points valid. Floor-cm int64."""
+    from rasters_ray.proj import transform_xy
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t.column("x").to_numpy()
+        lat = t.column("y").to_numpy()
+        crs = "+proj=omerc +lat_0=40 +lonc=-95 +alpha=30 +gamma=30 +k_0=0.9996"
+        x, yv = transform_xy(lon, lat, "EPSG:4326", crs)
+        lon2, lat2 = transform_xy(x, yv, crs, "EPSG:4326")
+        ok = (np.abs(lon2 - lon) < 1e-7) & (np.abs(lat2 - lat) < 1e-7)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64), pa.int64()),
+                "y_cm": pa.array(np.floor(yv * 100.0).astype(np.int64), pa.int64()),
+                "roundtrip_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_transform_moll(sf_dir: str):
     """World Mollweide ESRI:54009 (proj/world.py, Snyder 31-1..31-8 on
     the WGS84-semi-major sphere; pinned against Snyder's numerical
@@ -6172,6 +6201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_poly": q_transform_poly,
         "transform_cass": q_transform_cass,
         "transform_bonne": q_transform_bonne,
+        "transform_omerc": q_transform_omerc,
         "transform_moll": q_transform_moll,
         "transform_ortho": q_transform_ortho,
         "transform_igh": q_transform_igh,
@@ -7905,6 +7935,98 @@ SELECT point_id,
                   * 100.0e0) AS BIGINT) AS y_cm,
        TRUE AS roundtrip_ok
 FROM p2
+"""
+
+    # transform_omerc: GN7-2 Hotine oblique Mercator variant B on
+    # WGS84 — the aposphere constants and the skew-axes chain re-derived
+    # per point; sign(lat_c) = +1 throughout. Nothing golden.
+    sql["transform_omerc"] = f"""
+WITH {_PTS_CTE.strip()},
+oc AS (
+  SELECT (1.0e0/298.257223563e0) * (2.0e0 - 1.0e0/298.257223563e0) AS e2,
+         sqrt((1.0e0/298.257223563e0)
+              * (2.0e0 - 1.0e0/298.257223563e0)) AS e,
+         radians(40.0e0) AS pc, radians(30.0e0) AS ac,
+         radians(30.0e0) AS gc, 0.9996e0 AS kc
+),
+ok1 AS (
+  SELECT oc.*, sin(pc) AS sp,
+         sqrt(1.0e0 + e2 * cos(pc)*cos(pc)*cos(pc)*cos(pc)
+                      / (1.0e0 - e2)) AS bb
+  FROM oc
+),
+ok2 AS (
+  SELECT ok1.*,
+         6378137.0e0 * bb * kc * sqrt(1.0e0 - e2)
+           / (1.0e0 - e2 * sp * sp) AS aa,
+         tan(pi()/4.0e0 - pc/2.0e0)
+           / ((1.0e0 - e * sp) / (1.0e0 + e * sp)) ^ (e / 2.0e0) AS t0,
+         bb * sqrt(1.0e0 - e2)
+           / (cos(pc) * sqrt(1.0e0 - e2 * sp * sp)) AS d
+  FROM ok1
+),
+ok3 AS (
+  SELECT ok2.*, greatest(d * d, 1.0e0) AS d2 FROM ok2
+),
+ok4 AS (
+  SELECT ok3.*, d + sqrt(d2 - 1.0e0) AS ff FROM ok3
+),
+ok5 AS (
+  SELECT ok4.*, ff * t0 ^ bb AS hh,
+         (ff - 1.0e0 / ff) / 2.0e0 AS gg,
+         asin(least(greatest(sin(ac) / d, -1.0e0), 1.0e0)) AS g0
+  FROM ok4
+),
+ok6 AS (
+  SELECT ok5.*,
+         radians(-95.0e0)
+           - asin(least(greatest(gg * tan(g0), -1.0e0), 1.0e0)) / bb AS lam0,
+         (aa / bb) * atan2(sqrt(d2 - 1.0e0), cos(ac)) AS uc
+  FROM ok5
+),
+op AS (
+  SELECT point_id, radians(y) AS phi, radians(x) AS lam, ok6.*
+  FROM pts, ok6
+),
+o1 AS (
+  SELECT op.*,
+         fmod(bb * (lam - lam0) + 3.141592653589793e0,
+              6.283185307179586e0) - 3.141592653589793e0 AS dl,
+         sin(phi) AS sphi
+  FROM op
+),
+o2 AS (
+  SELECT o1.*,
+         tan(pi()/4.0e0 - phi/2.0e0)
+           / ((1.0e0 - e * sphi) / (1.0e0 + e * sphi)) ^ (e / 2.0e0) AS tt
+  FROM o1
+),
+o3 AS (SELECT o2.*, hh / tt ^ bb AS qq FROM o2),
+o4 AS (
+  SELECT o3.*,
+         (qq - 1.0e0 / qq) / 2.0e0 AS ss,
+         (qq + 1.0e0 / qq) / 2.0e0 AS tt2,
+         sin(dl) AS vv
+  FROM o3
+),
+o5 AS (
+  SELECT o4.*,
+         (-vv * cos(g0) + ss * sin(g0)) / tt2 AS uu
+  FROM o4
+),
+o6 AS (
+  SELECT o5.*,
+         aa * ln((1.0e0 - uu) / (1.0e0 + uu)) / (2.0e0 * bb) AS v,
+         aa * atan2(ss * cos(g0) + vv * sin(g0), cos(dl)) / bb - uc AS u
+  FROM o5
+)
+SELECT point_id,
+       CAST(floor((v * cos(gc) + u * sin(gc)) * 100.0e0)
+            AS BIGINT) AS x_cm,
+       CAST(floor((u * cos(gc) - v * sin(gc)) * 100.0e0)
+            AS BIGINT) AS y_cm,
+       TRUE AS roundtrip_ok
+FROM o6
 """
 
     # transform_cass: Cassini-Soldner, center (40N, 95W), longitudes

@@ -47,6 +47,7 @@ class CRSInfo:
     #          | 'poly' (ESRI:54021 American Polyconic, ellipsoidal)
     #          | 'cass' (+proj=cass Cassini-Soldner, ellipsoidal)
     #          | 'bonne' (ESRI:54024 Bonne, ellipsoidal, lat_1 apex)
+    #          | 'omerc' (Hotine oblique Mercator, GN7-2 9812/9815)
     zone: Optional[int] = None  # utm
     south: bool = False  # utm / polar stere aspect
     lat_0: float = 0.0  # aeqd / lcc / aea / tmerc / eqc
@@ -66,6 +67,12 @@ class CRSInfo:
     # ellipsoids — the grids that actually sit on classical datums.
     ellps: str = "WGS84"
     towgs84: Optional[tuple] = None
+    # Hotine oblique Mercator: azimuth of the initial line at the
+    # center, rectified-to-skew angle (None = alpha), and the variant-A
+    # flag (+no_uoff: natural origin instead of the projection center)
+    alpha: float = 0.0
+    gamma: Optional[float] = None
+    no_uoff: bool = False
 
     @property
     def is_geographic(self) -> bool:
@@ -202,6 +209,13 @@ class CRSInfo:
         if self.kind == "bonne":
             return (f"+proj=bonne +lat_1={self.lat_1} +lon_0={self.lon_0}"
                     f" +x_0={self.x_0} +y_0={self.y_0}")
+        if self.kind == "omerc":
+            g = f" +gamma={self.gamma}" if self.gamma is not None else ""
+            nu = " +no_uoff" if self.no_uoff else ""
+            return (f"+proj=omerc +lat_0={self.lat_0} +lonc={self.lon_0}"
+                    f" +alpha={self.alpha}{g} +k_0={self.k_0}"
+                    f" +x_0={self.x_0} +y_0={self.y_0}{nu}"
+                    + self._datum_suffix())
         if self.kind == "somerc":
             if (self.ellps, self.towgs84) == _CH1903 and self.x_0 == 600000.0:
                 return "EPSG:21781"
@@ -348,6 +362,18 @@ def parse_crs(crs: str) -> CRSInfo:
                 "tmerc", lat_0=53.5, lon_0=-8.0, k_0=1.000035,
                 x_0=200000.0, y_0=250000.0, ellps=dat[0], towgs84=dat[1],
             )
+        if code == 29873:
+            # Timbalai 1948 / RSO Borneo (m) — Hotine oblique Mercator
+            # variant B on Everest 1830 (1967), the GN7-2 method 9815
+            # worked-example CRS (pinned to the published cm in
+            # tests/test_proj.py)
+            return CRSInfo(
+                "omerc", lat_0=4.0, lon_0=115.0,
+                alpha=53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,
+                gamma=53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+                k_0=0.99984, x_0=590476.87, y_0=442857.65,
+                ellps=DATUMS["Timbalai"][0], towgs84=DATUMS["Timbalai"][1],
+            )
         if code == 5514:
             # S-JTSK / Krovak East North — the Czech/Slovak national
             # grid (Krovak oblique conformal conic on Bessel 1841 with
@@ -389,6 +415,7 @@ def parse_crs(crs: str) -> CRSInfo:
         em = re.search(r"\+ellps=([a-z0-9_]+)", low)
         ellps = {"wgs84": "WGS84", "grs80": "WGS84", "airy": "airy",
                  "mod_airy": "mod_airy", "intl": "intl", "bessel": "bessel",
+                 "evrst30": "evrst30",
                  }.get(em.group(1)) if em else "WGS84"
         if ellps is None:
             raise ValueError(f"unsupported +ellps={em.group(1)} in: {s}")
@@ -594,6 +621,16 @@ def parse_crs(crs: str) -> CRSInfo:
         return CRSInfo(
             "bonne", lat_1=_p("lat_1"), lon_0=_p("lon_0"),
             x_0=_p("x_0"), y_0=_p("y_0"),
+        )
+    if "+proj=omerc" in low:
+        gm = re.search(r"\+gamma=(-?[\d.]+(?:[eE][-+]?\d+)?)", low)
+        return CRSInfo(
+            "omerc", lat_0=_p("lat_0"), lon_0=_p("lonc", _p("lon_0")),
+            alpha=_p("alpha"),
+            gamma=float(gm.group(1)) if gm else None,
+            k_0=_p("k_0", _p("k", 1.0)),
+            x_0=_p("x_0"), y_0=_p("y_0"),
+            no_uoff="+no_uoff" in low, **_datum_fields(),
         )
     if "+proj=somerc" in low:
         k0 = _p("k_0", _p("k", 1.0))

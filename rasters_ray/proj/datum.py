@@ -45,6 +45,9 @@ ELLIPSOIDS = {
     "intl": (6378388.0, 1.0 / 297.0),
     # Bessel 1841 — DHDN / Gauss-Krueger heritage (EPSG:7004)
     "bessel": (6377397.155, 1.0 / 299.1528128),
+    # Everest 1830 (1967 Definition) — Timbalai 1948 / RSO Borneo
+    # (EPSG:7016)
+    "evrst30": (6377298.556, 1.0 / 300.8017),
 }
 
 # datum name -> (ellipsoid, towgs84: tx ty tz [m], rx ry rz [arcsec],
@@ -71,6 +74,8 @@ DATUMS = {
     # S-JTSK -> WGS84 (EPSG transformation 1622, geocentric translations
     # — the shift EPSG:5514 carries)
     "S-JTSK": ("bessel", (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)),
+    # Timbalai 1948 -> WGS84 (EPSG transformation 1236)
+    "Timbalai": ("evrst30", (-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)),
     # CH1903+ -> WGS84 (the official swisstopo CHTRS95 relation,
     # EPSG transformation 1676)
     "CH1903+": ("bessel", (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)),

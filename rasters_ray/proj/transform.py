@@ -28,6 +28,7 @@ from . import sinusoidal as _sinu
 from . import stereographic as _st
 from . import swiss as _sw
 from . import krovak as _krovak
+from . import omerc as _om
 from . import polyconic as _poly
 from . import robinson as _rob
 from . import world as _world
@@ -46,10 +47,10 @@ def _ell(info: CRSInfo) -> Tuple[float, float]:
 
 def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndarray, np.ndarray]:
     if _has_datum(info):
-        if info.kind not in ("utm", "tmerc", "somerc", "krovak"):
+        if info.kind not in ("utm", "tmerc", "somerc", "krovak", "omerc"):
             raise ValueError(
                 f"non-WGS84 datum is only supported for utm/tmerc/somerc/"
-                f"krovak CRSs, not {info.kind}"
+                f"krovak/omerc CRSs, not {info.kind}"
             )
         a, f = _ell(info)
         if info.kind == "utm":
@@ -60,6 +61,12 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
             )
         elif info.kind == "krovak":  # fixed S-JTSK/Bessel parameterization
             lon, lat = _krovak.krovak_to_geographic(x, y)
+        elif info.kind == "omerc":
+            lon, lat = _om.omerc_to_geographic(
+                x, y, info.lat_0, info.lon_0, info.alpha, info.gamma,
+                info.k_0, info.x_0, info.y_0, ellps=info.ellps,
+                variant="A" if info.no_uoff else "B",
+            )
         else:
             lon, lat = _tm.tmerc_to_geographic(
                 x, y, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
@@ -188,6 +195,12 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
         return _poly.cass_to_geographic(
             x, y, info.lat_0, info.lon_0, info.x_0, info.y_0
         )
+    if info.kind == "omerc":  # WGS84-datum omerc (no shift requested)
+        return _om.omerc_to_geographic(
+            x, y, info.lat_0, info.lon_0, info.alpha, info.gamma,
+            info.k_0, info.x_0, info.y_0, ellps="WGS84",
+            variant="A" if info.no_uoff else "B",
+        )
     if info.kind == "bonne":
         return _poly.bonne_to_geographic(
             x, y, info.lat_1, info.lon_0, info.x_0, info.y_0
@@ -205,10 +218,10 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
 
 def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[np.ndarray, np.ndarray]:
     if _has_datum(info):
-        if info.kind not in ("utm", "tmerc", "somerc", "krovak"):
+        if info.kind not in ("utm", "tmerc", "somerc", "krovak", "omerc"):
             raise ValueError(
                 f"non-WGS84 datum is only supported for utm/tmerc/somerc/"
-                f"krovak CRSs, not {info.kind}"
+                f"krovak/omerc CRSs, not {info.kind}"
             )
         lon, lat = wgs84_to_datum(lon, lat, info.ellps, info.towgs84)
         a, f = _ell(info)
@@ -220,6 +233,12 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
             )
         if info.kind == "krovak":  # fixed S-JTSK/Bessel parameterization
             return _krovak.geographic_to_krovak(lon, lat)
+        if info.kind == "omerc":
+            return _om.geographic_to_omerc(
+                lon, lat, info.lat_0, info.lon_0, info.alpha, info.gamma,
+                info.k_0, info.x_0, info.y_0, ellps=info.ellps,
+                variant="A" if info.no_uoff else "B",
+            )
         return _tm.geographic_to_tmerc(
             lon, lat, info.lat_0, info.lon_0, info.k_0, info.x_0, info.y_0, a, f
         )
@@ -345,6 +364,12 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
     if info.kind == "cass":
         return _poly.geographic_to_cass(
             lon, lat, info.lat_0, info.lon_0, info.x_0, info.y_0
+        )
+    if info.kind == "omerc":  # WGS84-datum omerc (no shift requested)
+        return _om.geographic_to_omerc(
+            lon, lat, info.lat_0, info.lon_0, info.alpha, info.gamma,
+            info.k_0, info.x_0, info.y_0, ellps="WGS84",
+            variant="A" if info.no_uoff else "B",
         )
     if info.kind == "bonne":
         return _poly.geographic_to_bonne(

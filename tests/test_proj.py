@@ -1312,6 +1312,8 @@ def test_all_crs_kinds_canonical_roundtrip_and_dispatch():
         "ESRI:54021", "+proj=poly +lat_0=38 +lon_0=10",
         "ESRI:54024", "+proj=cass +lat_0=40 +lon_0=10",
         "+proj=bonne +lat_1=45 +lon_0=10",
+        "EPSG:29873",
+        "+proj=omerc +lat_0=40 +lonc=10 +alpha=30 +k_0=0.9996",
     ]
     # per-CRS valid test points (lon, lat) inside each grid's domain
     domain = {
@@ -1328,6 +1330,8 @@ def test_all_crs_kinds_canonical_roundtrip_and_dispatch():
         "+proj=poly +lat_0=38 +lon_0=10": (12.0, 44.0),
         "+proj=cass +lat_0=40 +lon_0=10": (11.0, 44.0),
         "+proj=bonne +lat_1=45 +lon_0=10": (12.0, 44.0),
+        "EPSG:29873": (115.5, 5.0),
+        "+proj=omerc +lat_0=40 +lonc=10 +alpha=30 +k_0=0.9996": (12.0, 42.0),
     }
     for crs in spellings:
         info = parse_crs(crs)
@@ -1621,3 +1625,82 @@ def test_cassini_and_bonne_pins_and_roundtrip():
     from rasters_ray.proj.crs import parse_crs
     for spelled in (crs, "+proj=bonne +lat_1=60 +lon_0=0"):
         assert parse_crs(parse_crs(spelled).canonical()) == parse_crs(spelled)
+
+
+def test_hotine_oblique_mercator_gn72_example_and_invariants():
+    """Hotine oblique Mercator (GN7-2 methods 9812/9815): pins (a) the
+    GN7-2 worked example — Timbalai 1948 / RSO Borneo (m), EPSG:29873,
+    Everest 1830 (1967): 5d23'14.1129"N 115d48'19.8196"E ->
+    E 679245.73 N 596562.78 to the published cm; (b) conformality on
+    WGS84 (the numerical Jacobian is a similarity transform) and the
+    center scale k_c; (c) round-trips via the dispatcher for variant B
+    and variant A (+no_uoff); (d) EPSG:29873 / canonical fixed point."""
+    from rasters_ray.proj.omerc import (
+        geographic_to_omerc,
+        omerc_to_geographic,
+    )
+    from rasters_ray.proj.transform import transform_xy
+    from rasters_ray.proj.crs import parse_crs
+
+    # (a) the worked example (projection core, Timbalai geographic in)
+    latc, lonc = 4.0, 115.0
+    alpha = 53.0 + 18.0 / 60.0 + 56.9537 / 3600.0
+    gamma = 53.0 + 7.0 / 60.0 + 48.3685 / 3600.0
+    lat = np.array([5.0 + 23.0 / 60.0 + 14.1129 / 3600.0])
+    lon = np.array([115.0 + 48.0 / 60.0 + 19.8196 / 3600.0])
+    x, y = geographic_to_omerc(lon, lat, latc, lonc, alpha, gamma,
+                               0.99984, 590476.87, 442857.65,
+                               ellps="evrst30", variant="B")
+    assert abs(x[0] - 679245.73) < 0.01
+    assert abs(y[0] - 596562.78) < 0.01
+    lo, la = omerc_to_geographic(x, y, latc, lonc, alpha, gamma,
+                                 0.99984, 590476.87, 442857.65,
+                                 ellps="evrst30", variant="B")
+    assert abs(lo[0] - lon[0]) < 1e-10 and abs(la[0] - lat[0]) < 1e-10
+
+    # (b) conformality + center scale on WGS84
+    h = 1e-6
+    lonp = np.array([-95.0]); latp = np.array([40.0])
+    args = dict(lat_c=40.0, lon_c=-95.0, alpha_c=30.0, gamma_c=30.0,
+                k_c=0.9996)
+    xE, yE = geographic_to_omerc(lonp + h, latp, **args)
+    xW, yW = geographic_to_omerc(lonp - h, latp, **args)
+    xN, yN = geographic_to_omerc(lonp, latp + h, **args)
+    xS, yS = geographic_to_omerc(lonp, latp - h, **args)
+    from rasters_ray.proj.conic import A_WGS84, E2
+    s = np.sin(np.radians(latp[0]))
+    # ground distances per degree
+    nu = A_WGS84 / np.sqrt(1.0 - E2 * s * s)
+    rho_m = A_WGS84 * (1.0 - E2) / (1.0 - E2 * s * s) ** 1.5
+    ex = (xE[0] - xW[0]) / 2.0; ey = (yE[0] - yW[0]) / 2.0
+    nx = (xN[0] - xS[0]) / 2.0; ny = (yN[0] - yS[0]) / 2.0
+    k_east = np.hypot(ex, ey) / (np.radians(h) * nu * np.cos(np.radians(40.0)))
+    k_north = np.hypot(nx, ny) / (np.radians(h) * rho_m)
+    assert abs(k_east / k_north - 1.0) < 1e-6   # isotropic (conformal)
+    assert abs(k_east - 0.9996) < 1e-6          # center scale = k_c
+    # perpendicularity of the image axes (similarity transform)
+    assert abs(ex * nx + ey * ny) / (np.hypot(ex, ey) * np.hypot(nx, ny)) \
+        < 1e-6
+
+    # (c) dispatcher round-trips, both variants
+    rng = np.random.default_rng(79)
+    lon = rng.uniform(-120.0, -70.0, 500)
+    lat = rng.uniform(25.0, 55.0, 500)
+    for crs in ("+proj=omerc +lat_0=40 +lonc=-95 +alpha=30 +k_0=0.9996",
+                "+proj=omerc +lat_0=40 +lonc=-95 +alpha=30 +gamma=28"
+                " +k_0=0.9996 +no_uoff"):
+        xx, yy = transform_xy(lon, lat, "EPSG:4326", crs)
+        lo2, la2 = transform_xy(xx, yy, crs, "EPSG:4326")
+        np.testing.assert_allclose(lo2, lon, atol=1e-9, err_msg=crs)
+        np.testing.assert_allclose(la2, lat, atol=1e-9, err_msg=crs)
+        info = parse_crs(crs)
+        assert parse_crs(info.canonical()) == info
+
+    # (d) EPSG:29873 fixed point + full WGS84-datum round-trip
+    i2 = parse_crs("EPSG:29873")
+    assert parse_crs(i2.canonical()) == i2
+    lonb = np.array([115.2, 117.5]); latb = np.array([4.5, 6.0])
+    xb, yb = transform_xy(lonb, latb, "EPSG:4326", "EPSG:29873")
+    lo3, la3 = transform_xy(xb, yb, "EPSG:29873", "EPSG:4326")
+    np.testing.assert_allclose(lo3, lonb, atol=1e-8)
+    np.testing.assert_allclose(la3, latb, atol=1e-8)
