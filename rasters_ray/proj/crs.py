@@ -308,6 +308,14 @@ def parse_crs(crs: str) -> CRSInfo:
             return CRSInfo("utm", zone=code - 32600, south=False)
         if 32701 <= code <= 32760:
             return CRSInfo("utm", zone=code - 32700, south=True)
+        if 25828 <= code <= 25838:
+            # ETRS89 / UTM zones 28N-38N (Europe). ETRS89 ~ WGS84 at
+            # raster scale (the same GRS80~WGS84 alias EPSG:3035 uses)
+            return CRSInfo("utm", zone=code - 25800, south=False)
+        if 26901 <= code <= 26923:
+            # NAD83 / UTM zones 1N-23N (US/Canada). NAD83 ~ WGS84 at
+            # raster scale (sub-2 m; the standard 0-parameter alias)
+            return CRSInfo("utm", zone=code - 26900, south=False)
         if code == 3413:  # NSIDC Sea Ice North (WGS84)
             return CRSInfo("stere", south=False, lat_ts=70.0, lon_0=-45.0)
         if code == 3411:
@@ -325,6 +333,14 @@ def parse_crs(crs: str) -> CRSInfo:
             return CRSInfo("stere", south=True, lat_ts=-71.0, lon_0=0.0)
         if code == 5070:  # CONUS Albers (NAD83/GRS80 ~ WGS84 here)
             return CRSInfo("aea", lat_1=29.5, lat_2=45.5, lat_0=23.0, lon_0=-96.0)
+        if code == 3577:  # GDA94 / Australian Albers (GRS80 ~ WGS84)
+            return CRSInfo("aea", lat_1=-18.0, lat_2=-36.0, lat_0=0.0,
+                           lon_0=132.0)
+        if code == 2154:
+            # RGF93 / Lambert-93 — the French national grid (LCC 2SP on
+            # GRS80 ~ WGS84; RGF93 is ETRS89-equivalent)
+            return CRSInfo("lcc", lat_1=49.0, lat_2=44.0, lat_0=46.5,
+                           lon_0=3.0, x_0=700000.0, y_0=6600000.0)
         if code == 3035:  # European LAEA (ETRS89/GRS80 ~ WGS84 here)
             return CRSInfo("laea", lat_0=52.0, lon_0=10.0,
                            x_0=4321000.0, y_0=3210000.0)
@@ -703,7 +719,7 @@ def center_aeqd(lat: float, lon: float) -> str:
 
 _EPSG_CANDIDATES = (4326, 3857, 3395, 3413, 3976, 3031, 5070, 3035,
                     6931, 6932, 6933, 2193, 4087, 27700, 29902, 29903,
-                    8857, 5514)
+                    8857, 5514, 2154, 3577, 29873)
 
 
 def epsg_code(crs: str) -> Optional[int]:

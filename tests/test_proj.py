@@ -93,7 +93,9 @@ def test_parse_crs_equivalences():
     assert parse_crs("EPSG:32610") == parse_crs("+proj=utm +zone=10 +datum=WGS84")
     assert parse_crs("EPSG:4326") == parse_crs("+proj=longlat +datum=WGS84")
     with pytest.raises(ValueError):
-        parse_crs("EPSG:2154")  # projected CRSs outside the family still raise
+        # projected CRSs outside the family still raise (NTF / Lambert
+        # zone II sits on Clarke 1880, which the engine does not carry)
+        parse_crs("EPSG:27572")
 
 
 # --- sinusoidal / LCC / Mercator (round 4: arbitrary-CRS family) ---------
@@ -1704,3 +1706,42 @@ def test_hotine_oblique_mercator_gn72_example_and_invariants():
     lo3, la3 = transform_xy(xb, yb, "EPSG:29873", "EPSG:4326")
     np.testing.assert_allclose(lo3, lonb, atol=1e-8)
     np.testing.assert_allclose(la3, latb, atol=1e-8)
+
+
+def test_regional_epsg_registrations():
+    """Registration-only EPSG codes that reuse already-oracle-verified
+    kernels: ETRS89 UTM (258xx) and NAD83 UTM (269xx) equal the WGS84
+    UTM parameterization (the standard sub-2 m 0-parameter alias);
+    Lambert-93 (EPSG:2154) is LCC 2SP with the published French
+    constants; Australian Albers (EPSG:3577) the published GDA94 ones.
+    Each round-trips and matches its explicit proj4 spelling."""
+    from rasters_ray.proj.crs import parse_crs
+    from rasters_ray.proj.transform import transform_xy
+
+    # UTM aliases are EXACTLY the WGS84 zones
+    assert parse_crs("EPSG:25832") == parse_crs("EPSG:32632")
+    assert parse_crs("EPSG:26910") == parse_crs("EPSG:32610")
+
+    # Lambert-93 == its proj4 spelling; a Paris-area point lands in the
+    # published coordinate range (x ~ 650 km, y ~ 6.86 Mm)
+    lon = np.array([2.3522]); lat = np.array([48.8566])
+    x, y = transform_xy(lon, lat, "EPSG:4326", "EPSG:2154")
+    x2, y2 = transform_xy(
+        lon, lat, "EPSG:4326",
+        "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3"
+        " +x_0=700000 +y_0=6600000")
+    np.testing.assert_allclose(x, x2, atol=1e-9)
+    np.testing.assert_allclose(y, y2, atol=1e-9)
+    assert 600000 < x[0] < 700000 and 6.8e6 < y[0] < 6.9e6
+    lo, la = transform_xy(x, y, "EPSG:2154", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    # Australian Albers: Alice Springs lands near the grid center,
+    # negative northing (lat_0 = 0), round-trips
+    lon = np.array([133.8807]); lat = np.array([-23.6980])
+    x, y = transform_xy(lon, lat, "EPSG:4326", "EPSG:3577")
+    assert abs(x[0]) < 400000 and -2.8e6 < y[0] < -2.4e6
+    lo, la = transform_xy(x, y, "EPSG:3577", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
