@@ -114,9 +114,10 @@ class CRSInfo:
             return "EPSG:3395"
         if self.kind == "stere":
             lat0 = -90 if self.south else 90
+            k = f" +k_0={self.k_0}" if self.k_0 != 1.0 else ""
             return (
                 f"+proj=stere +lat_0={lat0} +lat_ts={self.lat_ts}"
-                f" +lon_0={self.lon_0} +x_0={self.x_0} +y_0={self.y_0}"
+                f" +lon_0={self.lon_0}{k} +x_0={self.x_0} +y_0={self.y_0}"
             )
         if self.kind == "aea":
             return (
@@ -327,6 +328,15 @@ def parse_crs(crs: str) -> CRSInfo:
                 "does not implement; reproject the data to EPSG:3413 (the "
                 "WGS84 successor grid) upstream"
             )
+        if code in (32661, 5041):
+            # WGS 84 / UPS North — polar stereographic variant A,
+            # k0 = 0.994, false origin 2,000 km (axis order is
+            # irrelevant here: the engine always returns x=E, y=N)
+            return CRSInfo("stere", south=False, lat_ts=90.0, lon_0=0.0,
+                           k_0=0.994, x_0=2000000.0, y_0=2000000.0)
+        if code in (32761, 5042):  # WGS 84 / UPS South
+            return CRSInfo("stere", south=True, lat_ts=-90.0, lon_0=0.0,
+                           k_0=0.994, x_0=2000000.0, y_0=2000000.0)
         if code == 3976:  # NSIDC Sea Ice South
             return CRSInfo("stere", south=True, lat_ts=-70.0, lon_0=0.0)
         if code == 3031:  # Antarctic Polar Stereographic
@@ -492,6 +502,7 @@ def parse_crs(crs: str) -> CRSInfo:
         lat_ts = _p("lat_ts", lat0)
         return CRSInfo(
             "stere", south=lat0 < 0, lat_ts=lat_ts, lon_0=_p("lon_0"),
+            k_0=_p("k_0", _p("k", 1.0)),
             x_0=_p("x_0"), y_0=_p("y_0"),
         )
     if "+proj=aea" in low:

@@ -43,8 +43,10 @@ def _constants(lat_ts: float) -> Tuple[float, float]:
 def geographic_to_polar_stereo(
     lon: np.ndarray, lat: np.ndarray,
     lat_ts: float, lon_0: float = 0.0, south: bool = False,
-    x_0: float = 0.0, y_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, k_0: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
+    """``k_0`` is the variant-A scale at the pole (UPS uses 0.994 with
+    lat_ts = +-90); variant-B grids leave it at 1."""
     m_c, t_c = _constants(lat_ts)
     lam = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
     lam = (lam + np.pi) % (2.0 * np.pi) - np.pi
@@ -52,7 +54,7 @@ def geographic_to_polar_stereo(
     if south:
         phi = -phi
         lam = -lam
-    rho = A_WGS84 * m_c * _t(phi) / t_c
+    rho = A_WGS84 * k_0 * m_c * _t(phi) / t_c
     x = rho * np.sin(lam)
     y = -rho * np.cos(lam)
     if south:
@@ -63,7 +65,7 @@ def geographic_to_polar_stereo(
 def polar_stereo_to_geographic(
     x: np.ndarray, y: np.ndarray,
     lat_ts: float, lon_0: float = 0.0, south: bool = False,
-    x_0: float = 0.0, y_0: float = 0.0,
+    x_0: float = 0.0, y_0: float = 0.0, k_0: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     m_c, t_c = _constants(lat_ts)
     xs = np.asarray(x, dtype=np.float64) - x_0
@@ -71,7 +73,7 @@ def polar_stereo_to_geographic(
     if south:
         xs, ys = -xs, -ys
     rho = np.hypot(xs, ys)
-    t = rho * t_c / (A_WGS84 * m_c)
+    t = rho * t_c / (A_WGS84 * k_0 * m_c)
     phi = np.pi / 2.0 - 2.0 * np.arctan(t)
     for _ in range(8):  # double precision in <= 5 rounds (Snyder 7-9)
         s = np.sin(phi)

@@ -92,7 +92,8 @@ def _to_geographic(x: np.ndarray, y: np.ndarray, info: CRSInfo) -> Tuple[np.ndar
         return _merc.merc_to_geographic(x, y)
     if info.kind == "stere":
         return _st.polar_stereo_to_geographic(
-            x, y, info.lat_ts, info.lon_0, info.south, info.x_0, info.y_0
+            x, y, info.lat_ts, info.lon_0, info.south, info.x_0, info.y_0,
+            k_0=info.k_0,
         )
     if info.kind == "aea":
         return _aea.aea_to_geographic(
@@ -262,7 +263,8 @@ def _from_geographic(lon: np.ndarray, lat: np.ndarray, info: CRSInfo) -> Tuple[n
         return _merc.geographic_to_merc(lon, lat)
     if info.kind == "stere":
         return _st.geographic_to_polar_stereo(
-            lon, lat, info.lat_ts, info.lon_0, info.south, info.x_0, info.y_0
+            lon, lat, info.lat_ts, info.lon_0, info.south, info.x_0, info.y_0,
+            k_0=info.k_0,
         )
     if info.kind == "aea":
         return _aea.geographic_to_aea(

@@ -1745,3 +1745,55 @@ def test_regional_epsg_registrations():
     lo, la = transform_xy(x, y, "EPSG:3577", "EPSG:4326")
     np.testing.assert_allclose(lo, lon, atol=1e-9)
     np.testing.assert_allclose(la, lat, atol=1e-9)
+
+
+def test_ups_registration_and_invariants():
+    """EPSG:32661/32761 (and 5041/5042) — Universal Polar Stereographic:
+    variant A with k0 = 0.994 and the 2,000 km false origin over the
+    existing polar-stereographic kernel. Pins: (a) the pole maps to
+    exactly (2e6, 2e6); (b) the scale at the pole is k0 = 0.994
+    (numerical Jacobian against the ellipsoidal radius of curvature...
+    checked against the variant-B k_0=1 kernel: UPS = 0.994 x the
+    lat_ts=90 projection + 2e6); (c) round-trips both hemispheres;
+    (d) existing variant-B grids (EPSG:3413) are bit-unchanged
+    (k_0 = 1 multiplication is exact)."""
+    from rasters_ray.proj.crs import parse_crs
+    from rasters_ray.proj.transform import transform_xy
+
+    # (a) poles
+    x, y = transform_xy(np.array([37.0]), np.array([90.0]),
+                        "EPSG:4326", "EPSG:32661")
+    assert x[0] == 2000000.0 and y[0] == 2000000.0
+    x, y = transform_xy(np.array([37.0]), np.array([-90.0]),
+                        "EPSG:4326", "EPSG:32761")
+    assert x[0] == 2000000.0 and y[0] == 2000000.0
+
+    # (b) UPS == 0.994 * variant-A(k0=1, lat_ts=90) + 2e6
+    lon = np.array([10.0, -120.0, 77.0])
+    lat = np.array([85.0, 80.0, 88.0])
+    xu, yu = transform_xy(lon, lat, "EPSG:4326", "EPSG:32661")
+    xb, yb = transform_xy(
+        lon, lat, "EPSG:4326",
+        "+proj=stere +lat_0=90 +lat_ts=90 +lon_0=0 +x_0=0 +y_0=0")
+    np.testing.assert_allclose(xu, 0.994 * xb + 2000000.0, rtol=1e-14)
+    np.testing.assert_allclose(yu, 0.994 * yb + 2000000.0, rtol=1e-14)
+
+    # (c) round-trips
+    lo, la = transform_xy(xu, yu, "EPSG:32661", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, lat, atol=1e-9)
+    xs, ys = transform_xy(lon, -lat, "EPSG:4326", "EPSG:5042")
+    lo, la = transform_xy(xs, ys, "EPSG:5042", "EPSG:4326")
+    np.testing.assert_allclose(lo, lon, atol=1e-9)
+    np.testing.assert_allclose(la, -lat, atol=1e-9)
+
+    # (d) EPSG:3413 unchanged by the k_0 thread-through
+    x3, y3 = transform_xy(lon, lat, "EPSG:4326", "EPSG:3413")
+    x3b, y3b = transform_xy(
+        lon, lat, "EPSG:4326",
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +k_0=1 +x_0=0 +y_0=0")
+    np.testing.assert_array_equal(x3, x3b)
+    np.testing.assert_array_equal(y3, y3b)
+    # canonical fixed point with the k_0 field
+    info = parse_crs("EPSG:32661")
+    assert parse_crs(info.canonical()) == info
