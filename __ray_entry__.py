@@ -5029,6 +5029,55 @@ def q_shp_roundtrip(sf_dir: str):
         roundtrip, batch_format="pyarrow")
 
 
+def q_geoparquet_roundtrip(sf_dir: str):
+    """GeoParquet envelope (sources/geoparquet.py + wkb.py): the oracle
+    points (c_custkey < 2000) round-trip ON WORKERS through a WKB-
+    encoded parquet file with spec 'geo' metadata — geometry doubles
+    are stored raw in WKB (bit-exact back), the integer attribute rides
+    a plain parquet column — and the oracle recomputes EVERYTHING from
+    the customer view (_PTS_CTE formula + floor-cm), so this is a
+    value-exact non-golden contract. Scale shape: one parquet shard per
+    input block on worker-local disk; nothing shuffles; the read path
+    is the engine's most Ray-native vector ingest (native parquet scan
+    + one vectorized WKB decode)."""
+    import os
+
+    from rasters_ray.sources.geoparquet import (read_geoparquet,
+                                                write_geoparquet)
+    from rasters_ray.sources.vectors import oracle_points_from_keys
+
+    out_dir = f"/tmp/rasters_ray_gpq_q_{os.getpid()}"
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        os.makedirs(out_dir, exist_ok=True)
+        k = t.column("c_custkey").to_numpy()
+        k = k[k < 2000]
+        if len(k) == 0:
+            return pa.table({"point_id": pa.array([], pa.string()),
+                             "x_cm": pa.array([], pa.int64()),
+                             "y_cm": pa.array([], pa.int64()),
+                             "grp": pa.array([], pa.int64())})
+        pts = oracle_points_from_keys(k)
+        pts = pts.append_column(
+            "grp", pa.array((k % 1000).astype(np.int64), pa.int64()))
+        p = os.path.join(out_dir, f"blk{int(k[0])}_{os.getpid()}.parquet")
+        write_geoparquet(pts, p)
+        back = read_geoparquet(p)
+        x = back.column("x").to_numpy()
+        y = back.column("y").to_numpy()
+        return pa.table(
+            {
+                "point_id": back.column("point_id"),
+                "x_cm": pa.array(np.floor(x * 100.0).astype(np.int64)),
+                "y_cm": pa.array(np.floor(y * 100.0).astype(np.int64)),
+                "grp": back.column("grp"),
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        roundtrip, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6168,6 +6217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hgt_roundtrip": q_hgt_roundtrip,
         "bil_roundtrip": q_bil_roundtrip,
         "shp_roundtrip": q_shp_roundtrip,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -6930,6 +6980,10 @@ SELECT printf('pt%06d', c_custkey) AS point_id,
        CAST(c_custkey % 1000 AS BIGINT) AS grp
 FROM k
 """
+    # geoparquet_roundtrip: value-exact NON-golden — WKB stores
+    # geometry doubles raw, so the same customer-view recomputation
+    # as shp_roundtrip pins the whole WKB + geo-metadata path
+    sql["geoparquet_roundtrip"] = sql["shp_roundtrip"]
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice
     # origins (pinned by one sequential run; fixed IEEE op order)

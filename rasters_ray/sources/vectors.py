@@ -128,16 +128,22 @@ def rings_to_numpy(rings_value) -> List[np.ndarray]:
 
 def read_vector_file(path: str, kind: str = "auto") -> pa.Table:
     """One vector file -> the engine's Arrow vector table. Shapefiles
-    route by the .shp extension; everything else is parsed as GeoJSON
+    route by the .shp extension, GeoParquet by .parquet/.geoparquet;
+    everything else is parsed as GeoJSON
     (FeatureCollection or bare geometry). ``kind`` ('points' or
     'polygons') asserts the schema class for pipelines that need one;
     'auto' returns whatever the file holds."""
     import os
 
-    if os.path.splitext(path)[1].lower() == ".shp":
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".shp":
         from .shapefile import read_shapefile
 
         t = read_shapefile(path)
+    elif ext in (".parquet", ".geoparquet"):
+        from .geoparquet import read_geoparquet
+
+        t = read_geoparquet(path)
     else:
         from .geojson import geojson_to_polygons
 
