@@ -5078,6 +5078,68 @@ def q_geoparquet_roundtrip(sf_dir: str):
         roundtrip, batch_format="pyarrow")
 
 
+def q_geom_stats(sf_dir: str):
+    """Vector-geometry measures (stages/geomvec.py): deterministic
+    DYADIC rectangles (every coordinate an exact binary fraction, so
+    shoelace area, perimeter and bounds are BIT-EXACT in f64) derived
+    from c_custkey — every third feature carries a centered hole, and
+    hole rings are stored in the SAME winding as the outer ring so the
+    even-odd hole classifier (not winding) is what the oracle pins.
+    area*16384 / perim*64 are exact integers; the area-weighted
+    centroid rounds to exact /128 lattice integers (only the /6 and
+    /area divisions round, error ~ulps). The oracle recomputes all
+    four as pure INTEGER SQL from the key formulas. Scale shape: one
+    per-feature map stage, nothing shuffles (reference parity: shapely
+    .area/.length/.centroid via rasters/polygon.py:51)."""
+    from rasters_ray.stages.geomvec import geometry_stats
+
+    def build(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        m = (k % 32 + 1).astype(np.float64)
+        n = ((k // 5) % 32 + 1).astype(np.float64)
+        x0 = -128.0 + (k % 1024).astype(np.float64) / 32.0
+        y0 = 32.0 + ((k // 7) % 512).astype(np.float64) / 64.0
+        w = m / 64.0
+        h = n / 64.0
+        cells = []
+        for i in range(len(k)):
+            a, b, ww, hh = x0[i], y0[i], w[i], h[i]
+            outer = [(a, b), (a + ww, b), (a + ww, b + hh), (a, b + hh),
+                     (a, b)]
+            rings = [[{"x": px, "y": py} for px, py in outer]]
+            if k[i] % 3 == 0:
+                hx, hy = a + ww / 4.0, b + hh / 4.0
+                hole = [(hx, hy), (hx + ww / 2.0, hy),
+                        (hx + ww / 2.0, hy + hh / 2.0),
+                        (hx, hy + hh / 2.0), (hx, hy)]
+                rings.append([{"x": px, "y": py} for px, py in hole])
+            cells.append(rings)
+        from rasters_ray.sources.vectors import RING_TYPE
+
+        return pa.table({
+            "poly_id": pa.array([f"g{int(i):06d}" for i in k], pa.string()),
+            "rings": pa.array(cells, RING_TYPE),
+            "crs": pa.array(["EPSG:4326"] * len(k), pa.string()),
+        })
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "geom_id": t.column("poly_id"),
+            "area_16384": pa.array(np.rint(
+                t.column("area").to_numpy() * 16384.0).astype(np.int64)),
+            "perim_64": pa.array(np.rint(
+                t.column("perimeter").to_numpy() * 64.0).astype(np.int64)),
+            "cx_128": pa.array(np.rint(
+                t.column("centroid_x").to_numpy() * 128.0).astype(np.int64)),
+            "cy_128": pa.array(np.rint(
+                t.column("centroid_y").to_numpy() * 128.0).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        build, batch_format="pyarrow")
+    return geometry_stats(ds).map_batches(to_ints, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6218,6 +6280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bil_roundtrip": q_bil_roundtrip,
         "shp_roundtrip": q_shp_roundtrip,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "geom_stats": q_geom_stats,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -6984,6 +7047,28 @@ FROM k
     # geometry doubles raw, so the same customer-view recomputation
     # as shp_roundtrip pins the whole WKB + geo-metadata path
     sql["geoparquet_roundtrip"] = sql["shp_roundtrip"]
+    # geom_stats: value-exact NON-golden, pure INTEGER oracle — the
+    # dyadic rectangle construction makes shoelace area (x16384),
+    # perimeter (x64) and the /128-lattice centroid exact integers
+    # recomputable from the key formulas alone
+    sql["geom_stats"] = """
+WITH g AS (
+  SELECT c_custkey AS k,
+         (c_custkey % 32) + 1 AS m,
+         ((c_custkey // 5) % 32) + 1 AS n,
+         c_custkey % 1024 AS p,
+         (c_custkey // 7) % 512 AS q
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(CASE WHEN k % 3 = 0 THEN 3 * m * n
+                 ELSE 4 * m * n END AS BIGINT) AS area_16384,
+       CAST(CASE WHEN k % 3 = 0 THEN 3 * (m + n)
+                 ELSE 2 * (m + n) END AS BIGINT) AS perim_64,
+       CAST(-16384 + 4 * p + m AS BIGINT) AS cx_128,
+       CAST(4096 + 2 * q + n AS BIGINT) AS cy_128
+FROM g
+"""
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice
     # origins (pinned by one sequential run; fixed IEEE op order)

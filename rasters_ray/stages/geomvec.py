@@ -1,0 +1,253 @@
+"""Vector-geometry measures and transforms over polygon/line tables:
+planar area, perimeter, area-weighted centroid, bounds, convex hull
+(Andrew monotone chain) and Douglas-Peucker simplification.
+
+Reference parity: the reference reaches all of these through shapely —
+``Polygon.centroid``/``bounds`` (rasters/polygon.py:51,92),
+``VectorGeometry.to_shapely`` exposes ``.area``/``.length``/
+``.convex_hull``/``.simplify`` (rasters/vector_geometry.py:96) — i.e.
+single-process GEOS. Here each measure is a closed-form numpy kernel
+applied per feature inside one ``map_batches`` stage: no shuffle, no
+shared state, scale-linear in features.
+
+Ring semantics follow the engine's vector schema (exterior-first part
+lists, even-odd fill like stages/pip.py): a ring is classified a HOLE
+when its first vertex falls inside an odd number of the feature's
+other rings, so area = sum(outer) - sum(holes) matches the even-odd
+rasterization exactly, independent of ring winding order (shapefile
+and GeoJSON disagree on winding in the wild).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from .pip import point_in_ring
+
+
+def ring_signed_area(pts: np.ndarray) -> float:
+    """Shoelace signed area of one ring (closed or open; the closing
+    edge is implied). Positive = counter-clockwise."""
+    x = pts[:, 0]
+    y = pts[:, 1]
+    # cross-sum with the wraparound edge; np.roll keeps one fixed
+    # IEEE evaluation order (bit-deterministic across runs)
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def ring_length(pts: np.ndarray, closed: bool = True) -> float:
+    d = np.diff(pts, axis=0)
+    total = float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+    if closed and not np.array_equal(pts[0], pts[-1]):
+        total += float(np.hypot(pts[0, 0] - pts[-1, 0],
+                                pts[0, 1] - pts[-1, 1]))
+    return total
+
+
+def classify_holes(rings: List[np.ndarray]) -> List[bool]:
+    """True per ring when it is a hole under even-odd semantics: its
+    first vertex lies inside an odd number of the OTHER rings."""
+    out = []
+    for i, r in enumerate(rings):
+        px = np.array([r[0, 0]])
+        py = np.array([r[0, 1]])
+        depth = 0
+        for j, other in enumerate(rings):
+            if j != i and point_in_ring(px, py, other)[0]:
+                depth += 1
+        out.append(depth % 2 == 1)
+    return out
+
+
+def polygon_measures(rings: List[np.ndarray]) -> Tuple[float, float, float, float]:
+    """One feature's ring list -> (area, perimeter, centroid_x,
+    centroid_y). Area/centroid are hole-aware (holes subtract);
+    perimeter counts every ring boundary (GEOS ``length`` parity)."""
+    holes = classify_holes(rings)
+    area = 0.0
+    perim = 0.0
+    mx = 0.0  # area-weighted first moments
+    my = 0.0
+    for r, is_hole in zip(rings, holes):
+        a = abs(ring_signed_area(r))
+        sgn = -1.0 if is_hole else 1.0
+        area += sgn * a
+        perim += ring_length(r)
+        x = r[:, 0]
+        y = r[:, 1]
+        xn = np.roll(x, -1)
+        yn = np.roll(y, -1)
+        cross = x * yn - xn * y
+        # standard polygon centroid: (1/6A) sum (xi+xi+1)cross —
+        # normalize the ring's own signed orientation so holes
+        # subtract regardless of stored winding
+        s = ring_signed_area(r)
+        osgn = 1.0 if s >= 0 else -1.0
+        mx += sgn * osgn * float(np.sum((x + xn) * cross)) / 6.0
+        my += sgn * osgn * float(np.sum((y + yn) * cross)) / 6.0
+    if area == 0.0:
+        # degenerate: fall back to vertex mean of the first ring
+        r0 = rings[0]
+        return 0.0, perim, float(r0[:, 0].mean()), float(r0[:, 1].mean())
+    return area, perim, mx / area, my / area
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain -> CCW closed hull ring (k+1, 2).
+    Collinear points are dropped (GEOS convention)."""
+    p = np.unique(pts.reshape(-1, 2), axis=0)  # lexicographic sort
+    if len(p) <= 2:
+        return np.vstack([p, p[:1]])
+
+    def half(points) -> List[np.ndarray]:
+        out: List[np.ndarray] = []
+        for q in points:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (q[1] - o[1]) - (a[1] - o[1]) * (q[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(q)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    hull = np.array(lower[:-1] + upper[:-1], dtype=np.float64)
+    return np.vstack([hull, hull[:1]])
+
+
+def simplify_ring(pts: np.ndarray, tol: float, closed: bool = True) -> np.ndarray:
+    """Douglas-Peucker with an explicit stack (no recursion limits).
+    Closed rings anchor at the first vertex and the farthest-from-it
+    vertex so the result stays a ring (shapely ``simplify`` parity,
+    preserve_topology=False semantics)."""
+    p = np.asarray(pts, dtype=np.float64)
+    if closed and np.array_equal(p[0], p[-1]):
+        p = p[:-1]
+    n = len(p)
+    if n <= (3 if closed else 2):
+        return np.vstack([p, p[:1]]) if closed else p
+    keep = np.zeros(n, dtype=bool)
+    if closed:
+        far = int(np.argmax(np.hypot(p[:, 0] - p[0, 0], p[:, 1] - p[0, 1])))
+        anchors = [(0, far), (far, n - 1)]
+        keep[[0, far, n - 1]] = True
+    else:
+        anchors = [(0, n - 1)]
+        keep[[0, n - 1]] = True
+    stack = list(anchors)
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = p[j] - p[i]
+        mid = p[i + 1:j]
+        L = np.hypot(seg[0], seg[1])
+        if L == 0.0:
+            d = np.hypot(mid[:, 0] - p[i, 0], mid[:, 1] - p[i, 1])
+        else:
+            d = np.abs(seg[0] * (p[i, 1] - mid[:, 1])
+                       - seg[1] * (p[i, 0] - mid[:, 0])) / L
+        kmax = int(np.argmax(d))
+        if d[kmax] > tol:
+            k = i + 1 + kmax
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    out = p[keep]
+    return np.vstack([out, out[:1]]) if closed else out
+
+
+# ---------------------------------------------------- dataset stages
+
+def _cell_to_arrays(cell) -> List[np.ndarray]:
+    return [np.array([(q["x"], q["y"]) for q in part], dtype=np.float64)
+            for part in cell]
+
+
+def _arrays_to_cell(parts: List[np.ndarray]) -> list:
+    return [[{"x": float(x), "y": float(y)} for x, y in part]
+            for part in parts]
+
+
+def geometry_stats(ds):
+    """Polygons/lines dataset -> per-feature measures. Polygon rows
+    (``rings``) gain area/perimeter/centroid_x/centroid_y/xmin/ymin/
+    xmax/ymax; line rows (``paths``) gain length + bounds (area 0).
+    One vectorized-per-feature map stage; nothing shuffles."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        geom_col = "rings" if "rings" in batch.column_names else "paths"
+        is_poly = geom_col == "rings"
+        n = batch.num_rows
+        area = np.zeros(n)
+        perim = np.zeros(n)
+        cx = np.zeros(n)
+        cy = np.zeros(n)
+        bounds = np.zeros((n, 4))
+        for i, cell in enumerate(batch.column(geom_col).to_pylist()):
+            parts = _cell_to_arrays(cell)
+            allpts = np.vstack(parts)
+            bounds[i] = (allpts[:, 0].min(), allpts[:, 1].min(),
+                         allpts[:, 0].max(), allpts[:, 1].max())
+            if is_poly:
+                area[i], perim[i], cx[i], cy[i] = polygon_measures(parts)
+            else:
+                perim[i] = sum(ring_length(p, closed=False) for p in parts)
+                cx[i] = allpts[:, 0].mean()
+                cy[i] = allpts[:, 1].mean()
+        out = batch
+        for name, col in (("area", area), ("perimeter", perim),
+                          ("centroid_x", cx), ("centroid_y", cy),
+                          ("xmin", bounds[:, 0]), ("ymin", bounds[:, 1]),
+                          ("xmax", bounds[:, 2]), ("ymax", bounds[:, 3])):
+            out = out.append_column(name, pa.array(col, pa.float64()))
+        return out
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def simplify_polygons(ds, tol: float):
+    """Douglas-Peucker every ring/path; geometry column shape is
+    preserved. Per-feature map stage, no shuffle."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        geom_col = "rings" if "rings" in batch.column_names else "paths"
+        closed = geom_col == "rings"
+        idx = batch.column_names.index(geom_col)
+        cells = [
+            _arrays_to_cell([simplify_ring(p, tol, closed=closed)
+                             for p in _cell_to_arrays(cell)])
+            for cell in batch.column(geom_col).to_pylist()
+        ]
+        from ..sources.vectors import RING_TYPE
+
+        return batch.set_column(idx, geom_col, pa.array(cells, RING_TYPE))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def convex_hulls(ds):
+    """Per-feature convex hull: rings/paths collapse to one hull ring
+    (output column is always ``rings`` — a hull is a polygon)."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        from ..sources.vectors import RING_TYPE
+
+        geom_col = "rings" if "rings" in batch.column_names else "paths"
+        cells = [
+            _arrays_to_cell([convex_hull(np.vstack(_cell_to_arrays(cell)))])
+            for cell in batch.column(geom_col).to_pylist()
+        ]
+        idx = batch.column_names.index(geom_col)
+        out = batch.set_column(idx, geom_col, pa.array(cells, RING_TYPE))
+        if geom_col == "paths":
+            names = ["rings" if c == "paths" else c for c in out.column_names]
+            out = out.rename_columns(names)
+        return out
+
+    return ds.map_batches(run, batch_format="pyarrow")
