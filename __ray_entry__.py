@@ -5140,6 +5140,63 @@ def q_geom_stats(sf_dir: str):
     return geometry_stats(ds).map_batches(to_ints, batch_format="pyarrow")
 
 
+def q_vec_reproject(sf_dir: str):
+    """Vector reprojection (stages/geomvec.py::reproject_vectors —
+    VectorGeometry.to_crs parity): the geom_stats dyadic rectangles
+    reproject to Web Mercator through the VECTORIZED nested-offsets
+    path (whole batch flattens through the Arrow list offsets, ONE
+    transform_xy call, lists rebuilt from the same offsets). The
+    oracle applies Snyder 7-1/7-2 in SQL to the two opposite corners
+    each feature reports (floor-cm). The rectangle lat range is
+    32..40 deg so Mercator is far from its pole singularities."""
+    from rasters_ray.sources.vectors import RING_TYPE
+    from rasters_ray.stages.geomvec import reproject_vectors
+
+    def build(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        m = (k % 32 + 1).astype(np.float64)
+        n = ((k // 5) % 32 + 1).astype(np.float64)
+        x0 = -128.0 + (k % 1024).astype(np.float64) / 32.0
+        y0 = 32.0 + ((k // 7) % 512).astype(np.float64) / 64.0
+        w = m / 64.0
+        h = n / 64.0
+        cells = []
+        for i in range(len(k)):
+            a, b, ww, hh = x0[i], y0[i], w[i], h[i]
+            outer = [(a, b), (a + ww, b), (a + ww, b + hh), (a, b + hh),
+                     (a, b)]
+            cells.append([[{"x": px, "y": py} for px, py in outer]])
+        return pa.table({
+            "poly_id": pa.array([f"g{int(i):06d}" for i in k], pa.string()),
+            "rings": pa.array(cells, RING_TYPE),
+            "crs": pa.array(["EPSG:4326"] * len(k), pa.string()),
+        })
+
+    def corners(t: pa.Table) -> pa.Table:
+        ids = t.column("poly_id")
+        lc = t.column("rings").combine_chunks()
+        x0 = np.empty(t.num_rows)
+        y0 = np.empty(t.num_rows)
+        x1 = np.empty(t.num_rows)
+        y1 = np.empty(t.num_rows)
+        for i, cell in enumerate(lc.to_pylist()):
+            ring = cell[0]
+            x0[i], y0[i] = ring[0]["x"], ring[0]["y"]
+            x1[i], y1[i] = ring[2]["x"], ring[2]["y"]
+        return pa.table({
+            "geom_id": ids,
+            "x0_cm": pa.array(np.floor(x0 * 100.0).astype(np.int64)),
+            "y0_cm": pa.array(np.floor(y0 * 100.0).astype(np.int64)),
+            "x1_cm": pa.array(np.floor(x1 * 100.0).astype(np.int64)),
+            "y1_cm": pa.array(np.floor(y1 * 100.0).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        build, batch_format="pyarrow")
+    return reproject_vectors(ds, "EPSG:3857").map_batches(
+        corners, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6281,6 +6338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shp_roundtrip": q_shp_roundtrip,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "geom_stats": q_geom_stats,
+        "vec_reproject": q_vec_reproject,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7067,6 +7125,29 @@ SELECT printf('g%06d', k) AS geom_id,
                  ELSE 2 * (m + n) END AS BIGINT) AS perim_64,
        CAST(-16384 + 4 * p + m AS BIGINT) AS cx_128,
        CAST(4096 + 2 * q + n AS BIGINT) AS cy_128
+FROM g
+"""
+    # vec_reproject: value-exact NON-golden — Snyder 7-1/7-2 applied
+    # in SQL to both corners of each dyadic rectangle (same IEEE
+    # expression order as proj/mercator.py), floor-cm
+    sql["vec_reproject"] = """
+WITH g AS (
+  SELECT c_custkey AS k,
+         -128.0e0 + (c_custkey % 1024) / 32.0e0 AS x0,
+         32.0e0 + ((c_custkey // 7) % 512) / 64.0e0 AS y0,
+         ((c_custkey % 32) + 1) / 64.0e0 AS w,
+         (((c_custkey // 5) % 32) + 1) / 64.0e0 AS h
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(floor(6378137.0e0 * radians(x0) * 100.0e0) AS BIGINT) AS x0_cm,
+       CAST(floor(6378137.0e0
+            * ln(tan(0.7853981633974483e0 + radians(y0) / 2.0e0))
+            * 100.0e0) AS BIGINT) AS y0_cm,
+       CAST(floor(6378137.0e0 * radians(x0 + w) * 100.0e0) AS BIGINT) AS x1_cm,
+       CAST(floor(6378137.0e0
+            * ln(tan(0.7853981633974483e0 + radians(y0 + h) / 2.0e0))
+            * 100.0e0) AS BIGINT) AS y1_cm
 FROM g
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell

@@ -144,6 +144,8 @@ def read_vector_file(path: str, kind: str = "auto") -> pa.Table:
         from .geoparquet import read_geoparquet
 
         t = read_geoparquet(path)
+    elif ext in (".csv", ".tsv"):
+        t = csv_to_vectors(path)
     else:
         from .geojson import geojson_to_polygons
 
@@ -153,6 +155,66 @@ def read_vector_file(path: str, kind: str = "auto") -> pa.Table:
     if kind != "auto" and kind != have:
         raise ValueError(f"{path} holds {have}, pipeline expects {kind}")
     return t
+
+
+_CSV_X = ("x", "lon", "longitude", "lng")
+_CSV_Y = ("y", "lat", "latitude")
+_CSV_WKT = ("wkt", "geometry", "geom")
+_CSV_ID = ("point_id", "poly_id", "line_id", "id", "name")
+
+
+def csv_to_vectors(path: str, crs: str = "EPSG:4326") -> "pa.Table":
+    """CSV/TSV -> the engine's vector table. Column sniffing follows
+    the common conventions: a WKT text column (wkt/geometry/geom)
+    wins; else x/y (or lon/lat, longitude/latitude) numeric columns
+    make a points table. Remaining columns ride along as attributes;
+    a ``.prj``/``.crs`` sidecar overrides the 4326 default (reference:
+    geopandas' points_from_xy CSV recipe)."""
+    import os
+
+    import pyarrow.csv as pacsv
+
+    opts = pacsv.ParseOptions(delimiter="\t" if path.endswith(".tsv")
+                              else ",")
+    t = pacsv.read_csv(path, parse_options=opts)
+    base = os.path.splitext(path)[0]
+    for sc in (base + ".prj", base + ".crs"):
+        if os.path.exists(sc):
+            crs = open(sc).read().strip()
+            break
+    names = {c.lower(): c for c in t.column_names}
+    wkt_col = next((names[c] for c in _CSV_WKT
+                    if c in names and pa.types.is_string(
+                        t.schema.field(names[c]).type)), None)
+    id_col = next((names[c] for c in _CSV_ID if c in names), None)
+    ids = (t.column(id_col).to_pylist() if id_col
+           else [f"csv{i:06d}" for i in range(t.num_rows)])
+    ids = [str(v) for v in ids]
+    if wkt_col is not None:
+        from .wkb import decode_wkt, encode_wkb
+
+        blobs = [encode_wkb(*decode_wkt(s))
+                 for s in t.column(wkt_col).to_pylist()]
+        extra = {c: t.column(c).to_pylist() for c in t.column_names
+                 if c not in (wkt_col, id_col)}
+        from .wkb import wkb_column_to_table
+
+        return wkb_column_to_table(ids, blobs, crs=crs, extra=extra)
+    x_col = next((names[c] for c in _CSV_X if c in names), None)
+    y_col = next((names[c] for c in _CSV_Y if c in names), None)
+    if x_col is None or y_col is None:
+        raise ValueError(
+            f"{path}: no WKT column ({'/'.join(_CSV_WKT)}) and no "
+            f"coordinate pair ({'/'.join(_CSV_X)} x {'/'.join(_CSV_Y)}) "
+            f"among {t.column_names}")
+    data = {"point_id": pa.array(ids, pa.string()),
+            "x": t.column(x_col).cast(pa.float64()),
+            "y": t.column(y_col).cast(pa.float64()),
+            "crs": pa.array([crs] * t.num_rows, pa.string())}
+    for c in t.column_names:
+        if c not in (x_col, y_col, id_col) and c not in data:
+            data[c] = t.column(c)
+    return pa.table(data)
 
 
 def vector_dataset(paths: List[str], kind: str = "polygons"):

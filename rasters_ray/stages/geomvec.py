@@ -231,6 +231,62 @@ def simplify_polygons(ds, tol: float):
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def reproject_vectors(ds, dst_crs: str):
+    """``VectorGeometry.to_crs`` as a dataset stage (reference:
+    rasters/vector_geometry.py:59 — geopandas ``to_crs`` per
+    geometry). Points transform x/y directly; rings/paths flatten the
+    WHOLE batch's coordinates through the Arrow list offsets into one
+    (N, 2) array, make ONE ``transform_xy`` call, and rebuild the
+    nested lists zero-copy from the same offsets — no per-feature
+    Python loop. Batches may mix source CRSs (grouped per unique crs
+    value); the crs column is rewritten to ``dst_crs``."""
+    from ..proj import transform_xy
+
+    def run(batch: pa.Table) -> pa.Table:
+        crs_vals = batch.column("crs").to_numpy(zero_copy_only=False)
+        out = batch
+        if "x" in batch.column_names:
+            x = batch.column("x").to_numpy().copy()
+            y = batch.column("y").to_numpy().copy()
+            for src in np.unique(crs_vals):
+                sel = crs_vals == src
+                if src != dst_crs:
+                    x[sel], y[sel] = transform_xy(x[sel], y[sel],
+                                                  str(src), dst_crs)
+            out = out.set_column(out.column_names.index("x"), "x",
+                                 pa.array(x, pa.float64()))
+            out = out.set_column(out.column_names.index("y"), "y",
+                                 pa.array(y, pa.float64()))
+        else:
+            geom_col = ("rings" if "rings" in batch.column_names
+                        else "paths")
+            if len(np.unique(crs_vals)) != 1:
+                raise ValueError(
+                    "mixed-CRS polygon batches are not supported; "
+                    "repartition by crs first")
+            src = str(crs_vals[0])
+            lc = batch.column(geom_col).combine_chunks()
+            inner = lc.values  # list<struct> array
+            pts = inner.values  # struct array
+            x = pts.field("x").to_numpy()
+            y = pts.field("y").to_numpy()
+            if src != dst_crs:
+                x, y = transform_xy(x, y, src, dst_crs)
+            new_pts = pa.StructArray.from_arrays(
+                [pa.array(np.ascontiguousarray(x), pa.float64()),
+                 pa.array(np.ascontiguousarray(y), pa.float64())],
+                ["x", "y"])
+            new_inner = pa.ListArray.from_arrays(inner.offsets, new_pts)
+            new_lc = pa.ListArray.from_arrays(lc.offsets, new_inner)
+            out = batch.set_column(
+                batch.column_names.index(geom_col), geom_col, new_lc)
+        idx = out.column_names.index("crs")
+        return out.set_column(
+            idx, "crs", pa.array([dst_crs] * out.num_rows, pa.string()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 def convex_hulls(ds):
     """Per-feature convex hull: rings/paths collapse to one hull ring
     (output column is always ``rings`` — a hull is a polygon)."""
