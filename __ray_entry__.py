@@ -5197,6 +5197,64 @@ def q_vec_reproject(sf_dir: str):
         corners, batch_format="pyarrow")
 
 
+_POLY_JOIN_BOXES = [
+    # (id, x0, y0, x1, y1) — every coordinate an ODD multiple of 1/128
+    # while the stream rectangles live on the 1/64 lattice, so the two
+    # sets can never merely touch: intersects == STRICT interval
+    # overlap, which the oracle states directly in SQL
+    ("b0", -127.9921875, 32.0078125, -112.0078125, 36.0078125),
+    ("b1", -112.0078125, 36.0078125, -96.0078125, 40.0078125),
+    ("b2", -120.0078125, 34.0078125, -104.0078125, 38.0078125),
+    ("b3", -100.0078125, 33.0078125, -99.0078125, 34.0078125),
+]
+
+
+def q_poly_join(sf_dir: str):
+    """Polygon-polygon intersects join (stages/pip.py::polygon_join —
+    the broadcast R-tree north-rule shape: the small side ships ONCE
+    via ray.put as ring arrays + STR tree, stream batches probe
+    bboxes, the exact vertex-containment + edge-crossing test runs on
+    candidates only; nothing shuffles). Stream side: the geom_stats
+    dyadic rectangles. The box lattice offset (odd 1/128ths vs even
+    1/64ths) removes touch cases, so the oracle is exact strict
+    interval overlap in SQL."""
+    from rasters_ray.sources.vectors import RING_TYPE
+    from rasters_ray.stages.pip import polygon_join
+
+    boxes = pa.table({
+        "poly_id": pa.array([b[0] for b in _POLY_JOIN_BOXES], pa.string()),
+        "rings": pa.array(
+            [[[{"x": x0, "y": y0}, {"x": x1, "y": y0}, {"x": x1, "y": y1},
+               {"x": x0, "y": y1}, {"x": x0, "y": y0}]]
+             for _, x0, y0, x1, y1 in _POLY_JOIN_BOXES], RING_TYPE),
+        "crs": pa.array(["EPSG:4326"] * len(_POLY_JOIN_BOXES), pa.string()),
+    })
+
+    def build(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        m = (k % 32 + 1).astype(np.float64)
+        n = ((k // 5) % 32 + 1).astype(np.float64)
+        x0 = -128.0 + (k % 1024).astype(np.float64) / 32.0
+        y0 = 32.0 + ((k // 7) % 512).astype(np.float64) / 64.0
+        w = m / 64.0
+        h = n / 64.0
+        cells = []
+        for i in range(len(k)):
+            a, b, ww, hh = x0[i], y0[i], w[i], h[i]
+            cells.append([[{"x": a, "y": b}, {"x": a + ww, "y": b},
+                           {"x": a + ww, "y": b + hh},
+                           {"x": a, "y": b + hh}, {"x": a, "y": b}]])
+        return pa.table({
+            "poly_id": pa.array([f"g{int(i):06d}" for i in k], pa.string()),
+            "rings": pa.array(cells, RING_TYPE),
+            "crs": pa.array(["EPSG:4326"] * len(k), pa.string()),
+        })
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        build, batch_format="pyarrow")
+    return polygon_join(ds, boxes, mode="inner")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6339,6 +6397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "geom_stats": q_geom_stats,
         "vec_reproject": q_vec_reproject,
+        "poly_join": q_poly_join,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7149,6 +7208,29 @@ SELECT printf('g%06d', k) AS geom_id,
             * ln(tan(0.7853981633974483e0 + radians(y0 + h) / 2.0e0))
             * 100.0e0) AS BIGINT) AS y1_cm
 FROM g
+"""
+    # poly_join: value-exact NON-golden — the odd-1/128 box lattice vs
+    # the even-1/64 rectangle lattice removes touch cases, so
+    # intersects == strict interval overlap stated directly in SQL
+    box_rows = ",\n  ".join(
+        f"('{b}', {x0!r}e0, {y0!r}e0, {x1!r}e0, {y1!r}e0)"
+        for b, x0, y0, x1, y1 in _POLY_JOIN_BOXES)
+    sql["poly_join"] = f"""
+WITH g AS (
+  SELECT c_custkey AS k,
+         -128.0e0 + (c_custkey % 1024) / 32.0e0 AS x0,
+         32.0e0 + ((c_custkey // 7) % 512) / 64.0e0 AS y0,
+         ((c_custkey % 32) + 1) / 64.0e0 AS w,
+         (((c_custkey // 5) % 32) + 1) / 64.0e0 AS h
+  FROM customer
+),
+b(other_id, bx0, by0, bx1, by1) AS (VALUES
+  {box_rows}
+)
+SELECT printf('g%06d', g.k) AS poly_id, b.other_id
+FROM g CROSS JOIN b
+WHERE g.x0 < b.bx1 AND g.x0 + g.w > b.bx0
+  AND g.y0 < b.by1 AND g.y0 + g.h > b.by0
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice

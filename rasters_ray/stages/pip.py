@@ -247,3 +247,127 @@ def rasterize_lines(grid: GridSpec, lines: pa.Table,
                                        pts[k + 1, 0], pts[k + 1, 1])
                 mask[rr, cc] = True
     return mask
+
+
+# ---------------------------------------------------------------------------
+# polygon-polygon intersects join
+# ---------------------------------------------------------------------------
+
+def _edges(rings: List[np.ndarray]) -> np.ndarray:
+    """Ring list -> (n, 4) array of segments (x0, y0, x1, y1); the
+    closing edge is implied when a ring is stored open."""
+    segs = []
+    for r in rings:
+        p = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+        segs.append(np.hstack([p[:-1], p[1:]]))
+    return np.vstack(segs)
+
+
+def _segments_intersect(a: np.ndarray, b: np.ndarray) -> bool:
+    """True when ANY segment of a crosses/touches ANY segment of b —
+    the classic orientation test, broadcast over all pairs at once
+    (na x nb), including collinear-touch via on-segment checks."""
+    a0x = a[:, None, 0]; a0y = a[:, None, 1]
+    a1x = a[:, None, 2]; a1y = a[:, None, 3]
+    b0x = b[None, :, 0]; b0y = b[None, :, 1]
+    b1x = b[None, :, 2]; b1y = b[None, :, 3]
+    d1 = (b1x - b0x) * (a0y - b0y) - (b1y - b0y) * (a0x - b0x)
+    d2 = (b1x - b0x) * (a1y - b0y) - (b1y - b0y) * (a1x - b0x)
+    d3 = (a1x - a0x) * (b0y - a0y) - (a1y - a0y) * (b0x - a0x)
+    d4 = (a1x - a0x) * (b1y - a0y) - (a1y - a0y) * (b1x - a0x)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & \
+             (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    if proper.any():
+        return True
+
+    def on_seg(px, py, sx0, sy0, sx1, sy1):
+        return ((np.minimum(sx0, sx1) <= px) & (px <= np.maximum(sx0, sx1))
+                & (np.minimum(sy0, sy1) <= py) & (py <= np.maximum(sy0, sy1)))
+
+    touch = ((d1 == 0) & on_seg(a0x, a0y, b0x, b0y, b1x, b1y)) | \
+            ((d2 == 0) & on_seg(a1x, a1y, b0x, b0y, b1x, b1y)) | \
+            ((d3 == 0) & on_seg(b0x, b0y, a0x, a0y, a1x, a1y)) | \
+            ((d4 == 0) & on_seg(b1x, b1y, a0x, a0y, a1x, a1y))
+    return bool(touch.any())
+
+
+def polygons_intersect(rings_a: List[np.ndarray],
+                       rings_b: List[np.ndarray]) -> bool:
+    """GEOS ``intersects`` semantics for two even-odd polygons
+    (touching counts; a feature fully inside the other's HOLE does
+    not): vertex containment both ways, then the all-pairs edge test.
+    Ring sizes in this engine are feature-scale (tens of vertices), so
+    the broadcast edge matrix stays small."""
+    va = np.vstack(rings_a)
+    if point_in_rings(va[:, 0], va[:, 1], rings_b).any():
+        return True
+    vb = np.vstack(rings_b)
+    if point_in_rings(vb[:, 0], vb[:, 1], rings_a).any():
+        return True
+    return _segments_intersect(_edges(rings_a), _edges(rings_b))
+
+
+class PolygonJoinStage:
+    """Actor-pool stage: polygon batches x broadcast PolygonSet ->
+    (poly_id, other_id) intersect pairs (the polygon flavor of
+    PIPJoinStage: bbox R-tree candidates, exact test on candidates
+    only). mode='inner' emits pairs; 'semi' each matched feature once;
+    'anti' unmatched features."""
+
+    def __init__(self, polyset_ref, mode: str = "inner"):
+        import ray
+
+        self.polys: PolygonSet = (
+            ray.get(polyset_ref)
+            if not isinstance(polyset_ref, PolygonSet) else polyset_ref)
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("poly_id").to_pylist()
+        cells = [rings_to_numpy(v)
+                 for v in batch.column("rings").to_pylist()]
+        boxes = np.array(
+            [(min(r[:, 0].min() for r in rs), min(r[:, 1].min() for r in rs),
+              max(r[:, 0].max() for r in rs), max(r[:, 1].max() for r in rs))
+             for rs in cells], dtype=np.float64).reshape(-1, 4)
+        qi, bi = self.polys.tree.query_boxes(boxes)
+        pairs_q: List[int] = []
+        pairs_b: List[int] = []
+        for q, b in zip(qi.tolist(), bi.tolist()):
+            if polygons_intersect(cells[q], self.polys.rings[b]):
+                pairs_q.append(q)
+                pairs_b.append(b)
+        if self.mode == "inner":
+            return pa.table({
+                "poly_id": pa.array([ids[q] for q in pairs_q], pa.string()),
+                "other_id": pa.array([self.polys.ids[b] for b in pairs_b],
+                                     pa.string()),
+            })
+        matched = np.zeros(len(ids), dtype=bool)
+        matched[pairs_q] = True
+        sel = matched if self.mode == "semi" else ~matched
+        keep = [i for i in range(len(ids)) if sel[i]]
+        return pa.table({
+            "poly_id": pa.array([ids[i] for i in keep], pa.string()),
+            "other_id": pa.array([None] * len(keep), pa.string()),
+        })
+
+
+def polygon_join(polys_ds, polygons: pa.Table, mode: str = "inner",
+                 concurrency=None):
+    """Dataset[polygons] x polygon table -> intersect pairs (broadcast
+    join; the small side ships once via ray.put, the stream side never
+    shuffles)."""
+    import ray
+
+    ref = ray.put(PolygonSet(polygons))
+    if concurrency is None:
+        from ..util import pool_size
+
+        concurrency = pool_size(0.5)
+    return polys_ds.map_batches(
+        PolygonJoinStage,
+        fn_constructor_kwargs={"polyset_ref": ref, "mode": mode},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
