@@ -5255,6 +5255,53 @@ def q_poly_join(sf_dir: str):
     return polygon_join(ds, boxes, mode="inner")
 
 
+def q_clip_area(sf_dir: str):
+    """Polygon clipping (stages/geomvec.py::clip_polygons —
+    Sutherland-Hodgman per ring against an AOI box, gpd.clip parity):
+    the geom_stats dyadic rectangles clip to a dyadic box, then
+    geometry_stats measures the survivors. Axis-aligned SH keeps every
+    intersection vertex exact (boundary coordinate copied), so the
+    clipped shoelace area*4096 is an exact integer the oracle
+    recomputes with pure-integer interval arithmetic (LEAST/GREATEST
+    in 1/64 units); merely-touching features clip to zero area and
+    drop on BOTH engines. Scale shape: one map stage, no shuffle."""
+    from rasters_ray.sources.vectors import RING_TYPE
+    from rasters_ray.stages.geomvec import clip_polygons, geometry_stats
+
+    def build(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        m = (k % 32 + 1).astype(np.float64)
+        n = ((k // 5) % 32 + 1).astype(np.float64)
+        x0 = -128.0 + (k % 1024).astype(np.float64) / 32.0
+        y0 = 32.0 + ((k // 7) % 512).astype(np.float64) / 64.0
+        w = m / 64.0
+        h = n / 64.0
+        cells = []
+        for i in range(len(k)):
+            a, b, ww, hh = x0[i], y0[i], w[i], h[i]
+            cells.append([[{"x": a, "y": b}, {"x": a + ww, "y": b},
+                           {"x": a + ww, "y": b + hh},
+                           {"x": a, "y": b + hh}, {"x": a, "y": b}]])
+        return pa.table({
+            "poly_id": pa.array([f"g{int(i):06d}" for i in k], pa.string()),
+            "rings": pa.array(cells, RING_TYPE),
+            "crs": pa.array(["EPSG:4326"] * len(k), pa.string()),
+        })
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "geom_id": t.column("poly_id"),
+            "area_4096": pa.array(np.rint(
+                t.column("area").to_numpy() * 4096.0).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        build, batch_format="pyarrow")
+    clipped = clip_polygons(ds, (-126.0, 33.0, -110.0, 38.0))
+    return geometry_stats(clipped).map_batches(
+        to_ints, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6398,6 +6445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geom_stats": q_geom_stats,
         "vec_reproject": q_vec_reproject,
         "poly_join": q_poly_join,
+        "clip_area": q_clip_area,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7231,6 +7279,29 @@ SELECT printf('g%06d', g.k) AS poly_id, b.other_id
 FROM g CROSS JOIN b
 WHERE g.x0 < b.bx1 AND g.x0 + g.w > b.bx0
   AND g.y0 < b.by1 AND g.y0 + g.h > b.by0
+"""
+    # clip_area: value-exact NON-golden pure-INTEGER oracle — clipped
+    # rectangle area in 1/64 units via LEAST/GREATEST; the clip box is
+    # (-126, 33, -110, 38) = (-8064, 2112, -7040, 2432)/64
+    sql["clip_area"] = """
+WITH g AS (
+  SELECT c_custkey AS k,
+         -8192 + 2 * (c_custkey % 1024) AS x64,
+         2048 + ((c_custkey // 7) % 512) AS y64,
+         (c_custkey % 32) + 1 AS w64,
+         ((c_custkey // 5) % 32) + 1 AS h64
+  FROM customer
+),
+ov AS (
+  SELECT k,
+         LEAST(x64 + w64, -7040) - GREATEST(x64, -8064) AS ow,
+         LEAST(y64 + h64, 2432) - GREATEST(y64, 2112) AS oh
+  FROM g
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(ow * oh AS BIGINT) AS area_4096
+FROM ov
+WHERE ow > 0 AND oh > 0
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice

@@ -307,3 +307,71 @@ def convex_hulls(ds):
         return out
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+def clip_ring_bbox(pts: np.ndarray, x0: float, y0: float,
+                   x1: float, y1: float) -> np.ndarray:
+    """Sutherland-Hodgman clip of one closed ring against an
+    axis-aligned box -> closed ring (possibly empty). Axis-aligned
+    half-planes keep the intersection vertices exact when the input
+    edge is axis-parallel (new vertex coordinates copy the boundary
+    and the crossing edge's other ordinate)."""
+    p = pts if not np.array_equal(pts[0], pts[-1]) else pts[:-1]
+
+    def clip_half(poly, axis: int, bound: float, keep_le: bool):
+        if len(poly) == 0:
+            return poly
+        out = []
+        n = len(poly)
+        for i in range(n):
+            a = poly[i]
+            b = poly[(i + 1) % n]
+            a_in = a[axis] <= bound if keep_le else a[axis] >= bound
+            b_in = b[axis] <= bound if keep_le else b[axis] >= bound
+            if a_in:
+                out.append(a)
+            if a_in != b_in:
+                t = (bound - a[axis]) / (b[axis] - a[axis])
+                q = a + t * (b - a)
+                q[axis] = bound  # exact on the boundary
+                out.append(q)
+        return np.array(out) if out else np.empty((0, 2))
+
+    p = clip_half(p, 0, x1, True)
+    p = clip_half(p, 0, x0, False)
+    p = clip_half(p, 1, y1, True)
+    p = clip_half(p, 1, y0, False)
+    if len(p) < 3 or abs(ring_signed_area(p)) == 0.0:
+        return np.empty((0, 2))
+    return np.vstack([p, p[:1]])
+
+
+def clip_polygons(ds, bounds):
+    """Clip every feature to an axis-aligned box (gpd.clip parity).
+    Each ring clips independently — intersection with a convex region
+    distributes over the even-odd symmetric difference, so hole
+    semantics survive; empty rings drop, featureless rows drop. One
+    map stage, no shuffle."""
+    x0, y0, x1, y1 = (float(v) for v in bounds)
+
+    def run(batch: pa.Table) -> pa.Table:
+        from ..sources.vectors import RING_TYPE
+
+        geom_col = "rings" if "rings" in batch.column_names else "paths"
+        keep_rows = []
+        cells_out = []
+        for i, cell in enumerate(batch.column(geom_col).to_pylist()):
+            parts = []
+            for part in _cell_to_arrays(cell):
+                c = clip_ring_bbox(part, x0, y0, x1, y1)
+                if len(c):
+                    parts.append(c)
+            if parts:
+                keep_rows.append(i)
+                cells_out.append(_arrays_to_cell(parts))
+        out = batch.take(pa.array(keep_rows, pa.int64()))
+        idx = out.column_names.index(geom_col)
+        return out.set_column(idx, geom_col,
+                              pa.array(cells_out, RING_TYPE))
+
+    return ds.map_batches(run, batch_format="pyarrow")

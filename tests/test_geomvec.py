@@ -131,3 +131,47 @@ def test_simplify_and_hull_stages(ray_session):
     })
     h2 = pa.Table.from_pylist(convex_hulls(rd.from_arrow(lt)).take_all())
     assert "rings" in h2.column_names
+
+
+def test_clip_ring_bbox_exact():
+    from rasters_ray.stages.geomvec import clip_ring_bbox
+
+    r = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+    # fully inside the box: unchanged area
+    c = clip_ring_bbox(r, -1, -1, 5, 5)
+    assert abs(ring_signed_area(c)) == 16.0
+    # half clipped
+    c = clip_ring_bbox(r, 2, -1, 9, 9)
+    assert abs(ring_signed_area(c)) == 8.0
+    # corner clip -> quarter
+    c = clip_ring_bbox(r, 2, 2, 9, 9)
+    assert abs(ring_signed_area(c)) == 4.0
+    # disjoint and touching -> empty
+    assert len(clip_ring_bbox(r, 5, 5, 6, 6)) == 0
+    assert len(clip_ring_bbox(r, 4, 0, 6, 4)) == 0
+    # a triangle clipped to a box gains the cut vertices
+    tri = np.array([[0, 0], [8, 0], [0, 8], [0, 0]], float)
+    c = clip_ring_bbox(tri, 0, 0, 6, 6)
+    # box area minus the corner triangle cut off by the hypotenuse
+    assert abs(ring_signed_area(c)) == 36.0 - 8.0
+
+
+def test_clip_polygons_stage_hole_semantics(ray_session):
+    import ray.data as rd
+    from rasters_ray.stages.geomvec import clip_polygons
+
+    donut = [[{"x": float(x), "y": float(y)} for x, y in
+              [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]],
+             [{"x": float(x), "y": float(y)} for x, y in
+              [(3, 3), (7, 3), (7, 7), (3, 7), (3, 3)]]]
+    far = [[{"x": float(x), "y": float(y)} for x, y in
+            [(100, 100), (101, 100), (101, 101), (100, 100)]]]
+    t = pa.table({"poly_id": pa.array(["d", "f"], pa.string()),
+                  "rings": pa.array([donut, far], RING_TYPE),
+                  "crs": pa.array(["EPSG:4326"] * 2, pa.string())})
+    rows = clip_polygons(rd.from_arrow(t), (2, 2, 8, 8)).take_all()
+    assert len(rows) == 1 and rows[0]["poly_id"] == "d"  # far feature dropped
+    rings = [np.array([(p["x"], p["y"]) for p in part])
+             for part in rows[0]["rings"]]
+    area, _, _, _ = polygon_measures(rings)
+    assert area == 6 * 6 - 4 * 4  # clipped outer minus surviving hole
