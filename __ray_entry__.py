@@ -5302,6 +5302,62 @@ def q_clip_area(sf_dir: str):
         to_ints, batch_format="pyarrow")
 
 
+def q_polygonize(sf_dir: str):
+    """Raster -> vector (stages/polygonize.py — gdal_polygonize
+    parity, the inverse of rasterize): per key a 16x16 labeled raster
+    on a dyadic grid carries one rectangle region (every third key
+    with a centered hole), polygonized ON WORKERS into corner-lattice
+    rings, then measured by geometry_stats. Corner coordinates are
+    exact lattice points, so area*4096 and the /64 bounds are exact
+    integers the oracle recomputes from the key formulas alone. The
+    hole keys pin loop stitching + even-odd hole emergence; n_rings
+    pins the loop count. Scale shape: per-image map, no shuffle."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.stages.geomvec import polygon_measures
+    from rasters_ray.stages.polygonize import polygonize
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        rows = {"geom_id": [], "area_4096": [], "n_rings": [],
+                "xmin_64": [], "ymax_64": []}
+        for kk in k.tolist():
+            rw = 4 + kk % 8
+            rh = 4 + (kk // 3) % 8
+            a = np.zeros((16, 16), dtype=np.int32)
+            a[2:2 + rh, 2:2 + rw] = 1
+            if kk % 3 == 0:
+                hw = max(1, rw - 4)
+                hh = max(1, rh - 4)
+                a[4:4 + hh, 4:4 + hw] = 0
+            g = GridSpec(
+                crs="EPSG:4326",
+                x_origin=-128.0 + (kk % 1024) / 32.0,
+                y_origin=40.0 + (kk % 256) / 64.0,
+                cell_width=1 / 64.0, cell_height=-1 / 64.0,
+                rows=16, cols=16)
+            feat = polygonize(a, g)
+            cell = feat.column("rings")[0].as_py()
+            rings = [np.array([(p["x"], p["y"]) for p in part])
+                     for part in cell]
+            area, _, _, _ = polygon_measures(rings)
+            allp = np.vstack(rings)
+            rows["geom_id"].append(f"g{kk:06d}")
+            rows["area_4096"].append(int(np.rint(area * 4096.0)))
+            rows["n_rings"].append(len(rings))
+            rows["xmin_64"].append(int(np.rint(allp[:, 0].min() * 64.0)))
+            rows["ymax_64"].append(int(np.rint(allp[:, 1].max() * 64.0)))
+        return pa.table({
+            "geom_id": pa.array(rows["geom_id"], pa.string()),
+            "area_4096": pa.array(rows["area_4096"], pa.int64()),
+            "n_rings": pa.array(rows["n_rings"], pa.int64()),
+            "xmin_64": pa.array(rows["xmin_64"], pa.int64()),
+            "ymax_64": pa.array(rows["ymax_64"], pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6446,6 +6502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vec_reproject": q_vec_reproject,
         "poly_join": q_poly_join,
         "clip_area": q_clip_area,
+        "polygonize": q_polygonize,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7302,6 +7359,26 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(ow * oh AS BIGINT) AS area_4096
 FROM ov
 WHERE ow > 0 AND oh > 0
+"""
+    # polygonize: value-exact NON-golden pure-INTEGER oracle — the
+    # dyadic corner lattice makes area*4096 and the /64 bounds exact
+    # integers from the key formulas (hole keys: GREATEST-clamped
+    # inset, ring count 2)
+    sql["polygonize"] = """
+WITH g AS (
+  SELECT c_custkey AS k,
+         4 + (c_custkey % 8) AS rw,
+         4 + ((c_custkey // 3) % 8) AS rh
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(CASE WHEN k % 3 = 0
+                 THEN rw * rh - GREATEST(1, rw - 4) * GREATEST(1, rh - 4)
+                 ELSE rw * rh END AS BIGINT) AS area_4096,
+       CAST(CASE WHEN k % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_rings,
+       CAST(-8192 + 2 * (k % 1024) + 2 AS BIGINT) AS xmin_64,
+       CAST(2560 + (k % 256) - 2 AS BIGINT) AS ymax_64
+FROM g
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice
