@@ -5358,6 +5358,53 @@ def q_polygonize(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+_NEAREST_SITES = [
+    # 8x8 site lattice offset by 1/256 so the oracle points (the
+    # _PTS_CTE formula: centi-degree lattice + 0.001) never land
+    # equidistant between sites; d2 is computed with the SAME
+    # (px-sx)*(px-sx)+(py-sy)*(py-sy) expression order on both engines
+    (f"s{s:02d}", -126.0 + (s % 8) * 4.0 + 1.0 / 256.0,
+     29.0 + (s // 8) * 2.0 + 1.0 / 256.0)
+    for s in range(64)
+]
+
+
+def q_nearest_join(sf_dir: str):
+    """Nearest-feature join (stages/pip.py::nearest_join —
+    gpd.sjoin_nearest parity): the oracle points against a broadcast
+    64-site lattice. Small sides take the vectorized (batch x sites)
+    distance-matrix path whose argmin tie-breaks to the lowest site
+    index; the oracle replays it with ROW_NUMBER() ORDER BY d2,
+    site_id. d2 stays SQUARED and floors at 1e-6 precision (products
+    of exact inputs in one fixed IEEE order are bit-identical across
+    engines). Scale shape: sites ship once via ray.put; the point
+    stream never shuffles."""
+    from rasters_ray.sources.vectors import oracle_points_from_keys
+    from rasters_ray.stages.pip import nearest_join
+
+    sites = pa.table({
+        "site_id": pa.array([s[0] for s in _NEAREST_SITES], pa.string()),
+        "x": pa.array([s[1] for s in _NEAREST_SITES], pa.float64()),
+        "y": pa.array([s[2] for s in _NEAREST_SITES], pa.float64()),
+    })
+
+    def pts(t: pa.Table) -> pa.Table:
+        return oracle_points_from_keys(t.column("c_custkey").to_numpy())
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "point_id": t.column("point_id"),
+            "site_id": t.column("site_id"),
+            "d2_micro": pa.array(np.floor(
+                t.column("d2").to_numpy() * 1e6).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        pts, batch_format="pyarrow")
+    return nearest_join(ds, sites).map_batches(
+        to_ints, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6503,6 +6550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_join": q_poly_join,
         "clip_area": q_clip_area,
         "polygonize": q_polygonize,
+        "nearest_join": q_nearest_join,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7379,6 +7427,31 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(-8192 + 2 * (k % 1024) + 2 AS BIGINT) AS xmin_64,
        CAST(2560 + (k % 256) - 2 AS BIGINT) AS ymax_64
 FROM g
+"""
+    # nearest_join: value-exact NON-golden — argmin over the 64-site
+    # cross join, ROW_NUMBER tie-break by site_id replays the engine's
+    # lowest-index argmin; d2 uses the identical expression order
+    site_rows = ",\n  ".join(
+        f"('{sid}', {sx!r}e0, {sy!r}e0)" for sid, sx, sy in _NEAREST_SITES)
+    sql["nearest_join"] = f"""
+WITH {_PTS_CTE.strip()},
+sites(site_id, sx, sy) AS (VALUES
+  {site_rows}
+),
+ranked AS (
+  SELECT pts.point_id, sites.site_id,
+         (pts.x - sites.sx) * (pts.x - sites.sx)
+         + (pts.y - sites.sy) * (pts.y - sites.sy) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY pts.point_id
+           ORDER BY (pts.x - sites.sx) * (pts.x - sites.sx)
+                  + (pts.y - sites.sy) * (pts.y - sites.sy), sites.site_id
+         ) AS rn
+  FROM pts CROSS JOIN sites
+)
+SELECT point_id, site_id,
+       CAST(floor(d2 * 1000000.0e0) AS BIGINT) AS d2_micro
+FROM ranked WHERE rn = 1
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice

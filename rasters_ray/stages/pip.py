@@ -371,3 +371,77 @@ def polygon_join(polys_ds, polygons: pa.Table, mode: str = "inner",
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# nearest-feature join
+# ---------------------------------------------------------------------------
+
+class NearestJoinStage:
+    """Actor-pool stage: point batches -> (point_id, site_id, d2) rows
+    joining each point to its nearest site (gpd.sjoin_nearest parity).
+    Small site sets (<= brute_max) use one vectorized (batch x sites)
+    distance matrix whose argmin tie-breaks to the LOWEST site index —
+    bit-deterministic and SQL-reproducible; larger sets use the
+    expanding-ring GridNNIndex (state/gridindex.py). Distances are
+    SQUARED planar units (exact f64 products; callers sqrt when they
+    need metric distance)."""
+
+    brute_max = 256
+
+    def __init__(self, sites_ref):
+        import ray
+
+        sites = (ray.get(sites_ref)
+                 if not isinstance(sites_ref, pa.Table) else sites_ref)
+        self.site_ids = sites.column("site_id").to_pylist()
+        self.sx = sites.column("x").to_numpy().astype(np.float64)
+        self.sy = sites.column("y").to_numpy().astype(np.float64)
+        if len(self.site_ids) > self.brute_max:
+            from ..state.gridindex import GridNNIndex
+
+            self.index = GridNNIndex(self.sx, self.sy)
+        else:
+            self.index = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch.column("x").to_numpy().astype(np.float64)
+        py = batch.column("y").to_numpy().astype(np.float64)
+        if self.index is None:
+            dx = px[:, None] - self.sx[None, :]
+            dy = py[:, None] - self.sy[None, :]
+            d2 = dx * dx + dy * dy
+            idx = np.argmin(d2, axis=1)  # first minimum = lowest index
+            best = d2[np.arange(len(px)), idx]
+        else:
+            idx, dist = self.index.query(px, py)
+            # recompute d2 with the canonical expression order so the
+            # two paths emit bit-identical values
+            dx = px - self.sx[idx]
+            dy = py - self.sy[idx]
+            best = dx * dx + dy * dy
+        return pa.table({
+            "point_id": batch.column("point_id"),
+            "site_id": pa.array([self.site_ids[i] for i in idx.tolist()],
+                                pa.string()),
+            "d2": pa.array(best, pa.float64()),
+        })
+
+
+def nearest_join(points_ds, sites: pa.Table, concurrency=None):
+    """Dataset[points] x site table -> nearest-site rows (broadcast
+    join: sites ship once via ray.put; the point stream never
+    shuffles)."""
+    import ray
+
+    ref = ray.put(sites)
+    if concurrency is None:
+        from ..util import pool_size
+
+        concurrency = pool_size(0.5)
+    return points_ds.map_batches(
+        NearestJoinStage,
+        fn_constructor_kwargs={"sites_ref": ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -69,3 +69,49 @@ def test_polygon_join_modes(ray_session):
     anti = polygon_join(rd.from_arrow(stream), small, mode="anti",
                         concurrency=1).take_all()
     assert [r["poly_id"] for r in anti] == ["s3"]
+
+
+def test_nearest_join_brute_and_index_agree(ray_session):
+    import ray.data as rd
+    from rasters_ray.stages.pip import NearestJoinStage, nearest_join
+
+    rng = np.random.default_rng(17)
+    ns = 400  # above brute_max -> GridNNIndex path
+    sites_big = pa.table({
+        "site_id": pa.array([f"s{i:04d}" for i in range(ns)], pa.string()),
+        "x": pa.array(rng.uniform(0, 100, ns)),
+        "y": pa.array(rng.uniform(0, 100, ns)),
+    })
+    pts = pa.table({
+        "point_id": pa.array([f"p{i:04d}" for i in range(300)], pa.string()),
+        "x": pa.array(rng.uniform(-5, 105, 300)),
+        "y": pa.array(rng.uniform(-5, 105, 300)),
+        "crs": pa.array(["EPSG:32610"] * 300),
+    })
+    got = {r["point_id"]: r for r in
+           nearest_join(rd.from_arrow(pts), sites_big,
+                        concurrency=1).take_all()}
+    # brute-force reference
+    sx = sites_big.column("x").to_numpy()
+    sy = sites_big.column("y").to_numpy()
+    px = pts.column("x").to_numpy()
+    py = pts.column("y").to_numpy()
+    d2 = (px[:, None] - sx[None, :]) ** 2 + (py[:, None] - sy[None, :]) ** 2
+    idx = np.argmin(d2, axis=1)
+    for i in range(300):
+        r = got[f"p{i:04d}"]
+        assert r["site_id"] == f"s{idx[i]:04d}"
+        dx = px[i] - sx[idx[i]]
+        dy = py[i] - sy[idx[i]]
+        assert r["d2"] == dx * dx + dy * dy
+    # small-side path: argmin tie-breaks to lowest site index
+    sites_small = pa.table({
+        "site_id": pa.array(["a", "b"], pa.string()),
+        "x": pa.array([0.0, 2.0]), "y": pa.array([0.0, 0.0]),
+    })
+    tie = pa.table({"point_id": pa.array(["t"], pa.string()),
+                    "x": pa.array([1.0]), "y": pa.array([5.0]),
+                    "crs": pa.array(["EPSG:32610"])})
+    r = nearest_join(rd.from_arrow(tie), sites_small,
+                     concurrency=1).take_all()[0]
+    assert r["site_id"] == "a"
