@@ -5405,6 +5405,42 @@ def q_nearest_join(sf_dir: str):
         to_ints, batch_format="pyarrow")
 
 
+def q_cell_area(sf_dir: str):
+    """Graticule cell areas (grids/geomops.py::cell_areas/grid_area —
+    the area weights every geographic-grid statistic needs): per key a
+    16x16 dyadic grid; emits row k%16's band-cell area and the
+    telescoped grid total, both floored at 1e-3 m^2. The oracle
+    recomputes R^2 * dlon * (sin(lat_t) - sin(lat_b)) in SQL with the
+    IDENTICAL expression order (the same libm-parity contract the
+    projection oracles rest on). Scale shape: per-key map, no
+    shuffle."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.grids.geomops import cell_areas, grid_area
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, band, total = [], [], []
+        for kk in k.tolist():
+            g = GridSpec(
+                crs="EPSG:4326",
+                x_origin=-128.0 + (kk % 1024) / 32.0,
+                y_origin=32.0 + (kk % 256) / 64.0,
+                cell_width=1 / 64.0, cell_height=-1 / 64.0,
+                rows=16, cols=16)
+            a = cell_areas(g)
+            gid.append(f"g{kk:06d}")
+            band.append(int(np.floor(a[kk % 16] * 1000.0)))
+            total.append(int(np.floor(grid_area(g) * 1000.0)))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "band_mm2": pa.array(band, pa.int64()),
+            "total_mm2": pa.array(total, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6551,6 +6587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_area": q_clip_area,
         "polygonize": q_polygonize,
         "nearest_join": q_nearest_join,
+        "cell_area": q_cell_area,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7452,6 +7489,29 @@ ranked AS (
 SELECT point_id, site_id,
        CAST(floor(d2 * 1000000.0e0) AS BIGINT) AS d2_micro
 FROM ranked WHERE rn = 1
+"""
+    # cell_area: value-exact NON-golden — the graticule band formula
+    # recomputed in SQL with the engine's exact expression order
+    # (R = 6371007.1809 authalic; dlon = radians(1/64))
+    sql["cell_area"] = """
+WITH g AS (
+  SELECT c_custkey AS k,
+         32.0e0 + (c_custkey % 256) / 64.0e0 AS y0,
+         CAST(c_custkey % 16 AS DOUBLE) AS j
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(floor(
+         (6371007.1809e0 * 6371007.1809e0) * radians(1.0e0 / 64.0e0)
+         * (sin(radians(y0 + (-1.0e0 / 64.0e0) * j))
+            - sin(radians(y0 + (-1.0e0 / 64.0e0) * (j + 1.0e0))))
+         * 1000.0e0) AS BIGINT) AS band_mm2,
+       CAST(floor(
+         (6371007.1809e0 * 6371007.1809e0)
+         * (radians(1.0e0 / 64.0e0) * 16)
+         * (sin(radians(y0)) - sin(radians(y0 + (-1.0e0 / 64.0e0) * 16)))
+         * 1000.0e0) AS BIGINT) AS total_mm2
+FROM g
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice

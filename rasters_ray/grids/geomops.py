@@ -131,3 +131,57 @@ def point_distances(x0: float, y0: float, xs, ys, crs: str = "EPSG:4326") -> np.
         ex, ny = transform_xy(np.append(xs, x0), np.append(ys, y0), crs, utm)
         return np.hypot(ex[:-1] - ex[-1], ny[:-1] - ny[-1])
     return np.hypot(xs - x0, ys - y0)
+
+
+_EARTH_R = 6371007.1809  # authalic sphere radius (NSIDC EASE-Grid 2.0)
+
+
+def cell_areas(grid: GridSpec) -> np.ndarray:
+    """Per-ROW cell area in m^2 (length ``rows``; every cell in a row
+    of a north-oriented affine grid has the same area). Geographic
+    grids use the graticule-cell formula on the authalic sphere,
+    A = R^2 * dlon * (sin(lat_top) - sin(lat_bottom)) — the standard
+    weight for area-weighted raster statistics (each row's band area;
+    exact on the sphere, no quadrature). Projected grids are planar:
+    cell_width * |cell_height| (equal-area CRSs make this the true
+    area; conformal CRSs carry their documented distortion, same as
+    the reference's projected-`cell_size` semantics)."""
+    from ..proj import is_geographic
+
+    if not is_geographic(grid.crs):
+        return np.full(grid.rows,
+                       grid.cell_width * abs(grid.cell_height)
+                       * np.ones(1)[0])
+    i = np.arange(grid.rows, dtype=np.float64)
+    lat_t = np.radians(grid.y_origin + grid.cell_height * i)
+    lat_b = np.radians(grid.y_origin + grid.cell_height * (i + 1.0))
+    dlon = np.radians(grid.cell_width)
+    return (_EARTH_R * _EARTH_R) * dlon * (np.sin(lat_t) - np.sin(lat_b))
+
+
+def grid_area(grid: GridSpec) -> float:
+    """Total grid area in m^2 — the telescoped form of summing
+    ``cell_areas``: R^2 * (dlon * cols) * (sin(top) - sin(bottom))
+    for geographic grids (one expression, no accumulation-order
+    dependence), planar width*height*cells for projected."""
+    from ..proj import is_geographic
+
+    if not is_geographic(grid.crs):
+        return (grid.cell_width * abs(grid.cell_height)
+                * grid.rows * grid.cols)
+    top = np.radians(grid.y_origin)
+    bot = np.radians(grid.y_origin + grid.cell_height * grid.rows)
+    dlon = np.radians(grid.cell_width)
+    return float((_EARTH_R * _EARTH_R) * (dlon * grid.cols)
+                 * (np.sin(top) - np.sin(bot)))
+
+
+def area_weighted_mean(arr: np.ndarray, grid: GridSpec) -> float:
+    """Latitude-weighted mean of a raster (NaN-aware) — the
+    cos-weighting every geographic-grid statistic needs (plain means
+    over-count the poles)."""
+    w = cell_areas(grid)[:, None] * np.isfinite(arr)
+    tot = float(np.sum(w))
+    if tot == 0.0:
+        return float("nan")
+    return float(np.nansum(arr * w) / tot)

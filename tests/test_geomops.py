@@ -137,3 +137,37 @@ def test_render_and_stack_and_router(ray_session):
     tgt = GridSpec("EPSG:4326", -124.0, 44.0, 0.02, -0.02, 50, 50)
     warped = to_geometry(rd.from_arrow(make_oracle_images(np.arange(1))), tgt).to_pandas()
     assert codec.decode(warped["bytes"][0], "npy").shape == (50, 50)
+
+
+def test_cell_areas_graticule():
+    import numpy as np
+    from rasters_ray.grids.geomops import (area_weighted_mean, cell_areas,
+                                           grid_area, _EARTH_R)
+    from rasters_ray.grids import GridSpec
+
+    g = GridSpec(crs="EPSG:4326", x_origin=-120.0, y_origin=40.0,
+                 cell_width=1 / 64, cell_height=-1 / 64, rows=16, cols=16)
+    a = cell_areas(g)
+    assert a.shape == (16,)
+    # rows nearer the equator are larger
+    assert np.all(np.diff(a) > 0)
+    # telescoped total == per-row sum * cols (to fp accumulation)
+    assert grid_area(g) == pytest.approx(float(a.sum()) * 16, rel=1e-12)
+    # global grid sums to the sphere's area
+    gg = GridSpec(crs="EPSG:4326", x_origin=-180.0, y_origin=90.0,
+                  cell_width=1.0, cell_height=-1.0, rows=180, cols=360)
+    sphere = 4 * np.pi * _EARTH_R ** 2
+    assert grid_area(gg) == pytest.approx(sphere, rel=1e-12)
+    # projected grids are planar
+    gp = GridSpec(crs="EPSG:32610", x_origin=0.0, y_origin=0.0,
+                  cell_width=30.0, cell_height=-30.0, rows=4, cols=5)
+    assert np.all(cell_areas(gp) == 900.0)
+    assert grid_area(gp) == 900.0 * 20
+    # weighted mean: constant field -> the constant; NaN-aware
+    arr = np.full((16, 16), 7.0)
+    assert area_weighted_mean(arr, g) == pytest.approx(7.0)
+    arr[0, :] = np.nan
+    assert area_weighted_mean(arr, g) == pytest.approx(7.0)
+    # a field equal to the row index weights toward high rows (south)
+    ramp = np.repeat(np.arange(16.0)[:, None], 16, axis=1)
+    assert area_weighted_mean(ramp, g) > 7.49999
