@@ -5441,6 +5441,53 @@ def q_cell_area(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_contour(sf_dir: str):
+    """Iso-contours (stages/contour.py — marching squares over pixel
+    centers, gdal_contour parity): per key a 16x16 row-ramp raster on
+    a dyadic grid contoured at level (k%14)+0.5 — the t=0.5 edge
+    interpolation is exact, so the contour is ONE 16-point horizontal
+    polyline whose y and x extremes are exact lattice integers the
+    oracle recomputes from the key formulas. Pins the case table,
+    segment stitching and the center-affine coordinate mapping. Scale
+    shape: per-key map, no shuffle."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.stages.contour import contour_lines
+
+    ramp = np.repeat(np.arange(16.0)[:, None], 16, axis=1)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, npaths, npts, y64, xmin128, xmax128 = [], [], [], [], [], []
+        for kk in k.tolist():
+            g = GridSpec(
+                crs="EPSG:4326",
+                x_origin=-128.0 + (kk % 1024) / 32.0,
+                y_origin=32.0 + (kk % 256) / 64.0,
+                cell_width=1 / 64.0, cell_height=-1 / 64.0,
+                rows=16, cols=16)
+            lev = (kk % 14) + 0.5
+            feat = contour_lines(ramp, g, [lev])
+            pts = np.array(
+                [(p["x"], p["y"]) for p in feat.column("paths")[0].as_py()[0]])
+            gid.append(f"g{kk:06d}")
+            npaths.append(feat.num_rows)
+            npts.append(len(pts))
+            y64.append(int(np.rint(pts[0, 1] * 64.0)))
+            xmin128.append(int(np.rint(pts[:, 0].min() * 128.0)))
+            xmax128.append(int(np.rint(pts[:, 0].max() * 128.0)))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_paths": pa.array(npaths, pa.int64()),
+            "n_pts": pa.array(npts, pa.int64()),
+            "y_64": pa.array(y64, pa.int64()),
+            "xmin_128": pa.array(xmin128, pa.int64()),
+            "xmax_128": pa.array(xmax128, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6588,6 +6635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygonize": q_polygonize,
         "nearest_join": q_nearest_join,
         "cell_area": q_cell_area,
+        "contour": q_contour,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7512,6 +7560,19 @@ SELECT printf('g%06d', k) AS geom_id,
          * (sin(radians(y0)) - sin(radians(y0 + (-1.0e0 / 64.0e0) * 16)))
          * 1000.0e0) AS BIGINT) AS total_mm2
 FROM g
+"""
+    # contour: value-exact NON-golden pure-INTEGER oracle — the ramp
+    # contour at (k%14)+0.5 is one horizontal 16-point line at lattice
+    # row (k%14)+1, x spanning centers 0.5..15.5 (all dyadic)
+    sql["contour"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(1 AS BIGINT) AS n_paths,
+       CAST(16 AS BIGINT) AS n_pts,
+       CAST(2048 + (c_custkey % 256) - ((c_custkey % 14) + 1)
+            AS BIGINT) AS y_64,
+       CAST(-16384 + 4 * (c_custkey % 1024) + 1 AS BIGINT) AS xmin_128,
+       CAST(-16384 + 4 * (c_custkey % 1024) + 31 AS BIGINT) AS xmax_128
+FROM customer
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice
