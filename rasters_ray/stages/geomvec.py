@@ -375,3 +375,131 @@ def clip_polygons(ds, bounds):
                               pa.array(cells_out, RING_TYPE))
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- line ops
+
+def _concat_parts(parts: List[np.ndarray]) -> np.ndarray:
+    """Multi-part path -> one vertex chain (parts joined in order,
+    shapely line_merge convention for measure operations)."""
+    if len(parts) == 1:
+        return parts[0]
+    chain = [parts[0]]
+    for p in parts[1:]:
+        chain.append(p[1:] if np.array_equal(chain[-1][-1], p[0]) else p)
+    return np.vstack(chain)
+
+
+def _cumlen(pts: np.ndarray) -> np.ndarray:
+    d = np.diff(pts, axis=0)
+    return np.concatenate([[0.0], np.cumsum(np.hypot(d[:, 0], d[:, 1]))])
+
+
+def line_interpolate(parts: List[np.ndarray], dist: float) -> Tuple[float, float]:
+    """Point at arc distance ``dist`` along the path (shapely
+    ``interpolate`` parity: clamped to [0, length]; an exactly-on-
+    vertex distance returns the vertex coordinates bit-exactly)."""
+    pts = _concat_parts(parts)
+    cl = _cumlen(pts)
+    d = min(max(float(dist), 0.0), float(cl[-1]))
+    i = int(np.searchsorted(cl, d, side="right") - 1)
+    i = min(i, len(pts) - 2)
+    if d == cl[i]:
+        return float(pts[i, 0]), float(pts[i, 1])
+    seg = cl[i + 1] - cl[i]
+    t = (d - cl[i]) / seg
+    return (float(pts[i, 0] + t * (pts[i + 1, 0] - pts[i, 0])),
+            float(pts[i, 1] + t * (pts[i + 1, 1] - pts[i, 1])))
+
+
+def line_locate(parts: List[np.ndarray], x: float, y: float) -> float:
+    """Arc distance of the nearest point on the path to (x, y)
+    (shapely ``project`` parity). Vectorized over all segments."""
+    pts = _concat_parts(parts)
+    a = pts[:-1]
+    b = pts[1:]
+    ab = b - a
+    ap = np.array([x, y])[None, :] - a
+    den = np.einsum("ij,ij->i", ab, ab)
+    t = np.where(den > 0, np.einsum("ij,ij->i", ap, ab) / np.where(den > 0, den, 1.0), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    d2 = (proj[:, 0] - x) ** 2 + (proj[:, 1] - y) ** 2
+    i = int(np.argmin(d2))  # first minimum: deterministic on ties
+    cl = _cumlen(pts)
+    seg = np.sqrt(den[i])
+    return float(cl[i] + t[i] * seg)
+
+
+def line_substring(parts: List[np.ndarray], d0: float, d1: float) -> np.ndarray:
+    """Sub-polyline between arc distances (shapely ``substring``
+    parity, d0 <= d1, clamped)."""
+    pts = _concat_parts(parts)
+    cl = _cumlen(pts)
+    total = float(cl[-1])
+    d0 = min(max(float(d0), 0.0), total)
+    d1 = min(max(float(d1), 0.0), total)
+    if d1 < d0:
+        d0, d1 = d1, d0
+    p0 = line_interpolate(parts, d0)
+    p1 = line_interpolate(parts, d1)
+    mid = pts[(cl > d0) & (cl < d1)]
+    out = [np.array(p0, dtype=np.float64)[None, :]]
+    if len(mid):
+        out.append(mid)
+    out.append(np.array(p1, dtype=np.float64)[None, :])
+    res = np.vstack(out)
+    keep = np.ones(len(res), dtype=bool)
+    keep[1:] = np.any(res[1:] != res[:-1], axis=1)
+    return res[keep]
+
+
+def raster_profile(arr: np.ndarray, grid, parts: List[np.ndarray],
+                   step: float, method: str = "nearest") -> pa.Table:
+    """Elevation-profile extraction: sample the raster at stations
+    every ``step`` arc units along the path (plus the endpoint) —
+    the gdallocationinfo-along-a-line recipe. ``nearest`` uses the
+    grid's round-half-even index_point rule; ``bilinear`` interpolates
+    the four surrounding CENTERS. Out-of-grid stations yield NaN."""
+    pts = _concat_parts(parts)
+    cl = _cumlen(pts)
+    total = float(cl[-1])
+    n = int(np.floor(total / step))
+    dists = [i * step for i in range(n + 1)]
+    if dists[-1] != total:
+        dists.append(total)
+    xs = np.empty(len(dists))
+    ys = np.empty(len(dists))
+    for i, d in enumerate(dists):
+        xs[i], ys[i] = line_interpolate(parts, d)
+    # fractional center-lattice coordinates
+    fc = (xs - grid.x_origin) / grid.cell_width - 0.5
+    fr = (ys - grid.y_origin) / grid.cell_height - 0.5
+    vals = np.full(len(dists), np.nan)
+    if method == "nearest":
+        rr = np.rint(fr).astype(np.int64)
+        cc = np.rint(fc).astype(np.int64)
+        ok = (rr >= 0) & (rr < grid.rows) & (cc >= 0) & (cc < grid.cols)
+        vals[ok] = arr[rr[ok], cc[ok]]
+    elif method == "bilinear":
+        r0 = np.floor(fr).astype(np.int64)
+        c0 = np.floor(fc).astype(np.int64)
+        tr = fr - r0
+        tc = fc - c0
+        ok = (r0 >= 0) & (r0 + 1 < grid.rows) & (c0 >= 0) & (c0 + 1 < grid.cols)
+        r0k, c0k, trk, tck = r0[ok], c0[ok], tr[ok], tc[ok]
+        v00 = arr[r0k, c0k]
+        v01 = arr[r0k, c0k + 1]
+        v10 = arr[r0k + 1, c0k]
+        v11 = arr[r0k + 1, c0k + 1]
+        vals[ok] = ((1 - tr[ok]) * ((1 - tck) * v00 + tck * v01)
+                    + trk * ((1 - tck) * v10 + tck * v11))
+    else:
+        raise ValueError(f"unknown profile method {method!r}")
+    return pa.table({
+        "station": pa.array(np.asarray(dists, dtype=np.float64),
+                            pa.float64()),
+        "x": pa.array(xs, pa.float64()),
+        "y": pa.array(ys, pa.float64()),
+        "value": pa.array(vals, pa.float64()),
+    })

@@ -175,3 +175,50 @@ def test_clip_polygons_stage_hole_semantics(ray_session):
              for part in rows[0]["rings"]]
     area, _, _, _ = polygon_measures(rings)
     assert area == 6 * 6 - 4 * 4  # clipped outer minus surviving hole
+
+
+def test_line_interpolate_locate_substring():
+    from rasters_ray.stages.geomvec import (line_interpolate, line_locate,
+                                            line_substring)
+
+    parts = [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0]], float)]
+    assert line_interpolate(parts, 0.0) == (0.0, 0.0)
+    assert line_interpolate(parts, 2.0) == (2.0, 0.0)
+    assert line_interpolate(parts, 4.0) == (4.0, 0.0)  # vertex bit-exact
+    assert line_interpolate(parts, 5.5) == (4.0, 1.5)
+    assert line_interpolate(parts, 99.0) == (4.0, 3.0)  # clamped
+    assert line_interpolate(parts, -1.0) == (0.0, 0.0)
+    assert line_locate(parts, 2.0, -5.0) == 2.0
+    assert line_locate(parts, 9.0, 1.5) == 5.5
+    assert line_locate(parts, -3.0, -3.0) == 0.0  # clamps to start
+    sub = line_substring(parts, 1.0, 6.0)
+    assert np.array_equal(sub, [[1, 0], [4, 0], [4, 2]])
+    # degenerate + swapped args
+    assert len(line_substring(parts, 3.0, 3.0)) == 1
+    assert np.array_equal(line_substring(parts, 6.0, 1.0), sub)
+    # multi-part chains join in order
+    two = [np.array([[0.0, 0.0], [2.0, 0.0]]),
+           np.array([[2.0, 0.0], [2.0, 2.0]])]
+    assert line_interpolate(two, 3.0) == (2.0, 1.0)
+
+
+def test_raster_profile_nearest_and_bilinear():
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.stages.geomvec import raster_profile
+
+    g = GridSpec(crs="EPSG:32610", x_origin=0.0, y_origin=8.0,
+                 cell_width=1.0, cell_height=-1.0, rows=8, cols=8)
+    ramp = np.repeat(np.arange(8.0)[None, :], 8, axis=0)  # value = col idx
+    line = [np.array([[0.5, 7.5], [6.5, 7.5]], float)]
+    t = raster_profile(ramp, g, line, 1.0)
+    assert t.column("value").to_pylist() == [0, 1, 2, 3, 4, 5, 6]
+    assert t.column("station").to_pylist() == [0, 1, 2, 3, 4, 5, 6]
+    # bilinear between centers interpolates linearly
+    half = raster_profile(ramp, g, [np.array([[1.0, 7.5], [2.0, 7.5]])],
+                          1.0, method="bilinear")
+    assert half.column("value").to_pylist() == [0.5, 1.5]
+    # stations outside the grid -> NaN
+    out = raster_profile(ramp, g, [np.array([[-5.0, 7.5], [-4.0, 7.5]])], 1.0)
+    assert all(np.isnan(v) for v in out.column("value").to_pylist())
+    with pytest.raises(ValueError):
+        raster_profile(ramp, g, line, 1.0, method="cubic")
