@@ -5488,6 +5488,107 @@ def q_contour(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_line_interp(sf_dir: str):
+    """Line measure ops (stages/geomvec.py::line_interpolate /
+    line_locate / line_substring — shapely interpolate/project/
+    substring parity): per key an L-shaped path with POWER-OF-TWO
+    segment lengths (so every interpolation parameter t = d/seg and
+    product t*seg is IEEE-exact), probed at d = L*(k%4+1)/8, located
+    from a point below the horizontal leg, and cut at [L/4, 3L/4].
+    Every emitted measure is a dyadic rational the oracle recomputes
+    from the key formulas with CASE arithmetic. Scale shape: per-key
+    map, no shuffle."""
+    from rasters_ray.stages.geomvec import (line_interpolate, line_locate,
+                                            line_substring, _cumlen)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, ix128, iy128, loc64, nsub, sub64 = [], [], [], [], [], []
+        for kk in k.tolist():
+            x0 = -128.0 + (kk % 1024) / 32.0
+            y0 = 32.0 + (kk % 256) / 64.0
+            a = (0.25, 0.5, 1.0, 2.0)[kk % 4]
+            b = (0.25, 0.5, 1.0)[kk % 3]
+            parts = [np.array([[x0, y0], [x0 + a, y0], [x0 + a, y0 + b]])]
+            L = a + b
+            d = L * ((kk % 4) + 1) / 8.0
+            ix, iy = line_interpolate(parts, d)
+            loc = line_locate(parts, x0 + (kk % 64) / 16.0, y0 - 0.25)
+            sub = line_substring(parts, L / 4.0, 3.0 * L / 4.0)
+            gid.append(f"g{kk:06d}")
+            ix128.append(int(np.rint(ix * 128.0)))
+            iy128.append(int(np.rint(iy * 128.0)))
+            loc64.append(int(np.rint(loc * 64.0)))
+            nsub.append(len(sub))
+            sub64.append(int(np.rint(_cumlen(sub)[-1] * 64.0)))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "ix_128": pa.array(ix128, pa.int64()),
+            "iy_128": pa.array(iy128, pa.int64()),
+            "loc_64": pa.array(loc64, pa.int64()),
+            "n_sub": pa.array(nsub, pa.int64()),
+            "sub_len_64": pa.array(sub64, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def q_raster_profile(sf_dir: str):
+    """Elevation-profile extraction (stages/geomvec.py::raster_profile
+    — the gdallocationinfo-along-a-line recipe): per key a 16x16
+    value = row*16+col raster on a dyadic grid, profiled along row
+    k%16 from the col-0 center to the col-(k%14+1) center at one
+    station per cell (nearest sampling lands on exact centers), plus
+    one bilinear station exactly HALFWAY between the first two
+    centers (t = 0.5 is IEEE-exact). Station sums and the half-cell
+    value are exact integers/halves the oracle recomputes from the
+    key formulas. Scale shape: per-key map, no shuffle."""
+    from rasters_ray.grids import GridSpec
+    from rasters_ray.stages.geomvec import raster_profile
+
+    arr = np.arange(256, dtype=np.float64).reshape(16, 16)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, nst, vsum, bil2 = [], [], [], []
+        for kk in k.tolist():
+            g = GridSpec(
+                crs="EPSG:4326",
+                x_origin=-128.0 + (kk % 1024) / 32.0,
+                y_origin=32.0 + (kk % 256) / 64.0,
+                cell_width=1 / 64.0, cell_height=-1 / 64.0,
+                rows=16, cols=16)
+            r = kk % 16
+            m = (kk % 14) + 1
+            yc = g.y_origin - (r + 0.5) / 64.0
+            xc0 = g.x_origin + 0.5 / 64.0
+            line = [np.array([[xc0, yc], [xc0 + m / 64.0, yc]])]
+            prof = raster_profile(arr, g, line, 1 / 64.0)
+            # bilinear needs row+1 in bounds (tr=0 still reads it),
+            # so the half-cell probe sits on row k%14 <= 13
+            yb = g.y_origin - ((kk % 14) + 0.5) / 64.0
+            half = raster_profile(
+                arr, g, [np.array([[xc0 + 1 / 128.0, yb],
+                                   [xc0 + 1 / 64.0, yb]])],
+                1.0, method="bilinear")
+            gid.append(f"g{kk:06d}")
+            nst.append(prof.num_rows)
+            vsum.append(int(np.rint(
+                np.sum(prof.column("value").to_numpy()))))
+            bil2.append(int(np.rint(
+                half.column("value").to_numpy()[0] * 2.0)))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_st": pa.array(nst, pa.int64()),
+            "val_sum": pa.array(vsum, pa.int64()),
+            "bil_2": pa.array(bil2, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6636,6 +6737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_join": q_nearest_join,
         "cell_area": q_cell_area,
         "contour": q_contour,
+        "line_interp": q_line_interp,
+        "raster_profile": q_raster_profile,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7572,6 +7675,49 @@ SELECT printf('g%06d', c_custkey) AS geom_id,
             AS BIGINT) AS y_64,
        CAST(-16384 + 4 * (c_custkey % 1024) + 1 AS BIGINT) AS xmin_128,
        CAST(-16384 + 4 * (c_custkey % 1024) + 31 AS BIGINT) AS xmax_128
+FROM customer
+"""
+    # line_interp: value-exact NON-golden — power-of-two segment
+    # lengths make every interpolation IEEE-exact, so the L-path
+    # measures are dyadic rationals recomputable with CASE arithmetic
+    sql["line_interp"] = """
+WITH g AS (
+  SELECT c_custkey AS k,
+         -128.0e0 + (c_custkey % 1024) / 32.0e0 AS x0,
+         32.0e0 + (c_custkey % 256) / 64.0e0 AS y0,
+         CASE c_custkey % 4 WHEN 0 THEN 0.25e0 WHEN 1 THEN 0.5e0
+              WHEN 2 THEN 1.0e0 ELSE 2.0e0 END AS a,
+         CASE c_custkey % 3 WHEN 0 THEN 0.25e0 WHEN 1 THEN 0.5e0
+              ELSE 1.0e0 END AS b
+  FROM customer
+), m AS (
+  SELECT k, x0, y0, a, b, a + b AS len,
+         (a + b) * ((k % 4) + 1) / 8.0e0 AS d
+  FROM g
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(round((CASE WHEN d <= a THEN x0 + d ELSE x0 + a END)
+                  * 128.0e0) AS BIGINT) AS ix_128,
+       CAST(round((CASE WHEN d <= a THEN y0 ELSE y0 + (d - a) END)
+                  * 128.0e0) AS BIGINT) AS iy_128,
+       CAST(round(LEAST((k % 64) / 16.0e0, a) * 64.0e0)
+            AS BIGINT) AS loc_64,
+       CAST(CASE WHEN a > len / 4.0e0 AND a < 3.0e0 * len / 4.0e0
+                 THEN 3 ELSE 2 END AS BIGINT) AS n_sub,
+       CAST(round(len * 32.0e0) AS BIGINT) AS sub_len_64
+FROM m
+"""
+    # raster_profile: value-exact pure-INTEGER — stations land on
+    # exact pixel centers of a value=row*16+col ramp, so the station
+    # count, value sum and the t=0.5 bilinear half-step are integer
+    # formulas of the key
+    sql["raster_profile"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST((c_custkey % 14) + 2 AS BIGINT) AS n_st,
+       CAST(((c_custkey % 14) + 2) * 16 * (c_custkey % 16)
+            + (((c_custkey % 14) + 1) * ((c_custkey % 14) + 2)) // 2
+            AS BIGINT) AS val_sum,
+       CAST(32 * (c_custkey % 14) + 1 AS BIGINT) AS bil_2
 FROM customer
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
