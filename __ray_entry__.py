@@ -5589,6 +5589,79 @@ def q_raster_profile(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_flow_acc(sf_dir: str):
+    """D8 hydrology (stages/hydrology.py::flow_direction /
+    flow_accumulation — O'Callaghan & Mark 1984 / Jenson & Domingue
+    1988, the gdaldem/ArcGIS drainage kernels): per key a 16x16 ramp
+    DEM oriented by k%2 (row-major or column-major), so every interior
+    cell drains along one axis and the zero row/column collects the
+    rest — direction histogram, pit count and the accumulation at a
+    key-dependent probe are pure-INTEGER key formulas. Scale shape:
+    per-key map (per-image kernel), no shuffle."""
+    from rasters_ray.stages.hydrology import flow_accumulation, flow_direction
+
+    r, c = np.indices((16, 16))
+    dems = [(r * 16 + c).astype(np.float64), (c * 16 + r).astype(np.float64)]
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, cmain, nmain, npit, probe, asum = [], [], [], [], [], []
+        for kk in k.tolist():
+            fd = flow_direction(dems[kk % 2])
+            acc = flow_accumulation(fd)
+            code = 64 if kk % 2 == 0 else 16
+            gid.append(f"g{kk:06d}")
+            cmain.append(code)
+            nmain.append(int(np.sum(fd == code)))
+            npit.append(int(np.sum(fd == 0)))
+            probe.append(int(acc[kk % 16, (kk % 13) + 1]))
+            asum.append(int(acc.sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "code_main": pa.array(cmain, pa.int64()),
+            "n_main": pa.array(nmain, pa.int64()),
+            "n_pit": pa.array(npit, pa.int64()),
+            "acc_probe": pa.array(probe, pa.int64()),
+            "acc_sum": pa.array(asum, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def q_cost_dist(sf_dir: str):
+    """Chamfer cost-distance (stages/hydrology.py::cost_distance —
+    Borgefors 1986 chamfer 2-3, the GRASS r.cost integer metric): per
+    key a uniform-cost 16x16 grid with the source at (k%16, k%13);
+    the accumulated cost to three fixed probes is the closed-form
+    4*max + 2*min chamfer norm the oracle recomputes with GREATEST/
+    LEAST. Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.hydrology import cost_distance
+
+    ones = np.ones((16, 16), dtype=np.int64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, d00, d77, dff = [], [], [], []
+        for kk in k.tolist():
+            src = np.zeros((16, 16), dtype=bool)
+            src[kk % 16, kk % 13] = True
+            d = cost_distance(ones, src)
+            gid.append(f"g{kk:06d}")
+            d00.append(int(d[0, 0]))
+            d77.append(int(d[7, 8]))
+            dff.append(int(d[15, 15]))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "d_origin": pa.array(d00, pa.int64()),
+            "d_mid": pa.array(d77, pa.int64()),
+            "d_far": pa.array(dff, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6739,6 +6812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour": q_contour,
         "line_interp": q_line_interp,
         "raster_profile": q_raster_profile,
+        "flow_acc": q_flow_acc,
+        "cost_dist": q_cost_dist,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7719,6 +7794,41 @@ SELECT printf('g%06d', c_custkey) AS geom_id,
             AS BIGINT) AS val_sum,
        CAST(32 * (c_custkey % 14) + 1 AS BIGINT) AS bil_2
 FROM customer
+"""
+    # flow_acc: value-exact pure-INTEGER — the oriented ramp drains
+    # along one axis (240 cells at the dominant code, 15 on the
+    # collector row/col, one pit); the probe accumulation and grid
+    # total are the closed telescoped sums
+    sql["flow_acc"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(CASE WHEN c_custkey % 2 = 0 THEN 64 ELSE 16 END
+            AS BIGINT) AS code_main,
+       CAST(240 AS BIGINT) AS n_main,
+       CAST(1 AS BIGINT) AS n_pit,
+       CAST(CASE WHEN c_custkey % 2 = 0 THEN
+              CASE WHEN c_custkey % 16 = 0
+                   THEN 15 + 16 * (15 - ((c_custkey % 13) + 1))
+                   ELSE 15 - (c_custkey % 16) END
+            ELSE 15 - ((c_custkey % 13) + 1) END AS BIGINT) AS acc_probe,
+       CAST(3840 AS BIGINT) AS acc_sum
+FROM customer
+"""
+    # cost_dist: value-exact pure-INTEGER — the chamfer 2-3 norm on a
+    # uniform cost field is 4*max(|dr|,|dc|) + 2*min(|dr|,|dc|)
+    sql["cost_dist"] = """
+WITH s AS (
+  SELECT c_custkey AS k,
+         c_custkey % 16 AS sr, c_custkey % 13 AS sc
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(4 * GREATEST(sr, sc) + 2 * LEAST(sr, sc)
+            AS BIGINT) AS d_origin,
+       CAST(4 * GREATEST(abs(7 - sr), abs(8 - sc))
+            + 2 * LEAST(abs(7 - sr), abs(8 - sc)) AS BIGINT) AS d_mid,
+       CAST(4 * GREATEST(15 - sr, 15 - sc)
+            + 2 * LEAST(15 - sr, 15 - sc) AS BIGINT) AS d_far
+FROM s
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice

@@ -1,0 +1,136 @@
+"""D8 flow direction / accumulation and chamfer cost-distance."""
+
+import numpy as np
+import pytest
+
+from rasters_ray.stages.hydrology import (cost_distance, flow_accumulation,
+                                          flow_direction)
+
+
+def test_flow_direction_ramp():
+    # value = r*16 + c: steepest descent is N (drop 16 at distance 1
+    # beats NW's 17/sqrt2); row 0 flows W; (0,0) is the global pit
+    r, c = np.indices((16, 16))
+    fd = flow_direction((r * 16 + c).astype(float))
+    assert np.all(fd[1:, :] == 64)
+    assert np.all(fd[0, 1:] == 16)
+    assert fd[0, 0] == 0
+
+
+def test_flow_direction_diagonal_and_ties():
+    # steep diagonal valley: drop 17 at sqrt2 (rate ~12.02) loses to a
+    # straight drop 16; wins against a straight drop 12
+    z = np.array([[0.0, 12.0], [16.0, 17.0]])
+    assert flow_direction(z)[1, 1] == 32  # NW beats N (12) and W (16? no: W drop 1)
+    # flat cells and NaN emit 0
+    assert np.all(flow_direction(np.zeros((3, 3))) == 0)
+    z = np.full((3, 3), 5.0)
+    z[1, 1] = np.nan
+    fd = flow_direction(z)
+    assert fd[1, 1] == 0 and np.all(fd == 0)
+    # ties break to the first code in ESRI order (E before S)
+    z = np.array([[5.0, 1.0], [1.0, 9.0]], dtype=float)
+    assert flow_direction(z)[0, 0] == 1  # E and S both drop 4 -> E
+
+
+def test_flow_accumulation_ramp():
+    r, c = np.indices((16, 16))
+    acc = flow_accumulation(flow_direction((r * 16 + c).astype(float)))
+    # interior columns drain north: acc(r, c) = 15 - r for r >= 1
+    assert np.array_equal(acc[1:, :], np.broadcast_to(
+        (15 - np.arange(1, 16))[:, None], (15, 16)))
+    # top row collects its column plus everything east: 15 + 16*(15-c)
+    assert np.array_equal(acc[0, :], 15 + 16 * (15 - np.arange(16)))
+    assert acc[0, 0] == 255  # whole grid minus itself
+    assert acc.sum() == 105 * 16 + 240 + 16 * 120
+
+
+def test_flow_accumulation_nan_hole_and_pits():
+    z = np.arange(25, dtype=float).reshape(5, 5)
+    z[2, 2] = np.nan
+    acc = flow_accumulation(flow_direction(z))
+    assert acc[2, 2] == 0  # nodata cell drains nothing
+    assert acc.sum() < 25 * 24  # and breaks the chain above it
+
+
+def test_cost_distance_uniform_chamfer():
+    # uniform cost 1: straight step 4, diagonal 6 -> 4*max + 2*min
+    src = np.zeros((16, 16), dtype=bool)
+    src[3, 5] = True
+    d = cost_distance(np.ones((16, 16), dtype=np.int64), src)
+    rr, cc = np.indices((16, 16))
+    dr, dc = np.abs(rr - 3), np.abs(cc - 5)
+    assert np.array_equal(d, 4 * np.maximum(dr, dc) + 2 * np.minimum(dr, dc))
+
+
+def test_cost_distance_multi_source_and_barrier():
+    # two sources: elementwise min of the single-source fields
+    src = np.zeros((12, 12), dtype=bool)
+    src[0, 0] = src[11, 11] = True
+    c = np.ones((12, 12), dtype=np.int64)
+    d = cost_distance(c, src)
+    s1 = np.zeros_like(src); s1[0, 0] = True
+    s2 = np.zeros_like(src); s2[11, 11] = True
+    assert np.array_equal(
+        d, np.minimum(cost_distance(c, s1), cost_distance(c, s2)))
+    # a high-cost wall forces the path around it
+    c = np.ones((5, 9), dtype=np.int64)
+    c[:4, 4] = 1000
+    src = np.zeros((5, 9), dtype=bool)
+    src[0, 0] = True
+    d = cost_distance(c, src)
+    # straight through the wall would be 4*8=32 +ish; around the bottom
+    # is cheaper and matches a hand-walked chamfer path
+    assert d[0, 8] < 2 * 1001  # never pays a wall crossing
+    # brute-force Dijkstra agreement on a random costed grid
+    rng = np.random.default_rng(7)
+    c = rng.integers(1, 9, size=(7, 7)).astype(np.int64)
+    src = np.zeros((7, 7), dtype=bool)
+    src[3, 3] = True
+    d = cost_distance(c, src)
+    import heapq
+    dist = {(3, 3): 0}
+    pq = [(0, (3, 3))]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, 1 << 62):
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == dc == 0:
+                    continue
+                v = (u[0] + dr, u[1] + dc)
+                if not (0 <= v[0] < 7 and 0 <= v[1] < 7):
+                    continue
+                w = (3 if dr and dc else 2) * (c[u] + c[v])
+                if du + w < dist.get(v, 1 << 62):
+                    dist[v] = du + w
+                    heapq.heappush(pq, (du + w, v))
+    ref = np.array([[dist[(i, j)] for j in range(7)] for i in range(7)])
+    assert np.array_equal(d, ref)
+
+
+def test_cost_distance_validates_costs():
+    with pytest.raises(ValueError):
+        cost_distance(np.zeros((3, 3), dtype=np.int64),
+                      np.ones((3, 3), dtype=bool))
+
+
+def test_flow_stats_dataset(ray_session):
+    import ray
+
+    from rasters_ray import codec
+    from rasters_ray.stages.hydrology import flow_stats
+
+    r, c = np.indices((16, 16))
+    px = (r * 16 + c).astype(np.float64)
+    ds = ray.data.from_items([{
+        "image_id": "imgA",
+        "bytes": codec.encode(px, "npy"),
+        "fmt": "npy",
+    }])
+    rows = flow_stats(ds).take_all()
+    assert rows[0]["n_d64"] == 240 and rows[0]["n_d16"] == 15
+    assert rows[0]["n_pit"] == 1
+    assert rows[0]["acc_max"] == 255
+    assert rows[0]["acc_sum"] == 105 * 16 + 240 + 16 * 120
