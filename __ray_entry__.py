@@ -5662,6 +5662,46 @@ def q_cost_dist(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_template_match(sf_dir: str):
+    """NCC template matching (stages/match.py — Lewis 1995, the
+    OpenCV TM_CCOEFF_NORMED kernel): per key a 16x16 planar ramp with
+    a 4x4 checkerboard stamped at (k%12, k%11); the checkerboard's
+    covariance against any planar window telescopes to ZERO, so the
+    stamped window is the unique NCC=1 peak — position and the 1/8-
+    quantized score are exact key formulas. Scale shape: per-key map,
+    no shuffle."""
+    from rasters_ray.stages.match import match_template, peak_of
+
+    r, c = np.indices((16, 16))
+    base = (r * 16 + c) / 8.0
+    checker = 100.0 * ((np.indices((4, 4)).sum(axis=0)) % 2).astype(float)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, prs, pcs, s8, npos = [], [], [], [], []
+        for kk in k.tolist():
+            img = base.copy()
+            sr, sc = kk % 12, kk % 11
+            img[sr : sr + 4, sc : sc + 4] = checker
+            scores = match_template(img, checker)
+            pr, pc, s = peak_of(scores)
+            gid.append(f"g{kk:06d}")
+            prs.append(pr)
+            pcs.append(pc)
+            s8.append(int(np.rint(s * 8.0)))
+            npos.append(scores.size)
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "peak_r": pa.array(prs, pa.int64()),
+            "peak_c": pa.array(pcs, pa.int64()),
+            "score_8": pa.array(s8, pa.int64()),
+            "n_pos": pa.array(npos, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6814,6 +6854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_profile": q_raster_profile,
         "flow_acc": q_flow_acc,
         "cost_dist": q_cost_dist,
+        "template_match": q_template_match,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7829,6 +7870,17 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(4 * GREATEST(15 - sr, 15 - sc)
             + 2 * LEAST(15 - sr, 15 - sc) AS BIGINT) AS d_far
 FROM s
+"""
+    # template_match: value-exact pure-INTEGER — the stamped window is
+    # the unique NCC=1 peak (checkerboard ⟂ planar ramp), so position
+    # and 1/8-quantized score are key formulas
+    sql["template_match"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(c_custkey % 12 AS BIGINT) AS peak_r,
+       CAST(c_custkey % 11 AS BIGINT) AS peak_c,
+       CAST(8 AS BIGINT) AS score_8,
+       CAST(169 AS BIGINT) AS n_pos
+FROM customer
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell
     # center<->corner fp round-trip lands back on the exact lattice

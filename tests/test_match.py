@@ -1,0 +1,69 @@
+"""NCC template matching."""
+
+import numpy as np
+import pytest
+
+from rasters_ray.stages.match import match_template, peak_of
+
+
+CHECKER = 100.0 * ((np.indices((4, 4)).sum(axis=0)) % 2).astype(float)
+
+
+def test_exact_stamp_recovers_location_and_unit_score():
+    r, c = np.indices((16, 16))
+    base = (r * 16 + c) / 8.0
+    img = base.copy()
+    img[5 : 9, 7 : 11] = CHECKER
+    scores = match_template(img, CHECKER)
+    assert scores.shape == (13, 13)
+    pr, pc, s = peak_of(scores)
+    assert (pr, pc) == (5, 7)
+    assert abs(s - 1.0) < 1e-12
+
+
+def test_checkerboard_orthogonal_to_planar_ramp():
+    # cov(checker, linear plane) telescopes to zero: every row and
+    # column of the +-pattern balances
+    r, c = np.indices((16, 16))
+    scores = match_template((3.0 * r + 2.0 * c).astype(float), CHECKER)
+    assert np.allclose(scores, 0.0, atol=1e-12)
+
+
+def test_zero_variance_windows_and_template_score_zero():
+    assert np.all(match_template(np.zeros((8, 8)), CHECKER) == 0.0)
+    assert np.all(match_template(np.random.default_rng(0)
+                                 .normal(size=(8, 8)), np.ones((3, 3))) == 0.0)
+
+
+def test_negative_correlation_and_tie_break():
+    img = np.zeros((6, 6))
+    img[1:5, 1:5] = 100.0 - CHECKER  # inverted pattern
+    scores = match_template(img, CHECKER)
+    assert scores[1, 1] < -0.9
+    # all-equal scores tie-break to (0, 0)
+    assert peak_of(np.zeros((3, 3)))[:2] == (0, 0)
+
+
+def test_template_larger_than_image_raises():
+    with pytest.raises(ValueError):
+        match_template(np.zeros((3, 3)), np.zeros((4, 4)))
+
+
+def test_template_match_dataset(ray_session):
+    import ray
+
+    from rasters_ray import codec
+    from rasters_ray.stages.match import template_match
+
+    r, c = np.indices((16, 16))
+    img = ((r * 16 + c) / 8.0)
+    img[2:6, 9:13] = CHECKER
+    ds = ray.data.from_items([{
+        "image_id": "imgA",
+        "bytes": codec.encode(img, "npy"),
+        "fmt": "npy",
+    }])
+    rows = template_match(ds, CHECKER).take_all()
+    assert rows[0]["peak_r"] == 2 and rows[0]["peak_c"] == 9
+    assert rows[0]["score_8"] == 8
+    assert rows[0]["n_pos"] == 169
