@@ -5702,6 +5702,42 @@ def q_template_match(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_coregister(sf_dir: str):
+    """Image co-registration (stages/match.py::estimate_shift — NCC
+    tie-point shift recovery between two acquisitions of one scene):
+    per key two 16x16 crops of a quadratic-texture scene offset by
+    (k%5-2, k%7-3); the recovered shift equals the constructed one
+    with an exact-match NCC=1 peak. test_match proves ALL 35 shift
+    combos of this exact construction exhaustively. Scale shape:
+    per-key map, no shuffle."""
+    from rasters_ray.stages.match import estimate_shift
+
+    r, c = np.indices((32, 32))
+    scene = ((r * r * 3 + c * c * 7 + r * c) % 13).astype(np.float64)
+    ref = scene[8:24, 8:24]
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, drs, dcs, s8 = [], [], [], []
+        for kk in k.tolist():
+            dr, dc = kk % 5 - 2, kk % 7 - 3
+            mov = scene[8 + dr : 24 + dr, 8 + dc : 24 + dc]
+            gr, gc, s = estimate_shift(ref, mov, max_shift=4)
+            gid.append(f"g{kk:06d}")
+            drs.append(gr)
+            dcs.append(gc)
+            s8.append(int(np.rint(s * 8.0)))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "dr": pa.array(drs, pa.int64()),
+            "dc": pa.array(dcs, pa.int64()),
+            "score_8": pa.array(s8, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_netcdf_chunked(sf_dir: str):
     """Real-world NetCDF-4 envelope (sources/hdf5lite.py + netcdf.py):
     each oracle image round-trips through a CHUNKED HDF5 container with
@@ -6855,6 +6891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_acc": q_flow_acc,
         "cost_dist": q_cost_dist,
         "template_match": q_template_match,
+        "coregister": q_coregister,
         "netcdf_chunked": q_netcdf_chunked,
         "zarr_v3": q_zarr_v3,
         "zarr_shard": q_zarr_shard,
@@ -7880,6 +7917,15 @@ SELECT printf('g%06d', c_custkey) AS geom_id,
        CAST(c_custkey % 11 AS BIGINT) AS peak_c,
        CAST(8 AS BIGINT) AS score_8,
        CAST(169 AS BIGINT) AS n_pos
+FROM customer
+"""
+    # coregister: value-exact pure-INTEGER — the recovered shift is
+    # the constructed (k%5-2, k%7-3); all 35 combos proven in pytest
+    sql["coregister"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(c_custkey % 5 - 2 AS BIGINT) AS dr,
+       CAST(c_custkey % 7 - 3 AS BIGINT) AS dc,
+       CAST(8 AS BIGINT) AS score_8
 FROM customer
 """
     # bil_roundtrip: golden VALUES — full-image sums; the half-cell

@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from rasters_ray import codec
 
-__all__ = ["match_template", "template_match"]
+__all__ = ["match_template", "template_match", "estimate_shift",
+           "coregister_pairs"]
 
 
 def match_template(arr: np.ndarray, tmpl: np.ndarray) -> np.ndarray:
@@ -66,6 +67,51 @@ def peak_of(scores: np.ndarray):
     i = int(np.argmax(scores))
     r, c = divmod(i, scores.shape[1])
     return r, c, float(scores[r, c])
+
+
+def estimate_shift(ref: np.ndarray, moving: np.ndarray,
+                   max_shift: int = 4):
+    """Translation between two same-shape acquisitions of one scene
+    (the NCC tie-point form of image co-registration): the center crop
+    of ``moving`` (inset by ``max_shift`` on every side) is NCC-matched
+    inside ``ref``; the peak offset minus the inset IS the shift
+    ``(dr, dc)`` such that ``moving[r, c] == ref[r + dr, c + dc]``
+    where both are defined.  Returns ``(dr, dc, score)``; shifts
+    beyond ``max_shift`` alias to the best in-window peak (score < 1
+    flags them)."""
+    m = int(max_shift)
+    if m < 1 or moving.shape[0] <= 2 * m or moving.shape[1] <= 2 * m:
+        raise ValueError("max_shift must be >= 1 and < half the image")
+    tmpl = np.asarray(moving, dtype=np.float64)[m:-m, m:-m]
+    r, c, s = peak_of(match_template(ref, tmpl))
+    return r - m, c - m, s
+
+
+def coregister_pairs(pairs_ds, max_shift: int = 4):
+    """Shift estimation over a Dataset of image PAIRS (rows carry
+    ``pair_id`` / ``bytes_ref`` / ``bytes_mov`` / ``fmt``): emits the
+    recovered (dr, dc) and the 1/8-quantized peak score.  One
+    map_batches, nothing shuffles."""
+
+    def run(tb: pa.Table) -> pa.Table:
+        ids, drs, dcs, s8s = [], [], [], []
+        for i in range(tb.num_rows):
+            fmt = tb.column("fmt")[i].as_py()
+            ref = codec.decode(tb.column("bytes_ref")[i].as_py(), fmt)
+            mov = codec.decode(tb.column("bytes_mov")[i].as_py(), fmt)
+            dr, dc, s = estimate_shift(ref, mov, max_shift=max_shift)
+            ids.append(tb.column("pair_id")[i].as_py())
+            drs.append(dr)
+            dcs.append(dc)
+            s8s.append(int(np.rint(s * 8.0)))
+        return pa.table({
+            "pair_id": pa.array(ids, pa.string()),
+            "dr": pa.array(drs, pa.int64()),
+            "dc": pa.array(dcs, pa.int64()),
+            "score_8": pa.array(s8s, pa.int64()),
+        })
+
+    return pairs_ds.map_batches(run, batch_format="pyarrow")
 
 
 def template_match(images_ds, tmpl: np.ndarray):

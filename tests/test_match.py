@@ -49,6 +49,43 @@ def test_template_larger_than_image_raises():
         match_template(np.zeros((3, 3)), np.zeros((4, 4)))
 
 
+def test_estimate_shift_exhaustive_over_query_keyspace():
+    # the SAME texture + shift lattice q_coregister uses: proving all
+    # 35 (dr, dc) combos here makes the contract oracle airtight
+    from rasters_ray.stages.match import estimate_shift
+
+    r, c = np.indices((32, 32))
+    scene = ((r * r * 3 + c * c * 7 + r * c) % 13).astype(float)
+    ref = scene[8:24, 8:24]
+    for dr in range(-2, 3):
+        for dc in range(-3, 4):
+            mov = scene[8 + dr : 24 + dr, 8 + dc : 24 + dc]
+            got = estimate_shift(ref, mov, max_shift=4)
+            assert got[:2] == (dr, dc)
+            assert abs(got[2] - 1.0) < 1e-12
+    with pytest.raises(ValueError):
+        estimate_shift(ref, ref, max_shift=8)
+
+
+def test_coregister_pairs_dataset(ray_session):
+    import ray
+
+    from rasters_ray import codec
+    from rasters_ray.stages.match import coregister_pairs
+
+    r, c = np.indices((32, 32))
+    scene = ((r * r * 3 + c * c * 7 + r * c) % 13).astype(float)
+    ds = ray.data.from_items([{
+        "pair_id": "p0",
+        "bytes_ref": codec.encode(scene[8:24, 8:24], "npy"),
+        "bytes_mov": codec.encode(scene[10:26, 5:21], "npy"),
+        "fmt": "npy",
+    }])
+    rows = coregister_pairs(ds).take_all()
+    assert rows[0]["dr"] == 2 and rows[0]["dc"] == -3
+    assert rows[0]["score_8"] == 8
+
+
 def test_template_match_dataset(ray_session):
     import ray
 
