@@ -5662,6 +5662,83 @@ def q_cost_dist(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_watershed(sf_dir: str):
+    """Watershed delineation (stages/hydrology.py::watershed — basin
+    labels by pointer-jumping over the D8 downstream forest, Jenson &
+    Domingue 1988 §3): per key a ridge DEM ``-|c - w|`` with the ridge
+    at column w = k%14+1, so every row splits into a west basin of w
+    cells (pit at c=0) and an east basin of 16-w cells (pit at c=15;
+    the ridge cell tie-breaks E-first) — basin count, sizes and the
+    probe cell's basin label are pure-INTEGER key formulas, proven
+    exhaustively over all 14 ridge positions in pytest. Scale shape:
+    per-key map (per-image kernel), no shuffle."""
+    from rasters_ray.stages.hydrology import flow_direction, watershed
+
+    c = np.arange(16, dtype=np.float64)
+    dems = [np.broadcast_to(-np.abs(c - w), (16, 16)).copy()
+            for w in range(16)]
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, nb, swest, lrg, lprobe = [], [], [], [], []
+        for kk in k.tolist():
+            w = kk % 14 + 1
+            lab = watershed(flow_direction(dems[w]))
+            _, counts = np.unique(lab, return_counts=True)
+            gid.append(f"g{kk:06d}")
+            nb.append(int(counts.size))
+            swest.append(int(np.sum(lab == 0)))
+            lrg.append(int(counts.max()))
+            lprobe.append(int(lab[kk % 16, kk % 11]))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_basins": pa.array(nb, pa.int64()),
+            "size_west0": pa.array(swest, pa.int64()),
+            "basin_max": pa.array(lrg, pa.int64()),
+            "label_probe": pa.array(lprobe, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def q_cost_path(sf_dir: str):
+    """Least-cost path backtrace (stages/hydrology.py::least_cost_path
+    — the GRASS r.drain / ArcGIS Cost Path walk down the chamfer 2-3
+    surface): per key a uniform-cost grid, source at (k%16, k%13),
+    start at (k%7, k%11+4); on uniform cost the deterministic greedy
+    backtrace takes exactly Chebyshev-many steps and its start cost is
+    the 4*max+2*min chamfer norm — both closed-form in k. Scale shape:
+    per-key map, no shuffle."""
+    from rasters_ray.stages.hydrology import least_cost_path
+
+    ones = np.ones((16, 16), dtype=np.int64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, nst, pc, eidx = [], [], [], []
+        for kk in k.tolist():
+            src = np.zeros((16, 16), dtype=bool)
+            src[kk % 16, kk % 13] = True
+            path = least_cost_path(ones, src, (kk % 7, kk % 11 + 4))
+            hops = sum(
+                6 if (a[0] != b[0] and a[1] != b[1]) else 4
+                for a, b in zip(path, path[1:]))
+            gid.append(f"g{kk:06d}")
+            nst.append(len(path) - 1)
+            pc.append(hops)
+            eidx.append(path[-1][0] * 16 + path[-1][1])
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_steps": pa.array(nst, pa.int64()),
+            "path_cost": pa.array(pc, pa.int64()),
+            "end_idx": pa.array(eidx, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_template_match(sf_dir: str):
     """NCC template matching (stages/match.py — Lewis 1995, the
     OpenCV TM_CCOEFF_NORMED kernel): per key a 16x16 planar ramp with
@@ -6890,6 +6967,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_profile": q_raster_profile,
         "flow_acc": q_flow_acc,
         "cost_dist": q_cost_dist,
+        "watershed": q_watershed,
+        "cost_path": q_cost_path,
         "template_match": q_template_match,
         "coregister": q_coregister,
         "netcdf_chunked": q_netcdf_chunked,
@@ -7906,6 +7985,39 @@ SELECT printf('g%06d', k) AS geom_id,
             + 2 * LEAST(abs(7 - sr), abs(8 - sc)) AS BIGINT) AS d_mid,
        CAST(4 * GREATEST(15 - sr, 15 - sc)
             + 2 * LEAST(15 - sr, 15 - sc) AS BIGINT) AS d_far
+FROM s
+"""
+    # watershed: value-exact pure-INTEGER — the ridge DEM -|c - w|
+    # splits every row at w = k%14+1 (ridge cell tie-breaks E-first);
+    # all 14 ridge positions proven exhaustively in pytest
+    sql["watershed"] = """
+WITH s AS (
+  SELECT c_custkey AS k, c_custkey % 14 + 1 AS w FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(32 AS BIGINT) AS n_basins,
+       CAST(w AS BIGINT) AS size_west0,
+       CAST(GREATEST(w, 16 - w) AS BIGINT) AS basin_max,
+       CAST((k % 16) * 16
+            + CASE WHEN k % 11 < w THEN 0 ELSE 15 END
+            AS BIGINT) AS label_probe
+FROM s
+"""
+    # cost_path: value-exact pure-INTEGER — on uniform cost the greedy
+    # backtrace is Chebyshev-many steps, its hop costs sum to the
+    # 4*max+2*min chamfer norm, and it terminates at the source
+    sql["cost_path"] = """
+WITH s AS (
+  SELECT c_custkey AS k,
+         abs(c_custkey % 7 - c_custkey % 16) AS dr,
+         abs(c_custkey % 11 + 4 - c_custkey % 13) AS dc
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(GREATEST(dr, dc) AS BIGINT) AS n_steps,
+       CAST(4 * GREATEST(dr, dc) + 2 * LEAST(dr, dc)
+            AS BIGINT) AS path_cost,
+       CAST((k % 16) * 16 + k % 13 AS BIGINT) AS end_idx
 FROM s
 """
     # template_match: value-exact pure-INTEGER — the stamped window is

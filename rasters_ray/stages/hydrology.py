@@ -46,7 +46,10 @@ __all__ = [
     "flow_direction",
     "flow_accumulation",
     "cost_distance",
+    "watershed",
+    "least_cost_path",
     "flow_stats",
+    "basin_stats",
 ]
 
 # neighbor table in ESRI code order: (code, dr, dc, diagonal?)
@@ -150,6 +153,100 @@ def cost_distance(cost: np.ndarray, sources: np.ndarray) -> np.ndarray:
             out[out >= big] = np.iinfo(np.int64).max
             return out
         dist = new
+
+
+def watershed(fdir: np.ndarray) -> np.ndarray:
+    """Drainage-basin labels (int64) for a D8 code array: each cell is
+    labeled with the FLAT INDEX of the terminal cell (pit / flat / edge
+    sink, code 0) its water ultimately reaches — the classic watershed
+    delineation over a filled DEM (Jenson & Domingue 1988 §3).
+
+    Vectorized pointer jumping (path doubling): ``down = down[down]``
+    halves every drainage path per round, so a path of length L
+    resolves in ceil(log2 L) + 1 whole-array gathers — the same
+    shortcut chain a distributed label-propagation would use, with no
+    per-cell Python."""
+    fd = np.asarray(fdir)
+    h, w = fd.shape
+    n = h * w
+    down = np.arange(n, dtype=np.int64)  # pits point to themselves
+    flat = fd.ravel()
+    rr, cc = np.divmod(np.arange(n, dtype=np.int64), w)
+    for code, dr, dc, _ in _D8:
+        m = flat == code
+        tr, tc = rr[m] + dr, cc[m] + dc
+        inside = (tr >= 0) & (tr < h) & (tc >= 0) & (tc < w)
+        idx = np.flatnonzero(m)[inside]
+        down[idx] = (rr[idx] + dr) * w + (cc[idx] + dc)
+    while True:
+        nxt = down[down]
+        if np.array_equal(nxt, down):
+            return down.reshape(h, w)
+        down = nxt
+
+
+def least_cost_path(cost: np.ndarray, sources: np.ndarray,
+                    start) -> list:
+    """Least-cost route from ``start`` (row, col) back to the nearest
+    True cell of ``sources`` under the chamfer 2-3 metric (the GRASS
+    ``r.drain``/ArcGIS Cost Path operation on top of ``r.cost``).
+
+    The accumulated-cost surface satisfies ``d[cur] = min over
+    neighbors (d[n] + step(n, cur))``, so from any reachable cell some
+    neighbor achieves equality; stepping to the FIRST such neighbor in
+    ESRI code order (E, SE, S, SW, W, NW, N, NE) is deterministic and
+    strictly decreases ``d`` — the walk terminates at a source in at
+    most longest-geodesic steps.  Returns the path as a list of
+    (row, col) tuples, ``start`` first, source last.  The per-step
+    Python loop is O(path length), not O(cells) — path extraction is
+    inherently sequential; the surface itself stays vectorized."""
+    c = np.asarray(cost, dtype=np.int64)
+    h, w = c.shape
+    d = cost_distance(c, sources)
+    r, col = int(start[0]), int(start[1])
+    if d[r, col] == np.iinfo(np.int64).max:
+        raise ValueError(f"start {start!r} is unreachable from sources")
+    path = [(r, col)]
+    while d[r, col] != 0:
+        for _, dr, dc, diag in _D8:
+            nr, nc = r + dr, col + dc
+            if not (0 <= nr < h and 0 <= nc < w):
+                continue
+            step = (3 if diag else 2) * (c[r, col] + c[nr, nc])
+            if d[nr, nc] + step == d[r, col]:
+                r, col = nr, nc
+                path.append((r, col))
+                break
+        else:  # pragma: no cover - cost_distance guarantees a step
+            raise RuntimeError("no descending neighbor on cost surface")
+    return path
+
+
+def basin_stats(images_ds):
+    """Per-image watershed summary over an image Dataset (rows carry
+    ``image_id`` / ``bytes`` / ``fmt``): basin count and the
+    largest/smallest basin cell counts from ``watershed`` over the
+    image's D8 directions.  One map_batches, nothing shuffles."""
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, nb, smax, smin = [], [], [], []
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            lab = watershed(flow_direction(px))
+            _, counts = np.unique(lab, return_counts=True)
+            ids.append(t.column("image_id")[i].as_py())
+            nb.append(int(counts.size))
+            smax.append(int(counts.max()))
+            smin.append(int(counts.min()))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "n_basins": pa.array(nb, pa.int64()),
+            "basin_max": pa.array(smax, pa.int64()),
+            "basin_min": pa.array(smin, pa.int64()),
+        })
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
 
 
 def flow_stats(images_ds):

@@ -134,3 +134,97 @@ def test_flow_stats_dataset(ray_session):
     assert rows[0]["n_pit"] == 1
     assert rows[0]["acc_max"] == 255
     assert rows[0]["acc_sum"] == 105 * 16 + 240 + 16 * 120
+
+
+def test_watershed_ridge_construction():
+    # dem = -|c - w|: a ridge at column w; c < w flows W to the (r, 0)
+    # pit, c >= w flows E (tie at the ridge breaks E-first) to (r, 15)
+    from rasters_ray.stages.hydrology import watershed
+
+    for w in range(1, 15):
+        c = np.arange(16, dtype=float)
+        dem = np.broadcast_to(-np.abs(c - w), (16, 16)).copy()
+        lab = watershed(flow_direction(dem))
+        for r in range(16):
+            assert np.all(lab[r, :w] == r * 16 + 0)
+            assert np.all(lab[r, w:] == r * 16 + 15)
+        _, counts = np.unique(lab, return_counts=True)
+        assert counts.size == 32
+        assert counts.max() == max(w, 16 - w)
+
+
+def test_watershed_matches_iterative_follow():
+    # random smooth DEM: pointer jumping must agree with per-cell
+    # scalar follow of the downstream pointers
+    from rasters_ray.stages.hydrology import _D8, watershed
+
+    rng = np.random.RandomState(7)
+    z = rng.rand(12, 12).cumsum(axis=0) + rng.rand(12, 12)
+    fd = flow_direction(z)
+    lab = watershed(fd)
+    step = {code: (dr, dc) for code, dr, dc, _ in _D8}
+    for r in range(12):
+        for c in range(12):
+            rr, cc = r, c
+            for _ in range(200):
+                if fd[rr, cc] == 0:
+                    break
+                dr, dc = step[fd[rr, cc]]
+                nr, nc = rr + dr, cc + dc
+                if not (0 <= nr < 12 and 0 <= nc < 12):
+                    break
+                rr, cc = nr, nc
+            assert lab[r, c] == rr * 12 + cc
+
+
+def test_least_cost_path_uniform():
+    # uniform cost: the greedy backtrace takes exactly the Chebyshev
+    # number of steps and its start cost is the 4*max+2*min chamfer norm
+    from rasters_ray.stages.hydrology import least_cost_path
+
+    src = np.zeros((16, 16), dtype=bool)
+    src[3, 11] = True
+    path = least_cost_path(np.ones((16, 16), dtype=np.int64), src, (14, 2))
+    dr, dc = abs(14 - 3), abs(2 - 11)
+    assert len(path) - 1 == max(dr, dc)
+    assert path[0] == (14, 2) and path[-1] == (3, 11)
+    # every hop is 8-adjacent
+    for (r0, c0), (r1, c1) in zip(path, path[1:]):
+        assert max(abs(r1 - r0), abs(c1 - c0)) == 1
+
+
+def test_least_cost_path_weighted_and_unreachable():
+    from rasters_ray.stages.hydrology import cost_distance, least_cost_path
+
+    rng = np.random.RandomState(3)
+    cost = rng.randint(1, 9, size=(10, 10)).astype(np.int64)
+    src = np.zeros((10, 10), dtype=bool)
+    src[0, 0] = True
+    d = cost_distance(cost, src)
+    path = least_cost_path(cost, src, (9, 9))
+    # d strictly decreases along the path by exactly the step cost
+    for (r0, c0), (r1, c1) in zip(path, path[1:]):
+        step = (3 if r0 != r1 and c0 != c1 else 2) * (
+            cost[r0, c0] + cost[r1, c1])
+        assert d[r1, c1] + step == d[r0, c0]
+    assert d[path[-1]] == 0
+    with pytest.raises(ValueError):
+        least_cost_path(cost, np.zeros((10, 10), dtype=bool), (5, 5))
+
+
+def test_basin_stats_dataset(ray_session):
+    import ray
+
+    from rasters_ray import codec
+    from rasters_ray.stages.hydrology import basin_stats
+
+    c = np.arange(16, dtype=float)
+    dem = np.broadcast_to(-np.abs(c - 5), (16, 16)).copy()
+    ds = ray.data.from_items([{
+        "image_id": "i0",
+        "bytes": codec.encode(dem, "npy"),
+        "fmt": "npy",
+    }])
+    row = basin_stats(ds).take_all()[0]
+    assert row["n_basins"] == 32
+    assert row["basin_max"] == 11 and row["basin_min"] == 5
