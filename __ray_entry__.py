@@ -5739,6 +5739,42 @@ def q_cost_path(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_viewshed(sf_dir: str):
+    """R3 viewshed (stages/viewshed.py::viewshed — Franklin & Ray 1994
+    per-ray LOS with Chebyshev-step bilinear sampling, the
+    gdal_viewshed operation): per key a flat DEM with a full wall
+    column at p = k%10+2 of height wh = k%5+1, observer (8, 0) at
+    height 3.  Inside the dominant-column cone {|r-8| <= c} every
+    pre-wall and wall column is fully visible and a post-wall column c
+    is visible iff c*(3-wh) >= 3p (strict-blocking, cross-multiplied
+    integers) — the cone count is a pure-INTEGER key formula, proven
+    exhaustively over all 50 (p, wh) combos in pytest. Scale shape:
+    per-key map (per-image kernel), no shuffle."""
+    from rasters_ray.stages.viewshed import viewshed
+
+    rr, cc = np.indices((16, 16))
+    cone = (np.abs(rr - 8) <= cc) & (cc >= 1)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, nv, ncone = [], [], []
+        for kk in k.tolist():
+            dem = np.zeros((16, 16), dtype=np.float64)
+            dem[:, kk % 10 + 2] = kk % 5 + 1
+            v = viewshed(dem, (8, 0), height=3.0)
+            gid.append(f"g{kk:06d}")
+            nv.append(int(np.sum(v & cone)))
+            ncone.append(int(cone.sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_vis_cone": pa.array(nv, pa.int64()),
+            "n_cone": pa.array(ncone, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_template_match(sf_dir: str):
     """NCC template matching (stages/match.py — Lewis 1995, the
     OpenCV TM_CCOEFF_NORMED kernel): per key a 16x16 planar ramp with
@@ -6969,6 +7005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cost_dist": q_cost_dist,
         "watershed": q_watershed,
         "cost_path": q_cost_path,
+        "viewshed": q_viewshed,
         "template_match": q_template_match,
         "coregister": q_coregister,
         "netcdf_chunked": q_netcdf_chunked,
@@ -8019,6 +8056,29 @@ SELECT printf('g%06d', k) AS geom_id,
             AS BIGINT) AS path_cost,
        CAST((k % 16) * 16 + k % 13 AS BIGINT) AS end_idx
 FROM s
+"""
+    # viewshed: value-exact pure-INTEGER — per post-wall column the
+    # strict-blocking comparison is column-constant, so the cone count
+    # telescopes: cone(c) = 2c+1 (c <= 7) else 16; pre-wall/wall
+    # columns all visible; post-wall visible iff c*(3-wh) >= 3p
+    sql["viewshed"] = """
+WITH s AS (
+  SELECT c_custkey AS k,
+         c_custkey % 10 + 2 AS p, c_custkey % 5 + 1 AS wh
+  FROM customer
+),
+cols AS (
+  SELECT k, p, wh, CAST(t.col AS BIGINT) AS col,
+         CASE WHEN t.col <= 7 THEN 2 * t.col + 1 ELSE 16 END AS cone
+  FROM s, range(1, 16) t(col)
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(SUM(CASE WHEN col <= p THEN cone
+                     WHEN col * (3 - wh) >= 3 * p THEN cone
+                     ELSE 0 END) AS BIGINT) AS n_vis_cone,
+       CAST(SUM(cone) AS BIGINT) AS n_cone
+FROM cols
+GROUP BY k
 """
     # template_match: value-exact pure-INTEGER — the stamped window is
     # the unique NCC=1 peak (checkerboard ⟂ planar ramp), so position

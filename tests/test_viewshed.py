@@ -1,0 +1,101 @@
+"""R3 viewshed: sampling rule, wall shadows, grazing, dataset stage."""
+
+import numpy as np
+import pytest
+
+from rasters_ray.stages.viewshed import viewshed
+
+
+def _wall_dem(p, wh, h=16, w=16):
+    dem = np.zeros((h, w), dtype=float)
+    dem[:, p] = wh
+    return dem
+
+
+def _cone_count(p, wh, obs_h=3.0):
+    # closed form for the dominant-column cone {|r-8| <= c, c >= 1}:
+    # pre-wall & wall columns fully visible; post-wall column c visible
+    # iff the wall angle does not strictly exceed the target angle:
+    # (wh - 3)/p <= -3/c  <=>  c*(3 - wh) >= 3*p (wh < 3), else hidden
+    total = 0
+    for c in range(1, 16):
+        cone = 2 * c + 1 if c <= 7 else 16
+        if c <= p:
+            total += cone
+        elif wh < obs_h and c * (3 - wh) >= 3 * p:
+            total += cone
+    return total
+
+
+def test_wall_shadow_exhaustive_cone():
+    # the exact construction q_viewshed uses: observer (8, 0) height 3
+    # over a flat DEM with a full-height-wh wall column at p; every
+    # (p, wh) combination of the query keyspace
+    rr, cc = np.indices((16, 16))
+    cone = (np.abs(rr - 8) <= cc) & (cc >= 1)
+    for p in range(2, 12):
+        for wh in range(1, 6):
+            v = viewshed(_wall_dem(p, wh), (8, 0), height=3.0)
+            assert int(np.sum(v & cone)) == _cone_count(p, wh), (p, wh)
+
+
+def test_flat_dem_all_visible_and_self():
+    v = viewshed(np.zeros((9, 9)), (4, 4), height=2.0)
+    assert v.all()
+    # zero height on flat ground: grazing rays (equal angles) stay
+    # visible by the strict-blocking rule
+    v0 = viewshed(np.zeros((9, 9)), (4, 4), height=0.0)
+    assert v0.all()
+
+
+def test_grazing_equal_angle_visible():
+    # wall at d=2 with angle exactly equal to the target's angle at
+    # d=4: (2-0)*4 == (4-0)*2 -> NOT blocked (strict rule)
+    dem = np.zeros((1, 6))
+    dem[0, 2] = 2.0
+    dem[0, 4] = 4.0
+    v = viewshed(dem, (0, 0), height=0.0)
+    assert v[0, 4]
+    # one unit taller blocks
+    dem[0, 2] = 2.5
+    assert not viewshed(dem, (0, 0), height=0.0)[0, 4]
+
+
+def test_bilinear_cross_axis_interpolation():
+    # ray to (2, 4): dominant axis is columns, samples at c=1,2,3 with
+    # fractional rows r = c/2; a spike at (1, 2) only half-counts
+    dem = np.zeros((4, 5))
+    dem[1, 2] = 10.0
+    # sample at c=2 sits at r=1.0 -> exactly on the spike: angle 10/2
+    # vs target 0/4 -> blocked
+    assert not viewshed(dem, (0, 0), height=0.0)[2, 4]
+    dem = np.zeros((4, 5))
+    dem[0, 2] = 10.0  # sample at (1.0, 2) no longer touches the spike
+    assert viewshed(dem, (0, 0), height=0.0)[2, 4]
+
+
+def test_validates_inputs():
+    with pytest.raises(ValueError):
+        viewshed(np.array([[0.0, np.nan]]), (0, 0))
+    with pytest.raises(ValueError):
+        viewshed(np.zeros((4, 4)), (5, 1))
+
+
+def test_viewshed_stats_dataset(ray_session):
+    import ray
+
+    from rasters_ray import codec
+    from rasters_ray.stages.viewshed import viewshed_stats
+
+    ds = ray.data.from_items([{
+        "image_id": "i0",
+        "bytes": codec.encode(_wall_dem(4, 5), "npy"),
+        "fmt": "npy",
+    }])
+    row = viewshed_stats(ds, (8, 0), height=3.0).take_all()[0]
+    v = viewshed(_wall_dem(4, 5), (8, 0), height=3.0)
+    assert row["n_visible"] == int(v.sum())
+    # wall wh=5 > observer height 3: everything past column 4 is
+    # shadowed, so the farthest visible cell is the pre-wall corner
+    # (0, 3) at Chebyshev radius 8
+    assert row["max_radius"] == 8
