@@ -5775,6 +5775,50 @@ def q_viewshed(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_gcp_affine(sf_dir: str):
+    """GCP georeferencing (stages/georef.py::fit_affine_per_scene —
+    the gdal_translate -gcp / GDALGCPsToGeoTransform least-squares
+    affine fit): per key a 3x3 pixel grid mapped through the exact
+    integer affine (a,b,c,d,e,f) = (k%5-2, k%3-1, k%7, k%4-2, k%6+1,
+    -(k%8)); the per-scene groupby solve recovers it exactly (rms 0),
+    so the 1/8-quantized parameters are pure-INTEGER key formulas.
+    Scale shape: vectorized map_batches fan-out -> ONE
+    groupby(scene_id) shuffle of kilobyte tie tables -> per-group
+    9x3 solve."""
+    from rasters_ray.stages.georef import fit_affine_per_scene
+
+    gx, gy = np.meshgrid([0.0, 10.0, 20.0], [0.0, 10.0, 20.0])
+    pts = np.column_stack([gx.ravel(), gy.ravel()])
+
+    def fan(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        kk = np.repeat(k, len(pts))
+        x = np.tile(pts[:, 0], len(k))
+        y = np.tile(pts[:, 1], len(k))
+        a, b, c = kk % 5 - 2, kk % 3 - 1, kk % 7
+        d, e, f = kk % 4 - 2, kk % 6 + 1, -(kk % 8)
+        return pa.table({
+            "scene_id": pa.array([f"g{v:06d}" for v in kk.tolist()],
+                                 pa.string()),
+            "px": pa.array(x), "py": pa.array(y),
+            "mx": pa.array(a * x + b * y + c),
+            "my": pa.array(d * x + e * y + f),
+        })
+
+    def quant(t: pa.Table) -> pa.Table:
+        out = {"geom_id": t.column("scene_id")}
+        for col in ("a", "b", "c", "d", "e", "f", "rms"):
+            v = np.rint(t.column(col).to_numpy() * 8.0).astype(np.int64)
+            out[f"{col}8"] = pa.array(v, pa.int64())
+        out["n_points"] = t.column("n_points").cast(pa.int64())
+        return pa.table(out)
+
+    ties = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        fan, batch_format="pyarrow")
+    return fit_affine_per_scene(ties).map_batches(
+        quant, batch_format="pyarrow")
+
+
 def q_template_match(sf_dir: str):
     """NCC template matching (stages/match.py — Lewis 1995, the
     OpenCV TM_CCOEFF_NORMED kernel): per key a 16x16 planar ramp with
@@ -7006,6 +7050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watershed": q_watershed,
         "cost_path": q_cost_path,
         "viewshed": q_viewshed,
+        "gcp_affine": q_gcp_affine,
         "template_match": q_template_match,
         "coregister": q_coregister,
         "netcdf_chunked": q_netcdf_chunked,
@@ -8079,6 +8124,21 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(SUM(cone) AS BIGINT) AS n_cone
 FROM cols
 GROUP BY k
+"""
+    # gcp_affine: value-exact pure-INTEGER — exact-fit tie points make
+    # the least-squares recovery the constructed affine (rms 0); all
+    # parameters integral so the 1/8 quantization is exact
+    sql["gcp_affine"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(8 * (c_custkey % 5 - 2) AS BIGINT) AS a8,
+       CAST(8 * (c_custkey % 3 - 1) AS BIGINT) AS b8,
+       CAST(8 * (c_custkey % 7) AS BIGINT) AS c8,
+       CAST(8 * (c_custkey % 4 - 2) AS BIGINT) AS d8,
+       CAST(8 * (c_custkey % 6 + 1) AS BIGINT) AS e8,
+       CAST(-8 * (c_custkey % 8) AS BIGINT) AS f8,
+       CAST(0 AS BIGINT) AS rms8,
+       CAST(9 AS BIGINT) AS n_points
+FROM customer
 """
     # template_match: value-exact pure-INTEGER — the stamped window is
     # the unique NCC=1 peak (checkerboard ⟂ planar ramp), so position
