@@ -5819,6 +5819,70 @@ def q_gcp_affine(sf_dir: str):
         quant, batch_format="pyarrow")
 
 
+def q_hist_match(sf_dir: str):
+    """Histogram matching (stages/radiometry.py::match_histogram —
+    the skimage match_histograms seam-blend normalization): per key
+    the source 16x16 holds the affine permutation (i*s + k) % 256 of
+    0..255 (s = 2*(k%8)+1 odd, hence coprime with 256) and the
+    reference holds 3*j+7, both equally frequent — the i-th smallest
+    source value maps EXACTLY to the i-th smallest reference value,
+    so the matched probe is 3*v+7 and the image total is the constant
+    3*32640 + 256*7. Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.radiometry import match_histogram
+
+    ref = (np.arange(256, dtype=np.float64) * 3 + 7).reshape(16, 16)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, probe, tot = [], [], []
+        i = np.arange(256, dtype=np.int64)
+        for kk in k.tolist():
+            s = 2 * (kk % 8) + 1
+            src = ((i * s + kk) % 256).astype(np.float64).reshape(16, 16)
+            out = match_histogram(src, ref)
+            gid.append(f"g{kk:06d}")
+            probe.append(int(np.rint(out.ravel()[kk % 256])))
+            tot.append(int(np.rint(out.sum())))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "matched_probe": pa.array(probe, pa.int64()),
+            "matched_sum": pa.array(tot, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def q_pansharpen(sf_dir: str):
+    """Brovey pansharpen (stages/radiometry.py::brovey_pansharpen —
+    the gdal_pansharpen ratio fusion): per key bands (x, 2x, 3x) with
+    x = flat index + 1 and pan = 4x, so the ratio is exactly 2
+    everywhere and out[b] = 2*(b+1)*x — probe and grand total are
+    pure-INTEGER formulas. Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.radiometry import brovey_pansharpen
+
+    x = np.arange(1.0, 257.0).reshape(16, 16)
+    bands = np.stack([x, 2 * x, 3 * x])
+    pan = 4 * x
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        out = brovey_pansharpen(bands, pan)
+        gid, probe, tot = [], [], []
+        for kk in k.tolist():
+            gid.append(f"g{kk:06d}")
+            probe.append(int(np.rint(out[kk % 3].ravel()[kk % 200])))
+            tot.append(int(np.rint(out.sum())))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "sharp_probe": pa.array(probe, pa.int64()),
+            "sharp_sum": pa.array(tot, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_template_match(sf_dir: str):
     """NCC template matching (stages/match.py — Lewis 1995, the
     OpenCV TM_CCOEFF_NORMED kernel): per key a 16x16 planar ramp with
@@ -7051,6 +7115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cost_path": q_cost_path,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
+        "hist_match": q_hist_match,
+        "pansharpen": q_pansharpen,
         "template_match": q_template_match,
         "coregister": q_coregister,
         "netcdf_chunked": q_netcdf_chunked,
@@ -8124,6 +8190,25 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(SUM(cone) AS BIGINT) AS n_cone
 FROM cols
 GROUP BY k
+"""
+    # hist_match: value-exact pure-INTEGER — the affine permutation
+    # keeps all 256 values present, so matching maps v -> 3*v + 7 and
+    # the image total is the constant 3*sum(0..255) + 256*7 = 99712
+    sql["hist_match"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(3 * (((c_custkey % 256) * (2 * (c_custkey % 8) + 1)
+                  + c_custkey) % 256) + 7 AS BIGINT) AS matched_probe,
+       CAST(99712 AS BIGINT) AS matched_sum
+FROM customer
+"""
+    # pansharpen: value-exact pure-INTEGER — ratio is exactly 2, so
+    # out[b][i] = 2*(b+1)*(i+1) and the total is 12*sum(1..256)
+    sql["pansharpen"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(2 * (c_custkey % 3 + 1) * (c_custkey % 200 + 1)
+            AS BIGINT) AS sharp_probe,
+       CAST(394752 AS BIGINT) AS sharp_sum
+FROM customer
 """
     # gcp_affine: value-exact pure-INTEGER — exact-fit tie points make
     # the least-squares recovery the constructed affine (rms 0); all

@@ -1,0 +1,93 @@
+"""Radiometric normalization: histogram matching and Brovey pansharpen.
+
+The reference's radiometric surface is per-pixel stretches
+(``minmaxstretch``/``percentilecut``, ``rasters/raster.py:1997-2006``);
+mosaicking and fusion pipelines additionally need cross-SCENE
+normalization — the two classics added here Ray-Data-first:
+
+* ``match_histogram`` — map each source pixel to the reference image's
+  value at the same empirical quantile (the skimage
+  ``match_histograms`` / GDAL ``-scale``-by-CDF operation used to
+  seam-blend mosaics).  Rule fixed for oracles: per UNIQUE source
+  value, the source's right-continuous CDF position ``cum/n`` is looked
+  up in the reference's CDF by ``np.interp`` over the reference's
+  unique values; when both images have equally-frequent value sets the
+  i-th smallest source value maps EXACTLY to the i-th smallest
+  reference value (interp lands on a knot), so integer constructions
+  stay integer-exact.
+* ``brovey_pansharpen`` — multiply each low-resolution band by
+  ``pan / mean(bands)`` (the ratio fusion of ``gdal_pansharpen``);
+  cells where the band mean is 0 emit 0.
+
+Scale shape: both are per-image ``map_batches`` kernels, nothing
+shuffles.  ``match_to_reference`` holds the reference CDF as
+actor-constructor state (computed ONCE per actor from the broadcast
+reference array, never per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray import codec
+
+__all__ = ["match_histogram", "brovey_pansharpen", "match_to_reference"]
+
+
+def _cdf(a: np.ndarray):
+    values, counts = np.unique(a, return_counts=True)
+    quantiles = np.cumsum(counts) / a.size
+    return values, quantiles
+
+
+def match_histogram(src: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Map ``src`` onto ``ref``'s empirical distribution (float64)."""
+    s = np.asarray(src)
+    sv, sq = _cdf(s.ravel())
+    rv, rq = _cdf(np.asarray(ref).ravel())
+    mapped = np.interp(sq, rq, rv.astype(np.float64))
+    inv = np.searchsorted(sv, s.ravel())
+    return mapped[inv].reshape(s.shape)
+
+
+def brovey_pansharpen(bands: np.ndarray, pan: np.ndarray) -> np.ndarray:
+    """Brovey ratio fusion: ``out[b] = bands[b] * pan / mean(bands)``
+    over a (nbands, H, W) stack and an (H, W) pan.  Zero-mean cells
+    emit 0 in every band."""
+    b = np.asarray(bands, dtype=np.float64)
+    p = np.asarray(pan, dtype=np.float64)
+    if b.ndim != 3 or b.shape[1:] != p.shape:
+        raise ValueError("bands must be (nbands, H, W) matching pan (H, W)")
+    mean = b.mean(axis=0)
+    ratio = np.divide(p, mean, out=np.zeros_like(p), where=mean != 0)
+    return b * ratio
+
+
+class match_to_reference:
+    """Actor-pool stage: histogram-match every image of a Dataset to
+    ONE reference image.  The reference CDF is computed once per actor
+    in ``__init__`` from the encoded reference bytes (ship via
+    ``ray.put`` at scale); ``__call__`` matches each batch image."""
+
+    def __init__(self, ref_bytes: bytes, ref_fmt: str):
+        rv, rq = _cdf(codec.decode(ref_bytes, ref_fmt).ravel())
+        self._rv = rv.astype(np.float64)
+        self._rq = rq
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, out, fmts = [], [], []
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            sv, sq = _cdf(px.ravel())
+            mapped = np.interp(sq, self._rq, self._rv)
+            inv = np.searchsorted(sv, px.ravel())
+            ids.append(t.column("image_id")[i].as_py())
+            out.append(codec.encode(mapped[inv].reshape(px.shape), "npy"))
+            fmts.append("npy")
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(out, pa.binary()),
+            "fmt": pa.array(fmts, pa.string()),
+        })

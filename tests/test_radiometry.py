@@ -1,0 +1,72 @@
+"""Histogram matching and Brovey pansharpen."""
+
+import numpy as np
+import pytest
+
+from rasters_ray.stages.radiometry import brovey_pansharpen, match_histogram
+
+
+def test_match_histogram_equal_frequency_exact():
+    # both images have 256 distinct equally-frequent values: the i-th
+    # smallest source value maps exactly to the i-th smallest ref value
+    rng = np.random.RandomState(0)
+    src = rng.permutation(256).reshape(16, 16).astype(float)
+    ref = (np.arange(256) * 3 + 7).reshape(16, 16).astype(float)
+    out = match_histogram(src, ref)
+    assert np.array_equal(out, src * 3 + 7)
+
+
+def test_match_histogram_is_distribution_preserving():
+    rng = np.random.RandomState(1)
+    src = rng.randint(0, 50, size=(20, 20)).astype(float)
+    ref = rng.normal(100, 10, size=(30, 30))
+    out = match_histogram(src, ref)
+    # monotone: value order preserved
+    order = np.argsort(src.ravel(), kind="stable")
+    assert np.all(np.diff(out.ravel()[order]) >= 0)
+    # range within the reference's support
+    assert out.min() >= ref.min() - 1e-9 and out.max() <= ref.max() + 1e-9
+
+
+def test_match_histogram_identity():
+    a = np.arange(64, dtype=float).reshape(8, 8)
+    assert np.allclose(match_histogram(a, a), a)
+
+
+def test_brovey_exact_ratio():
+    x = np.arange(1.0, 17.0).reshape(4, 4)
+    bands = np.stack([x, 2 * x, 3 * x])  # mean = 2x
+    pan = 4 * x                          # ratio = 2 exactly
+    out = brovey_pansharpen(bands, pan)
+    assert np.array_equal(out, 2 * bands)
+
+
+def test_brovey_zero_mean_and_validation():
+    bands = np.zeros((3, 2, 2))
+    assert np.array_equal(brovey_pansharpen(bands, np.ones((2, 2))),
+                          np.zeros((3, 2, 2)))
+    with pytest.raises(ValueError):
+        brovey_pansharpen(np.zeros((2, 2)), np.zeros((2, 2)))
+
+
+def test_match_to_reference_dataset(ray_session):
+    import ray
+
+    from rasters_ray import codec
+    from rasters_ray.stages.radiometry import match_to_reference
+
+    rng = np.random.RandomState(2)
+    src = rng.permutation(64).reshape(8, 8).astype(float)
+    ref = (np.arange(64) * 2).reshape(8, 8).astype(float)
+    ds = ray.data.from_items([{
+        "image_id": "i0",
+        "bytes": codec.encode(src, "npy"),
+        "fmt": "npy",
+    }])
+    out = ds.map_batches(
+        match_to_reference,
+        fn_constructor_kwargs={"ref_bytes": codec.encode(ref, "npy"),
+                               "ref_fmt": "npy"},
+        concurrency=1, batch_format="pyarrow").take_all()
+    matched = codec.decode(out[0]["bytes"], out[0]["fmt"])
+    assert np.array_equal(matched, src * 2)
