@@ -5739,6 +5739,50 @@ def q_cost_path(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_flow_tiled(sf_dir: str):
+    """DISTRIBUTED flow accumulation (stages/hydrology.py::
+    flow_accumulation_tiled — the TauDEM produce/exchange/resolve
+    shape: halo-exchange local pass, iterative border-flow rounds,
+    per-tile resolve): a 64x64 ramp DEM r*64+c sharded into sixteen
+    16x16 tiles.  Drainage crosses up to 7 tile borders (north up the
+    columns, then west along row 0), so the oracle pins the EXCHANGE
+    itself: per tile the corner accumulation and tile total follow the
+    closed telescoped forms acc(r>0, c) = 63-r and acc(0, c) =
+    63 + 64*(63-c).  Bit-equality with the single-array kernel is
+    additionally pytest-proven on random/NaN/serpentine DEMs."""
+    import ray
+
+    from rasters_ray import codec as rcodec
+    from rasters_ray.stages.hydrology import flow_accumulation_tiled
+
+    r, c = np.indices((64, 64))
+    dem = (r * 64 + c).astype(np.float64)
+    ds = ray.data.from_items([{
+        "image_id": "dem0",
+        "bytes": rcodec.encode(dem, "npy"),
+        "fmt": "npy",
+    }])
+
+    def summar(t: pa.Table) -> pa.Table:
+        ty, tx, corner, tot = [], [], [], []
+        for i in range(t.num_rows):
+            acc = rcodec.decode(t.column("bytes")[i].as_py(),
+                                t.column("fmt")[i].as_py())
+            ty.append(int(t.column("ty")[i].as_py()))
+            tx.append(int(t.column("tx")[i].as_py()))
+            corner.append(int(acc[0, 0]))
+            tot.append(int(acc.sum()))
+        return pa.table({
+            "ty": pa.array(ty, pa.int64()),
+            "tx": pa.array(tx, pa.int64()),
+            "acc_corner": pa.array(corner, pa.int64()),
+            "acc_sum": pa.array(tot, pa.int64()),
+        })
+
+    return flow_accumulation_tiled(ds, tile=16).map_batches(
+        summar, batch_format="pyarrow")
+
+
 def q_viewshed(sf_dir: str):
     """R3 viewshed (stages/viewshed.py::viewshed — Franklin & Ray 1994
     per-ray LOS with Chebyshev-step bilinear sampling, the
@@ -7113,6 +7157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cost_dist": q_cost_dist,
         "watershed": q_watershed,
         "cost_path": q_cost_path,
+        "flow_tiled": q_flow_tiled,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8167,6 +8212,22 @@ SELECT printf('g%06d', k) AS geom_id,
             AS BIGINT) AS path_cost,
        CAST((k % 16) * 16 + k % 13 AS BIGINT) AS end_idx
 FROM s
+"""
+    # flow_tiled: value-exact pure-INTEGER — the ramp's accumulation
+    # telescopes per tile: acc(r>0,c) = 63-r, acc(0,c) = 63+64*(63-c);
+    # tile sums are the closed forms below (derived in q_flow_tiled's
+    # docstring; bit-equality with the single-array kernel is pytest-
+    # proven separately)
+    sql["flow_tiled"] = """
+SELECT CAST(tyr.v AS BIGINT) AS ty,
+       CAST(txr.v AS BIGINT) AS tx,
+       CAST(CASE WHEN tyr.v > 0 THEN 63 - 16 * tyr.v
+                 ELSE 63 + 64 * (63 - 16 * txr.v) END
+            AS BIGINT) AS acc_corner,
+       CAST(CASE WHEN tyr.v > 0 THEN 16 * (888 - 256 * tyr.v)
+                 ELSE 14208 + 64 * (888 - 256 * txr.v) END
+            AS BIGINT) AS acc_sum
+FROM range(0, 4) tyr(v), range(0, 4) txr(v)
 """
     # viewshed: value-exact pure-INTEGER — per post-wall column the
     # strict-blocking comparison is column-constant, so the cone count

@@ -28,11 +28,12 @@ Conventions (all chosen so oracles are INTEGER-exact):
   approximation of sqrt(2)); solved by vectorized Bellman relaxation
   (8 shifted min-reduces per round) — exact, order-independent.
 
-Scale shape: per-image map_batches, no shuffle.  Flow ACCUMULATION is
-global per drainage basin, so the distributed contract is
-one-DEM-per-worker (the tiled form needs an iterative boundary-flow
-exchange between rounds — the documented out-of-scope extension; tile
-DEMs to worker-sized arrays upstream with ``stages/tiling``).
+Scale shape: per-image map_batches, no shuffle — except
+``flow_accumulation_tiled``, the distributed form for DEMs too big for
+one worker: a halo-exchange local pass, iterative border-flow exchange
+rounds over kilobyte routing tables, and a final per-tile resolve
+(TauDEM's produce/exchange/resolve shape), bit-equal to the
+whole-array path by test.
 """
 
 from __future__ import annotations
@@ -50,6 +51,7 @@ __all__ = [
     "least_cost_path",
     "flow_stats",
     "basin_stats",
+    "flow_accumulation_tiled",
 ]
 
 # neighbor table in ESRI code order: (code, dr, dc, diagonal?)
@@ -275,3 +277,255 @@ def flow_stats(images_ds):
              for k, v in cols.items()})
 
     return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+def _kahn_sum(down: np.ndarray, loads: np.ndarray) -> np.ndarray:
+    """Generalized topological accumulation over a one-downstream
+    forest: ``out[v] = loads[v] + sum(out[u] for down[u] == v)``.
+    ``down`` holds local flat indices, -1 at terminals.  With unit
+    loads this is flow accumulation + 1; with border-inflow loads it
+    propagates external water down every internal path."""
+    n = down.shape[0]
+    out = np.asarray(loads, dtype=np.int64).copy()
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, down[down >= 0], 1)
+    frontier = np.flatnonzero(indeg == 0)
+    while frontier.size:
+        d = down[frontier]
+        live = d >= 0
+        src, dst = frontier[live], d[live]
+        np.add.at(out, dst, out[src])
+        np.add.at(indeg, dst, -1)
+        frontier = np.unique(dst[indeg[dst] == 0])
+    return out
+
+
+def _terminals(down: np.ndarray) -> np.ndarray:
+    """Per-cell terminal local index by pointer jumping (terminals,
+    ``down == -1``, resolve to themselves)."""
+    n = down.shape[0]
+    ptr = np.where(down >= 0, down, np.arange(n, dtype=np.int64))
+    while True:
+        nxt = ptr[ptr]
+        if np.array_equal(nxt, ptr):
+            return ptr
+        ptr = nxt
+
+
+def flow_accumulation_tiled(images_ds, tile: int = 256):
+    """Distributed D8 flow accumulation for DEMs too big for one
+    worker — the TauDEM-style tiled form (Tarboton et al., "Parallel
+    flow-direction and accumulation", and Barnes 2017 §2's
+    produce/exchange/resolve shape), bit-equal to
+    ``flow_accumulation(flow_direction(dem))`` by test.
+
+    Phases:
+
+    1. **Local** — ONE :func:`~rasters_ray.stages.focal.halo_exchange_tiled`
+       pass (radius-1 DEM halos, one groupby shuffle) computes each
+       tile's exact D8 directions, the internal-only accumulation
+       (``_kahn_sum`` with unit loads), each exit cell's initial
+       crossing amount, and a ROUTING table: for every tile-boundary
+       cell, the global cell its water leaves the tile toward (or
+       "absorbed" at an internal pit).
+    2. **Exchange rounds** — border flows iterate: a groupby on the
+       target cell joins in-flight flows to the owning tile's routing
+       rows, records the arrival, and forwards the amount one tile
+       further.  Each unit of water must be RECORDED in every tile it
+       crosses (its cells' counts all rise), so rounds are inherently
+       O(tile-graph path length) — the work, O(border cells) per
+       round, matches TauDEM's exchange; only small border tables move.
+    3. **Resolve** — one final groupby per tile seeds ``_kahn_sum``
+       with the summed arrivals at each entry cell and adds the
+       propagated externals to the local accumulation.
+
+    Returns a Dataset of accumulation tiles (``image_id``, ``ty``,
+    ``tx``, ``r0``, ``c0``, ``bytes`` int64-npy, ``fmt``).  The
+    phase-1 state is materialized once (at scale: write it to
+    partitioned parquet instead) — rounds re-read only the kilobyte
+    routing/flow tables, never pixels."""
+    from rasters_ray.stages.focal import halo_exchange_tiled
+
+    T = int(tile)
+
+    def tile_fn(image_id, canvas, tr0, tc0, trows, tcols) -> pa.Table:
+        fd = flow_direction(canvas)[1:1 + trows, 1:1 + tcols]
+        n = trows * tcols
+        rr, cc = np.divmod(np.arange(n, dtype=np.int64), tcols)
+        down = np.full(n, -1, dtype=np.int64)
+        exit_gr = np.full(n, -1, dtype=np.int64)
+        exit_gc = np.full(n, -1, dtype=np.int64)
+        flat = fd.ravel()
+        for code, dr, dc, _ in _D8:
+            m = flat == code
+            if not m.any():
+                continue
+            tr, tc = rr[m] + dr, cc[m] + dc
+            idx = np.flatnonzero(m)
+            inside = (tr >= 0) & (tr < trows) & (tc >= 0) & (tc < tcols)
+            down[idx[inside]] = tr[inside] * tcols + tc[inside]
+            # exits: the D8 target is outside this tile but (because
+            # flow_direction only picks FINITE halo neighbors) inside
+            # the image
+            ex = idx[~inside]
+            exit_gr[ex] = tr0 + rr[ex] + dr
+            exit_gc[ex] = tc0 + cc[ex] + dc
+        acc1 = _kahn_sum(down, np.ones(n, dtype=np.int64))  # subtree size
+        term = _terminals(down)
+
+        out = {"image_id": [], "kind": [], "ty": [], "tx": [],
+               "a": [], "b": [], "c": [], "d": [], "blob": []}
+        ty, tx = tr0 // T, tc0 // T
+
+        def emit(kind, a=0, b=0, c=0, d=0, blob=b"", toty=ty, totx=tx):
+            out["image_id"].append(image_id)
+            out["kind"].append(kind)
+            out["ty"].append(toty)
+            out["tx"].append(totx)
+            out["a"].append(int(a))
+            out["b"].append(int(b))
+            out["c"].append(int(c))
+            out["d"].append(int(d))
+            out["blob"].append(blob)
+
+        # tile state: directions and local accumulation as two
+        # rows (a,b = r0,c0; c,d = trows,tcols)
+        emit("state", tr0, tc0, trows, tcols, codec.encode(fd, "npy"))
+        emit("accl", tr0, tc0, trows, tcols,
+             codec.encode(acc1 - 1, "npy"))
+        # seed flows: one per exit cell, keyed (a,b) = TARGET global
+        # cell, routed to the target's owning tile
+        exits = np.flatnonzero(exit_gr >= 0)
+        for e in exits.tolist():
+            emit("flow", exit_gr[e], exit_gc[e], acc1[e], 0,
+                 toty=int(exit_gr[e]) // T, totx=int(exit_gc[e]) // T)
+        # routing: every boundary cell's terminal, keyed (a,b) = the
+        # boundary cell's global coords; (c,d) = forwarded-to global
+        # cell or (-1,-1) when absorbed at an internal pit
+        bmask = ((rr == 0) | (rr == trows - 1)
+                 | (cc == 0) | (cc == tcols - 1))
+        for v in np.flatnonzero(bmask).tolist():
+            t = term[v]
+            if exit_gr[t] >= 0:
+                emit("route", tr0 + rr[v], tc0 + cc[v],
+                     exit_gr[t], exit_gc[t])
+            else:
+                emit("route", tr0 + rr[v], tc0 + cc[v], -1, -1)
+        return pa.table({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "ty": pa.array(out["ty"], pa.int64()),
+            "tx": pa.array(out["tx"], pa.int64()),
+            "a": pa.array(out["a"], pa.int64()),
+            "b": pa.array(out["b"], pa.int64()),
+            "c": pa.array(out["c"], pa.int64()),
+            "d": pa.array(out["d"], pa.int64()),
+            "blob": pa.array(out["blob"], pa.binary()),
+        })
+
+    state = halo_exchange_tiled(
+        images_ds, radius=1, tile=T, tile_fn=tile_fn).materialize()
+
+    def keep(kind):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pa.compute.equal(t.column("kind"), kind))
+        return f
+
+    routing = state.map_batches(keep("route"), batch_format="pyarrow")
+    flows = state.map_batches(
+        keep("flow"), batch_format="pyarrow").materialize()
+
+    def step(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        amounts = g.column("c").to_numpy()
+        total = int(sum(a for k, a in zip(kinds, amounts) if k == "flow"))
+        if total == 0:  # routing row alone — nothing arrived here
+            return g.slice(0, 0)
+        ri = kinds.index("route")
+        image_id = g.column("image_id")[0].as_py()
+        cell_a = int(g.column("a")[0].as_py())
+        cell_b = int(g.column("b")[0].as_py())
+        own_ty, own_tx = int(g.column("ty")[ri].as_py()), int(
+            g.column("tx")[ri].as_py())
+        dest_a = int(g.column("c")[ri].as_py())
+        dest_b = int(g.column("d")[ri].as_py())
+        rows = [("arrived", own_ty, own_tx, cell_a, cell_b, total, 0)]
+        if dest_a >= 0:
+            rows.append(("flow", dest_a // T, dest_b // T,
+                         dest_a, dest_b, total, 0))
+        return pa.table({
+            "image_id": pa.array([image_id] * len(rows), pa.string()),
+            "kind": pa.array([r[0] for r in rows], pa.string()),
+            "ty": pa.array([r[1] for r in rows], pa.int64()),
+            "tx": pa.array([r[2] for r in rows], pa.int64()),
+            "a": pa.array([r[3] for r in rows], pa.int64()),
+            "b": pa.array([r[4] for r in rows], pa.int64()),
+            "c": pa.array([r[5] for r in rows], pa.int64()),
+            "d": pa.array([r[6] for r in rows], pa.int64()),
+            "blob": pa.array([b""] * len(rows), pa.binary()),
+        })
+
+    arrived = []
+    while flows.count() > 0:
+        nxt = (routing.union(flows)
+               .groupby(["image_id", "a", "b"])
+               .map_groups(step, batch_format="pyarrow")
+               .materialize())
+        arrived.append(nxt.map_batches(keep("arrived"),
+                                       batch_format="pyarrow"))
+        flows = nxt.map_batches(
+            keep("flow"), batch_format="pyarrow").materialize()
+
+    def keep2(t: pa.Table) -> pa.Table:
+        k = t.column("kind")
+        m = pa.compute.or_(pa.compute.equal(k, "state"),
+                           pa.compute.equal(k, "accl"))
+        return t.filter(m)
+
+    tiles = state.map_batches(keep2, batch_format="pyarrow")
+    for a in arrived:
+        tiles = tiles.union(a)
+
+    def finalize(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        si = kinds.index("state")
+        ai = kinds.index("accl")
+        tr0 = int(g.column("a")[si].as_py())
+        tc0 = int(g.column("b")[si].as_py())
+        trows = int(g.column("c")[si].as_py())
+        tcols = int(g.column("d")[si].as_py())
+        fd = codec.decode(g.column("blob")[si].as_py(), "npy")
+        accl = codec.decode(g.column("blob")[ai].as_py(),
+                            "npy").astype(np.int64)
+        n = trows * tcols
+        rr, cc = np.divmod(np.arange(n, dtype=np.int64), tcols)
+        down = np.full(n, -1, dtype=np.int64)
+        flat = fd.ravel()
+        for code, dr, dc, _ in _D8:
+            m = flat == code
+            tr, tc = rr[m] + dr, cc[m] + dc
+            inside = (tr >= 0) & (tr < trows) & (tc >= 0) & (tc < tcols)
+            idx = np.flatnonzero(m)[inside]
+            down[idx] = (rr[idx] + dr) * tcols + (cc[idx] + dc)
+        loads = np.zeros(n, dtype=np.int64)
+        for i in range(g.num_rows):
+            if kinds[i] != "arrived":
+                continue
+            lr = int(g.column("a")[i].as_py()) - tr0
+            lc = int(g.column("b")[i].as_py()) - tc0
+            loads[lr * tcols + lc] += int(g.column("c")[i].as_py())
+        acc = accl + _kahn_sum(down, loads)
+        return pa.table({
+            "image_id": pa.array([g.column("image_id")[0].as_py()],
+                                 pa.string()),
+            "ty": pa.array([int(g.column("ty")[si].as_py())], pa.int64()),
+            "tx": pa.array([int(g.column("tx")[si].as_py())], pa.int64()),
+            "r0": pa.array([tr0], pa.int64()),
+            "c0": pa.array([tc0], pa.int64()),
+            "bytes": pa.array([codec.encode(acc.reshape(trows, tcols),
+                                            "npy")], pa.binary()),
+            "fmt": pa.array(["npy"], pa.string()),
+        })
+
+    return (tiles.groupby(["image_id", "ty", "tx"])
+            .map_groups(finalize, batch_format="pyarrow"))

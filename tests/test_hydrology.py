@@ -228,3 +228,63 @@ def test_basin_stats_dataset(ray_session):
     row = basin_stats(ds).take_all()[0]
     assert row["n_basins"] == 32
     assert row["basin_max"] == 11 and row["basin_min"] == 5
+
+
+def _tiled_acc(dem, tile, ray):
+    from rasters_ray import codec
+    from rasters_ray.stages.hydrology import flow_accumulation_tiled
+
+    ds = ray.data.from_items([{
+        "image_id": "i0",
+        "bytes": codec.encode(dem, "npy"),
+        "fmt": "npy",
+    }])
+    out = np.full(dem.shape, -1, dtype=np.int64)
+    for row in flow_accumulation_tiled(ds, tile=tile).take_all():
+        piece = codec.decode(row["bytes"], row["fmt"])
+        out[row["r0"]:row["r0"] + piece.shape[0],
+            row["c0"]:row["c0"] + piece.shape[1]] = piece
+    assert (out >= 0).all()
+    return out
+
+
+def test_flow_accumulation_tiled_random(ray_session):
+    import ray
+
+    from rasters_ray.stages.hydrology import flow_accumulation
+
+    rng = np.random.RandomState(5)
+    dem = rng.rand(48, 64) + np.linspace(0, 3, 64)[None, :]
+    dem[10:13, 20:24] = np.nan
+    expect = flow_accumulation(flow_direction(dem))
+    assert np.array_equal(_tiled_acc(dem, 16, ray), expect)
+
+
+def test_flow_accumulation_tiled_ramp_and_partial_tiles(ray_session):
+    import ray
+
+    from rasters_ray.stages.hydrology import flow_accumulation
+
+    r, c = np.indices((30, 44))  # not multiples of the tile size
+    dem = (r * 44 + c).astype(float)
+    expect = flow_accumulation(flow_direction(dem))
+    assert np.array_equal(_tiled_acc(dem, 16, ray), expect)
+
+
+def test_flow_accumulation_tiled_serpentine_many_rounds(ray_session):
+    # one river visiting every cell boustrophedon-style: the border
+    # flow re-enters tiles many times, exercising the exchange rounds
+    import ray
+
+    from rasters_ray.stages.hydrology import flow_accumulation
+
+    order = np.zeros((8, 8), dtype=float)
+    k = 0
+    for r in range(8):
+        cols = range(8) if r % 2 == 0 else range(7, -1, -1)
+        for c in cols:
+            order[r, c] = -k
+            k += 1
+    expect = flow_accumulation(flow_direction(order))
+    assert expect.max() == 63
+    assert np.array_equal(_tiled_acc(order, 4, ray), expect)
