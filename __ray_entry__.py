@@ -5739,6 +5739,42 @@ def q_cost_path(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_fill_sinks(sf_dir: str):
+    """Depression filling (stages/hydrology.py::fill_sinks — Planchon
+    & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
+    pit carved to -100 at (a, p) = (k%6+2, k%7+2) in the ramp r + 2c;
+    the pit fills exactly to its lowest rim cell a + 2p - 3, every
+    other cell is untouched, and the filled total telescopes to the
+    constant 5706 — all proven exhaustively over the 42 pit positions
+    in pytest. Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.hydrology import fill_sinks
+
+    r, c = np.indices((16, 16))
+    ramp = (r + 2 * c).astype(np.float64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, spill, tot, nch = [], [], [], []
+        for kk in k.tolist():
+            a, p = kk % 6 + 2, kk % 7 + 2
+            dem = ramp.copy()
+            dem[a:a + 3, p:p + 3] = -100.0
+            filled = fill_sinks(dem)
+            gid.append(f"g{kk:06d}")
+            spill.append(int(filled[a + 1, p + 1]))
+            tot.append(int(filled.sum()))
+            nch.append(int(np.sum(filled != dem)))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "spill_level": pa.array(spill, pa.int64()),
+            "filled_sum": pa.array(tot, pa.int64()),
+            "n_filled": pa.array(nch, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_flow_tiled(sf_dir: str):
     """DISTRIBUTED flow accumulation (stages/hydrology.py::
     flow_accumulation_tiled — the TauDEM produce/exchange/resolve
@@ -7158,6 +7194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watershed": q_watershed,
         "cost_path": q_cost_path,
         "flow_tiled": q_flow_tiled,
+        "fill_sinks": q_fill_sinks,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8212,6 +8249,17 @@ SELECT printf('g%06d', k) AS geom_id,
             AS BIGINT) AS path_cost,
        CAST((k % 16) * 16 + k % 13 AS BIGINT) AS end_idx
 FROM s
+"""
+    # fill_sinks: value-exact pure-INTEGER — the pit fills to its
+    # lowest rim a+2p-3; the filled total is constant: ramp sum 5760
+    # minus the carved 9 cells plus 9*spill telescopes to 5706
+    sql["fill_sinks"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(c_custkey % 6 + 2 * (c_custkey % 7) + 3 AS BIGINT)
+           AS spill_level,
+       CAST(5706 AS BIGINT) AS filled_sum,
+       CAST(9 AS BIGINT) AS n_filled
+FROM customer
 """
     # flow_tiled: value-exact pure-INTEGER — the ramp's accumulation
     # telescopes per tile: acc(r>0,c) = 63-r, acc(0,c) = 63+64*(63-c);

@@ -52,6 +52,7 @@ __all__ = [
     "flow_stats",
     "basin_stats",
     "flow_accumulation_tiled",
+    "fill_sinks",
 ]
 
 # neighbor table in ESRI code order: (code, dr, dc, diagonal?)
@@ -529,3 +530,31 @@ def flow_accumulation_tiled(images_ds, tile: int = 256):
 
     return (tiles.groupby(["image_id", "ty", "tx"])
             .map_groups(finalize, batch_format="pyarrow"))
+
+
+def fill_sinks(dem: np.ndarray, eps: float = 0.0) -> np.ndarray:
+    """Depression filling (Planchon & Darboux 2001, the GRASS
+    ``r.fill.dir`` / Wang-Liu preprocessing step): raise every cell to
+    the lowest spill level reachable along any 8-connected path to the
+    raster border — ``filled = max(dem, min over paths of max en-route
+    W)``.  With ``eps = 0`` flats are left flat (integer DEMs stay
+    integer-exact); a positive ``eps`` imposes the classic drainage
+    gradient on filled areas.
+
+    Vectorized fixpoint: start from W = dem on the border and +inf
+    inside, then relax ``W = max(dem, min(W, min_nbr(W) + eps))``
+    (8 shifted min-reduces per round) until unchanged — the same
+    order-independent relaxation shape as :func:`cost_distance`."""
+    z = np.asarray(dem, dtype=np.float64)
+    if not np.all(np.isfinite(z)):
+        raise ValueError("fill_sinks requires a finite DEM (fill NaNs first)")
+    w = np.full_like(z, np.inf)
+    w[0, :], w[-1, :], w[:, 0], w[:, -1] = z[0, :], z[-1, :], z[:, 0], z[:, -1]
+    while True:
+        best = np.full_like(z, np.inf)
+        for _, dr, dc, _ in _D8:
+            best = np.minimum(best, _shift(w, dr, dc, np.inf))
+        new = np.maximum(z, np.minimum(w, best + eps))
+        if np.array_equal(new, w):
+            return w
+        w = new

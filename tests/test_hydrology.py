@@ -288,3 +288,62 @@ def test_flow_accumulation_tiled_serpentine_many_rounds(ray_session):
     expect = flow_accumulation(flow_direction(order))
     assert expect.max() == 63
     assert np.array_equal(_tiled_acc(order, 4, ray), expect)
+
+
+def test_fill_sinks_pit_to_spill_level():
+    from rasters_ray.stages.hydrology import fill_sinks
+
+    r, c = np.indices((16, 16))
+    for a in range(2, 8):
+        for p in range(2, 9):
+            dem = (r + 2 * c).astype(float)
+            dem[a:a + 3, p:p + 3] = -100.0
+            filled = fill_sinks(dem)
+            spill = a + 2 * p - 3  # lowest rim cell (a-1, p-1)
+            assert np.all(filled[a:a + 3, p:p + 3] == spill), (a, p)
+            # cells outside the pit are untouched (monotone ramp drains)
+            keep = np.ones((16, 16), dtype=bool)
+            keep[a:a + 3, p:p + 3] = False
+            assert np.array_equal(filled[keep], dem[keep])
+
+
+def test_fill_sinks_epsilon_gradient_and_idempotent():
+    from rasters_ray.stages.hydrology import (fill_sinks, flow_direction)
+
+    dem = np.ones((7, 7), dtype=float) * 5
+    dem[3, 3] = 0.0
+    filled = fill_sinks(dem, eps=0.5)
+    # with eps the drainage gradient is imposed on the FLAT too: each
+    # ring inward rises by eps (5.5, 6.0), and the pit lands eps above
+    # its ring — the classic Planchon-Darboux flat-raising behavior
+    assert filled[3, 3] == 6.5
+    assert filled[1, 1] == 5.5 and filled[2, 2] == 6.0
+    f0 = fill_sinks(dem)
+    assert np.array_equal(fill_sinks(f0), f0)  # idempotent at eps=0
+    # after filling, the pit is a flat (code 0) rather than a sink
+    assert flow_direction(f0)[3, 3] == 0
+    with pytest.raises(ValueError):
+        fill_sinks(np.array([[np.nan, 1.0]]))
+
+
+def test_fill_then_accumulate_chain():
+    # the full gdaldem-style chain: fill -> direction -> accumulation;
+    # a carved pit no longer truncates the drainage upstream of it
+    from rasters_ray.stages.hydrology import (fill_sinks,
+                                              flow_accumulation,
+                                              flow_direction)
+
+    r, c = np.indices((16, 16))
+    dem = (r * 16 + c).astype(float)
+    dem[5, 5] = -999.0  # artificial sink interrupting column 5
+    fd_raw = flow_direction(dem)
+    acc_raw = flow_accumulation(fd_raw)
+    # eps > 0 so the filled pit becomes a draining slope, not a flat
+    fd_fill = flow_direction(fill_sinks(dem, eps=0.25))
+    acc_fill = flow_accumulation(fd_fill)
+    # raw: the pit is a second sink capturing its upstream cells;
+    # filled: the global minimum (0,0) is the ONLY sink and collects
+    # the whole grid again
+    assert int(np.sum(fd_raw == 0)) == 2 and acc_raw[0, 0] < 255
+    assert int(np.sum(fd_fill == 0)) == 1
+    assert acc_fill[0, 0] == 255
