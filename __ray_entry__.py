@@ -5739,6 +5739,73 @@ def q_cost_path(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_img_quality(sf_dir: str):
+    """Image quality metrics (stages/quality.py::mse/ssim_global —
+    Wang et al. 2004 single-window SSIM with a fixed double op order):
+    per key the 0..255 ramp vs itself shifted by d = k%7.  MSE is the
+    integer d*d; SSIM's sums are exact integers (sum v = 32640, sum
+    v^2 = 5559680), so the oracle replays the documented double chain
+    step for step and the floor(ssim * 2^20) quantization is
+    bit-identical. Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.quality import mse, ssim_global
+
+    a = np.arange(256, dtype=np.float64).reshape(16, 16)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, ms, s20 = [], [], []
+        for kk in k.tolist():
+            b = a + float(kk % 7)
+            gid.append(f"g{kk:06d}")
+            ms.append(int(np.rint(mse(a, b))))
+            s20.append(int(np.floor(ssim_global(a, b) * 1048576.0)))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "mse_i": pa.array(ms, pa.int64()),
+            "ssim_20": pa.array(s20, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def q_reclassify(sf_dir: str):
+    """Reclassify (stages/quality.py::reclassify — the ArcGIS
+    Reclassify / gdal_calc bin remap, right-open bins): the 0..255
+    ramp against key-dependent breakpoints (k%50+10, k%100+60, 200)
+    into classes 1..4 — per-class counts and the probe cell's class
+    are pure-INTEGER key formulas. Scale shape: per-key map, no
+    shuffle."""
+    from rasters_ray.stages.quality import reclassify
+
+    a = np.arange(256, dtype=np.float64).reshape(16, 16)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, n1, n2, n3, n4, pc = [], [], [], [], [], []
+        for kk in k.tolist():
+            b0, b1 = kk % 50 + 10, kk % 100 + 60
+            out = reclassify(a, bins=[b0, b1, 200.0],
+                             classes=[1, 2, 3, 4])
+            gid.append(f"g{kk:06d}")
+            n1.append(int(np.sum(out == 1)))
+            n2.append(int(np.sum(out == 2)))
+            n3.append(int(np.sum(out == 3)))
+            n4.append(int(np.sum(out == 4)))
+            pc.append(int(out.ravel()[kk % 256]))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_c1": pa.array(n1, pa.int64()),
+            "n_c2": pa.array(n2, pa.int64()),
+            "n_c3": pa.array(n3, pa.int64()),
+            "n_c4": pa.array(n4, pa.int64()),
+            "probe_class": pa.array(pc, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7195,6 +7262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cost_path": q_cost_path,
         "flow_tiled": q_flow_tiled,
         "fill_sinks": q_fill_sinks,
+        "img_quality": q_img_quality,
+        "reclassify": q_reclassify,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8248,6 +8317,59 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(4 * GREATEST(dr, dc) + 2 * LEAST(dr, dc)
             AS BIGINT) AS path_cost,
        CAST((k % 16) * 16 + k % 13 AS BIGINT) AS end_idx
+FROM s
+"""
+    # img_quality: value-exact — mse is the integer d*d; ssim_20
+    # replays quality.py::ssim_global's double chain op for op from
+    # the exact integer sums (structure term is exactly (2v+c2)/(2v+c2)
+    # only when cov == var, which a shift preserves — the full chain is
+    # still evaluated on both sides)
+    sql["img_quality"] = """
+WITH s AS (
+  SELECT c_custkey AS k, CAST(c_custkey % 7 AS DOUBLE) AS d
+  FROM customer
+),
+t AS (
+  SELECT k, d,
+         32640e0 / 256e0 AS mu_a,
+         (32640e0 + 256e0 * d) / 256e0 AS mu_b,
+         (0.01e0 * 255e0) * (0.01e0 * 255e0) AS c1,
+         (0.03e0 * 255e0) * (0.03e0 * 255e0) AS c2
+  FROM s
+),
+u AS (
+  SELECT k, d, mu_a, mu_b, c1, c2,
+         5559680e0 / 256e0 - mu_a * mu_a AS var_a,
+         (5559680e0 + 2e0 * d * 32640e0 + 256e0 * d * d) / 256e0
+             - mu_b * mu_b AS var_b,
+         (5559680e0 + d * 32640e0) / 256e0 - mu_a * mu_b AS cov
+  FROM t
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(d * d AS BIGINT) AS mse_i,
+       CAST(FLOOR(((2e0 * mu_a * mu_b + c1)
+                   / (mu_a * mu_a + mu_b * mu_b + c1))
+                  * ((2e0 * cov + c2) / (var_a + var_b + c2))
+                  * 1048576e0) AS BIGINT) AS ssim_20
+FROM u
+"""
+    # reclassify: value-exact pure-INTEGER — right-open bins over the
+    # 0..255 ramp: counts telescope to the breakpoints themselves
+    sql["reclassify"] = """
+WITH s AS (
+  SELECT c_custkey AS k,
+         c_custkey % 50 + 10 AS b0, c_custkey % 100 + 60 AS b1
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(b0 AS BIGINT) AS n_c1,
+       CAST(b1 - b0 AS BIGINT) AS n_c2,
+       CAST(200 - b1 AS BIGINT) AS n_c3,
+       CAST(56 AS BIGINT) AS n_c4,
+       CAST(CASE WHEN k % 256 < b0 THEN 1
+                 WHEN k % 256 < b1 THEN 2
+                 WHEN k % 256 < 200 THEN 3
+                 ELSE 4 END AS BIGINT) AS probe_class
 FROM s
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its

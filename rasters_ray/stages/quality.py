@@ -1,0 +1,117 @@
+"""Image quality metrics (MSE / PSNR / global SSIM) and reclassify.
+
+The reference ships no quality metric (its stats surface is the
+display-stretch min/max/mean/std, ``rasters/raster.py:1997-2006``);
+pipelines that re-encode imagery (the JPEG/COG/Zarr sinks here) need
+them to gate lossy steps, and classification pipelines need bin-remap.
+Both classic ops added Ray-Data-first:
+
+* ``mse`` / ``psnr`` — per-pair mean squared error and
+  ``10*log10(L^2 / mse)`` peak SNR.
+* ``ssim_global`` — single-window SSIM (Wang et al. 2004 eq. 13 over
+  the WHOLE image, the ``skimage.metrics.structural_similarity``
+  formula without the sliding window).  Fixed float op order so
+  oracles replay bit-for-bit: all sums are exact integer counts for
+  integral pixels; then ``mu = sum/n``, ``var = sumsq/n - mu*mu``,
+  ``cov = sumab/n - mu_a*mu_b``, ``c1 = (0.01*L)*(0.01*L)``,
+  ``c2 = (0.03*L)*(0.03*L)``, luminance and structure terms as written
+  in :func:`ssim_global` — every step a single IEEE double op DuckDB
+  reproduces exactly.
+* ``reclassify`` — ``classes[np.digitize(arr, bins)]`` (the ArcGIS
+  Reclassify / ``gdal_calc`` bin remap); bins are right-open
+  ``[b_i, b_{i+1})`` and NaN maps to ``nan_class``.
+
+Scale shape: per-image / per-pair map_batches kernels, no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray import codec
+
+__all__ = ["mse", "psnr", "ssim_global", "reclassify", "pairwise_quality"]
+
+
+def mse(a: np.ndarray, b: np.ndarray) -> float:
+    x = np.asarray(a, dtype=np.float64)
+    y = np.asarray(b, dtype=np.float64)
+    if x.shape != y.shape:
+        raise ValueError("mse requires same-shape images")
+    d = x - y
+    return float(np.mean(d * d))
+
+
+def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
+    """Peak SNR in dB; +inf for identical images."""
+    m = mse(a, b)
+    if m == 0.0:
+        return float("inf")
+    return float(10.0 * np.log10((data_range * data_range) / m))
+
+
+def ssim_global(a: np.ndarray, b: np.ndarray,
+                data_range: float = 255.0) -> float:
+    """Whole-image SSIM (Wang et al. 2004 eq. 13, single window)."""
+    x = np.asarray(a, dtype=np.float64)
+    y = np.asarray(b, dtype=np.float64)
+    if x.shape != y.shape:
+        raise ValueError("ssim requires same-shape images")
+    n = float(x.size)
+    mu_a = float(x.sum()) / n
+    mu_b = float(y.sum()) / n
+    var_a = float((x * x).sum()) / n - mu_a * mu_a
+    var_b = float((y * y).sum()) / n - mu_b * mu_b
+    cov = float((x * y).sum()) / n - mu_a * mu_b
+    c1 = (0.01 * data_range) * (0.01 * data_range)
+    c2 = (0.03 * data_range) * (0.03 * data_range)
+    lum = (2.0 * mu_a * mu_b + c1) / (mu_a * mu_a + mu_b * mu_b + c1)
+    structure = (2.0 * cov + c2) / (var_a + var_b + c2)
+    return float(lum * structure)
+
+
+def reclassify(arr: np.ndarray, bins, classes, nan_class=-1) -> np.ndarray:
+    """Bin remap: value v in ``[bins[i], bins[i+1])`` maps to
+    ``classes[i+1]``; below ``bins[0]`` to ``classes[0]``; at or above
+    ``bins[-1]`` to ``classes[-1]``.  ``len(classes) == len(bins) + 1``.
+    NaN cells map to ``nan_class``.  Output int64."""
+    b = np.asarray(bins, dtype=np.float64)
+    cl = np.asarray(classes, dtype=np.int64)
+    if cl.shape[0] != b.shape[0] + 1:
+        raise ValueError("need len(classes) == len(bins) + 1")
+    if np.any(np.diff(b) <= 0):
+        raise ValueError("bins must be strictly increasing")
+    x = np.asarray(arr, dtype=np.float64)
+    nan = ~np.isfinite(x)
+    idx = np.digitize(np.where(nan, b[0], x), b, right=False)
+    out = cl[idx]
+    out[nan] = int(nan_class)
+    return out
+
+
+def pairwise_quality(pairs_ds, data_range: float = 255.0):
+    """Per-pair quality metrics over a Dataset of image PAIRS (rows
+    carry ``pair_id`` / ``bytes_ref`` / ``bytes_cmp`` / ``fmt``):
+    emits mse, psnr (NaN for identical images, so the column stays
+    float) and global ssim.  One map_batches, nothing shuffles."""
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, ms, ps, ss = [], [], [], []
+        for i in range(t.num_rows):
+            fmt = t.column("fmt")[i].as_py()
+            a = codec.decode(t.column("bytes_ref")[i].as_py(), fmt)
+            b = codec.decode(t.column("bytes_cmp")[i].as_py(), fmt)
+            m = mse(a, b)
+            ids.append(t.column("pair_id")[i].as_py())
+            ms.append(m)
+            ps.append(psnr(a, b, data_range) if m > 0 else float("nan"))
+            ss.append(ssim_global(a, b, data_range))
+        return pa.table({
+            "pair_id": pa.array(ids, pa.string()),
+            "mse": pa.array(ms, pa.float64()),
+            "psnr": pa.array(ps, pa.float64()),
+            "ssim": pa.array(ss, pa.float64()),
+        })
+
+    return pairs_ds.map_batches(run, batch_format="pyarrow")

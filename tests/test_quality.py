@@ -1,0 +1,69 @@
+"""MSE/PSNR/global SSIM and reclassify."""
+
+import numpy as np
+import pytest
+
+from rasters_ray.stages.quality import (mse, psnr, reclassify, ssim_global)
+
+
+def _ramp():
+    return np.arange(256, dtype=float).reshape(16, 16)
+
+
+def test_mse_psnr_closed_forms():
+    a = _ramp()
+    assert mse(a, a) == 0.0 and psnr(a, a) == float("inf")
+    assert mse(a, a + 4) == 16.0
+    assert abs(psnr(a, a + 4) - 10 * np.log10(255 ** 2 / 16)) < 1e-12
+
+
+def test_ssim_identity_and_shift():
+    a = _ramp()
+    assert abs(ssim_global(a, a) - 1.0) < 1e-12
+    # constant shift: variances and covariance equal, so the structure
+    # term is exactly 1 and ssim reduces to the luminance term
+    d = 10.0
+    mu = 127.5
+    c1 = (0.01 * 255.0) * (0.01 * 255.0)
+    lum = (2 * mu * (mu + d) + c1) / (mu * mu + (mu + d) ** 2 + c1)
+    assert ssim_global(a, a + d) == pytest.approx(lum, abs=1e-15)
+    # uncorrelated noise lowers ssim
+    rng = np.random.RandomState(0)
+    assert ssim_global(a, a + rng.normal(0, 40, a.shape)) < 0.9
+
+
+def test_ssim_validates_shape():
+    with pytest.raises(ValueError):
+        ssim_global(np.zeros((2, 2)), np.zeros((3, 3)))
+    with pytest.raises(ValueError):
+        mse(np.zeros((2, 2)), np.zeros((3, 3)))
+
+
+def test_reclassify_bins_and_nan():
+    a = np.array([[-5.0, 0.0, 4.9], [5.0, 99.0, np.nan]])
+    out = reclassify(a, bins=[0.0, 5.0], classes=[10, 20, 30], nan_class=-7)
+    assert np.array_equal(out, [[10, 20, 20], [30, 30, -7]])
+    assert out.dtype == np.int64
+    with pytest.raises(ValueError):
+        reclassify(a, bins=[5.0, 0.0], classes=[1, 2, 3])
+    with pytest.raises(ValueError):
+        reclassify(a, bins=[0.0], classes=[1, 2, 3])
+
+
+def test_pairwise_quality_dataset(ray_session):
+    import ray
+
+    from rasters_ray import codec
+    from rasters_ray.stages.quality import pairwise_quality
+
+    a = _ramp()
+    ds = ray.data.from_items([{
+        "pair_id": "p0",
+        "bytes_ref": codec.encode(a, "npy"),
+        "bytes_cmp": codec.encode(a + 4, "npy"),
+        "fmt": "npy",
+    }])
+    row = pairwise_quality(ds).take_all()[0]
+    assert row["mse"] == 16.0
+    assert row["psnr"] == pytest.approx(10 * np.log10(255 ** 2 / 16))
+    assert 0 < row["ssim"] < 1
