@@ -5886,6 +5886,52 @@ def q_flow_tiled(sf_dir: str):
         summar, batch_format="pyarrow")
 
 
+def q_watershed_tiled(sf_dir: str):
+    """DISTRIBUTED watershed (stages/hydrology.py::watershed_tiled —
+    border pointer DOUBLING, Wyllie 1979 list ranking over the tile
+    graph): the 64x64 ridge DEM -|c - 13| sharded into sixteen 16x16
+    tiles.  Every row splits at column 13 into a west basin (pit
+    (r, 0), label r*2^24) and an east basin (pit (r, 63)); east-half
+    water crosses up to 3 tile borders, so the oracle pins the
+    doubling rounds themselves: per tile the west-cell count, the
+    distinct-label count and the corner label are closed forms.
+    Bit-equality with the in-core watershed is pytest-proven on
+    random/ridge/serpentine DEMs."""
+    import ray
+
+    from rasters_ray import codec as rcodec
+    from rasters_ray.stages.hydrology import watershed_tiled
+
+    c = np.arange(64, dtype=np.float64)
+    dem = np.broadcast_to(-np.abs(c - 13.0), (64, 64)).copy()
+    ds = ray.data.from_items([{
+        "image_id": "dem0",
+        "bytes": rcodec.encode(dem, "npy"),
+        "fmt": "npy",
+    }])
+
+    def summar(t: pa.Table) -> pa.Table:
+        ty, tx, nw, nl, corner = [], [], [], [], []
+        for i in range(t.num_rows):
+            lab = rcodec.decode(t.column("bytes")[i].as_py(),
+                                t.column("fmt")[i].as_py())
+            ty.append(int(t.column("ty")[i].as_py()))
+            tx.append(int(t.column("tx")[i].as_py()))
+            nw.append(int(np.sum(lab % 16777216 == 0)))
+            nl.append(int(np.unique(lab).size))
+            corner.append(int(lab[0, 0]))
+        return pa.table({
+            "ty": pa.array(ty, pa.int64()),
+            "tx": pa.array(tx, pa.int64()),
+            "n_west": pa.array(nw, pa.int64()),
+            "n_labels": pa.array(nl, pa.int64()),
+            "corner_label": pa.array(corner, pa.int64()),
+        })
+
+    return watershed_tiled(ds, tile=16).map_batches(
+        summar, batch_format="pyarrow")
+
+
 def q_viewshed(sf_dir: str):
     """R3 viewshed (stages/viewshed.py::viewshed — Franklin & Ray 1994
     per-ray LOS with Chebyshev-step bilinear sampling, the
@@ -7262,6 +7308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cost_path": q_cost_path,
         "flow_tiled": q_flow_tiled,
         "fill_sinks": q_fill_sinks,
+        "watershed_tiled": q_watershed_tiled,
         "img_quality": q_img_quality,
         "reclassify": q_reclassify,
         "viewshed": q_viewshed,
@@ -8318,6 +8365,22 @@ SELECT printf('g%06d', k) AS geom_id,
             AS BIGINT) AS path_cost,
        CAST((k % 16) * 16 + k % 13 AS BIGINT) AS end_idx
 FROM s
+"""
+    # watershed_tiled: value-exact pure-INTEGER — per tile the ridge
+    # split at column 13 gives closed counts: the tx=0 tiles hold 13
+    # west cells per row (208) and both pit labels per row (32); the
+    # rest are all-east (16 labels); corner labels are the row pits
+    sql["watershed_tiled"] = """
+SELECT CAST(tyr.v AS BIGINT) AS ty,
+       CAST(txr.v AS BIGINT) AS tx,
+       CAST(CASE WHEN txr.v = 0 THEN 208 ELSE 0 END AS BIGINT)
+           AS n_west,
+       CAST(CASE WHEN txr.v = 0 THEN 32 ELSE 16 END AS BIGINT)
+           AS n_labels,
+       CAST(16 * tyr.v * 16777216
+            + CASE WHEN txr.v = 0 THEN 0 ELSE 63 END AS BIGINT)
+           AS corner_label
+FROM range(0, 4) tyr(v), range(0, 4) txr(v)
 """
     # img_quality: value-exact — mse is the integer d*d; ssim_20
     # replays quality.py::ssim_global's double chain op for op from

@@ -53,6 +53,7 @@ __all__ = [
     "basin_stats",
     "flow_accumulation_tiled",
     "fill_sinks",
+    "watershed_tiled",
 ]
 
 # neighbor table in ESRI code order: (code, dr, dc, diagonal?)
@@ -558,3 +559,267 @@ def fill_sinks(dem: np.ndarray, eps: float = 0.0) -> np.ndarray:
         if np.array_equal(new, w):
             return w
         w = new
+
+
+def _pack_rc(r, c):
+    """Pack global (row, col) into one int64 label: r * 2^24 + c.
+    Documented limit: images narrower than 2^24 columns."""
+    return r * 16777216 + c
+
+
+def watershed_tiled(images_ds, tile: int = 256):
+    """Distributed watershed delineation for DEMs too big for one
+    worker — basin labels equal to ``watershed(flow_direction(dem))``
+    (with labels packed ``terminal_row * 2^24 + terminal_col``) by
+    test, computed tile-wise.
+
+    Unlike accumulation, labels need only each drainage path's
+    TERMINAL, so the cross-tile resolution is pointer DOUBLING on the
+    border graph (each boundary/exit cell's pointer jumps to its
+    pointer's pointer every round) — ceil(log2(max tile-hops)) groupby
+    rounds over kilobyte pointer tables, the classic parallel
+    list-ranking shortcut (Wyllie 1979; the same trick the in-core
+    :func:`watershed` uses on whole arrays).
+
+    Phases: (1) one halo-exchange pass computes per-tile D8 codes,
+    local terminals, and the border pointer rows; (2) pointer-doubling
+    rounds resolve every border pointer to a pit; (3) one final
+    per-tile groupby joins resolved exit labels back onto the tile's
+    cells.  Returns label tiles (``image_id``, ``ty``, ``tx``, ``r0``,
+    ``c0``, ``bytes`` int64-npy, ``fmt``)."""
+    from rasters_ray.stages.focal import halo_exchange_tiled
+
+    T = int(tile)
+
+    def tile_fn(image_id, canvas, tr0, tc0, trows, tcols) -> pa.Table:
+        fd = flow_direction(canvas)[1:1 + trows, 1:1 + tcols]
+        n = trows * tcols
+        rr, cc = np.divmod(np.arange(n, dtype=np.int64), tcols)
+        down = np.full(n, -1, dtype=np.int64)
+        exit_gr = np.full(n, -1, dtype=np.int64)
+        exit_gc = np.full(n, -1, dtype=np.int64)
+        flat = fd.ravel()
+        for code, dr, dc, _ in _D8:
+            m = flat == code
+            if not m.any():
+                continue
+            tr, tc = rr[m] + dr, cc[m] + dc
+            idx = np.flatnonzero(m)
+            inside = (tr >= 0) & (tr < trows) & (tc >= 0) & (tc < tcols)
+            down[idx[inside]] = tr[inside] * tcols + tc[inside]
+            ex = idx[~inside]
+            exit_gr[ex] = tr0 + rr[ex] + dr
+            exit_gc[ex] = tc0 + cc[ex] + dc
+        term = _terminals(np.where(exit_gr >= 0, -1, down))
+        ty, tx = tr0 // T, tc0 // T
+
+        out = {"image_id": [], "kind": [], "ty": [], "tx": [],
+               "a": [], "b": [], "c": [], "d": [], "e": [], "blob": []}
+
+        def emit(kind, a=0, b=0, c=0, d=0, e=0, blob=b""):
+            out["image_id"].append(image_id)
+            out["kind"].append(kind)
+            out["ty"].append(ty)
+            out["tx"].append(tx)
+            out["a"].append(int(a))
+            out["b"].append(int(b))
+            out["c"].append(int(c))
+            out["d"].append(int(d))
+            out["e"].append(int(e))
+            out["blob"].append(blob)
+
+        # tile state: terminal local index per cell + which terminals
+        # are exits (their global targets), as three npy rows
+        emit("term", tr0, tc0, trows, tcols, blob=codec.encode(term, "npy"))
+        emit("exgr", tr0, tc0, trows, tcols,
+             blob=codec.encode(exit_gr, "npy"))
+        emit("exgc", tr0, tc0, trows, tcols,
+             blob=codec.encode(exit_gc, "npy"))
+        # pointer rows for the doubling rounds.  Boundary cells answer
+        # asks from other tiles; exit cells are this tile's own asks.
+        # (a,b) = the cell's global coords; (c,d) = pointer target or
+        # final pit coords; e = 1 when resolved (pointer IS the pit).
+        bmask = ((rr == 0) | (rr == trows - 1)
+                 | (cc == 0) | (cc == tcols - 1))
+        for v in np.flatnonzero(bmask).tolist():
+            t = term[v]
+            if exit_gr[t] >= 0:
+                emit("ptr", tr0 + rr[v], tc0 + cc[v],
+                     exit_gr[t], exit_gc[t], 0)
+            else:
+                emit("ptr", tr0 + rr[v], tc0 + cc[v],
+                     tr0 + rr[t], tc0 + cc[t], 1)
+        # one ask row per EXIT cell, keyed later to this tile so the
+        # final relabel join needs no extra routing hop
+        for e_ in np.unique(term[exit_gr[term] >= 0]).tolist():
+            emit("exit", tr0 + rr[e_], tc0 + cc[e_],
+                 exit_gr[e_], exit_gc[e_], 0)
+        return pa.table({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "ty": pa.array(out["ty"], pa.int64()),
+            "tx": pa.array(out["tx"], pa.int64()),
+            "a": pa.array(out["a"], pa.int64()),
+            "b": pa.array(out["b"], pa.int64()),
+            "c": pa.array(out["c"], pa.int64()),
+            "d": pa.array(out["d"], pa.int64()),
+            "e": pa.array(out["e"], pa.int64()),
+            "blob": pa.array(out["blob"], pa.binary()),
+        })
+
+    state = halo_exchange_tiled(
+        images_ds, radius=1, tile=T, tile_fn=tile_fn).materialize()
+
+    def keep(*kinds):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("kind")
+            m = pa.compute.equal(k, kinds[0])
+            for extra in kinds[1:]:
+                m = pa.compute.or_(m, pa.compute.equal(k, extra))
+            return t.filter(m)
+        return f
+
+    # pointer doubling: every unresolved row (ptr or exit) asks the
+    # row that owns its target cell; answers double the pointer or
+    # resolve it.  Resolved ptr rows keep serving as answers.
+    rows = state.map_batches(keep("ptr", "exit"),
+                             batch_format="pyarrow").materialize()
+
+    def double(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        asks = [i for i, k in enumerate(kinds) if k in ("ask_ptr",
+                                                        "ask_exit")]
+        if not asks:
+            return g.slice(0, 0)
+        ans = [i for i, k in enumerate(kinds) if k == "ptr"]
+        if not ans:  # pragma: no cover - exit targets are boundary cells
+            raise RuntimeError("pointer target has no answering row")
+        ai = ans[0]
+        pr = int(g.column("c")[ai].as_py())
+        pc = int(g.column("d")[ai].as_py())
+        done = int(g.column("e")[ai].as_py())
+        cols = {name: [] for name in ("image_id", "kind", "ty", "tx",
+                                      "a", "b", "c", "d", "e", "blob")}
+        for i in asks:
+            cols["image_id"].append(g.column("image_id")[i].as_py())
+            cols["kind"].append(
+                "ptr" if kinds[i] == "ask_ptr" else "exit")
+            cols["ty"].append(int(g.column("ty")[i].as_py()))
+            cols["tx"].append(int(g.column("tx")[i].as_py()))
+            cols["a"].append(int(g.column("a")[i].as_py()))
+            cols["b"].append(int(g.column("b")[i].as_py()))
+            cols["c"].append(pr)
+            cols["d"].append(pc)
+            cols["e"].append(done)
+            cols["blob"].append(b"")
+        return pa.table({
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "kind": pa.array(cols["kind"], pa.string()),
+            "ty": pa.array(cols["ty"], pa.int64()),
+            "tx": pa.array(cols["tx"], pa.int64()),
+            "a": pa.array(cols["a"], pa.int64()),
+            "b": pa.array(cols["b"], pa.int64()),
+            "c": pa.array(cols["c"], pa.int64()),
+            "d": pa.array(cols["d"], pa.int64()),
+            "e": pa.array(cols["e"], pa.int64()),
+            "blob": pa.array(cols["blob"], pa.binary()),
+        })
+
+    def count_unresolved(ds) -> int:
+        def f(t: pa.Table) -> pa.Table:
+            m = pa.compute.equal(t.column("e"), 0)
+            return t.filter(m)
+        return ds.map_batches(f, batch_format="pyarrow").count()
+
+    while count_unresolved(rows) > 0:
+        def split(t: pa.Table) -> pa.Table:
+            # answers keyed by their own cell; unresolved rows ALSO
+            # re-emitted as asks keyed by their pointer target
+            un = t.filter(pa.compute.equal(t.column("e"), 0))
+            if un.num_rows == 0:
+                return t
+            ask = pa.table({
+                "image_id": un.column("image_id"),
+                "kind": pa.compute.binary_join_element_wise(
+                    pa.array(["ask_"] * un.num_rows), un.column("kind"),
+                    ""),
+                "ty": un.column("ty"), "tx": un.column("tx"),
+                "a": un.column("a"), "b": un.column("b"),
+                "c": un.column("c"), "d": un.column("d"),
+                "e": un.column("e"), "blob": un.column("blob"),
+            })
+            return pa.concat_tables([t, ask])
+
+        keyed = rows.map_batches(split, batch_format="pyarrow")
+
+        def key_cols(t: pa.Table) -> pa.Table:
+            kinds = t.column("kind").to_pylist()
+            is_ask = np.array([k.startswith("ask_") for k in kinds])
+            a = t.column("a").to_numpy()
+            b = t.column("b").to_numpy()
+            c = t.column("c").to_numpy()
+            d = t.column("d").to_numpy()
+            return t.append_column(
+                "ka", pa.array(np.where(is_ask, c, a), pa.int64())
+            ).append_column(
+                "kb", pa.array(np.where(is_ask, d, b), pa.int64()))
+
+        updated = (keyed.map_batches(key_cols, batch_format="pyarrow")
+                   .groupby(["image_id", "ka", "kb"])
+                   .map_groups(lambda g: double(g.drop_columns(
+                       ["ka", "kb"])), batch_format="pyarrow"))
+        resolved = rows.map_batches(
+            lambda t: t.filter(pa.compute.equal(t.column("e"), 1)),
+            batch_format="pyarrow")
+        rows = resolved.union(updated).materialize()
+
+    # final relabel: exits (now resolved) grouped back to their tile
+    exits = rows.map_batches(keep("exit"), batch_format="pyarrow")
+    tiles = state.map_batches(keep("term", "exgr", "exgc"),
+                              batch_format="pyarrow").union(exits)
+
+    def finalize(g: pa.Table) -> pa.Table:
+        kinds = g.column("kind").to_pylist()
+        ti = kinds.index("term")
+        gi = kinds.index("exgr")
+        ci = kinds.index("exgc")
+        tr0 = int(g.column("a")[ti].as_py())
+        tc0 = int(g.column("b")[ti].as_py())
+        trows = int(g.column("c")[ti].as_py())
+        tcols = int(g.column("d")[ti].as_py())
+        term = codec.decode(g.column("blob")[ti].as_py(), "npy")
+        exit_gr = codec.decode(g.column("blob")[gi].as_py(), "npy")
+        # resolved pit per exit cell, keyed by LOCAL exit index
+        pit = {}
+        for i in range(g.num_rows):
+            if kinds[i] != "exit":
+                continue
+            lr = int(g.column("a")[i].as_py()) - tr0
+            lc = int(g.column("b")[i].as_py()) - tc0
+            pit[lr * tcols + lc] = _pack_rc(
+                int(g.column("c")[i].as_py()),
+                int(g.column("d")[i].as_py()))
+        rr, cc = np.divmod(np.arange(trows * tcols, dtype=np.int64),
+                           tcols)
+        lab = _pack_rc(tr0 + rr[term], tc0 + cc[term])
+        is_exit = exit_gr[term] >= 0
+        if is_exit.any():
+            lut = np.array([pit[v] for v in
+                            np.unique(term[is_exit]).tolist()])
+            pos = np.searchsorted(np.unique(term[is_exit]),
+                                  term[is_exit])
+            lab[is_exit] = lut[pos]
+        return pa.table({
+            "image_id": pa.array([g.column("image_id")[0].as_py()],
+                                 pa.string()),
+            "ty": pa.array([int(g.column("ty")[ti].as_py())], pa.int64()),
+            "tx": pa.array([int(g.column("tx")[ti].as_py())], pa.int64()),
+            "r0": pa.array([tr0], pa.int64()),
+            "c0": pa.array([tc0], pa.int64()),
+            "bytes": pa.array([codec.encode(
+                lab.reshape(trows, tcols), "npy")], pa.binary()),
+            "fmt": pa.array(["npy"], pa.string()),
+        })
+
+    return (tiles.groupby(["image_id", "ty", "tx"])
+            .map_groups(finalize, batch_format="pyarrow"))

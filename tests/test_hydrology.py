@@ -347,3 +347,63 @@ def test_fill_then_accumulate_chain():
     assert int(np.sum(fd_raw == 0)) == 2 and acc_raw[0, 0] < 255
     assert int(np.sum(fd_fill == 0)) == 1
     assert acc_fill[0, 0] == 255
+
+
+def _tiled_labels(dem, tile, ray):
+    from rasters_ray import codec
+    from rasters_ray.stages.hydrology import watershed_tiled
+
+    ds = ray.data.from_items([{
+        "image_id": "i0",
+        "bytes": codec.encode(dem, "npy"),
+        "fmt": "npy",
+    }])
+    out = np.full(dem.shape, -1, dtype=np.int64)
+    for row in watershed_tiled(ds, tile=tile).take_all():
+        piece = codec.decode(row["bytes"], row["fmt"])
+        out[row["r0"]:row["r0"] + piece.shape[0],
+            row["c0"]:row["c0"] + piece.shape[1]] = piece
+    assert (out >= 0).all()
+    return out
+
+
+def _packed_single(dem):
+    from rasters_ray.stages.hydrology import watershed
+
+    lab = watershed(flow_direction(dem))
+    w = dem.shape[1]
+    return (lab // w) * 16777216 + (lab % w)
+
+
+def test_watershed_tiled_random(ray_session):
+    import ray
+
+    rng = np.random.RandomState(9)
+    dem = rng.rand(48, 64) + np.linspace(0, 3, 64)[None, :]
+    assert np.array_equal(_tiled_labels(dem, 16, ray),
+                          _packed_single(dem))
+
+
+def test_watershed_tiled_ridge_and_partial(ray_session):
+    import ray
+
+    c = np.arange(44, dtype=float)
+    dem = np.broadcast_to(-np.abs(c - 13), (30, 44)).copy()
+    assert np.array_equal(_tiled_labels(dem, 16, ray),
+                          _packed_single(dem))
+
+
+def test_watershed_tiled_serpentine_log_rounds(ray_session):
+    # every cell drains along one 64-hop river: pointer doubling must
+    # resolve it (in ~log2 rounds) and label everything with the pit
+    import ray
+
+    order = np.zeros((8, 8), dtype=float)
+    k = 0
+    for r in range(8):
+        cols = range(8) if r % 2 == 0 else range(7, -1, -1)
+        for c in cols:
+            order[r, c] = -k
+            k += 1
+    assert np.array_equal(_tiled_labels(order, 4, ray),
+                          _packed_single(order))
