@@ -5806,6 +5806,76 @@ def q_reclassify(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_glcm(sf_dir: str):
+    """GLCM texture (stages/texture.py::glcm_counts/glcm_features —
+    Haralick 1973 co-occurrence): per key the affine permutation
+    (i*s+k)%256 (s = 2*(k%8)+1) quantized to 8 levels, offset (0,1).
+    The oracle REBUILDS the co-occurrence from scratch in SQL (240
+    horizontal pairs per key via range(256), grouped for the energy
+    term) — unnormalized integer features match exactly. Scale shape:
+    per-key map, no shuffle."""
+    from rasters_ray.stages.texture import glcm_counts, glcm_features
+
+    i = np.arange(256, dtype=np.int64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, npair, con, ene, dia = [], [], [], [], []
+        for kk in k.tolist():
+            s = 2 * (kk % 8) + 1
+            lv = (((i * s + kk) % 256) // 32).reshape(16, 16)
+            f = glcm_features(glcm_counts(lv, 8, offset=(0, 1)))
+            gid.append(f"g{kk:06d}")
+            npair.append(f["n_pairs"])
+            con.append(f["contrast_num"])
+            ene.append(f["energy_num"])
+            dia.append(f["diag_num"])
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_pairs": pa.array(npair, pa.int64()),
+            "contrast_num": pa.array(con, pa.int64()),
+            "energy_num": pa.array(ene, pa.int64()),
+            "diag_num": pa.array(dia, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def q_edt(sf_dir: str):
+    """Exact squared EDT (stages/texture.py::edt_sq — Felzenszwalb &
+    Huttenlocher 2012 two-phase decomposition): per key two seeds at
+    (k%16, k%13) and (k%7, k%11+3); the transform at any cell is the
+    LEAST of the two squared offsets, and the oracle recomputes the
+    full 256-cell sum the same way via range(256). Scale shape:
+    per-key map, no shuffle."""
+    from rasters_ray.stages.texture import edt_sq
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, d0, dm, df, tot = [], [], [], [], []
+        for kk in k.tolist():
+            s = np.zeros((16, 16), dtype=bool)
+            s[kk % 16, kk % 13] = True
+            s[kk % 7, kk % 11 + 3] = True
+            d = edt_sq(s)
+            gid.append(f"g{kk:06d}")
+            d0.append(int(d[0, 0]))
+            dm.append(int(d[8, 7]))
+            df.append(int(d[15, 15]))
+            tot.append(int(d.sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "d2_origin": pa.array(d0, pa.int64()),
+            "d2_mid": pa.array(dm, pa.int64()),
+            "d2_far": pa.array(df, pa.int64()),
+            "d2_sum": pa.array(tot, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7311,6 +7381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watershed_tiled": q_watershed_tiled,
         "img_quality": q_img_quality,
         "reclassify": q_reclassify,
+        "glcm": q_glcm,
+        "edt": q_edt,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8434,6 +8506,59 @@ SELECT printf('g%06d', k) AS geom_id,
                  WHEN k % 256 < 200 THEN 3
                  ELSE 4 END AS BIGINT) AS probe_class
 FROM s
+"""
+    # glcm: value-exact pure-INTEGER — the oracle rebuilds the
+    # co-occurrence itself: 240 horizontal pairs per key (i % 16 < 15),
+    # grouped by (a, b) for the energy term
+    sql["glcm"] = """
+WITH pairs AS (
+  SELECT c.c_custkey AS k,
+         ((ir.i * (2 * (c.c_custkey % 8) + 1) + c.c_custkey) % 256)
+             // 32 AS a,
+         (((ir.i + 1) * (2 * (c.c_custkey % 8) + 1) + c.c_custkey)
+             % 256) // 32 AS b
+  FROM customer c, range(0, 256) ir(i)
+  WHERE ir.i % 16 < 15
+),
+cmat AS (
+  SELECT k, a, b, COUNT(*) AS cnt FROM pairs GROUP BY k, a, b
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+       CAST(SUM(cnt * (a - b) * (a - b)) AS BIGINT) AS contrast_num,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS energy_num,
+       CAST(SUM(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT)
+           AS diag_num
+FROM cmat
+GROUP BY k
+"""
+    # edt: value-exact pure-INTEGER — two seeds: the transform is the
+    # LEAST of two squared offsets, recomputed cell by cell in SQL
+    sql["edt"] = """
+WITH s AS (
+  SELECT c_custkey AS k,
+         c_custkey % 16 AS r1, c_custkey % 13 AS c1,
+         c_custkey % 7 AS r2, c_custkey % 11 + 3 AS c2
+  FROM customer
+),
+cells AS (
+  SELECT k, r1, c1, r2, c2, ir.i // 16 AS r, ir.i % 16 AS c,
+         LEAST((ir.i // 16 - r1) * (ir.i // 16 - r1)
+               + (ir.i % 16 - c1) * (ir.i % 16 - c1),
+               (ir.i // 16 - r2) * (ir.i // 16 - r2)
+               + (ir.i % 16 - c2) * (ir.i % 16 - c2)) AS d2
+  FROM s, range(0, 256) ir(i)
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(MAX(CASE WHEN r = 0 AND c = 0 THEN d2 END) AS BIGINT)
+           AS d2_origin,
+       CAST(MAX(CASE WHEN r = 8 AND c = 7 THEN d2 END) AS BIGINT)
+           AS d2_mid,
+       CAST(MAX(CASE WHEN r = 15 AND c = 15 THEN d2 END) AS BIGINT)
+           AS d2_far,
+       CAST(SUM(d2) AS BIGINT) AS d2_sum
+FROM cells
+GROUP BY k
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its
     # lowest rim a+2p-3; the filled total is constant: ramp sum 5760
