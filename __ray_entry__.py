@@ -5876,6 +5876,43 @@ def q_edt(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_moran(sf_dir: str):
+    """Spatial autocorrelation (stages/spatial_stats.py::moran_stats —
+    Moran 1950 / Geary 1954 with rook weights): per key the affine
+    permutation (i*s+k)%256 as a 16x16 raster.  The integer sufficient
+    statistics (pair cross-sum assembly A = n^2*cross - n*S*psum +
+    W*S^2, squared-difference sum D, B = n^2*sumsq - n*S^2) pin
+    Moran's I and Geary's C exactly; the oracle rebuilds every rook
+    pair from scratch via range(256). Scale shape: per-key map, no
+    shuffle."""
+    from rasters_ray.stages.spatial_stats import moran_stats
+
+    i = np.arange(256, dtype=np.int64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, ac, dd, bn, ws = [], [], [], [], []
+        for kk in k.tolist():
+            s = 2 * (kk % 8) + 1
+            img = ((i * s + kk) % 256).reshape(16, 16)
+            st = moran_stats(img)
+            gid.append(f"g{kk:06d}")
+            ac.append(st["a_cross"])
+            dd.append(st["d_diff"])
+            bn.append(st["b_num"])
+            ws.append(st["w_sum"])
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "a_cross": pa.array(ac, pa.int64()),
+            "d_diff": pa.array(dd, pa.int64()),
+            "b_num": pa.array(bn, pa.int64()),
+            "w_sum": pa.array(ws, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7383,6 +7420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reclassify": q_reclassify,
         "glcm": q_glcm,
         "edt": q_edt,
+        "moran": q_moran,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8559,6 +8597,40 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(SUM(d2) AS BIGINT) AS d2_sum
 FROM cells
 GROUP BY k
+"""
+    # moran: value-exact pure-INTEGER — every rook pair rebuilt in SQL
+    # (horizontal i,i+1 with i%16<15; vertical i,i+16 with i<240; x2
+    # for both directions); S = 32640 and sum v^2 = 5559680 are
+    # permutation-invariant constants
+    sql["moran"] = """
+WITH s AS (
+  SELECT c_custkey AS k, 2 * (c_custkey % 8) + 1 AS m FROM customer
+),
+pr AS (
+  SELECT k,
+         (ir.i * m + k) % 256 AS xi,
+         CASE WHEN ir.i % 16 < 15 AND pt.p = 0
+              THEN ((ir.i + 1) * m + k) % 256
+              WHEN ir.i < 240 AND pt.p = 1
+              THEN ((ir.i + 16) * m + k) % 256
+              ELSE NULL END AS xj
+  FROM s, range(0, 256) ir(i), range(0, 2) pt(p)
+),
+agg AS (
+  SELECT k,
+         2 * SUM(xi * xj) AS crossv,
+         2 * SUM(xi + xj) AS psum,
+         2 * SUM((xi - xj) * (xi - xj)) AS d
+  FROM pr WHERE xj IS NOT NULL GROUP BY k
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(256 * 256 * crossv - 256 * 32640 * psum
+            + CAST(960 AS BIGINT) * 32640 * 32640 AS BIGINT) AS a_cross,
+       CAST(d AS BIGINT) AS d_diff,
+       CAST(CAST(256 AS BIGINT) * 256 * 5559680
+            - CAST(256 AS BIGINT) * 32640 * 32640 AS BIGINT) AS b_num,
+       CAST(960 AS BIGINT) AS w_sum
+FROM agg
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its
     # lowest rim a+2p-3; the filled total is constant: ramp sum 5760

@@ -1,0 +1,85 @@
+"""Moran's I / Geary's C with rook weights."""
+
+import numpy as np
+import pytest
+
+from rasters_ray.stages.spatial_stats import geary_c, moran_i, moran_stats
+
+
+def _brute(arr):
+    x = np.asarray(arr, dtype=np.float64)
+    h, w = x.shape
+    mu = x.mean()
+    num_m = num_g = wsum = 0.0
+    for r in range(h):
+        for c in range(w):
+            for dr, dc in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                nr, nc = r + dr, c + dc
+                if 0 <= nr < h and 0 <= nc < w:
+                    wsum += 1
+                    num_m += (x[r, c] - mu) * (x[nr, nc] - mu)
+                    num_g += (x[r, c] - x[nr, nc]) ** 2
+    den = ((x - mu) ** 2).sum()
+    n = x.size
+    return (n / wsum) * (num_m / den), ((n - 1) / (2 * wsum)) * (num_g / den)
+
+
+def test_against_brute_force_random():
+    rng = np.random.RandomState(6)
+    for shape in ((5, 7), (8, 8)):
+        x = rng.randint(0, 50, size=shape)
+        bi, bc = _brute(x)
+        assert moran_i(x) == pytest.approx(bi, rel=1e-12)
+        assert geary_c(x) == pytest.approx(bc, rel=1e-12)
+
+
+def test_checkerboard_and_gradient_signs():
+    r, c = np.indices((8, 8))
+    checker = ((r + c) % 2).astype(np.int64)
+    # perfect negative autocorrelation: every rook pair differs
+    assert moran_i(checker) == -1.0
+    assert geary_c(checker) > 1.0
+    ramp = (r * 8 + c).astype(np.int64)
+    # strong positive autocorrelation
+    assert moran_i(ramp) > 0.5
+    assert geary_c(ramp) < 0.5
+
+
+def test_sufficient_statistics_are_exact_ints():
+    x = np.array([[1, 2], [3, 5]])
+    st = moran_stats(x)
+    n, s = 4, 11
+    y = n * x - s
+    a = 2 * (y[0, 0] * y[0, 1] + y[1, 0] * y[1, 1]
+             + y[0, 0] * y[1, 0] + y[0, 1] * y[1, 1])
+    assert st["a_cross"] == a
+    assert st["b_num"] == (y ** 2).sum()
+    assert st["w_sum"] == 8
+    assert st["d_diff"] == 2 * ((1 + 4) + (4 + 9))
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        moran_i(np.zeros((3, 3), dtype=np.int64))  # constant
+    with pytest.raises(ValueError):
+        moran_stats(np.array([[0.5, 1.0]]))  # non-integral
+    with pytest.raises(ValueError):
+        moran_stats(np.array([1, 2, 3]))  # 1D
+
+
+def test_autocorr_stats_dataset(ray_session):
+    import ray
+
+    from rasters_ray import codec
+    from rasters_ray.stages.spatial_stats import autocorr_stats
+
+    r, c = np.indices((8, 8))
+    px = ((r + c) % 2).astype(np.float64)
+    ds = ray.data.from_items([{
+        "image_id": "i0",
+        "bytes": codec.encode(px, "npy"),
+        "fmt": "npy",
+    }])
+    row = autocorr_stats(ds).take_all()[0]
+    assert row["moran_i"] == -1.0
+    assert row["w_sum"] == 2 * (8 * 7 * 2)
