@@ -5913,6 +5913,47 @@ def q_moran(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_hough(sf_dir: str):
+    """Digital Hough lines (stages/hough.py::hough_peak — Duda & Hart
+    1972 voting over the four lattice directions): per key one
+    segment of length L = k%8+4 in direction k%4 anchored at
+    (k%5+1, k%4+1) — the peak is that direction/bin with count L
+    (L >= 4 beats every cross direction's singleton votes). Scale
+    shape: per-key map, no shuffle."""
+    from rasters_ray.stages.hough import hough_peak
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, pd_, pb, pc = [], [], [], []
+        for kk in k.tolist():
+            L, d = kk % 8 + 4, kk % 4
+            a, b = kk % 5 + 1, kk % 4 + 1
+            m = np.zeros((16, 16), dtype=bool)
+            t_ = np.arange(L)
+            if d == 0:
+                m[a, b:b + L] = True
+            elif d == 1:
+                m[a:a + L, b] = True
+            elif d == 2:
+                m[a + t_, b + L - 1 - t_] = True  # anti-diagonal
+            else:
+                m[a + t_, b + t_] = True          # main diagonal
+            pk = hough_peak(m)
+            gid.append(f"g{kk:06d}")
+            pd_.append(pk[0])
+            pb.append(pk[1])
+            pc.append(pk[2])
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "peak_dir": pa.array(pd_, pa.int64()),
+            "peak_bin": pa.array(pb, pa.int64()),
+            "peak_count": pa.array(pc, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7421,6 +7462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "glcm": q_glcm,
         "edt": q_edt,
         "moran": q_moran,
+        "hough": q_hough,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8631,6 +8673,23 @@ SELECT printf('g%06d', k) AS geom_id,
             - CAST(256 AS BIGINT) * 32640 * 32640 AS BIGINT) AS b_num,
        CAST(960 AS BIGINT) AS w_sum
 FROM agg
+"""
+    # hough: value-exact pure-INTEGER — the segment's own direction
+    # holds all L votes in one bin: row a (d=0), col b (d=1),
+    # r+c = a+b+L-1 (d=2, anti-diagonal), c-r+15 = b-a+15 (d=3)
+    sql["hough"] = """
+WITH s AS (
+  SELECT c_custkey AS k, c_custkey % 8 + 4 AS L, c_custkey % 4 AS d,
+         c_custkey % 5 + 1 AS a, c_custkey % 4 + 1 AS b
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(d AS BIGINT) AS peak_dir,
+       CAST(CASE d WHEN 0 THEN a WHEN 1 THEN b
+                   WHEN 2 THEN a + b + L - 1
+                   ELSE b - a + 15 END AS BIGINT) AS peak_bin,
+       CAST(L AS BIGINT) AS peak_count
+FROM s
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its
     # lowest rim a+2p-3; the filled total is constant: ramp sum 5760
