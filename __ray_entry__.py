@@ -5954,6 +5954,50 @@ def q_hough(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_features(sf_dir: str):
+    """Pixel features (stages/features.py — Harris & Stephens 1988
+    integer response 20*det - trace^2; Ojala 2002 LBP in D8 bit
+    order): per key (1) a 5x5 bright square at (a, b) = (k%6+3,
+    k%5+3) whose Harris peak lands exactly at the square corner with
+    the translation-invariant response 3814400000000 (pytest proves
+    all 30 positions), and (2) the affine permutation (i*s+k)%256
+    whose 196 interior LBP codes the oracle rebuilds neighbor by
+    neighbor in SQL. Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.features import harris_peak, lbp_codes
+
+    i = np.arange(256, dtype=np.int64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, pr, pc, rsp, ls, n255 = [], [], [], [], [], []
+        for kk in k.tolist():
+            a, b = kk % 6 + 3, kk % 5 + 3
+            img = np.zeros((16, 16), dtype=np.int64)
+            img[a:a + 5, b:b + 5] = 100
+            r, c, resp = harris_peak(img)
+            s = 2 * (kk % 8) + 1
+            perm = ((i * s + kk) % 256).astype(np.float64).reshape(16, 16)
+            codes = lbp_codes(perm)
+            interior = codes[codes >= 0]
+            gid.append(f"g{kk:06d}")
+            pr.append(r)
+            pc.append(c)
+            rsp.append(resp)
+            ls.append(int(interior.sum()))
+            n255.append(int(np.sum(interior == 255)))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "peak_r": pa.array(pr, pa.int64()),
+            "peak_c": pa.array(pc, pa.int64()),
+            "peak_resp": pa.array(rsp, pa.int64()),
+            "lbp_sum": pa.array(ls, pa.int64()),
+            "n_lbp255": pa.array(n255, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7463,6 +7507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edt": q_edt,
         "moran": q_moran,
         "hough": q_hough,
+        "features": q_features,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8690,6 +8735,45 @@ SELECT printf('g%06d', k) AS geom_id,
                    ELSE b - a + 15 END AS BIGINT) AS peak_bin,
        CAST(L AS BIGINT) AS peak_count
 FROM s
+"""
+    # features: value-exact pure-INTEGER — Harris peak = the square's
+    # corner with pinned invariant response (all 30 positions in
+    # pytest); the LBP codes are rebuilt neighbor-by-neighbor in SQL
+    # over the 196 interior cells
+    sql["features"] = """
+WITH s AS (
+  SELECT c_custkey AS k, 2 * (c_custkey % 8) + 1 AS m FROM customer
+),
+lbp AS (
+  SELECT k,
+         (CASE WHEN ((ir.i + 1) * m + k) % 256 >= (ir.i * m + k) % 256
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN ((ir.i + 17) * m + k) % 256 >= (ir.i * m + k) % 256
+               THEN 2 ELSE 0 END)
+       + (CASE WHEN ((ir.i + 16) * m + k) % 256 >= (ir.i * m + k) % 256
+               THEN 4 ELSE 0 END)
+       + (CASE WHEN ((ir.i + 15) * m + k) % 256 >= (ir.i * m + k) % 256
+               THEN 8 ELSE 0 END)
+       + (CASE WHEN ((ir.i - 1) * m + k) % 256 >= (ir.i * m + k) % 256
+               THEN 16 ELSE 0 END)
+       + (CASE WHEN ((ir.i - 17) * m + k) % 256 >= (ir.i * m + k) % 256
+               THEN 32 ELSE 0 END)
+       + (CASE WHEN ((ir.i - 16) * m + k) % 256 >= (ir.i * m + k) % 256
+               THEN 64 ELSE 0 END)
+       + (CASE WHEN ((ir.i - 15) * m + k) % 256 >= (ir.i * m + k) % 256
+               THEN 128 ELSE 0 END) AS code
+  FROM s, range(0, 256) ir(i)
+  WHERE ir.i // 16 BETWEEN 1 AND 14 AND ir.i % 16 BETWEEN 1 AND 14
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(k % 6 + 3 AS BIGINT) AS peak_r,
+       CAST(k % 5 + 3 AS BIGINT) AS peak_c,
+       CAST(3814400000000 AS BIGINT) AS peak_resp,
+       CAST(SUM(code) AS BIGINT) AS lbp_sum,
+       CAST(SUM(CASE WHEN code = 255 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lbp255
+FROM lbp
+GROUP BY k
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its
     # lowest rim a+2p-3; the filled total is constant: ramp sum 5760

@@ -1,0 +1,124 @@
+"""Pixel feature detectors: Harris corners and local binary patterns.
+
+The interest-point / texture-descriptor layer of an imagery pipeline
+(the reference stops at per-pixel math, ``rasters/raster.py``), kept
+INTEGER-exact so oracles replay them:
+
+* ``harris_response`` — Harris & Stephens 1988 corner response on
+  Sobel gradients with a 3x3 structure-tensor window.  With k = 1/20
+  the response is reported as the integer ``20 * det(M) - trace(M)^2``
+  (all Sobel sums are integers for integral pixels), i.e. 20x the
+  classic ``det - 0.05 * trace^2``.
+* ``harris_peak`` — strongest response and its position (first
+  row-major maximum).
+* ``lbp_codes`` — the 8-bit local binary pattern (Ojala, Pietikainen
+  & Maenpaa 2002, fixed radius 1): bit j set when the j-th neighbor in
+  ESRI D8 order (E, SE, S, SW, W, NW, N, NE) is >= the center.  Codes
+  are computed for interior pixels only (all 8 neighbors in-raster);
+  border pixels report -1.
+
+Scale shape: per-image map_batches kernels (shifted-array vectorized),
+no shuffle; both fit ``focal.halo_exchange_tiled`` directly for
+mosaics (radius 2 for Harris: Sobel + window; radius 1 for LBP).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray import codec
+
+__all__ = ["harris_response", "harris_peak", "lbp_codes",
+           "feature_stats"]
+
+_D8_ORDER = [(0, 1), (1, 1), (1, 0), (1, -1),
+             (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+
+
+def _sobel(z: np.ndarray):
+    """Integer Sobel gradients for interior pixels (3x3 support)."""
+    gx = (z[:-2, 2:] + 2 * z[1:-1, 2:] + z[2:, 2:]
+          - z[:-2, :-2] - 2 * z[1:-1, :-2] - z[2:, :-2])
+    gy = (z[2:, :-2] + 2 * z[2:, 1:-1] + z[2:, 2:]
+          - z[:-2, :-2] - 2 * z[:-2, 1:-1] - z[:-2, 2:])
+    return gx, gy
+
+
+def harris_response(arr: np.ndarray) -> np.ndarray:
+    """Integer Harris response ``20*det - trace^2`` (k = 1/20) with a
+    3x3 flat structure-tensor window.  Output matches the input shape;
+    the 2-pixel frame where the support leaves the raster is the
+    int64 minimum (never a peak)."""
+    z = np.asarray(arr)
+    if z.ndim != 2 or z.shape[0] < 5 or z.shape[1] < 5:
+        raise ValueError("harris_response needs a 2D raster >= 5x5")
+    zi = z.astype(np.int64)
+    if not np.array_equal(zi, np.asarray(z, dtype=np.float64)):
+        raise ValueError("harris_response requires integral pixels")
+    gx, gy = _sobel(zi)
+    xx, xy, yy = gx * gx, gx * gy, gy * gy
+
+    def box3(a):
+        s = a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:] \
+            + a[1:-1, :-2] + a[1:-1, 1:-1] + a[1:-1, 2:] \
+            + a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:]
+        return s
+
+    sxx, sxy, syy = box3(xx), box3(xy), box3(yy)
+    resp = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+    out = np.full(z.shape, np.iinfo(np.int64).min, dtype=np.int64)
+    out[2:-2, 2:-2] = resp
+    return out
+
+
+def harris_peak(arr: np.ndarray):
+    """``(row, col, response)`` of the strongest Harris response;
+    ties break to the first position row-major."""
+    resp = harris_response(arr)
+    idx = int(np.argmax(resp))
+    r, c = divmod(idx, resp.shape[1])
+    return r, c, int(resp[r, c])
+
+
+def lbp_codes(arr: np.ndarray) -> np.ndarray:
+    """8-bit LBP codes (int64); border pixels -1."""
+    z = np.asarray(arr, dtype=np.float64)
+    if z.ndim != 2 or z.shape[0] < 3 or z.shape[1] < 3:
+        raise ValueError("lbp_codes needs a 2D raster >= 3x3")
+    center = z[1:-1, 1:-1]
+    code = np.zeros(center.shape, dtype=np.int64)
+    for j, (dr, dc) in enumerate(_D8_ORDER):
+        nbr = z[1 + dr:z.shape[0] - 1 + dr, 1 + dc:z.shape[1] - 1 + dc]
+        code |= (nbr >= center).astype(np.int64) << j
+    out = np.full(z.shape, -1, dtype=np.int64)
+    out[1:-1, 1:-1] = code
+    return out
+
+
+def feature_stats(images_ds):
+    """Per-image feature summary over an image Dataset (rows carry
+    ``image_id`` / ``bytes`` / ``fmt``): the Harris peak and the LBP
+    code sum / all-ones count over interior pixels.  One map_batches,
+    nothing shuffles."""
+
+    def run(t: pa.Table) -> pa.Table:
+        cols = {"image_id": [], "peak_r": [], "peak_c": [],
+                "peak_resp": [], "lbp_sum": [], "n_lbp255": []}
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            r, c, resp = harris_peak(px)
+            codes = lbp_codes(px)
+            interior = codes[codes >= 0]
+            cols["image_id"].append(t.column("image_id")[i].as_py())
+            cols["peak_r"].append(r)
+            cols["peak_c"].append(c)
+            cols["peak_resp"].append(resp)
+            cols["lbp_sum"].append(int(interior.sum()))
+            cols["n_lbp255"].append(int(np.sum(interior == 255)))
+        return pa.table(
+            {k: pa.array(v, pa.string() if k == "image_id" else pa.int64())
+             for k, v in cols.items()})
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
