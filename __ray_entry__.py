@@ -5998,6 +5998,75 @@ def q_features(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_strahler(sf_dir: str):
+    """Strahler stream order (stages/hydrology.py::strahler_order —
+    Strahler 1957, the r.stream.order convention): the oriented ramp
+    of q_flow_acc (k%2 picks row- or column-major), where the
+    collector row/column is order 2 from its first junction on and
+    everything else is order 1 — counts and the probe order are
+    pure-INTEGER key formulas (dendritic order-3 joins are
+    pytest-proven separately). Scale shape: per-key map, no
+    shuffle."""
+    from rasters_ray.stages.hydrology import flow_direction, strahler_order
+
+    r, c = np.indices((16, 16))
+    dems = [(r * 16 + c).astype(np.float64), (c * 16 + r).astype(np.float64)]
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, n1, n2, omax, probe = [], [], [], [], []
+        for kk in k.tolist():
+            o = strahler_order(flow_direction(dems[kk % 2]))
+            gid.append(f"g{kk:06d}")
+            n1.append(int(np.sum(o == 1)))
+            n2.append(int(np.sum(o == 2)))
+            omax.append(int(o.max()))
+            probe.append(int(o[kk % 16, kk % 13]))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_order1": pa.array(n1, pa.int64()),
+            "n_order2": pa.array(n2, pa.int64()),
+            "order_max": pa.array(omax, pa.int64()),
+            "order_probe": pa.array(probe, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def q_skeleton(sf_dir: str):
+    """Zhang-Suen thinning (stages/morphology.py::skeletonize — Zhang
+    & Suen 1984): per key a 5-wide bar at (r0, c0) = (k%6+1, k%3+1)
+    of length L = k%8+6 thins to the single centerline row r0+2,
+    cols [c0+2, c0+L-4] — pixel count and centroid are pure-INTEGER
+    key formulas, proven exhaustively over all 144 keyspace combos in
+    pytest. Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.morphology import skeletonize
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, np_, rowv, csum = [], [], [], []
+        for kk in k.tolist():
+            r0, c0, L = kk % 6 + 1, kk % 3 + 1, kk % 8 + 6
+            m = np.zeros((16, 16), dtype=bool)
+            m[r0:r0 + 5, c0:c0 + L] = True
+            sk = skeletonize(m)
+            rs, cs = np.nonzero(sk)
+            gid.append(f"g{kk:06d}")
+            np_.append(int(sk.sum()))
+            rowv.append(int(rs[0]))
+            csum.append(int(cs.sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_skel": pa.array(np_, pa.int64()),
+            "skel_row": pa.array(rowv, pa.int64()),
+            "col_sum": pa.array(csum, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7508,6 +7577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moran": q_moran,
         "hough": q_hough,
         "features": q_features,
+        "strahler": q_strahler,
+        "skeleton": q_skeleton,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8774,6 +8845,36 @@ SELECT printf('g%06d', k) AS geom_id,
            AS n_lbp255
 FROM lbp
 GROUP BY k
+"""
+    # strahler: value-exact pure-INTEGER — the collector row/column is
+    # order 2 except at its far end (single parent); 241/15 split
+    sql["strahler"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(241 AS BIGINT) AS n_order1,
+       CAST(15 AS BIGINT) AS n_order2,
+       CAST(2 AS BIGINT) AS order_max,
+       CAST(CASE WHEN c_custkey % 2 = 0
+                 THEN CASE WHEN c_custkey % 16 = 0 THEN 2 ELSE 1 END
+                 ELSE CASE WHEN c_custkey % 13 = 0
+                            AND c_custkey % 16 <> 15
+                           THEN 2 ELSE 1 END
+            END AS BIGINT) AS order_probe
+FROM customer
+"""
+    # skeleton: value-exact pure-INTEGER — the 5-wide bar thins to the
+    # centerline run [c0+2, c0+L-4] on row r0+2 (all 144 combos
+    # pytest-proven); the column sum telescopes
+    sql["skeleton"] = """
+WITH s AS (
+  SELECT c_custkey AS k, c_custkey % 6 + 1 AS r0,
+         c_custkey % 3 + 1 AS c0, c_custkey % 8 + 6 AS L
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(L - 5 AS BIGINT) AS n_skel,
+       CAST(r0 + 2 AS BIGINT) AS skel_row,
+       CAST((L - 5) * (2 * c0 + L - 2) // 2 AS BIGINT) AS col_sum
+FROM s
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its
     # lowest rim a+2p-3; the filled total is constant: ramp sum 5760

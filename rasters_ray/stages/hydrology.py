@@ -54,6 +54,7 @@ __all__ = [
     "flow_accumulation_tiled",
     "fill_sinks",
     "watershed_tiled",
+    "strahler_order",
 ]
 
 # neighbor table in ESRI code order: (code, dr, dc, diagonal?)
@@ -823,3 +824,49 @@ def watershed_tiled(images_ds, tile: int = 256):
 
     return (tiles.groupby(["image_id", "ty", "tx"])
             .map_groups(finalize, batch_format="pyarrow"))
+
+
+def strahler_order(fdir: np.ndarray) -> np.ndarray:
+    """Strahler stream order (Strahler 1957; the GRASS r.stream.order
+    / ArcGIS Stream Order convention) over a D8 code array, treating
+    EVERY cell as stream: leaves are order 1; a cell's order is its
+    parents' maximum, +1 when two or more parents attain it.
+
+    Same Kahn machinery as :func:`flow_accumulation`, with two scatter
+    passes per round (``np.maximum.at`` for the running parent max,
+    ``np.add.at`` for how many parents attain it, reset whenever the
+    max rises)."""
+    fd = np.asarray(fdir)
+    h, w = fd.shape
+    n = h * w
+    down = np.full(n, -1, dtype=np.int64)
+    flat = fd.ravel()
+    rr, cc = np.divmod(np.arange(n, dtype=np.int64), w)
+    for code, dr, dc, _ in _D8:
+        m = flat == code
+        tr, tc = rr[m] + dr, cc[m] + dc
+        inside = (tr >= 0) & (tr < h) & (tc >= 0) & (tc < w)
+        idx = np.flatnonzero(m)[inside]
+        down[idx] = (rr[idx] + dr) * w + (cc[idx] + dc)
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, down[down >= 0], 1)
+    order = np.zeros(n, dtype=np.int64)
+    maxo = np.zeros(n, dtype=np.int64)
+    cnt = np.zeros(n, dtype=np.int64)
+    frontier = np.flatnonzero(indeg == 0)
+    while frontier.size:
+        # finalize this frontier: leaves (max 0) are order 1
+        o = np.where(maxo[frontier] == 0, 1,
+                     maxo[frontier] + (cnt[frontier] >= 2))
+        order[frontier] = o
+        d = down[frontier]
+        live = d >= 0
+        src, dst = frontier[live], d[live]
+        newmax = maxo.copy()
+        np.maximum.at(newmax, dst, o[live])
+        cnt[dst[newmax[dst] > maxo[dst]]] = 0
+        np.add.at(cnt, dst[o[live] == newmax[dst]], 1)
+        maxo = newmax
+        np.add.at(indeg, dst, -1)
+        frontier = np.unique(dst[indeg[dst] == 0])
+    return order.reshape(h, w)

@@ -407,3 +407,35 @@ def test_watershed_tiled_serpentine_log_rounds(ray_session):
             k += 1
     assert np.array_equal(_tiled_labels(order, 4, ray),
                           _packed_single(order))
+
+
+def test_strahler_ramp_orders():
+    from rasters_ray.stages.hydrology import strahler_order
+
+    r, c = np.indices((16, 16))
+    o = strahler_order(flow_direction((r * 16 + c).astype(float)))
+    # columns are order-1 paths; the top-row collector becomes order 2
+    # at its first junction (0,14) and stays 2 (single-max parents)
+    assert np.all(o[1:, :] == 1) and o[0, 15] == 1
+    assert np.all(o[0, :15] == 2)
+
+
+def test_strahler_dendritic_order3():
+    from rasters_ray.stages.hydrology import strahler_order
+
+    fd = np.zeros((7, 7), dtype=np.uint8)
+    fd[0, 0] = 2    # SE -> (1,1)
+    fd[0, 2] = 8    # SW -> (1,1)
+    fd[1, 1] = 2    # SE -> (2,2)
+    fd[0, 4] = 2    # SE -> (1,5)
+    fd[0, 6] = 8    # SW -> (1,5)
+    fd[1, 5] = 8    # SW -> (2,4)
+    fd[2, 2] = 1    # E  -> (2,3)
+    fd[2, 4] = 16   # W  -> (2,3)
+    fd[2, 3] = 4    # S  -> (3,3), the outlet pit
+    o = strahler_order(fd)
+    assert o[0, 0] == o[0, 2] == o[0, 4] == o[0, 6] == 1
+    assert o[1, 1] == o[1, 5] == 1 + 1  # two order-1 parents
+    assert o[2, 2] == o[2, 4] == 2      # pass-through keeps the max
+    assert o[2, 3] == 3                 # two order-2 parents
+    assert o[3, 3] == 3                 # single order-3 parent

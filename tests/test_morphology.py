@@ -45,3 +45,35 @@ def test_morphology_tiled_equals_whole(ray_session):
     assert len(whole) == len(tiled) > 0
     for col in whole.columns:
         assert (whole[col] == tiled[col]).all(), col
+
+
+def test_skeletonize_bar_exhaustive_over_query_keyspace():
+    # the exact construction q_skeleton uses: a 5-wide bar at
+    # (r0, c0) of length L thins to the single centerline row r0+2,
+    # cols [c0+2, c0+L-4] — every (r0, c0, L) combo of the keyspace
+    from rasters_ray.stages.morphology import skeletonize
+
+    for r0 in range(1, 7):
+        for c0 in range(1, 4):
+            for L in range(6, 14):
+                m = np.zeros((16, 16), dtype=bool)
+                m[r0:r0 + 5, c0:c0 + L] = True
+                sk = skeletonize(m)
+                expect = np.zeros((16, 16), dtype=bool)
+                expect[r0 + 2, c0 + 2:c0 + L - 3] = True
+                assert np.array_equal(sk, expect), (r0, c0, L)
+
+
+def test_skeletonize_idempotent_and_preserves_line():
+    from rasters_ray.stages.morphology import skeletonize
+
+    m = np.zeros((12, 12), dtype=bool)
+    m[3:8, 2:10] = True
+    sk = skeletonize(m)
+    assert np.array_equal(skeletonize(sk), sk)
+    # a 1-pixel line is already a skeleton
+    line = np.zeros((9, 9), dtype=bool)
+    line[4, 1:8] = True
+    assert np.array_equal(skeletonize(line), line)
+    # empty stays empty
+    assert not skeletonize(np.zeros((5, 5), dtype=bool)).any()
