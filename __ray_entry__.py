@@ -6067,6 +6067,42 @@ def q_skeleton(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_flow_length(sf_dir: str):
+    """Flow length (stages/hydrology.py::flow_length — the ArcGIS
+    Flow Length op on the chamfer 2-3 metric; downstream by weighted
+    pointer doubling, upstream by Kahn max): the oriented ramp again —
+    downstream length is 2r+2c in either orientation and the longest
+    upstream path follows the collector formulas proven exhaustively
+    in pytest. Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.hydrology import flow_direction, flow_length
+
+    r, c = np.indices((16, 16))
+    dems = [(r * 16 + c).astype(np.float64), (c * 16 + r).astype(np.float64)]
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, dlp, ulp, dmax, umax = [], [], [], [], []
+        for kk in k.tolist():
+            fd = flow_direction(dems[kk % 2])
+            dl = flow_length(fd)
+            ul = flow_length(fd, upstream=True)
+            gid.append(f"g{kk:06d}")
+            dlp.append(int(dl[kk % 16, kk % 13]))
+            ulp.append(int(ul[kk % 16, kk % 13]))
+            dmax.append(int(dl.max()))
+            umax.append(int(ul.max()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "down_probe": pa.array(dlp, pa.int64()),
+            "up_probe": pa.array(ulp, pa.int64()),
+            "down_max": pa.array(dmax, pa.int64()),
+            "up_max": pa.array(umax, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7579,6 +7615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "features": q_features,
         "strahler": q_strahler,
         "skeleton": q_skeleton,
+        "flow_length": q_flow_length,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8874,6 +8911,26 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(L - 5 AS BIGINT) AS n_skel,
        CAST(r0 + 2 AS BIGINT) AS skel_row,
        CAST((L - 5) * (2 * c0 + L - 2) // 2 AS BIGINT) AS col_sum
+FROM s
+"""
+    # flow_length: value-exact pure-INTEGER — downstream 2r+2c; the
+    # longest upstream path is 2*(15-axis) off the collector and
+    # 30 + 2*(15-along) on it; maxima 60 (corner-to-pit) and 60
+    sql["flow_length"] = """
+WITH s AS (
+  SELECT c_custkey AS k, c_custkey % 16 AS pr, c_custkey % 13 AS pc
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(2 * pr + 2 * pc AS BIGINT) AS down_probe,
+       CAST(CASE WHEN k % 2 = 0
+                 THEN CASE WHEN pr = 0 THEN 30 + 2 * (15 - pc)
+                           ELSE 2 * (15 - pr) END
+                 ELSE CASE WHEN pc = 0 THEN 30 + 2 * (15 - pr)
+                           ELSE 2 * (15 - pc) END
+            END AS BIGINT) AS up_probe,
+       CAST(60 AS BIGINT) AS down_max,
+       CAST(60 AS BIGINT) AS up_max
 FROM s
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its

@@ -439,3 +439,31 @@ def test_strahler_dendritic_order3():
     assert o[2, 2] == o[2, 4] == 2      # pass-through keeps the max
     assert o[2, 3] == 3                 # two order-2 parents
     assert o[3, 3] == 3                 # single order-3 parent
+
+
+def test_flow_length_ramp_both_orientations():
+    from rasters_ray.stages.hydrology import flow_length
+
+    r, c = np.indices((16, 16))
+    for orient, dem in ((0, r * 16 + c), (1, c * 16 + r)):
+        fd = flow_direction(dem.astype(float))
+        dl = flow_length(fd)
+        ul = flow_length(fd, upstream=True)
+        assert np.array_equal(dl, 2 * r + 2 * c)
+        if orient == 0:
+            expect = np.where(r > 0, 2 * (15 - r), 30 + 2 * (15 - c))
+        else:
+            expect = np.where(c > 0, 2 * (15 - c), 30 + 2 * (15 - r))
+        assert np.array_equal(ul, expect), orient
+
+
+def test_flow_length_diagonal_weight():
+    from rasters_ray.stages.hydrology import flow_length
+
+    fd = np.zeros((6, 6), dtype=np.uint8)
+    for i in range(5):
+        fd[i, i] = 2  # SE chain down the diagonal
+    dl = flow_length(fd)
+    ul = flow_length(fd, upstream=True)
+    assert dl[0, 0] == 15 and dl[3, 3] == 6  # 3 per diagonal hop
+    assert ul[5, 5] == 15 and ul[2, 2] == 6
