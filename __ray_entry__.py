@@ -6103,6 +6103,39 @@ def q_flow_length(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_mode_filter(sf_dir: str):
+    """Majority filter (stages/focal.py::mode_filter — the ArcGIS
+    Majority Filter classifier cleanup): per key a two-class split at
+    column m = k%10+3 with one speckle pixel flipped at (k%14+1, 1);
+    the filter removes exactly the speckle and leaves the class
+    boundary bit-stable, so the one count, changed count and probe are
+    pure-INTEGER key formulas. Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.focal import mode_filter
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, n1, nch, pr_ = [], [], [], []
+        for kk in k.tolist():
+            m = kk % 10 + 3
+            lab = np.zeros((16, 16), dtype=np.int64)
+            lab[:, m:] = 1
+            lab[kk % 14 + 1, 1] = 1
+            out = mode_filter(lab, 2)
+            gid.append(f"g{kk:06d}")
+            n1.append(int(out.sum()))
+            nch.append(int(np.sum(out != lab)))
+            pr_.append(int(out[kk % 14 + 1, 1]))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_ones": pa.array(n1, pa.int64()),
+            "n_changed": pa.array(nch, pa.int64()),
+            "probe": pa.array(pr_, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7616,6 +7649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strahler": q_strahler,
         "skeleton": q_skeleton,
         "flow_length": q_flow_length,
+        "mode_filter": q_mode_filter,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8932,6 +8966,15 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(60 AS BIGINT) AS down_max,
        CAST(60 AS BIGINT) AS up_max
 FROM s
+"""
+    # mode_filter: value-exact pure-INTEGER — the lone speckle is
+    # outvoted 8:1, the half boundary survives 6:3
+    sql["mode_filter"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(16 * (16 - (c_custkey % 10 + 3)) AS BIGINT) AS n_ones,
+       CAST(1 AS BIGINT) AS n_changed,
+       CAST(0 AS BIGINT) AS probe
+FROM customer
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its
     # lowest rim a+2p-3; the filled total is constant: ramp sum 5760

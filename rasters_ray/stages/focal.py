@@ -46,6 +46,7 @@ __all__ = [
     "focal_stats",
     "focal_halo_tiled",
     "halo_exchange_tiled",
+    "mode_filter",
 ]
 
 
@@ -421,3 +422,40 @@ def _emit(out: dict, image_id, ty, tx, r0, c0, piece: np.ndarray, kind: str) -> 
     out["cols"].append(int(piece.shape[1]))
     out["kind"].append(kind)
     out["blob"].append(codec.encode(np.ascontiguousarray(piece), "npy"))
+
+
+def mode_filter(labels: np.ndarray, n_labels: int) -> np.ndarray:
+    """3x3 majority (mode) filter for a label raster — the ArcGIS
+    Majority Filter / GRASS r.neighbors mode smoothing used to clean
+    classifier speckle.  Deterministic rule: the window winner is the
+    label with the highest count over the in-raster cells of the 3x3
+    window; the CENTER keeps its label when it attains the maximum
+    count (so ties never flip a cell), otherwise the smallest
+    tied label wins.  Labels must be ints in ``[0, n_labels)``.
+
+    Vectorized one pass per label value: count = sum of 9 shifted
+    equality masks (edge cells see only their in-raster neighbors)."""
+    lv = np.asarray(labels)
+    if lv.ndim != 2:
+        raise ValueError("labels must be 2D")
+    if lv.min() < 0 or lv.max() >= n_labels:
+        raise ValueError("labels outside [0, n_labels)")
+    h, w = lv.shape
+    center = lv.astype(np.int64)
+    best_cnt = np.zeros((h, w), dtype=np.int64)
+    best_lab = np.zeros((h, w), dtype=np.int64)
+    own_cnt = np.zeros((h, w), dtype=np.int64)
+    pad = np.full((h + 2, w + 2), -1, dtype=np.int64)
+    pad[1:-1, 1:-1] = lv
+    for val in range(n_labels):
+        m = (pad == val).astype(np.int64)
+        cnt = (m[:-2, :-2] + m[:-2, 1:-1] + m[:-2, 2:]
+               + m[1:-1, :-2] + m[1:-1, 1:-1] + m[1:-1, 2:]
+               + m[2:, :-2] + m[2:, 1:-1] + m[2:, 2:])
+        take = cnt > best_cnt  # strict: smallest label wins ties
+        best_cnt[take] = cnt[take]
+        best_lab[take] = val
+        mine = center == val
+        own_cnt[mine] = cnt[mine]
+    # center keeps its label when its own count attains the maximum
+    return np.where(own_cnt == best_cnt, center, best_lab)

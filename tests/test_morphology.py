@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from rasters_ray.sources.images import make_oracle_images, oracle_pixels
 from rasters_ray.stages.morphology import morphology_halo_tiled, morphology_stats
@@ -77,3 +78,38 @@ def test_skeletonize_idempotent_and_preserves_line():
     assert np.array_equal(skeletonize(line), line)
     # empty stays empty
     assert not skeletonize(np.zeros((5, 5), dtype=bool)).any()
+
+
+def test_mode_filter_speckle_and_ties():
+    from rasters_ray.stages.focal import mode_filter
+
+    # a single flipped pixel inside a solid half gets outvoted
+    lab = np.zeros((8, 8), dtype=np.int64)
+    lab[:, 4:] = 1
+    lab[3, 1] = 1
+    out = mode_filter(lab, 2)
+    assert out[3, 1] == 0
+    clean = np.zeros((8, 8), dtype=np.int64)
+    clean[:, 4:] = 1
+    assert np.array_equal(out, clean)
+    # checkerboard: the center always attains the window max (5 vs 4
+    # interior; ties on edges) -> unchanged
+    r, c = np.indices((8, 8))
+    ck = ((r + c) % 2).astype(np.int64)
+    assert np.array_equal(mode_filter(ck, 2), ck)
+    # width-1 stripes: three-way tie includes the center -> unchanged
+    stripes = np.tile(np.arange(6) % 3, (6, 1)).astype(np.int64)
+    assert np.array_equal(mode_filter(stripes, 3), stripes)
+
+
+def test_mode_filter_validation_and_corner():
+    from rasters_ray.stages.focal import mode_filter
+
+    with pytest.raises(ValueError):
+        mode_filter(np.array([[0, 3]]), 3)
+    with pytest.raises(ValueError):
+        mode_filter(np.zeros(4, dtype=np.int64), 2)
+    # corner cell sees only its 2x2 in-raster window
+    lab = np.zeros((4, 4), dtype=np.int64)
+    lab[0, 0] = 1
+    assert mode_filter(lab, 2)[0, 0] == 0  # 1 vs 3 zeros
