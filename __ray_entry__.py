@@ -6136,6 +6136,77 @@ def q_mode_filter(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_allocation(sf_dir: str):
+    """Euclidean allocation (stages/texture.py::euclidean_allocation —
+    ArcGIS Euclidean Allocation, ties to the lowest seed index): the
+    q_edt seed pair again; the oracle recomputes the nearest-seed
+    argmin (with the documented tie rule) cell by cell via range(256).
+    Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.texture import euclidean_allocation
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, nz0, a00, aff = [], [], [], []
+        for kk in k.tolist():
+            alloc = euclidean_allocation(
+                [(kk % 16, kk % 13), (kk % 7, kk % 11 + 3)], (16, 16))
+            gid.append(f"g{kk:06d}")
+            nz0.append(int(np.sum(alloc == 0)))
+            a00.append(int(alloc[0, 0]))
+            aff.append(int(alloc[15, 15]))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_zone0": pa.array(nz0, pa.int64()),
+            "alloc_origin": pa.array(a00, pa.int64()),
+            "alloc_far": pa.array(aff, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def q_zone_geom(sf_dir: str):
+    """Zone geometry (stages/texture.py::zone_geometry — regionprops
+    area/perimeter/bbox over a label raster): per key a h0 x w0
+    rectangle of zone 1 inside zone 0; areas, 4-exposure perimeters
+    and the bounding box are pure-INTEGER key formulas. Scale shape:
+    per-key map, no shuffle."""
+    from rasters_ray.stages.texture import zone_geometry
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, ar1, pe1, pe0, rmn, cmn, rmx, cmx = ([] for _ in range(8))
+        for kk in k.tolist():
+            a, b = kk % 6 + 2, kk % 7 + 2
+            h0, w0 = kk % 4 + 2, kk % 5 + 2
+            lab = np.zeros((16, 16), dtype=np.int64)
+            lab[a:a + h0, b:b + w0] = 1
+            g = zone_geometry(lab, 2).to_pydict()
+            i1 = g["label"].index(1)
+            i0 = g["label"].index(0)
+            gid.append(f"g{kk:06d}")
+            ar1.append(g["area"][i1])
+            pe1.append(g["perimeter"][i1])
+            pe0.append(g["perimeter"][i0])
+            rmn.append(g["rmin"][i1])
+            cmn.append(g["cmin"][i1])
+            rmx.append(g["rmax"][i1])
+            cmx.append(g["cmax"][i1])
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "area1": pa.array(ar1, pa.int64()),
+            "perim1": pa.array(pe1, pa.int64()),
+            "perim0": pa.array(pe0, pa.int64()),
+            "rmin": pa.array(rmn, pa.int64()),
+            "cmin": pa.array(cmn, pa.int64()),
+            "rmax": pa.array(rmx, pa.int64()),
+            "cmax": pa.array(cmx, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7650,6 +7721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skeleton": q_skeleton,
         "flow_length": q_flow_length,
         "mode_filter": q_mode_filter,
+        "allocation": q_allocation,
+        "zone_geom": q_zone_geom,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -8975,6 +9048,52 @@ SELECT printf('g%06d', c_custkey) AS geom_id,
        CAST(1 AS BIGINT) AS n_changed,
        CAST(0 AS BIGINT) AS probe
 FROM customer
+"""
+    # allocation: value-exact pure-INTEGER — nearest-seed argmin with
+    # ties to seed 0, recomputed cell by cell
+    sql["allocation"] = """
+WITH s AS (
+  SELECT c_custkey AS k,
+         c_custkey % 16 AS r1, c_custkey % 13 AS c1,
+         c_custkey % 7 AS r2, c_custkey % 11 + 3 AS c2
+  FROM customer
+),
+cells AS (
+  SELECT k, ir.i // 16 AS r, ir.i % 16 AS c,
+         CASE WHEN (ir.i // 16 - r1) * (ir.i // 16 - r1)
+                   + (ir.i % 16 - c1) * (ir.i % 16 - c1)
+                <= (ir.i // 16 - r2) * (ir.i // 16 - r2)
+                   + (ir.i % 16 - c2) * (ir.i % 16 - c2)
+              THEN 0 ELSE 1 END AS z
+  FROM s, range(0, 256) ir(i)
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zone0,
+       CAST(MAX(CASE WHEN r = 0 AND c = 0 THEN z END) AS BIGINT)
+           AS alloc_origin,
+       CAST(MAX(CASE WHEN r = 15 AND c = 15 THEN z END) AS BIGINT)
+           AS alloc_far
+FROM cells
+GROUP BY k
+"""
+    # zone_geom: value-exact pure-INTEGER — rectangle geometry: areas
+    # h0*w0 / 256-h0*w0, perimeters 2(h0+w0) and 64+2(h0+w0)
+    sql["zone_geom"] = """
+WITH s AS (
+  SELECT c_custkey AS k, c_custkey % 6 + 2 AS a, c_custkey % 7 + 2 AS b,
+         c_custkey % 4 + 2 AS h0, c_custkey % 5 + 2 AS w0
+  FROM customer
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(h0 * w0 AS BIGINT) AS area1,
+       CAST(2 * (h0 + w0) AS BIGINT) AS perim1,
+       CAST(64 + 2 * (h0 + w0) AS BIGINT) AS perim0,
+       CAST(a AS BIGINT) AS rmin,
+       CAST(b AS BIGINT) AS cmin,
+       CAST(a + h0 - 1 AS BIGINT) AS rmax,
+       CAST(b + w0 - 1 AS BIGINT) AS cmax
+FROM s
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its
     # lowest rim a+2p-3; the filled total is constant: ramp sum 5760

@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from rasters_ray import codec
 
-__all__ = ["glcm_counts", "glcm_features", "edt_sq", "texture_stats"]
+__all__ = ["glcm_counts", "glcm_features", "edt_sq", "texture_stats",
+           "euclidean_allocation", "zone_geometry"]
 
 
 def glcm_counts(levels: np.ndarray, n_levels: int,
@@ -123,3 +124,66 @@ def texture_stats(images_ds, n_levels: int = 8, offset=(0, 1),
              for k, v in cols.items()})
 
     return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+def euclidean_allocation(seeds_rc, shape) -> np.ndarray:
+    """Nearest-seed Voronoi allocation (ArcGIS Euclidean Allocation /
+    GRASS r.grow.distance value= output): every cell gets the INDEX
+    (position in ``seeds_rc``) of its nearest seed under squared
+    Euclidean distance; exact ties go to the LOWEST index —
+    deterministic, so oracles replay the rule.  ``seeds_rc`` is a
+    sequence of (row, col); vectorized (cells x seeds) integer math,
+    chunk seeds upstream if the list is huge."""
+    pts = np.asarray(seeds_rc, dtype=np.int64)
+    if pts.ndim != 2 or pts.shape[1] != 2 or pts.shape[0] == 0:
+        raise ValueError("seeds_rc must be a non-empty (n, 2) array")
+    h, w = int(shape[0]), int(shape[1])
+    rr, cc = np.indices((h, w))
+    d2 = ((rr[None] - pts[:, 0, None, None]) ** 2
+          + (cc[None] - pts[:, 1, None, None]) ** 2)
+    return np.argmin(d2, axis=0).astype(np.int64)  # first min = lowest
+
+
+def zone_geometry(labels: np.ndarray, n_labels: int) -> pa.Table:
+    """Per-zone geometry of a label raster: cell AREA, 4-connected
+    exposed-edge PERIMETER (raster-boundary edges count), and the
+    integer bounding box — the regionprops companion to
+    ``stages/zonal.py``'s value statistics.  Vectorized bincounts."""
+    lv = np.asarray(labels)
+    if lv.ndim != 2:
+        raise ValueError("labels must be 2D")
+    if lv.min() < 0 or lv.max() >= n_labels:
+        raise ValueError("labels outside [0, n_labels)")
+    h, w = lv.shape
+    flat = lv.ravel().astype(np.int64)
+    area = np.bincount(flat, minlength=n_labels)
+    # exposed edges: neighbor differs, plus the raster border
+    per = np.zeros(n_labels, dtype=np.int64)
+    diff_h = lv[:, :-1] != lv[:, 1:]
+    per += np.bincount(lv[:, :-1][diff_h].ravel(), minlength=n_labels)
+    per += np.bincount(lv[:, 1:][diff_h].ravel(), minlength=n_labels)
+    diff_v = lv[:-1, :] != lv[1:, :]
+    per += np.bincount(lv[:-1, :][diff_v].ravel(), minlength=n_labels)
+    per += np.bincount(lv[1:, :][diff_v].ravel(), minlength=n_labels)
+    for edge in (lv[0, :], lv[-1, :], lv[:, 0], lv[:, -1]):
+        per += np.bincount(edge, minlength=n_labels)
+    rr, cc = np.indices((h, w))
+    rmin = np.full(n_labels, h, dtype=np.int64)
+    cmin = np.full(n_labels, w, dtype=np.int64)
+    rmax = np.full(n_labels, -1, dtype=np.int64)
+    cmax = np.full(n_labels, -1, dtype=np.int64)
+    np.minimum.at(rmin, flat, rr.ravel())
+    np.minimum.at(cmin, flat, cc.ravel())
+    np.maximum.at(rmax, flat, rr.ravel())
+    np.maximum.at(cmax, flat, cc.ravel())
+    lab = np.arange(n_labels, dtype=np.int64)
+    present = area > 0
+    return pa.table({
+        "label": pa.array(lab[present], pa.int64()),
+        "area": pa.array(area[present], pa.int64()),
+        "perimeter": pa.array(per[present], pa.int64()),
+        "rmin": pa.array(rmin[present], pa.int64()),
+        "cmin": pa.array(cmin[present], pa.int64()),
+        "rmax": pa.array(rmax[present], pa.int64()),
+        "cmax": pa.array(cmax[present], pa.int64()),
+    })

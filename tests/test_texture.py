@@ -82,3 +82,35 @@ def test_texture_stats_dataset(ray_session):
     assert row["n_pairs"] == a.size
     assert row["contrast_num"] == int(((a - b) ** 2).sum())
     assert row["diag_num"] == int((a == b).sum())
+
+
+def test_euclidean_allocation_halfplane_and_ties():
+    from rasters_ray.stages.texture import euclidean_allocation
+
+    alloc = euclidean_allocation([(2, 2), (2, 8)], (5, 11))
+    rr, cc = np.indices((5, 11))
+    d1 = (rr - 2) ** 2 + (cc - 2) ** 2
+    d2 = (rr - 2) ** 2 + (cc - 8) ** 2
+    # tie column (c == 5) goes to the lower index
+    assert np.array_equal(alloc, (d2 < d1).astype(np.int64))
+    assert np.all(alloc[:, 5] == 0)
+    with pytest.raises(ValueError):
+        euclidean_allocation([], (3, 3))
+
+
+def test_zone_geometry_rectangles():
+    from rasters_ray.stages.texture import zone_geometry
+
+    lab = np.zeros((10, 12), dtype=np.int64)
+    lab[2:5, 3:8] = 1  # 3x5 rectangle
+    t = zone_geometry(lab, 3).to_pydict()
+    assert t["label"] == [0, 1]  # zone 2 absent -> omitted
+    i1 = t["label"].index(1)
+    assert t["area"][i1] == 15
+    assert t["perimeter"][i1] == 2 * (3 + 5)
+    assert (t["rmin"][i1], t["cmin"][i1], t["rmax"][i1],
+            t["cmax"][i1]) == (2, 3, 4, 7)
+    i0 = t["label"].index(0)
+    assert t["area"][i0] == 120 - 15
+    # zone 0's perimeter: its outer border (2*(10+12)) plus the hole
+    assert t["perimeter"][i0] == 2 * (10 + 12) + 2 * (3 + 5)
