@@ -6207,6 +6207,40 @@ def q_zone_geom(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_curvature(sf_dir: str):
+    """Surface curvature (stages/terrain.py::curvature_numerators —
+    Zevenbergen & Thorne 1987 quadric second derivatives, the ArcGIS
+    Curvature kernel): per key the quadric al*r^2 + be*c^2 + ga*r*c
+    with (al, be, ga) = (k%5-2, k%4-1, k%3-1) — the numerators are the
+    constants (2be, 2al, -4ga) on every interior cell, proven over all
+    parameter combos in pytest.  Emits the interior sums (196 cells).
+    Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.terrain import curvature_numerators
+
+    r, c = np.indices((16, 16))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, sx, sy, sxy = [], [], [], []
+        for kk in k.tolist():
+            al, be, ga = kk % 5 - 2, kk % 4 - 1, kk % 3 - 1
+            z = (al * r * r + be * c * c + ga * r * c).astype(np.float64)
+            d2x, d2y, dxy, valid = curvature_numerators(z)
+            gid.append(f"g{kk:06d}")
+            sx.append(int(d2x[valid].sum()))
+            sy.append(int(d2y[valid].sum()))
+            sxy.append(int(dxy[valid].sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "sum_d2x": pa.array(sx, pa.int64()),
+            "sum_d2y": pa.array(sy, pa.int64()),
+            "sum_dxy": pa.array(sxy, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7723,6 +7757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_filter": q_mode_filter,
         "allocation": q_allocation,
         "zone_geom": q_zone_geom,
+        "curvature": q_curvature,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -9094,6 +9129,15 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(a + h0 - 1 AS BIGINT) AS rmax,
        CAST(b + w0 - 1 AS BIGINT) AS cmax
 FROM s
+"""
+    # curvature: value-exact pure-INTEGER — constant numerators over
+    # the 196 interior windows: (2be, 2al, -4ga) each times 196
+    sql["curvature"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(196 * 2 * (c_custkey % 4 - 1) AS BIGINT) AS sum_d2x,
+       CAST(196 * 2 * (c_custkey % 5 - 2) AS BIGINT) AS sum_d2y,
+       CAST(196 * -4 * (c_custkey % 3 - 1) AS BIGINT) AS sum_dxy
+FROM customer
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its
     # lowest rim a+2p-3; the filled total is constant: ramp sum 5760

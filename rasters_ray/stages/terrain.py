@@ -40,6 +40,7 @@ from rasters_ray.stages.focal import halo_exchange_tiled
 
 __all__ = [
     "horn_numerators",
+    "curvature_numerators",
     "terrain_gradient",
     "terrain_halo_tiled",
     "lambertian_shade",
@@ -218,3 +219,34 @@ def terrain_halo_tiled(images_ds, step: int = 1, tile: int = 32, cell: float = 0
         return pa.table({k: pa.array(v, _EMPTY[k]) for k, v in rows.items()})
 
     return halo_exchange_tiled(images_ds, radius=1, tile=tile, tile_fn=tile_fn)
+
+
+def curvature_numerators(canvas: np.ndarray) -> tuple:
+    """Zevenbergen & Thorne (1987) quadric second-derivative
+    numerators over a padded array (same 1-ring convention as
+    :func:`horn_numerators`): returns ``(d2x, d2y, dxy, valid)`` where
+
+    * ``d2x = z_W + z_E - 2 z_C``  (= 2 D L^2 in Z&T terms)
+    * ``d2y = z_N + z_S - 2 z_C``  (= 2 E L^2)
+    * ``dxy = -z_NW + z_NE + z_SW - z_SE``  (= 4 F L^2)
+
+    all exact int64 for integral pixels.  The ArcGIS Curvature output
+    is ``-100 * (d2x + d2y) / L^2`` with L the cell size; profile/plan
+    split divides by the gradient terms downstream."""
+    a = np.asarray(canvas, dtype=np.float64)
+    if a.ndim != 2 or a.shape[0] < 3 or a.shape[1] < 3:
+        raise ValueError("curvature_numerators expects a 2D array >= 3x3")
+    nw, n_, ne = a[:-2, :-2], a[:-2, 1:-1], a[:-2, 2:]
+    w_, c_, e_ = a[1:-1, :-2], a[1:-1, 1:-1], a[1:-1, 2:]
+    sw, s_, se = a[2:, :-2], a[2:, 1:-1], a[2:, 2:]
+    valid = (np.isfinite(nw) & np.isfinite(n_) & np.isfinite(ne)
+             & np.isfinite(w_) & np.isfinite(c_) & np.isfinite(e_)
+             & np.isfinite(sw) & np.isfinite(s_) & np.isfinite(se))
+
+    def z(x):
+        return np.where(np.isfinite(x), x, 0.0).astype(np.int64)
+
+    d2x = z(w_) + z(e_) - 2 * z(c_)
+    d2y = z(n_) + z(s_) - 2 * z(c_)
+    dxy = -z(nw) + z(ne) + z(sw) - z(se)
+    return d2x, d2y, dxy, valid

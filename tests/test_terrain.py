@@ -82,3 +82,36 @@ def test_terrain_gradient_interior_only(ray_session):
 def test_horn_shape_validation():
     with pytest.raises(ValueError):
         horn_numerators(np.zeros((2, 5)))
+
+
+def test_curvature_quadric_exact():
+    # z = al*r^2 + be*c^2 + ga*r*c + 3r + 5c: second derivatives are
+    # the quadric constants everywhere the window is interior
+    import numpy as np
+
+    from rasters_ray.stages.terrain import curvature_numerators
+
+    r, c = np.indices((10, 10))
+    for al in (-2, 0, 3):
+        for be in (-1, 2):
+            for ga in (-3, 0, 2):
+                z = (al * r * r + be * c * c + ga * r * c
+                     + 3 * r + 5 * c).astype(float)
+                d2x, d2y, dxy, valid = curvature_numerators(z)
+                assert valid.all()
+                assert np.all(d2x == 2 * be)
+                assert np.all(d2y == 2 * al)
+                # dxy = -z(NW)+z(NE)+z(SW)-z(SE) = -4*gamma exactly
+                assert np.all(dxy == -4 * ga)
+
+
+def test_curvature_nan_masks_window():
+    import numpy as np
+
+    from rasters_ray.stages.terrain import curvature_numerators
+
+    z = np.ones((6, 6))
+    z[2, 2] = np.nan
+    _, _, _, valid = curvature_numerators(z)
+    assert not valid[1, 1] and not valid[2, 2]
+    assert valid[3, 3]
