@@ -6241,6 +6241,45 @@ def q_curvature(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_terrain_idx(sf_dir: str):
+    """gdaldem TPI / TRI / roughness (stages/terrain.py::
+    terrain_indices — Weiss TPI, Wilson and Riley TRI numerators, the
+    max-min roughness): per key the quadric surface al*r^2 + be*c^2 +
+    ga*r*c + a*r + b*c on a 16x16 grid; the oracle rebuilds every
+    neighbor difference d(dr,dc) analytically over range(1,15)^2 x the
+    8-neighbor VALUES list and re-aggregates the four integer
+    sufficient statistics.  Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.terrain import terrain_indices
+
+    r, c = np.indices((16, 16))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, o_tpi, o_tri, o_tq, o_ro = [], [], [], [], []
+        for kk in k.tolist():
+            al, be, ga = kk % 3 - 1, kk % 4 - 1, kk % 5 - 2
+            a, b = kk % 7, kk % 11 - 5
+            z = (al * r * r + be * c * c + ga * r * c
+                 + a * r + b * c).astype(np.float64)
+            tpi, ts, tq, ro, valid = terrain_indices(z)
+            assert valid.all()
+            gid.append(f"g{kk:06d}")
+            o_tpi.append(int(tpi.sum()))
+            o_tri.append(int(ts.sum()))
+            o_tq.append(int(tq.sum()))
+            o_ro.append(int(ro.sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "sum_tpi": pa.array(o_tpi, pa.int64()),
+            "sum_tri": pa.array(o_tri, pa.int64()),
+            "sum_trisq": pa.array(o_tq, pa.int64()),
+            "sum_rough": pa.array(o_ro, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7758,6 +7797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "allocation": q_allocation,
         "zone_geom": q_zone_geom,
         "curvature": q_curvature,
+        "terrain_idx": q_terrain_idx,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -9138,6 +9178,35 @@ SELECT printf('g%06d', c_custkey) AS geom_id,
        CAST(196 * 2 * (c_custkey % 5 - 2) AS BIGINT) AS sum_d2y,
        CAST(196 * -4 * (c_custkey % 3 - 1) AS BIGINT) AS sum_dxy
 FROM customer
+"""
+    # terrain_idx: value-exact pure-INTEGER — every neighbor
+    # difference of the quadric is the linear form
+    # d(dr,dc) = al(2r dr + dr^2) + be(2c dc + dc^2)
+    #          + ga(r dc + c dr + dr dc) + a dr + b dc,
+    # rebuilt per window over range(1,15)^2 x the 8-neighbor list
+    sql["terrain_idx"] = """
+WITH n(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+                          (0,1),(1,-1),(1,0),(1,1)),
+g AS (
+  SELECT c_custkey AS k, rr.r AS r, cc.c AS c, n.dr, n.dc,
+         ( (c_custkey % 3 - 1) * (2 * rr.r * n.dr + n.dr * n.dr)
+         + (c_custkey % 4 - 1) * (2 * cc.c * n.dc + n.dc * n.dc)
+         + (c_custkey % 5 - 2) * (rr.r * n.dc + cc.c * n.dr + n.dr * n.dc)
+         + (c_custkey % 7) * n.dr + (c_custkey % 11 - 5) * n.dc ) AS d
+  FROM customer, range(1, 15) rr(r), range(1, 15) cc(c), n
+),
+w AS (
+  SELECT k, r, c,
+         SUM(-d) AS tpi, SUM(ABS(d)) AS tri, SUM(d * d) AS trisq,
+         MAX(GREATEST(d, 0)) - MIN(LEAST(d, 0)) AS rough
+  FROM g GROUP BY k, r, c
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(SUM(tpi) AS BIGINT) AS sum_tpi,
+       CAST(SUM(tri) AS BIGINT) AS sum_tri,
+       CAST(SUM(trisq) AS BIGINT) AS sum_trisq,
+       CAST(SUM(rough) AS BIGINT) AS sum_rough
+FROM w GROUP BY k
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its
     # lowest rim a+2p-3; the filled total is constant: ramp sum 5760

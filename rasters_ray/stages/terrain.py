@@ -41,6 +41,7 @@ from rasters_ray.stages.focal import halo_exchange_tiled
 __all__ = [
     "horn_numerators",
     "curvature_numerators",
+    "terrain_indices",
     "terrain_gradient",
     "terrain_halo_tiled",
     "lambertian_shade",
@@ -250,3 +251,44 @@ def curvature_numerators(canvas: np.ndarray) -> tuple:
     d2y = z(n_) + z(s_) - 2 * z(c_)
     dxy = -z(nw) + z(ne) + z(sw) - z(se)
     return d2x, d2y, dxy, valid
+
+
+def terrain_indices(canvas: np.ndarray) -> tuple:
+    """gdaldem TPI / TRI / roughness integer numerators over a padded
+    array (same 1-ring convention as :func:`horn_numerators`).
+
+    For the 8 neighbor differences ``d_i = z(neighbor) - z(center)``:
+
+    * ``tpi_num = -sum(d_i)``  (= 8 * Weiss/Wilson TPI; TPI is
+      ``center - mean(8 neighbors)`` = ``tpi_num / 8``)
+    * ``tri_sum = sum(|d_i|)`` (Wilson TRI = ``tri_sum / 8``,
+      gdaldem ``-alg Wilson``)
+    * ``tri_sq  = sum(d_i^2)`` (Riley TRI = ``sqrt(tri_sq)``,
+      gdaldem default since 3.3)
+    * ``rough   = max - min over the 3x3 window`` (gdaldem roughness)
+
+    All int64-exact for integral pixels; ``valid`` is True only where
+    the full window is finite (gdaldem leaves edges nodata)."""
+    a = np.asarray(canvas, dtype=np.float64)
+    if a.ndim != 2 or a.shape[0] < 3 or a.shape[1] < 3:
+        raise ValueError("terrain_indices expects a 2D array >= 3x3")
+    c_ = a[1:-1, 1:-1]
+    nbrs = [a[:-2, :-2], a[:-2, 1:-1], a[:-2, 2:],
+            a[1:-1, :-2], a[1:-1, 2:],
+            a[2:, :-2], a[2:, 1:-1], a[2:, 2:]]
+    valid = np.isfinite(c_)
+    for n in nbrs:
+        valid &= np.isfinite(n)
+
+    def z(x):
+        return np.where(np.isfinite(x), x, 0.0).astype(np.int64)
+
+    zc = z(c_)
+    ds = [z(n) - zc for n in nbrs]
+    tpi_num = -sum(ds)
+    tri_sum = sum(np.abs(d) for d in ds)
+    tri_sq = sum(d * d for d in ds)
+    hi = np.maximum.reduce([np.maximum(d, 0) for d in ds])
+    lo = np.minimum.reduce([np.minimum(d, 0) for d in ds])
+    rough = hi - lo
+    return tpi_num, tri_sum, tri_sq, rough, valid

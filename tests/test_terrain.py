@@ -115,3 +115,55 @@ def test_curvature_nan_masks_window():
     _, _, _, valid = curvature_numerators(z)
     assert not valid[1, 1] and not valid[2, 2]
     assert valid[3, 3]
+
+
+def test_terrain_indices_ramp_exact():
+    import numpy as np
+
+    from rasters_ray.stages.terrain import terrain_indices
+
+    r, c = np.indices((9, 9))
+    for a in (-3, 0, 2, 5):
+        for b in (-2, 1, 4):
+            z = (a * r + b * c).astype(float)
+            tpi, ts, tq, ro, valid = terrain_indices(z)
+            assert valid.all()
+            assert np.all(tpi == 0)
+            assert np.all(ts == 2 * (abs(a) + abs(b) + abs(a + b) + abs(a - b)))
+            assert np.all(tq == 6 * (a * a + b * b))
+            ds = [a * dr + b * dc
+                  for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                  if (dr, dc) != (0, 0)]
+            assert np.all(ro == max(max(ds), 0) - min(min(ds), 0))
+
+
+def test_terrain_indices_bruteforce():
+    import numpy as np
+
+    from rasters_ray.stages.terrain import terrain_indices
+
+    rng = np.random.default_rng(42)
+    z = rng.integers(-50, 50, size=(12, 15)).astype(float)
+    tpi, ts, tq, ro, valid = terrain_indices(z)
+    assert valid.all()
+    for i in range(1, 11):
+        for j in range(1, 14):
+            w = z[i - 1:i + 2, j - 1:j + 2]
+            d = np.delete(w.ravel(), 4) - w[1, 1]
+            assert tpi[i - 1, j - 1] == -int(d.sum())
+            assert ts[i - 1, j - 1] == int(np.abs(d).sum())
+            assert tq[i - 1, j - 1] == int((d * d).sum())
+            assert ro[i - 1, j - 1] == int(w.max() - w.min())
+
+
+def test_terrain_indices_nan_and_shape():
+    import numpy as np
+
+    from rasters_ray.stages.terrain import terrain_indices
+
+    z = np.ones((6, 6))
+    z[3, 3] = np.nan
+    _, _, _, _, valid = terrain_indices(z)
+    assert not valid[2, 2] and not valid[3, 3] and valid[0, 0]
+    with pytest.raises(ValueError):
+        terrain_indices(np.zeros((2, 4)))
