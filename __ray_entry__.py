@@ -6280,6 +6280,43 @@ def q_terrain_idx(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_rank_filter(sf_dir: str):
+    """3x3 order-statistic filters (stages/focal.py::rank_filter —
+    median / greyscale erosion / greyscale dilation): per key the
+    quadric surface on a 16x16 grid; window order statistics are
+    z(center) + the order statistic of the 9-point neighbor-difference
+    set {0} u {d_i}, which the oracle rebuilds with quantile_disc /
+    MIN / MAX over the analytic d(dr,dc) forms.  Scale shape: per-key
+    map, no shuffle."""
+    from rasters_ray.stages.focal import rank_filter
+
+    r, c = np.indices((16, 16))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, o_med, o_mn, o_mx = [], [], [], []
+        for kk in k.tolist():
+            al, be, ga = kk % 3 - 1, kk % 4 - 1, kk % 5 - 2
+            a, b = kk % 7, kk % 11 - 5
+            z = (al * r * r + be * c * c + ga * r * c
+                 + a * r + b * c).astype(np.float64)
+            med, mn, mx, valid = rank_filter(z)
+            assert valid.all()
+            gid.append(f"g{kk:06d}")
+            o_med.append(int(med.sum()))
+            o_mn.append(int(mn.sum()))
+            o_mx.append(int(mx.sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "sum_median": pa.array(o_med, pa.int64()),
+            "sum_erode": pa.array(o_mn, pa.int64()),
+            "sum_dilate": pa.array(o_mx, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7798,6 +7835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_geom": q_zone_geom,
         "curvature": q_curvature,
         "terrain_idx": q_terrain_idx,
+        "rank_filter": q_rank_filter,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -9206,6 +9244,35 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(SUM(tri) AS BIGINT) AS sum_tri,
        CAST(SUM(trisq) AS BIGINT) AS sum_trisq,
        CAST(SUM(rough) AS BIGINT) AS sum_rough
+FROM w GROUP BY k
+"""
+    # rank_filter: value-exact pure-INTEGER — window order statistic
+    # = z(center) + order statistic of {0} u {d_i}; the 9-pair list
+    # includes (0,0) whose analytic d is identically 0
+    sql["rank_filter"] = """
+WITH n(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                          (0,1),(1,-1),(1,0),(1,1)),
+g AS (
+  SELECT c_custkey AS k, rr.r AS r, cc.c AS c,
+         ( (c_custkey % 3 - 1) * rr.r * rr.r
+         + (c_custkey % 4 - 1) * cc.c * cc.c
+         + (c_custkey % 5 - 2) * rr.r * cc.c
+         + (c_custkey % 7) * rr.r + (c_custkey % 11 - 5) * cc.c ) AS zc,
+         ( (c_custkey % 3 - 1) * (2 * rr.r * n.dr + n.dr * n.dr)
+         + (c_custkey % 4 - 1) * (2 * cc.c * n.dc + n.dc * n.dc)
+         + (c_custkey % 5 - 2) * (rr.r * n.dc + cc.c * n.dr + n.dr * n.dc)
+         + (c_custkey % 7) * n.dr + (c_custkey % 11 - 5) * n.dc ) AS d
+  FROM customer, range(1, 15) rr(r), range(1, 15) cc(c), n
+),
+w AS (
+  SELECT k, r, c, zc,
+         quantile_disc(d, 0.5) AS med, MIN(d) AS mn, MAX(d) AS mx
+  FROM g GROUP BY k, r, c, zc
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(SUM(zc + med) AS BIGINT) AS sum_median,
+       CAST(SUM(zc + mn) AS BIGINT) AS sum_erode,
+       CAST(SUM(zc + mx) AS BIGINT) AS sum_dilate
 FROM w GROUP BY k
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its

@@ -47,6 +47,7 @@ __all__ = [
     "focal_halo_tiled",
     "halo_exchange_tiled",
     "mode_filter",
+    "rank_filter",
 ]
 
 
@@ -459,3 +460,26 @@ def mode_filter(labels: np.ndarray, n_labels: int) -> np.ndarray:
         own_cnt[mine] = cnt[mine]
     # center keeps its label when its own count attains the maximum
     return np.where(own_cnt == best_cnt, center, best_lab)
+
+
+def rank_filter(canvas: np.ndarray) -> tuple:
+    """3x3 order-statistic filters over a padded array (same 1-ring
+    convention as ``terrain.horn_numerators``): returns
+    ``(median, minimum, maximum, valid)`` of shape ``canvas.shape - 2``.
+
+    ``median`` is the 5th order statistic of the 9-cell window (the
+    classic salt-and-pepper median filter); ``minimum`` / ``maximum``
+    are greyscale morphological erosion / dilation with the full 3x3
+    structuring element.  All int64-exact for integral pixels — order
+    statistics involve no arithmetic, so results are bit-stable under
+    any tiling.  ``valid`` is True only where all 9 cells are finite."""
+    a = np.asarray(canvas, dtype=np.float64)
+    if a.ndim != 2 or a.shape[0] < 3 or a.shape[1] < 3:
+        raise ValueError("rank_filter expects a 2D array >= 3x3")
+    h, w = a.shape[0] - 2, a.shape[1] - 2
+    stack = np.stack([a[i:i + h, j:j + w]
+                      for i in range(3) for j in range(3)])
+    valid = np.isfinite(stack).all(axis=0)
+    s = np.sort(np.where(np.isfinite(stack), stack, 0.0).astype(np.int64),
+                axis=0)
+    return s[4], s[0], s[8], valid

@@ -152,3 +152,53 @@ def test_focal_halo_large_raster(ray_session):
     )
     assert len(whole) == len(tiled) == 13 * 10  # ceil(1200/97) x ceil(900/97)
     assert whole.equals(tiled)
+
+
+def test_rank_filter_bruteforce():
+    import numpy as np
+
+    from rasters_ray.stages.focal import rank_filter
+
+    rng = np.random.default_rng(7)
+    z = rng.integers(-40, 40, (11, 13)).astype(float)
+    med, mn, mx, valid = rank_filter(z)
+    assert valid.all()
+    for i in range(1, 10):
+        for j in range(1, 12):
+            w = np.sort(z[i - 1:i + 2, j - 1:j + 2].ravel())
+            assert med[i - 1, j - 1] == w[4]
+            assert mn[i - 1, j - 1] == w[0]
+            assert mx[i - 1, j - 1] == w[8]
+
+
+def test_rank_filter_ramp_median_is_center():
+    # symmetric difference set on a linear ramp: median == center,
+    # min/max are center -/+ (|a|+|b|)
+    import numpy as np
+
+    from rasters_ray.stages.focal import rank_filter
+
+    r, c = np.indices((8, 8))
+    for a in (1, 3):
+        for b in (2, 5):
+            z = (a * r + b * c).astype(float)
+            med, mn, mx, _ = rank_filter(z)
+            zc = z[1:-1, 1:-1].astype(np.int64)
+            assert np.array_equal(med, zc)
+            assert np.array_equal(mn, zc - (a + b))
+            assert np.array_equal(mx, zc + (a + b))
+
+
+def test_rank_filter_nan_and_shape():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.focal import rank_filter
+
+    z = np.ones((6, 6))
+    z[2, 3] = np.nan
+    _, _, _, valid = rank_filter(z)
+    assert not valid[1, 2] and not valid[2, 3 - 1 + 1]
+    assert valid[3, 0]
+    with pytest.raises(ValueError):
+        rank_filter(np.zeros((1, 9)))
