@@ -6317,6 +6317,39 @@ def q_rank_filter(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_otsu(sf_dir: str):
+    """Otsu global thresholding (stages/radiometry.py::otsu_threshold
+    — Otsu 1979, the skimage threshold_otsu operation): per key a
+    bimodal 256-pixel sample (low cluster (k+i)%64, high cluster
+    128+(3k+i)%64); the squared between-class numerator is < 2^53 so
+    the float64 criterion is exact and the SQL replay (histogram ->
+    windowed cumulatives -> QUALIFY argmax) lands on the identical
+    threshold.  Scale shape: per-key map, no shuffle."""
+    from rasters_ray.stages.radiometry import otsu_threshold
+
+    i = np.arange(256)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, ts, nb, sb = [], [], [], []
+        for kk in k.tolist():
+            v = np.where(i < 160, (kk + i) % 64, 128 + (3 * kk + i) % 64)
+            t_star, p, s = otsu_threshold(v)
+            gid.append(f"g{kk:06d}")
+            ts.append(t_star)
+            nb.append(p)
+            sb.append(s)
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "t_star": pa.array(ts, pa.int64()),
+            "n_below": pa.array(nb, pa.int64()),
+            "sum_below": pa.array(sb, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7836,6 +7869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curvature": q_curvature,
         "terrain_idx": q_terrain_idx,
         "rank_filter": q_rank_filter,
+        "otsu": q_otsu,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -9245,6 +9279,38 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(SUM(trisq) AS BIGINT) AS sum_trisq,
        CAST(SUM(rough) AS BIGINT) AS sum_rough
 FROM w GROUP BY k
+"""
+    # otsu: value-exact — the rational criterion num^2/den is compared
+    # through the EXACT float64 (num^2 < 2^53); ties -> smallest
+    # present value, largest value excluded (empty upper class)
+    sql["otsu"] = """
+WITH px AS (
+  SELECT c_custkey AS k,
+         CASE WHEN i.i < 160 THEN (c_custkey + i.i) % 64
+              ELSE 128 + (3 * c_custkey + i.i) % 64 END AS v
+  FROM customer, range(0, 256) i(i)
+),
+h AS (SELECT k, v, COUNT(*) AS n, SUM(v) AS sv FROM px GROUP BY k, v),
+tk AS (SELECT k, SUM(n) AS nn, SUM(sv) AS tot FROM h GROUP BY k),
+c AS (
+  SELECT h.k, h.v,
+         SUM(h.n) OVER (PARTITION BY h.k ORDER BY h.v) AS p,
+         SUM(h.sv) OVER (PARTITION BY h.k ORDER BY h.v) AS s,
+         tk.nn, tk.tot
+  FROM h JOIN tk ON h.k = tk.k
+),
+r AS (
+  SELECT k, v, p, s,
+         CAST((nn * s - tot * p) * (nn * s - tot * p) AS DOUBLE)
+             / (p * (nn - p)) AS crit
+  FROM c WHERE p < nn
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(v AS BIGINT) AS t_star,
+       CAST(p AS BIGINT) AS n_below,
+       CAST(s AS BIGINT) AS sum_below
+FROM r
+QUALIFY row_number() OVER (PARTITION BY k ORDER BY crit DESC, v ASC) = 1
 """
     # rank_filter: value-exact pure-INTEGER — window order statistic
     # = z(center) + order statistic of {0} u {d_i}; the 9-pair list

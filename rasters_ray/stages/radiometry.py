@@ -32,7 +32,8 @@ import pyarrow as pa
 
 from rasters_ray import codec
 
-__all__ = ["match_histogram", "brovey_pansharpen", "match_to_reference"]
+__all__ = ["match_histogram", "brovey_pansharpen", "match_to_reference",
+           "otsu_threshold"]
 
 
 def _cdf(a: np.ndarray):
@@ -91,3 +92,37 @@ class match_to_reference:
             "bytes": pa.array(out, pa.binary()),
             "fmt": pa.array(fmts, pa.string()),
         })
+
+
+def otsu_threshold(values: np.ndarray) -> tuple:
+    """Otsu (1979) global threshold over integral pixel values.
+
+    Maximizes the between-class variance; with integer pixels the
+    criterion is the exact rational ``(n*s - tot*p)^2 / (p*(n-p))``
+    where ``p``/``s`` are the count/value-sum at or below the
+    threshold.  For <= 2^12 pixels of 8-bit data the squared numerator
+    is < 2^53, so evaluating it in float64 is EXACT and bit-portable
+    to SQL (``CAST(num*num AS DOUBLE) / den``).  The threshold is the
+    smallest PRESENT value maximizing the criterion (ties -> smallest
+    value; the largest present value is excluded since its upper class
+    is empty).  Returns ``(t_star, n_below, sum_below)``."""
+    v = np.asarray(values, dtype=np.float64).ravel()
+    v = v[np.isfinite(v)].astype(np.int64)
+    if v.size < 2:
+        raise ValueError("otsu_threshold needs >= 2 finite pixels")
+    n = int(v.size)
+    tot = int(v.sum())
+    uniq, counts = np.unique(v, return_counts=True)
+    if len(uniq) < 2:
+        raise ValueError("otsu_threshold needs >= 2 distinct values")
+    p = np.cumsum(counts)
+    s = np.cumsum(uniq * counts)
+    best = (-1.0, None)
+    for i in range(len(uniq) - 1):  # last value: empty upper class
+        num = n * int(s[i]) - tot * int(p[i])
+        den = int(p[i]) * (n - int(p[i]))
+        crit = float(num * num) / den
+        if crit > best[0]:
+            best = (crit, i)
+    i = best[1]
+    return int(uniq[i]), int(p[i]), int(s[i])

@@ -70,3 +70,50 @@ def test_match_to_reference_dataset(ray_session):
         concurrency=1, batch_format="pyarrow").take_all()
     matched = codec.decode(out[0]["bytes"], out[0]["fmt"])
     assert np.array_equal(matched, src * 2)
+
+
+def test_otsu_bruteforce_rational():
+    # exact-rational argmax over every candidate threshold must agree
+    from fractions import Fraction
+
+    import numpy as np
+
+    from rasters_ray.stages.radiometry import otsu_threshold
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        v = np.concatenate([
+            rng.integers(0, 80, 90 + 7 * trial),
+            rng.integers(120, 256, 100 + 3 * trial),
+        ])
+        n, tot = len(v), int(v.sum())
+        uniq = np.unique(v)
+        best, best_t = Fraction(-1), None
+        p = s = 0
+        cnt = {u: int((v == u).sum()) for u in uniq}
+        for u in uniq[:-1]:
+            p += cnt[u]
+            s += cnt[u] * int(u)
+            num = n * s - tot * p
+            crit = Fraction(num * num, p * (n - p))
+            if crit > best:
+                best, best_t = crit, int(u)
+        t, _, _ = otsu_threshold(v)
+        assert t == best_t
+
+
+def test_otsu_bimodal_and_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.radiometry import otsu_threshold
+
+    t, p, s = otsu_threshold(np.array([5] * 50 + [200] * 50))
+    assert t == 5 and p == 50 and s == 250
+    # NaNs ignored
+    v = np.array([1.0, np.nan, 1.0, 9.0, 9.0])
+    assert otsu_threshold(v)[0] == 1
+    with pytest.raises(ValueError):
+        otsu_threshold(np.array([3.0]))
+    with pytest.raises(ValueError):
+        otsu_threshold(np.array([4, 4, 4]))
