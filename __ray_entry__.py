@@ -6350,6 +6350,42 @@ def q_otsu(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_point_density(sf_dir: str):
+    """Point density (stages/proximity.py::point_density — the ArcGIS
+    Point Density / QGIS heatmap count-within-radius surface, exact
+    squared-integer disk): per key 64 points ((k*j)%16, (k+3j)%16) on
+    a 16x16 grid, radius^2 = 8; emits the density total, the peak and
+    the first (row-major) argmax cell.  The oracle replays the count
+    as a points x cells range join.  Scale shape: per-key map, no
+    shuffle (at scale: bin-groupby then disk-stencil halo sum)."""
+    from rasters_ray.stages.proximity import point_density
+
+    j = np.arange(64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, sd, md, ar, ac = [], [], [], [], []
+        for kk in k.tolist():
+            pts = np.stack([(kk * j) % 16, (kk + 3 * j) % 16], axis=1)
+            d = point_density(pts, (16, 16), 8)
+            am = int(np.argmax(d))
+            gid.append(f"g{kk:06d}")
+            sd.append(int(d.sum()))
+            md.append(int(d.max()))
+            ar.append(am // 16)
+            ac.append(am % 16)
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "sum_dens": pa.array(sd, pa.int64()),
+            "max_dens": pa.array(md, pa.int64()),
+            "arg_r": pa.array(ar, pa.int64()),
+            "arg_c": pa.array(ac, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7870,6 +7906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain_idx": q_terrain_idx,
         "rank_filter": q_rank_filter,
         "otsu": q_otsu,
+        "point_density": q_point_density,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -9279,6 +9316,34 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(SUM(trisq) AS BIGINT) AS sum_trisq,
        CAST(SUM(rough) AS BIGINT) AS sum_rough
 FROM w GROUP BY k
+"""
+    # point_density: value-exact pure-INTEGER — the disk count is a
+    # points x cells range join; zero-density cells can't win the
+    # argmax (64 points guarantee a positive peak)
+    sql["point_density"] = """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         (c_custkey * j.j) % 16 AS pr,
+         (c_custkey + 3 * j.j) % 16 AS pc
+  FROM customer, range(0, 64) j(j)
+),
+d AS (
+  SELECT k, rr.r AS r, cc.c AS c, COUNT(*) AS cnt
+  FROM pts, range(0, 16) rr(r), range(0, 16) cc(c)
+  WHERE (rr.r - pr) * (rr.r - pr) + (cc.c - pc) * (cc.c - pc) <= 8
+  GROUP BY k, rr.r, cc.c
+),
+best AS (
+  SELECT k, r, c, cnt FROM d
+  QUALIFY row_number() OVER (PARTITION BY k ORDER BY cnt DESC, r, c) = 1
+),
+tot AS (SELECT k, SUM(cnt) AS s, MAX(cnt) AS m FROM d GROUP BY k)
+SELECT printf('g%06d', tot.k) AS geom_id,
+       CAST(tot.s AS BIGINT) AS sum_dens,
+       CAST(tot.m AS BIGINT) AS max_dens,
+       CAST(best.r AS BIGINT) AS arg_r,
+       CAST(best.c AS BIGINT) AS arg_c
+FROM tot JOIN best ON tot.k = best.k
 """
     # otsu: value-exact — the rational criterion num^2/den is compared
     # through the EXACT float64 (num^2 < 2^53); ties -> smallest

@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from rasters_ray.stages.focal import halo_exchange_tiled
 
-__all__ = ["distance_transform_tiled"]
+__all__ = ["distance_transform_tiled", "point_density"]
 
 _SCHEMA = {
     "image_id": pa.string(),
@@ -84,3 +84,36 @@ def distance_transform_tiled(
         )
 
     return halo_exchange_tiled(images_ds, radius=R, tile=tile, tile_fn=tile_fn)
+
+
+def point_density(points_rc, shape, radius2: int):
+    """ArcGIS Point Density / QGIS heatmap core: per grid cell, the
+    COUNT of points within Euclidean distance sqrt(radius2) of the
+    cell center (squared-integer comparison — no floats, so exact).
+
+    ``points_rc`` is an (n, 2) int array of (row, col) cells already
+    binned to the grid.  Vectorized as bincount -> disk-offset scatter
+    sum: density = sum over offsets (dr, dc) with dr^2 + dc^2 <=
+    radius2 of the shifted per-cell counts.  At scale this is the
+    binned groupby (points -> cell counts, one shuffle whose payload is
+    cells not points) followed by a halo focal sum with the disk
+    stencil; here the in-core kernel.  Returns an int64 (h, w) grid."""
+    h, w = shape
+    pts = np.asarray(points_rc, dtype=np.int64).reshape(-1, 2)
+    if ((pts[:, 0] < 0) | (pts[:, 0] >= h)
+            | (pts[:, 1] < 0) | (pts[:, 1] >= w)).any():
+        raise ValueError("point outside the grid")
+    counts = np.zeros((h, w), dtype=np.int64)
+    np.add.at(counts, (pts[:, 0], pts[:, 1]), 1)
+    rad = int(np.floor(np.sqrt(radius2)))
+    dens = np.zeros_like(counts)
+    for dr in range(-rad, rad + 1):
+        for dc in range(-rad, rad + 1):
+            if dr * dr + dc * dc > radius2:
+                continue
+            # cells (r, c) receive counts[r + dr, c + dc]
+            sr0, sr1 = max(0, dr), min(h, h + dr)
+            sc0, sc1 = max(0, dc), min(w, w + dc)
+            dens[sr0 - dr:sr1 - dr, sc0 - dc:sc1 - dc] += \
+                counts[sr0:sr1, sc0:sc1]
+    return dens

@@ -56,3 +56,36 @@ def test_distance_transform_no_seeds_caps_everywhere(ray_session):
         _image_ds(px), seed_mod=7, cap=5, tile=16, step=8
     ).to_pandas()
     assert (got["dist"] == 6).all()
+
+
+def test_point_density_bruteforce():
+    import numpy as np
+
+    from rasters_ray.stages.proximity import point_density
+
+    rng = np.random.default_rng(5)
+    pts = rng.integers(0, 12, (40, 2))
+    for radius2 in (0, 2, 8, 13):
+        d = point_density(pts, (12, 12), radius2)
+        for r in range(12):
+            for c in range(12):
+                exp = sum(1 for p in pts
+                          if (p[0] - r) ** 2 + (p[1] - c) ** 2 <= radius2)
+                assert d[r, c] == exp
+
+
+def test_point_density_edges_and_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.proximity import point_density
+
+    # single corner point, radius^2 = 1: plus-shape clipped at edges
+    d = point_density(np.array([[0, 0]]), (4, 4), 1)
+    assert d[0, 0] == 1 and d[0, 1] == 1 and d[1, 0] == 1
+    assert d[1, 1] == 0 and d.sum() == 3
+    # radius^2 = 0: pure bincount
+    d0 = point_density(np.array([[2, 3], [2, 3]]), (4, 4), 0)
+    assert d0[2, 3] == 2 and d0.sum() == 2
+    with pytest.raises(ValueError):
+        point_density(np.array([[4, 0]]), (4, 4), 1)
