@@ -6386,6 +6386,40 @@ def q_point_density(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_cast_shadows(sf_dir: str):
+    """Cast shadows (stages/viewshed.py::cast_shadows — the r.sun /
+    hillshade-with-shadows horizon scan, sun travelling +columns at
+    slope p/q): per key the quadric surface on a 16x16 grid with
+    p = k%5, q = k%3+1; the pure-integer blocking test
+    max_{c'<c}(q*z + p*c') > q*z + p*c is replayed by the oracle as a
+    strictly-preceding window MAX.  Emits the shadowed-cell count and
+    their z total.  Scale shape: per-key map; at scale a per-row
+    prefix scan with O(rows) tile exchange."""
+    from rasters_ray.stages.viewshed import cast_shadows
+
+    r, c = np.indices((16, 16))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, ns, sz = [], [], []
+        for kk in k.tolist():
+            al, be, ga = kk % 3 - 1, kk % 4 - 1, kk % 5 - 2
+            a, b = kk % 7, kk % 11 - 5
+            z = (al * r * r + be * c * c + ga * r * c + a * r + b * c)
+            s = cast_shadows(z, kk % 5, kk % 3 + 1)
+            gid.append(f"g{kk:06d}")
+            ns.append(int(s.sum()))
+            sz.append(int(z[s].sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_shadow": pa.array(ns, pa.int64()),
+            "sum_z_shadow": pa.array(sz, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7907,6 +7941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_filter": q_rank_filter,
         "otsu": q_otsu,
         "point_density": q_point_density,
+        "cast_shadows": q_cast_shadows,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -9316,6 +9351,36 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(SUM(trisq) AS BIGINT) AS sum_trisq,
        CAST(SUM(rough) AS BIGINT) AS sum_rough
 FROM w GROUP BY k
+"""
+    # cast_shadows: value-exact pure-INTEGER — the horizon scan is a
+    # strictly-preceding window MAX of m = q*z + p*c per row; the
+    # empty frame at c = 0 yields NULL which never shadows
+    sql["cast_shadows"] = """
+WITH g AS (
+  SELECT c_custkey AS k, rr.r AS r, cc.c AS c,
+         ( (c_custkey % 3 - 1) * rr.r * rr.r
+         + (c_custkey % 4 - 1) * cc.c * cc.c
+         + (c_custkey % 5 - 2) * rr.r * cc.c
+         + (c_custkey % 7) * rr.r + (c_custkey % 11 - 5) * cc.c ) AS z
+  FROM customer, range(0, 16) rr(r), range(0, 16) cc(c)
+),
+m AS (
+  SELECT k, r, c, z,
+         (c_custkey_q * z + c_custkey_p * c) AS mv
+  FROM (SELECT *, k % 3 + 1 AS c_custkey_q, k % 5 AS c_custkey_p FROM g)
+),
+s AS (
+  SELECT k, r, c, z,
+         MAX(mv) OVER (PARTITION BY k, r ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) > mv AS shadowed
+  FROM m
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(COUNT(*) FILTER (shadowed) AS BIGINT) AS n_shadow,
+       CAST(COALESCE(SUM(z) FILTER (shadowed), 0) AS BIGINT)
+           AS sum_z_shadow
+FROM s GROUP BY k
 """
     # point_density: value-exact pure-INTEGER — the disk count is a
     # points x cells range join; zero-density cells can't win the

@@ -42,7 +42,7 @@ import pyarrow as pa
 
 from rasters_ray import codec
 
-__all__ = ["viewshed", "viewshed_stats"]
+__all__ = ["viewshed", "viewshed_stats", "cast_shadows"]
 
 
 def viewshed(dem: np.ndarray, observer, height: float = 0.0) -> np.ndarray:
@@ -116,3 +116,32 @@ def viewshed_stats(images_ds, observer, height: float = 0.0):
         })
 
     return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+def cast_shadows(dem: np.ndarray, p: int, q: int) -> np.ndarray:
+    """Cast-shadow mask for sun rays travelling +columns (west sun) at
+    elevation ``atan(p / q)`` in cell units (GRASS ``r.sun`` shadow
+    core / the gdaldem hillshade "combined-with-shadows" step).
+
+    Cell (r, c) is shadowed iff some cell c' < c on its row blocks the
+    ray: ``z[r, c'] - z[r, c] > (p/q) * (c - c')``.  Cross-multiplying
+    by ``q > 0`` makes the test the pure-integer running maximum of
+    ``m = q*z + p*c`` strictly before c: shadowed iff
+    ``max_{c'<c} m[r, c'] > m[r, c]`` — exact for integral pixels and
+    bit-stable in SQL as a window MAX.  Column 0 is never shadowed.
+
+    At scale rows are independent (one task per row band) and the
+    running max is a prefix scan: tiles pass one number per row to
+    their east neighbor — O(rows) exchange payload."""
+    if q <= 0 or p < 0:
+        raise ValueError("sun slope needs p >= 0, q > 0")
+    z = np.asarray(dem)
+    if z.ndim != 2:
+        raise ValueError("cast_shadows expects a 2D DEM")
+    if not np.isfinite(z).all():
+        raise ValueError("cast_shadows expects a finite DEM")
+    m = q * z.astype(np.int64) + p * np.arange(z.shape[1], dtype=np.int64)
+    run = np.maximum.accumulate(m, axis=1)
+    out = np.zeros(z.shape, dtype=bool)
+    out[:, 1:] = run[:, :-1] > m[:, 1:]
+    return out

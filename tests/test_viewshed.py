@@ -99,3 +99,39 @@ def test_viewshed_stats_dataset(ray_session):
     # shadowed, so the farthest visible cell is the pre-wall corner
     # (0, 3) at Chebyshev radius 8
     assert row["max_radius"] == 8
+
+
+def test_cast_shadows_bruteforce():
+    import numpy as np
+
+    from rasters_ray.stages.viewshed import cast_shadows
+
+    rng = np.random.default_rng(9)
+    z = rng.integers(0, 30, (6, 10))
+    for p, q in ((1, 1), (2, 3), (0, 1), (5, 2)):
+        s = cast_shadows(z, p, q)
+        for r in range(6):
+            for c in range(10):
+                exp = any(q * (z[r, cp] - z[r, c]) > p * (c - cp)
+                          for cp in range(c))
+                assert s[r, c] == exp
+
+
+def test_cast_shadows_wall_and_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.viewshed import cast_shadows
+
+    z = np.zeros((1, 8), dtype=np.int64)
+    z[0, 2] = 10
+    s = cast_shadows(z, 1, 1)
+    # shadow extends while 10 > c - 2, i.e. columns 3..7 here
+    assert list(s[0].astype(int)) == [0, 0, 0, 1, 1, 1, 1, 1]
+    # steeper sun (slope 3): shadow while 10 > 3*(c-2) -> cols 3..5
+    s3 = cast_shadows(z, 3, 1)
+    assert list(s3[0].astype(int)) == [0, 0, 0, 1, 1, 1, 0, 0]
+    with pytest.raises(ValueError):
+        cast_shadows(z, 1, 0)
+    with pytest.raises(ValueError):
+        cast_shadows(np.array([[np.nan, 1.0]]), 1, 1)
