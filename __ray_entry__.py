@@ -6420,6 +6420,42 @@ def q_cast_shadows(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_sieve(sf_dir: str):
+    """Sieve filter (stages/label.py::sieve_filter — gdal_sieve,
+    remove raster regions smaller than a pixel threshold into their
+    largest neighbour): per key vertical stripes c//4 on 16x16 with a
+    class-9 island of 2 + k%2 cells at row k%14+1 inside stripe k%3;
+    threshold 3 removes the 2-cell island (out == stripes) and keeps
+    the 3-cell one, so every output is closed-form.  Scale shape:
+    per-key map; at scale label_components + a broadcast merge table."""
+    from rasters_ray.stages.label import sieve_filter
+
+    stripes = np.tile(np.arange(16) // 4, (16, 1))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, nc, so, iv = [], [], [], []
+        for kk in k.tolist():
+            cls = stripes.copy()
+            r0 = kk % 14 + 1
+            s = 4 * (kk % 3) + 1
+            cls[r0, s:s + 2 + kk % 2] = 9
+            out, n = sieve_filter(cls, 3)
+            gid.append(f"g{kk:06d}")
+            nc.append(n)
+            so.append(int(out.sum()))
+            iv.append(int(out[r0, s]))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_changed": pa.array(nc, pa.int64()),
+            "sum_out": pa.array(so, pa.int64()),
+            "island_val": pa.array(iv, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7942,6 +7978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "otsu": q_otsu,
         "point_density": q_point_density,
         "cast_shadows": q_cast_shadows,
+        "sieve": q_sieve,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -9351,6 +9388,19 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(SUM(trisq) AS BIGINT) AS sum_trisq,
        CAST(SUM(rough) AS BIGINT) AS sum_rough
 FROM w GROUP BY k
+"""
+    # sieve: value-exact pure-INTEGER closed form — stripe sum is 384;
+    # the 2-cell island (k even) merges back into stripe k%3, the
+    # 3-cell island (k odd) survives and adds 3*(9 - k%3)
+    sql["sieve"] = """
+SELECT printf('g%06d', c_custkey) AS geom_id,
+       CAST(CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+           AS n_changed,
+       CAST(384 + (c_custkey % 2) * (27 - 3 * (c_custkey % 3)) AS BIGINT)
+           AS sum_out,
+       CAST(CASE WHEN c_custkey % 2 = 1 THEN 9
+                 ELSE c_custkey % 3 END AS BIGINT) AS island_val
+FROM customer
 """
     # cast_shadows: value-exact pure-INTEGER — the horizon scan is a
     # strictly-preceding window MAX of m = q*z + p*c per row; the

@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from rasters_ray.stages.focal import halo_exchange_tiled
 
-__all__ = ["label_runs_min", "local_label", "label_components"]
+__all__ = ["label_runs_min", "local_label", "label_components", "sieve_filter"]
 
 _MAXI = np.iinfo(np.int64).max
 
@@ -270,3 +270,57 @@ def label_components(
         .groupby("_p")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+def sieve_filter(classes: np.ndarray, threshold: int) -> tuple:
+    """gdal_sieve one-pass semantics: every 4-connected region of
+    equal-valued cells SMALLER than ``threshold`` pixels takes the
+    value of its largest neighbouring region (original sizes and
+    values; size ties -> the neighbour whose minimum (r, c) anchor is
+    smallest; regions with no neighbour stay).  Returns ``(out,
+    n_changed)``.
+
+    One deterministic pass — unlike GDAL's iterate-to-fixpoint this
+    never cascades, so the result is independent of visit order (the
+    documented engine semantics; the fixpoint form is the kernel
+    applied repeatedly).  Labeling reuses :func:`local_label` per
+    distinct value (vectorized run-min passes)."""
+    cls = np.asarray(classes)
+    if cls.ndim != 2:
+        raise ValueError("sieve_filter expects a 2D class raster")
+    h, w = cls.shape
+    ids = ((np.arange(h, dtype=np.int64)[:, None] << np.int64(16))
+           | np.arange(w, dtype=np.int64)[None, :])
+    lab = np.full((h, w), -1, dtype=np.int64)
+    for v in np.unique(cls):
+        m = cls == v
+        lv = local_label(m, ids)
+        lab[m] = lv[m]
+    uniq, inv, sizes = np.unique(lab, return_inverse=True,
+                                 return_counts=True)
+    size_of = dict(zip(uniq.tolist(), sizes.tolist()))
+    # adjacency edges between differing labels (both orientations)
+    pairs = set()
+    for a, b in ((lab[:, :-1], lab[:, 1:]), (lab[:-1, :], lab[1:, :])):
+        d = a != b
+        pairs.update(zip(a[d].tolist(), b[d].tolist()))
+        pairs.update(zip(b[d].tolist(), a[d].tolist()))
+    nbrs: dict = {}
+    for u, v2 in pairs:
+        nbrs.setdefault(u, []).append(v2)
+    first_val = {}
+    flat_cls = cls.ravel()
+    flat_lab = lab.ravel()
+    order = np.argsort(flat_lab, kind="stable")
+    seen_at = np.searchsorted(flat_lab[order], uniq)
+    for u, pos in zip(uniq.tolist(), seen_at.tolist()):
+        first_val[u] = flat_cls[order[pos]]
+    out = cls.copy()
+    n_changed = 0
+    for u in uniq.tolist():
+        if size_of[u] >= threshold or u not in nbrs:
+            continue
+        best = min(nbrs[u], key=lambda x: (-size_of[x], x))
+        out[lab == u] = first_val[best]
+        n_changed += size_of[u]
+    return out, n_changed

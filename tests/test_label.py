@@ -89,3 +89,56 @@ def test_local_label_empty():
     mask = np.zeros((5, 5), bool)
     ids = np.arange(25, dtype=np.int64).reshape(5, 5)
     assert (local_label(mask, ids) == -1).all()
+
+
+def test_sieve_filter_island_and_threshold():
+    import numpy as np
+
+    from rasters_ray.stages.label import sieve_filter
+
+    stripes = np.tile(np.arange(16) // 4, (16, 1))
+    cls = stripes.copy()
+    cls[5, 1] = 9
+    cls[5, 2] = 9
+    out, n = sieve_filter(cls, 3)
+    assert n == 2 and (out == stripes).all()
+    out2, n2 = sieve_filter(cls, 2)  # size == threshold: kept
+    assert n2 == 0 and out2[5, 1] == 9
+
+
+def test_sieve_filter_largest_neighbor_and_ties():
+    import numpy as np
+
+    from rasters_ray.stages.label import sieve_filter
+
+    # island adjacent to a 15-px region (value 0) and a 12-px (value 2)
+    cls = np.zeros((4, 7), int)
+    cls[:, 4:] = 2
+    cls[1, 3] = 5
+    out, n = sieve_filter(cls, 2)
+    assert n == 1 and out[1, 3] == 0
+    # 5-px zeros vs 6-px twos around a 1-px island: larger (2) wins
+    cls3 = np.array([[0, 0, 2, 2],
+                     [0, 7, 2, 2],
+                     [0, 0, 2, 2]])
+    out3, n3 = sieve_filter(cls3, 2)
+    assert n3 == 1 and out3[1, 1] == 2
+    # exact size tie (6 px vs 6 px): smaller min-(r,c) anchor wins -> 0
+    cls4 = np.array([[0, 0, 7, 2, 2],
+                     [0, 0, 7, 2, 2],
+                     [0, 0, 7, 2, 2]])
+    out4, n4 = sieve_filter(cls4, 4)
+    assert n4 == 3 and (out4[:, 2] == 0).all()
+
+
+def test_sieve_filter_no_neighbor_and_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.label import sieve_filter
+
+    one = np.full((2, 2), 3)
+    out, n = sieve_filter(one, 10)  # single region, no neighbour
+    assert n == 0 and (out == 3).all()
+    with pytest.raises(ValueError):
+        sieve_filter(np.zeros(5, int), 2)
