@@ -6456,6 +6456,46 @@ def q_sieve(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_cva(sf_dir: str):
+    """Change vector analysis (stages/quality.py::change_vector —
+    Malila 1980 two-date change magnitude + direction sector): per key
+    two 2-band dates whose difference is d0 = (k%7-3)+(r-7),
+    d1 = (k%11-5)+(c-7); emits the integer squared-magnitude total and
+    the four sector counts, replayed closed-form by the oracle over
+    range(0,16)^2.  Scale shape: per-key map, no shuffle (at scale a
+    zipped two-sided map_batches over co-partitioned dates)."""
+    from rasters_ray.stages.quality import change_vector
+
+    r, c = np.indices((16, 16))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, sm, s0, s1, s2, s3 = [], [], [], [], [], []
+        for kk in k.tolist():
+            a = np.stack([r + kk % 5 * c, 2 * r - c])
+            b = np.stack([a[0] + (kk % 7 - 3) + (r - 7),
+                          a[1] + (kk % 11 - 5) + (c - 7)])
+            mag2, sector = change_vector(a, b)
+            gid.append(f"g{kk:06d}")
+            sm.append(int(mag2.sum()))
+            cnt = np.bincount(sector.ravel(), minlength=4)
+            s0.append(int(cnt[0]))
+            s1.append(int(cnt[1]))
+            s2.append(int(cnt[2]))
+            s3.append(int(cnt[3]))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "sum_mag2": pa.array(sm, pa.int64()),
+            "n_s0": pa.array(s0, pa.int64()),
+            "n_s1": pa.array(s1, pa.int64()),
+            "n_s2": pa.array(s2, pa.int64()),
+            "n_s3": pa.array(s3, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_fill_sinks(sf_dir: str):
     """Depression filling (stages/hydrology.py::fill_sinks — Planchon
     & Darboux 2001, the r.fill.dir preprocessing step): per key a 3x3
@@ -7979,6 +8019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_density": q_point_density,
         "cast_shadows": q_cast_shadows,
         "sieve": q_sieve,
+        "cva": q_cva,
         "viewshed": q_viewshed,
         "gcp_affine": q_gcp_affine,
         "hist_match": q_hist_match,
@@ -9388,6 +9429,24 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(SUM(trisq) AS BIGINT) AS sum_trisq,
        CAST(SUM(rough) AS BIGINT) AS sum_rough
 FROM w GROUP BY k
+"""
+    # cva: value-exact pure-INTEGER — the band differences are the
+    # closed forms d0 = (k%7-3)+(r-7), d1 = (k%11-5)+(c-7); sector is
+    # the quadrant with zero counted non-negative
+    sql["cva"] = """
+WITH d AS (
+  SELECT c_custkey AS k,
+         (c_custkey % 7 - 3) + (rr.r - 7) AS d0,
+         (c_custkey % 11 - 5) + (cc.c - 7) AS d1
+  FROM customer, range(0, 16) rr(r), range(0, 16) cc(c)
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(SUM(d0 * d0 + d1 * d1) AS BIGINT) AS sum_mag2,
+       CAST(COUNT(*) FILTER (d0 >= 0 AND d1 >= 0) AS BIGINT) AS n_s0,
+       CAST(COUNT(*) FILTER (d0 >= 0 AND d1 < 0) AS BIGINT) AS n_s1,
+       CAST(COUNT(*) FILTER (d0 < 0 AND d1 >= 0) AS BIGINT) AS n_s2,
+       CAST(COUNT(*) FILTER (d0 < 0 AND d1 < 0) AS BIGINT) AS n_s3
+FROM d GROUP BY k
 """
     # sieve: value-exact pure-INTEGER closed form — stripe sum is 384;
     # the 2-cell island (k even) merges back into stripe k%3, the

@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from rasters_ray import codec
 
-__all__ = ["mse", "psnr", "ssim_global", "reclassify", "pairwise_quality"]
+__all__ = ["mse", "psnr", "ssim_global", "reclassify", "pairwise_quality",
+           "change_vector"]
 
 
 def mse(a: np.ndarray, b: np.ndarray) -> float:
@@ -115,3 +116,21 @@ def pairwise_quality(pairs_ds, data_range: float = 255.0):
         })
 
     return pairs_ds.map_batches(run, batch_format="pyarrow")
+
+
+def change_vector(a: np.ndarray, b: np.ndarray) -> tuple:
+    """Change vector analysis (Malila 1980, the two-date multispectral
+    change detector): per pixel the squared change magnitude
+    ``mag2 = sum_band (b - a)^2`` (int64-exact for integral pixels; the
+    usual magnitude is ``sqrt(mag2)``) and the direction SECTOR in the
+    first two bands — ``2*(d0 < 0) + (d1 < 0)``, i.e. quadrant of
+    (d0, d1) with zero counted as non-negative.  Inputs are (bands, h,
+    w) stacks with >= 2 bands and identical shapes."""
+    aa = np.asarray(a, dtype=np.int64)
+    bb = np.asarray(b, dtype=np.int64)
+    if aa.shape != bb.shape or aa.ndim != 3 or aa.shape[0] < 2:
+        raise ValueError("change_vector expects equal (bands>=2, h, w)")
+    d = bb - aa
+    mag2 = (d * d).sum(axis=0)
+    sector = 2 * (d[0] < 0).astype(np.int64) + (d[1] < 0)
+    return mag2, sector

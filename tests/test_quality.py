@@ -67,3 +67,35 @@ def test_pairwise_quality_dataset(ray_session):
     assert row["mse"] == 16.0
     assert row["psnr"] == pytest.approx(10 * np.log10(255 ** 2 / 16))
     assert 0 < row["ssim"] < 1
+
+
+def test_change_vector_bruteforce():
+    import numpy as np
+
+    from rasters_ray.stages.quality import change_vector
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 255, (3, 6, 7))
+    b = rng.integers(0, 255, (3, 6, 7))
+    mag2, sector = change_vector(a, b)
+    for i in range(6):
+        for j in range(7):
+            d = b[:, i, j].astype(int) - a[:, i, j].astype(int)
+            assert mag2[i, j] == int((d * d).sum())
+            assert sector[i, j] == 2 * (d[0] < 0) + (d[1] < 0)
+
+
+def test_change_vector_zero_is_nonneg_and_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.quality import change_vector
+
+    a = np.zeros((2, 1, 1), int)
+    b = np.zeros((2, 1, 1), int)
+    mag2, sector = change_vector(a, b)
+    assert mag2[0, 0] == 0 and sector[0, 0] == 0
+    with pytest.raises(ValueError):
+        change_vector(np.zeros((1, 2, 2)), np.zeros((1, 2, 2)))
+    with pytest.raises(ValueError):
+        change_vector(np.zeros((2, 2, 2)), np.zeros((2, 3, 2)))
