@@ -590,6 +590,23 @@ def q_zonal_stats(sf_dir: str):
     return zonal_stats(_images_ds(sf_dir, N_IMG_MERGE), zones)
 
 
+def _crosstab_classify(arr):
+    """Two categorical layers from one formula raster: zone = value//51
+    (5 codes), class = value % 7 (7 codes). Pure int64 — SQL-exact."""
+    v = np.rint(arr).astype(np.int64)
+    return v // 51, v % 7
+
+
+def q_crosstab(sf_dir: str):
+    """Tabulate Area (ArcGIS) / GRASS r.stats contingency table: pixel
+    counts per (zone, class) pair across every oracle image, with the
+    two categorical layers derived from the formula pixels. Partial
+    crosstabs combine inside map_batches; only distinct pairs shuffle."""
+    from rasters_ray.stages import crosstab_images
+
+    return crosstab_images(_images_ds(sf_dir, N_IMG_MERGE), _crosstab_classify)
+
+
 def q_antimeridian(sf_dir: str):
     """Antimeridian-crossing predicate over synthetic near-180 grids."""
     from rasters_ray.grids import GridSpec
@@ -7873,6 +7890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "antimeridian": q_antimeridian,
         "rasterize_box": q_rasterize_box,
         "zonal_stats": q_zonal_stats,
+        "crosstab": q_crosstab,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -11436,6 +11454,16 @@ SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(e.embedding, q.qv
        e.vec_id AS vec_id
 FROM embeddings e, q
 ORDER BY rank LIMIT 10
+"""
+
+    sql["crosstab"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT (d * 31 + r.range * 7 + c.range * 13) % 251 AS value
+  FROM imgs, range(100) r, range(100) c
+)
+SELECT value // 51 AS zone, value % 7 AS klass, COUNT(*) AS n_px
+FROM px GROUP BY value // 51, value % 7
 """
 
     sql["zonal_stats"] = f"""

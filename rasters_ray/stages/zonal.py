@@ -118,3 +118,87 @@ def zonal_stats(images_ds, zones: pa.Table, concurrency=None):
     return partials.groupby("zone_id").aggregate(
         Sum("pcnt", alias_name="n_px"), Sum("psum", alias_name="sum_value")
     )
+
+
+class CrosstabStage:
+    """map_batches combiner for the distributed crosstab: each batch of
+    encoded rasters is decoded, ``classify(arr) -> (zones, classes)``
+    derives the two co-registered categorical layers, and the local
+    contingency counts are accumulated into ONE packed bincount per
+    batch.  The partial payload is distinct (zone, klass) pairs — never
+    pixels — so the finishing groupby is tiny regardless of raster
+    size (same partial-aggregate shape as ZonalStage)."""
+
+    def __init__(self, classify):
+        self.classify = classify
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fmts = batch.column("fmt").to_pylist()
+        blobs = codec.BlobReader(batch.column("bytes"))
+        acc: dict = {}
+        for i in range(batch.num_rows):
+            arr = codec.decode(blobs[i], fmts[i])
+            z, c = self.classify(arr)
+            part = crosstab(z, c)
+            for zz, kk, nn in zip(
+                part.column("zone").to_numpy(),
+                part.column("klass").to_numpy(),
+                part.column("n_px").to_numpy(),
+            ):
+                key = (int(zz), int(kk))
+                acc[key] = acc.get(key, 0) + int(nn)
+        keys = sorted(acc)
+        return pa.table(
+            {
+                "zone": pa.array([k[0] for k in keys], pa.int64()),
+                "klass": pa.array([k[1] for k in keys], pa.int64()),
+                "pcnt": pa.array([acc[k] for k in keys], pa.int64()),
+            }
+        )
+
+
+def crosstab_images(images_ds, classify, concurrency=None):
+    """Distributed Tabulate Area: Dataset[(zone, klass, n_px)] over every
+    raster in ``images_ds``.  ``classify`` maps a decoded 2-D array to the
+    (zone_codes, class_codes) integer layers; partial contingency tables
+    combine inside map_batches and a low-cardinality multi-key groupby
+    finishes — pixels never cross the shuffle."""
+    from ray.data.aggregate import Sum
+
+    partials = images_ds.map_batches(
+        CrosstabStage,
+        fn_constructor_kwargs={"classify": classify},
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+    )
+    return partials.groupby(["zone", "klass"]).aggregate(
+        Sum("pcnt", alias_name="n_px")
+    )
+
+
+def crosstab(zones: np.ndarray, classes: np.ndarray) -> pa.Table:
+    """Tabulate Area (ArcGIS) / GRASS r.stats: the contingency table
+    of two co-registered categorical rasters — one row per present
+    (zone, class) pair with its pixel count, sorted by (zone, class).
+
+    Vectorized as a single bincount over the packed pair code; exact
+    integers.  At scale this is a per-tile partial crosstab (map_batches
+    emits the local pairs) followed by a groupby-sum whose payload is
+    distinct pairs, never pixels — the same partial-aggregate shape as
+    pixel_histogram."""
+    z = np.asarray(zones, dtype=np.int64)
+    c = np.asarray(classes, dtype=np.int64)
+    if z.shape != c.shape:
+        raise ValueError("crosstab rasters must share a shape")
+    if (z < 0).any() or (c < 0).any():
+        raise ValueError("crosstab expects non-negative category codes")
+    zf, cf = z.ravel(), c.ravel()
+    width = int(cf.max()) + 1 if cf.size else 1
+    packed = zf * width + cf
+    counts = np.bincount(packed)
+    present = np.flatnonzero(counts)
+    return pa.table({
+        "zone": pa.array(present // width, pa.int64()),
+        "klass": pa.array(present % width, pa.int64()),
+        "n_px": pa.array(counts[present], pa.int64()),
+    })
