@@ -590,6 +590,35 @@ def q_zonal_stats(sf_dir: str):
     return zonal_stats(_images_ds(sf_dir, N_IMG_MERGE), zones)
 
 
+def q_zonal_majority(sf_dir: str):
+    """Categorical zonal statistics (ArcGIS MAJORITY/MINORITY/VARIETY
+    with smallest-code tie-break) over the same zone boxes as
+    zonal_stats; per-(zone,value) bincount partials, pair-level shuffle
+    only."""
+    import pyarrow.parquet as pq
+
+    from rasters_ray.stages import zonal_categorical
+
+    keys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"]).column(
+        "o_orderkey"
+    ).to_numpy()
+    k = np.sort(keys[keys % 41 == 0]).astype(np.int64)
+    zxmin = -124.0 + (k % 700) * 0.01 + 0.003
+    zymax = 44.0 - ((k // 11) % 700) * 0.01 - 0.003
+    zxmax = zxmin + 0.05 + (k % 13) * 0.01
+    zymin = zymax - 0.05 - (k % 17) * 0.01
+    zones = pa.table(
+        {
+            "zone_id": pa.array(k, pa.int64()),
+            "xmin": pa.array(zxmin, pa.float64()),
+            "ymin": pa.array(zymin, pa.float64()),
+            "xmax": pa.array(zxmax, pa.float64()),
+            "ymax": pa.array(zymax, pa.float64()),
+        }
+    )
+    return zonal_categorical(_images_ds(sf_dir, N_IMG_MERGE), zones)
+
+
 def _crosstab_classify(arr):
     """Two categorical layers from one formula raster: zone = value//51
     (5 codes), class = value % 7 (7 codes). Pure int64 — SQL-exact."""
@@ -7890,6 +7919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "antimeridian": q_antimeridian,
         "rasterize_box": q_rasterize_box,
         "zonal_stats": q_zonal_stats,
+        "zonal_majority": q_zonal_majority,
         "crosstab": q_crosstab,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
@@ -11454,6 +11484,41 @@ SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(e.embedding, q.qv
        e.vec_id AS vec_id
 FROM embeddings e, q
 ORDER BY rank LIMIT 10
+"""
+
+    sql["zonal_majority"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT x0 + (c.range + 0.5e0) * 0.01e0 AS cx,
+         y0 + (r.range + 0.5e0) * (-0.01e0) AS cy,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS value
+  FROM imgs, range(100) r, range(100) c
+),
+zones AS (
+  SELECT o_orderkey AS zone_id,
+         -124.0e0 + (o_orderkey % 700) * 0.01e0 + 0.003e0 AS zxmin,
+         44.0e0 - ((o_orderkey // 11) % 700) * 0.01e0 - 0.003e0 AS zymax,
+         -124.0e0 + (o_orderkey % 700) * 0.01e0 + 0.003e0
+           + 0.05e0 + (o_orderkey % 13) * 0.01e0 AS zxmax,
+         44.0e0 - ((o_orderkey // 11) % 700) * 0.01e0 - 0.003e0
+           - 0.05e0 - (o_orderkey % 17) * 0.01e0 AS zymin
+  FROM orders WHERE o_orderkey % 41 = 0
+),
+pairs AS (
+  SELECT z.zone_id, p.value, COUNT(*) AS n
+  FROM zones z JOIN px p
+    ON p.cx >= z.zxmin AND p.cx <= z.zxmax AND p.cy >= z.zymin AND p.cy <= z.zymax
+  GROUP BY z.zone_id, p.value
+)
+SELECT zone_id,
+       COUNT(*) AS variety,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax,
+       arg_min(value, -n * 251 + value) AS majority,
+       MAX(n) AS majority_n,
+       arg_min(value, n * 251 + value) AS minority,
+       MIN(n) AS minority_n
+FROM pairs GROUP BY zone_id
 """
 
     sql["crosstab"] = f"""

@@ -24,7 +24,15 @@ from .label import label_components, label_runs_min, local_label
 from .morphology import morphology_halo_tiled, morphology_stats
 from .pyramid import block_reduce_sums, overview_images, overview_stats
 from .terrain import horn_numerators, terrain_gradient, terrain_halo_tiled
-from .zonal import ZONES_SCHEMA, ZonalStage, crosstab, crosstab_images, zonal_stats
+from .zonal import (
+    ZONES_SCHEMA,
+    ZonalCategoricalStage,
+    ZonalStage,
+    crosstab,
+    crosstab_images,
+    zonal_categorical,
+    zonal_stats,
+)
 from .elementwise import (
     apply_fn,
     clip_values,
@@ -62,8 +70,10 @@ from .tiling import TILES_SCHEMA, make_tiles, tile_images
 __all__ = [
     "ZONES_SCHEMA",
     "ZonalStage",
+    "ZonalCategoricalStage",
     "crosstab",
     "crosstab_images",
+    "zonal_categorical",
     "zonal_stats",
     "PIP_SCHEMA",
     "PIPJoinStage",

@@ -120,6 +120,125 @@ def zonal_stats(images_ds, zones: pa.Table, concurrency=None):
     )
 
 
+class ZonalCategoricalStage:
+    """map_batches combiner for categorical zonal statistics: per-batch
+    (zone_id, value, pcnt) partials via one bincount per (image, zone)
+    slice.  Values are rounded to int64 (finite pixels only), the same
+    center-containment bbox test as ZonalStage."""
+
+    def __init__(self, zones_ref):
+        import ray
+
+        z = ray.get(zones_ref) if not isinstance(zones_ref, pa.Table) else zones_ref
+        self.zid = z.column("zone_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.xmin = z.column("xmin").to_numpy(zero_copy_only=False)
+        self.ymin = z.column("ymin").to_numpy(zero_copy_only=False)
+        self.xmax = z.column("xmax").to_numpy(zero_copy_only=False)
+        self.ymax = z.column("ymax").to_numpy(zero_copy_only=False)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grids = batch.column("grid").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        blobs = codec.BlobReader(batch.column("bytes"))
+        acc: dict = {}
+        for i in range(batch.num_rows):
+            grid = GridSpec.from_dict(grids[i])
+            arr = codec.decode(blobs[i], fmts[i])
+            if arr.ndim != 2:
+                raise ValueError("zonal stats are per-band: split band stacks first")
+            finite = np.isfinite(arr)
+            vals = np.where(finite, np.rint(arr), 0).astype(np.int64)
+            if (vals < 0).any():
+                raise ValueError("categorical zonal stats expect non-negative codes")
+            cx = grid.x_origin + (np.arange(grid.cols) + 0.5) * grid.cell_width
+            cy = grid.y_origin + (np.arange(grid.rows) + 0.5) * grid.cell_height
+            gx0, gx1 = cx.min(), cx.max()
+            gy0, gy1 = cy.min(), cy.max()
+            hit = np.flatnonzero(
+                (self.xmin <= gx1) & (self.xmax >= gx0)
+                & (self.ymin <= gy1) & (self.ymax >= gy0)
+            )
+            for z in hit:
+                mx = (cx >= self.xmin[z]) & (cx <= self.xmax[z])
+                my = (cy >= self.ymin[z]) & (cy <= self.ymax[z])
+                if not (mx.any() and my.any()):
+                    continue
+                sub = np.ix_(my, mx)
+                fin = finite[sub].ravel()
+                if not fin.any():
+                    continue
+                counts = np.bincount(vals[sub].ravel()[fin])
+                zid = int(self.zid[z])
+                prev = acc.get(zid)
+                if prev is None:
+                    acc[zid] = counts
+                elif prev.size >= counts.size:
+                    prev[: counts.size] += counts
+                else:
+                    counts[: prev.size] += prev
+                    acc[zid] = counts
+        zc, vc, nc = [], [], []
+        for zid in sorted(acc):
+            nz = np.flatnonzero(acc[zid])
+            zc.extend([zid] * nz.size)
+            vc.extend(nz.tolist())
+            nc.extend(acc[zid][nz].tolist())
+        return pa.table(
+            {
+                "zone_id": pa.array(zc, pa.int64()),
+                "value": pa.array(vc, pa.int64()),
+                "pcnt": pa.array(nc, pa.int64()),
+            }
+        )
+
+
+def zonal_categorical(images_ds, zones: pa.Table, concurrency=None):
+    """ArcGIS ZonalStatistics MAJORITY / MINORITY / VARIETY (plus MIN /
+    MAX) over integer-coded rasters: Dataset[(zone_id, variety, vmin,
+    vmax, majority, majority_n, minority, minority_n)].
+
+    Ties break to the SMALLEST value code (the ArcGIS rule).  Pixels
+    never shuffle: per-batch bincount partials combine through a
+    (zone_id, value) groupby whose payload is distinct pairs, then a
+    per-zone map_groups finishes the argmax/argmin."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    zref = ray.put(zones)
+    partials = images_ds.map_batches(
+        ZonalCategoricalStage,
+        fn_constructor_kwargs={"zones_ref": zref},
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+    )
+    pairs = partials.groupby(["zone_id", "value"]).aggregate(
+        Sum("pcnt", alias_name="n")
+    )
+
+    def finish(df):
+        import pandas as pd
+
+        v = df["value"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        # lexicographic (-n, value) / (n, value) keys: value < 2**20
+        maj = np.lexsort((v, -n))[0]
+        mino = np.lexsort((v, n))[0]
+        return pd.DataFrame(
+            {
+                "zone_id": [int(df["zone_id"].iloc[0])],
+                "variety": [int(len(v))],
+                "vmin": [int(v.min())],
+                "vmax": [int(v.max())],
+                "majority": [int(v[maj])],
+                "majority_n": [int(n[maj])],
+                "minority": [int(v[mino])],
+                "minority_n": [int(n[mino])],
+            }
+        )
+
+    return pairs.groupby("zone_id").map_groups(finish, batch_format="pandas")
+
+
 class CrosstabStage:
     """map_batches combiner for the distributed crosstab: each batch of
     encoded rasters is decoded, ``classify(arr) -> (zones, classes)``
