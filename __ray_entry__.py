@@ -6432,6 +6432,43 @@ def q_point_density(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_kernel_density(sf_dir: str):
+    """Kernel density (stages/proximity.py::kernel_density — ArcGIS
+    Kernel Density, Silverman quartic kernel kept integer-exact as the
+    r^4-scaled numerator sum w * (r2 - d2)^2): per key the same 64-point
+    cloud as point_density with population weights (k*7 + j) % 5 + 1,
+    radius^2 = 8 on a 16x16 grid; emits total, peak and first (row-major)
+    argmax cell.  The oracle replays the weighted quartic sum as a
+    points x cells range join."""
+    from rasters_ray.stages.proximity import kernel_density
+
+    j = np.arange(64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, sd, md, ar, ac = [], [], [], [], []
+        for kk in k.tolist():
+            pts = np.stack([(kk * j) % 16, (kk + 3 * j) % 16], axis=1)
+            wts = (kk * 7 + j) % 5 + 1
+            d = kernel_density(pts, (16, 16), 8, wts)
+            am = int(np.argmax(d))
+            gid.append(f"g{kk:06d}")
+            sd.append(int(d.sum()))
+            md.append(int(d.max()))
+            ar.append(am // 16)
+            ac.append(am % 16)
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "sum_dens": pa.array(sd, pa.int64()),
+            "max_dens": pa.array(md, pa.int64()),
+            "arg_r": pa.array(ar, pa.int64()),
+            "arg_c": pa.array(ac, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_cast_shadows(sf_dir: str):
     """Cast shadows (stages/viewshed.py::cast_shadows — the r.sun /
     hillshade-with-shadows horizon scan, sun travelling +columns at
@@ -8065,6 +8102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_filter": q_rank_filter,
         "otsu": q_otsu,
         "point_density": q_point_density,
+        "kernel_density": q_kernel_density,
         "cast_shadows": q_cast_shadows,
         "sieve": q_sieve,
         "cva": q_cva,
@@ -9551,6 +9589,38 @@ WITH pts AS (
 ),
 d AS (
   SELECT k, rr.r AS r, cc.c AS c, COUNT(*) AS cnt
+  FROM pts, range(0, 16) rr(r), range(0, 16) cc(c)
+  WHERE (rr.r - pr) * (rr.r - pr) + (cc.c - pc) * (cc.c - pc) <= 8
+  GROUP BY k, rr.r, cc.c
+),
+best AS (
+  SELECT k, r, c, cnt FROM d
+  QUALIFY row_number() OVER (PARTITION BY k ORDER BY cnt DESC, r, c) = 1
+),
+tot AS (SELECT k, SUM(cnt) AS s, MAX(cnt) AS m FROM d GROUP BY k)
+SELECT printf('g%06d', tot.k) AS geom_id,
+       CAST(tot.s AS BIGINT) AS sum_dens,
+       CAST(tot.m AS BIGINT) AS max_dens,
+       CAST(best.r AS BIGINT) AS arg_r,
+       CAST(best.c AS BIGINT) AS arg_c
+FROM tot JOIN best ON tot.k = best.k
+"""
+    # kernel_density: value-exact pure-INTEGER — the quartic numerator
+    # w * (8 - d2)^2 is a weighted points x cells range join; the peak
+    # is positive (every point contributes 64*w to its own cell) so
+    # zero cells can't win the argmax
+    sql["kernel_density"] = """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         (c_custkey * j.j) % 16 AS pr,
+         (c_custkey + 3 * j.j) % 16 AS pc,
+         (c_custkey * 7 + j.j) % 5 + 1 AS w
+  FROM customer, range(0, 64) j(j)
+),
+d AS (
+  SELECT k, rr.r AS r, cc.c AS c,
+         SUM(w * (8 - (rr.r - pr) * (rr.r - pr) - (cc.c - pc) * (cc.c - pc))
+               * (8 - (rr.r - pr) * (rr.r - pr) - (cc.c - pc) * (cc.c - pc))) AS cnt
   FROM pts, range(0, 16) rr(r), range(0, 16) cc(c)
   WHERE (rr.r - pr) * (rr.r - pr) + (cc.c - pc) * (cc.c - pc) <= 8
   GROUP BY k, rr.r, cc.c

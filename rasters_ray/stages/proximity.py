@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from rasters_ray.stages.focal import halo_exchange_tiled
 
-__all__ = ["distance_transform_tiled", "point_density"]
+__all__ = ["distance_transform_tiled", "kernel_density", "point_density"]
 
 _SCHEMA = {
     "image_id": pa.string(),
@@ -116,4 +116,55 @@ def point_density(points_rc, shape, radius2: int):
             sc0, sc1 = max(0, dc), min(w, w + dc)
             dens[sr0 - dr:sr1 - dr, sc0 - dc:sc1 - dc] += \
                 counts[sr0:sr1, sc0:sc1]
+    return dens
+
+
+def kernel_density(points_rc, shape, radius2: int, weights=None):
+    """ArcGIS Kernel Density (Silverman quartic kernel) core, kept
+    INTEGER-exact: per grid cell the numerator
+
+        N(cell) = sum over points p with d2 = |cell - p|^2 <= radius2
+                  of w_p * (radius2 - d2)^2
+
+    which is the quartic kernel K(d) = (1 - (d/r)^2)^2 scaled by the
+    constant r^4 (the true density is 3 / (pi r^2) * N / r^4 — a single
+    global scale the caller applies for display, irrelevant for
+    argmax / comparisons and kept out so the surface stays int64 and
+    bit-replayable in SQL).
+
+    ``points_rc`` is (n, 2) int (row, col) cells already binned to the
+    grid; ``weights`` an optional positive int population field.
+    Vectorized as weight-bincount -> disk-offset scatter with the
+    per-offset constant (radius2 - dr^2 - dc^2)^2.  At scale: binned
+    groupby (points -> per-cell weight sums, shuffle payload is cells
+    not points) then a halo focal sum with this stencil."""
+    h, w = shape
+    pts = np.asarray(points_rc, dtype=np.int64).reshape(-1, 2)
+    if ((pts[:, 0] < 0) | (pts[:, 0] >= h)
+            | (pts[:, 1] < 0) | (pts[:, 1] >= w)).any():
+        raise ValueError("point outside the grid")
+    if weights is None:
+        wts = np.ones(pts.shape[0], dtype=np.int64)
+    else:
+        wts = np.asarray(weights, dtype=np.int64).reshape(-1)
+        if wts.shape[0] != pts.shape[0]:
+            raise ValueError("weights must match points")
+        if (wts < 0).any():
+            raise ValueError("kernel_density expects non-negative weights")
+    counts = np.zeros((h, w), dtype=np.int64)
+    np.add.at(counts, (pts[:, 0], pts[:, 1]), wts)
+    rad = int(np.floor(np.sqrt(radius2)))
+    dens = np.zeros_like(counts)
+    for dr in range(-rad, rad + 1):
+        for dc in range(-rad, rad + 1):
+            d2 = dr * dr + dc * dc
+            if d2 > radius2:
+                continue
+            kv = (radius2 - d2) ** 2
+            if kv == 0:
+                continue
+            sr0, sr1 = max(0, dr), min(h, h + dr)
+            sc0, sc1 = max(0, dc), min(w, w + dc)
+            dens[sr0 - dr:sr1 - dr, sc0 - dc:sc1 - dc] += \
+                kv * counts[sr0:sr1, sc0:sc1]
     return dens

@@ -89,3 +89,42 @@ def test_point_density_edges_and_errors():
     assert d0[2, 3] == 2 and d0.sum() == 2
     with pytest.raises(ValueError):
         point_density(np.array([[4, 0]]), (4, 4), 1)
+
+
+def test_kernel_density_bruteforce():
+    import numpy as np
+
+    from rasters_ray.stages.proximity import kernel_density
+
+    rng = np.random.default_rng(3)
+    pts = rng.integers(0, 12, (40, 2))
+    wts = rng.integers(1, 6, 40)
+    r2 = 10
+    got = kernel_density(pts, (12, 12), r2, wts)
+    exp = np.zeros((12, 12), np.int64)
+    for r in range(12):
+        for c in range(12):
+            for (pr, pc), w in zip(pts, wts):
+                d2 = (r - pr) ** 2 + (c - pc) ** 2
+                if d2 <= r2:
+                    exp[r, c] += w * (r2 - d2) ** 2
+    assert (got == exp).all()
+
+
+def test_kernel_density_unweighted_and_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.proximity import kernel_density
+
+    pts = np.array([[1, 1]])
+    d = kernel_density(pts, (4, 4), 2)
+    assert d[1, 1] == 4  # (2 - 0)^2
+    assert d[0, 1] == 1  # (2 - 1)^2
+    assert d[3, 3] == 0  # d2 = 8 > 2
+    with pytest.raises(ValueError):
+        kernel_density(np.array([[9, 0]]), (4, 4), 2)
+    with pytest.raises(ValueError):
+        kernel_density(pts, (4, 4), 2, weights=np.array([1, 2]))
+    with pytest.raises(ValueError):
+        kernel_density(pts, (4, 4), 2, weights=np.array([-1]))
