@@ -619,6 +619,16 @@ def q_zonal_majority(sf_dir: str):
     return zonal_categorical(_images_ds(sf_dir, N_IMG_MERGE), zones)
 
 
+def q_hotspots(sf_dir: str):
+    """Getis-Ord Gi* hot spot analysis (spatial_stats.py::hotspot_lattice)
+    on the step-7 lattice of every oracle image: integer z numerators +
+    the fixed-order float z-score, replayed in SQL from the pixel
+    formula with guarded 3x3 neighbor sums."""
+    from rasters_ray.stages.spatial_stats import hotspot_lattice
+
+    return hotspot_lattice(_images_ds(sf_dir, N_IMG_MERGE), step=7)
+
+
 def _crosstab_classify(arr):
     """Two categorical layers from one formula raster: zone = value//51
     (5 codes), class = value % 7 (7 codes). Pure int64 — SQL-exact."""
@@ -7957,6 +7967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_box": q_rasterize_box,
         "zonal_stats": q_zonal_stats,
         "zonal_majority": q_zonal_majority,
+        "hotspots": q_hotspots,
         "crosstab": q_crosstab,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
@@ -11554,6 +11565,40 @@ SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(e.embedding, q.qv
        e.vec_id AS vec_id
 FROM embeddings e, q
 ORDER BY rank LIMIT 10
+"""
+
+    # hotspots: Gi* — every radicand is BIGINT-exact; the one float
+    # expression is mul -> sqrt -> div in the same order as numpy
+    sql["hotspots"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+g AS (
+  SELECT d, SUM((d * 31 + r.range * 7 + c.range * 13) % 251) AS s,
+         SUM(((d * 31 + r.range * 7 + c.range * 13) % 251)
+             * ((d * 31 + r.range * 7 + c.range * 13) % 251)) AS q
+  FROM imgs, range(100) r, range(100) c GROUP BY d
+),
+lat AS (
+  SELECT d, r.range AS r, c.range AS c
+  FROM imgs, range(0, 100, 7) r, range(0, 100, 7) c
+),
+nb AS (
+  SELECT d, r, c,
+         SUM((d * 31 + (r + o1.o) * 7 + (c + o2.o) * 13) % 251) AS li,
+         COUNT(*) AS wi
+  FROM lat,
+       (SELECT unnest([-1, 0, 1]) AS o) o1,
+       (SELECT unnest([-1, 0, 1]) AS o) o2
+  WHERE r + o1.o BETWEEN 0 AND 99 AND c + o2.o BETWEEN 0 AND 99
+  GROUP BY d, r, c
+)
+SELECT printf('img%08d', nb.d) AS image_id,
+       nb.r AS r, nb.c AS c,
+       10000 * li - wi * g.s AS z_num,
+       wi AS w_cnt,
+       CAST(10000 * li - wi * g.s AS DOUBLE) * sqrt(CAST(9999 AS DOUBLE))
+         / sqrt(CAST((10000 * g.q - g.s * g.s) * (10000 * wi - wi * wi)
+                     AS DOUBLE)) AS gi_z
+FROM nb JOIN g ON nb.d = g.d
 """
 
     sql["zonal_majority"] = f"""

@@ -32,7 +32,14 @@ import pyarrow as pa
 
 from rasters_ray import codec
 
-__all__ = ["moran_stats", "moran_i", "geary_c", "autocorr_stats"]
+__all__ = [
+    "moran_stats",
+    "moran_i",
+    "geary_c",
+    "autocorr_stats",
+    "getis_gi_star",
+    "hotspot_lattice",
+]
 
 
 def moran_stats(arr: np.ndarray) -> dict:
@@ -111,6 +118,90 @@ def autocorr_stats(images_ds):
             "w_sum": pa.array(cols["w_sum"], pa.int64()),
             "moran_i": pa.array(cols["moran_i"], pa.float64()),
             "geary_c": pa.array(cols["geary_c"], pa.float64()),
+        })
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+def getis_gi_star(arr: np.ndarray, step: int = 1):
+    """Getis-Ord Gi* hot spot z-scores (Ord & Getis 1995; the ArcGIS
+    Hot Spot Analysis tool) with binary QUEEN weights including self
+    (the raster default: the 3x3 window, clipped at edges).
+
+    Everything under the square roots is an INTEGER sufficient
+    statistic, so the float z is a single fixed-order expression —
+    with n = cells, S = sum x, Q = sum x^2, L_i = 3x3 window sum,
+    W_i = 3x3 window cell count:
+
+        z_i = (n*L_i - W_i*S) * sqrt(n - 1)
+              / sqrt((n*Q - S^2) * (n*W_i - W_i^2))
+
+    replayable bit-for-bit in SQL (mul, sqrt, div in that order).
+    Returns (rows, cols, z_num, w_cnt, gi_z) for cells on the global
+    ``step`` lattice.  Scale shape: per-image vectorized window sums;
+    the tiled variant needs a 1-pixel halo plus broadcast (n, S, Q)
+    partials — both integer-exact."""
+    x = np.asarray(arr)
+    if x.ndim != 2 or x.size < 2:
+        raise ValueError("need a 2D raster with >= 2 cells")
+    if not np.issubdtype(x.dtype, np.integer):
+        if not np.all(np.isfinite(x)) or np.any(x != np.rint(x)):
+            raise ValueError("getis_gi_star requires integral pixel values")
+    xi = x.astype(np.int64)
+    h, w = xi.shape
+    n = int(xi.size)
+    s = int(xi.sum())
+    q = int((xi * xi).sum())
+    den1 = n * q - s * s
+    if den1 == 0:
+        raise ValueError("constant raster: Gi* undefined")
+    # clipped 3x3 window sums via padded shifted adds (vectorized)
+    pad = np.zeros((h + 2, w + 2), np.int64)
+    pad[1:-1, 1:-1] = xi
+    ones = np.zeros((h + 2, w + 2), np.int64)
+    ones[1:-1, 1:-1] = 1
+    loc = np.zeros((h, w), np.int64)
+    cnt = np.zeros((h, w), np.int64)
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            loc += pad[dr:dr + h, dc:dc + w]
+            cnt += ones[dr:dr + h, dc:dc + w]
+    rr = np.arange(0, h, step)
+    cc = np.arange(0, w, step)
+    gr, gc = np.meshgrid(rr, cc, indexing="ij")
+    gr, gc = gr.ravel(), gc.ravel()
+    li = loc[gr, gc]
+    wi = cnt[gr, gc]
+    z_num = n * li - wi * s
+    den = (den1 * (n * wi - wi * wi)).astype(np.float64)
+    gi = z_num.astype(np.float64) * np.sqrt(np.float64(n - 1)) / np.sqrt(den)
+    return gr.astype(np.int64), gc.astype(np.int64), z_num.astype(np.int64), \
+        wi.astype(np.int64), gi
+
+
+def hotspot_lattice(images_ds, step: int = 7):
+    """Per-image Gi* hot spot surface sampled on the global ``step``
+    lattice: Dataset[(image_id, r, c, z_num, w_cnt, gi_z)].  One
+    map_batches, nothing shuffles."""
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, rs, cs, zn, wc, gz = [], [], [], [], [], []
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            gr, gc, z_num, wi, gi = getis_gi_star(px, step=step)
+            ids.extend([t.column("image_id")[i].as_py()] * len(gr))
+            rs.append(gr); cs.append(gc); zn.append(z_num)
+            wc.append(wi); gz.append(gi)
+        cat = (lambda parts, t_: pa.array(np.concatenate(parts) if parts
+                                          else [], t_))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "r": cat(rs, pa.int64()),
+            "c": cat(cs, pa.int64()),
+            "z_num": cat(zn, pa.int64()),
+            "w_cnt": cat(wc, pa.int64()),
+            "gi_z": cat(gz, pa.float64()),
         })
 
     return images_ds.map_batches(run, batch_format="pyarrow")

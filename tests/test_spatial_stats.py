@@ -83,3 +83,50 @@ def test_autocorr_stats_dataset(ray_session):
     row = autocorr_stats(ds).take_all()[0]
     assert row["moran_i"] == -1.0
     assert row["w_sum"] == 2 * (8 * 7 * 2)
+
+
+def test_getis_gi_star_bruteforce():
+    import math
+
+    import numpy as np
+
+    from rasters_ray.stages.spatial_stats import getis_gi_star
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 30, (8, 10))
+    gr, gc, zn, wi, gi = getis_gi_star(x)
+    n = x.size
+    S = int(x.sum())
+    Q = int((x.astype(np.int64) ** 2).sum())
+    for idx in range(len(gr)):
+        r, c = int(gr[idx]), int(gc[idx])
+        L = W = 0
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                r2, c2 = r + dr, c + dc
+                if 0 <= r2 < 8 and 0 <= c2 < 10:
+                    L += int(x[r2, c2])
+                    W += 1
+        assert zn[idx] == n * L - W * S
+        assert wi[idx] == W
+        exp = (float(n * L - W * S) * math.sqrt(float(n - 1))
+               / math.sqrt(float((n * Q - S * S) * (n * W - W * W))))
+        assert gi[idx] == exp
+    # a hot cluster scores positive, a cold cluster negative
+    y = np.zeros((9, 9), np.int64)
+    y[4, 4] = y[4, 5] = y[5, 4] = 50
+    _, _, _, _, g2 = getis_gi_star(y)
+    g2 = g2.reshape(9, 9)
+    assert g2[4, 4] > 1.0 and g2[0, 0] < 0.0
+
+
+def test_getis_gi_star_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.spatial_stats import getis_gi_star
+
+    with pytest.raises(ValueError):
+        getis_gi_star(np.full((4, 4), 7))  # constant
+    with pytest.raises(ValueError):
+        getis_gi_star(np.array([[0.5, 1.0], [2.0, 3.0]]))  # non-integral
