@@ -629,6 +629,16 @@ def q_hotspots(sf_dir: str):
     return hotspot_lattice(_images_ds(sf_dir, N_IMG_MERGE), step=7)
 
 
+def q_lisa(sf_dir: str):
+    """Local Moran LISA clusters (spatial_stats.py::lisa_lattice) on the
+    step-7 lattice: integer y*R numerators, the single-ratio float I_i,
+    and the HH/LL/HL/LH quadrant, replayed in SQL with guarded rook
+    sums from the pixel formula."""
+    from rasters_ray.stages.spatial_stats import lisa_lattice
+
+    return lisa_lattice(_images_ds(sf_dir, N_IMG_MERGE), step=7)
+
+
 def _crosstab_classify(arr):
     """Two categorical layers from one formula raster: zone = value//51
     (5 codes), class = value % 7 (7 codes). Pure int64 — SQL-exact."""
@@ -7968,6 +7978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": q_zonal_stats,
         "zonal_majority": q_zonal_majority,
         "hotspots": q_hotspots,
+        "lisa": q_lisa,
         "crosstab": q_crosstab,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
@@ -11599,6 +11610,50 @@ SELECT printf('img%08d', nb.d) AS image_id,
          / sqrt(CAST((10000 * g.q - g.s * g.s) * (10000 * wi - wi * wi)
                      AS DOUBLE)) AS gi_z
 FROM nb JOIN g ON nb.d = g.d
+"""
+
+    # lisa: local Moran — one integer ratio n*y*R / b per cell; the
+    # quadrant is pure sign logic on the integer pieces
+    sql["lisa"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+g AS (
+  SELECT d, SUM((d * 31 + r.range * 7 + c.range * 13) % 251) AS s,
+         SUM(((d * 31 + r.range * 7 + c.range * 13) % 251)
+             * ((d * 31 + r.range * 7 + c.range * 13) % 251)) AS q
+  FROM imgs, range(100) r, range(100) c GROUP BY d
+),
+lat AS (
+  SELECT d, r.range AS r, c.range AS c
+  FROM imgs, range(0, 100, 7) r, range(0, 100, 7) c
+),
+nb AS (
+  SELECT d, r, c,
+         SUM((d * 31 + (r + o1.o) * 7 + (c + o2.o) * 13) % 251) AS li,
+         COUNT(*) AS ki
+  FROM lat,
+       (SELECT unnest([-1, 0, 1]) AS o) o1,
+       (SELECT unnest([-1, 0, 1]) AS o) o2
+  WHERE abs(o1.o) + abs(o2.o) = 1
+    AND r + o1.o BETWEEN 0 AND 99 AND c + o2.o BETWEEN 0 AND 99
+  GROUP BY d, r, c
+),
+z AS (
+  SELECT nb.d, nb.r, nb.c, nb.ki,
+         10000 * ((nb.d * 31 + nb.r * 7 + nb.c * 13) % 251) - g.s AS y,
+         10000 * li - ki * g.s AS ri,
+         100000000 * g.q - 10000 * g.s * g.s AS b
+  FROM nb JOIN g ON nb.d = g.d
+)
+SELECT printf('img%08d', d) AS image_id, r, c,
+       y * ri AS li_num,
+       ki AS k_cnt,
+       CAST(10000 * y * ri AS DOUBLE) / CAST(b AS DOUBLE) AS local_i,
+       CASE WHEN y > 0 AND ri > 0 THEN 1
+            WHEN y < 0 AND ri < 0 THEN 2
+            WHEN y > 0 AND ri < 0 THEN 3
+            WHEN y < 0 AND ri > 0 THEN 4
+            ELSE 0 END AS quadrant
+FROM z
 """
 
     sql["zonal_majority"] = f"""

@@ -39,6 +39,8 @@ __all__ = [
     "autocorr_stats",
     "getis_gi_star",
     "hotspot_lattice",
+    "local_moran",
+    "lisa_lattice",
 ]
 
 
@@ -202,6 +204,88 @@ def hotspot_lattice(images_ds, step: int = 7):
             "z_num": cat(zn, pa.int64()),
             "w_cnt": cat(wc, pa.int64()),
             "gi_z": cat(gz, pa.float64()),
+        })
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+def local_moran(arr: np.ndarray, step: int = 1):
+    """Anselin's Local Moran (LISA, Anselin 1995; the ArcGIS Cluster
+    and Outlier Analysis tool) with binary ROOK weights, kept exact by
+    n-scaling deviations to integers (y_i = n*x_i - S):
+
+        I_i  = n * y_i * R_i / b_num          (one integer ratio)
+        y_i  = n*x_i - S
+        R_i  = sum over rook neighbours of y_j = n*L_i - k_i*S
+        b_num = sum y^2 = n^2*Q - n*S^2
+
+    plus the LISA cluster quadrant: 1=HH, 2=LL, 3=HL (high outlier),
+    4=LH (low outlier), 0 when y_i or R_i is exactly 0.  Returns
+    (rows, cols, li_num = y_i*R_i, k_cnt, local_i, quadrant) on the
+    global ``step`` lattice.  Same scale shape as getis_gi_star."""
+    x = np.asarray(arr)
+    if x.ndim != 2 or x.size < 2:
+        raise ValueError("need a 2D raster with >= 2 cells")
+    if not np.issubdtype(x.dtype, np.integer):
+        if not np.all(np.isfinite(x)) or np.any(x != np.rint(x)):
+            raise ValueError("local_moran requires integral pixel values")
+    xi = x.astype(np.int64)
+    h, w = xi.shape
+    n = int(xi.size)
+    s = int(xi.sum())
+    q = int((xi * xi).sum())
+    b_num = n * n * q - n * s * s
+    if b_num == 0:
+        raise ValueError("constant raster: local Moran undefined")
+    pad = np.zeros((h + 2, w + 2), np.int64)
+    pad[1:-1, 1:-1] = xi
+    ones = np.zeros((h + 2, w + 2), np.int64)
+    ones[1:-1, 1:-1] = 1
+    loc = np.zeros((h, w), np.int64)
+    cnt = np.zeros((h, w), np.int64)
+    for dr, dc in ((0, 1), (2, 1), (1, 0), (1, 2)):
+        loc += pad[dr:dr + h, dc:dc + w]
+        cnt += ones[dr:dr + h, dc:dc + w]
+    rr = np.arange(0, h, step)
+    cc = np.arange(0, w, step)
+    gr, gc = np.meshgrid(rr, cc, indexing="ij")
+    gr, gc = gr.ravel(), gc.ravel()
+    y = n * xi[gr, gc] - s
+    ri = n * loc[gr, gc] - cnt[gr, gc] * s
+    li_num = y * ri
+    local_i = (n * li_num).astype(np.float64) / np.float64(b_num)
+    quad = np.zeros(len(gr), np.int64)
+    quad[(y > 0) & (ri > 0)] = 1
+    quad[(y < 0) & (ri < 0)] = 2
+    quad[(y > 0) & (ri < 0)] = 3
+    quad[(y < 0) & (ri > 0)] = 4
+    return gr.astype(np.int64), gc.astype(np.int64), li_num, \
+        cnt[gr, gc], local_i, quad
+
+
+def lisa_lattice(images_ds, step: int = 7):
+    """Per-image LISA surface on the global ``step`` lattice:
+    Dataset[(image_id, r, c, li_num, k_cnt, local_i, quadrant)]."""
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, rs, cs, ln, kc, li, qd = [], [], [], [], [], [], []
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            gr, gc, li_num, kcnt, loc_i, quad = local_moran(px, step=step)
+            ids.extend([t.column("image_id")[i].as_py()] * len(gr))
+            rs.append(gr); cs.append(gc); ln.append(li_num)
+            kc.append(kcnt); li.append(loc_i); qd.append(quad)
+        cat = (lambda parts, t_: pa.array(np.concatenate(parts) if parts
+                                          else [], t_))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "r": cat(rs, pa.int64()),
+            "c": cat(cs, pa.int64()),
+            "li_num": cat(ln, pa.int64()),
+            "k_cnt": cat(kc, pa.int64()),
+            "local_i": cat(li, pa.float64()),
+            "quadrant": cat(qd, pa.int64()),
         })
 
     return images_ds.map_batches(run, batch_format="pyarrow")

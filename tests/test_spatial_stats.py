@@ -130,3 +130,45 @@ def test_getis_gi_star_errors():
         getis_gi_star(np.full((4, 4), 7))  # constant
     with pytest.raises(ValueError):
         getis_gi_star(np.array([[0.5, 1.0], [2.0, 3.0]]))  # non-integral
+
+
+def test_local_moran_bruteforce():
+    import numpy as np
+
+    from rasters_ray.stages.spatial_stats import local_moran
+
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, 40, (6, 8))
+    gr, gc, ln, kc, li, qd = local_moran(x)
+    n = x.size
+    S = int(x.sum())
+    Q = int((x.astype(np.int64) ** 2).sum())
+    b = n * n * Q - n * S * S
+    for idx in range(len(gr)):
+        r, c = int(gr[idx]), int(gc[idx])
+        L = K = 0
+        for dr, dc in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            r2, c2 = r + dr, c + dc
+            if 0 <= r2 < 6 and 0 <= c2 < 8:
+                L += int(x[r2, c2])
+                K += 1
+        y = n * int(x[r, c]) - S
+        R = n * L - K * S
+        assert ln[idx] == y * R and kc[idx] == K
+        assert li[idx] == float(n * y * R) / float(b)
+    # hot cluster centre is HH (quadrant 1), its far corner LL (2)
+    y2 = np.zeros((9, 9), np.int64)
+    y2[4, 3:6] = 60
+    _, _, _, _, _, q2 = local_moran(y2)
+    q2 = q2.reshape(9, 9)
+    assert q2[4, 4] == 1 and q2[0, 0] == 2
+
+
+def test_local_moran_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.spatial_stats import local_moran
+
+    with pytest.raises(ValueError):
+        local_moran(np.full((3, 3), 2))
