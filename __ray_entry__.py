@@ -639,6 +639,16 @@ def q_lisa(sf_dir: str):
     return lisa_lattice(_images_ds(sf_dir, N_IMG_MERGE), step=7)
 
 
+def q_variogram(sf_dir: str):
+    """Empirical semivariogram (spatial_stats.py::variogram_images) for
+    axis lags 1..8, row+column pairs pooled: integer pair sums/counts
+    and the one-ratio gamma, replayed in SQL as shifted formula
+    differences."""
+    from rasters_ray.stages.spatial_stats import variogram_images
+
+    return variogram_images(_images_ds(sf_dir, N_IMG_MERGE), max_lag=8)
+
+
 def _crosstab_classify(arr):
     """Two categorical layers from one formula raster: zone = value//51
     (5 codes), class = value % 7 (7 codes). Pure int64 — SQL-exact."""
@@ -7979,6 +7989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_majority": q_zonal_majority,
         "hotspots": q_hotspots,
         "lisa": q_lisa,
+        "variogram": q_variogram,
         "crosstab": q_crosstab,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
@@ -11610,6 +11621,40 @@ SELECT printf('img%08d', nb.d) AS image_id,
          / sqrt(CAST((10000 * g.q - g.s * g.s) * (10000 * wi - wi * wi)
                      AS DOUBLE)) AS gi_z
 FROM nb JOIN g ON nb.d = g.d
+"""
+
+    # variogram: integer pair sums over shifted formula differences,
+    # pooled row+column; gamma is one exact ratio
+    sql["variogram"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS h),
+colp AS (
+  SELECT d, h,
+         SUM(((d * 31 + r.range * 7 + c.range * 13) % 251
+              - (d * 31 + r.range * 7 + (c.range + h) * 13) % 251)
+             * ((d * 31 + r.range * 7 + c.range * 13) % 251
+                - (d * 31 + r.range * 7 + (c.range + h) * 13) % 251)) AS s,
+         COUNT(*) AS n
+  FROM imgs, lags, range(100) r, range(100) c
+  WHERE c.range + h <= 99 GROUP BY d, h
+),
+rowp AS (
+  SELECT d, h,
+         SUM(((d * 31 + r.range * 7 + c.range * 13) % 251
+              - (d * 31 + (r.range + h) * 7 + c.range * 13) % 251)
+             * ((d * 31 + r.range * 7 + c.range * 13) % 251
+                - (d * 31 + (r.range + h) * 7 + c.range * 13) % 251)) AS s,
+         COUNT(*) AS n
+  FROM imgs, lags, range(100) r, range(100) c
+  WHERE r.range + h <= 99 GROUP BY d, h
+)
+SELECT printf('img%08d', colp.d) AS image_id,
+       colp.h AS lag,
+       colp.s + rowp.s AS d2sum,
+       colp.n + rowp.n AS n_pairs,
+       CAST(colp.s + rowp.s AS DOUBLE)
+         / CAST(2 * (colp.n + rowp.n) AS DOUBLE) AS gamma
+FROM colp JOIN rowp ON colp.d = rowp.d AND colp.h = rowp.h
 """
 
     # lisa: local Moran — one integer ratio n*y*R / b per cell; the

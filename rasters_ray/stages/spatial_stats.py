@@ -41,6 +41,8 @@ __all__ = [
     "hotspot_lattice",
     "local_moran",
     "lisa_lattice",
+    "semivariogram",
+    "variogram_images",
 ]
 
 
@@ -286,6 +288,72 @@ def lisa_lattice(images_ds, step: int = 7):
             "k_cnt": cat(kc, pa.int64()),
             "local_i": cat(li, pa.float64()),
             "quadrant": cat(qd, pa.int64()),
+        })
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+def semivariogram(arr: np.ndarray, max_lag: int = 8):
+    """Empirical semivariogram (Matheron 1963; the gstat / ArcGIS
+    Geostatistical Analyst estimator) for axis-aligned integer lags
+    h = 1..max_lag, row and column directions pooled (the isotropic
+    rook-axes variant):
+
+        gamma(h) = sum over pairs at lag h of (x_i - x_j)^2
+                   / (2 * N(h))
+
+    The pair sum and count are INTEGER sufficient statistics
+    (vectorized shifted differences); gamma is one exact ratio.
+    Returns (lags, d2sum, n_pairs, gamma) arrays.  Scale shape: per
+    image (or per tile + halo of width max_lag), partials are plain
+    integer adds."""
+    x = np.asarray(arr)
+    if x.ndim != 2:
+        raise ValueError("need a 2D raster")
+    if not np.issubdtype(x.dtype, np.integer):
+        if not np.all(np.isfinite(x)) or np.any(x != np.rint(x)):
+            raise ValueError("semivariogram requires integral pixel values")
+    xi = x.astype(np.int64)
+    h_, w_ = xi.shape
+    if max_lag >= max(h_, w_):
+        raise ValueError("max_lag must be smaller than the raster extent")
+    lags = np.arange(1, max_lag + 1, dtype=np.int64)
+    d2 = np.zeros(max_lag, np.int64)
+    npairs = np.zeros(max_lag, np.int64)
+    for i, h in enumerate(lags):
+        h = int(h)
+        if h < w_:
+            dc = xi[:, :-h] - xi[:, h:]
+            d2[i] += int((dc * dc).sum())
+            npairs[i] += h_ * (w_ - h)
+        if h < h_:
+            dr = xi[:-h, :] - xi[h:, :]
+            d2[i] += int((dr * dr).sum())
+            npairs[i] += (h_ - h) * w_
+    gamma = d2.astype(np.float64) / (2 * npairs).astype(np.float64)
+    return lags, d2, npairs, gamma
+
+
+def variogram_images(images_ds, max_lag: int = 8):
+    """Per-image empirical semivariogram:
+    Dataset[(image_id, lag, d2sum, n_pairs, gamma)]."""
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, ls, ds_, ns, gs = [], [], [], [], []
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            lags, d2, npairs, gamma = semivariogram(px, max_lag=max_lag)
+            ids.extend([t.column("image_id")[i].as_py()] * len(lags))
+            ls.append(lags); ds_.append(d2); ns.append(npairs); gs.append(gamma)
+        cat = (lambda parts, t_: pa.array(np.concatenate(parts) if parts
+                                          else [], t_))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "lag": cat(ls, pa.int64()),
+            "d2sum": cat(ds_, pa.int64()),
+            "n_pairs": cat(ns, pa.int64()),
+            "gamma": cat(gs, pa.float64()),
         })
 
     return images_ds.map_batches(run, batch_format="pyarrow")

@@ -172,3 +172,41 @@ def test_local_moran_errors():
 
     with pytest.raises(ValueError):
         local_moran(np.full((3, 3), 2))
+
+
+def test_semivariogram_bruteforce():
+    import numpy as np
+
+    from rasters_ray.stages.spatial_stats import semivariogram
+
+    rng = np.random.default_rng(41)
+    x = rng.integers(0, 50, (11, 13))
+    lags, d2, npairs, g = semivariogram(x, 6)
+    for i, h in enumerate(lags):
+        s = n = 0
+        for r in range(11):
+            for c in range(13):
+                if c + h < 13:
+                    s += (int(x[r, c]) - int(x[r, c + h])) ** 2
+                    n += 1
+                if r + h < 11:
+                    s += (int(x[r, c]) - int(x[r + h, c])) ** 2
+                    n += 1
+        assert d2[i] == s and npairs[i] == n
+        assert g[i] == float(s) / float(2 * n)
+    # pure gradient: gamma grows quadratically with lag
+    grad = np.arange(10)[None, :] * np.ones((10, 1), int)
+    _, _, _, gg = semivariogram(grad, 4)
+    assert gg[1] > gg[0] and gg[3] > gg[2]
+
+
+def test_semivariogram_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.spatial_stats import semivariogram
+
+    with pytest.raises(ValueError):
+        semivariogram(np.zeros((4, 4), int), max_lag=4)
+    with pytest.raises(ValueError):
+        semivariogram(np.array([[0.5, 1.5], [1.0, 2.0]]))
