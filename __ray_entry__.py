@@ -649,6 +649,15 @@ def q_variogram(sf_dir: str):
     return variogram_images(_images_ds(sf_dir, N_IMG_MERGE), max_lag=8)
 
 
+def q_trend(sf_dir: str):
+    """First-order trend surface (spatial_stats.py::trend_images):
+    centered doubled-coordinate normal equations diagonalize to three
+    exact integer ratios; SQL replays the sums from the pixel formula."""
+    from rasters_ray.stages.spatial_stats import trend_images
+
+    return trend_images(_images_ds(sf_dir, N_IMG_MERGE))
+
+
 def _crosstab_classify(arr):
     """Two categorical layers from one formula raster: zone = value//51
     (5 codes), class = value % 7 (7 codes). Pure int64 — SQL-exact."""
@@ -7990,6 +7999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspots": q_hotspots,
         "lisa": q_lisa,
         "variogram": q_variogram,
+        "trend": q_trend,
         "crosstab": q_crosstab,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
@@ -11621,6 +11631,29 @@ SELECT printf('img%08d', nb.d) AS image_id,
          / sqrt(CAST((10000 * g.q - g.s * g.s) * (10000 * wi - wi * wi)
                      AS DOUBLE)) AS gi_z
 FROM nb JOIN g ON nb.d = g.d
+"""
+
+    # trend: centered doubled coords (u = 2c - 99, v = 2r - 99) make
+    # the normal equations diagonal; suu = svv = 100 * sum u^2
+    sql["trend"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+t AS (
+  SELECT d,
+         SUM((d * 31 + r.range * 7 + c.range * 13) % 251) AS s_z,
+         SUM(((d * 31 + r.range * 7 + c.range * 13) % 251)
+             * (2 * c.range - 99)) AS s_uz,
+         SUM(((d * 31 + r.range * 7 + c.range * 13) % 251)
+             * (2 * r.range - 99)) AS s_vz
+  FROM imgs, range(100) r, range(100) c GROUP BY d
+),
+k AS (SELECT 100 * SUM((2 * range - 99) * (2 * range - 99)) AS suu
+      FROM range(100))
+SELECT printf('img%08d', d) AS image_id,
+       s_z, s_uz, s_vz,
+       CAST(s_z AS DOUBLE) / CAST(10000 AS DOUBLE) AS mean,
+       CAST(s_uz AS DOUBLE) / CAST(k.suu AS DOUBLE) AS slope_u,
+       CAST(s_vz AS DOUBLE) / CAST(k.suu AS DOUBLE) AS slope_v
+FROM t, k
 """
 
     # variogram: integer pair sums over shifted formula differences,

@@ -43,6 +43,8 @@ __all__ = [
     "lisa_lattice",
     "semivariogram",
     "variogram_images",
+    "trend_surface",
+    "trend_images",
 ]
 
 
@@ -354,6 +356,75 @@ def variogram_images(images_ds, max_lag: int = 8):
             "d2sum": cat(ds_, pa.int64()),
             "n_pairs": cat(ns, pa.int64()),
             "gamma": cat(gs, pa.float64()),
+        })
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+def trend_surface(arr: np.ndarray):
+    """First-order trend surface (the ArcGIS Trend tool, linear order):
+    least-squares plane z ~ mean + slope_u * u + slope_v * v over the
+    CENTERED doubled lattice coordinates
+
+        u = 2*col - (w-1),   v = 2*row - (h-1)
+
+    chosen because on a full regular grid Su = Sv = Suv = 0, so the
+    3x3 normal equations diagonalize into three independent EXACT
+    integer ratios:
+
+        mean = Sz / n,  slope_u = Suz / Suu,  slope_v = Svz / Svv
+
+    (the plane in pixel coords follows by substitution; the doubled
+    coords keep everything integral).  Returns the integer sufficient
+    statistics and the three float coefficients.  Scale shape: per-tile
+    integer partial sums + one tiny combine — exact at any tiling."""
+    x = np.asarray(arr)
+    if x.ndim != 2 or x.size < 4:
+        raise ValueError("need a 2D raster with >= 4 cells")
+    if not np.issubdtype(x.dtype, np.integer):
+        if not np.all(np.isfinite(x)) or np.any(x != np.rint(x)):
+            raise ValueError("trend_surface requires integral pixel values")
+    xi = x.astype(np.int64)
+    h, w = xi.shape
+    u = (2 * np.arange(w) - (w - 1)).astype(np.int64)[None, :]
+    v = (2 * np.arange(h) - (h - 1)).astype(np.int64)[:, None]
+    n = int(xi.size)
+    s_z = int(xi.sum())
+    s_uz = int((xi * u).sum())
+    s_vz = int((xi * v).sum())
+    suu = int(((u * u) * np.ones((h, 1), np.int64)).sum())
+    svv = int(((v * v) * np.ones((1, w), np.int64)).sum())
+    return {
+        "n_px": n, "s_z": s_z, "s_uz": s_uz, "s_vz": s_vz,
+        "suu": suu, "svv": svv,
+        "mean": float(s_z) / float(n),
+        "slope_u": float(s_uz) / float(suu),
+        "slope_v": float(s_vz) / float(svv),
+    }
+
+
+def trend_images(images_ds):
+    """Per-image first-order trend surface:
+    Dataset[(image_id, s_z, s_uz, s_vz, mean, slope_u, slope_v)]."""
+
+    def run(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("image_id", "s_z", "s_uz", "s_vz",
+                                "mean", "slope_u", "slope_v")}
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            st = trend_surface(px)
+            cols["image_id"].append(t.column("image_id")[i].as_py())
+            for k in ("s_z", "s_uz", "s_vz", "mean", "slope_u", "slope_v"):
+                cols[k].append(st[k])
+        return pa.table({
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "s_z": pa.array(cols["s_z"], pa.int64()),
+            "s_uz": pa.array(cols["s_uz"], pa.int64()),
+            "s_vz": pa.array(cols["s_vz"], pa.int64()),
+            "mean": pa.array(cols["mean"], pa.float64()),
+            "slope_u": pa.array(cols["slope_u"], pa.float64()),
+            "slope_v": pa.array(cols["slope_v"], pa.float64()),
         })
 
     return images_ds.map_batches(run, batch_format="pyarrow")

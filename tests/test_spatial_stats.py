@@ -210,3 +210,38 @@ def test_semivariogram_errors():
         semivariogram(np.zeros((4, 4), int), max_lag=4)
     with pytest.raises(ValueError):
         semivariogram(np.array([[0.5, 1.5], [1.0, 2.0]]))
+
+
+def test_trend_surface_recovers_plane_and_matches_lstsq():
+    import numpy as np
+
+    from rasters_ray.stages.spatial_stats import trend_surface
+
+    h, w = 8, 11
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    st = trend_surface(7 + 4 * c + 3 * r)
+    assert st["slope_u"] == 2.0 and st["slope_v"] == 1.5  # doubled coords
+    rng = np.random.default_rng(31)
+    z = rng.integers(0, 80, (h, w))
+    st2 = trend_surface(z)
+    u = 2 * np.arange(w) - (w - 1)
+    v = 2 * np.arange(h) - (h - 1)
+    U, V = np.meshgrid(u, v)
+    A = np.stack([np.ones(z.size), U.ravel(), V.ravel()], axis=1)
+    coef, *_ = np.linalg.lstsq(A, z.ravel().astype(float), rcond=None)
+    assert abs(st2["mean"] - coef[0]) < 1e-9
+    assert abs(st2["slope_u"] - coef[1]) < 1e-12
+    assert abs(st2["slope_v"] - coef[2]) < 1e-12
+
+
+def test_trend_surface_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.spatial_stats import trend_surface
+
+    with pytest.raises(ValueError):
+        trend_surface(np.zeros((1, 2), int))
+    with pytest.raises(ValueError):
+        trend_surface(np.array([[0.5, 1.0], [1.5, 2.0]]))
