@@ -658,6 +658,17 @@ def q_trend(sf_dir: str):
     return trend_images(_images_ds(sf_dir, N_IMG_MERGE))
 
 
+def q_geomorphons(sf_dir: str):
+    """Geomorphon landform classification (terrain.py::geomorphon_lattice,
+    Jasiewicz & Stepinski 2013) on the step-7 lattice: 12/k-scaled
+    integer line-of-sight slopes, the zenith-vs-nadir ternary pattern
+    and the 10-class lookup, replayed in SQL with a guarded
+    direction x distance join."""
+    from rasters_ray.stages.terrain import geomorphon_lattice
+
+    return geomorphon_lattice(_images_ds(sf_dir, N_IMG_MERGE), lookup=4, step=7)
+
+
 def _crosstab_classify(arr):
     """Two categorical layers from one formula raster: zone = value//51
     (5 codes), class = value % 7 (7 codes). Pure int64 — SQL-exact."""
@@ -8000,6 +8011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lisa": q_lisa,
         "variogram": q_variogram,
         "trend": q_trend,
+        "geomorphons": q_geomorphons,
         "crosstab": q_crosstab,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
@@ -11631,6 +11643,51 @@ SELECT printf('img%08d', nb.d) AS image_id,
          / sqrt(CAST((10000 * g.q - g.s * g.s) * (10000 * wi - wi * wi)
                      AS DOUBLE)) AS gi_z
 FROM nb JOIN g ON nb.d = g.d
+"""
+
+    # geomorphons: atan is monotone so comparing 12/k-scaled integer
+    # LOS slopes equals comparing angles; the class LUT is the engine's
+    # GEOMORPHON_TABLE constant inlined as VALUES
+    from rasters_ray.stages.terrain import GEOMORPHON_TABLE
+
+    _lut_rows = ", ".join(
+        f"({m}, {p}, {code})"
+        for m, row in enumerate(GEOMORPHON_TABLE)
+        for p, code in enumerate(row)
+        if code != 0
+    )
+    sql["geomorphons"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+lat AS (
+  SELECT d, r.range AS r, c.range AS c
+  FROM imgs, range(0, 100, 7) r, range(0, 100, 7) c
+),
+dirs AS (
+  SELECT * FROM (VALUES (-1, 0), (-1, 1), (0, 1), (1, 1),
+                        (1, 0), (1, -1), (0, -1), (-1, -1)) AS t(dr, dc)
+),
+los AS (
+  SELECT d, r, c, dr, dc,
+         MAX((12 // k.k) * ((d * 31 + (r + dr * k.k) * 7 + (c + dc * k.k) * 13) % 251
+                            - (d * 31 + r * 7 + c * 13) % 251)) AS a,
+         MIN((12 // k.k) * ((d * 31 + (r + dr * k.k) * 7 + (c + dc * k.k) * 13) % 251
+                            - (d * 31 + r * 7 + c * 13) % 251)) AS b
+  FROM lat, dirs, range(1, 5) k(k)
+  WHERE r + dr * k.k BETWEEN 0 AND 99 AND c + dc * k.k BETWEEN 0 AND 99
+  GROUP BY d, r, c, dr, dc
+),
+tern AS (
+  SELECT d, r, c,
+         SUM(CASE WHEN a > -b THEN 1 ELSE 0 END) AS n_plus,
+         SUM(CASE WHEN -b > a THEN 1 ELSE 0 END) AS n_minus
+  FROM los GROUP BY d, r, c
+),
+lut AS (SELECT * FROM (VALUES {_lut_rows}) AS t(m, p, code))
+SELECT printf('img%08d', d) AS image_id, r, c,
+       CAST(n_plus AS BIGINT) AS n_plus,
+       CAST(n_minus AS BIGINT) AS n_minus,
+       CAST(lut.code AS BIGINT) AS landform
+FROM tern JOIN lut ON lut.m = tern.n_minus AND lut.p = tern.n_plus
 """
 
     # trend: centered doubled coords (u = 2c - 99, v = 2r - 99) make

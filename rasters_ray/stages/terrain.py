@@ -45,6 +45,9 @@ __all__ = [
     "terrain_gradient",
     "terrain_halo_tiled",
     "lambertian_shade",
+    "geomorphons",
+    "geomorphon_lattice",
+    "GEOMORPHON_TABLE",
 ]
 
 # hillshade light: unit vector (-0.5, +0.5, sqrt(2)/2) in (col-east,
@@ -292,3 +295,112 @@ def terrain_indices(canvas: np.ndarray) -> tuple:
     lo = np.minimum.reduce([np.minimum(d, 0) for d in ds])
     rough = hi - lo
     return tpi_num, tri_sum, tri_sq, rough, valid
+
+
+# geomorphon 10-class lookup (Jasiewicz & Stepinski 2013, Table 1 /
+# GRASS r.geomorphon), indexed [n_minus][n_plus] where n_plus counts
+# directions whose upward horizon dominates (neighbours HIGHER) and
+# n_minus the opposite.  Codes: 1=flat 2=peak 3=ridge 4=shoulder
+# 5=spur 6=slope 7=hollow 8=footslope 9=valley 10=pit.  0 entries are
+# unreachable (n_plus + n_minus > 8).
+GEOMORPHON_TABLE = (
+    (1, 1, 1, 8, 8, 9, 9, 9, 10),
+    (1, 1, 8, 8, 8, 9, 9, 9, 0),
+    (1, 4, 6, 6, 7, 7, 9, 0, 0),
+    (4, 4, 6, 6, 6, 7, 0, 0, 0),
+    (4, 4, 5, 6, 6, 0, 0, 0, 0),
+    (3, 3, 5, 5, 0, 0, 0, 0, 0),
+    (3, 3, 3, 0, 0, 0, 0, 0, 0),
+    (3, 3, 0, 0, 0, 0, 0, 0, 0),
+    (2, 0, 0, 0, 0, 0, 0, 0, 0),
+)
+
+_GEO_DIRS = ((-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1))
+
+
+def geomorphons(arr: np.ndarray, lookup: int = 4, step: int = 1):
+    """Geomorphon landform classification (Jasiewicz & Stepinski 2013;
+    GRASS ``r.geomorphon``) kept INTEGER-exact: in each of the 8
+    directions the line-of-sight slopes to cells k = 1..lookup are
+    scaled by 12/k (integral for k <= 4), so the zenith/nadir
+    comparison A > -B needs no trig or floats — atan is monotone, so
+    comparing scaled slopes equals comparing angles at flatness
+    threshold 0.  Per direction:
+
+        a = max_k 12*(z_k - z_0)/k,   b = min_k 12*(z_k - z_0)/k
+        delta = +1 if a > -b  (higher ground dominates)
+                -1 if -b > a  (lower ground dominates)
+                 0 otherwise  (or no in-bounds cell)
+
+    then the (n_minus, n_plus) pair indexes GEOMORPHON_TABLE.  Returns
+    (rows, cols, n_plus, n_minus, landform) for cells on the global
+    ``step`` lattice.  Scale shape: per-tile with a ``lookup``-pixel
+    halo; everything is shifted integer arithmetic."""
+    if lookup < 1 or lookup > 4:
+        raise ValueError("lookup must be 1..4 (12/k integrality)")
+    x = np.asarray(arr)
+    if x.ndim != 2:
+        raise ValueError("need a 2D raster")
+    if not np.issubdtype(x.dtype, np.integer):
+        if not np.all(np.isfinite(x)) or np.any(x != np.rint(x)):
+            raise ValueError("geomorphons requires integral pixel values")
+    xi = x.astype(np.int64)
+    h, w = xi.shape
+    rr = np.arange(0, h, step)
+    cc = np.arange(0, w, step)
+    gr, gc = np.meshgrid(rr, cc, indexing="ij")
+    gr, gc = gr.ravel(), gc.ravel()
+    z0 = xi[gr, gc]
+    n_plus = np.zeros(len(gr), np.int64)
+    n_minus = np.zeros(len(gr), np.int64)
+    big = np.int64(1) << 56
+    for dr, dc in _GEO_DIRS:
+        a = np.full(len(gr), -big)
+        b = np.full(len(gr), big)
+        seen = np.zeros(len(gr), bool)
+        for k in range(1, lookup + 1):
+            r2 = gr + dr * k
+            c2 = gc + dc * k
+            ok = (r2 >= 0) & (r2 < h) & (c2 >= 0) & (c2 < w)
+            if not ok.any():
+                continue
+            s = np.zeros(len(gr), np.int64)
+            s[ok] = (12 // k) * (xi[r2[ok], c2[ok]] - z0[ok])
+            a = np.where(ok, np.maximum(a, s), a)
+            b = np.where(ok, np.minimum(b, s), b)
+            seen |= ok
+        plus = seen & (a > -b)
+        minus = seen & (-b > a)
+        n_plus += plus
+        n_minus += minus
+    table = np.asarray(GEOMORPHON_TABLE, np.int64)
+    landform = table[n_minus, n_plus]
+    return gr.astype(np.int64), gc.astype(np.int64), n_plus, n_minus, landform
+
+
+def geomorphon_lattice(images_ds, lookup: int = 4, step: int = 7):
+    """Per-image geomorphon landforms on the global ``step`` lattice:
+    Dataset[(image_id, r, c, n_plus, n_minus, landform)]."""
+    from rasters_ray import codec as _codec
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, rs, cs, ps, ms, lf = [], [], [], [], [], []
+        for i in range(t.num_rows):
+            px = _codec.decode(t.column("bytes")[i].as_py(),
+                               t.column("fmt")[i].as_py())
+            gr, gc, npl, nmi, form = geomorphons(px, lookup=lookup, step=step)
+            ids.extend([t.column("image_id")[i].as_py()] * len(gr))
+            rs.append(gr); cs.append(gc); ps.append(npl)
+            ms.append(nmi); lf.append(form)
+        cat = (lambda parts, t_: pa.array(np.concatenate(parts) if parts
+                                          else [], t_))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "r": cat(rs, pa.int64()),
+            "c": cat(cs, pa.int64()),
+            "n_plus": cat(ps, pa.int64()),
+            "n_minus": cat(ms, pa.int64()),
+            "landform": cat(lf, pa.int64()),
+        })
+
+    return images_ds.map_batches(run, batch_format="pyarrow")

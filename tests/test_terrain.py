@@ -167,3 +167,63 @@ def test_terrain_indices_nan_and_shape():
     assert not valid[2, 2] and not valid[3, 3] and valid[0, 0]
     with pytest.raises(ValueError):
         terrain_indices(np.zeros((2, 4)))
+
+
+def test_geomorphons_archetypes_and_bruteforce():
+    import numpy as np
+
+    from rasters_ray.stages.terrain import (
+        GEOMORPHON_TABLE,
+        _GEO_DIRS,
+        geomorphons,
+    )
+
+    h = w = 9
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    cone = 100 - 10 * np.maximum(abs(r - 4), abs(c - 4))
+    gr, gc, npl, nmi, lf = geomorphons(cone, step=1)
+    centre = np.flatnonzero((gr == 4) & (gc == 4))[0]
+    assert (nmi[centre], npl[centre], lf[centre]) == (8, 0, 2)  # peak
+    _, _, _, _, lf2 = geomorphons(200 - cone, step=1)
+    assert lf2[centre] == 10  # pit
+    _, _, _, _, lf3 = geomorphons(np.full((9, 9), 3), step=1)
+    assert (lf3 == 1).all()  # flat
+    # a long ridge line classifies as ridge on its crest
+    ridge = 50 - 5 * abs(r - 4) + 0 * c
+    _, _, _, _, lf4 = geomorphons(ridge, step=1)
+    assert lf4.reshape(9, 9)[4, 4] == 3
+
+    rng = np.random.default_rng(29)
+    x = rng.integers(0, 60, (11, 10))
+    gr, gc, npl, nmi, lf = geomorphons(x, step=1)
+    for idx in range(0, len(gr), 7):
+        r0, c0 = int(gr[idx]), int(gc[idx])
+        np_ = nm_ = 0
+        for dr, dc in _GEO_DIRS:
+            vals = [
+                (12 // k) * (int(x[r0 + dr * k, c0 + dc * k]) - int(x[r0, c0]))
+                for k in (1, 2, 3, 4)
+                if 0 <= r0 + dr * k < 11 and 0 <= c0 + dc * k < 10
+            ]
+            if not vals:
+                continue
+            a, b = max(vals), min(vals)
+            if a > -b:
+                np_ += 1
+            elif -b > a:
+                nm_ += 1
+        assert (npl[idx], nmi[idx]) == (np_, nm_)
+        assert lf[idx] == GEOMORPHON_TABLE[nm_][np_]
+
+
+def test_geomorphons_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.terrain import geomorphons
+
+    with pytest.raises(ValueError):
+        geomorphons(np.zeros((4, 4), int), lookup=5)
+    with pytest.raises(ValueError):
+        geomorphons(np.array([[0.5, 1.0], [2.0, 3.0]]))
