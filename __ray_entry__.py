@@ -669,6 +669,22 @@ def q_geomorphons(sf_dir: str):
     return geomorphon_lattice(_images_ds(sf_dir, N_IMG_MERGE), lookup=4, step=7)
 
 
+def q_cutfill(sf_dir: str):
+    """Cut-fill volumes (zonal.py::cutfill_images — ArcGIS Cut Fill
+    totals) between each oracle DEM and a second deterministic surface
+    (d*37 + r*11 + c*5) % 241; all-integer cut/fill/net and cell
+    counts, replayed in SQL as guarded sign splits."""
+    from rasters_ray.stages import cutfill_images
+
+    def after(image_id: str, arr):
+        d = int(image_id[3:])
+        r = np.arange(arr.shape[0]).reshape(-1, 1)
+        c = np.arange(arr.shape[1]).reshape(1, -1)
+        return (d * 37 + r * 11 + c * 5) % 241
+
+    return cutfill_images(_images_ds(sf_dir, N_IMG_MERGE), after)
+
+
 def _crosstab_classify(arr):
     """Two categorical layers from one formula raster: zone = value//51
     (5 codes), class = value % 7 (7 codes). Pure int64 — SQL-exact."""
@@ -8012,6 +8028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "variogram": q_variogram,
         "trend": q_trend,
         "geomorphons": q_geomorphons,
+        "cutfill": q_cutfill,
         "crosstab": q_crosstab,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
@@ -11643,6 +11660,25 @@ SELECT printf('img%08d', nb.d) AS image_id,
          / sqrt(CAST((10000 * g.q - g.s * g.s) * (10000 * wi - wi * wi)
                      AS DOUBLE)) AS gi_z
 FROM nb JOIN g ON nb.d = g.d
+"""
+
+    # cutfill: pure-integer sign splits of (before - after)
+    sql["cutfill"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+dd AS (
+  SELECT d,
+         (d * 31 + r.range * 7 + c.range * 13) % 251
+           - (d * 37 + r.range * 11 + c.range * 5) % 241 AS dz
+  FROM imgs, range(100) r, range(100) c
+)
+SELECT printf('img%08d', d) AS image_id,
+       COALESCE(SUM(CASE WHEN dz > 0 THEN dz END), 0) AS cut,
+       COALESCE(-SUM(CASE WHEN dz < 0 THEN dz END), 0) AS fill,
+       SUM(dz) AS net,
+       COUNT(*) FILTER (dz > 0) AS n_cut,
+       COUNT(*) FILTER (dz < 0) AS n_fill,
+       COUNT(*) FILTER (dz = 0) AS n_same
+FROM dd GROUP BY d
 """
 
     # geomorphons: atan is monotone so comparing 12/k-scaled integer

@@ -30,6 +30,8 @@ from .zonal import (
     ZonalStage,
     crosstab,
     crosstab_images,
+    cut_fill,
+    cutfill_images,
     zonal_categorical,
     zonal_stats,
 )
@@ -73,6 +75,8 @@ __all__ = [
     "ZonalCategoricalStage",
     "crosstab",
     "crosstab_images",
+    "cut_fill",
+    "cutfill_images",
     "zonal_categorical",
     "zonal_stats",
     "PIP_SCHEMA",

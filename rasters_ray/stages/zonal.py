@@ -321,3 +321,56 @@ def crosstab(zones: np.ndarray, classes: np.ndarray) -> pa.Table:
         "klass": pa.array(present % width, pa.int64()),
         "n_px": pa.array(counts[present], pa.int64()),
     })
+
+
+def cut_fill(z_before: np.ndarray, z_after: np.ndarray) -> dict:
+    """Cut-fill volumes between two co-registered integral DEMs (the
+    ArcGIS Cut Fill / QGIS raster-volume operation, per-scene totals):
+    cut = sum of positive (before - after), fill = sum of positive
+    (after - before), net = cut - fill, plus the cell counts.  All
+    INTEGER sufficient statistics (multiply by cell area for volume
+    units on a regular grid)."""
+    a = np.asarray(z_before)
+    b = np.asarray(z_after)
+    if a.shape != b.shape or a.ndim != 2:
+        raise ValueError("cut_fill needs two co-registered 2D rasters")
+    for x in (a, b):
+        if not np.issubdtype(x.dtype, np.integer):
+            if not np.all(np.isfinite(x)) or np.any(x != np.rint(x)):
+                raise ValueError("cut_fill requires integral pixel values")
+    d = a.astype(np.int64) - b.astype(np.int64)
+    return {
+        "cut": int(d[d > 0].sum()),
+        "fill": int(-d[d < 0].sum()),
+        "net": int(d.sum()),
+        "n_cut": int((d > 0).sum()),
+        "n_fill": int((d < 0).sum()),
+        "n_same": int((d == 0).sum()),
+    }
+
+
+def cutfill_images(images_ds, after_fn):
+    """Per-image cut-fill totals against a derived 'after' surface:
+    Dataset[(image_id, cut, fill, net, n_cut, n_fill, n_same)].
+    ``after_fn(image_id, arr) -> np.ndarray`` builds the second DEM
+    (a reference surface, a design grade, or another acquisition
+    loaded by id).  One map_batches, nothing shuffles; at scale the
+    two-acquisition variant is a co-partitioned zip join on tile key."""
+
+    def run(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("image_id", "cut", "fill", "net",
+                                "n_cut", "n_fill", "n_same")}
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            st = cut_fill(px, after_fn(iid, px))
+            cols["image_id"].append(iid)
+            for k in ("cut", "fill", "net", "n_cut", "n_fill", "n_same"):
+                cols[k].append(st[k])
+        out = {"image_id": pa.array(cols["image_id"], pa.string())}
+        for k in ("cut", "fill", "net", "n_cut", "n_fill", "n_same"):
+            out[k] = pa.array(cols[k], pa.int64())
+        return pa.table(out)
+
+    return images_ds.map_batches(run, batch_format="pyarrow")

@@ -110,3 +110,24 @@ def test_zonal_categorical_bruteforce(ray_session):
         mino = min(sorted(cnts), key=lambda v: (cnts[v], v))
         assert (row["majority"], row["majority_n"]) == (maj, cnts[maj])
         assert (row["minority"], row["minority_n"]) == (mino, cnts[mino])
+
+
+def test_cut_fill_bruteforce_and_errors():
+    import numpy as np
+    import pytest
+
+    from rasters_ray.stages.zonal import cut_fill
+
+    rng = np.random.default_rng(19)
+    a = rng.integers(0, 40, (9, 7))
+    b = rng.integers(0, 40, (9, 7))
+    st = cut_fill(a, b)
+    d = a.astype(np.int64) - b
+    assert st["cut"] == d[d > 0].sum()
+    assert st["fill"] == -d[d < 0].sum()
+    assert st["net"] == d.sum() == st["cut"] - st["fill"]
+    assert st["n_cut"] + st["n_fill"] + st["n_same"] == a.size
+    with pytest.raises(ValueError):
+        cut_fill(a, b[:4])
+    with pytest.raises(ValueError):
+        cut_fill(a * 0.5, b)
