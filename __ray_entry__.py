@@ -685,6 +685,19 @@ def q_cutfill(sf_dir: str):
     return cutfill_images(_images_ds(sf_dir, N_IMG_MERGE), after)
 
 
+QA_FIELDS = [("fill", 0, 1), ("cloud_conf", 1, 2), ("cloud", 3, 1),
+             ("shadow", 4, 1), ("snow_conf", 5, 2), ("water", 7, 1)]
+
+
+def q_qa_bitmask(sf_dir: str):
+    """QA bitfield tabulation (radiometry.py::qa_tabulate_images — the
+    Landsat QA_PIXEL decode): per image, pixel counts per (field, code)
+    for six packed flag fields; SQL replays the shifts as // and %."""
+    from rasters_ray.stages.radiometry import qa_tabulate_images
+
+    return qa_tabulate_images(_images_ds(sf_dir, N_IMG_MERGE), QA_FIELDS)
+
+
 def _crosstab_classify(arr):
     """Two categorical layers from one formula raster: zone = value//51
     (5 codes), class = value % 7 (7 codes). Pure int64 — SQL-exact."""
@@ -8030,6 +8043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geomorphons": q_geomorphons,
         "cutfill": q_cutfill,
         "crosstab": q_crosstab,
+        "qa_bitmask": q_qa_bitmask,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -11870,6 +11884,27 @@ px AS (
 )
 SELECT value // 51 AS zone, value % 7 AS klass, COUNT(*) AS n_px
 FROM px GROUP BY value // 51, value % 7
+"""
+
+    # QA bitfield tabulation: replay each (shift, width) as // divisor and
+    # % modulus on the closed-form pixel word (QA_FIELDS above)
+    sql["qa_bitmask"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT printf('img%08d', d) AS image_id,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS v
+  FROM imgs, range(100) r, range(100) c
+),
+fields AS (
+  SELECT * FROM (VALUES ('fill', 1, 2), ('cloud_conf', 2, 4), ('cloud', 8, 2),
+                        ('shadow', 16, 2), ('snow_conf', 32, 4),
+                        ('water', 128, 2)) AS t(field, s, m)
+)
+SELECT px.image_id, f.field,
+       CAST((px.v // f.s) % f.m AS BIGINT) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM px, fields f
+GROUP BY px.image_id, f.field, (px.v // f.s) % f.m
 """
 
     sql["zonal_stats"] = f"""

@@ -33,7 +33,7 @@ import pyarrow as pa
 from rasters_ray import codec
 
 __all__ = ["match_histogram", "brovey_pansharpen", "match_to_reference",
-           "otsu_threshold"]
+           "otsu_threshold", "qa_bitmask_tabulate", "qa_tabulate_images"]
 
 
 def _cdf(a: np.ndarray):
@@ -126,3 +126,59 @@ def otsu_threshold(values: np.ndarray) -> tuple:
             best = (crit, i)
     i = best[1]
     return int(uniq[i]), int(p[i]), int(s[i])
+
+
+def qa_bitmask_tabulate(arr: np.ndarray, fields) -> pa.Table:
+    """Landsat QA_PIXEL-style bitfield tabulation: treat each integral
+    pixel as a packed flag word and count pixels per (field, code) for
+    every requested field, where ``fields`` is a list of
+    ``(name, shift, width)`` — code = (v >> shift) & (2^width - 1).
+    Pure-integer bincounts, one row per present (field, code) pair,
+    sorted by (name, code).  At scale: per-tile partials + a tiny
+    (field, code) groupby — pixels never shuffle."""
+    x = np.asarray(arr)
+    if not np.issubdtype(x.dtype, np.integer):
+        if not np.all(np.isfinite(x)) or np.any(x != np.rint(x)):
+            raise ValueError("qa_bitmask_tabulate requires integral pixels")
+    v = x.astype(np.int64).ravel()
+    if (v < 0).any():
+        raise ValueError("QA words must be non-negative")
+    names, codes, counts = [], [], []
+    for name, shift, width in fields:
+        if shift < 0 or width < 1:
+            raise ValueError(f"bad field spec {name!r}")
+        f = (v >> np.int64(shift)) & np.int64((1 << width) - 1)
+        bc = np.bincount(f, minlength=1 << width)
+        nz = np.flatnonzero(bc)
+        names.extend([name] * nz.size)
+        codes.extend(nz.tolist())
+        counts.extend(bc[nz].tolist())
+    return pa.table({
+        "field": pa.array(names, pa.string()),
+        "code": pa.array(codes, pa.int64()),
+        "n_px": pa.array(counts, pa.int64()),
+    })
+
+
+def qa_tabulate_images(images_ds, fields):
+    """Per-image QA bitfield tabulation:
+    Dataset[(image_id, field, code, n_px)]."""
+    from rasters_ray import codec as _codec
+
+    def run(t: pa.Table) -> pa.Table:
+        parts = []
+        for i in range(t.num_rows):
+            px = _codec.decode(t.column("bytes")[i].as_py(),
+                               t.column("fmt")[i].as_py())
+            tab = qa_bitmask_tabulate(px, fields)
+            iid = pa.array([t.column("image_id")[i].as_py()] * tab.num_rows,
+                           pa.string())
+            parts.append(tab.add_column(0, "image_id", iid))
+        return pa.concat_tables(parts) if parts else pa.table({
+            "image_id": pa.array([], pa.string()),
+            "field": pa.array([], pa.string()),
+            "code": pa.array([], pa.int64()),
+            "n_px": pa.array([], pa.int64()),
+        })
+
+    return images_ds.map_batches(run, batch_format="pyarrow")

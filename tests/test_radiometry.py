@@ -117,3 +117,32 @@ def test_otsu_bimodal_and_errors():
         otsu_threshold(np.array([3.0]))
     with pytest.raises(ValueError):
         otsu_threshold(np.array([4, 4, 4]))
+
+
+def test_qa_bitmask_tabulate_exact_counts():
+    from rasters_ray.stages.radiometry import qa_bitmask_tabulate
+
+    # 2-bit word stream with known composition: bit0 = fill, bits1-2 = conf
+    arr = np.array([[0b000, 0b001, 0b011], [0b110, 0b110, 0b001]])
+    tab = qa_bitmask_tabulate(arr, [("fill", 0, 1), ("conf", 1, 2)])
+    rows = {(f, c): n for f, c, n in zip(tab.column("field").to_pylist(),
+                                         tab.column("code").to_pylist(),
+                                         tab.column("n_px").to_pylist())}
+    assert rows == {("fill", 0): 3, ("fill", 1): 3,
+                    ("conf", 0): 3, ("conf", 1): 1, ("conf", 3): 2}
+    # total per field always equals pixel count
+    assert sum(n for (f, _), n in rows.items() if f == "fill") == arr.size
+
+
+def test_qa_bitmask_tabulate_rejects_bad_input():
+    from rasters_ray.stages.radiometry import qa_bitmask_tabulate
+
+    with pytest.raises(ValueError):
+        qa_bitmask_tabulate(np.array([1.5, 2.0]), [("f", 0, 1)])
+    with pytest.raises(ValueError):
+        qa_bitmask_tabulate(np.array([-1, 2]), [("f", 0, 1)])
+    with pytest.raises(ValueError):
+        qa_bitmask_tabulate(np.array([1, 2]), [("f", -1, 1)])
+    # integral floats are accepted
+    tab = qa_bitmask_tabulate(np.array([2.0, 3.0]), [("hi", 1, 1)])
+    assert tab.column("n_px").to_pylist() == [2]
