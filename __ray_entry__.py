@@ -689,6 +689,19 @@ QA_FIELDS = [("fill", 0, 1), ("cloud_conf", 1, 2), ("cloud", 3, 1),
              ("shadow", 4, 1), ("snow_conf", 5, 2), ("water", 7, 1)]
 
 
+def q_aspect(sf_dir: str):
+    """gdaldem aspect classified into the nine compass codes (flat + 8
+    sectors with 22.5° boundaries), distributed via the radius-1 halo
+    exchange and a tiny (image_id, class) groupby
+    (terrain.py::aspect_histogram_tiled).  The 22.5° boundary is the
+    IEEE comparison |minor| < |major| * tan22.5 with the tangent as a
+    correctly-rounded double literal — bit-portable to SQL, unlike
+    atan2."""
+    from rasters_ray.stages.terrain import aspect_histogram_tiled
+
+    return aspect_histogram_tiled(_images_ds(sf_dir, N_IMG_FOCAL), tile=32)
+
+
 def q_qa_bitmask(sf_dir: str):
     """QA bitfield tabulation (radiometry.py::qa_tabulate_images — the
     Landsat QA_PIXEL decode): per image, pixel counts per (field, code)
@@ -8044,6 +8057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cutfill": q_cutfill,
         "crosstab": q_crosstab,
         "qa_bitmask": q_qa_bitmask,
+        "aspect": q_aspect,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -12441,6 +12455,40 @@ SELECT printf('img%08d', d) AS image_id, r, c, gx_num, gy_num,
           + (CAST(gy_num AS DOUBLE) / (8 * 0.01e0)) * (CAST(gy_num AS DOUBLE) / (8 * 0.01e0)))
          AS grad
 FROM num
+"""
+
+    # aspect sectors: descent (de, dn) = (-gx, +gy); 22.5° boundaries as
+    # IEEE |minor| < |major| * tan22.5 with the correctly-rounded double
+    # literal (terrain.py::ASPECT_TAN_22_5) — full interior, no sampling
+    sql["aspect"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_FOCAL).strip()},
+g AS (
+  SELECT d, r.range AS r, c.range AS c
+  FROM imgs, range(100) r, range(100) c
+  WHERE r.range BETWEEN 1 AND 98 AND c.range BETWEEN 1 AND 98
+),
+num AS (
+  SELECT d, -CAST({_gxn} AS BIGINT) AS de, CAST({_gyn} AS BIGINT) AS dn
+  FROM g
+),
+cls AS (
+  SELECT d,
+    CASE WHEN de = 0 AND dn = 0 THEN 0
+         WHEN CAST(abs(de) AS DOUBLE)
+              < CAST(abs(dn) AS DOUBLE) * 0.41421356237309503e0
+           THEN CASE WHEN dn > 0 THEN 1 ELSE 5 END
+         WHEN CAST(abs(dn) AS DOUBLE)
+              < CAST(abs(de) AS DOUBLE) * 0.41421356237309503e0
+           THEN CASE WHEN de > 0 THEN 3 ELSE 7 END
+         WHEN de > 0 AND dn > 0 THEN 2
+         WHEN de > 0 THEN 4
+         WHEN dn < 0 THEN 6
+         ELSE 8 END AS aspect_class
+  FROM num
+)
+SELECT printf('img%08d', d) AS image_id, aspect_class,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM cls GROUP BY d, aspect_class
 """
 
     sql["proximity"] = f"""

@@ -225,6 +225,83 @@ def terrain_halo_tiled(images_ds, step: int = 1, tile: int = 32, cell: float = 0
     return halo_exchange_tiled(images_ds, radius=1, tile=tile, tile_fn=tile_fn)
 
 
+ASPECT_TAN_22_5 = 0.41421356237309503  # correctly-rounded double of tan(22.5°)
+
+ASPECT_CLASSES = ("flat", "N", "NE", "E", "SE", "S", "SW", "W", "NW")
+
+
+def aspect_class(gx_num: np.ndarray, gy_num: np.ndarray) -> np.ndarray:
+    """gdaldem/ArcGIS aspect classified into the nine standard codes:
+    0 = flat, then 1..8 clockwise from north (N, NE, E, SE, S, SW, W,
+    NW), each sector 45° wide CENTERED on its compass point (boundaries
+    at 22.5°, 67.5°, ...).
+
+    Input is the Horn gradient numerator pair (:func:`horn_numerators`
+    axes: gx east, gy south); the downslope (descent) vector in (east,
+    north) coordinates is ``(de, dn) = (-gx, +gy)``.  No trig at
+    runtime: a sector test against the 22.5° boundary is the IEEE
+    comparison ``|minor| < |major| * tan(22.5°)`` with the tangent as a
+    correctly-rounded double literal — multiplication and comparison of
+    exact small integers in float64 are deterministic, so the class is
+    bit-portable to SQL (unlike atan2, whose libm rounding varies)."""
+    de = -np.asarray(gx_num, dtype=np.int64)
+    dn = np.asarray(gy_num, dtype=np.int64)
+    a = np.abs(de).astype(np.float64)
+    b = np.abs(dn).astype(np.float64)
+    t = ASPECT_TAN_22_5
+    flat = (de == 0) & (dn == 0)
+    axis_ns = ~flat & (a < b * t)
+    axis_ew = ~flat & ~axis_ns & (b < a * t)
+    diag = ~flat & ~axis_ns & ~axis_ew  # both components nonzero here
+    cls = np.zeros(de.shape, dtype=np.int64)
+    cls[axis_ns & (dn > 0)] = 1
+    cls[axis_ns & (dn < 0)] = 5
+    cls[axis_ew & (de > 0)] = 3
+    cls[axis_ew & (de < 0)] = 7
+    cls[diag & (de > 0) & (dn > 0)] = 2
+    cls[diag & (de > 0) & (dn < 0)] = 4
+    cls[diag & (de < 0) & (dn < 0)] = 6
+    cls[diag & (de < 0) & (dn > 0)] = 8
+    return cls
+
+
+_ASPECT_EMPTY = {
+    "image_id": pa.string(),
+    "aspect_class": pa.int64(),
+    "n_px": pa.int64(),
+}
+
+
+def aspect_histogram_tiled(images_ds, tile: int = 32):
+    """Distributed aspect-class distribution per scene:
+    Dataset[(image_id, aspect_class, n_px)] over the full interior (all
+    9 window cells finite), computed the scale way — radius-1 halo
+    strips exchanged across the tile lattice, per-tile partial
+    bincounts, then a tiny (image_id, class) groupby-sum.  Pixels never
+    cross the shuffle; the exchanged payload is O(perimeter) strips and
+    the aggregate payload is ≤ 9 rows per tile."""
+    from ray.data.aggregate import Sum
+
+    def tile_fn(image_id, canvas, tr0, tc0, trows, tcols) -> pa.Table:
+        gx, gy, valid = horn_numerators(canvas)
+        gx, gy, valid = gx[:trows, :tcols], gy[:trows, :tcols], valid[:trows, :tcols]
+        cls = aspect_class(gx, gy)[valid]
+        if not cls.size:
+            return pa.table({k: pa.array([], t) for k, t in _ASPECT_EMPTY.items()})
+        bc = np.bincount(cls, minlength=9)
+        nz = np.flatnonzero(bc)
+        return pa.table({
+            "image_id": pa.array([image_id] * nz.size, pa.string()),
+            "aspect_class": pa.array(nz, pa.int64()),
+            "pcnt": pa.array(bc[nz], pa.int64()),
+        })
+
+    partials = halo_exchange_tiled(images_ds, radius=1, tile=tile, tile_fn=tile_fn)
+    return partials.groupby(["image_id", "aspect_class"]).aggregate(
+        Sum("pcnt", alias_name="n_px")
+    )
+
+
 def curvature_numerators(canvas: np.ndarray) -> tuple:
     """Zevenbergen & Thorne (1987) quadric second-derivative
     numerators over a padded array (same 1-ring convention as

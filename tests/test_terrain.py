@@ -227,3 +227,61 @@ def test_geomorphons_errors():
         geomorphons(np.zeros((4, 4), int), lookup=5)
     with pytest.raises(ValueError):
         geomorphons(np.array([[0.5, 1.0], [2.0, 3.0]]))
+
+
+def test_aspect_class_compass_points():
+    from rasters_ray.stages.terrain import aspect_class
+
+    # descent (de, dn) = (-gx, +gy): craft numerators hitting each sector
+    gx = np.array([0, 0, 0, -8, -5, -8, 0, 8, 5, 8])
+    gy = np.array([0, 8, -8, 0, 12, 8, 0, -8, 12, 0])
+    #      flat  N    S    E   NE? de=5,dn=12: 5<12*t? t≈.414*12=4.97 no→diag NE
+    want = np.array([0, 1, 5, 3, 2, 2, 0, 6, 8, 7])
+    got = aspect_class(gx, gy)
+    assert got.tolist() == want.tolist()
+
+
+def test_aspect_class_boundary_discipline():
+    from rasters_ray.stages.terrain import ASPECT_TAN_22_5, aspect_class
+
+    # ratio just under / just over tan(22.5): 2/5 = 0.4 < t -> N axis;
+    # 5/12 ≈ 0.4167 > t -> NE diagonal
+    assert aspect_class(np.array([-2]), np.array([5]))[0] == 1
+    assert aspect_class(np.array([-5]), np.array([12]))[0] == 2
+    # symmetry: mirroring both components flips to the opposite sector
+    for gx, gy, cls in [(-3, 10, 1), (-10, 3, 3), (-9, 9, 2)]:
+        opp = aspect_class(np.array([-gx]), np.array([-gy]))[0]
+        base = aspect_class(np.array([gx]), np.array([gy]))[0]
+        assert base == cls and opp == ((cls - 1 + 4) % 8) + 1
+    assert 0.41 < ASPECT_TAN_22_5 < 0.415
+
+
+def test_aspect_histogram_tiled_equals_whole(ray_session):
+    from rasters_ray.stages.terrain import aspect_class, aspect_histogram_tiled
+
+    ids = np.arange(4, dtype=np.int64)
+    imgs = make_oracle_images(ids)
+    got = (
+        aspect_histogram_tiled(_ds(imgs, 2), tile=16)
+        .to_pandas()
+        .sort_values(["image_id", "aspect_class"])
+        .reset_index(drop=True)
+    )
+    # whole-image recomputation
+    rows = []
+    for d in ids:
+        px = codec.decode(
+            imgs.column("bytes")[int(d)].as_py(), imgs.column("fmt")[int(d)].as_py()
+        ).astype(np.float64)
+        pad = np.full((px.shape[0] + 2, px.shape[1] + 2), np.nan)
+        pad[1:-1, 1:-1] = px
+        gx, gy, valid = horn_numerators(pad)
+        cls = aspect_class(gx, gy)[valid]
+        bc = np.bincount(cls, minlength=9)
+        for k in np.flatnonzero(bc):
+            rows.append((f"img{d:08d}", int(k), int(bc[k])))
+    rows.sort()
+    assert len(got) == len(rows)
+    assert list(map(tuple, got.itertuples(index=False))) == rows
+    # totals: every interior window classified
+    assert got.groupby("image_id")["n_px"].sum().eq(98 * 98).all()
