@@ -702,6 +702,32 @@ def q_aspect(sf_dir: str):
     return aspect_histogram_tiled(_images_ds(sf_dir, N_IMG_FOCAL), tile=32)
 
 
+def _stack_key8(image_id: str):
+    """32 scenes -> 8 co-registered stacks of 4 epochs (d%8, d//8)."""
+    d = int(image_id[3:])
+    return d % 8, d // 8
+
+
+def q_median_composite(sf_dir: str):
+    """Landsat-style median composite over co-registered time-series
+    stacks (temporal.py::stack_median_histogram): scenes tile-decompose,
+    tiles co-partition on (stack, tile) in one shuffle, per-pixel LOWER
+    medians histogram per stack.  SQL replays the lower median as the
+    rn = (cnt+1)//2 row of a per-pixel window sort."""
+    from rasters_ray.stages.temporal import stack_median_histogram
+
+    return stack_median_histogram(_images_ds(sf_dir, N_IMG_MERGE), _stack_key8, tile=25)
+
+
+def q_pixel_trend(sf_dir: str):
+    """Per-pixel change-trend summary across epochs
+    (temporal.py::stack_trend_summary): integer OLS slope numerators
+    n*sum(t*v) - sum(t)*sum(v), counted by sign per stack."""
+    from rasters_ray.stages.temporal import stack_trend_summary
+
+    return stack_trend_summary(_images_ds(sf_dir, N_IMG_MERGE), _stack_key8, tile=25)
+
+
 def q_qa_bitmask(sf_dir: str):
     """QA bitfield tabulation (radiometry.py::qa_tabulate_images — the
     Landsat QA_PIXEL decode): per image, pixel counts per (field, code)
@@ -8058,6 +8084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crosstab": q_crosstab,
         "qa_bitmask": q_qa_bitmask,
         "aspect": q_aspect,
+        "median_composite": q_median_composite,
+        "pixel_trend": q_pixel_trend,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -11898,6 +11926,46 @@ px AS (
 )
 SELECT value // 51 AS zone, value % 7 AS klass, COUNT(*) AS n_px
 FROM px GROUP BY value // 51, value % 7
+"""
+
+    # temporal stacks: scenes d < 32 grouped as (d % 8 stacks, epoch d // 8);
+    # lower median = the rn = (cnt+1)//2 row of the per-pixel window sort
+    sql["median_composite"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT d % 8 AS k, r.range AS r, c.range AS c,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS v
+  FROM imgs, range(100) r, range(100) c
+),
+m AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k, r, c ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY k, r, c) AS cnt
+  FROM px
+)
+SELECT k AS stack_key, v AS value, CAST(COUNT(*) AS BIGINT) AS n_px
+FROM m WHERE rn = (cnt + 1) // 2 GROUP BY k, v
+"""
+
+    sql["pixel_trend"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT d % 8 AS k, d // 8 AS t, r.range AS r, c.range AS c,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS v
+  FROM imgs, range(100) r, range(100) c
+),
+s AS (
+  SELECT k, r, c,
+         COUNT(*) AS n, SUM(t * v) AS stv, SUM(t) AS st, SUM(v) AS sv
+  FROM px GROUP BY k, r, c
+),
+num AS (SELECT k, n * stv - st * sv AS slope FROM s)
+SELECT k AS stack_key, CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(SUM(CASE WHEN slope < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       CAST(SUM(CASE WHEN slope = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+       CAST(SUM(slope) AS BIGINT) AS sum_slope_num
+FROM num GROUP BY k
 """
 
     # QA bitfield tabulation: replay each (shift, width) as // divisor and

@@ -1,0 +1,207 @@
+"""Temporal stack analytics: per-pixel statistics across co-registered
+acquisitions of the same scene (the Landsat/Sentinel time-series
+pattern — median compositing and per-pixel change trend).
+
+The reference is a single-raster library (its closest surface is
+``MultiRaster.stack``, ``/root/reference/rasters/raster.py``, an
+in-memory band stack); these operators are the distributed time-series
+form a 100 TB archive needs.
+
+Scale shape
+-----------
+Scenes sharing a ``stack_key`` are ASSUMED CO-REGISTERED (same grid,
+pixel (r, c) aligns by index — the standard precondition of per-pixel
+compositing).  Each scene is cut into ``tile x tile`` blocks inside
+``map_batches``; blocks co-partition on ``(stack_key, tile_r, tile_c)``
+in ONE groupby shuffle whose group payload is T small tiles, never a
+whole scene.  Per-group kernels emit tiny partials (value histograms or
+integer trend sums) and a final low-cardinality groupby-sum combines
+them — pixels cross the wire once, as packed int64 tile lists.
+
+Determinism
+-----------
+* ``stack_median_histogram``: per-pixel LOWER median (element at index
+  ``(T-1)//2`` of the sorted epoch values) — integer-exact, replayable
+  in SQL as the ``rn = (cnt+1)//2`` row of a window sort.
+* ``stack_trend_summary``: per-pixel OLS slope NUMERATOR over epoch
+  index t, ``n*sum(t*v) - sum(t)*sum(v)`` — all int64, sign = direction
+  of change; per stack the counts of rising/falling/flat pixels and the
+  summed numerator are exact integers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from rasters_ray import codec
+from rasters_ray.util import map_groups_typed
+
+__all__ = [
+    "lower_median",
+    "trend_numerators",
+    "stack_median_histogram",
+    "stack_trend_summary",
+]
+
+
+def lower_median(stack: np.ndarray) -> np.ndarray:
+    """Element at index (T-1)//2 of the per-pixel sorted epoch values —
+    the deterministic integer median (no even-count averaging)."""
+    a = np.asarray(stack)
+    if a.ndim != 2 or a.shape[0] < 1:
+        raise ValueError("lower_median expects a (T, n_pixels) stack")
+    return np.sort(a, axis=0)[(a.shape[0] - 1) // 2]
+
+
+def trend_numerators(stack: np.ndarray, epochs: np.ndarray) -> np.ndarray:
+    """Per-pixel OLS slope numerator ``n*sum(t*v) - sum(t)*sum(v)`` over
+    the epoch axis (int64-exact; sign is the change direction, the
+    denominator ``n*sum(t^2) - sum(t)^2`` is a per-stack constant)."""
+    a = np.asarray(stack, dtype=np.int64)
+    t = np.asarray(epochs, dtype=np.int64)
+    if a.ndim != 2 or t.shape != (a.shape[0],):
+        raise ValueError("trend_numerators expects (T, n) stack + T epochs")
+    n = np.int64(a.shape[0])
+    return n * (t[:, None] * a).sum(axis=0) - t.sum() * a.sum(axis=0)
+
+
+def _tile_rows(t: pa.Table, key_fn, tile: int) -> pa.Table:
+    """Cut each scene into tile blocks -> rows of packed int64 pixels."""
+    ks, es, trs, tcs, hs, ws, vals = [], [], [], [], [], [], []
+    if t.num_rows:
+        blobs = codec.BlobReader(t.column("bytes"))
+        fmts = t.column("fmt").to_pylist()
+        ids = t.column("image_id").to_pylist()
+        for i in range(t.num_rows):
+            key = key_fn(ids[i])
+            if key is None:
+                continue
+            stack_key, epoch = key
+            px = codec.decode(blobs[i], fmts[i])
+            x = np.asarray(px)
+            if not np.issubdtype(x.dtype, np.integer):
+                if not np.all(np.isfinite(x)) or np.any(x != np.rint(x)):
+                    raise ValueError("temporal stack requires integral pixels")
+            x = x.astype(np.int64)
+            rows, cols = x.shape
+            for tr in range(0, rows, tile):
+                for tc in range(0, cols, tile):
+                    blk = x[tr : tr + tile, tc : tc + tile]
+                    ks.append(int(stack_key))
+                    es.append(int(epoch))
+                    trs.append(tr // tile)
+                    tcs.append(tc // tile)
+                    hs.append(blk.shape[0])
+                    ws.append(blk.shape[1])
+                    vals.append(blk.ravel())
+    flat = np.concatenate(vals) if vals else np.array([], dtype=np.int64)
+    offsets = np.zeros(len(vals) + 1, dtype=np.int32)
+    if vals:
+        np.cumsum([v.size for v in vals], out=offsets[1:])
+    return pa.table(
+        {
+            "stack_key": pa.array(ks, pa.int64()),
+            "epoch": pa.array(es, pa.int64()),
+            "tr": pa.array(trs, pa.int64()),
+            "tc": pa.array(tcs, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "w": pa.array(ws, pa.int64()),
+            "vals": pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, pa.int64())),
+        }
+    )
+
+
+def _group_stack(g: pa.Table):
+    """Sort a (stack_key, tr, tc) group by epoch -> (epochs, (T, n) stack)."""
+    eps = g.column("epoch").to_numpy()
+    order = np.argsort(eps, kind="stable")
+    eps = eps[order]
+    if np.unique(eps).size != eps.size:
+        raise ValueError("duplicate epoch in temporal stack group")
+    h = g.column("h").to_numpy()
+    w = g.column("w").to_numpy()
+    if np.unique(h).size != 1 or np.unique(w).size != 1:
+        raise ValueError("temporal stack tiles must share a shape")
+    lists = g.column("vals")
+    stack = np.stack([np.asarray(lists[int(i)].as_py(), dtype=np.int64) for i in order])
+    return eps, stack
+
+
+def stack_median_histogram(images_ds, key_fn, tile: int = 25):
+    """Median composite, summarized: Dataset[(stack_key, value, n_px)] —
+    the histogram of per-pixel lower-median values for every stack.
+    ``key_fn(image_id) -> (stack_key, epoch) | None`` routes scenes."""
+    from ray.data.aggregate import Sum
+
+    def per_group(g: pa.Table) -> pa.Table:
+        _, stack = _group_stack(g)
+        med = lower_median(stack)
+        bc = np.bincount(med)
+        nz = np.flatnonzero(bc)
+        k = int(g.column("stack_key")[0].as_py())
+        return pa.table(
+            {
+                "stack_key": pa.array([k] * nz.size, pa.int64()),
+                "value": pa.array(nz, pa.int64()),
+                "pcnt": pa.array(bc[nz], pa.int64()),
+            }
+        )
+
+    tiles = images_ds.map_batches(
+        lambda t: _tile_rows(t, key_fn, tile), batch_format="pyarrow"
+    )
+    out_schema = pa.schema(
+        [("stack_key", pa.int64()), ("value", pa.int64()), ("pcnt", pa.int64())]
+    )
+    partials = map_groups_typed(tiles, ["stack_key", "tr", "tc"], per_group, out_schema)
+    return partials.groupby(["stack_key", "value"]).aggregate(
+        Sum("pcnt", alias_name="n_px")
+    )
+
+
+def stack_trend_summary(images_ds, key_fn, tile: int = 25):
+    """Per-pixel change trend, summarized per stack:
+    Dataset[(stack_key, n_px, n_up, n_down, n_flat, sum_slope_num)]
+    where slope_num is the integer OLS numerator over epoch index."""
+    from ray.data.aggregate import Sum
+
+    def per_group(g: pa.Table) -> pa.Table:
+        eps, stack = _group_stack(g)
+        num = trend_numerators(stack, eps)
+        k = int(g.column("stack_key")[0].as_py())
+        return pa.table(
+            {
+                "stack_key": pa.array([k], pa.int64()),
+                "n_px": pa.array([num.size], pa.int64()),
+                "n_up": pa.array([int((num > 0).sum())], pa.int64()),
+                "n_down": pa.array([int((num < 0).sum())], pa.int64()),
+                "n_flat": pa.array([int((num == 0).sum())], pa.int64()),
+                "sum_slope_num": pa.array([int(num.sum())], pa.int64()),
+            }
+        )
+
+    tiles = images_ds.map_batches(
+        lambda t: _tile_rows(t, key_fn, tile), batch_format="pyarrow"
+    )
+    out_schema = pa.schema(
+        [
+            ("stack_key", pa.int64()),
+            ("n_px", pa.int64()),
+            ("n_up", pa.int64()),
+            ("n_down", pa.int64()),
+            ("n_flat", pa.int64()),
+            ("sum_slope_num", pa.int64()),
+        ]
+    )
+    partials = map_groups_typed(tiles, ["stack_key", "tr", "tc"], per_group, out_schema)
+    return (
+        partials.groupby("stack_key")
+        .aggregate(
+            Sum("n_px", alias_name="n_px"),
+            Sum("n_up", alias_name="n_up"),
+            Sum("n_down", alias_name="n_down"),
+            Sum("n_flat", alias_name="n_flat"),
+            Sum("sum_slope_num", alias_name="sum_slope_num"),
+        )
+    )
