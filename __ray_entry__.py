@@ -737,6 +737,24 @@ def q_qa_bitmask(sf_dir: str):
     return qa_tabulate_images(_images_ds(sf_dir, N_IMG_MERGE), QA_FIELDS)
 
 
+def _nd_band2(px):
+    """Second co-registered band derived from the decoded first:
+    b = (a * 3) % 251.  a = 0 -> b = 0 exercises the undefined
+    (a + b == 0) bin; pure int64, SQL-exact."""
+    return (np.rint(px).astype(np.int64) * 3) % 251
+
+
+def q_nd_index(sf_dir: str):
+    """Normalized-difference spectral index histogram (NDVI/NDWI family,
+    radiometry.py::nd_index_images): nd = (a - b)/(a + b) binned into 10
+    equal-width bins on [-1, 1] per scene WITHOUT materializing the float
+    ratio — bin = (10*a) // (a+b), clipped to 9, a+b == 0 reported as
+    bin -1.  Bit-stable under any tiling; one map_batches, no shuffle."""
+    from rasters_ray.stages.radiometry import nd_index_images
+
+    return nd_index_images(_images_ds(sf_dir, N_IMG_MERGE), _nd_band2, k=10)
+
+
 def _crosstab_classify(arr):
     """Two categorical layers from one formula raster: zone = value//51
     (5 codes), class = value % 7 (7 codes). Pure int64 — SQL-exact."""
@@ -8083,6 +8101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cutfill": q_cutfill,
         "crosstab": q_crosstab,
         "qa_bitmask": q_qa_bitmask,
+        "nd_index": q_nd_index,
         "aspect": q_aspect,
         "median_composite": q_median_composite,
         "pixel_trend": q_pixel_trend,
@@ -11987,6 +12006,25 @@ SELECT px.image_id, f.field,
        CAST(COUNT(*) AS BIGINT) AS n_px
 FROM px, fields f
 GROUP BY px.image_id, f.field, (px.v // f.s) % f.m
+"""
+
+    # normalized-difference bins: bin(nd) = floor((nd+1)*k/2) = (k*a)//(a+b)
+    # for non-negative integer bands — the float ratio never materializes
+    sql["nd_index"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT printf('img%08d', d) AS image_id,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS a
+  FROM imgs, range(100) r, range(100) c
+),
+nd AS (SELECT image_id, a, (a * 3) % 251 AS b FROM px)
+SELECT image_id,
+       CAST(CASE WHEN a + b = 0 THEN -1
+                 ELSE LEAST((10 * a) // (a + b), 9) END AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM nd
+GROUP BY image_id, CASE WHEN a + b = 0 THEN -1
+                        ELSE LEAST((10 * a) // (a + b), 9) END
 """
 
     sql["zonal_stats"] = f"""

@@ -33,7 +33,8 @@ import pyarrow as pa
 from rasters_ray import codec
 
 __all__ = ["match_histogram", "brovey_pansharpen", "match_to_reference",
-           "otsu_threshold", "qa_bitmask_tabulate", "qa_tabulate_images"]
+           "otsu_threshold", "qa_bitmask_tabulate", "qa_tabulate_images",
+           "nd_index_bins", "nd_index_images"]
 
 
 def _cdf(a: np.ndarray):
@@ -178,6 +179,75 @@ def qa_tabulate_images(images_ds, fields):
             "image_id": pa.array([], pa.string()),
             "field": pa.array([], pa.string()),
             "code": pa.array([], pa.int64()),
+            "n_px": pa.array([], pa.int64()),
+        })
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+def nd_index_bins(a: np.ndarray, b: np.ndarray, k: int = 10) -> pa.Table:
+    """Normalized-difference index (NDVI/NDWI family) histogram over two
+    co-registered non-negative integer bands: nd = (a - b) / (a + b)
+    binned into ``k`` equal-width bins on [-1, 1].
+
+    INTEGER-EXACT: bin(nd) = floor((nd + 1) * k / 2) = (k*a) // (a+b)
+    — the float ratio never materializes, so the histogram is
+    bit-stable under any tiling and replays in SQL as one integer
+    division.  nd = +1 (b == 0) clips into the top bin; a + b == 0
+    pixels are undefined and reported as bin -1.  Returns one row per
+    present bin, columns (bin, n_px)."""
+    x = np.asarray(a)
+    y = np.asarray(b)
+    if x.shape != y.shape:
+        raise ValueError("nd_index_bins bands must be co-registered")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    for v in (x, y):
+        if not np.issubdtype(v.dtype, np.integer):
+            if not np.all(np.isfinite(v)) or np.any(v != np.rint(v)):
+                raise ValueError("nd_index_bins requires integral bands")
+    xi = x.astype(np.int64).ravel()
+    yi = y.astype(np.int64).ravel()
+    if (xi < 0).any() or (yi < 0).any():
+        raise ValueError("nd_index_bins requires non-negative bands")
+    tot = xi + yi
+    ok = tot > 0
+    bins = np.minimum((k * xi[ok]) // tot[ok], k - 1)
+    bc = np.bincount(bins, minlength=k)
+    nz = np.flatnonzero(bc)
+    out_bins = nz.tolist()
+    out_n = bc[nz].tolist()
+    n_undef = int((~ok).sum())
+    if n_undef:
+        out_bins = [-1] + out_bins
+        out_n = [n_undef] + out_n
+    return pa.table({
+        "bin": pa.array(out_bins, pa.int64()),
+        "n_px": pa.array(out_n, pa.int64()),
+    })
+
+
+def nd_index_images(images_ds, band2_fn, k: int = 10):
+    """Per-scene normalized-difference histograms:
+    Dataset[(image_id, bin, n_px)].  ``band2_fn(arr) -> np.ndarray``
+    derives the second band from the decoded first (a co-registered
+    acquisition loaded by id, a different sensor band, or a synthetic
+    reference).  One map_batches, nothing shuffles; at scale the
+    two-file variant is a co-partitioned zip join on tile key."""
+    from rasters_ray import codec as _codec
+
+    def run(t: pa.Table) -> pa.Table:
+        parts = []
+        for i in range(t.num_rows):
+            px = _codec.decode(t.column("bytes")[i].as_py(),
+                               t.column("fmt")[i].as_py())
+            tab = nd_index_bins(px, band2_fn(px), k)
+            iid = pa.array([t.column("image_id")[i].as_py()] * tab.num_rows,
+                           pa.string())
+            parts.append(tab.add_column(0, "image_id", iid))
+        return pa.concat_tables(parts) if parts else pa.table({
+            "image_id": pa.array([], pa.string()),
+            "bin": pa.array([], pa.int64()),
             "n_px": pa.array([], pa.int64()),
         })
 

@@ -146,3 +146,63 @@ def test_qa_bitmask_tabulate_rejects_bad_input():
     # integral floats are accepted
     tab = qa_bitmask_tabulate(np.array([2.0, 3.0]), [("hi", 1, 1)])
     assert tab.column("n_px").to_pylist() == [2]
+
+
+def test_nd_index_bins_matches_float_definition():
+    from rasters_ray.stages.radiometry import nd_index_bins
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 300, size=(40, 50))
+    b = rng.randint(0, 300, size=(40, 50))
+    tab = nd_index_bins(a, b, k=10)
+    got = dict(zip(tab.column("bin").to_pylist(), tab.column("n_px").to_pylist()))
+
+    # independent reference: exact rational nd binned on [-1, 1] via
+    # Fraction (float floor drifts at bin edges; the rational floor is
+    # the definition), nd == +1 clipped into the top bin
+    from fractions import Fraction
+
+    ref: dict = {}
+    for ai, bi in zip(a.ravel().tolist(), b.ravel().tolist()):
+        if ai + bi == 0:
+            u = -1
+        else:
+            nd = Fraction(ai - bi, ai + bi)
+            u = min(int((nd + 1) * 5), 9)  # Fraction __int__ truncates toward 0; nd+1 >= 0 so == floor
+        ref[u] = ref.get(u, 0) + 1
+    assert got == ref
+    assert sum(got.values()) == a.size
+
+
+def test_nd_index_bins_edges_and_errors():
+    from rasters_ray.stages.radiometry import nd_index_bins
+
+    # b == 0 -> nd = +1 -> top bin; a == b -> nd = 0 -> bin k/2; sum 0 -> -1
+    tab = nd_index_bins(np.array([5, 3, 0]), np.array([0, 3, 0]), k=10)
+    got = dict(zip(tab.column("bin").to_pylist(), tab.column("n_px").to_pylist()))
+    assert got == {-1: 1, 5: 1, 9: 1}
+    with pytest.raises(ValueError):
+        nd_index_bins(np.array([1.5]), np.array([1]))
+    with pytest.raises(ValueError):
+        nd_index_bins(np.array([-1]), np.array([1]))
+    with pytest.raises(ValueError):
+        nd_index_bins(np.array([1, 2]), np.array([1]))
+    with pytest.raises(ValueError):
+        nd_index_bins(np.array([1]), np.array([1]), k=0)
+
+
+def test_nd_index_bins_tiling_invariant():
+    from rasters_ray.stages.radiometry import nd_index_bins
+
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 255, size=(64, 64))
+    b = rng.randint(0, 255, size=(64, 64))
+    whole = dict(zip(nd_index_bins(a, b).column("bin").to_pylist(),
+                     nd_index_bins(a, b).column("n_px").to_pylist()))
+    merged: dict = {}
+    for r0 in range(0, 64, 16):
+        for c0 in range(0, 64, 16):
+            t = nd_index_bins(a[r0:r0 + 16, c0:c0 + 16], b[r0:r0 + 16, c0:c0 + 16])
+            for u, n in zip(t.column("bin").to_pylist(), t.column("n_px").to_pylist()):
+                merged[u] = merged.get(u, 0) + n
+    assert whole == merged
