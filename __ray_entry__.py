@@ -728,6 +728,16 @@ def q_pixel_trend(sf_dir: str):
     return stack_trend_summary(_images_ds(sf_dir, N_IMG_MERGE), _stack_key8, tile=25)
 
 
+def q_mann_kendall(sf_dir: str):
+    """Per-pixel Mann-Kendall trend test over co-registered epoch stacks
+    (temporal.py::stack_mann_kendall): S = sum over time-ordered pairs
+    of sign(v_j - v_i), pure int64; per-stack histogram of S.  SQL
+    replays the pair signs as a t1 < t2 self-join on the pixel formula."""
+    from rasters_ray.stages.temporal import stack_mann_kendall
+
+    return stack_mann_kendall(_images_ds(sf_dir, N_IMG_MERGE), _stack_key8, tile=25)
+
+
 def q_qa_bitmask(sf_dir: str):
     """QA bitfield tabulation (radiometry.py::qa_tabulate_images — the
     Landsat QA_PIXEL decode): per image, pixel counts per (field, code)
@@ -8105,6 +8115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aspect": q_aspect,
         "median_composite": q_median_composite,
         "pixel_trend": q_pixel_trend,
+        "mann_kendall": q_mann_kendall,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -11985,6 +11996,26 @@ SELECT k AS stack_key, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(SUM(CASE WHEN slope = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
        CAST(SUM(slope) AS BIGINT) AS sum_slope_num
 FROM num GROUP BY k
+"""
+
+    # Mann-Kendall S per pixel: time-ordered pair signs via a t1 < t2
+    # self-join, then the per-stack histogram of S values
+    sql["mann_kendall"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT d % 8 AS k, d // 8 AS t, r.range AS r, c.range AS c,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS v
+  FROM imgs, range(100) r, range(100) c
+),
+pairs AS (
+  SELECT a.k, a.r, a.c,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM px a JOIN px b ON a.k = b.k AND a.r = b.r AND a.c = b.c AND a.t < b.t
+),
+s AS (SELECT k, r, c, SUM(sgn) AS s FROM pairs GROUP BY k, r, c)
+SELECT k AS stack_key, CAST(s AS BIGINT) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM s GROUP BY k, s
 """
 
     # QA bitfield tabulation: replay each (shift, width) as // divisor and

@@ -27,6 +27,11 @@ Determinism
   index t, ``n*sum(t*v) - sum(t)*sum(v)`` — all int64, sign = direction
   of change; per stack the counts of rising/falling/flat pixels and the
   summed numerator are exact integers.
+* ``stack_mann_kendall``: per-pixel Mann-Kendall S statistic
+  ``sum_{i<j} sign(v_j - v_i)`` over time order (Mann 1945 / Kendall
+  1975, the nonparametric trend test behind "emerging hot spot"
+  space-time analyses) — pure integer in [-T(T-1)/2, +T(T-1)/2],
+  reported as the per-stack histogram of S values.
 """
 
 from __future__ import annotations
@@ -40,8 +45,10 @@ from rasters_ray.util import map_groups_typed
 __all__ = [
     "lower_median",
     "trend_numerators",
+    "mann_kendall_s",
     "stack_median_histogram",
     "stack_trend_summary",
+    "stack_mann_kendall",
 ]
 
 
@@ -64,6 +71,21 @@ def trend_numerators(stack: np.ndarray, epochs: np.ndarray) -> np.ndarray:
         raise ValueError("trend_numerators expects (T, n) stack + T epochs")
     n = np.int64(a.shape[0])
     return n * (t[:, None] * a).sum(axis=0) - t.sum() * a.sum(axis=0)
+
+
+def mann_kendall_s(stack: np.ndarray) -> np.ndarray:
+    """Per-pixel Mann-Kendall S over the epoch axis (rows MUST be in
+    time order): ``S = sum_{i<j} sign(v_j - v_i)``, int64-exact.
+    S > 0 rising, S < 0 falling; |S| near T(T-1)/2 is a monotone run."""
+    a = np.asarray(stack, dtype=np.int64)
+    if a.ndim != 2 or a.shape[0] < 2:
+        raise ValueError("mann_kendall_s expects a (T>=2, n_pixels) stack")
+    s = np.zeros(a.shape[1], dtype=np.int64)
+    for i in range(a.shape[0] - 1):
+        d = a[i + 1 :] - a[i]
+        s += (d > 0).sum(axis=0, dtype=np.int64)
+        s -= (d < 0).sum(axis=0, dtype=np.int64)
+    return s
 
 
 def _tile_rows(t: pa.Table, key_fn, tile: int) -> pa.Table:
@@ -156,6 +178,40 @@ def stack_median_histogram(images_ds, key_fn, tile: int = 25):
     )
     partials = map_groups_typed(tiles, ["stack_key", "tr", "tc"], per_group, out_schema)
     return partials.groupby(["stack_key", "value"]).aggregate(
+        Sum("pcnt", alias_name="n_px")
+    )
+
+
+def stack_mann_kendall(images_ds, key_fn, tile: int = 25):
+    """Mann-Kendall trend test, summarized: Dataset[(stack_key, s, n_px)]
+    — per stack, the histogram of per-pixel S statistics.  Same scale
+    shape as the other stack operators: one (stack_key, tile) shuffle of
+    packed tiles, tiny integer partials, one low-cardinality sum."""
+    from ray.data.aggregate import Sum
+
+    def per_group(g: pa.Table) -> pa.Table:
+        _, stack = _group_stack(g)
+        s = mann_kendall_s(stack)
+        smax = stack.shape[0] * (stack.shape[0] - 1) // 2
+        bc = np.bincount(s + smax, minlength=2 * smax + 1)
+        nz = np.flatnonzero(bc)
+        k = int(g.column("stack_key")[0].as_py())
+        return pa.table(
+            {
+                "stack_key": pa.array([k] * nz.size, pa.int64()),
+                "s": pa.array(nz - smax, pa.int64()),
+                "pcnt": pa.array(bc[nz], pa.int64()),
+            }
+        )
+
+    tiles = images_ds.map_batches(
+        lambda t: _tile_rows(t, key_fn, tile), batch_format="pyarrow"
+    )
+    out_schema = pa.schema(
+        [("stack_key", pa.int64()), ("s", pa.int64()), ("pcnt", pa.int64())]
+    )
+    partials = map_groups_typed(tiles, ["stack_key", "tr", "tc"], per_group, out_schema)
+    return partials.groupby(["stack_key", "s"]).aggregate(
         Sum("pcnt", alias_name="n_px")
     )
 

@@ -112,3 +112,52 @@ def test_stack_guards(ray_session):
     # key_fn None routes a scene out entirely
     got = stack_trend_summary(_ds(imgs, 1), lambda i: None, tile=50)
     assert got.count() == 0
+
+
+def test_mann_kendall_s_bruteforce():
+    from rasters_ray.stages.temporal import mann_kendall_s
+
+    rng = np.random.default_rng(3)
+    stack = rng.integers(0, 20, (6, 50)).astype(np.int64)  # small range: ties
+    s = mann_kendall_s(stack)
+    for j in range(50):
+        v = stack[:, j]
+        want = sum(
+            int(np.sign(v[b] - v[a]))
+            for a in range(6)
+            for b in range(a + 1, 6)
+        )
+        assert s[j] == want
+    # monotone rising pixel saturates at +T(T-1)/2, flat at 0
+    assert mann_kendall_s(np.arange(6).reshape(-1, 1))[0] == 15
+    assert mann_kendall_s(np.full((6, 1), 4))[0] == 0
+    assert mann_kendall_s(np.arange(6)[::-1].reshape(-1, 1))[0] == -15
+    with pytest.raises(ValueError):
+        mann_kendall_s(np.array([[1, 2, 3]]))  # T < 2
+
+
+def test_stack_mann_kendall_tiled_equals_whole(ray_session):
+    from rasters_ray.stages.temporal import mann_kendall_s, stack_mann_kendall
+
+    ids = list(range(8))
+    imgs = make_oracle_images(np.asarray(ids, dtype=np.int64))
+    scenes = {}
+    for i, d in enumerate(ids):
+        px = codec.decode(
+            imgs.column("bytes")[i].as_py(), imgs.column("fmt")[i].as_py()
+        ).astype(np.int64)
+        scenes.setdefault(d % 4, []).append((d // 4, px))
+    want = set()
+    for k, lst in scenes.items():
+        stack = np.stack([p.ravel() for _, p in sorted(lst)])
+        s = mann_kendall_s(stack)
+        for u, n in zip(*np.unique(s, return_counts=True)):
+            want.add((k, int(u), int(n)))
+    got = (
+        stack_mann_kendall(_ds(imgs, 3), _key, tile=32)
+        .to_pandas()
+        .sort_values(["stack_key", "s"])
+        .reset_index(drop=True)
+    )
+    assert set(map(tuple, got.itertuples(index=False))) == want
+    assert got.groupby("stack_key")["n_px"].sum().eq(10000).all()
