@@ -6615,6 +6615,102 @@ def q_kernel_density(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_std_ellipse(sf_dir: str):
+    """Standard deviational ellipse / directional distribution (ArcGIS
+    Measuring Geographic Distributions; spatial_stats.py::
+    std_ellipse_ints): per key the 64-point cloud's mean center and
+    n-scaled second moments sxx = n*sum(x^2) - sum(x)^2, syy, sxy —
+    all int64 (axes and tan 2theta = 2*sxy/(sxx-syy) are pure functions
+    of them).  Per-key map, no shuffle; partial sums combine exactly."""
+    from rasters_ray.stages.spatial_stats import std_ellipse_ints
+
+    j = np.arange(64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        rows = {n: [] for n in ("geom_id", "n", "sum_x", "sum_y",
+                                "sxx", "syy", "sxy")}
+        for kk in k.tolist():
+            pts = np.stack([(kk * j) % 16, (kk + 3 * j) % 16], axis=1)
+            n, sx, sy, sxx, syy, sxy = std_ellipse_ints(pts)
+            rows["geom_id"].append(f"g{kk:06d}")
+            for nm, v in zip(("n", "sum_x", "sum_y", "sxx", "syy", "sxy"),
+                             (n, sx, sy, sxx, syy, sxy)):
+                rows[nm].append(v)
+        return pa.table({
+            "geom_id": pa.array(rows["geom_id"], pa.string()),
+            **{nm: pa.array(rows[nm], pa.int64())
+               for nm in ("n", "sum_x", "sum_y", "sxx", "syy", "sxy")},
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def q_quadrat(sf_dir: str):
+    """Quadrat analysis (spatial_stats.py::quadrat_vmr_ints — the
+    classic clustered-vs-uniform point-pattern test): the 64-point
+    cloud binned into 4x4 quadrats of the 16x16 domain; the
+    variance-mean-ratio statistic kept integral as
+    vmr_num = Q*sum(c^2) - n^2.  SQL replays the counts per cell."""
+    from rasters_ray.stages.spatial_stats import quadrat_vmr_ints
+
+    j = np.arange(64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, ns, c2s, mxs, vs = [], [], [], [], []
+        for kk in k.tolist():
+            pts = np.stack([(kk * j) % 16, (kk + 3 * j) % 16], axis=1)
+            n, _, c2, mx, vnum = quadrat_vmr_ints(pts, 16, 4)
+            gid.append(f"g{kk:06d}")
+            ns.append(n)
+            c2s.append(c2)
+            mxs.append(mx)
+            vs.append(vnum)
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "sum_c2": pa.array(c2s, pa.int64()),
+            "max_c": pa.array(mxs, pa.int64()),
+            "vmr_num": pa.array(vs, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
+def q_ripley_k(sf_dir: str):
+    """Ripley's K pair counts (spatial_stats.py::ripley_pair_counts,
+    Ripley 1976): unordered pairs of the 64-point cloud with squared
+    distance <= r2 for r2 in (2, 8, 18, 32) — the exact integer K(r)
+    numerator.  SQL replays as a j1 < j2 self-join.  Per-key O(n^2)
+    kernel; at scale the plan is grid-bucketed (bucket by cell, count
+    in-bucket + halo-bucket pairs bounded by max r)."""
+    from rasters_ray.stages.spatial_stats import ripley_pair_counts
+
+    j = np.arange(64)
+    r2s = (2, 8, 18, 32)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, rr, pc = [], [], []
+        for kk in k.tolist():
+            pts = np.stack([(kk * j) % 16, (kk + 3 * j) % 16], axis=1)
+            for r2, n in zip(r2s, ripley_pair_counts(pts, r2s)):
+                gid.append(f"g{kk:06d}")
+                rr.append(r2)
+                pc.append(n)
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "r2": pa.array(rr, pa.int64()),
+            "pairs": pa.array(pc, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_cast_shadows(sf_dir: str):
     """Cast shadows (stages/viewshed.py::cast_shadows — the r.sun /
     hillshade-with-shadows horizon scan, sun travelling +columns at
@@ -8260,6 +8356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_filter": q_rank_filter,
         "otsu": q_otsu,
         "point_density": q_point_density,
+        "std_ellipse": q_std_ellipse,
+        "quadrat": q_quadrat,
+        "ripley_k": q_ripley_k,
         "kernel_density": q_kernel_density,
         "cast_shadows": q_cast_shadows,
         "sieve": q_sieve,
@@ -9762,6 +9861,63 @@ SELECT printf('g%06d', tot.k) AS geom_id,
        CAST(best.r AS BIGINT) AS arg_r,
        CAST(best.c AS BIGINT) AS arg_c
 FROM tot JOIN best ON tot.k = best.k
+"""
+    # std_ellipse: n-scaled central second moments of the point cloud,
+    # pure integer aggregation over the generated points
+    sql["std_ellipse"] = """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         (c_custkey * j.j) % 16 AS x,
+         (c_custkey + 3 * j.j) % 16 AS y
+  FROM customer, range(0, 64) j(j)
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS sxx,
+       CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT) AS syy,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS sxy
+FROM pts GROUP BY k
+"""
+    # quadrat: counts per 4x4 quadrat (side 4) of the 16x16 domain;
+    # empty quadrats contribute 0 to sum_c2, so the nonempty GROUP BY
+    # suffices; vmr_num = 16*sum(c^2) - n^2
+    sql["quadrat"] = """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         (c_custkey * j.j) % 16 AS x,
+         (c_custkey + 3 * j.j) % 16 AS y
+  FROM customer, range(0, 64) j(j)
+),
+cells AS (
+  SELECT k, (y // 4) * 4 + (x // 4) AS cell, COUNT(*) AS c
+  FROM pts GROUP BY k, (y // 4) * 4 + (x // 4)
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(SUM(c) AS BIGINT) AS n,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       CAST(MAX(c) AS BIGINT) AS max_c,
+       CAST(16 * SUM(c * c) - SUM(c) * SUM(c) AS BIGINT) AS vmr_num
+FROM cells GROUP BY k
+"""
+    # ripley_k: unordered pair counts within each squared radius via a
+    # j1 < j2 self-join on the generated cloud
+    sql["ripley_k"] = """
+WITH pts AS (
+  SELECT c_custkey AS k, j.j AS j,
+         (c_custkey * j.j) % 16 AS x,
+         (c_custkey + 3 * j.j) % 16 AS y
+  FROM customer, range(0, 64) j(j)
+),
+r2s AS (SELECT * FROM (VALUES (2), (8), (18), (32)) t(r2))
+SELECT printf('g%06d', a.k) AS geom_id,
+       CAST(r2s.r2 AS BIGINT) AS r2,
+       CAST(SUM(CASE WHEN (a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y) <= r2s.r2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pairs
+FROM pts a JOIN pts b ON a.k = b.k AND a.j < b.j, r2s
+GROUP BY a.k, r2s.r2
 """
     # kernel_density: value-exact pure-INTEGER — the quartic numerator
     # w * (8 - d2)^2 is a weighted points x cells range join; the peak

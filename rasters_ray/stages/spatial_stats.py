@@ -45,6 +45,9 @@ __all__ = [
     "variogram_images",
     "trend_surface",
     "trend_images",
+    "std_ellipse_ints",
+    "quadrat_vmr_ints",
+    "ripley_pair_counts",
 ]
 
 
@@ -428,3 +431,78 @@ def trend_images(images_ds):
         })
 
     return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- point patterns
+#
+# Centrographic and point-pattern statistics (the ArcGIS Spatial
+# Statistics "Measuring Geographic Distributions" / "Analyzing
+# Patterns" toolset; Ripley 1976 for K).  All three kernels reduce a
+# point cloud to INTEGER sufficient statistics so distributed partial
+# sums combine exactly and SQL oracles replay them bit-for-bit:
+#
+# * std_ellipse_ints: mean center + standard-deviational-ellipse
+#   moments.  Deviations are scaled by n to stay integral:
+#   sxx = n*sum(x^2) - sum(x)^2 (= n^2 * variance numerator), likewise
+#   syy and sxy — the ellipse axes/rotation are pure functions of the
+#   three (tan 2theta = 2*sxy / (sxx - syy)).
+# * quadrat_vmr_ints: counts per quadrat cell; the variance-mean-ratio
+#   test statistic kept integral as vmr_num = Q*sum(c^2) - n^2
+#   (= Q^2 * variance numerator; VMR = vmr_num / (Q * n) exactly,
+#   > 0 clustered, < 0 uniform for the scaled form).
+# * ripley_pair_counts: unordered pair counts within each squared
+#   radius — the unnormalized Ripley K(r) numerator (K = area *
+#   2*pairs / n^2 is a pure function of it).
+
+
+def std_ellipse_ints(pts: np.ndarray) -> tuple:
+    """(n, sum_x, sum_y, sxx, syy, sxy) int64 sufficient statistics of
+    the standard deviational ellipse for integer points (n, 2)."""
+    p = np.asarray(pts, dtype=np.int64)
+    if p.ndim != 2 or p.shape[1] != 2:
+        raise ValueError("std_ellipse_ints expects (n, 2) integer points")
+    n = np.int64(p.shape[0])
+    x, y = p[:, 0], p[:, 1]
+    sx, sy = x.sum(), y.sum()
+    return (
+        int(n), int(sx), int(sy),
+        int(n * (x * x).sum() - sx * sx),
+        int(n * (y * y).sum() - sy * sy),
+        int(n * (x * y).sum() - sx * sy),
+    )
+
+
+def quadrat_vmr_ints(pts: np.ndarray, extent: int, q: int) -> tuple:
+    """Quadrat analysis over a [0, extent)^2 domain cut into q x q
+    cells: (n, n_quadrats, sum_c2, max_c, vmr_num) with
+    vmr_num = Q*sum(c^2) - n^2.  Points outside the domain raise."""
+    p = np.asarray(pts, dtype=np.int64)
+    if p.ndim != 2 or p.shape[1] != 2:
+        raise ValueError("quadrat_vmr_ints expects (n, 2) integer points")
+    if extent % q:
+        raise ValueError("extent must divide into q quadrats evenly")
+    if p.size and (p.min() < 0 or p.max() >= extent):
+        raise ValueError("points outside the quadrat domain")
+    side = extent // q
+    cell = (p[:, 1] // side) * q + (p[:, 0] // side)
+    c = np.bincount(cell, minlength=q * q).astype(np.int64)
+    n = np.int64(p.shape[0])
+    Q = np.int64(q * q)
+    return (int(n), int(Q), int((c * c).sum()), int(c.max()) if c.size else 0,
+            int(Q * (c * c).sum() - n * n))
+
+
+def ripley_pair_counts(pts: np.ndarray, r2s) -> list:
+    """Unordered pair counts with squared Euclidean distance <= r2 for
+    each threshold (the exact Ripley K numerator; duplicates count at
+    distance 0).  O(n^2) per cloud by design — the per-group kernel of
+    a grid-bucketed two-stage plan at scale (bucket by cell, count
+    in-bucket + neighbor-bucket pairs; the thresholds bound the halo)."""
+    p = np.asarray(pts, dtype=np.int64)
+    if p.ndim != 2 or p.shape[1] != 2:
+        raise ValueError("ripley_pair_counts expects (n, 2) integer points")
+    d = p[:, None, :] - p[None, :, :]
+    d2 = (d * d).sum(axis=2)
+    iu = np.triu_indices(p.shape[0], k=1)
+    du = d2[iu]
+    return [int((du <= np.int64(r2)).sum()) for r2 in r2s]

@@ -245,3 +245,58 @@ def test_trend_surface_errors():
         trend_surface(np.zeros((1, 2), int))
     with pytest.raises(ValueError):
         trend_surface(np.array([[0.5, 1.0], [1.5, 2.0]]))
+
+
+def test_std_ellipse_ints_matches_numpy_moments():
+    from rasters_ray.stages.spatial_stats import std_ellipse_ints
+
+    rng = np.random.default_rng(5)
+    pts = rng.integers(0, 100, (37, 2))
+    n, sx, sy, sxx, syy, sxy = std_ellipse_ints(pts)
+    x = pts[:, 0].astype(float)
+    y = pts[:, 1].astype(float)
+    assert n == 37 and sx == pts[:, 0].sum() and sy == pts[:, 1].sum()
+    # n-scaled central moments: sxx / n^2 == biased variance
+    assert abs(sxx / n**2 - x.var()) < 1e-9
+    assert abs(syy / n**2 - y.var()) < 1e-9
+    assert abs(sxy / n**2 - ((x - x.mean()) * (y - y.mean())).mean()) < 1e-9
+    with pytest.raises(ValueError):
+        std_ellipse_ints(np.array([1, 2, 3]))
+
+
+def test_quadrat_vmr_ints_clustered_vs_uniform():
+    from rasters_ray.stages.spatial_stats import quadrat_vmr_ints
+
+    # perfectly uniform: one point per quadrat -> vmr_num = 0
+    g = np.arange(4)
+    uni = np.stack(np.meshgrid(g * 4, g * 4), axis=-1).reshape(-1, 2)
+    n, Q, c2, mx, v = quadrat_vmr_ints(uni, 16, 4)
+    assert (n, Q, c2, mx, v) == (16, 16, 16, 1, 0)
+    # fully clustered: all 16 in one quadrat -> max positive
+    clu = np.zeros((16, 2), dtype=np.int64)
+    n, Q, c2, mx, v = quadrat_vmr_ints(clu, 16, 4)
+    assert (c2, mx, v) == (256, 16, 16 * 256 - 256)
+    with pytest.raises(ValueError):
+        quadrat_vmr_ints(np.array([[16, 0]]), 16, 4)  # out of domain
+    with pytest.raises(ValueError):
+        quadrat_vmr_ints(uni, 15, 4)  # uneven split
+
+
+def test_ripley_pair_counts_bruteforce():
+    from rasters_ray.stages.spatial_stats import ripley_pair_counts
+
+    rng = np.random.default_rng(9)
+    pts = rng.integers(0, 16, (40, 2))
+    r2s = [0, 2, 8, 50, 1000]
+    got = ripley_pair_counts(pts, r2s)
+    for r2, g in zip(r2s, got):
+        want = sum(
+            1
+            for i in range(40)
+            for j in range(i + 1, 40)
+            if (pts[i, 0] - pts[j, 0]) ** 2 + (pts[i, 1] - pts[j, 1]) ** 2 <= r2
+        )
+        assert g == want
+    # monotone in r2 and duplicates count at distance 0
+    assert got == sorted(got)
+    assert ripley_pair_counts(np.zeros((3, 2), dtype=int), [0]) == [3]
