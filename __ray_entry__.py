@@ -6509,6 +6509,46 @@ def q_rank_filter(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_tophat(sf_dir: str):
+    """Grayscale top-hat transforms (stages/focal.py::tophat — the
+    scipy.ndimage white/black top-hat background removers): white =
+    z - dilate(erode(z)), black = erode(dilate(z)) - z with the full
+    3x3 element, two chained order-statistic passes (radius-2 halo in
+    the distributed form).  Per key the quadric surface on 16x16;
+    emits interior sums/maxima/positive counts.  The oracle replays
+    both passes as chained 3x3 MIN/MAX self-joins."""
+    from rasters_ray.stages.focal import tophat
+
+    r, c = np.indices((16, 16))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        cols = {n: [] for n in ("geom_id", "wth_sum", "wth_max", "n_wth_pos",
+                                "bth_sum", "bth_max", "n_bth_pos")}
+        for kk in k.tolist():
+            al, be, ga = kk % 3 - 1, kk % 4 - 1, kk % 5 - 2
+            a, b = kk % 7, kk % 11 - 5
+            z = (al * r * r + be * c * c + ga * r * c
+                 + a * r + b * c).astype(np.int64)
+            white, black = tophat(z)
+            cols["geom_id"].append(f"g{kk:06d}")
+            cols["wth_sum"].append(int(white.sum()))
+            cols["wth_max"].append(int(white.max()))
+            cols["n_wth_pos"].append(int((white > 0).sum()))
+            cols["bth_sum"].append(int(black.sum()))
+            cols["bth_max"].append(int(black.max()))
+            cols["n_bth_pos"].append(int((black > 0).sum()))
+        return pa.table({
+            "geom_id": pa.array(cols["geom_id"], pa.string()),
+            **{n: pa.array(cols[n], pa.int64())
+               for n in ("wth_sum", "wth_max", "n_wth_pos",
+                         "bth_sum", "bth_max", "n_bth_pos")},
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_otsu(sf_dir: str):
     """Otsu global thresholding (stages/radiometry.py::otsu_threshold
     — Otsu 1979, the skimage threshold_otsu operation): per key a
@@ -8354,6 +8394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curvature": q_curvature,
         "terrain_idx": q_terrain_idx,
         "rank_filter": q_rank_filter,
+        "tophat": q_tophat,
         "otsu": q_otsu,
         "point_density": q_point_density,
         "std_ellipse": q_std_ellipse,
@@ -10011,6 +10052,46 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(SUM(zc + mn) AS BIGINT) AS sum_erode,
        CAST(SUM(zc + mx) AS BIGINT) AS sum_dilate
 FROM w GROUP BY k
+"""
+    # tophat: two chained 3x3 order-statistic passes as self-joins on
+    # the quadric grid — e/dl on rows 1..14, opening/closing on 2..13
+    sql["tophat"] = """
+WITH n(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                          (0,1),(1,-1),(1,0),(1,1)),
+g AS (
+  SELECT c_custkey AS k, rr.r AS r, cc.c AS c,
+         ( (c_custkey % 3 - 1) * rr.r * rr.r
+         + (c_custkey % 4 - 1) * cc.c * cc.c
+         + (c_custkey % 5 - 2) * rr.r * cc.c
+         + (c_custkey % 7) * rr.r + (c_custkey % 11 - 5) * cc.c ) AS z
+  FROM customer, range(0, 16) rr(r), range(0, 16) cc(c)
+),
+e AS (
+  SELECT g.k, g.r, g.c, MIN(g2.z) AS ero, MAX(g2.z) AS dil
+  FROM g JOIN n ON TRUE
+  JOIN g g2 ON g2.k = g.k AND g2.r = g.r + n.dr AND g2.c = g.c + n.dc
+  WHERE g.r BETWEEN 1 AND 14 AND g.c BETWEEN 1 AND 14
+  GROUP BY g.k, g.r, g.c
+),
+o AS (
+  SELECT e.k, e.r, e.c, MAX(e2.ero) AS opn, MIN(e2.dil) AS cls
+  FROM e JOIN n ON TRUE
+  JOIN e e2 ON e2.k = e.k AND e2.r = e.r + n.dr AND e2.c = e.c + n.dc
+  WHERE e.r BETWEEN 2 AND 13 AND e.c BETWEEN 2 AND 13
+  GROUP BY e.k, e.r, e.c
+),
+th AS (
+  SELECT o.k, g.z - o.opn AS wth, o.cls - g.z AS bth
+  FROM o JOIN g ON g.k = o.k AND g.r = o.r AND g.c = o.c
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(SUM(wth) AS BIGINT) AS wth_sum,
+       CAST(MAX(wth) AS BIGINT) AS wth_max,
+       CAST(SUM(CASE WHEN wth > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wth_pos,
+       CAST(SUM(bth) AS BIGINT) AS bth_sum,
+       CAST(MAX(bth) AS BIGINT) AS bth_max,
+       CAST(SUM(CASE WHEN bth > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bth_pos
+FROM th GROUP BY k
 """
     # fill_sinks: value-exact pure-INTEGER — the pit fills to its
     # lowest rim a+2p-3; the filled total is constant: ramp sum 5760

@@ -48,6 +48,7 @@ __all__ = [
     "halo_exchange_tiled",
     "mode_filter",
     "rank_filter",
+    "tophat",
 ]
 
 
@@ -483,3 +484,36 @@ def rank_filter(canvas: np.ndarray) -> tuple:
     s = np.sort(np.where(np.isfinite(stack), stack, 0.0).astype(np.int64),
                 axis=0)
     return s[4], s[0], s[8], valid
+
+
+def tophat(canvas: np.ndarray) -> tuple:
+    """Grayscale morphological top-hat transforms with the full 3x3
+    structuring element (the classic background-removal / dark-spot
+    detectors; scipy.ndimage white_tophat / black_tophat semantics):
+
+    * white = a - opening(a)   where opening  = dilate(erode(a))
+    * black = closing(a) - a   where closing  = erode(dilate(a))
+
+    Both are >= 0 by construction.  Two chained window passes shrink
+    the valid region by 2 on each side, so for an (H, W) canvas the
+    returned arrays are (H-4, W-4) aligned to ``canvas[2:-2, 2:-2]``.
+    Order statistics only — int64-exact for integral pixels, bit-stable
+    under any tiling (the distributed form is ``halo_exchange_tiled``
+    with radius 2)."""
+    a = np.asarray(canvas)
+    if a.ndim != 2 or a.shape[0] < 5 or a.shape[1] < 5:
+        raise ValueError("tophat expects a 2D array >= 5x5")
+    if not np.issubdtype(a.dtype, np.integer):
+        if not np.all(np.isfinite(a)) or np.any(a != np.rint(a)):
+            raise ValueError("tophat requires integral pixels")
+    a = a.astype(np.int64)
+
+    def _win(x, f):
+        h, w = x.shape[0] - 2, x.shape[1] - 2
+        return f(np.stack([x[i:i + h, j:j + w]
+                           for i in range(3) for j in range(3)]), axis=0)
+
+    center = a[2:-2, 2:-2]
+    white = center - _win(_win(a, np.min), np.max)
+    black = _win(_win(a, np.max), np.min) - center
+    return white, black

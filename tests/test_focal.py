@@ -202,3 +202,50 @@ def test_rank_filter_nan_and_shape():
     assert valid[3, 0]
     with pytest.raises(ValueError):
         rank_filter(np.zeros((1, 9)))
+
+
+def test_tophat_bruteforce():
+    from rasters_ray.stages.focal import tophat
+
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 50, (12, 14)).astype(np.int64)
+    white, black = tophat(a)
+    assert white.shape == (8, 10) and black.shape == (8, 10)
+    H, W = a.shape
+    ero = np.zeros((H, W), dtype=np.int64)
+    dil = np.zeros((H, W), dtype=np.int64)
+    for r in range(1, H - 1):
+        for c in range(1, W - 1):
+            ero[r, c] = a[r - 1 : r + 2, c - 1 : c + 2].min()
+            dil[r, c] = a[r - 1 : r + 2, c - 1 : c + 2].max()
+    for r in range(2, H - 2):
+        for c in range(2, W - 2):
+            opn = ero[r - 1 : r + 2, c - 1 : c + 2].max()
+            cls = dil[r - 1 : r + 2, c - 1 : c + 2].min()
+            assert white[r - 2, c - 2] == a[r, c] - opn
+            assert black[r - 2, c - 2] == cls - a[r, c]
+    assert (white >= 0).all() and (black >= 0).all()
+
+
+def test_tophat_flat_and_spike():
+    from rasters_ray.stages.focal import tophat
+
+    # a flat surface has zero top-hats
+    flat = np.full((8, 8), 7, dtype=np.int64)
+    w, b = tophat(flat)
+    assert not w.any() and not b.any()
+    # a single bright spike in the interior survives opening removal:
+    # white top-hat recovers exactly the spike height at its cell
+    spike = np.zeros((9, 9), dtype=np.int64)
+    spike[4, 4] = 13
+    w, b = tophat(spike)
+    assert w[2, 2] == 13 and w.sum() == 13
+    # a dark pit is the dual: black top-hat recovers the depth
+    pit = np.full((9, 9), 20, dtype=np.int64)
+    pit[4, 4] = 6
+    w, b = tophat(pit)
+    assert b[2, 2] == 14 and b.sum() == 14
+    with pytest.raises(ValueError):
+        tophat(np.zeros((4, 9)))
+    with pytest.raises(ValueError):
+        tophat(np.array([[1.5] * 5] * 5))
