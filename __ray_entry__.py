@@ -6655,6 +6655,46 @@ def q_kernel_density(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_twi(sf_dir: str):
+    """Topographic Wetness Index ln(a / tan beta) binned integer-exactly
+    (hydrology.py::twi_bins): composes three REAL kernels — D8
+    flow_direction -> flow_accumulation -> Horn numerators — on the
+    per-key parabolic-ramp DEM z = (r + m)^2, m = k%5 + 1 (every cell
+    drains due north, so the oracle's closed forms A = 16 - r and
+    gy = 16(r + m) replay the comparison 16 - r >= 2t(r + m) exactly).
+    Emits the per-key histogram of bins over the 14x14 Horn-valid
+    interior.  Per-key map, no shuffle."""
+    from rasters_ray.stages.hydrology import (
+        flow_accumulation, flow_direction, twi_bins)
+    from rasters_ray.stages.terrain import horn_numerators
+
+    r, _ = np.indices((16, 16))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, bb, nn = [], [], []
+        for kk in k.tolist():
+            m = kk % 5 + 1
+            z = ((r + m) * (r + m)).astype(np.float64)
+            acc = flow_accumulation(flow_direction(z))
+            canvas = np.full((18, 18), np.nan)
+            canvas[1:-1, 1:-1] = z
+            gx, gy, valid = horn_numerators(canvas)
+            bins = twi_bins(acc, gx, gy)[valid]
+            for u, n in zip(*np.unique(bins, return_counts=True)):
+                gid.append(f"g{kk:06d}")
+                bb.append(int(u))
+                nn.append(int(n))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "bin": pa.array(bb, pa.int64()),
+            "n_px": pa.array(nn, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_std_ellipse(sf_dir: str):
     """Standard deviational ellipse / directional distribution (ArcGIS
     Measuring Geographic Distributions; spatial_stats.py::
@@ -8398,6 +8438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "otsu": q_otsu,
         "point_density": q_point_density,
         "std_ellipse": q_std_ellipse,
+        "twi": q_twi,
         "quadrat": q_quadrat,
         "ripley_k": q_ripley_k,
         "kernel_density": q_kernel_density,
@@ -9902,6 +9943,25 @@ SELECT printf('g%06d', tot.k) AS geom_id,
        CAST(best.r AS BIGINT) AS arg_r,
        CAST(best.c AS BIGINT) AS arg_c
 FROM tot JOIN best ON tot.k = best.k
+"""
+    # twi: on the due-north parabolic ramp the TWI comparison
+    # 64*A^2 >= t^2*S2 telescopes to 16 - r >= 2t(r + m); each interior
+    # row carries 14 Horn-valid columns
+    sql["twi"] = """
+WITH rws AS (
+  SELECT c_custkey AS k, c_custkey % 5 + 1 AS m, rr.r AS r
+  FROM customer, range(1, 15) rr(r)
+),
+b AS (
+  SELECT k, r,
+         SUM(CASE WHEN 16 - r >= 2 * t.t * (r + m) THEN 1 ELSE 0 END) AS bin
+  FROM rws, (VALUES (1), (2), (4), (8), (16)) t(t)
+  GROUP BY k, r
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(bin AS BIGINT) AS bin,
+       CAST(14 * COUNT(*) AS BIGINT) AS n_px
+FROM b GROUP BY k, bin
 """
     # std_ellipse: n-scaled central second moments of the point cloud,
     # pure integer aggregation over the generated points

@@ -56,6 +56,7 @@ __all__ = [
     "watershed_tiled",
     "strahler_order",
     "flow_length",
+    "twi_bins",
 ]
 
 # neighbor table in ESRI code order: (code, dr, dc, diagonal?)
@@ -918,3 +919,34 @@ def flow_length(fdir: np.ndarray, upstream: bool = False) -> np.ndarray:
         np.add.at(indeg, dst, -1)
         frontier = np.unique(dst[indeg[dst] == 0])
     return ul.reshape(h, w)
+
+
+def twi_bins(acc: np.ndarray, gx_num: np.ndarray, gy_num: np.ndarray,
+             cell: int = 1, thresholds=(1, 2, 4, 8, 16)) -> np.ndarray:
+    """Topographic Wetness Index (Beven & Kirkby 1979,
+    ``ln(a / tan beta)``) binned WITHOUT materializing floats.
+
+    Inputs are co-registered integer fields: D8 upstream counts ``acc``
+    (contributing area A = acc + 1 cells), Horn gradient NUMERATORS
+    (``terrain.horn_numerators``; tan beta = sqrt(gx^2 + gy^2) /
+    (8 * cell)).  TWI is monotone in T = 8 * cell * A / sqrt(S2) with
+    S2 = gx^2 + gy^2, so ``bin = #{t in thresholds : T >= t}`` reduces
+    to the integer comparison ``64 * cell^2 * A^2 >= t^2 * S2`` —
+    bit-stable under any tiling, replayable in SQL.  Flat cells
+    (S2 == 0, TWI infinite) return -1; thresholds must be ascending
+    positive integers."""
+    a = np.asarray(acc, dtype=np.int64)
+    gx = np.asarray(gx_num, dtype=np.int64)
+    gy = np.asarray(gy_num, dtype=np.int64)
+    if not (a.shape == gx.shape == gy.shape):
+        raise ValueError("twi_bins inputs must be co-registered")
+    ts = [int(t) for t in thresholds]
+    if not ts or any(t <= 0 for t in ts) or sorted(ts) != ts:
+        raise ValueError("thresholds must be ascending positive integers")
+    A = a + 1
+    s2 = gx * gx + gy * gy
+    lhs = 64 * int(cell) * int(cell) * A * A
+    out = np.zeros(a.shape, dtype=np.int64)
+    for t in ts:
+        out += lhs >= t * t * s2
+    return np.where(s2 == 0, np.int64(-1), out)

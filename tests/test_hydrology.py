@@ -467,3 +467,42 @@ def test_flow_length_diagonal_weight():
     ul = flow_length(fd, upstream=True)
     assert dl[0, 0] == 15 and dl[3, 3] == 6  # 3 per diagonal hop
     assert ul[5, 5] == 15 and ul[2, 2] == 6
+
+
+def test_twi_bins_exact_and_guards():
+    from rasters_ray.stages.hydrology import twi_bins
+
+    # T = 8*A/sqrt(S2); thresholds 1,2,4: A=4, S2=64 -> T = 4 -> bin 3
+    b = twi_bins(np.array([[3]]), np.array([[8]]), np.array([[0]]),
+                 thresholds=(1, 2, 4))
+    assert b[0, 0] == 3
+    # just below a threshold: A=3, S2=64 -> T=3 -> only t=1,2 pass
+    b = twi_bins(np.array([[2]]), np.array([[0]]), np.array([[8]]),
+                 thresholds=(1, 2, 4))
+    assert b[0, 0] == 2
+    # flat -> -1
+    assert twi_bins(np.array([[9]]), np.array([[0]]), np.array([[0]]))[0, 0] == -1
+    # cell size scales T linearly: doubling cell doubles T
+    lo = twi_bins(np.array([[3]]), np.array([[8]]), np.array([[0]]),
+                  cell=1, thresholds=(8,))
+    hi = twi_bins(np.array([[3]]), np.array([[8]]), np.array([[0]]),
+                  cell=2, thresholds=(8,))
+    assert lo[0, 0] == 0 and hi[0, 0] == 1
+    # float-reference agreement away from exact boundaries
+    rng = np.random.default_rng(4)
+    acc = rng.integers(0, 100, (20, 20))
+    gx = rng.integers(-50, 50, (20, 20))
+    gy = rng.integers(-50, 50, (20, 20))
+    got = twi_bins(acc, gx, gy, thresholds=(3, 7, 13))
+    s2 = gx.astype(float) ** 2 + gy.astype(float) ** 2
+    with np.errstate(divide="ignore"):
+        T = 8.0 * (acc + 1) / np.sqrt(s2)
+    want = np.where(s2 == 0, -1, sum((T >= t) for t in (3, 7, 13)))
+    # exclude exact-boundary cells where float sqrt could tip either way
+    safe = (s2 == 0) | (np.abs(64 * (acc + 1) ** 2 - 9 * s2) > 1e-6)
+    assert (got == want)[safe].all()
+    with pytest.raises(ValueError):
+        twi_bins(np.zeros((2, 2)), np.zeros((2, 3)), np.zeros((2, 2)))
+    with pytest.raises(ValueError):
+        twi_bins(np.zeros((2, 2)), np.zeros((2, 2)), np.zeros((2, 2)),
+                 thresholds=(4, 2))
