@@ -6695,6 +6695,41 @@ def q_twi(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_hull(sf_dir: str):
+    """Convex hull extreme points (geomvec.py::convex_hull, Andrew
+    monotone chain, collinear dropped = GEOS convention): per key the
+    16-point cloud's distinct-point count, hull vertex count and hull
+    coordinate sums.  The oracle replays the DEFINITION: p is extreme
+    iff it is in no triangle (Caratheodory) and on no segment of the
+    other distinct points — an EXISTS anti-join, no chain walk."""
+    from rasters_ray.stages.geomvec import convex_hull
+
+    j = np.arange(16)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, npts, nh, sx, sy = [], [], [], [], []
+        for kk in k.tolist():
+            pts = np.stack([(kk * j) % 16, (kk + 3 * j) % 16],
+                           axis=1).astype(np.float64)
+            hull = convex_hull(pts)[:-1]  # drop closing vertex
+            gid.append(f"g{kk:06d}")
+            npts.append(len(np.unique(pts, axis=0)))
+            nh.append(len(hull))
+            sx.append(int(hull[:, 0].sum()))
+            sy.append(int(hull[:, 1].sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_pts": pa.array(npts, pa.int64()),
+            "n_hull": pa.array(nh, pa.int64()),
+            "sum_hx": pa.array(sx, pa.int64()),
+            "sum_hy": pa.array(sy, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_std_ellipse(sf_dir: str):
     """Standard deviational ellipse / directional distribution (ArcGIS
     Measuring Geographic Distributions; spatial_stats.py::
@@ -8439,6 +8474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "point_density": q_point_density,
         "std_ellipse": q_std_ellipse,
         "twi": q_twi,
+        "hull": q_hull,
         "quadrat": q_quadrat,
         "ripley_k": q_ripley_k,
         "kernel_density": q_kernel_density,
@@ -9962,6 +9998,54 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(bin AS BIGINT) AS bin,
        CAST(14 * COUNT(*) AS BIGINT) AS n_px
 FROM b GROUP BY k, bin
+"""
+    # hull: extreme-point characterization — p is NOT a hull vertex iff
+    # it lies in a non-degenerate triangle of other distinct points
+    # (inside-or-on via three same-sign cross products) or on a segment
+    # between two of them (zero cross + non-positive dot)
+    sql["hull"] = """
+WITH raw AS (
+  SELECT c_custkey AS k,
+         (c_custkey * j.j) % 16 AS x,
+         (c_custkey + 3 * j.j) % 16 AS y
+  FROM customer, range(0, 16) j(j)
+),
+pts AS (SELECT DISTINCT k, x, y FROM raw),
+ext AS (
+  SELECT p.k, p.x, p.y,
+         NOT EXISTS (
+           SELECT 1 FROM pts a, pts b, pts c
+           WHERE a.k = p.k AND b.k = p.k AND c.k = p.k
+             AND (a.x, a.y) <> (p.x, p.y)
+             AND (b.x, b.y) <> (p.x, p.y)
+             AND (c.x, c.y) <> (p.x, p.y)
+             AND (b.x - a.x) * (c.y - a.y)
+               - (b.y - a.y) * (c.x - a.x) <> 0
+             AND ( ( (b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x) >= 0
+                 AND (c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x) >= 0
+                 AND (a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x) >= 0 )
+                OR ( (b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x) <= 0
+                 AND (c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x) <= 0
+                 AND (a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x) <= 0 ) )
+         )
+         AND NOT EXISTS (
+           SELECT 1 FROM pts q, pts r2
+           WHERE q.k = p.k AND r2.k = p.k
+             AND (q.x, q.y) <> (p.x, p.y)
+             AND (r2.x, r2.y) <> (p.x, p.y)
+             AND (r2.x - q.x) * (p.y - q.y)
+               - (r2.y - q.y) * (p.x - q.x) = 0
+             AND (p.x - q.x) * (p.x - r2.x)
+               + (p.y - q.y) * (p.y - r2.y) <= 0
+         ) AS is_ext
+  FROM pts p
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM(CASE WHEN is_ext THEN 1 ELSE 0 END) AS BIGINT) AS n_hull,
+       CAST(SUM(CASE WHEN is_ext THEN x ELSE 0 END) AS BIGINT) AS sum_hx,
+       CAST(SUM(CASE WHEN is_ext THEN y ELSE 0 END) AS BIGINT) AS sum_hy
+FROM ext GROUP BY k
 """
     # std_ellipse: n-scaled central second moments of the point cloud,
     # pure integer aggregation over the generated points
