@@ -5854,6 +5854,41 @@ def q_cost_dist(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_corridor(sf_dir: str):
+    """Least-cost corridor (hydrology.py::corridor — ArcGIS Corridor):
+    sum of the two chamfer-2-3 cost surfaces from sources
+    A = (k%16, k%13) and B = (15 - k%16, (k+7)%13 + 3) on uniform cost;
+    emits the corridor minimum (= chamfer d(A,B)), the count of cells
+    within min + 8, and the whole-grid corridor sum — all replayed in
+    SQL from the closed-form 4*max + 2*min chamfer norm."""
+    from rasters_ray.stages.hydrology import corridor
+
+    ones = np.ones((16, 16), dtype=np.int64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, mn, nw, sm = [], [], [], []
+        for kk in k.tolist():
+            sa = np.zeros((16, 16), dtype=bool)
+            sb = np.zeros((16, 16), dtype=bool)
+            sa[kk % 16, kk % 13] = True
+            sb[15 - kk % 16, (kk + 7) % 13 + 3] = True
+            f = corridor(ones, sa, sb)
+            gid.append(f"g{kk:06d}")
+            mn.append(int(f.min()))
+            nw.append(int((f <= f.min() + 8).sum()))
+            sm.append(int(f.sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "min_corr": pa.array(mn, pa.int64()),
+            "n_within": pa.array(nw, pa.int64()),
+            "sum_corr": pa.array(sm, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_watershed(sf_dir: str):
     """Watershed delineation (stages/hydrology.py::watershed — basin
     labels by pointer-jumping over the D8 downstream forest, Jenson &
@@ -8448,6 +8483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_profile": q_raster_profile,
         "flow_acc": q_flow_acc,
         "cost_dist": q_cost_dist,
+        "corridor": q_corridor,
         "watershed": q_watershed,
         "cost_path": q_cost_path,
         "flow_tiled": q_flow_tiled,
@@ -9502,6 +9538,31 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(4 * GREATEST(15 - sr, 15 - sc)
             + 2 * LEAST(15 - sr, 15 - sc) AS BIGINT) AS d_far
 FROM s
+"""
+    # corridor: per-cell sum of the two closed-form chamfer norms over
+    # the full 16x16 grid
+    sql["corridor"] = """
+WITH s AS (
+  SELECT c_custkey AS k,
+         c_custkey % 16 AS ar, c_custkey % 13 AS ac,
+         15 - c_custkey % 16 AS br, (c_custkey + 7) % 13 + 3 AS bc
+  FROM customer
+),
+f AS (
+  SELECT k,
+         4 * GREATEST(abs(rr.r - ar), abs(cc.c - ac))
+       + 2 * LEAST(abs(rr.r - ar), abs(cc.c - ac))
+       + 4 * GREATEST(abs(rr.r - br), abs(cc.c - bc))
+       + 2 * LEAST(abs(rr.r - br), abs(cc.c - bc)) AS v
+  FROM s, range(0, 16) rr(r), range(0, 16) cc(c)
+),
+m AS (SELECT k, MIN(v) AS mn, SUM(v) AS sm FROM f GROUP BY k)
+SELECT printf('g%06d', m.k) AS geom_id,
+       CAST(m.mn AS BIGINT) AS min_corr,
+       CAST(COUNT(*) FILTER (WHERE f.v <= m.mn + 8) AS BIGINT) AS n_within,
+       CAST(m.sm AS BIGINT) AS sum_corr
+FROM m JOIN f ON f.k = m.k
+GROUP BY m.k, m.mn, m.sm
 """
     # watershed: value-exact pure-INTEGER — the ridge DEM -|c - w|
     # splits every row at w = k%14+1 (ridge cell tie-breaks E-first);

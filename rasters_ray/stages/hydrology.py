@@ -57,6 +57,7 @@ __all__ = [
     "strahler_order",
     "flow_length",
     "twi_bins",
+    "corridor",
 ]
 
 # neighbor table in ESRI code order: (code, dr, dc, diagonal?)
@@ -950,3 +951,17 @@ def twi_bins(acc: np.ndarray, gx_num: np.ndarray, gy_num: np.ndarray,
     for t in ts:
         out += lhs >= t * t * s2
     return np.where(s2 == 0, np.int64(-1), out)
+
+
+def corridor(cost: np.ndarray, src_a: np.ndarray, src_b: np.ndarray) -> np.ndarray:
+    """Least-cost corridor (ArcGIS Corridor / GRASS r.cost pairs): the
+    per-cell sum of the two chamfer-2-3 accumulated-cost surfaces from
+    ``src_a`` and ``src_b``.  Cells on an optimal A-B path attain the
+    global minimum (= the chamfer distance d(A, B)); widening the
+    corridor is thresholding at min + tolerance.  Unreachable cells in
+    either surface stay at int64 max (no overflow on the sum)."""
+    da = cost_distance(cost, src_a)
+    db = cost_distance(cost, src_b)
+    big = np.iinfo(np.int64).max
+    out = da + db  # both reachable: exact; else clamp below
+    return np.where((da == big) | (db == big), big, out)

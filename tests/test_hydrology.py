@@ -506,3 +506,44 @@ def test_twi_bins_exact_and_guards():
     with pytest.raises(ValueError):
         twi_bins(np.zeros((2, 2)), np.zeros((2, 2)), np.zeros((2, 2)),
                  thresholds=(4, 2))
+
+
+def test_corridor_uniform_cost_closed_form():
+    from rasters_ray.stages.hydrology import corridor
+
+    ones = np.ones((10, 12), dtype=np.int64)
+    sa = np.zeros((10, 12), dtype=bool)
+    sb = np.zeros((10, 12), dtype=bool)
+    sa[2, 3] = True
+    sb[7, 9] = True
+    f = corridor(ones, sa, sb)
+
+    def cham(r, c, sr, sc):
+        a, b = abs(r - sr), abs(c - sc)
+        return 4 * max(a, b) + 2 * min(a, b)
+
+    for r in range(10):
+        for c in range(12):
+            assert f[r, c] == cham(r, c, 2, 3) + cham(r, c, 7, 9)
+    # the corridor minimum equals the A-B chamfer distance and is
+    # attained at both endpoints
+    assert f.min() == cham(7, 9, 2, 3)
+    assert f[2, 3] == f.min() and f[7, 9] == f.min()
+
+
+def test_corridor_barrier_cost():
+    from rasters_ray.stages.hydrology import corridor
+
+    # a high-cost wall forces the corridor around it: min exceeds the
+    # uniform-cost chamfer distance
+    cost = np.ones((7, 7), dtype=np.int64)
+    cost[:6, 3] = 1000
+    sa = np.zeros((7, 7), dtype=bool)
+    sb = np.zeros((7, 7), dtype=bool)
+    sa[0, 0] = True
+    sb[0, 6] = True
+    f = corridor(cost, sa, sb)
+    assert f.min() > 4 * 6  # uniform closed form would be 24
+    # every min cell lies on a path through the gap row
+    rows = np.argwhere(f == f.min())[:, 0]
+    assert rows.max() >= 5
