@@ -3916,6 +3916,19 @@ def q_bigram_coverage(sf_dir: str):
     return bigram_coverage(_read(sf_dir, "documents", ["doc_id", "text"]), k=200)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (text/analysis.py::decontaminate — the
+    GPT-3 appendix-C training-data hygiene pass): documents with
+    doc_id % 37 == 0 form the held-out benchmark; every other document
+    is scanned for shared word 5-grams against the broadcast benchmark
+    gram set.  Corpus pass is shuffle-free; the benchmark side is
+    driver-small by construction."""
+    from rasters_ray.text.analysis import decontaminate
+
+    return decontaminate(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         bench_mod=37, n=5)
+
+
 def q_proximity(sf_dir: str):
     """Capped L1 distance transform (gdal_proximity analog): one
     radius-R halo exchange makes the capped transform EXACT per tile —
@@ -8423,6 +8436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hillshade": q_hillshade,
         "funnel": q_funnel,
         "bigram_coverage": q_bigram_coverage,
+        "decontaminate": q_decontaminate,
         "proximity": q_proximity,
         "streaming_dedup": q_streaming_dedup,
         "chunk_spans": q_chunk_spans,
@@ -13408,6 +13422,26 @@ SELECT l.doc_id,
        CAST(greatest(len(l.ws) - 1, 0) AS BIGINT) AS n_bigrams,
        COALESCE(kc.c, 0) AS n_known
 FROM l LEFT JOIN kc ON kc.doc_id = l.doc_id
+"""
+
+    # decontaminate: 5-grams via list_transform; benchmark = doc_id%37=0
+    sql["decontaminate"] = r"""
+WITH l AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 3),
+                    i -> ws[i] || chr(32) || ws[i + 1] || chr(32) || ws[i + 2]
+                         || chr(32) || ws[i + 3] || chr(32) || ws[i + 4])) AS gm
+      FROM l),
+bench AS (SELECT DISTINCT gm FROM g WHERE doc_id % 37 = 0),
+hits AS (SELECT g.doc_id, COUNT(*) AS h, COUNT(DISTINCT g.gm) AS dh
+         FROM g JOIN bench ON bench.gm = g.gm
+         WHERE g.doc_id % 37 <> 0 GROUP BY g.doc_id)
+SELECT l.doc_id,
+       CAST(greatest(len(ws) - 4, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(hits.h, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(hits.dh, 0) AS BIGINT) AS n_distinct_hits
+FROM l LEFT JOIN hits USING (doc_id)
+WHERE l.doc_id % 37 <> 0
 """
 
     sql["funnel"] = """

@@ -657,3 +657,84 @@ def bigram_coverage(docs_ds, k: int = 200, id_col: str = "doc_id",
         })
 
     return docs_ds.map_batches(coverage, batch_format="pyarrow")
+
+
+def decontaminate(docs_ds, bench_mod: int = 37, n: int = 5,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM
+    training-data hygiene step): flag corpus documents that share any
+    word n-gram with a held-out benchmark set.
+
+    Benchmark membership here is ``doc_id % bench_mod == 0`` — the
+    benchmark is the SMALL side by construction, which is what makes
+    the broadcast shape right: pass 1 collects the benchmark's
+    DISTINCT n-grams (per-batch dedup, driver-small union, one
+    ``ray.put``); pass 2 scans the corpus once, counting each
+    non-benchmark document's n-gram occurrences against the broadcast
+    sorted array by ``np.searchsorted``.  No shuffle touches the
+    corpus; at 100 TB the corpus-side pass is embarrassingly parallel.
+
+    -> Dataset[(doc_id, n_grams, n_hits, n_distinct_hits)] over
+    non-benchmark documents; contaminated = n_hits > 0."""
+    import ray
+
+    if n < 1:
+        raise ValueError("n-gram order must be >= 1")
+
+    def _doc_grams(txt: str) -> np.ndarray:
+        ws = _TOKEN_RE.findall(txt or "")
+        if len(ws) < n:
+            return np.array([], dtype=object)
+        a = np.asarray(ws, dtype=object)
+        g = a[: len(a) - n + 1]
+        for i in range(1, n):
+            g = g + " " + a[i : len(a) - n + 1 + i]
+        return g
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        keep = ids % bench_mod == 0
+        grams: list = []
+        for txt in np.asarray(t.column(text_col).to_pylist(), dtype=object)[keep]:
+            g = _doc_grams(txt)
+            if len(g):
+                grams.append(np.unique(g))
+        allg = (np.unique(np.concatenate(grams)) if grams
+                else np.array([], dtype=object))
+        return pa.table({"gm": pa.array(allg, pa.string())})
+
+    bench = (
+        docs_ds.map_batches(bench_partial, batch_format="pyarrow")
+        .to_pandas()  # distinct grams of the SMALL benchmark side
+    )
+    bench_sorted = np.sort(np.unique(bench["gm"].to_numpy(dtype=object)))
+    ref = ray.put(bench_sorted)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bg = ray.get(ref)
+        ids = t.column(id_col).to_numpy()
+        txts = t.column(text_col).to_pylist()
+        out_id, out_n, out_h, out_d = [], [], [], []
+        for did, txt in zip(ids.tolist(), txts):
+            if did % bench_mod == 0:
+                continue
+            g = _doc_grams(txt)
+            out_id.append(did)
+            out_n.append(len(g))
+            if len(g) and len(bg):
+                pos = np.searchsorted(bg, g)
+                pos[pos >= len(bg)] = len(bg) - 1
+                hit = bg[pos] == g
+                out_h.append(int(hit.sum()))
+                out_d.append(len(np.unique(g[hit])))
+            else:
+                out_h.append(0)
+                out_d.append(0)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_grams": pa.array(out_n, pa.int64()),
+            "n_hits": pa.array(out_h, pa.int64()),
+            "n_distinct_hits": pa.array(out_d, pa.int64()),
+        })
+
+    return docs_ds.map_batches(scan, batch_format="pyarrow")
