@@ -2939,6 +2939,44 @@ def q_components(sf_dir: str):
     return cluster_sizes(connected_components(edges))
 
 
+def q_hilbert(sf_dir: str):
+    """Hilbert-curve locality keys (grids/cellkey.py::hilbert_key — the
+    canonical xy2d bit algorithm): per key the 64-point cloud maps to
+    d in [0, 256) at bits=4; emits the per-key histogram of coarse
+    key ranges (bucket = d >> 4) plus the key sum — the
+    range-partitioning layout with strictly tighter shard bounding
+    boxes than Morton.  The oracle unrolls the four rotate/reflect
+    iterations as chained CTEs."""
+    from rasters_ray.grids.cellkey import hilbert_key
+
+    j = np.arange(64)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, bb, nn, ss = [], [], [], []
+        for kk in k.tolist():
+            d = hilbert_key((kk * j) % 16, (kk + 3 * j) % 16, bits=4)
+            bucket = d >> 4
+            ub, inv = np.unique(bucket, return_inverse=True)
+            cnt = np.bincount(inv)
+            dsum = np.zeros(len(ub), dtype=np.int64)
+            np.add.at(dsum, inv, d)
+            for u, n, s in zip(ub.tolist(), cnt.tolist(), dsum.tolist()):
+                gid.append(f"g{kk:06d}")
+                bb.append(u)
+                nn.append(n)
+                ss.append(s)
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "bucket": pa.array(bb, pa.int64()),
+            "n_pts": pa.array(nn, pa.int64()),
+            "sum_d": pa.array(ss, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_zorder_buckets(sf_dir: str):
     """Z-order (Morton) locality layout: points -> level-12 cell indices
     -> bit-interleaved curve key -> coarse key-range buckets with
@@ -8411,6 +8449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain": q_terrain,
         "bloom_semi": q_bloom_semi,
         "zorder_buckets": q_zorder_buckets,
+        "hilbert": q_hilbert,
         "components": q_components,
         "label_components": q_label_components,
         "morphology": q_morphology,
@@ -12946,6 +12985,38 @@ SELECT node, MIN(lbl) AS root FROM walk GROUP BY node
         f"(((ix >> {b}) & 1) << {2 * b}) + (((iy >> {b}) & 1) << {2 * b + 1})"
         for b in range(12)
     )
+    # hilbert: the xy2d loop unrolled for bits=4 — four rotate/reflect
+    # CTE steps (s = 8, 4, 2, 1), reflections through the full-grid
+    # complement 15, d increments s*s*xor(3*rx, ry)
+    _hstep = """
+h{o} AS (
+  SELECT k,
+         d{i} + {s} * {s} * xor(3 * (CASE WHEN x{i} & {s} > 0 THEN 1 ELSE 0 END),
+                                (CASE WHEN y{i} & {s} > 0 THEN 1 ELSE 0 END)) AS d{o},
+         CASE WHEN y{i} & {s} = 0 THEN
+              CASE WHEN x{i} & {s} > 0 THEN 15 - y{i} ELSE y{i} END
+              ELSE x{i} END AS x{o},
+         CASE WHEN y{i} & {s} = 0 THEN
+              CASE WHEN x{i} & {s} > 0 THEN 15 - x{i} ELSE x{i} END
+              ELSE y{i} END AS y{o}
+  FROM h{i})"""
+    sql["hilbert"] = ("""
+WITH h0 AS (
+  SELECT c_custkey AS k,
+         (c_custkey * j.j) % 16 AS x0,
+         (c_custkey + 3 * j.j) % 16 AS y0,
+         0 AS d0
+  FROM customer, range(0, 64) j(j)
+),"""
+        + ",".join(_hstep.format(i=i, o=i + 1, s=s)
+                   for i, s in enumerate((8, 4, 2, 1)))
+        + """
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(d4 // 16 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM(d4) AS BIGINT) AS sum_d
+FROM h4 GROUP BY k, d4 // 16
+""")
     sql["zorder_buckets"] = f"""
 WITH {_PTS_CTE.strip()},
 idx AS (SELECT {_ix12} AS ix, {_iy12} AS iy FROM pts),

@@ -203,3 +203,57 @@ def morton_decode(zkey, bits: int = 28) -> Tuple[np.ndarray, np.ndarray]:
         ix |= ((z >> np.uint64(2 * b)) & np.uint64(1)).astype(np.int64) << b
         iy |= ((z >> np.uint64(2 * b + 1)) & np.uint64(1)).astype(np.int64) << b
     return ix, iy
+
+
+def hilbert_key(ix, iy, bits: int = 14) -> np.ndarray:
+    """Vectorized Hilbert-curve index (the classic xy2d bit algorithm,
+    Hilbert 1891; public-domain formulation as on the Wikipedia
+    "Hilbert curve" page): maps low-``bits`` (ix, iy) to d in
+    [0, 4^bits).  Hilbert keys preserve locality strictly better than
+    Morton — every curve step is a unit grid step, so range-partitioning
+    the key yields shards with tighter bounding boxes (fewer partitions
+    touched per spatial range scan) than ``morton_key``."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    n = np.int64(1) << bits
+    if (x < 0).any() or (y < 0).any() or (x >= n).any() or (y >= n).any():
+        raise ValueError(f"indices out of [0, 2^{bits})")
+    d = np.zeros(np.broadcast(x, y).shape, dtype=np.int64)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate/reflect the quadrant frame (ry == 0: swap, rx == 1:
+        # reflect through the FULL grid complement n-1 — the canonical
+        # xy2d convention)
+        swap = ry == 0
+        xr = np.where(rx == 1, n - 1 - x, x)
+        yr = np.where(rx == 1, n - 1 - y, y)
+        x, y = np.where(swap, yr, x), np.where(swap, xr, y)
+        s >>= 1
+    return d
+
+
+def hilbert_decode(d, bits: int = 14):
+    """Inverse of :func:`hilbert_key` (d2xy; rotations use the CURRENT
+    sub-square size, per the canonical pair)."""
+    t = np.asarray(d, dtype=np.int64).copy()
+    x = np.zeros(t.shape, dtype=np.int64)
+    y = np.zeros(t.shape, dtype=np.int64)
+    s = np.int64(1)
+    n = np.int64(1) << bits
+    while s < n:
+        rx = 1 & (t >> 1)
+        ry = 1 & (t ^ rx)
+        swap = ry == 0
+        xr = np.where(rx == 1, s - 1 - x, x)
+        yr = np.where(rx == 1, s - 1 - y, y)
+        x, y = np.where(swap, yr, x), np.where(swap, xr, y)
+        x += s * rx
+        y += s * ry
+        t >>= 2
+        s <<= 1
+    return x, y

@@ -1,6 +1,7 @@
 """Hierarchical cell key encoder: encode/decode, covering, compaction."""
 
 import numpy as np
+import pytest
 
 from rasters_ray.grids import cellkey
 
@@ -122,3 +123,34 @@ def test_morton_locality_beats_row_major():
     z_order = np.argsort(morton_key(ix, iy, bits=8), kind="stable")
     x_order = np.lexsort((iy, ix))
     assert mean_step(z_order) < mean_step(x_order)
+
+
+def test_hilbert_key_bijection_and_locality():
+    from rasters_ray.grids.cellkey import hilbert_decode, hilbert_key, morton_key
+
+    for bits in (1, 2, 4, 6):
+        n = 1 << bits
+        xx, yy = np.meshgrid(np.arange(n), np.arange(n))
+        d = hilbert_key(xx.ravel(), yy.ravel(), bits=bits)
+        assert sorted(d.tolist()) == list(range(n * n))  # bijection
+        rx, ry = hilbert_decode(d, bits=bits)
+        assert (rx == xx.ravel()).all() and (ry == yy.ravel()).all()
+        # the defining property Morton lacks: every consecutive curve
+        # step is a UNIT grid step
+        order = np.argsort(d)
+        px, py = xx.ravel()[order], yy.ravel()[order]
+        assert (np.abs(np.diff(px)) + np.abs(np.diff(py)) == 1).all()
+    # 2x2 canonical orientation
+    assert hilbert_key(np.array([0, 0, 1, 1]), np.array([0, 1, 1, 0]),
+                       bits=1).tolist() == [0, 1, 2, 3]
+    # Morton violates unit-step (jump at quadrant crossings)
+    xx, yy = np.meshgrid(np.arange(4), np.arange(4))
+    z = morton_key(xx.ravel(), yy.ravel(), bits=2)
+    order = np.argsort(z)
+    steps = (np.abs(np.diff(xx.ravel()[order]))
+             + np.abs(np.diff(yy.ravel()[order])))
+    assert steps.max() > 1
+    with pytest.raises(ValueError):
+        hilbert_key(np.array([4]), np.array([0]), bits=2)
+    with pytest.raises(ValueError):
+        hilbert_key(np.array([0]), np.array([0]), bits=0)
