@@ -738,6 +738,18 @@ def q_mann_kendall(sf_dir: str):
     return stack_mann_kendall(_images_ds(sf_dir, N_IMG_MERGE), _stack_key8, tile=25)
 
 
+def q_theil_sen(sf_dir: str):
+    """Theil-Sen robust slope over epoch stacks
+    (temporal.py::stack_theil_sen): the lower median of pairwise slopes
+    selected by exact cross-multiplication and reported as a reduced
+    fraction histogram per stack.  SQL replays the selection with the
+    order-statistic characterization #{<} <= 2 < #{<=} over a
+    pairs x pairs self-join and reduces with gcd."""
+    from rasters_ray.stages.temporal import stack_theil_sen
+
+    return stack_theil_sen(_images_ds(sf_dir, N_IMG_MERGE), _stack_key8, tile=25)
+
+
 def q_qa_bitmask(sf_dir: str):
     """QA bitfield tabulation (radiometry.py::qa_tabulate_images — the
     Landsat QA_PIXEL decode): per image, pixel counts per (field, code)
@@ -8413,6 +8425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_composite": q_median_composite,
         "pixel_trend": q_pixel_trend,
         "mann_kendall": q_mann_kendall,
+        "theil_sen": q_theil_sen,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -12491,6 +12504,40 @@ SELECT k AS stack_key, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(SUM(CASE WHEN slope = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
        CAST(SUM(slope) AS BIGINT) AS sum_slope_num
 FROM num GROUP BY k
+"""
+
+    # Theil-Sen: the 6 pairwise slopes per pixel; the lower median is
+    # the slope s with #{s' < s} <= 2 < #{s' <= s} (exact cross-
+    # multiplied comparisons, dt > 0); gcd-reduce, dedup per pixel,
+    # histogram per stack
+    sql["theil_sen"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT d % 8 AS k, d // 8 AS t, r.range AS r, c.range AS c,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS v
+  FROM imgs, range(100) r, range(100) c
+),
+sl AS (
+  SELECT a.k, a.r, a.c, a.t * 10 + b.t AS p,
+         b.v - a.v AS dv, b.t - a.t AS dt
+  FROM px a JOIN px b ON a.k = b.k AND a.r = b.r AND a.c = b.c AND a.t < b.t
+),
+cand AS (
+  SELECT s.k, s.r, s.c, s.dv, s.dt,
+         SUM(CASE WHEN o.dv * s.dt < s.dv * o.dt THEN 1 ELSE 0 END) AS lt,
+         SUM(CASE WHEN o.dv * s.dt <= s.dv * o.dt THEN 1 ELSE 0 END) AS le
+  FROM sl s JOIN sl o ON o.k = s.k AND o.r = s.r AND o.c = s.c
+  GROUP BY s.k, s.r, s.c, s.p, s.dv, s.dt
+),
+med AS (
+  SELECT DISTINCT k, r, c,
+         dv // greatest(gcd(abs(dv), dt), 1) AS num,
+         dt // greatest(gcd(abs(dv), dt), 1) AS den
+  FROM cand WHERE lt <= 2 AND le > 2
+)
+SELECT k AS stack_key, CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM med GROUP BY k, num, den
 """
 
     # Mann-Kendall S per pixel: time-ordered pair signs via a t1 < t2

@@ -46,9 +46,11 @@ __all__ = [
     "lower_median",
     "trend_numerators",
     "mann_kendall_s",
+    "theil_sen_fractions",
     "stack_median_histogram",
     "stack_trend_summary",
     "stack_mann_kendall",
+    "stack_theil_sen",
 ]
 
 
@@ -86,6 +88,44 @@ def mann_kendall_s(stack: np.ndarray) -> np.ndarray:
         s += (d > 0).sum(axis=0, dtype=np.int64)
         s -= (d < 0).sum(axis=0, dtype=np.int64)
     return s
+
+
+def theil_sen_fractions(stack: np.ndarray, epochs: np.ndarray):
+    """Per-pixel Theil-Sen slope (Theil 1950 / Sen 1968 — the robust
+    trend estimator paired with Mann-Kendall in emerging-hot-spot
+    analysis) as an EXACT reduced fraction.
+
+    The estimate is the LOWER median (sorted index (m-1)//2) of the
+    m = T(T-1)/2 pairwise slopes (v_j - v_i) / (t_j - t_i), selected by
+    exact cross-multiplication comparisons — no float division ever
+    happens, so the result is bit-stable and SQL-replayable.  Returns
+    ``(num, den)`` int64 arrays with gcd-reduced num/den, den > 0
+    (flat pixels give 0/1)."""
+    a = np.asarray(stack, dtype=np.int64)
+    t = np.asarray(epochs, dtype=np.int64)
+    if a.ndim != 2 or a.shape[0] < 2 or t.shape != (a.shape[0],):
+        raise ValueError("theil_sen_fractions expects (T>=2, n) stack + epochs")
+    if np.unique(t).size != t.size:
+        raise ValueError("duplicate epochs")
+    order = np.argsort(t)
+    a, t = a[order], t[order]
+    T = a.shape[0]
+    pairs = [(i, j) for i in range(T) for j in range(i + 1, T)]
+    dv = np.stack([a[j] - a[i] for i, j in pairs])            # (m, n)
+    dt = np.array([t[j] - t[i] for i, j in pairs],
+                  dtype=np.int64)[:, None]                     # (m, 1) > 0
+    # cross[i, j] = dv[j]*dt[i] - dv[i]*dt[j]; slope_j < slope_i iff < 0
+    cross = dv[None, :, :] * dt[:, None, :] - dv[:, None, :] * dt[None, :, :]
+    lt = (cross < 0).sum(axis=1)    # (m, n): #{j : s_j <  s_i}
+    le = (cross <= 0).sum(axis=1)   # (m, n): #{j : s_j <= s_i}
+    kth = (len(pairs) - 1) // 2
+    sel = (lt <= kth) & (le > kth)  # every True row holds the median value
+    idx = sel.argmax(axis=0)
+    cols = np.arange(a.shape[1])
+    num = dv[idx, cols]
+    den = dt[idx, 0]
+    g = np.gcd(np.abs(num), den)
+    return num // g, den // g
 
 
 def _tile_rows(t: pa.Table, key_fn, tile: int) -> pa.Table:
@@ -212,6 +252,41 @@ def stack_mann_kendall(images_ds, key_fn, tile: int = 25):
     )
     partials = map_groups_typed(tiles, ["stack_key", "tr", "tc"], per_group, out_schema)
     return partials.groupby(["stack_key", "s"]).aggregate(
+        Sum("pcnt", alias_name="n_px")
+    )
+
+
+def stack_theil_sen(images_ds, key_fn, tile: int = 25):
+    """Theil-Sen slope, summarized: Dataset[(stack_key, num, den, n_px)]
+    — per stack, the histogram of exact reduced slope fractions.  Same
+    one-shuffle tile-cogroup shape as the other stack operators."""
+    from ray.data.aggregate import Sum
+
+    def per_group(g: pa.Table) -> pa.Table:
+        eps, stack = _group_stack(g)
+        num, den = theil_sen_fractions(stack, eps)
+        key = num * np.int64(1 << 20) + den  # den <= max epoch gap << 2^20
+        ub, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        k = int(g.column("stack_key")[0].as_py())
+        return pa.table(
+            {
+                "stack_key": pa.array([k] * ub.size, pa.int64()),
+                "num": pa.array(ub >> 20, pa.int64()),
+                "den": pa.array(ub & ((1 << 20) - 1), pa.int64()),
+                "pcnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    tiles = images_ds.map_batches(
+        lambda t: _tile_rows(t, key_fn, tile), batch_format="pyarrow"
+    )
+    out_schema = pa.schema(
+        [("stack_key", pa.int64()), ("num", pa.int64()),
+         ("den", pa.int64()), ("pcnt", pa.int64())]
+    )
+    partials = map_groups_typed(tiles, ["stack_key", "tr", "tc"], per_group, out_schema)
+    return partials.groupby(["stack_key", "num", "den"]).aggregate(
         Sum("pcnt", alias_name="n_px")
     )
 

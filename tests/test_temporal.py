@@ -161,3 +161,52 @@ def test_stack_mann_kendall_tiled_equals_whole(ray_session):
     )
     assert set(map(tuple, got.itertuples(index=False))) == want
     assert got.groupby("stack_key")["n_px"].sum().eq(10000).all()
+
+
+def test_theil_sen_fractions_matches_fraction_bruteforce():
+    from fractions import Fraction
+
+    from rasters_ray.stages.temporal import theil_sen_fractions
+
+    rng = np.random.default_rng(6)
+    stack = rng.integers(0, 20, (4, 150)).astype(np.int64)
+    t = np.array([0, 1, 3, 7], dtype=np.int64)
+    num, den = theil_sen_fractions(stack, t)
+    for px in range(150):
+        sl = sorted(
+            Fraction(int(stack[j, px] - stack[i, px]), int(t[j] - t[i]))
+            for i in range(4)
+            for j in range(i + 1, 4)
+        )
+        assert Fraction(int(num[px]), int(den[px])) == sl[(len(sl) - 1) // 2]
+        assert den[px] > 0
+        if num[px]:
+            assert np.gcd(abs(int(num[px])), int(den[px])) == 1
+    # flat -> 0/1; unordered epochs are sorted internally
+    n2, d2 = theil_sen_fractions(np.full((3, 5), 9), np.array([2, 0, 1]))
+    assert (n2 == 0).all() and (d2 == 1).all()
+    with pytest.raises(ValueError):
+        theil_sen_fractions(stack, np.array([0, 1, 1, 2]))
+
+
+def test_stack_theil_sen_tiled_equals_whole(ray_session):
+    from rasters_ray.stages.temporal import stack_theil_sen, theil_sen_fractions
+
+    ids = list(range(8))
+    imgs = make_oracle_images(np.asarray(ids, dtype=np.int64))
+    scenes = {}
+    for i, d in enumerate(ids):
+        px = codec.decode(
+            imgs.column("bytes")[i].as_py(), imgs.column("fmt")[i].as_py()
+        ).astype(np.int64)
+        scenes.setdefault(d % 4, []).append((d // 4, px))
+    want = set()
+    for k, lst in scenes.items():
+        eps = np.array([e for e, _ in sorted(lst)], dtype=np.int64)
+        stack = np.stack([p.ravel() for _, p in sorted(lst)])
+        num, den = theil_sen_fractions(stack, eps)
+        key = num * 10**6 + den
+        for u, n in zip(*np.unique(key, return_counts=True)):
+            want.add((k, int(u) // 10**6, int(u) % 10**6, int(n)))
+    got = stack_theil_sen(_ds(imgs, 3), _key, tile=32).to_pandas()
+    assert set(map(tuple, got.itertuples(index=False))) == want
