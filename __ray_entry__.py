@@ -6924,6 +6924,42 @@ def q_ripley_k(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_sun_hours(sf_dir: str):
+    """Four-azimuth insolation counts (viewshed.py::sun_hours — the
+    integer core of an r.sun daily pass): rays at elevation
+    atan(p/q), p = k%5, q = k%3+1, travelling +c/-c/+r/-r over the
+    quadric surface; per key the histogram of lit-direction counts
+    and the z total of fully-lit cells.  The oracle replays each
+    azimuth as a strictly-preceding window MAX in the matching
+    partition/order."""
+    from rasters_ray.stages.viewshed import sun_hours
+
+    r, c = np.indices((16, 16))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, nl, nn, sz = [], [], [], []
+        for kk in k.tolist():
+            al, be, ga = kk % 3 - 1, kk % 4 - 1, kk % 5 - 2
+            a, b = kk % 7, kk % 11 - 5
+            z = (al * r * r + be * c * c + ga * r * c + a * r + b * c)
+            lit = sun_hours(z, kk % 5, kk % 3 + 1)
+            for u, n in zip(*np.unique(lit, return_counts=True)):
+                gid.append(f"g{kk:06d}")
+                nl.append(int(u))
+                nn.append(int(n))
+                sz.append(int(z[lit == u].sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_lit": pa.array(nl, pa.int64()),
+            "n_px": pa.array(nn, pa.int64()),
+            "sum_z": pa.array(sz, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_cast_shadows(sf_dir: str):
     """Cast shadows (stages/viewshed.py::cast_shadows — the r.sun /
     hillshade-with-shadows horizon scan, sun travelling +columns at
@@ -8581,6 +8617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ripley_k": q_ripley_k,
         "kernel_density": q_kernel_density,
         "cast_shadows": q_cast_shadows,
+        "sun_hours": q_sun_hours,
         "sieve": q_sieve,
         "cva": q_cva,
         "viewshed": q_viewshed,
@@ -10052,6 +10089,46 @@ FROM customer
     # cast_shadows: value-exact pure-INTEGER — the horizon scan is a
     # strictly-preceding window MAX of m = q*z + p*c per row; the
     # empty frame at c = 0 yields NULL which never shadows
+    # sun_hours: the four azimuths are four strictly-preceding window
+    # maxes over the same m = q*z + p*(coord along the ray) with the
+    # matching partition/order; flips use the mirrored coordinate
+    sql["sun_hours"] = """
+WITH g AS (
+  SELECT c_custkey AS k, rr.r AS r, cc.c AS c,
+         c_custkey % 5 AS p, c_custkey % 3 + 1 AS q,
+         ( (c_custkey % 3 - 1) * rr.r * rr.r
+         + (c_custkey % 4 - 1) * cc.c * cc.c
+         + (c_custkey % 5 - 2) * rr.r * cc.c
+         + (c_custkey % 7) * rr.r + (c_custkey % 11 - 5) * cc.c ) AS z
+  FROM customer, range(0, 16) rr(r), range(0, 16) cc(c)
+),
+s AS (
+  SELECT k, r, c, z,
+         (COALESCE(MAX(q * z + p * c) OVER (
+            PARTITION BY k, r ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -4611686018427387904) > q * z + p * c)::INT
+       + (COALESCE(MAX(q * z + p * (15 - c)) OVER (
+            PARTITION BY k, r ORDER BY c DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -4611686018427387904) > q * z + p * (15 - c))::INT
+       + (COALESCE(MAX(q * z + p * r) OVER (
+            PARTITION BY k, c ORDER BY r
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -4611686018427387904) > q * z + p * r)::INT
+       + (COALESCE(MAX(q * z + p * (15 - r)) OVER (
+            PARTITION BY k, c ORDER BY r DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -4611686018427387904) > q * z + p * (15 - r))::INT
+         AS n_shadow
+  FROM g
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(4 - n_shadow AS BIGINT) AS n_lit,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(z) AS BIGINT) AS sum_z
+FROM s GROUP BY k, n_shadow
+"""
     sql["cast_shadows"] = """
 WITH g AS (
   SELECT c_custkey AS k, rr.r AS r, cc.c AS c,

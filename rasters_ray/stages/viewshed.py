@@ -42,7 +42,7 @@ import pyarrow as pa
 
 from rasters_ray import codec
 
-__all__ = ["viewshed", "viewshed_stats", "cast_shadows"]
+__all__ = ["viewshed", "viewshed_stats", "cast_shadows", "sun_hours"]
 
 
 def viewshed(dem: np.ndarray, observer, height: float = 0.0) -> np.ndarray:
@@ -145,3 +145,21 @@ def cast_shadows(dem: np.ndarray, p: int, q: int) -> np.ndarray:
     out = np.zeros(z.shape, dtype=bool)
     out[:, 1:] = run[:, :-1] > m[:, 1:]
     return out
+
+
+def sun_hours(dem: np.ndarray, p: int, q: int) -> np.ndarray:
+    """Lit-direction counts for four sun azimuths at one elevation
+    ``atan(p / q)`` — the integer core of an r.sun daily insolation
+    pass: rays travelling +c (morning), -c (evening), +r and -r.  The
+    three non-native azimuths reuse :func:`cast_shadows` on the
+    flipped / transposed DEM (pure index permutations, still
+    integer-exact).  Returns int64 counts in [0, 4]; 4 = never
+    shadowed at this elevation."""
+    z = np.asarray(dem)
+    shadows = [
+        cast_shadows(z, p, q),
+        cast_shadows(z[:, ::-1], p, q)[:, ::-1],
+        cast_shadows(z.T, p, q).T,
+        cast_shadows(z.T[:, ::-1], p, q)[:, ::-1].T,
+    ]
+    return np.int64(4) - sum(s.astype(np.int64) for s in shadows)

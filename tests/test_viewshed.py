@@ -135,3 +135,35 @@ def test_cast_shadows_wall_and_errors():
         cast_shadows(z, 1, 0)
     with pytest.raises(ValueError):
         cast_shadows(np.array([[np.nan, 1.0]]), 1, 1)
+
+
+def test_sun_hours_spike_and_bruteforce():
+    from rasters_ray.stages.viewshed import cast_shadows, sun_hours
+
+    z = np.zeros((7, 7), dtype=np.int64)
+    z[3, 3] = 10
+    lit = sun_hours(z, 1, 1)
+    assert lit[3, 3] == 4  # peak never shadowed
+    # one azimuth shadows each of the four rook neighbors
+    assert lit[3, 4] == 3 and lit[3, 2] == 3
+    assert lit[4, 3] == 3 and lit[2, 3] == 3
+    assert lit[0, 0] == 4
+    # brute force: per cell, per azimuth blocking test
+    rng = np.random.default_rng(8)
+    z = rng.integers(0, 30, (9, 9)).astype(np.int64)
+    p, q = 2, 3
+    lit = sun_hours(z, p, q)
+    dirs = [(0, 1), (0, -1), (1, 0), (-1, 0)]  # ray travel direction
+    for r in range(9):
+        for c in range(9):
+            n = 4
+            for dr, dc in dirs:
+                rr, cc, d = r - dr, c - dc, 1
+                while 0 <= rr < 9 and 0 <= cc < 9:
+                    if q * (z[rr, cc] - z[r, c]) > p * d:
+                        n -= 1
+                        break
+                    rr, cc, d = rr - dr, cc - dc, d + 1
+            assert lit[r, c] == n, (r, c)
+    # flat surface is fully lit everywhere
+    assert (sun_hours(np.zeros((5, 5), dtype=np.int64), 1, 1) == 4).all()
