@@ -6924,6 +6924,42 @@ def q_ripley_k(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_suitability(sf_dir: str):
+    """Weighted-overlay site suitability (quality.py::weighted_overlay —
+    the ArcGIS multi-criteria workhorse): three criterion layers from
+    key formulas, each reclassified to scores 1..5 at bins
+    20/40/60/80, combined 3/2/1-weighted; per-key histogram of the
+    suitability surface.  SQL replays the binning as integer division
+    (layers are non-negative integers < 100, so score = L//20 + 1)."""
+    from rasters_ray.stages.quality import weighted_overlay
+
+    r, c = np.indices((16, 16))
+    bins = [20.0, 40.0, 60.0, 80.0]
+    classes = [1, 2, 3, 4, 5]
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, ss, nn = [], [], []
+        for kk in k.tolist():
+            l1 = (kk * 3 + r * 7 + c * 11) % 100
+            l2 = (kk * 5 + r * 13 + c * 3) % 100
+            l3 = (kk + r * 2 + c * 17) % 100
+            w = weighted_overlay([l1, l2, l3], [bins] * 3, [classes] * 3,
+                                 [3, 2, 1])
+            for u, n in zip(*np.unique(w, return_counts=True)):
+                gid.append(f"g{kk:06d}")
+                ss.append(int(u))
+                nn.append(int(n))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "score": pa.array(ss, pa.int64()),
+            "n_px": pa.array(nn, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_sun_hours(sf_dir: str):
     """Four-azimuth insolation counts (viewshed.py::sun_hours — the
     integer core of an r.sun daily pass): rays at elevation
@@ -8618,6 +8654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kernel_density": q_kernel_density,
         "cast_shadows": q_cast_shadows,
         "sun_hours": q_sun_hours,
+        "suitability": q_suitability,
         "sieve": q_sieve,
         "cva": q_cva,
         "viewshed": q_viewshed,
@@ -10089,6 +10126,20 @@ FROM customer
     # cast_shadows: value-exact pure-INTEGER — the horizon scan is a
     # strictly-preceding window MAX of m = q*z + p*c per row; the
     # empty frame at c = 0 yields NULL which never shadows
+    # suitability: score = L // 20 + 1 for each layer; weighted 3/2/1
+    sql["suitability"] = """
+WITH g AS (
+  SELECT c_custkey AS k, rr.r AS r, cc.c AS c,
+         3 * ((c_custkey * 3 + rr.r * 7 + cc.c * 11) % 100 // 20 + 1)
+       + 2 * ((c_custkey * 5 + rr.r * 13 + cc.c * 3) % 100 // 20 + 1)
+       + 1 * ((c_custkey + rr.r * 2 + cc.c * 17) % 100 // 20 + 1) AS score
+  FROM customer, range(0, 16) rr(r), range(0, 16) cc(c)
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(score AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM g GROUP BY k, score
+"""
     # sun_hours: the four azimuths are four strictly-preceding window
     # maxes over the same m = q*z + p*(coord along the ray) with the
     # matching partition/order; flips use the mirrored coordinate

@@ -32,7 +32,7 @@ import pyarrow as pa
 from rasters_ray import codec
 
 __all__ = ["mse", "psnr", "ssim_global", "reclassify", "pairwise_quality",
-           "change_vector"]
+           "change_vector", "weighted_overlay"]
 
 
 def mse(a: np.ndarray, b: np.ndarray) -> float:
@@ -134,3 +134,25 @@ def change_vector(a: np.ndarray, b: np.ndarray) -> tuple:
     mag2 = (d * d).sum(axis=0)
     sector = 2 * (d[0] < 0).astype(np.int64) + (d[1] < 0)
     return mag2, sector
+
+
+def weighted_overlay(layers, bins_list, classes_list, weights) -> np.ndarray:
+    """ArcGIS Weighted Overlay: each criterion raster is reclassified
+    onto a common suitability scale (via :func:`reclassify`), then the
+    scores combine as an integer-weighted sum — the classic multi-
+    criteria site-suitability surface.  All-integer output; NaN in any
+    layer poisons the cell to -1 (unsuitable/nodata)."""
+    if not (len(layers) == len(bins_list) == len(classes_list) == len(weights)):
+        raise ValueError("weighted_overlay needs one bins/classes/weight "
+                         "triple per layer")
+    if not layers:
+        raise ValueError("weighted_overlay needs at least one layer")
+    out = np.zeros(np.asarray(layers[0]).shape, dtype=np.int64)
+    bad = np.zeros(out.shape, dtype=bool)
+    for lay, bins, classes, w in zip(layers, bins_list, classes_list, weights):
+        x = np.asarray(lay, dtype=np.float64)
+        if x.shape != out.shape:
+            raise ValueError("weighted_overlay layers must be co-registered")
+        bad |= ~np.isfinite(x)
+        out += int(w) * reclassify(x, bins, classes)
+    return np.where(bad, np.int64(-1), out)

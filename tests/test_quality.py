@@ -99,3 +99,22 @@ def test_change_vector_zero_is_nonneg_and_errors():
         change_vector(np.zeros((1, 2, 2)), np.zeros((1, 2, 2)))
     with pytest.raises(ValueError):
         change_vector(np.zeros((2, 2, 2)), np.zeros((2, 3, 2)))
+
+
+def test_weighted_overlay_scores_and_nodata():
+    from rasters_ray.stages.quality import weighted_overlay
+
+    l1 = np.array([[0.0, 25.0], [85.0, np.nan]])
+    l2 = np.array([[10.0, 55.0], [99.0, 40.0]])
+    bins = [20.0, 40.0, 60.0, 80.0]
+    cls = [1, 2, 3, 4, 5]
+    w = weighted_overlay([l1, l2], [bins, bins], [cls, cls], [3, 2])
+    # (0,0): 3*1 + 2*1 = 5 ; (0,1): 3*2 + 2*3 = 12
+    # (1,0): 3*5 + 2*5 = 25 ; (1,1): NaN poisons -> -1
+    assert w.tolist() == [[5, 12], [25, -1]]
+    with pytest.raises(ValueError):
+        weighted_overlay([l1], [bins, bins], [cls, cls], [1, 2])
+    with pytest.raises(ValueError):
+        weighted_overlay([], [], [], [])
+    with pytest.raises(ValueError):
+        weighted_overlay([l1, l2[:1]], [bins, bins], [cls, cls], [1, 1])
