@@ -5624,6 +5624,33 @@ _NEAREST_SITES = [
 ]
 
 
+def q_geodesic_near(sf_dir: str):
+    """Great-circle nearest-site join (stages/pip.py::haversine_nearest):
+    the oracle points against a broadcast 32-site lattice
+    (lon = -124 + s%8, lat = 44 - 2*(s//8)); argmin haversine with
+    ties to the lowest site, distance reported floor-cm.  The oracle
+    replays the identical fixed-order formula with DuckDB doubles and
+    ROW_NUMBER() ORDER BY d, s."""
+    from rasters_ray.stages.pip import haversine_nearest
+
+    s = np.arange(32)
+    site_lon = -124.0 + (s % 8).astype(np.float64)
+    site_lat = 44.0 - 2.0 * (s // 8).astype(np.float64)
+
+    def run(t: pa.Table) -> pa.Table:
+        idx, d = haversine_nearest(
+            t.column("x").to_numpy(), t.column("y").to_numpy(),
+            site_lon, site_lat)
+        return pa.table({
+            "point_id": t.column("point_id"),
+            "site_id": pa.array(idx, pa.int64()),
+            "dist_cm": pa.array(np.floor(d * 100.0).astype(np.int64),
+                                pa.int64()),
+        })
+
+    return _points_ds(sf_dir).map_batches(run, batch_format="pyarrow")
+
+
 def q_nearest_join(sf_dir: str):
     """Nearest-feature join (stages/pip.py::nearest_join —
     gpd.sjoin_nearest parity): the oracle points against a broadcast
@@ -8615,6 +8642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_area": q_clip_area,
         "polygonize": q_polygonize,
         "nearest_join": q_nearest_join,
+        "geodesic_near": q_geodesic_near,
         "cell_area": q_cell_area,
         "contour": q_contour,
         "line_interp": q_line_interp,
@@ -9545,6 +9573,39 @@ FROM g
     # lowest-index argmin; d2 uses the identical expression order
     site_rows = ",\n  ".join(
         f"('{sid}', {sx!r}e0, {sy!r}e0)" for sid, sx, sy in _NEAREST_SITES)
+    # geodesic_near: the identical fixed-order haversine double chain —
+    # kh = (pi()/180)*0.5, left-associated products, 2R folded into
+    # 12742000e0 — then ROW_NUMBER ties to the lowest site
+    sql["geodesic_near"] = """
+WITH pts AS (
+  SELECT printf('pt%06d', c_custkey) AS point_id,
+         CASE WHEN c_custkey % 97 = 0
+              THEN -124e0 + (c_custkey % 800) * 0.01e0 + 0.001e0 + 50e0
+              ELSE -124e0 + (c_custkey % 800) * 0.01e0 + 0.001e0 END AS x,
+         44e0 - ((c_custkey // 7) % 800) * 0.01e0 - 0.001e0 AS y
+  FROM customer
+),
+sites AS (
+  SELECT s.s AS sid,
+         -124e0 + CAST(s.s % 8 AS DOUBLE) AS sx,
+         44e0 - 2e0 * CAST(s.s // 8 AS DOUBLE) AS sy
+  FROM range(0, 32) s(s)
+),
+d AS (
+  SELECT point_id, sid,
+         12742000e0 * asin(sqrt(
+           sin((sy - y) * ((pi() / 180e0) * 0.5e0))
+             * sin((sy - y) * ((pi() / 180e0) * 0.5e0))
+           + cos(y * (pi() / 180e0)) * cos(sy * (pi() / 180e0))
+             * (sin((sx - x) * ((pi() / 180e0) * 0.5e0))
+                * sin((sx - x) * ((pi() / 180e0) * 0.5e0))))) AS dist
+  FROM pts, sites
+)
+SELECT point_id, CAST(sid AS BIGINT) AS site_id,
+       CAST(floor(dist * 100e0) AS BIGINT) AS dist_cm
+FROM d
+QUALIFY row_number() OVER (PARTITION BY point_id ORDER BY dist, sid) = 1
+"""
     sql["nearest_join"] = f"""
 WITH {_PTS_CTE.strip()},
 sites(site_id, sx, sy) AS (VALUES

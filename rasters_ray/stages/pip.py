@@ -445,3 +445,32 @@ def nearest_join(points_ds, sites: pa.Table, concurrency=None):
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def haversine_nearest(lon: np.ndarray, lat: np.ndarray,
+                      site_lon: np.ndarray, site_lat: np.ndarray):
+    """Great-circle nearest-site assignment (the geodesic counterpart
+    of :func:`nearest_join` — gpd.sjoin_nearest on a sphere): for each
+    point, the argmin haversine distance over a broadcast site table,
+    ties to the LOWEST site index.
+
+    Every float op happens in ONE fixed IEEE order (precomputed
+    degree->radian constants, left-associated products, 2R folded into
+    the literal 12742000.0 m), so an independent engine replaying the
+    same formula matches bit-for-bit — the contract oracle does, in
+    SQL.  Returns ``(site_idx int64, dist_m float64)``.  Scale shape:
+    sites ship once (ray.put); the point stream never shuffles."""
+    x = np.asarray(lon, dtype=np.float64)[:, None]
+    y = np.asarray(lat, dtype=np.float64)[:, None]
+    sx = np.asarray(site_lon, dtype=np.float64)[None, :]
+    sy = np.asarray(site_lat, dtype=np.float64)[None, :]
+    if sx.size == 0:
+        raise ValueError("haversine_nearest needs at least one site")
+    K = np.pi / 180.0
+    KH = K * 0.5
+    sa = np.sin((sy - y) * KH)
+    sb = np.sin((sx - x) * KH)
+    h = sa * sa + np.cos(y * K) * np.cos(sy * K) * (sb * sb)
+    d = 12742000.0 * np.arcsin(np.sqrt(h))
+    idx = np.argmin(d, axis=1)  # first (lowest site index) minimum
+    return idx.astype(np.int64), d[np.arange(d.shape[0]), idx]

@@ -1,6 +1,7 @@
 """PIP join + rasterize vs brute-force oracle (FIXTURES.md §6.4)."""
 
 import numpy as np
+import pytest
 
 from rasters_ray.grids import GridSpec
 from rasters_ray.sources import fixture_points, fixture_polygons, rings_to_numpy
@@ -190,3 +191,40 @@ def test_rasterize_lines_supercover(ray_session):
     # corner-exact crossings stay one cell per step (unique-t dedup):
     # 4 horizontal + 6 diagonal, no overlap
     assert m.sum() == 10
+
+
+def test_haversine_nearest_reference_and_ties():
+    import math
+
+    from rasters_ray.stages.pip import haversine_nearest
+
+    # reference: scalar haversine with independent op order
+    def ref(lo1, la1, lo2, la2):
+        p1, p2 = math.radians(la1), math.radians(la2)
+        dl = math.radians(lo2 - lo1)
+        dp = p2 - p1
+        h = (math.sin(dp / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+        return 2 * 6371000.0 * math.asin(math.sqrt(h))
+
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-179, 179, 40)
+    lat = rng.uniform(-80, 80, 40)
+    slon = np.array([-120.0, 0.0, 60.0, 179.0])
+    slat = np.array([45.0, 0.0, -30.0, -70.0])
+    idx, d = haversine_nearest(lon, lat, slon, slat)
+    for i in range(40):
+        want = [ref(lon[i], lat[i], slon[s], slat[s]) for s in range(4)]
+        assert idx[i] == int(np.argmin(want))
+        assert abs(d[i] - min(want)) < 1e-6  # same math, both tiny-float safe
+    # one degree of longitude at the equator ~ 111.19 km
+    _, d0 = haversine_nearest(np.array([1.0]), np.array([0.0]),
+                              np.array([0.0]), np.array([0.0]))
+    assert abs(d0[0] - 111194.9) < 1.0
+    # exact tie between two equidistant sites -> lowest index wins
+    idx_t, _ = haversine_nearest(np.array([0.0]), np.array([0.0]),
+                                 np.array([-1.0, 1.0]), np.array([0.0, 0.0]))
+    assert idx_t[0] == 0
+    with pytest.raises(ValueError):
+        haversine_nearest(np.array([0.0]), np.array([0.0]),
+                          np.array([]), np.array([]))
