@@ -6951,6 +6951,41 @@ def q_ripley_k(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_conservative(sf_dir: str):
+    """First-order conservative regridding (resample.py::
+    conservative_regrid_mass — ESMF/SCRIP "conservative", Jones 1999):
+    the per-key 24x24 formula raster (source cells 2 units) regrids
+    onto a 16x16 target (3 units, shared extent); masses stay int64
+    and conserve exactly.  Emits the conservation total and three
+    probe masses; SQL replays the overlap join with GREATEST/LEAST."""
+    from rasters_ray.stages.resample import conservative_regrid_mass
+
+    r, c = np.indices((24, 24))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, tot, p0, p1, p2 = [], [], [], [], []
+        for kk in k.tolist():
+            v = (kk * 7 + r * 11 + c * 5) % 97
+            m = conservative_regrid_mass(v, 2, 16, 16, 3)
+            assert m.sum() == v.sum() * 4
+            gid.append(f"g{kk:06d}")
+            tot.append(int(m.sum()))
+            p0.append(int(m[0, 0]))
+            p1.append(int(m[7, 9]))
+            p2.append(int(m[15, 15]))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "total_mass": pa.array(tot, pa.int64()),
+            "m00": pa.array(p0, pa.int64()),
+            "m79": pa.array(p1, pa.int64()),
+            "m1515": pa.array(p2, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_suitability(sf_dir: str):
     """Weighted-overlay site suitability (quality.py::weighted_overlay —
     the ArcGIS multi-criteria workhorse): three criterion layers from
@@ -8683,6 +8718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cast_shadows": q_cast_shadows,
         "sun_hours": q_sun_hours,
         "suitability": q_suitability,
+        "conservative": q_conservative,
         "sieve": q_sieve,
         "cva": q_cva,
         "viewshed": q_viewshed,
@@ -10187,6 +10223,33 @@ FROM customer
     # cast_shadows: value-exact pure-INTEGER — the horizon scan is a
     # strictly-preceding window MAX of m = q*z + p*c per row; the
     # empty frame at c = 0 yields NULL which never shadows
+    # conservative: the separable overlap join — per axis
+    # o = GREATEST(0, LEAST(2s+2, 3t+3) - GREATEST(2s, 3t)); probes and
+    # the conservation identity total = 4 * sum(v)
+    sql["conservative"] = """
+WITH src AS (
+  SELECT c_custkey AS k, rr.r AS sr, cc.c AS sc,
+         (c_custkey * 7 + rr.r * 11 + cc.c * 5) % 97 AS v
+  FROM customer, range(0, 24) rr(r), range(0, 24) cc(c)
+),
+probes(tr, tc) AS (VALUES (0, 0), (7, 9), (15, 15)),
+mass AS (
+  SELECT k, p.tr, p.tc,
+         SUM(v * GREATEST(0, LEAST(2 * sr + 2, 3 * p.tr + 3)
+                             - GREATEST(2 * sr, 3 * p.tr))
+               * GREATEST(0, LEAST(2 * sc + 2, 3 * p.tc + 3)
+                             - GREATEST(2 * sc, 3 * p.tc))) AS m
+  FROM src, probes p GROUP BY k, p.tr, p.tc
+),
+tot AS (SELECT k, 4 * SUM(v) AS total FROM src GROUP BY k)
+SELECT printf('g%06d', tot.k) AS geom_id,
+       CAST(tot.total AS BIGINT) AS total_mass,
+       CAST(MAX(CASE WHEN tr = 0 THEN m END) AS BIGINT) AS m00,
+       CAST(MAX(CASE WHEN tr = 7 THEN m END) AS BIGINT) AS m79,
+       CAST(MAX(CASE WHEN tr = 15 THEN m END) AS BIGINT) AS m1515
+FROM tot JOIN mass ON mass.k = tot.k
+GROUP BY tot.k, tot.total
+"""
     # suitability: score = L // 20 + 1 for each layer; weighted 3/2/1
     sql["suitability"] = """
 WITH g AS (

@@ -269,3 +269,36 @@ def test_warp_to_world_projection_targets():
                 assert warped[r, c] == px[sr, sc], crs
                 checked += 1
         assert checked >= 2, crs
+
+
+def test_conservative_regrid_conservation_and_bruteforce():
+    from rasters_ray.stages.resample import (conservative_overlaps,
+                                             conservative_regrid_mass)
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 100, (24, 24))
+    m = conservative_regrid_mass(v, 2, 16, 16, 3)
+    assert m.shape == (16, 16)
+    assert m.sum() == v.sum() * 4  # exact mass conservation
+    # identity grid: mass = v * unit^2
+    v2 = rng.integers(0, 9, (8, 8))
+    assert (conservative_regrid_mass(v2, 3, 8, 8, 3) == v2 * 9).all()
+    # brute force a non-trivial ratio
+    v3 = rng.integers(0, 10, (4, 4))
+    m3 = conservative_regrid_mass(v3, 3, 6, 6, 2)
+    for tr in range(6):
+        for tc in range(6):
+            tot = 0
+            for sr in range(4):
+                for sc in range(4):
+                    orow = max(0, min(3 * sr + 3, 2 * tr + 2) - max(3 * sr, 2 * tr))
+                    ocol = max(0, min(3 * sc + 3, 2 * tc + 2) - max(3 * sc, 2 * tc))
+                    tot += v3[sr, sc] * orow * ocol
+            assert m3[tr, tc] == tot
+    # overlap rows of a matched-extent pair partition the source cell
+    o = conservative_overlaps(24, 2, 16, 3)
+    assert (o.sum(axis=0) == 2).all() and (o.sum(axis=1) == 3).all()
+    with pytest.raises(ValueError):
+        conservative_regrid_mass(np.array([[1.5]]), 1, 1, 1, 1)
+    with pytest.raises(ValueError):
+        conservative_overlaps(0, 1, 1, 1)
