@@ -6855,6 +6855,42 @@ def q_hull(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_flow_weighted(sf_dir: str):
+    """Weighted flow accumulation (hydrology.py::
+    flow_accumulation_weighted — the ArcGIS weight-raster variant, the
+    runoff/sediment-load accumulator): on the due-north parabolic ramp
+    z = (r + m)^2 with rainfall weights w = (k + 3r + 5c) % 11, the
+    upstream weighted accumulation telescopes to per-column suffix
+    sums, which the oracle replays as a window SUM over r' > r.  Emits
+    per-key totals and two probes."""
+    from rasters_ray.stages.hydrology import (
+        flow_accumulation_weighted, flow_direction)
+
+    r, c = np.indices((16, 16))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, tot, pa_, pb = [], [], [], []
+        for kk in k.tolist():
+            m = kk % 5 + 1
+            z = ((r + m) * (r + m)).astype(np.float64)
+            w = (kk + 3 * r + 5 * c) % 11
+            acc = flow_accumulation_weighted(flow_direction(z), w)
+            gid.append(f"g{kk:06d}")
+            tot.append(int(acc.sum()))
+            pa_.append(int(acc[0, kk % 16]))
+            pb.append(int(acc[kk % 13, 15]))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "acc_total": pa.array(tot, pa.int64()),
+            "acc_top": pa.array(pa_, pa.int64()),
+            "acc_probe": pa.array(pb, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_std_ellipse(sf_dir: str):
     """Standard deviational ellipse / directional distribution (ArcGIS
     Measuring Geographic Distributions; spatial_stats.py::
@@ -8712,6 +8748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "std_ellipse": q_std_ellipse,
         "twi": q_twi,
         "hull": q_hull,
+        "flow_weighted": q_flow_weighted,
         "quadrat": q_quadrat,
         "ripley_k": q_ripley_k,
         "kernel_density": q_kernel_density,
@@ -10377,6 +10414,29 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(bin AS BIGINT) AS bin,
        CAST(14 * COUNT(*) AS BIGINT) AS n_px
 FROM b GROUP BY k, bin
+"""
+    # flow_weighted: on the due-north ramp, acc(r,c) = sum of w(r',c)
+    # for r' > r — a per-column suffix window SUM
+    sql["flow_weighted"] = """
+WITH g AS (
+  SELECT c_custkey AS k, rr.r AS r, cc.c AS c,
+         (c_custkey + 3 * rr.r + 5 * cc.c) % 11 AS w
+  FROM customer, range(0, 16) rr(r), range(0, 16) cc(c)
+),
+a AS (
+  SELECT k, r, c,
+         COALESCE(SUM(w) OVER (PARTITION BY k, c ORDER BY r
+                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+                  0) AS acc
+  FROM g
+)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(SUM(acc) AS BIGINT) AS acc_total,
+       CAST(MAX(CASE WHEN r = 0 AND c = k % 16 THEN acc END) AS BIGINT)
+           AS acc_top,
+       CAST(MAX(CASE WHEN r = k % 13 AND c = 15 THEN acc END) AS BIGINT)
+           AS acc_probe
+FROM a GROUP BY k
 """
     # hull: extreme-point characterization — p is NOT a hull vertex iff
     # it lies in a non-degenerate triangle of other distinct points

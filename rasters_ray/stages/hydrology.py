@@ -58,6 +58,7 @@ __all__ = [
     "flow_length",
     "twi_bins",
     "corridor",
+    "flow_accumulation_weighted",
 ]
 
 # neighbor table in ESRI code order: (code, dr, dc, diagonal?)
@@ -965,3 +966,43 @@ def corridor(cost: np.ndarray, src_a: np.ndarray, src_b: np.ndarray) -> np.ndarr
     big = np.iinfo(np.int64).max
     out = da + db  # both reachable: exact; else clamp below
     return np.where((da == big) | (db == big), big, out)
+
+
+def flow_accumulation_weighted(fdir: np.ndarray, weight: np.ndarray) -> np.ndarray:
+    """Weighted flow accumulation (ArcGIS Flow Accumulation with a
+    weight raster / TauDEM weighted area): the sum of UPSTREAM weights
+    draining through each cell (the cell's own weight excluded,
+    matching :func:`flow_accumulation`'s upstream-count convention).
+    Same Kahn topological rounds, pushing ``acc + w`` downstream —
+    int64-exact for integral weights."""
+    fd = np.asarray(fdir)
+    w = np.asarray(weight)
+    if w.shape != fd.shape:
+        raise ValueError("weight raster must match the D8 grid")
+    if not np.issubdtype(w.dtype, np.integer):
+        if not np.all(np.isfinite(w)) or np.any(w != np.rint(w)):
+            raise ValueError("flow_accumulation_weighted requires integral weights")
+    w = w.astype(np.int64).ravel()
+    h, wd = fd.shape
+    n = h * wd
+    down = np.full(n, -1, dtype=np.int64)
+    flat = fd.ravel()
+    rr, cc = np.divmod(np.arange(n, dtype=np.int64), wd)
+    for code, dr, dc, _ in _D8:
+        m = flat == code
+        tr, tc = rr[m] + dr, cc[m] + dc
+        inside = (tr >= 0) & (tr < h) & (tc >= 0) & (tc < wd)
+        idx = np.flatnonzero(m)[inside]
+        down[idx] = (rr[idx] + dr) * wd + (cc[idx] + dc)
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, down[down >= 0], 1)
+    acc = np.zeros(n, dtype=np.int64)
+    frontier = np.flatnonzero(indeg == 0)
+    while frontier.size:
+        d = down[frontier]
+        live = d >= 0
+        src, dst = frontier[live], d[live]
+        np.add.at(acc, dst, acc[src] + w[src])
+        np.add.at(indeg, dst, -1)
+        frontier = np.unique(dst[indeg[dst] == 0])
+    return acc.reshape(h, wd)

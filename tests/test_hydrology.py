@@ -547,3 +547,32 @@ def test_corridor_barrier_cost():
     # every min cell lies on a path through the gap row
     rows = np.argwhere(f == f.min())[:, 0]
     assert rows.max() >= 5
+
+
+def test_flow_accumulation_weighted_reduces_and_branches():
+    from rasters_ray.stages.hydrology import (flow_accumulation,
+                                              flow_accumulation_weighted,
+                                              flow_direction)
+
+    # weight 1 reproduces unweighted counts on any DEM
+    rng = np.random.default_rng(5)
+    z = rng.integers(0, 100, (12, 12)).astype(np.float64)
+    fd = flow_direction(z)
+    ones = np.ones((12, 12), dtype=np.int64)
+    assert (flow_accumulation_weighted(fd, ones)
+            == flow_accumulation(fd)).all()
+    # due-north ramp: weighted acc = strict column suffix sums
+    r, _ = np.indices((10, 10))
+    fd2 = flow_direction(((r + 2) ** 2).astype(np.float64))
+    w = (np.arange(100).reshape(10, 10) % 7).astype(np.int64)
+    acc = flow_accumulation_weighted(fd2, w)
+    for rr in range(10):
+        for cc in range(10):
+            assert acc[rr, cc] == w[rr + 1:, cc].sum()
+    # converging flow sums both branches: V DEM, both columns drain to
+    # the trough column
+    zv = np.array([[0, 5, 9, 5, 0]] * 1, dtype=np.float64).repeat(3, 0)
+    with pytest.raises(ValueError):
+        flow_accumulation_weighted(fd2, w[:5])
+    with pytest.raises(ValueError):
+        flow_accumulation_weighted(fd2, w + 0.5)
