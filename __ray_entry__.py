@@ -6855,6 +6855,35 @@ def q_hull(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_landscape(sf_dir: str):
+    """FRAGSTATS class metrics (label.py::landscape_metrics — class
+    area, total edge, depth-1 core area): per key the categorical
+    raster cls = (k + 2r + 3c) % 5 on 16x16; SQL replays the shifted
+    rook comparisons from the formula."""
+    from rasters_ray.stages.label import landscape_metrics
+
+    r, c = np.indices((16, 16))
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        parts = []
+        for kk in k.tolist():
+            cls = (kk + 2 * r + 3 * c) % 5
+            tab = landscape_metrics(cls)
+            gid = pa.array([f"g{kk:06d}"] * tab.num_rows, pa.string())
+            parts.append(tab.add_column(0, "geom_id", gid))
+        return pa.concat_tables(parts) if parts else pa.table({
+            "geom_id": pa.array([], pa.string()),
+            "class": pa.array([], pa.int64()),
+            "n_px": pa.array([], pa.int64()),
+            "edge_len": pa.array([], pa.int64()),
+            "n_core": pa.array([], pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_flow_weighted(sf_dir: str):
     """Weighted flow accumulation (hydrology.py::
     flow_accumulation_weighted — the ArcGIS weight-raster variant, the
@@ -8749,6 +8778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twi": q_twi,
         "hull": q_hull,
         "flow_weighted": q_flow_weighted,
+        "landscape": q_landscape,
         "quadrat": q_quadrat,
         "ripley_k": q_ripley_k,
         "kernel_density": q_kernel_density,
@@ -10414,6 +10444,50 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(bin AS BIGINT) AS bin,
        CAST(14 * COUNT(*) AS BIGINT) AS n_px
 FROM b GROUP BY k, bin
+"""
+    # landscape: rook adjacencies as two shifted-pair scans; core =
+    # interior cells whose four rook neighbors share the class
+    sql["landscape"] = """
+WITH g AS (
+  SELECT c_custkey AS k, rr.r AS r, cc.c AS c,
+         (c_custkey + 2 * rr.r + 3 * cc.c) % 5 AS cls
+  FROM customer, range(0, 16) rr(r), range(0, 16) cc(c)
+),
+hpairs AS (
+  SELECT a.k, a.cls AS ca, b.cls AS cb
+  FROM g a JOIN g b ON b.k = a.k AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.cls <> b.cls
+),
+vpairs AS (
+  SELECT a.k, a.cls AS ca, b.cls AS cb
+  FROM g a JOIN g b ON b.k = a.k AND b.c = a.c AND b.r = a.r + 1
+  WHERE a.cls <> b.cls
+),
+sides AS (
+  SELECT k, ca AS cls FROM hpairs UNION ALL SELECT k, cb FROM hpairs
+  UNION ALL SELECT k, ca FROM vpairs UNION ALL SELECT k, cb FROM vpairs
+),
+edge AS (SELECT k, cls, COUNT(*) AS e FROM sides GROUP BY k, cls),
+core AS (
+  SELECT m.k, m.cls, COUNT(*) AS nc
+  FROM g m
+  JOIN g up ON up.k = m.k AND up.c = m.c AND up.r = m.r - 1
+  JOIN g dn ON dn.k = m.k AND dn.c = m.c AND dn.r = m.r + 1
+  JOIN g lf ON lf.k = m.k AND lf.r = m.r AND lf.c = m.c - 1
+  JOIN g rt ON rt.k = m.k AND rt.r = m.r AND rt.c = m.c + 1
+  WHERE up.cls = m.cls AND dn.cls = m.cls
+    AND lf.cls = m.cls AND rt.cls = m.cls
+  GROUP BY m.k, m.cls
+)
+SELECT printf('g%06d', g.k) AS geom_id,
+       CAST(g.cls AS BIGINT) AS class,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(COALESCE(MAX(edge.e), 0) AS BIGINT) AS edge_len,
+       CAST(COALESCE(MAX(core.nc), 0) AS BIGINT) AS n_core
+FROM g
+LEFT JOIN edge ON edge.k = g.k AND edge.cls = g.cls
+LEFT JOIN core ON core.k = g.k AND core.cls = g.cls
+GROUP BY g.k, g.cls
 """
     # flow_weighted: on the due-north ramp, acc(r,c) = sum of w(r',c)
     # for r' > r — a per-column suffix window SUM

@@ -35,7 +35,8 @@ import pyarrow as pa
 
 from rasters_ray.stages.focal import halo_exchange_tiled
 
-__all__ = ["label_runs_min", "local_label", "label_components", "sieve_filter"]
+__all__ = ["label_runs_min", "local_label", "label_components", "sieve_filter",
+           "landscape_metrics"]
 
 _MAXI = np.iinfo(np.int64).max
 
@@ -324,3 +325,48 @@ def sieve_filter(classes: np.ndarray, threshold: int) -> tuple:
         out[lab == u] = first_val[best]
         n_changed += size_of[u]
     return out, n_changed
+
+
+def landscape_metrics(classes: np.ndarray) -> "pa.Table":
+    """FRAGSTATS-style class metrics (McGarigal & Marks 1995) for one
+    categorical raster: per class value,
+
+    * ``n_px``   — class area (CA) in cells;
+    * ``edge_len`` — total edge (TE): rook adjacencies between a cell
+      of this class and a DIFFERENT class (grid border excluded, the
+      FRAGSTATS "no boundary" convention); each class-x/class-y edge
+      counts once for x and once for y;
+    * ``n_core`` — core-area cells (all four rook neighbors exist and
+      share the class — CORE with edge depth 1).
+
+    Pure shifted comparisons, int64-exact; per-image map, no shuffle
+    (the tiled form adds a 1-cell halo exchange)."""
+    import pyarrow as pa
+
+    cls = np.asarray(classes)
+    if cls.ndim != 2:
+        raise ValueError("landscape_metrics expects a 2D class raster")
+    if not np.issubdtype(cls.dtype, np.integer):
+        raise ValueError("landscape_metrics requires integer classes")
+    cls = cls.astype(np.int64)
+    kmax = int(cls.max()) + 1 if cls.size else 0
+    n_px = np.bincount(cls.ravel(), minlength=kmax)
+    edge = np.zeros(kmax, dtype=np.int64)
+    # horizontal and vertical adjacent pairs with differing classes
+    for a, b in ((cls[:, :-1], cls[:, 1:]), (cls[:-1, :], cls[1:, :])):
+        diff = a != b
+        edge += np.bincount(a[diff], minlength=kmax)
+        edge += np.bincount(b[diff], minlength=kmax)
+    core = np.zeros(kmax, dtype=np.int64)
+    if cls.shape[0] >= 3 and cls.shape[1] >= 3:
+        mid = cls[1:-1, 1:-1]
+        same = ((mid == cls[:-2, 1:-1]) & (mid == cls[2:, 1:-1])
+                & (mid == cls[1:-1, :-2]) & (mid == cls[1:-1, 2:]))
+        core = np.bincount(mid[same], minlength=kmax)
+    present = np.flatnonzero(n_px)
+    return pa.table({
+        "class": pa.array(present.astype(np.int64), pa.int64()),
+        "n_px": pa.array(n_px[present], pa.int64()),
+        "edge_len": pa.array(edge[present], pa.int64()),
+        "n_core": pa.array(core[present], pa.int64()),
+    })

@@ -2,6 +2,7 @@
 the distributed tile+seam path vs a whole-image reference."""
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 from rasters_ray import codec
@@ -142,3 +143,39 @@ def test_sieve_filter_no_neighbor_and_errors():
     assert n == 0 and (out == 3).all()
     with pytest.raises(ValueError):
         sieve_filter(np.zeros(5, int), 2)
+
+
+def test_landscape_metrics_bruteforce():
+    from rasters_ray.stages.label import landscape_metrics
+
+    rng = np.random.default_rng(7)
+    cls = rng.integers(0, 4, (10, 12))
+    t = landscape_metrics(cls)
+    got = {r["class"]: (r["n_px"], r["edge_len"], r["n_core"])
+           for r in t.to_pylist()}
+    H, W = cls.shape
+    for x in range(4):
+        npx = int((cls == x).sum())
+        edge = 0
+        core = 0
+        for r in range(H):
+            for c in range(W):
+                if cls[r, c] != x:
+                    continue
+                for dr, dc in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                    rr, cc = r + dr, c + dc
+                    if 0 <= rr < H and 0 <= cc < W and cls[rr, cc] != x:
+                        edge += 1
+                if (0 < r < H - 1 and 0 < c < W - 1
+                        and cls[r - 1, c] == x and cls[r + 1, c] == x
+                        and cls[r, c - 1] == x and cls[r, c + 1] == x):
+                    core += 1
+        if npx:
+            assert got[x] == (npx, edge, core), x
+        else:
+            assert x not in got
+    # uniform raster: zero edge, all-interior core
+    u = landscape_metrics(np.zeros((5, 6), dtype=np.int64)).to_pylist()
+    assert u == [{"class": 0, "n_px": 30, "edge_len": 0, "n_core": 12}]
+    with pytest.raises(ValueError):
+        landscape_metrics(np.zeros((4, 4)))  # float classes
