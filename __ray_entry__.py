@@ -6855,6 +6855,41 @@ def q_hull(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_seg_intersect(sf_dir: str):
+    """Segment-intersection counting (geomvec.py::segments_intersect —
+    the CLRS 33.1 orientation predicate, proper crossings + collinear
+    touches, exact integer cross products): per key two 8-segment
+    families from formulas; emits total intersecting pairs, the
+    busiest A segment's hit count and the count of A segments hit.
+    The oracle replays d1..d4 and the bounding-box touch tests."""
+    from rasters_ray.stages.geomvec import segments_intersect
+
+    i = np.arange(8)
+
+    def run(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        gid, np_, mx, na = [], [], [], []
+        for kk in k.tolist():
+            a0 = np.stack([2 * i, (kk * 3 + i * 5) % 16], axis=1)
+            a1 = np.stack([2 * i + 3, (kk + 7 * i) % 16], axis=1)
+            b0 = np.stack([(kk + i) % 16, 2 * i], axis=1)
+            b1 = np.stack([(kk * 5 + i * 3) % 16, 2 * i + 3], axis=1)
+            m = segments_intersect(a0, a1, b0, b1)
+            gid.append(f"g{kk:06d}")
+            np_.append(int(m.sum()))
+            mx.append(int(m.sum(axis=1).max()))
+            na.append(int((m.any(axis=1)).sum()))
+        return pa.table({
+            "geom_id": pa.array(gid, pa.string()),
+            "n_pairs": pa.array(np_, pa.int64()),
+            "max_hits": pa.array(mx, pa.int64()),
+            "n_a_hit": pa.array(na, pa.int64()),
+        })
+
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_landscape(sf_dir: str):
     """FRAGSTATS class metrics (label.py::landscape_metrics — class
     area, total edge, depth-1 core area): per key the categorical
@@ -8779,6 +8814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hull": q_hull,
         "flow_weighted": q_flow_weighted,
         "landscape": q_landscape,
+        "seg_intersect": q_seg_intersect,
         "quadrat": q_quadrat,
         "ripley_k": q_ripley_k,
         "kernel_density": q_kernel_density,
@@ -10444,6 +10480,53 @@ SELECT printf('g%06d', k) AS geom_id,
        CAST(bin AS BIGINT) AS bin,
        CAST(14 * COUNT(*) AS BIGINT) AS n_px
 FROM b GROUP BY k, bin
+"""
+    # seg_intersect: d1..d4 orientation cross products + collinear
+    # bounding-box touch tests, replayed per (A, B) pair
+    sql["seg_intersect"] = """
+WITH segs AS (
+  SELECT c_custkey AS k, i.i AS i,
+         2 * i.i AS ax0, (c_custkey * 3 + i.i * 5) % 16 AS ay0,
+         2 * i.i + 3 AS ax1, (c_custkey + 7 * i.i) % 16 AS ay1,
+         (c_custkey + i.i) % 16 AS bx0, 2 * i.i AS by0,
+         (c_custkey * 5 + i.i * 3) % 16 AS bx1, 2 * i.i + 3 AS by1
+  FROM customer, range(0, 8) i(i)
+),
+pairs AS (
+  SELECT a.k, a.i AS ai,
+         (a.ax0 - b.bx0) * (b.by1 - b.by0)
+           - (a.ay0 - b.by0) * (b.bx1 - b.bx0) AS d1,
+         (a.ax1 - b.bx0) * (b.by1 - b.by0)
+           - (a.ay1 - b.by0) * (b.bx1 - b.bx0) AS d2,
+         (b.bx0 - a.ax0) * (a.ay1 - a.ay0)
+           - (b.by0 - a.ay0) * (a.ax1 - a.ax0) AS d3,
+         (b.bx1 - a.ax0) * (a.ay1 - a.ay0)
+           - (b.by1 - a.ay0) * (a.ax1 - a.ax0) AS d4,
+         a.ax0, a.ay0, a.ax1, a.ay1, b.bx0, b.by0, b.bx1, b.by1
+  FROM segs a JOIN segs b ON a.k = b.k
+),
+hit AS (
+  SELECT k, ai,
+         ( ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+           AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)) )
+         OR (d1 = 0 AND ax0 BETWEEN LEAST(bx0, bx1) AND GREATEST(bx0, bx1)
+                     AND ay0 BETWEEN LEAST(by0, by1) AND GREATEST(by0, by1))
+         OR (d2 = 0 AND ax1 BETWEEN LEAST(bx0, bx1) AND GREATEST(bx0, bx1)
+                     AND ay1 BETWEEN LEAST(by0, by1) AND GREATEST(by0, by1))
+         OR (d3 = 0 AND bx0 BETWEEN LEAST(ax0, ax1) AND GREATEST(ax0, ax1)
+                     AND by0 BETWEEN LEAST(ay0, ay1) AND GREATEST(ay0, ay1))
+         OR (d4 = 0 AND bx1 BETWEEN LEAST(ax0, ax1) AND GREATEST(ax0, ax1)
+                     AND by1 BETWEEN LEAST(ay0, ay1) AND GREATEST(ay0, ay1))
+         AS x
+  FROM pairs
+),
+per_a AS (SELECT k, ai, SUM(CASE WHEN x THEN 1 ELSE 0 END) AS h
+          FROM hit GROUP BY k, ai)
+SELECT printf('g%06d', k) AS geom_id,
+       CAST(SUM(h) AS BIGINT) AS n_pairs,
+       CAST(MAX(h) AS BIGINT) AS max_hits,
+       CAST(SUM(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_hit
+FROM per_a GROUP BY k
 """
     # landscape: rook adjacencies as two shifted-pair scans; core =
     # interior cells whose four rook neighbors share the class

@@ -503,3 +503,40 @@ def raster_profile(arr: np.ndarray, grid, parts: List[np.ndarray],
         "y": pa.array(ys, pa.float64()),
         "value": pa.array(vals, pa.float64()),
     })
+
+
+def segments_intersect(a0, a1, b0, b1) -> np.ndarray:
+    """Vectorized proper-or-touching segment intersection test between
+    segment arrays A (a0->a1) and B (b0->b1), broadcast to a (nA, nB)
+    bool matrix — the classic orientation predicate (CLRS 33.1 /
+    Shamos-Hoey primitive), pure integer cross products for integer
+    endpoints so the result is exact (collinear touching counts).
+
+    Each a* / b* is an (n, 2) int array."""
+    A0 = np.asarray(a0, dtype=np.int64)[:, None, :]
+    A1 = np.asarray(a1, dtype=np.int64)[:, None, :]
+    B0 = np.asarray(b0, dtype=np.int64)[None, :, :]
+    B1 = np.asarray(b1, dtype=np.int64)[None, :, :]
+
+    def cross(o, p, q):
+        return ((p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1])
+                - (p[..., 1] - o[..., 1]) * (q[..., 0] - o[..., 0]))
+
+    d1 = cross(B0, B1, A0)
+    d2 = cross(B0, B1, A1)
+    d3 = cross(A0, A1, B0)
+    d4 = cross(A0, A1, B1)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & \
+             (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+
+    def on_seg(o, p, q, d):
+        # q collinear with o->p (d == 0) and within the bounding box
+        return ((d == 0)
+                & (np.minimum(o[..., 0], p[..., 0]) <= q[..., 0])
+                & (q[..., 0] <= np.maximum(o[..., 0], p[..., 0]))
+                & (np.minimum(o[..., 1], p[..., 1]) <= q[..., 1])
+                & (q[..., 1] <= np.maximum(o[..., 1], p[..., 1])))
+
+    touch = (on_seg(B0, B1, A0, d1) | on_seg(B0, B1, A1, d2)
+             | on_seg(A0, A1, B0, d3) | on_seg(A0, A1, B1, d4))
+    return proper | touch

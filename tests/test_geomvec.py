@@ -222,3 +222,45 @@ def test_raster_profile_nearest_and_bilinear():
     assert all(np.isnan(v) for v in out.column("value").to_pylist())
     with pytest.raises(ValueError):
         raster_profile(ramp, g, line, 1.0, method="cubic")
+
+
+def test_segments_intersect_cases_and_bruteforce():
+    from fractions import Fraction
+
+    from rasters_ray.stages.geomvec import segments_intersect
+
+    a0 = np.array([[0, 0]])
+    a1 = np.array([[4, 4]])
+    b0 = np.array([[0, 4], [4, 4], [2, 2], [5, 0], [0, 1]])
+    b1 = np.array([[4, 0], [6, 6], [6, 6], [6, 1], [4, 5]])
+    assert segments_intersect(a0, a1, b0, b1).tolist() == [
+        [True, True, True, False, False]]
+
+    # randomized brute force against an exact rational param solver
+    def ref(p0, p1, q0, q1):
+        d = ((p1[0] - p0[0]) * (q1[1] - q0[1])
+             - (p1[1] - p0[1]) * (q1[0] - q0[0]))
+        if d != 0:
+            t = Fraction((q0[0] - p0[0]) * (q1[1] - q0[1])
+                         - (q0[1] - p0[1]) * (q1[0] - q0[0]), d)
+            u = Fraction((q0[0] - p0[0]) * (p1[1] - p0[1])
+                         - (q0[1] - p0[1]) * (p1[0] - p0[0]), d)
+            return 0 <= t <= 1 and 0 <= u <= 1
+        # parallel: intersect iff collinear and 1-D projections overlap
+        if ((q0[0] - p0[0]) * (p1[1] - p0[1])
+                - (q0[1] - p0[1]) * (p1[0] - p0[0])) != 0:
+            return False
+        ax = sorted([p0[0], p1[0]]); bx = sorted([q0[0], q1[0]])
+        ay = sorted([p0[1], p1[1]]); by = sorted([q0[1], q1[1]])
+        return ax[0] <= bx[1] and bx[0] <= ax[1] \
+            and ay[0] <= by[1] and by[0] <= ay[1]
+
+    rng = np.random.default_rng(13)
+    A0 = rng.integers(0, 8, (25, 2)); A1 = rng.integers(0, 8, (25, 2))
+    B0 = rng.integers(0, 8, (25, 2)); B1 = rng.integers(0, 8, (25, 2))
+    got = segments_intersect(A0, A1, B0, B1)
+    for ii in range(25):
+        for jj in range(25):
+            want = ref(A0[ii].tolist(), A1[ii].tolist(),
+                       B0[jj].tolist(), B1[jj].tolist())
+            assert got[ii, jj] == want, (ii, jj)
