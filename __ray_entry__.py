@@ -1405,6 +1405,37 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_late_interaction(sf_dir: str):
+    """ColBERT MaxSim late interaction (ann/search.py::
+    late_interaction_scores): per document 8 deterministic token
+    embeddings e[t, i] = (doc*7 + t*13 + i*3) % 17 - 8 (dim 16) scored
+    against 4 broadcast query tokens q[t, i] = (t*5 + i*11) % 17 - 8;
+    score = sum over query tokens of the max token dot.  All int64;
+    the oracle replays dot -> MAX -> SUM with a dims x tokens join."""
+    from rasters_ray.ann.search import late_interaction_scores
+
+    qt = (((np.arange(4)[:, None] * 5 + np.arange(16)[None, :] * 11) % 17)
+          - 8).astype(np.int64)
+
+    def tok_fn(ids):
+        d = ids[:, None, None]
+        t = np.arange(8)[None, :, None]
+        i = np.arange(16)[None, None, :]
+        return ((d * 7 + t * 13 + i * 3) % 17) - 8
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        scores, arg0 = late_interaction_scores(ids, tok_fn, qt)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(scores, pa.int64()),
+            "arg_t0": pa.array(arg0, pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -8680,6 +8711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_from": q_fill_from,
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
+        "late_interaction": q_late_interaction,
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "region_revenue": q_region_revenue,
@@ -12682,6 +12714,30 @@ SELECT event_type,
 FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
 """
 
+    # late_interaction: dot over 16 dims -> MAX over 8 doc tokens ->
+    # SUM over 4 query tokens; arg_t0 ties to the lowest doc token
+    sql["late_interaction"] = """
+WITH dots AS (
+  SELECT d.doc_id, qt.q AS qtok, dt.t AS dtok,
+         SUM(((d.doc_id * 7 + dt.t * 13 + i.i * 3) % 17 - 8)
+             * ((qt.q * 5 + i.i * 11) % 17 - 8)) AS dot
+  FROM documents d, range(0, 4) qt(q), range(0, 8) dt(t), range(0, 16) i(i)
+  GROUP BY d.doc_id, qt.q, dt.t
+),
+best AS (
+  SELECT doc_id, qtok, MAX(dot) AS m FROM dots GROUP BY doc_id, qtok
+),
+a0 AS (
+  SELECT doc_id, dtok FROM dots WHERE qtok = 0
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY dot DESC, dtok) = 1
+)
+SELECT best.doc_id,
+       CAST(SUM(best.m) AS BIGINT) AS score,
+       CAST(MAX(a0.dtok) AS BIGINT) AS arg_t0
+FROM best JOIN a0 ON a0.doc_id = best.doc_id
+GROUP BY best.doc_id
+"""
     sql["ann_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT CAST(row_number() OVER (ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id)

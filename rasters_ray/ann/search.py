@@ -680,3 +680,27 @@ def cosine_near_dups_local(
                             k2 = tuple(sorted((gids[i], gids[j])))
                             best[k2] = max(best.get(k2, -2.0), float(sims[i, j]))
     return sorted((a, b, c) for (a, b), c in best.items())
+
+
+def late_interaction_scores(doc_ids: np.ndarray, doc_tok_fn, query_toks: np.ndarray):
+    """ColBERT-style late interaction (Khattab & Zaharia, SIGIR 2020):
+    ``score(doc) = sum over query tokens of max over doc tokens of the
+    token-level dot product`` (MaxSim).  ``doc_tok_fn(ids) ->
+    (n_docs, n_tok, dim)`` integer token embeddings; ``query_toks`` is
+    the broadcast (n_q, dim) integer query matrix.  All-int64 einsum,
+    so scores are exact and SQL-replayable.  Returns
+    ``(scores, arg_t0)`` where arg_t0 is the FIRST maximizing doc
+    token for query token 0 (tie-break lowest index).
+
+    Scale shape: the query side broadcasts once; per batch one
+    (docs, n_tok, n_q) einsum — documents never shuffle."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    q = np.asarray(query_toks, dtype=np.int64)
+    e = np.asarray(doc_tok_fn(ids), dtype=np.int64)
+    if e.ndim != 3 or q.ndim != 2 or e.shape[2] != q.shape[1]:
+        raise ValueError("late_interaction needs (n, t, d) docs and (q, d) queries")
+    dots = np.einsum("ntd,qd->nqt", e, q)          # int64-exact
+    best = dots.max(axis=2)                        # (n, q) MaxSim
+    scores = best.sum(axis=1)                      # (n,)
+    arg_t0 = dots[:, 0, :].argmax(axis=1)          # first max, query tok 0
+    return scores, arg_t0.astype(np.int64)

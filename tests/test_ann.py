@@ -225,3 +225,31 @@ def test_lsh_and_ivf_match_sequential_bitwise(ray_session):
         got_ivf = rows(ivf_topk(ds, q, k=5, n_centroids=8, iters=2))
         assert got_lsh == want_lsh, f"lsh parts={parts}"
         assert got_ivf == want_ivf, f"ivf parts={parts}"
+
+
+def test_late_interaction_bruteforce_and_ties():
+    from rasters_ray.ann.search import late_interaction_scores
+
+    def tok_fn(ids):
+        d = ids[:, None, None]
+        t = np.arange(5)[None, :, None]
+        i = np.arange(6)[None, None, :]
+        return ((d * 7 + t * 13 + i * 3) % 17) - 8
+
+    q = (((np.arange(3)[:, None] * 5 + np.arange(6)[None, :] * 11) % 17)
+         - 8).astype(np.int64)
+    ids = np.arange(20)
+    scores, arg0 = late_interaction_scores(ids, tok_fn, q)
+    for n, d in enumerate(ids):
+        e = tok_fn(np.array([d]))[0]
+        per_q = [max(int(e[t] @ qq) for t in range(5)) for qq in q]
+        assert scores[n] == sum(per_q)
+        dots0 = [int(e[t] @ q[0]) for t in range(5)]
+        assert arg0[n] == dots0.index(max(dots0))  # first max tie-break
+    # identical doc tokens -> arg_t0 = 0 by tie-break
+    s2, a2 = late_interaction_scores(
+        np.array([0]), lambda i: np.ones((1, 4, 6), dtype=np.int64), q)
+    assert a2[0] == 0
+    with pytest.raises(ValueError):
+        late_interaction_scores(np.array([0]),
+                                lambda i: np.ones((1, 4, 5), dtype=np.int64), q)
