@@ -1405,6 +1405,27 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_rank_fusion(sf_dir: str):
+    """Borda rank fusion of two retrieval score lists
+    (relational/aggregates.py::borda_fusion): competition ranks via
+    broadcast histograms — a global ranking with zero heavy shuffles.
+    Scores are the deterministic grades sa = (d*13 + 5) % 101,
+    sb = (d*29 + 7) % 103; the oracle replays with rank() windows."""
+    from rasters_ray.relational.aggregates import borda_fusion
+
+    def scores(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "sa": pa.array((d * 13 + 5) % 101, pa.int64()),
+            "sb": pa.array((d * 29 + 7) % 103, pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        scores, batch_format="pyarrow")
+    return borda_fusion(ds, "doc_id", ["sa", "sb"])
+
+
 def q_late_interaction(sf_dir: str):
     """ColBERT MaxSim late interaction (ann/search.py::
     late_interaction_scores): per document 8 deterministic token
@@ -8712,6 +8733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "ann_topk": q_ann_topk,
         "late_interaction": q_late_interaction,
+        "rank_fusion": q_rank_fusion,
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "region_revenue": q_region_revenue,
@@ -12714,6 +12736,29 @@ SELECT event_type,
 FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
 """
 
+    # rank_fusion: competition ranks (ties share) per score column,
+    # Borda sum, fused competition rank ascending
+    sql["rank_fusion"] = """
+WITH s AS (
+  SELECT doc_id,
+         (doc_id * 13 + 5) % 101 AS sa,
+         (doc_id * 29 + 7) % 103 AS sb
+  FROM documents
+),
+r AS (
+  SELECT doc_id, sa, sb,
+         rank() OVER (ORDER BY sa DESC) AS rank_sa,
+         rank() OVER (ORDER BY sb DESC) AS rank_sb
+  FROM s
+)
+SELECT doc_id,
+       CAST(rank_sa AS BIGINT) AS rank_sa,
+       CAST(rank_sb AS BIGINT) AS rank_sb,
+       CAST(rank_sa + rank_sb AS BIGINT) AS borda,
+       CAST(rank() OVER (ORDER BY rank_sa + rank_sb) AS BIGINT)
+           AS fused_rank
+FROM r
+"""
     # late_interaction: dot over 16 dims -> MAX over 8 doc tokens ->
     # SUM over 4 query tokens; arg_t0 ties to the lowest doc token
     sql["late_interaction"] = """

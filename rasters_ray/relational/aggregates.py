@@ -573,3 +573,69 @@ def weighted_exact_quantiles(
         "rank": pa.array(np.asarray(out_r, np.int64), pa.int64()),
         "total_w": pa.array([W] * len(out_q), pa.int64()),
     })
+
+
+def borda_fusion(ds, id_col: str, score_cols: list):
+    """Distributed rank fusion (Borda count over COMPETITION ranks —
+    the deterministic cousin of reciprocal-rank fusion): each score
+    column ranks as ``rank = 1 + #{rows with a strictly higher
+    score}`` (ties share a rank, so no id tie-break is needed), the
+    Borda score is the rank sum, and a final competition rank orders
+    the fusion.
+
+    Scale shape: THREE histogram broadcasts, ZERO heavy shuffles — a
+    global ranking without a global sort.  Pass 1 bincounts every
+    score column per batch and merges the tiny histograms on the
+    driver (scores must be small-cardinality non-negative ints — the
+    retrieval-fusion case: bounded relevance grades); pass 2 maps
+    ranks via broadcast suffix-counts and bincounts the Borda values;
+    pass 3 assigns the fused rank the same way.
+
+    -> Dataset[(id_col, rank_<col>..., borda, fused_rank)]."""
+    import numpy as np
+
+    def hist_of(col: str, source):
+        def partial(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy()
+            if v.size and (v.min() < 0):
+                raise ValueError("borda_fusion scores must be >= 0")
+            bc = np.bincount(v)
+            nz = np.flatnonzero(bc)
+            return pa.table({"v": pa.array(nz.astype(np.int64), pa.int64()),
+                             "n": pa.array(bc[nz], pa.int64())})
+
+        h = source.map_batches(partial, batch_format="pyarrow").to_pandas()
+        size = int(h["v"].max()) + 1 if len(h) else 1
+        out = np.zeros(size, dtype=np.int64)
+        np.add.at(out, h["v"].to_numpy(), h["n"].to_numpy())
+        return out
+
+    # rank(v) = 1 + #{v' > v} = 1 + suffix_count(v+1)
+    def rank_table(hist):
+        suffix = np.concatenate([np.cumsum(hist[::-1])[::-1][1:], [0]])
+        return 1 + suffix
+
+    ranks = {c: rank_table(hist_of(c, ds)) for c in score_cols}
+
+    def with_ranks(t: pa.Table) -> pa.Table:
+        cols = {id_col: t.column(id_col)}
+        borda = np.zeros(t.num_rows, dtype=np.int64)
+        for c in score_cols:
+            r = ranks[c][t.column(c).to_numpy()]
+            borda += r
+            cols[f"rank_{c}"] = pa.array(r, pa.int64())
+        cols["borda"] = pa.array(borda, pa.int64())
+        return pa.table(cols)
+
+    ranked = ds.map_batches(with_ranks, batch_format="pyarrow")
+    bh = hist_of("borda", ranked)
+    # fused competition rank orders ASCENDING borda (lower = better):
+    # rank = 1 + #{borda' < borda} = 1 + prefix_count(borda)
+    prefix = np.concatenate([[0], np.cumsum(bh)[:-1]])
+
+    def with_fused(t: pa.Table) -> pa.Table:
+        b = t.column("borda").to_numpy()
+        return t.append_column("fused_rank",
+                               pa.array(1 + prefix[b], pa.int64()))
+
+    return ranked.map_batches(with_fused, batch_format="pyarrow")
