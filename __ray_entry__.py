@@ -728,6 +728,35 @@ def q_pixel_trend(sf_dir: str):
     return stack_trend_summary(_images_ds(sf_dir, N_IMG_MERGE), _stack_key8, tile=25)
 
 
+def q_rle_profile(sf_dir: str):
+    """Row-wise run-length profile (features.py::rle_row_stats — the
+    storage-planning statistic behind RLE/PackBits encoders): per
+    image the run count, longest run and constant-row count.  SQL
+    rebuilds runs with a LAG start marker and a running-sum run id."""
+    from rasters_ray.stages.features import rle_row_stats
+    from rasters_ray import codec as _codec
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, nr, mx, nc = [], [], [], []
+        for i in range(t.num_rows):
+            px = _codec.decode(t.column("bytes")[i].as_py(),
+                               t.column("fmt")[i].as_py())
+            n, m, c = rle_row_stats(np.rint(px).astype(np.int64))
+            ids.append(t.column("image_id")[i].as_py())
+            nr.append(n)
+            mx.append(m)
+            nc.append(c)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "n_runs": pa.array(nr, pa.int64()),
+            "max_run": pa.array(mx, pa.int64()),
+            "n_const_rows": pa.array(nc, pa.int64()),
+        })
+
+    return _images_ds(sf_dir, N_IMG_MERGE).map_batches(
+        run, batch_format="pyarrow")
+
+
 def q_mann_kendall(sf_dir: str):
     """Per-pixel Mann-Kendall trend test over co-registered epoch stacks
     (temporal.py::stack_mann_kendall): S = sum over time-ordered pairs
@@ -8712,6 +8741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pixel_trend": q_pixel_trend,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
+        "rle_profile": q_rle_profile,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -13074,6 +13104,44 @@ SELECT k AS stack_key, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(SUM(CASE WHEN slope = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
        CAST(SUM(slope) AS BIGINT) AS sum_slope_num
 FROM num GROUP BY k
+"""
+
+    # rle_profile: run starts via LAG, run ids via running sum, then
+    # per-run lengths and per-image aggregates
+    sql["rle_profile"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT printf('img%08d', d) AS image_id, r.range AS r, c.range AS c,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS v
+  FROM imgs, range(100) r, range(100) c
+),
+st AS (
+  SELECT image_id, r, c, v,
+         CASE WHEN v IS DISTINCT FROM
+                   LAG(v) OVER (PARTITION BY image_id, r ORDER BY c)
+              THEN 1 ELSE 0 END AS s
+  FROM px
+),
+rid AS (
+  SELECT image_id, r,
+         SUM(s) OVER (PARTITION BY image_id, r ORDER BY c) AS run_id
+  FROM st
+),
+rl AS (
+  SELECT image_id, r, run_id, COUNT(*) AS len
+  FROM rid GROUP BY image_id, r, run_id
+),
+rows_ AS (
+  SELECT image_id, r, COUNT(*) AS runs_in_row
+  FROM rl GROUP BY image_id, r
+)
+SELECT rl.image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(rl.len) AS BIGINT) AS max_run,
+       CAST((SELECT COUNT(*) FROM rows_
+             WHERE rows_.image_id = rl.image_id
+               AND rows_.runs_in_row = 1) AS BIGINT) AS n_const_rows
+FROM rl GROUP BY rl.image_id
 """
 
     # Theil-Sen: the 6 pairwise slopes per pixel; the lower median is

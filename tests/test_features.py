@@ -80,3 +80,33 @@ def test_feature_stats_dataset(ray_session):
     assert (row["peak_r"], row["peak_c"], row["peak_resp"]) == (r, c, resp)
     codes = lbp_codes(img)
     assert row["lbp_sum"] == int(codes[codes >= 0].sum())
+
+
+def test_rle_row_stats_bruteforce():
+    from rasters_ray.stages.features import rle_row_stats
+
+    rng = np.random.default_rng(4)
+    for trial in range(25):
+        x = rng.integers(0, rng.integers(2, 6),
+                         (rng.integers(1, 12), rng.integers(1, 18)))
+        n, m, c = rle_row_stats(x)
+        runs, const = [], 0
+        for row in x:
+            rl, cur = [], 1
+            for i in range(1, len(row)):
+                if row[i] == row[i - 1]:
+                    cur += 1
+                else:
+                    rl.append(cur)
+                    cur = 1
+            rl.append(cur)
+            runs += rl
+            const += len(rl) == 1
+        assert (n, m, c) == (len(runs), max(runs), const), trial
+    # all-constant raster: one run per row, max = width, all rows const
+    assert rle_row_stats(np.full((4, 9), 7)) == (4, 9, 4)
+    # strictly alternating: w runs per row of length 1, none constant
+    alt = np.tile(np.arange(6) % 2, (3, 1))
+    assert rle_row_stats(alt) == (18, 1, 0)
+    with pytest.raises(ValueError):
+        rle_row_stats(np.zeros((0, 3)))
