@@ -2920,6 +2920,31 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_skyline(sf_dir: str):
+    """2-D skyline (Pareto frontier) of parts: minimize retail price
+    (floor-cents, exact), maximize size.  Distributed SFS plan: one
+    vectorized local frontier per block, then frontier-of-frontiers —
+    only frontier rows move (relational/skyline.py)."""
+    from rasters_ray.relational.skyline import skyline_2d
+
+    def prep(t: pa.Table) -> pa.Table:
+        price = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "price_c": pa.array(
+                    np.floor(price * 100.0).astype(np.int64), pa.int64()
+                ),
+                "p_size": t.column("p_size").cast(pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return skyline_2d(ds, "p_partkey", "price_c", "p_size")
+
+
 QUANTILE_QS = [0.25, 0.5, 0.75, 0.9, 0.99]
 
 
@@ -8770,6 +8795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "interval_events": q_interval_events,
         "topk_orders": q_topk_orders,
+        "skyline": q_skyline,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
@@ -13467,6 +13493,19 @@ SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
   FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["skyline"] = """
+WITH pt AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100.0e0) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part)
+SELECT p_partkey, price_c, p_size FROM pt a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pt b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
 """
 
     sql["quantiles"] = """
