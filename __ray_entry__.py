@@ -2920,6 +2920,35 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_interval_merge(sf_dir: str):
+    """Gaps-and-islands interval union per user: each event opens an
+    interval of floor-cents(value) x 5 s; overlapping-or-touching
+    intervals chain into islands (relational/intervals.py — one
+    hash-partition shuffle, vectorized segment-reset running max)."""
+    from rasters_ray.relational.intervals import merged_interval_stats
+
+    def iv(t: pa.Table) -> pa.Table:
+        per_sec = _ts_unit(t.column("ts").type)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        us = ts * (1_000_000 // per_sec) if per_sec <= 1_000_000 else ts // (
+            per_sec // 1_000_000
+        )
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        dur = np.floor(v * 100.0).astype(np.int64) * 5_000_000
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "s": pa.array(us, pa.int64()),
+                "e": pa.array(us + dur, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        iv, batch_format="pyarrow"
+    )
+    return merged_interval_stats(ds, "user_id", "s", "e")
+
+
 def q_skyline(sf_dir: str):
     """2-D skyline (Pareto frontier) of parts: minimize retail price
     (floor-cents, exact), maximize size.  Distributed SFS plan: one
@@ -8796,6 +8825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_events": q_interval_events,
         "topk_orders": q_topk_orders,
         "skyline": q_skyline,
+        "interval_merge": q_interval_merge,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
@@ -13493,6 +13523,33 @@ SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
   FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["interval_merge"] = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + CAST(FLOOR(value * 100.0e0) AS BIGINT) * 5000000 AS e
+  FROM events),
+m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM iv),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+  FROM m),
+g AS (
+  SELECT user_id, iid, MIN(s) AS st, MAX(e) AS en
+  FROM isl GROUP BY user_id, iid)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(en - st) AS BIGINT) AS covered_us,
+       CAST(MAX(en - st) AS BIGINT) AS max_island_us
+FROM g GROUP BY user_id
 """
 
     sql["skyline"] = """
