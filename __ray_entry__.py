@@ -2920,6 +2920,22 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_transitions(sf_dir: str):
+    """First-order Markov transition table of per-user event streams:
+    adjacent (from_type -> to_type) pairs ordered by (ts, event_id),
+    one user-hash shuffle then |types|^2-bounded partials
+    (relational/sequence.py)."""
+    from rasters_ray.relational.sequence import transition_counts
+
+    return transition_counts(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+    )
+
+
 def q_interval_merge(sf_dir: str):
     """Gaps-and-islands interval union per user: each event opens an
     interval of floor-cents(value) x 5 s; overlapping-or-touching
@@ -8826,6 +8842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "skyline": q_skyline,
         "interval_merge": q_interval_merge,
+        "transitions": q_transitions,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
@@ -13523,6 +13540,18 @@ SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
   FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["transitions"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt
 """
 
     sql["interval_merge"] = """
