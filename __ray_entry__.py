@@ -2920,6 +2920,47 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_pearson(sf_dir: str):
+    """Distributed Pearson correlation of (quantity, floor-price) per
+    returnflag: exact integer sufficient statistics (n, sums, squares,
+    cross) fold per batch into the low-cardinality groupby; the final
+    corr is ONE fixed-order float expression over exact ints, replayed
+    literally in SQL (the moran/gi* replay pattern)."""
+    import math
+
+    from rasters_ray.relational import grouped_int_sums
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                    "l_extendedprice"])
+
+    def vals(t: pa.Table) -> dict:
+        q = np.rint(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        p = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return {"sx": q, "sy": p, "sxx": q * q, "syy": p * p, "sxy": q * p}
+
+    stats = grouped_int_sums(ds, ["l_returnflag"], vals, count_col="n")
+
+    def corr(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out = []
+        for r in rows:  # <= |returnflag| rows: Python ints keep the
+            n, sx, sy = r["n"], r["sx"], r["sy"]  # >64-bit products exact
+            num = float(n * r["sxy"] - sx * sy)
+            d1 = math.sqrt(float(n * r["sxx"] - sx * sx))
+            d2 = math.sqrt(float(n * r["syy"] - sy * sy))
+            r["corr"] = num / (d1 * d2)
+            out.append(r)
+        tt = pa.Table.from_pylist(out)
+        return tt.select(["l_returnflag", "n", "sx", "sy", "sxx", "syy",
+                          "sxy", "corr"])
+
+    return stats.map_batches(corr, batch_format="pyarrow")
+
+
 def q_transitions(sf_dir: str):
     """First-order Markov transition table of per-user event streams:
     adjacent (from_type -> to_type) pairs ordered by (ts, event_id),
@@ -8843,6 +8884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,
         "interval_merge": q_interval_merge,
         "transitions": q_transitions,
+        "pearson": q_pearson,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
@@ -13540,6 +13582,30 @@ SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
   FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["pearson"] = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS p
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS sx,
+         CAST(SUM(p) AS BIGINT) AS sy,
+         CAST(SUM(q * q) AS BIGINT) AS sxx,
+         CAST(SUM(p * p) AS BIGINT) AS syy,
+         CAST(SUM(q * p) AS BIGINT) AS sxy
+  FROM v GROUP BY l_returnflag)
+SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+       CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+          * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                      - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS corr
+FROM s
 """
 
     sql["transitions"] = """
