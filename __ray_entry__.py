@@ -2920,6 +2920,26 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_mad(sf_dir: str):
+    """Median absolute deviation of order totalprice (floor-cents,
+    exact) per order priority — the robust-statistics sibling of
+    grouped_quantiles, both medians percentile_disc-ranked
+    (relational/aggregates.py::grouped_mad)."""
+    from rasters_ray.relational import grouped_mad
+
+    out = grouped_mad(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority",
+        lambda t: np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64),
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["priority", "n", "med_c", "mad_c"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_pearson(sf_dir: str):
     """Distributed Pearson correlation of (quantity, floor-price) per
     returnflag: exact integer sufficient statistics (n, sums, squares,
@@ -8885,6 +8905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_merge": q_interval_merge,
         "transitions": q_transitions,
         "pearson": q_pearson,
+        "mad": q_mad,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
@@ -13582,6 +13603,21 @@ SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
   FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["mad"] = """
+WITH v AS (
+  SELECT o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100.0e0) AS BIGINT) AS c
+  FROM orders),
+m AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+         quantile_disc(c, 0.5) AS med_c
+  FROM v GROUP BY priority)
+SELECT m.priority, m.n, m.med_c,
+       quantile_disc(ABS(v.c - m.med_c), 0.5) AS mad_c
+FROM v JOIN m ON v.priority = m.priority
+GROUP BY m.priority, m.n, m.med_c
 """
 
     sql["pearson"] = """

@@ -14,6 +14,7 @@ from .joins import asof_join, broadcast_join, hash_join, interval_join
 from .aggregates import (
     exact_quantiles,
     grouped_int_sums,
+    grouped_mad,
     grouped_quantiles,
     int_sum_partial,
     pivot_counts,
@@ -34,6 +35,7 @@ __all__ = [
     "interval_join",
     "exact_quantiles",
     "grouped_int_sums",
+    "grouped_mad",
     "grouped_quantiles",
     "int_sum_partial",
     "pivot_counts",

@@ -246,6 +246,58 @@ def grouped_quantiles(
     )
 
 
+def grouped_mad(ds, group_col: str, values_fn, n_parts: int = 32):
+    """Median absolute deviation per group -> Dataset[group, n, med,
+    mad] over integer values (callers scale money to cents first).
+
+    ``values_fn(batch) -> int64 array`` derives the value column.  Both
+    medians use the percentile_disc rule (1-based rank ``ceil(n/2)``),
+    so results are exact integers — no interpolation.  Same partition
+    contract as :func:`grouped_quantiles`: groups hash-partition so one
+    vectorized kernel resolves a partition's groups; each single
+    group's values must fit the partition (documented scale bound)."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = values_fn(t)
+        sel = pa.table(
+            {
+                group_col: t.column(group_col),
+                "_v": pa.array(np.asarray(v, np.int64), pa.int64()),
+            }
+        )
+        return sel.append_column(
+            "_part", pa.array(hash_parts(sel.column(group_col), n_parts), pa.int64())
+        )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        g = np.asarray(part.column(group_col).to_pylist(), dtype=object)
+        v = part.column("_v").to_numpy(zero_copy_only=False).astype(np.int64)
+        ug, ginv = np.unique(g, return_inverse=True)
+        order = np.lexsort((v, ginv))
+        gs, vs = ginv[order], v[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(gs) > 0])
+        ns = np.diff(np.r_[starts, len(gs)])
+        rank = np.ceil(0.5 * ns).astype(np.int64)  # percentile_disc(0.5)
+        med = vs[starts + rank - 1]
+        d = np.abs(v - med[ginv])
+        order2 = np.lexsort((d, ginv))
+        mad = d[order2][starts + rank - 1]
+        return pa.table(
+            {
+                group_col: pa.array(ug, pa.string()),
+                "n": pa.array(ns.astype(np.int64), pa.int64()),
+                "med": pa.array(med, pa.int64()),
+                "mad": pa.array(mad, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def pivot_counts(
     ds,
     row_col: str,
