@@ -2920,6 +2920,27 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_gini(sf_dir: str):
+    """Gini inequality coefficient of order totalprice (floor-cents)
+    per order priority: exact rank-sum integers, one float division
+    replayed in SQL (relational/aggregates.py::grouped_gini)."""
+    from rasters_ray.relational import grouped_gini
+
+    out = grouped_gini(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority",
+        lambda t: np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64),
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["priority", "n", "sum_c", "gini_num", "gini_den", "gini"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_mad(sf_dir: str):
     """Median absolute deviation of order totalprice (floor-cents,
     exact) per order priority — the robust-statistics sibling of
@@ -8906,6 +8927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions": q_transitions,
         "pearson": q_pearson,
         "mad": q_mad,
+        "gini": q_gini,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
@@ -13603,6 +13625,26 @@ SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
   FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["gini"] = """
+WITH v AS (
+  SELECT o_orderpriority AS priority,
+         CAST(FLOOR(o_totalprice * 100.0e0) AS BIGINT) AS c
+  FROM orders),
+r AS (
+  SELECT priority, c,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY c) AS i
+  FROM v)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c) AS BIGINT) AS sum_c,
+       CAST(2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c) AS BIGINT) AS gini_num,
+       CAST(COUNT(*) * SUM(c) AS BIGINT) AS gini_den,
+       CAST(CAST(2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c) AS BIGINT)
+            AS DOUBLE)
+         / CAST(CAST(COUNT(*) * SUM(c) AS BIGINT) AS DOUBLE) AS gini
+FROM r GROUP BY priority
 """
 
     sql["mad"] = """

@@ -14,6 +14,7 @@ from .joins import asof_join, broadcast_join, hash_join, interval_join
 from .aggregates import (
     exact_quantiles,
     grouped_int_sums,
+    grouped_gini,
     grouped_mad,
     grouped_quantiles,
     int_sum_partial,
@@ -35,6 +36,7 @@ __all__ = [
     "interval_join",
     "exact_quantiles",
     "grouped_int_sums",
+    "grouped_gini",
     "grouped_mad",
     "grouped_quantiles",
     "int_sum_partial",

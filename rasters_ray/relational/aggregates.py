@@ -298,6 +298,62 @@ def grouped_mad(ds, group_col: str, values_fn, n_parts: int = 32):
     )
 
 
+def grouped_gini(ds, group_col: str, values_fn, n_parts: int = 32):
+    """Gini coefficient per group over integer values -> Dataset[group,
+    n, sum, gini_num, gini_den, gini].
+
+    Exact rank-sum form: with x_1 <= ... <= x_n, G = (2*sum(i*x_i)
+    - (n+1)*sum(x)) / (n*sum(x)).  Ties contribute an order-invariant
+    rank-sum (equal values times a run of consecutive ranks), so the
+    integer numerator/denominator are exact regardless of tie order;
+    the float `gini` is ONE division over exact ints (SQL replays it).
+    Same hash-partition contract as :func:`grouped_quantiles`."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = values_fn(t)
+        sel = pa.table(
+            {
+                group_col: t.column(group_col),
+                "_v": pa.array(np.asarray(v, np.int64), pa.int64()),
+            }
+        )
+        return sel.append_column(
+            "_part", pa.array(hash_parts(sel.column(group_col), n_parts), pa.int64())
+        )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        g = np.asarray(part.column(group_col).to_pylist(), dtype=object)
+        v = part.column("_v").to_numpy(zero_copy_only=False).astype(np.int64)
+        ug, ginv = np.unique(g, return_inverse=True)
+        order = np.lexsort((v, ginv))
+        gs, vs = ginv[order], v[order]
+        starts = np.flatnonzero(np.r_[True, np.diff(gs) > 0])
+        ns = np.diff(np.r_[starts, len(gs)])
+        i_in_group = np.arange(len(vs), dtype=np.int64) - np.repeat(starts, ns) + 1
+        s1 = np.add.reduceat(vs, starts)
+        s2 = np.add.reduceat(i_in_group * vs, starts)
+        num = 2 * s2 - (ns + 1) * s1
+        den = ns * s1
+        return pa.table(
+            {
+                group_col: pa.array(ug, pa.string()),
+                "n": pa.array(ns.astype(np.int64), pa.int64()),
+                "sum_v": pa.array(s1, pa.int64()),
+                "gini_num": pa.array(num, pa.int64()),
+                "gini_den": pa.array(den, pa.int64()),
+                "gini": pa.array(
+                    num.astype(np.float64) / den.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def pivot_counts(
     ds,
     row_col: str,
