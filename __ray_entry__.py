@@ -757,6 +757,16 @@ def q_rle_profile(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_hypsometric(sf_dir: str):
+    """Hypsometric integral + decile curve per DEM image (Strahler
+    1952; terrain.py::hypsometric_stats): HI as an exact integer ratio
+    (sum - n*min) / (n*(max-min)), curve via the cross-multiplied
+    compare n_bins*(v-min) > k*(max-min) — no float thresholds."""
+    from rasters_ray.stages.terrain import hypsometric_stats
+
+    return hypsometric_stats(_images_ds(sf_dir, N_IMG_MERGE))
+
+
 def q_mann_kendall(sf_dir: str):
     """Per-pixel Mann-Kendall trend test over co-registered epoch stacks
     (temporal.py::stack_mann_kendall): S = sum over time-ordered pairs
@@ -8894,6 +8904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "rle_profile": q_rle_profile,
+        "hypsometric": q_hypsometric,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -13262,6 +13273,33 @@ SELECT k AS stack_key, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(SUM(CASE WHEN slope = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
        CAST(SUM(slope) AS BIGINT) AS sum_slope_num
 FROM num GROUP BY k
+"""
+
+    # hypsometric: exact integer HI ratio + cross-multiplied decile curve
+    above_cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN 10 * (p.v - s.vmin) > {k} * (s.vmax - s.vmin) "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS above_{k}"
+        for k in range(1, 10)
+    )
+    sql["hypsometric"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT printf('img%08d', d) AS image_id,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS v
+  FROM imgs, range(100) r, range(100) c
+),
+s AS (
+  SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+         CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
+         CAST(SUM(v) AS BIGINT) AS sum_v
+  FROM px GROUP BY image_id
+)
+SELECT s.image_id, s.n_px, s.vmin, s.vmax, s.sum_v,
+       s.sum_v - s.n_px * s.vmin AS hi_num,
+       s.n_px * (s.vmax - s.vmin) AS hi_den,
+       {above_cols}
+FROM px p JOIN s ON p.image_id = s.image_id
+GROUP BY s.image_id, s.n_px, s.vmin, s.vmax, s.sum_v
 """
 
     # rle_profile: run starts via LAG, run ids via running sum, then

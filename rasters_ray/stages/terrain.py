@@ -48,6 +48,8 @@ __all__ = [
     "geomorphons",
     "geomorphon_lattice",
     "GEOMORPHON_TABLE",
+    "hypsometric_arrays",
+    "hypsometric_stats",
 ]
 
 # hillshade light: unit vector (-0.5, +0.5, sqrt(2)/2) in (col-east,
@@ -481,3 +483,71 @@ def geomorphon_lattice(images_ds, lookup: int = 4, step: int = 7):
         })
 
     return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# hypsometric analysis (Strahler 1952)
+# ---------------------------------------------------------------------------
+
+
+def hypsometric_arrays(px: np.ndarray, n_bins: int = 10):
+    """Hypsometric integral + curve of one integer DEM, all-exact.
+
+    Returns (n, vmin, vmax, sum_v, hi_num, hi_den, above) where
+    HI = (mean - min) / (max - min) = hi_num / hi_den with
+    hi_num = sum - n*min and hi_den = n*(max - min), and
+    above[k-1] = #pixels with relative elevation strictly above k/n_bins
+    — the integer cross-multiplied compare n_bins*(v - min) > k*(max -
+    min), so the curve needs no float thresholds."""
+    v = np.rint(px[np.isfinite(px)]).astype(np.int64).ravel()
+    n = int(v.size)
+    if n == 0:
+        return 0, 0, 0, 0, 0, 0, np.zeros(n_bins - 1, np.int64)
+    vmin, vmax = int(v.min()), int(v.max())
+    sum_v = int(v.sum())
+    rel = n_bins * (v - vmin)  # vs k * (vmax - vmin)
+    ks = np.arange(1, n_bins, dtype=np.int64) * (vmax - vmin)
+    above = (rel[:, None] > ks[None, :]).sum(axis=0).astype(np.int64)
+    return n, vmin, vmax, sum_v, sum_v - n * vmin, n * (vmax - vmin), above
+
+
+def hypsometric_stats(images_ds, n_bins: int = 10):
+    """Per-image hypsometric summary -> one row per image: exact HI
+    ratio integers plus the (n_bins-1)-point cumulative curve as
+    above_k columns.  No shuffle; per-image map like image_moments."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        cols = {"image_id": [], "n_px": [], "vmin": [], "vmax": [],
+                "sum_v": [], "hi_num": [], "hi_den": []}
+        curves = []
+        if t.num_rows:
+            blobs = codec.BlobReader(t.column("bytes"))
+            fmts = t.column("fmt").to_pylist()
+            ids = t.column("image_id").to_pylist()
+            for i in range(t.num_rows):
+                px = codec.decode(blobs[i], fmts[i])
+                n, lo, hi, s, hn, hd, above = hypsometric_arrays(px, n_bins)
+                cols["image_id"].append(ids[i])
+                cols["n_px"].append(n)
+                cols["vmin"].append(lo)
+                cols["vmax"].append(hi)
+                cols["sum_v"].append(s)
+                cols["hi_num"].append(hn)
+                cols["hi_den"].append(hd)
+                curves.append(above)
+        out = {
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "n_px": pa.array(cols["n_px"], pa.int64()),
+            "vmin": pa.array(cols["vmin"], pa.int64()),
+            "vmax": pa.array(cols["vmax"], pa.int64()),
+            "sum_v": pa.array(cols["sum_v"], pa.int64()),
+            "hi_num": pa.array(cols["hi_num"], pa.int64()),
+            "hi_den": pa.array(cols["hi_den"], pa.int64()),
+        }
+        cur = (np.vstack(curves) if curves
+               else np.zeros((0, n_bins - 1), np.int64))
+        for k in range(1, n_bins):
+            out[f"above_{k}"] = pa.array(cur[:, k - 1], pa.int64())
+        return pa.table(out)
+
+    return images_ds.map_batches(kernel, batch_format="pyarrow")
