@@ -757,6 +757,17 @@ def q_rle_profile(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_seam_energy(sf_dir: str):
+    """Seam carving DP (Avidan-Shamir) per image: integer L1 gradient
+    energy, M[r,c] = e + min(M[r-1,c-1..c+1]); min seam cost, its entry
+    column (ties -> smallest) and last-row mass.  The oracle replays
+    the SAME recurrence as a recursive CTE over per-row energy LISTs
+    (stages/seam.py)."""
+    from rasters_ray.stages.seam import seam_energy_stats
+
+    return seam_energy_stats(_images_ds(sf_dir, N_IMG_MERGE))
+
+
 def q_hypsometric(sf_dir: str):
     """Hypsometric integral + decile curve per DEM image (Strahler
     1952; terrain.py::hypsometric_stats): HI as an exact integer ratio
@@ -8905,6 +8916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen": q_theil_sen,
         "rle_profile": q_rle_profile,
         "hypsometric": q_hypsometric,
+        "seam_energy": q_seam_energy,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -13273,6 +13285,48 @@ SELECT k AS stack_key, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(SUM(CASE WHEN slope = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
        CAST(SUM(slope) AS BIGINT) AS sum_slope_num
 FROM num GROUP BY k
+"""
+
+    # seam_energy: the DP replayed as a recursive CTE over row LISTs
+    sql["seam_energy"] = f"""
+WITH RECURSIVE {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT printf('img%08d', d) AS image_id, r.range AS r, c.range AS c,
+         (d * 31 + r.range * 7 + c.range * 13) % 251 AS v
+  FROM imgs, range(100) r, range(100) c
+),
+e AS (
+  SELECT a.image_id, a.r, a.c,
+         ABS(cr.v - cl.v) + ABS(rd.v - ru.v) AS e
+  FROM px a
+  JOIN px cl ON cl.image_id=a.image_id AND cl.r=a.r
+            AND cl.c=GREATEST(a.c-1,0)
+  JOIN px cr ON cr.image_id=a.image_id AND cr.r=a.r
+            AND cr.c=LEAST(a.c+1,99)
+  JOIN px ru ON ru.image_id=a.image_id AND ru.c=a.c
+            AND ru.r=GREATEST(a.r-1,0)
+  JOIN px rd ON rd.image_id=a.image_id AND rd.c=a.c
+            AND rd.r=LEAST(a.r+1,99)
+),
+el AS (SELECT image_id, r, list(e ORDER BY c) AS es
+       FROM e GROUP BY image_id, r),
+dp AS (
+  SELECT image_id, r, es AS ms FROM el WHERE r = 0
+  UNION ALL
+  SELECT el.image_id, el.r,
+         list_transform(range(1, 101), i ->
+           el.es[i] + LEAST(
+             CASE WHEN i > 1 THEN d.ms[i-1] ELSE d.ms[i] END,
+             d.ms[i],
+             CASE WHEN i < 100 THEN d.ms[i+1] ELSE d.ms[i] END))
+  FROM dp d JOIN el ON el.image_id = d.image_id AND el.r = d.r + 1
+)
+SELECT image_id,
+       CAST(list_aggregate(ms, 'min') AS BIGINT) AS min_cost,
+       CAST(list_position(ms, list_aggregate(ms, 'min')) - 1 AS BIGINT)
+         AS argmin_col,
+       CAST(list_aggregate(ms, 'sum') AS BIGINT) AS total_last
+FROM dp WHERE r = 99
 """
 
     # hypsometric: exact integer HI ratio + cross-multiplied decile curve
