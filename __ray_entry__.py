@@ -757,6 +757,24 @@ def q_rle_profile(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_clark_evans(sf_dir: str):
+    """Clark-Evans nearest-neighbor index (1954) of the oracle point
+    cloud: exact int64 millidegree NN distances (floor-scaled sqrt
+    replayed in SQL), bbox-area expectation, one R-index row.  The
+    reference cloud broadcasts like nearest_join's sites; the point
+    stream never shuffles (spatial_stats.py::clark_evans_stats)."""
+    import pyarrow.parquet as _pq
+
+    from rasters_ray.sources.vectors import oracle_points_from_keys
+    from rasters_ray.stages.spatial_stats import clark_evans_stats
+
+    keys = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).column("c_custkey").to_numpy()
+    ref = oracle_points_from_keys(keys)  # broadcast small side
+    return clark_evans_stats(_points_ds(sf_dir), ref)
+
+
 def q_seam_energy(sf_dir: str):
     """Seam carving DP (Avidan-Shamir) per image: integer L1 gradient
     energy, M[r,c] = e + min(M[r-1,c-1..c+1]); min seam cost, its entry
@@ -8917,6 +8935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rle_profile": q_rle_profile,
         "hypsometric": q_hypsometric,
         "seam_energy": q_seam_energy,
+        "clark_evans": q_clark_evans,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -13285,6 +13304,42 @@ SELECT k AS stack_key, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(SUM(CASE WHEN slope = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
        CAST(SUM(slope) AS BIGINT) AS sum_slope_num
 FROM num GROUP BY k
+"""
+
+    # clark_evans: exact millidegree self-NN + fixed-order R replay
+    sql["clark_evans"] = """
+WITH pts AS (
+  SELECT printf('pt%06d', c_custkey) AS pid,
+         CAST(ROUND((-124.0e0 + (c_custkey % 800) * 0.01e0 + 0.001e0
+                     + CASE WHEN c_custkey % 97 = 0 THEN 50.0e0
+                            ELSE 0.0e0 END) * 1000.0e0) AS BIGINT) AS xi,
+         CAST(ROUND((44.0e0 - ((c_custkey // 7) % 800) * 0.01e0
+                     - 0.001e0) * 1000.0e0) AS BIGINT) AS yi
+  FROM customer),
+nn AS (
+  SELECT a.pid,
+         MIN((a.xi - b.xi) * (a.xi - b.xi)
+             + (a.yi - b.yi) * (a.yi - b.yi)) AS d2
+  FROM pts a JOIN pts b ON b.pid <> a.pid
+  GROUP BY a.pid),
+f AS (
+  SELECT pid, d2,
+         CAST(FLOOR(sqrt(CAST(d2 AS DOUBLE)) * 1000.0e0) AS BIGINT) AS fd
+  FROM nn),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(fd) AS BIGINT) AS sum_f,
+         CAST(MIN(d2) AS BIGINT) AS min_nn_d2,
+         CAST(MAX(d2) AS BIGINT) AS max_nn_d2
+  FROM f),
+b AS (
+  SELECT CAST(MIN(xi) AS BIGINT) AS minx, CAST(MAX(xi) AS BIGINT) AS maxx,
+         CAST(MIN(yi) AS BIGINT) AS miny, CAST(MAX(yi) AS BIGINT) AS maxy
+  FROM pts)
+SELECT n, sum_f, min_nn_d2, max_nn_d2, minx, maxx, miny, maxy,
+       ((CAST(sum_f AS DOUBLE) / CAST(n AS DOUBLE)) / 1000.0e0)
+         / (0.5e0 * sqrt(CAST((maxx - minx) * (maxy - miny) AS DOUBLE)
+                         / CAST(n AS DOUBLE))) AS r_index
+FROM s, b
 """
 
     # seam_energy: the DP replayed as a recursive CTE over row LISTs

@@ -38,6 +38,8 @@ __all__ = [
     "geary_c",
     "autocorr_stats",
     "getis_gi_star",
+    "self_nn_min_d2",
+    "clark_evans_stats",
     "hotspot_lattice",
     "local_moran",
     "lisa_lattice",
@@ -506,3 +508,96 @@ def ripley_pair_counts(pts: np.ndarray, r2s) -> list:
     iu = np.triu_indices(p.shape[0], k=1)
     du = d2[iu]
     return [int((du <= np.int64(r2)).sum()) for r2 in r2s]
+
+
+# ---------------------------------------------------------------------------
+# Clark-Evans nearest-neighbor index (Clark & Evans 1954)
+# ---------------------------------------------------------------------------
+
+
+def self_nn_min_d2(xi: np.ndarray, yi: np.ndarray, ids: list,
+                   ref_xi: np.ndarray, ref_yi: np.ndarray, ref_ids: list):
+    """Per-point min squared distance to any OTHER reference point.
+
+    Integer coordinates -> exact int64 d2.  Self-exclusion is by id
+    (coincident DISTINCT points legitimately yield d2 = 0, the CE
+    convention).  O(batch x ref) vectorized matrix; the reference cloud
+    is the broadcast small side (the engine's nearest_join shape) — a
+    billion-point cloud takes the grid-bucketed/ANN plan instead."""
+    if len(ref_ids) < 2:
+        raise ValueError("need at least two reference points")
+    dx = xi[:, None] - ref_xi[None, :]
+    dy = yi[:, None] - ref_yi[None, :]
+    d2 = dx * dx + dy * dy
+    idx = {p: i for i, p in enumerate(ref_ids)}
+    big = np.iinfo(np.int64).max
+    for row, pid in enumerate(ids):
+        j = idx.get(pid)
+        if j is not None:
+            d2[row, j] = big
+    return d2.min(axis=1)
+
+
+def clark_evans_stats(points_ds, ref: pa.Table, x_col: str = "x",
+                      y_col: str = "y", id_col: str = "point_id",
+                      scale: float = 1000.0):
+    """Clark-Evans aggregation -> ONE row: n, sum of per-point
+    floor(sqrt(d2)*1000) NN distances (exact int; sqrt is correctly
+    rounded IEEE so SQL replays it), min/max NN d2, the integer bbox,
+    and the R index as one fixed-order float expression.
+
+    Coordinates are scaled by `scale` and rounded to int64 before any
+    distance math.  R = mean_nn / (0.5 * sqrt(area / n)): R ~ 1 random,
+    < 1 clustered, > 1 dispersed."""
+    rx = np.rint(ref.column(x_col).to_numpy(zero_copy_only=False) * scale
+                 ).astype(np.int64)
+    ry = np.rint(ref.column(y_col).to_numpy(zero_copy_only=False) * scale
+                 ).astype(np.int64)
+    rids = ref.column(id_col).to_pylist()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("n", "sum_f", "min_d2", "max_d2",
+                              "minx", "maxx", "miny", "maxy")})
+        xi = np.rint(t.column(x_col).to_numpy(zero_copy_only=False) * scale
+                     ).astype(np.int64)
+        yi = np.rint(t.column(y_col).to_numpy(zero_copy_only=False) * scale
+                     ).astype(np.int64)
+        ids = t.column(id_col).to_pylist()
+        d2 = self_nn_min_d2(xi, yi, ids, rx, ry, rids)
+        f = np.floor(np.sqrt(d2.astype(np.float64)) * 1000.0).astype(np.int64)
+        one = lambda v: pa.array([int(v)], pa.int64())  # noqa: E731
+        return pa.table({
+            "n": one(len(ids)), "sum_f": one(f.sum()),
+            "min_d2": one(d2.min()), "max_d2": one(d2.max()),
+            "minx": one(xi.min()), "maxx": one(xi.max()),
+            "miny": one(yi.min()), "maxy": one(yi.max()),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64())})
+        g = {c: t.column(c).to_numpy() for c in t.column_names}
+        n = int(g["n"].sum())
+        sum_f = int(g["sum_f"].sum())
+        minx, maxx = int(g["minx"].min()), int(g["maxx"].max())
+        miny, maxy = int(g["miny"].min()), int(g["maxy"].max())
+        area = (maxx - minx) * (maxy - miny)
+        r_index = ((float(sum_f) / float(n)) / 1000.0) / (
+            0.5 * np.sqrt(float(area) / float(n)))
+        one = lambda v: pa.array([int(v)], pa.int64())  # noqa: E731
+        return pa.table({
+            "n": one(n), "sum_f": one(sum_f),
+            "min_nn_d2": one(g["min_d2"].min()),
+            "max_nn_d2": one(g["max_d2"].max()),
+            "minx": one(minx), "maxx": one(maxx),
+            "miny": one(miny), "maxy": one(maxy),
+            "r_index": pa.array([float(r_index)], pa.float64()),
+        })
+
+    return (
+        points_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )
