@@ -757,6 +757,16 @@ def q_rle_profile(sf_dir: str):
         run, batch_format="pyarrow")
 
 
+def q_expand(sf_dir: str):
+    """ArcGIS-style categorical Expand: classes {0,2,5} of (v % 7) grow
+    one queen-adjacency cell, multi-class collisions resolve to the
+    smallest class; per-image class histogram after the step
+    (morphology.py::expand_classes — pure order statistics, exact)."""
+    from rasters_ray.stages.morphology import expand_histogram
+
+    return expand_histogram(_images_ds(sf_dir, N_IMG_MERGE), {0, 2, 5}, 7)
+
+
 def q_clark_evans(sf_dir: str):
     """Clark-Evans nearest-neighbor index (1954) of the oracle point
     cloud: exact int64 millidegree NN distances (floor-scaled sqrt
@@ -8936,6 +8946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hypsometric": q_hypsometric,
         "seam_energy": q_seam_energy,
         "clark_evans": q_clark_evans,
+        "expand": q_expand,
         "audio_features": q_audio_features,
         "events_sessions": q_events_sessions,
         "image_footprint_join": q_image_footprint_join,
@@ -13304,6 +13315,33 @@ SELECT k AS stack_key, CAST(COUNT(*) AS BIGINT) AS n_px,
        CAST(SUM(CASE WHEN slope = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
        CAST(SUM(slope) AS BIGINT) AS sum_slope_num
 FROM num GROUP BY k
+"""
+
+    # expand: queen-neighborhood min over expanding classes, else keep
+    sql["expand"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT printf('img%08d', d) AS image_id, r.range AS r, c.range AS c,
+         ((d * 31 + r.range * 7 + c.range * 13) % 251) % 7 AS cls
+  FROM imgs, range(100) r, range(100) c
+),
+ex AS (
+  SELECT image_id, r, c,
+         CASE WHEN cls IN (0, 2, 5) THEN cls ELSE 999 END AS ce
+  FROM px
+),
+nb AS (
+  SELECT a.image_id, a.r, a.c, a.cls, MIN(b.ce) AS mn
+  FROM px a JOIN ex b
+    ON b.image_id = a.image_id
+   AND b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+  GROUP BY a.image_id, a.r, a.c, a.cls
+)
+SELECT image_id,
+       CAST(CASE WHEN mn < 999 THEN mn ELSE cls END AS BIGINT) AS cls,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM nb GROUP BY image_id, CASE WHEN mn < 999 THEN mn ELSE cls END
 """
 
     # clark_evans: exact millidegree self-NN + fixed-order R replay

@@ -24,7 +24,7 @@ from rasters_ray import codec
 from rasters_ray.stages.focal import box_filter_sum, halo_exchange_tiled
 
 __all__ = ["morphology_stats", "morphology_halo_tiled",
-           "skeletonize"]
+           "skeletonize", "expand_classes", "expand_histogram"]
 
 _SCHEMA = {
     "image_id": pa.string(),
@@ -150,3 +150,61 @@ def skeletonize(mask: np.ndarray, max_iter: int = 10000) -> np.ndarray:
         if not changed:
             return img.astype(bool)
     raise RuntimeError("skeletonize did not converge")  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# categorical Expand (ArcGIS Spatial Analyst "Expand", queen adjacency)
+# ---------------------------------------------------------------------------
+
+
+def expand_classes(cls: np.ndarray, expand_set) -> np.ndarray:
+    """Expand the classes in `expand_set` by one cell (8-neighborhood).
+
+    A cell becomes the SMALLEST expanding class present anywhere in its
+    3x3 neighborhood (including itself) — the deterministic resolution
+    of ArcGIS's multi-class collision — and keeps its own class when no
+    expanding class touches it.  Border cells simply have fewer
+    neighbors (no clamping/wrap).  Pure order statistics on int64:
+    exact, and bit-stable under tiling with a 1-ring halo."""
+    c = np.asarray(cls)
+    if c.ndim != 2:
+        raise ValueError("expand_classes expects a 2-D class raster")
+    c = c.astype(np.int64)
+    big = np.iinfo(np.int64).max
+    ce = np.where(np.isin(c, np.asarray(sorted(expand_set), np.int64)), c, big)
+    pad = np.pad(ce, 1, constant_values=big)
+    h, w = c.shape
+    mn = np.full((h, w), big, np.int64)
+    for i in range(3):
+        for j in range(3):
+            np.minimum(mn, pad[i:i + h, j:j + w], out=mn)
+    return np.where(mn < big, mn, c)
+
+
+def expand_histogram(images_ds, expand_set, mod: int):
+    """Per-image class histogram AFTER one Expand step, classes being
+    pixel value % mod -> Dataset[(image_id, cls, n_px)].  Per-image
+    map, no shuffle."""
+    from rasters_ray import codec as _codec
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids, cl, n = [], [], []
+        if t.num_rows:
+            blobs = _codec.BlobReader(t.column("bytes"))
+            fmts = t.column("fmt").to_pylist()
+            id_col = t.column("image_id").to_pylist()
+            for i in range(t.num_rows):
+                px = _codec.decode(blobs[i], fmts[i])
+                cls = np.rint(px).astype(np.int64) % mod
+                out = expand_classes(cls, expand_set)
+                vals, cnts = np.unique(out, return_counts=True)
+                ids.extend([id_col[i]] * len(vals))
+                cl.extend(vals.tolist())
+                n.extend(cnts.tolist())
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "cls": pa.array(cl, pa.int64()),
+            "n_px": pa.array(n, pa.int64()),
+        })
+
+    return images_ds.map_batches(kernel, batch_format="pyarrow")
