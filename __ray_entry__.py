@@ -2969,6 +2969,27 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_ntile(sf_dir: str):
+    """NTILE(4) of customers over the global (acctbal-cents, custkey)
+    order WITHOUT a global sort: value-histogram base ranks (shuffle
+    moves distinct values, not rows) + value-co-located tie ranking
+    (relational/rangepart.py::global_ntile)."""
+    from rasters_ray.relational.rangepart import global_ntile
+
+    out = global_ntile(
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]),
+        "c_custkey",
+        lambda t: np.floor(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64),
+        n_tiles=4,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "bal_c", "tile"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_gini(sf_dir: str):
     """Gini inequality coefficient of order totalprice (floor-cents)
     per order priority: exact rank-sum integers, one float division
@@ -8981,6 +9002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pearson": q_pearson,
         "mad": q_mad,
         "gini": q_gini,
+        "ntile": q_ntile,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
@@ -13810,6 +13832,16 @@ SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
   FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["ntile"] = """
+WITH v AS (
+  SELECT c_custkey,
+         CAST(FLOOR(c_acctbal * 100.0e0) AS BIGINT) AS bal_c
+  FROM customer)
+SELECT c_custkey, bal_c,
+       CAST(NTILE(4) OVER (ORDER BY bal_c, c_custkey) AS BIGINT) AS tile
+FROM v
 """
 
     sql["gini"] = """

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from rasters_ray.relational.aggregates import exact_quantiles
 
-__all__ = ["range_partition_stats", "winsorized_stats"]
+__all__ = ["range_partition_stats", "winsorized_stats", "global_ntile"]
 
 
 def _final_combine(group: pa.Table) -> pa.Table:
@@ -168,4 +168,85 @@ def winsorized_stats(ds, col: str, group_col: str, p_lo: float, p_hi: float):
             [group_col, "n", "n_lo", "n_hi", "sum_clipped_cents"]
         ),
         batch_format="pyarrow",
+    )
+
+
+def global_ntile(ds, key_col: str, values_fn, n_tiles: int):
+    """NTILE(n) over a GLOBAL (value, key) order without a global sort.
+
+    Two-phase exact global ranking (the engine's histogram-rank
+    pattern, cf. borda fusion): (1) one streaming pass folds per-batch
+    (value, count) partials into the value histogram — shuffle volume
+    is distinct VALUES, not rows (the value domain is bounded: money
+    cents); the cumulative histogram gives every value its base rank
+    and the total N. (2) rows hash-partition BY VALUE; within a value
+    group the unique key breaks ties (lexsort), so global_rank =
+    base[value] + local_rank, and the SQL NTILE size rule
+    (first N%n tiles get one extra row) is applied per row.
+
+    ``values_fn(batch) -> int64 array`` derives the ranking value.
+    Returns Dataset[key_col, value, tile] (tile 1-based).
+    """
+    from rasters_ray.relational.aggregates import grouped_int_sums
+
+    def val_rows(t: pa.Table) -> pa.Table:
+        v = np.asarray(values_fn(t), np.int64)
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "_v": pa.array(v, pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(val_rows, batch_format="pyarrow")
+
+    hist = grouped_int_sums(
+        tagged.map_batches(
+            lambda t: t.select(["_v"]), batch_format="pyarrow"
+        ),
+        ["_v"],
+        lambda t: {},
+        count_col="n",
+    ).to_pandas()  # bounded by the distinct-value domain (documented)
+    hist = hist.sort_values("_v").reset_index(drop=True)
+    vals = hist["_v"].to_numpy()
+    counts = hist["n"].to_numpy()
+    base = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_total = int(counts.sum())
+    rem, q = n_total % n_tiles, n_total // n_tiles
+
+    def tile_of(rank: np.ndarray) -> np.ndarray:
+        cut = rem * (q + 1)
+        lo = rank // (q + 1) + 1
+        hi = rem + (rank - cut) // max(q, 1) + 1
+        return np.where(rank < cut, lo, hi).astype(np.int64)
+
+    def assign(group: pa.Table) -> pa.Table:
+        k = group.column(key_col).to_numpy(zero_copy_only=False)
+        v = group.column("_v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, v))
+        vo, ko = v[order], k[order]
+        starts = np.flatnonzero(np.r_[True, vo[1:] != vo[:-1]])
+        ns = np.diff(np.r_[starts, len(vo)])
+        local = np.arange(len(vo), dtype=np.int64) - np.repeat(starts, ns)
+        b = base[np.searchsorted(vals, vo[starts])]
+        rank = np.repeat(b, ns) + local
+        return pa.table(
+            {
+                key_col: pa.array(ko, group.schema.field(key_col).type),
+                "value": pa.array(vo, pa.int64()),
+                "tile": pa.array(tile_of(rank), pa.int64()),
+            }
+        )
+
+    def part_tag(t: pa.Table) -> pa.Table:
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(v % 64, pa.int64()))
+
+    # co-locate same-VALUE rows (64 hash parts, not one group per
+    # distinct value) — assign resolves all values of a partition at once
+    return (
+        tagged.map_batches(part_tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(assign, batch_format="pyarrow")
     )
