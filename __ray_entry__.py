@@ -2969,6 +2969,31 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_benford(sf_dir: str):
+    """Benford first-digit audit of order totalprice cents: leading
+    digit via a vectorized divide-down loop (no string/log10 float
+    path), 9-bin global histogram — bincount partials per batch, tiny
+    final; SQL extracts the digit from the decimal string."""
+    from rasters_ray.relational import grouped_int_sums
+
+    def digits(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = np.abs(c)
+        while True:  # <= 19 vectorized halving-free steps (int64 width)
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        return pa.table({"digit": pa.array(d, pa.int64())})
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        digits, batch_format="pyarrow"
+    )
+    return grouped_int_sums(ds, ["digit"], lambda t: {}, count_col="n")
+
+
 def q_ntile(sf_dir: str):
     """NTILE(4) of customers over the global (acctbal-cents, custkey)
     order WITHOUT a global sort: value-histogram base ranks (shuffle
@@ -9003,6 +9028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad": q_mad,
         "gini": q_gini,
         "ntile": q_ntile,
+        "benford": q_benford,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
@@ -13832,6 +13858,13 @@ SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
   FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["benford"] = """
+SELECT CAST(SUBSTR(CAST(ABS(CAST(FLOOR(o_totalprice * 100.0e0) AS BIGINT))
+                        AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY digit
 """
 
     sql["ntile"] = """
