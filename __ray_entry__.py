@@ -2969,6 +2969,25 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_ks_test(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov between click and purchase
+    value distributions (floor-cents): D as the cross-multiplied
+    integer max |n2*C1 - n1*C2| over a bounded-domain value histogram
+    — the shuffle moves distinct cents, never rows
+    (relational/aggregates.py::ks_two_sample)."""
+    from rasters_ray.relational import ks_two_sample
+
+    return ks_two_sample(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        lambda t: np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64),
+        "click",
+        "purchase",
+    )
+
+
 def q_benford(sf_dir: str):
     """Benford first-digit audit of order totalprice cents: leading
     digit via a vectorized divide-down loop (no string/log10 float
@@ -9029,6 +9048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini": q_gini,
         "ntile": q_ntile,
         "benford": q_benford,
+        "ks_test": q_ks_test,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
@@ -13858,6 +13878,33 @@ SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
   FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["ks_test"] = """
+WITH v AS (
+  SELECT event_type AS t, CAST(FLOOR(value * 100.0e0) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'purchase')),
+g AS (
+  SELECT c,
+         SUM(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS nb
+  FROM v GROUP BY c),
+cum AS (
+  SELECT c, SUM(na) OVER (ORDER BY c) AS ca,
+         SUM(nb) OVER (ORDER BY c) AS cb
+  FROM g),
+tot AS (SELECT CAST(SUM(na) AS BIGINT) AS n1,
+               CAST(SUM(nb) AS BIGINT) AS n2 FROM g),
+d AS (SELECT c, ABS(tot.n2 * cum.ca - tot.n1 * cum.cb) AS dn
+      FROM cum, tot)
+SELECT tot.n1, tot.n2,
+       CAST((SELECT MAX(dn) FROM d) AS BIGINT) AS d_num,
+       tot.n1 * tot.n2 AS d_den,
+       CAST((SELECT MIN(c) FROM d WHERE dn = (SELECT MAX(dn) FROM d))
+            AS BIGINT) AS at_v,
+       CAST((SELECT MAX(dn) FROM d) AS DOUBLE)
+         / CAST(tot.n1 * tot.n2 AS DOUBLE) AS d
+FROM tot
 """
 
     sql["benford"] = """

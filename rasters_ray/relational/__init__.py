@@ -15,6 +15,7 @@ from .aggregates import (
     exact_quantiles,
     grouped_int_sums,
     grouped_gini,
+    ks_two_sample,
     grouped_mad,
     grouped_quantiles,
     int_sum_partial,
@@ -37,6 +38,7 @@ __all__ = [
     "exact_quantiles",
     "grouped_int_sums",
     "grouped_gini",
+    "ks_two_sample",
     "grouped_mad",
     "grouped_quantiles",
     "int_sum_partial",

@@ -354,6 +354,66 @@ def grouped_gini(ds, group_col: str, values_fn, n_parts: int = 32):
     )
 
 
+def ks_two_sample(ds, type_col: str, values_fn, type_a: str, type_b: str):
+    """Exact two-sample Kolmogorov-Smirnov over integer values -> ONE
+    row: (n1, n2, d_num, d_den, at_v, d).
+
+    D = max_v |F1(v) - F2(v)| kept exact as the cross-multiplied
+    integer d_num = max |n2*C1(v) - n1*C2(v)| with d_den = n1*n2
+    (C = cumulative counts <= v); `at_v` is the smallest value
+    attaining the max; `d` is the one float division, replayed in SQL.
+
+    Scale shape: per-batch (value, n_a, n_b) bincount partials fold
+    through :func:`grouped_int_sums` — the shuffle moves distinct
+    VALUES (bounded domain: money cents), never rows; the cumulative
+    scan runs over that bounded histogram."""
+
+    def partial_rows(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t.column(type_col).to_pylist(), dtype=object)
+        v = np.asarray(values_fn(t), np.int64)
+        ma, mb = ty == type_a, ty == type_b
+        keep = ma | mb
+        return pa.table(
+            {
+                "_v": pa.array(v[keep], pa.int64()),
+                "_isa": pa.array(ma[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = grouped_int_sums(
+        ds.map_batches(partial_rows, batch_format="pyarrow"),
+        ["_v"],
+        lambda t: {
+            "na": t.column("_isa").to_numpy(zero_copy_only=False),
+            "nb": 1 - t.column("_isa").to_numpy(zero_copy_only=False),
+        },
+        count_col="_n",
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        vs, ca, cb = v[order], np.cumsum(na[order]), np.cumsum(nb[order])
+        n1, n2 = int(ca[-1]), int(cb[-1])
+        dn = np.abs(n2 * ca - n1 * cb)
+        d_num = int(dn.max())
+        at_v = int(vs[np.flatnonzero(dn == d_num)[0]])  # smallest v
+        return pa.table(
+            {
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "d_num": pa.array([d_num], pa.int64()),
+                "d_den": pa.array([n1 * n2], pa.int64()),
+                "at_v": pa.array([at_v], pa.int64()),
+                "d": pa.array([float(d_num) / float(n1 * n2)], pa.float64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
 def pivot_counts(
     ds,
     row_col: str,
