@@ -2969,6 +2969,24 @@ def q_topk_orders(sf_dir: str):
     )
 
 
+def q_acf_lag(sf_dir: str):
+    """Lag-1 autocorrelation of event values per type (floor-cents,
+    ordered by ts then event_id): exact integer pair sums, Python-int
+    products beyond int64, one fixed-order float corr replayed with
+    hugeint casts (relational/sequence.py::lagged_pair_stats)."""
+    from rasters_ray.relational.sequence import lagged_pair_stats
+
+    return lagged_pair_stats(
+        _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"]),
+        "event_type",
+        "ts",
+        "event_id",
+        lambda t: np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64),
+    )
+
+
 def q_ks_test(sf_dir: str):
     """Exact two-sample Kolmogorov-Smirnov between click and purchase
     value distributions (floor-cents): D as the cross-multiplied
@@ -9049,6 +9067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile": q_ntile,
         "benford": q_benford,
         "ks_test": q_ks_test,
+        "acf_lag": q_acf_lag,
         "quantiles": q_quantiles,
         "repetition": q_repetition,
         "salient_terms": q_salient_terms,
@@ -13878,6 +13897,30 @@ SELECT o_custkey, o_orderkey, o_totalprice, sel_rank FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS sel_rank
   FROM orders) WHERE sel_rank <= 2
+"""
+
+    sql["acf_lag"] = """
+WITH s AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0e0) AS BIGINT) AS x,
+         LEAD(CAST(FLOOR(value * 100.0e0) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+  FROM events),
+p AS (SELECT event_type, x, y FROM s WHERE y IS NOT NULL),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p GROUP BY event_type)
+SELECT event_type, n_pairs, sx, sy, sxx, syy, sxy,
+       CAST(CAST(n_pairs AS HUGEINT) * sxy
+            - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+       / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx
+                    - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+          * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy
+                      - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS acf
+FROM a
 """
 
     sql["ks_test"] = """

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["pair_counts_arrays", "transition_counts"]
+__all__ = ["pair_counts_arrays", "transition_counts", "lagged_pair_stats"]
 
 
 def pair_counts_arrays(u: np.ndarray, order_key: np.ndarray,
@@ -82,4 +82,81 @@ def transition_counts(ds, user_col: str, ts_col: str, id_col: str,
     )
     return grouped_int_sums(
         partials, ["from_type", "to_type"], None, partials_ready=True
+    )
+
+
+def lagged_pair_stats(ds, type_col: str, ts_col: str, id_col: str,
+                      values_fn, n_parts: int = 32):
+    """Lag-1 sufficient statistics per series -> Dataset[type, n_pairs,
+    sx, sy, sxx, syy, sxy, acf].
+
+    For each `type_col` series ordered by (ts, id), every adjacent
+    value pair (x_i, x_{i+1}) contributes exact integer sums; `acf` is
+    the Pearson correlation of the pairs as ONE fixed-order float
+    expression over the ints (SQL replays it with hugeint casts).
+    Series hash-partition by type so each is contiguous — same
+    group-fits-partition bound as grouped_quantiles."""
+    from rasters_ray.util import hash_parts
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = np.asarray(values_fn(t), np.int64)
+        sel = pa.table(
+            {
+                type_col: t.column(type_col),
+                ts_col: t.column(ts_col).cast(pa.int64()),
+                id_col: t.column(id_col),
+                "_v": pa.array(v, pa.int64()),
+            }
+        )
+        return sel.append_column(
+            "_part", pa.array(hash_parts(sel.column(type_col), n_parts),
+                              pa.int64())
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        ty = np.asarray(group.column(type_col).to_pylist(), dtype=object)
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False)
+        eid = group.column(id_col).to_numpy(zero_copy_only=False)
+        v = group.column("_v").to_numpy(zero_copy_only=False)
+        uty, tcode = np.unique(ty, return_inverse=True)
+        order = np.lexsort((eid, ts, tcode))
+        to, vo = tcode[order], v[order]
+        same = to[1:] == to[:-1]
+        x, y, code = vo[:-1][same], vo[1:][same], to[1:][same]
+        k = len(uty)
+
+        def bc(w):  # exact int64 grouped sum (bincount weights are float)
+            out = np.zeros(k, np.int64)
+            np.add.at(out, code, w)
+            return out
+
+        n = np.bincount(code, minlength=k).astype(np.int64)
+        sx, sy = bc(x), bc(y)
+        sxx, syy, sxy = bc(x * x), bc(y * y), bc(x * y)
+        # Python-int products: exact beyond int64, mirrors the hugeint SQL
+        acf = np.empty(k, np.float64)
+        for i in range(k):  # k = types in partition, tiny
+            ni = int(n[i])
+            num = float(ni * int(sxy[i]) - int(sx[i]) * int(sy[i]))
+            d1 = np.sqrt(float(ni * int(sxx[i]) - int(sx[i]) ** 2))
+            d2 = np.sqrt(float(ni * int(syy[i]) - int(sy[i]) ** 2))
+            acf[i] = num / (d1 * d2) if d1 * d2 else np.nan
+        keep = n > 1
+        return pa.table(
+            {
+                type_col: pa.array(uty[keep], pa.string()),
+                "n_pairs": pa.array(n[keep], pa.int64()),
+                "sx": pa.array(sx[keep], pa.int64()),
+                "sy": pa.array(sy[keep], pa.int64()),
+                "sxx": pa.array(sxx[keep], pa.int64()),
+                "syy": pa.array(syy[keep], pa.int64()),
+                "sxy": pa.array(sxy[keep], pa.int64()),
+                "acf": pa.array(acf[keep], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
     )

@@ -68,3 +68,47 @@ def test_distributed_matches_incore(ray_session):
     assert {
         (r.from_type, r.to_type): int(r.n) for r in gdf.itertuples()
     } == want
+
+
+def test_lagged_pair_stats_matches_brute(ray_session):
+    import ray.data as rd
+
+    from rasters_ray.relational.sequence import lagged_pair_stats
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    ty = np.array([f"t{int(x)}" for x in rng.integers(0, 4, n)], dtype=object)
+    ts = rng.integers(0, 100, n).astype(np.int64)  # duplicate ts -> tie path
+    eid = np.arange(n, dtype=np.int64)
+    v = rng.integers(-100, 100, n).astype(np.int64)
+    ds = (
+        rd.from_arrow(
+            pa.table({"t": pa.array(ty.tolist(), pa.string()),
+                      "ts": pa.array(ts), "eid": pa.array(eid),
+                      "val": pa.array(v)})
+        )
+        .random_shuffle(seed=4)
+        .repartition(7)
+    )
+    got = lagged_pair_stats(
+        ds, "t", "ts", "eid",
+        lambda t: t.column("val").to_numpy(zero_copy_only=False),
+    ).to_pandas().set_index("t")
+    for tt in sorted(set(ty.tolist())):
+        idx = sorted(
+            (i for i in range(n) if ty[i] == tt),
+            key=lambda i: (ts[i], eid[i]),
+        )
+        xs = [int(v[a]) for a in idx[:-1]]
+        ys = [int(v[b]) for b in idx[1:]]
+        r = got.loc[tt]
+        assert r.n_pairs == len(xs)
+        assert r.sx == sum(xs) and r.sy == sum(ys)
+        assert r.sxx == sum(a * a for a in xs)
+        assert r.syy == sum(b * b for b in ys)
+        assert r.sxy == sum(a * b for a, b in zip(xs, ys))
+        np_ = len(xs)
+        num = float(np_ * r.sxy - r.sx * r.sy)
+        den = (np.sqrt(float(np_ * r.sxx - r.sx ** 2))
+               * np.sqrt(float(np_ * r.syy - r.sy ** 2)))
+        assert r.acf == num / den
