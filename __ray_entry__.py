@@ -685,6 +685,25 @@ def q_cutfill(sf_dir: str):
     return cutfill_images(_images_ds(sf_dir, N_IMG_MERGE), after)
 
 
+def q_block_flow(sf_dir: str):
+    """SAD block-matching motion field (match.py::block_flow_images)
+    between each oracle scene and the cutfill second surface
+    (d*37 + r*11 + c*5) % 241: per 12x12 interior block the exact
+    int64 SAD argmin over [-2,2]^2 displacements, ties to the
+    lexicographically smallest (dy, dx) — SQL replays with a
+    displacement cross join and ORDER BY sad, dy, dx."""
+    from rasters_ray.stages.match import block_flow_images
+
+    def after(image_id: str, arr):
+        d = int(image_id[3:])
+        r = np.arange(arr.shape[0]).reshape(-1, 1)
+        c = np.arange(arr.shape[1]).reshape(1, -1)
+        return (d * 37 + r * 11 + c * 5) % 241
+
+    return block_flow_images(_images_ds(sf_dir, N_IMG_MERGE), after,
+                             block=12, radius=2)
+
+
 QA_FIELDS = [("fill", 0, 1), ("cloud_conf", 1, 2), ("cloud", 3, 1),
              ("shadow", 4, 1), ("snow_conf", 5, 2), ("water", 7, 1)]
 
@@ -9017,6 +9036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend": q_trend,
         "geomorphons": q_geomorphons,
         "cutfill": q_cutfill,
+        "block_flow": q_block_flow,
         "crosstab": q_crosstab,
         "qa_bitmask": q_qa_bitmask,
         "nd_index": q_nd_index,
@@ -13171,6 +13191,37 @@ SELECT printf('img%08d', d) AS image_id,
        COUNT(*) FILTER (dz < 0) AS n_fill,
        COUNT(*) FILTER (dz = 0) AS n_same
 FROM dd GROUP BY d
+"""
+
+    # block_flow: exact int64 SAD per (block, displacement) from the two
+    # pixel formulas; the argmin tie rule is ORDER BY sad, dy, dx
+    sql["block_flow"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+blocks AS (
+  SELECT d, bi.range AS bi, bj.range AS bj
+  FROM imgs, range(8) bi, range(8) bj
+),
+sads AS (
+  SELECT d, bi, bj, dy.range AS dy, dx.range AS dx,
+         CAST(SUM(ABS(
+           (d * 31 + (2 + bi * 12 + i.range) * 7
+                    + (2 + bj * 12 + j.range) * 13) % 251
+           - (d * 37 + (2 + dy.range + bi * 12 + i.range) * 11
+                     + (2 + dx.range + bj * 12 + j.range) * 5) % 241
+         )) AS BIGINT) AS sad
+  FROM blocks, range(-2, 3) dy, range(-2, 3) dx,
+       range(12) i, range(12) j
+  GROUP BY d, bi, bj, dy.range, dx.range
+),
+best AS (
+  SELECT d, bi, bj, dy, dx, sad,
+         row_number() OVER (PARTITION BY d, bi, bj
+                            ORDER BY sad, dy, dx) AS rn
+  FROM sads
+)
+SELECT printf('img%08d', d) AS image_id,
+       bi, bj, dy, dx, sad
+FROM best WHERE rn = 1
 """
 
     # geomorphons: atan is monotone so comparing 12/k-scaled integer

@@ -32,7 +32,7 @@ import pyarrow as pa
 from rasters_ray import codec
 
 __all__ = ["match_template", "template_match", "estimate_shift",
-           "coregister_pairs"]
+           "coregister_pairs", "block_flow", "block_flow_images"]
 
 
 def match_template(arr: np.ndarray, tmpl: np.ndarray) -> np.ndarray:
@@ -140,6 +140,93 @@ def template_match(images_ds, tmpl: np.ndarray):
             "peak_c": pa.array(pcs, pa.int64()),
             "score_8": pa.array(s8s, pa.int64()),
             "n_pos": pa.array(npos, pa.int64()),
+        })
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+def block_flow(before: np.ndarray, after: np.ndarray,
+               block: int = 12, radius: int = 2):
+    """Integer SAD block-matching motion field (the classic MPEG/
+    particle-image-velocimetry motion estimator; no equivalent in the
+    reference, whose ops are per-pixel dunders).
+
+    The image interior is tiled into ``block``-sized blocks starting at
+    offset ``radius``; for every displacement (dy, dx) in
+    [-radius, radius]^2 the block's sum of absolute differences against
+    the displaced ``after`` window is an exact int64; the winner is the
+    smallest SAD with ties resolved to the lexicographically smallest
+    (dy, dx) — bit-portable to a SQL ``ORDER BY sad, dy, dx`` replay.
+
+    Returns (bi, bj, dy, dx, sad) int64 arrays over the block grid.
+    """
+    b = np.asarray(before, np.int64)
+    a = np.asarray(after, np.int64)
+    if b.shape != a.shape or b.ndim != 2:
+        raise ValueError("block_flow takes two equal-shape 2D arrays")
+    h, w = b.shape
+    nbi = (h - 2 * radius) // block
+    nbj = (w - 2 * radius) // block
+    if nbi < 1 or nbj < 1:
+        raise ValueError(
+            f"image {h}x{w} too small for block={block} radius={radius}")
+    r0 = radius
+    sub = b[r0 : r0 + nbi * block, r0 : r0 + nbj * block]
+    cands = [(dy, dx)
+             for dy in range(-radius, radius + 1)
+             for dx in range(-radius, radius + 1)]
+    sads = np.empty((len(cands), nbi, nbj), np.int64)
+    for k, (dy, dx) in enumerate(cands):
+        sh = a[r0 + dy : r0 + dy + nbi * block,
+               r0 + dx : r0 + dx + nbj * block]
+        sads[k] = (np.abs(sub - sh)
+                   .reshape(nbi, block, nbj, block).sum(axis=(1, 3)))
+    # argmin keeps the FIRST minimum; cands is generated in sorted
+    # (dy, dx) order, so ties land on the lexicographic minimum
+    kbest = sads.argmin(axis=0)
+    bi, bj = np.meshgrid(np.arange(nbi), np.arange(nbj), indexing="ij")
+    cand_arr = np.asarray(cands, np.int64)
+    dy = cand_arr[kbest.ravel(), 0]
+    dx = cand_arr[kbest.ravel(), 1]
+    sad = sads.reshape(len(cands), -1)[kbest.ravel(),
+                                       np.arange(kbest.size)]
+    return (bi.ravel().astype(np.int64), bj.ravel().astype(np.int64),
+            dy, dx, sad)
+
+
+def block_flow_images(images_ds, after_fn, block: int = 12,
+                      radius: int = 2):
+    """Distributed motion field: Dataset[(image_id, bi, bj, dy, dx,
+    sad)].  ``after_fn(image_id, arr) -> np.ndarray`` loads/derives the
+    second acquisition.  One map_batches, nothing shuffles; at scale
+    the two-acquisition variant co-partitions the pair on tile key
+    exactly like coregister_pairs."""
+
+    def run(t: pa.Table) -> pa.Table:
+        ids, bis, bjs, dys, dxs, sads = [], [], [], [], [], []
+        for i in range(t.num_rows):
+            iid = t.column("image_id")[i].as_py()
+            px = np.rint(codec.decode(t.column("bytes")[i].as_py(),
+                                      t.column("fmt")[i].as_py())
+                         ).astype(np.int64)
+            bi, bj, dy, dx, sad = block_flow(
+                px, np.asarray(after_fn(iid, px), np.int64),
+                block=block, radius=radius)
+            n = bi.size
+            ids.extend([iid] * n)
+            bis.append(bi)
+            bjs.append(bj)
+            dys.append(dy)
+            dxs.append(dx)
+            sads.append(sad)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bi": pa.array(np.concatenate(bis) if bis else [], pa.int64()),
+            "bj": pa.array(np.concatenate(bjs) if bjs else [], pa.int64()),
+            "dy": pa.array(np.concatenate(dys) if dys else [], pa.int64()),
+            "dx": pa.array(np.concatenate(dxs) if dxs else [], pa.int64()),
+            "sad": pa.array(np.concatenate(sads) if sads else [],
+                            pa.int64()),
         })
 
     return images_ds.map_batches(run, batch_format="pyarrow")

@@ -104,3 +104,77 @@ def test_template_match_dataset(ray_session):
     assert rows[0]["peak_r"] == 2 and rows[0]["peak_c"] == 9
     assert rows[0]["score_8"] == 8
     assert rows[0]["n_pos"] == 169
+
+
+def test_block_flow_recovers_shift():
+    from rasters_ray.stages.match import block_flow
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 251, (40, 40)).astype(np.int64)
+    # after[r, c] = img[r + 1, c - 2]  =>  best displacement (-1, +2)
+    after = np.roll(np.roll(img, -1, axis=0), 2, axis=1)
+    bi, bj, dy, dx, sad = block_flow(img, after, block=8, radius=2)
+    assert bi.size == 16
+    assert set(dy.tolist()) == {-1} and set(dx.tolist()) == {2}
+    assert sad.max() == 0
+
+
+def test_block_flow_tie_breaks_lexicographic():
+    from rasters_ray.stages.match import block_flow
+
+    c = np.full((30, 30), 9, np.int64)
+    _, _, dy, dx, sad = block_flow(c, c, block=6, radius=2)
+    # every SAD is zero: ties resolve to the smallest (dy, dx)
+    assert set(dy.tolist()) == {-2} and set(dx.tolist()) == {-2}
+    assert sad.max() == 0
+
+
+def test_block_flow_sad_matches_bruteforce():
+    from rasters_ray.stages.match import block_flow
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 50, (20, 20)).astype(np.int64)
+    b = rng.integers(0, 50, (20, 20)).astype(np.int64)
+    bi, bj, dy, dx, sad = block_flow(a, b, block=5, radius=1)
+    for i in range(bi.size):
+        r0, c0 = 1 + bi[i] * 5, 1 + bj[i] * 5
+        best = None
+        for ddy in (-1, 0, 1):
+            for ddx in (-1, 0, 1):
+                s = int(np.abs(a[r0:r0+5, c0:c0+5]
+                               - b[r0+ddy:r0+ddy+5, c0+ddx:c0+ddx+5]).sum())
+                key = (s, ddy, ddx)
+                if best is None or key < best:
+                    best = key
+        assert (sad[i], dy[i], dx[i]) == best
+
+
+def test_block_flow_too_small_raises():
+    from rasters_ray.stages.match import block_flow
+
+    with pytest.raises(ValueError):
+        block_flow(np.zeros((8, 8)), np.zeros((8, 8)), block=8, radius=2)
+
+
+def test_block_flow_images_dataset(ray_session):
+    import ray
+
+    from rasters_ray import codec
+    from rasters_ray.stages.match import block_flow_images
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 251, (40, 40)).astype(np.float32)
+    ds = ray.data.from_items([{
+        "image_id": "imgZ",
+        "bytes": codec.encode(img, "npy"),
+        "fmt": "npy",
+    }])
+
+    def after(iid, arr):
+        # after[:, c] = arr[:, c + 1]  =>  before[r, c] = after[r, c - 1]
+        return np.roll(arr, -1, axis=1)
+
+    rows = block_flow_images(ds, after, block=8, radius=2).take_all()
+    assert len(rows) == 16
+    assert all(r["dy"] == 0 and r["dx"] == -1 and r["sad"] == 0
+               for r in rows)
