@@ -704,6 +704,28 @@ def q_block_flow(sf_dir: str):
                              block=12, radius=2)
 
 
+def q_harris(sf_dir: str):
+    """Harris corners (corners.py::harris_images): 25-scaled integer
+    response (k=0.04=1/25 kept integral), strict 8-neighbor maxima
+    above 0 — SQL replays Sobel/structure-tensor sums from the pixel
+    formula and the NMS as a NOT EXISTS neighbor join."""
+    from rasters_ray.stages.corners import harris_images
+
+    return harris_images(_images_ds(sf_dir, N_IMG_MERGE), threshold=0)
+
+
+def q_fast_corners(sf_dir: str):
+    """FAST-9 segment-test corners (corners.py::fast9_images) at t=80
+    on the decorrelated surface (px*px) % 251 (the oracle scenes are
+    locally linear, so the raw surface has no 9-arcs); the 16-bit
+    circular bright/dark masks and longest-run lengths replay in SQL
+    with the identical doubled-mask AND-shift bit arithmetic."""
+    from rasters_ray.stages.corners import fast9_images
+
+    return fast9_images(_images_ds(sf_dir, N_IMG_MERGE), t=80,
+                        transform=lambda px: (px * px) % 251)
+
+
 QA_FIELDS = [("fill", 0, 1), ("cloud_conf", 1, 2), ("cloud", 3, 1),
              ("shadow", 4, 1), ("snow_conf", 5, 2), ("water", 7, 1)]
 
@@ -9037,6 +9059,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geomorphons": q_geomorphons,
         "cutfill": q_cutfill,
         "block_flow": q_block_flow,
+        "harris": q_harris,
+        "fast_corners": q_fast_corners,
         "crosstab": q_crosstab,
         "qa_bitmask": q_qa_bitmask,
         "nd_index": q_nd_index,
@@ -13222,6 +13246,101 @@ best AS (
 SELECT printf('img%08d', d) AS image_id,
        bi, bj, dy, dx, sad
 FROM best WHERE rn = 1
+"""
+
+    # harris: integer Sobel/structure-tensor sums from the pixel
+    # formula; k=1/25 kept integral; strict NMS via a neighbor-max join
+    sql["harris"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+sw AS (
+  SELECT * FROM (VALUES (-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+                        (0, -1, -2, 0), (0, 1, 2, 0),
+                        (1, -1, -1, 1), (1, 0, 0, 2), (1, 1, 1, 1))
+       AS t(dr, dc, wx, wy)
+),
+g AS (
+  SELECT d, r.range AS r, c.range AS c,
+         CAST(SUM(wx * ((d * 31 + (r.range + dr) * 7
+                         + (c.range + dc) * 13) % 251)) AS BIGINT) AS gx,
+         CAST(SUM(wy * ((d * 31 + (r.range + dr) * 7
+                         + (c.range + dc) * 13) % 251)) AS BIGINT) AS gy
+  FROM imgs, range(1, 99) r, range(1, 99) c, sw
+  GROUP BY d, r.range, c.range
+),
+o9 AS (
+  SELECT o1.o AS dr, o2.o AS dc
+  FROM (SELECT unnest([-1, 0, 1]) AS o) o1,
+       (SELECT unnest([-1, 0, 1]) AS o) o2
+),
+s AS (
+  SELECT g.d, g.r - o9.dr AS r, g.c - o9.dc AS c,
+         CAST(SUM(g.gx * g.gx) AS BIGINT) AS sxx,
+         CAST(SUM(g.gy * g.gy) AS BIGINT) AS syy,
+         CAST(SUM(g.gx * g.gy) AS BIGINT) AS sxy
+  FROM g, o9
+  WHERE g.r - o9.dr BETWEEN 2 AND 97 AND g.c - o9.dc BETWEEN 2 AND 97
+  GROUP BY g.d, g.r - o9.dr, g.c - o9.dc
+),
+resp AS (
+  SELECT d, r, c,
+         25 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy) AS resp
+  FROM s
+),
+o8 AS (SELECT dr, dc FROM o9 WHERE dr != 0 OR dc != 0),
+nmax AS (
+  SELECT a.d, a.r, a.c, MAX(b.resp) AS nmax
+  FROM resp a, o8, resp b
+  WHERE b.d = a.d AND b.r = a.r + o8.dr AND b.c = a.c + o8.dc
+  GROUP BY a.d, a.r, a.c
+)
+SELECT printf('img%08d', a.d) AS image_id, a.r AS r, a.c AS c,
+       a.resp AS resp
+FROM resp a JOIN nmax n ON n.d = a.d AND n.r = a.r AND n.c = a.c
+WHERE a.resp > 0 AND a.resp > n.nmax
+"""
+
+    # fast_corners: 16-bit circular bright/dark masks as disjoint
+    # power-of-two sums; longest wrap arc via the doubled-mask AND-shift
+    # chain (identical bit arithmetic to the engine kernel)
+    def _arc_case(col: str) -> str:
+        whens = []
+        for i in range(16, 0, -1):
+            ands = " & ".join(f"({col} >> {j})" for j in range(i))
+            whens.append(f"WHEN ({ands}) != 0 THEN {i}")
+        return "CASE " + " ".join(whens) + " ELSE 0 END"
+
+    _fast_px = "(d * 31 + ({r}) * 7 + ({c}) * 13) % 251"
+    _fast_v = (f"(({_fast_px}) * ({_fast_px})) % 251")
+    _vc = _fast_v.format(r="r.range", c="c.range")
+    _vq = _fast_v.format(r="r.range + dr", c="c.range + dc")
+    sql["fast_corners"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+offs AS (
+  SELECT * FROM (VALUES (0, -3, 0), (1, -3, 1), (2, -2, 2), (3, -1, 3),
+                        (4, 0, 3), (5, 1, 3), (6, 2, 2), (7, 3, 1),
+                        (8, 3, 0), (9, 3, -1), (10, 2, -2), (11, 1, -3),
+                        (12, 0, -3), (13, -1, -3), (14, -2, -2),
+                        (15, -3, -1)) AS t(k, dr, dc)
+),
+mask AS (
+  SELECT d, r.range AS r, c.range AS c,
+         CAST(SUM(CASE WHEN {_vq} > {_vc} + 80
+                       THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+              AS BIGINT) AS mb,
+         CAST(SUM(CASE WHEN {_vq} < {_vc} - 80
+                       THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+              AS BIGINT) AS md
+  FROM imgs, range(3, 97) r, range(3, 97) c, offs
+  GROUP BY d, r.range, c.range
+),
+runs AS (
+  SELECT d, r, c,
+         CAST({_arc_case("(mb | (mb << 16))")} AS BIGINT) AS n_bright,
+         CAST({_arc_case("(md | (md << 16))")} AS BIGINT) AS n_dark
+  FROM mask
+)
+SELECT printf('img%08d', d) AS image_id, r, c, n_bright, n_dark
+FROM runs WHERE n_bright >= 9 OR n_dark >= 9
 """
 
     # geomorphons: atan is monotone so comparing 12/k-scaled integer
