@@ -3175,6 +3175,67 @@ def q_pearson(sf_dir: str):
     return stats.map_batches(corr, batch_format="pyarrow")
 
 
+def _qty_price_xy(t: pa.Table):
+    q = np.rint(
+        t.column("l_quantity").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    p = np.floor(
+        t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    return q, p
+
+
+def q_spearman(sf_dir: str):
+    """Spearman rank correlation of (quantity, floor-price) per
+    returnflag (relational/rankstats.py::spearman_grouped): doubled
+    average tie ranks stay exact int64; the one shuffle moves distinct
+    (flag, qty, dollar) cells.  SQL replays the doubled rank as
+    2*RANK() + COUNT(*) OVER (tie group) - 1 and the final float
+    expression with HUGEINT sufficient statistics."""
+    from rasters_ray.relational.rankstats import spearman_grouped
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                    "l_extendedprice"])
+    return spearman_grouped(ds, "l_returnflag", _qty_price_xy)
+
+
+def q_kendall_tau(sf_dir: str):
+    """Kendall tau-b of (quantity, 5000-dollar price bucket) per
+    returnflag (rankstats.py::kendall_tau_grouped): concordant /
+    discordant pair counts folded over the joint cell histogram with
+    2-D suffix sums — the oracle replays the pair counts as a cell
+    self-join with strict inequalities (each unordered pair counted
+    once in the oriented join)."""
+    from rasters_ray.relational.rankstats import kendall_tau_grouped
+
+    def xy(t: pa.Table):
+        q, p = _qty_price_xy(t)
+        return q, p // 5000
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                    "l_extendedprice"])
+    return kendall_tau_grouped(ds, "l_returnflag", xy)
+
+
+def q_mann_whitney(sf_dir: str):
+    """Exact Mann-Whitney U / ROC AUC between click and purchase value
+    distributions (floor-cents): the doubled statistic u2_a (wins x2 +
+    ties x1) over the sorted value histogram — same bounded-domain
+    shuffle as ks_test; tie_term = sum t(t-1)(t+1) kept for z-scores
+    (rankstats.py::mann_whitney)."""
+    from rasters_ray.relational.rankstats import mann_whitney
+
+    return mann_whitney(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        lambda t: np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64),
+        "click",
+        "purchase",
+    )
+
+
 def q_transitions(sf_dir: str):
     """First-order Markov transition table of per-user event streams:
     adjacent (from_type -> to_type) pairs ordered by (ts, event_id),
@@ -9106,6 +9167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_merge": q_interval_merge,
         "transitions": q_transitions,
         "pearson": q_pearson,
+        "spearman": q_spearman,
+        "kendall_tau": q_kendall_tau,
+        "mann_whitney": q_mann_whitney,
         "mad": q_mad,
         "gini": q_gini,
         "ntile": q_ntile,
@@ -14193,6 +14257,106 @@ SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
                     - CAST(sx AS HUGEINT) * sx AS DOUBLE))
           * sqrt(CAST(CAST(n AS HUGEINT) * syy
                       - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS corr
+FROM s
+"""
+
+    # spearman: doubled average tie rank = 2*RANK() + tie-count - 1
+    # (exact int64), then the pearson replay over doubled ranks
+    sql["spearman"] = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem),
+r AS (
+  SELECT l_returnflag,
+         2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1 AS dx,
+         2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1 AS dy
+  FROM v),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sdx,
+         CAST(SUM(dy) AS BIGINT) AS sdy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sdxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS sdyy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sdxy
+  FROM r GROUP BY l_returnflag)
+SELECT l_returnflag, n, sdx, sdy, sdxx, sdyy, sdxy,
+       CAST(CAST(n AS HUGEINT) * sdxy - CAST(sdx AS HUGEINT) * sdy AS DOUBLE)
+       / (sqrt(CAST(CAST(n AS HUGEINT) * sdxx
+                    - CAST(sdx AS HUGEINT) * sdx AS DOUBLE))
+          * sqrt(CAST(CAST(n AS HUGEINT) * sdyy
+                      - CAST(sdy AS HUGEINT) * sdy AS DOUBLE))) AS rho
+FROM s
+"""
+
+    # kendall_tau: cell self-join with strict inequalities counts each
+    # unordered pair once; tau-b ties from the marginals
+    sql["kendall_tau"] = """
+WITH v AS (
+  SELECT l_returnflag AS g,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) // 5000 AS y
+  FROM lineitem),
+cells AS (
+  SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM v GROUP BY g, x, y),
+pairs AS (
+  SELECT a.g,
+         CAST(SUM(CASE WHEN b.y > a.y
+                       THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+              AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN b.y < a.y
+                       THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+              AS BIGINT) AS disc
+  FROM cells a JOIN cells b ON b.g = a.g AND b.x > a.x
+  GROUP BY a.g),
+marg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(c AS HUGEINT) * (c - 1) / 2) AS BIGINT) AS tx
+  FROM (SELECT g, x, CAST(SUM(c) AS BIGINT) AS c FROM cells GROUP BY g, x)
+  GROUP BY g),
+margy AS (
+  SELECT g,
+         CAST(SUM(CAST(c AS HUGEINT) * (c - 1) / 2) AS BIGINT) AS ty
+  FROM (SELECT g, y, CAST(SUM(c) AS BIGINT) AS c FROM cells GROUP BY g, y)
+  GROUP BY g)
+SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
+       CAST(p.conc - p.disc AS DOUBLE)
+       / (sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - m.tx AS DOUBLE))
+          * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
+                      AS DOUBLE))) AS tau
+FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # mann_whitney: doubled U over the cumulative value histogram
+    sql["mann_whitney"] = """
+WITH v AS (
+  SELECT CAST(FLOOR(value * 100.0e0) AS BIGINT) AS _v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+  FROM events WHERE event_type IN ('click', 'purchase')),
+h AS (
+  SELECT _v, CAST(SUM(isa) AS BIGINT) AS na,
+         CAST(SUM(1 - isa) AS BIGINT) AS nb
+  FROM v GROUP BY _v),
+c AS (
+  SELECT _v, na, nb,
+         COALESCE(SUM(nb) OVER (ORDER BY _v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cumb
+  FROM h),
+s AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS n1,
+         CAST(SUM(nb) AS BIGINT) AS n2,
+         CAST(SUM(na * (2 * cumb + nb)) AS BIGINT) AS u2_a,
+         CAST(SUM((na + nb) * (na + nb - 1) * (na + nb + 1)) AS BIGINT)
+           AS tie_term
+  FROM c)
+SELECT n1, n2, u2_a, 2 * n1 * n2 - u2_a AS u2_b, tie_term,
+       CAST(u2_a AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE) AS auc
 FROM s
 """
 
