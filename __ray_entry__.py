@@ -3236,6 +3236,53 @@ def q_mann_whitney(sf_dir: str):
     )
 
 
+def q_chi_square(sf_dir: str):
+    """Chi-square independence test of order priority x status
+    (relational/aggregates.py::crosstab_chi2): per-cell deviation kept
+    as the exact cross-multiplied integer obs*N - row_tot*col_tot;
+    cell_chi2 is one float over Python-int products, HUGEINT in SQL."""
+    from rasters_ray.relational.aggregates import crosstab_chi2
+
+    return crosstab_chi2(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+
+
+def _event_cents(t: pa.Table) -> np.ndarray:
+    return np.floor(
+        t.column("value").to_numpy(zero_copy_only=False) * 100.0
+    ).astype(np.int64)
+
+
+def q_cusum(sf_dir: str):
+    """CUSUM changepoint per event-type series (sequence.py::
+    cusum_stats): D_k = n*C_k - k*T keeps the mean-free cumulative
+    deviation an exact integer (Page 1954 cross-multiplied); d_max and
+    the smallest argmax k replay in SQL with a running-sum window and
+    a max join."""
+    from rasters_ray.relational.sequence import cusum_stats
+
+    return cusum_stats(
+        _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"]),
+        "event_type", "ts", "event_id", _event_cents,
+    )
+
+
+def q_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test per event-type series (sequence.py::
+    runs_test): dichotomize at the lower median (quantile_disc rule),
+    discard exact-median values, count maximal same-sign blocks in
+    (ts, event_id) order; SQL replays with LAG after the median join."""
+    from rasters_ray.relational.sequence import runs_test
+
+    return runs_test(
+        _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"]),
+        "event_type", "ts", "event_id", _event_cents,
+    )
+
+
 def q_transitions(sf_dir: str):
     """First-order Markov transition table of per-user event streams:
     adjacent (from_type -> to_type) pairs ordered by (ts, event_id),
@@ -9170,6 +9217,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman": q_spearman,
         "kendall_tau": q_kendall_tau,
         "mann_whitney": q_mann_whitney,
+        "chi_square": q_chi_square,
+        "cusum": q_cusum,
+        "runs_test": q_runs_test,
         "mad": q_mad,
         "gini": q_gini,
         "ntile": q_ntile,
@@ -14330,6 +14380,85 @@ SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
           * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
                       AS DOUBLE))) AS tau
 FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # chi_square: dev = obs*N - rt*ct exact; one float per cell
+    sql["chi_square"] = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM c),
+r AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS rt
+      FROM c GROUP BY o_orderpriority),
+k AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS ct
+      FROM c GROUP BY o_orderstatus),
+d AS (
+  SELECT c.o_orderpriority, c.o_orderstatus, c.obs, r.rt, k.ct, t.n,
+         CAST(c.obs AS HUGEINT) * t.n - CAST(r.rt AS HUGEINT) * k.ct AS dev
+  FROM c JOIN r USING (o_orderpriority) JOIN k USING (o_orderstatus), t)
+SELECT o_orderpriority, o_orderstatus, obs, rt AS row_tot, ct AS col_tot,
+       n, CAST(dev AS BIGINT) AS dev,
+       CAST(dev * dev AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * rt * ct AS DOUBLE) AS cell_chi2
+FROM d
+"""
+
+    # cusum: running-sum window, exact D_k = n*C_k - k*T, smallest argmax
+    sql["cusum"] = """
+WITH v AS (
+  SELECT event_type, ts, event_id,
+         CAST(FLOOR(value * 100.0e0) AS BIGINT) AS c
+  FROM events),
+o AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS k,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS ck
+  FROM v),
+t AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS total
+  FROM v GROUP BY event_type),
+d AS (
+  SELECT o.event_type, o.k, t.n, t.total,
+         ABS(CAST(t.n AS HUGEINT) * o.ck
+             - CAST(o.k AS HUGEINT) * t.total) AS ad
+  FROM o JOIN t USING (event_type) WHERE o.k < t.n),
+m AS (SELECT event_type, MAX(ad) AS dm FROM d GROUP BY event_type)
+SELECT d.event_type, d.n, d.total, CAST(MIN(d.k) AS BIGINT) AS k_star,
+       CAST(m.dm AS BIGINT) AS d_max
+FROM d JOIN m ON m.event_type = d.event_type AND d.ad = m.dm
+GROUP BY d.event_type, d.n, d.total, m.dm
+"""
+
+    # runs_test: median split (quantile_disc), LAG run boundaries
+    sql["runs_test"] = """
+WITH v AS (
+  SELECT event_type, ts, event_id,
+         CAST(FLOOR(value * 100.0e0) AS BIGINT) AS c
+  FROM events),
+med AS (SELECT event_type, quantile_disc(c, 0.5) AS m
+        FROM v GROUP BY event_type),
+f AS (
+  SELECT v.event_type, v.ts, v.event_id, (v.c > med.m) AS s
+  FROM v JOIN med USING (event_type) WHERE v.c != med.m),
+r AS (
+  SELECT event_type, s,
+         LAG(s) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS ps
+  FROM f),
+a AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN ps IS NOT NULL AND s != ps
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM r GROUP BY event_type)
+SELECT event_type, n1, n2, runs,
+       1.0e0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)
+         AS e_runs
+FROM a WHERE n1 > 0 AND n2 > 0
 """
 
     # mann_whitney: doubled U over the cumulative value histogram

@@ -807,3 +807,50 @@ def borda_fusion(ds, id_col: str, score_cols: list):
                                pa.array(1 + prefix[b], pa.int64()))
 
     return ranked.map_batches(with_fused, batch_format="pyarrow")
+
+
+def crosstab_chi2(ds, row_col: str, col_col: str):
+    """Chi-square independence test over a two-way crosstab ->
+    Dataset[(row, col, obs, row_tot, col_tot, n, dev, cell_chi2)].
+
+    Per cell the deviation is kept as the exact cross-multiplied
+    integer ``dev = obs*N - row_tot*col_tot`` (obs - expected, scaled
+    by N); ``cell_chi2 = dev^2 / (N * row_tot * col_tot)`` is the
+    per-cell Pearson contribution (the usual (O-E)^2/E scaled
+    consistently), each cell ONE float expression over Python-int
+    products — the SQL replay uses HUGEINT.  The total chi2 is the sum
+    of cells; it is left to the consumer because a float sum's order
+    is not canonical.
+
+    Scale shape: one bincount-partial groupby over the (small) category
+    product; the finish runs on the tiny cell table."""
+    counts = grouped_int_sums(ds, [row_col, col_col], lambda t: {},
+                              count_col="obs")
+
+    def final(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        n = int(df["obs"].sum())
+        rt = df.groupby(row_col)["obs"].transform("sum").astype(object)
+        ct = df.groupby(col_col)["obs"].transform("sum").astype(object)
+        obs = df["obs"].astype(object)
+        dev = obs * n - rt * ct  # Python ints: exact beyond int64
+        chi2 = [
+            float(int(d) * int(d)) / float(n * int(r) * int(c))
+            for d, r, c in zip(dev, rt, ct)
+        ]
+        return pa.table(
+            {
+                row_col: pa.array(df[row_col].astype(str)),
+                col_col: pa.array(df[col_col].astype(str)),
+                "obs": pa.array(df["obs"].astype(np.int64), pa.int64()),
+                "row_tot": pa.array([int(x) for x in rt], pa.int64()),
+                "col_tot": pa.array([int(x) for x in ct], pa.int64()),
+                "n": pa.array([n] * len(df), pa.int64()),
+                "dev": pa.array([int(x) for x in dev], pa.int64()),
+                "cell_chi2": pa.array(chi2, pa.float64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(final, batch_format="pyarrow")

@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["pair_counts_arrays", "transition_counts", "lagged_pair_stats"]
+__all__ = ["pair_counts_arrays", "transition_counts", "lagged_pair_stats",
+           "cusum_stats", "runs_test"]
 
 
 def pair_counts_arrays(u: np.ndarray, order_key: np.ndarray,
@@ -152,6 +153,150 @@ def lagged_pair_stats(ds, type_col: str, ts_col: str, id_col: str,
                 "syy": pa.array(syy[keep], pa.int64()),
                 "sxy": pa.array(sxy[keep], pa.int64()),
                 "acf": pa.array(acf[keep], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def cusum_stats(ds, type_col: str, ts_col: str, id_col: str,
+                values_fn, n_parts: int = 32):
+    """CUSUM changepoint statistic per series -> Dataset[type, n, total,
+    k_star, d_max].
+
+    For the series ordered by (ts, id) with prefix sums C_k and total T,
+    the mean-free cumulative deviation scaled by n is the exact integer
+    ``D_k = n*C_k - k*T`` (Page 1954's CUSUM against the global mean,
+    cross-multiplied to avoid the float mean).  ``d_max = max |D_k|``
+    over k = 1..n-1 and ``k_star`` is the smallest attaining k — the
+    most likely single changepoint.  Exactness bound: |n*C_k| < 2^63
+    (n * total cents), documented like the other int64 cross products.
+
+    Series hash-partition by type (group-fits-partition, the
+    lagged_pair_stats bound); inside the partition everything is one
+    lexsort + vectorized cumsum."""
+    from rasters_ray.util import hash_parts
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = np.asarray(values_fn(t), np.int64)
+        sel = pa.table(
+            {
+                type_col: t.column(type_col),
+                ts_col: t.column(ts_col).cast(pa.int64()),
+                id_col: t.column(id_col),
+                "_v": pa.array(v, pa.int64()),
+            }
+        )
+        return sel.append_column(
+            "_part", pa.array(hash_parts(sel.column(type_col), n_parts),
+                              pa.int64())
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        ty = np.asarray(group.column(type_col).to_pylist(), dtype=object)
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False)
+        eid = group.column(id_col).to_numpy(zero_copy_only=False)
+        v = group.column("_v").to_numpy(zero_copy_only=False)
+        uty, tcode = np.unique(ty, return_inverse=True)
+        order = np.lexsort((eid, ts, tcode))
+        to, vo = tcode[order], v[order]
+        out = {k: [] for k in (type_col, "n", "total", "k_star", "d_max")}
+        for i, name in enumerate(uty):
+            s = vo[to == i]
+            n = len(s)
+            if n < 2:
+                continue
+            ck = np.cumsum(s)
+            total = int(ck[-1])
+            k = np.arange(1, n, dtype=np.int64)
+            d = np.abs(n * ck[:-1] - k * total)
+            dmax = int(d.max())
+            out[type_col].append(str(name))
+            out["n"].append(n)
+            out["total"].append(total)
+            out["k_star"].append(int(k[np.flatnonzero(d == dmax)[0]]))
+            out["d_max"].append(dmax)
+        return pa.table(
+            {
+                type_col: pa.array(out[type_col], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "total": pa.array(out["total"], pa.int64()),
+                "k_star": pa.array(out["k_star"], pa.int64()),
+                "d_max": pa.array(out["d_max"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def runs_test(ds, type_col: str, ts_col: str, id_col: str,
+              values_fn, n_parts: int = 32):
+    """Wald-Wolfowitz runs test per series -> Dataset[type, n1, n2,
+    runs, e_runs].
+
+    Values are dichotomized at the series' lower median (percentile_disc
+    rank ceil(n/2), the repo-wide median rule); values EQUAL to the
+    median are discarded (the classical treatment).  ``runs`` counts
+    maximal same-sign blocks in (ts, id) order after discarding; the
+    one float is the expected run count ``1 + 2*n1*n2/(n1+n2)``."""
+    from rasters_ray.util import hash_parts
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = np.asarray(values_fn(t), np.int64)
+        sel = pa.table(
+            {
+                type_col: t.column(type_col),
+                ts_col: t.column(ts_col).cast(pa.int64()),
+                id_col: t.column(id_col),
+                "_v": pa.array(v, pa.int64()),
+            }
+        )
+        return sel.append_column(
+            "_part", pa.array(hash_parts(sel.column(type_col), n_parts),
+                              pa.int64())
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        ty = np.asarray(group.column(type_col).to_pylist(), dtype=object)
+        ts = group.column(ts_col).to_numpy(zero_copy_only=False)
+        eid = group.column(id_col).to_numpy(zero_copy_only=False)
+        v = group.column("_v").to_numpy(zero_copy_only=False)
+        uty, tcode = np.unique(ty, return_inverse=True)
+        order = np.lexsort((eid, ts, tcode))
+        to, vo = tcode[order], v[order]
+        out = {k: [] for k in (type_col, "n1", "n2", "runs", "e_runs")}
+        for i, name in enumerate(uty):
+            s = vo[to == i]
+            n = len(s)
+            if n < 2:
+                continue
+            med = int(np.sort(s)[(n + 1) // 2 - 1])  # lower median
+            sign = s[s != med] > med
+            n1 = int(sign.sum())
+            n2 = int(len(sign) - n1)
+            if n1 == 0 or n2 == 0:
+                continue
+            runs = int(1 + (sign[1:] != sign[:-1]).sum())
+            out[type_col].append(str(name))
+            out["n1"].append(n1)
+            out["n2"].append(n2)
+            out["runs"].append(runs)
+            out["e_runs"].append(1.0 + float(2 * n1 * n2) / float(n1 + n2))
+        return pa.table(
+            {
+                type_col: pa.array(out[type_col], pa.string()),
+                "n1": pa.array(out["n1"], pa.int64()),
+                "n2": pa.array(out["n2"], pa.int64()),
+                "runs": pa.array(out["runs"], pa.int64()),
+                "e_runs": pa.array(out["e_runs"], pa.float64()),
             }
         )
 
