@@ -3236,6 +3236,49 @@ def q_mann_whitney(sf_dir: str):
     )
 
 
+def _order_edges(sf_dir: str, undirected: bool):
+    """Deterministic 397-node graph from order keys (SQL-recomputable:
+    u = k % 397, v = (k*31 + k//397 + 7) % 397; the k//397 term breaks
+    the otherwise-functional u -> v dependence so triangles exist)."""
+    from rasters_ray.relational.graph import dedup_edges
+
+    def uv(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "u": pa.array(k % 397, pa.int64()),
+                "v": pa.array((k * 31 + k // 397 + 7) % 397, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        uv, batch_format="pyarrow"
+    )
+    return dedup_edges(ds, "u", "v", undirected=undirected)
+
+
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts (relational/graph.py::triangle_counts):
+    compact-forward wedge join on the low endpoint + a semi join closing
+    the third side — every a<b<c found once; SQL replays with a 3-way
+    edge self-join and an exploded node union."""
+    from rasters_ray.relational.graph import triangle_counts
+
+    return triangle_counts(_order_edges(sf_dir, undirected=True))
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank, 8 rounds (graph.py::pagerank):
+    r' = base + sum floor(85*r / (100*outdeg)) — bit-deterministic, no
+    float accumulation; ranks broadcast per round, edges never move.
+    SQL replays the rounds as an unrolled CTE chain with // division."""
+    from rasters_ray.relational.graph import pagerank
+
+    return pagerank(_order_edges(sf_dir, undirected=False), iters=8)
+
+
 def q_chi_square(sf_dir: str):
     """Chi-square independence test of order priority x status
     (relational/aggregates.py::crosstab_chi2): per-cell deviation kept
@@ -9218,6 +9261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_tau": q_kendall_tau,
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
+        "triangles": q_triangles,
+        "pagerank": q_pagerank,
         "cusum": q_cusum,
         "runs_test": q_runs_test,
         "mad": q_mad,
@@ -14380,6 +14425,57 @@ SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
           * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
                       AS DOUBLE))) AS tau
 FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # triangles: 3-way self-join over the oriented distinct edge set
+    _EDGE_CTE = """v0 AS (
+  SELECT o_orderkey % 397 AS u,
+         (o_orderkey * 31 + o_orderkey // 397 + 7) % 397 AS v
+  FROM orders)"""
+    sql["triangles"] = f"""
+WITH {_EDGE_CTE},
+e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      FROM v0 WHERE u != v),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+n AS (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM n GROUP BY node
+"""
+
+    # pagerank: 8 unrolled integer rounds, // is DuckDB floor division
+    _pr_round = """
+pr{b} AS (
+  SELECT n.node,
+         CAST(150000000000 + COALESCE(SUM((85 * p.r) // (100 * d.outdeg)),
+                                      0) AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.b = n.node
+  LEFT JOIN pr{a} p ON p.node = e.a
+  LEFT JOIN deg d ON d.a = e.a
+  GROUP BY n.node)"""
+    _pr_chain = ",".join(_pr_round.format(a=i, b=i + 1) for i in range(8))
+    sql["pagerank"] = f"""
+WITH {_EDGE_CTE},
+e AS (SELECT DISTINCT u AS a, v AS b FROM v0 WHERE u != v),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY a),
+ind AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS indeg FROM e GROUP BY b),
+nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+{_pr_chain}
+SELECT CAST(n.node AS BIGINT) AS node,
+       COALESCE(d.outdeg, 0) AS outdeg,
+       COALESCE(i.indeg, 0) AS indeg,
+       p.r AS r
+FROM nodes n
+LEFT JOIN deg d ON d.a = n.node
+LEFT JOIN ind i ON i.b = n.node
+JOIN pr8 p ON p.node = n.node
 """
 
     # chi_square: dev = obs*N - rt*ct exact; one float per cell
