@@ -3236,6 +3236,41 @@ def q_mann_whitney(sf_dir: str):
     )
 
 
+def q_dbscan(sf_dir: str):
+    """Grid-bucketed distributed DBSCAN (stages/dbscan.py::
+    dbscan_points, eps^2=4, min_pts=5) over deterministic customer-key
+    blobs: 16 lattice blobs of 13x13 positions 100 apart plus k%31
+    scatter outliers.  Core-ness is positional (same-position points
+    share neighborhoods), so after the first histogram every stage is
+    bounded by the distinct-position domain; clusters label by their
+    MIN core custkey.  SQL replays the disk join, the walk-CTE
+    components and the border min-label assignment."""
+    from rasters_ray.stages.dbscan import dbscan_points
+
+    def pts(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        g = k % 16
+        xi = 50 + (g % 4) * 100 + (k // 16) % 13
+        yi = 50 + (g // 4) * 100 + (k // 208) % 13
+        out = k % 31 == 0
+        xi = np.where(out, (xi + 137) % 400, xi)
+        yi = np.where(out, (yi + 211) % 400, yi)
+        return pa.table(
+            {
+                "pid": pa.array(k, pa.int64()),
+                "xi": pa.array(xi, pa.int64()),
+                "yi": pa.array(yi, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        pts, batch_format="pyarrow"
+    )
+    return dbscan_points(ds, "pid", "xi", "yi", eps2=4, min_pts=5)
+
+
 def _order_edges(sf_dir: str, undirected: bool):
     """Deterministic 397-node graph from order keys (SQL-recomputable:
     u = k % 397, v = (k*31 + k//397 + 7) % 397; the k//397 term breaks
@@ -9261,6 +9296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_tau": q_kendall_tau,
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
+        "dbscan": q_dbscan,
         "triangles": q_triangles,
         "pagerank": q_pagerank,
         "cusum": q_cusum,
@@ -14425,6 +14461,72 @@ SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
           * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
                       AS DOUBLE))) AS tau
 FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # dbscan: disk join for neighbor counts, walk-CTE components over
+    # core positions, min-core-custkey labels, border min assignment
+    sql["dbscan"] = """
+WITH RECURSIVE pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS pid,
+         CASE WHEN c_custkey % 31 = 0
+              THEN (50 + ((c_custkey % 16) % 4) * 100
+                    + (c_custkey // 16) % 13 + 137) % 400
+              ELSE 50 + ((c_custkey % 16) % 4) * 100
+                   + (c_custkey // 16) % 13 END AS xi,
+         CASE WHEN c_custkey % 31 = 0
+              THEN (50 + ((c_custkey % 16) // 4) * 100
+                    + (c_custkey // 208) % 13 + 211) % 400
+              ELSE 50 + ((c_custkey % 16) // 4) * 100
+                   + (c_custkey // 208) % 13 END AS yi
+  FROM customer),
+cells AS (SELECT xi, yi, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pts GROUP BY xi, yi),
+offs AS (
+  SELECT * FROM (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                        (1, 1), (1, -1), (-1, 1), (-1, -1),
+                        (2, 0), (-2, 0), (0, 2), (0, -2)) AS t(dx, dy)),
+core AS (
+  SELECT a.xi, a.yi
+  FROM cells a, offs o
+  JOIN cells b ON b.xi = a.xi + o.dx AND b.yi = a.yi + o.dy
+  GROUP BY a.xi, a.yi HAVING SUM(b.cnt) >= 5),
+cpos AS (SELECT xi * 2097152 + yi AS pos, xi, yi FROM core),
+edges AS (
+  SELECT a.pos AS u, b.pos AS v
+  FROM cpos a, offs o
+  JOIN cpos b ON b.xi = a.xi + o.dx AND b.yi = a.yi + o.dy),
+walk(node, lbl) AS (
+  SELECT pos, pos FROM cpos
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.node = e.v),
+roots AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node),
+corepts AS (
+  SELECT p.pid, r.root
+  FROM pts p JOIN cpos c ON c.xi = p.xi AND c.yi = p.yi
+       JOIN roots r ON r.node = c.pos),
+lbls AS (SELECT root, CAST(MIN(pid) AS BIGINT) AS lbl
+         FROM corepts GROUP BY root),
+corelbl AS (
+  SELECT c.xi, c.yi, l.lbl
+  FROM cpos c JOIN roots r ON r.node = c.pos JOIN lbls l
+       ON l.root = r.root),
+noncore AS (
+  SELECT a.xi, a.yi FROM cells a
+  LEFT JOIN core k ON k.xi = a.xi AND k.yi = a.yi
+  WHERE k.xi IS NULL),
+borderlbl AS (
+  SELECT a.xi, a.yi, MIN(cl.lbl) AS lbl
+  FROM noncore a, offs o
+  JOIN corelbl cl ON cl.xi = a.xi + o.dx AND cl.yi = a.yi + o.dy
+  GROUP BY a.xi, a.yi)
+SELECT p.pid, p.xi, p.yi,
+       CASE WHEN cl.lbl IS NOT NULL THEN 'core'
+            WHEN bl.lbl IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS status,
+       COALESCE(cl.lbl, bl.lbl, -1) AS cluster
+FROM pts p
+LEFT JOIN corelbl cl ON cl.xi = p.xi AND cl.yi = p.yi
+LEFT JOIN borderlbl bl ON bl.xi = p.xi AND bl.yi = p.yi
 """
 
     # triangles: 3-way self-join over the oriented distinct edge set
