@@ -125,31 +125,51 @@ def dbscan_points(ds, pid_col: str, x_col: str, y_col: str,
 
     # connected_components drops self-loop-only nodes: an ISOLATED core
     # position (no other core within eps) must still form its own
-    # cluster, so left-join and fall back to the position's own id.
-    def core_posid(t: pa.Table) -> pa.Table:
+    # cluster.  Union a (pos, pos) identity row per core position and
+    # take the per-node minimum — CCF roots satisfy root <= node, so
+    # the min is the CCF root when one exists and the identity
+    # otherwise (and the union keeps the pipeline schema-typed even
+    # when the CCF output is empty).
+    def core_identity(t: pa.Table) -> pa.Table:
         xi = t.column("xi").to_numpy(zero_copy_only=False)
         yi = t.column("yi").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "node", pa.array(xi * _POS_SHIFT + yi, pa.int64())
+        pos = xi * _POS_SHIFT + yi
+        return pa.table(
+            {
+                "node": pa.array(pos, pa.int64()),
+                "root": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def min_root(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": g.column("node").slice(0, 1),
+                "root": pa.array(
+                    [int(g.column("root").to_numpy(
+                        zero_copy_only=False).min())],
+                    pa.int64(),
+                ),
+            }
         )
 
     def root_pos(t: pa.Table) -> pa.Table:
         node = t.column("node").to_numpy(zero_copy_only=False)
-        r = t.column("root").to_numpy(zero_copy_only=False)
-        root = np.where(np.isnan(r.astype(np.float64)), node,
-                        np.nan_to_num(r.astype(np.float64))).astype(np.int64)
         return pa.table(
             {
                 "xi": pa.array(node // _POS_SHIFT, pa.int64()),
                 "yi": pa.array(node % _POS_SHIFT, pa.int64()),
-                "root": pa.array(root, pa.int64()),
+                "root": t.column("root"),
             }
         )
 
-    core_roots = hash_join(
-        core.map_batches(core_posid, batch_format="pyarrow"),
-        roots, on="node", how="left outer",
-    ).map_batches(root_pos, batch_format="pyarrow")
+    core_roots = (
+        core.map_batches(core_identity, batch_format="pyarrow")
+        .union(roots)
+        .groupby("node")
+        .map_groups(min_root, batch_format="pyarrow")
+        .map_batches(root_pos, batch_format="pyarrow")
+    )
 
     # cluster label = min point id among the component's core points
     core_pts = hash_join(points, core_roots, on=["xi", "yi"])
@@ -172,10 +192,24 @@ def dbscan_points(ds, pid_col: str, x_col: str, y_col: str,
         lambda t: t.select(["xi", "yi", "lbl"]), batch_format="pyarrow"
     ).materialize()
 
-    # border: non-core positions adopt the min label among core neighbors
+    # border: non-core positions adopt the min label among core neighbors.
+    # Degenerate inputs (no non-core positions / no borders) leave empty
+    # post-shuffle datasets with NO schema, which joins reject — pin the
+    # schema by unioning a typed empty table in front.
+    import ray.data as rd
+
+    def _typed(ds_in, schema: pa.Schema):
+        return rd.from_arrow(schema.empty_table()).union(ds_in)
+
+    _probe_schema = pa.schema(
+        [("sx", pa.int64()), ("sy", pa.int64()),
+         ("xi", pa.int64()), ("yi", pa.int64())]
+    )
     noncore = hash_join(cells, core, on=["xi", "yi"], how="left anti")
     nc_hits = hash_join(
-        noncore.map_batches(probes, batch_format="pyarrow"),
+        _typed(noncore.map_batches(
+            lambda t: probes(t.select(["xi", "yi"])),
+            batch_format="pyarrow"), _probe_schema),
         core_lbl, on=["xi", "yi"],
     )
 
@@ -200,11 +234,15 @@ def dbscan_points(ds, pid_col: str, x_col: str, y_col: str,
         return t.append_column("status",
                                pa.array([status] * t.num_rows, pa.string()))
 
+    _verdict_schema = pa.schema(
+        [("xi", pa.int64()), ("yi", pa.int64()), ("lbl", pa.int64()),
+         ("status", pa.string())]
+    )
     core_v = core_lbl.map_batches(lambda t: tag(t, "core"),
                                   batch_format="pyarrow")
     border_v = border_lbl.map_batches(lambda t: tag(t, "border"),
                                       batch_format="pyarrow")
-    pos_v = core_v.union(border_v)
+    pos_v = _typed(core_v.union(border_v), _verdict_schema)
 
     out = hash_join(points, pos_v, on=["xi", "yi"], how="left outer")
 
