@@ -3236,6 +3236,27 @@ def q_mann_whitney(sf_dir: str):
     )
 
 
+def q_hog_cells(sf_dir: str):
+    """HOG cell histograms (features.py::hog_images, Dalal-Triggs in
+    integer form): central-difference gradients on the decorrelated
+    (px*px)%251 surface, trig-free 45-degree octants decided by the
+    exclusive integer-comparison branch list, L1-magnitude weights,
+    10x10 cells.  SQL replays the octant CASE arms verbatim."""
+    from rasters_ray.stages.features import hog_images
+
+    return hog_images(_images_ds(sf_dir, N_IMG_MERGE), cell=10,
+                      transform=lambda px: (px * px) % 251)
+
+
+def q_dither(sf_dir: str):
+    """Ordered 4x4 Bayer dithering (features.py::dither_images):
+    pixel fires when v > B[r%4,c%4]*16 + 8; per-phase set counts per
+    image.  SQL joins the 16 Bayer thresholds as a VALUES table."""
+    from rasters_ray.stages.features import dither_images
+
+    return dither_images(_images_ds(sf_dir, N_IMG_MERGE))
+
+
 def q_dbscan(sf_dir: str):
     """Grid-bucketed distributed DBSCAN (stages/dbscan.py::
     dbscan_points, eps^2=4, min_pts=5) over deterministic customer-key
@@ -9296,6 +9317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_tau": q_kendall_tau,
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
+        "hog_cells": q_hog_cells,
+        "dither": q_dither,
         "dbscan": q_dbscan,
         "triangles": q_triangles,
         "pagerank": q_pagerank,
@@ -14461,6 +14484,62 @@ SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
           * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
                       AS DOUBLE))) AS tau
 FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # hog_cells: central-difference gradients on the decorrelated
+    # surface, the eight octant CASE arms verbatim from the engine
+    _hog_px = "(d * 31 + ({r}) * 7 + ({c}) * 13) % 251"
+    _hog_v = f"((({_hog_px}) * ({_hog_px})) % 251)"
+    _vE = _hog_v.format(r="r.range", c="c.range + 1")
+    _vW = _hog_v.format(r="r.range", c="c.range - 1")
+    _vS = _hog_v.format(r="r.range + 1", c="c.range")
+    _vN = _hog_v.format(r="r.range - 1", c="c.range")
+    sql["hog_cells"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+g AS (
+  SELECT d, r.range AS r, c.range AS c,
+         CAST(({_vE}) - ({_vW}) AS BIGINT) AS gx,
+         CAST(({_vS}) - ({_vN}) AS BIGINT) AS gy
+  FROM imgs, range(1, 99) r, range(1, 99) c),
+o AS (
+  SELECT d, r, c, gx, gy,
+         CASE WHEN gx > 0 AND gy >= 0 AND gy < gx THEN 0
+              WHEN gy > 0 AND gx > 0 AND gy >= gx THEN 1
+              WHEN gy > 0 AND gx <= 0 AND -gx < gy THEN 2
+              WHEN gy > 0 AND gx < 0 AND -gx >= gy THEN 3
+              WHEN gy <= 0 AND gx < 0 AND -gy < -gx THEN 4
+              WHEN gy < 0 AND gx < 0 AND -gy >= -gx THEN 5
+              WHEN gy < 0 AND gx >= 0 AND gx < -gy THEN 6
+              WHEN gy < 0 AND gx > 0 AND gx >= -gy THEN 7
+              ELSE -1 END AS sector
+  FROM g)
+SELECT printf('img%08d', d) AS image_id,
+       CAST(r // 10 AS BIGINT) AS cy, CAST(c // 10 AS BIGINT) AS cx,
+       CAST(sector AS BIGINT) AS sector,
+       CAST(SUM(ABS(gx) + ABS(gy)) AS BIGINT) AS w,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE sector >= 0
+GROUP BY d, r // 10, c // 10, sector
+"""
+
+    # dither: Bayer 4x4 thresholds as a VALUES join
+    sql["dither"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+b AS (
+  SELECT * FROM (VALUES (0, 0, 0), (0, 1, 8), (0, 2, 2), (0, 3, 10),
+                        (1, 0, 12), (1, 1, 4), (1, 2, 14), (1, 3, 6),
+                        (2, 0, 3), (2, 1, 11), (2, 2, 1), (2, 3, 9),
+                        (3, 0, 15), (3, 1, 7), (3, 2, 13), (3, 3, 5))
+       AS t(pr, pc, bv))
+SELECT printf('img%08d', d) AS image_id,
+       CAST(b.pr AS BIGINT) AS pr, CAST(b.pc AS BIGINT) AS pc,
+       CAST(SUM(CASE WHEN (d * 31 + r.range * 7 + c.range * 13) % 251
+                          > b.bv * 16 + 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_set,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM imgs, range(0, 100) r, range(0, 100) c
+JOIN b ON b.pr = r.range % 4 AND b.pc = c.range % 4
+GROUP BY d, b.pr, b.pc
 """
 
     # dbscan: disk join for neighbor counts, walk-CTE components over

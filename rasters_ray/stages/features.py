@@ -30,7 +30,9 @@ import pyarrow as pa
 from rasters_ray import codec
 
 __all__ = ["harris_response", "harris_peak", "lbp_codes",
-           "feature_stats", "rle_row_stats"]
+           "feature_stats", "rle_row_stats", "gradient_octants",
+           "hog_cell_histogram", "hog_images", "bayer_dither_counts",
+           "dither_images", "BAYER4"]
 
 _D8_ORDER = [(0, 1), (1, 1), (1, 0), (1, -1),
              (0, -1), (-1, -1), (-1, 0), (-1, 1)]
@@ -148,3 +150,127 @@ def rle_row_stats(arr: np.ndarray) -> tuple:
     max_run = int(lengths.max())
     n_const = int((starts.sum(axis=1) == 1).sum())
     return n_runs, max_run, n_const
+
+
+# eight half-open 45-degree octants of atan2(gy, gx) in [0, 360),
+# decided purely by integer comparisons (no trig) — the branch list is
+# an exclusive, exhaustive partition replayed verbatim as SQL CASE arms
+_OCTANT_CONDS = (
+    lambda gx, gy: (gx > 0) & (gy >= 0) & (gy < gx),          # [0, 45)
+    lambda gx, gy: (gy > 0) & (gx > 0) & (gy >= gx),          # [45, 90)
+    lambda gx, gy: (gy > 0) & (gx <= 0) & (-gx < gy),         # [90, 135)
+    lambda gx, gy: (gy > 0) & (gx < 0) & (-gx >= gy),         # [135, 180)
+    lambda gx, gy: (gy <= 0) & (gx < 0) & (-gy < -gx),        # [180, 225)
+    lambda gx, gy: (gy < 0) & (gx < 0) & (-gy >= -gx),        # [225, 270)
+    lambda gx, gy: (gy < 0) & (gx >= 0) & (gx < -gy),         # [270, 315)
+    lambda gx, gy: (gy < 0) & (gx > 0) & (gx >= -gy),         # [315, 360)
+)
+
+
+def gradient_octants(arr: np.ndarray):
+    """Central-difference gradients and their octant for interior
+    pixels: ``(gx, gy, oct)`` int64 arrays over arr[1:-1, 1:-1]; pixels
+    with gx == gy == 0 get octant -1 (skipped by HOG)."""
+    z = np.rint(np.asarray(arr)).astype(np.int64)
+    gx = z[1:-1, 2:] - z[1:-1, :-2]
+    gy = z[2:, 1:-1] - z[:-2, 1:-1]
+    oct_ = np.full(gx.shape, -1, dtype=np.int64)
+    for k, cond in enumerate(_OCTANT_CONDS):
+        oct_[cond(gx, gy) & (oct_ < 0)] = k
+    return gx, gy, oct_
+
+
+def hog_cell_histogram(arr: np.ndarray, cell: int = 10):
+    """HOG cell histograms (Dalal & Triggs 2005, integer form): per
+    ``cell x cell`` block of interior pixels, the L1-magnitude-weighted
+    8-octant orientation histogram -> (cy, cx, sector, w, n) arrays.
+    Weights |gx|+|gy| and the octant test are exact integers."""
+    gx, gy, oct_ = gradient_octants(arr)
+    r = np.arange(1, arr.shape[0] - 1).reshape(-1, 1)
+    c = np.arange(1, arr.shape[1] - 1).reshape(1, -1)
+    cy = np.broadcast_to(r // cell, gx.shape)
+    cx = np.broadcast_to(c // cell, gx.shape)
+    keep = oct_ >= 0
+    w = np.abs(gx) + np.abs(gy)
+    key = ((cy * 1024 + cx) * 8 + oct_)[keep]
+    uk, inv = np.unique(key, return_inverse=True)
+    wsum = np.zeros(len(uk), np.int64)
+    np.add.at(wsum, inv, w[keep])
+    n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+    return (uk // 8 // 1024, (uk // 8) % 1024, uk % 8, wsum, n)
+
+
+def hog_images(images_ds, cell: int = 10, transform=None):
+    """HOG cell histograms per image -> Dataset[(image_id, cy, cx,
+    sector, w, n)].  Per-image map, nothing shuffles; ``transform``
+    decorrelates formula surfaces (the fast_corners pattern)."""
+
+    def run(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("image_id", "cy", "cx", "sector", "w", "n")}
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            px = np.rint(px).astype(np.int64)
+            if transform is not None:
+                px = transform(px)
+            cy, cx, sec, w, n = hog_cell_histogram(px, cell)
+            out["image_id"].extend(
+                [t.column("image_id")[i].as_py()] * len(cy))
+            out["cy"].extend(cy.tolist())
+            out["cx"].extend(cx.tolist())
+            out["sector"].extend(sec.tolist())
+            out["w"].extend(w.tolist())
+            out["n"].extend(n.tolist())
+        return pa.table(
+            {k: pa.array(v, pa.string() if k == "image_id" else pa.int64())
+             for k, v in out.items()})
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+# Bayer 4x4 index matrix (the classic dispersed-dot ordered dither)
+BAYER4 = np.array(
+    [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]],
+    dtype=np.int64,
+)
+
+
+def bayer_dither_counts(arr: np.ndarray):
+    """Ordered 4x4 Bayer dithering: pixel fires when
+    ``v > B[r%4, c%4] * 16 + 8`` (the mid-step threshold on a 0..255
+    scale).  Returns per-phase set counts -> (pr, pc, n_set, n_px)."""
+    z = np.rint(np.asarray(arr)).astype(np.int64)
+    h, wd = z.shape
+    r = np.arange(h).reshape(-1, 1) % 4
+    c = np.arange(wd).reshape(1, -1) % 4
+    thr = BAYER4[r, c] * 16 + 8
+    fired = z > thr
+    key = (np.broadcast_to(r, z.shape) * 4 + np.broadcast_to(c, z.shape))
+    n_set = np.bincount(key.ravel(), weights=fired.ravel(),
+                        minlength=16).astype(np.int64)
+    n_px = np.bincount(key.ravel(), minlength=16).astype(np.int64)
+    pr, pc = np.arange(16) // 4, np.arange(16) % 4
+    return pr.astype(np.int64), pc.astype(np.int64), n_set, n_px
+
+
+def dither_images(images_ds):
+    """Bayer dither phase counts per image -> Dataset[(image_id, pr,
+    pc, n_set, n_px)].  Per-image map, nothing shuffles."""
+
+    def run(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("image_id", "pr", "pc", "n_set", "n_px")}
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            pr, pc, ns, npx = bayer_dither_counts(px)
+            out["image_id"].extend(
+                [t.column("image_id")[i].as_py()] * len(pr))
+            out["pr"].extend(pr.tolist())
+            out["pc"].extend(pc.tolist())
+            out["n_set"].extend(ns.tolist())
+            out["n_px"].extend(npx.tolist())
+        return pa.table(
+            {k: pa.array(v, pa.string() if k == "image_id" else pa.int64())
+             for k, v in out.items()})
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
