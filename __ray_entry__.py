@@ -3236,6 +3236,23 @@ def q_mann_whitney(sf_dir: str):
     )
 
 
+MULTI_PATTERNS = ["fast", "table", "scan", "art", "value part", "stream"]
+
+
+def q_multi_pattern(sf_dir: str):
+    """Multi-pattern dictionary counting over documents
+    (text/multipattern.py::MultiPatternStage): patterns compile once
+    per actor, matching is vectorized shifted-window byte equality over
+    a NUL-guarded batch concatenation.  Patterns are border-free
+    (validated) so the SQL replace-count oracle equals the overlapping
+    count."""
+    from rasters_ray.text.multipattern import multi_pattern_counts
+
+    return multi_pattern_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]), MULTI_PATTERNS
+    )
+
+
 def q_hog_cells(sf_dir: str):
     """HOG cell histograms (features.py::hog_images, Dalal-Triggs in
     integer form): central-difference gradients on the decorrelated
@@ -9318,6 +9335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_whitney": q_mann_whitney,
         "chi_square": q_chi_square,
         "hog_cells": q_hog_cells,
+        "multi_pattern": q_multi_pattern,
         "dither": q_dither,
         "dbscan": q_dbscan,
         "triangles": q_triangles,
@@ -14484,6 +14502,17 @@ SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
           * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
                       AS DOUBLE))) AS tau
 FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # multi_pattern: replace-count per border-free dictionary pattern
+    _pat_vals = ", ".join(f"('{p}')" for p in MULTI_PATTERNS)
+    sql["multi_pattern"] = f"""
+WITH p AS (SELECT * FROM (VALUES {_pat_vals}) AS t(pattern))
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, p.pattern,
+       CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+            // length(p.pattern) AS BIGINT) AS n
+FROM documents d, p
+WHERE length(d.text) != length(replace(d.text, p.pattern, ''))
 """
 
     # hog_cells: central-difference gradients on the decorrelated
