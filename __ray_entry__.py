@@ -3236,6 +3236,23 @@ def q_mann_whitney(sf_dir: str):
     )
 
 
+CANNY_TL2, CANNY_TH2 = 150000, 400000
+
+
+def q_canny(sf_dir: str):
+    """Canny edges in exact integers (stages/edges.py::canny_images):
+    Sobel, squared magnitude, rational 414/1000 direction bins,
+    tie-broken NMS (> forward, >= backward), double threshold,
+    hysteresis flood — every decision an integer
+    comparison replayed in SQL; the hysteresis is a walk CTE from the
+    strong set through 8-adjacent weak survivors."""
+    from rasters_ray.stages.edges import canny_images
+
+    return canny_images(_images_ds(sf_dir, N_IMG_MERGE),
+                        CANNY_TL2, CANNY_TH2,
+                        transform=lambda px: (px * px) % 251)
+
+
 MULTI_PATTERNS = ["fast", "table", "scan", "art", "value part", "stream"]
 
 
@@ -9336,6 +9353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi_square": q_chi_square,
         "hog_cells": q_hog_cells,
         "multi_pattern": q_multi_pattern,
+        "canny": q_canny,
         "dither": q_dither,
         "dbscan": q_dbscan,
         "triangles": q_triangles,
@@ -14502,6 +14520,61 @@ SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
           * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
                       AS DOUBLE))) AS tau
 FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # canny: Sobel on the decorrelated surface, rational direction
+    # bins, NMS via LEFT-JOINed directional neighbors, walk-CTE
+    # hysteresis from the strong set through 8-adjacent weak survivors
+    _cpx = "(d * 31 + ({r}) * 7 + ({c}) * 13) % 251"
+    _cv = f"((({_cpx}) * ({_cpx})) % 251)"
+    _cvq = _cv.format(r="r.range + dr", c="c.range + dc")
+    sql["canny"] = f"""
+WITH RECURSIVE {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+sw AS (
+  SELECT * FROM (VALUES (-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+                        (0, -1, -2, 0), (0, 1, 2, 0),
+                        (1, -1, -1, 1), (1, 0, 0, 2), (1, 1, 1, 1))
+       AS t(dr, dc, wx, wy)
+),
+g AS (
+  SELECT d, r.range AS r, c.range AS c,
+         CAST(SUM(wx * ({_cvq})) AS BIGINT) AS gx,
+         CAST(SUM(wy * ({_cvq})) AS BIGINT) AS gy
+  FROM imgs, range(1, 99) r, range(1, 99) c, sw
+  GROUP BY d, r.range, c.range
+),
+m AS (
+  SELECT d, r, c, gx * gx + gy * gy AS m2,
+         CASE WHEN 1000 * ABS(gy) <= 414 * ABS(gx) THEN 0
+              WHEN 1000 * ABS(gx) <= 414 * ABS(gy) THEN 2
+              WHEN gx * gy > 0 THEN 1 ELSE 3 END AS bin
+  FROM g),
+offs4 AS (SELECT * FROM (VALUES (0, 0, 1), (1, 1, 1), (2, 1, 0),
+                                (3, 1, -1)) AS t(bin, dr, dc)),
+nms AS (
+  SELECT m.d, m.r, m.c, m.m2
+  FROM m JOIN offs4 o ON o.bin = m.bin
+  LEFT JOIN m n1 ON n1.d = m.d AND n1.r = m.r + o.dr
+                    AND n1.c = m.c + o.dc
+  LEFT JOIN m n2 ON n2.d = m.d AND n2.r = m.r - o.dr
+                    AND n2.c = m.c - o.dc
+  WHERE m.m2 > COALESCE(n1.m2, -1) AND m.m2 >= COALESCE(n2.m2, -1)
+),
+surv AS (
+  SELECT d, r, c, m2,
+         CASE WHEN m2 >= {CANNY_TH2} THEN 1 ELSE 0 END AS strong
+  FROM nms WHERE m2 >= {CANNY_TL2}),
+walk(d, r, c) AS (
+  SELECT d, r, c FROM surv WHERE strong = 1
+  UNION
+  SELECT s.d, s.r, s.c
+  FROM surv s JOIN walk w
+    ON w.d = s.d AND s.r BETWEEN w.r - 1 AND w.r + 1
+       AND s.c BETWEEN w.c - 1 AND w.c + 1
+)
+SELECT printf('img%08d', s.d) AS image_id, s.r AS r, s.c AS c,
+       CAST(s.m2 AS BIGINT) AS mag2, CAST(s.strong AS BIGINT) AS strong
+FROM surv s JOIN walk w ON w.d = s.d AND w.r = s.r AND w.c = s.c
 """
 
     # multi_pattern: replace-count per border-free dictionary pattern
