@@ -3369,6 +3369,25 @@ def q_pagerank(sf_dir: str):
     return pagerank(_order_edges(sf_dir, undirected=False), iters=8)
 
 
+def q_emd(sf_dir: str):
+    """Exact 1-D Wasserstein distance between click and purchase value
+    distributions (floor-cents): piecewise-constant |F1-F2| integral as
+    the exact integer sum |n2*C1 - n1*C2| * gap over the sorted pooled
+    histogram (rankstats.py::wasserstein_1d) — same bounded-domain
+    shuffle as ks_test; one float division at the end."""
+    from rasters_ray.relational.rankstats import wasserstein_1d
+
+    return wasserstein_1d(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        lambda t: np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64),
+        "click",
+        "purchase",
+    )
+
+
 def q_chi_square(sf_dir: str):
     """Chi-square independence test of order priority x status
     (relational/aggregates.py::crosstab_chi2): per-cell deviation kept
@@ -9350,6 +9369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman": q_spearman,
         "kendall_tau": q_kendall_tau,
         "mann_whitney": q_mann_whitney,
+        "emd": q_emd,
         "chi_square": q_chi_square,
         "hog_cells": q_hog_cells,
         "multi_pattern": q_multi_pattern,
@@ -14759,6 +14779,34 @@ FROM nodes n
 LEFT JOIN deg d ON d.a = n.node
 LEFT JOIN ind i ON i.b = n.node
 JOIN pr8 p ON p.node = n.node
+"""
+
+    # emd: cross-multiplied CDF gap integral over the pooled histogram
+    sql["emd"] = """
+WITH v AS (
+  SELECT CAST(FLOOR(value * 100.0e0) AS BIGINT) AS _v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+  FROM events WHERE event_type IN ('click', 'purchase')),
+h AS (
+  SELECT _v, CAST(SUM(isa) AS BIGINT) AS na,
+         CAST(SUM(1 - isa) AS BIGINT) AS nb
+  FROM v GROUP BY _v),
+c AS (
+  SELECT _v, na, nb,
+         SUM(na) OVER (ORDER BY _v) AS ca,
+         SUM(nb) OVER (ORDER BY _v) AS cb,
+         LEAD(_v) OVER (ORDER BY _v) AS nxt
+  FROM h),
+t AS (SELECT CAST(SUM(na) AS BIGINT) AS n1, CAST(SUM(nb) AS BIGINT) AS n2
+      FROM h),
+s AS (
+  SELECT t.n1, t.n2,
+         CAST(SUM(ABS(t.n2 * c.ca - t.n1 * c.cb) * (c.nxt - c._v))
+              AS BIGINT) AS emd_num
+  FROM c, t WHERE c.nxt IS NOT NULL GROUP BY t.n1, t.n2)
+SELECT n1, n2, emd_num, n1 * n2 AS emd_den,
+       CAST(emd_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS emd
+FROM s
 """
 
     # chi_square: dev = obs*N - rt*ct exact; one float per cell

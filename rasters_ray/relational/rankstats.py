@@ -39,7 +39,8 @@ import pyarrow as pa
 
 from .aggregates import grouped_int_sums
 
-__all__ = ["spearman_grouped", "kendall_tau_grouped", "mann_whitney"]
+__all__ = ["spearman_grouped", "kendall_tau_grouped", "mann_whitney",
+           "wasserstein_1d"]
 
 
 def _joint_cells(ds, group_col: str, xy_fn):
@@ -224,6 +225,64 @@ def mann_whitney(ds, type_col: str, values_fn, type_a: str, type_b: str):
                 "tie_term": pa.array([tie_term], pa.int64()),
                 "auc": pa.array(
                     [float(u2a) / float(2 * n1 * n2)], pa.float64()
+                ),
+            }
+        )
+
+    return hist.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def wasserstein_1d(ds, type_col: str, values_fn, type_a: str, type_b: str):
+    """Exact 1-D Wasserstein (earth mover's) distance between two
+    integer samples -> ONE row (n1, n2, emd_num, emd_den, emd).
+
+    W1 = integral |F1 - F2| dv over the pooled support.  With the
+    sorted histogram the integrand is piecewise constant, so
+    ``emd_num = sum_v |n2*C1(v) - n1*C2(v)| * (next_v - v)`` is an
+    EXACT integer (cross-multiplied CDFs, the ks_two_sample trick) with
+    ``emd_den = n1*n2``; ``emd`` is the single float division.  Same
+    bounded-domain histogram shuffle as the KS/Mann-Whitney operators.
+    """
+
+    def partial_rows(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t.column(type_col).to_pylist(), dtype=object)
+        v = np.asarray(values_fn(t), np.int64)
+        ma, mb = ty == type_a, ty == type_b
+        keep = ma | mb
+        return pa.table(
+            {
+                "_v": pa.array(v[keep], pa.int64()),
+                "_isa": pa.array(ma[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = grouped_int_sums(
+        ds.map_batches(partial_rows, batch_format="pyarrow"),
+        ["_v"],
+        lambda t: {
+            "na": t.column("_isa").to_numpy(zero_copy_only=False),
+            "nb": 1 - t.column("_isa").to_numpy(zero_copy_only=False),
+        },
+        count_col="_n",
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        vs, ca, cb = v[order], np.cumsum(na[order]), np.cumsum(nb[order])
+        n1, n2 = int(ca[-1]), int(cb[-1])
+        gap = np.abs(n2 * ca[:-1] - n1 * cb[:-1]) * np.diff(vs)
+        emd_num = int(gap.sum())
+        return pa.table(
+            {
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "emd_num": pa.array([emd_num], pa.int64()),
+                "emd_den": pa.array([n1 * n2], pa.int64()),
+                "emd": pa.array(
+                    [float(emd_num) / float(n1 * n2)], pa.float64()
                 ),
             }
         )

@@ -104,3 +104,43 @@ def test_mann_whitney_exact(ray_session):
     tt = np.bincount(np.concatenate([va, vb]))
     tt = tt[tt > 0].astype(np.int64)
     assert out["tie_term"] == int((tt * (tt - 1) * (tt + 1)).sum())
+
+
+def test_wasserstein_matches_scipy_style_bruteforce(ray_session):
+    from rasters_ray.relational.rankstats import wasserstein_1d
+
+    rng = np.random.default_rng(17)
+    n = 1500
+    ty = rng.choice(["a", "b", "x"], n)
+    v = np.where(ty == "a", rng.integers(10, 60, n),
+                 rng.integers(0, 50, n)).astype(np.int64)
+    t = pa.table({"t": ty, "v": pa.array(v)})
+    out = (
+        wasserstein_1d(rd.from_arrow(t), "t",
+                       lambda b: b.column("v").to_numpy(), "a", "b")
+        .to_pandas()
+        .iloc[0]
+    )
+    va = np.sort(v[ty == "a"]).astype(float)
+    vb = np.sort(v[ty == "b"]).astype(float)
+    # brute W1 via quantile-function integral on a common grid
+    grid = np.linspace(0, 1, 200001, endpoint=False)[1:]
+    qa = np.quantile(va, grid, method="inverted_cdf")
+    qb = np.quantile(vb, grid, method="inverted_cdf")
+    approx = np.abs(qa - qb).mean()
+    assert abs(out["emd"] - approx) < 5e-3  # grid-resolution tolerance
+    # exactness invariants
+    assert out["emd_den"] == (ty == "a").sum() * (ty == "b").sum()
+    assert out["emd"] == out["emd_num"] / out["emd_den"]
+
+
+def test_wasserstein_identical_samples_zero(ray_session):
+    from rasters_ray.relational.rankstats import wasserstein_1d
+
+    v = np.tile(np.arange(20, dtype=np.int64), 2)
+    ty = np.array(["a"] * 20 + ["b"] * 20)
+    t = pa.table({"t": ty, "v": pa.array(v)})
+    out = wasserstein_1d(rd.from_arrow(t), "t",
+                         lambda b: b.column("v").to_numpy(),
+                         "a", "b").to_pandas().iloc[0]
+    assert out["emd_num"] == 0 and out["emd"] == 0.0
