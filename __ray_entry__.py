@@ -3236,6 +3236,18 @@ def q_mann_whitney(sf_dir: str):
     )
 
 
+def q_haar_energy(sf_dir: str):
+    """Two-level unnormalized Haar subband energies on the decorrelated
+    surface (stages/wavelet.py::haar_images): integer sum/difference
+    lifting keeps coefficients exact; SQL rebuilds level 1 from 2x2
+    pixel blocks and level 2 by conditional aggregation over the
+    level-1 ll plane."""
+    from rasters_ray.stages.wavelet import haar_images
+
+    return haar_images(_images_ds(sf_dir, N_IMG_MERGE), levels=2,
+                       transform=lambda px: (px * px) % 251)
+
+
 CANNY_TL2, CANNY_TH2 = 150000, 400000
 
 
@@ -9374,6 +9386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hog_cells": q_hog_cells,
         "multi_pattern": q_multi_pattern,
         "canny": q_canny,
+        "haar_energy": q_haar_energy,
         "dither": q_dither,
         "dbscan": q_dbscan,
         "triangles": q_triangles,
@@ -14540,6 +14553,50 @@ SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
           * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
                       AS DOUBLE))) AS tau
 FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # haar_energy: level 1 from 2x2 blocks, level 2 by conditional
+    # aggregation over the level-1 ll plane, energies UNION ALL
+    _hpx = "(d * 31 + ({r}) * 7 + ({c}) * 13) % 251"
+    _hv = f"((({_hpx}) * ({_hpx})) % 251)"
+    _p00 = _hv.format(r="2 * r.range", c="2 * c.range")
+    _p01 = _hv.format(r="2 * r.range", c="2 * c.range + 1")
+    _p10 = _hv.format(r="2 * r.range + 1", c="2 * c.range")
+    _p11 = _hv.format(r="2 * r.range + 1", c="2 * c.range + 1")
+    sql["haar_energy"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+l1 AS (
+  SELECT d, r.range AS i, c.range AS j,
+         CAST(({_p00}) + ({_p01}) + ({_p10}) + ({_p11}) AS BIGINT) AS ll,
+         CAST((({_p00}) + ({_p10})) - (({_p01}) + ({_p11})) AS BIGINT) AS lh,
+         CAST((({_p00}) + ({_p01})) - (({_p10}) + ({_p11})) AS BIGINT) AS hl,
+         CAST(({_p00}) - ({_p01}) - ({_p10}) + ({_p11}) AS BIGINT) AS hh
+  FROM imgs, range(0, 50) r, range(0, 50) c),
+l2 AS (
+  SELECT d, i // 2 AS i, j // 2 AS j,
+         CAST(SUM(ll) AS BIGINT) AS ll,
+         CAST(SUM(CASE WHEN j % 2 = 0 THEN ll ELSE -ll END) AS BIGINT)
+           AS lh,
+         CAST(SUM(CASE WHEN i % 2 = 0 THEN ll ELSE -ll END) AS BIGINT)
+           AS hl,
+         CAST(SUM(CASE WHEN (i + j) % 2 = 0 THEN ll ELSE -ll END)
+              AS BIGINT) AS hh
+  FROM l1 GROUP BY d, i // 2, j // 2)
+SELECT printf('img%08d', d) AS image_id, CAST(1 AS BIGINT) AS level,
+       'lh' AS subband, CAST(SUM(lh * lh) AS BIGINT) AS energy
+FROM l1 GROUP BY d
+UNION ALL SELECT printf('img%08d', d), 1, 'hl', CAST(SUM(hl * hl) AS BIGINT)
+FROM l1 GROUP BY d
+UNION ALL SELECT printf('img%08d', d), 1, 'hh', CAST(SUM(hh * hh) AS BIGINT)
+FROM l1 GROUP BY d
+UNION ALL SELECT printf('img%08d', d), 2, 'lh', CAST(SUM(lh * lh) AS BIGINT)
+FROM l2 GROUP BY d
+UNION ALL SELECT printf('img%08d', d), 2, 'hl', CAST(SUM(hl * hl) AS BIGINT)
+FROM l2 GROUP BY d
+UNION ALL SELECT printf('img%08d', d), 2, 'hh', CAST(SUM(hh * hh) AS BIGINT)
+FROM l2 GROUP BY d
+UNION ALL SELECT printf('img%08d', d), 2, 'll', CAST(SUM(ll * ll) AS BIGINT)
+FROM l2 GROUP BY d
 """
 
     # canny: Sobel on the decorrelated surface, rational direction
