@@ -3381,6 +3381,26 @@ def q_pagerank(sf_dir: str):
     return pagerank(_order_edges(sf_dir, undirected=False), iters=8)
 
 
+DTW_K = 48
+
+
+def q_dtw(sf_dir: str):
+    """Dynamic time warping between the first 48 click and purchase
+    values (floor-cents, (ts, event_id) order): distributed min-k head
+    extraction, exact int64 L1 DP on the driver-tiny finish
+    (sequence.py::dtw_pair).  SQL replays the DP as a recursive list
+    CTE using the prefix-min identity D[i][j] = S_i(j) +
+    min_{{j'<=j}}(min(D[i-1][j'], D[i-1][j'-1]) - S_i(j'-1)) so each row
+    is one list expression (the seam_energy idiom)."""
+    from rasters_ray.relational.sequence import dtw_pair
+
+    return dtw_pair(
+        _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"]),
+        "event_type", "ts", "event_id", _event_cents,
+        "click", "purchase", k=DTW_K,
+    )
+
+
 def q_emd(sf_dir: str):
     """Exact 1-D Wasserstein distance between click and purchase value
     distributions (floor-cents): piecewise-constant |F1-F2| integral as
@@ -9382,6 +9402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_tau": q_kendall_tau,
         "mann_whitney": q_mann_whitney,
         "emd": q_emd,
+        "dtw": q_dtw,
         "chi_square": q_chi_square,
         "hog_cells": q_hog_cells,
         "multi_pattern": q_multi_pattern,
@@ -14837,6 +14858,43 @@ LEFT JOIN deg d ON d.a = n.node
 LEFT JOIN ind i ON i.b = n.node
 JOIN pr8 p ON p.node = n.node
 """
+
+    # dtw: recursive list-DP by rows with the prefix-min identity
+    sql["dtw"] = f"""
+WITH RECURSIVE
+a AS (SELECT i, v FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS i,
+               CAST(FLOOR(value * 100.0e0) AS BIGINT) AS v
+        FROM events WHERE event_type = 'click') WHERE i <= {DTW_K}),
+b AS (SELECT j, v FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS j,
+               CAST(FLOOR(value * 100.0e0) AS BIGINT) AS v
+        FROM events WHERE event_type = 'purchase') WHERE j <= {DTW_K}),
+cl AS (SELECT a.i, list(ABS(a.v - b.v) ORDER BY b.j) AS cs
+       FROM a, b GROUP BY a.i),
+n2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM b),
+dp AS (
+  SELECT 0 AS i,
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, CAST(n2 AS INTEGER) + 1),
+                          j -> CAST({{BIG}} AS BIGINT))) AS ms
+  FROM n2t
+  UNION ALL
+  SELECT cl.i,
+         list_prepend(CAST({{BIG}} AS BIGINT),
+           list_transform(range(1, len(cl.cs) + 1), j ->
+             COALESCE(list_sum(cl.cs[1:j]), 0)
+             + list_min(list_transform(range(1, j + 1), jp ->
+                 LEAST(d.ms[jp + 1], d.ms[jp])
+                 - COALESCE(list_sum(cl.cs[1:jp - 1]), 0)))))
+  FROM dp d JOIN cl ON cl.i = d.i + 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
+       (SELECT n2 FROM n2t) AS n2,
+       CAST(ms[CAST((SELECT n2 FROM n2t) AS INTEGER) + 1] AS BIGINT) AS dtw
+FROM dp WHERE i = (SELECT COUNT(*) FROM a)
+"""
+    sql["dtw"] = sql["dtw"].replace("{BIG}", "1152921504606846976")
 
     # emd: cross-multiplied CDF gap integral over the pooled histogram
     sql["emd"] = """

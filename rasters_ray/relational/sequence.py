@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["pair_counts_arrays", "transition_counts", "lagged_pair_stats",
-           "cusum_stats", "runs_test"]
+           "cusum_stats", "runs_test", "dtw_pair"]
 
 
 def pair_counts_arrays(u: np.ndarray, order_key: np.ndarray,
@@ -305,3 +305,66 @@ def runs_test(ds, type_col: str, ts_col: str, id_col: str,
         .groupby("_part")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def dtw_pair(ds, type_col: str, ts_col: str, id_col: str, values_fn,
+             type_a: str, type_b: str, k: int = 48):
+    """Dynamic time warping distance between the first ``k`` values of
+    two series -> ONE row (n1, n2, dtw).
+
+    Sakoe & Chiba 1978 with the L1 cost |a_i - b_j|, full window,
+    exact int64 DP.  The first-k extraction is a distributed min-k
+    selection (per-batch partial top-k bounds shuffle volume, the
+    topk_per_group shape); the k x k DP is a driver-tiny finish, the
+    same "bounded final" contract as the exact-quantile merge.  The
+    SQL replay walks the DP by ANTI-DIAGONALS (cells of one diagonal
+    are independent; each recursion step carries the previous diagonal
+    forward once so d-2 stays reachable)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = np.asarray(values_fn(t), np.int64)
+        ty = np.asarray(t.column(type_col).to_pylist(), dtype=object)
+        keep = (ty == type_a) | (ty == type_b)
+        return pa.table(
+            {
+                type_col: t.column(type_col).filter(pa.array(keep)),
+                "_ts": t.column(ts_col).cast(pa.int64()).filter(
+                    pa.array(keep)),
+                id_col: t.column(id_col).filter(pa.array(keep)),
+                "_v": pa.array(v[keep], pa.int64()),
+            }
+        )
+
+    from .aggregates import topk_per_group
+
+    heads = topk_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        type_col, "_ts", k, carry_cols=["_v", id_col],
+        descending=False, tie_col=id_col,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t.column(type_col).to_pylist(), dtype=object)
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        a = v[ty == type_a][np.argsort(rank[ty == type_a])]
+        b = v[ty == type_b][np.argsort(rank[ty == type_b])]
+        n1, n2 = len(a), len(b)
+        big = np.int64(1) << 60
+        dp = np.full((n1 + 1, n2 + 1), big, dtype=np.int64)
+        dp[0, 0] = 0
+        for i in range(1, n1 + 1):
+            cost = np.abs(a[i - 1] - b)
+            for j in range(1, n2 + 1):
+                dp[i, j] = cost[j - 1] + min(
+                    dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1]
+                )
+        return pa.table(
+            {
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "dtw": pa.array([int(dp[n1, n2])], pa.int64()),
+            }
+        )
+
+    return heads.repartition(1).map_batches(final, batch_format="pyarrow")

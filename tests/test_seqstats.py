@@ -98,3 +98,55 @@ def test_chi2_matches_bruteforce(ray_session):
         total += row["cell_chi2"]
     # dependence injected for x -> statistic clearly significant (df=2)
     assert total > 50.0
+
+
+def test_dtw_matches_bruteforce(ray_session):
+    from rasters_ray.relational.sequence import dtw_pair
+
+    rng = np.random.default_rng(21)
+    n = 600
+    ty = rng.choice(["a", "b", "zz"], n)
+    ts = rng.permutation(n).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    v = rng.integers(0, 100, n).astype(np.int64)
+    t = pa.table({"t": ty, "ts": pa.array(ts), "id": pa.array(eid),
+                  "v": pa.array(v)})
+    K = 16
+    out = (
+        dtw_pair(rd.from_arrow(t), "t", "ts", "id",
+                 lambda b: b.column("v").to_numpy(), "a", "b", k=K)
+        .to_pandas()
+        .iloc[0]
+    )
+
+    def head(g):
+        m = ty == g
+        return v[m][np.argsort(ts[m], kind="stable")][:K]
+
+    a, b = head("a"), head("b")
+    big = 1 << 60
+    dp = np.full((len(a) + 1, len(b) + 1), big, dtype=np.int64)
+    dp[0, 0] = 0
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i, j] = abs(a[i - 1] - b[j - 1]) + min(
+                dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+    assert (out["n1"], out["n2"]) == (len(a), len(b))
+    assert out["dtw"] == dp[len(a), len(b)]
+
+
+def test_dtw_identical_series_zero(ray_session):
+    from rasters_ray.relational.sequence import dtw_pair
+
+    n = 30
+    v = np.arange(n, dtype=np.int64) % 7
+    t = pa.table({
+        "t": np.array(["a"] * n + ["b"] * n),
+        "ts": pa.array(np.tile(np.arange(n, dtype=np.int64), 2)),
+        "id": pa.array(np.arange(2 * n, dtype=np.int64)),
+        "v": pa.array(np.tile(v, 2)),
+    })
+    out = dtw_pair(rd.from_arrow(t), "t", "ts", "id",
+                   lambda b: b.column("v").to_numpy(), "a", "b",
+                   k=20).to_pandas().iloc[0]
+    assert out["dtw"] == 0
