@@ -3236,6 +3236,18 @@ def q_mann_whitney(sf_dir: str):
     )
 
 
+def q_quadtree(sf_dir: str):
+    """Region-quadtree leaf profile (stages/quadtree.py): min==max
+    block constancy per dyadic level over the 64x64 crop of the
+    bucketed surface px//64, leaf = constant block whose parent is
+    not; 1-pixel leaves by area conservation.  SQL replays each level
+    as a GROUP BY block join to its parent blocks."""
+    from rasters_ray.stages.quadtree import quadtree_images
+
+    return quadtree_images(_images_ds(sf_dir, N_IMG_MERGE), size=64,
+                           transform=lambda px: px // 64)
+
+
 def q_haar_energy(sf_dir: str):
     """Two-level unnormalized Haar subband energies on the decorrelated
     surface (stages/wavelet.py::haar_images): integer sum/difference
@@ -9408,6 +9420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_pattern": q_multi_pattern,
         "canny": q_canny,
         "haar_energy": q_haar_energy,
+        "quadtree": q_quadtree,
         "dither": q_dither,
         "dbscan": q_dbscan,
         "triangles": q_triangles,
@@ -14574,6 +14587,73 @@ SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
           * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
                       AS DOUBLE))) AS tau
 FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # quadtree: per-level block constancy joined to parent blocks
+    sql["quadtree"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+px AS (
+  SELECT d, r.range AS r, c.range AS c,
+         ((d * 31 + r.range * 7 + c.range * 13) % 251) // 64 AS v
+  FROM imgs, range(0, 64) r, range(0, 64) c),
+b2 AS (
+  SELECT d, r // 2 AS i, c // 2 AS j, (MIN(v) = MAX(v)) AS k
+  FROM px GROUP BY d, r // 2, c // 2),
+b4 AS (
+  SELECT d, r // 4 AS i, c // 4 AS j, (MIN(v) = MAX(v)) AS k
+  FROM px GROUP BY d, r // 4, c // 4),
+b8 AS (
+  SELECT d, r // 8 AS i, c // 8 AS j, (MIN(v) = MAX(v)) AS k
+  FROM px GROUP BY d, r // 8, c // 8),
+b16 AS (
+  SELECT d, r // 16 AS i, c // 16 AS j, (MIN(v) = MAX(v)) AS k
+  FROM px GROUP BY d, r // 16, c // 16),
+b32 AS (
+  SELECT d, r // 32 AS i, c // 32 AS j, (MIN(v) = MAX(v)) AS k
+  FROM px GROUP BY d, r // 32, c // 32),
+b64 AS (
+  SELECT d, r // 64 AS i, c // 64 AS j, (MIN(v) = MAX(v)) AS k
+  FROM px GROUP BY d, r // 64, c // 64),
+lv AS (
+SELECT d, CAST(64 AS BIGINT) AS leaf_size,
+       CAST(SUM(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_leaves
+FROM b64 GROUP BY d
+UNION ALL SELECT c.d, CAST(32 AS BIGINT) AS leaf_size,
+       CAST(SUM(CASE WHEN c.k AND NOT p.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaves
+FROM b32 c JOIN b64 p ON p.d = c.d AND p.i = c.i // 2
+                         AND p.j = c.j // 2
+GROUP BY c.d
+UNION ALL SELECT c.d, CAST(16 AS BIGINT) AS leaf_size,
+       CAST(SUM(CASE WHEN c.k AND NOT p.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaves
+FROM b16 c JOIN b32 p ON p.d = c.d AND p.i = c.i // 2
+                         AND p.j = c.j // 2
+GROUP BY c.d
+UNION ALL SELECT c.d, CAST(8 AS BIGINT) AS leaf_size,
+       CAST(SUM(CASE WHEN c.k AND NOT p.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaves
+FROM b8 c JOIN b16 p ON p.d = c.d AND p.i = c.i // 2
+                         AND p.j = c.j // 2
+GROUP BY c.d
+UNION ALL SELECT c.d, CAST(4 AS BIGINT) AS leaf_size,
+       CAST(SUM(CASE WHEN c.k AND NOT p.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaves
+FROM b4 c JOIN b8 p ON p.d = c.d AND p.i = c.i // 2
+                         AND p.j = c.j // 2
+GROUP BY c.d
+UNION ALL SELECT c.d, CAST(2 AS BIGINT) AS leaf_size,
+       CAST(SUM(CASE WHEN c.k AND NOT p.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaves
+FROM b2 c JOIN b4 p ON p.d = c.d AND p.i = c.i // 2
+                         AND p.j = c.j // 2
+GROUP BY c.d
+)
+SELECT printf('img%08d', d) AS image_id, leaf_size, n_leaves FROM lv
+UNION ALL
+SELECT printf('img%08d', d), CAST(1 AS BIGINT),
+       CAST(4096 - SUM(leaf_size * leaf_size * n_leaves) AS BIGINT)
+FROM lv GROUP BY d
 """
 
     # haar_energy: level 1 from 2x2 blocks, level 2 by conditional
