@@ -3373,6 +3373,31 @@ def _order_edges(sf_dir: str, undirected: bool):
     return dedup_edges(ds, "u", "v", undirected=undirected)
 
 
+def q_trigrams(sf_dir: str):
+    """Second-order path mining: per-user event-type trigram counts in
+    (ts, event_id) order (sequence.py::trigram_counts) — one user-hash
+    shuffle, |types|^3-bounded partials; SQL replays with LEAD(1)/
+    LEAD(2) windows."""
+    from rasters_ray.relational.sequence import trigram_counts
+
+    return trigram_counts(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                 "event_type"]),
+        "user_id", "ts", "event_id", "event_type",
+    )
+
+
+def q_edge_jaccard(sf_dir: str):
+    """Neighborhood Jaccard link-prediction score per edge
+    (graph.py::edge_jaccard): common-neighbor counts from the
+    triangle-support explode, union size deg_a + deg_b - common, one
+    float division; SQL replays with the 3-way join and a UNION ALL
+    edge explode."""
+    from rasters_ray.relational.graph import edge_jaccard
+
+    return edge_jaccard(_order_edges(sf_dir, undirected=True))
+
+
 def q_triangles(sf_dir: str):
     """Per-node triangle counts (relational/graph.py::triangle_counts):
     compact-forward wedge join on the low endpoint + a semi join closing
@@ -9424,6 +9449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dither": q_dither,
         "dbscan": q_dbscan,
         "triangles": q_triangles,
+        "trigrams": q_trigrams,
+        "edge_jaccard": q_edge_jaccard,
         "pagerank": q_pagerank,
         "cusum": q_cusum,
         "runs_test": q_runs_test,
@@ -14907,6 +14934,49 @@ n AS (SELECT x AS node FROM tri
       UNION ALL SELECT z FROM tri)
 SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS n_tri
 FROM n GROUP BY node
+"""
+
+    # trigrams: LEAD windows per user stream
+    sql["trigrams"] = """
+WITH s AS (
+  SELECT event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE t3 IS NOT NULL GROUP BY t1, t2, t3
+"""
+
+    # edge_jaccard: triangle support per edge + degree join
+    sql["edge_jaccard"] = f"""
+WITH {_EDGE_CTE},
+e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+      FROM v0 WHERE u != v),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+sup AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM (SELECT x AS a, y AS b FROM tri
+        UNION ALL SELECT x, z FROM tri
+        UNION ALL SELECT y, z FROM tri)
+  GROUP BY a, b)
+SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+       COALESCE(s.common, 0) AS common,
+       da.deg AS deg_a, db.deg AS deg_b,
+       CAST(COALESCE(s.common, 0) AS DOUBLE)
+         / CAST(da.deg + db.deg - COALESCE(s.common, 0) AS DOUBLE)
+         AS jaccard
+FROM e
+LEFT JOIN sup s ON s.a = e.a AND s.b = e.b
+JOIN deg da ON da.node = e.a
+JOIN deg db ON db.node = e.b
 """
 
     # pagerank: 8 unrolled integer rounds, // is DuckDB floor division

@@ -35,7 +35,7 @@ import ray
 from .aggregates import grouped_int_sums
 from .joins import hash_join
 
-__all__ = ["dedup_edges", "triangle_counts", "pagerank"]
+__all__ = ["dedup_edges", "triangle_counts", "pagerank", "edge_jaccard"]
 
 
 def dedup_edges(ds, src: str, dst: str, undirected: bool):
@@ -182,3 +182,86 @@ def pagerank(edges, iters: int = 8, scale: int = 10**12):
             }
         )
     )
+
+
+def edge_jaccard(edges):
+    """Neighborhood Jaccard per edge -> Dataset[(a, b, common, deg_a,
+    deg_b, jaccard)] — the classic link-prediction score (Liben-Nowell
+    & Kleinberg 2003).
+
+    ``edges`` is the oriented distinct set (dedup_edges undirected).
+    ``common = |N(a) & N(b)|`` equals the edge's triangle support, so
+    it reuses the compact-forward wedge+semi join; with N including the
+    opposite endpoint, ``|N(a) | N(b)| = deg_a + deg_b - common`` and
+    the score is the single float division."""
+    # per-edge triangle support: explode each triangle to its 3 edges
+    wedges = hash_join(edges, edges, on="a", right_suffix="_r")
+
+    def keep_ordered(t: pa.Table) -> pa.Table:
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        c = t.column("b_r").to_numpy(zero_copy_only=False)
+        m = b < c
+        return pa.table(
+            {
+                "wa": t.column("a").filter(pa.array(m)),
+                "a": pa.array(b[m], pa.int64()),
+                "b": pa.array(c[m], pa.int64()),
+            }
+        )
+
+    cand = wedges.map_batches(keep_ordered, batch_format="pyarrow")
+    tri = hash_join(cand, edges, on=["a", "b"], how="left semi")
+
+    def explode_edges(t: pa.Table) -> pa.Table:
+        x = t.column("wa").to_numpy(zero_copy_only=False)
+        y = t.column("a").to_numpy(zero_copy_only=False)
+        z = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([x, x, y]), pa.int64()),
+                "b": pa.array(np.concatenate([y, z, z]), pa.int64()),
+            }
+        )
+
+    support = grouped_int_sums(
+        tri.map_batches(explode_edges, batch_format="pyarrow"),
+        ["a", "b"], lambda t: {}, count_col="common",
+    )
+
+    # degrees over the undirected set
+    def both_ends(t: pa.Table) -> pa.Table:
+        u = t.column("a").to_numpy(zero_copy_only=False)
+        v = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.concatenate([u, v]), pa.int64())}
+        )
+
+    deg = grouped_int_sums(
+        edges.map_batches(both_ends, batch_format="pyarrow"),
+        ["node"], lambda t: {}, count_col="deg",
+    )
+
+    withsup = hash_join(edges, support, on=["a", "b"], how="left outer")
+    j1 = hash_join(withsup, deg, on="a", right_on="node")
+    j2 = hash_join(j1, deg, on="b", right_on="node", right_suffix="_b")
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        com = t.column("common").to_numpy(zero_copy_only=False)
+        com = np.nan_to_num(com.astype(np.float64)).astype(np.int64)
+        da = t.column("deg").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        jac = com.astype(np.float64) / (da + db - com).astype(np.float64)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "common": pa.array(com, pa.int64()),
+                "deg_a": pa.array(da, pa.int64()),
+                "deg_b": pa.array(db, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")

@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["pair_counts_arrays", "transition_counts", "lagged_pair_stats",
-           "cusum_stats", "runs_test", "dtw_pair"]
+           "cusum_stats", "runs_test", "dtw_pair", "trigram_counts"]
 
 
 def pair_counts_arrays(u: np.ndarray, order_key: np.ndarray,
@@ -368,3 +368,55 @@ def dtw_pair(ds, type_col: str, ts_col: str, id_col: str, values_fn,
         )
 
     return heads.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def trigram_counts(ds, user_col: str, ts_col: str, id_col: str,
+                   type_col: str, n_parts: int = 32):
+    """Global (t1, t2, t3, n) trigram table of per-user event streams —
+    the path-mining extension of :func:`transition_counts` (second-order
+    Markov / top navigation paths).  Same shape: ONE user-hash
+    all-to-all, vectorized per-partition triple extraction, partials
+    bounded by |types|^3 per partition."""
+    from rasters_ray.relational.aggregates import grouped_int_sums
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column(user_col).to_numpy(zero_copy_only=False)
+        return t.append_column("_part", pa.array(u % n_parts, pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        u = group.column(user_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = group.column(ts_col).cast(pa.int64()).to_numpy()
+        eid = group.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ty = np.asarray(group.column(type_col).to_pylist(), dtype=object)
+        utypes, tcode = np.unique(ty, return_inverse=True)
+        k = len(utypes)
+        order = np.lexsort((eid, ts, u))
+        uo, co = u[order], tcode[order]
+        same3 = (uo[2:] == uo[:-2]) if len(uo) >= 3 else np.zeros(0, bool)
+        t1 = co[:-2][same3]
+        t2 = co[1:-1][same3]
+        t3 = co[2:][same3]
+        if not len(t1):
+            e = pa.array([], pa.string())
+            return pa.table({"t1": e, "t2": e, "t3": e,
+                             "n": pa.array([], pa.int64())})
+        packed = (t1 * k + t2) * k + t3
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "t1": pa.array(utypes[uniq // (k * k)], pa.string()),
+                "t2": pa.array(utypes[(uniq // k) % k], pa.string()),
+                "t3": pa.array(utypes[uniq % k], pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+    return grouped_int_sums(partials, ["t1", "t2", "t3"], None,
+                            partials_ready=True)
