@@ -3236,6 +3236,18 @@ def q_mann_whitney(sf_dir: str):
     )
 
 
+def q_adaptive_thresh(sf_dir: str):
+    """Adaptive mean-C binarization (focal.py::adaptive_threshold_bands,
+    radius 3, C=2): (v - C) * n_w > sum_w over edge-clamped integral-
+    image windows, fired counts per 10-row band; SQL replays the window
+    with a 49-offset equality join (missing rows = the clamp)."""
+    from rasters_ray.stages.focal import adaptive_threshold_bands
+
+    return adaptive_threshold_bands(
+        _images_ds(sf_dir, N_IMG_MERGE), radius=3, c=2, band=10,
+        transform=lambda px: (px * px) % 251)
+
+
 def q_quadtree(sf_dir: str):
     """Region-quadtree leaf profile (stages/quadtree.py): min==max
     block constancy per dyadic level over the 64x64 crop of the
@@ -9446,6 +9458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canny": q_canny,
         "haar_energy": q_haar_energy,
         "quadtree": q_quadtree,
+        "adaptive_thresh": q_adaptive_thresh,
         "dither": q_dither,
         "dbscan": q_dbscan,
         "triangles": q_triangles,
@@ -14614,6 +14627,30 @@ SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
           * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
                       AS DOUBLE))) AS tau
 FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # adaptive_thresh: 49-offset window join, cross-multiplied compare
+    _apx = "(d * 31 + ({r}) * 7 + ({c}) * 13) % 251"
+    _av = f"((({_apx}) * ({_apx})) % 251)"
+    _avc = _av.format(r="r.range", c="c.range")
+    _avn = _av.format(r="r.range + o1.o", c="c.range + o2.o")
+    sql["adaptive_thresh"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+offs AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS o),
+w AS (
+  SELECT d, r.range AS r, c.range AS c,
+         CAST({_avc} AS BIGINT) AS v_c,
+         CAST(SUM({_avn}) AS BIGINT) AS sum_w,
+         CAST(COUNT(*) AS BIGINT) AS n_w
+  FROM imgs, range(0, 100) r, range(0, 100) c, offs o1, offs o2
+  WHERE r.range + o1.o BETWEEN 0 AND 99
+    AND c.range + o2.o BETWEEN 0 AND 99
+  GROUP BY d, r.range, c.range)
+SELECT printf('img%08d', d) AS image_id,
+       CAST(r // 10 AS BIGINT) AS band,
+       CAST(SUM(CASE WHEN (v_c - 2) * n_w > sum_w
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+FROM w GROUP BY d, r // 10
 """
 
     # quadtree: per-level block constancy joined to parent blocks

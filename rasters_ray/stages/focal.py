@@ -49,6 +49,7 @@ __all__ = [
     "mode_filter",
     "rank_filter",
     "tophat",
+    "adaptive_threshold_bands",
 ]
 
 
@@ -517,3 +518,49 @@ def tophat(canvas: np.ndarray) -> tuple:
     white = center - _win(_win(a, np.min), np.max)
     black = _win(_win(a, np.max), np.min) - center
     return white, black
+
+
+def adaptive_threshold_bands(images_ds, radius: int = 3, c: int = 2,
+                             band: int = 10, transform=None):
+    """Adaptive mean thresholding (the OpenCV ADAPTIVE_THRESH_MEAN_C
+    binarization), integer-exact: pixel fires iff
+
+        (v - c) * n_w > sum_w
+
+    — the cross-multiplied form of ``v > window_mean + c`` over the
+    edge-clamped (2r+1)^2 window (``n_w`` counts in-bounds neighbors).
+    Window sums come from the O(px) integral image
+    (:func:`box_filter_sum`); output is the fired-pixel count per
+    ``band``-row stripe -> Dataset[(image_id, band, n_set)].  SQL
+    replays the window with a 49-offset equality join whose missing
+    out-of-bounds rows reproduce the clamping."""
+    from rasters_ray import codec
+
+    def run(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("image_id", "band", "n_set")}
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            z = np.rint(px).astype(np.int64)
+            if transform is not None:
+                z = transform(z)
+            fsum, n = box_filter_sum(z, radius)
+            fired = (z - c) * n > fsum.astype(np.int64)
+            bands = np.arange(z.shape[0]) // band
+            n_bands = int(bands[-1]) + 1
+            cnt = np.bincount(np.repeat(bands, z.shape[1]),
+                              weights=fired.ravel(),
+                              minlength=n_bands).astype(np.int64)
+            out["image_id"].extend(
+                [t.column("image_id")[i].as_py()] * n_bands)
+            out["band"].extend(range(n_bands))
+            out["n_set"].extend(cnt.tolist())
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "band": pa.array(out["band"], pa.int64()),
+                "n_set": pa.array(out["n_set"], pa.int64()),
+            }
+        )
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
