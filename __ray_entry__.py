@@ -3327,6 +3327,35 @@ def q_dither(sf_dir: str):
     return dither_images(_images_ds(sf_dir, N_IMG_MERGE))
 
 
+def q_kappa(sf_dir: str):
+    """Cohen's kappa between the order priority class and its
+    deterministic noisy copy (index + [k%7 == 0]) mod 5 — the
+    inter-rater agreement statistic as exact cross-multiplied integers
+    (aggregates.py::cohen_kappa); SQL replays the digit parse, the
+    noise rule and the HUGEINT kappa expression."""
+    from rasters_ray.relational.aggregates import cohen_kappa
+
+    def raters(t: pa.Table) -> pa.Table:
+        pr = np.asarray(
+            [int(s[0]) for s in t.column("o_orderpriority").to_pylist()],
+            np.int64,
+        )
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        b = (pr - 1 + (k % 7 == 0)) % 5 + 1
+        return pa.table(
+            {
+                "ra": pa.array(pr, pa.int64()),
+                "rb": pa.array(b, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]
+               ).map_batches(raters, batch_format="pyarrow")
+    return cohen_kappa(ds, "ra", "rb")
+
+
 def q_dbscan(sf_dir: str):
     """Grid-bucketed distributed DBSCAN (stages/dbscan.py::
     dbscan_points, eps^2=4, min_pts=5) over deterministic customer-key
@@ -9461,6 +9490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_thresh": q_adaptive_thresh,
         "dither": q_dither,
         "dbscan": q_dbscan,
+        "kappa": q_kappa,
         "triangles": q_triangles,
         "trigrams": q_trigrams,
         "edge_jaccard": q_edge_jaccard,
@@ -14884,6 +14914,29 @@ SELECT printf('img%08d', d) AS image_id,
 FROM imgs, range(0, 100) r, range(0, 100) c
 JOIN b ON b.pr = r.range % 4 AND b.pc = c.range % 4
 GROUP BY d, b.pr, b.pc
+"""
+
+    # kappa: cross-multiplied agreement over the paired-label crosstab
+    sql["kappa"] = """
+WITH v AS (
+  SELECT CAST(left(o_orderpriority, 1) AS BIGINT) AS ra,
+         (CAST(left(o_orderpriority, 1) AS BIGINT) - 1
+          + CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) % 5 + 1 AS rb
+  FROM orders),
+c AS (SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS obs FROM v GROUP BY ra, rb),
+t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ra = rb THEN obs ELSE 0 END) AS BIGINT)
+               AS po_cnt
+      FROM c),
+m AS (
+  SELECT CAST(SUM(rt * ct) AS BIGINT) AS pe_num
+  FROM (SELECT ra AS k, SUM(obs) AS rt FROM c GROUP BY ra) r
+  JOIN (SELECT rb AS k, SUM(obs) AS ct FROM c GROUP BY rb) cc
+       USING (k))
+SELECT t.n, t.po_cnt, m.pe_num,
+       CAST(CAST(t.n AS HUGEINT) * t.po_cnt - m.pe_num AS DOUBLE)
+         / CAST(CAST(t.n AS HUGEINT) * t.n - m.pe_num AS DOUBLE) AS kappa
+FROM t, m
 """
 
     # dbscan: disk join for neighbor counts, walk-CTE components over

@@ -854,3 +854,39 @@ def crosstab_chi2(ds, row_col: str, col_col: str):
         )
 
     return counts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def cohen_kappa(ds, a_col: str, b_col: str):
+    """Cohen's kappa inter-rater agreement -> ONE row (n, po_cnt,
+    pe_num, kappa).
+
+    kappa = (po - pe) / (1 - pe) with po = diag/N and
+    pe = sum(rt*ct)/N^2, cross-multiplied to the exact integers
+    ``(N*po_cnt - pe_num) / (N^2 - pe_num)`` (po_cnt = agreeing pairs,
+    pe_num = sum over categories of row_total*col_total).  One
+    bincount-partial groupby over the category product; Python-int
+    products in the tiny finish, HUGEINT in the SQL replay."""
+    counts = grouped_int_sums(ds, [a_col, b_col], lambda t: {},
+                              count_col="obs")
+
+    def final(t: pa.Table) -> pa.Table:
+        import pandas as pd  # tiny cell table
+
+        df = t.to_pandas()
+        n = int(df["obs"].sum())
+        po_cnt = int(df.loc[df[a_col] == df[b_col], "obs"].sum())
+        rt = df.groupby(a_col)["obs"].sum()
+        ct = df.groupby(b_col)["obs"].sum()
+        cats = set(rt.index) | set(ct.index)
+        pe_num = sum(int(rt.get(k, 0)) * int(ct.get(k, 0)) for k in cats)
+        kappa = float(n * po_cnt - pe_num) / float(n * n - pe_num)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "po_cnt": pa.array([po_cnt], pa.int64()),
+                "pe_num": pa.array([pe_num], pa.int64()),
+                "kappa": pa.array([kappa], pa.float64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(final, batch_format="pyarrow")

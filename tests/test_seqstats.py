@@ -150,3 +150,31 @@ def test_dtw_identical_series_zero(ray_session):
                    lambda b: b.column("v").to_numpy(), "a", "b",
                    k=20).to_pandas().iloc[0]
     assert out["dtw"] == 0
+
+
+def test_cohen_kappa_exact(ray_session):
+    from rasters_ray.relational.aggregates import cohen_kappa
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    a = rng.integers(1, 6, n).astype(np.int64)
+    b = np.where(rng.random(n) < 0.8, a,
+                 rng.integers(1, 6, n)).astype(np.int64)
+    t = pa.table({"ra": pa.array(a), "rb": pa.array(b)})
+    out = cohen_kappa(rd.from_arrow(t), "ra", "rb").to_pandas().iloc[0]
+    po = (a == b).mean()
+    pe = sum(((a == k).sum() / n) * ((b == k).sum() / n)
+             for k in range(1, 6))
+    want = (po - pe) / (1 - pe)
+    assert abs(out["kappa"] - want) < 1e-12
+    assert out["po_cnt"] == int((a == b).sum())
+    assert 0.5 < out["kappa"] < 1.0  # 80% agreement >> chance
+
+
+def test_cohen_kappa_perfect_and_chance(ray_session):
+    from rasters_ray.relational.aggregates import cohen_kappa
+
+    a = np.tile(np.arange(1, 5, dtype=np.int64), 25)
+    t = pa.table({"ra": pa.array(a), "rb": pa.array(a)})
+    out = cohen_kappa(rd.from_arrow(t), "ra", "rb").to_pandas().iloc[0]
+    assert out["kappa"] == 1.0
