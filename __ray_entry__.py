@@ -3236,6 +3236,18 @@ def q_mann_whitney(sf_dir: str):
     )
 
 
+def q_euler(sf_dir: str):
+    """Euler characteristic of the mask v > 125 (features.py::
+    euler_images): Gray 1971 quad-pattern counts over the zero-padded
+    mask; e4_x4 = q1 - q3 - 2*qd and e8_x4 = q1 - q3 + 2*qd stay x4
+    integers.  SQL counts the same 2x2 patterns with OOB pixels CASEd
+    to zero."""
+    from rasters_ray.stages.features import euler_images
+
+    return euler_images(_images_ds(sf_dir, N_IMG_MERGE), threshold=125,
+                        transform=lambda px: (px * px) % 251)
+
+
 def q_adaptive_thresh(sf_dir: str):
     """Adaptive mean-C binarization (focal.py::adaptive_threshold_bands,
     radius 3, C=2): (v - C) * n_w > sum_w over edge-clamped integral-
@@ -9488,6 +9500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_energy": q_haar_energy,
         "quadtree": q_quadtree,
         "adaptive_thresh": q_adaptive_thresh,
+        "euler": q_euler,
         "dither": q_dither,
         "dbscan": q_dbscan,
         "kappa": q_kappa,
@@ -14657,6 +14670,41 @@ SELECT m.g AS l_returnflag, m.n, p.conc, p.disc, m.tx, my.ty,
           * sqrt(CAST(CAST(m.n AS HUGEINT) * (m.n - 1) / 2 - my.ty
                       AS DOUBLE))) AS tau
 FROM marg m JOIN pairs p ON p.g = m.g JOIN margy my ON my.g = m.g
+"""
+
+    # euler: Gray quad-pattern counts, OOB pixels are zero
+    _epx = "(d * 31 + ({r}) * 7 + ({c}) * 13) % 251"
+    _ev = f"((({_epx}) * ({_epx})) % 251)"
+
+    def _emask(r: str, c: str) -> str:
+        return (f"(CASE WHEN ({r}) BETWEEN 0 AND 99 AND ({c}) "
+                f"BETWEEN 0 AND 99 AND "
+                f"({_ev.format(r=r, c=c)}) > 125 THEN 1 ELSE 0 END)")
+
+    _m00 = _emask("r.range", "c.range")
+    _m01 = _emask("r.range", "c.range + 1")
+    _m10 = _emask("r.range + 1", "c.range")
+    _m11 = _emask("r.range + 1", "c.range + 1")
+    sql["euler"] = f"""
+WITH {_IMGS_CTE.format(n=N_IMG_MERGE).strip()},
+q AS (
+  SELECT d,
+         {_m00} + {_m01} + {_m10} + {_m11} AS s,
+         CASE WHEN ({_m00} = 1 AND {_m11} = 1 AND {_m01} = 0
+                    AND {_m10} = 0)
+                OR ({_m01} = 1 AND {_m10} = 1 AND {_m00} = 0
+                    AND {_m11} = 0)
+              THEN 1 ELSE 0 END AS diag
+  FROM imgs, range(-1, 100) r, range(-1, 100) c),
+a AS (
+  SELECT d,
+         CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN s = 3 THEN 1 ELSE 0 END) AS BIGINT) AS q3,
+         CAST(SUM(diag) AS BIGINT) AS qd
+  FROM q GROUP BY d)
+SELECT printf('img%08d', d) AS image_id, q1, q3, qd,
+       q1 - q3 - 2 * qd AS e4_x4, q1 - q3 + 2 * qd AS e8_x4
+FROM a
 """
 
     # adaptive_thresh: 49-offset window join, cross-multiplied compare

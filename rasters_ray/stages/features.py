@@ -32,7 +32,8 @@ from rasters_ray import codec
 __all__ = ["harris_response", "harris_peak", "lbp_codes",
            "feature_stats", "rle_row_stats", "gradient_octants",
            "hog_cell_histogram", "hog_images", "bayer_dither_counts",
-           "dither_images", "BAYER4"]
+           "dither_images", "BAYER4",
+           "euler_quads", "euler_images"]
 
 _D8_ORDER = [(0, 1), (1, 1), (1, 0), (1, -1),
              (0, -1), (-1, -1), (-1, 0), (-1, 1)]
@@ -269,6 +270,51 @@ def dither_images(images_ds):
             out["pc"].extend(pc.tolist())
             out["n_set"].extend(ns.tolist())
             out["n_px"].extend(npx.tolist())
+        return pa.table(
+            {k: pa.array(v, pa.string() if k == "image_id" else pa.int64())
+             for k, v in out.items()})
+
+    return images_ds.map_batches(run, batch_format="pyarrow")
+
+
+def euler_quads(mask: np.ndarray):
+    """Gray 1971 quad-pattern counts over the zero-padded binary mask:
+    ``(q1, q3, qd)`` = 2x2 windows with exactly one set pixel, exactly
+    three, and the two diagonal patterns.  The 4- and 8-connectivity
+    Euler numbers are (q1 - q3 - 2*qd) / 4 and (q1 - q3 + 2*qd) / 4 —
+    kept x4 as exact integers downstream."""
+    m = np.asarray(mask, dtype=np.int64)
+    p = np.zeros((m.shape[0] + 2, m.shape[1] + 2), dtype=np.int64)
+    p[1:-1, 1:-1] = m
+    p00, p01 = p[:-1, :-1], p[:-1, 1:]
+    p10, p11 = p[1:, :-1], p[1:, 1:]
+    s = p00 + p01 + p10 + p11
+    q1 = int((s == 1).sum())
+    q3 = int((s == 3).sum())
+    qd = int((((p00 == 1) & (p11 == 1) & (p01 == 0) & (p10 == 0))
+              | ((p01 == 1) & (p10 == 1) & (p00 == 0) & (p11 == 0))).sum())
+    return q1, q3, qd
+
+
+def euler_images(images_ds, threshold: int, transform=None):
+    """Quad counts + x4 Euler numbers of the mask v > threshold per
+    image -> Dataset[(image_id, q1, q3, qd, e4_x4, e8_x4)]."""
+    def run(t: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("image_id", "q1", "q3", "qd",
+                               "e4_x4", "e8_x4")}
+        for i in range(t.num_rows):
+            px = codec.decode(t.column("bytes")[i].as_py(),
+                              t.column("fmt")[i].as_py())
+            z = np.rint(px).astype(np.int64)
+            if transform is not None:
+                z = transform(z)
+            q1, q3, qd = euler_quads(z > threshold)
+            out["image_id"].append(t.column("image_id")[i].as_py())
+            out["q1"].append(q1)
+            out["q3"].append(q3)
+            out["qd"].append(qd)
+            out["e4_x4"].append(q1 - q3 - 2 * qd)
+            out["e8_x4"].append(q1 - q3 + 2 * qd)
         return pa.table(
             {k: pa.array(v, pa.string() if k == "image_id" else pa.int64())
              for k, v in out.items()})
