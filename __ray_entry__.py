@@ -3239,7 +3239,7 @@ def q_mann_whitney(sf_dir: str):
 def q_euler(sf_dir: str):
     """Euler characteristic of the mask v > 125 (features.py::
     euler_images): Gray 1971 quad-pattern counts over the zero-padded
-    mask; e4_x4 = q1 - q3 - 2*qd and e8_x4 = q1 - q3 + 2*qd stay x4
+    mask; e4_x4 = q1 - q3 + 2*qd and e8_x4 = q1 - q3 - 2*qd stay x4
     integers.  SQL counts the same 2x2 patterns with OOB pixels CASEd
     to zero."""
     from rasters_ray.stages.features import euler_images
@@ -14703,7 +14703,7 @@ a AS (
          CAST(SUM(diag) AS BIGINT) AS qd
   FROM q GROUP BY d)
 SELECT printf('img%08d', d) AS image_id, q1, q3, qd,
-       q1 - q3 - 2 * qd AS e4_x4, q1 - q3 + 2 * qd AS e8_x4
+       q1 - q3 + 2 * qd AS e4_x4, q1 - q3 - 2 * qd AS e8_x4
 FROM a
 """
 

@@ -281,8 +281,9 @@ def euler_quads(mask: np.ndarray):
     """Gray 1971 quad-pattern counts over the zero-padded binary mask:
     ``(q1, q3, qd)`` = 2x2 windows with exactly one set pixel, exactly
     three, and the two diagonal patterns.  The 4- and 8-connectivity
-    Euler numbers are (q1 - q3 - 2*qd) / 4 and (q1 - q3 + 2*qd) / 4 —
-    kept x4 as exact integers downstream."""
+    Euler numbers are (q1 - q3 + 2*qd) / 4 and (q1 - q3 - 2*qd) / 4
+    (diagonal touches split components under 4-connectivity, so qd
+    counts POSITIVE there) — kept x4 as exact integers downstream."""
     m = np.asarray(mask, dtype=np.int64)
     p = np.zeros((m.shape[0] + 2, m.shape[1] + 2), dtype=np.int64)
     p[1:-1, 1:-1] = m
@@ -313,8 +314,8 @@ def euler_images(images_ds, threshold: int, transform=None):
             out["q1"].append(q1)
             out["q3"].append(q3)
             out["qd"].append(qd)
-            out["e4_x4"].append(q1 - q3 - 2 * qd)
-            out["e8_x4"].append(q1 - q3 + 2 * qd)
+            out["e4_x4"].append(q1 - q3 + 2 * qd)
+            out["e8_x4"].append(q1 - q3 - 2 * qd)
         return pa.table(
             {k: pa.array(v, pa.string() if k == "image_id" else pa.int64())
              for k, v in out.items()})

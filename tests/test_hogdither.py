@@ -75,16 +75,16 @@ def test_euler_quads_known_shapes():
     m = np.zeros((10, 10), dtype=np.int64)
     m[2:7, 2:7] = 1  # one solid square
     q1, q3, qd = euler_quads(m)
-    assert (q1 - q3 - 2 * qd) // 4 == 1
     assert (q1 - q3 + 2 * qd) // 4 == 1
+    assert (q1 - q3 - 2 * qd) // 4 == 1
     m[4, 4] = 0  # punch a hole: E = 0
     q1, q3, qd = euler_quads(m)
-    assert (q1 - q3 - 2 * qd) // 4 == 0
+    assert (q1 - q3 + 2 * qd) // 4 == 0
     m2 = np.zeros((10, 10), dtype=np.int64)
     m2[1:3, 1:3] = 1
     m2[6:9, 6:9] = 1  # two components
     q1, q3, qd = euler_quads(m2)
-    assert (q1 - q3 - 2 * qd) // 4 == 2
+    assert (q1 - q3 + 2 * qd) // 4 == 2
 
 
 def test_euler_diagonal_connectivity_difference():
@@ -94,5 +94,5 @@ def test_euler_diagonal_connectivity_difference():
     m = np.zeros((5, 5), dtype=np.int64)
     m[1, 1] = m[2, 2] = 1
     q1, q3, qd = euler_quads(m)
-    assert (q1 - q3 - 2 * qd) // 4 == 2
-    assert (q1 - q3 + 2 * qd) // 4 == 1
+    assert (q1 - q3 + 2 * qd) // 4 == 2
+    assert (q1 - q3 - 2 * qd) // 4 == 1
