@@ -3339,6 +3339,27 @@ def q_dither(sf_dir: str):
     return dither_images(_images_ds(sf_dir, N_IMG_MERGE))
 
 
+def q_geohash(sf_dir: str):
+    """Geohash text codes, precision 6 (grids/cellkey.py::
+    geohash_encode): 30 interleaved bits (lon on even MSB positions) on
+    the floor lattice, base-32 chars; SQL rebuilds the interleave
+    term-by-term and the string with substr lookups."""
+    from rasters_ray.grids.cellkey import geohash_encode
+
+    def f(t: pa.Table) -> pa.Table:
+        g, strs = geohash_encode(t.column("x").to_numpy(),
+                                 t.column("y").to_numpy(), 6)
+        return pa.table(
+            {
+                "point_id": t.column("point_id"),
+                "gh_int": pa.array(g, pa.int64()),
+                "geohash": pa.array(list(strs), pa.string()),
+            }
+        )
+
+    return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
 def q_kappa(sf_dir: str):
     """Cohen's kappa between the order priority class and its
     deterministic noisy copy (index + [k%7 == 0]) mod 5 — the
@@ -9504,6 +9525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dither": q_dither,
         "dbscan": q_dbscan,
         "kappa": q_kappa,
+        "geohash": q_geohash,
         "triangles": q_triangles,
         "trigrams": q_trigrams,
         "edge_jaccard": q_edge_jaccard,
@@ -14962,6 +14984,31 @@ SELECT printf('img%08d', d) AS image_id,
 FROM imgs, range(0, 100) r, range(0, 100) c
 JOIN b ON b.pr = r.range % 4 AND b.pc = c.range % 4
 GROUP BY d, b.pr, b.pc
+"""
+
+    # geohash: floor lattice, term-by-term interleave, substr base32
+    sql["geohash"] = """
+WITH p AS (
+  SELECT printf('pt%06d', c_custkey) AS point_id,
+         (-124.0e0 + (c_custkey % 800) * 0.01e0 + 0.001e0
+          + CASE WHEN c_custkey % 97 = 0 THEN 50.0e0 ELSE 0.0e0 END) AS x,
+         (44.0e0 - ((c_custkey // 7) % 800) * 0.01e0 - 0.001e0) AS y
+  FROM customer),
+i AS (
+  SELECT point_id,
+         LEAST(GREATEST(CAST(FLOOR((x + 180.0e0) / 360.0e0 * 32768)
+                             AS BIGINT), 0), 32767) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((y + 90.0e0) / 180.0e0 * 32768)
+                             AS BIGINT), 0), 32767) AS iy
+  FROM p),
+g AS (
+  SELECT point_id,
+         (((ix >> 14) & 1) << 29) + (((ix >> 13) & 1) << 27) + (((ix >> 12) & 1) << 25) + (((ix >> 11) & 1) << 23) + (((ix >> 10) & 1) << 21) + (((ix >> 9) & 1) << 19) + (((ix >> 8) & 1) << 17) + (((ix >> 7) & 1) << 15) + (((ix >> 6) & 1) << 13) + (((ix >> 5) & 1) << 11) + (((ix >> 4) & 1) << 9) + (((ix >> 3) & 1) << 7) + (((ix >> 2) & 1) << 5) + (((ix >> 1) & 1) << 3) + (((ix >> 0) & 1) << 1)
+         + (((iy >> 14) & 1) << 28) + (((iy >> 13) & 1) << 26) + (((iy >> 12) & 1) << 24) + (((iy >> 11) & 1) << 22) + (((iy >> 10) & 1) << 20) + (((iy >> 9) & 1) << 18) + (((iy >> 8) & 1) << 16) + (((iy >> 7) & 1) << 14) + (((iy >> 6) & 1) << 12) + (((iy >> 5) & 1) << 10) + (((iy >> 4) & 1) << 8) + (((iy >> 3) & 1) << 6) + (((iy >> 2) & 1) << 4) + (((iy >> 1) & 1) << 2) + (((iy >> 0) & 1) << 0) AS g
+  FROM i)
+SELECT point_id, CAST(g AS BIGINT) AS gh_int,
+       substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 25) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 20) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 15) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 10) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 5) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 0) & 31 AS INTEGER) + 1, 1) AS geohash
+FROM g
 """
 
     # kappa: cross-multiplied agreement over the paired-label crosstab

@@ -257,3 +257,42 @@ def hilbert_decode(d, bits: int = 14):
         t >>= 2
         s <<= 1
     return x, y
+
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lon, lat, precision: int = 6):
+    """Vectorized geohash (Niemeyer 2008): ``precision`` base-32 chars
+    = 5*precision interleaved bits with LONGITUDE on the even positions
+    counted from the MSB.  Returns ``(codes int64, strings)`` where
+    ``codes`` is the raw interleaved integer (the sort/partition key)
+    and ``strings`` the classic text hash.
+
+    The integer lattice is ``floor((lon+180)/360 * 2^nbits_lon)``
+    (clamped), matching the bisection definition exactly for points not
+    on cell boundaries; the driver fixtures keep points off boundaries
+    (the +0.001 offset, vectors.py)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * (1 << nlon)),
+                 0, (1 << nlon) - 1).astype(np.int64)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << nlat)),
+                 0, (1 << nlat) - 1).astype(np.int64)
+    g = np.zeros(ix.shape, dtype=np.int64)
+    for k in range(nlon):
+        g |= ((ix >> (nlon - 1 - k)) & 1) << (nbits - 1 - 2 * k)
+    for k in range(nlat):
+        g |= ((iy >> (nlat - 1 - k)) & 1) << (nbits - 2 - 2 * k)
+    chars = np.empty((len(np.atleast_1d(g)), precision), dtype="<U1")
+    flat = np.atleast_1d(g)
+    lut = np.asarray(list(GEOHASH32))
+    for i in range(precision):
+        chars[:, i] = lut[(flat >> (5 * (precision - 1 - i))) & 31]
+    strings = np.array(["".join(row) for row in chars], dtype=object)
+    return g, strings
