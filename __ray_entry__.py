@@ -3304,6 +3304,19 @@ def q_canny(sf_dir: str):
 MULTI_PATTERNS = ["fast", "table", "scan", "art", "value part", "stream"]
 
 
+def q_bm25(sf_dir: str):
+    """BM25 relevance scores for a fixed query-term set over documents
+    (text/bm25.py::bm25_scores, k1=6/5, b=3/4, ln-free odds idf): the
+    whole per-(doc, term) score is ONE float division over exact
+    integer products; (N, Dsum, df) fold through one tiny aggregate.
+    SQL replays with str_split + list_filter token counts and HUGEINT
+    products."""
+    from rasters_ray.text.bm25 import BM25_DEFAULT_TERMS, bm25_scores
+
+    return bm25_scores(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       BM25_DEFAULT_TERMS)
+
+
 def q_multi_pattern(sf_dir: str):
     """Multi-pattern dictionary counting over documents
     (text/multipattern.py::MultiPatternStage): patterns compile once
@@ -3509,6 +3522,25 @@ def q_dtw(sf_dir: str):
         _read(sf_dir, "events", ["event_type", "ts", "event_id", "value"]),
         "event_type", "ts", "event_id", _event_cents,
         "click", "purchase", k=DTW_K,
+    )
+
+
+def q_roc(sf_dir: str):
+    """Full ROC curve of click vs purchase values (floor-cents,
+    positive iff value >= v): exact suffix-sum tp/fp per distinct
+    score over the pooled histogram (rankstats.py::roc_points), two
+    float divisions per row; SQL replays with descending cumulative
+    windows."""
+    from rasters_ray.relational.rankstats import roc_points
+
+    return roc_points(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        lambda t: np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64),
+        "click",
+        "purchase",
     )
 
 
@@ -9513,10 +9545,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_tau": q_kendall_tau,
         "mann_whitney": q_mann_whitney,
         "emd": q_emd,
+        "roc": q_roc,
         "dtw": q_dtw,
         "chi_square": q_chi_square,
         "hog_cells": q_hog_cells,
         "multi_pattern": q_multi_pattern,
+        "bm25": q_bm25,
         "canny": q_canny,
         "haar_energy": q_haar_energy,
         "quadtree": q_quadtree,
@@ -14919,6 +14953,31 @@ SELECT printf('img%08d', s.d) AS image_id, s.r AS r, s.c AS c,
 FROM surv s JOIN walk w ON w.d = s.d AND w.r = s.r AND w.c = s.c
 """
 
+    # bm25: str_split tokens, HUGEINT rational score, one division
+    _bm_terms = ", ".join(f"('{t}')" for t in
+                          ["fast", "table", "scan", "stream", "vector"])
+    sql["bm25"] = f"""
+WITH tok AS (SELECT doc_id, str_split(text, ' ') AS xs FROM documents),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(xs)) AS BIGINT) AS dsum FROM tok),
+terms AS (SELECT * FROM (VALUES {_bm_terms}) AS t(term)),
+tf AS (
+  SELECT t.doc_id, p.term,
+         CAST(len(list_filter(t.xs, x -> x = p.term)) AS BIGINT) AS tf,
+         CAST(len(t.xs) AS BIGINT) AS dl
+  FROM tok t, terms p),
+dfr AS (SELECT term, CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS df
+        FROM tf GROUP BY term)
+SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.term, f.tf, f.dl,
+       CAST(CAST(2 * g.n - 2 * d.df + 1 AS HUGEINT) * 22 * f.tf * g.dsum
+            AS DOUBLE)
+       / CAST(CAST(2 * d.df + 1 AS HUGEINT)
+              * (10 * f.tf * g.dsum + 3 * g.dsum + 9 * f.dl * g.n)
+              AS DOUBLE) AS score
+FROM tf f JOIN dfr d USING (term), g WHERE f.tf > 0
+"""
+
     # multi_pattern: replace-count per border-free dictionary pattern
     _pat_vals = ", ".join(f"('{p}')" for p in MULTI_PATTERNS)
     sql["multi_pattern"] = f"""
@@ -15230,6 +15289,34 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
 FROM dp WHERE i = (SELECT COUNT(*) FROM a)
 """
     sql["dtw"] = sql["dtw"].replace("{BIG}", "1152921504606846976")
+
+    # roc: suffix sums over the pooled histogram
+    sql["roc"] = """
+WITH v AS (
+  SELECT CAST(FLOOR(value * 100.0e0) AS BIGINT) AS _v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+  FROM events WHERE event_type IN ('click', 'purchase')),
+h AS (
+  SELECT _v, CAST(SUM(isa) AS BIGINT) AS na,
+         CAST(SUM(1 - isa) AS BIGINT) AS nb
+  FROM v GROUP BY _v),
+t AS (SELECT CAST(SUM(na) AS BIGINT) AS n1, CAST(SUM(nb) AS BIGINT) AS n2
+      FROM h),
+c AS (
+  SELECT _v,
+         SUM(na) OVER (ORDER BY _v DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS tp,
+         SUM(nb) OVER (ORDER BY _v DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS fp
+  FROM h)
+SELECT c._v AS v, CAST(c.tp AS BIGINT) AS tp, CAST(c.fp AS BIGINT) AS fp,
+       CAST(t.n1 - c.tp AS BIGINT) AS fn, CAST(t.n2 - c.fp AS BIGINT) AS tn,
+       CAST(c.tp AS DOUBLE) / CAST(t.n1 AS DOUBLE) AS tpr,
+       CAST(c.fp AS DOUBLE) / CAST(t.n2 AS DOUBLE) AS fpr
+FROM c, t
+"""
 
     # emd: cross-multiplied CDF gap integral over the pooled histogram
     sql["emd"] = """

@@ -40,7 +40,7 @@ import pyarrow as pa
 from .aggregates import grouped_int_sums
 
 __all__ = ["spearman_grouped", "kendall_tau_grouped", "mann_whitney",
-           "wasserstein_1d"]
+           "wasserstein_1d", "roc_points"]
 
 
 def _joint_cells(ds, group_col: str, xy_fn):
@@ -284,6 +284,62 @@ def wasserstein_1d(ds, type_col: str, values_fn, type_a: str, type_b: str):
                 "emd": pa.array(
                     [float(emd_num) / float(n1 * n2)], pa.float64()
                 ),
+            }
+        )
+
+    return hist.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def roc_points(ds, type_col: str, values_fn, type_pos: str,
+               type_neg: str):
+    """Full ROC curve -> Dataset[(v, tp, fp, fn, tn, tpr, fpr)], one
+    row per distinct score with the predictor "positive iff value >=
+    v".  Counts are exact suffix sums over the pooled histogram (the
+    mann_whitney shuffle); tpr/fpr are the two per-row float
+    divisions.  Rows ascend in v from (all positive) toward (none)."""
+
+    def partial_rows(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t.column(type_col).to_pylist(), dtype=object)
+        v = np.asarray(values_fn(t), np.int64)
+        ma, mb = ty == type_pos, ty == type_neg
+        keep = ma | mb
+        return pa.table(
+            {
+                "_v": pa.array(v[keep], pa.int64()),
+                "_isa": pa.array(ma[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = grouped_int_sums(
+        ds.map_batches(partial_rows, batch_format="pyarrow"),
+        ["_v"],
+        lambda t: {
+            "na": t.column("_isa").to_numpy(zero_copy_only=False),
+            "nb": 1 - t.column("_isa").to_numpy(zero_copy_only=False),
+        },
+        count_col="_n",
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        vs, nas, nbs = v[order], na[order], nb[order]
+        n1, n2 = int(nas.sum()), int(nbs.sum())
+        tp = n1 - np.concatenate(([0], np.cumsum(nas)[:-1]))  # count >= v
+        fp = n2 - np.concatenate(([0], np.cumsum(nbs)[:-1]))
+        return pa.table(
+            {
+                "v": pa.array(vs, pa.int64()),
+                "tp": pa.array(tp, pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+                "fn": pa.array(n1 - tp, pa.int64()),
+                "tn": pa.array(n2 - fp, pa.int64()),
+                "tpr": pa.array(tp.astype(np.float64) / float(n1),
+                                pa.float64()),
+                "fpr": pa.array(fp.astype(np.float64) / float(n2),
+                                pa.float64()),
             }
         )
 
