@@ -3525,6 +3525,24 @@ def q_dtw(sf_dir: str):
     )
 
 
+def q_kruskal(sf_dir: str):
+    """Kruskal-Wallis H across the five event-type value distributions
+    (floor-cents, rankstats.py::kruskal_wallis): pooled doubled tie
+    ranks, exact integer rank sums, tie-corrected H as a fixed-order
+    float composition whose per-group terms sum left-associatively in
+    ascending type order — the SQL replay pivots the five types and
+    parenthesizes the identical chain."""
+    from rasters_ray.relational.rankstats import kruskal_wallis
+
+    return kruskal_wallis(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        lambda t: np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64),
+    )
+
+
 def q_roc(sf_dir: str):
     """Full ROC curve of click vs purchase values (floor-cents,
     positive iff value >= v): exact suffix-sum tp/fp per distinct
@@ -9546,6 +9564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_whitney": q_mann_whitney,
         "emd": q_emd,
         "roc": q_roc,
+        "kruskal": q_kruskal,
         "dtw": q_dtw,
         "chi_square": q_chi_square,
         "hog_cells": q_hog_cells,
@@ -15289,6 +15308,44 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n1,
 FROM dp WHERE i = (SELECT COUNT(*) FROM a)
 """
     sql["dtw"] = sql["dtw"].replace("{BIG}", "1152921504606846976")
+
+    # kruskal: pooled doubled ranks, pivoted left-associative H chain
+    sql["kruskal"] = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0e0) AS BIGINT) AS c
+  FROM events),
+h0 AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM v GROUP BY event_type, c),
+pool AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS t FROM h0 GROUP BY c),
+rk AS (
+  SELECT c, t,
+         2 * COALESCE(SUM(t) OVER (ORDER BY c
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) + t + 1 AS dx
+  FROM pool),
+grp AS (
+  SELECT h0.event_type, CAST(SUM(h0.cnt) AS BIGINT) AS n_i,
+         CAST(SUM(h0.cnt * rk.dx) AS BIGINT) AS r2
+  FROM h0 JOIN rk ON rk.c = h0.c GROUP BY h0.event_type),
+gl AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                CAST(SUM(t * (t - 1) * (t + 1)) AS BIGINT) AS ties
+         FROM pool),
+piv AS (SELECT
+   MAX(CASE WHEN event_type = 'click' THEN (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)) / CAST(4 * n_i AS DOUBLE) END) AS t0,
+   MAX(CASE WHEN event_type = 'error' THEN (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)) / CAST(4 * n_i AS DOUBLE) END) AS t1,
+   MAX(CASE WHEN event_type = 'purchase' THEN (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)) / CAST(4 * n_i AS DOUBLE) END) AS t2,
+   MAX(CASE WHEN event_type = 'signup' THEN (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)) / CAST(4 * n_i AS DOUBLE) END) AS t3,
+   MAX(CASE WHEN event_type = 'view' THEN (CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)) / CAST(4 * n_i AS DOUBLE) END) AS t4
+   FROM grp)
+SELECT g.event_type, g.n_i, g.r2, gl.n, gl.ties,
+       (12.0e0 * ((((t0 + t1) + t2) + t3) + t4)
+        / (CAST(gl.n AS DOUBLE) * CAST(gl.n + 1 AS DOUBLE))
+        - 3.0e0 * CAST(gl.n + 1 AS DOUBLE))
+       / (1.0e0 - CAST(gl.ties AS DOUBLE)
+                  / CAST(gl.n * gl.n * gl.n - gl.n AS DOUBLE))
+         AS h
+FROM grp g, gl, piv
+"""
 
     # roc: suffix sums over the pooled histogram
     sql["roc"] = """

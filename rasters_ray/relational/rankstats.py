@@ -40,7 +40,7 @@ import pyarrow as pa
 from .aggregates import grouped_int_sums
 
 __all__ = ["spearman_grouped", "kendall_tau_grouped", "mann_whitney",
-           "wasserstein_1d", "roc_points"]
+           "wasserstein_1d", "roc_points", "kruskal_wallis"]
 
 
 def _joint_cells(ds, group_col: str, xy_fn):
@@ -340,6 +340,72 @@ def roc_points(ds, type_col: str, values_fn, type_pos: str,
                                 pa.float64()),
                 "fpr": pa.array(fp.astype(np.float64) / float(n2),
                                 pa.float64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def kruskal_wallis(ds, group_col: str, values_fn):
+    """Kruskal-Wallis H across ALL groups -> Dataset[(group, n_i, r2,
+    n, ties, h)] (one row per group; n/ties/h are the shared globals).
+
+    Rank sums use the pooled doubled tie ranks (exact int64, the
+    spearman trick): r2_i = 2 * R_i.  The tie-corrected statistic
+
+        H = [12 * S / (N(N+1)) - 3(N+1)] / [1 - ties/(N^3 - N)]
+
+    with S = sum_i R_i^2/n_i is evaluated as a FIXED-ORDER float
+    composition: per-group terms (r2^2) / (4 n_i) are summed
+    LEFT-ASSOCIATIVELY in ascending group-name order (the SQL replay
+    pivots the groups and parenthesizes the same chain).  One shuffle
+    of distinct (group, value) cells; the finish is histogram-sized."""
+    hist = grouped_int_sums(
+        ds.map_batches(
+            lambda t, _g=group_col: pa.table(
+                {
+                    _g: t.column(_g),
+                    "_v": pa.array(np.asarray(values_fn(t), np.int64),
+                                   pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        [group_col, "_v"],
+        lambda t: {},
+        count_col="_c",
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        c = t.column("_c").to_numpy(zero_copy_only=False)
+        vv, vi = np.unique(v, return_inverse=True)
+        pooled = np.zeros(len(vv), np.int64)
+        np.add.at(pooled, vi, c)
+        dx = _doubled_ranks(vv, pooled)[vi]
+        groups = sorted(set(g))
+        n = int(pooled.sum())
+        ties = int((pooled * (pooled - 1) * (pooled + 1)).sum())
+        n_i, r2 = {}, {}
+        for gg in groups:
+            m = g == gg
+            n_i[gg] = int(c[m].sum())
+            r2[gg] = int((c[m] * dx[m]).sum())
+        s = 0.0
+        for gg in groups:  # left-associative, ascending group name
+            s = s + (float(r2[gg]) * float(r2[gg])) / float(4 * n_i[gg])
+        h = (
+            12.0 * s / (float(n) * float(n + 1)) - 3.0 * float(n + 1)
+        ) / (1.0 - float(ties) / float(n ** 3 - n))
+        return pa.table(
+            {
+                group_col: pa.array(groups, pa.string()),
+                "n_i": pa.array([n_i[gg] for gg in groups], pa.int64()),
+                "r2": pa.array([r2[gg] for gg in groups], pa.int64()),
+                "n": pa.array([n] * len(groups), pa.int64()),
+                "ties": pa.array([ties] * len(groups), pa.int64()),
+                "h": pa.array([h] * len(groups), pa.float64()),
             }
         )
 

@@ -144,3 +144,46 @@ def test_wasserstein_identical_samples_zero(ray_session):
                          lambda b: b.column("v").to_numpy(),
                          "a", "b").to_pandas().iloc[0]
     assert out["emd_num"] == 0 and out["emd"] == 0.0
+
+
+def test_kruskal_wallis_matches_scipy_formula(ray_session):
+    from rasters_ray.relational.rankstats import kruskal_wallis
+
+    rng = np.random.default_rng(23)
+    n = 2400
+    g = rng.choice(["a", "b", "c"], n)
+    v = (rng.integers(0, 50, n)
+         + np.where(g == "a", 6, 0)).astype(np.int64)
+    t = pa.table({"g": g, "v": pa.array(v)})
+    out = kruskal_wallis(rd.from_arrow(t), "g",
+                         lambda b: b.column("v").to_numpy()).to_pandas()
+    # reference: textbook tie-corrected H over average ranks
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(n, float)
+    sv = v[order]
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    s = sum(ranks[g == gg].sum() ** 2 / (g == gg).sum() for gg in "abc")
+    _, tcnt = np.unique(v, return_counts=True)
+    ties = float((tcnt ** 3 - tcnt).sum())
+    want = (12.0 * s / (n * (n + 1)) - 3 * (n + 1)) / (1 - ties / (n ** 3 - n))
+    assert abs(out["h"][0] - want) < 1e-9
+    assert out["h"][0] > 30.0  # the +6 shift is detectable
+    # rank-sum identity: sum of doubled rank sums = 2 * N(N+1)/2
+    assert out["r2"].sum() == n * (n + 1)
+
+
+def test_kruskal_no_difference_small_h(ray_session):
+    from rasters_ray.relational.rankstats import kruskal_wallis
+
+    v = np.tile(np.arange(60, dtype=np.int64), 3)
+    g = np.repeat(["a", "b", "c"], 60)
+    t = pa.table({"g": g, "v": pa.array(v)})
+    out = kruskal_wallis(rd.from_arrow(t), "g",
+                         lambda b: b.column("v").to_numpy()).to_pandas()
+    assert abs(out["h"][0]) < 1e-9  # identical distributions
