@@ -3373,6 +3373,26 @@ def q_geohash(sf_dir: str):
     return _points_ds(sf_dir).map_batches(f, batch_format="pyarrow")
 
 
+ORDER_PRIORITIES = ['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED',
+                    '5-LOW']
+ORDER_STATUSES = ['F', 'O', 'P']
+
+
+def q_cramers_v(sf_dir: str):
+    """Cramer's V of order priority x status (aggregates.py::
+    cramers_v): chi2 as the row-major LEFT-ASSOCIATIVE chain of
+    per-cell floats over exact integer dev = obs*N - rt*ct, then one
+    sqrt — the SQL replay pivots the fifteen known cells and
+    parenthesizes the same chain."""
+    from rasters_ray.relational.aggregates import cramers_v
+
+    return cramers_v(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]),
+        "o_orderpriority", "o_orderstatus",
+        ORDER_PRIORITIES, ORDER_STATUSES,
+    )
+
+
 def q_kappa(sf_dir: str):
     """Cohen's kappa between the order priority class and its
     deterministic noisy copy (index + [k%7 == 0]) mod 5 — the
@@ -9578,6 +9598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dither": q_dither,
         "dbscan": q_dbscan,
         "kappa": q_kappa,
+        "cramers_v": q_cramers_v,
         "geohash": q_geohash,
         "triangles": q_triangles,
         "trigrams": q_trigrams,
@@ -15087,6 +15108,62 @@ g AS (
 SELECT point_id, CAST(g AS BIGINT) AS gh_int,
        substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 25) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 20) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 15) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 10) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 5) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 0) & 31 AS INTEGER) + 1, 1) AS geohash
 FROM g
+"""
+
+    # cramers_v: fifteen pivoted cells, left-associative chi2 chain
+    sql["cramers_v"] = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+rr AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS rt
+       FROM c GROUP BY o_orderpriority),
+kk AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS ct
+       FROM c GROUP BY o_orderstatus),
+piv AS (SELECT
+   (SELECT CAST(SUM(obs) AS BIGINT) FROM c) AS n,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' THEN obs END), 0) AS o0_0,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'O' THEN obs END), 0) AS o0_1,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'P' THEN obs END), 0) AS o0_2,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '2-HIGH' AND o_orderstatus = 'F' THEN obs END), 0) AS o1_0,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '2-HIGH' AND o_orderstatus = 'O' THEN obs END), 0) AS o1_1,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '2-HIGH' AND o_orderstatus = 'P' THEN obs END), 0) AS o1_2,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '3-MEDIUM' AND o_orderstatus = 'F' THEN obs END), 0) AS o2_0,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '3-MEDIUM' AND o_orderstatus = 'O' THEN obs END), 0) AS o2_1,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '3-MEDIUM' AND o_orderstatus = 'P' THEN obs END), 0) AS o2_2,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' AND o_orderstatus = 'F' THEN obs END), 0) AS o3_0,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' AND o_orderstatus = 'O' THEN obs END), 0) AS o3_1,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' AND o_orderstatus = 'P' THEN obs END), 0) AS o3_2,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '5-LOW' AND o_orderstatus = 'F' THEN obs END), 0) AS o4_0,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '5-LOW' AND o_orderstatus = 'O' THEN obs END), 0) AS o4_1,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '5-LOW' AND o_orderstatus = 'P' THEN obs END), 0) AS o4_2,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN rt END), 0) AS r0,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN rt END), 0) AS r1,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN rt END), 0) AS r2,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN rt END), 0) AS r3,
+   COALESCE(MAX(CASE WHEN o_orderpriority = '5-LOW' THEN rt END), 0) AS r4,
+   COALESCE(MAX(CASE WHEN o_orderstatus = 'F' THEN ct END), 0) AS k0,
+   COALESCE(MAX(CASE WHEN o_orderstatus = 'O' THEN ct END), 0) AS k1,
+   COALESCE(MAX(CASE WHEN o_orderstatus = 'P' THEN ct END), 0) AS k2
+   FROM c FULL JOIN rr USING (o_orderpriority)
+          FULL JOIN kk USING (o_orderstatus)),
+chi AS (SELECT n,
+   (((((((((((((((CASE WHEN r0 * k0 = 0 THEN 0.0e0 ELSE CAST((CAST(o0_0 AS HUGEINT) * n - CAST(r0 AS HUGEINT) * k0) AS DOUBLE) * CAST((CAST(o0_0 AS HUGEINT) * n - CAST(r0 AS HUGEINT) * k0) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r0 * k0 AS DOUBLE) END)
+ + (CASE WHEN r0 * k1 = 0 THEN 0.0e0 ELSE CAST((CAST(o0_1 AS HUGEINT) * n - CAST(r0 AS HUGEINT) * k1) AS DOUBLE) * CAST((CAST(o0_1 AS HUGEINT) * n - CAST(r0 AS HUGEINT) * k1) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r0 * k1 AS DOUBLE) END))
+ + (CASE WHEN r0 * k2 = 0 THEN 0.0e0 ELSE CAST((CAST(o0_2 AS HUGEINT) * n - CAST(r0 AS HUGEINT) * k2) AS DOUBLE) * CAST((CAST(o0_2 AS HUGEINT) * n - CAST(r0 AS HUGEINT) * k2) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r0 * k2 AS DOUBLE) END))
+ + (CASE WHEN r1 * k0 = 0 THEN 0.0e0 ELSE CAST((CAST(o1_0 AS HUGEINT) * n - CAST(r1 AS HUGEINT) * k0) AS DOUBLE) * CAST((CAST(o1_0 AS HUGEINT) * n - CAST(r1 AS HUGEINT) * k0) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r1 * k0 AS DOUBLE) END))
+ + (CASE WHEN r1 * k1 = 0 THEN 0.0e0 ELSE CAST((CAST(o1_1 AS HUGEINT) * n - CAST(r1 AS HUGEINT) * k1) AS DOUBLE) * CAST((CAST(o1_1 AS HUGEINT) * n - CAST(r1 AS HUGEINT) * k1) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r1 * k1 AS DOUBLE) END))
+ + (CASE WHEN r1 * k2 = 0 THEN 0.0e0 ELSE CAST((CAST(o1_2 AS HUGEINT) * n - CAST(r1 AS HUGEINT) * k2) AS DOUBLE) * CAST((CAST(o1_2 AS HUGEINT) * n - CAST(r1 AS HUGEINT) * k2) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r1 * k2 AS DOUBLE) END))
+ + (CASE WHEN r2 * k0 = 0 THEN 0.0e0 ELSE CAST((CAST(o2_0 AS HUGEINT) * n - CAST(r2 AS HUGEINT) * k0) AS DOUBLE) * CAST((CAST(o2_0 AS HUGEINT) * n - CAST(r2 AS HUGEINT) * k0) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r2 * k0 AS DOUBLE) END))
+ + (CASE WHEN r2 * k1 = 0 THEN 0.0e0 ELSE CAST((CAST(o2_1 AS HUGEINT) * n - CAST(r2 AS HUGEINT) * k1) AS DOUBLE) * CAST((CAST(o2_1 AS HUGEINT) * n - CAST(r2 AS HUGEINT) * k1) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r2 * k1 AS DOUBLE) END))
+ + (CASE WHEN r2 * k2 = 0 THEN 0.0e0 ELSE CAST((CAST(o2_2 AS HUGEINT) * n - CAST(r2 AS HUGEINT) * k2) AS DOUBLE) * CAST((CAST(o2_2 AS HUGEINT) * n - CAST(r2 AS HUGEINT) * k2) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r2 * k2 AS DOUBLE) END))
+ + (CASE WHEN r3 * k0 = 0 THEN 0.0e0 ELSE CAST((CAST(o3_0 AS HUGEINT) * n - CAST(r3 AS HUGEINT) * k0) AS DOUBLE) * CAST((CAST(o3_0 AS HUGEINT) * n - CAST(r3 AS HUGEINT) * k0) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r3 * k0 AS DOUBLE) END))
+ + (CASE WHEN r3 * k1 = 0 THEN 0.0e0 ELSE CAST((CAST(o3_1 AS HUGEINT) * n - CAST(r3 AS HUGEINT) * k1) AS DOUBLE) * CAST((CAST(o3_1 AS HUGEINT) * n - CAST(r3 AS HUGEINT) * k1) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r3 * k1 AS DOUBLE) END))
+ + (CASE WHEN r3 * k2 = 0 THEN 0.0e0 ELSE CAST((CAST(o3_2 AS HUGEINT) * n - CAST(r3 AS HUGEINT) * k2) AS DOUBLE) * CAST((CAST(o3_2 AS HUGEINT) * n - CAST(r3 AS HUGEINT) * k2) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r3 * k2 AS DOUBLE) END))
+ + (CASE WHEN r4 * k0 = 0 THEN 0.0e0 ELSE CAST((CAST(o4_0 AS HUGEINT) * n - CAST(r4 AS HUGEINT) * k0) AS DOUBLE) * CAST((CAST(o4_0 AS HUGEINT) * n - CAST(r4 AS HUGEINT) * k0) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r4 * k0 AS DOUBLE) END))
+ + (CASE WHEN r4 * k1 = 0 THEN 0.0e0 ELSE CAST((CAST(o4_1 AS HUGEINT) * n - CAST(r4 AS HUGEINT) * k1) AS DOUBLE) * CAST((CAST(o4_1 AS HUGEINT) * n - CAST(r4 AS HUGEINT) * k1) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r4 * k1 AS DOUBLE) END))
+ + (CASE WHEN r4 * k2 = 0 THEN 0.0e0 ELSE CAST((CAST(o4_2 AS HUGEINT) * n - CAST(r4 AS HUGEINT) * k2) AS DOUBLE) * CAST((CAST(o4_2 AS HUGEINT) * n - CAST(r4 AS HUGEINT) * k2) AS DOUBLE) / CAST(CAST(n AS HUGEINT) * r4 * k2 AS DOUBLE) END)) AS chi2
+   FROM piv)
+SELECT n, chi2, sqrt(chi2 / (CAST(n AS DOUBLE) * 2.0e0)) AS v FROM chi
 """
 
     # kappa: cross-multiplied agreement over the paired-label crosstab

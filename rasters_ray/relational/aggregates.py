@@ -890,3 +890,52 @@ def cohen_kappa(ds, a_col: str, b_col: str):
         )
 
     return counts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def cramers_v(ds, row_col: str, col_col: str, row_cats: list,
+              col_cats: list):
+    """Cramer's V association -> ONE row (n, chi2, v).
+
+    chi2 is the LEFT-ASSOCIATIVE sum over the EXPLICIT category grid
+    (row-major over ``row_cats`` x ``col_cats``, absent cells obs = 0)
+    of the per-cell floats dev^2 / (N*rt*ct) with dev = obs*N - rt*ct
+    exact Python ints — the fixed-order composition a SQL replay can
+    parenthesize identically.  v = sqrt(chi2 / (N * min(r-1, c-1)))
+    is the one further float expression."""
+    counts = grouped_int_sums(ds, [row_col, col_col], lambda t: {},
+                              count_col="obs")
+
+    def final(t: pa.Table) -> pa.Table:
+        import math
+
+        df = t.to_pandas()
+        obs = {
+            (a, b): int(o)
+            for a, b, o in zip(df[row_col], df[col_col], df["obs"])
+        }
+        n = sum(obs.values())
+        rt = {a: sum(obs.get((a, b), 0) for b in col_cats)
+              for a in row_cats}
+        ct = {b: sum(obs.get((a, b), 0) for a in row_cats)
+              for b in col_cats}
+        chi2 = 0.0
+        for a in row_cats:  # row-major, left-associative
+            for b in col_cats:
+                if rt[a] == 0 or ct[b] == 0:
+                    continue  # empty row/col: cell contributes 0
+                dev = obs.get((a, b), 0) * n - rt[a] * ct[b]
+                chi2 = chi2 + float(dev) * float(dev) / float(
+                    n * rt[a] * ct[b]
+                )
+        v = math.sqrt(
+            chi2 / (float(n) * float(min(len(row_cats), len(col_cats)) - 1))
+        )
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "chi2": pa.array([chi2], pa.float64()),
+                "v": pa.array([v], pa.float64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(final, batch_format="pyarrow")

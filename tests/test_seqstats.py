@@ -178,3 +178,36 @@ def test_cohen_kappa_perfect_and_chance(ray_session):
     t = pa.table({"ra": pa.array(a), "rb": pa.array(a)})
     out = cohen_kappa(rd.from_arrow(t), "ra", "rb").to_pandas().iloc[0]
     assert out["kappa"] == 1.0
+
+
+def test_cramers_v_matches_bruteforce(ray_session):
+    from rasters_ray.relational.aggregates import cramers_v
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    a = rng.choice(["p", "q", "r"], n)
+    b = np.where(a == "p", rng.choice(["x", "y"], n, p=[0.75, 0.25]),
+                 rng.choice(["x", "y"], n))
+    t = pa.table({"a": a, "b": b})
+    out = cramers_v(rd.from_arrow(t), "a", "b",
+                    ["p", "q", "r"], ["x", "y"]).to_pandas().iloc[0]
+    chi2 = 0.0
+    for aa in ("p", "q", "r"):
+        for bb in ("x", "y"):
+            obs = int(((a == aa) & (b == bb)).sum())
+            rt, ct = int((a == aa).sum()), int((b == bb).sum())
+            exp = rt * ct / n
+            chi2 += (obs - exp) ** 2 / exp
+    v = np.sqrt(chi2 / (n * 1))
+    assert abs(out["chi2"] - chi2) < 1e-8
+    assert abs(out["v"] - v) < 1e-10
+    assert 0.0 < out["v"] < 1.0
+
+
+def test_cramers_v_empty_category_skipped(ray_session):
+    from rasters_ray.relational.aggregates import cramers_v
+
+    t = pa.table({"a": ["p", "p", "q", "q"], "b": ["x", "y", "x", "y"]})
+    out = cramers_v(rd.from_arrow(t), "a", "b",
+                    ["p", "q", "GHOST"], ["x", "y"]).to_pandas().iloc[0]
+    assert out["chi2"] == 0.0  # perfectly independent; ghost row inert
