@@ -3378,6 +3378,19 @@ ORDER_PRIORITIES = ['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED',
 ORDER_STATUSES = ['F', 'O', 'P']
 
 
+def q_gk_lambda(sf_dir: str):
+    """Goodman-Kruskal lambda predicting order status from priority
+    (aggregates.py::gk_lambda): proportional reduction in prediction
+    error, pure integers + one division; SQL replays with row-max and
+    column-total aggregates."""
+    from rasters_ray.relational.aggregates import gk_lambda
+
+    return gk_lambda(
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]),
+        "o_orderpriority", "o_orderstatus",
+    )
+
+
 def q_cramers_v(sf_dir: str):
     """Cramer's V of order priority x status (aggregates.py::
     cramers_v): chi2 as the row-major LEFT-ASSOCIATIVE chain of
@@ -9599,6 +9612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan": q_dbscan,
         "kappa": q_kappa,
         "cramers_v": q_cramers_v,
+        "gk_lambda": q_gk_lambda,
         "geohash": q_geohash,
         "triangles": q_triangles,
         "trigrams": q_trigrams,
@@ -15108,6 +15122,22 @@ g AS (
 SELECT point_id, CAST(g AS BIGINT) AS gh_int,
        substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 25) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 20) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 15) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 10) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 5) & 31 AS INTEGER) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((g >> 0) & 31 AS INTEGER) + 1, 1) AS geohash
 FROM g
+"""
+
+    # gk_lambda: row maxima vs the modal column total
+    sql["gk_lambda"] = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+rm AS (SELECT CAST(SUM(mx) AS BIGINT) AS srm
+       FROM (SELECT MAX(obs) AS mx FROM c GROUP BY o_orderpriority)),
+cm AS (SELECT CAST(MAX(tot) AS BIGINT) AS cmx
+       FROM (SELECT SUM(obs) AS tot FROM c GROUP BY o_orderstatus)),
+t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM c)
+SELECT t.n, rm.srm AS sum_row_max, cm.cmx AS col_max,
+       CAST(rm.srm - cm.cmx AS DOUBLE) / CAST(t.n - cm.cmx AS DOUBLE)
+         AS lam
+FROM t, rm, cm
 """
 
     # cramers_v: fifteen pivoted cells, left-associative chi2 chain

@@ -939,3 +939,32 @@ def cramers_v(ds, row_col: str, col_col: str, row_cats: list,
         )
 
     return counts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+def gk_lambda(ds, row_col: str, col_col: str):
+    """Goodman-Kruskal lambda (predict col from row) -> ONE row
+    (n, sum_row_max, col_max, lambda).
+
+    lambda = (sum_a max_b obs(a,b) - max_b ct(b)) / (N - max_b ct(b)) —
+    the proportional reduction in prediction error, ENTIRELY integer
+    except the one final division.  Rides the same crosstab partials
+    as chi2/kappa."""
+    counts = grouped_int_sums(ds, [row_col, col_col], lambda t: {},
+                              count_col="obs")
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n = int(df["obs"].sum())
+        srm = int(df.groupby(row_col)["obs"].max().sum())
+        cm = int(df.groupby(col_col)["obs"].sum().max())
+        lam = float(srm - cm) / float(n - cm)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sum_row_max": pa.array([srm], pa.int64()),
+                "col_max": pa.array([cm], pa.int64()),
+                "lam": pa.array([lam], pa.float64()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(final, batch_format="pyarrow")

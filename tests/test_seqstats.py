@@ -211,3 +211,31 @@ def test_cramers_v_empty_category_skipped(ray_session):
     out = cramers_v(rd.from_arrow(t), "a", "b",
                     ["p", "q", "GHOST"], ["x", "y"]).to_pandas().iloc[0]
     assert out["chi2"] == 0.0  # perfectly independent; ghost row inert
+
+
+def test_gk_lambda_exact(ray_session):
+    from rasters_ray.relational.aggregates import gk_lambda
+
+    rng = np.random.default_rng(51)
+    n = 3000
+    a = rng.choice(["p", "q", "r"], n)
+    b = np.where(a == "p", rng.choice(["x", "y"], n, p=[0.9, 0.1]),
+                 rng.choice(["x", "y", "z"], n))
+    t = pa.table({"a": a, "b": b})
+    out = gk_lambda(rd.from_arrow(t), "a", "b").to_pandas().iloc[0]
+    srm = sum(max(((a == aa) & (b == bb)).sum() for bb in "xyz")
+              for aa in "pqr")
+    cm = max((b == bb).sum() for bb in "xyz")
+    assert out["sum_row_max"] == srm and out["col_max"] == cm
+    assert abs(out["lam"] - (srm - cm) / (n - cm)) < 1e-15
+    assert 0.0 <= out["lam"] <= 1.0
+
+
+def test_gk_lambda_perfect_prediction(ray_session):
+    from rasters_ray.relational.aggregates import gk_lambda
+
+    a = np.repeat(["p", "q"], 50)
+    b = np.repeat(["x", "y"], 50)  # row determines column exactly
+    t = pa.table({"a": a, "b": b})
+    out = gk_lambda(rd.from_arrow(t), "a", "b").to_pandas().iloc[0]
+    assert out["lam"] == 1.0
